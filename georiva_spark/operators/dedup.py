@@ -1,0 +1,138 @@
+"""Deduplication operators (north-star LLM-data ops): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design: every variant shuffles *hashes/signatures*, never document
+text. Exact dedup groups on a 128-bit content hash; MinHash-LSH explodes
+per-band bucket keys (b rows per doc, b≈8-16) and self-joins only inside
+buckets; SimHash buckets on rotated prefixes. Candidate verification is the
+only O(pair) step and runs on the tiny candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from georiva_spark.operators.textops import tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy; keep the smallest doc_id per content
+    group. Shuffle key = md5(text), so payload per reducer row is tiny."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Token n-gram shingles → 64-bit hashes (distinct per doc)."""
+    toks = tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return docs.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """MinHash signatures via k universal-hash permutations of the shingle
+    hashes: sig[j] = min_s (a_j * s + b_j mod p). All array higher-order
+    fns — one pass over shingles per doc, no shuffle."""
+    # Deterministic odd multipliers/offsets derived from j (splitmix-style).
+    p = (1 << 61) - 1
+    sh = shingle_hashes(docs, n=n, text_col=text_col)
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s: F.pmod(
+                (s.cast("decimal(38,0)") * (j * 2 + 1234567891) + (j * 998244353 + 7))
+                .cast("decimal(38,0)"),
+                F.lit(p).cast("decimal(38,0)")).cast("long"))))
+    return sh.select("doc_id", sigs.alias("signature"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, n: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: band the signature, bucket-join,
+    verify estimated Jaccard ≥ threshold.
+
+    Shuffle = (band_id, band_hash) keys only; the quadratic step is
+    confined to same-bucket candidates (AQE skew-split covers megabuckets).
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    banded = sig.select(
+        "doc_id", "signature",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice(F.col("signature"),
+                                             b * rows_per_band + 1, rows_per_band),
+                                     lambda v: v.cast("string"))))
+                .alias("bucket")))).alias("bb"))
+    banded = banded.select("doc_id", "signature",
+                           F.col("bb.band").alias("band"),
+                           F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (left.join(right, ["band", "bucket"])
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"),
+                    F.col("l.signature").alias("sig_a"),
+                    F.col("r.signature").alias("sig_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda a, b: (a == b).cast("int")),
+                           lambda v: v == 1)).cast("double")
+           / F.lit(float(num_hashes)))
+    return (cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+                .where(F.col("est_jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token hashes: per-bit weighted majority vote,
+    computed with array higher-order fns (no UDF)."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            F.aggregate(hashes, F.lit(0),
+                        lambda acc, h: acc + F.when(
+                            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1)).otherwise(F.lit(-1))) > 0,
+            F.lit(1)).otherwise(F.lit(0)))
+    code = F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(63)),
+                   lambda b, i: b.cast("long") * F.shiftleft(F.lit(1).cast("long"), i)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return docs.select("doc_id", code.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle —
+    the index-join formulation: explode shingles → co-occurrence join →
+    |∩| per pair → |∪| from per-doc sizes. Never materializes the full
+    O(N²) pair space."""
+    sh = shingle_hashes(docs, n=n, text_col=text_col)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    pairs = (inv.alias("l").join(inv.alias("r"), "s")
+             .where(F.col("l.doc_id") < F.col("r.doc_id"))
+             .groupBy(F.col("l.doc_id").alias("doc_a"),
+                      F.col("r.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (pairs
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+           .select("doc_a", "doc_b",
+                   (F.col("inter").cast("double") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                   .alias("jaccard")))
+    return out.where(F.col("jaccard") >= threshold)

@@ -1,0 +1,134 @@
+"""Zonal statistics and polygon-masked area series (SURVEY.md §2.3 J3,
+§2.4 A1/A2) — the reference's headline analysis operators
+(geoprocessing/zonal.py, analysis/timeseries/service.py:100-178).
+
+Spark-first shape (scale analysis):
+- boundaries are a small dimension (≤ 10⁵ admin polygons, a few hundred MB
+  of GeoJSON worst-case) → driver-parsed once and **broadcast**; the grid
+  (the 100 TB side) is never shuffled for tagging.
+- tagging = bbox prejoin (broadcast nested-loop on range predicates, cheap)
+  followed by an exact pixel-center containment test in an Arrow-batched
+  pandas UDF — the only Python in the path, O(pixels_in_bbox × edges).
+- stats = one groupBy over (boundary, time, variable): map-side partial
+  aggregation; one shuffle whose width is #boundaries × #timesteps, not
+  #pixels. The reference's one-Celery-task-per-asset loop
+  (analysis/zonal_stats/tasks.py:8-60) collapses into this single job.
+- skew: a continental polygon covering most pixels still partial-aggregates
+  map-side, so the reducer receives one partial row per map task, not the
+  raw pixels; AQE skew handling covers the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from georiva_spark.functions.geo import ParsedGeometry, parse_geojson, points_in_geometry
+
+STAT_COLS = ("mean", "min", "max", "sum", "std", "count")
+
+
+def _stat_aggs(value: str = "value"):
+    v = F.col(value)
+    return [
+        F.avg(v).alias("mean"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.stddev_pop(v).alias("std"),   # numpy std is population std (ddof=0)
+        F.count(v).alias("count"),
+    ]
+
+
+def tag_pixels(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
+    """Tag each grid pixel with every boundary containing its center →
+    (grid columns…, boundary_id, level, name) pairs.
+
+    Implementation: parse geometries driver-side (small dim), broadcast a
+    bbox table for the coarse range-join, then exact even-odd containment
+    in an Arrow-batched pandas UDF over pixel centers.
+    """
+    spark = grid.sparkSession
+    rows = boundaries.select("boundary_id", "level", "name", "geometry").collect()
+    parsed: dict[int, ParsedGeometry] = {}
+    bbox_rows = []
+    for r in rows:
+        g = parse_geojson(r.geometry)
+        if g is None:
+            continue
+        parsed[r.boundary_id] = g
+        w, s, e, n = g.bbox
+        bbox_rows.append((r.boundary_id, r.level, r.name, w, s, e, n))
+    if not bbox_rows:
+        return grid.sparkSession.createDataFrame(
+            [], grid.schema.add("boundary_id", T.LongType())
+                           .add("level", T.IntegerType())
+                           .add("name", T.StringType()))
+    bbox_df = spark.createDataFrame(
+        bbox_rows, "boundary_id long, level int, name string, "
+                   "w double, s double, e double, n double")
+    bc = spark.sparkContext.broadcast(parsed)
+
+    @F.pandas_udf(T.BooleanType())
+    def _inside(lon: pd.Series, lat: pd.Series, bid: pd.Series) -> pd.Series:
+        geoms = bc.value
+        out = pd.Series(False, index=lon.index)
+        for b in bid.unique():
+            g = geoms.get(b)
+            if g is None:
+                continue
+            m = bid == b
+            out[m] = points_in_geometry(lon[m].to_numpy(), lat[m].to_numpy(), g)
+        return out
+
+    coarse = grid.join(
+        F.broadcast(bbox_df),
+        (F.col("lon") >= F.col("w")) & (F.col("lon") <= F.col("e")) &
+        (F.col("lat") >= F.col("s")) & (F.col("lat") <= F.col("n")),
+        "inner")
+    return (coarse.where(_inside(F.col("lon"), F.col("lat"), F.col("boundary_id")))
+                  .drop("w", "s", "e", "n"))
+
+
+def zonal_stats(grid: DataFrame, boundaries: DataFrame,
+                keys: Sequence[str] = ("collection", "variable", "time")) -> DataFrame:
+    """A1 — per-boundary stats over valid pixels; boundaries that intersect
+    nothing (or have null geometry) yield an all-null stats row, mirroring
+    EMPTY_STATS (geoprocessing/zonal.py:24-27,41-48)."""
+    tagged = tag_pixels(grid, boundaries)
+    stats = (tagged.groupBy("boundary_id", *keys)
+                   .agg(*_stat_aggs()))
+    # Right-join back so empty boundaries appear with all-null stats.
+    all_b = boundaries.select("boundary_id", "level", "name")
+    out = all_b.join(stats, on="boundary_id", how="left")
+    # EMPTY_STATS contract: count null (not 0) on no-intersection rows.
+    return out
+
+
+def area_timeseries(grid: DataFrame, geometry: str,
+                    how: str = "mean") -> DataFrame:
+    """A2 — polygon-masked spatial aggregate per timestep
+    (analysis/timeseries/service.py:100-178): cheap bbox subset first
+    (P4 ordering, service.py:112-116), exact mask, then groupBy(time).
+    """
+    g = parse_geojson(geometry)
+    if g is None:
+        raise ValueError("invalid or null geometry")
+    w, s, e, n = g.bbox
+    sub = grid.where(F.col("lat").between(s, n) & F.col("lon").between(w, e))
+    spark = grid.sparkSession
+    bc = spark.sparkContext.broadcast(g)
+
+    @F.pandas_udf(T.BooleanType())
+    def _inside(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(points_in_geometry(lon.to_numpy(), lat.to_numpy(),
+                                            bc.value), index=lon.index)
+
+    masked = sub.where(_inside(F.col("lon"), F.col("lat")))
+    aggs = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "std": F.stddev_pop}
+    return (masked.groupBy("collection", "variable", "time")
+                  .agg(aggs[how](F.col("value")).alias("value"))
+                  .orderBy("time"))

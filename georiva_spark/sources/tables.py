@@ -1,0 +1,39 @@
+"""Parquet table loading for the driver testdata star schema.
+
+At 100 TB these reads stay scan-efficient because every query in the engine
+goes through ``select``/``filter`` first — Catalyst pushes predicates and
+prunes columns into the parquet scan (verify with .explain: PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from georiva_spark.schemas import TPCH_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read nanos as long and convert to a microsecond
+        # timestamp (DuckDB's native resolution, so oracle values agree).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div, not double: ns-since-epoch exceeds double's 53-bit
+            # mantissa; DuckDB likewise truncates ns → µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
