@@ -1,0 +1,53 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from georiva_spark.queries import QUERIES  # noqa: E402
+from georiva_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — scan-agg, join, window, grid
+# filters/aggs, zonal mask join, trend closed form, LLM ops.
+HEADLINE = [
+    "pricing_summary", "revenue_join", "latest_per_user", "resample_daily",
+    "anomaly", "zonal_stats", "area_timeseries", "trend", "vector_transform",
+    "raster_combine", "dedup_exact", "text_quality", "knn_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("georiva-bench")
+    # JVM + codegen warmup on a trivial action so q1 isn't charged for it.
+    spark.range(1).count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
