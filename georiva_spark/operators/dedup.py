@@ -34,20 +34,14 @@ def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataF
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        text_col: str = "text") -> DataFrame:
-    """MinHash signatures via k universal-hash permutations of the shingle
-    hashes: sig[j] = min_s (a_j * s + b_j mod p). All array higher-order
-    fns — one pass over shingles per doc, no shuffle."""
-    # Deterministic odd multipliers/offsets derived from j (splitmix-style).
-    p = (1 << 61) - 1
+    """MinHash signatures via k independent hash functions of the shingle
+    hashes: sig[j] = min_s xxhash64(s, j) — the seeded-hash family, all
+    array higher-order fns. One pass over shingles per doc, no shuffle."""
     sh = shingle_hashes(docs, n=n, text_col=text_col)
     sigs = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda j: F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s: F.pmod(
-                (s.cast("decimal(38,0)") * (j * 2 + 1234567891) + (j * 998244353 + 7))
-                .cast("decimal(38,0)"),
-                F.lit(p).cast("decimal(38,0)")).cast("long"))))
+            F.col("shingles"), lambda s: F.xxhash64(s, j))))
     return sh.select("doc_id", sigs.alias("signature"))
 
 
@@ -103,14 +97,15 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sequence(F.lit(0), F.lit(63)),
         lambda i: F.when(
             F.aggregate(hashes, F.lit(0),
-                        lambda acc, h: acc + F.when(
-                            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                            F.lit(1)).otherwise(F.lit(-1))) > 0,
-            F.lit(1)).otherwise(F.lit(0)))
-    code = F.aggregate(
-        F.zip_with(bits, F.sequence(F.lit(0), F.lit(63)),
-                   lambda b, i: b.cast("long") * F.shiftleft(F.lit(1).cast("long"), i)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+                        lambda acc, h: acc + F.when(F.bit_get(h, i) == 1,
+                                                    F.lit(1)).otherwise(F.lit(-1))) > 0,
+            F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    # assemble in two 32-bit halves (no 64-bit arithmetic overflow in ANSI)
+    lo = F.aggregate(F.reverse(F.slice(bits, 1, 32)),
+                     F.lit(0).cast("long"), lambda a, b: a * 2 + b)
+    hi = F.aggregate(F.reverse(F.slice(bits, 33, 32)),
+                     F.lit(0).cast("long"), lambda a, b: a * 2 + b)
+    code = F.shiftleft(hi, 32).bitwiseOR(lo)
     return docs.select("doc_id", code.alias("simhash"))
 
 

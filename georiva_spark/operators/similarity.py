@@ -51,20 +51,17 @@ def random_hyperplane_buckets(emb: DataFrame, planes: int = 12,
     """SRP-LSH bucketing: sign pattern against `planes` pseudo-random
     hyperplanes (deterministic hash-derived coefficients — no RNG state to
     ship to executors). Bucket id = packed sign bits."""
-    def coeff(p: int, i: int):
-        # xxhash-derived pseudo-random coefficient in [-1, 1)
-        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(i))
-        return (h.cast("double") / F.lit(float(1 << 63)))
-
     dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-    proj = [
-        F.aggregate(
+
+    def projection(p: int):
+        # hash-derived pseudo-random plane coefficients per (plane, dim)
+        return F.aggregate(
             F.zip_with(F.col("embedding"), dim_idx,
-                       lambda v, i, p=p: v.cast("double") *
+                       lambda v, i: v.cast("double") *
                        F.xxhash64(F.lit(seed), F.lit(p), i).cast("double")),
             F.lit(0.0), lambda acc, x: acc + x)
-        for p in range(planes)
-    ]
+
+    proj = [projection(p) for p in range(planes)]
     bucket = None
     for p, pr in enumerate(proj):
         bit = F.when(pr >= 0, F.lit(1 << p)).otherwise(F.lit(0))

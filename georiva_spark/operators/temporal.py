@@ -77,8 +77,10 @@ def anomaly(grid: DataFrame, baseline: DataFrame,
     joined = grid.join(base, on=["collection", "variable", "y", "x"], how="left")
     diff = F.col("value") - F.col("_base")
     out = safe_divide(diff, F.col("_base")) if relative else diff
-    return joined.select("collection", "variable", "time", "y", "x",
-                         "lat", "lon", out.alias("value"))
+    # works on a time series or an already-collapsed climatology slice
+    keep = [c for c in ("collection", "variable", "time", "y", "x", "lat", "lon")
+            if c in grid.columns]
+    return joined.select(*keep, out.alias("value"))
 
 
 def trend(grid: DataFrame, season: str = "annual",

@@ -49,10 +49,11 @@ def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: argmax over per-language stopword hit counts;
     'und' (undetermined) when no marker hits."""
     toks = tokens(F.col("text"))
-    scores = [
-        F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias(lang)
-        for lang, ws in LANG_MARKERS.items()
-    ]
+
+    def marker_hits(ws: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = [marker_hits(ws).alias(lang) for lang, ws in LANG_MARKERS.items()]
     scored = docs.select("doc_id", "lang", *scores)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(l) for l in langs])

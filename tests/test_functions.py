@@ -1,0 +1,76 @@
+"""Scalar/geo/vector function goldens (FIXTURES §F3: u=3,v=4 → speed 5;
+direction u=0,v=-1 → 0°, u=-1,v=0 → 90°; affine index math; even-odd
+containment)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from georiva_spark.functions.geo import affine_index, parse_geojson, points_in_geometry
+from georiva_spark.functions.scalars import (
+    normalize_lon, rescale_255, unit_conversion_expr,
+    vector_direction, vector_magnitude,
+)
+from georiva_spark.functions.vectors import cosine_similarity, dot
+
+
+def test_vector_transform_goldens(spark):
+    df = spark.createDataFrame(
+        [(3.0, 4.0), (0.0, -1.0), (-1.0, 0.0), (0.0, 1.0)], "u double, v double")
+    out = df.select(vector_magnitude(F.col("u"), F.col("v")).alias("speed"),
+                    vector_direction(F.col("u"), F.col("v")).alias("dir")).collect()
+    assert out[0].speed == 5.0
+    assert out[1].dir == 0.0     # wind FROM north
+    assert out[2].dir == 90.0    # wind FROM east
+    assert out[3].dir == 180.0   # wind FROM south
+
+
+def test_unit_conversion_and_rescale(spark):
+    df = spark.createDataFrame([(273.15,), (373.15,), (-10.0,)], "v double")
+    out = df.select(
+        unit_conversion_expr(F.col("v"), 1.0, -273.15).alias("celsius"),
+        rescale_255(F.col("v"), 0.0, 510.0).alias("enc")).collect()
+    assert [r.celsius for r in out] == [0.0, 100.0, -283.15]
+    assert out[0].enc == 273.15 / 2 and out[2].enc == 0.0
+
+
+def test_normalize_lon(spark):
+    df = spark.createDataFrame([(0.0,), (180.0,), (359.0,), (190.0,)], "lon double")
+    assert [r[0] for r in df.select(normalize_lon(F.col("lon"))).collect()] == \
+        [0.0, 180.0, -1.0, -170.0]
+
+
+def test_affine_index_nearest():
+    # grid origin (-6, -7.5), res 1: centers at (.5 offsets)
+    assert affine_index(-6.0, -7.5, 1.0, 0.2, 0.3) == (6, 7)
+    assert affine_index(-6.0, -7.5, 1.0, -5.99, -7.49) == (0, 0)
+    # exact boundary snaps to the containing (higher) pixel
+    assert affine_index(-6.0, -7.5, 1.0, -5.0, -6.5) == (1, 1)
+
+
+def test_points_in_geometry_triangle_and_hole():
+    tri = parse_geojson('{"type": "Polygon", "coordinates": '
+                        '[[[0, 0], [4, 0], [0, 4], [0, 0]]]}')
+    lon = np.array([0.5, 1.5, 3.5, 2.0])
+    lat = np.array([0.5, 1.5, 3.5, 1.5])
+    got = points_in_geometry(lon, lat, tri)
+    assert got.tolist() == [True, True, False, True]
+    hole = parse_geojson('{"type": "Polygon", "coordinates": ['
+                         '[[0,0],[4,0],[4,4],[0,4],[0,0]],'
+                         '[[1,1],[3,1],[3,3],[1,3],[1,1]]]}')
+    got2 = points_in_geometry(np.array([0.5, 2.0]), np.array([0.5, 2.0]), hole)
+    assert got2.tolist() == [True, False]
+
+
+def test_parse_geojson_invalid():
+    assert parse_geojson(None) is None
+    assert parse_geojson("not json") is None
+    assert parse_geojson('{"type": "Point", "coordinates": [0, 0]}') is None
+
+
+def test_vector_dot_cosine(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+                               "a array<double>, b array<double>")
+    out = df.select(dot(F.col("a"), F.col("b")).alias("d"),
+                    cosine_similarity(F.col("a"), F.col("a")).alias("self")).collect()
+    assert out[0].d == 32.0
+    np.testing.assert_allclose(out[0].self, 1.0, rtol=1e-12)

@@ -1,0 +1,109 @@
+"""LLM-pipeline operator tests: dedup variants, similarity search, text ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from georiva_spark.operators import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight").split()
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base),                       # exact dup of 1
+        3: " ".join(base[:-1] + ["yesterday"]),  # near dup of 1
+        4: "completely different content about spark query engines and joins",
+        5: "another unrelated document mentioning climatology and anomalies",
+    }
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs).collect()
+    groups = {r.keep_doc_id: r.dup_count for r in out}
+    assert groups[1] == 2          # docs 1,2 collapse
+    assert sum(groups.values()) == 5
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in dedup.minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # identical
+    assert (1, 3) in pairs or (2, 3) in pairs          # near dup caught
+    assert all(a != 4 and b != 4 for a, b in pairs)    # unrelated not paired
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # doc3 swaps last token: 17 shingles each, 16 shared → 16/18
+    np.testing.assert_allclose(pairs[(1, 3)], 16.0 / 18.0, rtol=1e-12)
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    codes = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert codes[1] == codes[2]
+    mask = (1 << 64) - 1
+    ham = bin((codes[1] ^ codes[3]) & mask).count("1")
+    ham_far = bin((codes[1] ^ codes[4]) & mask).count("1")
+    assert ham < ham_far
+
+
+def test_knn_brute_force_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(50)],
+        "vec_id long, embedding array<float>, label int")
+    out = similarity.knn_brute_force(emb, query_vec_id=0, k=5).collect()
+    got = [r.vec_id for r in out]
+    q = vecs[0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    cos[0] = -np.inf
+    want = list(np.argsort(-cos)[:5])
+    assert got == want
+
+
+def test_knn_lsh_recall(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(100, 16)).astype(np.float32)
+    vecs[7] = vecs[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(100)],
+        "vec_id long, embedding array<float>, label int")
+    out = similarity.knn_lsh(emb, query_vec_id=0, k=3, planes=4).collect()
+    assert 7 in [r.vec_id for r in out]  # near-identical vector shares bucket
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([(1, "the cat sat on a mat", "en", "s", 20)],
+                               "doc_id long, text string, lang string, "
+                               "source string, n_chars long")
+    r = textops.quality_scores(df).collect()[0]
+    assert r.token_count == 6
+    assert r.stopword_ratio == 2.0 / 6.0  # 'the', 'a'
+    np.testing.assert_allclose(r.avg_token_len, (20 - 5) / 6.0, rtol=1e-12)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is big", "en", "s", 1),
+         (2, "der hund und die katze das haus nicht", "de", "s", 1),
+         (3, "zzz qqq xxx", "xx", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r.lang_pred for r in textops.language_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+def test_fingerprint_stable_and_shifted(spark, docs):
+    fp = {r.doc_id: set(r.fingerprints)
+          for r in textops.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
+    inter = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
+    assert inter > 0.5  # winnowing keeps most fingerprints under 1-token edit
