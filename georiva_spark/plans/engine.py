@@ -1,0 +1,284 @@
+"""Derivation engine: the 6-step unit loop of processing/engine.py:287-423
+as driver-side planning over Spark jobs.
+
+Semantics reproduced (SURVEY §2.9 T2-T7, §7 hard part 3):
+- T2 event→unit routing: ``dispatch_for_trigger`` asks every registered
+  recipe for candidate units.
+- T3 idempotency: a unit whose recorded input_hash matches the current one
+  is *skipped*; outputs are overwritten in place at a deterministic
+  partition keyed by unit hash, so re-execution is safe (replaces the
+  reference's DerivationRun row lock, engine.py:310-352).
+- T4 not-ready parking + resurrection sweep (engine.py:354-364,
+  invocation.py:107-155): missing required inputs park the unit; the sweep
+  re-runs parked units when inputs appear.
+- T5 stale-input invalidation, transitive (invocation.py:71-105,210-247):
+  recompute where stored hash != current hash, walking lineage forward to
+  fixpoint.
+- T6 crashed-worker reclaim (invocation.py:157-201): stale RUNNING rows
+  older than the time limit are reset to pending.
+- T7 periodic sweeps: ``sweep`` bundles resurrection + reclaim + stale
+  recompute, callable from a scheduler or a streaming foreachBatch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from georiva_spark.plans.recipe import (
+    CatalogContext, OutputItem, Recipe, RecipeRegistry, ResolvedInput,
+    canonical_json, input_hash, unit_hash,
+)
+
+RUNNING_TIMEOUT = dt.timedelta(minutes=30)  # processing/constants.py analog
+
+
+@dataclass
+class Trigger:
+    """A catalog event: a (staging) item arrived/changed
+    (invocation.py:25-35)."""
+    kind: str          # staging_item | item | schedule
+    item: dict | None = None
+
+
+@dataclass
+class RunRecord:
+    """Run-ledger row (FIXTURES §F4; processing/models.py)."""
+    recipe_id: str
+    recipe_version: str
+    unit_key: str
+    unit_hash: str
+    status: str                      # pending|running|completed|skipped|not_ready|failed
+    input_hash: str | None = None
+    origin: str | None = None
+    reason: str | None = None
+    produced_item_id: int | None = None
+    retries: int = 0
+    updated_at: dt.datetime = field(default_factory=dt.datetime.utcnow)
+
+
+@dataclass
+class LineageEdge:
+    derived_item_id: int
+    source_item_id: int
+    source_tier: str
+    recipe_id: str
+    recipe_version: str
+    input_hash: str
+
+
+class DerivationEngine:
+    def __init__(self, spark: SparkSession, registry: RecipeRegistry,
+                 catalog: CatalogContext, output_dir: str | None = None,
+                 now_fn: Callable[[], dt.datetime] | None = None):
+        self.spark = spark
+        self.registry = registry
+        self.catalog = catalog
+        self.output_dir = output_dir
+        self.runs: dict[str, RunRecord] = {}          # unit_hash → latest run
+        self.lineage: list[LineageEdge] = []
+        self._next_item_id = 1_000_000
+        self._now = now_fn or dt.datetime.utcnow
+
+    # ---- T2: event→unit routing ------------------------------------------
+    def dispatch_for_trigger(self, trigger: Trigger,
+                             origin: str | None = None) -> list[RunRecord]:
+        out = []
+        for recipe in self.registry.all():
+            for unit in recipe.candidate_units(trigger, self.catalog):
+                out.append(self.run_unit(recipe, unit, origin=origin))
+        return out
+
+    def run_all(self, origin: str | None = None) -> list[RunRecord]:
+        out = []
+        for recipe in self.registry.all():
+            for unit in recipe.enumerate_units(self.catalog):
+                out.append(self.run_unit(recipe, unit, origin=origin))
+        return out
+
+    # ---- the 6-step unit loop (engine.py:287-423) ------------------------
+    def run_unit(self, recipe: Recipe, unit: dict,
+                 origin: str | None = None) -> RunRecord:
+        uh = unit_hash({"recipe": recipe.recipe_id, **unit})
+        rec = RunRecord(recipe_id=recipe.recipe_id,
+                        recipe_version=recipe.version,
+                        unit_key=canonical_json(unit), unit_hash=uh,
+                        status="running", origin=origin,
+                        updated_at=self._now())
+        prev = self.runs.get(uh)
+        if prev is not None:
+            rec.retries = prev.retries
+        self.runs[uh] = rec
+
+        try:
+            resolved = recipe.resolve_inputs(unit, self.catalog)
+        except Exception as e:  # noqa: BLE001 — failure is a ledger state
+            return self._mark(rec, "failed", reason=f"resolve: {e}")
+
+        # readiness (recipe.py:202-204): any required input missing → park
+        missing = [r.role for r in resolved if r.required and r.item_id is None]
+        if missing:
+            return self._mark(rec, "not_ready",
+                              reason=f"missing inputs: {sorted(set(missing))}")
+
+        ih = input_hash([r.checksum for r in resolved if r.item_id is not None],
+                        recipe.version)
+        # idempotency (engine.py:344-352): same inputs, same version → skip
+        if (prev is not None and prev.status == "completed"
+                and prev.input_hash == ih):
+            rec.status, rec.input_hash = "skipped", ih
+            rec.produced_item_id = prev.produced_item_id
+            rec.reason = "input_hash unchanged"
+            return rec
+
+        try:
+            out_item, out_df = recipe.transform(self.spark, unit, resolved)
+        except Exception as e:  # noqa: BLE001
+            rec.retries += 1
+            return self._mark(rec, "failed", reason=f"transform: {e}")
+
+        item_id = self._register_item(out_item, uh, ih, prev)
+        self._write_output(uh, out_df)
+        # lineage (engine.py:194-221): dedup edges per (derived, source)
+        self.lineage = [e for e in self.lineage if e.derived_item_id != item_id]
+        seen = set()
+        for r in resolved:
+            if r.item_id is None or r.item_id in seen:
+                continue
+            seen.add(r.item_id)
+            self.lineage.append(LineageEdge(
+                derived_item_id=item_id, source_item_id=r.item_id,
+                source_tier=r.tier, recipe_id=recipe.recipe_id,
+                recipe_version=recipe.version, input_hash=ih))
+        rec.input_hash = ih
+        rec.produced_item_id = item_id
+        return self._mark(rec, "completed")
+
+    # ---- T4: resurrection sweep ------------------------------------------
+    def sweep_not_ready(self) -> list[RunRecord]:
+        out = []
+        for rec in [r for r in self.runs.values() if r.status == "not_ready"]:
+            recipe = self.registry.get(rec.recipe_id)
+            import json as _json
+            out.append(self.run_unit(recipe, _json.loads(rec.unit_key),
+                                     origin="resurrection"))
+        return out
+
+    # ---- T5: stale-input invalidation, transitive ------------------------
+    def sweep_stale(self) -> list[RunRecord]:
+        """Recompute completed units whose current input hash differs from
+        the recorded one (inputs changed underneath)."""
+        out = []
+        for rec in [r for r in self.runs.values()
+                    if r.status in ("completed", "skipped")]:
+            recipe = self.registry.get(rec.recipe_id)
+            import json as _json
+            unit = _json.loads(rec.unit_key)
+            try:
+                resolved = recipe.resolve_inputs(unit, self.catalog)
+            except Exception:  # noqa: BLE001
+                continue
+            ih = input_hash([r.checksum for r in resolved
+                             if r.item_id is not None], recipe.version)
+            if ih != rec.input_hash:
+                out.append(self.run_unit(recipe, unit, origin="stale-sweep"))
+        return out
+
+    def invalidate_downstream(self, source_item_ids: list[int]) -> list[int]:
+        """Transitive forward closure over lineage (invocation.py:210-247):
+        BFS from changed sources to every derived item affected."""
+        frontier = set(source_item_ids)
+        affected: set[int] = set()
+        while frontier:
+            nxt = {e.derived_item_id for e in self.lineage
+                   if e.source_item_id in frontier} - affected
+            affected |= nxt
+            frontier = nxt
+        return sorted(affected)
+
+    # ---- T6: crashed-worker reclaim --------------------------------------
+    def reclaim_stale_running(self,
+                              timeout: dt.timedelta = RUNNING_TIMEOUT) -> int:
+        n = 0
+        cutoff = self._now() - timeout
+        for rec in self.runs.values():
+            if rec.status == "running" and rec.updated_at < cutoff:
+                rec.status, rec.reason = "pending", "reclaimed stale running"
+                n += 1
+        return n
+
+    # ---- T7: the periodic sweep bundle -----------------------------------
+    def sweep(self) -> dict[str, int]:
+        reclaimed = self.reclaim_stale_running()
+        resurrected = self.sweep_not_ready()
+        stale = self.sweep_stale()
+        return {"reclaimed": reclaimed, "resurrected": len(resurrected),
+                "stale_recomputed": len(stale)}
+
+    # ---- ledger views ----------------------------------------------------
+    def runs_df(self) -> DataFrame:
+        rows = [(r.recipe_id, r.recipe_version, r.unit_key, r.unit_hash,
+                 r.status, r.input_hash, r.origin, r.reason,
+                 r.produced_item_id, r.updated_at)
+                for r in self.runs.values()]
+        return self.spark.createDataFrame(
+            rows, "recipe_type string, recipe_version string, unit_key string,"
+                  " unit_hash string, status string, input_hash string,"
+                  " origin string, reason string, produced_item_id long,"
+                  " updated_at timestamp")
+
+    def lineage_df(self) -> DataFrame:
+        rows = [(e.derived_item_id, e.source_item_id, e.source_tier,
+                 e.recipe_id, e.recipe_version, e.input_hash)
+                for e in self.lineage]
+        return self.spark.createDataFrame(
+            rows, "derived_item_id long, source_item_id long,"
+                  " source_tier string, recipe_id string,"
+                  " recipe_version string, input_hash string")
+
+    # ---- internals -------------------------------------------------------
+    def _mark(self, rec: RunRecord, status: str,
+              reason: str | None = None) -> RunRecord:
+        rec.status = status
+        rec.reason = reason
+        rec.updated_at = self._now()
+        return rec
+
+    def _register_item(self, out_item: OutputItem, uh: str, ih: str,
+                       prev: RunRecord | None) -> int:
+        # overwrite-in-place: re-derivation reuses the item id (T3)
+        if prev is not None and prev.produced_item_id is not None:
+            item_id = prev.produced_item_id
+            for it in self.catalog.items:
+                if it["item_id"] == item_id:
+                    it["checksum"] = ih
+                    it["properties"] = {**out_item.properties,
+                                        "derivation.input_hash": ih}
+                    return item_id
+        item_id = self._next_item_id
+        self._next_item_id += 1
+        self.catalog.items.append({
+            "item_id": item_id, "collection": out_item.collection,
+            "variable": out_item.variable, "time": out_item.time,
+            "reference_time": out_item.reference_time, "tier": "published",
+            "checksum": ih,
+            "properties": {**out_item.properties, "derivation.input_hash": ih},
+            "unit_hash": uh,
+        })
+        return item_id
+
+    def _write_output(self, uh: str, out_df: DataFrame) -> None:
+        """Deterministic overwrite of the unit's output partition — the
+        Spark replacement for the reference's run lock: rewriting the same
+        path with the same inputs is idempotent (replaceWhere analog)."""
+        if self.output_dir is None or out_df is None:
+            return
+        path = os.path.join(self.output_dir, f"unit={uh}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        out_df.write.mode("overwrite").parquet(path)

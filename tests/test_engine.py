@@ -1,0 +1,166 @@
+"""Derivation-engine behaviour tests — mirrors the reference's
+processing/tests/test_engine.py / test_invocation.py scenarios:
+idempotency skip, hash-change recompute, readiness park + resurrection,
+origin stamping, lineage writes, transitive invalidation, reclaim."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from georiva_spark.plans import (
+    CatalogContext, DerivationEngine, RecipeRegistry, Trigger,
+)
+from georiva_spark.plans.recipes import ClimatologyRecipe, PromotionRecipe
+from georiva_spark.testing import grid_from_arrays, month_starts
+
+
+def _staging_catalog(spark, n_months=24, collection="src", start_year=2020):
+    """One staging item per monthly slice; constant value = year index + 1."""
+    times = month_starts(dt.datetime(start_year, 1, 1), n_months)
+    items, grids = [], {}
+    for i, t in enumerate(times):
+        val = float(t.year - start_year + 1)
+        items.append({"item_id": i + 1, "collection": collection,
+                      "variable": "v", "time": t, "tier": "staging",
+                      "checksum": f"sha-{i}-{val}"})
+        grids[i + 1] = grid_from_arrays(spark, np.full((2, 2), val), [t],
+                                        collection=collection)
+    return CatalogContext(spark, items,
+                          grid_loader=lambda it: grids.get(it["item_id"]))
+
+
+@pytest.fixture()
+def clim_engine(spark):
+    ctx = _staging_catalog(spark, 24)
+    reg = RecipeRegistry()
+    reg.register(ClimatologyRecipe(
+        "src", "clim", periods=[(2020, 2021)], seasons=["annual", "JJA"],
+        quantities=["value", "anomaly"], baseline=(2020, 2020)))
+    return DerivationEngine(spark, reg, ctx)
+
+
+def test_unit_enumeration_and_completion(spark, clim_engine):
+    recs = clim_engine.run_all(origin="backfill")
+    # 1 period × 2 seasons × 2 quantities = 4 units
+    assert len(recs) == 4
+    assert all(r.status == "completed" for r in recs)
+    assert all(r.origin == "backfill" for r in recs)
+    # derived items registered as published tier
+    derived = [i for i in clim_engine.catalog.items if i["tier"] == "published"]
+    assert len(derived) == 4
+
+
+def test_idempotency_skip_and_hash_recompute(spark, clim_engine):
+    first = clim_engine.run_all()
+    assert {r.status for r in first} == {"completed"}
+    again = clim_engine.run_all()
+    assert {r.status for r in again} == {"skipped"}
+    assert all(r.reason == "input_hash unchanged" for r in again)
+    # item ids stable across re-runs (overwrite-in-place)
+    assert {r.produced_item_id for r in again} == \
+        {r.produced_item_id for r in first}
+    # change one source checksum → only sweep_stale recomputes
+    clim_engine.catalog.items[0]["checksum"] = "sha-CHANGED"
+    redone = clim_engine.sweep_stale()
+    assert len(redone) == 4 and {r.status for r in redone} == {"completed"}
+    assert all(r.origin == "stale-sweep" for r in redone)
+
+
+def test_anomaly_values_from_transform(spark, clim_engine):
+    clim_engine.run_all()
+    # anomaly vs 2020 baseline: mean over 2020-2021 = 1.5, baseline = 1.0
+    import json
+    recs = [r for r in clim_engine.runs.values()
+            if json.loads(r.unit_key)["quantity"] == "anomaly"
+            and json.loads(r.unit_key)["season"] == "annual"]
+    assert len(recs) == 1
+    # lineage: anomaly unit consumed both series (24) and baseline (12,
+    # dedup'd to 24 distinct source items since baseline ⊂ series)
+    edges = [e for e in clim_engine.lineage
+             if e.derived_item_id == recs[0].produced_item_id]
+    assert len(edges) == 24
+
+
+def test_readiness_park_and_resurrection(spark):
+    ctx = CatalogContext(spark, [], grid_loader=None)
+    reg = RecipeRegistry()
+    reg.register(ClimatologyRecipe("src", "clim", periods=[(2020, 2021)],
+                                   quantities=["value"]))
+    eng = DerivationEngine(spark, reg, ctx)
+    recs = eng.run_all()
+    assert {r.status for r in recs} == {"not_ready"}
+    assert "missing inputs" in recs[0].reason
+    # inputs arrive → resurrection sweep completes the parked unit (T4)
+    full = _staging_catalog(spark, 24)
+    eng.catalog.items = full.items
+    eng.catalog._grid_loader = full._grid_loader
+    revived = eng.sweep_not_ready()
+    assert {r.status for r in revived} == {"completed"}
+    assert all(r.origin == "resurrection" for r in revived)
+
+
+def test_trigger_routing_promotion(spark):
+    ctx = _staging_catalog(spark, 3)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    eng = DerivationEngine(spark, reg, ctx)
+    # one trigger → exactly one unit (1:1 promotion)
+    recs = eng.dispatch_for_trigger(
+        Trigger(kind="staging_item", item=ctx.items[0]), origin="event")
+    assert len(recs) == 1 and recs[0].status == "completed"
+    assert recs[0].origin == "event"
+    # unrelated collection → no units
+    other = {"item_id": 999, "collection": "other", "time": dt.datetime(2020, 1, 1),
+             "tier": "staging", "checksum": "x"}
+    assert eng.dispatch_for_trigger(Trigger(kind="staging_item", item=other)) == []
+
+
+def test_trigger_routing_climatology_by_year(spark, clim_engine):
+    # item in 2020 (covered) routes to all 4 units; item in 2030 → none
+    it2020 = clim_engine.catalog.items[0]
+    recs = clim_engine.dispatch_for_trigger(Trigger("staging_item", it2020))
+    assert len(recs) == 4
+    far = dict(it2020, time=dt.datetime(2030, 1, 1))
+    assert clim_engine.dispatch_for_trigger(Trigger("staging_item", far)) == []
+
+
+def test_invalidate_downstream_transitive(spark):
+    ctx = _staging_catalog(spark, 12)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    eng = DerivationEngine(spark, reg, ctx)
+    rec = eng.dispatch_for_trigger(Trigger("staging_item", ctx.items[0]))[0]
+    promoted = rec.produced_item_id
+    # chain: promoted item feeds a second-level recipe
+    reg2 = RecipeRegistry()
+    reg2.register(PromotionRecipe("pub", "pub2"))
+    eng.registry = reg2
+    pub_item = [i for i in ctx.items if i["item_id"] == promoted][0]
+    rec2 = eng.dispatch_for_trigger(Trigger("staging_item",
+                                            dict(pub_item, tier="staging")))[0]
+    # invalidation from the original staging item reaches both levels (T5)
+    affected = eng.invalidate_downstream([ctx.items[0]["item_id"]])
+    assert promoted in affected and rec2.produced_item_id in affected
+
+
+def test_reclaim_stale_running(spark):
+    ctx = _staging_catalog(spark, 3)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    now = [dt.datetime(2020, 1, 1, 0, 0)]
+    eng = DerivationEngine(spark, reg, ctx, now_fn=lambda: now[0])
+    from georiva_spark.plans.engine import RunRecord
+    eng.runs["stuck"] = RunRecord("promotion", "1", "{}", "stuck",
+                                  "running", updated_at=now[0])
+    now[0] = dt.datetime(2020, 1, 1, 1, 0)   # 1h later > 30min timeout
+    assert eng.reclaim_stale_running() == 1
+    assert eng.runs["stuck"].status == "pending"
+
+
+def test_status_rollup_over_runs_df(spark, clim_engine):
+    clim_engine.run_all()
+    clim_engine.run_all()
+    from georiva_spark.operators.stats import status_rollup
+    got = {r.status: r.n for r in status_rollup(clim_engine.runs_df()).collect()}
+    assert got == {"skipped": 4}  # ledger keeps latest run per unit
