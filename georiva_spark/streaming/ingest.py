@@ -1,0 +1,88 @@
+"""Event-driven ingestion as Structured Streaming (SURVEY.md §2.9).
+
+The reference's MinIO-notification → Redis → consumer → Celery chain
+(docs/architecture/runtime-flow.md:136-150) collapses to a Spark file
+stream: files landing in a directory are discovered by the source, each
+micro-batch appends to the grid table and drives the derivation planner
+over exactly the new keys (T1 + T2). Exactly-once comes from checkpointed
+source offsets + idempotent unit overwrites (T3) instead of locks.
+
+Recovery doctrine matches the reference (runtime-flow.md:189-205): no
+per-event retry; a periodic AvailableNow pass (T7) re-runs the planner
+sweeps (resurrection, stale recompute, reclaim).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from georiva_spark.plans.engine import DerivationEngine, Trigger
+from georiva_spark.schemas import GRID_SCHEMA
+
+
+def grid_file_stream(spark: SparkSession, landing_dir: str,
+                     schema=GRID_SCHEMA) -> DataFrame:
+    """T1 — file-arrival source over a landing directory of parquet drops.
+
+    At scale: maxFilesPerTrigger bounds batch size; the stream only lists
+    new files (checkpointed), so a 100 TB history directory costs nothing
+    per batch.
+    """
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(landing_dir))
+
+
+def start_grid_ingest(spark: SparkSession, landing_dir: str, grid_dir: str,
+                      checkpoint_dir: str,
+                      engine: DerivationEngine | None = None,
+                      on_batch: Callable[[DataFrame, int], None] | None = None,
+                      available_now: bool = False) -> StreamingQuery:
+    """T1/T2 — append new slices to the partitioned grid table, then route
+    each arrived (collection, variable, time) key to exactly the derivation
+    units it feeds.
+
+    foreachBatch is the planner seam: the batch DataFrame is written once
+    (partitioned by collection/variable/date for pruning), then the *keys*
+    (a few rows — one per arrived slice, aggregated from the batch, never
+    the pixels) drive the engine.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch, batch_id)
+        (batch.withColumn("date", F.to_date("time"))
+              .write.mode("append")
+              .partitionBy("collection", "variable", "date")
+              .parquet(grid_dir))
+        if engine is not None:
+            keys = (batch.groupBy("collection", "variable", "time")
+                    .count().collect())
+            for i, k in enumerate(keys):
+                item = {"item_id": hash((k.collection, k.variable, k.time)) & 0x7FFFFFFF,
+                        "collection": k.collection, "variable": k.variable,
+                        "time": k.time, "tier": "staging",
+                        "checksum": f"stream-{batch_id}-{i}"}
+                engine.catalog.items.append(item)
+                engine.dispatch_for_trigger(Trigger("staging_item", item),
+                                            origin=f"stream-batch-{batch_id}")
+
+    writer = (grid_file_stream(spark, landing_dir)
+              .writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
+def run_sweep_now(engine: DerivationEngine) -> dict[str, int]:
+    """T7 — the 5-minute recovery sweep (processing/tasks.py:19-37),
+    runnable from any scheduler: reclaim stale RUNNING, resurrect
+    not_ready, recompute stale-input units."""
+    return engine.sweep()
