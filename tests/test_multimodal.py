@@ -1,0 +1,58 @@
+"""Multimodal operator tests: RAW codec round-trips through real Spark
+mapInPandas plumbing; gated decoders raise NotImplementedError."""
+
+import numpy as np
+import pytest
+
+from georiva_spark.operators import multimodal as mm
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string")
+
+
+def test_image_features_roundtrip(spark):
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    df = _media_df(spark, [(1, "image", mm.encode_raw_image(img), "image/raw")])
+    r = mm.image_features(df).collect()[0]
+    assert (r.height, r.width, r.channels) == (3, 4, 1)
+    assert r.mean == 5.5 and r.min == 0.0 and r.max == 11.0
+    np.testing.assert_allclose(r.std, np.arange(12.0).std(), rtol=1e-7)
+
+
+def test_resize_nearest(spark):
+    img = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    df = _media_df(spark, [(1, "image", mm.encode_raw_image(img), "image/raw")])
+    out = mm.resize_images(df, 4, 4).collect()[0]
+    resized = mm.decode_raw_image(out.content)[:, :, 0]
+    # 2×2→4×4 nearest upsample preserves range + block structure
+    assert resized.min() == 1.0 and resized.max() == 4.0
+    assert resized[0, 0] == 1.0 and resized[3, 3] == 4.0
+    assert resized[0, 3] == 2.0 and resized[3, 0] == 3.0
+
+
+def test_frame_sampling(spark):
+    frames = np.stack([np.full((2, 2), float(i), dtype=np.float32)
+                       for i in range(6)])
+    df = _media_df(spark, [(7, "video", mm.encode_raw_video(frames), "video/raw")])
+    out = mm.sample_frames(df, every=2).collect()
+    assert [r.frame_index for r in out] == [0, 2, 4]
+    vals = [mm.decode_raw_image(r.content)[0, 0, 0] for r in out]
+    assert vals == [0.0, 2.0, 4.0]
+
+
+def test_audio_features(spark):
+    t = np.arange(8000, dtype=np.float32)
+    sine = np.sin(2 * np.pi * 10 * t / 8000).astype(np.float32)  # 10 Hz, 1 s
+    df = _media_df(spark, [(3, "audio", mm.encode_raw_audio(sine, 8000), "audio/raw")])
+    r = mm.audio_features(df).collect()[0]
+    assert r.rate == 8000 and r.n_samples == 8000 and r.duration_s == 1.0
+    np.testing.assert_allclose(r.rms, 1 / np.sqrt(2), rtol=1e-3)
+    assert 19 <= r.zero_crossings <= 20  # 10 Hz over 1 s
+
+
+def test_gated_decoder_raises(spark):
+    df = _media_df(spark, [(1, "image", b"\xff\xd8\xff\xe0jpegdata", "image/jpeg")])
+    with pytest.raises(Exception, match="Pillow|NotImplementedError"):
+        mm.image_features(df).collect()
