@@ -29,6 +29,7 @@ from georiva_spark.sources.synthetic import (
     events_grid, EVENTS_GRID_SQL, GRID_H, GRID_W, LAT0, LON0, RES,
 )
 from georiva_spark.sources.tables import load_table
+from georiva_spark.queries_ext import EXT_ORACLES, EXT_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -741,6 +742,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "doc_stats": q_doc_stats,
     "knn_cosine": q_knn_cosine,
+    **EXT_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -774,4 +776,5 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "doc_stats": SQL_DOC_STATS,
     "knn_cosine": SQL_KNN_COSINE,
+    **EXT_ORACLES,
 }
