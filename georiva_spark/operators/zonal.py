@@ -42,13 +42,16 @@ def _stat_aggs(value: str = "value"):
     ]
 
 
-def tag_pixels(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
-    """Tag each grid pixel with every boundary containing its center →
-    (grid columns…, boundary_id, level, name) pairs.
+def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
+    """(boundary_id, level, name, y, x) pairs for every pixel whose center
+    falls inside a boundary — the distributed form of the reference's mask
+    cache (ingestion/clipper.py:145-163).
 
-    Implementation: parse geometries driver-side (small dim), broadcast a
-    bbox table for the coarse range-join, then exact even-odd containment
-    in an Arrow-batched pandas UDF over pixel centers.
+    Containment depends only on coordinates, so it is evaluated once per
+    *distinct pixel* (≤ #grid cells, e.g. 25.9 M for the global grid — not
+    per grid row, which at 100 TB is billions). Steps: distinct pixels →
+    broadcast bbox coarse join → exact even-odd test in an Arrow-batched
+    pandas UDF. The resulting mask table is tiny and broadcastable.
     """
     spark = grid.sparkSession
     rows = boundaries.select("boundary_id", "level", "name", "geometry").collect()
@@ -62,10 +65,8 @@ def tag_pixels(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
         w, s, e, n = g.bbox
         bbox_rows.append((r.boundary_id, r.level, r.name, w, s, e, n))
     if not bbox_rows:
-        return grid.sparkSession.createDataFrame(
-            [], grid.schema.add("boundary_id", T.LongType())
-                           .add("level", T.IntegerType())
-                           .add("name", T.StringType()))
+        return spark.createDataFrame(
+            [], "boundary_id long, level int, name string, y long, x long")
     bbox_df = spark.createDataFrame(
         bbox_rows, "boundary_id long, level int, name string, "
                    "w double, s double, e double, n double")
@@ -83,13 +84,23 @@ def tag_pixels(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
             out[m] = points_in_geometry(lon[m].to_numpy(), lat[m].to_numpy(), g)
         return out
 
-    coarse = grid.join(
+    pixels = grid.select("y", "x", "lat", "lon").distinct()
+    coarse = pixels.join(
         F.broadcast(bbox_df),
         (F.col("lon") >= F.col("w")) & (F.col("lon") <= F.col("e")) &
         (F.col("lat") >= F.col("s")) & (F.col("lat") <= F.col("n")),
         "inner")
-    return (coarse.where(_inside(F.col("lon"), F.col("lat"), F.col("boundary_id")))
-                  .drop("w", "s", "e", "n"))
+    return (coarse.where(_inside(F.col("lon"), F.col("lat"),
+                                 F.col("boundary_id")))
+                  .select("boundary_id", "level", "name", "y", "x"))
+
+
+def tag_pixels(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
+    """Tag each grid row with every boundary containing its pixel center:
+    broadcast the per-pixel mask table back onto the (big) grid — the fact
+    side is never shuffled."""
+    mask = pixel_boundary_mask(grid, boundaries)
+    return grid.join(F.broadcast(mask), on=["y", "x"], how="inner")
 
 
 def zonal_stats(grid: DataFrame, boundaries: DataFrame,
@@ -117,16 +128,14 @@ def area_timeseries(grid: DataFrame, geometry: str,
     if g is None:
         raise ValueError("invalid or null geometry")
     w, s, e, n = g.bbox
+    # cheap bbox subset first (P4-before-P6 ordering, service.py:112-116),
+    # then the cached per-pixel mask broadcast-semi-joined onto the series
     sub = grid.where(F.col("lat").between(s, n) & F.col("lon").between(w, e))
-    spark = grid.sparkSession
-    bc = spark.sparkContext.broadcast(g)
-
-    @F.pandas_udf(T.BooleanType())
-    def _inside(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(points_in_geometry(lon.to_numpy(), lat.to_numpy(),
-                                            bc.value), index=lon.index)
-
-    masked = sub.where(_inside(F.col("lon"), F.col("lat")))
+    boundaries = grid.sparkSession.createDataFrame(
+        [(1, 0, "area", geometry)],
+        "boundary_id long, level int, name string, geometry string")
+    mask = pixel_boundary_mask(sub, boundaries).select("y", "x")
+    masked = sub.join(F.broadcast(mask), on=["y", "x"], how="left_semi")
     aggs = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
             "std": F.stddev_pop}
     return (masked.groupBy("collection", "variable", "time")

@@ -86,13 +86,14 @@ GROUP BY l_returnflag, l_linestatus
 def q_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — catalog assembly joins (item⋈asset⋈variable analog):
     customer⋈orders⋈lineitem, filtered segment, revenue per order, top 10.
-    Small dims broadcast; big fact never shuffled for the dim join."""
+    orders/customer scale with the fact → no forced broadcast; AQE picks
+    broadcast at small SF and shuffle join (with skew split) at scale."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = load_table(spark, sf_dir, "lineitem")
     rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount")))
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
               .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
               .agg(F.sum(rev).cast("double").alias("revenue"))
               .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

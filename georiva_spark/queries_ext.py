@@ -116,8 +116,9 @@ SELECT DISTINCT user_id, event_type FROM events
 
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 deep dim chain (TPC-H Q5 shape): region⋈nation⋈customer⋈orders⋈
-    lineitem revenue per nation. Every dim hop broadcast; the lineitem fact
-    is the only large input and is never shuffled before aggregation."""
+    lineitem revenue per nation. region/nation are bounded dims → explicit
+    broadcast; customer/orders scale with the fact → AQE chooses (broadcast
+    at small SF, shuffle join with skew split at 100 TB)."""
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -128,9 +129,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
              .select("c_custkey", "n_name"))
-    return (li.join(F.broadcast(o.where(F.col("o_orderdate") >= F.lit("1996-01-01"))),
+    return (li.join(o.where(F.col("o_orderdate") >= F.lit("1996-01-01")),
                     li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+              .join(dims, F.col("o_custkey") == F.col("c_custkey"))
               .groupBy("n_name")
               .agg(F.sum(rev).cast("double").alias("revenue"),
                    F.count(F.lit(1)).alias("n_items")))
