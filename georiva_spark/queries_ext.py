@@ -188,6 +188,126 @@ FROM events GROUP BY CUBE(event_type, user_id % 3)
 """
 
 
+def q_lod_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-pyramid analog (COG overviews → LOD tables, SURVEY §4):
+    levels 0..2 by 2× index decimation with per-level mean."""
+    from georiva_spark.operators.regrid import overview_pyramid
+    g = events_grid(spark, sf_dir).where(F.col("variable") == "view")
+    daily = (g.groupBy("collection", "variable", "y", "x", "lat", "lon",
+                       F.date_trunc("day", "time").alias("time"))
+              .agg((F.sum(_dec(F.col("value"))).cast("double") /
+                    F.count("value")).alias("value")))
+    pyr = overview_pyramid(daily, levels=2)
+    return (pyr.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.round(F.avg("value"), 4).alias("mean_value")))
+
+
+SQL_LOD_PYRAMID = GRID_CTE + """
+, daily AS (
+  SELECT y, x, date_trunc('day', time) AS time,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS value
+  FROM grid WHERE variable = 'view' GROUP BY y, x, date_trunc('day', time)),
+lvl1 AS (SELECT y // 2 AS y, x // 2 AS x, time,
+                AVG(value) AS value FROM daily GROUP BY 1, 2, time),
+lvl2 AS (SELECT y // 4 AS y, x // 4 AS x, time,
+                AVG(value) AS value FROM daily GROUP BY 1, 2, time),
+pyr AS (
+  SELECT 0 AS level, value FROM daily
+  UNION ALL SELECT 1, value FROM lvl1
+  UNION ALL SELECT 2, value FROM lvl2)
+SELECT level, COUNT(*) AS n_cells, ROUND(AVG(value), 4) AS mean_value
+FROM pyr GROUP BY level
+"""
+
+
+def q_regrid_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-regrid the events grid onto 3-degree cells (rasterio
+    Resampling.average analog as a groupBy)."""
+    from georiva_spark.operators.regrid import regrid_average
+    g = events_grid(spark, sf_dir).withColumn("time", F.date_trunc("day", "time"))
+    out = regrid_average(g.where(F.col("variable") == "click"),
+                         dst=(-6.0, -7.5, 3.0))
+    return out.select("variable", "time", "y", "x", "lat", "lon",
+                      F.round("value", 4).alias("value"), "n_source")
+
+
+SQL_REGRID_COARSE = GRID_CTE + """
+SELECT variable, CAST(date_trunc('day', time) AS TIMESTAMP) AS time,
+       CAST(FLOOR((lat - (-6.0)) / 3.0) AS BIGINT) AS y,
+       CAST(FLOOR((lon - (-7.5)) / 3.0) AS BIGINT) AS x,
+       CAST(-6.0 + (CAST(FLOOR((lat - (-6.0)) / 3.0) AS BIGINT) + 0.5) * 3.0 AS DOUBLE) AS lat,
+       CAST(-7.5 + (CAST(FLOOR((lon - (-7.5)) / 3.0) AS BIGINT) + 0.5) * 3.0 AS DOUBLE) AS lon,
+       ROUND(AVG(value), 4) AS value, COUNT(value) AS n_source
+FROM grid WHERE variable = 'click'
+GROUP BY variable, date_trunc('day', time),
+         CAST(FLOOR((lat - (-6.0)) / 3.0) AS BIGINT),
+         CAST(FLOOR((lon - (-7.5)) / 3.0) AS BIGINT)
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON family — properties access (processing/engine.py:224-237
+    reads derivation.input_hash from JSON properties)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (ev.select("event_id", k.alias("k"))
+            .groupBy((F.col("k") % 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum")))
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+FROM events GROUP BY 1
+"""
+
+
+def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hash family — sha256 of a canonical field serialization
+    (recipe.py:28-42 input-hash shape), checkable bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    canon = F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return o.select("o_orderkey", F.sha2(canon, 256).alias("checksum"))
+
+
+SQL_CHECKSUM = """
+SELECT o_orderkey,
+       sha256(CONCAT(CAST(o_orderkey AS VARCHAR), '|', o_orderstatus, '|',
+                     strftime(o_orderdate, '%Y-%m-%d'))) AS checksum
+FROM orders WHERE o_orderkey < 100
+"""
+
+
+def q_path_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string family — storage-path build + parse round trip
+    (core/storage/manager.py:466 grammar)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = F.concat_ws(
+        "/", F.lit("default"), F.lit("t"), F.col("event_type"),
+        F.lit("value"), F.date_format("ts", "yyyy/MM/dd"),
+        F.concat(F.lit("f"), F.col("event_id").cast("string"), F.lit(".npz")))
+    parsed = F.regexp_extract(path, r"^[^/]+/[^/]+/([^/]+)/", 1)
+    return (ev.select(F.col("event_id"), path.alias("path"),
+                      parsed.alias("collection_from_path"))
+            .where(F.col("event_id") < 200))
+
+
+SQL_PATH_GRAMMAR = """
+SELECT event_id,
+       CONCAT('default/t/', event_type, '/value/', strftime(ts, '%Y/%m/%d'),
+              '/f', CAST(event_id AS VARCHAR), '.npz') AS path,
+       regexp_extract(CONCAT('default/t/', event_type, '/value/',
+                             strftime(ts, '%Y/%m/%d'), '/f',
+                             CAST(event_id AS VARCHAR), '.npz'),
+                      '^[^/]+/[^/]+/([^/]+)/', 1) AS collection_from_path
+FROM events WHERE event_id < 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only (no DuckDB equivalent; driver records rows-only check)
 # ---------------------------------------------------------------------------
@@ -284,6 +404,11 @@ EXT_QUERIES = {
     "regional_revenue": q_regional_revenue,
     "topk_per_group": q_topk_per_group,
     "cube_rollup": q_cube_rollup,
+    "lod_pyramid": q_lod_pyramid,
+    "regrid_coarse": q_regrid_coarse,
+    "json_extract": q_json_extract,
+    "checksum": q_checksum,
+    "path_grammar": q_path_grammar,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
@@ -305,4 +430,9 @@ EXT_ORACLES = {
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "cube_rollup": SQL_CUBE_ROLLUP,
+    "lod_pyramid": SQL_LOD_PYRAMID,
+    "regrid_coarse": SQL_REGRID_COARSE,
+    "json_extract": SQL_JSON_EXTRACT,
+    "checksum": SQL_CHECKSUM,
+    "path_grammar": SQL_PATH_GRAMMAR,
 }
