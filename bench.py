@@ -22,9 +22,10 @@ from georiva_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family — scan-agg, join, window, grid
 # filters/aggs, zonal mask join, trend closed form, LLM ops.
 HEADLINE = [
-    "pricing_summary", "revenue_join", "latest_per_user", "resample_daily",
-    "anomaly", "zonal_stats", "area_timeseries", "trend", "vector_transform",
-    "raster_combine", "dedup_exact", "text_quality", "knn_cosine",
+    "pricing_summary", "revenue_join", "regional_revenue", "latest_per_user",
+    "resample_daily", "anomaly", "zonal_stats", "area_timeseries", "trend",
+    "rolling_window", "vector_transform", "raster_combine", "regrid_coarse",
+    "dedup_exact", "minhash_dedup", "text_quality", "knn_cosine",
 ]
 
 

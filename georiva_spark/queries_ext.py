@@ -308,6 +308,37 @@ FROM events WHERE event_id < 200
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per channel (styling-range analog of
+    A8: value_min/value_max percentile clipping). Sort-based — value order,
+    not accumulation order, determines the result in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.percentile("value", 0.25).alias("p25"),
+                 F.percentile("value", 0.5).alias("p50"),
+                 F.percentile("value", 0.9).alias("p90")))
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx-distinct users per event type — the cardinality path at
+    100 TB where exact COUNT(DISTINCT) would shuffle every key. Rows-only
+    (sketch values are engine-specific); exactness is asserted separately
+    in tests at small scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only (no DuckDB equivalent; driver records rows-only check)
 # ---------------------------------------------------------------------------
@@ -409,6 +440,8 @@ EXT_QUERIES = {
     "json_extract": q_json_extract,
     "checksum": q_checksum,
     "path_grammar": q_path_grammar,
+    "percentiles": q_percentiles,
+    "approx_distinct": q_approx_distinct,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
@@ -435,4 +468,5 @@ EXT_ORACLES = {
     "json_extract": SQL_JSON_EXTRACT,
     "checksum": SQL_CHECKSUM,
     "path_grammar": SQL_PATH_GRAMMAR,
+    "percentiles": SQL_PERCENTILES,
 }
