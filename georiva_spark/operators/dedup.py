@@ -131,24 +131,53 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
-                        text_col: str = "text") -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle —
-    the index-join formulation: explode shingles → co-occurrence join →
-    |∩| per pair → |∪| from per-doc sizes. Never materializes the full
-    O(N²) pair space."""
+                        text_col: str = "text",
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """n-gram Jaccard near-duplicate pairs: df-pruned inverted-index
+    candidate generation + exact verification.
+
+    Default (max_doc_freq=None): exact — explode shingles → co-occurrence
+    join → |∩| per pair → |∪| from per-doc sizes; never materializes the
+    O(N²) pair space, cost is Σ df² over shingles.
+
+    Scale knob (max_doc_freq=k): corpora with boilerplate hot shingles pay
+    Σ df² on n-grams that carry no near-dup signal. Candidates then come
+    only from shingles with document frequency ≤ k, and each candidate
+    pair is verified *exactly* via array_intersect on its full shingle
+    sets — precision unchanged; recall misses only pairs sharing no rare
+    shingle (not a near-dup at any useful threshold).
+    """
     sh = shingle_hashes(docs, n=n, text_col=text_col)
-    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    pairs = (inv.alias("l").join(inv.alias("r"), "s")
-             .where(F.col("l.doc_id") < F.col("r.doc_id"))
-             .groupBy(F.col("l.doc_id").alias("doc_a"),
-                      F.col("r.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    out = (pairs
-           .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
-           .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
-           .select("doc_a", "doc_b",
-                   (F.col("inter").cast("double") /
-                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-                   .alias("jaccard")))
-    return out.where(F.col("jaccard") >= threshold)
+    if max_doc_freq is None:
+        sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+        pairs = (inv.alias("l").join(inv.alias("r"), "s")
+                 .where(F.col("l.doc_id") < F.col("r.doc_id"))
+                 .groupBy(F.col("l.doc_id").alias("doc_a"),
+                          F.col("r.doc_id").alias("doc_b"))
+                 .agg(F.count(F.lit(1)).alias("inter")))
+        out = (pairs
+               .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}),
+                     "doc_a")
+               .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}),
+                     "doc_b")
+               .select("doc_a", "doc_b",
+                       (F.col("inter").cast("double") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                       .alias("jaccard")))
+        return out.where(F.col("jaccard") >= threshold)
+    rare = (inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq).select("s"))
+    inv_rare = inv.join(rare, "s", "left_semi")
+    cand = (inv_rare.alias("l").join(inv_rare.alias("r"), "s")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct())
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
