@@ -241,6 +241,32 @@ class DerivationEngine:
                   " source_tier string, recipe_id string,"
                   " recipe_version string, input_hash string")
 
+    # ---- persistence (T7 across restarts) --------------------------------
+    def save_ledger(self, path: str) -> None:
+        """Persist runs + lineage as parquet so sweeps and idempotency
+        survive a driver restart (the reference keeps these in Postgres;
+        here they are just two small tables)."""
+        self.runs_df().write.mode("overwrite").parquet(f"{path}/runs")
+        self.lineage_df().write.mode("overwrite").parquet(f"{path}/lineage")
+
+    def load_ledger(self, path: str) -> None:
+        runs = self.spark.read.parquet(f"{path}/runs").collect()
+        self.runs = {}
+        for r in runs:
+            self.runs[r.unit_hash] = RunRecord(
+                recipe_id=r.recipe_type, recipe_version=r.recipe_version,
+                unit_key=r.unit_key, unit_hash=r.unit_hash, status=r.status,
+                input_hash=r.input_hash, origin=r.origin, reason=r.reason,
+                produced_item_id=r.produced_item_id, updated_at=r.updated_at)
+        self.lineage = [
+            LineageEdge(e.derived_item_id, e.source_item_id, e.source_tier,
+                        e.recipe_id, e.recipe_version, e.input_hash)
+            for e in self.spark.read.parquet(f"{path}/lineage").collect()]
+        ids = [r.produced_item_id for r in self.runs.values()
+               if r.produced_item_id is not None]
+        if ids:
+            self._next_item_id = max(self._next_item_id, max(ids) + 1)
+
     # ---- internals -------------------------------------------------------
     def _mark(self, rec: RunRecord, status: str,
               reason: str | None = None) -> RunRecord:

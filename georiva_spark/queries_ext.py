@@ -308,6 +308,36 @@ FROM events WHERE event_id < 200
 """
 
 
+def q_tile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-array packing (TILES_SCHEMA, COG-blocking analog): daily grid →
+    4×4 tiles; per-tile valid-pixel count and sum are SQL-checkable even
+    though the packed arrays themselves aren't."""
+    from georiva_spark.operators.tiles import to_tiles
+    g = events_grid(spark, sf_dir).where(F.col("variable") == "signup")
+    daily = (g.groupBy("collection", "variable", "y", "x",
+                       F.date_trunc("day", "time").alias("time"))
+              .agg(F.sum(_dec(F.col("value"))).cast("double").alias("value")))
+    t = to_tiles(daily, tile_size=4)
+    valid = F.filter("values", lambda v: v.isNotNull())
+    return t.select(
+        "variable", "time", "tile_y", "tile_x",
+        F.size(valid).alias("n_valid"),
+        F.round(F.aggregate(valid, F.lit(0.0), lambda a, v: a + v), 4)
+         .alias("tile_sum"))
+
+
+SQL_TILE_PACK = GRID_CTE + """
+, daily AS (
+  SELECT variable, y, x, CAST(date_trunc('day', time) AS TIMESTAMP) AS time,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM grid WHERE variable = 'signup' GROUP BY variable, y, x, date_trunc('day', time))
+SELECT variable, time, CAST(y // 4 AS INTEGER) AS tile_y,
+       CAST(x // 4 AS INTEGER) AS tile_x,
+       COUNT(value) AS n_valid, ROUND(SUM(value), 4) AS tile_sum
+FROM daily GROUP BY variable, time, y // 4, x // 4
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per channel (styling-range analog of
     A8: value_min/value_max percentile clipping). Sort-based — value order,
@@ -440,6 +470,7 @@ EXT_QUERIES = {
     "json_extract": q_json_extract,
     "checksum": q_checksum,
     "path_grammar": q_path_grammar,
+    "tile_pack": q_tile_pack,
     "percentiles": q_percentiles,
     "approx_distinct": q_approx_distinct,
     "minhash_dedup": q_minhash_dedup,
@@ -468,5 +499,6 @@ EXT_ORACLES = {
     "json_extract": SQL_JSON_EXTRACT,
     "checksum": SQL_CHECKSUM,
     "path_grammar": SQL_PATH_GRAMMAR,
+    "tile_pack": SQL_TILE_PACK,
     "percentiles": SQL_PERCENTILES,
 }
