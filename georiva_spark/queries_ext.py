@@ -338,6 +338,36 @@ FROM daily GROUP BY variable, time, y // 4, x // 4
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window stateful aggregation, the
+    streaming-native form) checked against the LAG+cumsum SQL formulation.
+    Session sums of 2-decimal values round(4)-safely (exact rationals)."""
+    from georiva_spark.streaming.sessions import sessionize_declarative
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_declarative(ev, gap="10 minutes")
+    return out.select("user_id", "session_start", "session_end", "n_events",
+                      F.round("total_value", 4).alias("total_value"))
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per channel (styling-range analog of
     A8: value_min/value_max percentile clipping). Sort-based — value order,
@@ -471,6 +501,7 @@ EXT_QUERIES = {
     "checksum": q_checksum,
     "path_grammar": q_path_grammar,
     "tile_pack": q_tile_pack,
+    "sessionize": q_sessionize,
     "percentiles": q_percentiles,
     "approx_distinct": q_approx_distinct,
     "minhash_dedup": q_minhash_dedup,
@@ -500,5 +531,6 @@ EXT_ORACLES = {
     "checksum": SQL_CHECKSUM,
     "path_grammar": SQL_PATH_GRAMMAR,
     "tile_pack": SQL_TILE_PACK,
+    "sessionize": SQL_SESSIONIZE,
     "percentiles": SQL_PERCENTILES,
 }
