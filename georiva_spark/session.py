@@ -32,6 +32,9 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # Broadcast threshold: dimension tables (variables, collections,
     # boundaries) stay broadcast up to 64 MiB.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local[32] shares one JVM: size the heap like 32 executors' worth
+    # (only effective at JVM launch; ignored on an existing session).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
