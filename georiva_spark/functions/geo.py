@@ -89,6 +89,29 @@ def points_in_geometry(lon: np.ndarray, lat: np.ndarray,
     return inside
 
 
+def reproject_geometry(geometry: str, dst_crs: str,
+                       src_crs: str = "EPSG:4326") -> str:
+    """Reproject a GeoJSON geometry string between CRSs
+    (geoprocessing/zonal.py:30-38).
+
+    Identity (same CRS) is handled natively; actual transforms need pyproj
+    (not in this container) and are gated behind the same seam the format
+    decoders use — the rest of the mask pipeline is CRS-agnostic since it
+    only consumes ring coordinates.
+    """
+    def _norm(c: str) -> str:
+        return c.strip().upper().replace(" ", "")
+    if _norm(dst_crs) == _norm(src_crs):
+        return geometry
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            f"reprojection {src_crs}→{dst_crs} needs pyproj (not in this "
+            "container); EPSG:4326 geometries pass through unchanged") from e
+    raise NotImplementedError("pyproj transform path not wired yet")
+
+
 def affine_index(lat0: float, lon0: float, res: float,
                  lat: float, lon: float) -> tuple[int, int]:
     """Exact nearest-pixel index from the affine transform — the J4
