@@ -24,9 +24,11 @@ boxes = st.tuples(st.floats(-50, 50), st.floats(-50, 50),
 def test_box_containment_matches_interval_test(box, px, py):
     x0, y0, w, h = box
     x1, y1 = x0 + w, y0 + h
+    # %.17g: full double precision — %f would truncate tiny coordinates
+    # and test a different polygon than the interval check uses
     geo = parse_geojson(
-        '{"type": "Polygon", "coordinates": [[[%f, %f], [%f, %f], '
-        '[%f, %f], [%f, %f], [%f, %f]]]}'
+        '{"type": "Polygon", "coordinates": [[[%.17g, %.17g], [%.17g, %.17g], '
+        '[%.17g, %.17g], [%.17g, %.17g], [%.17g, %.17g]]]}'
         % (x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))
     inside = points_in_geometry(np.array([px]), np.array([py]), geo)[0]
     # away from the boundary the even-odd test must equal the interval test
