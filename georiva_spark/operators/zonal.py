@@ -54,7 +54,14 @@ def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
     pandas UDF. The resulting mask table is tiny and broadcastable.
     """
     spark = grid.sparkSession
-    rows = boundaries.select("boundary_id", "level", "name", "geometry").collect()
+    if isinstance(boundaries, DataFrame):
+        rows = boundaries.select("boundary_id", "level", "name",
+                                 "geometry").collect()
+    else:
+        # local boundary rows (id, level, name, geojson): skip the collect job
+        from collections import namedtuple
+        B = namedtuple("B", "boundary_id level name geometry")
+        rows = [B(*r) for r in boundaries]
     parsed: dict[int, ParsedGeometry] = {}
     bbox_rows = []
     for r in rows:
@@ -112,6 +119,10 @@ def zonal_stats(grid: DataFrame, boundaries: DataFrame,
     stats = (tagged.groupBy("boundary_id", *keys)
                    .agg(*_stat_aggs()))
     # Right-join back so empty boundaries appear with all-null stats.
+    if not isinstance(boundaries, DataFrame):
+        boundaries = grid.sparkSession.createDataFrame(
+            [(r[0], r[1], r[2]) for r in boundaries],
+            "boundary_id long, level int, name string")
     all_b = boundaries.select("boundary_id", "level", "name")
     out = all_b.join(stats, on="boundary_id", how="left")
     # EMPTY_STATS contract: count null (not 0) on no-intersection rows.

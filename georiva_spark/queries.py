@@ -409,10 +409,8 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gj = ('{"type": "Polygon", "coordinates": [[[%f, %f], [%f, %f], '
               '[%f, %f], [%f, %f], [%f, %f]]]}' % (w, s, e, s, e, n, w, n, w, s))
         rows.append((bid, level, name, gj))
-    boundaries = spark.createDataFrame(
-        rows, "boundary_id long, level int, name string, geometry string")
     g = filters.select_variable(events_grid(spark, sf_dir), "signup")
-    out = zonal.zonal_stats(g, boundaries, keys=("variable",))
+    out = zonal.zonal_stats(g, rows, keys=("variable",))
     return out.select(
         "boundary_id", "level", "name", "variable",
         _r4("mean").alias("mean"), _r4("min").alias("min"),
