@@ -44,13 +44,25 @@ def main() -> None:
         return s
     spark.range(32).select(_warm("id")).count()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    from pyspark.sql import functions as F
+
+    def force_rows(df) -> int:
+        """Force FULL evaluation of every output column: hash each row
+        (xxhash64 over all columns) and reduce. A bare count() lets
+        Catalyst prune unreferenced final projections, under-measuring
+        projection-only queries (round-1 verdict)."""
+        row = (df.select(F.xxhash64(*df.columns).alias("h"))
+               .agg(F.count("h").alias("n"), F.sum("h"))
+               .collect()[0])
+        return row["n"]
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = None, 0
         for _ in range(runs):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
-            n = df.count()  # force full execution
+            n = force_rows(df)
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from georiva_spark.operators.textops import tokens
+from georiva_spark.operators.textops import portable_hash64, tokens
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -25,17 +25,31 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
                  F.count(F.lit(1)).alias("dup_count")))
 
 
-def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Token n-gram shingles → 64-bit hashes (distinct per doc)."""
+def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text",
+                   portable: bool = False) -> DataFrame:
+    """Token n-gram shingles → 64-bit hashes (distinct per doc).
+    `portable=True` uses the md5-derived 60-bit hash a DuckDB oracle can
+    reproduce; default xxhash64 is the fast JVM path."""
+    hasher = portable_hash64 if portable else F.xxhash64
     toks = tokens(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, n))))
     return docs.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
+def minhash_coeffs(num_hashes: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) universal-hash coefficients, exported so the DuckDB
+    oracle SQL can inline the identical constants."""
+    rng = np.random.RandomState(42)
+    a = (rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) << 1) | 1
+    b = rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64)
+    return a, b
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       portable: bool = False) -> DataFrame:
     """MinHash signatures: sig[j] = min over shingles of (a_j·s + b_j) in
     uint64 — k universal-hash permutations evaluated as one vectorized
     numpy matmul-shaped pass per Arrow batch.
@@ -45,9 +59,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     the Arrow-batched pandas UDF computes the same family ~100× faster —
     the documented exception where the UDF *is* the fast path.
     """
-    rng = np.random.RandomState(42)
-    a = (rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) << 1) | 1
-    b = rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64)
+    a, b = minhash_coeffs(num_hashes)
 
     @F.pandas_udf("array<long>")
     def _sig(shingles: pd.Series) -> pd.Series:
@@ -62,13 +74,14 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
             out.append(m.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    sh = shingle_hashes(docs, n=n, text_col=text_col)
+    sh = shingle_hashes(docs, n=n, text_col=text_col, portable=portable)
     return sh.select("doc_id", _sig(F.col("shingles")).alias("signature"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, n: int = 3,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      portable: bool = False) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: band the signature, bucket-join,
     verify estimated Jaccard ≥ threshold.
 
@@ -77,7 +90,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                             text_col=text_col, portable=portable)
     banded = sig.select(
         "doc_id", "signature",
         F.explode(F.transform(
@@ -109,11 +123,15 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                 .where(F.col("est_jaccard") >= threshold))
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash(docs: DataFrame, text_col: str = "text",
+            portable: bool = False) -> DataFrame:
     """64-bit SimHash over token hashes: per-bit weighted majority vote,
-    computed with array higher-order fns (no UDF)."""
+    computed with array higher-order fns (no UDF). `portable=True` uses
+    the md5-derived 60-bit hash (bits 60-63 then always vote 0) so the
+    DuckDB oracle reproduces codes exactly."""
+    hasher = portable_hash64 if portable else F.xxhash64
     toks = tokens(F.col(text_col))
-    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    hashes = F.transform(F.array_distinct(toks), lambda t: hasher(t))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda i: F.when(
@@ -132,20 +150,22 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                         text_col: str = "text",
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = 1000) -> DataFrame:
     """n-gram Jaccard near-duplicate pairs: df-pruned inverted-index
     candidate generation + exact verification.
 
-    Default (max_doc_freq=None): exact — explode shingles → co-occurrence
+    Default (max_doc_freq=1000): scale-safe — candidates come only from
+    shingles with document frequency ≤ 1000, and each candidate pair is
+    verified *exactly* via array_intersect on its full shingle sets.
+    Precision unchanged vs exact; recall misses only pairs sharing no
+    sub-df-cap shingle (not a near-dup at any useful threshold). This is
+    the default because corpora with boilerplate hot shingles otherwise
+    pay Σ df² on n-grams carrying no near-dup signal — at 100 TB a single
+    universal shingle would be an O(N²) join.
+
+    Exact opt-in (max_doc_freq=None): explode shingles → co-occurrence
     join → |∩| per pair → |∪| from per-doc sizes; never materializes the
     O(N²) pair space, cost is Σ df² over shingles.
-
-    Scale knob (max_doc_freq=k): corpora with boilerplate hot shingles pay
-    Σ df² on n-grams that carry no near-dup signal. Candidates then come
-    only from shingles with document frequency ≤ k, and each candidate
-    pair is verified *exactly* via array_intersect on its full shingle
-    sets — precision unchanged; recall misses only pairs sharing no rare
-    shingle (not a near-dup at any useful threshold).
     """
     sh = shingle_hashes(docs, n=n, text_col=text_col)
     inv = sh.select("doc_id", F.explode("shingles").alias("s"))

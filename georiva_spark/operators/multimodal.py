@@ -98,14 +98,18 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Decode + per-image brightness statistics (population std)."""
+    """Decode + per-image brightness statistics (population std).
+    Stats accumulate in float64 so the DuckDB oracle (double aggregation
+    over the same float32 samples) agrees to rounding."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                a = _decode_image_bytes(r["content"], r.get("mime", ""))
-                rows.append((r["media_id"], a.shape[0], a.shape[1], a.shape[2],
+            mimes = pdf["mime"] if "mime" in pdf else [""] * len(pdf)
+            for mid, content, mime in zip(pdf["media_id"], pdf["content"],
+                                          mimes):
+                a = _decode_image_bytes(content, mime).astype(np.float64)
+                rows.append((mid, a.shape[0], a.shape[1], a.shape[2],
                              float(a.mean()), float(a.std()),
                              float(a.min()), float(a.max())))
             yield pd.DataFrame(rows, columns=[f.name for f in
@@ -130,13 +134,15 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                a = _decode_image_bytes(r["content"], r.get("mime", ""))
+            mimes = pdf["mime"] if "mime" in pdf else [""] * len(pdf)
+            for mid, content, mime in zip(pdf["media_id"], pdf["content"],
+                                          mimes):
+                a = _decode_image_bytes(content, mime)
                 h, w, _ = a.shape
                 yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(int)
                 xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(int)
                 res = a[yi][:, xi]
-                rows.append((r["media_id"], out_h, out_w, encode_raw_image(res)))
+                rows.append((mid, out_h, out_w, encode_raw_image(res)))
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return (media.select("media_id", "content", "mime")
@@ -158,8 +164,7 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                content = r["content"]
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if not content.startswith(RAW_VIDEO_MAGIC):
                     raise NotImplementedError(
                         "only RAW video payloads decode in this container")
@@ -167,8 +172,7 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
                 frames = np.frombuffer(content, dtype=np.float32, offset=16
                                        ).reshape(n, h, w)
                 for i in range(0, n, every):
-                    rows.append((r["media_id"], i,
-                                 encode_raw_image(frames[i])))
+                    rows.append((mid, i, encode_raw_image(frames[i])))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return (media.select("media_id", "content")
@@ -191,13 +195,15 @@ def audio_features(media: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                samples, rate = decode_raw_audio(r["content"])
-                zc = int(np.sum(np.signbit(samples[1:]) !=
-                                np.signbit(samples[:-1])))
-                rows.append((r["media_id"], rate, len(samples),
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_raw_audio(content)
+                s = samples.astype(np.float64)
+                # strict x<0 (not signbit): matches the SQL predicate the
+                # DuckDB oracle uses, and -0.0 is not a crossing.
+                zc = int(np.sum((s[1:] < 0) != (s[:-1] < 0)))
+                rows.append((mid, rate, len(samples),
                              len(samples) / rate,
-                             float(np.sqrt(np.mean(samples ** 2))), zc))
+                             float(np.sqrt(np.mean(s ** 2))), zc))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_FEATURES_SCHEMA.fields])
 

@@ -7,6 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from georiva_spark.functions.vectors import cosine_similarity, dot
+from georiva_spark.operators.textops import portable_hash64
+
+# centering offset for the portable (md5-derived, 60-bit unsigned) plane
+# coefficients: subtract half the range so projections are sign-balanced
+# like the signed xxhash64 default.
+_PORTABLE_CENTER = 1 << 59
 
 
 def knn_brute_force(emb: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
@@ -28,37 +34,76 @@ def knn_brute_force(emb: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
 
 
 def knn_all_pairs_topk(emb: DataFrame, k: int = 5,
-                       queries: DataFrame | None = None) -> DataFrame:
-    """Top-k neighbours for every query vector (defaults: corpus × corpus).
+                       queries: DataFrame | None = None,
+                       planes: int = 8, multi_probe: int = 1) -> DataFrame:
+    """Top-k neighbours per query vector.
 
-    Broadcast the smaller (query) side; rank per query with a window —
-    partial aggregation keeps only k rows per query per partition.
-    """
-    queries = queries or emb
-    q = queries.select(F.col("vec_id").alias("q_id"),
-                       F.col("embedding").alias("qe"))
-    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    scored = (emb.crossJoin(F.broadcast(q))
-              .where(F.col("vec_id") != F.col("q_id"))
-              .select("q_id", "vec_id", cos.alias("cosine")))
+    With an explicit bounded `queries` set: exact — broadcast the query
+    side, scan the corpus once, rank per query with a window (partial
+    top-k per partition, one shuffle on q_id).
+
+    Default (queries=None, the corpus×corpus case): approximate via SRP
+    buckets — bucket the corpus on `planes` sign bits, self-join on the
+    bucket key (plus `multi_probe` Hamming-1 neighbour buckets per query
+    for recall), rank inside the candidate set. Nothing is broadcast and
+    the join shuffles only bucket keys, so 100 TB of embeddings never
+    materializes the O(N²) pair space. Recall vs brute force is tested
+    ≥0.9 at test scale (tests/test_llm_ops.py)."""
+    if queries is not None:
+        q = queries.select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("qe"))
+        cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+        scored = (emb.crossJoin(F.broadcast(q))
+                  .where(F.col("vec_id") != F.col("q_id"))
+                  .select("q_id", "vec_id", cos.alias("cosine")))
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k).drop("_rn"))
+
+    bucketed = random_hyperplane_buckets(emb, planes=planes)
+    corpus = bucketed.select(F.col("vec_id").alias("n_id"),
+                             F.col("embedding").alias("ne"), "bucket")
+    probes = [F.col("bucket")]
+    if multi_probe:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                   for p in range(planes)]
+    qside = bucketed.select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("qe"),
+                            F.explode(F.array(*probes)).alias("bucket"))
+    cos = cosine_similarity(F.col("ne"), F.col("qe"))
+    cand = (qside.join(corpus, "bucket")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", F.col("n_id").alias("vec_id"),
+                    cos.alias("cosine"))
+            .dropDuplicates(["q_id", "vec_id"]))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("_rn", F.row_number().over(w))
+    return (cand.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k).drop("_rn"))
 
 
 def random_hyperplane_buckets(emb: DataFrame, planes: int = 12,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              portable: bool = False) -> DataFrame:
     """SRP-LSH bucketing: sign pattern against `planes` pseudo-random
     hyperplanes (deterministic hash-derived coefficients — no RNG state to
-    ship to executors). Bucket id = packed sign bits."""
+    ship to executors). Bucket id = packed sign bits. `portable=True`
+    derives coefficients from the md5 hash DuckDB can replicate (centered
+    to stay sign-balanced); default xxhash64 is the fast JVM path."""
     dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+    def coeff(p: int, i):
+        if portable:
+            h = portable_hash64(F.concat_ws(
+                ",", F.lit(str(seed)), F.lit(str(p)), i.cast("string")))
+            return (h - F.lit(_PORTABLE_CENTER)).cast("double")
+        return F.xxhash64(F.lit(seed), F.lit(p), i).cast("double")
 
     def projection(p: int):
         # hash-derived pseudo-random plane coefficients per (plane, dim)
         return F.aggregate(
             F.zip_with(F.col("embedding"), dim_idx,
-                       lambda v, i: v.cast("double") *
-                       F.xxhash64(F.lit(seed), F.lit(p), i).cast("double")),
+                       lambda v, i: v.cast("double") * coeff(p, i)),
             F.lit(0.0), lambda acc, x: acc + x)
 
     proj = [projection(p) for p in range(planes)]
@@ -70,11 +115,12 @@ def random_hyperplane_buckets(emb: DataFrame, planes: int = 12,
 
 
 def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
-            planes: int = 8) -> DataFrame:
+            planes: int = 8, portable: bool = False) -> DataFrame:
     """Approximate top-k: search only the query's SRP bucket. At scale the
     bucketed table is written partitioned by bucket → the probe prunes to
     1/2^planes of the corpus."""
-    bucketed = random_hyperplane_buckets(emb, planes=planes)
+    bucketed = random_hyperplane_buckets(emb, planes=planes,
+                                         portable=portable)
     qrow = bucketed.where(F.col("vec_id") == query_vec_id) \
                    .select(F.col("embedding").alias("qe"),
                            F.col("bucket").alias("qb"))

@@ -28,6 +28,16 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def portable_hash64(c: Column) -> Column:
+    """60-bit hash computable bit-identically by Spark AND DuckDB:
+    first 15 hex chars of md5 parsed as an integer. Used by the
+    oracle-checkable variants of fingerprint/minhash so the driver's
+    DuckDB gate can reproduce hash-dependent outputs exactly
+    (DuckDB: CAST('0x' || substring(md5(s),1,15) AS BIGINT)).
+    xxhash64 stays the default on hot paths — it is faster JVM-side."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Length / token / stopword quality metrics per document.
 
@@ -65,25 +75,30 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 
 def token_count_bpe_ish(docs: DataFrame) -> DataFrame:
-    """Token counting: whitespace words + a BPE-ish regex splitting on word
-    boundaries, digits, and punctuation runs — a deterministic proxy for
-    subword counts at scan speed."""
+    """Token counting: whitespace words + a BPE-ish subword proxy at scan
+    speed. Subwords = maximal alphanumeric runs plus each non-alphanumeric
+    char as its own piece (equivalent to splitting at every alnum/non-alnum
+    boundary, without lookaround regex so RE2-based engines — the DuckDB
+    oracle — compute the identical count)."""
     words = F.size(tokens(F.col("text")))
-    pieces = F.size(F.filter(
-        F.split(F.col("text"), r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-        lambda t: t != ""))
+    runs = F.size(F.regexp_extract_all(F.col("text"),
+                                       F.lit(r"[a-zA-Z0-9]+"), F.lit(0)))
+    non_alnum = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9]", ""))
     return docs.select("doc_id", words.alias("word_count"),
-                       pieces.alias("subword_count"))
+                       (runs + non_alnum).alias("subword_count"))
 
 
-def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
-    """Document fingerprint: rolling-hash winnowing — min xxhash64 over
-    each window of token 3-shingles, distinct per doc. Used for robust
-    near-duplicate candidate generation."""
+def fingerprint(docs: DataFrame, window: int = 8,
+                portable: bool = False) -> DataFrame:
+    """Document fingerprint: rolling-hash winnowing — min hash over each
+    window of token 3-shingles, distinct per doc. Used for robust
+    near-duplicate candidate generation. `portable=True` swaps xxhash64
+    for the md5-derived hash DuckDB can replicate (oracle checks)."""
+    hasher = portable_hash64 if portable else F.xxhash64
     toks = tokens(F.col("text"))
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 3))))
+        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, 3))))
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(shingles) - window, F.lit(0))),
         lambda i: F.array_min(F.slice(shingles, i + 1, window)))

@@ -196,16 +196,24 @@ SELECT DISTINCT variable, CAST(date_trunc('day', time) AS TIMESTAMP) AS day FROM
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/U3 — candidates-minus-stored anti-join (sources/loader.py:420-425
-    triage): users who clicked but never purchased."""
+    triage): (user, day) pairs with a click but no purchase that day.
+    Day granularity keeps the result provably non-empty on the testdata
+    (an all-users predicate passed vacuously on 0 rows in round 1)."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
-    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    return clicks.join(buys, "user_id", "left_anti")
+    day = F.col("ts").cast("date").alias("day")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", day).distinct())
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", day).distinct())
+    return clicks.join(buys, ["user_id", "day"], "left_anti")
 
 
 SQL_ANTI_JOIN = """
-SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, CAST(ts AS DATE)
+FROM events WHERE event_type = 'purchase'
 """
 
 

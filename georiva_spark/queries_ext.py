@@ -1,11 +1,10 @@
 """Query registry extension: deeper SURVEY §2 coverage.
 
-Oracle-checked: J5 nearest-time (min_by), W4 rolling window (decimal-exact
-frame sums), U1 union-concat, U2 dropDuplicates, deep dim-chain join (Q5
-shape), top-k per group, cube rollup.
-Rows-only (non-SQL-expressible in DuckDB, driver records weaker check):
-MinHash-LSH pairs, SimHash codes, n-gram Jaccard, language ID, winnowing
-fingerprints, SRP-LSH kNN, multimodal feature extraction.
+Everything here is oracle-checked except approx_distinct (HLL sketch —
+engine-specific by construction; driver records the weaker rows-only
+check). Hash-dependent queries (minhash, simhash, fingerprints, LSH kNN)
+use the portable md5-derived 60-bit hash both Spark and DuckDB compute
+bit-identically, so even signatures/buckets/window-minima hash-match.
 """
 
 from __future__ import annotations
@@ -404,8 +403,10 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — portable shingle hash so the DuckDB
+    oracle reproduces signatures, banding, and est-Jaccard exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.3, portable=True)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,8 +415,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash codes — portable hash so the DuckDB oracle reproduces the
+    per-bit majority votes exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs)
+    return dedup.simhash(docs, portable=True)
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,8 +427,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint cardinality per doc — portable hash so the
+    DuckDB oracle reproduces the exact window minima."""
     docs = load_table(spark, sf_dir, "documents")
-    return (textops.fingerprint(docs)
+    return (textops.fingerprint(docs, portable=True)
             .select("doc_id", F.size("fingerprints").alias("n_fingerprints")))
 
 
@@ -435,8 +440,11 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH probe — portable centered-md5 plane coefficients so the
+    DuckDB oracle reproduces buckets and the probed top-k exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_lsh(emb, query_vec_id=0, k=5, planes=6)
+    return similarity.knn_lsh(emb, query_vec_id=0, k=5, planes=6,
+                              portable=True)
 
 
 def q_knn_all_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,14 +463,13 @@ def _embeddings_as_media(spark: SparkSession, sf_dir: str,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                a = np.asarray(r["embedding"], dtype=np.float32)
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32)
                 if kind == "image":
                     content = mm.encode_raw_image(a.reshape(8, 8))
                 else:
                     content = mm.encode_raw_audio(a, rate=64)
-                rows.append((int(r["vec_id"]), kind, content,
-                             f"{kind}/raw"))
+                rows.append((int(vec_id), kind, content, f"{kind}/raw"))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content",
                                               "mime"])
 
@@ -476,15 +483,234 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize 8×8→4×4 then re-extract stats, so the oracle checks the
+    actual pixel selection (nearest-neighbour picks rows/cols 1,3,5,7),
+    not just the output header."""
     media = _embeddings_as_media(spark, sf_dir, "image")
-    return (mm.resize_images(media, 4, 4)
-            .select("media_id", "height", "width", F.length("content")
-                    .alias("payload_bytes")))
+    resized = mm.resize_images(media, 4, 4).withColumn(
+        "mime", F.lit("image/raw"))
+    return (mm.image_features(resized)
+            .select("media_id", "height", "width", "mean"))
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _embeddings_as_media(spark, sf_dir, "audio")
     return mm.audio_features(media)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the hash-dependent / multimodal queries. The portable
+# 60-bit hash (first 15 hex chars of md5 as integer) is computable
+# bit-identically by both engines; minhash constants are inlined from
+# dedup.minhash_coeffs so signatures, banding, and est-Jaccard reproduce
+# exactly in SQL.
+# ---------------------------------------------------------------------------
+
+# token 3-shingle of the whitespace token list, as a string (t is 1-based,
+# slice inclusive — mirrors Spark F.slice(toks, i+1, 3))
+_SHINGLE_STR = "array_to_string(t[i+1:i+3], ' ')"
+_PHASH = f"CAST('0x' || substring(md5({_SHINGLE_STR}), 1, 15) AS BIGINT)"
+_TOKS_CTE = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+_SHINGLE_LIST = (
+    "list_transform(range(0, greatest(len(t)-3, 0)+1), "
+    f"i -> {_PHASH})")
+
+SQL_FINGERPRINTS = f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (SELECT doc_id, {_SHINGLE_LIST} AS s FROM toks),
+wins AS (SELECT doc_id,
+  list_transform(range(0, greatest(len(s)-8, 0)+1),
+                 i -> list_min(s[i+1:i+8])) AS w FROM sh)
+SELECT doc_id, CAST(len(list_distinct(w)) AS INTEGER) AS n_fingerprints
+FROM wins
+"""
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS word_count,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+       + length(regexp_replace(text, '[a-zA-Z0-9]', '', 'g'))
+       AS INTEGER) AS subword_count
+FROM documents
+"""
+
+
+def _sql_minhash(threshold: float = 0.3, num_hashes: int = 64,
+                 bands: int = 16) -> str:
+    """Generate the minhash oracle with the exact (a, b) coefficients the
+    Spark UDF uses. Arithmetic is HUGEINT mod 2^64, then the unsigned min
+    is reinterpreted to signed — matching numpy uint64 wraparound +
+    astype(int64)."""
+    a, b = dedup.minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = []
+    for j in range(num_hashes):
+        m = (f"list_min(list_transform(s, v -> "
+             f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+             f" % 18446744073709551616))")
+        mins.append(
+            f"CAST(CASE WHEN {m} >= 9223372036854775808 "
+            f"THEN {m} - 18446744073709551616 ELSE {m} END AS BIGINT)")
+    est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
+           f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
+    return f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM toks),
+sig AS (SELECT doc_id, [{', '.join(mins)}] AS sig FROM sh),
+banded AS (SELECT doc_id, sig, bb.band AS band,
+                  sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+           FROM sig CROSS JOIN
+                (SELECT unnest(range(0, {bands})) AS band) bb),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                l.sig AS sa, r.sig AS sb
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, {est} AS est_jaccard
+FROM cand WHERE {est} >= {threshold}
+"""
+
+
+SQL_MINHASH_DEDUP = _sql_minhash(threshold=0.3)
+
+_JACC = "CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)"
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (SELECT doc_id, list_distinct(
+  list_transform(range(0, greatest(len(t)-3, 0)+1),
+                 i -> {_SHINGLE_STR})) AS s FROM toks),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+pairs AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
+          FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, {_JACC} AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {_JACC} >= 0.2
+"""
+
+_DDOT = ("list_inner_product(CAST(e.embedding AS DOUBLE[]), "
+         "CAST(e.embedding AS DOUBLE[]))")
+SQL_KNN_ALL_TOPK = f"""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.q_id, e.vec_id,
+        list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+          / (sqrt({_DDOT}) * sqrt(list_inner_product(q.qe, q.qe))) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+SQL_IMAGE_FEATURES = """
+WITH u AS (SELECT vec_id, CAST(x AS DOUBLE) AS v FROM
+           (SELECT vec_id, unnest(embedding) AS x FROM embeddings))
+SELECT vec_id AS media_id, CAST(8 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS width, CAST(1 AS INTEGER) AS channels,
+       avg(v) AS mean, stddev_pop(v) AS std,
+       min(v) AS "min", max(v) AS "max"
+FROM u GROUP BY vec_id
+"""
+
+# nearest-neighbour 8x8 -> 4x4 picks rows/cols 1,3,5,7 (0-based); flat
+# 1-based indices 8*y + x + 1:
+SQL_IMAGE_RESIZE = """
+SELECT vec_id AS media_id, CAST(4 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS width,
+       list_avg(list_transform(
+         [10,12,14,16,26,28,30,32,42,44,46,48,58,60,62,64],
+         i -> CAST(embedding[i] AS DOUBLE))) AS mean
+FROM embeddings
+"""
+
+SQL_AUDIO_FEATURES = """
+SELECT vec_id AS media_id, CAST(64 AS INTEGER) AS rate,
+  CAST(len(embedding) AS BIGINT) AS n_samples,
+  CAST(len(embedding) AS DOUBLE) / 64.0 AS duration_s,
+  sqrt(list_avg(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+    AS rms,
+  CAST(len(list_filter(range(0, len(embedding)-1),
+           i -> (embedding[i+1] < 0) <> (embedding[i+2] < 0))) AS BIGINT)
+    AS zero_crossings
+FROM embeddings
+"""
+
+
+# SimHash: per-bit majority vote over portable 60-bit token hashes. Bits
+# 60-63 are never set, so every token votes -1 there → bit 0 → assembling
+# over range(0,60) is exact (and avoids BIGINT 1<<63 overflow).
+_TOKHASH = "CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)"
+SQL_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+              FROM documents),
+h AS (SELECT doc_id, list_transform(t, x -> {_TOKHASH}) AS hs FROM toks),
+bits AS (SELECT doc_id, list_transform(range(0, 60),
+  i -> CASE WHEN list_sum(list_transform(hs,
+        v -> CASE WHEN ((v >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS b FROM h)
+SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+  i -> b[i+1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS simhash
+FROM bits
+"""
+
+
+def _sql_language_id() -> str:
+    """Language-ID oracle generated from textops.LANG_MARKERS so the
+    marker lists and first-match tie-break order stay in sync."""
+    counts, cases = [], []
+    langs = list(textops.LANG_MARKERS)
+    for lang, ws in textops.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        counts.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x)))"
+            f" AS {lang}")
+    best = f"greatest({', '.join(langs)})"
+    for lang in langs:
+        cases.append(f"WHEN {lang} = {best} THEN '{lang}'")
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(counts)} FROM t)
+SELECT doc_id, lang AS lang_true,
+  CASE WHEN {best} = 0 THEN 'und' {' '.join(cases)} END AS lang_pred
+FROM s
+"""
+
+
+SQL_LANGUAGE_ID = _sql_language_id()
+
+
+def _sql_knn_lsh(planes: int = 6, seed: int = 42, k: int = 5,
+                 query_vec_id: int = 0) -> str:
+    """knn_lsh oracle: reproduce the portable SRP bucketing (centered
+    md5-derived plane coefficients) and probe the query's bucket."""
+    center = 1 << 59
+    projs = []
+    for p in range(planes):
+        c = (f"CAST(CAST('0x' || substring(md5('{seed},{p},' || "
+             f"CAST(i AS VARCHAR)), 1, 15) AS BIGINT) - {center} AS DOUBLE)")
+        projs.append(
+            f"CASE WHEN list_sum(list_transform(range(0, len(embedding)), "
+            f"i -> CAST(embedding[i+1] AS DOUBLE) * {c})) >= 0 "
+            f"THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  CAST({bucket} AS BIGINT) AS bucket FROM embeddings),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = {query_vec_id})
+SELECT b.vec_id,
+  list_inner_product(b.e, q.qe)
+    / (sqrt(list_inner_product(b.e, b.e))
+       * sqrt(list_inner_product(q.qe, q.qe))) AS cosine
+FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_KNN_LSH = _sql_knn_lsh()
 
 
 EXT_QUERIES = {
@@ -503,18 +729,18 @@ EXT_QUERIES = {
     "tile_pack": q_tile_pack,
     "sessionize": q_sessionize,
     "percentiles": q_percentiles,
-    "approx_distinct": q_approx_distinct,
-    "minhash_dedup": q_minhash_dedup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "simhash": q_simhash,
-    "language_id": q_language_id,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
-    "knn_lsh": q_knn_lsh,
     "knn_all_topk": q_knn_all_topk,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "audio_features": q_audio_features,
+    "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "approx_distinct": q_approx_distinct,
+    "simhash": q_simhash,
+    "language_id": q_language_id,
+    "knn_lsh": q_knn_lsh,
 }
 
 EXT_ORACLES = {
@@ -533,4 +759,15 @@ EXT_ORACLES = {
     "tile_pack": SQL_TILE_PACK,
     "sessionize": SQL_SESSIONIZE,
     "percentiles": SQL_PERCENTILES,
+    "fingerprints": SQL_FINGERPRINTS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "knn_all_topk": SQL_KNN_ALL_TOPK,
+    "image_features": SQL_IMAGE_FEATURES,
+    "image_resize": SQL_IMAGE_RESIZE,
+    "audio_features": SQL_AUDIO_FEATURES,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "simhash": SQL_SIMHASH,
+    "language_id": SQL_LANGUAGE_ID,
+    "knn_lsh": SQL_KNN_LSH,
 }

@@ -81,6 +81,40 @@ def test_knn_lsh_recall(spark):
     assert 7 in [r.vec_id for r in out]  # near-identical vector shares bucket
 
 
+def test_knn_all_topk_default_is_bucketed(spark):
+    """Default (corpus×corpus) path must route through SRP buckets — no
+    full-corpus broadcast / cartesian product — and still reach ≥0.9
+    recall vs brute force on clustered data (round-1 verdict fix)."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(10, 16))
+    vecs = (np.repeat(centers, 20, axis=0)
+            + rng.normal(scale=0.15, size=(200, 16))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(200)],
+        "vec_id long, embedding array<float>, label int")
+    exact = {(r.q_id, r.vec_id) for r in
+             similarity.knn_all_pairs_topk(emb, k=3, queries=emb).collect()}
+    approx_df = similarity.knn_all_pairs_topk(emb, k=3, planes=4,
+                                              multi_probe=1)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    approx = {(r.q_id, r.vec_id) for r in approx_df.collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"bucketed recall {recall:.3f} < 0.9"
+
+
+def test_ngram_jaccard_pruned_default_matches_exact(spark, docs):
+    """The scale-safe df-pruned default must agree with exact mode on the
+    test corpus (pruning only drops pairs sharing zero rare shingles)."""
+    exact = {(r.doc_a, r.doc_b): round(r.jaccard, 12) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.1,
+                                       max_doc_freq=None).collect()}
+    pruned = {(r.doc_a, r.doc_b): round(r.jaccard, 12) for r in
+              dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert exact == pruned
+
+
 def test_quality_scores(spark):
     df = spark.createDataFrame([(1, "the cat sat on a mat", "en", "s", 20)],
                                "doc_id long, text string, lang string, "
