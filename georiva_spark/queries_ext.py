@@ -453,6 +453,55 @@ def q_knn_all_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_all_pairs_topk(emb, k=3, queries=queries)
 
 
+def q_ingest_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end: embeddings table → float32 GeoTIFF (deflate,
+    predictor 3 — exactly the envelope the reference's COG writer emits,
+    ingestion/asset_writer.py:86-99) → binaryFile scan → dependency-free
+    decode (tiff_codec) → per-row grid aggregates. Row y of the south-up
+    grid maps to vec_id = nvec-1-y (the file is written north-up with
+    vec 0 on top; the decoder flips, mirroring needs_flip,
+    formats/geotiff.py:343-345); timestamp parses from the filename."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.raster_formats import GEOTIFF
+    from georiva_spark.sources.tiff_codec import encode_geotiff
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec = arr.shape[0]
+    buf = encode_geotiff(arr, pixel_scale=(0.01, 0.01),
+                         tiepoint_xy=(0.0, nvec * 0.01))
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_tiff")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_{nvec}_20240115.tif")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = GEOTIFF.open_variable(spark, fp, "band_1")
+    return (g.groupBy("y", "time")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 F.min("lat").alias("lat")))
+
+
+SQL_INGEST_GEOTIFF = """
+WITH u AS (SELECT (SELECT COUNT(*) FROM embeddings) - 1 - vec_id AS y,
+                  CAST(x AS DOUBLE) AS v
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings))
+SELECT y, TIMESTAMP '2024-01-15 00:00:00' AS time, COUNT(v) AS n,
+       AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(0.01 AS DOUBLE) * (y + 0.5) AS lat
+FROM u GROUP BY y
+"""
+
+
 def _embeddings_as_media(spark: SparkSession, sf_dir: str,
                          kind: str) -> DataFrame:
     """Deterministic media payloads from the embeddings table: each 64-dim
@@ -729,6 +778,7 @@ EXT_QUERIES = {
     "tile_pack": q_tile_pack,
     "sessionize": q_sessionize,
     "percentiles": q_percentiles,
+    "ingest_geotiff": q_ingest_geotiff,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
     "knn_all_topk": q_knn_all_topk,
@@ -759,6 +809,7 @@ EXT_ORACLES = {
     "tile_pack": SQL_TILE_PACK,
     "sessionize": SQL_SESSIONIZE,
     "percentiles": SQL_PERCENTILES,
+    "ingest_geotiff": SQL_INGEST_GEOTIFF,
     "fingerprints": SQL_FINGERPRINTS,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_all_topk": SQL_KNN_ALL_TOPK,

@@ -20,6 +20,7 @@ from __future__ import annotations
 import datetime as dt
 import io
 import math
+import re
 from typing import Iterator
 
 import numpy as np
@@ -101,24 +102,28 @@ class _BaseFilePlugin:
                                         for m in self.magic_bytes)
 
     # -- decode seam ------------------------------------------------------
-    def _decode(self, content: bytes):
+    def _decode(self, content: bytes, path: str | None = None):
+        """→ (values list per variable (T,H,W), times, transform,
+        variables). `path` carries the source filename for formats whose
+        timestamp lives there (GeoTIFF, geotiff.py:100-103)."""
         raise NotImplementedError
 
-    def _decode_variable(self, content: bytes, variable: str):
-        values, times, transform, variables = self._decode(content)
+    def _decode_variable(self, content: bytes, variable: str,
+                         path: str | None = None):
+        values, times, transform, variables = self._decode(content, path)
         if variable not in variables:
             raise KeyError(f"{variable!r} not in {variables}")
         return values[variables.index(variable)], times, transform
 
     # -- contract ---------------------------------------------------------
     def list_variables(self, spark: SparkSession, path: str) -> list[str]:
-        row = _binary_scan(spark, path).select("content").head()
-        return list(self._decode(row.content)[3])
+        row = _binary_scan(spark, path).select("path", "content").head()
+        return list(self._decode(row.content, row.path)[3])
 
     def get_timestamps(self, spark: SparkSession, path: str,
                        variable: str) -> list:
-        row = _binary_scan(spark, path).select("content").head()
-        return list(self._decode(row.content)[1])
+        row = _binary_scan(spark, path).select("path", "content").head()
+        return list(self._decode(row.content, row.path)[1])
 
     def open_variable(self, spark: SparkSession, path: str, variable: str,
                       *, timestamp=None, window=None,
@@ -127,13 +132,14 @@ class _BaseFilePlugin:
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                for _, r in pdf.iterrows():
-                    values, times, transform = decode(r["content"], variable)
+                for fpath, content in zip(pdf["path"], pdf["content"]):
+                    values, times, transform = decode(content, variable,
+                                                      fpath)
                     yield _emit_rows(values, times, variable, transform,
                                      collection=collection,
                                      window=window, timestamp=timestamp)
 
-        return (_binary_scan(spark, path).select("content")
+        return (_binary_scan(spark, path).select("path", "content")
                 .mapInPandas(gen, schema=GRID_SCHEMA))
 
 
@@ -147,7 +153,7 @@ class NpzGridPlugin(_BaseFilePlugin):
     extensions = ("npz",)
     magic_bytes = (b"PK",)
 
-    def _decode(self, content: bytes):
+    def _decode(self, content: bytes, path: str | None = None):
         z = np.load(io.BytesIO(content), allow_pickle=False)
         times = [dt.datetime.fromtimestamp(float(s), dt.timezone.utc)
                  .replace(tzinfo=None) for s in z["times"]]
@@ -165,7 +171,7 @@ class Grib2Plugin(_BaseFilePlugin):
     extensions = ("grib", "grib2", "grb", "grb2")
     magic_bytes = (b"GRIB",)
 
-    def _decode(self, content: bytes):
+    def _decode(self, content: bytes, path: str | None = None):
         try:
             import cfgrib  # noqa: F401
         except ImportError as e:
@@ -183,7 +189,7 @@ class NetCDFPlugin(_BaseFilePlugin):
     extensions = ("nc", "nc4", "cdf")
     magic_bytes = (b"CDF", b"\x89HDF")
 
-    def _decode(self, content: bytes):
+    def _decode(self, content: bytes, path: str | None = None):
         try:
             import xarray  # noqa: F401
         except ImportError as e:
@@ -194,21 +200,65 @@ class NetCDFPlugin(_BaseFilePlugin):
 
 
 class GeoTIFFPlugin(_BaseFilePlugin):
-    """S3 — band-indexed GeoTIFF read, timestamp from filename
-    (formats/geotiff.py:37-360). Needs rasterio."""
+    """S3 — band-indexed GeoTIFF read, dependency-free (struct+zlib+numpy
+    via tiff_codec). Mirrors the reference plugin's behavior
+    (formats/geotiff.py:37-373): variables exposed as band_1..band_N,
+    timestamp parsed from the filename, GDAL nodata → NaN, north-up
+    files flipped so row 0 is the southernmost (needs_flip detection,
+    geotiff.py:343-345). Handles exactly the envelope the reference's
+    own COG writer emits — deflate with predictor 3 (floats) / 2 (ints),
+    strips or tiles (ingestion/asset_writer.py:86-99,213-235)."""
 
     name = "geotiff"
     extensions = ("tif", "tiff", "gtiff")
     magic_bytes = (b"II*\x00", b"MM\x00*")
 
-    def _decode(self, content: bytes):
-        try:
-            import rasterio  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "GeoTIFF decoding needs rasterio (not in this container); "
-                "Spark plumbing shared with NpzGridPlugin") from e
-        raise NotImplementedError("rasterio decode path not wired yet")
+    # same patterns/order as reference geotiff.py:352-358
+    _TIMESTAMP_PATTERNS = (
+        (r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})", "%Y-%m-%dT%H:%M:%S"),
+        (r"(\d{4}-\d{2}-\d{2})", "%Y-%m-%d"),
+        (r"(\d{8})_(\d{4})", None),  # YYYYMMDD_HHMM
+        (r"(\d{14})", "%Y%m%d%H%M%S"),
+        (r"(\d{8})", "%Y%m%d"),
+    )
+
+    @classmethod
+    def _parse_timestamp_from_filename(cls, filename: str):
+        for pattern, fmt in cls._TIMESTAMP_PATTERNS:
+            m = re.search(pattern, filename)
+            if not m:
+                continue
+            try:
+                if fmt is None:
+                    return dt.datetime.strptime(m.group(1) + m.group(2),
+                                                "%Y%m%d%H%M")
+                return dt.datetime.strptime(m.group(1), fmt)
+            except (ValueError, IndexError):
+                continue
+        return None
+
+    def _decode(self, content: bytes, path: str | None = None):
+        from georiva_spark.sources.tiff_codec import decode_tiff
+        bands, nodata, geo, flip = decode_tiff(content)
+        spp, h, w = bands.shape
+        if geo is None:
+            sx, sy, x0, y_top = 1.0, 1.0, 0.0, float(h)
+        else:
+            sx, sy, x0, y_top = geo
+        # grid contract: row 0 = southernmost (see _emit_rows); standard
+        # north-up files therefore flip here.
+        values = []
+        for b in range(spp):
+            a = bands[b].astype(np.float64)
+            if nodata is not None:
+                a = np.where(a == nodata, np.nan, a)
+            values.append((np.flipud(a) if flip else a)[None])
+        ts = self._parse_timestamp_from_filename(
+            (path or "").rsplit("/", 1)[-1]) or dt.datetime(1970, 1, 1)
+        lat0 = y_top - sy * h if flip else y_top
+        transform = (lat0, x0, sx)
+        variables = [f"band_{b + 1}" for b in range(spp)]
+        return values, [ts], transform, variables
 
 
 NPZ = register_default(NpzGridPlugin())

@@ -1,0 +1,353 @@
+"""Dependency-free GeoTIFF codec (stdlib struct + zlib + numpy).
+
+Implements exactly the envelope the reference engine produces and
+consumes: baseline TIFF (classic, little/big-endian), strip or tile
+layout, uncompressed or deflate with predictor 1/2/3, sample formats
+uint/int/float, GeoTIFF ModelPixelScale/ModelTiepoint georeferencing,
+and the GDAL_NODATA ascii tag. The reference writes COGs as
+deflate + predictor-by-dtype (3 for floats, 2 for ints) via rasterio
+(ingestion/asset_writer.py:213-235); the decoder here reads those
+payloads without rasterio, which is absent from this container.
+
+Predictor 3 (floating point) follows libtiff tif_predict.c: per
+scanline, sample bytes are stored plane-major MSB-first and
+horizontally byte-differenced; decode = byte cumsum then plane
+reassembly. Predictor 2 is per-channel horizontal differencing in the
+sample's (modular) integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF tag ids
+IMAGE_WIDTH = 256
+IMAGE_LENGTH = 257
+BITS_PER_SAMPLE = 258
+COMPRESSION = 259          # 1=none, 8/32946=deflate
+PHOTOMETRIC = 262
+STRIP_OFFSETS = 273
+SAMPLES_PER_PIXEL = 277
+ROWS_PER_STRIP = 278
+STRIP_BYTE_COUNTS = 279
+PLANAR_CONFIG = 284        # 1=chunky, 2=planar
+PREDICTOR = 317            # 1=none, 2=horizontal, 3=floating point
+TILE_WIDTH = 322
+TILE_LENGTH = 323
+TILE_OFFSETS = 324
+TILE_BYTE_COUNTS = 325
+SAMPLE_FORMAT = 339        # 1=uint, 2=int, 3=float
+MODEL_PIXEL_SCALE = 33550  # [sx, sy, sz]
+MODEL_TIEPOINT = 33922     # [i, j, k, x, y, z]
+GDAL_NODATA = 42113        # ascii
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               11: 4, 12: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd(buf: bytes, off: int, bo: str) -> dict:
+    n = struct.unpack_from(bo + "H", buf, off)[0]
+    tags: dict = {}
+    for i in range(n):
+        e = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, e)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        voff = e + 8 if size <= 4 else struct.unpack_from(bo + "I", buf,
+                                                          e + 8)[0]
+        if typ == 2:
+            tags[tag] = buf[voff:voff + cnt].split(b"\0")[0].decode(
+                "ascii", "replace")
+        elif typ in _TYPE_FMT:
+            tags[tag] = list(struct.unpack_from(
+                bo + str(cnt) + _TYPE_FMT[typ], buf, voff))
+        elif typ == 5:  # rational
+            v = struct.unpack_from(bo + str(2 * cnt) + "I", buf, voff)
+            tags[tag] = [v[2 * j] / v[2 * j + 1] for j in range(cnt)]
+        else:
+            tags[tag] = bytes(buf[voff:voff + size])
+    return tags
+
+
+def _cumsum_wrap(a: np.ndarray, axis: int) -> np.ndarray:
+    """Modular cumulative sum preserving the (unsigned) dtype wraparound."""
+    with np.errstate(over="ignore"):
+        return np.cumsum(a, axis=axis, dtype=a.dtype)
+
+
+def _undo_predictor2(arr: np.ndarray, channels: int) -> np.ndarray:
+    """arr (rows, cols*channels) native integer dtype → horizontal
+    accumulate per channel, modular."""
+    u = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+    rows, n = u.shape
+    u = u.reshape(rows, n // channels, channels)
+    acc = _cumsum_wrap(u, axis=1).reshape(rows, n)
+    return acc.view(arr.dtype)
+
+
+def _undo_predictor3(raw: bytes, rows: int, wc: int, bsz: int,
+                     stride: int) -> np.ndarray:
+    """libtiff fpAcc: per scanline, byte cumsum (stride = samples per
+    pixel) then reassemble plane-major MSB-first bytes into big-endian
+    floats. Returns (rows, wc) float array (wc = width*spp samples)."""
+    b = np.frombuffer(raw, np.uint8, count=rows * wc * bsz).reshape(
+        rows, wc * bsz).copy()
+    if stride == 1:
+        b = _cumsum_wrap(b, axis=1)
+    else:
+        for c in range(stride):
+            b[:, c::stride] = _cumsum_wrap(b[:, c::stride], axis=1)
+    planes = b.reshape(rows, bsz, wc)
+    be = np.empty((rows, wc, bsz), np.uint8)
+    for j in range(bsz):
+        be[:, :, j] = planes[:, j, :]
+    ftype = {4: ">f4", 8: ">f8"}[bsz]
+    return np.frombuffer(be.tobytes(), dtype=ftype).reshape(rows, wc)
+
+
+def decode_tiff(content: bytes):
+    """Parse the first IFD of a classic TIFF.
+
+    Returns (bands, nodata, geo, flip_to_south_up) where bands is
+    (spp, H, W) in native dtype, geo = (sx, sy, x0, y0) from
+    ModelPixelScale/Tiepoint (None if absent), and flip_to_south_up
+    is True for north-up files (tiepoint at top edge — the standard
+    case), meaning callers that want row 0 = southernmost must flipud.
+    """
+    bo = {b"II": "<", b"MM": ">"}.get(content[:2])
+    if bo is None or struct.unpack_from(bo + "H", content, 2)[0] != 42:
+        raise ValueError("not a classic TIFF payload")
+    ifd_off = struct.unpack_from(bo + "I", content, 4)[0]
+    tags = _read_ifd(content, ifd_off, bo)
+
+    w = tags[IMAGE_WIDTH][0]
+    h = tags[IMAGE_LENGTH][0]
+    spp = tags.get(SAMPLES_PER_PIXEL, [1])[0]
+    bps = tags.get(BITS_PER_SAMPLE, [8])[0]
+    comp = tags.get(COMPRESSION, [1])[0]
+    pred = tags.get(PREDICTOR, [1])[0]
+    sfmt = tags.get(SAMPLE_FORMAT, [1])[0]
+    planar = tags.get(PLANAR_CONFIG, [1])[0]
+    bsz = bps // 8
+    dtype = np.dtype({1: "u", 2: "i", 3: "f"}[sfmt] + str(bsz)
+                     ).newbyteorder(bo)
+
+    tiled = TILE_OFFSETS in tags
+    if tiled:
+        tw, th = tags[TILE_WIDTH][0], tags[TILE_LENGTH][0]
+        offs, cnts = tags[TILE_OFFSETS], tags[TILE_BYTE_COUNTS]
+        tiles_x = math.ceil(w / tw)
+        segs_per_plane = tiles_x * math.ceil(h / th)
+    else:
+        rps = tags.get(ROWS_PER_STRIP, [h])[0]
+        offs, cnts = tags[STRIP_OFFSETS], tags[STRIP_BYTE_COUNTS]
+        segs_per_plane = math.ceil(h / rps)
+
+    n_planes = spp if planar == 2 else 1
+    ch = 1 if planar == 2 else spp
+    out = np.empty((spp, h, w), dtype=dtype.newbyteorder("="))
+    for p in range(n_planes):
+        for s in range(segs_per_plane):
+            idx = p * segs_per_plane + s
+            raw = content[offs[idx]:offs[idx] + cnts[idx]]
+            if comp in (8, 32946):
+                raw = zlib.decompress(raw)
+            elif comp != 1:
+                raise NotImplementedError(f"TIFF compression {comp}")
+            if tiled:
+                rows, cols = th, tw
+                ty, tx = divmod(s, tiles_x)
+                y0s, x0s = ty * th, tx * tw
+            else:
+                rows = min(rps, h - s * rps)
+                cols = w
+                y0s, x0s = s * rps, 0
+            wc = cols * ch
+            if pred == 3:
+                seg = _undo_predictor3(raw, rows, wc, bsz, ch).astype(
+                    dtype.newbyteorder("="))
+            else:
+                seg = np.frombuffer(raw, dtype=dtype,
+                                    count=rows * wc).reshape(rows, wc)
+                if pred == 2:
+                    seg = _undo_predictor2(seg, ch)
+            seg = seg.reshape(rows, cols, ch)
+            vy = min(rows, h - y0s)
+            vx = min(cols, w - x0s)
+            for c in range(ch):
+                band = p if planar == 2 else c
+                out[band, y0s:y0s + vy, x0s:x0s + vx] = seg[:vy, :vx, c]
+
+    nodata = None
+    if GDAL_NODATA in tags:
+        try:
+            nodata = float(tags[GDAL_NODATA].strip().strip("\0"))
+        except ValueError:
+            nodata = None
+    geo = None
+    flip = False
+    if MODEL_PIXEL_SCALE in tags and MODEL_TIEPOINT in tags:
+        sx, sy = tags[MODEL_PIXEL_SCALE][0], tags[MODEL_PIXEL_SCALE][1]
+        tp = tags[MODEL_TIEPOINT]
+        # tiepoint maps raster (i,j) -> model (x,y); standard files pin
+        # (0,0) at the top-left corner → transform.e = -sy (north-up).
+        x0 = tp[3] - sx * tp[0]
+        y_top = tp[4] + sy * tp[1]
+        geo = (float(sx), float(sy), float(x0), float(y_top))
+        flip = sy > 0  # north-up (the normal case) → flip for south-up grids
+    return out, nodata, geo, flip
+
+
+def _apply_predictor2(arr: np.ndarray, channels: int) -> np.ndarray:
+    u = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+    rows, n = u.shape
+    v = u.reshape(rows, n // channels, channels)
+    d = v.copy()
+    with np.errstate(over="ignore"):
+        d[:, 1:, :] = v[:, 1:, :] - v[:, :-1, :]
+    return d.reshape(rows, n).view(arr.dtype)
+
+
+def _apply_predictor3(arr: np.ndarray) -> bytes:
+    """Encode (rows, wc) floats: plane-major MSB-first bytes per row,
+    then horizontal byte differencing (stride 1 — single band)."""
+    rows, wc = arr.shape
+    bsz = arr.dtype.itemsize
+    be = np.frombuffer(arr.astype(f">f{bsz}").tobytes(),
+                       np.uint8).reshape(rows, wc, bsz)
+    planes = np.empty((rows, bsz, wc), np.uint8)
+    for j in range(bsz):
+        planes[:, j, :] = be[:, :, j]
+    flat = planes.reshape(rows, bsz * wc)
+    d = flat.copy()
+    with np.errstate(over="ignore"):
+        d[:, 1:] = flat[:, 1:] - flat[:, :-1]
+    return d.tobytes()
+
+
+def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
+                   tiepoint_xy: tuple[float, float],
+                   nodata: float | None = None,
+                   compression: str = "deflate",
+                   predictor: int | None = None,
+                   rows_per_strip: int | None = None,
+                   tile: tuple[int, int] | None = None) -> bytes:
+    """Encode a single-band 2-D array as a little-endian GeoTIFF.
+
+    Mirrors the reference writer's choices (deflate, predictor 3 for
+    floats / 2 for ints, ingestion/asset_writer.py:86-99,213-235).
+    `tiepoint_xy` is the model (x, y) of the top-left corner; north-up.
+    """
+    a = np.ascontiguousarray(a)
+    h, w = a.shape
+    if predictor is None:
+        predictor = 3 if a.dtype.kind == "f" else (
+            2 if a.dtype.kind in "iu" else 1)
+    sfmt = {"u": 1, "i": 2, "f": 3}[a.dtype.kind]
+    bsz = a.dtype.itemsize
+    comp = 8 if compression == "deflate" else 1
+    le = a.astype(a.dtype.newbyteorder("<"))
+
+    def enc_rows(block: np.ndarray) -> bytes:
+        rows, cols = block.shape
+        flat = block.reshape(rows, cols)
+        if predictor == 3:
+            raw = _apply_predictor3(flat)
+        elif predictor == 2:
+            raw = _apply_predictor2(flat.copy(), 1).tobytes()
+        else:
+            raw = flat.tobytes()
+        return zlib.compress(raw, 6) if comp == 8 else raw
+
+    segs: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        for ty in range(math.ceil(h / th)):
+            for tx in range(math.ceil(w / tw)):
+                block = np.zeros((th, tw), dtype=le.dtype)
+                sub = le[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                segs.append(enc_rows(block))
+    else:
+        rps = rows_per_strip or min(h, max(1, (1 << 16) // max(1, w * bsz)))
+        for s in range(math.ceil(h / rps)):
+            segs.append(enc_rows(le[s * rps:(s + 1) * rps]))
+
+    entries: list[tuple[int, int, int, object]] = [
+        (IMAGE_WIDTH, 4, 1, [w]),
+        (IMAGE_LENGTH, 4, 1, [h]),
+        (BITS_PER_SAMPLE, 3, 1, [bsz * 8]),
+        (COMPRESSION, 3, 1, [comp]),
+        (PHOTOMETRIC, 3, 1, [1]),
+        (SAMPLES_PER_PIXEL, 3, 1, [1]),
+        (PLANAR_CONFIG, 3, 1, [1]),
+        (PREDICTOR, 3, 1, [predictor]),
+        (SAMPLE_FORMAT, 3, 1, [sfmt]),
+        (MODEL_PIXEL_SCALE, 12, 3,
+         [float(pixel_scale[0]), float(pixel_scale[1]), 0.0]),
+        (MODEL_TIEPOINT, 12, 6,
+         [0.0, 0.0, 0.0, float(tiepoint_xy[0]), float(tiepoint_xy[1]), 0.0]),
+    ]
+    if tile is not None:
+        entries += [(TILE_WIDTH, 3, 1, [tile[0]]),
+                    (TILE_LENGTH, 3, 1, [tile[1]]),
+                    (TILE_OFFSETS, 4, len(segs), None),
+                    (TILE_BYTE_COUNTS, 4, len(segs),
+                     [len(s) for s in segs])]
+    else:
+        entries += [(STRIP_OFFSETS, 4, len(segs), None),
+                    (ROWS_PER_STRIP, 4, 1, [rps]),
+                    (STRIP_BYTE_COUNTS, 4, len(segs),
+                     [len(s) for s in segs])]
+    if nodata is not None:
+        nd = f"{nodata:g}\0".encode("ascii")
+        entries.append((GDAL_NODATA, 2, len(nd), nd))
+    entries.sort(key=lambda e: e[0])
+
+    n = len(entries)
+    ifd_off = 8
+    ext_off = ifd_off + 2 + n * 12 + 4
+    ext: list[bytes] = []
+    # first pass: size the external value area (offsets tag included)
+    sizes = []
+    for tag, typ, cnt, val in entries:
+        size = _TYPE_SIZES[typ] * cnt
+        sizes.append(size if size > 4 else 0)
+    data_off = ext_off + sum(sizes)
+    seg_offsets = []
+    pos = data_off
+    for s in segs:
+        seg_offsets.append(pos)
+        pos += len(s)
+
+    def pack_val(typ: int, cnt: int, val) -> bytes:
+        if typ == 2:
+            return bytes(val)
+        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        return struct.pack("<" + str(cnt) + fmt, *val)
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", n)
+    cur_ext = ext_off
+    for (tag, typ, cnt, val), size in zip(entries, sizes):
+        if val is None:  # offsets tag
+            val = seg_offsets
+        payload = pack_val(typ, cnt, val)
+        if len(payload) <= 4:
+            out += struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\0")
+        else:
+            out += struct.pack("<HHI", tag, typ, cnt) + struct.pack(
+                "<I", cur_ext)
+            ext.append(payload)
+            cur_ext += len(payload)
+    out += struct.pack("<I", 0)  # next IFD
+    for payload in ext:
+        out += payload
+    for s in segs:
+        out += s
+    return bytes(out)

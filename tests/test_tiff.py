@@ -1,0 +1,97 @@
+"""GeoTIFF codec + plugin tests (S3): dependency-free decode of the
+envelope the reference COG writer emits (deflate, predictor 2/3, strips
+and tiles — ingestion/asset_writer.py:86-99,213-235), band_N variables,
+filename timestamps, nodata→NaN, north-up flip."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from georiva_spark.sources.raster_formats import GEOTIFF
+from georiva_spark.sources.tiff_codec import decode_tiff, encode_geotiff
+
+
+@pytest.mark.parametrize("dtype,pred", [
+    (np.float32, 3), (np.float64, 3), (np.int16, 2),
+    (np.uint8, 2), (np.int32, 2), (np.float32, 1),
+])
+def test_codec_roundtrip_strips(dtype, pred):
+    rng = np.random.default_rng(1)
+    if np.issubdtype(dtype, np.floating):
+        a = rng.normal(size=(37, 53)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, info.max, size=(37, 53)).astype(dtype)
+    buf = encode_geotiff(a, pixel_scale=(0.1, 0.1), tiepoint_xy=(-10.0, 3.7),
+                         predictor=pred, rows_per_strip=10)
+    bands, nodata, geo, flip = decode_tiff(buf)
+    assert np.array_equal(bands[0], a)
+    assert geo == (0.1, 0.1, -10.0, 3.7) and flip
+
+
+def test_codec_roundtrip_tiles_and_uncompressed():
+    rng = np.random.default_rng(2)
+    a = rng.integers(-500, 500, size=(100, 75)).astype(np.int16)
+    buf = encode_geotiff(a, pixel_scale=(0.5, 0.5), tiepoint_xy=(0.0, 50.0),
+                         tile=(32, 32))
+    bands, _, _, _ = decode_tiff(buf)
+    assert np.array_equal(bands[0], a)
+    f = rng.normal(size=(20, 20)).astype(np.float32)
+    raw = encode_geotiff(f, pixel_scale=(1, 1), tiepoint_xy=(0, 20),
+                         compression="none", predictor=1)
+    assert np.array_equal(decode_tiff(raw)[0][0], f)
+
+
+def test_filename_timestamp_patterns():
+    p = GEOTIFF._parse_timestamp_from_filename
+    assert p("x_2024-01-15T06:30:00.tif") == dt.datetime(2024, 1, 15, 6, 30)
+    assert p("rain_2024-01-15.tif") == dt.datetime(2024, 1, 15)
+    assert p("rain_20240115_0630.tif") == dt.datetime(2024, 1, 15, 6, 30)
+    assert p("rain_20240115063000.tif") == dt.datetime(2024, 1, 15, 6, 30)
+    assert p("rain_20240115.tif") == dt.datetime(2024, 1, 15)
+    assert p("nodate.tif") is None
+
+
+def test_geotiff_open_variable_grid(spark, tmp_path):
+    """North-up file: top row must land at the highest grid y; nodata →
+    null; lat/lon at pixel centers; timestamp from filename."""
+    a = np.array([[1.0, 2.0], [3.0, -9.0]], dtype=np.float32)  # -9 nodata
+    buf = encode_geotiff(a, pixel_scale=(0.5, 0.5), tiepoint_xy=(10.0, 21.0),
+                         nodata=-9.0)
+    fp = tmp_path / "t2m_20240115.tif"
+    fp.write_bytes(buf)
+
+    assert GEOTIFF.list_variables(spark, str(fp)) == ["band_1"]
+    assert GEOTIFF.get_timestamps(spark, str(fp), "band_1") == [
+        dt.datetime(2024, 1, 15)]
+
+    rows = GEOTIFF.open_variable(spark, str(fp), "band_1").collect()
+    assert len(rows) == 4
+    bykey = {(r.y, r.x): r.value for r in rows}
+    # file row 0 (top, lat 20.75 center) → grid y=1; file row 1 → y=0
+    assert bykey[(1, 0)] == 1.0 and bykey[(1, 1)] == 2.0
+    assert bykey[(0, 0)] == 3.0
+    assert bykey[(0, 1)] is None  # nodata
+    one = {(r.y, r.x): (r.lat, r.lon) for r in rows}
+    assert one[(0, 0)] == (20.25, 10.25)
+    assert one[(1, 1)] == (20.75, 10.75)
+    t = rows[0].time
+    assert (t.year, t.month, t.day) == (2024, 1, 15)
+
+
+def test_geotiff_windowed_read(spark, tmp_path):
+    """S6 pushdown through the shared seam: window applies inside the
+    decoder, in south-up grid coordinates."""
+    a = np.arange(16, dtype=np.float32).reshape(4, 4)
+    buf = encode_geotiff(a, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 4.0))
+    fp = tmp_path / "w_20240101.tif"
+    fp.write_bytes(buf)
+    df = GEOTIFF.open_variable(spark, str(fp), "band_1",
+                               window=(1, 0, 2, 2))  # x 1-2, y 0-1
+    rows = df.collect()
+    assert len(rows) == 4
+    got = {(r.y, r.x): r.value for r in rows}
+    # south-up grid y=0 is file row 3 (values 12..15), y=1 is row 2
+    assert got[(0, 1)] == 13.0 and got[(0, 2)] == 14.0
+    assert got[(1, 1)] == 9.0 and got[(1, 2)] == 10.0
