@@ -11,6 +11,7 @@ a pixel belongs to a polygon iff its *center* is inside
 from __future__ import annotations
 
 import json
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -89,27 +90,91 @@ def points_in_geometry(lon: np.ndarray, lat: np.ndarray,
     return inside
 
 
+# Spherical web-mercator (EPSG:3857) — closed form, no pyproj needed.
+WEBMERC_RADIUS = 6378137.0
+WEBMERC_MAX_LAT = 85.05112877980659  # atan(sinh(pi)) in degrees
+
+
+def lonlat_to_webmercator_xy(lon: float, lat: float) -> tuple[float, float]:
+    lat = min(max(lat, -WEBMERC_MAX_LAT), WEBMERC_MAX_LAT)
+    x = WEBMERC_RADIUS * math.radians(lon)
+    y = WEBMERC_RADIUS * math.log(math.tan(math.pi / 4
+                                           + math.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_lonlat_xy(x: float, y: float) -> tuple[float, float]:
+    lon = math.degrees(x / WEBMERC_RADIUS)
+    lat = math.degrees(2 * math.atan(math.exp(y / WEBMERC_RADIUS))
+                       - math.pi / 2)
+    return lon, lat
+
+
 def reproject_geometry(geometry: str, dst_crs: str,
                        src_crs: str = "EPSG:4326") -> str:
     """Reproject a GeoJSON geometry string between CRSs
     (geoprocessing/zonal.py:30-38).
 
-    Identity (same CRS) is handled natively; actual transforms need pyproj
-    (not in this container) and are gated behind the same seam the format
-    decoders use — the rest of the mask pipeline is CRS-agnostic since it
-    only consumes ring coordinates.
+    EPSG:4326↔3857 is closed-form spherical mercator — computed natively
+    (the reference's titiler tile export works in 3857). Other CRS pairs
+    need pyproj and stay gated behind the same seam the format decoders
+    use; the rest of the mask pipeline is CRS-agnostic since it only
+    consumes ring coordinates.
     """
     def _norm(c: str) -> str:
         return c.strip().upper().replace(" ", "")
-    if _norm(dst_crs) == _norm(src_crs):
+    src, dst = _norm(src_crs), _norm(dst_crs)
+    if src == dst:
         return geometry
+    fwd = {("EPSG:4326", "EPSG:3857"): lonlat_to_webmercator_xy,
+           ("EPSG:3857", "EPSG:4326"): webmercator_to_lonlat_xy}
+    fn = fwd.get((src, dst))
+    if fn is not None:
+        geom = json.loads(geometry)
+
+        def tx(coords):
+            if (isinstance(coords, (list, tuple)) and len(coords) >= 2
+                    and all(isinstance(c, (int, float)) for c in coords[:2])):
+                a, b = fn(float(coords[0]), float(coords[1]))
+                return [a, b]
+            return [tx(c) for c in coords]
+
+        geom["coordinates"] = tx(geom["coordinates"])
+        return json.dumps(geom)
     try:
         import pyproj  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             f"reprojection {src_crs}→{dst_crs} needs pyproj (not in this "
-            "container); EPSG:4326 geometries pass through unchanged") from e
+            "container); 4326↔3857 transforms are computed natively") from e
     raise NotImplementedError("pyproj transform path not wired yet")
+
+
+def webmercator_xy(lat, lon):
+    """(merc_x, merc_y) EPSG:3857 Columns from lat/lon degrees — the
+    closed-form spherical mercator, JVM-side."""
+    from pyspark.sql import functions as F
+    x = (F.lit(WEBMERC_RADIUS) * F.radians(lon)).alias("merc_x")
+    y = (F.lit(WEBMERC_RADIUS) * F.log(
+        F.tan(F.lit(math.pi / 4) + F.radians(lat) / F.lit(2.0)))
+        ).alias("merc_y")
+    return x, y
+
+
+def webmercator_tile(lat, lon, zoom: int):
+    """Slippy-map tile index (tile_x, tile_y) Columns for a zoom level —
+    the XYZ addressing the reference's titiler service exposes. Pure
+    JVM expressions (radians/tan/log), clamped to the valid tile range.
+    """
+    from pyspark.sql import functions as F
+    n = F.lit(float(1 << zoom))
+    xt = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    lat_r = F.radians(lat)
+    yt = F.floor((F.lit(1.0) - F.log(F.tan(lat_r)
+                                     + F.lit(1.0) / F.cos(lat_r))
+                  / F.lit(math.pi)) / F.lit(2.0) * n)
+    clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit((1 << zoom) - 1)))  # noqa: E731
+    return clamp(xt).alias("tile_x"), clamp(yt).alias("tile_y")
 
 
 def affine_index(lat0: float, lon0: float, res: float,

@@ -65,6 +65,65 @@ def regrid_nearest(grid: DataFrame,
         "value")
 
 
+def regrid_bilinear(grid: DataFrame,
+                    src: tuple[float, float, float],
+                    dst: tuple[float, float, float],
+                    dst_shape: tuple[int, int],
+                    src_shape: tuple[int, int]) -> DataFrame:
+    """Bilinear regrid (rasterio Resampling.bilinear analog,
+    geoprocessing/regrid.py:17,45): each target pixel center interpolates
+    its 4 surrounding source pixel centers with arithmetic weights.
+
+    Shape: the target lattice (a tiny generated relation) explodes into
+    ≤4 weighted neighbour keys and is broadcast; the big source grid
+    equi-joins on (y, x) without shuffling, then one partial-aggregated
+    groupBy per target pixel computes Σw·v / Σw. Renormalizing by Σw
+    degrades gracefully at edges (indices clamp, duplicate neighbours
+    merge) and where source pixels are missing. At 100 TB the source
+    grid is never shuffled pre-aggregation — same budget as zonal.
+    """
+    s_lat0, s_lon0, s_res = src
+    d_lat0, d_lon0, d_res = dst
+    h, w = dst_shape
+    sh, sw = src_shape
+    spark = grid.sparkSession
+    target = (spark.range(h).select(F.col("id").alias("ty"))
+              .crossJoin(spark.range(w).select(F.col("id").alias("tx"))))
+    t_lat = F.lit(d_lat0) + (F.col("ty") + F.lit(0.5)) * F.lit(d_res)
+    t_lon = F.lit(d_lon0) + (F.col("tx") + F.lit(0.5)) * F.lit(d_res)
+    fy = (t_lat - F.lit(s_lat0)) / F.lit(s_res) - F.lit(0.5)
+    fx = (t_lon - F.lit(s_lon0)) / F.lit(s_res) - F.lit(0.5)
+    y0, x0 = F.floor(fy), F.floor(fx)
+    wy, wx = fy - y0, fx - x0
+
+    def clamp(c, hi: int):
+        return F.greatest(F.lit(0).cast("long"),
+                          F.least(c.cast("long"), F.lit(hi - 1).cast("long")))
+
+    neigh = F.array(*[
+        F.struct(clamp(y0 + dy, sh).alias("sy"),
+                 clamp(x0 + dx, sw).alias("sx"),
+                 ((wy if dy else F.lit(1.0) - wy) *
+                  (wx if dx else F.lit(1.0) - wx)).alias("wt"))
+        for dy in (0, 1) for dx in (0, 1)])
+    tgt = (target.select("ty", "tx", t_lat.alias("t_lat"),
+                         t_lon.alias("t_lon"), F.explode(neigh).alias("nb"))
+           .select("ty", "tx", "t_lat", "t_lon",
+                   F.col("nb.sy").alias("sy"), F.col("nb.sx").alias("sx"),
+                   F.col("nb.wt").alias("wt"))
+           .where(F.col("wt") > 0))
+    joined = grid.join(
+        F.broadcast(tgt),
+        (F.col("y") == F.col("sy")) & (F.col("x") == F.col("sx")), "inner")
+    return (joined.groupBy(*PIXEL_COLS, "ty", "tx", "t_lat", "t_lon")
+            .agg((F.sum(F.col("wt") * F.col("value"))
+                  / F.sum("wt")).alias("value"))
+            .select(*PIXEL_COLS,
+                    F.col("ty").alias("y"), F.col("tx").alias("x"),
+                    F.col("t_lat").alias("lat"), F.col("t_lon").alias("lon"),
+                    "value"))
+
+
 def regrid_average(grid: DataFrame,
                    dst: tuple[float, float, float]) -> DataFrame:
     """Average-resample onto a coarser grid: source pixels group into their

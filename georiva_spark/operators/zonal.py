@@ -129,6 +129,22 @@ def zonal_stats(grid: DataFrame, boundaries: DataFrame,
     return out
 
 
+def zonal_rollup(grid: DataFrame, boundaries: DataFrame,
+                 keys: Sequence[str] = ("collection", "variable", "time")
+                 ) -> DataFrame:
+    """Per-boundary AND per-admin-level stats in ONE pass via GROUPING
+    SETS — replaces the reference's loop over admin levels
+    (analysis/zonal_stats/service.py:160-176), which re-reads the raster
+    once per level. Grouping sets: (level, boundary_id, name, *keys) →
+    per-boundary rows; (level, *keys) → level rollups (boundary_id/name
+    null). The tagged fact stream aggregates map-side once; the shuffle
+    is #boundaries + #levels wide, never #pixels."""
+    tagged = tag_pixels(grid, boundaries)
+    cols = ["level", "boundary_id", "name", *keys]
+    gs = tagged.groupingSets([cols, ["level", *keys]], *cols)
+    return gs.agg(*_stat_aggs())
+
+
 def area_timeseries(grid: DataFrame, geometry: str,
                     how: str = "mean") -> DataFrame:
     """A2 — polygon-masked spatial aggregate per timestep

@@ -449,6 +449,46 @@ FROM boxes b LEFT JOIN stats s USING (boundary_id)
 """
 
 
+def q_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + GROUPING SETS — per-boundary stats and per-admin-level
+    rollups in one aggregation pass (the reference loops levels,
+    analysis/zonal_stats/service.py:160-176)."""
+    boxes = [
+        (1, 1, "west_box", -7.5, -6.0, 0.0, 6.0),
+        (2, 1, "east_box", 0.0, -6.0, 7.5, 6.0),
+        (3, 2, "inner_box", -2.0, -2.0, 3.0, 3.0),
+    ]
+    rows = []
+    for bid, level, name, w, s, e, n in boxes:
+        gj = ('{"type": "Polygon", "coordinates": [[[%f, %f], [%f, %f], '
+              '[%f, %f], [%f, %f], [%f, %f]]]}' % (w, s, e, s, e, n, w, n, w, s))
+        rows.append((bid, level, name, gj))
+    g = filters.select_variable(events_grid(spark, sf_dir), "signup")
+    out = zonal.zonal_rollup(g, rows, keys=("variable",))
+    return out.select(
+        "level", "boundary_id", "name", "variable",
+        _r4("mean").alias("mean"), _r4("sum").alias("sum"),
+        _r4("std").alias("std"), "count")
+
+
+SQL_ZONAL_ROLLUP = GRID_CTE + """
+, boxes(boundary_id, level, name, w, s, e, n) AS (VALUES
+  (1, 1, 'west_box', -7.5, -6.0, 0.0, 6.0),
+  (2, 1, 'east_box', 0.0, -6.0, 7.5, 6.0),
+  (3, 2, 'inner_box', -2.0, -2.0, 3.0, 3.0))
+SELECT b.level, b.boundary_id, b.name, g.variable,
+       ROUND(AVG(g.value), 4) AS mean, ROUND(SUM(g.value), 4) AS sum,
+       ROUND(SQRT(AVG(g.value * g.value) - AVG(g.value) * AVG(g.value)), 4)
+         AS std,
+       COUNT(g.value) AS count
+FROM boxes b JOIN grid g
+  ON g.variable = 'signup'
+ AND g.lon >= b.w AND g.lon < b.e AND g.lat >= b.s AND g.lat < b.n
+GROUP BY GROUPING SETS ((b.level, b.boundary_id, b.name, g.variable),
+                        (b.level, g.variable))
+"""
+
+
 def q_area_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — polygon-masked (triangle — a genuinely non-rectangular mask)
     spatial mean per day."""
@@ -737,6 +777,7 @@ QUERIES: dict[str, QueryFn] = {
     "anomaly": q_anomaly,
     "trend": q_trend,
     "zonal_stats": q_zonal_stats,
+    "zonal_rollup": q_zonal_rollup,
     "area_timeseries": q_area_timeseries,
     "point_timeseries": q_point_timeseries,
     "vector_transform": q_vector_transform,
@@ -771,6 +812,7 @@ ORACLES: dict[str, str] = {
     "anomaly": SQL_ANOMALY,
     "trend": SQL_TREND,
     "zonal_stats": SQL_ZONAL_STATS,
+    "zonal_rollup": SQL_ZONAL_ROLLUP,
     "area_timeseries": SQL_AREA_TIMESERIES,
     "point_timeseries": SQL_POINT_TIMESERIES,
     "vector_transform": SQL_VECTOR_TRANSFORM,

@@ -453,6 +453,74 @@ def q_knn_all_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_all_pairs_topk(emb, k=3, queries=queries)
 
 
+def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear 2× upsample of the (time-averaged) events field —
+    rasterio Resampling.bilinear analog as a broadcast 4-neighbour
+    weighted join (geoprocessing/regrid.py:17)."""
+    from georiva_spark.operators.regrid import regrid_bilinear
+    g = events_grid(spark, sf_dir).where(F.col("variable") == "purchase")
+    field = (g.groupBy("y", "x").agg(F.avg("value").alias("value"))
+             .select(F.lit("events").alias("collection"),
+                     F.lit("purchase").alias("variable"),
+                     F.lit("2024-01-01").cast("timestamp").alias("time"),
+                     "y", "x", "value"))
+    out = regrid_bilinear(field, src=(-6.0, -7.5, 1.0),
+                          dst=(-6.0, -7.5, 0.5),
+                          dst_shape=(24, 30), src_shape=(12, 15))
+    return out.select("y", "x", "lat", "lon", "value")
+
+
+SQL_REGRID_BILINEAR = GRID_CTE + """
+, field AS (SELECT y, x, AVG(value) AS v FROM grid
+            WHERE variable = 'purchase' GROUP BY y, x),
+tgt AS (SELECT r1.range AS ty, r2.range AS tx
+        FROM range(0, 24) r1, range(0, 30) r2),
+pos AS (SELECT ty, tx,
+        CAST(-6.0 + (ty + 0.5) * 0.5 AS DOUBLE) AS t_lat,
+        CAST(-7.5 + (tx + 0.5) * 0.5 AS DOUBLE) AS t_lon FROM tgt),
+frac AS (SELECT *, (t_lat - (-6.0)) / 1.0 - 0.5 AS fy,
+                (t_lon - (-7.5)) / 1.0 - 0.5 AS fx FROM pos),
+nb AS (SELECT ty, tx, t_lat, t_lon,
+        greatest(0, least(CAST(floor(fy) AS BIGINT) + d.dy, 11)) AS sy,
+        greatest(0, least(CAST(floor(fx) AS BIGINT) + d.dx, 14)) AS sx,
+        (CASE WHEN d.dy = 1 THEN fy - floor(fy)
+              ELSE 1 - (fy - floor(fy)) END)
+      * (CASE WHEN d.dx = 1 THEN fx - floor(fx)
+              ELSE 1 - (fx - floor(fx)) END) AS wt
+       FROM frac CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1))
+            d(dy, dx))
+SELECT ty AS y, tx AS x, t_lat AS lat, t_lon AS lon,
+       SUM(wt * v) / SUM(wt) AS value
+FROM nb JOIN field ON field.y = nb.sy AND field.x = nb.sx
+WHERE wt > 0
+GROUP BY ty, tx, t_lat, t_lon
+"""
+
+
+def q_webmercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326→3857 reprojection + slippy tile index (z=6) per distinct
+    grid pixel — the tile-export path of the reference's titiler service
+    (closed-form spherical mercator; geoprocessing/zonal.py:30-38)."""
+    from georiva_spark.functions.geo import webmercator_tile, webmercator_xy
+    g = events_grid(spark, sf_dir).select("y", "x", "lat", "lon").distinct()
+    mx, my = webmercator_xy(F.col("lat"), F.col("lon"))
+    tx, ty = webmercator_tile(F.col("lat"), F.col("lon"), 6)
+    return g.select("y", "x", "lat", "lon", mx, my, tx, ty)
+
+
+SQL_WEBMERCATOR_TILES = GRID_CTE + """
+, px AS (SELECT DISTINCT y, x, lat, lon FROM grid)
+SELECT y, x, lat, lon,
+  6378137.0 * radians(lon) AS merc_x,
+  6378137.0 * ln(tan(pi()/4 + radians(lat)/2)) AS merc_y,
+  CAST(greatest(0, least(floor((lon + 180.0)/360.0*64.0), 63)) AS BIGINT)
+    AS tile_x,
+  CAST(greatest(0, least(floor((1.0 - ln(tan(radians(lat))
+       + 1.0/cos(radians(lat)))/pi())/2.0*64.0), 63)) AS BIGINT) AS tile_y
+FROM px
+"""
+
+
 def q_ingest_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 end-to-end: embeddings table → float32 GeoTIFF (deflate,
     predictor 3 — exactly the envelope the reference's COG writer emits,
@@ -779,6 +847,8 @@ EXT_QUERIES = {
     "sessionize": q_sessionize,
     "percentiles": q_percentiles,
     "ingest_geotiff": q_ingest_geotiff,
+    "webmercator_tiles": q_webmercator_tiles,
+    "regrid_bilinear": q_regrid_bilinear,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
     "knn_all_topk": q_knn_all_topk,
@@ -810,6 +880,8 @@ EXT_ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "percentiles": SQL_PERCENTILES,
     "ingest_geotiff": SQL_INGEST_GEOTIFF,
+    "webmercator_tiles": SQL_WEBMERCATOR_TILES,
+    "regrid_bilinear": SQL_REGRID_BILINEAR,
     "fingerprints": SQL_FINGERPRINTS,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_all_topk": SQL_KNN_ALL_TOPK,

@@ -5,7 +5,10 @@ containment)."""
 import numpy as np
 from pyspark.sql import functions as F
 
-from georiva_spark.functions.geo import affine_index, parse_geojson, points_in_geometry
+from georiva_spark.functions.geo import (
+    affine_index, lonlat_to_webmercator_xy, parse_geojson,
+    points_in_geometry, reproject_geometry, webmercator_to_lonlat_xy,
+)
 from georiva_spark.functions.scalars import (
     normalize_lon, rescale_255, unit_conversion_expr,
     vector_direction, vector_magnitude,
@@ -59,6 +62,33 @@ def test_points_in_geometry_triangle_and_hole():
                          '[[1,1],[3,1],[3,3],[1,3],[1,1]]]}')
     got2 = points_in_geometry(np.array([0.5, 2.0]), np.array([0.5, 2.0]), hole)
     assert got2.tolist() == [True, False]
+
+
+def test_webmercator_known_values_and_roundtrip():
+    # antimeridian lands at the mercator edge; the max-lat clamp squares it
+    x, y = lonlat_to_webmercator_xy(180.0, 85.05112877980659)
+    np.testing.assert_allclose([x, y], [20037508.342789244] * 2, rtol=1e-9)
+    np.testing.assert_allclose(lonlat_to_webmercator_xy(0.0, 0.0),
+                               (0.0, 0.0), atol=1e-8)
+    for lon, lat in [(-7.5, -6.0), (36.8, -1.3), (151.2, -33.9)]:
+        X, Y = lonlat_to_webmercator_xy(lon, lat)
+        lon2, lat2 = webmercator_to_lonlat_xy(X, Y)
+        np.testing.assert_allclose([lon2, lat2], [lon, lat], atol=1e-12)
+
+
+def test_reproject_geometry_4326_3857():
+    import json
+    poly = json.dumps({"type": "Polygon", "coordinates":
+                       [[[0, 0], [1, 0], [1, 1], [0, 0]]]})
+    out = json.loads(reproject_geometry(poly, "EPSG:3857"))
+    assert out["type"] == "Polygon"
+    np.testing.assert_allclose(out["coordinates"][0][1][0],
+                               111319.49079327358, rtol=1e-12)
+    back = json.loads(reproject_geometry(json.dumps(out), "EPSG:4326",
+                                         src_crs="EPSG:3857"))
+    np.testing.assert_allclose(back["coordinates"], json.loads(poly)[
+        "coordinates"], atol=1e-12)
+    assert reproject_geometry(poly, "epsg:4326") == poly  # identity
 
 
 def test_parse_geojson_invalid():

@@ -35,6 +35,41 @@ def test_nearest_upsample_preserves_range(spark):
     assert np.array_equal(m[2:, 2:], [[4.0, 4.0], [4.0, 4.0]])
 
 
+def test_bilinear_upsample_matches_numpy(spark):
+    """2×2 → 4×4 bilinear (reference fixture shape, test_regrid.py:10-36,
+    Resampling.bilinear): parity with a closed-form numpy evaluation of
+    the same clamped-edge 4-neighbour interpolation."""
+    data = np.array([[0.0, 10.0], [20.0, 30.0]])
+    g = grid_from_arrays(spark, data.tolist(), [T0],
+                         lat0=0.0, lon0=0.0, res=1.0)
+    out = regrid.regrid_bilinear(g, src=(0.0, 0.0, 1.0),
+                                 dst=(0.0, 0.0, 0.5), dst_shape=(4, 4),
+                                 src_shape=(2, 2))
+    m = _mat(out, 4, 4)
+
+    want = np.zeros((4, 4))
+    for ty in range(4):
+        for tx in range(4):
+            fy = (0.5 * (ty + 0.5)) / 1.0 - 0.5
+            fx = (0.5 * (tx + 0.5)) / 1.0 - 0.5
+            y0, x0 = int(np.floor(fy)), int(np.floor(fx))
+            wy, wx = fy - y0, fx - x0
+            acc = wsum = 0.0
+            for dy, wyy in ((0, 1 - wy), (1, wy)):
+                for dx, wxx in ((0, 1 - wx), (1, wx)):
+                    sy = min(max(y0 + dy, 0), 1)
+                    sx = min(max(x0 + dx, 0), 1)
+                    if wyy * wxx > 0:
+                        acc += wyy * wxx * data[sy, sx]
+                        wsum += wyy * wxx
+            want[ty, tx] = acc / wsum
+    np.testing.assert_allclose(m, want, rtol=1e-12)
+    # corners clamp to their source pixel; (1,1) is the known blend
+    # 0.5625·0 + 0.1875·10 + 0.1875·20 + 0.0625·30 = 7.5
+    assert m[0, 0] == 0.0 and m[3, 3] == 30.0
+    np.testing.assert_allclose(m[1, 1], 7.5, rtol=1e-12)
+
+
 def test_identity_regrid(spark):
     g = grid_from_arrays(spark, [[1.0, 2.0], [3.0, 4.0]], [T0])
     out = regrid.regrid_nearest(g, src=(0.0, 0.0, 1.0),

@@ -55,6 +55,24 @@ def test_zonal_nan_excluded(spark, boundaries):
     assert out[1]["count"] == 15 and out[1].sum == 120.0  # 0 removed
 
 
+def test_zonal_rollup_one_pass_levels(spark, grid):
+    """GROUPING SETS rollup: per-boundary rows plus per-level rows
+    (boundary_id null) from a single aggregation."""
+    b = spark.createDataFrame(
+        [(1, 1, "west", square_geojson(0, 0, 2, 4)),
+         (2, 1, "east", square_geojson(2, 0, 4, 4)),
+         (3, 2, "inner", square_geojson(1, 1, 3, 3))],
+        "boundary_id long, level int, name string, geometry string")
+    rows = zonal.zonal_rollup(grid, b).collect()
+    per_b = {r.boundary_id: r for r in rows if r.boundary_id is not None}
+    per_l = {r.level: r for r in rows if r.boundary_id is None}
+    assert per_b[1]["count"] == 8 and per_b[2]["count"] == 8
+    assert per_b[3]["count"] == 4 and per_b[3]["sum"] == 5 + 6 + 9 + 10
+    # level 1 rollup covers the whole grid (west ∪ east), one pass
+    assert per_l[1]["count"] == 16 and per_l[1]["sum"] == 120.0
+    assert per_l[2]["count"] == 4
+
+
 def test_area_timeseries_mask(spark, grid):
     # triangle covering the lower-left half (below anti-diagonal)
     tri = ('{"type": "Polygon", "coordinates": '
