@@ -12,7 +12,14 @@ from georiva_spark.plans.recipe import (
     RecipeRegistry, canonical_json, unit_hash, input_hash,
 )
 from georiva_spark.plans.engine import DerivationEngine, RunRecord, Trigger
+from georiva_spark.plans.declarations import (
+    ChainGraph, ConfigField, DerivedProductDefinition, InputRef, OutputRef,
+    build_chain_graph, downstream_keys, product_edges,
+)
 
 __all__ = ["CatalogContext", "ProductionUnit", "ResolvedInput", "OutputItem",
            "Recipe", "RecipeRegistry", "canonical_json", "unit_hash",
-           "input_hash", "DerivationEngine", "RunRecord", "Trigger"]
+           "input_hash", "DerivationEngine", "RunRecord", "Trigger",
+           "ChainGraph", "ConfigField", "DerivedProductDefinition",
+           "InputRef", "OutputRef", "build_chain_graph", "downstream_keys",
+           "product_edges"]

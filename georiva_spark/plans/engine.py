@@ -75,7 +75,8 @@ class LineageEdge:
 class DerivationEngine:
     def __init__(self, spark: SparkSession, registry: RecipeRegistry,
                  catalog: CatalogContext, output_dir: str | None = None,
-                 now_fn: Callable[[], dt.datetime] | None = None):
+                 now_fn: Callable[[], dt.datetime] | None = None,
+                 definitions: list | None = None, max_chain_depth: int = 8):
         self.spark = spark
         self.registry = registry
         self.catalog = catalog
@@ -84,6 +85,12 @@ class DerivationEngine:
         self.lineage: list[LineageEdge] = []
         self._next_item_id = 1_000_000
         self._now = now_fn or dt.datetime.utcnow
+        # derived-product declarations drive derivation chaining: a
+        # completed derivation into collection C dispatches the declared
+        # products consuming C (derivation_chain.py DAG, ADR-0008).
+        self.definitions = list(definitions or [])
+        self.max_chain_depth = max_chain_depth
+        self._chain_depth = 0
 
     # ---- T2: event→unit routing ------------------------------------------
     def dispatch_for_trigger(self, trigger: Trigger,
@@ -157,7 +164,42 @@ class DerivationEngine:
                 recipe_version=recipe.version, input_hash=ih))
         rec.input_hash = ih
         rec.produced_item_id = item_id
-        return self._mark(rec, "completed")
+        rec = self._mark(rec, "completed")
+        self._chain_completed(out_item, item_id)
+        return rec
+
+    # ---- derivation chaining (declarations DAG) --------------------------
+    def _chain_completed(self, out_item: OutputItem, item_id: int) -> None:
+        """derivation.completed → downstream dispatch: consult the
+        declared DAG for products whose inputs include the completed
+        collection, then route the event through each product's recipe
+        (candidate_units first; enumerate_units as the declared-input
+        fallback — idempotency hash-skip makes over-triggering free).
+        Depth-capped so a cyclic declaration can't recurse forever."""
+        if not self.definitions or self._chain_depth >= self.max_chain_depth:
+            return
+        from georiva_spark.plans.declarations import downstream_keys
+        keys = downstream_keys(self.definitions, out_item.collection)
+        if not keys:
+            return
+        by_key = {d.key: d for d in self.definitions}
+        item = next((it for it in self.catalog.items
+                     if it["item_id"] == item_id), None)
+        trigger = Trigger(kind="derivation.completed", item=item)
+        self._chain_depth += 1
+        try:
+            for k in keys:
+                d = by_key[k]
+                try:
+                    rcp = self.registry.get(d.recipe_type)
+                except KeyError:
+                    continue
+                units = rcp.candidate_units(trigger, self.catalog) \
+                    or rcp.enumerate_units(self.catalog)
+                for unit in units:
+                    self.run_unit(rcp, unit, origin=f"chain:{d.key}")
+        finally:
+            self._chain_depth -= 1
 
     # ---- T4: resurrection sweep ------------------------------------------
     def sweep_not_ready(self) -> list[RunRecord]:
