@@ -61,3 +61,38 @@ def test_upsert_by_key(spark, tmp_path):
     # idempotent re-upsert
     upsert_by_key(second, path, keys=["boundary_id", "v"])
     assert read_catalog(spark, path).count() == 3
+
+
+def _partition_files(root):
+    out = {}
+    for dirpath, _, files in __import__("os").walk(root):
+        for f in files:
+            p = __import__("os").path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[__import__("os").path.relpath(p, root)] = fh.read()
+    return out
+
+
+def test_upsert_partition_scoped(spark, tmp_path):
+    """An upsert touching only collection 'a' must leave collection 'b'
+    partition files byte-identical (replaceWhere-style scoped rewrite)."""
+    path = str(tmp_path / "items")
+    first = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0), ("b", 2, 6.0)],
+        "collection string, item_id long, score double")
+    upsert_by_key(first, path, keys=["collection", "item_id"],
+                  partition_by=["collection"])
+    b_before = _partition_files(str(tmp_path / "items" / "collection=b"))
+    assert b_before  # partitioned layout actually produced files
+
+    second = spark.createDataFrame(
+        [("a", 2, 99.0), ("a", 3, 30.0)],
+        "collection string, item_id long, score double")
+    upsert_by_key(second, path, keys=["collection", "item_id"],
+                  partition_by=["collection"])
+    got = {(r.collection, r.item_id): r.score
+           for r in read_catalog(spark, path).collect()}
+    assert got == {("a", 1): 10.0, ("a", 2): 99.0, ("a", 3): 30.0,
+                   ("b", 1): 5.0, ("b", 2): 6.0}
+    b_after = _partition_files(str(tmp_path / "items" / "collection=b"))
+    assert b_after == b_before  # untouched partition bytes unchanged
