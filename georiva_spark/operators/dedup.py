@@ -85,15 +85,25 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     """MinHash+LSH near-duplicate pairs: band the signature, bucket-join,
     verify estimated Jaccard ≥ threshold.
 
-    Shuffle = (band_id, band_hash) keys only; the quadratic step is
-    confined to same-bucket candidates (AQE skew-split covers megabuckets).
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    Shape: signatures are computed ONCE and persisted (they feed the
+    banding and both sides of the verification join — without the persist
+    the UDF lineage re-runs three times), the band explode ships only
+    (doc_id, band, bucket) keys — never the 64-long signature array —
+    and the candidate pairs rejoin the signature table by doc_id for
+    verification. Shuffle = band-bucket keys + candidate ids; the
+    quadratic step is confined to same-bucket candidates (AQE skew-split
+    covers megabuckets). Returns (doc_a, doc_b, est_jaccard), doc_a <
+    doc_b. At 100 TB the persisted signature table is the standard
+    materialize-the-sketch step (write it once, reuse across passes).
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
-                             text_col=text_col, portable=portable)
+                             text_col=text_col, portable=portable
+                             ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
-        "doc_id", "signature",
+        "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
@@ -103,23 +113,23 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                                              b * rows_per_band + 1, rows_per_band),
                                      lambda v: v.cast("string"))))
                 .alias("bucket")))).alias("bb"))
-    banded = banded.select("doc_id", "signature",
-                           F.col("bb.band").alias("band"),
+    banded = banded.select("doc_id", F.col("bb.band").alias("band"),
                            F.col("bb.bucket").alias("bucket"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (left.join(right, ["band", "bucket"])
+    cand = (banded.alias("l").join(banded.alias("r"), ["band", "bucket"])
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
             .select(F.col("l.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"),
-                    F.col("l.signature").alias("sig_a"),
-                    F.col("r.signature").alias("sig_b"))
+                    F.col("r.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
+    a = sig.select(F.col("doc_id").alias("doc_a"),
+                   F.col("signature").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"),
+                   F.col("signature").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                      lambda a, b: (a == b).cast("int")),
+                                      lambda x, y: (x == y).cast("int")),
                            lambda v: v == 1)).cast("double")
            / F.lit(float(num_hashes)))
-    return (cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+                .select("doc_a", "doc_b", est.alias("est_jaccard"))
                 .where(F.col("est_jaccard") >= threshold))
 
 

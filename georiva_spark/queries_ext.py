@@ -497,6 +497,54 @@ GROUP BY ty, tx, t_lat, t_lon
 """
 
 
+def q_ingest_netcdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end: embeddings table → classic NetCDF (CF time axis,
+    descending latitude — exercises the north-up flip, netcdf.py:141-147)
+    → binaryFile scan → dependency-free decode → per-row grid
+    aggregates. Same y = nvec-1-vec_id mapping as ingest_geotiff."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.netcdf_codec import encode_grid_netcdf
+    from georiva_spark.sources.raster_formats import NETCDF
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec = arr.shape[0]
+    lat = (nvec - np.arange(nvec) - 0.5) * 0.01   # descending (north-up)
+    lon = (np.arange(64) + 0.5) * 0.01
+    buf = encode_grid_netcdf({"field": arr[None]},
+                             [dt.datetime(2024, 2, 1, 6)], lat, lon)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_nc")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_{nvec}.nc")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = NETCDF.open_variable(spark, fp, "field")
+    return (g.groupBy("y", "time")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 F.min("lat").alias("lat")))
+
+
+SQL_INGEST_NETCDF = """
+WITH u AS (SELECT (SELECT COUNT(*) FROM embeddings) - 1 - vec_id AS y,
+                  CAST(x AS DOUBLE) AS v
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings))
+SELECT y, TIMESTAMP '2024-02-01 06:00:00' AS time, COUNT(v) AS n,
+       AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(0.01 AS DOUBLE) * (y + 0.5) AS lat
+FROM u GROUP BY y
+"""
+
+
 def q_webmercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326→3857 reprojection + slippy tile index (z=6) per distinct
     grid pixel — the tile-export path of the reference's titiler service
@@ -847,6 +895,7 @@ EXT_QUERIES = {
     "sessionize": q_sessionize,
     "percentiles": q_percentiles,
     "ingest_geotiff": q_ingest_geotiff,
+    "ingest_netcdf": q_ingest_netcdf,
     "webmercator_tiles": q_webmercator_tiles,
     "regrid_bilinear": q_regrid_bilinear,
     "fingerprints": q_fingerprints,
@@ -880,6 +929,7 @@ EXT_ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "percentiles": SQL_PERCENTILES,
     "ingest_geotiff": SQL_INGEST_GEOTIFF,
+    "ingest_netcdf": SQL_INGEST_NETCDF,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "regrid_bilinear": SQL_REGRID_BILINEAR,
     "fingerprints": SQL_FINGERPRINTS,

@@ -182,21 +182,71 @@ class Grib2Plugin(_BaseFilePlugin):
 
 
 class NetCDFPlugin(_BaseFilePlugin):
-    """S2 — NetCDF scan with nearest-time select, window slice, fill→NaN,
-    south-up flip (formats/netcdf.py:33-184). Needs xarray/h5netcdf."""
+    """S2 — NetCDF scan, dependency-free for the *classic* format
+    (CDF-1/2 via netcdf_codec): CF fill→NaN + packed-data scaling,
+    "<unit> since <epoch>" time axes, latitude-orientation handling
+    (formats/netcdf.py:33-184). NetCDF-4 (HDF5 container) still needs
+    h5netcdf and stays import-gated on the same seam."""
 
     name = "netcdf"
     extensions = ("nc", "nc4", "cdf")
     magic_bytes = (b"CDF", b"\x89HDF")
 
+    _Y_NAMES = ("lat", "latitude", "y")
+    _X_NAMES = ("lon", "longitude", "x")
+    _T_NAMES = ("time", "t", "valid_time")
+
     def _decode(self, content: bytes, path: str | None = None):
-        try:
-            import xarray  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "NetCDF decoding needs xarray/h5netcdf (not in this "
-                "container); Spark plumbing shared with NpzGridPlugin") from e
-        raise NotImplementedError("xarray decode path not wired yet")
+        if content[:4] == b"\x89HDF":
+            try:
+                import h5netcdf  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "NetCDF-4 (HDF5) decoding needs h5netcdf (not in this "
+                    "container); classic CDF-1/2 decodes natively") from e
+            raise NotImplementedError("h5netcdf decode path not wired yet")
+        from georiva_spark.sources.netcdf_codec import (
+            cf_decode_times, cf_decode_values, decode_netcdf,
+        )
+        d = decode_netcdf(content)
+        vs = d["variables"]
+
+        def axis(names):
+            for n in names:
+                if n in vs and len(vs[n]["dims"]) == 1:
+                    return n
+            return None
+
+        y_name, x_name = axis(self._Y_NAMES), axis(self._X_NAMES)
+        t_name = axis(self._T_NAMES)
+        if y_name is None or x_name is None:
+            raise ValueError("no lat/lon axes in classic NetCDF payload")
+        lat = np.asarray(vs[y_name]["data"], dtype=np.float64)
+        lon = np.asarray(vs[x_name]["data"], dtype=np.float64)
+        descending = len(lat) > 1 and lat[0] > lat[-1]
+        res = float(abs(lat[1] - lat[0])) if len(lat) > 1 else 1.0
+        lat0 = float(lat.min()) - res / 2
+        lon_res = float(abs(lon[1] - lon[0])) if len(lon) > 1 else res
+        lon0 = float(lon.min()) - lon_res / 2
+        times = (cf_decode_times(vs[t_name])
+                 if t_name is not None else [dt.datetime(1970, 1, 1)])
+
+        y_dim = vs[y_name]["dims"][0]
+        x_dim = vs[x_name]["dims"][0]
+        variables, values = [], []
+        for name, var in vs.items():
+            if name in (y_name, x_name, t_name):
+                continue
+            if var["dims"][-2:] != [y_dim, x_dim]:
+                continue
+            a = cf_decode_values(var)
+            if a.ndim == 2:
+                a = a[None]
+            if descending:  # north-up file → flip so row 0 is south
+                a = a[:, ::-1, :]
+            variables.append(name)
+            values.append(a)
+        return values, times, (lat0, lon0, res), variables
 
 
 class GeoTIFFPlugin(_BaseFilePlugin):
