@@ -1,0 +1,245 @@
+"""Dependency-free GRIB2 codec (stdlib struct + numpy) for the
+simple-packing subset.
+
+The reference decodes GRIB via cfgrib/eccodes (formats/grib.py:61-144),
+absent from this container. GRIB2's wire format is plain big-endian
+sections, and the overwhelmingly common encoding for the reference's
+feeds (lat/lon grid + simple packing) needs no library:
+
+- Section 0/8 framing ("GRIB"…"7777"), multi-message files
+- Section 1 reference time
+- Section 3 grid definition template 3.0 (lat/lon), scanning modes
+- Section 4 product template 4.0 (parameter + forecast offset)
+- Section 5 data representation template 5.0 (simple packing:
+  v = (R + X·2^E)·10^-D with X an nbits unsigned big-endian bit field)
+- Section 6 bitmap (missing points → NaN)
+
+Complex/JPEG packing (templates 5.2/5.3/5.40) still needs eccodes and
+raises NotImplementedError with the template number.
+
+The writer quantizes with floor((v-R)·2^-E) — a valid encoder choice
+that keeps the quantized values exactly reproducible by integer/double
+arithmetic in an external SQL oracle (see q_ingest_grib2).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import struct
+
+import numpy as np
+
+# (discipline, category, number) → shortName for common parameters
+# (WMO GRIB2 code tables 4.1/4.2; cfgrib uses the same shortNames)
+PARAM_SHORTNAMES = {
+    (0, 0, 0): "t", (0, 0, 6): "dpt", (0, 1, 8): "tp", (0, 1, 1): "r",
+    (0, 2, 2): "u", (0, 2, 3): "v", (0, 3, 0): "pres", (0, 3, 1): "prmsl",
+    (2, 0, 192): "sm",
+}
+_SHORTNAME_PARAMS = {v: k for k, v in PARAM_SHORTNAMES.items()}
+
+
+def _u(buf: bytes, off: int, n: int) -> int:
+    return int.from_bytes(buf[off:off + n], "big")
+
+
+def _s(buf: bytes, off: int, n: int) -> int:
+    """GRIB signed = sign-magnitude (MSB is the sign bit)."""
+    v = _u(buf, off, n)
+    sign_bit = 1 << (8 * n - 1)
+    return -(v & ~sign_bit) if v & sign_bit else v
+
+
+def _unpack_bits(data: bytes, nbits: int, n: int) -> np.ndarray:
+    if nbits == 0:
+        return np.zeros(n, dtype=np.int64)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8),
+                         count=n * nbits).reshape(n, nbits)
+    weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
+    bits = ((x[:, None] >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def decode_grib2(content: bytes) -> list[dict]:
+    """Parse every message → [{"shortName", "discipline", "category",
+    "number", "ref_time", "valid_time", "values" (H,W float64, NaN for
+    bitmap-missing), "la1","lo1","la2","lo2","di","dj","scan",
+    "south_up"}]. Values are unscaled to physical units."""
+    msgs = []
+    pos = 0
+    while pos < len(content):
+        if content[pos:pos + 4] != b"GRIB":
+            if not content[pos:].strip(b"\0"):
+                break
+            raise ValueError(f"bad GRIB indicator at {pos}")
+        discipline = content[pos + 6]
+        edition = content[pos + 7]
+        if edition != 2:
+            raise NotImplementedError(f"GRIB edition {edition}")
+        total = _u(content, pos + 8, 8)
+        msgs.append(_decode_message(content[pos:pos + total], discipline))
+        pos += total
+    return msgs
+
+
+def _decode_message(m: bytes, discipline: int) -> dict:
+    pos = 16
+    sections: dict[int, bytes] = {}
+    while pos < len(m):
+        if m[pos:pos + 4] == b"7777":
+            break
+        ln = _u(m, pos, 4)
+        sections[m[pos + 4]] = m[pos:pos + ln]
+        pos += ln
+
+    s1 = sections[1]
+    ref_time = dt.datetime(_u(s1, 12, 2), s1[14], s1[15], s1[16], s1[17],
+                           s1[18])
+
+    s3 = sections[3]
+    if _u(s3, 12, 2) != 0:
+        raise NotImplementedError(f"grid template {_u(s3, 12, 2)}")
+    ni, nj = _u(s3, 30, 4), _u(s3, 34, 4)
+    la1, lo1 = _s(s3, 46, 4) / 1e6, _s(s3, 50, 4) / 1e6
+    la2, lo2 = _s(s3, 55, 4) / 1e6, _s(s3, 59, 4) / 1e6
+    di, dj = _u(s3, 63, 4) / 1e6, _u(s3, 67, 4) / 1e6
+    scan = s3[71]
+
+    s4 = sections[4]
+    if _u(s4, 7, 2) != 0:
+        raise NotImplementedError(f"product template {_u(s4, 7, 2)}")
+    category, number = s4[9], s4[10]
+    unit = s4[17]
+    fstep = _u(s4, 18, 4)
+    step = {0: dt.timedelta(minutes=fstep), 1: dt.timedelta(hours=fstep),
+            2: dt.timedelta(days=fstep), 13: dt.timedelta(seconds=fstep)
+            }.get(unit, dt.timedelta(hours=fstep))
+
+    s5 = sections[5]
+    npoints = _u(s5, 5, 4)
+    tmpl = _u(s5, 9, 2)
+    if tmpl != 0:
+        raise NotImplementedError(
+            f"data representation template 5.{tmpl} needs eccodes; only "
+            "simple packing (5.0) decodes natively")
+    ref_val = struct.unpack(">f", s5[11:15])[0]
+    e_scale = _s(s5, 15, 2)
+    d_scale = _s(s5, 17, 2)
+    nbits = s5[19]
+
+    s6 = sections[6]
+    bitmap = None
+    if s6[5] == 0:
+        bitmap = np.unpackbits(np.frombuffer(s6[6:], np.uint8),
+                               count=ni * nj).astype(bool)
+    elif s6[5] != 255:
+        raise NotImplementedError(f"bitmap indicator {s6[5]}")
+
+    s7 = sections[7]
+    x = _unpack_bits(s7[5:], nbits, npoints)
+    packed = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
+        * 10.0 ** (-d_scale)
+    if bitmap is None:
+        values = packed.reshape(nj, ni)
+    else:
+        full = np.full(ni * nj, np.nan)
+        full[bitmap] = packed
+        values = full.reshape(nj, ni)
+    key = (discipline, category, number)
+    return {
+        "shortName": PARAM_SHORTNAMES.get(
+            key, f"d{discipline}c{category}n{number}"),
+        "discipline": discipline, "category": category, "number": number,
+        "ref_time": ref_time, "valid_time": ref_time + step,
+        "values": values, "la1": la1, "lo1": lo1, "la2": la2, "lo2": lo2,
+        "di": di, "dj": dj, "scan": scan,
+        # +j scanning flag (0x40): rows already run south→north
+        "south_up": bool(scan & 0x40),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Writer — simple packing, floor quantization
+# ---------------------------------------------------------------------------
+
+def _sm(v: int, n: int) -> bytes:
+    """Sign-magnitude big-endian."""
+    return ((abs(v) | (1 << (8 * n - 1))) if v < 0 else v).to_bytes(n, "big")
+
+
+def _sec(num: int, body: bytes) -> bytes:
+    return (len(body) + 5).to_bytes(4, "big") + bytes([num]) + body
+
+
+def encode_grib2_message(values: np.ndarray, *, shortname: str,
+                         ref_time: dt.datetime, forecast_hours: int = 0,
+                         la1: float, lo1: float, di: float, dj: float,
+                         e_scale: int = -24, south_up: bool = False) -> bytes:
+    """One GRIB2 message: lat/lon grid (3.0), product 4.0, simple
+    packing (5.0) with X = floor((v-R)·2^-E), D=0. NaNs become bitmap
+    missing points. (la1, lo1) is the FIRST grid point (row 0); row
+    order is north→south unless south_up sets the +j scanning flag."""
+    a = np.asarray(values, dtype=np.float64)
+    nj, ni = a.shape
+    mask = np.isfinite(a.ravel())
+    data = a.ravel()[mask]
+    disc, cat, num = _SHORTNAME_PARAMS.get(shortname, (255, 255, 255))
+
+    r = np.float32(data.min()) if data.size else np.float32(0.0)
+    x = np.floor((data - float(r)) * 2.0 ** (-e_scale)).astype(np.int64)
+    nbits = max(1, int(x.max()).bit_length()) if x.size else 0
+
+    # octets 6-12: centre(2) subcentre(2) master(1) local(1) sig(1)
+    s1 = (bytes([0, 0, 0, 0, 1, 0, 1]) + ref_time.year.to_bytes(2, "big")
+          + bytes([ref_time.month, ref_time.day, ref_time.hour,
+                   ref_time.minute, ref_time.second, 0, 1]))
+    la2 = la1 + (nj - 1) * (dj if south_up else -dj)
+    lo2 = lo1 + (ni - 1) * di
+    scan = 0x40 if south_up else 0x00
+    s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big") + bytes([0, 0])
+          + (0).to_bytes(2, "big")                   # template 3.0
+          # octets 15-30: earth shape(1) + 3×(scale(1)+scaled radius(4))
+          + bytes([6, 0]) + (0).to_bytes(4, "big")
+          + bytes([0]) + (0).to_bytes(4, "big")
+          + bytes([0]) + (0).to_bytes(4, "big")
+          + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+          + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
+          + _sm(round(la1 * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
+          + bytes([0x30])
+          + _sm(round(la2 * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
+          + round(di * 1e6).to_bytes(4, "big")
+          + round(dj * 1e6).to_bytes(4, "big") + bytes([scan]))
+    s4 = ((0).to_bytes(2, "big") + (0).to_bytes(2, "big")   # template 4.0
+          + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
+          + bytes([0, 1])                                    # unit: hours
+          + forecast_hours.to_bytes(4, "big")
+          + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
+          + bytes([255, 0]) + (0).to_bytes(4, "big"))
+    s5 = ((ni * nj if mask.all() else int(mask.sum())).to_bytes(4, "big")
+          + (0).to_bytes(2, "big")                           # template 5.0
+          + struct.pack(">f", float(r)) + _sm(e_scale, 2)
+          + _sm(0, 2) + bytes([nbits, 0]))
+    if mask.all():
+        s6 = bytes([255])
+    else:
+        s6 = bytes([0]) + np.packbits(
+            mask.astype(np.uint8)).tobytes()
+    s7 = _pack_bits(x, nbits) if nbits else b""
+
+    body = (_sec(1, s1) + _sec(3, s3) + _sec(4, s4) + _sec(5, s5)
+            + _sec(6, s6) + _sec(7, s7))
+    total = 16 + len(body) + 4
+    head = (b"GRIB" + bytes([0, 0, disc if disc != 255 else 0, 2])
+            + total.to_bytes(8, "big"))
+    return head + body + b"7777"
+
+
+def encode_grib2(messages: list[dict]) -> bytes:
+    """Concatenate messages (kwargs dicts for encode_grib2_message)."""
+    return b"".join(encode_grib2_message(m.pop("values"), **m)
+                    for m in [dict(m) for m in messages])

@@ -164,21 +164,45 @@ class NpzGridPlugin(_BaseFilePlugin):
 
 
 class Grib2Plugin(_BaseFilePlugin):
-    """S1 — GRIB2 scan keyed (shortName, typeOfLevel, level)
-    (formats/grib.py:61-144). Decoder requires cfgrib/eccodes."""
+    """S1 — GRIB2 scan keyed by shortName (formats/grib.py:61-144),
+    dependency-free for the simple-packing subset via grib2_codec:
+    multi-message files, lat/lon grids (template 3.0), bitmap missing →
+    NaN, scanning-mode orientation, valid time = reference + forecast
+    step. Complex/JPEG packing still raises (needs eccodes) through the
+    same seam."""
 
     name = "grib2"
     extensions = ("grib", "grib2", "grb", "grb2")
     magic_bytes = (b"GRIB",)
 
     def _decode(self, content: bytes, path: str | None = None):
-        try:
-            import cfgrib  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "GRIB2 decoding needs cfgrib/eccodes (not in this container); "
-                "the Spark scan plumbing is shared with NpzGridPlugin") from e
-        raise NotImplementedError("cfgrib decode path not wired yet")
+        from georiva_spark.sources.grib2_codec import decode_grib2
+        msgs = decode_grib2(content)
+        if not msgs:
+            raise ValueError("empty GRIB2 payload")
+        by_var: dict[str, list] = {}
+        for m in msgs:
+            by_var.setdefault(m["shortName"], []).append(m)
+        m0 = msgs[0]
+        nj = m0["values"].shape[0]
+        dj, di = m0["dj"], m0["di"]
+        if m0["south_up"]:
+            lat0 = m0["la1"] - dj / 2
+        else:  # row 0 = north (standard scanning): south edge from la1
+            lat0 = m0["la1"] - (nj - 1) * dj - dj / 2
+        lon0 = m0["lo1"] - di / 2
+        transform = (lat0, lon0, dj)
+        variables, values, times = sorted(by_var), [], None
+        for name in variables:
+            series = sorted(by_var[name], key=lambda m: m["valid_time"])
+            stack = []
+            for m in series:
+                a = m["values"]
+                stack.append(a if m["south_up"] else np.flipud(a))
+            values.append(np.stack(stack))
+            if times is None:
+                times = [m["valid_time"] for m in series]
+        return values, times, transform, variables
 
 
 class NetCDFPlugin(_BaseFilePlugin):

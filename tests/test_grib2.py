@@ -1,0 +1,90 @@
+"""GRIB2 codec + plugin tests (S1): simple-packing round trip, bitmap
+missing points, multi-message variables, scanning-mode orientation,
+valid-time arithmetic, gated complex packing."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from georiva_spark.sources.grib2_codec import (
+    decode_grib2, encode_grib2_message,
+)
+from georiva_spark.sources.raster_formats import GRIB2
+
+T0 = dt.datetime(2024, 3, 1, 6)
+
+
+def test_roundtrip_quantization_and_bitmap():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(20, 30))
+    a[3, 4] = np.nan
+    buf = encode_grib2_message(a, shortname="t", ref_time=T0,
+                               forecast_hours=12, la1=10.0, lo1=-5.0,
+                               di=0.5, dj=0.5)
+    m = decode_grib2(buf)[0]
+    assert m["shortName"] == "t"
+    assert m["valid_time"] == T0 + dt.timedelta(hours=12)
+    assert m["values"].shape == (20, 30)
+    assert np.isnan(m["values"][3, 4])
+    assert np.nanmax(np.abs(m["values"] - a)) <= 2.0 ** -24 * (
+        np.nanmax(a) - np.nanmin(a) + 1)
+    # floor quantization is exactly reproducible
+    r = np.float32(np.nanmin(a))
+    want = float(r) + np.floor((a[0, 0] - float(r)) * 2.0 ** 24) * 2.0 ** -24
+    assert m["values"][0, 0] == want
+
+
+def test_multi_message_and_negative_coords():
+    a = np.arange(6, dtype=float).reshape(2, 3)
+    buf = (encode_grib2_message(a, shortname="u", ref_time=T0,
+                                la1=-10.25, lo1=-120.5, di=0.25, dj=0.25)
+           + encode_grib2_message(a + 1, shortname="v", ref_time=T0,
+                                  la1=-10.25, lo1=-120.5, di=0.25, dj=0.25))
+    msgs = decode_grib2(buf)
+    assert [m["shortName"] for m in msgs] == ["u", "v"]
+    assert msgs[0]["la1"] == -10.25 and msgs[0]["lo1"] == -120.5
+
+
+def test_plugin_orientation_and_times(spark, tmp_path):
+    """North-up message flips to the south-up grid contract; two
+    forecast steps stack along time."""
+    a0 = np.arange(4, dtype=float).reshape(2, 2)        # row 0 = north
+    a1 = a0 + 10
+    # top row center lat 1.5, res 1 → south-up rows: y=0 holds file row 1
+    kw = dict(shortname="t", ref_time=T0, la1=1.5, lo1=0.5, di=1.0, dj=1.0)
+    buf = (encode_grib2_message(a0, forecast_hours=0, **kw)
+           + encode_grib2_message(a1, forecast_hours=6, **kw))
+    fp = tmp_path / "fc.grib2"
+    fp.write_bytes(buf)
+
+    assert GRIB2.list_variables(spark, str(fp)) == ["t"]
+    assert GRIB2.get_timestamps(spark, str(fp), "t") == [
+        T0, T0 + dt.timedelta(hours=6)]
+
+    rows = GRIB2.open_variable(spark, str(fp), "t").collect()
+    assert len(rows) == 8
+    got = {(r.time.hour, r.y, r.x): r.value for r in rows}
+    assert got[(6, 1, 0)] == 0.0      # north file row → high grid y
+    assert got[(6, 0, 0)] == 2.0
+    assert got[(12, 0, 1)] == 13.0
+    one = [r for r in rows if (r.y, r.x) == (0, 0)][0]
+    assert one.lat == 0.5 and one.lon == 0.5
+
+
+def test_complex_packing_gated():
+    rng = np.random.default_rng(1)
+    buf = bytearray(encode_grib2_message(rng.normal(size=(2, 2)),
+                                         shortname="t", ref_time=T0,
+                                         la1=1.5, lo1=0.5, di=1, dj=1))
+    # flip the data-representation template number to 5.3 (complex)
+    idx = bytes(buf).find(b"GRIB")
+    pos = 16
+    while True:
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        if buf[pos + 4] == 5:
+            buf[pos + 9:pos + 11] = (3).to_bytes(2, "big")
+            break
+        pos += ln
+    with pytest.raises(NotImplementedError, match="5.3"):
+        decode_grib2(bytes(buf))

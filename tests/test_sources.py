@@ -77,10 +77,11 @@ def test_registry_dispatch(tmp_path, npz_file):
     assert DEFAULT_REGISTRY.get_for_file(str(tmp_path / "missing.bin")) is None
 
 
-def test_gated_decoders_raise_not_implemented(spark, tmp_path):
+def test_unsupported_grib_edition_raises(spark, tmp_path):
+    # GRIB1 (edition byte 1) is outside the native simple-packing subset
     f = tmp_path / "x.grib2"
-    f.write_bytes(b"GRIB" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="cfgrib"):
+    f.write_bytes(b"GRIB\x00\x00\x00\x01" + b"\x00" * 64)
+    with pytest.raises(Exception, match="edition"):
         GRIB2.list_variables(spark, str(f))
 
 
