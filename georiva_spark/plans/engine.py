@@ -38,6 +38,21 @@ from georiva_spark.plans.recipe import (
 RUNNING_TIMEOUT = dt.timedelta(minutes=30)  # processing/constants.py analog
 
 
+def _dedup_checksums(resolved) -> list[str]:
+    """Checksums of resolved inputs, deduped by item_id — the same item
+    resolved in two roles counts once, keeping the driver input hash
+    identical to the lineage-derived distributed recompute
+    (stale_units_df)."""
+    seen: set[int] = set()
+    out: list[str] = []
+    for r in resolved:
+        if r.item_id is None or r.item_id in seen:
+            continue
+        seen.add(r.item_id)
+        out.append(r.checksum)
+    return out
+
+
 @dataclass
 class Trigger:
     """A catalog event: a (staging) item arrived/changed
@@ -133,8 +148,7 @@ class DerivationEngine:
             return self._mark(rec, "not_ready",
                               reason=f"missing inputs: {sorted(set(missing))}")
 
-        ih = input_hash([r.checksum for r in resolved if r.item_id is not None],
-                        recipe.version)
+        ih = input_hash(_dedup_checksums(resolved), recipe.version)
         # idempotency (engine.py:344-352): same inputs, same version → skip
         if (prev is not None and prev.status == "completed"
                 and prev.input_hash == ih):
@@ -225,11 +239,53 @@ class DerivationEngine:
                 resolved = recipe.resolve_inputs(unit, self.catalog)
             except Exception:  # noqa: BLE001
                 continue
-            ih = input_hash([r.checksum for r in resolved
-                             if r.item_id is not None], recipe.version)
+            ih = input_hash(_dedup_checksums(resolved), recipe.version)
             if ih != rec.input_hash:
                 out.append(self.run_unit(recipe, unit, origin="stale-sweep"))
         return out
+
+    def stale_units_df(self, items_df: DataFrame | None = None) -> DataFrame:
+        """Distributed stale scan — the ledger-as-DataFrame primary path
+        for sweeps over millions of units: join the lineage table against
+        current catalog checksums and recompute every derived unit's
+        input hash IN SPARK (sha256 over the same canonical-JSON payload
+        ``input_hash`` builds), then anti-match against the recorded
+        hash. O(lineage edges) distributed work, no driver loop or
+        per-unit recipe call. ``items_df`` defaults to the in-memory
+        catalog; at scale pass the items table directly.
+
+        Returns (unit_hash, unit_key, recipe_type, produced_item_id,
+        recorded_input_hash, current_input_hash) for units whose inputs
+        changed underneath. ``sweep_stale`` (driver path, exact for
+        recipes that re-resolve inputs) remains the recompute executor;
+        this scan is the planner that finds the work.
+
+        Caveat: the scan recomputes the hash from lineage edges, which
+        dedup source items — identical to ``input_hash`` for recipes
+        that resolve each item once (all shipped recipes)."""
+        from pyspark.sql import functions as F
+        if items_df is None:
+            items_df = self.spark.createDataFrame(
+                [(it["item_id"], it["checksum"])
+                 for it in self.catalog.items],
+                "item_id long, checksum string")
+        lin = self.lineage_df()
+        payload = F.concat(
+            F.lit('{"inputs":["'),
+            F.array_join(F.array_sort(F.collect_list("checksum")), '","'),
+            F.lit('"],"version":"'),
+            F.first("recipe_version"), F.lit('"}'))
+        cur = (lin.join(items_df, lin.source_item_id == items_df.item_id)
+               .groupBy("derived_item_id")
+               .agg(F.sha2(payload, 256).alias("current_input_hash")))
+        runs = self.runs_df().where(
+            F.col("status").isin("completed", "skipped"))
+        return (runs.join(cur, runs.produced_item_id == cur.derived_item_id)
+                .where(F.col("input_hash") != F.col("current_input_hash"))
+                .select("unit_hash", "unit_key", "recipe_type",
+                        "produced_item_id",
+                        F.col("input_hash").alias("recorded_input_hash"),
+                        "current_input_hash"))
 
     def invalidate_downstream(self, source_item_ids: list[int]) -> list[int]:
         """Transitive forward closure over lineage (invocation.py:210-247):

@@ -714,6 +714,38 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(media)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling: each 64-dim embedding becomes a 4-frame
+    4×4 RAW video; sample every 2nd frame (1:N mapInPandas explosion)
+    then re-extract per-frame stats. frame_id = 4·vec_id + frame_index
+    so the DuckDB oracle can address the exact embedding slice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32).reshape(4, 4, 4)
+                rows.append((int(vec_id), mm.encode_raw_video(a)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = emb.mapInPandas(gen, schema="media_id long, content binary")
+    frames = mm.sample_frames(media, every=2)
+    composite = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_index")).alias("media_id"),
+        "content", F.lit("image/raw").alias("mime"))
+    return (mm.image_features(composite)
+            .select(F.col("media_id").alias("frame_id"), "mean"))
+
+
+SQL_VIDEO_FRAMES = """
+SELECT 4 * vec_id + f AS frame_id,
+       list_avg(list_transform(range(16*f + 1, 16*f + 17),
+                               i -> CAST(embedding[i] AS DOUBLE))) AS mean
+FROM embeddings, (VALUES (0), (2)) t(f)
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the hash-dependent / multimodal queries. The portable
 # 60-bit hash (first 15 hex chars of md5 as integer) is computable
@@ -956,6 +988,7 @@ EXT_QUERIES = {
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "approx_distinct": q_approx_distinct,
@@ -991,6 +1024,7 @@ EXT_ORACLES = {
     "image_features": SQL_IMAGE_FEATURES,
     "image_resize": SQL_IMAGE_RESIZE,
     "audio_features": SQL_AUDIO_FEATURES,
+    "video_frames": SQL_VIDEO_FRAMES,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash": SQL_SIMHASH,

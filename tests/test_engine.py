@@ -67,6 +67,34 @@ def test_idempotency_skip_and_hash_recompute(spark, clim_engine):
     assert all(r.origin == "stale-sweep" for r in redone)
 
 
+def test_stale_units_df_matches_driver_hash(spark, clim_engine):
+    """The distributed stale scan must agree with the driver-side
+    input_hash: clean ledger → empty; one mutated source checksum →
+    exactly the affected units, with the Spark-computed hash equal to
+    what the python recompute produces."""
+    from georiva_spark.plans.recipe import input_hash
+
+    clim_engine.run_all()
+    assert clim_engine.stale_units_df().count() == 0
+    clim_engine.catalog.items[0]["checksum"] = "sha-CHANGED"
+    stale = clim_engine.stale_units_df().collect()
+    assert len(stale) == 4   # every unit consumes the mutated month
+    # Spark-side sha256 equals the canonical-JSON driver hash
+    from georiva_spark.plans.engine import _dedup_checksums
+    recipe = clim_engine.registry.get("climatology")
+    import json as _json
+    for row in stale:
+        unit = _json.loads(row.unit_key)
+        resolved = recipe.resolve_inputs(unit, clim_engine.catalog)
+        want = input_hash(_dedup_checksums(resolved), recipe.version)
+        assert row.current_input_hash == want
+        assert row.recorded_input_hash != want
+    # the driver executor then recomputes exactly that work list
+    redone = clim_engine.sweep_stale()
+    assert len(redone) == 4
+    assert clim_engine.stale_units_df().count() == 0
+
+
 def test_anomaly_values_from_transform(spark, clim_engine):
     clim_engine.run_all()
     # anomaly vs 2020 baseline: mean over 2020-2021 = 1.5, baseline = 1.0
