@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from georiva_spark.plans import CatalogContext, DerivationEngine, RecipeRegistry
 from georiva_spark.plans.recipes import PromotionRecipe
-from georiva_spark.streaming import start_grid_ingest, run_sweep_now
+from georiva_spark.streaming import (
+    grid_file_stream, run_sweep_now, start_grid_ingest, windowed_stats,
+)
 from georiva_spark.testing import grid_from_arrays
 
 T0 = dt.datetime(2020, 1, 1)
@@ -72,6 +74,70 @@ def test_stream_exactly_once_on_restart(spark, dirs):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(grid_dir).count()
     assert n1 == 4 and n2 == 8
+
+
+def _drop_events(spark, landing, name, rows):
+    """rows: [(hour_offset_minutes, value)] → one grid-schema parquet drop."""
+    g = grid_from_arrays(spark, np.full((1, 1), 0.0), [T0],
+                         collection="wstream")
+    base = [r.asDict() for r in g.collect()][0]
+    out = []
+    for minutes, v in rows:
+        row = dict(base)
+        row["time"] = T0 + dt.timedelta(minutes=minutes)
+        row["value"] = v
+        out.append(row)
+    (spark.createDataFrame(out, g.schema).coalesce(1)
+     .write.mode("append").parquet(os.path.join(landing, name)))
+
+
+def test_windowed_stats_watermark_late_data(spark, dirs):
+    """Append-mode tumbling window: a late row inside the allowed
+    lateness folds into its window before it finalizes; a row older than
+    the watermark is dropped. Three availableNow passes over one
+    checkpoint emulate the arrival timeline."""
+    landing, out_dir, ckpt = dirs
+    sink_ckpt = ckpt + "-sink"
+
+    def run_pass():
+        stream = grid_file_stream(spark, landing + "/*")
+        agg = windowed_stats(stream, window="1 hour",
+                             watermark="30 minutes")
+        q = (agg.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", sink_ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch A: on-time rows at 10:05 and 10:20 (window 10:00-11:00)
+    _drop_events(spark, landing, "a", [(605, 1.0), (620, 2.0)])
+    run_pass()
+    assert not os.path.exists(out_dir) or \
+        spark.read.parquet(out_dir).count() == 0  # window still open
+    # batch B: watermark advancer at 13:00, LATE row 10:40 (accepted —
+    # watermark is still 09:50), TOO-LATE row 08:00 (dropped)
+    _drop_events(spark, landing, "b", [(780, 3.0), (640, 4.0), (480, 5.0)])
+    run_pass()
+    # batch C: watermark (12:30) has passed 11:00 → window finalizes
+    _drop_events(spark, landing, "c", [(960, 6.0)])
+    run_pass()
+
+    got = spark.read.parquet(out_dir).collect()
+    finalized = {(r.window_start.hour, r.n, r.sum) for r in got}
+    # the 10:00-11:00 window contains the two on-time rows AND the late
+    # 10:40 row; the too-late 08:00 row is absent entirely
+    assert (10, 3, 7.0) in finalized
+    assert not any(r.window_start.hour == 8 for r in got)
+
+
+def test_windowed_stats_batch_equivalence(spark):
+    g = grid_from_arrays(spark, np.full((1, 1), 0.0), [T0])
+    base = g.collect()[0].asDict()
+    rows = [dict(base, time=T0 + dt.timedelta(minutes=m), value=v)
+            for m, v in [(5, 1.0), (20, 2.0), (70, 3.0)]]
+    df = spark.createDataFrame(rows, g.schema)
+    out = {(r.window_start.minute + r.window_start.hour * 60, r.n, r.sum)
+           for r in windowed_stats(df, window="1 hour").collect()}
+    assert out == {(0, 2, 3.0), (60, 1, 3.0)}
 
 
 def test_sweep_recovers_not_ready(spark, dirs):
