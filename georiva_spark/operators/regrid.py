@@ -74,14 +74,27 @@ def regrid_bilinear(grid: DataFrame,
     geoprocessing/regrid.py:17,45): each target pixel center interpolates
     its 4 surrounding source pixel centers with arithmetic weights.
 
-    Shape: the target lattice (a tiny generated relation) explodes into
-    ≤4 weighted neighbour keys and is broadcast; the big source grid
-    equi-joins on (y, x) without shuffling, then one partial-aggregated
-    groupBy per target pixel computes Σw·v / Σw. Renormalizing by Σw
-    degrades gracefully at edges (indices clamp, duplicate neighbours
-    merge) and where source pixels are missing. At 100 TB the source
-    grid is never shuffled pre-aggregation — same budget as zonal.
+    Shape: the target lattice (a generated relation) explodes into ≤4
+    weighted neighbour keys; when the lattice is small (tile renders,
+    window exports — the common case) it is broadcast and the big source
+    grid equi-joins WITHOUT shuffling. For full-grid regrids the lattice
+    is the same order as the grid, so past `broadcast_max_targets` the
+    join falls back to a shuffle equi-join on (y, x) — both sides hash
+    once, which is the floor for an all-to-all regrid. Either way the
+    final groupBy per target pixel (Σw·v / Σw) partial-aggregates
+    map-side. Renormalizing by Σw degrades gracefully at edges (indices
+    clamp, duplicate neighbours merge) and where source pixels are
+    missing.
     """
+    return _regrid_bilinear(grid, src, dst, dst_shape, src_shape)
+
+
+def _regrid_bilinear(grid: DataFrame,
+                     src: tuple[float, float, float],
+                     dst: tuple[float, float, float],
+                     dst_shape: tuple[int, int],
+                     src_shape: tuple[int, int],
+                     broadcast_max_targets: int = 2_000_000) -> DataFrame:
     s_lat0, s_lon0, s_res = src
     d_lat0, d_lon0, d_res = dst
     h, w = dst_shape
@@ -112,9 +125,11 @@ def regrid_bilinear(grid: DataFrame,
                    F.col("nb.sy").alias("sy"), F.col("nb.sx").alias("sx"),
                    F.col("nb.wt").alias("wt"))
            .where(F.col("wt") > 0))
+    if h * w <= broadcast_max_targets:
+        tgt = F.broadcast(tgt)
     joined = grid.join(
-        F.broadcast(tgt),
-        (F.col("y") == F.col("sy")) & (F.col("x") == F.col("sx")), "inner")
+        tgt, (F.col("y") == F.col("sy")) & (F.col("x") == F.col("sx")),
+        "inner")
     return (joined.groupBy(*PIXEL_COLS, "ty", "tx", "t_lat", "t_lon")
             .agg((F.sum(F.col("wt") * F.col("value"))
                   / F.sum("wt")).alias("value"))

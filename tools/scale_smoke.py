@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from georiva_spark.operators import temporal, zonal
+from georiva_spark.operators import regrid, temporal, zonal
 from georiva_spark.session import get_spark
 
 W, H = 7200, 3600          # global grid (asset_writer.py:199-203)
@@ -76,6 +76,24 @@ def main():
     r = temporal.resample(grid, "month").count()
     el = time.perf_counter() - t0
     print(f"resample(month): {el:.1f}s ({n/el/1e6:.1f}M rows/s) -> {r} rows")
+
+    t0 = time.perf_counter()
+    zr = zonal.zonal_rollup(grid, boundaries, keys=("variable",)).count()
+    el = time.perf_counter() - t0
+    print(f"zonal_rollup(GROUPING SETS, 3 boundaries + levels): {el:.1f}s "
+          f"({n/el/1e6:.1f}M rows/s) -> {zr} rows")
+
+    # bilinear 2x downsample of one timestep: 25.9M -> 6.5M target pixels,
+    # broadcast 4-neighbour weighted join
+    one = grid.where(F.col("time") == F.lit("2020-01-01").cast("timestamp"))
+    t0 = time.perf_counter()
+    b = regrid.regrid_bilinear(
+        one, src=(LAT0, LON0, RES), dst=(LAT0, LON0, RES * 2),
+        dst_shape=(H // 2, W // 2), src_shape=(H, W)).count()
+    el = time.perf_counter() - t0
+    n1 = W * H
+    print(f"regrid_bilinear(2x down, 1 step): {el:.1f}s "
+          f"({n1/el/1e6:.1f}M src rows/s) -> {b} rows")
 
 
 if __name__ == "__main__":
