@@ -114,6 +114,48 @@ def random_hyperplane_buckets(emb: DataFrame, planes: int = 12,
     return emb.withColumn("bucket", bucket.cast("long"))
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             exact: bool = False, planes: int = 8,
+                             multi_probe: int = 1) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
+    threshold) — the vector analog of MinHash near-dup mining.
+
+    Default: SRP-bucketed candidate generation (same-bucket plus
+    Hamming-1 probes), so the pair space never materializes O(N²) and
+    nothing broadcasts — at 100 TB this is the only viable shape; high
+    thresholds mean true pairs are at tiny angles and land in the same
+    or adjacent buckets with high probability.
+
+    exact=True: all-pairs via a range self-join on vec_id — O(N²)
+    compute, for bounded corpora and for measuring bucketed recall.
+    """
+    if exact:
+        a = emb.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("eb"))
+        cos = cosine_similarity(F.col("ea"), F.col("eb"))
+        return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "vec_b", cos.alias("cosine"))
+                .where(F.col("cosine") >= threshold))
+    bucketed = random_hyperplane_buckets(emb, planes=planes)
+    left = bucketed.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("ea"), "bucket")
+    probes = [F.col("bucket")]
+    if multi_probe:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                   for p in range(planes)]
+    right = bucketed.select(F.col("vec_id").alias("vec_b"),
+                            F.col("embedding").alias("eb"),
+                            F.explode(F.array(*probes)).alias("bucket"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (left.join(right, "bucket")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"]))
+
+
 def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
             planes: int = 8, portable: bool = False) -> DataFrame:
     """Approximate top-k: search only the query's SRP bucket. At scale the

@@ -714,6 +714,29 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(media)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact path (bounded corpus at
+    oracle scale); the SRP-bucketed default is the 100-TB path, recall-
+    tested in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4,
+                                               exact=True)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_inner_product(a.v, b.v)
+         / (sqrt(list_inner_product(a.v, a.v))
+            * sqrt(list_inner_product(b.v, b.v))) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v)
+        / (sqrt(list_inner_product(a.v, a.v))
+           * sqrt(list_inner_product(b.v, b.v))) >= 0.4
+"""
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling: each 64-dim embedding becomes a 4-frame
     4×4 RAW video; sample every 2nd frame (1:N mapInPandas explosion)
@@ -989,6 +1012,7 @@ EXT_QUERIES = {
     "image_resize": q_image_resize,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "embedding_near_dup": q_embedding_near_dup,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "approx_distinct": q_approx_distinct,
@@ -1025,6 +1049,7 @@ EXT_ORACLES = {
     "image_resize": SQL_IMAGE_RESIZE,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frames": SQL_VIDEO_FRAMES,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash": SQL_SIMHASH,

@@ -191,6 +191,11 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
     disc, cat, num = _SHORTNAME_PARAMS.get(shortname, (255, 255, 255))
 
     r = np.float32(data.min()) if data.size else np.float32(0.0)
+    # float32 rounding of the reference value may land ABOVE the true
+    # minimum, which would make X negative — nudge down one ulp. (Inputs
+    # that are exactly float32 — the oracle-checked path — never nudge.)
+    if data.size and float(r) > data.min():
+        r = np.nextafter(r, np.float32(-np.inf), dtype=np.float32)
     x = np.floor((data - float(r)) * 2.0 ** (-e_scale)).astype(np.int64)
     nbits = max(1, int(x.max()).bit_length()) if x.size else 0
 

@@ -104,6 +104,31 @@ def test_knn_all_topk_default_is_bucketed(spark):
     assert recall >= 0.9, f"bucketed recall {recall:.3f} < 0.9"
 
 
+def test_embedding_near_dup_bucketed_recall(spark):
+    """The SRP-bucketed near-dup path must recover ≥0.9 of the exact
+    pairs on clustered data without materializing all pairs."""
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 16))
+    # 5 tight copies per center → near-dup pairs within clusters
+    vecs = (np.repeat(centers, 5, axis=0)
+            + rng.normal(scale=0.05, size=(40, 16))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int")
+    exact = {(r.vec_a, r.vec_b) for r in
+             similarity.embedding_near_dup_pairs(
+                 emb, threshold=0.95, exact=True).collect()}
+    assert exact  # clusters actually produce near-dups
+    approx_df = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.95, planes=4, multi_probe=1)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = {(r.vec_a, r.vec_b) for r in approx_df.collect()}
+    assert len(approx & exact) / len(exact) >= 0.9
+    # every candidate is exactly verified, so no false positives
+    assert approx <= exact
+
+
 def test_ngram_jaccard_pruned_default_matches_exact(spark, docs):
     """The scale-safe df-pruned default must agree with exact mode on the
     test corpus (pruning only drops pairs sharing zero rare shingles)."""

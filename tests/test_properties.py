@@ -12,6 +12,7 @@ from georiva_spark.functions.geo import (
 )
 from georiva_spark.functions.units import UNITS, conversion
 from georiva_spark.plans.recipe import canonical_json, input_hash, unit_hash
+from georiva_spark.sources import grib2_codec, netcdf_codec, tiff_codec
 
 # -- geometry ---------------------------------------------------------------
 
@@ -92,3 +93,63 @@ def test_unit_roundtrip_identity(unit, value):
         f2, o2 = conversion(other, unit)
         back = (value * f1 + o1) * f2 + o2
         assert math.isclose(back, value, rel_tol=1e-9, abs_tol=1e-6)
+
+
+# -- raster codecs ----------------------------------------------------------
+
+_shapes = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@given(_shapes, st.sampled_from(["f4", "f8", "i2", "i4", "u1"]),
+       st.integers(0, 3), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_any_shape_dtype_layout(shape, dtype, seed, tiled):
+    rng = np.random.default_rng(seed)
+    dt_ = np.dtype(dtype)
+    if dt_.kind == "f":
+        a = rng.normal(size=shape).astype(dt_)
+    else:
+        info = np.iinfo(dt_)
+        a = rng.integers(info.min, info.max, size=shape).astype(dt_)
+    buf = tiff_codec.encode_geotiff(
+        a, pixel_scale=(0.5, 0.5), tiepoint_xy=(1.0, 2.0),
+        tile=(16, 16) if tiled else None,
+        rows_per_strip=None if tiled else 7)
+    bands, _, geo, flip = tiff_codec.decode_tiff(buf)
+    assert np.array_equal(bands[0], a)
+    assert geo == (0.5, 0.5, 1.0, 2.0) and flip
+
+
+@given(_shapes, st.integers(1, 4), st.integers(0, 3))
+@settings(max_examples=40, deadline=None)
+def test_netcdf_roundtrip_any_shape(shape, t, seed):
+    import datetime as dt
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    a = rng.normal(size=(t, h, w)).astype(np.float32)
+    times = [dt.datetime(2020, 1, 1) + dt.timedelta(hours=i)
+             for i in range(t)]
+    buf = netcdf_codec.encode_grid_netcdf(
+        {"v": a}, times, lat=np.arange(h) + 0.5, lon=np.arange(w) + 0.5)
+    d = netcdf_codec.decode_netcdf(buf)
+    out = netcdf_codec.cf_decode_values(d["variables"]["v"])
+    assert np.array_equal(out.astype(np.float32), a)
+    assert netcdf_codec.cf_decode_times(d["variables"]["time"]) == times
+
+
+@given(_shapes, st.integers(0, 3), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_grib2_quantization_bound_and_georef(shape, seed, south_up):
+    import datetime as dt
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=shape) * 100
+    buf = grib2_codec.encode_grib2_message(
+        a, shortname="t", ref_time=dt.datetime(2024, 1, 1),
+        la1=12.25, lo1=-33.5, di=0.25, dj=0.25, south_up=south_up)
+    m = grib2_codec.decode_grib2(buf)[0]
+    assert m["values"].shape == shape
+    assert m["south_up"] == south_up
+    assert m["la1"] == 12.25 and m["lo1"] == -33.5
+    # quantization error bounded by one step of 2^-24 × value scale
+    assert np.max(np.abs(m["values"] - a)) <= 2.0 ** -24 * (
+        np.max(a) - np.min(a) + 1)
