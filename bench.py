@@ -23,8 +23,9 @@ from georiva_spark.session import get_spark  # noqa: E402
 # filters/aggs, zonal mask join, trend closed form, LLM ops.
 HEADLINE = [
     "pricing_summary", "revenue_join", "regional_revenue", "latest_per_user",
-    "resample_daily", "anomaly", "zonal_stats", "area_timeseries", "trend",
-    "rolling_window", "vector_transform", "raster_combine", "regrid_coarse",
+    "resample_daily", "anomaly", "zonal_stats", "zonal_rollup",
+    "area_timeseries", "trend", "rolling_window", "vector_transform",
+    "raster_combine", "regrid_coarse", "regrid_bilinear",
     "dedup_exact", "minhash_dedup", "text_quality", "knn_cosine",
 ]
 

@@ -63,9 +63,14 @@ def latest_forecast_run(items: DataFrame) -> DataFrame:
     return windows.latest_run_steps(items, ["collection"])
 
 
-def collection_detail(items: DataFrame, collection: str) -> dict:
+def collection_detail(items: DataFrame, collection: str,
+                      max_times: int = 10_000) -> dict:
     """EDR collection metadata (edr/serializers.py:126-279): spatial +
-    temporal extent and the distinct time axis."""
+    temporal extent and the distinct time axis. The extent is a 1-row
+    aggregate; the time axis is API-shaped driver output and therefore
+    capped at ``max_times`` entries (a century of hourly steps fits) —
+    the one guard that keeps this endpoint from collecting unboundedly
+    on a degenerate catalog."""
     sub = items.where(F.col("collection") == collection)
     extent = (sub.agg(
         F.min("time").alias("time_min"), F.max("time").alias("time_max"),
@@ -75,6 +80,7 @@ def collection_detail(items: DataFrame, collection: str) -> dict:
         F.max(F.col("bounds")[3]).alias("north"),
         F.count(F.lit(1)).alias("n_items")).collect()[0])
     times = [r.time for r in
-             stats.distinct_times(sub, keys=()).orderBy("time").collect()]
+             stats.distinct_times(sub, keys=()).orderBy("time")
+             .limit(max_times).collect()]
     return {"collection": collection, "extent": extent.asDict(),
             "times": times}

@@ -439,6 +439,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count_bpe_ish(docs)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probe (KMeans coarse quantizer) — rows-only check: the
+    training pass is not SQL-reproducible; recall vs brute force is
+    pinned in pytest instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(emb, query_vec_id=0, k=5, n_centroids=8,
+                              nprobe=2)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH probe — portable centered-md5 plane coefficients so the
     DuckDB oracle reproduces buckets and the probed top-k exactly."""
@@ -1019,6 +1028,7 @@ EXT_QUERIES = {
     "simhash": q_simhash,
     "language_id": q_language_id,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
 }
 
 EXT_ORACLES = {

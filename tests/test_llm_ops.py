@@ -104,6 +104,24 @@ def test_knn_all_topk_default_is_bucketed(spark):
     assert recall >= 0.9, f"bucketed recall {recall:.3f} < 0.9"
 
 
+def test_knn_ivf_recall(spark):
+    """IVF probe (nprobe of n_centroids cells) must recover the true
+    top-k on clustered data — the trained cells follow the clusters."""
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(6, 16)) * 3
+    vecs = (np.repeat(centers, 20, axis=0)
+            + rng.normal(scale=0.2, size=(120, 16))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(120)],
+        "vec_id long, embedding array<float>, label int")
+    exact = [r.vec_id for r in
+             similarity.knn_brute_force(emb, query_vec_id=0, k=5).collect()]
+    approx = [r.vec_id for r in
+              similarity.knn_ivf(emb, query_vec_id=0, k=5, n_centroids=6,
+                                 nprobe=2).collect()]
+    assert len(set(approx) & set(exact)) / 5 >= 0.8
+
+
 def test_embedding_near_dup_bucketed_recall(spark):
     """The SRP-bucketed near-dup path must recover ≥0.9 of the exact
     pairs on clustered data without materializing all pairs."""

@@ -70,6 +70,21 @@ def test_bilinear_upsample_matches_numpy(spark):
     np.testing.assert_allclose(m[1, 1], 7.5, rtol=1e-12)
 
 
+def test_bilinear_shuffle_path_matches_broadcast(spark):
+    """The big-target (shuffle-join) and small-target (broadcast) paths
+    are the same computation — only the join strategy differs."""
+    g = grid_from_arrays(spark, np.arange(16.0).reshape(4, 4).tolist(),
+                         [T0])
+    kw = dict(src=(0.0, 0.0, 1.0), dst=(0.0, 0.0, 0.5),
+              dst_shape=(8, 8), src_shape=(4, 4))
+    a = {(r.y, r.x): r.value
+         for r in regrid.regrid_bilinear(g, **kw).collect()}
+    b = {(r.y, r.x): r.value
+         for r in regrid._regrid_bilinear(g, broadcast_max_targets=1,
+                                          **kw).collect()}
+    assert a == b
+
+
 def test_identity_regrid(spark):
     g = grid_from_arrays(spark, [[1.0, 2.0], [3.0, 4.0]], [T0])
     out = regrid.regrid_nearest(g, src=(0.0, 0.0, 1.0),
