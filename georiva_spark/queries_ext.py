@@ -723,6 +723,27 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(media)
 
 
+def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window stats (streaming windowed_stats in its
+    batch form — identical expression; the watermark/late-data behavior
+    is pinned in the streaming tests)."""
+    from georiva_spark.streaming import windowed_stats
+    g = events_grid(spark, sf_dir)
+    return windowed_stats(g, window="1 day", time_col="time",
+                          keys=("variable",))
+
+
+SQL_WINDOWED_AGG = GRID_CTE + """
+SELECT variable,
+       CAST(date_trunc('day', time) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', time) + INTERVAL 1 DAY AS TIMESTAMP)
+         AS window_end,
+       COUNT(value) AS n, SUM(value) AS sum,
+       MIN(value) AS min, MAX(value) AS max
+FROM grid GROUP BY variable, date_trunc('day', time)
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact path (bounded corpus at
     oracle scale); the SRP-bucketed default is the 100-TB path, recall-
@@ -1022,6 +1043,7 @@ EXT_QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "embedding_near_dup": q_embedding_near_dup,
+    "windowed_agg": q_windowed_agg,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "approx_distinct": q_approx_distinct,
@@ -1060,6 +1082,7 @@ EXT_ORACLES = {
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frames": SQL_VIDEO_FRAMES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "windowed_agg": SQL_WINDOWED_AGG,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash": SQL_SIMHASH,

@@ -64,6 +64,23 @@ def test_points_in_geometry_triangle_and_hole():
     assert got2.tolist() == [True, False]
 
 
+def test_salted_stats_equals_plain_groupby(spark):
+    """Salting must be observationally identical to a plain groupBy —
+    including on a pathologically skewed key distribution."""
+    from georiva_spark.functions.skew import salted_stats
+    rows = ([("hot", float(i)) for i in range(5000)]
+            + [("cold", 1.0), ("cold", 3.0)])
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {r.k: (r.n, r.sum, r.min, r.max, r.mean)
+           for r in salted_stats(df, ["k"], salt_buckets=8).collect()}
+    want = {r.k: (r.n, r.sum, r.min, r.max, r.sum / r.n)
+            for r in df.groupBy("k").agg(
+                F.count("value").alias("n"), F.sum("value").alias("sum"),
+                F.min("value").alias("min"),
+                F.max("value").alias("max")).collect()}
+    assert got == want
+
+
 def test_webmercator_known_values_and_roundtrip():
     # antimeridian lands at the mercator edge; the max-lat clamp squares it
     x, y = lonlat_to_webmercator_xy(180.0, 85.05112877980659)
