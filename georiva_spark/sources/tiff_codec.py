@@ -236,29 +236,36 @@ def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
                    predictor: int | None = None,
                    rows_per_strip: int | None = None,
                    tile: tuple[int, int] | None = None) -> bytes:
-    """Encode a single-band 2-D array as a little-endian GeoTIFF.
+    """Encode a 2-D (h, w) or chunky multi-band (h, w, spp) array as a
+    little-endian GeoTIFF.
 
     Mirrors the reference writer's choices (deflate, predictor 3 for
     floats / 2 for ints, ingestion/asset_writer.py:86-99,213-235).
-    `tiepoint_xy` is the model (x, y) of the top-left corner; north-up.
+    Multi-band arrays use predictor 1/2 (the float predictor's byte
+    stride is only wired for spp=1). `tiepoint_xy` is the model (x, y)
+    of the top-left corner; north-up.
     """
     a = np.ascontiguousarray(a)
-    h, w = a.shape
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
     if predictor is None:
-        predictor = 3 if a.dtype.kind == "f" else (
-            2 if a.dtype.kind in "iu" else 1)
+        predictor = (3 if a.dtype.kind == "f" and spp == 1 else
+                     2 if a.dtype.kind in "iu" else 1)
+    if predictor == 3 and spp > 1:
+        raise ValueError("float predictor supported for single band only")
     sfmt = {"u": 1, "i": 2, "f": 3}[a.dtype.kind]
     bsz = a.dtype.itemsize
     comp = 8 if compression == "deflate" else 1
     le = a.astype(a.dtype.newbyteorder("<"))
 
     def enc_rows(block: np.ndarray) -> bytes:
-        rows, cols = block.shape
-        flat = block.reshape(rows, cols)
+        rows = block.shape[0]
+        flat = block.reshape(rows, -1)   # (rows, cols*spp) chunky
         if predictor == 3:
             raw = _apply_predictor3(flat)
         elif predictor == 2:
-            raw = _apply_predictor2(flat.copy(), 1).tobytes()
+            raw = _apply_predictor2(flat.copy(), spp).tobytes()
         else:
             raw = flat.tobytes()
         return zlib.compress(raw, 6) if comp == 8 else raw
@@ -268,25 +275,26 @@ def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
         tw, th = tile
         for ty in range(math.ceil(h / th)):
             for tx in range(math.ceil(w / tw)):
-                block = np.zeros((th, tw), dtype=le.dtype)
+                block = np.zeros((th, tw, spp), dtype=le.dtype)
                 sub = le[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
                 block[:sub.shape[0], :sub.shape[1]] = sub
                 segs.append(enc_rows(block))
     else:
-        rps = rows_per_strip or min(h, max(1, (1 << 16) // max(1, w * bsz)))
+        rps = rows_per_strip or min(h, max(1, (1 << 16)
+                                           // max(1, w * spp * bsz)))
         for s in range(math.ceil(h / rps)):
             segs.append(enc_rows(le[s * rps:(s + 1) * rps]))
 
     entries: list[tuple[int, int, int, object]] = [
         (IMAGE_WIDTH, 4, 1, [w]),
         (IMAGE_LENGTH, 4, 1, [h]),
-        (BITS_PER_SAMPLE, 3, 1, [bsz * 8]),
+        (BITS_PER_SAMPLE, 3, spp, [bsz * 8] * spp),
         (COMPRESSION, 3, 1, [comp]),
         (PHOTOMETRIC, 3, 1, [1]),
-        (SAMPLES_PER_PIXEL, 3, 1, [1]),
+        (SAMPLES_PER_PIXEL, 3, 1, [spp]),
         (PLANAR_CONFIG, 3, 1, [1]),
         (PREDICTOR, 3, 1, [predictor]),
-        (SAMPLE_FORMAT, 3, 1, [sfmt]),
+        (SAMPLE_FORMAT, 3, spp, [sfmt] * spp),
         (MODEL_PIXEL_SCALE, 12, 3,
          [float(pixel_scale[0]), float(pixel_scale[1]), 0.0]),
         (MODEL_TIEPOINT, 12, 6,

@@ -42,6 +42,47 @@ def test_codec_packed_scale_offset():
     assert out[1, 0] == 25.0 and np.isnan(out[1, 1])
 
 
+def test_record_dimension_unlimited_time():
+    """Real-world files use an UNLIMITED (record) time dimension: data
+    interleaves per record. Hand-build a 2-record CDF-1 file and decode."""
+    import struct
+
+    from georiva_spark.sources.netcdf_codec import _w_atts, _w_name
+
+    time_vals = [6.0, 12.0]
+    v_rows = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], dtype=">f4")
+
+    hdr = b"CDF\x01" + struct.pack(">I", 2)              # numrecs = 2
+    hdr += struct.pack(">II", 0x0A, 2)                   # dims
+    hdr += _w_name("time") + struct.pack(">I", 0)        # record dim
+    hdr += _w_name("x") + struct.pack(">I", 3)
+    hdr += struct.pack(">II", 0, 0)                      # no global atts
+    vhdr = struct.pack(">II", 0x0B, 2)
+    # var time: record scalar, f8, vsize 8
+    tvar = (_w_name("time") + struct.pack(">II", 1, 0)
+            + _w_atts({"units": "hours since 2020-01-01"})
+            + struct.pack(">III", 6, 8, 0))
+    # var v: (time, x) f4, vsize 12
+    vvar = (_w_name("v") + struct.pack(">III", 2, 0, 1)
+            + _w_atts({}) + struct.pack(">III", 5, 12, 0))
+    # place begins: header length first (two-pass like the writer)
+    hlen = len(hdr) + len(vhdr) + len(tvar) + len(vvar)
+    tvar = tvar[:-8] + struct.pack(">II", 8, hlen)
+    vvar = vvar[:-8] + struct.pack(">II", 12, hlen + 8)
+    data = b""
+    for rec in range(2):
+        data += struct.pack(">d", time_vals[rec]) + v_rows[rec].tobytes()
+    buf = hdr + vhdr + tvar + vvar + data
+
+    d = decode_netcdf(buf)
+    assert d["numrecs"] == 2
+    assert cf_decode_times(d["variables"]["time"]) == [
+        dt.datetime(2020, 1, 1, 6), dt.datetime(2020, 1, 1, 12)]
+    out = d["variables"]["v"]["data"]
+    assert out.shape == (2, 3)
+    np.testing.assert_array_equal(out, v_rows.astype("=f4"))
+
+
 def test_time_unit_variants():
     for units, expect in [
         ("days since 2020-01-01", T0 + dt.timedelta(days=2)),

@@ -43,6 +43,27 @@ def test_codec_roundtrip_tiles_and_uncompressed():
     assert np.array_equal(decode_tiff(raw)[0][0], f)
 
 
+def test_codec_multiband_chunky(spark, tmp_path):
+    """3-band chunky int16 with horizontal predictor (per-channel
+    differencing) round-trips, and the plugin exposes band_1..band_3."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(-500, 500, size=(9, 11, 3)).astype(np.int16)
+    buf = encode_geotiff(a, pixel_scale=(1.0, 1.0), tiepoint_xy=(0.0, 9.0))
+    bands, _, _, _ = decode_tiff(buf)
+    assert bands.shape == (3, 9, 11)
+    for b in range(3):
+        assert np.array_equal(bands[b], a[:, :, b])
+    fp = tmp_path / "rgb_20240101.tif"
+    fp.write_bytes(buf)
+    assert GEOTIFF.list_variables(spark, str(fp)) == [
+        "band_1", "band_2", "band_3"]
+    rows = GEOTIFF.open_variable(spark, str(fp), "band_2").collect()
+    got = {(r.y, r.x): r.value for r in rows}
+    # south-up grid y=0 = file row 8
+    assert got[(0, 0)] == float(a[8, 0, 1])
+    assert got[(8, 10)] == float(a[0, 10, 1])
+
+
 def test_filename_timestamp_patterns():
     p = GEOTIFF._parse_timestamp_from_filename
     assert p("x_2024-01-15T06:30:00.tif") == dt.datetime(2024, 1, 15, 6, 30)
