@@ -152,11 +152,15 @@ def reproject_geometry(geometry: str, dst_crs: str,
 
 def webmercator_xy(lat, lon):
     """(merc_x, merc_y) EPSG:3857 Columns from lat/lon degrees — the
-    closed-form spherical mercator, JVM-side."""
+    closed-form spherical mercator, JVM-side. Latitude clamps to the
+    mercator limit (±85.051…°), matching the scalar helper — without it
+    a polar pixel would produce an infinite merc_y."""
     from pyspark.sql import functions as F
+    lat_c = F.greatest(F.lit(-WEBMERC_MAX_LAT),
+                       F.least(lat, F.lit(WEBMERC_MAX_LAT)))
     x = (F.lit(WEBMERC_RADIUS) * F.radians(lon)).alias("merc_x")
     y = (F.lit(WEBMERC_RADIUS) * F.log(
-        F.tan(F.lit(math.pi / 4) + F.radians(lat) / F.lit(2.0)))
+        F.tan(F.lit(math.pi / 4) + F.radians(lat_c) / F.lit(2.0)))
         ).alias("merc_y")
     return x, y
 

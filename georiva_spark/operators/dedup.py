@@ -95,6 +95,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     covers megabuckets). Returns (doc_a, doc_b, est_jaccard), doc_a <
     doc_b. At 100 TB the persisted signature table is the standard
     materialize-the-sketch step (write it once, reuse across passes).
+    The cache is deliberately left registered (Spark's plan-matching
+    cache lets repeat calls on the same corpus reuse it; LRU eviction
+    bounds it — the table is 64 longs per doc, ~3 orders smaller than
+    the corpus text).
     """
     from pyspark import StorageLevel
 

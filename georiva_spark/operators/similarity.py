@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+import itertools
+
 from georiva_spark.functions.vectors import cosine_similarity, dot
 from georiva_spark.operators.textops import portable_hash64
 
@@ -13,6 +15,20 @@ from georiva_spark.operators.textops import portable_hash64
 # coefficients: subtract half the range so projections are sign-balanced
 # like the signed xxhash64 default.
 _PORTABLE_CENTER = 1 << 59
+
+
+def _probe_buckets(planes: int, multi_probe: int):
+    """Bucket-probe expressions: the home bucket plus every bucket within
+    Hamming distance ``multi_probe`` of it (capped at 2 — beyond that
+    the probe set approaches the whole bucket space)."""
+    probes = [F.col("bucket")]
+    if multi_probe >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                   for p in range(planes)]
+    if multi_probe >= 2:
+        probes += [F.col("bucket").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+                   for p, q in itertools.combinations(range(planes), 2)]
+    return probes
 
 
 def knn_brute_force(emb: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
@@ -44,8 +60,9 @@ def knn_all_pairs_topk(emb: DataFrame, k: int = 5,
 
     Default (queries=None, the corpus×corpus case): approximate via SRP
     buckets — bucket the corpus on `planes` sign bits, self-join on the
-    bucket key (plus `multi_probe` Hamming-1 neighbour buckets per query
-    for recall), rank inside the candidate set. Nothing is broadcast and
+    bucket key (probing every bucket within Hamming distance
+    `multi_probe` of the query's for recall), rank inside the candidate
+    set. Nothing is broadcast and
     the join shuffles only bucket keys, so 100 TB of embeddings never
     materializes the O(N²) pair space. Recall vs brute force is tested
     ≥0.9 at test scale (tests/test_llm_ops.py)."""
@@ -64,13 +81,11 @@ def knn_all_pairs_topk(emb: DataFrame, k: int = 5,
     bucketed = random_hyperplane_buckets(emb, planes=planes)
     corpus = bucketed.select(F.col("vec_id").alias("n_id"),
                              F.col("embedding").alias("ne"), "bucket")
-    probes = [F.col("bucket")]
-    if multi_probe:
-        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                   for p in range(planes)]
     qside = bucketed.select(F.col("vec_id").alias("q_id"),
                             F.col("embedding").alias("qe"),
-                            F.explode(F.array(*probes)).alias("bucket"))
+                            F.explode(F.array(
+                                *_probe_buckets(planes, multi_probe)))
+                            .alias("bucket"))
     cos = cosine_similarity(F.col("ne"), F.col("qe"))
     cand = (qside.join(corpus, "bucket")
             .where(F.col("q_id") != F.col("n_id"))
@@ -120,8 +135,9 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
     threshold) — the vector analog of MinHash near-dup mining.
 
-    Default: SRP-bucketed candidate generation (same-bucket plus
-    Hamming-1 probes), so the pair space never materializes O(N²) and
+    Default: SRP-bucketed candidate generation (same-bucket plus buckets
+    within Hamming distance `multi_probe`), so the pair space never
+    materializes O(N²) and
     nothing broadcasts — at 100 TB this is the only viable shape; high
     thresholds mean true pairs are at tiny angles and land in the same
     or adjacent buckets with high probability.
@@ -141,13 +157,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     bucketed = random_hyperplane_buckets(emb, planes=planes)
     left = bucketed.select(F.col("vec_id").alias("vec_a"),
                            F.col("embedding").alias("ea"), "bucket")
-    probes = [F.col("bucket")]
-    if multi_probe:
-        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                   for p in range(planes)]
     right = bucketed.select(F.col("vec_id").alias("vec_b"),
                             F.col("embedding").alias("eb"),
-                            F.explode(F.array(*probes)).alias("bucket"))
+                            F.explode(F.array(
+                                *_probe_buckets(planes, multi_probe)))
+                            .alias("bucket"))
     cos = cosine_similarity(F.col("ea"), F.col("eb"))
     return (left.join(right, "bucket")
             .where(F.col("vec_a") < F.col("vec_b"))

@@ -149,8 +149,12 @@ class DerivationEngine:
                               reason=f"missing inputs: {sorted(set(missing))}")
 
         ih = input_hash(_dedup_checksums(resolved), recipe.version)
-        # idempotency (engine.py:344-352): same inputs, same version → skip
-        if (prev is not None and prev.status == "completed"
+        # idempotency (engine.py:344-352): same inputs, same version →
+        # skip. A prior *skipped* record is equally authoritative (it
+        # carries the completed run's item + hash) — matching only
+        # "completed" would re-run the transform on every second
+        # identical trigger.
+        if (prev is not None and prev.status in ("completed", "skipped")
                 and prev.input_hash == ih):
             rec.status, rec.input_hash = "skipped", ih
             rec.produced_item_id = prev.produced_item_id
@@ -186,10 +190,9 @@ class DerivationEngine:
     def _chain_completed(self, out_item: OutputItem, item_id: int) -> None:
         """derivation.completed → downstream dispatch: consult the
         declared DAG for products whose inputs include the completed
-        collection, then route the event through each product's recipe
-        (candidate_units first; enumerate_units as the declared-input
-        fallback — idempotency hash-skip makes over-triggering free).
-        Depth-capped so a cyclic declaration can't recurse forever."""
+        collection, then route the event through each product's
+        candidate_units. Depth-capped so a cyclic declaration can't
+        recurse forever; idempotency hash-skip absorbs repeats."""
         if not self.definitions or self._chain_depth >= self.max_chain_depth:
             return
         from georiva_spark.plans.declarations import downstream_keys
@@ -208,9 +211,12 @@ class DerivationEngine:
                     rcp = self.registry.get(d.recipe_type)
                 except KeyError:
                     continue
-                units = rcp.candidate_units(trigger, self.catalog) \
-                    or rcp.enumerate_units(self.catalog)
-                for unit in units:
+                # strictly event-routed: the recipe decides which of its
+                # units the completed item feeds (a recipe that wants
+                # chaining handles kind="derivation.completed"). No
+                # enumerate fallback — that would spuriously build every
+                # unit of the product on unrelated completions.
+                for unit in rcp.candidate_units(trigger, self.catalog):
                     self.run_unit(rcp, unit, origin=f"chain:{d.key}")
         finally:
             self._chain_depth -= 1

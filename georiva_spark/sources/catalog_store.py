@@ -59,6 +59,8 @@ def _upsert_partitioned(updates: DataFrame, path: str,
         return
     touched = [tuple(r) for r in
                updates.select(*parts).distinct().collect()]
+    if not touched:          # empty updates: a no-op, like the flat path
+        return
     current = spark.read.parquet(path)
     # partition-pruned read: only touched partitions' files are scanned
     pred = functools.reduce(operator.or_, [

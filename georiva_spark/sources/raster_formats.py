@@ -42,11 +42,18 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
     window (x_off, y_off, w, h) and single-timestamp selection applied
     *before* explosion (S5/S6 pushdown).
 
-    transform = (lat0, lon0, res): pixel center lat = lat0 + res*(y+0.5)
-    with y=0 the southernmost row (north-up files are flipped by the
-    decoder, mirroring the reference's south-up detect, netcdf.py:160-184).
+    transform = (lat0, lon0, res) or (lat0, lon0, res_y, res_x): pixel
+    center lat = lat0 + res_y*(y+0.5), lon = lon0 + res_x*(x+0.5), with
+    y=0 the southernmost row (north-up files are flipped by the decoder,
+    mirroring the reference's south-up detect, netcdf.py:160-184). The
+    3-tuple form means square pixels; rectangular grids (dx ≠ dy) must
+    pass the 4-tuple.
     """
-    lat0, lon0, res = transform
+    if len(transform) == 4:
+        lat0, lon0, res_y, res_x = transform
+    else:
+        lat0, lon0, res_y = transform
+        res_x = res_y
     arr = np.asarray(values, dtype=np.float64)
     if arr.ndim == 2:
         arr = arr[None]
@@ -73,8 +80,8 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
             "org": org, "catalog": catalog, "collection": collection,
             "variable": variable, "time": times[ti], "reference_time": None,
             "y": yy.ravel().astype("int64"), "x": xx.ravel().astype("int64"),
-            "lat": lat0 + res * (yy.ravel() + 0.5),
-            "lon": lon0 + res * (xx.ravel() + 0.5),
+            "lat": lat0 + res_y * (yy.ravel() + 0.5),
+            "lon": lon0 + res_x * (xx.ravel() + 0.5),
             "value": np.where(np.isnan(vals), None, vals),
         }))
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
@@ -191,17 +198,32 @@ class Grib2Plugin(_BaseFilePlugin):
         else:  # row 0 = north (standard scanning): south edge from la1
             lat0 = m0["la1"] - (nj - 1) * dj - dj / 2
         lon0 = m0["lo1"] - di / 2
-        transform = (lat0, lon0, dj)
+        transform = (lat0, lon0, dj, di)    # (lat0, lon0, res_y, res_x)
+        # the shared (values, times, transform) contract requires every
+        # variable on the same grid and time axis — fail loudly on a
+        # mixed file rather than silently dropping/misaligning steps
+        geo_keys = ("la1", "lo1", "di", "dj", "scan")
+        for m in msgs[1:]:
+            if (m["values"].shape != m0["values"].shape
+                    or any(m[k] != m0[k] for k in geo_keys)):
+                raise ValueError(
+                    "GRIB2 messages define different grids; decode "
+                    "per-variable subsets separately")
         variables, values, times = sorted(by_var), [], None
         for name in variables:
             series = sorted(by_var[name], key=lambda m: m["valid_time"])
+            vtimes = [m["valid_time"] for m in series]
+            if times is None:
+                times = vtimes
+            elif vtimes != times:
+                raise ValueError(
+                    f"GRIB2 variable {name!r} has time axis {vtimes} but "
+                    f"{variables[0]!r} has {times}; split the file")
             stack = []
             for m in series:
                 a = m["values"]
                 stack.append(a if m["south_up"] else np.flipud(a))
             values.append(np.stack(stack))
-            if times is None:
-                times = [m["valid_time"] for m in series]
         return values, times, transform, variables
 
 
@@ -248,10 +270,10 @@ class NetCDFPlugin(_BaseFilePlugin):
         lat = np.asarray(vs[y_name]["data"], dtype=np.float64)
         lon = np.asarray(vs[x_name]["data"], dtype=np.float64)
         descending = len(lat) > 1 and lat[0] > lat[-1]
-        res = float(abs(lat[1] - lat[0])) if len(lat) > 1 else 1.0
-        lat0 = float(lat.min()) - res / 2
-        lon_res = float(abs(lon[1] - lon[0])) if len(lon) > 1 else res
-        lon0 = float(lon.min()) - lon_res / 2
+        res_y = float(abs(lat[1] - lat[0])) if len(lat) > 1 else 1.0
+        lat0 = float(lat.min()) - res_y / 2
+        res_x = float(abs(lon[1] - lon[0])) if len(lon) > 1 else res_y
+        lon0 = float(lon.min()) - res_x / 2
         times = (cf_decode_times(vs[t_name])
                  if t_name is not None else [dt.datetime(1970, 1, 1)])
 
@@ -270,7 +292,7 @@ class NetCDFPlugin(_BaseFilePlugin):
                 a = a[:, ::-1, :]
             variables.append(name)
             values.append(a)
-        return values, times, (lat0, lon0, res), variables
+        return values, times, (lat0, lon0, res_y, res_x), variables
 
 
 class GeoTIFFPlugin(_BaseFilePlugin):
@@ -316,7 +338,8 @@ class GeoTIFFPlugin(_BaseFilePlugin):
         bands, nodata, geo, flip = decode_tiff(content)
         spp, h, w = bands.shape
         if geo is None:
-            sx, sy, x0, y_top = 1.0, 1.0, 0.0, float(h)
+            # no georeferencing: identity pixel grid, already south-up
+            sx, sy, x0, y_top, flip = 1.0, 1.0, 0.0, 0.0, False
         else:
             sx, sy, x0, y_top = geo
         # grid contract: row 0 = southernmost (see _emit_rows); standard
@@ -330,7 +353,7 @@ class GeoTIFFPlugin(_BaseFilePlugin):
         ts = self._parse_timestamp_from_filename(
             (path or "").rsplit("/", 1)[-1]) or dt.datetime(1970, 1, 1)
         lat0 = y_top - sy * h if flip else y_top
-        transform = (lat0, x0, sx)
+        transform = (lat0, x0, sy, sx)      # (lat0, lon0, res_y, res_x)
         variables = [f"band_{b + 1}" for b in range(spp)]
         return values, [ts], transform, variables
 

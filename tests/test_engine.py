@@ -67,6 +67,20 @@ def test_idempotency_skip_and_hash_recompute(spark, clim_engine):
     assert all(r.origin == "stale-sweep" for r in redone)
 
 
+def test_repeat_triggers_stay_skipped(spark, clim_engine):
+    """A skipped record is as authoritative as a completed one: the
+    third (and every later) identical run must keep skipping, never
+    silently re-run the transform (round-2 review finding)."""
+    first = clim_engine.run_all()
+    items_after = len(clim_engine.catalog.items)
+    for _ in range(3):
+        again = clim_engine.run_all()
+        assert {r.status for r in again} == {"skipped"}
+    assert len(clim_engine.catalog.items) == items_after
+    assert {r.produced_item_id for r in again} == \
+        {r.produced_item_id for r in first}
+
+
 def test_stale_units_df_matches_driver_hash(spark, clim_engine):
     """The distributed stale scan must agree with the driver-side
     input_hash: clean ledger → empty; one mutated source checksum →

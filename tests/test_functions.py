@@ -93,6 +93,16 @@ def test_webmercator_known_values_and_roundtrip():
         np.testing.assert_allclose([lon2, lat2], [lon, lat], atol=1e-12)
 
 
+def test_webmercator_columns_clamp_poles(spark):
+    from georiva_spark.functions.geo import webmercator_xy
+    df = spark.createDataFrame([(90.0, 0.0), (-90.0, 10.0), (0.0, 0.0)],
+                               "lat double, lon double")
+    mx, my = webmercator_xy(F.col("lat"), F.col("lon"))
+    rows = df.select(mx, my).collect()
+    assert all(np.isfinite(r.merc_y) for r in rows)
+    assert abs(rows[0].merc_y - 20037508.342789244) < 1.0
+
+
 def test_reproject_geometry_4326_3857():
     import json
     poly = json.dumps({"type": "Polygon", "coordinates":

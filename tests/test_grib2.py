@@ -72,6 +72,20 @@ def test_plugin_orientation_and_times(spark, tmp_path):
     assert one.lat == 0.5 and one.lon == 0.5
 
 
+def test_mixed_time_axes_raise(spark, tmp_path):
+    """Two variables with different forecast-step sets cannot share the
+    (values, times) contract — must fail loudly, not silently drop."""
+    a = np.ones((2, 2))
+    kw = dict(ref_time=T0, la1=1.5, lo1=0.5, di=1.0, dj=1.0)
+    buf = (encode_grib2_message(a, shortname="t", forecast_hours=0, **kw)
+           + encode_grib2_message(a, shortname="u", forecast_hours=0, **kw)
+           + encode_grib2_message(a, shortname="u", forecast_hours=6, **kw))
+    fp = tmp_path / "mixed.grib2"
+    fp.write_bytes(buf)
+    with pytest.raises(Exception, match="time axis"):
+        GRIB2.list_variables(spark, str(fp))
+
+
 def test_complex_packing_gated():
     rng = np.random.default_rng(1)
     buf = bytearray(encode_grib2_message(rng.normal(size=(2, 2)),

@@ -104,6 +104,13 @@ def test_knn_all_topk_default_is_bucketed(spark):
     assert recall >= 0.9, f"bucketed recall {recall:.3f} < 0.9"
 
 
+def test_multi_probe_levels_expand_probe_set():
+    from georiva_spark.operators.similarity import _probe_buckets
+    assert len(_probe_buckets(4, 0)) == 1
+    assert len(_probe_buckets(4, 1)) == 1 + 4
+    assert len(_probe_buckets(4, 2)) == 1 + 4 + 6   # + C(4,2) pairs
+
+
 def test_knn_ivf_recall(spark):
     """IVF probe (nprobe of n_centroids cells) must recover the true
     top-k on clustered data — the trained cells follow the clusters."""

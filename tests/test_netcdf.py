@@ -123,6 +123,21 @@ def test_netcdf_open_variable_flip_and_window(spark, tmp_path):
     assert gw[(0, 1)] == 13.0 and gw[(1, 2)] == 10.0
 
 
+def test_netcdf_rectangular_grid(spark, tmp_path):
+    """Independent lat/lon spacings (0.5° × 1.0°) must both be honored
+    (the 4-tuple transform; round-2 review finding)."""
+    a = np.arange(6, dtype=np.float32).reshape(1, 2, 3)
+    buf = encode_grid_netcdf({"v": a}, [T0],
+                             lat=np.array([0.25, 0.75]),      # dy=0.5
+                             lon=np.array([0.5, 1.5, 2.5]))   # dx=1.0
+    fp = tmp_path / "rect.nc"
+    fp.write_bytes(buf)
+    rows = NETCDF.open_variable(spark, str(fp), "v").collect()
+    got = {(r.y, r.x): (r.lat, r.lon) for r in rows}
+    assert got[(0, 0)] == (0.25, 0.5)
+    assert got[(1, 2)] == (0.75, 2.5)
+
+
 def test_netcdf4_still_gated(spark, tmp_path):
     f = tmp_path / "x.nc4"
     f.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\0" * 64)

@@ -96,3 +96,9 @@ def test_upsert_partition_scoped(spark, tmp_path):
                    ("b", 1): 5.0, ("b", 2): 6.0}
     b_after = _partition_files(str(tmp_path / "items" / "collection=b"))
     assert b_after == b_before  # untouched partition bytes unchanged
+
+    # empty updates: a no-op (not a reduce-of-empty crash)
+    empty = second.limit(0)
+    upsert_by_key(empty, path, keys=["collection", "item_id"],
+                  partition_by=["collection"])
+    assert read_catalog(spark, path).count() == 5
