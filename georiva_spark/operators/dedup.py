@@ -137,6 +137,94 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                 .where(F.col("est_jaccard") >= threshold))
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair list via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): O(log² n) rounds, each round a
+    bounded-key shuffle of (node, neighbor) edge rows — no adjacency
+    list is ever materialized on a single node and nothing is collected
+    to the driver except a per-round count+checksum.
+
+    Returns (node, component) for every node appearing in ``pairs``,
+    where component = the minimum node id in the node's component.
+
+    100-TB shape: this is the standard last step of a dedup pipeline
+    (MinHash pairs → components → keep one doc per component). Naive
+    min-label propagation needs O(diameter) rounds — a pathological
+    duplicate chain makes that thousands; the star algorithm contracts
+    tree height geometrically. Lineage is truncated per round with
+    localCheckpoint (a cluster deployment would use checkpoint() to
+    durable storage for executor-loss tolerance; the algorithm is
+    identical), and convergence is detected by an edge-set checksum, a
+    single tiny action per round.
+    """
+    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                          F.col(b_col).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v")))
+    edges = (edges.select(F.greatest("u", "v").alias("u"),
+                          F.least("u", "v").alias("v")).distinct()
+             .localCheckpoint())
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h")
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        # large-star: attach every strictly-larger neighbor of u to the
+        # minimum of u's closed neighborhood. Emitted edges are already
+        # oriented (larger, smaller) since m <= u < v.
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        e1 = (sym.join(lmin, "u").where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v")).distinct())
+        # small-star: edges oriented u > v, so every neighbor of u is
+        # smaller; attach them (and u) to the minimum neighbor.
+        smin = e1.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (e1.join(smin, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .union(smin.select("u", F.col("m").alias("v")))
+              .distinct().localCheckpoint())
+        cur = _checksum(e2)
+        edges = e2
+        if cur == prev:
+            break
+        prev = cur
+    roots = edges.select(F.col("v").alias("node")).distinct() \
+                 .join(edges.select(F.col("u").alias("node")), "node",
+                       "left_anti")
+    return (edges.select(F.col("u").alias("node"),
+                         F.col("v").alias("component"))
+            .union(roots.select("node", F.col("node").alias("component"))))
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign every document its near-dup cluster id (the minimum doc_id
+    in its connected component over ``pairs``); documents in no pair are
+    singleton clusters. ``is_canonical`` marks the one representative to
+    keep — the reference pipeline's "collapse duplicates, keep first"
+    step expressed over an arbitrary pair generator (exact, MinHash,
+    n-gram Jaccard, or embedding near-dup)."""
+    cc = connected_components(pairs)
+    lab = cc.withColumnRenamed("node", id_col)
+    return (docs.select(F.col(id_col).cast("long"))
+            .join(lab, id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("cluster_id"))
+            .withColumn("is_canonical",
+                        F.col("cluster_id") == F.col(id_col)))
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             portable: bool = False) -> DataFrame:
     """64-bit SimHash over token hashes: per-bit weighted majority vote,

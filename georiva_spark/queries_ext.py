@@ -414,6 +414,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: n-gram-Jaccard pairs → connected
+    components (alternating large/small-star) → per-doc cluster id +
+    canonical flag. The oracle reproduces the components with a
+    recursive-CTE transitive closure over the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash codes — portable hash so the DuckDB oracle reproduces the
     per-bit majority votes exactly."""
@@ -890,6 +900,20 @@ FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
 WHERE {_JACC} >= 0.2
 """
 
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION SELECT r.u, g.v FROM reach r JOIN e g ON r.v = g.u),
+lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+"""
+
 _DDOT = ("list_inner_product(CAST(e.embedding AS DOUBLE[]), "
          "CAST(e.embedding AS DOUBLE[]))")
 SQL_KNN_ALL_TOPK = f"""
@@ -1046,6 +1070,7 @@ EXT_QUERIES = {
     "windowed_agg": q_windowed_agg,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "approx_distinct": q_approx_distinct,
     "simhash": q_simhash,
     "language_id": q_language_id,
@@ -1085,6 +1110,7 @@ EXT_ORACLES = {
     "windowed_agg": SQL_WINDOWED_AGG,
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,

@@ -191,3 +191,50 @@ def test_fingerprint_stable_and_shifted(spark, docs):
     assert fp[1] == fp[2]
     inter = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
     assert inter > 0.5  # winnowing keeps most fingerprints under 1-token edit
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_chain(spark):
+    # worst case for naive label propagation: a single long chain
+    edges = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r.node: r.component
+           for r in dedup.connected_components(pairs).collect()}
+    assert out == {i: 0 for i in range(31)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = np.random.default_rng(11)
+    nodes = list(range(200))
+    edges = [tuple(sorted(rng.choice(200, size=2, replace=False).tolist()))
+             for _ in range(150)]
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long")
+    got = {r.node: r.component
+           for r in dedup.connected_components(pairs).collect()}
+    touched = sorted({n for e in edges for n in e})
+    want = _union_find_components(edges, touched)
+    assert got == {n: want[n] for n in touched}
+
+
+def test_dedup_clusters_singletons_and_canonical(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (4, True), 5: (5, True)}
