@@ -88,6 +88,99 @@ def token_count_bpe_ish(docs: DataFrame) -> DataFrame:
                        (runs + non_alnum).alias("subword_count"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window packing step of a training-data pipeline. Pure array
+    HOFs + explode: no shuffle, no UDF; 100 TB runs at scan speed and
+    the 1:N explode happens executor-side.
+
+    Chunk i covers tokens [i*step, i*step + chunk_tokens) with
+    step = chunk_tokens - overlap; the last chunk may be short, and a
+    doc shorter than chunk_tokens yields exactly one chunk.
+    Returns (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nch = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
+        .cast("long"), F.lit(1).cast("long"))
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nch - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, (i * step + 1).cast("int"),
+                                     chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens).cast("long"),
+                    n - i * step).alias("n_tokens")))
+    return (docs.select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"))
+
+
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle (RE2):
+# character classes + greedy quantifiers only — no lookaround or
+# backreferences, so both engines produce identical non-overlapping
+# leftmost matches. Applied in order; each pass runs on the output of the
+# previous one so the phone pattern never re-matches an already-masked IP.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails, IPv4 addresses, and phone-shaped digit runs; count
+    each per document. Pure regexp_replace/regexp_count — JVM-side,
+    whole-stage-codegen'd, scan-speed at 100 TB. Returns
+    (doc_id, clean_text, n_email, n_ip, n_phone)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select("doc_id", cur.alias("clean_text"), *counts)
+
+
+def repetition_scores(docs: DataFrame, n: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """Repetitive-document signals (Gopher/C4-style quality filters):
+    fraction of duplicate token n-grams and the most-frequent-token
+    ratio. Both computed per-document with array HOFs — the token
+    stream is never exploded into a shuffle (at 100 TB an explode +
+    groupBy over tokens would shuffle the whole corpus; sorting the
+    token array inside the row and scanning runs is equivalent and
+    local). Returns (doc_id, dup_ngram_frac, top_token_ratio)."""
+    toks = tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    dup_frac = (F.lit(1.0) -
+                F.size(F.array_distinct(sh)).cast("double") / F.size(sh))
+    srt = F.array_sort(toks)
+    nt = F.size(srt)
+    # longest run of equal adjacent tokens in the sorted array == max
+    # token frequency; single fold, no shuffle. get() is 0-based and
+    # null-safe (out-of-range compares null -> resets the run).
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(nt - 1, F.lit(1))),
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda acc, i: F.struct(
+            F.when(F.get(srt, i) == F.get(srt, i - 1),
+                   acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(F.get(srt, i) == F.get(srt, i - 1),
+                       acc["cur"] + 1).otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    return docs.select(
+        "doc_id", dup_frac.alias("dup_ngram_frac"),
+        (best.cast("double") / nt).alias("top_token_ratio"))
+
+
 def fingerprint(docs: DataFrame, window: int = 8,
                 portable: bool = False) -> DataFrame:
     """Document fingerprint: rolling-hash winnowing — min hash over each

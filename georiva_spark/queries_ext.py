@@ -414,6 +414,45 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 64-token windows, 16-token
+    overlap — executor-side explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents augmented with deterministic
+    synthetic PII (the corpus itself is clean words — the augmentation
+    makes the oracle non-vacuous: every row has an email, IP, and
+    phone to find and mask)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn("text", F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com +1 555 01"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 "), F.col("text")))
+    return textops.scrub_pii(aug)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_scores(docs)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of documents (20% en, 10% de,
+    5% everything else) — reproducible across engines, which is exactly
+    what the oracle checks."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    samp = sampling.stratified_hash_sample(
+        docs, rates={"en": 0.2, "de": 0.1}, strata_col="lang",
+        default_rate=0.05)
+    return samp.select("doc_id", "lang", "source")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: n-gram-Jaccard pairs → connected
     components (alternating large/small-star) → per-doc cluster id +
@@ -900,6 +939,66 @@ FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
 WHERE {_JACC} >= 0.2
 """
 
+SQL_CHUNK_DOCS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (SELECT doc_id, t,
+       greatest(CAST(floor((len(t) - 16 + 47) / 48.0) AS BIGINT), 1) AS nch
+       FROM toks),
+ex AS (SELECT doc_id, unnest(list_transform(range(0, nch), i -> {
+         'chunk_idx': i,
+         'chunk_text': array_to_string(t[(i*48+1):(i*48+64)], ' '),
+         'n_tokens': least(CAST(64 AS BIGINT), len(t) - i*48)})) AS u
+       FROM st)
+SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk_text AS chunk_text,
+       u.n_tokens AS n_tokens
+FROM ex
+"""
+
+
+def _sql_pii_scrub() -> str:
+    """Oracle built from the same PII_PATTERNS tuple the Spark operator
+    uses, applied in the same order on progressively-scrubbed text."""
+    aug = ("'user' || CAST(doc_id AS VARCHAR) || '@example.com +1 555 01'"
+           " || CAST(doc_id % 90 + 10 AS VARCHAR) || ' ip 10.0.'"
+           " || CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text")
+    cur = aug
+    counts = []
+    for name, pat, repl in textops.PII_PATTERNS:
+        # DuckDB string literals are standard SQL: backslash is literal,
+        # so regex metachars like \. pass through unescaped.
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS INTEGER)"
+            f" AS n_{name}")
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {cur} AS clean_text, "
+            + ", ".join(counts) + " FROM documents")
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+SQL_REPETITION = f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (SELECT doc_id, t,
+       list_transform(range(0, greatest(len(t)-3, 0)+1),
+                      i -> {_SHINGLE_STR}) AS s FROM toks),
+tf AS (SELECT doc_id, count(*) AS c FROM
+       (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+mx AS (SELECT doc_id, max(c) AS maxc FROM tf GROUP BY doc_id)
+SELECT sh.doc_id,
+       1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)
+         AS dup_ngram_frac,
+       CAST(mx.maxc AS DOUBLE) / len(t) AS top_token_ratio
+FROM sh JOIN mx ON sh.doc_id = mx.doc_id
+"""
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST('0x' || substring(md5('georiva:' || CAST(doc_id AS VARCHAR)),
+                             1, 15) AS BIGINT) % 1000000
+  < CASE lang WHEN 'en' THEN 200000 WHEN 'de' THEN 100000 ELSE 50000 END
+"""
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -1071,6 +1170,10 @@ EXT_QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "chunk_docs": q_chunk_docs,
+    "pii_scrub": q_pii_scrub,
+    "repetition": q_repetition,
+    "hash_sample": q_hash_sample,
     "approx_distinct": q_approx_distinct,
     "simhash": q_simhash,
     "language_id": q_language_id,
@@ -1111,6 +1214,10 @@ EXT_ORACLES = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "pii_scrub": SQL_PII_SCRUB,
+    "repetition": SQL_REPETITION,
+    "hash_sample": SQL_HASH_SAMPLE,
     "simhash": SQL_SIMHASH,
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,

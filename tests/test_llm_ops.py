@@ -238,3 +238,70 @@ def test_dedup_clusters_singletons_and_canonical(spark, docs):
            for r in dedup.dedup_clusters(docs, pairs).collect()}
     assert out == {1: (1, True), 2: (1, False), 3: (1, False),
                    4: (4, True), 5: (5, True)}
+
+
+def test_chunk_documents_windows(spark):
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in textops.chunk_documents(d, chunk_tokens=4,
+                                            overlap=2).collect()}
+    # doc 1: starts 0,2,4,6 (step=2, ceil((10-2)/2)=4 chunks)
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert out[(1, 3)] == ("t6 t7 t8 t9", 4)
+    # short doc: exactly one (short) chunk
+    assert out[(2, 0)] == ("a b c", 3)
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org from 192.168.1.42 "
+             "call +1 (555) 123-4567 now"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.scrub_pii(d).collect()}
+    assert out[1].clean_text == "mail <EMAIL> from <IP> call <PHONE> now"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (1, 1, 1)
+    assert out[2].clean_text == "no pii here at all"
+    assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 0, 0)
+
+
+def test_repetition_scores(spark):
+    d = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.repetition_scores(d).collect()}
+    # doc 1: trigrams ["a a a","a a a"] -> dup 0.5; all tokens equal -> 1.0
+    np.testing.assert_allclose(out[1].dup_ngram_frac, 0.5)
+    np.testing.assert_allclose(out[1].top_token_ratio, 1.0)
+    assert out[2].dup_ngram_frac == 0.0
+    np.testing.assert_allclose(out[2].top_token_ratio, 0.25)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from georiva_spark.operators import sampling
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in sampling.hash_sample(d, 0.1).collect()}
+    s10b = {r.doc_id for r in sampling.hash_sample(d, 0.1).collect()}
+    s20 = {r.doc_id for r in sampling.hash_sample(d, 0.2).collect()}
+    assert s10 == s10b                      # reproducible
+    assert s10 <= s20                       # nested: raising rate only adds
+    assert 100 < len(s10) < 300             # ~10% of 2000
+    # a different salt draws an (almost surely) different sample
+    s10c = {r.doc_id
+            for r in sampling.hash_sample(d, 0.1, salt="other").collect()}
+    assert s10 != s10c
+
+
+def test_stratified_hash_sample_rates(spark):
+    from georiva_spark.operators import sampling
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_hash_sample(
+        d, rates={"en": 0.5}, strata_col="lang", default_rate=0.0)
+    got = out.groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    assert counts.get("de") is None         # default 0.0 drops stratum
+    assert 800 < counts["en"] < 1200        # ~50% of 2000
