@@ -2,6 +2,7 @@ from georiva_spark.streaming.ingest import (
     grid_file_stream, start_grid_ingest, run_sweep_now,
 )
 from georiva_spark.streaming.windows import windowed_stats
+from georiva_spark.streaming.dedupe import dedup_stream
 
 __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
-           "windowed_stats"]
+           "windowed_stats", "dedup_stream"]

@@ -157,3 +157,45 @@ def test_sweep_recovers_not_ready(spark, dirs):
     result = run_sweep_now(engine)
     assert result["resurrected"] == 1
     assert [r.status for r in engine.runs.values()] == ["completed"]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered rows are suppressed across micro-batches and across a
+    restart (state comes back from the checkpoint)."""
+    from georiva_spark.streaming import dedup_stream
+
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    outdir, ckpt = str(tmp_path / "dedup_out"), str(tmp_path / "dedup_ckpt")
+    schema = "event_id long, ts timestamp, value double"
+
+    def drop(batch, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / f"b{batch}")))
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = (dedup_stream(src, keys=["event_id"], time_col="ts")
+             .writeStream.format("parquet").option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1 carries an in-batch duplicate of key 2
+    drop(0, [(1, T0, 1.0), (2, T0, 2.0), (2, T0, 2.0)])
+    cycle()
+    got = sorted(r.event_id for r in spark.read.parquet(outdir).collect())
+    assert got == [1, 2]
+
+    # restart: keys 2 redelivered in a later file, key 3 is new
+    drop(1, [(2, T0 + dt.timedelta(minutes=5), 2.0),
+             (3, T0 + dt.timedelta(minutes=5), 3.0)])
+    cycle()
+    got = sorted(r.event_id for r in spark.read.parquet(outdir).collect())
+    assert got == [1, 2, 3]
+
+    # batch path: same call, plain dropDuplicates
+    b = spark.createDataFrame([(7, T0, 1.0), (7, T0, 1.0)], schema)
+    assert dedup_stream(b, keys=["event_id"]).count() == 1
