@@ -27,6 +27,7 @@ HEADLINE = [
     "area_timeseries", "trend", "rolling_window", "vector_transform",
     "raster_combine", "regrid_coarse", "regrid_bilinear",
     "dedup_exact", "minhash_dedup", "text_quality", "knn_cosine",
+    "dedup_clusters", "chunk_docs", "pii_scrub", "repetition", "hash_sample",
 ]
 
 

@@ -454,12 +454,14 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment: n-gram-Jaccard pairs → connected
+    """Near-dup cluster assignment: MinHash-LSH pairs → connected
     components (alternating large/small-star) → per-doc cluster id +
-    canonical flag. The oracle reproduces the components with a
-    recursive-CTE transitive closure over the identical pair set."""
+    canonical flag. MinHash is the pair source because it is the one
+    that scales (bucketed, never Σdf²); the oracle reproduces the
+    components with a recursive-CTE transitive closure over the
+    identical portable-hash pair set."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3, portable=True)
     return dedup.dedup_clusters(docs, pairs)
 
 
@@ -1000,7 +1002,7 @@ WHERE CAST('0x' || substring(md5('georiva:' || CAST(doc_id AS VARCHAR)),
 """
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
+WITH RECURSIVE pairs AS ({SQL_MINHASH_DEDUP}),
 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs),
 reach(u, v) AS (SELECT u, v FROM e
