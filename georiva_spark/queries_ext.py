@@ -895,20 +895,25 @@ def _sql_minhash(threshold: float = 0.3, num_hashes: int = 64,
     astype(int64)."""
     a, b = dedup.minhash_coeffs(num_hashes)
     r = num_hashes // bands
-    mins = []
-    for j in range(num_hashes):
-        m = (f"list_min(list_transform(s, v -> "
-             f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
-             f" % 18446744073709551616))")
-        mins.append(
-            f"CAST(CASE WHEN {m} >= 9223372036854775808 "
-            f"THEN {m} - 18446744073709551616 ELSE {m} END AS BIGINT)")
+    # Unsigned mins computed ONCE per hash in their own projection; the
+    # signed reinterpretation (numpy uint64 wraparound + astype(int64))
+    # happens in a single list_transform over the finished array. Inlining
+    # the CASE around each list_min repeats the full shingle scan 3x per
+    # hash — 4x slower end-to-end in DuckDB 1.0.
+    mins = [f"list_min(list_transform(s, v -> "
+            f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+            f" % 18446744073709551616))" for j in range(num_hashes)]
     est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
            f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
     return f"""
 WITH toks AS ({_TOKS_CTE}),
 sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM toks),
-sig AS (SELECT doc_id, [{', '.join(mins)}] AS sig FROM sh),
+sigu AS (SELECT doc_id, [{', '.join(mins)}] AS u FROM sh),
+sig AS (SELECT doc_id,
+               list_transform(u, m -> CAST(CASE
+                 WHEN m >= 9223372036854775808
+                 THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS sig
+        FROM sigu),
 banded AS (SELECT doc_id, sig, bb.band AS band,
                   sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
            FROM sig CROSS JOIN
@@ -1002,8 +1007,8 @@ WHERE CAST('0x' || substring(md5('georiva:' || CAST(doc_id AS VARCHAR)),
 """
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({SQL_MINHASH_DEDUP}),
-e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+WITH RECURSIVE pairs AS MATERIALIZED ({SQL_MINHASH_DEDUP}),
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs),
 reach(u, v) AS (SELECT u, v FROM e
                 UNION SELECT r.u, g.v FROM reach r JOIN e g ON r.v = g.u),
