@@ -303,3 +303,37 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     return (cand.join(a, "doc_a").join(b, "doc_b")
             .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                  min_overlap: int = 2, portable: bool = False,
+                  text_col: str = "text") -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing at least
+    ``min_overlap`` distinct token n-grams with ANY benchmark (eval-set)
+    document.
+
+    Shape: inverted-index equi-join on shingle *hashes*. The benchmark
+    side — an eval set, thousands of docs, not billions — collapses to a
+    distinct-hash set and broadcasts; corpus shingles stream through the
+    broadcast hash join map-side, so the only shuffled rows are the
+    per-doc HITS — empty for the overwhelming majority of a 100 TB
+    corpus. Shingle lists are already distinct per doc, so the post-join
+    COUNT is an exact distinct-overlap count.
+
+    Returns the dense per-doc table (doc_id, overlap_ngrams,
+    contaminated) for auditability; at scale, keep the sparse ``hits``
+    side and anti-join at the point of use instead of materializing the
+    dense form.
+    """
+    tr = (shingle_hashes(docs, n=n, text_col=text_col, portable=portable)
+          .select("doc_id", F.explode("shingles").alias("g")))
+    bm = (shingle_hashes(benchmark, n=n, text_col=text_col,
+                         portable=portable)
+          .select(F.explode("shingles").alias("g")).distinct())
+    hits = (tr.join(F.broadcast(bm), "g")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("overlap")))
+    ov = F.coalesce(F.col("overlap"), F.lit(0))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    ov.cast("int").alias("overlap_ngrams"),
+                    (ov >= min_overlap).alias("contaminated")))

@@ -27,12 +27,51 @@ def _bucket(key: Column, salt: str) -> Column:
 
 
 def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
-                salt: str = "georiva") -> DataFrame:
+                salt: str = "georiva", complement: bool = False) -> DataFrame:
     """Deterministic Bernoulli sample: keep rows whose hash bucket falls
-    below rate. Same key + salt => same decision, forever."""
+    below rate. Same key + salt => same decision, forever.
+    ``complement=True`` returns the exact other side of the split (the
+    train side of a train/eval split — the two calls partition the
+    corpus with no row in both)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    return df.where(_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
+    pred = _bucket(F.col(key_col), salt) < int(rate * _BUCKETS)
+    return df.where(~pred if complement else pred)
+
+
+def source_mix(df: DataFrame, weights_ppm: dict[str, int], budget_ppm: int,
+               strata_col: str = "source", key_col: str = "doc_id",
+               salt: str = "georiva-mix") -> DataFrame:
+    """Target-composition corpus mixing — the "data recipe" step of a
+    training pipeline: sample so stratum ``s`` contributes
+    ``weights_ppm[s]`` parts-per-million of the OUTPUT, at overall output
+    size ≈ ``budget_ppm``/1e6 of the corpus.
+
+    Per-stratum keep-threshold (in hash buckets of 1e6):
+
+        thr_s = min(1e6, budget_ppm * w_ppm * N // (n_s * 1e6))
+
+    computed in EXACT integer arithmetic (Python bigint here, HUGEINT in
+    the DuckDB oracle) so the boundary bucket never moves with float
+    rounding and an audit reproduces the sample bit-identically. A
+    stratum rarer than its target weight saturates at keep-everything
+    (thr = 1e6) rather than inventing rows.
+
+    The per-stratum counts are one map-side-combined agg collected to the
+    driver — bounded by #strata (sources/languages), never by rows — and
+    the thresholds return to the plan as literals, so the sampling itself
+    is a scan-speed predicate with zero shuffle of the corpus.
+    """
+    counts = {r[0]: r[1]
+              for r in df.groupBy(strata_col).count().collect()}
+    total = sum(counts.values())
+    thr: Column = F.lit(0)
+    for stratum, n_s in sorted(counts.items()):
+        w = weights_ppm.get(stratum, 0)
+        t = min(_BUCKETS, budget_ppm * w * total // (n_s * 1_000_000))
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(int(t))).otherwise(thr)
+    return df.where(_bucket(F.col(key_col), salt) < thr)
 
 
 def stratified_hash_sample(df: DataFrame, rates: dict[str, float],

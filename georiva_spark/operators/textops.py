@@ -200,3 +200,34 @@ def fingerprint(docs: DataFrame, window: int = 8,
         lambda i: F.array_min(F.slice(shingles, i + 1, window)))
     return docs.select("doc_id",
                        F.array_distinct(wins).alias("fingerprints"))
+
+
+def bow_classifier_score(docs: DataFrame, dim: int = 1024,
+                         text_col: str = "text") -> DataFrame:
+    """Hashed bag-of-words linear scorer — the fastText-style quality-
+    filter shape used to rank web documents for training-data curation.
+
+    Each token hashes into one of ``dim`` buckets (the hashing trick);
+    the bucket weight here is a deterministic closed-form stand-in
+    (a production model's weight vector would arrive as an array literal
+    or broadcast dim — the plan shape is identical). Score = mean bucket
+    weight in (-1, 1].
+
+    Determinism: per-token weights are kept in a SCALED-INTEGER domain
+    (m_t < 1,000,003; docs are < a few thousand tokens, so the int64 sum
+    is exact and order-independent) and converted to double once at the
+    end — the one shape where a Spark fold and a DuckDB list_sum agree
+    bit-for-bit regardless of evaluation order. One in-row fold, no
+    shuffle, scan speed.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.transform(
+        toks,
+        lambda t: (portable_hash64(t) % dim * 2654435761 + 104729)
+        % 1000003)
+    msum = F.aggregate(m, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    ntok = F.size(toks)
+    score = (msum.cast("double") / ntok.cast("double") / 500001.5
+             - F.lit(1.0))
+    return docs.select("doc_id", ntok.alias("token_count"),
+                       score.alias("bow_score"))

@@ -453,6 +453,44 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp.select("doc_id", "lang", "source")
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-composition corpus mixing: sample so the output is ~50% en /
+    30% zh / 20% de at ~40% of corpus size, with exact-integer per-stratum
+    thresholds the oracle recomputes from the same counts. Rare strata
+    saturate at keep-everything instead of inventing rows."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.source_mix(
+        docs, weights_ppm={"en": 500_000, "zh": 300_000, "de": 200_000},
+        budget_ppm=400_000, strata_col="lang")
+    return out.select("doc_id", "lang", "source")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set decontamination against a held-out eval slice: the eval
+    set is a deterministic 10% hash split; a train-side doc is flagged on
+    ANY token 8-gram collision with an eval doc — the GPT-3-style long-
+    n-gram rule, where a single shared long n-gram means leakage (short
+    n-grams collide on ordinary phrases; 8-grams only on copied text).
+    Portable hashes so the DuckDB oracle reproduces the collision set
+    exactly."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    bench = sampling.hash_sample(docs, 0.1, salt="evalset")
+    corpus = sampling.hash_sample(docs, 0.1, salt="evalset",
+                                  complement=True)
+    return dedup.decontaminate(corpus, bench, n=8, min_overlap=1,
+                               portable=True)
+
+
+def q_bow_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality score (fastText-style filter
+    plumbing) — scaled-integer weight sum so Spark and DuckDB agree
+    bit-for-bit regardless of fold order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bow_classifier_score(docs)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: MinHash-LSH pairs → connected
     components (alternating large/small-star) → per-doc cluster id +
@@ -1006,6 +1044,57 @@ WHERE CAST('0x' || substring(md5('georiva:' || CAST(doc_id AS VARCHAR)),
   < CASE lang WHEN 'en' THEN 200000 WHEN 'de' THEN 100000 ELSE 50000 END
 """
 
+SQL_SOURCE_MIX = """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) AS total FROM counts),
+w(lang, w_ppm) AS (VALUES ('en', 500000), ('zh', 300000), ('de', 200000)),
+thr AS (SELECT c.lang,
+               least(1000000,
+                     (CAST(400000 AS HUGEINT) * COALESCE(w.w_ppm, 0)
+                      * t.total) // (CAST(c.n AS HUGEINT) * 1000000)) AS t
+        FROM counts c CROSS JOIN tot t LEFT JOIN w ON c.lang = w.lang)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE CAST('0x' || substring(md5('georiva-mix:' || CAST(d.doc_id AS VARCHAR)),
+                             1, 15) AS BIGINT) % 1000000 < thr.t
+"""
+
+_EVAL_BUCKET = ("CAST('0x' || substring(md5('evalset:' || "
+                "CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000")
+_SHINGLE8 = (
+    "list_transform(range(0, greatest(len(t)-8, 0)+1), "
+    "i -> CAST('0x' || substring(md5(array_to_string(t[i+1:i+8], ' ')), "
+    "1, 15) AS BIGINT))")
+SQL_DECONTAMINATE = f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (SELECT doc_id, list_distinct({_SHINGLE8}) AS s FROM toks),
+ev AS (SELECT doc_id FROM documents WHERE {_EVAL_BUCKET} < 100000),
+bm AS (SELECT DISTINCT unnest(s) AS g FROM sh
+       WHERE doc_id IN (SELECT doc_id FROM ev)),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+       WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+hits AS (SELECT doc_id, COUNT(*) AS ov FROM tr JOIN bm USING (g)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.ov, 0) AS INTEGER) AS overlap_ngrams,
+       COALESCE(h.ov, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE NOT ({_EVAL_BUCKET.replace("doc_id", "d.doc_id")} < 100000)
+"""
+
+SQL_BOW_SCORE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ms AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS token_count,
+              list_sum(list_transform(t, tok ->
+                (CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+                 % 1024 * 2654435761 + 104729) % 1000003)) AS msum
+       FROM toks)
+SELECT doc_id, token_count,
+       CAST(msum AS DOUBLE) / CAST(token_count AS DOUBLE) / 500001.5 - 1.0
+         AS bow_score
+FROM ms
+"""
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS MATERIALIZED ({SQL_MINHASH_DEDUP}),
 e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -1181,6 +1270,9 @@ EXT_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
     "hash_sample": q_hash_sample,
+    "source_mix": q_source_mix,
+    "decontaminate": q_decontaminate,
+    "bow_score": q_bow_score,
     "approx_distinct": q_approx_distinct,
     "simhash": q_simhash,
     "language_id": q_language_id,
@@ -1225,6 +1317,9 @@ EXT_ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "repetition": SQL_REPETITION,
     "hash_sample": SQL_HASH_SAMPLE,
+    "source_mix": SQL_SOURCE_MIX,
+    "decontaminate": SQL_DECONTAMINATE,
+    "bow_score": SQL_BOW_SCORE,
     "simhash": SQL_SIMHASH,
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,

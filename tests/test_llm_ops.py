@@ -305,3 +305,67 @@ def test_stratified_hash_sample_rates(spark):
     counts = {r.lang: r["count"] for r in got}
     assert counts.get("de") is None         # default 0.0 drops stratum
     assert 800 < counts["en"] < 1200        # ~50% of 2000
+
+
+def test_decontaminate_flags_shared_long_ngrams(spark, docs):
+    # eval set = doc 1; doc 2 (exact dup) and doc 3 (near dup) share
+    # 8-grams with it; docs 4/5 share none.
+    bench = docs.where(F.col("doc_id") == 1)
+    corpus = docs.where(F.col("doc_id") != 1)
+    out = {r.doc_id: (r.overlap_ngrams, r.contaminated)
+           for r in dedup.decontaminate(corpus, bench, n=8,
+                                        min_overlap=1).collect()}
+    assert out[2][1] and out[2][0] == 12          # 19 toks → 12 8-grams
+    assert out[3][1] and 0 < out[3][0] < 12       # prefix-shared only
+    assert not out[4][1] and out[4][0] == 0
+    assert not out[5][1]
+    assert set(out) == {2, 3, 4, 5}               # dense over corpus side
+
+
+def test_source_mix_composition_and_determinism(spark):
+    from georiva_spark.operators import sampling
+    rows = [(i, "t", ["en", "de", "zh"][i % 3], f"s{i % 4}", 1)
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = sampling.source_mix(
+        df, weights_ppm={"en": 600_000, "de": 400_000},
+        budget_ppm=300_000, strata_col="lang")
+    got = out.groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    assert "zh" not in counts                     # zero-weight stratum out
+    total = sum(counts.values())
+    # composition ≈ 60/40 at ~30% budget (hash-sampling noise at n=1000)
+    assert abs(counts["en"] / total - 0.6) < 0.08
+    assert abs(total / 3000 - 0.3) < 0.05
+    # deterministic: same picks on re-run and under a different repartition
+    again = sampling.source_mix(
+        df.repartition(7), weights_ppm={"en": 600_000, "de": 400_000},
+        budget_ppm=300_000, strata_col="lang")
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+
+def test_source_mix_saturates_rare_stratum(spark):
+    from georiva_spark.operators import sampling
+    rows = [(i, "t", "rare" if i < 5 else "en", "s", 1)
+            for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = sampling.source_mix(
+        df, weights_ppm={"rare": 500_000, "en": 500_000},
+        budget_ppm=500_000, strata_col="lang")
+    kept = {r.lang for r in out.select("lang").distinct().collect()}
+    n_rare = out.where(F.col("lang") == "rare").count()
+    assert n_rare == 5                            # thr saturates at 1e6
+
+
+def test_bow_classifier_score_bounds_and_determinism(spark, docs):
+    out = {r.doc_id: r.bow_score
+           for r in textops.bow_classifier_score(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(-1.0 < v <= 1.0 for v in out.values())
+    assert out[1] == out[2]                       # same text → same score
+    assert out[1] != out[4]
