@@ -250,6 +250,44 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return docs.select("doc_id", code.alias("simhash"))
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text",
+                  portable: bool = False) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``, via
+    the pigeonhole band trick: split the 64-bit code into
+    ``max_hamming + 1`` disjoint bands — two codes within Hamming k MUST
+    agree exactly on at least one band — then bucket-join on
+    (band_idx, band_bits) and verify exact Hamming with bit_count(xor).
+
+    Shuffle = (doc_id, band-bits) keys, k+1 rows per doc; never
+    all-pairs. Unlike MinHash there is no signature rejoin: the whole
+    "signature" is one long, cheaper to carry through the join than to
+    fetch back. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    k = max_hamming + 1
+    w = 64 // k
+    codes = simhash(docs, text_col=text_col, portable=portable)
+    bands = []
+    for j in range(k):
+        b = F.shiftrightunsigned(F.col("simhash"), j * w)
+        if j < k - 1:          # top band keeps the remainder bits
+            b = b.bitwiseAND(F.lit((1 << w) - 1))
+        bands.append(F.struct(F.lit(j).alias("band"), b.alias("key")))
+    ex = (codes.select("doc_id", "simhash",
+                       F.explode(F.array(*bands)).alias("bk"))
+          .select("doc_id", "simhash", "bk.band", "bk.key"))
+    cand = (ex.alias("l").join(ex.alias("r"), ["band", "key"])
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"),
+                    F.col("l.simhash").alias("ca"),
+                    F.col("r.simhash").alias("cb"))
+            .distinct())
+    ham = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                         text_col: str = "text",
                         max_doc_freq: int | None = 1000) -> DataFrame:

@@ -503,6 +503,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs, pairs)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (Hamming ≤ 2 ⇒ one
+    of 3 disjoint bands matches exactly) + bit_count verify. The oracle
+    checks the SEMANTICS all-pairs (fine at 500 docs); the Spark plan is
+    the bucketed band join that never goes quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=2, portable=True)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash codes — portable hash so the DuckDB oracle reproduces the
     per-bit majority votes exactly."""
@@ -1177,6 +1186,15 @@ FROM bits
 """
 
 
+SQL_SIMHASH_PAIRS = f"""
+WITH codes AS MATERIALIZED ({SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 def _sql_language_id() -> str:
     """Language-ID oracle generated from textops.LANG_MARKERS so the
     marker lists and first-match tie-break order stay in sync."""
@@ -1275,6 +1293,7 @@ EXT_QUERIES = {
     "bow_score": q_bow_score,
     "approx_distinct": q_approx_distinct,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "language_id": q_language_id,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -1321,6 +1340,7 @@ EXT_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "bow_score": SQL_BOW_SCORE,
     "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,
 }

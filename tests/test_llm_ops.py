@@ -369,3 +369,32 @@ def test_bow_classifier_score_bounds_and_determinism(spark, docs):
     assert all(-1.0 < v <= 1.0 for v in out.values())
     assert out[1] == out[2]                       # same text → same score
     assert out[1] != out[4]
+
+
+def test_simhash_pairs_band_trick_complete(spark):
+    # banding must recover EXACTLY the all-pairs Hamming result
+    # (pigeonhole guarantee, not an approximation)
+    import random
+    random.seed(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for d in range(60):
+        base = random.Random(d // 3).sample(vocab, 20)
+        if d % 3:
+            base = base[:-(d % 3)] + random.Random(d).sample(vocab, d % 3)
+        rows.append((d, " ".join(base), "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dedup.simhash_pairs(df, max_hamming=6).collect()}
+    codes = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    ids = sorted(codes)
+    want = {}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin((codes[i] ^ codes[j]) & (2**64 - 1)).count("1")
+                if h <= 6:
+                    want[(i, j)] = h
+    assert got == want and want   # identical and non-empty

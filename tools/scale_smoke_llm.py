@@ -1,0 +1,113 @@
+"""Scale smoke for the LLM-data-pipeline operators: synthetic corpus of
+N documents (default 2M, ~50 tokens each ≈ 0.6 GB of text) generated
+in-flight from spark.range — no I/O — with PLANTED structure so every
+stage has verifiable work to find:
+
+  * docs are grouped 5-per-template; members 0-1 are byte-identical
+    (exact dups), members 2-4 mutate one token (near dups) — so exact
+    dedup must find N/5 duplicate groups and MinHash-LSH + connected
+    components must recover ~N/5 clusters of 5.
+
+Stages timed: exact dedup → MinHash-LSH pairs → connected components →
+decontaminate (vs a 1% eval slice) → source_mix → quality scan.
+
+Usage: python tools/scale_smoke_llm.py [n_docs]
+Prints one timing line per stage; writes nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from georiva_spark.operators import dedup, sampling, textops
+from georiva_spark.session import get_spark
+
+L = 50          # tokens per doc
+V = 50_000      # vocabulary size
+T = 5           # docs per template (1 exact-dup pair + 3 near-dups)
+LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def corpus(spark, n: int):
+    tmpl = (F.col("id") / T).cast("long")
+    m = F.col("id") % T
+    mutpos = F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(L))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(L - 1)),
+        lambda i: F.concat(F.lit("w"), F.pmod(
+            F.when((m >= 2) & (i == mutpos),
+                   F.xxhash64(F.col("id"), i))
+            .otherwise(F.xxhash64(tmpl, i)), F.lit(V)).cast("string")))
+    text = F.array_join(toks, " ")
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), text.alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]),
+                     (tmpl % len(LANGS) + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("src"), (tmpl % 20).cast("string")).alias("source"),
+        F.length(text).alias("n_chars"))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    spark = get_spark("scale-smoke-llm",
+                      extra_conf={"spark.driver.memory": "48g"})
+    docs = corpus(spark, n).persist()
+    docs.count()   # materialize generation outside the timings
+
+    t0 = time.perf_counter()
+    g = dedup.exact_duplicates(docs)
+    ndup = g.where(F.col("dup_count") > 1).count()
+    el = time.perf_counter() - t0
+    print(f"exact_dedup: {el:.1f}s over {n/1e6:.1f}M docs "
+          f"({n/el/1e6:.2f}M docs/s) -> {ndup} dup groups "
+          f"(expect {n//T})")
+
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).persist()
+    np_ = pairs.count()
+    el = time.perf_counter() - t0
+    print(f"minhash_lsh_pairs: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {np_} candidate pairs (expect ~{n//T*10})")
+
+    t0 = time.perf_counter()
+    cc = dedup.connected_components(pairs)
+    ncl = cc.select("component").distinct().count()
+    el = time.perf_counter() - t0
+    print(f"connected_components: {el:.1f}s over {np_/1e6:.2f}M pairs "
+          f"-> {ncl} clusters (expect ~{n//T})")
+
+    t0 = time.perf_counter()
+    bench = sampling.hash_sample(docs, 0.01, salt="evalset")
+    corp = sampling.hash_sample(docs, 0.01, salt="evalset",
+                                complement=True)
+    dec = dedup.decontaminate(corp, bench, n=8, min_overlap=1)
+    flagged = dec.where(F.col("contaminated")).count()
+    el = time.perf_counter() - t0
+    print(f"decontaminate(1% eval): {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {flagged} flagged (expect ~{int(n*0.01*4)} cluster-mates)")
+
+    t0 = time.perf_counter()
+    mix = sampling.source_mix(
+        docs, weights_ppm={"en": 500_000, "zh": 300_000, "de": 200_000},
+        budget_ppm=300_000, strata_col="lang")
+    nm = mix.count()
+    el = time.perf_counter() - t0
+    print(f"source_mix: {el:.1f}s ({n/el/1e6:.2f}M docs/s) -> {nm} kept")
+
+    t0 = time.perf_counter()
+    q = textops.quality_scores(docs)
+    b = textops.bow_classifier_score(docs)
+    nq = q.join(b, "doc_id").where(F.col("bow_score") > 0).count()
+    el = time.perf_counter() - t0
+    print(f"quality+bow scan: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nq} positive-score docs")
+
+
+if __name__ == "__main__":
+    main()
