@@ -47,35 +47,104 @@ def minhash_coeffs(num_hashes: int = 64) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """pd.Series of int64 lists → (flat uint64 view, starts, lens)."""
+    arrs = [np.asarray(s, dtype=np.int64) for s in series]
+    lens = np.fromiter((x.size for x in arrs), np.int64, len(arrs))
+    flat = (np.concatenate(arrs) if lens.sum()
+            else np.empty(0, np.int64)).view(np.uint64)
+    starts = np.zeros(len(arrs), dtype=np.int64)
+    if len(arrs) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    return flat, starts, lens
+
+
+def _segment_minhash(flat: np.ndarray, starts: np.ndarray,
+                     lens: np.ndarray, nshingles: np.ndarray,
+                     a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-doc minhash over a flat shingle buffer: for hash j, min of
+    (a_j·s + b_j mod 2^64) over each doc's first `nshingles` positions.
+    One 1-D vectorized pass per hash (cache-resident, ~3× faster than a
+    2-D matmul shape, ~30× than a per-doc Python loop). Docs with zero
+    shingles come back as all-zero signatures (legacy contract)."""
+    N, T = len(starts), flat.size
+    res = np.zeros((N, num := len(a)), dtype=np.uint64)
+    if T == 0:
+        return res.view(np.int64)
+    pos = np.arange(T, dtype=np.int64) - np.repeat(starts, lens)
+    invalid = pos >= np.repeat(nshingles, lens)
+    idx = np.minimum(starts, T - 1)
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        for j in range(num):
+            v = flat * a[j] + b[j]
+            v[invalid] = full
+            res[:, j] = np.minimum.reduceat(v, idx)
+    res[nshingles == 0] = 0
+    return res.view(np.int64)
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        text_col: str = "text",
                        portable: bool = False) -> DataFrame:
     """MinHash signatures: sig[j] = min over shingles of (a_j·s + b_j) in
-    uint64 — k universal-hash permutations evaluated as one vectorized
-    numpy matmul-shaped pass per Arrow batch.
+    uint64, evaluated batch-vectorized in numpy (one 1-D pass per hash
+    over the whole Arrow batch via minimum.reduceat segment-mins).
 
     Spark's array higher-order functions are interpreted (no whole-stage
-    codegen), so a k×|shingles| nested transform costs minutes at scale;
-    the Arrow-batched pandas UDF computes the same family ~100× faster —
-    the documented exception where the UDF *is* the fast path.
+    codegen), so a k×|shingles| nested transform costs minutes at scale —
+    the Arrow-batched pandas UDF is the documented exception where the
+    UDF *is* the fast path. The default (non-portable) path goes further:
+    the JVM ships per-TOKEN xxhash64 arrays (one interpreted transform,
+    no per-shingle string building — string shingling was ~50 s of the
+    2M-doc smoke) and the n-gram combine happens inside the same numpy
+    pass via shifted mixing. ``portable=True`` keeps md5-string shingles
+    so the DuckDB oracle reproduces signatures bit-identically.
     """
     a, b = minhash_coeffs(num_hashes)
 
-    @F.pandas_udf("array<long>")
-    def _sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for s in shingles:
-            sa = np.asarray(s, dtype=np.int64).astype(np.uint64)
-            if sa.size == 0:
-                out.append(np.zeros(num_hashes, dtype=np.int64))
-                continue
-            with np.errstate(over="ignore"):
-                m = sa[None, :] * a[:, None] + b[:, None]   # wraps mod 2^64
-            out.append(m.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+    if portable:
+        @F.pandas_udf("array<long>")
+        def _sig(shingles: pd.Series) -> pd.Series:
+            flat, starts, lens = _flatten(shingles)
+            return pd.Series(
+                list(_segment_minhash(flat, starts, lens, lens, a, b)))
 
-    sh = shingle_hashes(docs, n=n, text_col=text_col, portable=portable)
-    return sh.select("doc_id", _sig(F.col("shingles")).alias("signature"))
+        sh = shingle_hashes(docs, n=n, text_col=text_col, portable=True)
+        return sh.select("doc_id", _sig(F.col("shingles")).alias("signature"))
+
+    @F.pandas_udf("array<long>")
+    def _sig_tok(token_hashes: pd.Series) -> pd.Series:
+        flat, starts, lens = _flatten(token_hashes)
+        # n-gram combine on the flat buffer: shingle[i] = mix of the n
+        # token hashes starting at i. Positions whose window crosses a
+        # doc boundary are garbage and masked off by nshingles; docs
+        # shorter than n keep ONE shingle folding their whole token list
+        # (matches the string path's "one shingle for short docs").
+        c = flat.copy()
+        with np.errstate(over="ignore"):
+            for step in range(1, n):
+                c = (c ^ (np.roll(flat, -step) * _MIX1)) * _MIX2
+        nshingles = np.where(lens >= n, lens - (n - 1),
+                             np.minimum(lens, 1))
+        shorts = np.flatnonzero((lens > 0) & (lens < n))
+        with np.errstate(over="ignore"):
+            for d in shorts:                    # rare tail case
+                seg = flat[starts[d]:starts[d] + lens[d]]
+                acc = seg[0]
+                for v in seg[1:]:
+                    acc = (acc ^ (v * _MIX1)) * _MIX2
+                c[starts[d]] = acc
+        return pd.Series(
+            list(_segment_minhash(c, starts, lens, nshingles, a, b)))
+
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    return docs.select("doc_id", _sig_tok(th).alias("signature"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
