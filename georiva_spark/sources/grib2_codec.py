@@ -14,8 +14,13 @@ feeds (lat/lon grid + simple packing) needs no library:
   v = (R + X·2^E)·10^-D with X an nbits unsigned big-endian bit field)
 - Section 6 bitmap (missing points → NaN)
 
-Complex/JPEG packing (templates 5.2/5.3/5.40) still needs eccodes and
-raises NotImplementedError with the template number.
+Complex packing (5.2) and complex packing with spatial differencing
+(5.3, orders 1/2 — the NCEP default encoding) decode natively per WMO
+templates 7.2/7.3: group references/widths/lengths bit-fields, then a
+contiguous variable-width value stream, then the gmin shift and the
+first/second-order undifferencing recurrence. Missing-value management
+(octet 23 ≠ 0) and JPEG2000/PNG packing (5.40/5.41) still need eccodes
+and raise NotImplementedError.
 
 The writer quantizes with floor((v-R)·2^-E) — a valid encoder choice
 that keeps the quantized values exactly reproducible by integer/double
@@ -63,6 +68,103 @@ def _unpack_bits(data: bytes, nbits: int, n: int) -> np.ndarray:
 def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
     bits = ((x[:, None] >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
     return np.packbits(bits.ravel()).tobytes()
+
+
+def _take_bits(bits: np.ndarray, start: int, nvals: int,
+               width: int) -> tuple[np.ndarray, int]:
+    """Read `nvals` big-endian fields of `width` bits from an unpacked
+    0/1 bit array, returning (values, next bit offset)."""
+    if width == 0:
+        return np.zeros(nvals, dtype=np.int64), start
+    sl = bits[start:start + nvals * width].reshape(nvals, width)
+    w = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    return sl.astype(np.int64) @ w, start + nvals * width
+
+
+def _sm_val(buf: bytes, off: int, n: int) -> int:
+    return _s(buf, off, n)
+
+
+def _unpack_complex(s5: bytes, s7: bytes, npoints: int) -> np.ndarray:
+    """Templates 5.2/5.3 → X (int64, npoints). Layout per WMO 7.2/7.3:
+    [5.3 only: order+1 extra descriptors of ND octets, sign-magnitude]
+    then NG group refs (nbits each), NG group widths, NG scaled group
+    lengths — each run zero-padded to an octet boundary — then the data
+    values as one CONTIGUOUS variable-width bit stream (group g's
+    length_g values at width_g bits)."""
+    tmpl = _u(s5, 9, 2)
+    nbits = s5[19]
+    if s5[22] != 0:
+        raise NotImplementedError(
+            f"complex-packing missing-value management {s5[22]}")
+    ng = _u(s5, 31, 4)
+    ref_width, wbits = s5[35], s5[36]
+    ref_len, len_inc = _u(s5, 37, 4), s5[41]
+    last_len = _u(s5, 42, 4)
+    lbits = s5[46]
+
+    payload = s7[5:]
+    pos = 0
+    order = 0
+    extra: list[int] = []
+    if tmpl == 3:
+        order, nd = s5[47], s5[48]
+        if order not in (1, 2):
+            raise NotImplementedError(f"spatial differencing order {order}")
+        for _ in range(order + 1):          # originals..., then gmin
+            extra.append(_sm_val(payload, pos, nd))
+            pos += nd
+
+    bits = np.unpackbits(np.frombuffer(payload[pos:], np.uint8))
+    off = 0
+    refs, off = _take_bits(bits, off, ng, nbits)
+    off = (off + 7) & ~7
+    widths, off = _take_bits(bits, off, ng, wbits)
+    widths = widths + ref_width
+    off = (off + 7) & ~7
+    slens, off = _take_bits(bits, off, ng, lbits)
+    off = (off + 7) & ~7
+    lens = ref_len + len_inc * slens
+    if ng:
+        lens[-1] = last_len
+    if int(lens.sum()) != npoints:
+        raise ValueError(f"group lengths sum {int(lens.sum())} != {npoints}")
+
+    # contiguous variable-width stream: per-group bit offsets, then one
+    # vectorized gather per distinct width
+    starts = np.zeros(ng, dtype=np.int64)
+    np.cumsum((lens * widths)[:-1], out=starts[1:])
+    x = np.repeat(refs, lens)
+    vals = np.zeros(npoints, dtype=np.int64)
+    doc_start = np.zeros(ng, dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_start[1:])
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        nv = lens[sel]
+        within = (np.arange(int(nv.sum()), dtype=np.int64)
+                  - np.repeat(np.concatenate(([0], np.cumsum(nv[:-1]))), nv))
+        bitpos = off + np.repeat(starts[sel], nv) + within * w
+        idx = bitpos[:, None] + np.arange(w, dtype=np.int64)[None, :]
+        weights = (1 << np.arange(w - 1, -1, -1)).astype(np.int64)
+        out_idx = np.repeat(doc_start[sel], nv) + within
+        vals[out_idx] = bits[idx].astype(np.int64) @ weights
+    x = x + vals
+
+    if tmpl == 3 and npoints > 0:
+        gmin = extra[-1]
+        x[order:] += gmin
+        k = min(order, npoints)
+        x[:k] = extra[:k]
+        if order == 1:
+            np.cumsum(x, out=x)
+        elif npoints > 2:
+            # second difference = two nested prefix sums: rebuild first
+            # differences e[i]=f[i]-f[i-1], then values
+            e = np.cumsum(np.concatenate(([x[1] - x[0]], x[2:])))
+            x = np.concatenate(([x[0]], x[0] + np.cumsum(e)))
+    return x
 
 
 def decode_grib2(content: bytes) -> list[dict]:
@@ -123,10 +225,10 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     s5 = sections[5]
     npoints = _u(s5, 5, 4)
     tmpl = _u(s5, 9, 2)
-    if tmpl != 0:
+    if tmpl not in (0, 2, 3):
         raise NotImplementedError(
             f"data representation template 5.{tmpl} needs eccodes; only "
-            "simple packing (5.0) decodes natively")
+            "simple (5.0) and complex (5.2/5.3) packing decode natively")
     ref_val = struct.unpack(">f", s5[11:15])[0]
     e_scale = _s(s5, 15, 2)
     d_scale = _s(s5, 17, 2)
@@ -141,7 +243,10 @@ def _decode_message(m: bytes, discipline: int) -> dict:
         raise NotImplementedError(f"bitmap indicator {s6[5]}")
 
     s7 = sections[7]
-    x = _unpack_bits(s7[5:], nbits, npoints)
+    if tmpl == 0:
+        x = _unpack_bits(s7[5:], nbits, npoints)
+    else:
+        x = _unpack_complex(s5, s7, npoints)
     packed = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
         * 10.0 ** (-d_scale)
     if bitmap is None:
@@ -179,11 +284,15 @@ def _sec(num: int, body: bytes) -> bytes:
 def encode_grib2_message(values: np.ndarray, *, shortname: str,
                          ref_time: dt.datetime, forecast_hours: int = 0,
                          la1: float, lo1: float, di: float, dj: float,
-                         e_scale: int = -24, south_up: bool = False) -> bytes:
-    """One GRIB2 message: lat/lon grid (3.0), product 4.0, simple
-    packing (5.0) with X = floor((v-R)·2^-E), D=0. NaNs become bitmap
-    missing points. (la1, lo1) is the FIRST grid point (row 0); row
-    order is north→south unless south_up sets the +j scanning flag."""
+                         e_scale: int = -24, south_up: bool = False,
+                         packing: int = 0, spatial_order: int = 2,
+                         group_size: int = 20) -> bytes:
+    """One GRIB2 message: lat/lon grid (3.0), product 4.0, packing 5.0
+    (simple, default), 5.2 (complex, fixed `group_size` groups) or 5.3
+    (complex + spatial differencing of `spatial_order`); always
+    X = floor((v-R)·2^-E), D=0. NaNs become bitmap missing points.
+    (la1, lo1) is the FIRST grid point (row 0); row order is
+    north→south unless south_up sets the +j scanning flag."""
     a = np.asarray(values, dtype=np.float64)
     nj, ni = a.shape
     mask = np.isfinite(a.ravel())
@@ -225,16 +334,23 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
           + forecast_hours.to_bytes(4, "big")
           + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
           + bytes([255, 0]) + (0).to_bytes(4, "big"))
-    s5 = ((ni * nj if mask.all() else int(mask.sum())).to_bytes(4, "big")
-          + (0).to_bytes(2, "big")                           # template 5.0
-          + struct.pack(">f", float(r)) + _sm(e_scale, 2)
-          + _sm(0, 2) + bytes([nbits, 0]))
+    npk = ni * nj if mask.all() else int(mask.sum())
+    if packing == 0:
+        s5 = (npk.to_bytes(4, "big")
+              + (0).to_bytes(2, "big")                       # template 5.0
+              + struct.pack(">f", float(r)) + _sm(e_scale, 2)
+              + _sm(0, 2) + bytes([nbits, 0]))
+        s7 = _pack_bits(x, nbits) if nbits else b""
+    elif packing in (2, 3):
+        s5, s7 = _encode_complex(x, packing, spatial_order, group_size,
+                                 npk, float(r), e_scale)
+    else:
+        raise NotImplementedError(f"packing template 5.{packing}")
     if mask.all():
         s6 = bytes([255])
     else:
         s6 = bytes([0]) + np.packbits(
             mask.astype(np.uint8)).tobytes()
-    s7 = _pack_bits(x, nbits) if nbits else b""
 
     body = (_sec(1, s1) + _sec(3, s3) + _sec(4, s4) + _sec(5, s5)
             + _sec(6, s6) + _sec(7, s7))
@@ -242,6 +358,71 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
     head = (b"GRIB" + bytes([0, 0, disc if disc != 255 else 0, 2])
             + total.to_bytes(8, "big"))
     return head + body + b"7777"
+
+
+def _encode_complex(x: np.ndarray, packing: int, order: int,
+                    group_size: int, npk: int, r: float,
+                    e_scale: int) -> tuple[bytes, bytes]:
+    """Section 5 (template 5.2/5.3) + section 7 bodies for the scaled
+    non-negative integers `x`. Groups are fixed `group_size` runs
+    (ref_len=group_size, inc=1, scaled lens 0 bits, last length in
+    octets 43-46) — a valid, deliberately simple grouping choice."""
+    n = x.size
+    h = x.astype(np.int64).copy()
+    extra = b""
+    if packing == 3:
+        if order not in (1, 2):
+            raise NotImplementedError(f"spatial differencing order {order}")
+        d = h.copy()
+        if order == 1 and n > 1:
+            d[1:] = h[1:] - h[:-1]
+        elif order == 2 and n > 2:
+            d[2:] = h[2:] - 2 * h[1:-1] + h[:-2]
+        gmin = int(d[order:].min()) if n > order else 0
+        originals = ([int(v) for v in h[:order]] + [0] * order)[:order]
+        h = d
+        h[order:] -= gmin
+        h[:min(order, n)] = 0
+        nd = 4
+        extra = b"".join(_sm(v, nd) for v in originals) + _sm(gmin, nd)
+
+    ng = (n + group_size - 1) // group_size if n else 0
+    refs = np.zeros(ng, dtype=np.int64)
+    widths = np.zeros(ng, dtype=np.int64)
+    chunks: list[np.ndarray] = []
+    for g in range(ng):
+        seg = h[g * group_size:(g + 1) * group_size]
+        refs[g] = seg.min()
+        span = int(seg.max() - seg.min())
+        w = span.bit_length()
+        widths[g] = w
+        if w:
+            rel = seg - refs[g]
+            chunks.append(
+                ((rel[:, None] >> np.arange(w - 1, -1, -1)) & 1)
+                .astype(np.uint8).ravel())
+    nbits = int(refs.max()).bit_length() if ng else 0
+    wbits = int(widths.max()).bit_length() if ng else 0
+    last_len = n - (ng - 1) * group_size if ng else 0
+
+    s5 = (npk.to_bytes(4, "big") + packing.to_bytes(2, "big")
+          + struct.pack(">f", r) + _sm(e_scale, 2) + _sm(0, 2)
+          + bytes([nbits, 0])
+          + bytes([1, 0])                       # general split, no missing
+          + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+          + ng.to_bytes(4, "big")
+          + bytes([0, wbits])                   # ref width 0
+          + group_size.to_bytes(4, "big") + bytes([1])
+          + last_len.to_bytes(4, "big") + bytes([0]))   # 0-bit scaled lens
+    if packing == 3:
+        s5 += bytes([order, 4])
+
+    s7 = bytearray(extra)
+    s7 += _pack_bits(refs, nbits) if nbits else b""
+    s7 += _pack_bits(widths, wbits) if wbits else b""
+    if chunks:
+        s7 += np.packbits(np.concatenate(chunks)).tobytes()
+    return s5, bytes(s7)
 
 
 def encode_grib2(messages: list[dict]) -> bytes:

@@ -86,19 +86,44 @@ def test_mixed_time_axes_raise(spark, tmp_path):
         GRIB2.list_variables(spark, str(fp))
 
 
-def test_complex_packing_gated():
-    rng = np.random.default_rng(1)
-    buf = bytearray(encode_grib2_message(rng.normal(size=(2, 2)),
-                                         shortname="t", ref_time=T0,
-                                         la1=1.5, lo1=0.5, di=1, dj=1))
-    # flip the data-representation template number to 5.3 (complex)
-    idx = bytes(buf).find(b"GRIB")
+@pytest.mark.parametrize("packing,order", [(2, 0), (3, 1), (3, 2)])
+def test_complex_packing_roundtrip(packing, order):
+    """5.2/5.3 decode matches the 5.0 decode of the same field exactly
+    (identical floor quantization, different wire encoding)."""
+    rng = np.random.default_rng(packing * 10 + order)
+    a = np.cumsum(rng.normal(size=(23, 31)), axis=1)   # smooth-ish field
+    a[5, 7] = np.nan
+    kw = dict(shortname="t", ref_time=T0, forecast_hours=6,
+              la1=10.0, lo1=-5.0, di=0.5, dj=0.5)
+    simple = decode_grib2(encode_grib2_message(a, **kw))[0]
+    m = decode_grib2(encode_grib2_message(
+        a, packing=packing, spatial_order=order, group_size=17, **kw))[0]
+    assert m["shortName"] == "t"
+    assert np.isnan(m["values"][5, 7])
+    np.testing.assert_array_equal(m["values"], simple["values"])
+
+
+def test_complex_packing_constant_and_tiny_fields():
+    kw = dict(shortname="t", ref_time=T0, la1=1.5, lo1=0.5, di=1, dj=1)
+    for a in (np.full((4, 5), 2.5), np.array([[1.0, 2.0]]),
+              np.full((1, 1), 7.0)):
+        for packing, order in ((2, 0), (3, 1), (3, 2)):
+            simple = decode_grib2(encode_grib2_message(a, **kw))[0]
+            m = decode_grib2(encode_grib2_message(
+                a, packing=packing, spatial_order=order, **kw))[0]
+            np.testing.assert_array_equal(m["values"], simple["values"])
+
+
+def test_jpeg_packing_gated():
+    buf = bytearray(encode_grib2_message(np.ones((2, 2)), shortname="t",
+                                         ref_time=T0, la1=1.5, lo1=0.5,
+                                         di=1, dj=1))
     pos = 16
     while True:
         ln = int.from_bytes(buf[pos:pos + 4], "big")
         if buf[pos + 4] == 5:
-            buf[pos + 9:pos + 11] = (3).to_bytes(2, "big")
+            buf[pos + 9:pos + 11] = (40).to_bytes(2, "big")
             break
         pos += ln
-    with pytest.raises(NotImplementedError, match="5.3"):
+    with pytest.raises(NotImplementedError, match="5.40"):
         decode_grib2(bytes(buf))
