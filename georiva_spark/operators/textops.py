@@ -231,3 +231,55 @@ def bow_classifier_score(docs: DataFrame, dim: int = 1024,
              - F.lit(1.0))
     return docs.select("doc_id", ntok.alias("token_count"),
                        score.alias("bow_score"))
+
+
+def pack_sequences(docs: DataFrame, context_len: int = 2048,
+                   num_shards: int = 64,
+                   text_col: str = "text") -> DataFrame:
+    """Greedy sequence packing: place documents into fixed-length
+    training context windows (bins) without splitting documents — the
+    step that turns a filtered corpus into dense training examples.
+
+    Docs are hash-sharded (portable 60-bit hash of doc_id mod
+    `num_shards`) and packed greedily within each shard in doc_id
+    order: a new bin opens whenever the next doc would overflow
+    `context_len`. Docs longer than `context_len` are clamped and fill
+    one bin alone. Returns the pointer table a loader joins back to the
+    corpus: (doc_id, shard, bin_id, bin_offset, n_tok).
+
+    Scale shape: greedy fill is inherently sequential, but only WITHIN
+    a shard — shards are independent `applyInPandas` groups, so
+    parallelism = `num_shards` (size it ~4× executor cores at 100 TB;
+    bins never cross shards, so quality is unaffected). Only
+    (doc_id, n_tok) longs shuffle — never text — and per-shard state is
+    two scalars, so executor memory stays flat no matter the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
+                   F.lit(num_shards)).cast("int")
+    n = F.least(F.size(tokens(F.col(text_col))), F.lit(context_len))
+    narrow = docs.select("doc_id", shard.alias("shard"),
+                         n.cast("long").alias("n_tok"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ns = pdf["n_tok"].to_numpy()
+        bins = np.zeros(ns.size, dtype=np.int64)
+        offs = np.zeros(ns.size, dtype=np.int64)
+        b = fill = 0
+        for i in range(ns.size):
+            if fill + ns[i] > context_len:
+                b += 1
+                fill = 0
+            bins[i], offs[i] = b, fill
+            fill += ns[i]
+        return pd.DataFrame({"doc_id": pdf["doc_id"],
+                             "shard": pdf["shard"],
+                             "bin_id": bins, "bin_offset": offs,
+                             "n_tok": ns})
+
+    return narrow.groupBy("shard").applyInPandas(
+        _pack,
+        "doc_id long, shard int, bin_id long, bin_offset long, n_tok long")

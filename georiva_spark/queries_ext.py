@@ -532,6 +532,13 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fingerprints")))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 128-token training windows, 8 shards —
+    greedy per-shard fill reproduced by a recursive CTE in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.pack_sequences(docs, context_len=128, num_shards=8)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.token_count_bpe_ish(docs)
@@ -924,6 +931,32 @@ SELECT doc_id, CAST(len(list_distinct(w)) AS INTEGER) AS n_fingerprints
 FROM wins
 """
 
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 8 AS INTEGER) AS shard,
+         least(len(string_split(text, ' ')), 128)::BIGINT AS n_tok
+  FROM documents
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM t
+), rec AS (
+  SELECT shard, rn, doc_id, n_tok,
+         0::BIGINT AS bin_id, 0::BIGINT AS bin_offset
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+         CASE WHEN r.bin_offset + r.n_tok + n.n_tok <= 128
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.bin_offset + r.n_tok + n.n_tok <= 128
+              THEN r.bin_offset + r.n_tok ELSE 0::BIGINT END
+  FROM rec r JOIN o n ON n.shard = r.shard AND n.rn = r.rn + 1
+)
+SELECT doc_id, shard, bin_id, bin_offset, n_tok FROM rec
+"""
+
+
 SQL_TOKEN_COUNTS = """
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS word_count,
@@ -1274,6 +1307,7 @@ EXT_QUERIES = {
     "regrid_bilinear": q_regrid_bilinear,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
+    "pack_sequences": q_pack_sequences,
     "knn_all_topk": q_knn_all_topk,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
@@ -1322,6 +1356,7 @@ EXT_ORACLES = {
     "regrid_bilinear": SQL_REGRID_BILINEAR,
     "fingerprints": SQL_FINGERPRINTS,
     "token_counts": SQL_TOKEN_COUNTS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "knn_all_topk": SQL_KNN_ALL_TOPK,
     "image_features": SQL_IMAGE_FEATURES,
     "image_resize": SQL_IMAGE_RESIZE,

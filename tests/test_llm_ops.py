@@ -398,3 +398,44 @@ def test_simhash_pairs_band_trick_complete(spark):
                 if h <= 6:
                     want[(i, j)] = h
     assert got == want and want   # identical and non-empty
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+         for i in range(120)],
+        "doc_id long, text string")
+    out = textops.pack_sequences(docs, context_len=16,
+                                 num_shards=4).collect()
+    assert len(out) == 120
+    by_bin: dict = {}
+    for r in out:
+        assert 1 <= r.n_tok <= 16
+        by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, b), rows in by_bin.items():
+        rows.sort(key=lambda r: r.bin_offset)
+        fill = 0
+        for r in rows:
+            assert r.bin_offset == fill      # densely packed, in order
+            fill += r.n_tok
+        assert fill <= 16
+    # within a shard: doc_id order matches (bin_id, bin_offset) order
+    for shard in {r.shard for r in out}:
+        rows = sorted((r for r in out if r.shard == shard),
+                      key=lambda r: r.doc_id)
+        keys = [(r.bin_id, r.bin_offset) for r in rows]
+        assert keys == sorted(keys)
+        bins = sorted({r.bin_id for r in rows})
+        assert bins == list(range(len(bins)))   # contiguous bins from 0
+
+
+def test_pack_sequences_long_doc_clamped(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(50))), (2, "a b")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textops.pack_sequences(docs, context_len=8,
+                                  num_shards=1).collect()}
+    assert out[1].n_tok == 8                    # clamped to one full bin
+    assert out[1].bin_offset == 0
+    assert out[1].bin_id != out[2].bin_id       # fills its bin alone
