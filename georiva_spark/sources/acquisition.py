@@ -1,0 +1,527 @@
+"""File acquisition layer: fetch strategies + loader with ledger triage.
+
+Reproduces the reference's source-acquisition semantics (S8) Spark-first:
+
+- ``FileRequest`` / ``FetchResult`` dataclasses mirror
+  ``sources/fetch/base.py:11-90`` (identity, temporal context, JSON-safe
+  ``to_dict``/``from_dict`` round-trip so a single file can be re-fetched
+  later from its persisted payload).
+- ``BaseFetchStrategy`` contract (``sources/fetch/base.py:92-142``):
+  connect/disconnect lifecycle, ``fetch(request, local_path)``, context
+  manager. Strategies here are stdlib-only: local filesystem, HTTP(S) via
+  ``urllib.request`` with bounded exponential-backoff retries on
+  {429,500,502,503,504} (the reference's ``Retry(status_forcelist=...)``,
+  ``sources/fetch/http.py:73-79``), and FTP via ``ftplib``
+  (``sources/fetch/ftp.py``).
+- ``Loader`` mirrors ``sources/loader.py``: generate requests from a data
+  source, **triage** candidates against the fetched-files ledger
+  (skip-if-exists), fetch with per-file error isolation, and record
+  ``fetch_runs`` / ``fetched_files`` ledger rows.
+
+Scale-first divergence from the reference: triage is a DataFrame
+**left-anti join** of the candidate list against the ledger table rather
+than a per-file ``bucket.exists()`` probe (``sources/loader.py:420-425``) —
+one shuffle-free broadcast join classifies millions of candidates, where
+the reference pays one storage round-trip per file. The ledger is plain
+parquet append (fetch outcomes are immutable events, so no upsert needed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import urllib.error
+import urllib.request
+from dataclasses import asdict, dataclass, field
+from datetime import datetime
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RETRYABLE_HTTP = {429, 500, 502, 503, 504}
+
+
+@dataclass
+class FileRequest:
+    """What we WANT to fetch — may not exist yet (fetch/base.py:11-28)."""
+
+    identifier: str
+    filename: str
+    valid_time: Optional[datetime] = None
+    reference_time: Optional[datetime] = None
+    params: dict = field(default_factory=dict)
+    expected_size: Optional[int] = None
+    expected_format: Optional[str] = None
+    variables: list = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        payload = asdict(self)
+        for key in ("valid_time", "reference_time"):
+            if payload[key] is not None:
+                payload[key] = payload[key].isoformat()
+        return payload
+
+    @classmethod
+    def from_dict(cls, payload: dict) -> "FileRequest":
+        data = dict(payload)
+        for key in ("valid_time", "reference_time"):
+            if data.get(key) is not None:
+                data[key] = datetime.fromisoformat(data[key])
+        return cls(**data)
+
+    @property
+    def is_forecast(self) -> bool:
+        return self.reference_time is not None
+
+    @property
+    def forecast_hour(self) -> Optional[int]:
+        if self.reference_time and self.valid_time:
+            return int((self.valid_time - self.reference_time).total_seconds() // 3600)
+        return None
+
+
+@dataclass
+class FetchResult:
+    request: FileRequest
+    local_path: Optional[str] = None
+    success: bool = False
+    error: Optional[str] = None
+    bytes_transferred: int = 0
+    duration_seconds: float = 0.0
+    status: str = "pending"
+
+    @property
+    def failed(self) -> bool:
+        return not self.success
+
+
+class BaseFetchStrategy:
+    """HOW to retrieve data, not WHAT (fetch/base.py:92-142)."""
+
+    type: str = ""
+    label: str = ""
+
+    def __init__(self, config: Optional[dict] = None):
+        if not self.type or not self.label:
+            raise ValueError(f"{type(self).__name__} must define 'type' and 'label'")
+        self.config = config or {}
+
+    def connect(self) -> None:
+        pass
+
+    def disconnect(self) -> None:
+        pass
+
+    def fetch(self, request: FileRequest, local_path: str) -> FetchResult:
+        raise NotImplementedError
+
+    def __enter__(self):
+        self.connect()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.disconnect()
+        return False
+
+
+class LocalFSStrategy(BaseFetchStrategy):
+    """Copy from a local/mounted source tree; ``params['path']`` is the source."""
+
+    type = "file"
+    label = "Local filesystem"
+
+    def fetch(self, request: FileRequest, local_path: str) -> FetchResult:
+        t0 = time.monotonic()
+        result = FetchResult(request=request, local_path=local_path)
+        src = request.params.get("path")
+        if not src:
+            result.error, result.status = "No path in request params", "failed"
+            return result
+        try:
+            os.makedirs(os.path.dirname(local_path), exist_ok=True)
+            shutil.copyfile(src, local_path)
+            result.bytes_transferred = os.path.getsize(local_path)
+            result.success, result.status = True, "complete"
+        except OSError as exc:
+            result.error, result.status = str(exc), "failed"
+        result.duration_seconds = time.monotonic() - t0
+        return result
+
+
+class HTTPFetchStrategy(BaseFetchStrategy):
+    """HTTP/HTTPS download with retry + streaming (fetch/http.py:21-183).
+
+    Config: timeout (120), max_retries (3), backoff_factor (1.0),
+    chunk_size (8192), headers ({}), user_agent.
+    """
+
+    type = "http"
+    label = "HTTP/HTTPS"
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        self.timeout = self.config.get("timeout", 120)
+        self.max_retries = self.config.get("max_retries", 3)
+        self.backoff_factor = self.config.get("backoff_factor", 1.0)
+        self.chunk_size = self.config.get("chunk_size", 8192)
+        self.headers = dict(self.config.get("headers", {}))
+        self.headers.setdefault(
+            "User-Agent", self.config.get("user_agent", "georiva-spark/1.0")
+        )
+
+    def fetch(self, request: FileRequest, local_path: str) -> FetchResult:
+        t0 = time.monotonic()
+        result = FetchResult(request=request, local_path=local_path)
+        url = request.params.get("url")
+        if not url:
+            result.error, result.status = "No URL in request params", "failed"
+            return result
+        attempt = 0
+        while True:
+            try:
+                req = urllib.request.Request(url, headers=self.headers)
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    os.makedirs(os.path.dirname(local_path), exist_ok=True)
+                    n = 0
+                    with open(local_path, "wb") as out:
+                        while True:
+                            chunk = resp.read(self.chunk_size)
+                            if not chunk:
+                                break
+                            out.write(chunk)
+                            n += len(chunk)
+                result.bytes_transferred = n
+                result.success, result.status = True, "complete"
+                break
+            except urllib.error.HTTPError as exc:
+                if exc.code in RETRYABLE_HTTP and attempt < self.max_retries:
+                    time.sleep(self.backoff_factor * (2 ** attempt))
+                    attempt += 1
+                    continue
+                result.error, result.status = f"HTTP {exc.code}: {exc.reason}", "failed"
+                break
+            except (urllib.error.URLError, OSError) as exc:
+                if attempt < self.max_retries:
+                    time.sleep(self.backoff_factor * (2 ** attempt))
+                    attempt += 1
+                    continue
+                result.error, result.status = str(exc), "failed"
+                break
+        result.duration_seconds = time.monotonic() - t0
+        return result
+
+
+class FTPFetchStrategy(BaseFetchStrategy):
+    """FTP download via stdlib ftplib (fetch/ftp.py). ``params['path']`` is
+    the remote path; host/user/password come from config."""
+
+    type = "ftp"
+    label = "FTP"
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        self._ftp = None
+
+    def connect(self) -> None:
+        import ftplib
+
+        self._ftp = ftplib.FTP()
+        self._ftp.connect(
+            self.config.get("host", "localhost"),
+            self.config.get("port", 21),
+            timeout=self.config.get("timeout", 60),
+        )
+        self._ftp.login(
+            self.config.get("user", "anonymous"), self.config.get("password", "")
+        )
+
+    def disconnect(self) -> None:
+        if self._ftp is not None:
+            try:
+                self._ftp.quit()
+            except Exception:
+                pass
+            self._ftp = None
+
+    def fetch(self, request: FileRequest, local_path: str) -> FetchResult:
+        t0 = time.monotonic()
+        result = FetchResult(request=request, local_path=local_path)
+        path = request.params.get("path")
+        if not path:
+            result.error, result.status = "No path in request params", "failed"
+            return result
+        if self._ftp is None:
+            result.error, result.status = "Not connected", "failed"
+            return result
+        try:
+            os.makedirs(os.path.dirname(local_path), exist_ok=True)
+            with open(local_path, "wb") as out:
+                self._ftp.retrbinary(f"RETR {path}", out.write)
+            result.bytes_transferred = os.path.getsize(local_path)
+            result.success, result.status = True, "complete"
+        except Exception as exc:
+            result.error, result.status = str(exc), "failed"
+        result.duration_seconds = time.monotonic() - t0
+        return result
+
+
+STRATEGIES = {
+    cls.type: cls for cls in (LocalFSStrategy, HTTPFetchStrategy, FTPFetchStrategy)
+}
+
+FETCHED_FILE_SCHEMA = StructType(
+    [
+        StructField("collection", StringType()),
+        StructField("storage_path", StringType()),
+        StructField("filename", StringType()),
+        StructField("run_id", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("bytes_transferred", LongType()),
+        StructField("fetched_at", TimestampType()),
+        StructField("request_payload", StringType()),
+    ]
+)
+
+FETCH_RUN_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("collection", StringType()),
+        StructField("status", StringType()),
+        StructField("files_fetched", LongType()),
+        StructField("files_skipped", LongType()),
+        StructField("files_failed", LongType()),
+        StructField("bytes_transferred", LongType()),
+        StructField("started_at", TimestampType()),
+        StructField("finished_at", TimestampType()),
+        StructField("duration_seconds", DoubleType()),
+    ]
+)
+
+
+@dataclass
+class CandidateFile:
+    """Dry-run classification row (loader.py:195-210)."""
+
+    filename: str
+    storage_path: str
+    exists: bool
+
+
+@dataclass
+class LoaderRunResult:
+    run_id: str = ""
+    files_fetched: int = 0
+    files_skipped: int = 0
+    files_failed: int = 0
+    bytes_transferred: int = 0
+    errors: list = field(default_factory=list)
+
+    def summary(self) -> str:
+        return (
+            f"run {self.run_id}: fetched={self.files_fetched} "
+            f"skipped={self.files_skipped} failed={self.files_failed} "
+            f"bytes={self.bytes_transferred}"
+        )
+
+
+class Loader:
+    """Acquisition run: requests → ledger triage → fetch → ledger rows.
+
+    ``data_source`` is any callable ``(collection) -> Iterable[FileRequest]``
+    (the reference's ``generate_requests_for_collection``,
+    ``sources/models.py:201-227``). ``ledger_dir`` holds two parquet tables:
+    ``fetched_files/`` and ``fetch_runs/`` (the FetchedFile / FetchRun rows,
+    ``sources/models.py:661,769``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        collection: str,
+        data_source: Callable[[str], Iterable[FileRequest]],
+        fetch_strategy: BaseFetchStrategy,
+        landing_dir: str,
+        ledger_dir: str,
+    ):
+        self.spark = spark
+        self.collection = collection
+        self.data_source = data_source
+        self.fetch_strategy = fetch_strategy
+        self.landing_dir = landing_dir
+        self.ledger_dir = ledger_dir
+
+    # -- ledger -----------------------------------------------------------
+    def fetched_files(self) -> DataFrame:
+        path = os.path.join(self.ledger_dir, "fetched_files")
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], FETCHED_FILE_SCHEMA)
+        return self.spark.read.schema(FETCHED_FILE_SCHEMA).parquet(path)
+
+    def fetch_runs(self) -> DataFrame:
+        path = os.path.join(self.ledger_dir, "fetch_runs")
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], FETCH_RUN_SCHEMA)
+        return self.spark.read.schema(FETCH_RUN_SCHEMA).parquet(path)
+
+    def _append(self, rows, schema, table):
+        df = self.spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.ledger_dir, table)
+        )
+
+    def storage_path(self, request: FileRequest) -> str:
+        return f"{self.collection}/{request.filename}"
+
+    # -- triage -----------------------------------------------------------
+    def triage(self, requests: list) -> tuple[list, set]:
+        """Classify candidates vs the ledger in ONE anti-join.
+
+        Returns ``(to_fetch, existing_paths)``. The candidate side is tiny
+        (one run's request list) and broadcast; the ledger side can be
+        billions of rows — only its matching partition keys are touched.
+        Mirrors the skip-if-exists triage at ``sources/loader.py:420-425``.
+        """
+        if not requests:
+            return [], set()
+        cand = self.spark.createDataFrame(
+            [(self.storage_path(r),) for r in requests], ["storage_path"]
+        )
+        ledger = self.fetched_files().where(
+            (F.col("collection") == self.collection) & (F.col("status") == "complete")
+        )
+        existing = {
+            row[0]
+            for row in cand.join(
+                F.broadcast(ledger), "storage_path", "left_semi"
+            ).collect()
+        }
+        to_fetch = [r for r in requests if self.storage_path(r) not in existing]
+        return to_fetch, existing
+
+    def check_new_files(self) -> list:
+        """Read-only dry run: classify, persist nothing (loader.py:195-210)."""
+        requests = list(self.data_source(self.collection))
+        _, existing = self.triage(requests)
+        return [
+            CandidateFile(
+                filename=r.filename,
+                storage_path=self.storage_path(r),
+                exists=self.storage_path(r) in existing,
+            )
+            for r in requests
+        ]
+
+    def fetch_one(self, request: FileRequest) -> FetchResult:
+        """Unconditional single-file fetch — the per-file retry primitive
+        (loader.py:211-226). Owns connect/disconnect; records nothing."""
+        self.fetch_strategy.connect()
+        try:
+            dest = os.path.join(self.landing_dir, self.collection, request.filename)
+            return self.fetch_strategy.fetch(request, dest)
+        finally:
+            try:
+                self.fetch_strategy.disconnect()
+            except Exception:
+                pass
+
+    def refetch(self, request_payload: str) -> FetchResult:
+        """Re-fetch one file from its persisted ledger payload."""
+        return self.fetch_one(FileRequest.from_dict(json.loads(request_payload)))
+
+    def run(
+        self,
+        *,
+        dry_run: bool = False,
+        max_files: Optional[int] = None,
+        skip_existing: bool = True,
+    ) -> LoaderRunResult:
+        started = datetime.utcnow()
+        run_id = f"{self.collection}-{started.strftime('%Y%m%dT%H%M%S%f')}"
+        result = LoaderRunResult(run_id=run_id)
+
+        requests = list(self.data_source(self.collection))
+        if skip_existing:
+            to_fetch, existing = self.triage(requests)
+            result.files_skipped = len(existing)
+        else:
+            to_fetch = requests
+        if max_files is not None:
+            to_fetch = to_fetch[:max_files]
+        if dry_run:
+            return result
+
+        rows = []
+        self.fetch_strategy.connect()
+        try:
+            for request in to_fetch:
+                dest = os.path.join(
+                    self.landing_dir, self.collection, request.filename
+                )
+                try:
+                    fr = self.fetch_strategy.fetch(request, dest)
+                except Exception as exc:  # per-file isolation (loader run loop)
+                    fr = FetchResult(
+                        request=request, error=str(exc), status="failed"
+                    )
+                if fr.success:
+                    result.files_fetched += 1
+                    result.bytes_transferred += fr.bytes_transferred
+                else:
+                    result.files_failed += 1
+                    result.errors.append(f"{request.filename}: {fr.error}")
+                try:
+                    payload = json.dumps(request.to_dict())
+                except Exception:
+                    payload = None  # null payload disables per-file retry
+                rows.append(
+                    (
+                        self.collection,
+                        self.storage_path(request),
+                        request.filename,
+                        run_id,
+                        fr.status,
+                        fr.error,
+                        fr.bytes_transferred,
+                        datetime.utcnow(),
+                        payload,
+                    )
+                )
+        finally:
+            try:
+                self.fetch_strategy.disconnect()
+            except Exception:
+                pass
+
+        if rows:
+            self._append(rows, FETCHED_FILE_SCHEMA, "fetched_files")
+        finished = datetime.utcnow()
+        self._append(
+            [
+                (
+                    run_id,
+                    self.collection,
+                    "completed" if not result.files_failed else "completed_with_errors",
+                    result.files_fetched,
+                    result.files_skipped,
+                    result.files_failed,
+                    result.bytes_transferred,
+                    started,
+                    finished,
+                    (finished - started).total_seconds(),
+                )
+            ],
+            FETCH_RUN_SCHEMA,
+            "fetch_runs",
+        )
+        return result
