@@ -1284,6 +1284,58 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+def q_mvt_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — the quantize step of ``ST_AsMVTGeom``: every distinct grid
+    pixel mapped into tile-local integer coordinates for XYZ tile
+    (z=3, x=3, y=3), extent 4096 (create_martin_function.py:168-175 calls
+    ST_AsMVTGeom(geom, env, 4096, 256, true); the envelope/quantize math
+    here is the deterministic, SQL-checkable half — clip + protobuf
+    encode are covered by test_mvt.py goldens)."""
+    from georiva_spark.sources.mvt_sink import mvt_geom_df
+    g = events_grid(spark, sf_dir).select("y", "x", "lat", "lon").distinct()
+    return mvt_geom_df(g, 3, 3, 3).select("y", "x", "lat", "lon", "px", "py")
+
+
+# tile_envelope(3,3,3): xmin=-W/4, ymax=W/4, size=W/4 with W=pi*6378137.
+SQL_MVT_GEOM = GRID_CTE + """
+, px AS (SELECT DISTINCT y, x, lat, lon FROM grid)
+SELECT y, x, lat, lon,
+  CAST(ROUND((6378137.0 * radians(lon) - (-pi()*6378137.0/4.0))
+       / (pi()*6378137.0/4.0) * 4096.0) AS BIGINT) AS px,
+  CAST(ROUND((pi()*6378137.0/4.0
+       - 6378137.0 * ln(tan(pi()/4 + radians(lat)/2)))
+       / (pi()*6378137.0/4.0) * 4096.0) AS BIGINT) AS py
+FROM px
+"""
+
+
+def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — bulk MVT export over zonal stats: encodes real protobuf
+    tiles per (z,x,y) and returns per-tile feature counts + tile size
+    (binary itself is engine-specific → rows-only would be vacuous, so
+    the check is on the deterministic shape columns; byte-level encode
+    is golden-tested in test_mvt.py)."""
+    from georiva_spark.operators import filters, zonal
+    from georiva_spark.sources.mvt_sink import export_tiles
+
+    boxes = [
+        (1, 1, "west_box", -7.5, -6.0, 0.0, 6.0),
+        (2, 1, "east_box", 0.0, -6.0, 7.5, 6.0),
+    ]
+    rows = []
+    for bid, level, name, w, s, e, n in boxes:
+        gj = ('{"type": "Polygon", "coordinates": [[[%f, %f], [%f, %f], '
+              '[%f, %f], [%f, %f], [%f, %f]]]}' % (w, s, e, s, e, n, w, n,
+                                                   w, s))
+        rows.append((bid, level, name, gj))
+    g = filters.select_variable(events_grid(spark, sf_dir), "signup")
+    stats = zonal.zonal_stats(g, rows, keys=("variable",)).where(
+        F.col("count").isNotNull())
+    tiles = export_tiles(stats, rows, 4)
+    return tiles.select("z", "x", "y", "n_features",
+                        F.length("tile").alias("tile_bytes"))
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -1331,6 +1383,8 @@ EXT_QUERIES = {
     "language_id": q_language_id,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "mvt_geom": q_mvt_geom,
+    "mvt_tiles": q_mvt_tiles,
 }
 
 EXT_ORACLES = {
@@ -1378,4 +1432,5 @@ EXT_ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,
+    "mvt_geom": SQL_MVT_GEOM,
 }
