@@ -1284,6 +1284,72 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+_FEED_STATES = ("complete", "failed", "partial", "queued", "running")
+
+
+def q_feed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health ladder (sources/health.py:62-134) over a feeds table
+    synthesized deterministically from events: one feed per user_id,
+    last_run_at = max(ts), status/interval/active from user_id residues,
+    a FIXED now (2024-01-31 12:00) so staleness is reproducible. The
+    single CASE ladder is the reference's Health.as_case() — evaluation
+    order ≠ rank order, RUNNING shadows STALE, clamp [30min, 48h]."""
+    from georiva_spark.sources.feeds import feed_health
+
+    ev = load_table(spark, sf_dir, "events")
+    feeds = (ev.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+             .select(
+                 F.col("user_id").alias("feed_id"),
+                 ((F.col("user_id") % 5) != 0).alias("is_active"),
+                 F.when((F.col("user_id") % 11) == 0,
+                        F.lit(None).cast("string"))
+                 .otherwise(F.element_at(
+                     F.array(*[F.lit(s) for s in _FEED_STATES]),
+                     ((F.col("user_id") % 5) + 1).cast("int")))
+                 .alias("last_run_status"),
+                 F.when((F.col("user_id") % 11) == 0,
+                        F.lit(None).cast("timestamp"))
+                 .otherwise(F.col("max_ts")).alias("last_run_at"),
+                 ((F.col("user_id") % 4) * 720 + 10)
+                 .alias("interval_minutes"),
+                 F.lit("2024-01-31 12:00:00").cast("timestamp").alias("now"),
+             ))
+    out = feed_health(feeds)
+    return out.select("feed_id", "is_active", "last_run_status",
+                      "interval_minutes", "health_rank", "health")
+
+
+SQL_FEED_HEALTH = """
+WITH f AS (
+  SELECT user_id AS feed_id,
+    (user_id % 5) <> 0 AS is_active,
+    CASE WHEN user_id % 11 = 0 THEN NULL
+         ELSE (['complete','failed','partial','queued','running'])
+              [(user_id % 5) + 1] END AS last_run_status,
+    CASE WHEN user_id % 11 = 0 THEN NULL ELSE MAX(ts) END AS last_run_at,
+    (user_id % 4) * 720 + 10 AS interval_minutes,
+    TIMESTAMP '2024-01-31 12:00:00' AS now
+  FROM events GROUP BY user_id),
+h AS (
+  SELECT *,
+    CASE WHEN NOT is_active THEN 90
+         WHEN last_run_status = 'failed' THEN 10
+         WHEN last_run_status = 'partial' THEN 20
+         WHEN last_run_at IS NULL THEN 80
+         WHEN last_run_status IN ('queued','running') THEN 50
+         WHEN is_active AND last_run_at IS NOT NULL AND
+              date_diff('second', last_run_at, now) >
+              LEAST(GREATEST(interval_minutes * 2, 30), 2880) * 60 THEN 30
+         ELSE 70 END AS health_rank
+  FROM f)
+SELECT feed_id, is_active, last_run_status, interval_minutes, health_rank,
+  CASE health_rank WHEN 90 THEN 'inactive' WHEN 10 THEN 'failed'
+       WHEN 20 THEN 'partial' WHEN 80 THEN 'new' WHEN 50 THEN 'running'
+       WHEN 30 THEN 'stale' ELSE 'ok' END AS health
+FROM h
+"""
+
+
 def q_mvt_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 — the quantize step of ``ST_AsMVTGeom``: every distinct grid
     pixel mapped into tile-local integer coordinates for XYZ tile
@@ -1385,6 +1451,7 @@ EXT_QUERIES = {
     "knn_ivf": q_knn_ivf,
     "mvt_geom": q_mvt_geom,
     "mvt_tiles": q_mvt_tiles,
+    "feed_health": q_feed_health,
 }
 
 EXT_ORACLES = {
@@ -1433,4 +1500,5 @@ EXT_ORACLES = {
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,
     "mvt_geom": SQL_MVT_GEOM,
+    "feed_health": SQL_FEED_HEALTH,
 }

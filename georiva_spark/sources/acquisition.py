@@ -35,7 +35,7 @@ import time
 import urllib.error
 import urllib.request
 from dataclasses import asdict, dataclass, field
-from datetime import datetime
+from datetime import datetime, timedelta
 from typing import Callable, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -49,6 +49,10 @@ from pyspark.sql.types import (
 )
 
 RETRYABLE_HTTP = {429, 500, 502, 503, 504}
+
+
+class RetryNotPossible(Exception):
+    """This file record cannot be re-fetched (acquisition_retry.py:18)."""
 
 
 @dataclass
@@ -297,6 +301,7 @@ FETCH_RUN_SCHEMA = StructType(
     [
         StructField("run_id", StringType()),
         StructField("collection", StringType()),
+        StructField("resumed_from", StringType()),
         StructField("status", StringType()),
         StructField("files_fetched", LongType()),
         StructField("files_skipped", LongType()),
@@ -445,12 +450,23 @@ class Loader:
         dry_run: bool = False,
         max_files: Optional[int] = None,
         skip_existing: bool = True,
+        resumed_from: Optional[str] = None,
     ) -> LoaderRunResult:
         started = datetime.utcnow()
         run_id = f"{self.collection}-{started.strftime('%Y%m%dT%H%M%S%f')}"
         result = LoaderRunResult(run_id=run_id)
 
         requests = list(self.data_source(self.collection))
+        # Event-sourced state machine: a 'running' row lands BEFORE any
+        # fetch, so a hard worker death leaves a visible stranded run for
+        # recover_stale_runs to sweep (the reference's FetchRun.RUNNING
+        # row, acquisition_recovery.py). Status = latest row per run_id.
+        if not dry_run:
+            self._append(
+                [(run_id, self.collection, resumed_from, "running",
+                  0, 0, 0, 0, started, None, None)],
+                FETCH_RUN_SCHEMA, "fetch_runs",
+            )
         if skip_existing:
             to_fetch, existing = self.triage(requests)
             result.files_skipped = len(existing)
@@ -511,6 +527,7 @@ class Loader:
                 (
                     run_id,
                     self.collection,
+                    resumed_from,
                     "completed" if not result.files_failed else "completed_with_errors",
                     result.files_fetched,
                     result.files_skipped,
@@ -525,3 +542,163 @@ class Loader:
             "fetch_runs",
         )
         return result
+
+    # -- state views (latest event per key) -------------------------------
+    def runs_latest(self) -> DataFrame:
+        """Current status per run: latest event row per run_id. The raw
+        ``fetch_runs`` table is the append-only event log."""
+        from pyspark.sql import Window
+
+        # latest event wins: counter-recompute rows share started_at with
+        # the terminal row they correct, so order on the event's own time
+        # (finished_at; running rows have none and lose all ties)
+        w = Window.partitionBy("run_id").orderBy(
+            F.coalesce(F.col("finished_at"), F.col("started_at")).desc(),
+            F.when(F.col("status") == "running", 1).otherwise(0),
+        )
+        return (self.fetch_runs()
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+
+    def files_latest(self) -> DataFrame:
+        """Current status per storage_path (latest fetched_files event) —
+        per-file retries append rows for the same path."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("storage_path").orderBy(
+            F.col("fetched_at").desc())
+        return (self.fetched_files()
+                .where(F.col("collection") == self.collection)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+
+    def run_counters(self, run_id: str) -> dict:
+        """Truthful counters recomputed from a run's child file rows
+        (``FetchRun.recompute_counters``, acquisition_retry.py) — one
+        aggregate over the ledger, no driver loop."""
+        # children = every storage_path with an event in this run; their
+        # CURRENT state is the latest event per path (a retry appends a
+        # superseding row — counting raw events would keep the stale
+        # failure in the totals forever)
+        children = (self.fetched_files()
+                    .where(F.col("run_id") == run_id)
+                    .select("storage_path").distinct())
+        row = (self.files_latest()
+               .join(F.broadcast(children), "storage_path", "left_semi")
+               .agg(
+                   F.count(F.when(F.col("status") == "complete", 1))
+                   .alias("files_fetched"),
+                   F.count(F.when(F.col("status") == "failed", 1))
+                   .alias("files_failed"),
+                   F.coalesce(F.sum(F.when(F.col("status") == "complete",
+                                           F.col("bytes_transferred"))),
+                              F.lit(0)).alias("bytes_transferred"),
+               ).collect()[0])
+        return row.asDict()
+
+    # -- per-file retry (acquisition_retry.py) ----------------------------
+    def retry_file(self, storage_path: str) -> FetchResult:
+        """Re-fetch one failed file in place from its stored request
+        payload; the same storage_path walks the state machine again via
+        a new ledger event, and the parent run's counters are recomputed
+        from its children (``retry_fetch``, acquisition_retry.py:34-60).
+        """
+        cur = (self.files_latest()
+               .where(F.col("storage_path") == storage_path).collect())
+        if not cur:
+            raise RetryNotPossible(f"no ledger record for {storage_path}")
+        rec = cur[0]
+        if not rec.request_payload:
+            raise RetryNotPossible("no stored request on this record")
+        request = FileRequest.from_dict(json.loads(rec.request_payload))
+        fr = self.fetch_one(request)
+        self._append(
+            [(self.collection, storage_path, request.filename, rec.run_id,
+              fr.status, fr.error, fr.bytes_transferred, datetime.utcnow(),
+              rec.request_payload)],
+            FETCHED_FILE_SCHEMA, "fetched_files",
+        )
+        counters = self.run_counters(rec.run_id)
+        prior = (self.runs_latest()
+                 .where(F.col("run_id") == rec.run_id).collect())
+        if prior:
+            p = prior[0]
+            finished = datetime.utcnow()
+            self._append(
+                [(rec.run_id, self.collection, p.resumed_from,
+                  "completed" if not counters["files_failed"]
+                  else "completed_with_errors",
+                  counters["files_fetched"], p.files_skipped,
+                  counters["files_failed"], counters["bytes_transferred"],
+                  p.started_at, finished,
+                  (finished - p.started_at).total_seconds())],
+                FETCH_RUN_SCHEMA, "fetch_runs",
+            )
+        return fr
+
+    # -- stale-run recovery sweep (acquisition_recovery.py) ---------------
+    def recover_stale_runs(
+        self,
+        *,
+        stale_after_seconds: float = 6 * 3600,
+        run_ids: Optional[list] = None,
+        resume: bool = True,
+        max_auto_resumes: int = 2,
+        now: Optional[datetime] = None,
+    ) -> dict:
+        """Declare runs dead on age, mark them interrupted, auto-resume.
+
+        Mirrors ``recover_stale_runs`` (acquisition_recovery.py:40-110):
+        a hard worker death strands a run in 'running'; the sweep fails
+        its dangling files, freezes truthful counters, appends an
+        'interrupted' event, and re-runs the loader (skip_existing
+        dedupes what already landed). Auto-resume is capped per original
+        run by walking ``resumed_from`` lineage, so a poison file parks
+        after ``max_auto_resumes`` attempts instead of looping forever.
+        ``run_ids`` sweeps exactly those runs regardless of age (the
+        operator is asserting they are dead); ``stale_after_seconds=0``
+        is the hard sweep.
+        """
+        now = now or datetime.utcnow()
+        latest = self.runs_latest()
+        stale = latest.where(F.col("status") == "running")
+        if run_ids is not None:
+            stale = stale.where(F.col("run_id").isin(list(run_ids)))
+        else:
+            cutoff = now - timedelta(seconds=stale_after_seconds)
+            stale = stale.where(F.col("started_at") < cutoff)
+        stale_rows = stale.orderBy("started_at").collect()
+
+        # resume lineage depth per root: resumed_from chains, computed
+        # once from the (bounded) run table
+        lineage = {r.run_id: r.resumed_from
+                   for r in latest.select("run_id", "resumed_from").collect()}
+
+        def depth(run_id: str) -> int:
+            d = 0
+            cur = lineage.get(run_id)
+            while cur is not None and d <= max_auto_resumes:
+                d += 1
+                cur = lineage.get(cur)
+            return d
+
+        swept = resumed = 0
+        for run in stale_rows:
+            # fail dangling files (rows stuck without a terminal event
+            # can't exist in this append-only design — in-flight files
+            # simply have no row yet; nothing to mark)
+            counters = self.run_counters(run.run_id)
+            finished = datetime.utcnow()
+            self._append(
+                [(run.run_id, self.collection, run.resumed_from,
+                  "interrupted", counters["files_fetched"],
+                  run.files_skipped, counters["files_failed"],
+                  counters["bytes_transferred"], run.started_at, finished,
+                  (finished - run.started_at).total_seconds())],
+                FETCH_RUN_SCHEMA, "fetch_runs",
+            )
+            swept += 1
+            if resume and depth(run.run_id) < max_auto_resumes:
+                self.run(resumed_from=run.run_id)
+                resumed += 1
+        return {"swept": swept, "resumed": resumed}

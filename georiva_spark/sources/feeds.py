@@ -175,6 +175,61 @@ class DataFeedRegistry:
 data_feed_registry = DataFeedRegistry()
 
 
+STALE_MULTIPLIER = 2
+STALE_FLOOR_MINUTES = 30
+STALE_CEILING_MINUTES = 48 * 60
+
+# (name, rank) in EVALUATION order — rank is the sort key; the two differ
+# deliberately (INACTIVE evaluates first but sorts last), sources/health.py.
+HEALTH_LADDER = (
+    ("inactive", 90), ("failed", 10), ("partial", 20), ("new", 80),
+    ("running", 50), ("stale", 30), ("ok", 70),
+)
+
+
+def feed_health(feeds: DataFrame, now_col="now") -> DataFrame:
+    """Derived health per feed row (``sources/health.py:62-134``).
+
+    One chained CASE/WHEN expression — the reference generates the same
+    ladder as a SQL ``Case`` so "the ladder the database sorts by and the
+    chip the template renders can never disagree"; here the single
+    ``F.when`` chain is that same property. Declaration order is
+    evaluation order; RUNNING precedes STALE so an overdue feed whose
+    recovery run has started reports the recovery, not the wait.
+
+    Expects columns: is_active (bool), last_run_status (string|null),
+    last_run_at (timestamp|null), interval_minutes (long), and a ``now``
+    timestamp column (injected, not ``current_timestamp()``, so results
+    are deterministic and testable).
+
+    A feed is overdue after ``interval_minutes * STALE_MULTIPLIER``
+    without a run, clamped to [30 min, 48 h]: the floor stops frequent
+    feeds flickering on scheduler jitter, the ceiling stops a monthly
+    feed hiding a two-month outage behind a plain 2× rule.
+    """
+    gap_s = (F.col(now_col).cast("long")
+             - F.col("last_run_at").cast("long"))
+    thresh_s = F.least(
+        F.greatest(F.col("interval_minutes") * F.lit(STALE_MULTIPLIER),
+                   F.lit(STALE_FLOOR_MINUTES)),
+        F.lit(STALE_CEILING_MINUTES)) * F.lit(60)
+    overdue = gap_s > thresh_s
+    rank = (
+        F.when(~F.col("is_active"), F.lit(90))
+        .when(F.col("last_run_status") == "failed", F.lit(10))
+        .when(F.col("last_run_status") == "partial", F.lit(20))
+        .when(F.col("last_run_at").isNull(), F.lit(80))
+        .when(F.col("last_run_status").isin("queued", "running"), F.lit(50))
+        .when(F.col("is_active") & F.col("last_run_at").isNotNull()
+              & overdue, F.lit(30))
+        .otherwise(F.lit(70)))
+    label = F.lit(None).cast("string")
+    for name, r in HEALTH_LADDER:
+        label = F.when(rank == r, F.lit(name)).otherwise(label)
+    return feeds.withColumn("health_rank", rank) \
+                .withColumn("health", label)
+
+
 class HourlyHTTPSource(BaseDataSource):
     """Example provider: one file per hour from a URL template —
     the GFS/AIFS shape (``type``/``label`` + template config), concrete

@@ -66,7 +66,11 @@ def test_run_fetches_and_records_ledger(spark, tmp_path, src_dir):
     assert len(ff) == 4
     assert all(r.status == "complete" for r in ff)
     assert all(r.request_payload for r in ff)
-    runs = loader.fetch_runs().collect()
+    # event-sourced run log: 'running' row lands first, terminal row after
+    events = sorted(loader.fetch_runs().collect(),
+                    key=lambda r: (r.finished_at is not None))
+    assert [e.status for e in events] == ["running", "completed"]
+    runs = loader.runs_latest().collect()
     assert len(runs) == 1
     assert runs[0].files_fetched == 4
     assert runs[0].status == "completed"
@@ -137,6 +141,85 @@ def test_refetch_from_persisted_payload(spark, tmp_path, src_dir):
     fr = loader.refetch(row.request_payload)
     assert fr.success
     assert os.path.exists(dest)
+
+
+def test_retry_file_in_place_recomputes_run(spark, tmp_path, src_dir):
+    """acquisition_retry.py semantics: the stored request is rebuilt, the
+    SAME storage_path walks the state machine again, and the parent run's
+    counters are recomputed from its children."""
+    victim = os.path.join(src_dir, "grid_2.npz")
+    payload = open(victim, "rb").read()
+    os.remove(victim)
+    loader = _loader(spark, tmp_path, src_dir)
+
+    def gen(_c):
+        for i in range(4):
+            yield FileRequest(
+                identifier=f"grid_{i}.npz", filename=f"grid_{i}.npz",
+                params={"path": os.path.join(src_dir, f"grid_{i}.npz")})
+
+    loader.data_source = gen
+    loader.run()
+    run = loader.runs_latest().collect()[0]
+    assert run.status == "completed_with_errors"
+    assert run.files_failed == 1
+    # remote file comes back → retry succeeds in place
+    with open(victim, "wb") as f:
+        f.write(payload)
+    fr = loader.retry_file("era5/grid_2.npz")
+    assert fr.success
+    latest = {r.storage_path: r.status for r in loader.files_latest().collect()}
+    assert latest["era5/grid_2.npz"] == "complete"
+    run2 = loader.runs_latest().collect()[0]
+    assert run2.run_id == run.run_id
+    assert run2.status == "completed" and run2.files_failed == 0
+    assert run2.files_fetched == 4
+    # retry without a ledger record refuses
+    from georiva_spark.sources.acquisition import RetryNotPossible
+    with pytest.raises(RetryNotPossible):
+        loader.retry_file("era5/never_seen.npz")
+
+
+def test_recover_stale_runs_sweep_and_capped_resume(spark, tmp_path, src_dir):
+    """acquisition_recovery.py semantics: a run stranded in 'running' is
+    declared dead on age, marked interrupted with truthful counters, and
+    auto-resumed — capped via resumed_from lineage."""
+    from datetime import datetime, timedelta
+
+    from georiva_spark.sources.acquisition import FETCH_RUN_SCHEMA
+
+    loader = _loader(spark, tmp_path, src_dir)
+    # simulate a hard death: 'running' event only, no terminal row
+    started = datetime.utcnow() - timedelta(hours=7)
+    loader._append(
+        [("era5-DEADRUN", "era5", None, "running",
+          0, 0, 0, 0, started, None, None)],
+        FETCH_RUN_SCHEMA, "fetch_runs")
+    out = loader.recover_stale_runs(stale_after_seconds=6 * 3600)
+    assert out == {"swept": 1, "resumed": 1}
+    latest = {r.run_id: r for r in loader.runs_latest().collect()}
+    assert latest["era5-DEADRUN"].status == "interrupted"
+    # the resume fetched everything (fresh run, skip_existing dedupe)
+    resumes = [r for r in latest.values()
+               if r.resumed_from == "era5-DEADRUN"]
+    assert len(resumes) == 1 and resumes[0].status == "completed"
+    # fresh runs (young 'running' rows) are NOT swept
+    assert loader.recover_stale_runs(stale_after_seconds=6 * 3600) == \
+        {"swept": 0, "resumed": 0}
+    # cap: a chain of max_auto_resumes resumes parks instead of looping
+    l2 = _loader(spark, tmp_path / "x", src_dir)
+    (tmp_path / "x").mkdir(exist_ok=True)
+    t0 = datetime.utcnow() - timedelta(hours=20)
+    rows = [("r0", "era5", None, "running", 0, 0, 0, 0, t0, None, None),
+            ("r1", "era5", "r0", "running", 0, 0, 0, 0,
+             t0 + timedelta(hours=1), None, None),
+            ("r2", "era5", "r1", "running", 0, 0, 0, 0,
+             t0 + timedelta(hours=2), None, None)]
+    l2._append(rows, FETCH_RUN_SCHEMA, "fetch_runs")
+    out = l2.recover_stale_runs(stale_after_seconds=3600)
+    # r0 (depth 0) and r1 (depth 1) may resume; r2 is the 2nd resume → parked
+    assert out["swept"] == 3
+    assert out["resumed"] == 2
 
 
 def test_request_payload_roundtrip():

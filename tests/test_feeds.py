@@ -126,6 +126,46 @@ def test_feed_loader_end_to_end_incremental(spark, tmp_path):
     assert second.files_skipped == 3  # 06, 12, 18 already in the ledger
 
 
+def test_feed_health_ladder(spark):
+    """sources/health.py ladder: evaluation order ≠ rank order; RUNNING
+    shadows STALE; clamp floor 30min / ceiling 48h."""
+    from georiva_spark.sources.feeds import feed_health
+
+    now = datetime(2024, 6, 10, 12, 0, 0)
+    hour = 60
+    rows = [
+        # feed_id, active, status, last_run_at, interval_minutes
+        (1, False, "complete", now - timedelta(hours=1), hour),   # inactive
+        (2, True, "failed", now - timedelta(hours=1), hour),      # failed
+        (3, True, "partial", now - timedelta(hours=1), hour),     # partial
+        (4, True, None, None, hour),                              # new
+        # overdue AND running → running shadows stale
+        (5, True, "running", now - timedelta(hours=10), hour),
+        (6, True, "complete", now - timedelta(hours=10), hour),   # stale
+        (7, True, "complete", now - timedelta(minutes=30), hour), # ok
+        # floor: 10-min feed 40 min late → 2×10=20 < floor 30 → overdue
+        # only past 30 min; 25-min gap is OK
+        (8, True, "complete", now - timedelta(minutes=25), 10),
+        (9, True, "complete", now - timedelta(minutes=40), 10),   # stale
+        # ceiling: monthly feed 3 days late → 2×43200min ≫ 48h cap → stale
+        (10, True, "complete", now - timedelta(days=3), 43200),
+        # same monthly feed 1 day late → under the 48h cap → ok
+        (11, True, "complete", now - timedelta(days=1), 43200),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, s, t, m, now) for i, a, s, t, m in rows],
+        "feed_id int, is_active boolean, last_run_status string, "
+        "last_run_at timestamp, interval_minutes long, now timestamp")
+    got = {r.feed_id: (r.health, r.health_rank)
+           for r in feed_health(df).collect()}
+    assert got == {
+        1: ("inactive", 90), 2: ("failed", 10), 3: ("partial", 20),
+        4: ("new", 80), 5: ("running", 50), 6: ("stale", 30),
+        7: ("ok", 70), 8: ("ok", 70), 9: ("stale", 30),
+        10: ("stale", 30), 11: ("ok", 70),
+    }
+
+
 def test_unknown_strategy_raises():
     feed = DataFeed(name="x", source_cls=HourlyHTTPSource,
                     strategy_type="carrier-pigeon")
