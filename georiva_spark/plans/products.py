@@ -133,6 +133,24 @@ def disable_product(definitions: list[DerivedProductDefinition],
     return disabled
 
 
+def collection_routes_to_staging(definitions: list[DerivedProductDefinition],
+                                 rows: dict[str, ProductRow],
+                                 collection: str) -> bool:
+    """Auto-derived target tier (derivation_invocation.py:76-100): a
+    collection routes to staging iff some ENABLED product consumes it at
+    the staging tier; otherwise it publishes directly — "no derivation,
+    no staging". The tier is a computed consequence of the configured
+    products, not a stored field, so it can never drift from them."""
+    for d in definitions:
+        row = rows.get(d.key)
+        if row is None or not row.is_enabled:
+            continue
+        for ref in d.inputs:
+            if ref.collection == collection and ref.tier == "staging":
+                return True
+    return False
+
+
 @dataclass
 class ProductReadiness:
     ready: bool
