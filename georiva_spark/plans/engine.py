@@ -35,7 +35,36 @@ from georiva_spark.plans.recipe import (
     canonical_json, input_hash, unit_hash,
 )
 
-RUNNING_TIMEOUT = dt.timedelta(minutes=30)  # processing/constants.py analog
+# Bounded derivation units + an aligned lock timeout
+# (processing/constants.py; test_task_time_limits.py invariant):
+# soft fires first (graceful cleanup inside the unit — run_unit catches
+# it, marks the run failed and frees the lock immediately); the lock
+# becomes stealable strictly AFTER the hard kill, so a live, time-limited
+# unit can never have its lock stolen mid-run, while a worker that dies
+# without releasing recovers minutes after the hard kill, not hours.
+RUN_UNIT_SOFT_TIME_LIMIT = dt.timedelta(minutes=25)
+RUN_UNIT_HARD_TIME_LIMIT = dt.timedelta(minutes=28)
+RUNNING_TIMEOUT = dt.timedelta(minutes=30)  # the lock timeout
+assert RUN_UNIT_SOFT_TIME_LIMIT < RUN_UNIT_HARD_TIME_LIMIT < RUNNING_TIMEOUT
+
+
+class UnitSoftTimeLimit(Exception):
+    """Raised inside a unit when its soft time budget is exhausted —
+    the graceful path: run_unit catches it like any transform failure,
+    marking the run failed (retryable) and freeing the lock now instead
+    of waiting for the reclaim sweep."""
+
+
+def check_time_budget(started_at: dt.datetime,
+                      now: dt.datetime | None = None,
+                      soft_limit: dt.timedelta = RUN_UNIT_SOFT_TIME_LIMIT
+                      ) -> None:
+    """For long-running recipes to call between stages: raises
+    UnitSoftTimeLimit once the soft budget is spent."""
+    now = now or dt.datetime.utcnow()
+    if now - started_at > soft_limit:
+        raise UnitSoftTimeLimit(
+            f"unit exceeded soft time limit ({soft_limit})")
 
 
 def _dedup_checksums(resolved) -> list[str]:

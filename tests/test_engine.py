@@ -206,3 +206,44 @@ def test_status_rollup_over_runs_df(spark, clim_engine):
     from georiva_spark.operators.stats import status_rollup
     got = {r.status: r.n for r in status_rollup(clim_engine.runs_df()).collect()}
     assert got == {"skipped": 4}  # ledger keeps latest run per unit
+
+
+def test_time_limit_ladder_and_soft_limit_path(spark):
+    """test_task_time_limits.py invariant: soft < hard < lock timeout, and
+    the graceful soft-limit path marks the unit failed (retryable) with
+    the lock freed immediately."""
+    from georiva_spark.plans.engine import (
+        RUN_UNIT_HARD_TIME_LIMIT, RUN_UNIT_SOFT_TIME_LIMIT, RUNNING_TIMEOUT,
+        UnitSoftTimeLimit, check_time_budget,
+    )
+
+    assert RUN_UNIT_SOFT_TIME_LIMIT < RUN_UNIT_HARD_TIME_LIMIT
+    assert RUN_UNIT_HARD_TIME_LIMIT < RUNNING_TIMEOUT
+
+    t0 = dt.datetime(2020, 1, 1)
+    check_time_budget(t0, now=t0 + dt.timedelta(minutes=24))  # under budget
+    with pytest.raises(UnitSoftTimeLimit):
+        check_time_budget(t0, now=t0 + dt.timedelta(minutes=26))
+
+    # a recipe that blows its soft budget fails gracefully and is
+    # immediately re-runnable (lock freed now, not at the reclaim sweep)
+    ctx = _staging_catalog(spark, 2)
+    reg = RecipeRegistry()
+    slow = PromotionRecipe("src", "pub")
+    orig_transform = slow.transform
+    calls = {"n": 0}
+
+    def timed_transform(s, unit, resolved):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # first pass over both units: out of budget
+            check_time_budget(t0, now=t0 + dt.timedelta(minutes=26))
+        return orig_transform(s, unit, resolved)
+
+    slow.transform = timed_transform
+    reg.register(slow)
+    eng = DerivationEngine(spark, reg, ctx)
+    first = eng.run_all()
+    assert {r.status for r in first} == {"failed"}
+    assert all("soft time limit" in r.reason for r in first)
+    second = eng.run_all()  # no reclaim needed — lock already free
+    assert {r.status for r in second} == {"completed"}
