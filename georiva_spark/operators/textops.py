@@ -198,6 +198,47 @@ def repetition_scores(docs: DataFrame, n: int = 3,
         (best.cast("double") / nt).alias("top_token_ratio"))
 
 
+def vocab_df(docs: DataFrame, top_k: int = 1000,
+             text_col: str = "text") -> DataFrame:
+    """Global vocabulary table: per-token total frequency (tf) and
+    document frequency (df), top-K by tf — the corpus-level statistic a
+    tokenizer-vocab build or an IDF-weighted quality scorer starts from.
+
+    Scale shape: the ONLY per-token shuffle in the text stack, and it is
+    intrinsic (a global count needs a global groupBy). Cost control is
+    in-row per-document aggregation BEFORE the explode: tokens are
+    sorted in-row and collapsed to (token, in_doc_count) runs, so the
+    exploded exchange carries one row per (doc, DISTINCT token) — never
+    the raw token stream — and df is a plain count, not a
+    countDistinct(doc_id) (which would expand the shuffle back to raw
+    (token, doc) pairs). Map-side partial then collapses to one row per
+    token per task. top-K sorts the (bounded) vocab table, not the
+    corpus."""
+    toks = tokens(F.col(text_col))
+    srt = F.array_sort(toks)
+    n = F.size(srt)
+    # last index of each equal-run in the sorted token array
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == n) | (F.element_at(srt, i)
+                              != F.element_at(srt, i + 1)))
+    starts = F.concat(F.array(F.lit(0)),
+                      F.slice(ends, 1, F.size(ends) - 1))
+    runs = F.zip_with(
+        ends, starts,
+        lambda e, s: F.struct(F.element_at(srt, e).alias("token"),
+                              (e - s).alias("c")))
+    # length-guard, not size-guard: split("") is [""], size 1 — an empty
+    # doc would otherwise contribute an empty-string token
+    ex = (docs.where(F.length(F.col(text_col)) > 0)
+          .select(F.explode(runs).alias("r"))
+          .select(F.col("r.token").alias("token"), F.col("r.c").alias("c")))
+    agg = ex.groupBy("token").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"))
+    return (agg.orderBy(F.col("tf").desc(), "token").limit(top_k))
+
+
 def fingerprint(docs: DataFrame, window: int = 8,
                 portable: bool = False) -> DataFrame:
     """Document fingerprint: rolling-hash winnowing — min hash over each

@@ -1284,6 +1284,30 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary build: top-1000 tokens by total frequency with
+    document frequency — the corpus statistic a tokenizer vocab or an
+    IDF-weighted scorer starts from. In-row run-collapse before explode
+    keeps the shuffle at one row per (doc, distinct token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.vocab_df(docs, top_k=1000)
+    return out.select("token", F.col("tf").cast("long").alias("tf"),
+                      F.col("df").cast("long").alias("df"))
+
+
+SQL_VOCAB = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  WHERE length(text) > 0),
+perdoc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM ex GROUP BY doc_id, token),
+agg AS (
+  SELECT token, SUM(c) AS tf, COUNT(*) AS df FROM perdoc GROUP BY token)
+SELECT token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM agg ORDER BY tf DESC, token LIMIT 1000
+"""
+
+
 _FEED_STATES = ("complete", "failed", "partial", "queued", "running")
 
 
@@ -1452,6 +1476,7 @@ EXT_QUERIES = {
     "mvt_geom": q_mvt_geom,
     "mvt_tiles": q_mvt_tiles,
     "feed_health": q_feed_health,
+    "vocab": q_vocab,
 }
 
 EXT_ORACLES = {
@@ -1501,4 +1526,5 @@ EXT_ORACLES = {
     "knn_lsh": SQL_KNN_LSH,
     "mvt_geom": SQL_MVT_GEOM,
     "feed_health": SQL_FEED_HEALTH,
+    "vocab": SQL_VOCAB,
 }

@@ -439,3 +439,15 @@ def test_pack_sequences_long_doc_clamped(spark):
     assert out[1].n_tok == 8                    # clamped to one full bin
     assert out[1].bin_offset == 0
     assert out[1].bin_id != out[2].bin_id       # fills its bin alone
+
+
+def test_vocab_df_counts_and_rank(spark):
+    from georiva_spark.operators.textops import vocab_df
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "c"), (4, "")],
+        "doc_id long, text string")
+    out = {r.token: (r.tf, r.df) for r in vocab_df(docs, top_k=10).collect()}
+    assert out == {"a": (3, 2), "b": (3, 2), "c": (2, 2)}
+    # top-k cut is deterministic: tf desc, then token asc
+    top = [r.token for r in vocab_df(docs, top_k=2).collect()]
+    assert top == ["a", "b"]
