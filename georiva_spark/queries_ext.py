@@ -1284,6 +1284,79 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+def q_file_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename time extraction (ingestion/time_extraction.py): build
+    filenames from events under three date grammars (choice cycles by
+    event_id), forecast files carry the GR--{reftime}-- prefix, then
+    parse valid_time/reference_time back with the vectorized extractor.
+    Unparseable rows (event_id%7==0 get a mangled stem) stay null —
+    the never-raises contract, visible to the oracle."""
+    from georiva_spark.sources.ingestion import filename_times
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    choice = F.element_at(
+        F.array(F.lit("YYYYMMDD"), F.lit("YYYYMMDDHH"),
+                F.lit("YYYYMMDDHHMM")),
+        (F.col("event_id") % 3 + 1).cast("int"))
+    stem = (
+        F.when(choice == "YYYYMMDD", F.date_format("ts", "yyyyMMdd"))
+        .when(choice == "YYYYMMDDHH", F.date_format("ts", "yyyyMMddHH"))
+        .otherwise(F.date_format("ts", "yyyyMMddHHmm")))
+    stem = F.when(F.col("event_id") % 7 == 0,
+                  F.concat(F.lit("x"), stem)).otherwise(stem)
+    prefix = F.when(
+        F.col("event_id") % 4 == 0,
+        F.concat(F.lit("GR--"),
+                 F.date_format(F.col("ts") - F.expr("INTERVAL 6 HOURS"),
+                               "yyyyMMddHH"),
+                 F.lit("--"))).otherwise(F.lit(""))
+    named = ev.select(
+        "event_id",
+        F.concat(prefix, stem, F.lit(".grib2")).alias("filename"),
+        choice.alias("format_choice"))
+    out = filename_times(named)
+    return out.select("event_id", "filename", "format_choice",
+                      "reference_time", "valid_time")
+
+
+SQL_FILE_TIMES = """
+WITH named AS (
+  SELECT event_id,
+    CASE WHEN event_id % 3 = 0 THEN 'YYYYMMDD'
+         WHEN event_id % 3 = 1 THEN 'YYYYMMDDHH'
+         ELSE 'YYYYMMDDHHMM' END AS format_choice,
+    CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y%m%d')
+         WHEN event_id % 3 = 1 THEN strftime(ts, '%Y%m%d%H')
+         ELSE strftime(ts, '%Y%m%d%H%M') END AS stem0,
+    CASE WHEN event_id % 4 = 0
+         THEN 'GR--' || strftime(ts - INTERVAL 6 HOUR, '%Y%m%d%H') || '--'
+         ELSE '' END AS prefix,
+    ts
+  FROM events WHERE event_id < 2000),
+built AS (
+  SELECT event_id, format_choice,
+    prefix || (CASE WHEN event_id % 7 = 0 THEN 'x' || stem0
+                    ELSE stem0 END) || '.grib2' AS filename,
+    CASE WHEN event_id % 7 = 0 THEN 'x' || stem0 ELSE stem0 END AS stem,
+    prefix
+  FROM named)
+SELECT event_id, filename, format_choice,
+  CASE WHEN prefix <> ''
+       THEN try_strptime(regexp_extract(prefix, 'GR--(\\d{10})', 1),
+                         '%Y%m%d%H')
+       ELSE NULL END AS reference_time,
+  CASE WHEN format_choice = 'YYYYMMDD' AND regexp_matches(stem, '^\\d{8}$')
+         THEN try_strptime(stem, '%Y%m%d')
+       WHEN format_choice = 'YYYYMMDDHH' AND regexp_matches(stem, '^\\d{10}$')
+         THEN try_strptime(stem, '%Y%m%d%H')
+       WHEN format_choice = 'YYYYMMDDHHMM'
+            AND regexp_matches(stem, '^\\d{12}$')
+         THEN try_strptime(stem, '%Y%m%d%H%M')
+       ELSE NULL END AS valid_time
+FROM built
+"""
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global vocabulary build: top-1000 tokens by total frequency with
     document frequency — the corpus statistic a tokenizer vocab or an
@@ -1477,6 +1550,7 @@ EXT_QUERIES = {
     "mvt_tiles": q_mvt_tiles,
     "feed_health": q_feed_health,
     "vocab": q_vocab,
+    "file_times": q_file_times,
 }
 
 EXT_ORACLES = {
@@ -1527,4 +1601,5 @@ EXT_ORACLES = {
     "mvt_geom": SQL_MVT_GEOM,
     "feed_health": SQL_FEED_HEALTH,
     "vocab": SQL_VOCAB,
+    "file_times": SQL_FILE_TIMES,
 }

@@ -43,6 +43,71 @@ def parse_storage_path(path: str) -> dict | None:
     return out
 
 
+# operator-selectable filename-date grammars (time_extraction.py:8-16),
+# (strptime pattern, Spark to_timestamp pattern, digit count)
+FILENAME_TIME_FORMATS = {
+    "YYYYMMDD":     ("%Y%m%d", "yyyyMMdd", 8),
+    "DDMMYYYY":     ("%d%m%Y", "ddMMyyyy", 8),
+    "YYYYMMDDHH":   ("%Y%m%d%H", "yyyyMMddHH", 10),
+    "YYYYMMDDHHMM": ("%Y%m%d%H%M", "yyyyMMddHHmm", 12),
+    "DDMMYY":       ("%d%m%y", "ddMMyy", 6),
+    "YYMMDD":       ("%y%m%d", "yyMMdd", 6),
+}
+
+
+def extract_times(filename: str, format_choice: str) -> dict:
+    """reference_time + valid_time from a filename
+    (time_extraction.py:19-56): the ``GR--{reftime}--`` prefix wins for
+    reference_time; the remaining stem parsed with the operator's
+    ``format_choice`` gives valid_time. Never raises — returns a partial
+    or empty dict when fields cannot be resolved. (The reference's third
+    step — content probe via format plugin — lives in the scan seam,
+    where decoders already emit per-message times.)"""
+    import datetime as _dt
+    import os as _os
+
+    result: dict = {}
+    name = _os.path.basename(filename)
+    ref = REFTIME_RE.search(name)
+    if ref:
+        try:
+            result["reference_time"] = _dt.datetime.strptime(
+                ref.group("ref"), "%Y%m%d%H")
+        except ValueError:
+            pass
+        name = re.sub(r"^GR--\d{10}--", "", name)
+    stem = _os.path.splitext(name)[0]
+    fmt = FILENAME_TIME_FORMATS.get(format_choice)
+    if fmt:
+        try:
+            result["valid_time"] = _dt.datetime.strptime(stem, fmt[0])
+        except ValueError:
+            pass
+    return result
+
+
+def filename_times(df: DataFrame, filename_col: str = "filename",
+                   choice_col: str = "format_choice") -> DataFrame:
+    """Vectorized ``extract_times`` over a filename column — pure JVM
+    expressions (regexp + to_timestamp per grammar, selected by the
+    per-row format choice), so a million-file backfill parses in the
+    scan. Unparseable stems yield nulls, the never-raises contract."""
+    base = F.element_at(F.split(F.col(filename_col), "/"), -1)
+    ref_s = F.regexp_extract(base, r"GR--(\d{10})", 1)
+    stripped = F.regexp_replace(base, r"^GR--\d{10}--", "")
+    stem = F.regexp_replace(stripped, r"\.[^.]*$", "")
+    valid = F.lit(None).cast("timestamp")
+    for choice, (_, spark_fmt, nd) in FILENAME_TIME_FORMATS.items():
+        ok = (F.col(choice_col) == choice) & stem.rlike(rf"^\d{{{nd}}}$")
+        valid = F.when(ok, F.try_to_timestamp(stem, F.lit(spark_fmt))) \
+                 .otherwise(valid)
+    return df.withColumn(
+        "reference_time",
+        F.when(ref_s != "", F.try_to_timestamp(ref_s, F.lit("yyyyMMddHH")))
+        .otherwise(F.lit(None).cast("timestamp"))) \
+        .withColumn("valid_time", valid)
+
+
 @dataclass
 class VariableBinding:
     """Declared variable config (core/models/variable.py:78-205): how source

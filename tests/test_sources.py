@@ -128,3 +128,44 @@ def test_ingest_file_end_to_end(spark, tmp_path):
     assert stored.count() == 8
     assert any("variable=wind_speed" in p for p in
                [str(x) for x in (tmp_path / "grid").rglob("*")])
+
+
+def test_extract_times_formats_and_prefix():
+    """time_extraction.py contract: GR-- prefix wins for reference_time,
+    stem parses per format choice, never raises on garbage."""
+    import datetime as dt
+
+    from georiva_spark.sources.ingestion import extract_times
+
+    r = extract_times("GR--2026030100--2026030106.grib2", "YYYYMMDDHH")
+    assert r["reference_time"] == dt.datetime(2026, 3, 1, 0)
+    assert r["valid_time"] == dt.datetime(2026, 3, 1, 6)
+    r = extract_times("path/to/20260301.tif", "YYYYMMDD")
+    assert r == {"valid_time": dt.datetime(2026, 3, 1)}
+    assert extract_times("garbage.tif", "YYYYMMDD") == {}
+    assert extract_times("20260301.tif", "NOPE") == {}
+    # DDMMYYYY is ambiguous with YYYYMMDD only by choice — the operator
+    # decides (01032026 = 1 March 2026 under DDMMYYYY)
+    r = extract_times("01032026.tif", "DDMMYYYY")
+    assert r == {"valid_time": dt.datetime(2026, 3, 1)}
+
+
+def test_filename_times_vectorized(spark):
+    import datetime as dt
+
+    from georiva_spark.sources.ingestion import filename_times
+
+    rows = [
+        (1, "GR--2026030100--2026030106.grib2", "YYYYMMDDHH"),
+        (2, "20260301.tif", "YYYYMMDD"),
+        (3, "x20260301.tif", "YYYYMMDD"),      # mangled → nulls
+        (4, "202603011230.nc", "YYYYMMDDHHMM"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, filename string, format_choice string")
+    got = {r.id: (r.reference_time, r.valid_time)
+           for r in filename_times(df).collect()}
+    assert got[1] == (dt.datetime(2026, 3, 1, 0), dt.datetime(2026, 3, 1, 6))
+    assert got[2] == (None, dt.datetime(2026, 3, 1))
+    assert got[3] == (None, None)
+    assert got[4] == (None, dt.datetime(2026, 3, 1, 12, 30))
