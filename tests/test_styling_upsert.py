@@ -102,3 +102,62 @@ def test_upsert_partition_scoped(spark, tmp_path):
     upsert_by_key(empty, path, keys=["collection", "item_id"],
                   partition_by=["collection"])
     assert read_catalog(spark, path).count() == 5
+
+
+class TestColorRamps:
+    """core/tests/test_color_ramps.py semantics on the value-free layer."""
+
+    def test_colors_without_positions_spread_evenly(self):
+        from georiva_spark.functions.styling import spread_positions
+        assert spread_positions([None, None, None]) == [0.0, 0.5, 1.0]
+        assert spread_positions([None]) == [0.0]
+
+    def test_explicit_positions_are_honoured(self):
+        from georiva_spark.functions.styling import spread_positions
+        assert spread_positions([0.0, 0.2, 1.0]) == [0.0, 0.2, 1.0]
+        # mixed: None entries fall back to even spread slots
+        assert spread_positions([None, 0.9, None]) == [0.0, 0.9, 1.0]
+
+    def test_out_of_order_positions_clamped_non_decreasing(self):
+        from georiva_spark.functions.styling import spread_positions
+        assert spread_positions([0.5, 0.2, 0.8]) == [0.5, 0.5, 0.8]
+
+    def test_continuous_apply_stretches_over_range(self):
+        from georiva_spark.functions.styling import generate_stops
+        stops = generate_stops(
+            [(0, 0, 0, 255), (255, 255, 255, 255)], [None, None], 10.0, 30.0)
+        assert stops == [(10.0, (0, 0, 0, 255)), (30.0, (255, 255, 255, 255))]
+
+    def test_stepped_qualitative_cycles_verbatim_hard_edges(self):
+        from georiva_spark.functions.styling import generate_stops
+        red, green = (255, 0, 0, 255), (0, 255, 0, 255)
+        stops = generate_stops([red, green], [None, None], 0.0, 30.0,
+                               ramp_type="qualitative", mode="stepped",
+                               steps=3)
+        # 3 classes, colors cycled red,green,red; hard double boundaries
+        assert stops == [(0.0, red), (10.0, red), (10.0, green),
+                         (20.0, green), (20.0, red), (30.0, red)]
+
+    def test_stepped_sequential_samples_along_ramp(self):
+        from georiva_spark.functions.styling import generate_stops
+        stops = generate_stops(
+            [(0, 0, 0, 255), (200, 200, 200, 255)], [None, None],
+            0.0, 10.0, mode="stepped", steps=2)
+        assert stops[0][1] == (0, 0, 0, 255)        # t=0
+        assert stops[2][1] == (200, 200, 200, 255)  # t=1
+        assert len(stops) == 4
+
+    def test_stepped_stops_feed_palette_color_with_flat_classes(self, spark):
+        from pyspark.sql import functions as F
+        from georiva_spark.functions.styling import (
+            generate_stops, palette_color)
+        red, green = (255, 0, 0, 255), (0, 255, 0, 255)
+        stops = generate_stops([red, green], [None, None], 0.0, 20.0,
+                               ramp_type="qualitative", mode="stepped",
+                               steps=2)
+        df = spark.createDataFrame([(2.0,), (9.9,), (10.1,), (19.0,)],
+                                   ["v"])
+        got = [tuple(r.c) for r in df.select(
+            palette_color(F.col("v"), stops).alias("c")).collect()]
+        assert got[0] == red and got[1] == red     # flat within class 1
+        assert got[2] == green and got[3] == green  # flat within class 2
