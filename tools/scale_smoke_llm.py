@@ -108,6 +108,20 @@ def main():
     print(f"quality+bow scan: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
           f"-> {nq} positive-score docs")
 
+    t0 = time.perf_counter()
+    r = textops.repetition_scores(docs)
+    nr = r.where(F.col("dup_ngram_frac") > 0.5).count()
+    el = time.perf_counter() - t0
+    print(f"repetition scan: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nr} repetitive docs")
+
+    t0 = time.perf_counter()
+    v = textops.vocab_df(docs, top_k=50_000)
+    nv = v.count()
+    el = time.perf_counter() - t0
+    print(f"vocab build (top-50k): {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nv} vocab rows (V={V})")
+
 
 if __name__ == "__main__":
     main()
