@@ -32,6 +32,12 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # Broadcast threshold: dimension tables (variables, collections,
     # boundaries) stay broadcast up to 64 MiB.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime bloom-filter join pruning: when a selective dim-side
+    # predicate survives to a shuffle join, inject a bloom filter on the
+    # fact side so the 100-TB scan drops non-matching rows before the
+    # exchange. (The companion semiJoinReduction rewrite measurably hung
+    # the oracle gate on local[32] in Spark 4.1 — left off.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # local[32] shares one JVM: size the heap like 32 executors' worth
     # (only effective at JVM launch; ignored on an existing session).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
