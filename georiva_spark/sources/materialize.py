@@ -89,3 +89,43 @@ def materialize(grid: DataFrame, *,
                            F.max("north").alias("north")))
         upsert_by_key(merged, coll_path, keys=["collection"])
     return {"grid": grid, "items": items, "extent": extent}
+
+
+def rematerialize_derived(spark, grid_path: str, catalog: "list[dict]", *,
+                          catalog_dir: Optional[str] = None,
+                          dry_run: bool = False) -> dict:
+    """Replay the shared materialization over existing DERIVED items —
+    the backfill for pre-materializer history
+    (``rematerialize_derived_assets`` management command,
+    processing/tests/test_rematerialize.py). An item is derived iff its
+    properties carry a ``derivation`` marker; plain ingested items are
+    left alone. ``dry_run`` reports the work list and writes nothing.
+
+    Scale shape: one pruned read per derived (collection, variable, time)
+    slice; the rewrite is the same idempotent partition overwrite as the
+    live path, so a backfill interrupted halfway is simply rerun."""
+    from georiva_spark.sources.grid_store import read_grid
+
+    derived = [it for it in catalog
+               if any(str(k).startswith("derivation")
+                      for k in (it.get("properties") or {}))]
+    done = []
+    for it in derived:
+        if dry_run:
+            done.append({**it, "action": "would_rematerialize"})
+            continue
+        sl = (read_grid(spark, grid_path,
+                        collection=it["collection"],
+                        variable=it.get("variable"))
+              .where(F.col("time") == F.lit(it["time"])))
+        if sl.limit(1).count() == 0:
+            done.append({**it, "action": "skipped_no_rows"})
+            continue
+        # cut lineage from the source files: the rewrite targets the SAME
+        # partitions the slice was read from — without materializing first,
+        # the dynamic overwrite deletes its own input mid-job
+        sl = sl.localCheckpoint(eager=True)
+        materialize(sl, grid_path=grid_path, catalog_dir=catalog_dir,
+                    checksum=it.get("checksum", ""))
+        done.append({**it, "action": "rematerialized"})
+    return {"selected": len(derived), "results": done}

@@ -89,3 +89,41 @@ def test_materialize_serves_ingestion_and_derivation_alike(spark, tmp_path):
     assert {r.collection for r in colls.collect()} == {"raw", "raw-anomaly"}
     for r in colls.collect():
         assert r.west is not None and r.time_min is not None
+
+
+def test_rematerialize_derived_only_touches_derived(spark, tmp_path):
+    """processing/test_rematerialize.py: the backfill replays the shared
+    materialization over items with a derivation marker, skips plain
+    ingested ones, and dry-run writes nothing."""
+    from georiva_spark.sources.grid_store import write_grid
+    from georiva_spark.sources.materialize import rematerialize_derived
+
+    grid_path = str(tmp_path / "grid")
+    catalog_dir = str(tmp_path / "catalog")
+    write_grid(_grid(spark, collection="anom", day=1), grid_path)
+    write_grid(_grid(spark, collection="plain", day=1), grid_path)
+    items = [
+        {"collection": "anom", "variable": "precip",
+         "time": dt.datetime(2024, 1, 1), "checksum": "h1",
+         "properties": {"derivation.input_hash": "h1"}},
+        {"collection": "plain", "variable": "precip",
+         "time": dt.datetime(2024, 1, 1), "properties": {}},
+        {"collection": "anom", "variable": "precip",
+         "time": dt.datetime(2024, 2, 2), "checksum": "h2",
+         "properties": {"derivation.input_hash": "h2"}},  # no grid rows
+    ]
+    out = rematerialize_derived(spark, grid_path, items,
+                                catalog_dir=catalog_dir, dry_run=True)
+    assert out["selected"] == 2
+    assert all(r["action"] == "would_rematerialize" for r in out["results"])
+    assert not os.path.exists(os.path.join(catalog_dir, "items"))  # dry
+
+    out = rematerialize_derived(spark, grid_path, items,
+                                catalog_dir=catalog_dir)
+    actions = {(r["collection"], str(r["time"])): r["action"]
+               for r in out["results"]}
+    assert actions[("anom", "2024-01-01 00:00:00")] == "rematerialized"
+    assert actions[("anom", "2024-02-02 00:00:00")] == "skipped_no_rows"
+    cat_items = spark.read.parquet(os.path.join(catalog_dir, "items"))
+    got = {(r.collection, r.checksum) for r in cat_items.collect()}
+    assert got == {("anom", "h1")}  # plain item untouched, no row created
