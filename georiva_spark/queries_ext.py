@@ -1284,6 +1284,42 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+def q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector max-abs scale +
+    int8 codes, with a reconstruction-bound check (|dequant - x| ≤
+    scale/2 per component) computed in the same pass. 4× storage cut
+    for the 100-TB embedding column; pure array HOFs."""
+    from georiva_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(F.col("embedding"))
+    deq = dequantize_int8(q)
+    err = F.array_max(F.zip_with(deq, F.col("embedding"),
+                                 lambda a, b: F.abs(a - b)))
+    return emb.select(
+        "vec_id", q["scale"].alias("scale"), q["codes"].alias("codes"),
+        (err <= q["scale"] / F.lit(2.0) + F.lit(1e-12)).alias("err_ok"))
+
+
+SQL_QUANTIZE_EMB = """
+WITH q AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale
+  FROM embeddings),
+c AS (
+  SELECT vec_id, embedding, scale,
+    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding,
+                             x -> CAST(round(x / scale) AS INT)) END AS codes
+  FROM q)
+SELECT vec_id, scale, codes,
+  list_max(list_transform(list_zip(codes, embedding),
+    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))) <= scale/2.0 + 1e-12
+    AS err_ok
+FROM c
+"""
+
+
 def q_file_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filename time extraction (ingestion/time_extraction.py): build
     filenames from events under three date grammars (choice cycles by
@@ -1551,6 +1587,7 @@ EXT_QUERIES = {
     "feed_health": q_feed_health,
     "vocab": q_vocab,
     "file_times": q_file_times,
+    "quantize_emb": q_quantize_emb,
 }
 
 EXT_ORACLES = {
@@ -1602,4 +1639,5 @@ EXT_ORACLES = {
     "feed_health": SQL_FEED_HEALTH,
     "vocab": SQL_VOCAB,
     "file_times": SQL_FILE_TIMES,
+    "quantize_emb": SQL_QUANTIZE_EMB,
 }

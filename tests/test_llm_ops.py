@@ -451,3 +451,26 @@ def test_vocab_df_counts_and_rank(spark):
     # top-k cut is deterministic: tf desc, then token asc
     top = [r.token for r in vocab_df(docs, top_k=2).collect()]
     assert top == ["a", "b"]
+
+
+def test_quantize_int8_round_trip_bound(spark):
+    from pyspark.sql import functions as F
+    from georiva_spark.functions.vectors import dequantize_int8, quantize_int8
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0])],
+        "id long, v array<double>")
+    q = quantize_int8(F.col("v"))
+    out = df.select("id", q.alias("q"), dequantize_int8(q).alias("d")).collect()
+    byid = {r.id: r for r in out}
+    # max element maps to exactly ±127
+    assert byid[1].q.codes == [64, -127, 32]
+    assert byid[1].q.scale == 1.0 / 127.0
+    # zero vector: scale 0, zero codes, exact round trip
+    assert byid[2].q.scale == 0.0 and byid[2].q.codes == [0, 0, 0]
+    assert byid[2].d == [0.0, 0.0, 0.0]
+    # reconstruction bounded by scale/2 per component
+    for rid in (1, 3):
+        r = byid[rid]
+        orig = {1: [0.5, -1.0, 0.25], 3: [127.0]}[rid]
+        for a, b in zip(r.d, orig):
+            assert abs(a - b) <= r.q.scale / 2 + 1e-12
