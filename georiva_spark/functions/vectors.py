@@ -35,13 +35,22 @@ def quantize_int8(vec: Column) -> Column:
     from pyspark.sql import functions as F
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
     scale = (amax / F.lit(127.0)).alias("scale")
-    codes = F.transform(
-        vec, lambda x: F.when(amax == 0.0, F.lit(0))
-        .otherwise(F.round(x / (amax / F.lit(127.0)))).cast("int"))
+    # evaluate the scale ONCE per row: referencing `amax` inside the
+    # element lambda re-evaluates array_max per element (O(dim²)/row);
+    # array_repeat materializes it once, zip_with reads it per element
+    scales = F.array_repeat(amax / F.lit(127.0), F.size(vec))
+    codes = F.zip_with(
+        vec, scales,
+        lambda x, s: F.when(s == 0.0, F.lit(0))
+        .otherwise(F.round(x / s)).cast("int"))
     return F.struct(scale, codes.alias("codes"))
 
 
 def dequantize_int8(q: Column) -> Column:
-    """Inverse of :func:`quantize_int8`: codes × scale → float array."""
+    """Inverse of :func:`quantize_int8`: codes × scale → float array.
+    Same once-per-row trick: the struct field must not appear inside the
+    element lambda or it re-evaluates per element."""
     from pyspark.sql import functions as F
-    return F.transform(q["codes"], lambda c: c.cast("double") * q["scale"])
+    scales = F.array_repeat(q["scale"], F.size(q["codes"]))
+    return F.zip_with(q["codes"], scales,
+                      lambda c, s: c.cast("double") * s)
