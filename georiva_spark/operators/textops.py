@@ -233,14 +233,49 @@ def fingerprint(docs: DataFrame, window: int = 8,
     for the md5-derived hash DuckDB can replicate (oracle checks)."""
     hasher = portable_hash64 if portable else F.xxhash64
     toks = tokens(F.col("text"))
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, 3))))
-    wins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(shingles) - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(shingles, i + 1, window)))
+    # shingle hashes from zip-shifted token arrays: toks appears only as
+    # a TOP-LEVEL argument, never inside an element lambda — an outer
+    # array referenced inside a lambda is re-evaluated per element in
+    # Spark's interpreted HOF evaluator (the original slice-per-index
+    # formulation was O(len³) per doc and took 92 s over sf0.1)
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    pairs = F.zip_with(toks, t2, lambda a, b: F.concat_ws(" ", a, b))
+    triples = F.zip_with(pairs, t3, lambda p, c: hasher(
+        F.when(c.isNull(), p).otherwise(F.concat_ws(" ", p, c))))
+    shingles = F.slice(
+        triples, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+
+    # sliding-window min + distinct in a vectorized pandas kernel — the
+    # same documented exception as the minhash kernel. A pure zip-shift
+    # HOF ladder is algorithmically right but each round duplicates the
+    # whole upstream expression tree (no CSE in the interpreted
+    # evaluator: 3 rounds re-evaluate the shingle stage 8×, measured
+    # 17 s of the original 92 s); one Arrow round trip makes the min
+    # O(len·w) in numpy and leaves the hash math JVM-side.
+    import pandas as pd
+
+    w = int(window)
+
+    def _win_mins(sh):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+        out = []
+        for arr in sh:
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size == 0:
+                out.append([])
+                continue
+            k = min(w, a.size)
+            mins = sliding_window_view(a, k).min(axis=1)
+            out.append(list(dict.fromkeys(mins.tolist())))
+        return pd.Series(out)
+
+    _win_mins.__annotations__ = {"sh": pd.Series, "return": pd.Series}
+    win_mins = F.pandas_udf(_win_mins, "array<long>")
+
     return docs.select("doc_id",
-                       F.array_distinct(wins).alias("fingerprints"))
+                       win_mins(shingles).alias("fingerprints"))
 
 
 def bow_classifier_score(docs: DataFrame, dim: int = 1024,
