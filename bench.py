@@ -28,7 +28,7 @@ HEADLINE = [
     "raster_combine", "regrid_coarse", "regrid_bilinear",
     "dedup_exact", "minhash_dedup", "text_quality", "knn_cosine",
     "dedup_clusters", "chunk_docs", "pii_scrub", "repetition", "hash_sample",
-    "vocab", "quantize_emb", "mvt_tiles",
+    "vocab", "quantize_emb", "mvt_tiles", "fingerprints", "file_times",
 ]
 
 
