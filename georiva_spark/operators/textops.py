@@ -2,8 +2,11 @@
 ops): tokenization, quality scoring, language ID, fingerprinting.
 
 Everything on the hot path is built-in `pyspark.sql.functions` (split,
-higher-order array fns, hashing) — whole-stage-codegen'd, no Python UDFs,
-so a 100 TB documents table runs at scan speed.
+higher-order array fns, hashing) — whole-stage-codegen'd — so a 100 TB
+documents table runs at scan speed. One documented exception: the
+winnowing fingerprint's sliding-window min runs as a vectorized Arrow
+kernel (like the minhash kernel) because chained interpreted HOF rounds
+re-evaluate their upstream expression tree per round (measured 85×).
 """
 
 from __future__ import annotations
