@@ -32,7 +32,37 @@ HEADLINE = [
 ]
 
 
+def _check_registry_drift() -> None:
+    """Fail loudly if a headline query vanished from the registry, and
+    warn (stderr) if one is red or unrecorded in the latest CORRECTNESS
+    file — a measured query should always carry driver correctness
+    evidence (round-2 verdict item #9)."""
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        raise SystemExit(f"bench: headline queries not in registry: {missing}")
+    import glob
+    import re
+    files = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    if not files:
+        return
+    with open(files[-1]) as f:
+        rec = json.load(f)
+    for n in HEADLINE:
+        row = rec.get(n)
+        if row is None:
+            print(f"# bench WARNING: {n} has no row in "
+                  f"{os.path.basename(files[-1])} (unrecorded)",
+                  file=sys.stderr)
+        elif row.get("err") or row.get("hash_match") is False:
+            print(f"# bench WARNING: {n} is RED in "
+                  f"{os.path.basename(files[-1])}", file=sys.stderr)
+
+
 def main() -> None:
+    _check_registry_drift()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("georiva-bench")

@@ -167,7 +167,11 @@ def repetition_scores(docs: DataFrame, n: int = 3,
     th = F.transform(toks, lambda x: F.xxhash64(x))
     g = th
     for k in range(2, n + 1):
-        g = F.zip_with(g, F.slice(th, k, F.size(th) - (k - 1)),
+        # clamp defensively: docs shorter than k-1 tokens would give a
+        # negative slice length if grams were ever evaluated outside the
+        # size(toks) >= n guard below
+        g = F.zip_with(g, F.slice(th, k, F.greatest(F.size(th) - (k - 1),
+                                                    F.lit(0))),
                        lambda a, b: F.xxhash64(a, b))
     grams = F.slice(g, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     dup_frac = F.when(
@@ -265,6 +269,12 @@ def fingerprint(docs: DataFrame, window: int = 8,
         from numpy.lib.stride_tricks import sliding_window_view
         out = []
         for arr in sh:
+            if arr is None:
+                # null text → null shingles: propagate null like the
+                # pure-HOF formulation did; one null doc must not kill
+                # the whole scan
+                out.append(None)
+                continue
             a = np.asarray(arr, dtype=np.int64)
             if a.size == 0:
                 out.append([])

@@ -38,7 +38,12 @@ def nearest_time(grid: DataFrame, ts: _dt.datetime) -> DataFrame:
     One aggregation, no window shuffle: min_by on the (distance, time)
     struct gives the argmin directly.
     """
-    dist = F.abs(F.col("time").cast("double") - F.lit(ts).cast("double"))
+    # unix_micros over a timestamp_ltz cast handles both TIMESTAMP and
+    # TIMESTAMP_NTZ inputs (parquet with no-tz timestamp[us] reads as NTZ,
+    # and CAST(TIMESTAMP_NTZ AS DOUBLE) is illegal in Spark 4).
+    t_us = F.unix_micros(F.col("time").cast("timestamp_ltz"))
+    ts_us = F.unix_micros(F.lit(ts).cast("timestamp_ltz"))
+    dist = F.abs(t_us - ts_us)
     # struct comparison is lexicographic: min distance first, then earlier
     # time on exact ties (xarray nearest keeps the lower index).
     key = F.struct(dist.alias("d"), F.col("time").alias("t"))

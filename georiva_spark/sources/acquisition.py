@@ -19,10 +19,11 @@ Reproduces the reference's source-acquisition semantics (S8) Spark-first:
   ``fetch_runs`` / ``fetched_files`` ledger rows.
 
 Scale-first divergence from the reference: triage is a DataFrame
-**left-anti join** of the candidate list against the ledger table rather
-than a per-file ``bucket.exists()`` probe (``sources/loader.py:420-425``) —
-one shuffle-free broadcast join classifies millions of candidates, where
-the reference pays one storage round-trip per file. The ledger is plain
+**left-semi join** of the ledger against the broadcast candidate list
+rather than a per-file ``bucket.exists()`` probe
+(``sources/loader.py:420-425``) — one shuffle-free broadcast join
+classifies millions of candidates in a single ledger scan, where the
+reference pays one storage round-trip per file. The ledger is plain
 parquet append (fetch outcomes are immutable events, so no upsert needed).
 """
 
@@ -390,11 +391,13 @@ class Loader:
 
     # -- triage -----------------------------------------------------------
     def triage(self, requests: list) -> tuple[list, set]:
-        """Classify candidates vs the ledger in ONE anti-join.
+        """Classify candidates vs the ledger in ONE semi-join.
 
         Returns ``(to_fetch, existing_paths)``. The candidate side is tiny
-        (one run's request list) and broadcast; the ledger side can be
-        billions of rows — only its matching partition keys are touched.
+        (one run's request list) and is the BROADCAST/build side; the
+        ledger side can be billions of rows and streams through the probe
+        — it is never collected or broadcast. The semi-join output is
+        bounded by the candidate list, so the collect is bounded too.
         Mirrors the skip-if-exists triage at ``sources/loader.py:420-425``.
         """
         if not requests:
@@ -407,9 +410,9 @@ class Loader:
         )
         existing = {
             row[0]
-            for row in cand.join(
-                F.broadcast(ledger), "storage_path", "left_semi"
-            ).collect()
+            for row in ledger.join(
+                F.broadcast(cand), "storage_path", "left_semi"
+            ).select("storage_path").distinct().collect()
         }
         to_fetch = [r for r in requests if self.storage_path(r) not in existing]
         return to_fetch, existing

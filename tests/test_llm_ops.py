@@ -193,6 +193,16 @@ def test_fingerprint_stable_and_shifted(spark, docs):
     assert inter > 0.5  # winnowing keeps most fingerprints under 1-token edit
 
 
+def test_fingerprint_null_text_propagates_null(spark):
+    # one null document must not kill the scan; null text -> null prints
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, None), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.fingerprints for r in textops.fingerprint(d).collect()}
+    assert out[2] is None
+    assert len(out[1]) > 0
+
+
 def _union_find_components(edges, nodes):
     parent = {n: n for n in nodes}
 
@@ -278,6 +288,18 @@ def test_repetition_scores(spark):
     np.testing.assert_allclose(out[1].top_token_ratio, 1.0)
     assert out[2].dup_ngram_frac == 0.0
     np.testing.assert_allclose(out[2].top_token_ratio, 0.25)
+
+
+def test_repetition_scores_short_docs(spark):
+    # docs shorter than n-1 tokens used to build a negative slice length;
+    # must yield dup 0.0 and a sane top-token ratio, not a runtime error
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "a b")], "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.repetition_scores(d, n=3).collect()}
+    assert out[1].dup_ngram_frac == 0.0
+    np.testing.assert_allclose(out[1].top_token_ratio, 1.0)
+    assert out[2].dup_ngram_frac == 0.0
+    np.testing.assert_allclose(out[2].top_token_ratio, 0.5)
 
 
 def test_hash_sample_deterministic_and_nested(spark):

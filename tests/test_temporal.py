@@ -87,3 +87,31 @@ def test_collapse_and_nearest_time(spark, cube24):
     mid = dt.datetime(2020, 3, 16, 12)  # equidistant 03-01/04-01 → earlier
     out2 = nearest_time(cube24, mid)
     assert {r.value for r in out2.collect()} == {2.0}
+
+
+def test_nearest_time_timestamp_ntz(spark, tmp_path):
+    # Parquet written with no-tz timestamp[us] reads back as TIMESTAMP_NTZ
+    # in Spark 4; nearest_time must not cast it to double (illegal).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from georiva_spark.operators.timeseries import nearest_time
+
+    tbl = pa.table({
+        "collection": ["c", "c", "c"],
+        "variable": ["v", "v", "v"],
+        "y": pa.array([0, 0, 0], pa.int64()),
+        "x": pa.array([0, 0, 0], pa.int64()),
+        "lat": [0.5, 0.5, 0.5],
+        "lon": [0.5, 0.5, 0.5],
+        "time": pa.array(
+            [dt.datetime(2020, 3, 1), dt.datetime(2020, 4, 1),
+             dt.datetime(2020, 5, 1)],
+            pa.timestamp("us")),
+        "value": [2.0, 3.0, 4.0],
+    })
+    path = str(tmp_path / "ntz.parquet")
+    pq.write_table(tbl, path)
+    g = spark.read.parquet(path)
+    assert dict(g.dtypes)["time"] == "timestamp_ntz"
+    out = nearest_time(g, dt.datetime(2020, 3, 10)).collect()
+    assert len(out) == 1 and out[0].value == 2.0
