@@ -766,6 +766,8 @@ FROM sims ORDER BY dot / (na * nb) DESC, vec_id LIMIT 5
 _DRIVER_PRIORITY = [
     # fixed this round (r2 red row) — needs a fresh record
     "nearest_time",
+    # new this round
+    "ingest_grib2_png",
     # never recorded (sat past position 50 in rounds 1-2)
     "regrid_bilinear",
     "fingerprints",

@@ -710,6 +710,57 @@ FROM u GROUP BY y
 """
 
 
+def q_ingest_grib2_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end via PNG packing (template 5.41): same pipeline as
+    q_ingest_grib2 but the X values ride in a zlib/scanline-filter PNG
+    image (png_codec.py) instead of a plain bit field. PNG is lossless,
+    so the identical floor-quantization oracle applies; only the
+    forecast step differs (18 h) to keep the two queries distinct.
+    Reference reads this encoding via eccodes (formats/grib.py:61-144)."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.grib2_codec import encode_grib2_message
+    from georiva_spark.sources.raster_formats import GRIB2
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec = arr.shape[0]
+    buf = encode_grib2_message(
+        arr, shortname="t", ref_time=dt.datetime(2024, 3, 1, 6),
+        forecast_hours=18, la1=(nvec - 0.5) * 0.01, lo1=0.005,
+        di=0.01, dj=0.01, packing=41)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_grib_png")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_{nvec}.grib2")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = GRIB2.open_variable(spark, fp, "t")
+    return (g.groupBy("y", "time")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_INGEST_GRIB2_PNG = """
+WITH r AS (SELECT CAST(MIN(x) AS DOUBLE) AS rv
+           FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+u AS (SELECT (SELECT COUNT(*) FROM embeddings) - 1 - vec_id AS y,
+             rv + floor((CAST(x AS DOUBLE) - rv) * 16777216.0)
+                  * 5.9604644775390625e-08 AS v
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings), r)
+SELECT y, TIMESTAMP '2024-03-02 00:00:00' AS time, COUNT(v) AS n,
+       AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
 def q_webmercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326→3857 reprojection + slippy tile index (z=6) per distinct
     grid pixel — the tile-export path of the reference's titiler service
@@ -1557,6 +1608,7 @@ EXT_QUERIES = {
     "ingest_geotiff": q_ingest_geotiff,
     "ingest_netcdf": q_ingest_netcdf,
     "ingest_grib2": q_ingest_grib2,
+    "ingest_grib2_png": q_ingest_grib2_png,
     "webmercator_tiles": q_webmercator_tiles,
     "regrid_bilinear": q_regrid_bilinear,
     "fingerprints": q_fingerprints,
@@ -1612,6 +1664,7 @@ EXT_ORACLES = {
     "ingest_geotiff": SQL_INGEST_GEOTIFF,
     "ingest_netcdf": SQL_INGEST_NETCDF,
     "ingest_grib2": SQL_INGEST_GRIB2,
+    "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "regrid_bilinear": SQL_REGRID_BILINEAR,
     "fingerprints": SQL_FINGERPRINTS,

@@ -18,9 +18,11 @@ Complex packing (5.2) and complex packing with spatial differencing
 (5.3, orders 1/2 — the NCEP default encoding) decode natively per WMO
 templates 7.2/7.3: group references/widths/lengths bit-fields, then a
 contiguous variable-width value stream, then the gmin shift and the
-first/second-order undifferencing recurrence. Missing-value management
-(octet 23 ≠ 0) and JPEG2000/PNG packing (5.40/5.41) still need eccodes
-and raise NotImplementedError.
+first/second-order undifferencing recurrence. PNG packing (5.41) decodes
+natively via the dependency-free codec in png_codec.py (zlib + scanline
+filters — same section-5 layout as 5.0, X values as PNG pixel samples).
+Missing-value management (octet 23 ≠ 0) and JPEG2000 packing (5.40)
+still need eccodes and raise NotImplementedError.
 
 The writer quantizes with floor((v-R)·2^-E) — a valid encoder choice
 that keeps the quantized values exactly reproducible by integer/double
@@ -225,10 +227,11 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     s5 = sections[5]
     npoints = _u(s5, 5, 4)
     tmpl = _u(s5, 9, 2)
-    if tmpl not in (0, 2, 3):
+    if tmpl not in (0, 2, 3, 41):
         raise NotImplementedError(
             f"data representation template 5.{tmpl} needs eccodes; only "
-            "simple (5.0) and complex (5.2/5.3) packing decode natively")
+            "simple (5.0), complex (5.2/5.3) and PNG (5.41) packing "
+            "decode natively")
     ref_val = struct.unpack(">f", s5[11:15])[0]
     e_scale = _s(s5, 15, 2)
     d_scale = _s(s5, 17, 2)
@@ -245,6 +248,15 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     s7 = sections[7]
     if tmpl == 0:
         x = _unpack_bits(s7[5:], nbits, npoints)
+    elif tmpl == 41:
+        from georiva_spark.sources.png_codec import png_decode
+        if nbits == 0:
+            x = np.zeros(npoints, dtype=np.int64)
+        else:
+            x, pw, ph = png_decode(s7[5:])
+            if pw * ph != npoints:
+                raise ValueError(
+                    f"PNG image {pw}x{ph} != {npoints} packed points")
     else:
         x = _unpack_complex(s5, s7, npoints)
     packed = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
@@ -344,6 +356,24 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
     elif packing in (2, 3):
         s5, s7 = _encode_complex(x, packing, spatial_order, group_size,
                                  npk, float(r), e_scale)
+    elif packing == 41:
+        from georiva_spark.sources.png_codec import png_encode
+        if nbits > 32:
+            raise ValueError(
+                f"PNG packing holds at most 32-bit samples; X needs "
+                f"{nbits} bits — raise e_scale")
+        # template 5.41 shares 5.0's section-5 layout (R, E, D, depth)
+        s5 = (npk.to_bytes(4, "big")
+              + (41).to_bytes(2, "big")
+              + struct.pack(">f", float(r)) + _sm(e_scale, 2)
+              + _sm(0, 2) + bytes([nbits, 0]))
+        if nbits == 0:
+            s7 = b""
+        elif mask.all():
+            s7 = png_encode(x, ni, nj, nbits)
+        else:
+            # bitmap present: pack the npk valid points as a 1-row image
+            s7 = png_encode(x, npk, 1, nbits)
     else:
         raise NotImplementedError(f"packing template 5.{packing}")
     if mask.all():

@@ -114,6 +114,99 @@ def test_complex_packing_constant_and_tiny_fields():
             np.testing.assert_array_equal(m["values"], simple["values"])
 
 
+@pytest.mark.parametrize("e_scale", [-16, -8, 0])
+def test_png_packing_roundtrip(e_scale):
+    """5.41 decode matches the 5.0 decode of the same field exactly —
+    PNG is a lossless container for the same floor-quantized X values.
+    e_scale varies the bit depth so the 8/16/24/32-bit sample ladder is
+    exercised."""
+    rng = np.random.default_rng(41 + e_scale)
+    a = np.cumsum(rng.normal(size=(19, 27)), axis=1) * 100
+    a[2, 3] = np.nan
+    kw = dict(shortname="t", ref_time=T0, forecast_hours=6, e_scale=e_scale,
+              la1=10.0, lo1=-5.0, di=0.5, dj=0.5)
+    simple = decode_grib2(encode_grib2_message(a, **kw))[0]
+    m = decode_grib2(encode_grib2_message(a, packing=41, **kw))[0]
+    assert m["shortName"] == "t"
+    assert np.isnan(m["values"][2, 3])
+    np.testing.assert_array_equal(m["values"], simple["values"])
+
+
+def test_png_packing_constant_and_tiny_fields():
+    kw = dict(shortname="t", ref_time=T0, la1=1.5, lo1=0.5, di=1, dj=1)
+    for a in (np.full((4, 5), 2.5), np.array([[1.0, 2.0]]),
+              np.full((1, 1), 7.0)):
+        simple = decode_grib2(encode_grib2_message(a, **kw))[0]
+        m = decode_grib2(encode_grib2_message(a, packing=41, **kw))[0]
+        np.testing.assert_array_equal(m["values"], simple["values"])
+
+
+def test_png_codec_filters():
+    """Decoder handles all five scanline filter types (external encoders
+    pick per-row filters; ours always writes 0)."""
+    import struct
+    import zlib
+
+    from georiva_spark.sources.png_codec import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 65536, size=5 * 6)
+    enc = png_encode(x, 6, 5, 16)
+    got, w, h = png_decode(enc)
+    assert (w, h) == (6, 5)
+    np.testing.assert_array_equal(got, x)
+
+    # re-filter the raw scanlines with each filter type and re-decode
+    depth_bytes = 2
+    stride = 6 * depth_bytes
+    rows = ((x.reshape(5, 6)[:, :, None]
+             >> np.array([8, 0])[None, None, :]) & 0xFF).astype(np.uint8)
+    rows = rows.reshape(5, stride).astype(np.int64)
+
+    def refilter(ftype):
+        out = bytearray()
+        bpp = depth_bytes
+        for r in range(5):
+            cur = rows[r]
+            prev = rows[r - 1] if r else np.zeros(stride, np.int64)
+            if ftype == 1:    # Sub
+                left = np.concatenate(([0] * bpp, cur[:-bpp]))
+                f = (cur - left) & 0xFF
+            elif ftype == 2:  # Up
+                f = (cur - prev) & 0xFF
+            elif ftype == 3:  # Average
+                left = np.concatenate(([0] * bpp, cur[:-bpp]))
+                f = (cur - ((left + prev) >> 1)) & 0xFF
+            else:             # Paeth
+                f = np.zeros(stride, np.int64)
+                for i in range(stride):
+                    a_ = int(cur[i - bpp]) if i >= bpp else 0
+                    c_ = int(prev[i - bpp]) if i >= bpp else 0
+                    b_ = int(prev[i])
+                    p = a_ + b_ - c_
+                    pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                    pred = a_ if pa <= pb and pa <= pc else (
+                        b_ if pb <= pc else c_)
+                    f[i] = (cur[i] - pred) & 0xFF
+            out += bytes([ftype]) + bytes(f.astype(np.uint8))
+        return bytes(out)
+
+    for ftype in (1, 2, 3, 4):
+        raw = refilter(ftype)
+        ihdr = struct.pack(">IIBBBBB", 6, 5, 16, 0, 0, 0, 0)
+
+        def chunk(tag, body):
+            crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", crc))
+
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+        got, _, _ = png_decode(png)
+        np.testing.assert_array_equal(got, x, err_msg=f"filter {ftype}")
+
+
 def test_jpeg_packing_gated():
     buf = bytearray(encode_grib2_message(np.ones((2, 2)), shortname="t",
                                          ref_time=T0, la1=1.5, lo1=0.5,
