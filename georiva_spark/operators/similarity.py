@@ -214,6 +214,65 @@ def knn_ivf(emb: DataFrame, query_vec_id: int, k: int = 5,
             .limit(k))
 
 
+def knn_ivf_pinned(emb: DataFrame, query_vec_id: int, k: int = 5,
+                   n_centroids: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF probe with PINNED coarse centroids: centroid i is the corpus
+    vector at vec_id = i·⌊N/C⌋ + ⌊N/C⌋//2 (deterministic rows, no
+    training pass) — the shape of an IVF index whose quantizer was
+    trained elsewhere and shipped as literals.
+
+    Scale shape: the C centroid vectors are collected once (bounded) and
+    inlined as array literals, so cell assignment is a pure IN-ROW argmin
+    over C dot products — the corpus is scanned once with ZERO shuffle;
+    at scale the assigned table is written partitioned by cell and a
+    probe reads nprobe/C of it. Unlike the KMeans variant (knn_ivf),
+    every step is exact closed-form arithmetic an external SQL engine
+    reproduces — this is the oracle-checkable IVF path."""
+    import numpy as np
+
+    n = emb.count()
+    step = max(1, n // n_centroids)
+    cids = [i * step + step // 2 for i in range(n_centroids)]
+    cmap = {r.vec_id: [float(v) for v in r.embedding]
+            for r in emb.where(F.col("vec_id").isin(cids))
+                        .select("vec_id", "embedding").collect()}
+    cents = [cmap[c] for c in cids]
+
+    def l2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in cvec]),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # in-row argmin via lexicographic array_min over (dist, cell) structs
+    cell = F.array_min(F.array(*[
+        F.struct(l2(cents[i]).alias("d"), F.lit(i).alias("c"))
+        for i in range(n_centroids)]))["c"]
+    assigned = emb.withColumn("cell", cell)
+
+    q = np.asarray(cmap.get(query_vec_id) or
+                   emb.where(F.col("vec_id") == query_vec_id)
+                      .select("embedding").head().embedding,
+                   dtype=np.float64)
+    d = [(float(((np.asarray(c) - q) ** 2).sum()), i)
+         for i, c in enumerate(cents)]
+    probe_cells = [i for _, i in sorted(d)[:nprobe]]
+
+    qdf = emb.where(F.col("vec_id") == query_vec_id) \
+             .select(F.col("embedding").alias("qe"))
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    return (assigned.where(F.col("cell").isin(probe_cells))
+            .crossJoin(F.broadcast(qdf))
+            .where(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "cell", F.round(cos, 4).alias("cosine"),
+                    cos.alias("_cos"))
+            .orderBy(F.desc("_cos"), F.asc("vec_id"))
+            .limit(k)
+            .drop("_cos"))
+
+
 def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
             planes: int = 8, portable: bool = False) -> DataFrame:
     """Approximate top-k: search only the query's SRP bucket. At scale the

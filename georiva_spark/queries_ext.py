@@ -545,12 +545,49 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN probe (KMeans coarse quantizer) — rows-only check: the
-    training pass is not SQL-reproducible; recall vs brute force is
-    pinned in pytest instead."""
+    """IVF ANN probe with pinned coarse centroids (deterministic corpus
+    rows, in-row argmin assignment, zero shuffle) — cell assignment AND
+    the probed top-k are exact closed-form arithmetic, so DuckDB
+    reproduces them. The KMeans-trained quantizer path (knn_ivf) keeps
+    its pytest recall bound instead — training isn't SQL-reproducible."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_ivf(emb, query_vec_id=0, k=5, n_centroids=8,
-                              nprobe=2)
+    return similarity.knn_ivf_pinned(emb, query_vec_id=0, k=5,
+                                     n_centroids=8, nprobe=2)
+
+
+SQL_KNN_IVF = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+dist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+probe AS (SELECT c AS cell FROM dist WHERE vec_id = 0
+          QUALIFY row_number() OVER (ORDER BY d2, c) <= 2),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT a.vec_id, a.cell,
+    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i)) AS dot,
+    SQRT((SELECT SUM(CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS na,
+    SQRT((SELECT SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS nb
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell, q
+  WHERE e.vec_id <> 0)
+SELECT vec_id, cell, ROUND(dot / (na * nb), 4) AS cosine
+FROM sims ORDER BY dot / (na * nb) DESC, vec_id LIMIT 5
+"""
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,13 +1600,16 @@ FROM px
 
 
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13 — bulk MVT export over zonal stats: encodes real protobuf
-    tiles per (z,x,y) and returns per-tile feature counts + tile size
-    (binary itself is engine-specific → rows-only would be vacuous, so
-    the check is on the deterministic shape columns; byte-level encode
-    is golden-tested in test_mvt.py)."""
+    """S13 — bulk MVT export over zonal stats, DECODE-VERIFIED: encodes
+    real protobuf tiles per (z,x,y), parses the bytes back, and emits a
+    per-feature manifest (id, ring/vertex counts, quantized bbox). The
+    boundaries are axis-aligned boxes, so Sutherland–Hodgman clip +
+    quantize reduce to closed-form clamp arithmetic the DuckDB oracle
+    recomputes independently — a red row here means the encoder, the
+    decoder, or the tile math drifted. Byte-level encode stays
+    golden-tested in test_mvt.py."""
     from georiva_spark.operators import filters, zonal
-    from georiva_spark.sources.mvt_sink import export_tiles
+    from georiva_spark.sources.mvt_sink import export_tiles, tile_manifest
 
     boxes = [
         (1, 1, "west_box", -7.5, -6.0, 0.0, 6.0),
@@ -1584,9 +1624,48 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = filters.select_variable(events_grid(spark, sf_dir), "signup")
     stats = zonal.zonal_stats(g, rows, keys=("variable",)).where(
         F.col("count").isNotNull())
-    tiles = export_tiles(stats, rows, 4)
-    return tiles.select("z", "x", "y", "n_features",
-                        F.length("tile").alias("tile_bytes"))
+    return tile_manifest(export_tiles(stats, rows, 4))
+
+
+# Clip+quantize of an axis-aligned box is closed-form: quantize the
+# mercator corners into tile space (round half away, matching Spark
+# ROUND), clamp to the buffered window [-256, 4352], keep tiles from the
+# buffered bbox cover where the clamped rect is non-degenerate.
+SQL_MVT_TILES = """
+WITH c AS (SELECT pi() * 6378137.0 AS w),
+b(bid, lw, ls, le, ln_) AS (VALUES
+  (1, -7.5, -6.0, 0.0, 6.0), (2, 0.0, -6.0, 7.5, 6.0)),
+m AS (SELECT bid,
+  6378137.0 * radians(lw) AS mxw, 6378137.0 * radians(le) AS mxe,
+  6378137.0 * ln(tan(pi()/4 + radians(ls)/2)) AS mys,
+  6378137.0 * ln(tan(pi()/4 + radians(ln_)/2)) AS myn
+  FROM b),
+f AS (SELECT bid, mxw, mxe, mys, myn,
+  (mxw/c.w + 1)/2*16 AS fxw, (mxe/c.w + 1)/2*16 AS fxe,
+  (1 - myn/c.w)/2*16 AS fyn, (1 - mys/c.w)/2*16 AS fys
+  FROM m, c),
+cover AS (SELECT bid, mxw, mxe, mys, myn,
+  tx.range AS tx, ty.range AS ty
+  FROM f, range(0, 16) tx, range(0, 16) ty
+  WHERE tx.range BETWEEN GREATEST(0, CAST(floor(fxw - 0.0625) AS BIGINT))
+                     AND LEAST(15, CAST(floor(fxe + 0.0625) AS BIGINT))
+    AND ty.range BETWEEN GREATEST(0, CAST(floor(fyn - 0.0625) AS BIGINT))
+                     AND LEAST(15, CAST(floor(fys + 0.0625) AS BIGINT))),
+q AS (SELECT bid, tx, ty,
+  GREATEST(CAST(ROUND((mxw - (tx*(c.w/8) - c.w)) / (c.w/8) * 4096)
+           AS BIGINT), -256) AS pxmin,
+  LEAST(CAST(ROUND((mxe - (tx*(c.w/8) - c.w)) / (c.w/8) * 4096)
+        AS BIGINT), 4352) AS pxmax,
+  GREATEST(CAST(ROUND(((c.w - ty*(c.w/8)) - myn) / (c.w/8) * 4096)
+           AS BIGINT), -256) AS pymin,
+  LEAST(CAST(ROUND(((c.w - ty*(c.w/8)) - mys) / (c.w/8) * 4096)
+        AS BIGINT), 4352) AS pymax
+  FROM cover, c)
+SELECT 4 AS z, CAST(tx AS INT) AS x, CAST(ty AS INT) AS y,
+  CAST(bid AS BIGINT) AS feature_id, 1 AS n_rings, 4 AS n_points,
+  pxmin, pxmax, pymin, pymax
+FROM q WHERE pxmin < pxmax AND pymin < pymax
+"""
 
 
 EXT_QUERIES = {
@@ -1691,7 +1770,9 @@ EXT_ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,
+    "knn_ivf": SQL_KNN_IVF,
     "mvt_geom": SQL_MVT_GEOM,
+    "mvt_tiles": SQL_MVT_TILES,
     "feed_health": SQL_FEED_HEALTH,
     "vocab": SQL_VOCAB,
     "file_times": SQL_FILE_TIMES,

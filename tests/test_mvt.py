@@ -149,6 +149,28 @@ def test_covering_tiles_and_export(spark):
                     assert -256 <= py <= 4096 + 256
 
 
+def test_tile_manifest_matches_decode(spark):
+    """The manifest transform reports exactly what decode_mvt sees in
+    each tile's bytes."""
+    from georiva_spark.sources.mvt_sink import tile_manifest
+    stats = _stats(spark).where(F.col("org") == "acme")
+    tiles = export_tiles(stats, BOUNDARIES, 2)
+    man = {(r.z, r.x, r.y, r.feature_id): r
+           for r in tile_manifest(tiles).collect()}
+    for r in tiles.collect():
+        dec = decode_mvt(bytes(r.tile))
+        for ft in dec["features"]:
+            row = man[(r.z, r.x, r.y, ft["id"])]
+            pts = [p for ring in ft["rings"] for p in ring]
+            assert row.n_rings == len(ft["rings"])
+            assert row.n_points == sum(len(ring) for ring in ft["rings"])
+            assert (row.pxmin, row.pxmax) == (
+                min(p[0] for p in pts), max(p[0] for p in pts))
+            assert (row.pymin, row.pymax) == (
+                min(p[1] for p in pts), max(p[1] for p in pts))
+    assert len(man) == sum(r.n_features for r in tiles.collect())
+
+
 def test_export_tile_matches_single_request(spark):
     """Bulk export produces byte-identical tiles to the per-request path."""
     stats = _stats(spark).where(F.col("org") == "acme")
