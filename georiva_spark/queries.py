@@ -768,6 +768,7 @@ _DRIVER_PRIORITY = [
     "nearest_time",
     # new this round
     "ingest_grib2_png",
+    "ingest_netcdf4",
     # never recorded (sat past position 50 in rounds 1-2)
     "regrid_bilinear",
     "fingerprints",

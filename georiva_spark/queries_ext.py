@@ -696,6 +696,57 @@ FROM u GROUP BY y
 """
 
 
+def q_ingest_netcdf4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end through the NetCDF-4/HDF5 container: embeddings →
+    native HDF5 write (superblock v0, symbol-table group, chunked
+    deflate field, DIMENSION_LIST binding) → binaryFile scan → native
+    decode (hdf5_codec) → per-row grid aggregates. Same grid and oracle
+    math as ingest_netcdf (the classic container); only the timestamp
+    differs so the two queries stay distinct. Reference reads this via
+    h5netcdf (formats/netcdf.py:33-104)."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.hdf5_codec import encode_grid_netcdf4
+    from georiva_spark.sources.raster_formats import NETCDF
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec = arr.shape[0]
+    lat = (nvec - np.arange(nvec) - 0.5) * 0.01   # descending (north-up)
+    lon = (np.arange(64) + 0.5) * 0.01
+    buf = encode_grid_netcdf4({"field": arr[None]},
+                              [dt.datetime(2024, 2, 2, 6)], lat, lon)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_nc4")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_{nvec}.nc4")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = NETCDF.open_variable(spark, fp, "field")
+    return (g.groupBy("y", "time")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 F.min("lat").alias("lat")))
+
+
+SQL_INGEST_NETCDF4 = """
+WITH u AS (SELECT (SELECT COUNT(*) FROM embeddings) - 1 - vec_id AS y,
+                  CAST(x AS DOUBLE) AS v
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings))
+SELECT y, TIMESTAMP '2024-02-02 06:00:00' AS time, COUNT(v) AS n,
+       AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(0.01 AS DOUBLE) * (y + 0.5) AS lat
+FROM u GROUP BY y
+"""
+
+
 def q_ingest_grib2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end: embeddings table → GRIB2 message (lat/lon grid,
     simple packing with floor quantization, north-up scanning) →
@@ -1686,6 +1737,7 @@ EXT_QUERIES = {
     "percentiles": q_percentiles,
     "ingest_geotiff": q_ingest_geotiff,
     "ingest_netcdf": q_ingest_netcdf,
+    "ingest_netcdf4": q_ingest_netcdf4,
     "ingest_grib2": q_ingest_grib2,
     "ingest_grib2_png": q_ingest_grib2_png,
     "webmercator_tiles": q_webmercator_tiles,
@@ -1742,6 +1794,7 @@ EXT_ORACLES = {
     "percentiles": SQL_PERCENTILES,
     "ingest_geotiff": SQL_INGEST_GEOTIFF,
     "ingest_netcdf": SQL_INGEST_NETCDF,
+    "ingest_netcdf4": SQL_INGEST_NETCDF4,
     "ingest_grib2": SQL_INGEST_GRIB2,
     "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,

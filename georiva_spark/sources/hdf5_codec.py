@@ -1,0 +1,716 @@
+"""Dependency-free NetCDF-4 (HDF5) codec (stdlib struct/zlib + numpy).
+
+The reference reads NetCDF-4 via h5netcdf (formats/netcdf.py:33-104) —
+not in this container. The subset libhdf5 actually emits for netCDF-4
+files with default settings is bounded and documented, so this module
+implements it natively, the same spirit as the GRIB2/TIFF/PNG codecs:
+
+reader (`decode_hdf5` / `decode_netcdf4`):
+- superblock v0 (libhdf5 default) and v2/v3
+- version-1 object headers incl. continuation blocks
+- symbol-table groups (v1 B-tree + local heap)
+- dataspace v1/v2; datatypes: fixed-point, IEEE float (LE), string,
+  object reference, vlen
+- layout v3 contiguous and chunked (v1 B-tree chunk index, any depth)
+- filters: deflate (1), shuffle (2), fletcher32 (3, checksum stripped)
+- attributes (v1), including the netCDF-4 ``DIMENSION_LIST`` vlen of
+  object references resolved through global heap collections — this is
+  how variables are bound to their dimension-scale datasets
+- CF semantics reuse the classic codec (cf_decode_values/_times)
+
+writer (`encode_hdf5` / `encode_grid_netcdf4`):
+- the canonical layout above: superblock v0, one root symbol-table
+  group, contiguous coordinate datasets, the data variable chunked one
+  chunk per leading index with deflate, DIMENSION_SCALE/DIMENSION_LIST
+  conventions. Purpose: round-trip tests and oracle fixtures (the same
+  role encode_grid_netcdf plays for classic files) — but the reader is
+  written against the HDF5 spec, not against this writer.
+
+Anything outside the subset raises NotImplementedError naming the
+feature (v2 object headers, BE numerics, fractal-heap groups, szip).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+_SIG = b"\x89HDF\r\n\x1a\n"
+
+# message type ids
+MSG_DATASPACE = 0x0001
+MSG_DATATYPE = 0x0003
+MSG_FILL = 0x0005
+MSG_LINK = 0x0006
+MSG_LAYOUT = 0x0008
+MSG_FILTERS = 0x000B
+MSG_ATTR = 0x000C
+MSG_CONT = 0x0010
+MSG_SYMTAB = 0x0011
+
+
+def _u(buf, off, n):
+    return int.from_bytes(buf[off:off + n], "little")
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+def _superblock(buf: bytes):
+    """→ ("v0", btree_addr, heap_addr) or ("v2", root_header_addr)."""
+    if buf[:8] != _SIG:
+        raise ValueError("not an HDF5 file")
+    ver = buf[8]
+    if ver == 0:
+        if buf[13] != 8 or buf[14] != 8:
+            raise NotImplementedError("non-8-byte offsets/lengths")
+        # root group symbol table entry at offset 24+32 = 56
+        ent = 56
+        header_addr = _u(buf, ent + 8, 8)
+        cache = _u(buf, ent + 16, 4)
+        if cache == 1:
+            btree = _u(buf, ent + 24, 8)
+            heap = _u(buf, ent + 32, 8)
+            return ("group", btree, heap, header_addr)
+        return ("header", header_addr)
+    if ver in (2, 3):
+        if buf[9] != 8 or buf[10] != 8:
+            raise NotImplementedError("non-8-byte offsets/lengths")
+        root = _u(buf, 12 + 8 * 3, 8)
+        return ("header", root)
+    raise NotImplementedError(f"superblock version {ver}")
+
+
+def _messages_v1(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """Parse a version-1 object header (+ continuations) → [(type, body)]."""
+    if buf[addr] != 1:
+        if buf[addr:addr + 4] == b"OHDR":
+            raise NotImplementedError("version-2 object headers")
+        raise ValueError(f"bad object header version {buf[addr]} @{addr}")
+    nmsg = _u(buf, addr + 2, 2)
+    blocks = [(addr + 16, _u(buf, addr + 8, 4))]
+    out = []
+    bi = 0
+    while bi < len(blocks) and len(out) < nmsg:
+        pos, remaining = blocks[bi]
+        end = pos + remaining
+        while pos + 8 <= end and len(out) < nmsg:
+            mtype = _u(buf, pos, 2)
+            msize = _u(buf, pos + 2, 2)
+            body = buf[pos + 8:pos + 8 + msize]
+            pos += 8 + msize
+            if mtype == MSG_CONT:
+                blocks.append((_u(body, 0, 8), _u(body, 8, 8)))
+            elif mtype != 0:            # NIL
+                out.append((mtype, body))
+        bi += 1
+    return out
+
+
+def _parse_dataspace(body: bytes) -> list[int]:
+    ver = body[0]
+    rank = body[1]
+    if ver == 1:
+        off = 8
+    elif ver == 2:
+        off = 4
+    else:
+        raise NotImplementedError(f"dataspace version {ver}")
+    return [_u(body, off + 8 * i, 8) for i in range(rank)]
+
+
+def _parse_datatype(body: bytes, off: int = 0) -> tuple[dict, int]:
+    """→ (descriptor, bytes consumed). Descriptor keys: class, size,
+    dtype (numpy, for fixed/float), base (for vlen)."""
+    cv = body[off]
+    cls, ver = cv & 0x0F, cv >> 4
+    bits = body[off + 1:off + 4]
+    size = _u(body, off + 4, 4)
+    pos = off + 8
+    if cls == 0:                         # fixed-point
+        if bits[0] & 0x01:
+            raise NotImplementedError("big-endian integers")
+        signed = bool(bits[0] & 0x08)
+        pos += 4                         # bit offset + precision
+        dt = np.dtype(f"<{'i' if signed else 'u'}{size}")
+        return {"class": cls, "size": size, "dtype": dt}, pos - off
+    if cls == 1:                         # IEEE float
+        if bits[0] & 0x01:
+            raise NotImplementedError("big-endian floats")
+        pos += 12                        # offset/precision/exp/man/bias
+        return {"class": cls, "size": size,
+                "dtype": np.dtype(f"<f{size}")}, pos - off
+    if cls == 3:                         # string
+        return {"class": cls, "size": size}, pos - off
+    if cls == 7:                         # reference
+        return {"class": cls, "size": size}, pos - off
+    if cls == 9:                         # vlen
+        base, used = _parse_datatype(body, pos)
+        return {"class": cls, "size": size, "base": base}, \
+            (pos + used) - off
+    raise NotImplementedError(f"datatype class {cls} (version {ver})")
+
+
+def _gheap_object(buf: bytes, coll_addr: int, idx: int) -> bytes:
+    """Fetch object ``idx`` from the global heap collection."""
+    if buf[coll_addr:coll_addr + 4] != b"GCOL":
+        raise ValueError("bad global heap signature")
+    size = _u(buf, coll_addr + 8, 8)
+    pos = coll_addr + 16
+    end = coll_addr + size
+    while pos + 16 <= end:
+        oidx = _u(buf, pos, 2)
+        osize = _u(buf, pos + 8, 8)
+        data = buf[pos + 16:pos + 16 + osize]
+        if oidx == idx:
+            return data
+        if oidx == 0:
+            break
+        pos += 16 + (osize + 7) // 8 * 8
+    raise ValueError(f"global heap object {idx} not found")
+
+
+def _attr_value(buf: bytes, dt: dict, ds_dims: list[int], raw: bytes):
+    n = 1
+    for d in ds_dims:
+        n *= d
+    if dt["class"] == 3:
+        return raw.split(b"\0")[0].decode("utf-8", "replace")
+    if dt["class"] in (0, 1):
+        a = np.frombuffer(raw, dtype=dt["dtype"], count=n)
+        return a[0] if not ds_dims else np.asarray(a).reshape(ds_dims)
+    if dt["class"] == 7:                 # object reference(s) = addresses
+        refs = [_u(raw, 8 * i, 8) for i in range(n)]
+        return refs[0] if not ds_dims else refs
+    if dt["class"] == 9:                 # vlen — resolve via global heap
+        out = []
+        for i in range(n):
+            ln = _u(raw, 16 * i, 4)
+            coll = _u(raw, 16 * i + 4, 8)
+            idx = _u(raw, 16 * i + 12, 4)
+            data = _gheap_object(buf, coll, idx)
+            base = dt["base"]
+            if base["class"] == 7:
+                out.append([_u(data, 8 * j, 8) for j in range(ln)])
+            elif base["class"] in (0, 1):
+                out.append(np.frombuffer(data, dtype=base["dtype"],
+                                         count=ln))
+            else:
+                out.append(data)
+        return out if ds_dims else out[0]
+    raise NotImplementedError(f"attribute datatype class {dt['class']}")
+
+
+def _parse_attr(buf: bytes, body: bytes):
+    ver = body[0]
+    if ver != 1:
+        raise NotImplementedError(f"attribute message version {ver}")
+    name_sz = _u(body, 2, 2)
+    dt_sz = _u(body, 4, 2)
+    ds_sz = _u(body, 6, 2)
+    pos = 8
+    name = body[pos:pos + name_sz].split(b"\0")[0].decode("utf-8")
+    pos += (name_sz + 7) // 8 * 8
+    dt, _ = _parse_datatype(body, pos)
+    pos += (dt_sz + 7) // 8 * 8
+    ds_dims = _parse_dataspace(body[pos:pos + ds_sz])
+    pos += (ds_sz + 7) // 8 * 8
+    return name, _attr_value(buf, dt, ds_dims, body[pos:])
+
+
+def _walk_chunk_btree(buf: bytes, addr: int, ndims: int,
+                      out: list) -> None:
+    """Collect (offsets, size, filter_mask, address) from a v1 chunk
+    B-tree of any depth."""
+    if addr == UNDEF:
+        return
+    if buf[addr:addr + 4] != b"TREE":
+        raise ValueError("bad chunk B-tree signature")
+    level = buf[addr + 5]
+    nent = _u(buf, addr + 6, 2)
+    key_sz = 8 + 8 * ndims
+    pos = addr + 24
+    for _ in range(nent):
+        size = _u(buf, pos, 4)
+        fmask = _u(buf, pos + 4, 4)
+        offs = [_u(buf, pos + 8 + 8 * i, 8) for i in range(ndims)]
+        child = _u(buf, pos + key_sz, 8)
+        if level == 0:
+            out.append((offs[:-1], size, fmask, child))
+        else:
+            _walk_chunk_btree(buf, child, ndims, out)
+        pos += key_sz + 8
+
+
+def _defilter(data: bytes, filters: list[tuple[int, int, list[int]]],
+              fmask: int) -> bytes:
+    """Undo the filter pipeline in reverse order (deflate/shuffle/
+    fletcher32)."""
+    for i in range(len(filters) - 1, -1, -1):
+        fid, _flags, client = filters[i]
+        if fmask & (1 << i):
+            continue
+        if fid == 1:
+            data = zlib.decompress(data)
+        elif fid == 2:
+            sz = client[0] if client else 4
+            n = len(data) // sz
+            data = (np.frombuffer(data, np.uint8)
+                    .reshape(sz, n).T.reshape(-1).tobytes())
+        elif fid == 3:
+            data = data[:-4]             # checksum verified elsewhere
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return data
+
+
+def _read_dataset(buf: bytes, addr: int) -> dict:
+    msgs = _messages_v1(buf, addr)
+    shape: list[int] = []
+    dt: dict | None = None
+    atts: dict = {}
+    layout = None
+    filters: list[tuple[int, int, list[int]]] = []
+    for mtype, body in msgs:
+        if mtype == MSG_DATASPACE:
+            shape = _parse_dataspace(body)
+        elif mtype == MSG_DATATYPE:
+            dt, _ = _parse_datatype(body)
+        elif mtype == MSG_LAYOUT:
+            layout = body
+        elif mtype == MSG_FILTERS:
+            if body[0] != 1:
+                raise NotImplementedError(
+                    f"filter pipeline version {body[0]}")
+            nf = body[1]
+            pos = 8
+            for _ in range(nf):
+                fid = _u(body, pos, 2)
+                nlen = _u(body, pos + 2, 2)
+                flags = _u(body, pos + 4, 2)
+                ncv = _u(body, pos + 6, 2)
+                pos += 8 + (nlen + 7) // 8 * 8
+                client = [_u(body, pos + 4 * i, 4) for i in range(ncv)]
+                pos += 4 * ncv + (4 if ncv % 2 else 0)
+                filters.append((fid, flags, client))
+        elif mtype == MSG_ATTR:
+            k, v = _parse_attr(buf, body)
+            atts[k] = v
+    if dt is None or layout is None:
+        raise ValueError("dataset missing datatype/layout message")
+    if dt["class"] not in (0, 1):
+        raise NotImplementedError(
+            f"dataset datatype class {dt['class']}")
+    dtype = dt["dtype"]
+    n = 1
+    for d in shape:
+        n *= d
+
+    if layout[0] != 3:
+        raise NotImplementedError(f"data layout version {layout[0]}")
+    lclass = layout[1]
+    if lclass == 1:                      # contiguous
+        daddr = _u(layout, 2, 8)
+        dsize = _u(layout, 10, 8)
+        if daddr == UNDEF:
+            data = np.zeros(n, dtype=dtype)
+        else:
+            data = np.frombuffer(buf, dtype=dtype, count=n, offset=daddr)
+            _ = dsize
+    elif lclass == 2:                    # chunked, b-tree v1 index
+        ndims = layout[2]                # rank + 1 (element size dim)
+        btree = _u(layout, 3, 8)
+        chunk_dims = [_u(layout, 11 + 4 * i, 4) for i in range(ndims - 1)]
+        chunks: list = []
+        _walk_chunk_btree(buf, btree, ndims, chunks)
+        arr = np.zeros(shape, dtype=dtype)
+        for offs, csize, fmask, caddr in chunks:
+            raw = _defilter(buf[caddr:caddr + csize], filters, fmask)
+            ch = np.frombuffer(raw, dtype=dtype).reshape(chunk_dims)
+            sl = tuple(slice(o, min(o + c, s))
+                       for o, c, s in zip(offs, chunk_dims, shape))
+            ch_sl = tuple(slice(0, s.stop - s.start) for s in sl)
+            arr[sl] = ch[ch_sl]
+        data = arr.reshape(-1)
+    else:
+        raise NotImplementedError(f"data layout class {lclass}")
+    return {"shape": shape, "data": np.asarray(data).reshape(shape),
+            "atts": atts, "addr": addr}
+
+
+def _read_group(buf: bytes, btree_addr: int, heap_addr: int) -> dict:
+    """Symbol-table group → {name: object header address}."""
+    if buf[heap_addr:heap_addr + 4] != b"HEAP":
+        raise ValueError("bad local heap signature")
+    heap_data = _u(buf, heap_addr + 24, 8)
+
+    def heap_name(off: int) -> str:
+        end = buf.index(b"\0", heap_data + off)
+        return buf[heap_data + off:end].decode("utf-8")
+
+    out: dict[str, int] = {}
+
+    def walk(addr: int) -> None:
+        if buf[addr:addr + 4] == b"TREE":
+            level = buf[addr + 5]
+            nent = _u(buf, addr + 6, 2)
+            pos = addr + 24
+            for _ in range(nent):
+                child = _u(buf, pos + 8, 8)
+                walk(child)
+                pos += 16
+            _ = level
+        elif buf[addr:addr + 4] == b"SNOD":
+            nsym = _u(buf, addr + 6, 2)
+            pos = addr + 8
+            for _ in range(nsym):
+                name_off = _u(buf, pos, 8)
+                header = _u(buf, pos + 8, 8)
+                out[heap_name(name_off)] = header
+                pos += 40
+        else:
+            raise ValueError(f"unexpected group node @{addr}")
+
+    walk(btree_addr)
+    return out
+
+
+def decode_hdf5(buf: bytes) -> dict:
+    """→ {name: {"shape", "data", "atts", "addr"}} for every dataset in
+    the root group (netCDF-4 keeps everything at the root unless groups
+    are requested — grouped files raise on the v2-header path)."""
+    sb = _superblock(buf)
+    if sb[0] == "group":
+        entries = _read_group(buf, sb[1], sb[2])
+    else:
+        msgs = _messages_v1(buf, sb[1])
+        st = [b for t, b in msgs if t == MSG_SYMTAB]
+        if not st:
+            raise NotImplementedError(
+                "root group without a symbol table (new-style links)")
+        entries = _read_group(buf, _u(st[0], 0, 8), _u(st[0], 8, 8))
+    return {name: _read_dataset(buf, addr)
+            for name, addr in sorted(entries.items())}
+
+
+def decode_netcdf4(buf: bytes) -> dict:
+    """NetCDF-4 → the SAME contract as netcdf_codec.decode_netcdf:
+    {"dims": [(name, size)], "numrecs": 0, "variables": {name:
+    {"dims": [names], "atts", "data"}}} so the plugin layer and CF
+    helpers are shared between classic and HDF5 containers.
+
+    Dimension binding: netCDF-4 marks each dimension as a dataset with
+    CLASS="DIMENSION_SCALE" and binds variables through the
+    DIMENSION_LIST attribute (vlen of object references). Falls back to
+    coordinate-name/shape matching when DIMENSION_LIST is absent."""
+    dsets = decode_hdf5(buf)
+    addr_to_name = {d["addr"]: n for n, d in dsets.items()}
+    dim_names = [n for n, d in dsets.items()
+                 if d["atts"].get("CLASS") == "DIMENSION_SCALE"]
+    dims = [(n, dsets[n]["shape"][0] if dsets[n]["shape"] else 1)
+            for n in dim_names]
+    dim_by_size: dict[int, str] = {}
+    for n, s in dims:
+        dim_by_size.setdefault(s, n)
+
+    variables = {}
+    for name, d in dsets.items():
+        atts = {k: v for k, v in d["atts"].items()
+                if k not in ("CLASS", "NAME", "DIMENSION_LIST",
+                             "REFERENCE_LIST", "_Netcdf4Dimid",
+                             "_Netcdf4Coordinates")}
+        if name in dim_names:
+            vdims = [name]
+        elif "DIMENSION_LIST" in d["atts"]:
+            refs = d["atts"]["DIMENSION_LIST"]
+            if not isinstance(refs, list):
+                refs = [refs]
+            vdims = [addr_to_name[r[0] if isinstance(r, list) else r]
+                     for r in refs]
+        else:
+            vdims = [dim_by_size.get(s, f"phony_dim_{i}")
+                     for i, s in enumerate(d["shape"])]
+        variables[name] = {"dims": vdims, "atts": atts, "data": d["data"]}
+    return {"dims": dims, "numrecs": 0, "variables": variables}
+
+
+# ---------------------------------------------------------------------------
+# Writer — canonical netCDF-4 subset
+# ---------------------------------------------------------------------------
+
+_DT_F32 = (b"\x11\x20\x1f\x00" + struct.pack("<I", 4)
+           + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127))
+_DT_F64 = (b"\x11\x20\x3f\x00" + struct.pack("<I", 8)
+           + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+_DT_I32 = b"\x10\x08\x00\x00" + struct.pack("<I", 4) + struct.pack("<HH", 0, 32)
+_DT_I64 = b"\x10\x08\x00\x00" + struct.pack("<I", 8) + struct.pack("<HH", 0, 64)
+_DT_REF = b"\x17\x00\x00\x00" + struct.pack("<I", 8)
+
+_NP_DT = {np.dtype("<f4"): _DT_F32, np.dtype("<f8"): _DT_F64,
+          np.dtype("<i4"): _DT_I32, np.dtype("<i8"): _DT_I64}
+
+
+def _dt_string(n: int) -> bytes:
+    return b"\x13\x00\x00\x00" + struct.pack("<I", max(1, n))
+
+
+def _dt_vlen_ref() -> bytes:
+    return b"\x19\x00\x00\x00" + struct.pack("<I", 16) + _DT_REF
+
+
+def _ds_simple(shape) -> bytes:
+    body = struct.pack("<BBBx4x", 1, len(shape), 0)
+    for s in shape:
+        body += struct.pack("<Q", s)
+    return body
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\0" * (-len(b) % 8)
+
+
+def _msg(mtype: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return struct.pack("<HHBxxx", mtype, len(body), 0) + body
+
+
+def _attr_msg(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nm = name.encode("utf-8") + b"\0"
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    body += _pad8(nm) + _pad8(dt) + _pad8(ds) + data
+    return _msg(MSG_ATTR, body)
+
+
+def _str_attr(name: str, value: str) -> bytes:
+    v = value.encode("utf-8") + b"\0"
+    return _attr_msg(name, _dt_string(len(v)), _ds_simple(()), v)
+
+
+def _num_attr(name: str, value) -> bytes:
+    a = np.atleast_1d(np.asarray(value))
+    if a.dtype not in _NP_DT:
+        a = a.astype("<f8")
+    dt = _NP_DT[a.dtype.newbyteorder("<")]
+    ds = _ds_simple(()) if np.isscalar(value) or a.size == 1 \
+        else _ds_simple(a.shape)
+    return _attr_msg(name, dt, ds, a.astype(a.dtype.newbyteorder("<"))
+                     .tobytes())
+
+
+def _header_v1(messages: list[bytes]) -> bytes:
+    body = b"".join(messages)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + body
+
+
+def encode_hdf5(variables: dict, dims: list[tuple[str, int]],
+                var_dims: dict, atts: dict | None = None,
+                chunk_deflate: bool = True) -> bytes:
+    """Encode a netCDF-4 file (same signature as encode_netcdf).
+    1-D variables whose name matches a dim are DIMENSION_SCALEs written
+    contiguous; multi-dim variables are chunked one-chunk-per-leading-
+    index with deflate (the layout libhdf5 produces for typical CF
+    grids) and carry DIMENSION_LIST references."""
+    atts = atts or {}
+    dim_sizes = dict(dims)
+    names = list(variables)
+    out = bytearray()
+
+    def alloc(n: int) -> int:
+        off = len(out)
+        out.extend(b"\0" * n)
+        return off
+
+    alloc(96)                            # superblock v0
+
+    # --- local heap with all names -------------------------------------
+    heap_data = bytearray(b"\0" * 8)
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        nm = n.encode("utf-8") + b"\0"
+        heap_data += nm + b"\0" * (-len(nm) % 8)
+    heap_data_addr = alloc(len(heap_data))
+    out[heap_data_addr:heap_data_addr + len(heap_data)] = heap_data
+    heap_hdr = alloc(32)
+    out[heap_hdr:heap_hdr + 32] = (
+        b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data),
+                              len(heap_data), heap_data_addr))
+
+    # --- data blocks ----------------------------------------------------
+    data_addr: dict[str, int] = {}
+    chunk_info: dict[str, list] = {}     # name → [(offs, size, addr)]
+    for n in names:
+        a = np.asarray(variables[n])
+        a = a.astype(a.dtype.newbyteorder("<"))
+        if a.ndim <= 1 or not chunk_deflate:
+            data_addr[n] = alloc(a.nbytes)
+            out[data_addr[n]:data_addr[n] + a.nbytes] = a.tobytes()
+        else:
+            infos = []
+            for i in range(a.shape[0]):
+                comp = zlib.compress(a[i].tobytes(), 6)
+                caddr = alloc(len(comp))
+                out[caddr:caddr + len(comp)] = comp
+                infos.append(((i,) + (0,) * (a.ndim - 1) + (0,),
+                              len(comp), caddr))
+            chunk_info[n] = infos
+
+    # --- chunk b-trees (single leaf) ------------------------------------
+    btree_addr: dict[str, int] = {}
+    for n, infos in chunk_info.items():
+        a = np.asarray(variables[n])
+        ndims = a.ndim + 1
+        key_sz = 8 + 8 * ndims
+        node_sz = 24 + len(infos) * (key_sz + 8) + key_sz
+        addr = alloc(node_sz)
+        node = bytearray(b"TREE" + struct.pack("<BBHQQ", 1, 0, len(infos),
+                                               UNDEF, UNDEF))
+        for offs, csize, caddr in infos:
+            node += struct.pack("<II", csize, 0)
+            node += b"".join(struct.pack("<Q", o) for o in offs)
+            node += struct.pack("<Q", caddr)
+        # final key = one past the last chunk
+        a0 = np.asarray(variables[n])
+        node += struct.pack("<II", 0, 0)
+        node += struct.pack("<Q", a0.shape[0])
+        node += b"".join(struct.pack("<Q", 0) for _ in range(ndims - 1))
+        out[addr:addr + len(node)] = node
+        btree_addr[n] = addr
+
+    # --- global heap for DIMENSION_LIST object references ---------------
+    # one object per (variable, dim slot); data = 8-byte header address
+    gh_objects: list[tuple[str, int]] = []   # (var, dim slot)
+    for n in names:
+        a = np.asarray(variables[n])
+        if n not in dim_sizes and a.ndim >= 1 and n in var_dims:
+            for k in range(len(var_dims[n])):
+                gh_objects.append((n, k))
+    gh_addr = None
+    if gh_objects:
+        gh_size = 16 + len(gh_objects) * 24 + 16
+        gh_size = (gh_size + 7) // 8 * 8
+        gh_addr = alloc(gh_size)
+
+    # --- object headers (sizes must be computed before placement) -------
+    def dataset_msgs(n: str, header_addrs: dict[str, int] | None) -> list:
+        a = np.asarray(variables[n])
+        dt = _NP_DT[a.dtype.newbyteorder("<")]
+        msgs = [_msg(MSG_DATASPACE, _ds_simple(a.shape)),
+                _msg(MSG_DATATYPE, dt),
+                _msg(MSG_FILL, struct.pack("<BBBB", 2, 2, 0, 0))]
+        if n in chunk_info:
+            ndims = a.ndim + 1
+            lay = struct.pack("<BBB", 3, 2, ndims)
+            lay += struct.pack("<Q", btree_addr[n])
+            for c in (1,) + a.shape[1:]:
+                lay += struct.pack("<I", c)
+            lay += struct.pack("<I", a.dtype.itemsize)
+            msgs.append(_msg(MSG_LAYOUT, lay))
+            filt = struct.pack("<BB2x4x", 1, 1)
+            filt += struct.pack("<HHHH", 1, 0, 0, 1)   # deflate, 1 value
+            filt += struct.pack("<I", 6) + b"\0\0\0\0"  # level + odd pad
+            msgs.append(_msg(MSG_FILTERS, filt))
+        else:
+            lay = struct.pack("<BB", 3, 1)
+            lay += struct.pack("<QQ", data_addr[n], a.nbytes)
+            msgs.append(_msg(MSG_LAYOUT, lay))
+        if n in dim_sizes:
+            msgs.append(_str_attr("CLASS", "DIMENSION_SCALE"))
+            msgs.append(_str_attr("NAME", n))
+        elif n in var_dims and gh_addr is not None:
+            rank = len(var_dims[n])
+            data = b""
+            for k in range(rank):
+                idx = gh_objects.index((n, k)) + 1
+                data += struct.pack("<IQI", 1, gh_addr, idx)
+            msgs.append(_attr_msg("DIMENSION_LIST", _dt_vlen_ref(),
+                                  _ds_simple((rank,)), data))
+        for k, v in atts.get(n, {}).items():
+            msgs.append(_str_attr(k, v) if isinstance(v, str)
+                        else _num_attr(k, v))
+        return msgs
+
+    sizes = {n: 16 + sum(len(m) for m in dataset_msgs(n, None))
+             for n in names}
+    header_addr = {}
+    for n in names:
+        header_addr[n] = alloc(sizes[n])
+    # root group pieces
+    nsyms = len(names)
+    snod_addr = alloc(8 + 40 * nsyms)
+    gbt_addr = alloc(24 + 16 + 8)        # 1 key/child pair + final key
+    root_hdr = alloc(16 + len(_msg(MSG_SYMTAB,
+                                   struct.pack("<QQ", gbt_addr,
+                                               heap_hdr))))
+
+    # fill global heap (needs header addresses)
+    if gh_addr is not None:
+        gh = bytearray(b"GCOL" + struct.pack("<B3xQ", 1, gh_size))
+        for i, (n, k) in enumerate(gh_objects):
+            dim_name = var_dims[n][k]
+            gh += struct.pack("<HH4xQ", i + 1, 1, 8)
+            gh += struct.pack("<Q", header_addr[dim_name])
+        gh += b"\0" * (gh_size - len(gh))
+        out[gh_addr:gh_addr + gh_size] = gh
+
+    # write dataset headers
+    for n in names:
+        hdr = _header_v1(dataset_msgs(n, header_addr))
+        assert len(hdr) == sizes[n]
+        out[header_addr[n]:header_addr[n] + len(hdr)] = hdr
+
+    # SNOD (entries sorted by name — v1 group b-tree invariant)
+    snod = bytearray(b"SNOD" + struct.pack("<BxH", 1, nsyms))
+    for n in sorted(names):
+        snod += struct.pack("<QQI4x16x", name_off[n], header_addr[n], 0)
+    out[snod_addr:snod_addr + len(snod)] = snod
+
+    # group b-tree: one leaf pointing at the SNOD
+    gbt = bytearray(b"TREE" + struct.pack("<BBHQQ", 0, 0, 1,
+                                          UNDEF, UNDEF))
+    gbt += struct.pack("<Q", 0)                       # key 0 (−inf name)
+    gbt += struct.pack("<Q", snod_addr)
+    gbt += struct.pack("<Q", name_off[sorted(names)[-1]])
+    out[gbt_addr:gbt_addr + len(gbt)] = gbt
+
+    # root object header
+    hdr = _header_v1([_msg(MSG_SYMTAB,
+                           struct.pack("<QQ", gbt_addr, heap_hdr))])
+    out[root_hdr:root_hdr + len(hdr)] = hdr
+
+    # superblock v0
+    sb = bytearray(_SIG)
+    sb += struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, 4, 16, 0)
+    sb += struct.pack("<QQQQ", 0, UNDEF, len(out), UNDEF)
+    sb += struct.pack("<QQI4xQQ", 0, root_hdr, 1, gbt_addr, heap_hdr)
+    out[0:96] = sb
+    return bytes(out)
+
+
+def encode_grid_netcdf4(var_arrays: dict, times, lat, lon,
+                        fill_value: float | None = None) -> bytes:
+    """(T,H,W) float arrays + axes → netCDF-4, mirroring
+    encode_grid_netcdf for the classic container."""
+    import datetime as dt
+    t_dim, h, w = len(times), len(lat), len(lon)
+    epoch = dt.datetime(1970, 1, 1)
+    tvals = np.array([(t - epoch).total_seconds() for t in times],
+                     dtype=np.float64)
+    dims = [("time", t_dim), ("lat", h), ("lon", w)]
+    variables = {"time": tvals, "lat": np.asarray(lat, np.float64),
+                 "lon": np.asarray(lon, np.float64)}
+    var_dims = {"time": ("time",), "lat": ("lat",), "lon": ("lon",)}
+    atts = {"time": {"units": "seconds since 1970-01-01"},
+            "lat": {"units": "degrees_north"},
+            "lon": {"units": "degrees_east"}}
+    for name, arr in var_arrays.items():
+        a = np.asarray(arr, dtype=np.float32)
+        variables[name] = a
+        var_dims[name] = ("time", "lat", "lon")
+        atts[name] = ({"_FillValue": np.float32(fill_value)}
+                      if fill_value is not None else {})
+    return encode_hdf5(variables, dims, var_dims, atts)

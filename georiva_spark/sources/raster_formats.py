@@ -228,11 +228,15 @@ class Grib2Plugin(_BaseFilePlugin):
 
 
 class NetCDFPlugin(_BaseFilePlugin):
-    """S2 — NetCDF scan, dependency-free for the *classic* format
-    (CDF-1/2 via netcdf_codec): CF fill→NaN + packed-data scaling,
-    "<unit> since <epoch>" time axes, latitude-orientation handling
-    (formats/netcdf.py:33-184). NetCDF-4 (HDF5 container) still needs
-    h5netcdf and stays import-gated on the same seam."""
+    """S2 — NetCDF scan, dependency-free for BOTH containers: classic
+    CDF-1/2 (netcdf_codec) and NetCDF-4/HDF5 (hdf5_codec: superblock
+    v0/v2, v1 object headers, symbol-table groups, contiguous + chunked
+    b-tree-v1 layout, deflate/shuffle filters, DIMENSION_LIST binding).
+    CF fill→NaN + packed-data scaling, "<unit> since <epoch>" time axes,
+    latitude-orientation handling (formats/netcdf.py:33-184) are shared
+    across containers. HDF5 features outside the native subset (v2
+    object headers, szip, BE numerics) raise NotImplementedError naming
+    the feature — the h5netcdf import gate remains only for those."""
 
     name = "netcdf"
     extensions = ("nc", "nc4", "cdf")
@@ -243,18 +247,14 @@ class NetCDFPlugin(_BaseFilePlugin):
     _T_NAMES = ("time", "t", "valid_time")
 
     def _decode(self, content: bytes, path: str | None = None):
-        if content[:4] == b"\x89HDF":
-            try:
-                import h5netcdf  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "NetCDF-4 (HDF5) decoding needs h5netcdf (not in this "
-                    "container); classic CDF-1/2 decodes natively") from e
-            raise NotImplementedError("h5netcdf decode path not wired yet")
         from georiva_spark.sources.netcdf_codec import (
             cf_decode_times, cf_decode_values, decode_netcdf,
         )
-        d = decode_netcdf(content)
+        if content[:4] == b"\x89HDF":
+            from georiva_spark.sources.hdf5_codec import decode_netcdf4
+            d = decode_netcdf4(content)
+        else:
+            d = decode_netcdf(content)
         vs = d["variables"]
 
         def axis(names):

@@ -138,8 +138,110 @@ def test_netcdf_rectangular_grid(spark, tmp_path):
     assert got[(1, 2)] == (0.75, 2.5)
 
 
-def test_netcdf4_still_gated(spark, tmp_path):
+def test_netcdf4_unsupported_subset_still_gated(spark, tmp_path):
+    # a malformed/out-of-subset HDF5 container must fail loudly, naming
+    # the feature, not decode garbage
     f = tmp_path / "x.nc4"
     f.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\0" * 64)
-    with pytest.raises(Exception, match="h5netcdf|NotImplemented"):
+    with pytest.raises(Exception, match="NotImplemented|offsets"):
         NETCDF.list_variables(spark, str(f))
+
+
+def test_hdf5_roundtrip_dtypes_and_dims():
+    from georiva_spark.sources.hdf5_codec import (
+        decode_hdf5, decode_netcdf4, encode_hdf5,
+    )
+    rng = np.random.default_rng(9)
+    field = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    ints = np.arange(12, dtype=np.int64).reshape(3, 4)
+    dims = [("time", 2), ("lat", 3), ("lon", 4)]
+    variables = {"time": np.array([0.0, 3600.0]),
+                 "lat": np.array([0.5, 1.5, 2.5]),
+                 "lon": np.arange(4) + 0.5,
+                 "field": field, "counts": ints}
+    var_dims = {"time": ("time",), "lat": ("lat",), "lon": ("lon",),
+                "field": ("time", "lat", "lon"), "counts": ("lat", "lon")}
+    atts = {"field": {"units": "K", "scale_factor": np.float64(2.0)},
+            "time": {"units": "seconds since 1970-01-01"}}
+    buf = encode_hdf5(variables, dims, var_dims, atts)
+
+    raw = decode_hdf5(buf)
+    assert sorted(raw) == ["counts", "field", "lat", "lon", "time"]
+    np.testing.assert_array_equal(raw["field"]["data"], field)
+    np.testing.assert_array_equal(raw["counts"]["data"], ints)
+    assert raw["field"]["atts"]["units"] == "K"
+    assert float(raw["field"]["atts"]["scale_factor"]) == 2.0
+
+    nc = decode_netcdf4(buf)
+    assert nc["variables"]["field"]["dims"] == ["time", "lat", "lon"]
+    assert nc["variables"]["counts"]["dims"] == ["lat", "lon"]
+    assert sorted(n for n, _ in nc["dims"]) == ["lat", "lon", "time"]
+
+
+def test_hdf5_chunked_deflate_really_compresses():
+    from georiva_spark.sources.hdf5_codec import decode_hdf5, encode_hdf5
+    a = np.zeros((4, 50, 50), dtype=np.float32)     # compressible
+    buf = encode_hdf5(
+        {"v": a, "time": np.arange(4.0), "y": np.arange(50.0),
+         "x": np.arange(50.0)},
+        [("time", 4), ("y", 50), ("x", 50)],
+        {"v": ("time", "y", "x"), "time": ("time",), "y": ("y",),
+         "x": ("x",)})
+    assert len(buf) < a.nbytes // 4                  # deflate worked
+    np.testing.assert_array_equal(decode_hdf5(buf)["v"]["data"], a)
+
+
+def test_hdf5_filter_pipeline_shuffle_fletcher():
+    """Reader handles shuffle + fletcher32 even though the writer never
+    emits them (real h5netcdf files can)."""
+    from georiva_spark.sources.hdf5_codec import _defilter
+    vals = np.arange(20, dtype="<f4")
+    raw = vals.tobytes()
+    # shuffle: byte-transpose then deflate (forward order: shuffle then
+    # deflate → reader undoes deflate then shuffle)
+    n = len(raw) // 4
+    shuffled = (np.frombuffer(raw, np.uint8).reshape(n, 4).T
+                .reshape(-1).tobytes())
+    import zlib as _z
+    data = _z.compress(shuffled)
+    out = _defilter(data, [(2, 0, [4]), (1, 0, [6])], 0)
+    np.testing.assert_array_equal(np.frombuffer(out, "<f4"), vals)
+    # fletcher32 strips the trailing checksum
+    out2 = _defilter(raw + b"\x01\x02\x03\x04", [(3, 0, [])], 0)
+    assert out2 == raw
+
+
+def test_netcdf4_plugin_flip_and_window(spark, tmp_path):
+    """The nc4 container honors the same south-up flip + S6 window
+    contract as classic (shared plugin layer)."""
+    from georiva_spark.sources.hdf5_codec import encode_grid_netcdf4
+    a = np.arange(16, dtype=np.float32).reshape(4, 4)
+    lat_desc = np.array([3.5, 2.5, 1.5, 0.5])
+    lon = np.array([0.5, 1.5, 2.5, 3.5])
+    buf = encode_grid_netcdf4({"v": a[None]}, [T0], lat_desc, lon)
+    fp = tmp_path / "north_up.nc4"
+    fp.write_bytes(buf)
+
+    assert NETCDF.list_variables(spark, str(fp)) == ["v"]
+    assert NETCDF.get_timestamps(spark, str(fp), "v") == [T0]
+    rows = NETCDF.open_variable(spark, str(fp), "v").collect()
+    got = {(r.y, r.x): r.value for r in rows}
+    assert got[(0, 0)] == 12.0 and got[(3, 3)] == 3.0  # flipped
+    win = NETCDF.open_variable(spark, str(fp), "v",
+                               window=(1, 0, 2, 2)).collect()
+    gw = {(r.y, r.x): r.value for r in win}
+    assert len(gw) == 4 and gw[(0, 1)] == 13.0
+
+
+def test_netcdf4_fill_value_to_nan(spark, tmp_path):
+    from georiva_spark.sources.hdf5_codec import encode_grid_netcdf4
+    a = np.array([[[1.0, -999.0], [3.0, 4.0]]], dtype=np.float32)
+    buf = encode_grid_netcdf4({"v": a}, [T0], np.array([0.5, 1.5]),
+                              np.array([0.5, 1.5]), fill_value=-999.0)
+    fp = tmp_path / "fill.nc4"
+    fp.write_bytes(buf)
+    rows = NETCDF.open_variable(spark, str(fp), "v").collect()
+    got = {(r.y, r.x): r.value for r in rows}
+    # ascending lat = already south-up: file row 0 → grid y=0
+    assert got[(0, 1)] is None or np.isnan(got[(0, 1)])
+    assert got[(0, 0)] == 1.0 and got[(1, 1)] == 4.0
