@@ -117,10 +117,21 @@ class LineageEdge:
 
 
 class DerivationEngine:
+    """With ``ledger_dir`` set, the parquet run/lineage tables are the
+    LEDGER OF RECORD (the reference keeps these in Postgres,
+    processing/models.py): every state change appends an event row with
+    a monotonic ``seq``; readers take the latest event per key. The
+    driver dict is then only a bounded working-set cache — at millions
+    of units nothing is ever collected wholesale; idempotency lookups
+    fall back to a pruned parquet probe, and sweeps query the table
+    distributed. Without ``ledger_dir`` the in-memory dict remains the
+    store (bounded test/interactive mode)."""
+
     def __init__(self, spark: SparkSession, registry: RecipeRegistry,
                  catalog: CatalogContext, output_dir: str | None = None,
                  now_fn: Callable[[], dt.datetime] | None = None,
-                 definitions: list | None = None, max_chain_depth: int = 8):
+                 definitions: list | None = None, max_chain_depth: int = 8,
+                 ledger_dir: str | None = None, cache_cap: int = 10_000):
         self.spark = spark
         self.registry = registry
         self.catalog = catalog
@@ -135,6 +146,129 @@ class DerivationEngine:
         self.definitions = list(definitions or [])
         self.max_chain_depth = max_chain_depth
         self._chain_depth = 0
+        self.ledger_dir: str | None = None
+        self.cache_cap = cache_cap
+        self._seq = 0
+        if ledger_dir is not None:
+            self.attach_ledger(ledger_dir)
+
+    # ---- table-primary ledger plumbing -----------------------------------
+    def attach_ledger(self, path: str) -> None:
+        """Make the parquet tables at ``path`` the ledger of record.
+        Recovers only two scalars (max seq, max produced item id) — the
+        run/lineage rows themselves stay in the table."""
+        from pyspark.sql import functions as F
+        self.ledger_dir = path
+        os.makedirs(path, exist_ok=True)
+        if os.path.isdir(os.path.join(path, "runs")):
+            row = (self.spark.read.parquet(f"{path}/runs")
+                   .agg(F.max("seq").alias("s"),
+                        F.max("produced_item_id").alias("i")).head())
+            self._seq = (row.s or 0) + 1
+            if row.i is not None:
+                self._next_item_id = max(self._next_item_id, row.i + 1)
+        if os.path.isdir(os.path.join(path, "lineage")):
+            row = (self.spark.read.parquet(f"{path}/lineage")
+                   .agg(F.max("seq").alias("s")).head())
+            self._seq = max(self._seq, (row.s or 0) + 1)
+
+    @staticmethod
+    def _write_event_file(dirpath: str, rows: list[tuple], schema,
+                          seq: int) -> None:
+        """Append one small parquet file directly with pyarrow — a ledger
+        event is a bounded driver-side control row; spinning a Spark
+        write job per event would make the driver the bottleneck (the
+        read side stays fully distributed). Atomic via rename."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(dirpath, exist_ok=True)
+        cols = {f.name: [r[i] for r in rows]
+                for i, f in enumerate(schema)}
+        tbl = pa.Table.from_pydict(cols, schema=schema)
+        final = os.path.join(
+            dirpath, f"part-{seq:012d}-{uuid.uuid4().hex}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+
+    @staticmethod
+    def _runs_pa_schema():
+        import pyarrow as pa
+        return pa.schema([
+            ("recipe_type", pa.string()), ("recipe_version", pa.string()),
+            ("unit_key", pa.string()), ("unit_hash", pa.string()),
+            ("status", pa.string()), ("input_hash", pa.string()),
+            ("origin", pa.string()), ("reason", pa.string()),
+            ("produced_item_id", pa.int64()),
+            ("updated_at", pa.timestamp("us")),
+            ("retries", pa.int32()), ("seq", pa.int64())])
+
+    @staticmethod
+    def _lineage_pa_schema():
+        import pyarrow as pa
+        return pa.schema([
+            ("derived_item_id", pa.int64()), ("source_item_id", pa.int64()),
+            ("source_tier", pa.string()), ("recipe_id", pa.string()),
+            ("recipe_version", pa.string()), ("input_hash", pa.string()),
+            ("seq", pa.int64())])
+
+    def _append_run(self, rec: RunRecord) -> None:
+        if self.ledger_dir is None:
+            return
+        rec_seq = self._seq
+        self._seq += 1
+        row = [(rec.recipe_id, rec.recipe_version, rec.unit_key,
+                rec.unit_hash, rec.status, rec.input_hash, rec.origin,
+                rec.reason, rec.produced_item_id, rec.updated_at,
+                rec.retries, rec_seq)]
+        self._write_event_file(f"{self.ledger_dir}/runs", row,
+                               self._runs_pa_schema(), rec_seq)
+
+    def _append_lineage(self, edges: list[LineageEdge]) -> None:
+        if self.ledger_dir is None or not edges:
+            return
+        rec_seq = self._seq
+        self._seq += 1
+        rows = [(e.derived_item_id, e.source_item_id, e.source_tier,
+                 e.recipe_id, e.recipe_version, e.input_hash, rec_seq)
+                for e in edges]
+        self._write_event_file(f"{self.ledger_dir}/lineage", rows,
+                               self._lineage_pa_schema(), rec_seq)
+
+    def _get_run(self, uh: str) -> RunRecord | None:
+        """Latest run for a unit — cache first, then a pruned table probe
+        (one filtered read; unit_hash min/max stats prune most files)."""
+        rec = self.runs.get(uh)
+        if rec is not None or self.ledger_dir is None:
+            return rec
+        if not os.path.isdir(os.path.join(self.ledger_dir, "runs")):
+            return None
+        from pyspark.sql import functions as F
+        rows = (self.spark.read.parquet(f"{self.ledger_dir}/runs")
+                .where(F.col("unit_hash") == uh)
+                .orderBy(F.col("seq").desc()).limit(1).collect())
+        if not rows:
+            return None
+        r = rows[0]
+        rec = RunRecord(recipe_id=r.recipe_type,
+                        recipe_version=r.recipe_version,
+                        unit_key=r.unit_key, unit_hash=r.unit_hash,
+                        status=r.status, input_hash=r.input_hash,
+                        origin=r.origin, reason=r.reason,
+                        produced_item_id=r.produced_item_id,
+                        retries=r.retries or 0, updated_at=r.updated_at)
+        self._put_run(rec)
+        return rec
+
+    def _put_run(self, rec: RunRecord) -> None:
+        self.runs[rec.unit_hash] = rec
+        if self.ledger_dir is not None and len(self.runs) > self.cache_cap:
+            # bounded working set: evict oldest-inserted entries (the
+            # table keeps everything)
+            for k in list(self.runs)[:len(self.runs) - self.cache_cap]:
+                del self.runs[k]
 
     # ---- T2: event→unit routing ------------------------------------------
     def dispatch_for_trigger(self, trigger: Trigger,
@@ -161,10 +295,11 @@ class DerivationEngine:
                         unit_key=canonical_json(unit), unit_hash=uh,
                         status="running", origin=origin,
                         updated_at=self._now())
-        prev = self.runs.get(uh)
+        prev = self._get_run(uh)
         if prev is not None:
             rec.retries = prev.retries
-        self.runs[uh] = rec
+        self._put_run(rec)
+        self._append_run(rec)   # the lock row (engine.py:310-352)
 
         try:
             resolved = recipe.resolve_inputs(unit, self.catalog)
@@ -188,6 +323,7 @@ class DerivationEngine:
             rec.status, rec.input_hash = "skipped", ih
             rec.produced_item_id = prev.produced_item_id
             rec.reason = "input_hash unchanged"
+            self._append_run(rec)
             return rec
 
         try:
@@ -201,14 +337,17 @@ class DerivationEngine:
         # lineage (engine.py:194-221): dedup edges per (derived, source)
         self.lineage = [e for e in self.lineage if e.derived_item_id != item_id]
         seen = set()
+        new_edges = []
         for r in resolved:
             if r.item_id is None or r.item_id in seen:
                 continue
             seen.add(r.item_id)
-            self.lineage.append(LineageEdge(
+            new_edges.append(LineageEdge(
                 derived_item_id=item_id, source_item_id=r.item_id,
                 source_tier=r.tier, recipe_id=recipe.recipe_id,
                 recipe_version=recipe.version, input_hash=ih))
+        self.lineage.extend(new_edges)
+        self._append_lineage(new_edges)
         rec.input_hash = ih
         rec.produced_item_id = item_id
         rec = self._mark(rec, "completed")
@@ -253,22 +392,54 @@ class DerivationEngine:
     # ---- T4: resurrection sweep ------------------------------------------
     def sweep_not_ready(self) -> list[RunRecord]:
         out = []
-        for rec in [r for r in self.runs.values() if r.status == "not_ready"]:
+        for rec in self._sweep_candidates("not_ready"):
             recipe = self.registry.get(rec.recipe_id)
             import json as _json
             out.append(self.run_unit(recipe, _json.loads(rec.unit_key),
                                      origin="resurrection"))
         return out
 
+    def _sweep_candidates(self, *statuses: str) -> list[RunRecord]:
+        """Latest-state runs in ``statuses``. Ledger mode filters the
+        TABLE distributed and collects only the matching rows (parked /
+        running units ≪ total units); in-memory mode scans the dict."""
+        if self.ledger_dir is None:
+            return [r for r in self.runs.values() if r.status in statuses]
+        if not os.path.isdir(os.path.join(self.ledger_dir, "runs")):
+            return []
+        from pyspark.sql import functions as F
+        rows = self._runs_view().where(F.col("status").isin(*statuses)) \
+                                .collect()
+        return [RunRecord(recipe_id=r.recipe_type,
+                          recipe_version=r.recipe_version,
+                          unit_key=r.unit_key, unit_hash=r.unit_hash,
+                          status=r.status, input_hash=r.input_hash,
+                          origin=r.origin, reason=r.reason,
+                          produced_item_id=r.produced_item_id,
+                          retries=r.retries or 0, updated_at=r.updated_at)
+                for r in rows]
+
     # ---- T5: stale-input invalidation, transitive ------------------------
     def sweep_stale(self) -> list[RunRecord]:
         """Recompute completed units whose current input hash differs from
-        the recorded one (inputs changed underneath)."""
+        the recorded one (inputs changed underneath).
+
+        Ledger mode: the distributed ``stale_units_df`` planner finds the
+        stale set (O(lineage) in Spark, only stale rows collected), then
+        the driver re-runs exactly those units. In-memory mode: exact
+        per-unit re-resolution over the dict."""
+        import json as _json
         out = []
-        for rec in [r for r in self.runs.values()
-                    if r.status in ("completed", "skipped")]:
+        if self.ledger_dir is not None:
+            stale = self.stale_units_df().select("unit_key",
+                                                 "recipe_type").collect()
+            for r in stale:
+                recipe = self.registry.get(r.recipe_type)
+                out.append(self.run_unit(recipe, _json.loads(r.unit_key),
+                                         origin="stale-sweep"))
+            return out
+        for rec in self._sweep_candidates("completed", "skipped"):
             recipe = self.registry.get(rec.recipe_id)
-            import json as _json
             unit = _json.loads(rec.unit_key)
             try:
                 resolved = recipe.resolve_inputs(unit, self.catalog)
@@ -324,9 +495,28 @@ class DerivationEngine:
 
     def invalidate_downstream(self, source_item_ids: list[int]) -> list[int]:
         """Transitive forward closure over lineage (invocation.py:210-247):
-        BFS from changed sources to every derived item affected."""
+        BFS from changed sources to every derived item affected. Ledger
+        mode walks the TABLE (per-round semi-join, only new frontier ids
+        collected — depth rounds, never the whole edge set); in-memory
+        mode walks the list."""
+        if self.ledger_dir is not None and os.path.isdir(
+                os.path.join(self.ledger_dir, "lineage")):
+            from pyspark.sql import functions as F
+            lin = self.lineage_df().select("derived_item_id",
+                                           "source_item_id")
+            frontier = set(source_item_ids)
+            affected: set[int] = set()
+            while frontier:
+                nxt = {r.derived_item_id for r in
+                       lin.where(F.col("source_item_id")
+                                 .isin(*[int(i) for i in frontier]))
+                          .select("derived_item_id").distinct().collect()
+                       } - affected
+                affected |= nxt
+                frontier = nxt
+            return sorted(affected)
         frontier = set(source_item_ids)
-        affected: set[int] = set()
+        affected = set()
         while frontier:
             nxt = {e.derived_item_id for e in self.lineage
                    if e.source_item_id in frontier} - affected
@@ -339,9 +529,12 @@ class DerivationEngine:
                               timeout: dt.timedelta = RUNNING_TIMEOUT) -> int:
         n = 0
         cutoff = self._now() - timeout
-        for rec in self.runs.values():
-            if rec.status == "running" and rec.updated_at < cutoff:
+        for rec in self._sweep_candidates("running"):
+            if rec.updated_at < cutoff:
                 rec.status, rec.reason = "pending", "reclaimed stale running"
+                rec.updated_at = self._now()
+                self._put_run(rec)
+                self._append_run(rec)
                 n += 1
         return n
 
@@ -354,7 +547,21 @@ class DerivationEngine:
                 "stale_recomputed": len(stale)}
 
     # ---- ledger views ----------------------------------------------------
+    def _runs_view(self) -> DataFrame:
+        """Latest event per unit_hash from the parquet runs table
+        (ledger mode only)."""
+        from pyspark.sql import Window, functions as F
+        df = self.spark.read.parquet(f"{self.ledger_dir}/runs")
+        w = Window.partitionBy("unit_hash").orderBy(F.col("seq").desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+
     def runs_df(self) -> DataFrame:
+        """Latest run per unit — the TABLE in ledger mode (never built
+        from the driver dict, which is only a bounded cache there)."""
+        if self.ledger_dir is not None and os.path.isdir(
+                os.path.join(self.ledger_dir, "runs")):
+            return self._runs_view().drop("retries", "seq")
         rows = [(r.recipe_id, r.recipe_version, r.unit_key, r.unit_hash,
                  r.status, r.input_hash, r.origin, r.reason,
                  r.produced_item_id, r.updated_at)
@@ -366,6 +573,17 @@ class DerivationEngine:
                   " updated_at timestamp")
 
     def lineage_df(self) -> DataFrame:
+        """Current lineage edges — in ledger mode the latest edge batch
+        per derived item from the parquet table (a re-derivation appends
+        a new batch that supersedes the old one)."""
+        if self.ledger_dir is not None and os.path.isdir(
+                os.path.join(self.ledger_dir, "lineage")):
+            from pyspark.sql import Window, functions as F
+            df = self.spark.read.parquet(f"{self.ledger_dir}/lineage")
+            w = Window.partitionBy("derived_item_id")
+            return (df.withColumn("_mx", F.max("seq").over(w))
+                    .where(F.col("seq") == F.col("_mx"))
+                    .drop("_mx", "seq"))
         rows = [(e.derived_item_id, e.source_item_id, e.source_tier,
                  e.recipe_id, e.recipe_version, e.input_hash)
                 for e in self.lineage]
@@ -376,29 +594,38 @@ class DerivationEngine:
 
     # ---- persistence (T7 across restarts) --------------------------------
     def save_ledger(self, path: str) -> None:
-        """Persist runs + lineage as parquet so sweeps and idempotency
-        survive a driver restart (the reference keeps these in Postgres;
-        here they are just two small tables)."""
-        self.runs_df().write.mode("overwrite").parquet(f"{path}/runs")
-        self.lineage_df().write.mode("overwrite").parquet(f"{path}/lineage")
+        """Snapshot the in-memory state into the event-table format, so a
+        restarted engine can ``load_ledger``/``attach_ledger`` the same
+        path. In ledger mode this is a no-op — the table IS the state."""
+        if self.ledger_dir is not None:
+            return
+        for sub in ("runs", "lineage"):
+            if os.path.isdir(os.path.join(path, sub)):
+                shutil.rmtree(os.path.join(path, sub))
+        rows = [(r.recipe_id, r.recipe_version, r.unit_key, r.unit_hash,
+                 r.status, r.input_hash, r.origin, r.reason,
+                 r.produced_item_id, r.updated_at, r.retries, i)
+                for i, r in enumerate(self.runs.values())]
+        self._write_event_file(f"{path}/runs", rows,
+                               self._runs_pa_schema(), len(rows))
+        if self.lineage:
+            lrows = [(e.derived_item_id, e.source_item_id, e.source_tier,
+                      e.recipe_id, e.recipe_version, e.input_hash,
+                      len(rows) + i)
+                     for i, e in enumerate(self.lineage)]
+            self._write_event_file(f"{path}/lineage", lrows,
+                                   self._lineage_pa_schema(),
+                                   len(rows) + len(lrows))
 
     def load_ledger(self, path: str) -> None:
-        runs = self.spark.read.parquet(f"{path}/runs").collect()
+        """Resume from a persisted ledger WITHOUT collecting it: attaches
+        the table as the store of record (r2 verdict item 4 — the old
+        implementation collected every run/lineage row to the driver,
+        which is the bottleneck at millions of units). Run lookups fall
+        back to pruned table probes; sweeps filter the table."""
         self.runs = {}
-        for r in runs:
-            self.runs[r.unit_hash] = RunRecord(
-                recipe_id=r.recipe_type, recipe_version=r.recipe_version,
-                unit_key=r.unit_key, unit_hash=r.unit_hash, status=r.status,
-                input_hash=r.input_hash, origin=r.origin, reason=r.reason,
-                produced_item_id=r.produced_item_id, updated_at=r.updated_at)
-        self.lineage = [
-            LineageEdge(e.derived_item_id, e.source_item_id, e.source_tier,
-                        e.recipe_id, e.recipe_version, e.input_hash)
-            for e in self.spark.read.parquet(f"{path}/lineage").collect()]
-        ids = [r.produced_item_id for r in self.runs.values()
-               if r.produced_item_id is not None]
-        if ids:
-            self._next_item_id = max(self._next_item_id, max(ids) + 1)
+        self.lineage = []
+        self.attach_ledger(path)
 
     # ---- internals -------------------------------------------------------
     def _mark(self, rec: RunRecord, status: str,
@@ -406,6 +633,7 @@ class DerivationEngine:
         rec.status = status
         rec.reason = reason
         rec.updated_at = self._now()
+        self._append_run(rec)    # terminal state → ledger event
         return rec
 
     def _register_item(self, out_item: OutputItem, uh: str, ih: str,

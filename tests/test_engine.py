@@ -247,3 +247,90 @@ def test_time_limit_ladder_and_soft_limit_path(spark):
     assert all("soft time limit" in r.reason for r in first)
     second = eng.run_all()  # no reclaim needed — lock already free
     assert {r.status for r in second} == {"completed"}
+
+
+def test_table_primary_ledger_end_to_end(spark, tmp_path):
+    """With ledger_dir set, the parquet table is the store of record:
+    the dict stays bounded (cache_cap), idempotency lookups fall back to
+    pruned table probes, and a fresh engine on the same dir skips all
+    work without ever collecting the ledger."""
+    ctx = _staging_catalog(spark, 6)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    led = str(tmp_path / "led")
+    eng = DerivationEngine(spark, reg, ctx, ledger_dir=led, cache_cap=2)
+    recs = eng.run_all()
+    assert {r.status for r in recs} == {"completed"}
+    assert len(eng.runs) <= 2              # bounded working set
+    assert eng.runs_df().count() == 6      # table holds everything
+    again = eng.run_all()                  # probes the table on cache miss
+    assert {r.status for r in again} == {"skipped"}
+    assert {r.produced_item_id for r in again} == \
+        {r.produced_item_id for r in recs}
+
+    eng2 = DerivationEngine(spark, reg, ctx, ledger_dir=led)
+    assert eng2.runs == {}                 # nothing collected on attach
+    third = eng2.run_all()
+    assert {r.status for r in third} == {"skipped"}
+
+
+def test_table_ledger_distributed_stale_sweep(spark, tmp_path):
+    """Ledger mode routes sweep_stale through the distributed
+    stale_units_df planner over the parquet tables."""
+    ctx = _staging_catalog(spark, 24)
+    reg = RecipeRegistry()
+    reg.register(ClimatologyRecipe(
+        "src", "clim", periods=[(2020, 2021)], seasons=["annual", "JJA"],
+        quantities=["value", "anomaly"], baseline=(2020, 2020)))
+    eng = DerivationEngine(spark, reg, ctx,
+                           ledger_dir=str(tmp_path / "led"))
+    eng.run_all()
+    assert eng.stale_units_df().count() == 0
+    ctx.items[0]["checksum"] = "sha-CHANGED"
+    redone = eng.sweep_stale()
+    assert len(redone) == 4 and {r.status for r in redone} == {"completed"}
+    assert all(r.origin == "stale-sweep" for r in redone)
+    assert eng.stale_units_df().count() == 0
+
+
+def test_table_ledger_reclaim_and_resurrection(spark, tmp_path):
+    """T6/T4 over the table: a running row older than the lock timeout is
+    reclaimed via a table filter and the pending event lands in the
+    ledger; parked units resurrect from the table too."""
+    ctx = CatalogContext(spark, [], grid_loader=None)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    now = [dt.datetime(2020, 1, 1, 0, 0)]
+    eng = DerivationEngine(spark, reg, ctx, now_fn=lambda: now[0],
+                           ledger_dir=str(tmp_path / "led"))
+    from georiva_spark.plans.engine import RunRecord
+    stuck = RunRecord("promotion", "1", "{}", "stuck", "running",
+                      updated_at=now[0])
+    eng._put_run(stuck)
+    eng._append_run(stuck)
+    eng.runs.clear()                        # force the table path
+    now[0] = dt.datetime(2020, 1, 1, 1, 0)  # 1h later > 30min timeout
+    assert eng.reclaim_stale_running() == 1
+    latest = {r.unit_hash: r.status for r in eng.runs_df().collect()}
+    assert latest["stuck"] == "pending"
+
+
+def test_table_ledger_invalidate_downstream(spark, tmp_path):
+    """Transitive invalidation walks the lineage TABLE per round in
+    ledger mode (frontier semi-joins, no wholesale edge collect)."""
+    ctx = _staging_catalog(spark, 12)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    eng = DerivationEngine(spark, reg, ctx,
+                           ledger_dir=str(tmp_path / "led"))
+    rec = eng.dispatch_for_trigger(Trigger("staging_item", ctx.items[0]))[0]
+    promoted = rec.produced_item_id
+    reg2 = RecipeRegistry()
+    reg2.register(PromotionRecipe("pub", "pub2"))
+    eng.registry = reg2
+    pub_item = [i for i in ctx.items if i["item_id"] == promoted][0]
+    rec2 = eng.dispatch_for_trigger(
+        Trigger("staging_item", dict(pub_item, tier="staging")))[0]
+    eng.lineage.clear()                     # force the table path
+    affected = eng.invalidate_downstream([ctx.items[0]["item_id"]])
+    assert promoted in affected and rec2.produced_item_id in affected

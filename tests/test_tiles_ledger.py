@@ -53,8 +53,13 @@ def test_ledger_persistence_roundtrip(spark, tmp_path):
 
     eng2 = DerivationEngine(spark, reg, ctx)
     eng2.load_ledger(path)
-    assert set(eng2.runs) == set(eng.runs)
-    # restored hashes drive idempotency: re-run skips everything
+    # load no longer collects the ledger — the table is the store of
+    # record and the dict only caches what gets touched
+    assert eng2.runs == {}
+    got = {r.unit_hash for r in eng2.runs_df().collect()}
+    assert got == set(eng.runs)
+    # restored hashes drive idempotency: re-run skips everything (each
+    # lookup probes the parquet table)
     again = eng2.run_all()
     assert {r.status for r in again} == {"skipped"}
-    assert len(eng2.lineage) == len(eng.lineage)
+    assert eng2.lineage_df().count() == len(eng.lineage)
