@@ -115,11 +115,13 @@ def reproject_geometry(geometry: str, dst_crs: str,
     """Reproject a GeoJSON geometry string between CRSs
     (geoprocessing/zonal.py:30-38).
 
-    EPSG:4326↔3857 is closed-form spherical mercator — computed natively
-    (the reference's titiler tile export works in 3857). Other CRS pairs
-    need pyproj and stay gated behind the same seam the format decoders
-    use; the rest of the mask pipeline is CRS-agnostic since it only
-    consumes ring coordinates.
+    Closed-form natively (no pyproj): 4326↔3857 spherical mercator,
+    4326↔UTM zones (EPSG:326xx/327xx, Krüger series), and 4326↔polar
+    stereographic (EPSG:3413 north / 3976 south, Snyder ellipsoidal) —
+    the grids regional and sea-ice products actually ship on. Remaining
+    exotic CRS pairs stay gated behind the pyproj seam; the rest of the
+    mask pipeline is CRS-agnostic since it only consumes ring
+    coordinates.
     """
     def _norm(c: str) -> str:
         return c.strip().upper().replace(" ", "")
@@ -128,7 +130,7 @@ def reproject_geometry(geometry: str, dst_crs: str,
         return geometry
     fwd = {("EPSG:4326", "EPSG:3857"): lonlat_to_webmercator_xy,
            ("EPSG:3857", "EPSG:4326"): webmercator_to_lonlat_xy}
-    fn = fwd.get((src, dst))
+    fn = fwd.get((src, dst)) or _crs_closed_form(src, dst)
     if fn is not None:
         geom = json.loads(geometry)
 
@@ -179,6 +181,213 @@ def webmercator_tile(lat, lon, zoom: int):
                   / F.lit(math.pi)) / F.lit(2.0) * n)
     clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit((1 << zoom) - 1)))  # noqa: E731
     return clamp(xt).alias("tile_x"), clamp(yt).alias("tile_y")
+
+
+# ---------------------------------------------------------------------------
+# General-CRS closed forms: UTM (Krüger series) + polar stereographic
+# (Snyder ellipsoidal). Both are published closed-form series — no pyproj
+# needed for the grids regional/ice products actually use
+# (geoprocessing/zonal.py:30-38 delegates ALL of this to pyproj).
+# ---------------------------------------------------------------------------
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+_E2 = WGS84_F * (2.0 - WGS84_F)
+_E = math.sqrt(_E2)
+_N3 = WGS84_F / (2.0 - WGS84_F)
+# Krüger flattening series in n (3rd order: sub-mm inside a UTM zone)
+KRUGER_A = WGS84_A / (1 + _N3) * (1 + _N3 ** 2 / 4 + _N3 ** 4 / 64)
+KRUGER_ALPHA = (_N3 / 2 - 2 * _N3 ** 2 / 3 + 5 * _N3 ** 3 / 16,
+                13 * _N3 ** 2 / 48 - 3 * _N3 ** 3 / 5,
+                61 * _N3 ** 3 / 240)
+KRUGER_BETA = (_N3 / 2 - 2 * _N3 ** 2 / 3 + 37 * _N3 ** 3 / 96,
+               _N3 ** 2 / 48 + _N3 ** 3 / 15,
+               17 * _N3 ** 3 / 480)
+KRUGER_DELTA = (2 * _N3 - 2 * _N3 ** 2 / 3 - 2 * _N3 ** 3,
+                7 * _N3 ** 2 / 3 - 8 * _N3 ** 3 / 5,
+                56 * _N3 ** 3 / 15)
+UTM_K0 = 0.9996
+UTM_E0 = 500_000.0
+UTM_FN_SOUTH = 10_000_000.0
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian (degrees) of a UTM zone."""
+    return -183.0 + 6.0 * zone
+
+
+def utm_forward_np(lat, lon, zone: int, south: bool = False):
+    """UTM forward (Krüger series, WGS84) — vectorized numpy.
+    → (easting, northing) meters."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)
+                     - utm_zone_lon0(zone))
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, a_j in enumerate(KRUGER_ALPHA, start=1):
+        xi = xi + a_j * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    easting = UTM_E0 + UTM_K0 * KRUGER_A * eta
+    northing = (UTM_FN_SOUTH if south else 0.0) + UTM_K0 * KRUGER_A * xi
+    return easting, northing
+
+
+def utm_inverse_np(easting, northing, zone: int, south: bool = False):
+    """UTM inverse (Krüger series) → (lat, lon) degrees."""
+    xi = (np.asarray(northing, np.float64)
+          - (UTM_FN_SOUTH if south else 0.0)) / (UTM_K0 * KRUGER_A)
+    eta = (np.asarray(easting, np.float64) - UTM_E0) / (UTM_K0 * KRUGER_A)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b_j in enumerate(KRUGER_BETA, start=1):
+        xi_p = xi_p - b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d_j in enumerate(KRUGER_DELTA, start=1):
+        phi = phi + d_j * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(phi), np.degrees(lam) + utm_zone_lon0(zone)
+
+
+def utm_cols(lat, lon, zone: int, south: bool = False):
+    """(easting, northing) Columns — the same Krüger series as
+    utm_forward_np as pure JVM expressions (sinh/cosh/atanh/asinh are
+    built-ins), so a 100-TB reprojection is whole-stage codegen with no
+    UDF and the math is reproducible in an external SQL oracle."""
+    from pyspark.sql import functions as F
+    phi = F.radians(lat)
+    lam = F.radians(lon - F.lit(utm_zone_lon0(zone)))
+    sphi = F.sin(phi)
+    t = F.sinh(F.atanh(sphi) - F.lit(_E) * F.atanh(F.lit(_E) * sphi))
+    hyp = F.sqrt(t * t + F.cos(lam) * F.cos(lam))
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = F.asinh(F.sin(lam) / hyp)
+    xi, eta = xi_p, eta_p
+    for j, a_j in enumerate(KRUGER_ALPHA, start=1):
+        xi = xi + F.lit(a_j) * F.sin(F.lit(2.0 * j) * xi_p) \
+            * F.cosh(F.lit(2.0 * j) * eta_p)
+        eta = eta + F.lit(a_j) * F.cos(F.lit(2.0 * j) * xi_p) \
+            * F.sinh(F.lit(2.0 * j) * eta_p)
+    e_col = (F.lit(UTM_E0) + F.lit(UTM_K0 * KRUGER_A) * eta) \
+        .alias("easting")
+    n_col = (F.lit(UTM_FN_SOUTH if south else 0.0)
+             + F.lit(UTM_K0 * KRUGER_A) * xi).alias("northing")
+    return e_col, n_col
+
+
+def _ps_t(phi):
+    return (np.tan(np.pi / 4 - phi / 2)
+            * ((1 + _E * np.sin(phi)) / (1 - _E * np.sin(phi)))
+            ** (_E / 2))
+
+
+def _ps_m(phi):
+    return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+
+
+def polar_stereo_np(lat, lon, lat_ts: float = 70.0, lon0: float = -45.0,
+                    south: bool = False):
+    """Ellipsoidal polar stereographic forward (Snyder 21-33/34), true
+    scale at ``lat_ts`` — the EPSG:3413 / 3976 family. → (x, y) m."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64) - lon0)
+    if south:
+        phi, lam = -phi, -lam
+    ts = math.radians(abs(lat_ts))
+    rho = WGS84_A * _ps_m(ts) * _ps_t(phi) / _ps_t(ts)
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if south:
+        x, y = -x, -y
+    return x, y
+
+
+def polar_stereo_inverse_np(x, y, lat_ts: float = 70.0,
+                            lon0: float = -45.0, south: bool = False):
+    """Ellipsoidal polar stereographic inverse (Snyder 21-39/40 + the
+    conformal-latitude series 3-5). → (lat, lon) degrees."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if south:
+        x, y = -x, -y
+    ts = math.radians(abs(lat_ts))
+    rho = np.hypot(x, y)
+    t = rho * _ps_t(ts) / (WGS84_A * _ps_m(ts))
+    chi = np.pi / 2 - 2 * np.arctan(t)
+    e2, e4 = _E2, _E2 ** 2
+    e6, e8 = _E2 ** 3, _E2 ** 4
+    phi = (chi
+           + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360)
+           * np.sin(2 * chi)
+           + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520)
+           * np.sin(4 * chi)
+           + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+           + (4279 * e8 / 161280) * np.sin(8 * chi))
+    lam = np.arctan2(x, -y)
+    if south:
+        phi, lam = -phi, -lam
+    return np.degrees(phi), np.degrees(lam) + lon0
+
+
+def polar_stereo_cols(lat, lon, lat_ts: float = 70.0,
+                      lon0: float = -45.0):
+    """(ps_x, ps_y) Columns for the north polar stereographic — the
+    same Snyder closed form as polar_stereo_np, JVM-side."""
+    from pyspark.sql import functions as F
+    phi = F.radians(lat)
+    lam = F.radians(lon - F.lit(lon0))
+    sphi = F.sin(phi)
+    t = (F.tan(F.lit(math.pi / 4) - phi / F.lit(2.0))
+         * F.pow((F.lit(1.0) + F.lit(_E) * sphi)
+                 / (F.lit(1.0) - F.lit(_E) * sphi), F.lit(_E / 2)))
+    ts = math.radians(abs(lat_ts))
+    scale = WGS84_A * float(_ps_m(ts)) / float(_ps_t(ts))
+    rho = F.lit(scale) * t
+    return ((rho * F.sin(lam)).alias("ps_x"),
+            (-rho * F.cos(lam)).alias("ps_y"))
+
+
+def _crs_closed_form(src: str, dst: str):
+    """Return a coordinate fn for closed-form CRS pairs involving 4326:
+    web mercator, UTM zones (EPSG:326xx/327xx), polar stereographic
+    (EPSG:3413 north / EPSG:3976 south)."""
+    def utm_pair(code: str):
+        if code.startswith("EPSG:326") and len(code) == 10:
+            return int(code[8:]), False
+        if code.startswith("EPSG:327") and len(code) == 10:
+            return int(code[8:]), True
+        return None
+
+    ps_params = {"EPSG:3413": (70.0, -45.0, False),
+                 "EPSG:3976": (70.0, 0.0, True)}
+    if src == "EPSG:4326":
+        z = utm_pair(dst)
+        if z is not None:
+            return lambda lo, la: tuple(
+                float(v) for v in utm_forward_np(la, lo, z[0], z[1]))
+        if dst in ps_params:
+            ts, l0, so = ps_params[dst]
+            return lambda lo, la: tuple(float(v) for v in polar_stereo_np(
+                la, lo, lat_ts=ts, lon0=l0, south=so))
+    if dst == "EPSG:4326":
+        z = utm_pair(src)
+        if z is not None:
+            def inv(x, y, z=z):
+                la, lo = utm_inverse_np(x, y, z[0], z[1])
+                return float(lo), float(la)
+            return inv
+        if src in ps_params:
+            ts, l0, so = ps_params[src]
+
+            def inv_ps(x, y, ts=ts, l0=l0, so=so):
+                la, lo = polar_stereo_inverse_np(x, y, lat_ts=ts,
+                                                 lon0=l0, south=so)
+                return float(lo), float(la)
+            return inv_ps
+    return None
 
 
 def affine_index(lat0: float, lon0: float, res: float,

@@ -769,6 +769,7 @@ _DRIVER_PRIORITY = [
     # new this round
     "ingest_grib2_png",
     "ingest_netcdf4",
+    "utm_project",
     # never recorded (sat past position 50 in rounds 1-2)
     "regrid_bilinear",
     "fingerprints",

@@ -873,6 +873,76 @@ FROM px
 """
 
 
+def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-CRS reprojection closed-form (r2 verdict item 8): every
+    distinct grid pixel projected to UTM zone 31N (Krüger series) and to
+    north polar stereographic EPSG:3413-style (Snyder) — pure JVM
+    column math (sinh/cosh/atanh built-ins, no UDF, whole-stage
+    codegen), reproducible term-for-term in the DuckDB oracle with the
+    series constants inlined as literals. Reference delegates all of
+    this to pyproj (geoprocessing/zonal.py:30-38)."""
+    from georiva_spark.functions.geo import polar_stereo_cols, utm_cols
+    g = events_grid(spark, sf_dir).select("y", "x", "lat", "lon").distinct()
+    e_c, n_c = utm_cols(F.col("lat"), F.col("lon"), 31)
+    px_c, py_c = polar_stereo_cols(F.col("lat"), F.col("lon"))
+    return g.select(
+        "y", "x", "lat", "lon",
+        F.round(e_c, 4).alias("easting"),
+        F.round(n_c, 4).alias("northing"),
+        F.round(px_c, 4).alias("ps_x"),
+        F.round(py_c, 4).alias("ps_y"))
+
+
+def _sql_utm_project() -> str:
+    """Build the oracle with the SAME precomputed series constants the
+    Spark expression uses, inlined as decimal literals."""
+    import math as _m
+
+    from georiva_spark.functions import geo as _g
+    K = _g.UTM_K0 * _g.KRUGER_A
+    a1, a2, a3 = _g.KRUGER_ALPHA
+    E = _g._E
+    ts = _m.radians(70.0)
+    S = _g.WGS84_A * float(_g._ps_m(ts)) / float(_g._ps_t(ts))
+    return GRID_CTE + f"""
+, px AS (SELECT DISTINCT y, x, lat, lon FROM grid),
+h AS (SELECT y, x, lat, lon,
+  radians(lon - 3.0) AS lam, sin(radians(lat)) AS sphi,
+  radians(lon + 45.0) AS pslam, radians(lat) AS phi
+  FROM px),
+t1 AS (SELECT *,
+  0.5*ln((1+sphi)/(1-sphi)) - {E!r}*0.5*ln((1+{E!r}*sphi)/(1-{E!r}*sphi))
+    AS q FROM h),
+t2 AS (SELECT *, (exp(q)-exp(-q))/2 AS t FROM t1),
+t3 AS (SELECT *,
+  atan2(t, cos(lam)) AS xip,
+  ln(sin(lam)/sqrt(t*t + cos(lam)*cos(lam))
+     + sqrt(sin(lam)*sin(lam)/(t*t + cos(lam)*cos(lam)) + 1)) AS etap
+  FROM t2),
+t4 AS (SELECT *,
+  xip + {a1!r}*sin(2*xip)*(exp(2*etap)+exp(-2*etap))/2
+      + {a2!r}*sin(4*xip)*(exp(4*etap)+exp(-4*etap))/2
+      + {a3!r}*sin(6*xip)*(exp(6*etap)+exp(-6*etap))/2 AS xi,
+  etap + {a1!r}*cos(2*xip)*(exp(2*etap)-exp(-2*etap))/2
+       + {a2!r}*cos(4*xip)*(exp(4*etap)-exp(-4*etap))/2
+       + {a3!r}*cos(6*xip)*(exp(6*etap)-exp(-6*etap))/2 AS eta
+  FROM t3),
+ps AS (SELECT *,
+  {S!r} * tan(pi()/4 - phi/2)
+        * pow((1+{E!r}*sphi)/(1-{E!r}*sphi), {E / 2!r}) AS rho
+  FROM t4)
+SELECT y, x, lat, lon,
+  ROUND(500000.0 + {K!r}*eta, 4) AS easting,
+  ROUND({K!r}*xi, 4) AS northing,
+  ROUND(rho*sin(pslam), 4) AS ps_x,
+  ROUND(-rho*cos(pslam), 4) AS ps_y
+FROM ps
+"""
+
+
+SQL_UTM_PROJECT = _sql_utm_project()
+
+
 def q_ingest_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 end-to-end: embeddings table → float32 GeoTIFF (deflate,
     predictor 3 — exactly the envelope the reference's COG writer emits,
@@ -1741,6 +1811,7 @@ EXT_QUERIES = {
     "ingest_grib2": q_ingest_grib2,
     "ingest_grib2_png": q_ingest_grib2_png,
     "webmercator_tiles": q_webmercator_tiles,
+    "utm_project": q_utm_project,
     "regrid_bilinear": q_regrid_bilinear,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
@@ -1798,6 +1869,7 @@ EXT_ORACLES = {
     "ingest_grib2": SQL_INGEST_GRIB2,
     "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
+    "utm_project": SQL_UTM_PROJECT,
     "regrid_bilinear": SQL_REGRID_BILINEAR,
     "fingerprints": SQL_FINGERPRINTS,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -131,3 +131,94 @@ def test_vector_dot_cosine(spark):
                     cosine_similarity(F.col("a"), F.col("a")).alias("self")).collect()
     assert out[0].d == 32.0
     np.testing.assert_allclose(out[0].self, 1.0, rtol=1e-12)
+
+
+def test_utm_roundtrip_and_meridian_arc():
+    """Krüger-series UTM: inverse(forward) at nano-degree level, and the
+    ABSOLUTE check — central-meridian northing equals k0 times the
+    numerically integrated meridian arc (no circular series reuse)."""
+    from georiva_spark.functions import geo
+    lats = np.array([-75.0, -40.0, -1.0, 0.5, 23.7, 52.1, 71.3])
+    lons = np.array([0.2, 1.5, 2.9, 3.0, 4.4, 5.8, 0.1])
+    E, N = geo.utm_forward_np(lats, lons, 31)
+    la2, lo2 = geo.utm_inverse_np(E, N, 31)
+    np.testing.assert_allclose(la2, lats, atol=1e-8)
+    np.testing.assert_allclose(lo2, lons, atol=1e-8)
+    a, e2 = geo.WGS84_A, geo._E2
+    for lat in (10.0, 45.0, 80.0):
+        phis = np.linspace(0, np.radians(lat), 400_001)
+        arc = np.trapz(a * (1 - e2)
+                       / np.power(1 - e2 * np.sin(phis) ** 2, 1.5), phis)
+        E0, N0 = geo.utm_forward_np(np.array([lat]), np.array([3.0]), 31)
+        assert abs(E0[0] - 500_000.0) < 1e-6      # on the central meridian
+        assert abs(N0[0] - 0.9996 * arc) < 0.01   # cm-level vs integral
+    # southern-hemisphere false northing
+    _, Ns = geo.utm_forward_np(np.array([-10.0]), np.array([3.0]), 31,
+                               south=True)
+    assert 8_000_000 < Ns[0] < 10_000_000
+
+
+def test_polar_stereo_roundtrip_scale_and_sphere_limit():
+    from georiva_spark.functions import geo
+    la = np.array([60.0, 70.0, 85.0, 89.9])
+    lo = np.array([-45.0, 10.0, 123.0, -170.0])
+    x, y = geo.polar_stereo_np(la, lo)
+    la2, lo2 = geo.polar_stereo_inverse_np(x, y)
+    np.testing.assert_allclose(la2, la, atol=1e-9)
+    dl = (lo2 - lo + 180) % 360 - 180
+    np.testing.assert_allclose(dl, 0, atol=1e-9)
+    # true scale at lat_ts: mapped meridian length == ellipsoid arc
+    h = 1e-6
+    x1, y1 = geo.polar_stereo_np(np.array([70 - h]), np.array([-45.0]))
+    x2, y2 = geo.polar_stereo_np(np.array([70 + h]), np.array([-45.0]))
+    phi = np.radians(70.0)
+    mcurv = geo.WGS84_A * (1 - geo._E2) \
+        / np.power(1 - geo._E2 * np.sin(phi) ** 2, 1.5)
+    scale = np.hypot(x2 - x1, y2 - y1)[0] / (mcurv * np.radians(2 * h))
+    assert abs(scale - 1.0) < 1e-6
+    # south aspect round-trips too (EPSG:3976 family)
+    xs, ys = geo.polar_stereo_np(np.array([-70.0]), np.array([30.0]),
+                                 lat_ts=-70.0, lon0=0.0, south=True)
+    las, los = geo.polar_stereo_inverse_np(xs, ys, lat_ts=-70.0,
+                                           lon0=0.0, south=True)
+    assert abs(las[0] + 70.0) < 1e-9 and abs(los[0] - 30.0) < 1e-9
+
+
+def test_utm_ps_columns_match_numpy(spark):
+    from georiva_spark.functions import geo
+    pts = [(52.1, 4.4), (-1.0, 0.2), (71.3, 5.8), (60.0, 2.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    e_c, n_c = geo.utm_cols(F.col("lat"), F.col("lon"), 31)
+    px_c, py_c = geo.polar_stereo_cols(F.col("lat"), F.col("lon"))
+    rows = df.select("lat", "lon", e_c, n_c, px_c, py_c).collect()
+    for r in rows:
+        E, N = geo.utm_forward_np(np.array([r.lat]), np.array([r.lon]), 31)
+        X, Y = geo.polar_stereo_np(np.array([r.lat]), np.array([r.lon]))
+        assert abs(r.easting - E[0]) < 1e-6
+        assert abs(r.northing - N[0]) < 1e-6
+        assert abs(r.ps_x - X[0]) < 1e-6 and abs(r.ps_y - Y[0]) < 1e-6
+
+
+def test_reproject_geometry_utm_and_ps():
+    import json
+    from georiva_spark.functions import geo
+    poly = json.dumps({"type": "Polygon", "coordinates":
+                       [[[3.0, 50.0], [4.0, 50.0], [4.0, 51.0],
+                         [3.0, 50.0]]]})
+    out = json.loads(reproject_geometry(poly, "EPSG:32631"))
+    E, N = geo.utm_forward_np(np.array([50.0]), np.array([3.0]), 31)
+    assert abs(out["coordinates"][0][0][0] - E[0]) < 1e-6
+    assert abs(out["coordinates"][0][0][1] - N[0]) < 1e-6
+    back = json.loads(reproject_geometry(json.dumps(out), "EPSG:4326",
+                                         src_crs="EPSG:32631"))
+    assert abs(back["coordinates"][0][0][0] - 3.0) < 1e-8
+    assert abs(back["coordinates"][0][0][1] - 50.0) < 1e-8
+    arctic = json.dumps({"type": "Polygon", "coordinates":
+                         [[[-45.0, 70.0], [-40.0, 72.0], [-45.0, 75.0],
+                           [-45.0, 70.0]]]})
+    ps = json.loads(reproject_geometry(arctic, "EPSG:3413"))
+    assert abs(ps["coordinates"][0][0][0]) < 1e-6   # on lon0 → x = 0
+    rt = json.loads(reproject_geometry(json.dumps(ps), "EPSG:4326",
+                                       src_crs="EPSG:3413"))
+    assert abs(rt["coordinates"][0][1][0] + 40.0) < 1e-8
+    assert abs(rt["coordinates"][0][1][1] - 72.0) < 1e-8
