@@ -2,7 +2,8 @@
 
 Implements exactly the envelope the reference engine produces and
 consumes: baseline TIFF (classic, little/big-endian), strip or tile
-layout, uncompressed or deflate with predictor 1/2/3, sample formats
+layout, uncompressed / deflate / LZW (early-change, the libtiff
+convention) / PackBits with predictor 1/2/3, sample formats
 uint/int/float, GeoTIFF ModelPixelScale/ModelTiepoint georeferencing,
 and the GDAL_NODATA ascii tag. The reference writes COGs as
 deflate + predictor-by-dtype (3 for floats, 2 for ints) via rasterio
@@ -28,7 +29,7 @@ import numpy as np
 IMAGE_WIDTH = 256
 IMAGE_LENGTH = 257
 BITS_PER_SAMPLE = 258
-COMPRESSION = 259          # 1=none, 8/32946=deflate
+COMPRESSION = 259          # 1=none, 5=LZW, 8/32946=deflate, 32773=PackBits
 PHOTOMETRIC = 262
 STRIP_OFFSETS = 273
 SAMPLES_PER_PIXEL = 277
@@ -48,6 +49,138 @@ GDAL_NODATA = 42113        # ascii
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                11: 4, 12: 8}
 _TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (compression 5): MSB-first variable-width codes,
+    ClearCode 256 / EOI 257, EARLY code-width change (width grows once
+    table entry 510/1022/2046 exists — the libtiff convention, one code
+    earlier than GIF). Strips/tiles are bounded, so the per-code Python
+    loop stays off any per-pixel hot path."""
+    out = bytearray()
+    table: list[bytes] | None = None
+    bitpos, width = 0, 9
+    prev = b""
+    nbits = len(data) * 8
+    while True:
+        if bitpos + width > nbits:
+            break
+        end = (bitpos + width + 7) // 8
+        v = int.from_bytes(data[bitpos // 8:end], "big")
+        code = (v >> (end * 8 - (bitpos + width))) & ((1 << width) - 1)
+        bitpos += width
+        if code == 257:                          # EOI
+            break
+        if code == 256:                          # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            if bitpos + width > nbits:
+                break
+            end = (bitpos + width + 7) // 8
+            v = int.from_bytes(data[bitpos // 8:end], "big")
+            code = (v >> (end * 8 - (bitpos + width))) & ((1 << width) - 1)
+            bitpos += width
+            if code == 257:
+                break
+            prev = table[code]
+            out += prev
+            continue
+        if table is None:
+            raise ValueError("LZW stream must start with ClearCode")
+        if code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:                                    # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1                           # early change
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder (round-trip tests + writer option) — emits the
+    early-change widths lzw_decode expects."""
+    bits = bytearray()
+    acc = nacc = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            bits.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = wc[-1:]
+        if next_code == 4094:                    # table full → reset
+            emit(table[w])
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            w = b""
+    if w:
+        emit(table[w])
+    emit(257)
+    if nacc:
+        bits.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(bits)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits (compression 32773): n∈[0,127] copy n+1 literals;
+    n∈[-127,-1] repeat next byte 1-n times; -128 no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i:i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (i < len(data) and i - lit < 128
+               and not (i + 1 < len(data) and data[i + 1] == data[i]
+                        and i + 2 < len(data) and data[i + 2] == data[i])):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
 
 
 def _read_ifd(buf: bytes, off: int, bo: str) -> dict:
@@ -156,6 +289,10 @@ def decode_tiff(content: bytes):
             raw = content[offs[idx]:offs[idx] + cnts[idx]]
             if comp in (8, 32946):
                 raw = zlib.decompress(raw)
+            elif comp == 5:
+                raw = lzw_decode(raw)
+            elif comp == 32773:
+                raw = packbits_decode(raw)
             elif comp != 1:
                 raise NotImplementedError(f"TIFF compression {comp}")
             if tiled:
@@ -256,7 +393,8 @@ def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
         raise ValueError("float predictor supported for single band only")
     sfmt = {"u": 1, "i": 2, "f": 3}[a.dtype.kind]
     bsz = a.dtype.itemsize
-    comp = 8 if compression == "deflate" else 1
+    comp = {"deflate": 8, "lzw": 5, "packbits": 32773, "none": 1}[
+        compression]
     le = a.astype(a.dtype.newbyteorder("<"))
 
     def enc_rows(block: np.ndarray) -> bytes:
@@ -268,7 +406,13 @@ def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
             raw = _apply_predictor2(flat.copy(), spp).tobytes()
         else:
             raw = flat.tobytes()
-        return zlib.compress(raw, 6) if comp == 8 else raw
+        if comp == 8:
+            return zlib.compress(raw, 6)
+        if comp == 5:
+            return lzw_encode(raw)
+        if comp == 32773:
+            return packbits_encode(raw)
+        return raw
 
     segs: list[bytes] = []
     if tile is not None:

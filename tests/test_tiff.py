@@ -43,6 +43,52 @@ def test_codec_roundtrip_tiles_and_uncompressed():
     assert np.array_equal(decode_tiff(raw)[0][0], f)
 
 
+def test_lzw_stream_codec():
+    """TIFF LZW at the byte level: round trips crossing every width
+    transition (9→10→11→12) and the 4094-entry table reset; early-change
+    decode (width grows once entry 510/1022/2046 exists)."""
+    from georiva_spark.sources.tiff_codec import lzw_decode, lzw_encode
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 300, 3000, 20000, 80000):
+        d = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(d)) == d
+    runs = b"A" * 500 + b"B" * 500 + bytes(range(256)) * 40
+    assert lzw_decode(lzw_encode(runs)) == runs
+    assert len(lzw_encode(runs)) < len(runs)        # actually compresses
+
+
+def test_packbits_stream_codec():
+    from georiva_spark.sources.tiff_codec import (
+        packbits_decode, packbits_encode,
+    )
+    rng = np.random.default_rng(8)
+    cases = [b"", b"x", b"\x00" * 300, bytes(rng.integers(0, 256, 999)
+                                             .astype(np.uint8)),
+             b"ab" + b"c" * 130 + b"de"]
+    for d in cases:
+        assert packbits_decode(packbits_encode(d)) == d
+    # spec example: literal/run mix decodes correctly
+    assert packbits_decode(bytes([254, 0xAA, 2, 0x80, 0x00, 0x2A])) == \
+        bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A])
+
+
+@pytest.mark.parametrize("compression", ["lzw", "packbits"])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_codec_roundtrip_lzw_packbits(compression, pred):
+    rng = np.random.default_rng(11)
+    a = rng.integers(-500, 500, size=(41, 37)).astype(np.int16)
+    buf = encode_geotiff(a, pixel_scale=(0.1, 0.1), tiepoint_xy=(-1.0, 4.1),
+                         compression=compression, predictor=pred,
+                         rows_per_strip=9)
+    bands, _, geo, _ = decode_tiff(buf)
+    assert np.array_equal(bands[0], a)
+    f = rng.normal(size=(30, 30)).astype(np.float32)
+    buf2 = encode_geotiff(f, pixel_scale=(1, 1), tiepoint_xy=(0, 30),
+                          compression=compression,
+                          predictor=3 if compression == "lzw" else 1)
+    assert np.array_equal(decode_tiff(buf2)[0][0], f)
+
+
 def test_codec_multiband_chunky(spark, tmp_path):
     """3-band chunky int16 with horizontal predictor (per-channel
     differencing) round-trips, and the plugin exposes band_1..band_3."""
