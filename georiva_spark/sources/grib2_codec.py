@@ -87,18 +87,27 @@ def _sm_val(buf: bytes, off: int, n: int) -> int:
     return _s(buf, off, n)
 
 
-def _unpack_complex(s5: bytes, s7: bytes, npoints: int) -> np.ndarray:
-    """Templates 5.2/5.3 → X (int64, npoints). Layout per WMO 7.2/7.3:
-    [5.3 only: order+1 extra descriptors of ND octets, sign-magnitude]
-    then NG group refs (nbits each), NG group widths, NG scaled group
-    lengths — each run zero-padded to an octet boundary — then the data
-    values as one CONTIGUOUS variable-width bit stream (group g's
-    length_g values at width_g bits)."""
+def _unpack_complex(s5: bytes, s7: bytes,
+                    npoints: int) -> tuple[np.ndarray, np.ndarray | None]:
+    """Templates 5.2/5.3 → (X int64, missing mask or None). Layout per
+    WMO 7.2/7.3: [5.3 only: order+1 extra descriptors of ND octets,
+    sign-magnitude] then NG group refs (nbits each), NG group widths,
+    NG scaled group lengths — each run zero-padded to an octet boundary
+    — then the data values as one CONTIGUOUS variable-width bit stream
+    (group g's length_g values at width_g bits).
+
+    Missing-value management (octet 23 = 1 or 2, the NCEP default for
+    precip): a raw value of all-ones at the group width marks a primary
+    missing point (all-ones − 1 = secondary under mode 2); a width-0
+    group whose REFERENCE is all-ones at the reference width is missing
+    wholesale. Spatial differencing applies to the NON-missing sequence
+    only (g2clib comunpack semantics)."""
     tmpl = _u(s5, 9, 2)
     nbits = s5[19]
-    if s5[22] != 0:
+    mgmt = s5[22]
+    if mgmt not in (0, 1, 2):
         raise NotImplementedError(
-            f"complex-packing missing-value management {s5[22]}")
+            f"complex-packing missing-value management {mgmt}")
     ng = _u(s5, 31, 4)
     ref_width, wbits = s5[35], s5[36]
     ref_len, len_inc = _u(s5, 37, 4), s5[41]
@@ -138,8 +147,10 @@ def _unpack_complex(s5: bytes, s7: bytes, npoints: int) -> np.ndarray:
     np.cumsum((lens * widths)[:-1], out=starts[1:])
     x = np.repeat(refs, lens)
     vals = np.zeros(npoints, dtype=np.int64)
+    raws = np.zeros(npoints, dtype=np.int64)
     doc_start = np.zeros(ng, dtype=np.int64)
     np.cumsum(lens[:-1], out=doc_start[1:])
+    point_width = np.repeat(widths, lens)
     for w in np.unique(widths):
         if w == 0:
             continue
@@ -152,21 +163,64 @@ def _unpack_complex(s5: bytes, s7: bytes, npoints: int) -> np.ndarray:
         weights = (1 << np.arange(w - 1, -1, -1)).astype(np.int64)
         out_idx = np.repeat(doc_start[sel], nv) + within
         vals[out_idx] = bits[idx].astype(np.int64) @ weights
+        raws[out_idx] = vals[out_idx]
     x = x + vals
+
+    miss = None
+    if mgmt and npoints > 0:
+        miss = np.zeros(npoints, dtype=np.int8)
+        # width>0 groups: raw all-ones = primary, all-ones−1 = secondary
+        wpos = point_width > 0
+        all1 = (1 << point_width[wpos]) - 1
+        sub = np.zeros(int(wpos.sum()), dtype=np.int8)
+        sub[raws[wpos] == all1] = 1
+        if mgmt == 2:
+            sub[raws[wpos] == all1 - 1] = 2
+        miss[wpos] = sub
+        # width-0 groups: reference all-ones at the ref width = missing
+        if nbits > 0:
+            ref1 = (1 << nbits) - 1
+            grp_missing = (widths == 0) & (refs == ref1)
+            grp_sec = np.zeros(ng, dtype=bool)
+            if mgmt == 2:
+                grp_sec = (widths == 0) & (refs == ref1 - 1)
+            miss = np.where(np.repeat(grp_missing, lens), 1, miss)
+            miss = np.where(np.repeat(grp_sec, lens), 2, miss)
+        miss = miss.astype(np.int8)
+        if not miss.any():
+            miss = None
 
     if tmpl == 3 and npoints > 0:
         gmin = extra[-1]
-        x[order:] += gmin
-        k = min(order, npoints)
-        x[:k] = extra[:k]
-        if order == 1:
-            np.cumsum(x, out=x)
-        elif npoints > 2:
-            # second difference = two nested prefix sums: rebuild first
-            # differences e[i]=f[i]-f[i-1], then values
-            e = np.cumsum(np.concatenate(([x[1] - x[0]], x[2:])))
-            x = np.concatenate(([x[0]], x[0] + np.cumsum(e)))
-    return x
+        if miss is None:
+            x[order:] += gmin
+            k = min(order, npoints)
+            x[:k] = extra[:k]
+            if order == 1:
+                np.cumsum(x, out=x)
+            elif npoints > 2:
+                # second difference = two nested prefix sums: rebuild
+                # first differences e[i]=f[i]-f[i-1], then values
+                e = np.cumsum(np.concatenate(([x[1] - x[0]], x[2:])))
+                x = np.concatenate(([x[0]], x[0] + np.cumsum(e)))
+        else:
+            # undifference the NON-missing sequence only (g2clib)
+            nm = np.flatnonzero(miss == 0)
+            seq = x[nm].copy()
+            n = seq.size
+            if n:
+                seq[order:] += gmin
+                k = min(order, n)
+                seq[:k] = extra[:k]
+                if order == 1:
+                    np.cumsum(seq, out=seq)
+                elif n > 2:
+                    e = np.cumsum(np.concatenate(([seq[1] - seq[0]],
+                                                  seq[2:])))
+                    seq = np.concatenate(([seq[0]],
+                                          seq[0] + np.cumsum(e)))
+                x[nm] = seq
+    return x, miss
 
 
 def decode_grib2(content: bytes) -> list[dict]:
@@ -246,6 +300,7 @@ def _decode_message(m: bytes, discipline: int) -> dict:
         raise NotImplementedError(f"bitmap indicator {s6[5]}")
 
     s7 = sections[7]
+    miss = None
     if tmpl == 0:
         x = _unpack_bits(s7[5:], nbits, npoints)
     elif tmpl == 41:
@@ -258,9 +313,11 @@ def _decode_message(m: bytes, discipline: int) -> dict:
                 raise ValueError(
                     f"PNG image {pw}x{ph} != {npoints} packed points")
     else:
-        x = _unpack_complex(s5, s7, npoints)
+        x, miss = _unpack_complex(s5, s7, npoints)
     packed = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
         * 10.0 ** (-d_scale)
+    if miss is not None:
+        packed = np.where(miss > 0, np.nan, packed)
     if bitmap is None:
         values = packed.reshape(nj, ni)
     else:
@@ -298,13 +355,18 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                          la1: float, lo1: float, di: float, dj: float,
                          e_scale: int = -24, south_up: bool = False,
                          packing: int = 0, spatial_order: int = 2,
-                         group_size: int = 20) -> bytes:
+                         group_size: int = 20,
+                         missing_management: bool = False) -> bytes:
     """One GRIB2 message: lat/lon grid (3.0), product 4.0, packing 5.0
-    (simple, default), 5.2 (complex, fixed `group_size` groups) or 5.3
-    (complex + spatial differencing of `spatial_order`); always
-    X = floor((v-R)·2^-E), D=0. NaNs become bitmap missing points.
-    (la1, lo1) is the FIRST grid point (row 0); row order is
-    north→south unless south_up sets the +j scanning flag."""
+    (simple, default), 5.2 (complex, fixed `group_size` groups), 5.3
+    (complex + spatial differencing of `spatial_order`) or 5.41 (PNG);
+    always X = floor((v-R)·2^-E), D=0. NaNs become bitmap missing
+    points — or, with ``missing_management`` (complex packing only),
+    in-field primary missing values per octet 23 = 1 (the NCEP
+    convention: all-ones raw value at the group width / all-ones
+    width-0 group reference). (la1, lo1) is the FIRST grid point
+    (row 0); row order is north→south unless south_up sets the +j
+    scanning flag."""
     a = np.asarray(values, dtype=np.float64)
     nj, ni = a.shape
     mask = np.isfinite(a.ravel())
@@ -346,6 +408,18 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
           + forecast_hours.to_bytes(4, "big")
           + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
           + bytes([255, 0]) + (0).to_bytes(4, "big"))
+    if missing_management:
+        if packing not in (2, 3):
+            raise ValueError("missing management needs complex packing")
+        s5, s7 = _encode_complex_missing(
+            a.ravel(), packing, spatial_order, group_size, float(r),
+            e_scale)
+        body = (_sec(1, s1) + _sec(3, s3) + _sec(4, s4) + _sec(5, s5)
+                + _sec(6, bytes([255])) + _sec(7, s7))
+        total = 16 + len(body) + 4
+        head = (b"GRIB" + bytes([0, 0, disc if disc != 255 else 0, 2])
+                + total.to_bytes(8, "big"))
+        return head + body + b"7777"
     npk = ni * nj if mask.all() else int(mask.sum())
     if packing == 0:
         s5 = (npk.to_bytes(4, "big")
@@ -440,6 +514,91 @@ def _encode_complex(x: np.ndarray, packing: int, order: int,
           + bytes([nbits, 0])
           + bytes([1, 0])                       # general split, no missing
           + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+          + ng.to_bytes(4, "big")
+          + bytes([0, wbits])                   # ref width 0
+          + group_size.to_bytes(4, "big") + bytes([1])
+          + last_len.to_bytes(4, "big") + bytes([0]))   # 0-bit scaled lens
+    if packing == 3:
+        s5 += bytes([order, 4])
+
+    s7 = bytearray(extra)
+    s7 += _pack_bits(refs, nbits) if nbits else b""
+    s7 += _pack_bits(widths, wbits) if wbits else b""
+    if chunks:
+        s7 += np.packbits(np.concatenate(chunks)).tobytes()
+    return s5, bytes(s7)
+
+
+def _encode_complex_missing(a: np.ndarray, packing: int, order: int,
+                            group_size: int, r: float,
+                            e_scale: int) -> tuple[bytes, bytes]:
+    """Complex packing with PRIMARY missing-value management (octet
+    23 = 1): NaNs ride in-field as all-ones raw values (group width) or
+    all-ones width-0 group references; group widths reserve the marker.
+    Spatial differencing runs over the non-missing sequence only."""
+    n = a.size
+    finite = np.isfinite(a)
+    x = np.zeros(n, dtype=np.int64)
+    x[finite] = np.floor((a[finite] - r) * 2.0 ** (-e_scale)) \
+        .astype(np.int64)
+    h = x.copy()
+    extra = b""
+    if packing == 3:
+        if order not in (1, 2):
+            raise NotImplementedError(f"spatial differencing order {order}")
+        nm = np.flatnonzero(finite)
+        seq = x[nm].astype(np.int64)
+        d = seq.copy()
+        if order == 1 and seq.size > 1:
+            d[1:] = seq[1:] - seq[:-1]
+        elif order == 2 and seq.size > 2:
+            d[2:] = seq[2:] - 2 * seq[1:-1] + seq[:-2]
+        gmin = int(d[order:].min()) if seq.size > order else 0
+        originals = ([int(v) for v in seq[:order]] + [0] * order)[:order]
+        d[order:] -= gmin
+        d[:min(order, seq.size)] = 0
+        h[nm] = d
+        nd = 4
+        extra = b"".join(_sm(v, nd) for v in originals) + _sm(gmin, nd)
+
+    ng = (n + group_size - 1) // group_size if n else 0
+    refs = np.zeros(ng, dtype=np.int64)
+    widths = np.zeros(ng, dtype=np.int64)
+    all_missing = np.zeros(ng, dtype=bool)
+    chunks: list[np.ndarray] = []
+    for g in range(ng):
+        lo, hi = g * group_size, (g + 1) * group_size
+        seg, fin = h[lo:hi], finite[lo:hi]
+        if not fin.any():
+            all_missing[g] = True       # ref patched to the marker below
+            continue
+        vals = seg[fin]
+        ref = int(vals.min())
+        span = int(vals.max() - ref)
+        if fin.all() and span == 0:
+            refs[g] = ref
+            continue                     # constant group, width 0
+        # reserve all-ones for the missing marker when the group has any
+        w = ((span + 1).bit_length() if not fin.all()
+             else span.bit_length())
+        w = max(w, 1)
+        refs[g], widths[g] = ref, w
+        raw = np.where(fin, seg - ref, (1 << w) - 1).astype(np.int64)
+        chunks.append(((raw[:, None]
+                        >> np.arange(w - 1, -1, -1)) & 1)
+                      .astype(np.uint8).ravel())
+    max_ref = int(refs[~all_missing].max()) if (~all_missing).any() else 0
+    nbits = max(1, (max_ref + 1).bit_length())   # marker > every real ref
+    refs[all_missing] = (1 << nbits) - 1
+    wbits = int(widths.max()).bit_length() if ng else 0
+    last_len = n - (ng - 1) * group_size if ng else 0
+
+    s5 = (n.to_bytes(4, "big") + packing.to_bytes(2, "big")
+          + struct.pack(">f", r) + _sm(e_scale, 2) + _sm(0, 2)
+          + bytes([nbits, 0])
+          + bytes([1, 1])                       # general split, PRIMARY mgmt
+          + struct.pack(">f", 9999.0)           # primary substitute
+          + (0).to_bytes(4, "big")              # secondary (unused)
           + ng.to_bytes(4, "big")
           + bytes([0, wbits])                   # ref width 0
           + group_size.to_bytes(4, "big") + bytes([1])

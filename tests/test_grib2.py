@@ -114,6 +114,55 @@ def test_complex_packing_constant_and_tiny_fields():
             np.testing.assert_array_equal(m["values"], simple["values"])
 
 
+@pytest.mark.parametrize("packing,order", [(2, 0), (3, 1), (3, 2)])
+def test_complex_packing_missing_management(packing, order):
+    """Octet 23 = 1 (primary missing, the NCEP precip convention): NaNs
+    ride in-field (no bitmap) — all-ones raw values at group width,
+    all-ones width-0 refs for wholly-missing groups; the spatially
+    differenced sequence skips missing points. Values must match the
+    bitmap-based encode of the same field exactly."""
+    rng = np.random.default_rng(23 + packing + order)
+    a = np.cumsum(rng.normal(size=(23, 31)), axis=1)
+    a[5, 7] = np.nan                      # isolated missing
+    a[10, :] = np.nan                     # full row → all-missing groups
+    a[0, 0] = np.nan                      # missing at the sequence head
+    kw = dict(shortname="t", ref_time=T0, forecast_hours=6,
+              la1=10.0, lo1=-5.0, di=0.5, dj=0.5)
+    via_bitmap = decode_grib2(encode_grib2_message(
+        a, packing=packing, spatial_order=order, group_size=17, **kw))[0]
+    m = decode_grib2(encode_grib2_message(
+        a, packing=packing, spatial_order=order, group_size=17,
+        missing_management=True, **kw))[0]
+    assert np.isnan(m["values"][5, 7])
+    assert np.isnan(m["values"][10, :]).all()
+    assert np.isnan(m["values"][0, 0])
+    np.testing.assert_array_equal(m["values"], via_bitmap["values"])
+    # the in-field message really has no bitmap section flag set
+    buf = encode_grib2_message(a, packing=packing, spatial_order=order,
+                               missing_management=True, **kw)
+    pos = 16
+    while True:
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        if buf[pos + 4] == 6:
+            assert buf[pos + 5] == 255    # bitmap indicator: none
+            break
+        pos += ln
+
+
+def test_missing_management_all_nan_and_none_nan():
+    kw = dict(shortname="t", ref_time=T0, la1=1.5, lo1=0.5, di=1, dj=1)
+    allnan = np.full((3, 4), np.nan)
+    m = decode_grib2(encode_grib2_message(
+        allnan, packing=2, missing_management=True, **kw))[0]
+    assert np.isnan(m["values"]).all()
+    clean = np.arange(12, dtype=float).reshape(3, 4)
+    m2 = decode_grib2(encode_grib2_message(
+        clean, packing=3, spatial_order=2, missing_management=True,
+        **kw))[0]
+    simple = decode_grib2(encode_grib2_message(clean, **kw))[0]
+    np.testing.assert_array_equal(m2["values"], simple["values"])
+
+
 @pytest.mark.parametrize("e_scale", [-16, -8, 0])
 def test_png_packing_roundtrip(e_scale):
     """5.41 decode matches the 5.0 decode of the same field exactly —
