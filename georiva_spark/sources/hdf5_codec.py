@@ -6,16 +6,19 @@ files with default settings is bounded and documented, so this module
 implements it natively, the same spirit as the GRIB2/TIFF/PNG codecs:
 
 reader (`decode_hdf5` / `decode_netcdf4`):
-- superblock v0 (libhdf5 default) and v2/v3
-- version-1 object headers incl. continuation blocks
-- symbol-table groups (v1 B-tree + local heap)
+- superblock v0 (libhdf5 default) and v2/v3 (libver='latest')
+- version-1 object headers incl. continuation blocks AND version-2
+  ('OHDR', 'OCHK' continuations; checksums skipped like fletcher32)
+- symbol-table groups (v1 B-tree + local heap) AND new-style groups
+  with compact link messages (dense/fractal-heap storage gates)
 - dataspace v1/v2; datatypes: fixed-point, IEEE float (LE), string,
   object reference, vlen
 - layout v3 contiguous and chunked (v1 B-tree chunk index, any depth)
-- filters: deflate (1), shuffle (2), fletcher32 (3, checksum stripped)
-- attributes (v1), including the netCDF-4 ``DIMENSION_LIST`` vlen of
-  object references resolved through global heap collections — this is
-  how variables are bound to their dimension-scale datasets
+- filter pipeline v1/v2: deflate (1), shuffle (2), fletcher32 (3,
+  checksum stripped)
+- attributes (v1 and v3), including the netCDF-4 ``DIMENSION_LIST``
+  vlen of object references resolved through global heap collections —
+  this is how variables are bound to their dimension-scale datasets
 - CF semantics reuse the classic codec (cf_decode_values/_times)
 
 writer (`encode_hdf5` / `encode_grid_netcdf4`):
@@ -85,11 +88,60 @@ def _superblock(buf: bytes):
     raise NotImplementedError(f"superblock version {ver}")
 
 
+def _messages_v2(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """Parse a version-2 ('OHDR') object header (+ 'OCHK' continuation
+    blocks) → [(type, body)]. Trailing 4-byte checksums are skipped,
+    not verified (same policy as the fletcher32 filter)."""
+    if buf[addr:addr + 4] != b"OHDR" or buf[addr + 4] != 2:
+        raise ValueError(f"bad v2 object header @{addr}")
+    flags = buf[addr + 5]
+    pos = addr + 6
+    if flags & 0x20:
+        pos += 16                        # access/mod/change/birth times
+    if flags & 0x10:
+        pos += 4                         # max compact / min dense
+    size_bytes = 1 << (flags & 0x03)
+    chunk0 = _u(buf, pos, size_bytes)
+    pos += size_bytes
+    tracked = bool(flags & 0x04)
+
+    out: list[tuple[int, bytes]] = []
+    conts: list[tuple[int, int]] = [(pos, chunk0)]
+    ci = 0
+    while ci < len(conts):
+        p, length = conts[ci]
+        end = p + length
+        while p + 4 <= end:
+            mtype = buf[p]
+            msize = _u(buf, p + 1, 2)
+            p += 4 + (2 if tracked else 0)
+            if p + msize > end:
+                break                    # trailing gap/checksum, not a msg
+            body = buf[p:p + msize]
+            p += msize
+            if mtype == MSG_CONT:
+                caddr, clen = _u(body, 0, 8), _u(body, 8, 8)
+                if buf[caddr:caddr + 4] != b"OCHK":
+                    raise ValueError("bad OCHK continuation")
+                # signature(4) ... payload ... checksum(4)
+                conts.append((caddr + 4, clen - 8))
+            elif mtype != 0:
+                out.append((mtype, body))
+        ci += 1
+    return out
+
+
+def _messages_any(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    if buf[addr:addr + 4] == b"OHDR":
+        return _messages_v2(buf, addr)
+    return _messages_v1(buf, addr)
+
+
 def _messages_v1(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
     """Parse a version-1 object header (+ continuations) → [(type, body)]."""
     if buf[addr] != 1:
         if buf[addr:addr + 4] == b"OHDR":
-            raise NotImplementedError("version-2 object headers")
+            return _messages_v2(buf, addr)
         raise ValueError(f"bad object header version {buf[addr]} @{addr}")
     nmsg = _u(buf, addr + 2, 2)
     blocks = [(addr + 16, _u(buf, addr + 8, 4))]
@@ -207,19 +259,46 @@ def _attr_value(buf: bytes, dt: dict, ds_dims: list[int], raw: bytes):
 
 def _parse_attr(buf: bytes, body: bytes):
     ver = body[0]
-    if ver != 1:
+    if ver not in (1, 3):
         raise NotImplementedError(f"attribute message version {ver}")
     name_sz = _u(body, 2, 2)
     dt_sz = _u(body, 4, 2)
     ds_sz = _u(body, 6, 2)
-    pos = 8
+    pos = 8 + (1 if ver == 3 else 0)     # v3 adds a name-charset byte
     name = body[pos:pos + name_sz].split(b"\0")[0].decode("utf-8")
-    pos += (name_sz + 7) // 8 * 8
+    # v1 pads name/datatype/dataspace to 8 bytes; v3 does not
+    pad = (lambda n: (n + 7) // 8 * 8) if ver == 1 else (lambda n: n)
+    pos += pad(name_sz)
     dt, _ = _parse_datatype(body, pos)
-    pos += (dt_sz + 7) // 8 * 8
+    pos += pad(dt_sz)
     ds_dims = _parse_dataspace(body[pos:pos + ds_sz])
-    pos += (ds_sz + 7) // 8 * 8
+    pos += pad(ds_sz)
     return name, _attr_value(buf, dt, ds_dims, body[pos:])
+
+
+def _parse_link(body: bytes) -> tuple[str, int] | None:
+    """Link message (0x0006) → (name, object header address) for hard
+    links; soft/external links → None."""
+    if body[0] != 1:
+        raise NotImplementedError(f"link message version {body[0]}")
+    flags = body[1]
+    pos = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[pos]
+        pos += 1
+    if flags & 0x04:
+        pos += 8                          # creation order
+    if flags & 0x10:
+        pos += 1                          # charset
+    lsz = 1 << (flags & 0x03)
+    nlen = _u(body, pos, lsz)
+    pos += lsz
+    name = body[pos:pos + nlen].decode("utf-8")
+    pos += nlen
+    if ltype != 0:
+        return None                       # soft/external link
+    return name, _u(body, pos, 8)
 
 
 def _walk_chunk_btree(buf: bytes, addr: int, ndims: int,
@@ -269,7 +348,7 @@ def _defilter(data: bytes, filters: list[tuple[int, int, list[int]]],
 
 
 def _read_dataset(buf: bytes, addr: int) -> dict:
-    msgs = _messages_v1(buf, addr)
+    msgs = _messages_any(buf, addr)
     shape: list[int] = []
     dt: dict | None = None
     atts: dict = {}
@@ -283,19 +362,27 @@ def _read_dataset(buf: bytes, addr: int) -> dict:
         elif mtype == MSG_LAYOUT:
             layout = body
         elif mtype == MSG_FILTERS:
-            if body[0] != 1:
+            fver = body[0]
+            if fver not in (1, 2):
                 raise NotImplementedError(
-                    f"filter pipeline version {body[0]}")
+                    f"filter pipeline version {fver}")
             nf = body[1]
-            pos = 8
+            pos = 8 if fver == 1 else 2
             for _ in range(nf):
                 fid = _u(body, pos, 2)
-                nlen = _u(body, pos + 2, 2)
-                flags = _u(body, pos + 4, 2)
-                ncv = _u(body, pos + 6, 2)
-                pos += 8 + (nlen + 7) // 8 * 8
+                pos += 2
+                nlen = 0
+                if fver == 1 or fid >= 256:
+                    nlen = _u(body, pos, 2)
+                    pos += 2
+                flags = _u(body, pos, 2)
+                ncv = _u(body, pos + 2, 2)
+                pos += 4
+                pos += (nlen + 7) // 8 * 8 if fver == 1 else nlen
                 client = [_u(body, pos + 4 * i, 4) for i in range(ncv)]
-                pos += 4 * ncv + (4 if ncv % 2 else 0)
+                pos += 4 * ncv
+                if fver == 1 and ncv % 2:
+                    pos += 4
                 filters.append((fid, flags, client))
         elif mtype == MSG_ATTR:
             k, v = _parse_attr(buf, body)
@@ -387,12 +474,26 @@ def decode_hdf5(buf: bytes) -> dict:
     if sb[0] == "group":
         entries = _read_group(buf, sb[1], sb[2])
     else:
-        msgs = _messages_v1(buf, sb[1])
+        msgs = _messages_any(buf, sb[1])
         st = [b for t, b in msgs if t == MSG_SYMTAB]
-        if not st:
-            raise NotImplementedError(
-                "root group without a symbol table (new-style links)")
-        entries = _read_group(buf, _u(st[0], 0, 8), _u(st[0], 8, 8))
+        if st:
+            entries = _read_group(buf, _u(st[0], 0, 8), _u(st[0], 8, 8))
+        else:
+            # new-style group: compact link messages in the header
+            for t, b in msgs:
+                if t == 0x0002 and len(b) >= 2:     # Link Info
+                    off = 2 + (8 if b[1] & 0x01 else 0)
+                    if _u(b, off, 8) != UNDEF:
+                        raise NotImplementedError(
+                            "dense link storage (fractal heap)")
+            entries = {}
+            for t, b in msgs:
+                if t == MSG_LINK:
+                    link = _parse_link(b)
+                    if link is not None:
+                        entries[link[0]] = link[1]
+            if not entries and not msgs:
+                raise NotImplementedError("unreadable root group")
     return {name: _read_dataset(buf, addr)
             for name, addr in sorted(entries.items())}
 

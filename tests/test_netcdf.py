@@ -245,3 +245,94 @@ def test_netcdf4_fill_value_to_nan(spark, tmp_path):
     # ascending lat = already south-up: file row 0 → grid y=0
     assert got[(0, 1)] is None or np.isnan(got[(0, 1)])
     assert got[(0, 0)] == 1.0 and got[(1, 1)] == 4.0
+
+
+def test_hdf5_v2_headers_and_link_groups():
+    """Reader handles the libver='latest' shapes the canonical writer
+    never emits: superblock v2, OHDR object headers, compact link-message
+    groups, dataspace v2, v3 attributes, filter-pipeline v2 — via a
+    hand-assembled file."""
+    import struct
+    import zlib as _z
+
+    from georiva_spark.sources.hdf5_codec import decode_hdf5
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    out = bytearray(b"\0" * 48)          # superblock v2 placeholder
+
+    def alloc(b):
+        off = len(out)
+        out.extend(b)
+        return off
+
+    # contiguous dataset "temp": float64 [1.5, 2.5, 3.5], attr units="K"
+    vals = np.array([1.5, 2.5, 3.5])
+    data_addr = alloc(vals.tobytes())
+    # chunked+deflate dataset "grid": int32 2x4, one chunk
+    grid = np.arange(8, dtype="<i4").reshape(2, 4)
+    comp = _z.compress(grid.tobytes(), 6)
+    chunk_addr = alloc(comp)
+    # chunk b-tree (v1, node type 1, single leaf, ndims = rank+1 = 3)
+    key = struct.pack("<II", len(comp), 0) + struct.pack("<QQQ", 0, 0, 0)
+    node = (b"TREE" + struct.pack("<BBHQQ", 1, 0, 1, UNDEF, UNDEF)
+            + key + struct.pack("<Q", chunk_addr)
+            + struct.pack("<II", 0, 0) + struct.pack("<QQQ", 2, 0, 0))
+    btree_addr = alloc(node)
+
+    DT_F64 = (b"\x11\x20\x3f\x00" + struct.pack("<I", 8)
+              + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+    DT_I32 = (b"\x10\x08\x00\x00" + struct.pack("<I", 4)
+              + struct.pack("<HH", 0, 32))
+
+    def ds_v2(shape):
+        return (struct.pack("<BBBB", 2, len(shape), 0, 1)
+                + b"".join(struct.pack("<Q", s) for s in shape))
+
+    def msg(mtype, body):                # v2: 4-byte message header
+        return struct.pack("<BHB", mtype, len(body), 0) + body
+
+    def ohdr(msgs):
+        payload = b"".join(msgs)
+        assert len(payload) < 256
+        return (b"OHDR" + struct.pack("<BBB", 2, 0, len(payload))
+                + payload + b"\0\0\0\0")          # unverified checksum
+
+    # v3 attribute: no padding, charset byte after the sizes
+    nm, dtb, dsb, av = b"units\0", bytes(8), ds_v2(()), b"K\0"
+    DT_STR = b"\x13\x00\x00\x00" + struct.pack("<I", 2)
+    attr = (struct.pack("<BxHHHB", 3, len(nm), len(DT_STR), len(dsb), 0)
+            + nm + DT_STR + dsb + av)
+
+    lay_contig = struct.pack("<BB", 3, 1) + struct.pack(
+        "<QQ", data_addr, vals.nbytes)
+    temp_hdr = alloc(ohdr([
+        msg(0x0001, ds_v2((3,))), msg(0x0003, DT_F64),
+        msg(0x0008, lay_contig), msg(0x000C, attr)]))
+
+    lay_chunk = (struct.pack("<BBB", 3, 2, 3)
+                 + struct.pack("<Q", btree_addr)
+                 + struct.pack("<III", 2, 4, 4))
+    filt_v2 = (struct.pack("<BB", 2, 1)
+               + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6))
+    grid_hdr = alloc(ohdr([
+        msg(0x0001, ds_v2((2, 4))), msg(0x0003, DT_I32),
+        msg(0x0008, lay_chunk), msg(0x000B, filt_v2)]))
+
+    def link(name, addr):
+        b = name.encode()
+        return msg(0x0006, struct.pack("<BBB", 1, 0, len(b)) + b
+                   + struct.pack("<Q", addr))
+
+    root_hdr = alloc(ohdr([link("temp", temp_hdr),
+                           link("grid", grid_hdr)]))
+
+    sb = (b"\x89HDF\r\n\x1a\n" + struct.pack("<BBBB", 2, 8, 8, 0)
+          + struct.pack("<QQQQ", 0, UNDEF, len(out), root_hdr)
+          + b"\0\0\0\0")
+    out[0:48] = sb
+
+    d = decode_hdf5(bytes(out))
+    assert sorted(d) == ["grid", "temp"]
+    np.testing.assert_array_equal(d["temp"]["data"], vals)
+    assert d["temp"]["atts"]["units"] == "K"
+    np.testing.assert_array_equal(d["grid"]["data"], grid)
