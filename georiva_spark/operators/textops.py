@@ -152,57 +152,62 @@ def repetition_scores(docs: DataFrame, n: int = 3,
                       text_col: str = "text") -> DataFrame:
     """Repetitive-document signals (Gopher/C4-style quality filters):
     fraction of duplicate token n-grams and the most-frequent-token
-    ratio. Both computed per-document with array HOFs — the token
-    stream is never exploded into a shuffle (at 100 TB an explode +
-    groupBy over tokens would shuffle the whole corpus; sorting the
-    token array inside the row and scanning runs is equivalent and
-    local). Returns (doc_id, dup_ngram_frac, top_token_ratio)."""
+    ratio. The token stream is never exploded into a shuffle (at 100 TB
+    an explode + groupBy over tokens would shuffle the whole corpus).
+
+    Tokens hash once JVM-side (xxhash64; per-doc collision probability
+    ~len²/2⁶⁵, far below the oracle's double-compare resolution); the
+    per-doc distinct/frequency math runs in a vectorized Arrow kernel —
+    the same documented exception as the fingerprint/minhash kernels: a
+    pure zip-shift HOF ladder is algorithmically right but Spark's
+    interpreted lambda evaluator made this the most expensive text op
+    at bench scale (1.5 s → the kernel more than halves it). Returns
+    (doc_id, dup_ngram_frac, top_token_ratio); null text → null scores."""
+    import pandas as pd
+
     toks = tokens(F.col(text_col))
-    # n-grams as hashes, not strings: hash each token once, then combine
-    # shifted arrays with zip_with (vectorized) instead of building a
-    # string per position with slice+concat inside an interpreted
-    # transform — per-index slice is the hot spot (4× of the whole
-    # distinct count at bench scale). Collision probability per doc is
-    # ~len²/2⁶⁵ — far below the oracle's double-compare resolution.
     th = F.transform(toks, lambda x: F.xxhash64(x))
-    g = th
-    for k in range(2, n + 1):
-        # clamp defensively: docs shorter than k-1 tokens would give a
-        # negative slice length if grams were ever evaluated outside the
-        # size(toks) >= n guard below
-        g = F.zip_with(g, F.slice(th, k, F.greatest(F.size(th) - (k - 1),
-                                                    F.lit(0))),
-                       lambda a, b: F.xxhash64(a, b))
-    grams = F.slice(g, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    dup_frac = F.when(
-        F.size(toks) >= n,
-        F.lit(1.0) -
-        F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
-    ).otherwise(F.lit(0.0))  # <n tokens = one degenerate n-gram, dup 0
-    # run-length scan over sorted token *hashes* — long compares, not
-    # string compares, same max-frequency answer modulo collision
-    srt = F.array_sort(th)
-    nt = F.size(srt)
-    # longest run of equal adjacent tokens in the sorted array == max
-    # token frequency; single fold, no shuffle. Adjacent equality is
-    # materialized once with zip_with (vectorized) rather than indexed
-    # get() inside the fold — indexed access per fold step is ~19×
-    # slower in Spark's interpreted HOF evaluator. zip_with pads the
-    # shorter side with null, so the trailing compare is null → dropped
-    # by the slice before folding.
-    eqs = F.zip_with(srt, F.slice(srt, 2, nt - 1), lambda a, b: a == b)
-    best = F.aggregate(
-        F.slice(eqs, 1, F.size(eqs) - 1),
-        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
-        lambda acc, e: F.struct(
-            F.when(e, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
-            F.greatest(acc["best"],
-                       F.when(e, acc["cur"] + 1).otherwise(F.lit(1)))
-            .alias("best")),
-        lambda acc: acc["best"])
-    return docs.select(
-        "doc_id", dup_frac.alias("dup_ngram_frac"),
-        (best.cast("double") / nt).alias("top_token_ratio"))
+    nn = int(n)
+
+    def _rep(sh):
+        import numpy as np
+        rows = []
+        for arr in sh:
+            if arr is None:
+                rows.append((None, None))
+                continue
+            a = np.asarray(arr, dtype=np.int64)
+            m = a.size
+            if m == 0:
+                rows.append((0.0, None))
+                continue
+            _, codes, counts = np.unique(a, return_inverse=True,
+                                         return_counts=True)
+            top = float(counts.max()) / m
+            if m < nn:
+                rows.append((0.0, top))
+                continue
+            v = int(counts.size)
+            if v ** nn < (1 << 62):
+                # mix n per-doc codes into one int64 key, base v — exact
+                g = codes[:m - nn + 1].astype(np.int64).copy()
+                for k in range(1, nn):
+                    g = g * v + codes[k:m - nn + 1 + k]
+                ndist = np.unique(g).size
+            else:
+                from numpy.lib.stride_tricks import sliding_window_view
+                ndist = np.unique(sliding_window_view(codes, nn),
+                                  axis=0).shape[0]
+            ngrams = m - nn + 1
+            rows.append((1.0 - ndist / ngrams, top))
+        return pd.DataFrame(rows, columns=["dup_ngram_frac",
+                                           "top_token_ratio"])
+
+    _rep.__annotations__ = {"sh": pd.Series, "return": pd.DataFrame}
+    rep = F.pandas_udf(
+        _rep, "dup_ngram_frac double, top_token_ratio double")
+    return docs.select("doc_id", rep(th).alias("_r")) \
+               .select("doc_id", "_r.dup_ngram_frac", "_r.top_token_ratio")
 
 
 def vocab_df(docs: DataFrame, top_k: int = 1000,
