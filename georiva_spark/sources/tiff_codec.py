@@ -47,8 +47,9 @@ MODEL_TIEPOINT = 33922     # [i, j, k, x, y, z]
 GDAL_NODATA = 42113        # ascii
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-               11: 4, 12: 8}
-_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+               11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 def lzw_decode(data: bytes) -> bytes:
@@ -183,15 +184,28 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifd(buf: bytes, off: int, bo: str) -> dict:
-    n = struct.unpack_from(bo + "H", buf, off)[0]
+def _read_ifd(buf: bytes, off: int, bo: str, big: bool = False) -> dict:
+    """Classic (12-byte entries, u32 offsets) or BigTIFF (20-byte
+    entries, u64 counts/offsets) IFD."""
+    if big:
+        n = struct.unpack_from(bo + "Q", buf, off)[0]
+        base, esz, inline = off + 8, 20, 8
+    else:
+        n = struct.unpack_from(bo + "H", buf, off)[0]
+        base, esz, inline = off + 2, 12, 4
     tags: dict = {}
     for i in range(n):
-        e = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, e)
+        e = base + i * esz
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", buf, e)
+            cnt = struct.unpack_from(bo + "Q", buf, e + 4)[0]
+            vpos = e + 12
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, e)
+            vpos = e + 8
         size = _TYPE_SIZES.get(typ, 1) * cnt
-        voff = e + 8 if size <= 4 else struct.unpack_from(bo + "I", buf,
-                                                          e + 8)[0]
+        voff = vpos if size <= inline else struct.unpack_from(
+            bo + ("Q" if big else "I"), buf, vpos)[0]
         if typ == 2:
             tags[tag] = buf[voff:voff + cnt].split(b"\0")[0].decode(
                 "ascii", "replace")
@@ -252,10 +266,20 @@ def decode_tiff(content: bytes):
     case), meaning callers that want row 0 = southernmost must flipud.
     """
     bo = {b"II": "<", b"MM": ">"}.get(content[:2])
-    if bo is None or struct.unpack_from(bo + "H", content, 2)[0] != 42:
-        raise ValueError("not a classic TIFF payload")
-    ifd_off = struct.unpack_from(bo + "I", content, 4)[0]
-    tags = _read_ifd(content, ifd_off, bo)
+    if bo is None:
+        raise ValueError("not a TIFF payload")
+    version = struct.unpack_from(bo + "H", content, 2)[0]
+    if version == 42:                               # classic
+        ifd_off = struct.unpack_from(bo + "I", content, 4)[0]
+        tags = _read_ifd(content, ifd_off, bo)
+    elif version == 43:                             # BigTIFF
+        osz, zero = struct.unpack_from(bo + "HH", content, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        ifd_off = struct.unpack_from(bo + "Q", content, 8)[0]
+        tags = _read_ifd(content, ifd_off, bo, big=True)
+    else:
+        raise ValueError(f"unknown TIFF version {version}")
 
     w = tags[IMAGE_WIDTH][0]
     h = tags[IMAGE_LENGTH][0]
@@ -372,9 +396,11 @@ def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
                    compression: str = "deflate",
                    predictor: int | None = None,
                    rows_per_strip: int | None = None,
-                   tile: tuple[int, int] | None = None) -> bytes:
+                   tile: tuple[int, int] | None = None,
+                   bigtiff: bool = False) -> bytes:
     """Encode a 2-D (h, w) or chunky multi-band (h, w, spp) array as a
-    little-endian GeoTIFF.
+    little-endian GeoTIFF (classic, or BigTIFF with ``bigtiff`` — the
+    64-bit layout COGs over 4 GB require).
 
     Mirrors the reference writer's choices (deflate, predictor 3 for
     floats / 2 for ints, ingestion/asset_writer.py:86-99,213-235).
@@ -458,17 +484,25 @@ def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
     if nodata is not None:
         nd = f"{nodata:g}\0".encode("ascii")
         entries.append((GDAL_NODATA, 2, len(nd), nd))
+    if bigtiff:
+        # 8-byte segment offsets (LONG8) so >4 GB files address cleanly
+        entries = [(tag, 16 if tag in (STRIP_OFFSETS, TILE_OFFSETS)
+                    else typ, cnt, val) for tag, typ, cnt, val in entries]
     entries.sort(key=lambda e: e[0])
 
     n = len(entries)
-    ifd_off = 8
-    ext_off = ifd_off + 2 + n * 12 + 4
+    if bigtiff:
+        ifd_off, inline = 16, 8
+        ext_off = ifd_off + 8 + n * 20 + 8
+    else:
+        ifd_off, inline = 8, 4
+        ext_off = ifd_off + 2 + n * 12 + 4
     ext: list[bytes] = []
     # first pass: size the external value area (offsets tag included)
     sizes = []
     for tag, typ, cnt, val in entries:
         size = _TYPE_SIZES[typ] * cnt
-        sizes.append(size if size > 4 else 0)
+        sizes.append(size if size > inline else 0)
     data_off = ext_off + sum(sizes)
     seg_offsets = []
     pos = data_off
@@ -479,25 +513,37 @@ def encode_geotiff(a: np.ndarray, *, pixel_scale: tuple[float, float],
     def pack_val(typ: int, cnt: int, val) -> bytes:
         if typ == 2:
             return bytes(val)
-        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[typ]
         return struct.pack("<" + str(cnt) + fmt, *val)
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
-    out += struct.pack("<H", n)
+    if bigtiff:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+        out += struct.pack("<Q", n)
+    else:
+        out += b"II" + struct.pack("<HI", 42, ifd_off)
+        out += struct.pack("<H", n)
     cur_ext = ext_off
     for (tag, typ, cnt, val), size in zip(entries, sizes):
         if val is None:  # offsets tag
             val = seg_offsets
         payload = pack_val(typ, cnt, val)
-        if len(payload) <= 4:
+        if bigtiff:
+            ehead = struct.pack("<HHQ", tag, typ, cnt)
+            if len(payload) <= 8:
+                out += ehead + payload.ljust(8, b"\0")
+            else:
+                out += ehead + struct.pack("<Q", cur_ext)
+                ext.append(payload)
+                cur_ext += len(payload)
+        elif len(payload) <= 4:
             out += struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\0")
         else:
             out += struct.pack("<HHI", tag, typ, cnt) + struct.pack(
                 "<I", cur_ext)
             ext.append(payload)
             cur_ext += len(payload)
-    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<Q" if bigtiff else "<I", 0)  # next IFD
     for payload in ext:
         out += payload
     for s in segs:

@@ -89,6 +89,28 @@ def test_codec_roundtrip_lzw_packbits(compression, pred):
     assert np.array_equal(decode_tiff(buf2)[0][0], f)
 
 
+def test_bigtiff_roundtrip_and_header():
+    """BigTIFF (version 43, 20-byte IFD entries, 64-bit offsets): the
+    layout COGs over 4 GB require. Round trip + header invariants."""
+    rng = np.random.default_rng(43)
+    a = rng.normal(size=(33, 29)).astype(np.float32)
+    buf = encode_geotiff(a, pixel_scale=(0.25, 0.25),
+                         tiepoint_xy=(-3.0, 8.25), bigtiff=True,
+                         rows_per_strip=8)
+    import struct
+    assert buf[:2] == b"II"
+    assert struct.unpack_from("<H", buf, 2)[0] == 43
+    assert struct.unpack_from("<HH", buf, 4) == (8, 0)
+    bands, _, geo, flip = decode_tiff(buf)
+    assert np.array_equal(bands[0], a)
+    assert geo == (0.25, 0.25, -3.0, 8.25) and flip
+    # tiled + lzw variant
+    b2 = encode_geotiff(a, pixel_scale=(1, 1), tiepoint_xy=(0, 33),
+                        bigtiff=True, tile=(16, 16), compression="lzw",
+                        predictor=3)
+    assert np.array_equal(decode_tiff(b2)[0][0], a)
+
+
 def test_codec_multiband_chunky(spark, tmp_path):
     """3-band chunky int16 with horizontal predictor (per-channel
     differencing) round-trips, and the plugin exposes band_1..band_3."""
