@@ -237,6 +237,37 @@ def vocab_df(docs: DataFrame, top_k: int = 1000,
     return (agg.orderBy(F.col("tf").desc(), "token").limit(top_k))
 
 
+def lm_score(docs: DataFrame, top_k: int = 10_000, add_k: float = 0.5,
+             text_col: str = "text") -> DataFrame:
+    """Unigram language-model scoring — the CCNet/Gopher-style
+    perplexity quality filter: fit an add-k-smoothed unigram LM on the
+    corpus (top-``top_k`` vocabulary, everything else one OOV bucket)
+    and score each document by mean bits per token
+    −avg(log₂ p(t)). Low = fluent/common text, high = junk — the
+    standard cut point for training-data curation.
+
+    Scale shape: the LM fit reuses the vocab pass (explode + map-side
+    partial → one shuffled row per (doc, distinct token); top-K sorts
+    only the bounded vocab). Scoring joins the exploded token stream
+    against the BROADCAST vocab (map-side, no shuffle) and the per-doc
+    aggregation's map-side partial collapses to ~one exchanged row per
+    document. The corpus token total N is the only driver scalar.
+    Returns (doc_id, n_tokens, bits_per_token)."""
+    toks = tokens(F.col(text_col))
+    ex = (docs.where(F.length(F.col(text_col)) > 0)
+          .select("doc_id", F.explode(toks).alias("token")))
+    vocab = (ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+             .orderBy(F.col("tf").desc(), "token").limit(top_k))
+    n_total = ex.count()                     # one scalar to the driver
+    denom = float(n_total) + add_k * (top_k + 1)
+    lp = F.log2((F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                 + F.lit(add_k)) / F.lit(denom))
+    return (ex.join(F.broadcast(vocab), "token", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (-F.avg(lp)).alias("bits_per_token")))
+
+
 def fingerprint(docs: DataFrame, window: int = 8,
                 portable: bool = False) -> DataFrame:
     """Document fingerprint: rolling-hash winnowing — min hash over each

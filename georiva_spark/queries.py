@@ -770,6 +770,7 @@ _DRIVER_PRIORITY = [
     "ingest_grib2_png",
     "ingest_netcdf4",
     "utm_project",
+    "lm_score",
     # never recorded (sat past position 50 in rounds 1-2)
     "regrid_bilinear",
     "fingerprints",

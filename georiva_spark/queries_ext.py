@@ -1629,6 +1629,31 @@ FROM agg ORDER BY tf DESC, token LIMIT 1000
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet/Gopher perplexity-filter
+    shape): corpus-fit add-k-smoothed unigram LM, per-doc mean bits per
+    token. The LM join is broadcast (map-side), the per-doc agg's
+    partial collapses the token stream before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lm_score(docs, top_k=10_000, add_k=0.5)
+
+
+SQL_LM_SCORE = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  WHERE length(text) > 0),
+vocab AS (
+  SELECT token, COUNT(*) AS tf FROM ex GROUP BY token
+  ORDER BY tf DESC, token LIMIT 10000),
+n AS (SELECT COUNT(*) AS nt FROM ex)
+SELECT ex.doc_id, COUNT(*) AS n_tokens,
+  -AVG(log2((COALESCE(v.tf, 0) + 0.5)
+            / (n.nt + 0.5 * 10001))) AS bits_per_token
+FROM ex LEFT JOIN vocab v USING (token), n
+GROUP BY ex.doc_id
+"""
+
+
 _FEED_STATES = ("complete", "failed", "partial", "queued", "running")
 
 
@@ -1843,6 +1868,7 @@ EXT_QUERIES = {
     "mvt_tiles": q_mvt_tiles,
     "feed_health": q_feed_health,
     "vocab": q_vocab,
+    "lm_score": q_lm_score,
     "file_times": q_file_times,
     "quantize_emb": q_quantize_emb,
 }
@@ -1900,6 +1926,7 @@ EXT_ORACLES = {
     "mvt_tiles": SQL_MVT_TILES,
     "feed_health": SQL_FEED_HEALTH,
     "vocab": SQL_VOCAB,
+    "lm_score": SQL_LM_SCORE,
     "file_times": SQL_FILE_TIMES,
     "quantize_emb": SQL_QUANTIZE_EMB,
 }

@@ -496,3 +496,26 @@ def test_quantize_int8_round_trip_bound(spark):
         orig = {1: [0.5, -1.0, 0.25], 3: [127.0]}[rid]
         for a, b in zip(r.d, orig):
             assert abs(a - b) <= r.q.scale / 2 + 1e-12
+
+
+def test_lm_score_unigram_golden(spark):
+    """Hand-computed add-k unigram LM: corpus = two docs over a 3-token
+    vocabulary; verify bits-per-token against the closed form."""
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textops.lm_score(d, top_k=10, add_k=0.5).collect()}
+    # tf: a=2, b=2, c=1; N=5; denom = 5 + 0.5*11 = 10.5
+    import math
+    p = {"a": 2.5 / 10.5, "b": 2.5 / 10.5, "c": 1.5 / 10.5}
+    want1 = -(2 * math.log2(p["a"]) + math.log2(p["b"])) / 3
+    want2 = -(math.log2(p["b"]) + math.log2(p["c"])) / 2
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    np.testing.assert_allclose(out[1].bits_per_token, want1, rtol=1e-12)
+    np.testing.assert_allclose(out[2].bits_per_token, want2, rtol=1e-12)
+    # junk (OOV-heavy) docs score strictly higher than in-vocab docs
+    d2 = spark.createDataFrame(
+        [(1, "a a b"), (2, "zq xk vv")], "doc_id long, text string")
+    s = {r.doc_id: r.bits_per_token
+         for r in textops.lm_score(d2, top_k=2, add_k=0.5).collect()}
+    assert s[2] > s[1]
