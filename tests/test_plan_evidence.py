@@ -87,3 +87,33 @@ def test_minhash_ships_no_signature_through_band_shuffle(spark):
     # candidate join keys are band+bucket; dropDuplicates on ids only
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_lm_score_broadcasts_vocab(spark):
+    """The LM scoring join must broadcast the bounded vocab — the token
+    stream is never the build side and never crosses a cartesian."""
+    plan = _plan(QUERIES["lm_score"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_utm_project_stays_in_codegen(spark):
+    """The Krüger/Snyder column math must be pure JVM expressions — no
+    Python UDF (Batch/ArrowEvalPython) anywhere in the plan; the only
+    exchange is the distinct's."""
+    plan = _plan(QUERIES["utm_project"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("Exchange") <= 2     # distinct's partial+final only
+
+
+def test_knn_ivf_pinned_assignment_in_row(spark):
+    """Pinned-centroid IVF: cell assignment is in-row argmin over
+    centroid literals — the corpus join graph has no cartesian and no
+    per-row Python."""
+    plan = _plan(QUERIES["knn_ivf"](spark, SF))
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", "")          # 1-row query broadcast ok
+    assert "BatchEvalPython" not in plan
