@@ -269,14 +269,25 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     scan = s3[71]
 
     s4 = sections[4]
-    if _u(s4, 7, 2) != 0:
-        raise NotImplementedError(f"product template {_u(s4, 7, 2)}")
+    ptmpl = _u(s4, 7, 2)
+    if ptmpl not in (0, 8):
+        raise NotImplementedError(f"product template {ptmpl}")
     category, number = s4[9], s4[10]
     unit = s4[17]
     fstep = _u(s4, 18, 4)
     step = {0: dt.timedelta(minutes=fstep), 1: dt.timedelta(hours=fstep),
             2: dt.timedelta(days=fstep), 13: dt.timedelta(seconds=fstep)
             }.get(unit, dt.timedelta(hours=fstep))
+    stat_process = None
+    interval_end = None
+    if ptmpl == 8:
+        # 4.8 (statistically processed over an interval — accumulations
+        # and means, e.g. precipitation totals): valid time is the END
+        # of the overall interval, encoded at octets 35-41
+        interval_end = dt.datetime(_u(s4, 34, 2), s4[36], s4[37],
+                                   s4[38], s4[39], s4[40])
+        if s4[41] >= 1:                    # first time-range's process
+            stat_process = s4[46]
 
     s5 = sections[5]
     npoints = _u(s5, 5, 4)
@@ -329,7 +340,10 @@ def _decode_message(m: bytes, discipline: int) -> dict:
         "shortName": PARAM_SHORTNAMES.get(
             key, f"d{discipline}c{category}n{number}"),
         "discipline": discipline, "category": category, "number": number,
-        "ref_time": ref_time, "valid_time": ref_time + step,
+        "ref_time": ref_time,
+        "valid_time": (interval_end if interval_end is not None
+                       else ref_time + step),
+        "stat_process": stat_process,
         "values": values, "la1": la1, "lo1": lo1, "la2": la2, "lo2": lo2,
         "di": di, "dj": dj, "scan": scan,
         # +j scanning flag (0x40): rows already run south→north
@@ -356,7 +370,8 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                          e_scale: int = -24, south_up: bool = False,
                          packing: int = 0, spatial_order: int = 2,
                          group_size: int = 20,
-                         missing_management: bool = False) -> bytes:
+                         missing_management: bool = False,
+                         accum_hours: int | None = None) -> bytes:
     """One GRIB2 message: lat/lon grid (3.0), product 4.0, packing 5.0
     (simple, default), 5.2 (complex, fixed `group_size` groups), 5.3
     (complex + spatial differencing of `spatial_order`) or 5.41 (PNG);
@@ -402,12 +417,31 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
           + _sm(round(la2 * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
           + round(di * 1e6).to_bytes(4, "big")
           + round(dj * 1e6).to_bytes(4, "big") + bytes([scan]))
-    s4 = ((0).to_bytes(2, "big") + (0).to_bytes(2, "big")   # template 4.0
-          + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
-          + bytes([0, 1])                                    # unit: hours
-          + forecast_hours.to_bytes(4, "big")
-          + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
-          + bytes([255, 0]) + (0).to_bytes(4, "big"))
+    if accum_hours is None:
+        s4 = ((0).to_bytes(2, "big") + (0).to_bytes(2, "big")  # tmpl 4.0
+              + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
+              + bytes([0, 1])                                  # unit: hours
+              + forecast_hours.to_bytes(4, "big")
+              + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
+              + bytes([255, 0]) + (0).to_bytes(4, "big"))
+    else:
+        # template 4.8 — statistical processing (accumulation) over the
+        # interval [ref+forecast, ref+forecast+accum]; octet layout is
+        # 4.0 through octet 34, then end-of-interval + one range spec
+        end = ref_time + dt.timedelta(hours=forecast_hours + accum_hours)
+        s4 = ((0).to_bytes(2, "big") + (8).to_bytes(2, "big")
+              + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
+              + bytes([0, 1])
+              + forecast_hours.to_bytes(4, "big")
+              + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
+              + bytes([255, 0]) + (0).to_bytes(3, "big")       # → octet 34
+              + end.year.to_bytes(2, "big")
+              + bytes([end.month, end.day, end.hour, end.minute,
+                       end.second])
+              + bytes([1]) + (0).to_bytes(4, "big")  # 1 range, 0 missing
+              + bytes([1, 2, 1])          # accumulation, incr type, hours
+              + accum_hours.to_bytes(4, "big")
+              + bytes([255]) + (0).to_bytes(4, "big"))
     if missing_management:
         if packing not in (2, 3):
             raise ValueError("missing management needs complex packing")

@@ -256,6 +256,27 @@ def test_png_codec_filters():
         np.testing.assert_array_equal(got, x, err_msg=f"filter {ftype}")
 
 
+def test_product_template_48_accumulation():
+    """Template 4.8 (statistically processed interval — how precip
+    accumulations ship): valid time = END of the overall interval, the
+    statistical process code surfaces, values decode identically."""
+    a = np.arange(12, dtype=float).reshape(3, 4)
+    kw = dict(shortname="tp", ref_time=T0, forecast_hours=6,
+              la1=1.5, lo1=0.5, di=1.0, dj=1.0)
+    m = decode_grib2(encode_grib2_message(a, accum_hours=6, **kw))[0]
+    assert m["shortName"] == "tp"
+    assert m["valid_time"] == T0 + dt.timedelta(hours=12)  # end of interval
+    assert m["stat_process"] == 1                          # accumulation
+    simple = decode_grib2(encode_grib2_message(a, **kw))[0]
+    np.testing.assert_array_equal(m["values"], simple["values"])
+    assert simple["stat_process"] is None
+    # complex packing + 4.8 compose
+    m2 = decode_grib2(encode_grib2_message(
+        a, accum_hours=24, packing=3, spatial_order=1, **kw))[0]
+    assert m2["valid_time"] == T0 + dt.timedelta(hours=30)
+    np.testing.assert_array_equal(m2["values"], simple["values"])
+
+
 def test_jpeg_packing_gated():
     buf = bytearray(encode_grib2_message(np.ones((2, 2)), shortname="t",
                                          ref_time=T0, la1=1.5, lo1=0.5,
