@@ -148,6 +148,42 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", cur.alias("clean_text"), *counts)
 
 
+# (pattern, replacement) chain for html_to_text — order matters: blocks
+# first, then structural breaks, then any remaining tag, then entities.
+HTML_STRIP_RULES = (
+    # no backreferences — the patterns must stay RE2-safe so the DuckDB
+    # oracle runs them verbatim (same constraint as PII_PATTERNS)
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n"),
+    (r"<[^>]+>", " "),
+    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"), (r"&gt;", ">"),
+    (r"&quot;", "\""), (r"&#39;", "'"),
+    (r"[ \t\x0b\f\r]+", " "),
+    (r" ?\n ?", "\n"), (r"\n{2,}", "\n"),
+    (r"^\s+|\s+$", ""),
+)
+
+
+def html_to_text(docs: DataFrame, html_col: str = "text") -> DataFrame:
+    """Boilerplate-free text extraction from raw HTML — the first step
+    of every web-crawl training pipeline (trafilatura/jusText shape,
+    reduced to the deterministic core): drop script/style/comment
+    blocks, turn structural closes into newlines, strip remaining tags,
+    decode the common entities, normalize whitespace.
+
+    Pure regexp_replace chain — JVM-side, whole-stage codegen,
+    scan-speed at 100 TB, and reproducible in an external SQL oracle.
+    Returns (doc_id, clean_text, n_tags_removed)."""
+    cur = F.col(html_col)
+    n_tags = F.regexp_count(cur, F.lit(r"<[^>]+>"))
+    for pat, repl in HTML_STRIP_RULES:
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select("doc_id", cur.alias("clean_text"),
+                       n_tags.alias("n_tags_removed"))
+
+
 def repetition_scores(docs: DataFrame, n: int = 3,
                       text_col: str = "text") -> DataFrame:
     """Repetitive-document signals (Gopher/C4-style quality filters):

@@ -771,6 +771,7 @@ _DRIVER_PRIORITY = [
     "ingest_netcdf4",
     "utm_project",
     "lm_score",
+    "html_text",
     # never recorded (sat past position 50 in rounds 1-2)
     "regrid_bilinear",
     "fingerprints",

@@ -436,6 +436,44 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.scrub_pii(aug)
 
 
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction over documents wrapped in deterministic
+    markup (script/style/comment blocks, entities, structural tags) —
+    the augmentation makes the oracle non-vacuous, same pattern as
+    pii_scrub. Both engines run the identical RE2-safe rule chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn("text", F.concat(
+        F.lit("<html><head><style>p{color:red}</style>"
+              "<script>if(a<b){go()}</script></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- hidden --><p>"), F.col("text"),
+        F.lit("</p><div>tail &amp; end</div></body></html>")))
+    return textops.html_to_text(aug)
+
+
+def _sql_html_text() -> str:
+    """Oracle built from the SAME rule chain html_to_text applies."""
+    expr = "html"
+    for pat, repl in textops.HTML_STRIP_RULES:
+        p = pat.replace("'", "''")
+        r = "chr(10)" if repl == "\n" else "'" + repl.replace("'", "''") + "'"
+        expr = f"regexp_replace({expr}, '{p}', {r}, 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id,
+  '<html><head><style>p{{color:red}}</style>'
+  || '<script>if(a<b){{go()}}</script></head><body><h1>Doc '
+  || CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' || text
+  || '</p><div>tail &amp; end</div></body></html>' AS html
+  FROM documents)
+SELECT doc_id, {expr} AS clean_text,
+  len(regexp_extract_all(html, '<[^>]+>')) AS n_tags_removed
+FROM aug
+"""
+
+
+SQL_HTML_TEXT = _sql_html_text()
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.repetition_scores(docs)
@@ -1852,6 +1890,7 @@ EXT_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "chunk_docs": q_chunk_docs,
+    "html_text": q_html_text,
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
     "hash_sample": q_hash_sample,
@@ -1911,6 +1950,7 @@ EXT_ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "html_text": SQL_HTML_TEXT,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition": SQL_REPETITION,
     "hash_sample": SQL_HASH_SAMPLE,

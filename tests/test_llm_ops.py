@@ -519,3 +519,19 @@ def test_lm_score_unigram_golden(spark):
     s = {r.doc_id: r.bits_per_token
          for r in textops.lm_score(d2, top_k=2, add_k=0.5).collect()}
     assert s[2] > s[1]
+
+
+def test_html_to_text_golden(spark):
+    html = ("<html><head><title>T</title><style>p {c}</style>"
+            "<script>if (a<b) { x(); }</script></head><body>"
+            "<h1>Header</h1><!-- secret --><p>one &amp; two</p>"
+            "<div>three</div><ul><li>four</li></ul>"
+            "&lt;kept&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</body></html>")
+    d = spark.createDataFrame([(1, html), (2, "plain, no markup")],
+                              "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.html_to_text(d).collect()}
+    assert out[1].clean_text == (
+        'T Header\none & two\nthree\nfour\n<kept> "q" \'s\' end')
+    assert out[1].n_tags_removed > 10
+    assert out[2].clean_text == "plain, no markup"
+    assert out[2].n_tags_removed == 0
