@@ -273,6 +273,92 @@ def knn_ivf_pinned(emb: DataFrame, query_vec_id: int, k: int = 5,
             .drop("_cos"))
 
 
+def knn_ivf_pq(emb: DataFrame, query_vec_id: int, k: int = 5,
+               n_centroids: int = 8, nprobe: int = 2,
+               m: int = 8, nbits: int = 4) -> DataFrame:
+    """IVF-PQ probe with PINNED coarse centroids and PINNED product-
+    quantization codebooks — the memory-bound ANN shape (FAISS
+    IVFPQ): vectors compress to m sub-codes; the query scans probed
+    cells with an ADC lookup table instead of full vectors. At 100 TB
+    the PQ codes are 32× smaller than float32 embeddings, which is the
+    difference between an in-memory probe and an I/O-bound one.
+
+    Pinning (centroids = every ⌊N/C⌋-th corpus row, codeword j of
+    every subspace = row j·⌊N/2^nbits⌋+offset) keeps the whole path —
+    cell assignment, sub-code encoding, ADC scoring — exact closed-form
+    arithmetic an external SQL engine reproduces; the trained-quantizer
+    variants keep their pytest recall bounds. Encoding is an IN-ROW
+    argmin per subspace over codeword literals: one corpus scan, zero
+    shuffle. Returns (vec_id, adc_dist) — approximate L2², ascending."""
+    import numpy as np
+
+    n = emb.count()
+    # --- coarse cells (same pinning rule as knn_ivf_pinned) -----------
+    step = max(1, n // n_centroids)
+    cids = [i * step + step // 2 for i in range(n_centroids)]
+    ncw = 1 << nbits
+    step2 = max(1, n // ncw)
+    cwids = [j * step2 + step2 // 3 for j in range(ncw)]
+    want = sorted(set(cids) | set(cwids) | {query_vec_id})
+    vecs = {r.vec_id: [float(v) for v in r.embedding]
+            for r in emb.where(F.col("vec_id").isin(want))
+                        .select("vec_id", "embedding").collect()}
+    cents = [vecs[c] for c in cids]
+    cb = [vecs[c] for c in cwids]
+    dim = len(cb[0])
+    sub = dim // m
+
+    def l2_full(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in cvec]),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    cell = F.array_min(F.array(*[
+        F.struct(l2_full(cents[i]).alias("d"), F.lit(i).alias("c"))
+        for i in range(n_centroids)]))["c"]
+
+    # --- PQ encode: per-subspace in-row argmin over codeword literals -
+    def sub_l2(s: int, j: int):
+        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
+        lits = F.array(*[F.lit(v) for v in cb[j][s * sub:(s + 1) * sub]])
+        return F.aggregate(
+            F.zip_with(seg, lits,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    codes = [F.array_min(F.array(*[
+        F.struct(sub_l2(s, j).alias("d"), F.lit(j).alias("c"))
+        for j in range(ncw)]))["c"] for s in range(m)]
+
+    # --- query-side: probe cells + ADC lookup table (driver numpy) ----
+    q = np.asarray(vecs[query_vec_id], dtype=np.float64)
+    dc = [(float(((np.asarray(c) - q) ** 2).sum()), i)
+          for i, c in enumerate(cents)]
+    probe_cells = [i for _, i in sorted(dc)[:nprobe]]
+    qd = [[float(((q[s * sub:(s + 1) * sub]
+                   - np.asarray(cb[j][s * sub:(s + 1) * sub])) ** 2).sum())
+           for j in range(ncw)] for s in range(m)]
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.array(*[F.lit(v) for v in qd[s]]),
+                            codes[s] + 1)
+        adc = term if adc is None else adc + term
+
+    return (emb.withColumn("cell", cell)
+            .where(F.col("cell").isin(probe_cells))
+            .where(F.col("vec_id") != query_vec_id)
+            .select("vec_id", F.round(adc, 6).alias("adc_dist"),
+                    adc.alias("_d"))
+            .orderBy(F.asc("_d"), F.asc("vec_id"))
+            .limit(k)
+            .drop("_d"))
+
+
 def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
             planes: int = 8, portable: bool = False) -> DataFrame:
     """Approximate top-k: search only the query's SRP bucket. At scale the

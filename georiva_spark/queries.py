@@ -772,6 +772,7 @@ _DRIVER_PRIORITY = [
     "utm_project",
     "lm_score",
     "html_text",
+    "knn_ivf_pq",
     # never recorded (sat past position 50 in rounds 1-2)
     "regrid_bilinear",
     "fingerprints",

@@ -628,6 +628,59 @@ FROM sims ORDER BY dot / (na * nb) DESC, vec_id LIMIT 5
 """
 
 
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe with pinned coarse centroids AND pinned product-
+    quantization codebooks — cell assignment, per-subspace sub-code
+    encoding, and ADC scoring are all exact closed-form arithmetic the
+    DuckDB oracle reproduces end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf_pq(emb, query_vec_id=0, k=5,
+                                 n_centroids=8, nprobe=2, m=8, nbits=4)
+
+
+SQL_KNN_IVF_PQ = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+cdist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM cdist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+probe AS (SELECT c AS cell FROM cdist WHERE vec_id = 0
+          QUALIFY row_number() OVER (ORDER BY d2, c) <= 2),
+pq AS (SELECT CAST(t.i AS BIGINT) AS cw,
+              CAST(t.i * (nn.n // 16) + (nn.n // 16) // 3 AS BIGINT) AS vid
+       FROM range(16) t(i), nn),
+cb AS (SELECT cw, embedding AS ce FROM pq JOIN embeddings ON vec_id = vid),
+subdist AS (SELECT e.vec_id, CAST(s.i AS BIGINT) AS s, cb.cw,
+  (SELECT SUM((CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE))
+            * (CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE)))
+   FROM generate_series(1, 8) AS t(i)) AS d2
+  FROM embeddings e, range(8) s(i), cb),
+codes AS (SELECT vec_id, s, cw FROM subdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cw) = 1),
+qd AS (SELECT s, cw, d2 FROM subdist WHERE vec_id = 0),
+adc AS (SELECT c.vec_id, SUM(qd.d2) AS dist
+        FROM codes c JOIN qd ON qd.s = c.s AND qd.cw = c.cw
+        GROUP BY c.vec_id)
+SELECT a.vec_id, ROUND(a.dist, 6) AS adc_dist
+FROM adc a
+JOIN assign g ON a.vec_id = g.vec_id
+JOIN probe p ON g.cell = p.cell
+WHERE a.vec_id <> 0
+ORDER BY a.dist, a.vec_id LIMIT 5
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH probe — portable centered-md5 plane coefficients so the
     DuckDB oracle reproduces buckets and the probed top-k exactly."""
@@ -1903,6 +1956,7 @@ EXT_QUERIES = {
     "language_id": q_language_id,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_pq": q_knn_ivf_pq,
     "mvt_geom": q_mvt_geom,
     "mvt_tiles": q_mvt_tiles,
     "feed_health": q_feed_health,
@@ -1962,6 +2016,7 @@ EXT_ORACLES = {
     "language_id": SQL_LANGUAGE_ID,
     "knn_lsh": SQL_KNN_LSH,
     "knn_ivf": SQL_KNN_IVF,
+    "knn_ivf_pq": SQL_KNN_IVF_PQ,
     "mvt_geom": SQL_MVT_GEOM,
     "mvt_tiles": SQL_MVT_TILES,
     "feed_health": SQL_FEED_HEALTH,

