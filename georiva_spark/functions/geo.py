@@ -350,6 +350,151 @@ def polar_stereo_cols(lat, lon, lat_ts: float = 70.0,
             (-rho * F.cos(lam)).alias("ps_y"))
 
 
+# ---------------------------------------------------------------------------
+# Spherical projections for GRIB2 projected grids (templates 3.1/3.20/3.30).
+# NWP products on Lambert-conformal (HRRR/NAM, template 3.30), polar-
+# stereographic (sea ice, 3.20) and rotated-pole (COSMO/ICON-EU, 3.1) grids
+# define the projection on a SPHERE whose radius rides in section 3 (earth
+# shape octet); the reference reads them via eccodes (formats/grib.py:61-144).
+# All closed-form per Snyder, Map Projections — A Working Manual (USGS PP
+# 1395): LCC spherical 15-1..15-11, stereographic spherical 21-8..21-15.
+# ---------------------------------------------------------------------------
+
+GRIB_EARTH_SPHERE = 6371229.0   # GRIB2 earth-shape code 6 (the NCEP default)
+
+
+def lcc_sphere_np(lat, lon, lat1: float, lat2: float, lat0: float,
+                  lon0: float, radius: float = GRIB_EARTH_SPHERE):
+    """Spherical Lambert conformal conic forward (Snyder 15-1..15-4),
+    standard parallels ``lat1``/``lat2``, origin (``lat0``, ``lon0``).
+    → (x, y) meters, vectorized."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(((np.asarray(lon, np.float64) - lon0 + 180.0)
+                      % 360.0) - 180.0)
+    p1, p2, p0 = (math.radians(lat1), math.radians(lat2),
+                  math.radians(lat0))
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(math.cos(p1) / math.cos(p2))
+             / math.log(math.tan(math.pi / 4 + p2 / 2)
+                        / math.tan(math.pi / 4 + p1 / 2)))
+    f = math.cos(p1) * math.tan(math.pi / 4 + p1 / 2) ** n / n
+    rho = radius * f / np.tan(np.pi / 4 + phi / 2) ** n
+    rho0 = radius * f / math.tan(math.pi / 4 + p0 / 2) ** n
+    return rho * np.sin(n * lam), rho0 - rho * np.cos(n * lam)
+
+
+def lcc_sphere_inverse_np(x, y, lat1: float, lat2: float, lat0: float,
+                          lon0: float, radius: float = GRIB_EARTH_SPHERE):
+    """Spherical LCC inverse (Snyder 15-5..15-11) → (lat, lon) degrees."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    p1, p2, p0 = (math.radians(lat1), math.radians(lat2),
+                  math.radians(lat0))
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(math.cos(p1) / math.cos(p2))
+             / math.log(math.tan(math.pi / 4 + p2 / 2)
+                        / math.tan(math.pi / 4 + p1 / 2)))
+    f = math.cos(p1) * math.tan(math.pi / 4 + p1 / 2) ** n / n
+    rho0 = radius * f / math.tan(math.pi / 4 + p0 / 2) ** n
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(x, rho0 - y)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    phi = 2.0 * np.arctan((radius * f / rho) ** (1.0 / n)) - np.pi / 2
+    return np.degrees(phi), np.degrees(theta / n) + lon0
+
+
+def polar_stereo_sphere_np(lat, lon, lat_ts: float, lon0: float,
+                           south: bool = False,
+                           radius: float = GRIB_EARTH_SPHERE):
+    """Spherical polar stereographic forward, true scale at ``lat_ts``
+    (Snyder 21-8..21-12 with k0 folded in): ρ = R·(1+sin|φts|)·cosφ/(1+sinφ)
+    from the pole of projection. → (x, y) meters."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64) - lon0)
+    if south:
+        phi, lam = -phi, -lam
+    k = radius * (1.0 + math.sin(math.radians(abs(lat_ts))))
+    rho = k * np.cos(phi) / (1.0 + np.sin(phi))
+    x, y = rho * np.sin(lam), -rho * np.cos(lam)
+    if south:
+        x, y = -x, -y
+    return x, y
+
+
+def polar_stereo_sphere_inverse_np(x, y, lat_ts: float, lon0: float,
+                                   south: bool = False,
+                                   radius: float = GRIB_EARTH_SPHERE):
+    """Spherical polar stereographic inverse → (lat, lon) degrees."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if south:
+        x, y = -x, -y
+    k = radius * (1.0 + math.sin(math.radians(abs(lat_ts))))
+    rho = np.hypot(x, y)
+    phi = np.pi / 2 - 2.0 * np.arctan(rho / k)
+    lam = np.arctan2(x, -y)
+    if south:
+        phi, lam = -phi, -lam
+    return np.degrees(phi), np.degrees(lam) + lon0
+
+
+def rotated_pole_to_lonlat_np(lat_r, lon_r, sp_lat: float, sp_lon: float,
+                              angle: float = 0.0):
+    """Rotated-pole grid (GRIB2 template 3.1) → true (lat, lon) degrees.
+
+    The rotated system places the geographic south pole at
+    (``sp_lat``, ``sp_lon``); ``angle`` is the additional rotation about
+    the rotated polar axis. Composition (COSMO convention): rotate the
+    rotated-frame vector by θ = −(90° + sp_lat) about the y-axis, then by
+    sp_lon about the z-axis. Verified invariants: identity when
+    sp_lat=-90/sp_lon=0; the rotated south pole maps to (sp_lat, sp_lon);
+    rotated (0°,0°) maps to (sp_lat + 90°, sp_lon).
+    """
+    phi = np.radians(np.asarray(lat_r, np.float64))
+    lam = np.radians(np.asarray(lon_r, np.float64) + angle)
+    theta = -math.radians(90.0 + sp_lat)
+    ct, st = math.cos(theta), math.sin(theta)
+    xr = np.cos(phi) * np.cos(lam)
+    yr = np.cos(phi) * np.sin(lam)
+    zr = np.sin(phi)
+    # Ry(theta): x' = ct*x + st*z ; z' = -st*x + ct*z
+    x1 = ct * xr + st * zr
+    z1 = -st * xr + ct * zr
+    lam0 = math.radians(sp_lon)
+    cl, sl = math.cos(lam0), math.sin(lam0)
+    x2 = cl * x1 - sl * yr
+    y2 = sl * x1 + cl * yr
+    lat = np.degrees(np.arcsin(np.clip(z1, -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(y2, x2))
+    return lat, lon
+
+
+def lonlat_to_rotated_pole_np(lat, lon, sp_lat: float, sp_lon: float,
+                              angle: float = 0.0):
+    """Inverse of rotated_pole_to_lonlat_np (true → rotated coordinates),
+    used by tests to round-trip and by fixture builders."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64))
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    lam0 = math.radians(sp_lon)
+    cl, sl = math.cos(lam0), math.sin(lam0)
+    x1 = cl * x + sl * y
+    y1 = -sl * x + cl * y
+    theta = -math.radians(90.0 + sp_lat)
+    ct, st = math.cos(theta), math.sin(theta)
+    x2 = ct * x1 - st * z
+    z2 = st * x1 + ct * z
+    lat_r = np.degrees(np.arcsin(np.clip(z2, -1.0, 1.0)))
+    lon_r = np.degrees(np.arctan2(y1, x2)) - angle
+    return lat_r, lon_r
+
+
 def _crs_closed_form(src: str, dst: str):
     """Return a coordinate fn for closed-form CRS pairs involving 4326:
     web mercator, UTM zones (EPSG:326xx/327xx), polar stereographic

@@ -768,6 +768,7 @@ _DRIVER_PRIORITY = [
     "nearest_time",
     # new this round
     "ingest_grib2_png",
+    "ingest_grib2_lcc",
     "ingest_netcdf4",
     "utm_project",
     "lm_score",

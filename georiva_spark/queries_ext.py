@@ -940,6 +940,110 @@ FROM u GROUP BY y
 """
 
 
+def q_ingest_grib2_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end on a PROJECTED grid: embeddings table → GRIB2
+    message on a Lambert-conformal grid (template 3.30, HRRR-style
+    tangent cone at 38.5°N) → binaryFile scan → native decode with
+    per-pixel lat/lon from the closed-form spherical LCC inverse
+    (functions/geo.py; reference reads these grids via eccodes,
+    formats/grib.py:61-144). Output: per-row aggregates of the
+    quantized values plus the min/max decoded lat/lon — on a conic
+    grid latitude varies ALONG each row, so the lat/lon extrema
+    exercise the inverse projection, which the oracle reproduces in
+    SQL with the projection constants inlined as literals (coordinates
+    are micro-degree-rounded on both sides, GRIB's own precision)."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.grib2_codec import encode_grib2_message
+    from georiva_spark.sources.raster_formats import GRIB2
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec = arr.shape[0]
+    buf = encode_grib2_message(
+        arr, shortname="t", ref_time=dt.datetime(2024, 3, 1, 6),
+        forecast_hours=6, la1=35.0, lo1=-100.0, di=0, dj=0,
+        grid_def={"kind": "lcc", "lat1": 38.5, "lat2": 38.5,
+                  "lad": 38.5, "lon0": -97.5, "dx": 3000.0,
+                  "dy": 3000.0})
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_grib_lcc")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_{nvec}.grib2")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = GRIB2.open_variable(spark, fp, "t")
+    return (g.groupBy("y")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 F.min("lat").alias("lat_min"),
+                 F.max("lat").alias("lat_max"),
+                 F.min("lon").alias("lon_min"),
+                 F.max("lon").alias("lon_max")))
+
+
+def _sql_ingest_grib2_lcc() -> str:
+    """Inline the LCC projection constants — computed by the SAME
+    closed-form code the decoder uses — as double literals, so the
+    oracle is self-contained SQL."""
+    import math
+
+    from georiva_spark.functions.geo import GRIB_EARTH_SPHERE, lcc_sphere_np
+
+    p1 = math.radians(38.5)
+    n = math.sin(p1)                       # tangent cone
+    f = math.cos(p1) * math.tan(math.pi / 4 + p1 / 2) ** n / n
+    rho0 = GRIB_EARTH_SPHERE * f / math.tan(math.pi / 4 + p1 / 2) ** n
+    rf = GRIB_EARTH_SPHERE * f
+    x1, y1 = lcc_sphere_np(35.0, -100.0, 38.5, 38.5, 38.5, -97.5)
+    c = {"x1": float(x1), "y1": float(y1), "rho0": rho0, "rf": rf,
+         "n": n, "invn": 1.0 / n, "halfpi": math.pi / 2,
+         "rad2deg": math.degrees(1.0)}
+    lit = {k: repr(v) for k, v in c.items()}
+    return f"""
+WITH r AS (SELECT CAST(MIN(x) AS DOUBLE) AS rv
+           FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+base AS (SELECT vec_id AS j, t.i - 1 AS i0,
+             rv + floor((CAST(embedding[t.i] AS DOUBLE) - rv) * 16777216.0)
+                  * 5.9604644775390625e-08 AS v
+         FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i), r),
+geo AS (SELECT j, v, {lit['x1']} + 3000.0 * i0 AS xx,
+               {lit['y1']} - 3000.0 * j AS yy
+        FROM base),
+inv AS (SELECT j, v,
+               sqrt(xx * xx + ({lit['rho0']} - yy) * ({lit['rho0']} - yy))
+                   AS rho,
+               atan2(xx, {lit['rho0']} - yy) AS theta
+        FROM geo),
+ll AS (SELECT j, v,
+              (2.0 * atan(power({lit['rf']} / rho, {lit['invn']}))
+               - {lit['halfpi']}) * {lit['rad2deg']} AS lat,
+              (theta / {lit['n']}) * {lit['rad2deg']} + -97.5 AS lon_raw
+       FROM inv),
+w AS (SELECT j, v,
+             floor(lat * 1000000.0 + 0.5) / 1000000.0 AS lat,
+             floor((((lon_raw + 180.0)
+                     - 360.0 * floor((lon_raw + 180.0) / 360.0)) - 180.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS lon
+      FROM ll)
+SELECT (SELECT COUNT(*) FROM embeddings) - 1 - j AS y,
+       COUNT(v) AS n, AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax,
+       MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+       MIN(lon) AS lon_min, MAX(lon) AS lon_max
+FROM w GROUP BY j
+"""
+
+
+SQL_INGEST_GRIB2_LCC = _sql_ingest_grib2_lcc()
+
+
 def q_webmercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326→3857 reprojection + slippy tile index (z=6) per distinct
     grid pixel — the tile-export path of the reference's titiler service
@@ -1926,6 +2030,7 @@ EXT_QUERIES = {
     "ingest_netcdf4": q_ingest_netcdf4,
     "ingest_grib2": q_ingest_grib2,
     "ingest_grib2_png": q_ingest_grib2_png,
+    "ingest_grib2_lcc": q_ingest_grib2_lcc,
     "webmercator_tiles": q_webmercator_tiles,
     "utm_project": q_utm_project,
     "regrid_bilinear": q_regrid_bilinear,
@@ -1987,6 +2092,7 @@ EXT_ORACLES = {
     "ingest_netcdf4": SQL_INGEST_NETCDF4,
     "ingest_grib2": SQL_INGEST_GRIB2,
     "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
+    "ingest_grib2_lcc": SQL_INGEST_GRIB2_LCC,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "utm_project": SQL_UTM_PROJECT,
     "regrid_bilinear": SQL_REGRID_BILINEAR,

@@ -223,6 +223,138 @@ def _unpack_complex(s5: bytes, s7: bytes,
     return x, miss
 
 
+def _earth_radius(s3: bytes) -> float:
+    """Sphere radius (m) from the section-3 earth-shape octets 15-30.
+    Projected NWP grids are defined on a sphere: code 6 = 6 371 229 m
+    (the NCEP default), code 0 = 6 367 470 m, code 1 = explicit scaled
+    radius. Ellipsoidal shapes (2-5, 7-9) are gated — the projection
+    closed forms here are the spherical ones eccodes also applies to
+    these grids."""
+    shape = s3[14]
+    if shape == 6:
+        return 6371229.0
+    if shape == 0:
+        return 6367470.0
+    if shape == 1:
+        scale, val = s3[15], _u(s3, 16, 4)
+        if val == 0 or val == 0xFFFFFFFF:
+            raise ValueError("earth shape 1 with no scaled radius")
+        return val * 10.0 ** (-scale)
+    raise NotImplementedError(f"ellipsoidal earth shape {shape} for a "
+                              "projected grid")
+
+
+def _parse_grid(s3: bytes) -> dict:
+    """Section 3 → grid dict. Templates: 3.0 (lat/lon), 3.1 (rotated
+    lat/lon), 3.20 (polar stereographic), 3.30 (Lambert conformal).
+    For projected grids (20/30) `di`/`dj` are Dx/Dy in METERS and
+    la2/lo2 are the inverse-projected far corner; `proj` carries the
+    closed-form parameters for per-pixel lat/lon reconstruction
+    (reference reads all of these via eccodes, formats/grib.py:61-144)."""
+    tmpl = _u(s3, 12, 2)
+    if tmpl in (0, 1):
+        ni, nj = _u(s3, 30, 4), _u(s3, 34, 4)
+        la1, lo1 = _s(s3, 46, 4) / 1e6, _s(s3, 50, 4) / 1e6
+        la2, lo2 = _s(s3, 55, 4) / 1e6, _s(s3, 59, 4) / 1e6
+        di, dj = _u(s3, 63, 4) / 1e6, _u(s3, 67, 4) / 1e6
+        scan = s3[71]
+        proj = None
+        if tmpl == 1:
+            sp_lat, sp_lon = _s(s3, 72, 4) / 1e6, _s(s3, 76, 4) / 1e6
+            angle = struct.unpack(">f", s3[80:84])[0]
+            proj = {"kind": "rotated", "sp_lat": sp_lat, "sp_lon": sp_lon,
+                    "angle": float(angle)}
+        return {"template": tmpl, "ni": ni, "nj": nj, "la1": la1,
+                "lo1": lo1, "la2": la2, "lo2": lo2, "di": di, "dj": dj,
+                "scan": scan, "proj": proj}
+    if tmpl in (20, 30):
+        from georiva_spark.functions.geo import (
+            lcc_sphere_inverse_np, lcc_sphere_np,
+            polar_stereo_sphere_inverse_np, polar_stereo_sphere_np,
+        )
+        radius = _earth_radius(s3)
+        nx, ny = _u(s3, 30, 4), _u(s3, 34, 4)
+        la1, lo1 = _s(s3, 38, 4) / 1e6, _s(s3, 42, 4) / 1e6
+        lad, lov = _s(s3, 47, 4) / 1e6, _s(s3, 51, 4) / 1e6
+        dx, dy = _u(s3, 55, 4) / 1e3, _u(s3, 59, 4) / 1e3
+        centre, scan = s3[63], s3[64]
+        south = bool(centre & 0x80)
+        if tmpl == 20:
+            proj = {"kind": "ps", "lat_ts": lad, "lon0": lov,
+                    "south": south, "radius": radius}
+            fwd = lambda la, lo: polar_stereo_sphere_np(  # noqa: E731
+                la, lo, lad, lov, south=south, radius=radius)
+            inv = lambda x, y: polar_stereo_sphere_inverse_np(  # noqa: E731
+                x, y, lad, lov, south=south, radius=radius)
+        else:
+            latin1 = _s(s3, 65, 4) / 1e6
+            latin2 = _s(s3, 69, 4) / 1e6
+            proj = {"kind": "lcc", "lat1": latin1, "lat2": latin2,
+                    "lat0": lad, "lon0": lov, "radius": radius}
+            fwd = lambda la, lo: lcc_sphere_np(  # noqa: E731
+                la, lo, latin1, latin2, lad, lov, radius=radius)
+            inv = lambda x, y: lcc_sphere_inverse_np(  # noqa: E731
+                x, y, latin1, latin2, lad, lov, radius=radius)
+        x1, y1 = fwd(la1, lo1)
+        sx = -1.0 if scan & 0x80 else 1.0
+        sy = 1.0 if scan & 0x40 else -1.0
+        la2, lo2 = inv(float(x1) + sx * dx * (nx - 1),
+                       float(y1) + sy * dy * (ny - 1))
+        proj.update({"x1": float(x1), "y1": float(y1)})
+        return {"template": tmpl, "ni": nx, "nj": ny, "la1": la1,
+                "lo1": lo1, "la2": float(la2), "lo2": float(lo2),
+                "di": dx, "dj": dy, "scan": scan, "proj": proj}
+    raise NotImplementedError(f"grid template {tmpl}")
+
+
+def grid_latlon_mesh(msg: dict) -> tuple[np.ndarray, np.ndarray] | None:
+    """(lat, lon) 2-D meshes in MESSAGE STORAGE ORDER (row j, col i) for
+    a projected-grid message, or None for plain lat/lon grids (affine
+    transform suffices). Coordinates are rounded to micro-degrees —
+    GRIB2's own coordinate precision — which also makes them exactly
+    reproducible by an external SQL oracle applying the same closed
+    form."""
+    proj = msg.get("proj")
+    if proj is None:
+        return None
+    ni, nj = msg["values"].shape[1], msg["values"].shape[0]
+    scan = msg["scan"]
+    if proj["kind"] == "rotated":
+        dj, di = msg["dj"], msg["di"]
+        latr1, lonr1 = msg["la1"], msg["lo1"]
+        sj = dj if scan & 0x40 else -dj
+        si = -di if scan & 0x80 else di
+        latr = latr1 + sj * np.arange(nj, dtype=np.float64)
+        lonr = lonr1 + si * np.arange(ni, dtype=np.float64)
+        lonr_g, latr_g = np.meshgrid(lonr, latr)
+        from georiva_spark.functions.geo import rotated_pole_to_lonlat_np
+        lat, lon = rotated_pole_to_lonlat_np(
+            latr_g, lonr_g, proj["sp_lat"], proj["sp_lon"], proj["angle"])
+    else:
+        dx, dy = msg["di"], msg["dj"]
+        sx = -1.0 if scan & 0x80 else 1.0
+        sy = 1.0 if scan & 0x40 else -1.0
+        xs = proj["x1"] + sx * dx * np.arange(ni, dtype=np.float64)
+        ys = proj["y1"] + sy * dy * np.arange(nj, dtype=np.float64)
+        xg, yg = np.meshgrid(xs, ys)
+        if proj["kind"] == "ps":
+            from georiva_spark.functions.geo import (
+                polar_stereo_sphere_inverse_np,
+            )
+            lat, lon = polar_stereo_sphere_inverse_np(
+                xg, yg, proj["lat_ts"], proj["lon0"],
+                south=proj["south"], radius=proj["radius"])
+        else:
+            from georiva_spark.functions.geo import lcc_sphere_inverse_np
+            lat, lon = lcc_sphere_inverse_np(
+                xg, yg, proj["lat1"], proj["lat2"], proj["lat0"],
+                proj["lon0"], radius=proj["radius"])
+    lon = ((lon + 180.0) % 360.0) - 180.0
+    lat = np.floor(lat * 1e6 + 0.5) / 1e6
+    lon = np.floor(lon * 1e6 + 0.5) / 1e6
+    return lat, lon
+
+
 def decode_grib2(content: bytes) -> list[dict]:
     """Parse every message → [{"shortName", "discipline", "category",
     "number", "ref_time", "valid_time", "values" (H,W float64, NaN for
@@ -260,13 +392,12 @@ def _decode_message(m: bytes, discipline: int) -> dict:
                            s1[18])
 
     s3 = sections[3]
-    if _u(s3, 12, 2) != 0:
-        raise NotImplementedError(f"grid template {_u(s3, 12, 2)}")
-    ni, nj = _u(s3, 30, 4), _u(s3, 34, 4)
-    la1, lo1 = _s(s3, 46, 4) / 1e6, _s(s3, 50, 4) / 1e6
-    la2, lo2 = _s(s3, 55, 4) / 1e6, _s(s3, 59, 4) / 1e6
-    di, dj = _u(s3, 63, 4) / 1e6, _u(s3, 67, 4) / 1e6
-    scan = s3[71]
+    grid = _parse_grid(s3)
+    ni, nj = grid["ni"], grid["nj"]
+    la1, lo1 = grid["la1"], grid["lo1"]
+    la2, lo2 = grid["la2"], grid["lo2"]
+    di, dj = grid["di"], grid["dj"]
+    scan = grid["scan"]
 
     s4 = sections[4]
     ptmpl = _u(s4, 7, 2)
@@ -346,7 +477,9 @@ def _decode_message(m: bytes, discipline: int) -> dict:
         "stat_process": stat_process,
         "values": values, "la1": la1, "lo1": lo1, "la2": la2, "lo2": lo2,
         "di": di, "dj": dj, "scan": scan,
+        "grid_template": grid["template"], "proj": grid["proj"],
         # +j scanning flag (0x40): rows already run south→north
+        # (for projected grids: projected y increases with row index)
         "south_up": bool(scan & 0x40),
     }
 
@@ -371,7 +504,8 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                          packing: int = 0, spatial_order: int = 2,
                          group_size: int = 20,
                          missing_management: bool = False,
-                         accum_hours: int | None = None) -> bytes:
+                         accum_hours: int | None = None,
+                         grid_def: dict | None = None) -> bytes:
     """One GRIB2 message: lat/lon grid (3.0), product 4.0, packing 5.0
     (simple, default), 5.2 (complex, fixed `group_size` groups), 5.3
     (complex + spatial differencing of `spatial_order`) or 5.41 (PNG);
@@ -381,7 +515,16 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
     convention: all-ones raw value at the group width / all-ones
     width-0 group reference). (la1, lo1) is the FIRST grid point
     (row 0); row order is north→south unless south_up sets the +j
-    scanning flag."""
+    scanning flag.
+
+    ``grid_def`` selects a non-lat/lon grid template:
+    {"kind": "rotated", "sp_lat", "sp_lon", "angle"} (template 3.1 —
+    la1/lo1/di/dj are then ROTATED-frame degrees), {"kind": "ps",
+    "lat_ts", "lon0", "south", "dx", "dy"} (3.20) or {"kind": "lcc",
+    "lat1", "lat2", "lad", "lon0", "dx", "dy"} (3.30) — for the
+    projected pair la1/lo1 stay the true coordinates of the first grid
+    point and dx/dy are meters; earth shape is written as code 6
+    (sphere 6 371 229 m)."""
     a = np.asarray(values, dtype=np.float64)
     nj, ni = a.shape
     mask = np.isfinite(a.ravel())
@@ -401,22 +544,49 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
     s1 = (bytes([0, 0, 0, 0, 1, 0, 1]) + ref_time.year.to_bytes(2, "big")
           + bytes([ref_time.month, ref_time.day, ref_time.hour,
                    ref_time.minute, ref_time.second, 0, 1]))
-    la2 = la1 + (nj - 1) * (dj if south_up else -dj)
-    lo2 = lo1 + (ni - 1) * di
     scan = 0x40 if south_up else 0x00
-    s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big") + bytes([0, 0])
-          + (0).to_bytes(2, "big")                   # template 3.0
-          # octets 15-30: earth shape(1) + 3×(scale(1)+scaled radius(4))
-          + bytes([6, 0]) + (0).to_bytes(4, "big")
-          + bytes([0]) + (0).to_bytes(4, "big")
-          + bytes([0]) + (0).to_bytes(4, "big")
-          + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
-          + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
-          + _sm(round(la1 * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
-          + bytes([0x30])
-          + _sm(round(la2 * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
-          + round(di * 1e6).to_bytes(4, "big")
-          + round(dj * 1e6).to_bytes(4, "big") + bytes([scan]))
+    # octets 15-30: earth shape(1) + 3×(scale(1)+scaled radius(4))
+    earth = (bytes([6, 0]) + (0).to_bytes(4, "big")
+             + bytes([0]) + (0).to_bytes(4, "big")
+             + bytes([0]) + (0).to_bytes(4, "big"))
+    kind = (grid_def or {}).get("kind", "latlon")
+    if kind in ("latlon", "rotated"):
+        la2 = la1 + (nj - 1) * (dj if south_up else -dj)
+        lo2 = lo1 + (ni - 1) * di
+        tnum = 1 if kind == "rotated" else 0
+        s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big") + bytes([0, 0])
+              + tnum.to_bytes(2, "big") + earth
+              + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+              + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
+              + _sm(round(la1 * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
+              + bytes([0x30])
+              + _sm(round(la2 * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
+              + round(di * 1e6).to_bytes(4, "big")
+              + round(dj * 1e6).to_bytes(4, "big") + bytes([scan]))
+        if kind == "rotated":
+            s3 += (_sm(round(grid_def["sp_lat"] * 1e6), 4)
+                   + _sm(round(grid_def["sp_lon"] * 1e6), 4)
+                   + struct.pack(">f", float(grid_def.get("angle", 0.0))))
+    elif kind in ("ps", "lcc"):
+        tnum = 20 if kind == "ps" else 30
+        lad = (grid_def["lat_ts"] if kind == "ps" else grid_def["lad"])
+        centre = 0x80 if (kind == "ps" and grid_def.get("south")) else 0x00
+        s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big") + bytes([0, 0])
+              + tnum.to_bytes(2, "big") + earth
+              + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+              + _sm(round(la1 * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
+              + bytes([0x08])
+              + _sm(round(lad * 1e6), 4)
+              + _sm(round(grid_def["lon0"] * 1e6), 4)
+              + round(grid_def["dx"] * 1e3).to_bytes(4, "big")
+              + round(grid_def["dy"] * 1e3).to_bytes(4, "big")
+              + bytes([centre, scan]))
+        if kind == "lcc":
+            s3 += (_sm(round(grid_def["lat1"] * 1e6), 4)
+                   + _sm(round(grid_def["lat2"] * 1e6), 4)
+                   + _sm(round(-90 * 1e6), 4) + _sm(0, 4))
+    else:
+        raise NotImplementedError(f"grid_def kind {kind!r}")
     if accum_hours is None:
         s4 = ((0).to_bytes(2, "big") + (0).to_bytes(2, "big")  # tmpl 4.0
               + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")

@@ -37,7 +37,9 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
                transform: tuple[float, float, float], *,
                org: str = "default", catalog: str = "t", collection: str = "c",
                window: tuple[int, int, int, int] | None = None,
-               timestamp=None) -> pd.DataFrame:
+               timestamp=None,
+               coords: tuple[np.ndarray, np.ndarray] | None = None
+               ) -> pd.DataFrame:
     """(T,H,W) float array → long grid rows; NaN→null; optional spatial
     window (x_off, y_off, w, h) and single-timestamp selection applied
     *before* explosion (S5/S6 pushdown).
@@ -48,6 +50,12 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
     mirroring the reference's south-up detect, netcdf.py:160-184). The
     3-tuple form means square pixels; rectangular grids (dx ≠ dy) must
     pass the 4-tuple.
+
+    ``coords`` = (lat2d, lon2d) overrides the affine lat/lon — used by
+    PROJECTED grids (GRIB2 LCC / polar stereographic / rotated pole)
+    whose geographic coordinates are not an affine function of (y, x);
+    arrays must be in the same (already-flipped) orientation as
+    ``values`` and are sliced by the same window.
     """
     if len(transform) == 4:
         lat0, lon0, res_y, res_x = transform
@@ -66,9 +74,15 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
     for ti in tsel:
         a = arr[ti]
         h, w = a.shape
+        lat2d = lon2d = None
+        if coords is not None:
+            lat2d, lon2d = coords
         if window is not None:
             x0, y0, ww, wh = window
             a = a[y0:y0 + wh, x0:x0 + ww]
+            if lat2d is not None:
+                lat2d = lat2d[y0:y0 + wh, x0:x0 + ww]
+                lon2d = lon2d[y0:y0 + wh, x0:x0 + ww]
         else:
             x0, y0 = 0, 0
         hh, ww = a.shape
@@ -80,8 +94,10 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
             "org": org, "catalog": catalog, "collection": collection,
             "variable": variable, "time": times[ti], "reference_time": None,
             "y": yy.ravel().astype("int64"), "x": xx.ravel().astype("int64"),
-            "lat": lat0 + res_y * (yy.ravel() + 0.5),
-            "lon": lon0 + res_x * (xx.ravel() + 0.5),
+            "lat": (lat2d.ravel() if lat2d is not None
+                    else lat0 + res_y * (yy.ravel() + 0.5)),
+            "lon": (lon2d.ravel() if lon2d is not None
+                    else lon0 + res_x * (xx.ravel() + 0.5)),
             "value": np.where(np.isnan(vals), None, vals),
         }))
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
@@ -117,10 +133,12 @@ class _BaseFilePlugin:
 
     def _decode_variable(self, content: bytes, variable: str,
                          path: str | None = None):
-        values, times, transform, variables = self._decode(content, path)
+        out = self._decode(content, path)
+        values, times, transform, variables = out[:4]
+        coords = out[4] if len(out) > 4 else None
         if variable not in variables:
             raise KeyError(f"{variable!r} not in {variables}")
-        return values[variables.index(variable)], times, transform
+        return values[variables.index(variable)], times, transform, coords
 
     # -- contract ---------------------------------------------------------
     def list_variables(self, spark: SparkSession, path: str) -> list[str]:
@@ -140,11 +158,12 @@ class _BaseFilePlugin:
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for fpath, content in zip(pdf["path"], pdf["content"]):
-                    values, times, transform = decode(content, variable,
-                                                      fpath)
+                    values, times, transform, coords = decode(
+                        content, variable, fpath)
                     yield _emit_rows(values, times, variable, transform,
                                      collection=collection,
-                                     window=window, timestamp=timestamp)
+                                     window=window, timestamp=timestamp,
+                                     coords=coords)
 
         return (_binary_scan(spark, path).select("path", "content")
                 .mapInPandas(gen, schema=GRID_SCHEMA))
@@ -183,7 +202,9 @@ class Grib2Plugin(_BaseFilePlugin):
     magic_bytes = (b"GRIB",)
 
     def _decode(self, content: bytes, path: str | None = None):
-        from georiva_spark.sources.grib2_codec import decode_grib2
+        from georiva_spark.sources.grib2_codec import (
+            decode_grib2, grid_latlon_mesh,
+        )
         msgs = decode_grib2(content)
         if not msgs:
             raise ValueError("empty GRIB2 payload")
@@ -193,16 +214,28 @@ class Grib2Plugin(_BaseFilePlugin):
         m0 = msgs[0]
         nj = m0["values"].shape[0]
         dj, di = m0["dj"], m0["di"]
-        if m0["south_up"]:
-            lat0 = m0["la1"] - dj / 2
-        else:  # row 0 = north (standard scanning): south edge from la1
-            lat0 = m0["la1"] - (nj - 1) * dj - dj / 2
-        lon0 = m0["lo1"] - di / 2
-        transform = (lat0, lon0, dj, di)    # (lat0, lon0, res_y, res_x)
+        if m0["proj"] is not None:
+            # projected grid (LCC / polar stereo / rotated pole): lat/lon
+            # are not affine in (y, x) — build the inverse-projected mesh
+            # once per file and flip it alongside the values so row 0 is
+            # the smallest projected y / rotated lat
+            transform = (0.0, 0.0, dj, di)
+            mesh = grid_latlon_mesh(m0)
+            coords = (mesh if m0["south_up"]
+                      else (np.flipud(mesh[0]), np.flipud(mesh[1])))
+        else:
+            if m0["south_up"]:
+                lat0 = m0["la1"] - dj / 2
+            else:  # row 0 = north (standard scanning): south edge from la1
+                lat0 = m0["la1"] - (nj - 1) * dj - dj / 2
+            lon0 = m0["lo1"] - di / 2
+            transform = (lat0, lon0, dj, di)   # (lat0, lon0, res_y, res_x)
+            coords = None
         # the shared (values, times, transform) contract requires every
         # variable on the same grid and time axis — fail loudly on a
         # mixed file rather than silently dropping/misaligning steps
-        geo_keys = ("la1", "lo1", "di", "dj", "scan")
+        geo_keys = ("la1", "lo1", "di", "dj", "scan", "grid_template",
+                    "proj")
         for m in msgs[1:]:
             if (m["values"].shape != m0["values"].shape
                     or any(m[k] != m0[k] for k in geo_keys)):
@@ -224,7 +257,7 @@ class Grib2Plugin(_BaseFilePlugin):
                 a = m["values"]
                 stack.append(a if m["south_up"] else np.flipud(a))
             values.append(np.stack(stack))
-        return values, times, transform, variables
+        return values, times, transform, variables, coords
 
 
 class NetCDFPlugin(_BaseFilePlugin):

@@ -290,3 +290,157 @@ def test_jpeg_packing_gated():
         pos += ln
     with pytest.raises(NotImplementedError, match="5.40"):
         decode_grib2(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# Projected grids: templates 3.1 (rotated pole), 3.20 (polar stereo),
+# 3.30 (Lambert conformal) — reference reads these via eccodes
+# (formats/grib.py:61-144); here the closed-form spherical inverses in
+# functions/geo.py reconstruct per-pixel lat/lon.
+# ---------------------------------------------------------------------------
+
+def _micro(v):
+    return np.floor(np.asarray(v) * 1e6 + 0.5) / 1e6
+
+
+def test_lcc_grid_template_roundtrip():
+    from georiva_spark.functions.geo import (
+        lcc_sphere_inverse_np, lcc_sphere_np,
+    )
+    from georiva_spark.sources.grib2_codec import grid_latlon_mesh
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(250, 300, (5, 7))
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, forecast_hours=6,
+        la1=35.0, lo1=-100.0, di=0, dj=0,
+        grid_def={"kind": "lcc", "lat1": 38.5, "lat2": 38.5, "lad": 38.5,
+                  "lon0": -97.5, "dx": 3000.0, "dy": 3000.0})
+    m = decode_grib2(buf)[0]
+    assert m["grid_template"] == 30
+    assert m["proj"]["kind"] == "lcc"
+    assert m["proj"]["radius"] == 6371229.0
+    lat2d, lon2d = grid_latlon_mesh(m)
+    # first grid point round-trips exactly (la1/lo1 are micro-degree coords)
+    assert (lat2d[0, 0], lon2d[0, 0]) == (35.0, -100.0)
+    # an interior point matches the direct forward+offset+inverse path
+    x1, y1 = lcc_sphere_np(35.0, -100.0, 38.5, 38.5, 38.5, -97.5)
+    la, lo = lcc_sphere_inverse_np(float(x1) + 3 * 3000.0,
+                                   float(y1) - 2 * 3000.0,  # scan 0: -j
+                                   38.5, 38.5, 38.5, -97.5)
+    assert lat2d[2, 3] == _micro(la) and lon2d[2, 3] == _micro(lo)
+    # far-corner metadata comes from the same inverse
+    la2, lo2 = lcc_sphere_inverse_np(float(x1) + 6 * 3000.0,
+                                     float(y1) - 4 * 3000.0,
+                                     38.5, 38.5, 38.5, -97.5)
+    assert abs(m["la2"] - float(la2)) < 1e-12
+    assert abs(m["lo2"] - float(lo2)) < 1e-12
+
+
+def test_polar_stereo_grid_template_south_pole_flag():
+    from georiva_spark.sources.grib2_codec import grid_latlon_mesh
+
+    a = np.ones((4, 4))
+    for south, la1 in ((False, 60.0), (True, -60.0)):
+        buf = encode_grib2_message(
+            a, shortname="t", ref_time=T0, la1=la1, lo1=10.0,
+            di=0, dj=0, south_up=True,
+            grid_def={"kind": "ps", "lat_ts": la1, "lon0": -45.0,
+                      "south": south, "dx": 25000.0, "dy": 25000.0})
+        m = decode_grib2(buf)[0]
+        assert m["grid_template"] == 20
+        assert m["proj"]["south"] is south
+        lat2d, lon2d = grid_latlon_mesh(m)
+        assert (lat2d[0, 0], lon2d[0, 0]) == (la1, 10.0)
+        # moving away from the pole of projection lowers |lat|
+        assert abs(lat2d[-1, -1]) < abs(la1)
+
+
+def test_rotated_pole_grid_template():
+    from georiva_spark.functions.geo import (
+        lonlat_to_rotated_pole_np, rotated_pole_to_lonlat_np,
+    )
+    from georiva_spark.sources.grib2_codec import grid_latlon_mesh
+
+    a = np.zeros((3, 5))
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=-1.0, lo1=-2.0,
+        di=0.5, dj=0.5, south_up=True,
+        grid_def={"kind": "rotated", "sp_lat": -40.0, "sp_lon": 10.0,
+                  "angle": 0.0})
+    m = decode_grib2(buf)[0]
+    assert m["grid_template"] == 1
+    assert m["proj"] == {"kind": "rotated", "sp_lat": -40.0,
+                         "sp_lon": 10.0, "angle": 0.0}
+    lat2d, lon2d = grid_latlon_mesh(m)
+    la, lo = rotated_pole_to_lonlat_np(-1.0 + 0.5 * 2, -2.0 + 0.5 * 4,
+                                       -40.0, 10.0)
+    assert lat2d[2, 4] == _micro(la) and lon2d[2, 4] == _micro(lo)
+    # unrotating back recovers the rotated grid coordinate
+    lr, lor = lonlat_to_rotated_pole_np(la, lo, -40.0, 10.0)
+    assert abs(lr - 0.0) < 1e-9 and abs(lor - 0.0) < 1e-9
+
+
+def test_rotated_pole_invariants():
+    from georiva_spark.functions.geo import rotated_pole_to_lonlat_np
+
+    # identity rotation: south pole at the true south pole
+    la, lo = rotated_pole_to_lonlat_np(12.5, 34.5, -90.0, 0.0)
+    assert abs(la - 12.5) < 1e-9 and abs(lo - 34.5) < 1e-9
+    # the rotated south pole maps to the configured pole position
+    la, lo = rotated_pole_to_lonlat_np(-90.0, 0.0, -35.0, -10.0)
+    assert abs(la - (-35.0)) < 1e-9 and abs(lo - (-10.0)) < 1e-9
+    # grid origin maps 90° north of the pole along its meridian
+    la, lo = rotated_pole_to_lonlat_np(0.0, 0.0, -35.0, -10.0)
+    assert abs(la - 55.0) < 1e-9 and abs(lo - (-10.0)) < 1e-9
+
+
+def test_lcc_plugin_grid_contract(spark, tmp_path):
+    """LCC message through the Spark scan: row 0 = smallest projected y,
+    per-pixel lat/lon from the inverse projection, window pushdown."""
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 10, (4, 6))
+    a[1, 2] = np.nan
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, forecast_hours=3,
+        la1=44.0, lo1=5.0, di=0, dj=0,
+        grid_def={"kind": "lcc", "lat1": 46.0, "lat2": 46.0, "lad": 46.0,
+                  "lon0": 8.0, "dx": 10000.0, "dy": 10000.0})
+    fp = tmp_path / "lcc.grib2"
+    fp.write_bytes(buf)
+    df = GRIB2.open_variable(spark, str(fp), "t")
+    rows = {(r.y, r.x): r for r in df.collect()}
+    assert len(rows) == 24
+    # scan mode 0 (north→south): storage row 0 = la1 → lands at y=3
+    assert (rows[(3, 0)].lat, rows[(3, 0)].lon) == (44.0, 5.0)
+    assert rows[(3, 0)].value == pytest.approx(a[0, 0], abs=1e-6)
+    assert rows[(2, 2)].value is None                   # NaN → null
+    # y increases with projected y: northern rows have larger lat at x=0
+    assert rows[(3, 0)].lat > rows[(0, 0)].lat
+    # window slices coords and values together
+    sub = {(r.y, r.x): r for r in GRIB2.open_variable(
+        spark, str(fp), "t", window=(1, 1, 2, 2)).collect()}
+    assert set(sub) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    for k, r in sub.items():
+        assert (r.lat, r.lon) == (rows[k].lat, rows[k].lon)
+        if rows[k].value is None:
+            assert r.value is None
+        else:
+            assert r.value == rows[k].value
+
+
+def test_ellipsoidal_earth_shape_gated():
+    buf = bytearray(encode_grib2_message(
+        np.ones((2, 2)), shortname="t", ref_time=T0, la1=60.0, lo1=0.0,
+        di=0, dj=0,
+        grid_def={"kind": "ps", "lat_ts": 60.0, "lon0": 0.0,
+                  "south": False, "dx": 1000.0, "dy": 1000.0}))
+    pos = 16
+    while True:
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        if buf[pos + 4] == 3:
+            buf[pos + 14] = 4        # IAG-GRS80 ellipsoid → gated
+            break
+        pos += ln
+    with pytest.raises(NotImplementedError, match="earth shape"):
+        decode_grib2(bytes(buf))
