@@ -441,3 +441,52 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
             .select("doc_id",
                     ov.cast("int").alias("overlap_ngrams"),
                     (ov >= min_overlap).alias("contaminated")))
+
+
+def line_dedup(docs: DataFrame, *, delim: str = "\n", max_line_df: int = 1,
+               text_col: str = "text",
+               portable: bool = False) -> DataFrame:
+    """CCNet-style line-level (paragraph) deduplication (Wenzek et al.
+    2020): split each document into lines, hash the normalized line
+    (lowercase, whitespace-collapsed), count how many DOCUMENTS each
+    line hash appears in corpus-wide, drop lines whose document
+    frequency exceeds ``max_line_df`` (boilerplate headers, cookie
+    banners, navigation), and reassemble the surviving lines in their
+    original order. → (doc_id, n_lines, n_kept, kept_text).
+
+    Scale shape: the frequency table shuffles (line_hash, doc_id) pairs
+    — 8-byte keys, never line text; the per-doc reassembly groups by
+    doc_id carrying (pos, line) so each document's lines stay together
+    with map-side combine. Documents with zero surviving lines are kept
+    with kept_text = '' (the caller filters), matching CCNet's
+    drop-then-score order; null-text documents are dropped. ``delim``
+    is a split regex (default newline — literal and regex coincide).
+    """
+    hasher = portable_hash64 if portable else F.xxhash64
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), delim, -1))
+         .alias("pos", "line"))
+    norm = F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " ")))
+    hashed = lines.select("doc_id", "pos", "line",
+                          hasher(norm).alias("lh"))
+    freq = (hashed.select("lh", "doc_id").distinct()
+            .groupBy("lh").agg(F.count(F.lit(1)).alias("line_df")))
+    kept = (hashed.join(freq, "lh")
+            .where(F.col("line_df") <= max_line_df))
+    agg = (kept.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "line"))),
+                        lambda s: s["line"]),
+                    delim).alias("kept_text")))
+    totals = (lines.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_lines")))
+    return (totals.join(agg, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce(F.col("n_kept"), F.lit(0))
+                     .cast("int").alias("n_kept"),
+                    F.coalesce(F.col("kept_text"), F.lit(""))
+                     .alias("kept_text")))

@@ -273,6 +273,66 @@ def knn_ivf_pinned(emb: DataFrame, query_vec_id: int, k: int = 5,
             .drop("_cos"))
 
 
+def semdedup(emb: DataFrame, n_clusters: int = 8,
+             threshold: float = 0.97) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embedding space, then mark as duplicates the members whose cosine to
+    a LOWER-vec_id member of the SAME cluster exceeds ``threshold`` (the
+    lowest id of each near-duplicate set survives as the deterministic
+    representative). → (vec_id, cluster, is_dup).
+
+    Clustering uses the same pinned deterministic centroids as
+    knn_ivf_pinned (corpus rows at evenly spaced ids — a quantizer
+    "trained elsewhere and shipped as literals"), so assignment is an
+    in-row argmin with ZERO shuffle and the whole pipeline is exact
+    closed-form arithmetic a SQL oracle reproduces.
+
+    Scale shape: the point of SemDeDup is that the O(n²) cosine matrix
+    is never formed — candidate pairs exist only WITHIN a cluster, so
+    the self-join shuffles on the cluster key and each reducer sees one
+    cluster's members (Σ|c|² work, |c| ≈ n/K). At 100 TB the assigned
+    table is written partitioned by cluster and the join is
+    partition-local; a skewed megacluster splits under AQE skew-join.
+    """
+    n = emb.count()
+    step = max(1, n // n_clusters)
+    cids = [i * step + step // 2 for i in range(n_clusters)]
+    cmap = {r.vec_id: [float(v) for v in r.embedding]
+            for r in emb.where(F.col("vec_id").isin(cids))
+                        .select("vec_id", "embedding").collect()}
+    cents = [cmap[c] for c in cids]
+
+    def l2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in cvec]),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    cell = F.array_min(F.array(*[
+        F.struct(l2(cents[i]).alias("d"), F.lit(i).alias("c"))
+        for i in range(n_clusters)]))["c"]
+    assigned = emb.select("vec_id", "embedding",
+                          cell.alias("cluster"))
+
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("ea"),
+                        F.col("cluster").alias("ca"))
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("eb"),
+                        F.col("cluster").alias("cb"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    dups = (a.join(b, (F.col("ca") == F.col("cb"))
+                   & (F.col("id_b") < F.col("id_a")))
+             .where(cos > F.lit(threshold))
+             .select(F.col("id_a").alias("vec_id")).distinct())
+    return (assigned.join(dups.withColumn("_d", F.lit(True)),
+                          "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")))
+
+
 def knn_ivf_pq(emb: DataFrame, query_vec_id: int, k: int = 5,
                n_centroids: int = 8, nprobe: int = 2,
                m: int = 8, nbits: int = 4) -> DataFrame:

@@ -444,3 +444,89 @@ def pack_sequences(docs: DataFrame, context_len: int = 2048,
     return narrow.groupBy("shard").applyInPandas(
         _pack,
         "doc_id long, shard int, bin_id long, bin_offset long, n_tok long")
+
+
+def canonicalize_url(url):
+    """Canonical URL Column for URL-level dedup of a crawl corpus:
+    lowercase scheme+host, strip the fragment, drop the default :80/:443
+    port, remove utm_* / fbclid / gclid tracking parameters (fixing up
+    the leftover separator), drop an empty trailing '?', and strip one
+    trailing slash from a non-root path. Pure JVM regexp chain (RE2-safe
+    patterns — no lookaround), so a 100-TB canonicalization runs inside
+    whole-stage codegen with zero Python.
+    """
+    c = F.regexp_replace(url, r"#.*$", "")                 # fragment
+    # lowercase the scheme://host[:port] prefix only
+    head = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*",
+                                    0))
+    tail = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    c = F.concat(head, tail)
+    c = F.regexp_replace(c, r"^(https?://[^/:?]*):(80|443)([/?]|$)",
+                         r"$1$3")                          # default port
+    c = F.regexp_replace(c, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*",
+                         "")                               # trackers
+    # a surviving '&...' that lost its '?' lead becomes '?...'
+    c = F.regexp_replace(c, r"^([^?]*)&", r"$1?")
+    c = F.regexp_replace(c, r"\?$", "")                    # bare '?'
+    c = F.regexp_replace(c, r"(://[^/?]+/[^?]*?)/(\?|$)", r"$1$2")
+    return c
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level dedup: canonicalize, then keep ONE document per
+    canonical URL — the longest text wins, ties to the smallest doc_id
+    (the common crawl-dedup policy: re-fetches and tracking-parameter
+    variants collapse to the best capture). → (canonical_url,
+    keep_doc_id, n_dups, max_chars).
+
+    One hash-shuffle on the canonical URL; min_by/max_by keeps the
+    reduction map-side partial — no window, no sort of the corpus.
+    """
+    canon = canonicalize_url(F.col(url_col))
+    pick = F.struct(F.col("n_chars").alias("len"),
+                    (-F.col("doc_id")).alias("nid"))
+    return (docs.select(canon.alias("canonical_url"), "doc_id", "n_chars")
+            .groupBy("canonical_url")
+            .agg(F.max_by(F.col("doc_id"), pick).alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_dups"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding tokenization with a PINNED merge table — the
+    real greedy-merge procedure (Sennrich et al. 2016), not a regex
+    approximation: each whitespace word is exploded to space-separated
+    characters, then every merge (a, b) — in rank order — rewrites
+    ' a b ' → ' ab ' across the word. String replace applies
+    left-to-right on non-overlapping occurrences (the greedy BPE
+    tiebreak within a rank); each merge runs TWICE because a match
+    consumes its trailing space, which otherwise skips the second of
+    two back-to-back occurrences (' a b a b ') that true
+    re-scan-after-merge BPE would also fold. → (doc_id, n_tokens,
+    n_bpe_tokens, bpe_preview).
+
+    Scale shape: the merge chain compiles to |merges| nested literal
+    `replace` expressions inside ONE transform() lambda — in-row, zero
+    shuffle, zero Python, whole-stage codegen; tokenizing 100 TB is a
+    pure scan. A production 32k-merge vocab would switch the inner loop
+    to a broadcast trie in a pandas_udf; the pinned-merges path is the
+    oracle-checkable core.
+    """
+    def encode_word(w):
+        # "abc" -> " a b c " with sentinel spaces so every pair is
+        # bounded by spaces and merges can match at word edges
+        s = F.concat(F.lit(" "),
+                     F.array_join(F.split(w, ""), " "), F.lit(" "))
+        for a, b in merges:
+            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            s = F.replace(F.replace(s, pat, rep), pat, rep)
+        return F.split(F.trim(s), " ")
+
+    toks = tokens(F.col(text_col))
+    bpe = F.flatten(F.transform(toks, encode_word))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.array_join(F.slice(bpe, 1, 12), "|").alias("bpe_preview"))

@@ -774,6 +774,10 @@ _DRIVER_PRIORITY = [
     "lm_score",
     "html_text",
     "knn_ivf_pq",
+    "line_dedup",
+    "url_dedup",
+    "semdedup",
+    "bpe_tokenize",
     # never recorded (sat past position 50 in rounds 1-2)
     "regrid_bilinear",
     "fingerprints",

@@ -2009,6 +2009,194 @@ FROM q WHERE pxmin < pxmax AND pymin < pymax
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 LLM-pipeline additions: line-level dedup, URL dedup, SemDeDup,
+# BPE tokenization
+# ---------------------------------------------------------------------------
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup over the documents table. The
+    synthetic corpus has no newlines, so the fixture step materializes
+    pseudo-lines — runs of 8 whitespace tokens joined by '\\n' — with
+    exact HOF string ops (no regex, so the oracle rebuilds the same
+    strings bit-identically), then drops every line whose corpus-wide
+    document frequency exceeds 2 and reassembles the survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lined = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 8 + 1, 8), " ")),
+        "\n")
+    staged = docs.select("doc_id", lined.alias("text"))
+    return dedup.line_dedup(staged, max_line_df=2)
+
+
+SQL_LINE_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(generate_series(
+             0, CAST(ceil(len(toks) / 8.0) AS INTEGER) - 1)) AS pos,
+         toks
+  FROM t),
+l AS (SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos * 8 + 1, pos * 8 + 8),
+                             ' ') AS line
+      FROM lines),
+n AS (SELECT doc_id, pos, line,
+             lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS norm
+      FROM l),
+freq AS (SELECT norm, COUNT(DISTINCT doc_id) AS line_df
+         FROM n GROUP BY norm),
+kept AS (SELECT n.doc_id, n.pos, n.line
+         FROM n JOIN freq USING (norm) WHERE line_df <= 2),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS kept_text
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_lines,
+       CAST(COALESCE(agg.n_kept, 0) AS INTEGER) AS n_kept,
+       COALESCE(agg.kept_text, '') AS kept_text
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: deterministic messy URL variants (case,
+    default port, fragments, utm tracking params, trailing slash) built
+    from (source, doc_id), canonicalized by the JVM regexp chain, then
+    one winner per canonical URL (longest text, ties → lowest doc_id).
+    The oracle constructs the INTENDED canonical form directly from the
+    same columns — an independent derivation, so it verifies the
+    canonicalizer's semantics rather than mirroring its regexes."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    slot = (F.col("doc_id") % 7).cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host,
+                                   F.lit("/a/"), slot))
+            .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                   F.lit(":443/a/"), slot,
+                                   F.lit("?utm_source=feed")))
+            .when(v == 2, F.concat(F.lit("https://"), host,
+                                   F.lit("/a/"), slot, F.lit("/#frag")))
+            .otherwise(F.concat(F.lit("https://"), host,
+                                F.lit(":443/a/"), slot,
+                                F.lit("?utm_campaign=x&ref=1"))))
+    staged = docs.select("doc_id", "n_chars", url.alias("url"))
+    return textops.url_dedup(staged)
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' || source || '.example.com/a/'
+         || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 3 THEN '?ref=1' ELSE '' END
+             AS canonical_url
+  FROM documents),
+g AS (SELECT canonical_url, COUNT(*) AS n_dups, MAX(n_chars) AS max_chars
+      FROM u GROUP BY canonical_url),
+w AS (SELECT canonical_url, doc_id AS keep_doc_id FROM u
+      QUALIFY row_number() OVER (PARTITION BY canonical_url
+                                 ORDER BY n_chars DESC, doc_id) = 1)
+SELECT g.canonical_url, w.keep_doc_id, g.n_dups, g.max_chars
+FROM g JOIN w USING (canonical_url)
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: pinned-centroid coarse
+    clustering (deterministic corpus rows, zero-shuffle in-row argmin)
+    then within-cluster cosine near-dup marking. Threshold 0.3 is tuned
+    to the synthetic corpus (max pairwise cosine ≈0.48) so the output
+    carries a real kept/dropped mix; production corpora use ≈0.95+."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_clusters=8, threshold=0.3)
+
+
+SQL_SEMDEDUP = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+dist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cluster FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+pairs AS (
+  SELECT a1.vec_id
+  FROM embeddings e1
+  JOIN assign a1 ON e1.vec_id = a1.vec_id
+  JOIN assign a2 ON a1.cluster = a2.cluster AND a2.vec_id < a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+  WHERE (SELECT SUM(CAST(e1.embedding[i] AS DOUBLE)
+                  * CAST(e2.embedding[i] AS DOUBLE))
+         FROM generate_series(1, 64) AS t(i))
+        / (SQRT((SELECT SUM(CAST(e1.embedding[i] AS DOUBLE)
+                          * CAST(e1.embedding[i] AS DOUBLE))
+                 FROM generate_series(1, 64) AS t(i)))
+           * SQRT((SELECT SUM(CAST(e2.embedding[i] AS DOUBLE)
+                            * CAST(e2.embedding[i] AS DOUBLE))
+                   FROM generate_series(1, 64) AS t(i)))) > 0.3)
+SELECT a.vec_id, a.cluster,
+       EXISTS (SELECT 1 FROM pairs p WHERE p.vec_id = a.vec_id) AS is_dup
+FROM assign a
+"""
+
+
+# Pinned BPE merge table (rank order) over the synthetic corpus alphabet;
+# chosen so several whole corpus words collapse to single tokens while
+# others stop mid-merge — exercises rank order and partial merges.
+BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("v", "a"), ("va", "l"), ("u", "e"), ("val", "ue"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("r", "o"), ("ro", "w"),
+    ("p", "a"), ("pa", "r"), ("par", "t"),
+    ("k", "e"), ("ke", "y"),
+    ("t", "h"), ("th", "e"),
+]
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE tokenization of the documents table with the pinned
+    BPE_MERGES table — real merge semantics (rank order, left-to-right
+    within a rank) as a pure in-row literal-replace chain; the oracle
+    applies the identical chain in DuckDB lambda form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_apply(docs, BPE_MERGES)
+
+
+def _sql_bpe_tokenize() -> str:
+    chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for a, b in BPE_MERGES:
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        chain = f"replace(replace({chain}, {pat}, {rep}), {pat}, {rep})"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             flatten(list_transform(toks,
+                 w -> string_split(trim({chain}), ' '))) AS bpe
+      FROM t)
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+       array_to_string(list_slice(bpe, 1, 12), '|') AS bpe_preview
+FROM b
+"""
+
+
+SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -2047,6 +2235,10 @@ EXT_QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "line_dedup": q_line_dedup,
+    "url_dedup": q_url_dedup,
+    "semdedup": q_semdedup,
+    "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
     "pii_scrub": q_pii_scrub,
@@ -2109,6 +2301,10 @@ EXT_ORACLES = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "line_dedup": SQL_LINE_DEDUP,
+    "url_dedup": SQL_URL_DEDUP,
+    "semdedup": SQL_SEMDEDUP,
+    "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,
     "pii_scrub": SQL_PII_SCRUB,

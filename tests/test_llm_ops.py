@@ -559,3 +559,121 @@ def test_knn_ivf_pq_pinned_finds_planted_neighbor(spark):
     # jump to a wrong cluster
     assert set(ids) <= set(range(16))
     assert all(r.adc_dist >= 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: line-level dedup, URL dedup, SemDeDup, BPE
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_drops_boilerplate(spark):
+    boiler = "accept all cookies"
+    rows = [
+        (1, boiler + "\nunique first body\nshared footer"),
+        (2, boiler + "\nanother body entirely\nshared footer"),
+        (3, boiler + "\nthird document text"),
+        (4, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(df, max_line_df=2)
+           .collect()}
+    # boilerplate appears in 3 docs (> 2) → dropped everywhere;
+    # 'shared footer' appears in exactly 2 → kept
+    assert out[1].kept_text == "unique first body\nshared footer"
+    assert out[2].kept_text == "another body entirely\nshared footer"
+    assert out[3].kept_text == "third document text"
+    assert out[4].kept_text == "no boilerplate here at all"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    # normalization: case/extra-space variants count as the same line
+    df2 = spark.createDataFrame(
+        [(1, "Accept  ALL Cookies"), (2, "accept all cookies"),
+         (3, "accept all cookies")],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r for r in dedup.line_dedup(df2, max_line_df=2)
+            .collect()}
+    assert all(r.n_kept == 0 and r.kept_text == "" for r in out2.values())
+
+
+def test_line_dedup_order_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "z last\na first\nm middle")], "doc_id long, text string")
+    out = dedup.line_dedup(df).head()
+    assert out.kept_text == "z last\na first\nm middle"
+
+
+def test_canonicalize_url(spark):
+    cases = {
+        "https://a.com/x#frag": "https://a.com/x",
+        "HTTP://WWW.A.COM/Path": "http://www.a.com/Path",
+        "https://a.com:443/x": "https://a.com/x",
+        "http://a.com:80/x": "http://a.com/x",
+        "http://a.com:8080/x": "http://a.com:8080/x",   # non-default kept
+        "https://a.com/x?utm_source=f": "https://a.com/x",
+        "https://a.com/x?utm_source=f&id=3": "https://a.com/x?id=3",
+        "https://a.com/x?id=3&utm_medium=m&fbclid=z": "https://a.com/x?id=3",
+        "https://a.com/x/": "https://a.com/x",
+        "https://a.com/": "https://a.com/",             # root slash kept
+        "https://a.com/x/?id=1": "https://a.com/x?id=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = dict(zip(cases, [r.c for r in df.select(
+        textops.canonicalize_url(F.col("url")).alias("c")).collect()]))
+    assert got == cases
+
+
+def test_url_dedup_keeps_longest(spark):
+    rows = [(1, 100, "https://a.com/x?utm_source=f"),
+            (2, 300, "HTTPS://A.COM/x#top"),
+            (3, 300, "https://a.com:443/x/"),
+            (4, 50, "https://b.com/y")]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, url string")
+    out = {r.canonical_url: r for r in textops.url_dedup(df).collect()}
+    g = out["https://a.com/x"]
+    # longest wins; tie between 2 and 3 → lowest doc_id
+    assert (g.keep_doc_id, g.n_dups, g.max_chars) == (2, 3, 300)
+    assert out["https://b.com/y"].keep_doc_id == 4
+
+
+def test_semdedup_marks_near_duplicates(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    # plant two near-dups of vector 5 (tiny perturbation → cosine ≈ 1)
+    for nid in (40, 41):
+        pert = base[5] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+        rows.append((nid, [float(v) for v in pert]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           similarity.semdedup(emb, n_clusters=4, threshold=0.95)
+           .collect()}
+    assert len(out) == 42
+    # the lowest id of the near-dup set survives; the copies are dups
+    assert not out[5].is_dup
+    assert out[40].is_dup and out[41].is_dup
+    # near-dups land in the representative's cluster (they're ≈ equal)
+    assert out[40].cluster == out[5].cluster == out[41].cluster
+    # everything else is untouched (random gaussians never hit 0.95)
+    assert sum(r.is_dup for r in out.values()) == 2
+
+
+def test_bpe_apply_merge_semantics(spark):
+    merges = [("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+              ("p", "a")]
+    df = spark.createDataFrame(
+        [(1, "table tale papa stable")], "doc_id long, text string")
+    out = textops.bpe_apply(df, merges).head()
+    # table -> [table]; tale -> ta l e -> ta le (no 'tale' merge);
+    # papa -> pa pa (double-apply folds the back-to-back pair);
+    # stable -> s t a b le -> s ta b le -> s tab le -> s table? no:
+    #   'tab'+'le' merge needs ' tab le ' which IS present -> s table
+    assert out.n_tokens == 4
+    assert out.bpe_preview == "table|ta|le|pa|pa|s|table"
+    assert out.n_bpe_tokens == 7
+
+
+def test_bpe_rank_order_matters(spark):
+    # rank order: ('a','b') before ('b','c') consumes the shared 'b'
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out1 = textops.bpe_apply(df, [("a", "b"), ("b", "c")]).head()
+    assert out1.bpe_preview == "ab|c"
+    out2 = textops.bpe_apply(df, [("b", "c"), ("a", "b")]).head()
+    assert out2.bpe_preview == "a|bc"
