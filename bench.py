@@ -29,6 +29,8 @@ HEADLINE = [
     "dedup_exact", "minhash_dedup", "text_quality", "knn_cosine",
     "dedup_clusters", "chunk_docs", "pii_scrub", "repetition", "hash_sample",
     "vocab", "quantize_emb", "mvt_tiles", "fingerprints", "file_times",
+    "line_dedup", "url_dedup", "semdedup", "bpe_tokenize",
+    "ingest_grib2_lcc",
 ]
 
 
