@@ -769,6 +769,7 @@ _DRIVER_PRIORITY = [
     # new this round
     "ingest_grib2_png",
     "ingest_grib2_lcc",
+    "ingest_grib2_j2k",
     "ingest_netcdf4",
     "utm_project",
     "lm_score",

@@ -940,6 +940,62 @@ FROM u GROUP BY y
 """
 
 
+def q_ingest_grib2_j2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end via JPEG2000 packing (template 5.40 — the encoding
+    GFS/NCEP products ship): the X integers ride in a lossless JPEG 2000
+    codestream built and decoded by the dependency-free j2k_codec (MQ
+    coder + EBCOT T1 + reversible 5/3 wavelet). Lossless J2K reproduces
+    the floor-quantized integers exactly, so the same dyadic-arithmetic
+    oracle applies. A 200-vector subset and e_scale −10 keep the pure-
+    Python Tier-1 pass fast at gate time (the Spark scan parallelizes
+    over FILES at scale — per-file decode cost is the price of
+    dependency freedom, amortized across executors)."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.grib2_codec import encode_grib2_message
+    from georiva_spark.sources.raster_formats import GRIB2
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 200).orderBy("vec_id"))
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec = arr.shape[0]
+    buf = encode_grib2_message(
+        arr, shortname="t", ref_time=dt.datetime(2024, 3, 1, 6),
+        forecast_hours=24, la1=(nvec - 0.5) * 0.01, lo1=0.005,
+        di=0.01, dj=0.01, packing=40, e_scale=-10)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_grib_j2k")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_{nvec}.grib2")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = GRIB2.open_variable(spark, fp, "t")
+    return (g.groupBy("y", "time")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_INGEST_GRIB2_J2K = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+r AS (SELECT CAST(MIN(x) AS DOUBLE) AS rv
+      FROM (SELECT unnest(embedding) AS x FROM e)),
+u AS (SELECT (SELECT COUNT(*) FROM e) - 1 - vec_id AS y,
+             rv + floor((CAST(x AS DOUBLE) - rv) * 1024.0)
+                  * 0.0009765625 AS v
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM e), r)
+SELECT y, TIMESTAMP '2024-03-02 06:00:00' AS time, COUNT(v) AS n,
+       AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
 def q_ingest_grib2_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end on a PROJECTED grid: embeddings table → GRIB2
     message on a Lambert-conformal grid (template 3.30, HRRR-style
@@ -2219,6 +2275,7 @@ EXT_QUERIES = {
     "ingest_grib2": q_ingest_grib2,
     "ingest_grib2_png": q_ingest_grib2_png,
     "ingest_grib2_lcc": q_ingest_grib2_lcc,
+    "ingest_grib2_j2k": q_ingest_grib2_j2k,
     "webmercator_tiles": q_webmercator_tiles,
     "utm_project": q_utm_project,
     "regrid_bilinear": q_regrid_bilinear,
@@ -2285,6 +2342,7 @@ EXT_ORACLES = {
     "ingest_grib2": SQL_INGEST_GRIB2,
     "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
     "ingest_grib2_lcc": SQL_INGEST_GRIB2_LCC,
+    "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "utm_project": SQL_UTM_PROJECT,
     "regrid_bilinear": SQL_REGRID_BILINEAR,

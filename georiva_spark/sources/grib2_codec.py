@@ -21,8 +21,12 @@ contiguous variable-width value stream, then the gmin shift and the
 first/second-order undifferencing recurrence. PNG packing (5.41) decodes
 natively via the dependency-free codec in png_codec.py (zlib + scanline
 filters — same section-5 layout as 5.0, X values as PNG pixel samples).
-Missing-value management (octet 23 ≠ 0) and JPEG2000 packing (5.40)
-still need eccodes and raise NotImplementedError.
+JPEG2000 packing (5.40 — the encoding GFS/NCEP products actually ship)
+decodes natively via j2k_codec.py (MQ coder, EBCOT T1, reversible 5/3
+wavelet, full codestream parse); lossless J2K reproduces the X integers
+exactly, so the same quantization oracle applies. Missing-value
+management with complex packing is handled (octet 23 modes 1/2); other
+representation templates raise NotImplementedError naming the variant.
 
 The writer quantizes with floor((v-R)·2^-E) — a valid encoder choice
 that keeps the quantized values exactly reproducible by integer/double
@@ -423,11 +427,11 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     s5 = sections[5]
     npoints = _u(s5, 5, 4)
     tmpl = _u(s5, 9, 2)
-    if tmpl not in (0, 2, 3, 41):
+    if tmpl not in (0, 2, 3, 40, 41):
         raise NotImplementedError(
-            f"data representation template 5.{tmpl} needs eccodes; only "
-            "simple (5.0), complex (5.2/5.3) and PNG (5.41) packing "
-            "decode natively")
+            f"data representation template 5.{tmpl} unsupported; simple "
+            "(5.0), complex (5.2/5.3), JPEG2000 (5.40) and PNG (5.41) "
+            "packing decode natively")
     ref_val = struct.unpack(">f", s5[11:15])[0]
     e_scale = _s(s5, 15, 2)
     d_scale = _s(s5, 17, 2)
@@ -445,6 +449,16 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     miss = None
     if tmpl == 0:
         x = _unpack_bits(s7[5:], nbits, npoints)
+    elif tmpl == 40:
+        from georiva_spark.sources.j2k_codec import j2k_decode
+        if nbits == 0:
+            x = np.zeros(npoints, dtype=np.int64)
+        else:
+            img = j2k_decode(s7[5:])
+            if img.size != npoints:
+                raise ValueError(
+                    f"JPEG2000 image {img.shape} != {npoints} points")
+            x = img.ravel().astype(np.int64)
     elif tmpl == 41:
         from georiva_spark.sources.png_codec import png_decode
         if nbits == 0:
@@ -634,6 +648,21 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
     elif packing in (2, 3):
         s5, s7 = _encode_complex(x, packing, spatial_order, group_size,
                                  npk, float(r), e_scale)
+    elif packing == 40:
+        from georiva_spark.sources.j2k_codec import j2k_encode
+        # template 5.40 shares 5.0's section-5 layout + 2 J2K octets
+        s5 = (npk.to_bytes(4, "big")
+              + (40).to_bytes(2, "big")
+              + struct.pack(">f", float(r)) + _sm(e_scale, 2)
+              + _sm(0, 2) + bytes([nbits, 0])
+              + bytes([0, 255]))      # lossless, no explicit target ratio
+        if nbits == 0:
+            s7 = b""
+        elif mask.all():
+            s7 = j2k_encode(x.reshape(nj, ni), nbits)
+        else:
+            # bitmap present: pack the npk valid points as a 1-row image
+            s7 = j2k_encode(x.reshape(1, npk), nbits)
     elif packing == 41:
         from georiva_spark.sources.png_codec import png_encode
         if nbits > 32:

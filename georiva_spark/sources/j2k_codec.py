@@ -412,3 +412,659 @@ def dwt53_inverse(ll: np.ndarray, details) -> np.ndarray:
             hi = np.zeros((h, 0), dtype=np.int64)
         cur = _sr_1d(lo, hi, w)
     return cur
+
+
+# ---------------------------------------------------------------------------
+# EBCOT Tier-1 code-block coder (Annex D): significance propagation,
+# magnitude refinement, cleanup with run-length mode. Context labels:
+# 0-8 zero coding, 9-13 sign coding, 14-16 magnitude refinement,
+# 17 run-length, 18 UNIFORM. Default code-block style (no bypass, no
+# per-pass termination, no vertical causality, no segmentation marks).
+# ---------------------------------------------------------------------------
+
+CX_RUN = 17
+CX_UNI = 18
+# initial (index, mps) states per D.2: UNIFORM→46, RUN→3, ZC(0)→4
+T1_INIT_STATES = {CX_UNI: 46, CX_RUN: 3, 0: 4}
+
+# Zero-coding context tables, indexed [h][v][d] clamped. LL/LH table
+# (D-1); HL swaps h/v; HH uses (d, h+v).
+def _zc_context(band: str, h: int, v: int, d: int) -> int:
+    if band == "HL":
+        h, v = v, h
+    if band != "HH":
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else hv
+
+
+# Sign-coding table: (H, V) → (context, xor-bit), H/V ∈ {-1, 0, 1}
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+class _T1Grid:
+    """Shared state for one code-block walk: significance, visited,
+    refined flags with a 1-sample zero border so neighbor reads never
+    branch."""
+
+    def __init__(self, w: int, h: int):
+        self.w, self.h = w, h
+        self.sig = np.zeros((h + 2, w + 2), dtype=np.int8)
+        self.sgn = np.zeros((h + 2, w + 2), dtype=np.int8)  # 1 = negative
+        self.visited = np.zeros((h + 2, w + 2), dtype=np.int8)
+        self.refined = np.zeros((h + 2, w + 2), dtype=np.int8)
+
+    def zc(self, band: str, y: int, x: int) -> int:
+        s = self.sig
+        i, j = y + 1, x + 1
+        h = int(s[i, j - 1]) + int(s[i, j + 1])
+        v = int(s[i - 1, j]) + int(s[i + 1, j])
+        d = (int(s[i - 1, j - 1]) + int(s[i - 1, j + 1])
+             + int(s[i + 1, j - 1]) + int(s[i + 1, j + 1]))
+        return _zc_context(band, h, v, d)
+
+    def sc(self, y: int, x: int) -> tuple[int, int]:
+        s, g = self.sig, self.sgn
+        i, j = y + 1, x + 1
+
+        def contrib(a, b):
+            c = 0
+            if s[i + a, j + b]:
+                c = -1 if g[i + a, j + b] else 1
+            return c
+
+        hc = max(-1, min(1, contrib(0, -1) + contrib(0, 1)))
+        vc = max(-1, min(1, contrib(-1, 0) + contrib(1, 0)))
+        return _SC_TABLE[(hc, vc)]
+
+    def mr(self, y: int, x: int) -> int:
+        if self.refined[y + 1, x + 1]:
+            return 16
+        s = self.sig
+        i, j = y + 1, x + 1
+        any_nb = (s[i - 1, j - 1:j + 2].any() or s[i + 1, j - 1:j + 2].any()
+                  or s[i, j - 1] or s[i, j + 1])
+        return 15 if any_nb else 14
+
+
+def _t1_walk(h: int, w: int):
+    """Stripe scan order: 4-row stripes, column-major inside a stripe."""
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            yield y0, x, min(4, h - y0)
+
+
+def t1_encode(mag: np.ndarray, sign: np.ndarray, band: str
+              ) -> tuple[bytes, int, int]:
+    """Encode one code-block (magnitude, sign) → (codeword segment,
+    n_passes, n_bitplanes)."""
+    h, w = mag.shape
+    nbps = int(mag.max()).bit_length() if mag.size else 0
+    if nbps == 0:
+        return b"", 0, 0
+    g = _T1Grid(w, h)
+    mq = MQEncoder(n_contexts=19)
+    mq.reset_contexts(T1_INIT_STATES)
+    npasses = 0
+    for p in range(nbps - 1, -1, -1):
+        bit = (mag >> p) & 1
+        if npasses > 0:
+            # significance propagation
+            for y0, x, sh in _t1_walk(h, w):
+                for y in range(y0, y0 + sh):
+                    if g.sig[y + 1, x + 1]:
+                        continue
+                    cx = g.zc(band, y, x)
+                    if cx == 0:
+                        continue
+                    v = int(bit[y, x])
+                    mq.encode(v, cx)
+                    g.visited[y + 1, x + 1] = 1
+                    if v:
+                        scx, xo = g.sc(y, x)
+                        mq.encode(int(sign[y, x]) ^ xo, scx)
+                        g.sig[y + 1, x + 1] = 1
+                        g.sgn[y + 1, x + 1] = sign[y, x]
+            npasses += 1
+            # magnitude refinement
+            for y0, x, sh in _t1_walk(h, w):
+                for y in range(y0, y0 + sh):
+                    if (not g.sig[y + 1, x + 1]
+                            or g.visited[y + 1, x + 1]):
+                        continue
+                    mq.encode(int(bit[y, x]), g.mr(y, x))
+                    g.refined[y + 1, x + 1] = 1
+                    g.visited[y + 1, x + 1] = 1
+            npasses += 1
+        # cleanup
+        for y0, x, sh in _t1_walk(h, w):
+            y = y0
+            if (sh == 4
+                    and not g.visited[y0 + 1:y0 + 5, x + 1].any()
+                    and not g.sig[y0 + 1:y0 + 5, x + 1].any()
+                    and all(g.zc(band, yy, x) == 0
+                            for yy in range(y0, y0 + 4))):
+                run = [int(bit[yy, x]) for yy in range(y0, y0 + 4)]
+                if not any(run):
+                    mq.encode(0, CX_RUN)
+                    continue
+                mq.encode(1, CX_RUN)
+                r = run.index(1)
+                mq.encode(r >> 1, CX_UNI)
+                mq.encode(r & 1, CX_UNI)
+                y = y0 + r
+                # the r-th sample is significant by implication: sign only
+                scx, xo = g.sc(y, x)
+                mq.encode(int(sign[y, x]) ^ xo, scx)
+                g.sig[y + 1, x + 1] = 1
+                g.sgn[y + 1, x + 1] = sign[y, x]
+                y += 1
+            for yy in range(y, y0 + sh):
+                if g.visited[yy + 1, x + 1] or g.sig[yy + 1, x + 1]:
+                    continue
+                v = int(bit[yy, x])
+                mq.encode(v, g.zc(band, yy, x))
+                if v:
+                    scx, xo = g.sc(yy, x)
+                    mq.encode(int(sign[yy, x]) ^ xo, scx)
+                    g.sig[yy + 1, x + 1] = 1
+                    g.sgn[yy + 1, x + 1] = sign[yy, x]
+        npasses += 1
+        g.visited[...] = 0
+    return mq.flush(), npasses, nbps
+
+
+def t1_decode(data: bytes, w: int, h: int, band: str, nbps: int,
+              npasses: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one code-block codeword segment → (magnitude, sign)."""
+    mag = np.zeros((h, w), dtype=np.int64)
+    sign = np.zeros((h, w), dtype=np.int8)
+    if nbps == 0 or npasses == 0:
+        return mag, sign
+    g = _T1Grid(w, h)
+    mq = MQDecoder(data, n_contexts=19)
+    mq.reset_contexts(T1_INIT_STATES)
+    done = 0
+    p = nbps - 1
+    first = True
+    while done < npasses:
+        if not first:
+            # significance propagation
+            for y0, x, sh in _t1_walk(h, w):
+                for y in range(y0, y0 + sh):
+                    if g.sig[y + 1, x + 1]:
+                        continue
+                    cx = g.zc(band, y, x)
+                    if cx == 0:
+                        continue
+                    g.visited[y + 1, x + 1] = 1
+                    if mq.decode(cx):
+                        scx, xo = g.sc(y, x)
+                        sg = mq.decode(scx) ^ xo
+                        mag[y, x] |= 1 << p
+                        sign[y, x] = sg
+                        g.sig[y + 1, x + 1] = 1
+                        g.sgn[y + 1, x + 1] = sg
+            done += 1
+            if done >= npasses:
+                break
+            # magnitude refinement
+            for y0, x, sh in _t1_walk(h, w):
+                for y in range(y0, y0 + sh):
+                    if (not g.sig[y + 1, x + 1]
+                            or g.visited[y + 1, x + 1]):
+                        continue
+                    if mq.decode(g.mr(y, x)):
+                        mag[y, x] |= 1 << p
+                    g.refined[y + 1, x + 1] = 1
+                    g.visited[y + 1, x + 1] = 1
+            done += 1
+            if done >= npasses:
+                break
+        # cleanup
+        for y0, x, sh in _t1_walk(h, w):
+            y = y0
+            if (sh == 4
+                    and not g.visited[y0 + 1:y0 + 5, x + 1].any()
+                    and not g.sig[y0 + 1:y0 + 5, x + 1].any()
+                    and all(g.zc(band, yy, x) == 0
+                            for yy in range(y0, y0 + 4))):
+                if not mq.decode(CX_RUN):
+                    continue
+                r = (mq.decode(CX_UNI) << 1) | mq.decode(CX_UNI)
+                y = y0 + r
+                scx, xo = g.sc(y, x)
+                sg = mq.decode(scx) ^ xo
+                mag[y, x] |= 1 << p
+                sign[y, x] = sg
+                g.sig[y + 1, x + 1] = 1
+                g.sgn[y + 1, x + 1] = sg
+                y += 1
+            for yy in range(y, y0 + sh):
+                if g.visited[yy + 1, x + 1] or g.sig[yy + 1, x + 1]:
+                    continue
+                if mq.decode(g.zc(band, yy, x)):
+                    scx, xo = g.sc(yy, x)
+                    sg = mq.decode(scx) ^ xo
+                    mag[yy, x] |= 1 << p
+                    sign[yy, x] = sg
+                    g.sig[yy + 1, x + 1] = 1
+                    g.sgn[yy + 1, x + 1] = sg
+        done += 1
+        g.visited[...] = 0
+        p -= 1
+        first = False
+    return mag, sign
+
+
+# ---------------------------------------------------------------------------
+# Codestream layer: geometry, packet headers (B.10), markers (A).
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    """Packet-header bit writer with 0xFF bit-stuffing (B.10.1): after
+    an aligned 0xFF byte only 7 bits go in the next byte."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.byte = 0
+        self.nbits = 0
+        self.limit = 8                  # latched per byte at first bit
+
+    def put(self, bit: int) -> None:
+        if self.nbits == 0:
+            self.limit = 7 if (self.out and self.out[-1] == 0xFF) else 8
+        self.byte = (self.byte << 1) | (bit & 1)
+        self.nbits += 1
+        if self.nbits == self.limit:
+            self.out.append(self.byte)
+            self.byte = 0
+            self.nbits = 0
+
+    def put_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((value >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.byte << (self.limit - self.nbits))
+            self.byte = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)          # stuffed terminator byte
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Mirror of _BitWriter, advancing through a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0                     # bits consumed of current byte
+        self.limit = 8                   # latched per byte at first bit
+
+    def get(self) -> int:
+        if self.bit == 0:
+            self.limit = 7 if (self.pos > 0
+                               and self.data[self.pos - 1] == 0xFF) else 8
+        b = self.data[self.pos]
+        v = (b >> (self.limit - 1 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == self.limit:
+            self.pos += 1
+            self.bit = 0
+        return v
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Skip to the next byte boundary (consuming a stuffed byte if
+        the header ended on a full 0xFF) and return the position."""
+        if self.bit:
+            self.pos += 1
+            self.bit = 0
+        if self.pos > 0 and self.pos <= len(self.data) \
+                and self.data[self.pos - 1] == 0xFF:
+            self.pos += 1                # the stuffed 0-bit byte
+        return self.pos
+
+
+def _band_geometry(w: int, h: int, levels: int):
+    """Per-resolution subband layout. Returns [(res, [(band, bw, bh),
+    ...]), ...] for res 0..levels; res 0 = the deepest LL."""
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    out = [(0, [("LL", dims[levels][0], dims[levels][1])])]
+    for r in range(1, levels + 1):
+        lv = levels - r + 1              # decomposition level of bands
+        pw, ph = dims[lv - 1]
+        lw, lh = (pw + 1) // 2, (ph + 1) // 2
+        hw, hh = pw // 2, ph // 2
+        out.append((r, [("HL", hw, lh), ("LH", lw, hh), ("HH", hw, hh)]))
+    return out
+
+
+def _cblk_grid(bw: int, bh: int, cb: int = 64):
+    """Code-block tiling of a subband (origin-anchored)."""
+    nx = max(1, (bw + cb - 1) // cb) if bw else 0
+    ny = max(1, (bh + cb - 1) // cb) if bh else 0
+    return nx, ny
+
+
+def _passes_code(wr: _BitWriter, n: int) -> None:
+    """B.10.6 number-of-coding-passes codewords."""
+    if n == 1:
+        wr.put(0)
+    elif n == 2:
+        wr.put(1)
+        wr.put(0)
+    elif n <= 5:
+        wr.put_bits(0b11, 2)
+        wr.put_bits(n - 3, 2)
+    elif n <= 36:
+        wr.put_bits(0b1111, 4)
+        wr.put_bits(n - 6, 5)
+    else:
+        wr.put_bits(0b111111111, 9)
+        wr.put_bits(n - 37, 7)
+
+
+def _passes_decode(rd: _BitReader) -> int:
+    if rd.get() == 0:
+        return 1
+    if rd.get() == 0:
+        return 2
+    v = rd.get_bits(2)
+    if v != 3:
+        return 3 + v
+    v = rd.get_bits(5)
+    if v != 31:
+        return 6 + v
+    return 37 + rd.get_bits(7)
+
+
+def j2k_encode(values: np.ndarray, bitdepth: int, levels: int = 5,
+               cb: int = 64) -> bytes:
+    """Lossless single-component codestream for an unsigned (h, w)
+    integer array of the given bit depth. Levels clamp so the deepest
+    LL stays at least 1×1 in each dimension."""
+    a = np.asarray(values, dtype=np.int64)
+    h, w = a.shape
+    levels = max(0, min(levels, (min(w, h) - 1).bit_length()))
+    guard = 2
+    # DC level shift for unsigned data (B.8 / G.1)
+    shifted = a - (1 << (bitdepth - 1))
+    ll, details = dwt53_forward(shifted, levels)
+    bands_by_res = {0: {"LL": ll}}
+    for i, (hl, lh, hh) in enumerate(details):
+        bands_by_res[i + 1] = {"HL": hl, "LH": lh, "HH": hh}
+
+    geom = _band_geometry(w, h, levels)
+    # Pass 1: Tier-1 code every code-block; the per-band QCD exponent is
+    # derived from the band's ACTUAL max bit-plane count (εb = Mb − G + 1)
+    # so zero-bitplane counts stay non-negative — a fixed bitdepth+gain
+    # budget under-counts when deep high-pass cascades of rough data grow
+    # past the guard bits.
+    band_segs: dict[tuple[int, str], list] = {}
+    band_eps: dict[tuple[int, str], int] = {}
+    for res, bands in geom:
+        for bname, bw, bh in bands:
+            arr = bands_by_res[res][bname]
+            assert arr.shape == (bh, bw), (res, bname, arr.shape, bw, bh)
+            gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[bname]
+            segs = []
+            if bw and bh:
+                nx, ny = _cblk_grid(bw, bh, cb)
+                for cy in range(ny):
+                    for cx in range(nx):
+                        sub = arr[cy * cb:(cy + 1) * cb,
+                                  cx * cb:(cx + 1) * cb]
+                        segs.append(t1_encode(
+                            np.abs(sub), (sub < 0).astype(np.int8),
+                            bname))
+            band_segs[(res, bname)] = segs
+            max_nbps = max([s[2] for s in segs], default=0)
+            band_eps[(res, bname)] = max(bitdepth + gain,
+                                         max_nbps - guard + 1)
+
+    packets = []
+    for res, bands in geom:
+        wr = _BitWriter()
+        wr.put(1)                        # packet non-empty
+        bodies = []
+        for bname, bw, bh in bands:
+            if bw == 0 or bh == 0:
+                continue
+            nx, ny = _cblk_grid(bw, bh, cb)
+            mb = guard + band_eps[(res, bname)] - 1
+            incl = TagTree(nx, ny)
+            zbp = TagTree(nx, ny)
+            segs = band_segs[(res, bname)]
+            incl_vals = np.zeros((ny, nx), dtype=np.int64)
+            zbp_vals = np.zeros((ny, nx), dtype=np.int64)
+            for k, (data, npasses, nbps) in enumerate(segs):
+                zbp_vals[k // nx, k % nx] = mb - nbps
+            incl.set_values(incl_vals)
+            zbp.set_values(zbp_vals)
+            k = 0
+            for cy in range(ny):
+                for cx in range(nx):
+                    data, npasses, nbps = segs[k]
+                    k += 1
+                    incl.encode(cx, cy, 1, wr.put)
+                    # fully resolve the zero-bitplane tag tree
+                    t = 1
+                    while True:
+                        before = zbp.known[0][cy, cx]
+                        zbp.encode(cx, cy, t, wr.put)
+                        if zbp.known[0][cy, cx]:
+                            break
+                        t += 1
+                        assert t < 256
+                        del before
+                    npasses = max(npasses, 1)
+                    _passes_code(wr, npasses)
+                    # Lblock length signalling (B.10.7.1), single segment
+                    lblock = 3
+                    nbits_len = lblock + int(np.floor(np.log2(npasses)))
+                    inc = 0
+                    while len(data) >= (1 << (nbits_len + inc)):
+                        inc += 1
+                    for _ in range(inc):
+                        wr.put(1)
+                    wr.put(0)
+                    nbits_len += inc
+                    wr.put_bits(len(data), nbits_len)
+                    bodies.append(data)
+        packets.append(wr.flush() + b"".join(bodies))
+
+    # ---- markers ----
+    def marker(code: int, body: bytes) -> bytes:
+        return code.to_bytes(2, "big") + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    siz = ((0).to_bytes(2, "big")
+           + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+           + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+           + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+           + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+           + (1).to_bytes(2, "big")
+           + bytes([bitdepth - 1, 1, 1]))
+    cod = (bytes([0])                     # Scod: no precincts/SOP/EPH
+           + bytes([0])                   # LRCP
+           + (1).to_bytes(2, "big")       # 1 layer
+           + bytes([0])                   # no MCT
+           + bytes([levels])
+           + bytes([(cb.bit_length() - 3), (cb.bit_length() - 3)])
+           + bytes([0])                   # cblk style: default
+           + bytes([1]))                  # 5/3 reversible
+    sb_exps = []
+    for res, bands in geom:
+        for bname, _, _ in bands:
+            sb_exps.append((band_eps[(res, bname)] & 0x1F) << 3)
+    qcd = bytes([(guard << 5) | 0x00]) + bytes(sb_exps)
+
+    tile_body = b"".join(packets)
+    sot_body = ((0).to_bytes(2, "big")
+                + (len(tile_body) + 12 + 2).to_bytes(4, "big")
+                + bytes([0, 1]))
+    return (b"\xFF\x4F"
+            + marker(0xFF51, siz)
+            + marker(0xFF52, cod)
+            + marker(0xFF5C, qcd)
+            + marker(0xFF90, sot_body)
+            + b"\xFF\x93" + tile_body
+            + b"\xFF\xD9")
+
+
+def j2k_decode(data: bytes) -> np.ndarray:
+    """Decode a codestream within the supported envelope (single tile,
+    single component, reversible 5/3, no precinct subdivision, no
+    SOP/EPH, one layer per packet ordering LRCP/RLCP). Raises
+    NotImplementedError naming the unsupported feature otherwise."""
+    if data[:2] != b"\xFF\x4F":
+        raise ValueError("not a JPEG 2000 codestream (no SOC)")
+    pos = 2
+    w = h = bitdepth = levels = cb = None
+    guard = sb_exps = None
+    tile = None
+    while pos < len(data):
+        code = int.from_bytes(data[pos:pos + 2], "big")
+        if code == 0xFF93:               # SOD
+            tile = data[pos + 2:]
+            # trim EOC if present
+            eoc = tile.rfind(b"\xFF\xD9")
+            if eoc != -1:
+                tile = tile[:eoc]
+            break
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        body = data[pos + 4:pos + 2 + ln]
+        if code == 0xFF51:               # SIZ
+            w = int.from_bytes(body[2:6], "big")
+            h = int.from_bytes(body[6:10], "big")
+            xo = int.from_bytes(body[10:14], "big")
+            yo = int.from_bytes(body[14:18], "big")
+            tw = int.from_bytes(body[18:22], "big")
+            th = int.from_bytes(body[22:26], "big")
+            ncomp = int.from_bytes(body[34:36], "big")
+            if ncomp != 1:
+                raise NotImplementedError(f"{ncomp}-component JPEG 2000")
+            if xo or yo or tw < w or th < h:
+                raise NotImplementedError("multi-tile / offset JPEG 2000")
+            ssiz = body[36]
+            if ssiz & 0x80:
+                raise NotImplementedError("signed JPEG 2000 component")
+            bitdepth = (ssiz & 0x7F) + 1
+            if body[37] != 1 or body[38] != 1:
+                raise NotImplementedError("subsampled JPEG 2000 component")
+        elif code == 0xFF52:             # COD
+            scod = body[0]
+            if scod & 0x01:
+                raise NotImplementedError("precinct-partitioned JPEG 2000")
+            if scod & 0x06:
+                raise NotImplementedError("SOP/EPH markers")
+            prog = body[1]
+            if prog not in (0, 1):       # LRCP / RLCP coincide here
+                raise NotImplementedError(f"progression order {prog}")
+            layers = int.from_bytes(body[2:4], "big")
+            if layers != 1:
+                raise NotImplementedError(f"{layers}-layer JPEG 2000")
+            levels = body[5]
+            cb = 1 << (body[6] + 2)
+            if (1 << (body[7] + 2)) != cb:
+                raise NotImplementedError("non-square code-blocks")
+            if body[8] != 0:
+                raise NotImplementedError(f"code-block style {body[8]:#x}")
+            if body[9] != 1:
+                raise NotImplementedError("irreversible 9/7 wavelet")
+        elif code == 0xFF5C:             # QCD
+            if body[0] & 0x1F:
+                raise NotImplementedError("scalar-quantized JPEG 2000")
+            guard = body[0] >> 5
+            sb_exps = [b >> 3 for b in body[1:]]
+        pos += 2 + ln
+    if tile is None or w is None or levels is None:
+        raise ValueError("truncated JPEG 2000 codestream")
+
+    geom = _band_geometry(w, h, levels)
+    bands_by_res: dict[int, dict[str, np.ndarray]] = {}
+    rd = _BitReader(tile, 0)
+    sbi = 0
+    for res, bands in geom:
+        nonempty = rd.get()
+        cblks = []                       # (band, cx, cy, nbps, npasses, ln)
+        if nonempty:
+            for bname, bw, bh in bands:
+                gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[bname]
+                mb = guard + sb_exps[sbi] - 1 if sb_exps else \
+                    bitdepth + gain + 1
+                sbi += 1
+                if bw == 0 or bh == 0:
+                    continue
+                nx, ny = _cblk_grid(bw, bh, cb)
+                incl = TagTree(nx, ny)
+                zbp = TagTree(nx, ny)
+                for cy in range(ny):
+                    for cx in range(nx):
+                        if not incl.decode(cx, cy, 1, rd.get):
+                            continue
+                        t = 1
+                        while not zbp.decode(cx, cy, t, rd.get):
+                            t += 1
+                        p = zbp.leaf_value(cx, cy)
+                        npasses = _passes_decode(rd)
+                        lblock = 3
+                        while rd.get():
+                            lblock += 1
+                        nbits_len = lblock + int(
+                            np.floor(np.log2(npasses)))
+                        ln_ = rd.get_bits(nbits_len)
+                        cblks.append((bname, bw, bh, cx, cy,
+                                      mb - p, npasses, ln_))
+        else:
+            sbi += len(bands)
+        body_pos = rd.align()
+        bdict = bands_by_res.setdefault(res, {})
+        for bname, bw, bh in bands:
+            bdict.setdefault(bname, np.zeros((bh, bw), dtype=np.int64))
+        for bname, bw, bh, cx, cy, nbps, npasses, ln_ in cblks:
+            seg = tile[body_pos:body_pos + ln_]
+            body_pos += ln_
+            cw = min(cb, bw - cx * cb)
+            ch = min(cb, bh - cy * cb)
+            mag, sgn = t1_decode(seg, cw, ch, bname, nbps, npasses)
+            sub = np.where(sgn == 1, -mag, mag)
+            bdict[bname][cy * cb:cy * cb + ch,
+                         cx * cb:cx * cb + cw] = sub
+        rd = _BitReader(tile, body_pos)
+
+    ll = bands_by_res[0]["LL"]
+    details = [(bands_by_res[r]["HL"], bands_by_res[r]["LH"],
+                bands_by_res[r]["HH"]) for r in range(1, levels + 1)]
+    out = dwt53_inverse(ll, details)
+    return out + (1 << (bitdepth - 1))

@@ -277,7 +277,7 @@ def test_product_template_48_accumulation():
     np.testing.assert_array_equal(m2["values"], simple["values"])
 
 
-def test_jpeg_packing_gated():
+def test_exotic_packing_gated():
     buf = bytearray(encode_grib2_message(np.ones((2, 2)), shortname="t",
                                          ref_time=T0, la1=1.5, lo1=0.5,
                                          di=1, dj=1))
@@ -285,11 +285,60 @@ def test_jpeg_packing_gated():
     while True:
         ln = int.from_bytes(buf[pos:pos + 4], "big")
         if buf[pos + 4] == 5:
-            buf[pos + 9:pos + 11] = (40).to_bytes(2, "big")
+            buf[pos + 9:pos + 11] = (42).to_bytes(2, "big")  # CCSDS
             break
         pos += ln
-    with pytest.raises(NotImplementedError, match="5.40"):
+    with pytest.raises(NotImplementedError, match="5.42"):
         decode_grib2(bytes(buf))
+
+
+@pytest.mark.parametrize("e_scale", [-8, -14])
+def test_jpeg2000_packing_roundtrip(e_scale):
+    """Template 5.40: X integers ride in a lossless JPEG 2000
+    codestream (j2k_codec: MQ + EBCOT T1 + reversible 5/3); identical
+    quantized values to simple packing."""
+    rng = np.random.default_rng(9)
+    a = rng.normal(scale=40.0, size=(30, 44)) + 273.0
+    kw = dict(shortname="t", ref_time=T0, forecast_hours=6,
+              la1=10.0, lo1=0.0, di=0.5, dj=0.5, e_scale=e_scale)
+    mj = decode_grib2(encode_grib2_message(a, packing=40, **kw))[0]
+    ms = decode_grib2(encode_grib2_message(a, **kw))[0]
+    np.testing.assert_array_equal(mj["values"], ms["values"])
+    assert np.nanmax(np.abs(mj["values"] - a)) <= 2.0 ** e_scale * 2
+
+
+def test_jpeg2000_packing_bitmap_and_constant():
+    rng = np.random.default_rng(10)
+    a = rng.uniform(0, 50, (9, 13))
+    a[2, 5] = np.nan
+    a[7, 0] = np.nan
+    kw = dict(shortname="t", ref_time=T0, la1=5.0, lo1=0.0,
+              di=1.0, dj=1.0, e_scale=-10)
+    m = decode_grib2(encode_grib2_message(a, packing=40, **kw))[0]
+    assert np.isnan(m["values"][2, 5]) and np.isnan(m["values"][7, 0])
+    ms = decode_grib2(encode_grib2_message(a, **kw))[0]
+    np.testing.assert_array_equal(m["values"], ms["values"])
+    # constant field → nbits 0 → empty section 7
+    c = decode_grib2(encode_grib2_message(np.full((4, 6), 2.5),
+                                          packing=40, **kw))[0]
+    np.testing.assert_array_equal(c["values"], np.full((4, 6), 2.5))
+
+
+def test_jpeg2000_on_projected_grid():
+    """5.40 packing composes with the LCC grid template."""
+    rng = np.random.default_rng(11)
+    a = rng.uniform(250, 300, (8, 10))
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=35.0, lo1=-100.0, di=0, dj=0,
+        e_scale=-10, packing=40,
+        grid_def={"kind": "lcc", "lat1": 38.5, "lat2": 38.5, "lad": 38.5,
+                  "lon0": -97.5, "dx": 3000.0, "dy": 3000.0})
+    m = decode_grib2(buf)[0]
+    assert m["grid_template"] == 30
+    ms = decode_grib2(encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=35.0, lo1=-100.0, di=0.1,
+        dj=0.1, e_scale=-10))[0]
+    np.testing.assert_array_equal(m["values"], ms["values"])
 
 
 # ---------------------------------------------------------------------------
