@@ -271,6 +271,24 @@ def _parse_grid(s3: bytes) -> dict:
         return {"template": tmpl, "ni": ni, "nj": nj, "la1": la1,
                 "lo1": lo1, "la2": la2, "lo2": lo2, "di": di, "dj": dj,
                 "scan": scan, "proj": proj}
+    if tmpl == 40:
+        # regular Gaussian grid (ECMWF): layout mirrors 3.0 but octets
+        # 68-71 carry N (parallels pole→equator); latitudes are the
+        # roots of P_2N(sin φ). Reduced Gaussian grids (per-row Ni via
+        # the octet-11 list) are gated.
+        if s3[10] != 0:
+            raise NotImplementedError("reduced Gaussian grid (template "
+                                      "3.40 with per-row point counts)")
+        ni, nj = _u(s3, 30, 4), _u(s3, 34, 4)
+        la1, lo1 = _s(s3, 46, 4) / 1e6, _s(s3, 50, 4) / 1e6
+        la2, lo2 = _s(s3, 55, 4) / 1e6, _s(s3, 59, 4) / 1e6
+        di = _u(s3, 63, 4) / 1e6
+        ngauss = _u(s3, 67, 4)
+        scan = s3[71]
+        proj = {"kind": "gaussian", "n": ngauss}
+        return {"template": tmpl, "ni": ni, "nj": nj, "la1": la1,
+                "lo1": lo1, "la2": la2, "lo2": lo2, "di": di,
+                "dj": 90.0 / max(ngauss, 1), "scan": scan, "proj": proj}
     if tmpl in (20, 30):
         from georiva_spark.functions.geo import (
             lcc_sphere_inverse_np, lcc_sphere_np,
@@ -311,6 +329,14 @@ def _parse_grid(s3: bytes) -> dict:
     raise NotImplementedError(f"grid template {tmpl}")
 
 
+def gaussian_latitudes(n: int) -> np.ndarray:
+    """The 2N Gaussian latitudes (degrees, descending north→south):
+    arcsin of the roots of the Legendre polynomial P_2N — the ECMWF
+    regular Gaussian grid parallels (N = parallels pole→equator)."""
+    nodes, _ = np.polynomial.legendre.leggauss(2 * n)
+    return np.degrees(np.arcsin(np.sort(nodes)[::-1]))
+
+
 def grid_latlon_mesh(msg: dict) -> tuple[np.ndarray, np.ndarray] | None:
     """(lat, lon) 2-D meshes in MESSAGE STORAGE ORDER (row j, col i) for
     a projected-grid message, or None for plain lat/lon grids (affine
@@ -323,7 +349,24 @@ def grid_latlon_mesh(msg: dict) -> tuple[np.ndarray, np.ndarray] | None:
         return None
     ni, nj = msg["values"].shape[1], msg["values"].shape[0]
     scan = msg["scan"]
-    if proj["kind"] == "rotated":
+    if proj["kind"] == "gaussian":
+        lats = gaussian_latitudes(proj["n"])        # descending N→S
+        # locate the la1 row and walk nj rows in the scan direction
+        j0 = int(np.argmin(np.abs(lats - msg["la1"])))
+        stepj = 1 if not (scan & 0x40) else -1      # -j: index grows S
+        idx = j0 + stepj * np.arange(nj)
+        if idx.min() < 0 or idx.max() >= lats.size:
+            raise ValueError("Gaussian grid rows outside the latitude "
+                             "table; la1/N mismatch")
+        rowlats = lats[idx]
+        if abs(rowlats[-1] - msg["la2"]) > 1e-3:
+            raise ValueError("Gaussian grid la2 does not match the "
+                             "latitude table")
+        si = -msg["di"] if scan & 0x80 else msg["di"]
+        lons = msg["lo1"] + si * np.arange(ni, dtype=np.float64)
+        lon_g, lat_g = np.meshgrid(lons, rowlats)
+        lat, lon = lat_g, lon_g
+    elif proj["kind"] == "rotated":
         dj, di = msg["dj"], msg["di"]
         latr1, lonr1 = msg["la1"], msg["lo1"]
         sj = dj if scan & 0x40 else -dj
@@ -581,6 +624,24 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
             s3 += (_sm(round(grid_def["sp_lat"] * 1e6), 4)
                    + _sm(round(grid_def["sp_lon"] * 1e6), 4)
                    + struct.pack(">f", float(grid_def.get("angle", 0.0))))
+    elif kind == "gaussian":
+        ngauss = grid_def["n"]
+        if nj != 2 * ngauss:
+            raise ValueError(f"full-globe Gaussian grid needs nj == 2N "
+                             f"({nj} != {2 * ngauss})")
+        lats = gaussian_latitudes(ngauss)
+        la1g = lats[-1] if south_up else lats[0]
+        la2g = lats[0] if south_up else lats[-1]
+        lo2 = lo1 + (ni - 1) * di
+        s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big") + bytes([0, 0])
+              + (40).to_bytes(2, "big") + earth
+              + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+              + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
+              + _sm(round(la1g * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
+              + bytes([0x30])
+              + _sm(round(la2g * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
+              + round(di * 1e6).to_bytes(4, "big")
+              + ngauss.to_bytes(4, "big") + bytes([scan]))
     elif kind in ("ps", "lcc"):
         tnum = 20 if kind == "ps" else 30
         lad = (grid_def["lat_ts"] if kind == "ps" else grid_def["lad"])

@@ -493,3 +493,69 @@ def test_ellipsoidal_earth_shape_gated():
         pos += ln
     with pytest.raises(NotImplementedError, match="earth shape"):
         decode_grib2(bytes(buf))
+
+
+def test_gaussian_grid_template():
+    """Template 3.40: latitudes are the arcsin roots of P_2N, matched
+    from the la1/la2 anchors; longitudes stay affine."""
+    from georiva_spark.sources.grib2_codec import (
+        gaussian_latitudes, grid_latlon_mesh,
+    )
+
+    n = 8                                   # F8 grid: 16 parallels
+    lats = gaussian_latitudes(n)
+    assert lats.shape == (16,)
+    assert lats[0] > 0 and np.all(np.diff(lats) < 0)
+    assert np.allclose(lats, -lats[::-1])   # symmetric about the equator
+    # N=1: roots of P_2 at ±1/sqrt(3) → ±33.5573...
+    l1 = gaussian_latitudes(1)
+    assert abs(l1[0] - np.degrees(np.arcsin(1 / np.sqrt(3)))) < 1e-9
+
+    a = np.arange(16 * 9, dtype=float).reshape(16, 9)
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=0.0, lo1=0.0, di=2.0, dj=0,
+        grid_def={"kind": "gaussian", "n": n})
+    m = decode_grib2(buf)[0]
+    assert m["grid_template"] == 40
+    assert m["proj"] == {"kind": "gaussian", "n": n}
+    lat2d, lon2d = grid_latlon_mesh(m)
+    micro = np.floor(lats * 1e6 + 0.5) / 1e6
+    np.testing.assert_array_equal(lat2d[:, 0], micro)   # row 0 = north
+    assert lon2d[0].tolist() == [0.0, 2.0, 4.0, 6.0, 8.0,
+                                 10.0, 12.0, 14.0, 16.0]
+
+
+def test_gaussian_grid_plugin_contract(spark, tmp_path):
+    from georiva_spark.sources.grib2_codec import gaussian_latitudes
+
+    n = 4
+    a = np.arange(8 * 5, dtype=float).reshape(8, 5)
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=0.0, lo1=10.0, di=1.0, dj=0,
+        grid_def={"kind": "gaussian", "n": n})
+    fp = tmp_path / "gauss.grib2"
+    fp.write_bytes(buf)
+    rows = {(r.y, r.x): r for r in
+            GRIB2.open_variable(spark, str(fp), "t").collect()}
+    lats = gaussian_latitudes(n)
+    micro = np.floor(lats * 1e6 + 0.5) / 1e6
+    # south-up contract: y=0 is the southernmost Gaussian parallel
+    assert rows[(0, 0)].lat == micro[-1]
+    assert rows[(7, 0)].lat == micro[0]
+    assert rows[(7, 2)].value == a[0, 2]    # storage row 0 = north
+    assert rows[(0, 0)].lon == 10.0
+
+
+def test_reduced_gaussian_gated():
+    buf = bytearray(encode_grib2_message(
+        np.ones((2, 2)), shortname="t", ref_time=T0, la1=0.0, lo1=0.0,
+        di=1.0, dj=0, grid_def={"kind": "gaussian", "n": 1}))
+    pos = 16
+    while True:
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        if buf[pos + 4] == 3:
+            buf[pos + 10] = 2      # octet 11: per-row point-count list
+            break
+        pos += ln
+    with pytest.raises(NotImplementedError, match="reduced Gaussian"):
+        decode_grib2(bytes(buf))

@@ -9,7 +9,9 @@ stage has verifiable work to find:
     components must recover ~N/5 clusters of 5.
 
 Stages timed: exact dedup → MinHash-LSH pairs → connected components →
-decontaminate (vs a 1% eval slice) → source_mix → quality scan.
+decontaminate (vs a 1% eval slice) → source_mix → quality scan →
+repetition → vocab → line-level dedup → URL dedup → SemDeDup (n/10
+synthetic embeddings with planted identical pairs).
 
 Usage: python tools/scale_smoke_llm.py [n_docs]
 Prints one timing line per stage; writes nothing.
@@ -121,6 +123,71 @@ def main():
     el = time.perf_counter() - t0
     print(f"vocab build (top-50k): {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
           f"-> {nv} vocab rows (V={V})")
+
+    # line-level dedup: regroup each doc's 50 tokens into 5 lines of 10;
+    # template-shared lines repeat 5× corpus-wide, each mutant's mutated
+    # line is globally unique — max_line_df=1 must keep EXACTLY the 3
+    # mutated lines per template (one per near-dup member).
+    t0 = time.perf_counter()
+    toks = F.split(F.col("text"), " ")
+    lined = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(4)),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 10 + 1, 10), " ")), "\n")
+    staged = docs.select("doc_id", lined.alias("text"))
+    ld = dedup.line_dedup(staged, max_line_df=1)
+    nkept = ld.where(F.col("n_kept") == 1).count()
+    el = time.perf_counter() - t0
+    print(f"line_dedup: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nkept} docs keep their unique line "
+          f"(expect ~{n - n // T * 2} mutants, minus rare "
+          f"mutated-token hash collisions)")
+
+    # URL dedup: template-mates share one logical URL dressed in three
+    # messy variants — canonicalization must collapse each template to
+    # ONE group of 5 (the longest text wins; mutant token spellings
+    # vary in length, so the winner is data-dependent).
+    t0 = time.perf_counter()
+    tmpl = (F.col("doc_id") / T).cast("long")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    slot = tmpl.cast("string")
+    v3 = F.col("doc_id") % 3
+    url = (F.when(v3 == 0, F.concat(F.lit("https://"), host,
+                                    F.lit("/t/"), slot))
+            .when(v3 == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                    F.lit(":443/t/"), slot,
+                                    F.lit("?utm_source=feed")))
+            .otherwise(F.concat(F.lit("https://"), host, F.lit("/t/"),
+                                slot, F.lit("/#frag"))))
+    ud = textops.url_dedup(
+        docs.select("doc_id", "n_chars", url.alias("url")))
+    ngroups = ud.count()
+    nfull = ud.where(F.col("n_dups") == T).count()
+    el = time.perf_counter() - t0
+    print(f"url_dedup: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {ngroups} canonical URLs (expect {n // T}), "
+          f"{nfull} full groups of {T} (expect {n // T})")
+
+    # SemDeDup on n/10 synthetic 64-dim embeddings: consecutive id pairs
+    # share a vector (cosine exactly 1), random hash vectors otherwise
+    # (cosine ~ N(0, 1/64) — never near 1) → exactly n/20 duplicates.
+    t0 = time.perf_counter()
+    ne = n // 10
+    base = F.col("id") - (F.col("id") % 2)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (F.pmod(F.xxhash64(base, j), F.lit(2001))
+                   .cast("double") / F.lit(1000.0) - F.lit(1.0))
+        .cast("float"))
+    emb = spark.range(ne).select(F.col("id").alias("vec_id"),
+                                 vec.alias("embedding"))
+    from georiva_spark.operators import similarity
+    sd = similarity.semdedup(emb, n_clusters=32, threshold=0.99)
+    ndup_e = sd.where(F.col("is_dup")).count()
+    el = time.perf_counter() - t0
+    print(f"semdedup: {el:.1f}s over {ne/1e6:.2f}M vectors "
+          f"({ne/el/1e6:.2f}M vec/s) -> {ndup_e} dups "
+          f"(expect {ne // 2})")
 
 
 if __name__ == "__main__":
