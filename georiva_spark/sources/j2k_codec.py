@@ -460,218 +460,324 @@ _SC_TABLE = {
 }
 
 
-class _T1Grid:
-    """Shared state for one code-block walk: significance, visited,
-    refined flags with a 1-sample zero border so neighbor reads never
-    branch."""
-
-    def __init__(self, w: int, h: int):
-        self.w, self.h = w, h
-        self.sig = np.zeros((h + 2, w + 2), dtype=np.int8)
-        self.sgn = np.zeros((h + 2, w + 2), dtype=np.int8)  # 1 = negative
-        self.visited = np.zeros((h + 2, w + 2), dtype=np.int8)
-        self.refined = np.zeros((h + 2, w + 2), dtype=np.int8)
-
-    def zc(self, band: str, y: int, x: int) -> int:
-        s = self.sig
-        i, j = y + 1, x + 1
-        h = int(s[i, j - 1]) + int(s[i, j + 1])
-        v = int(s[i - 1, j]) + int(s[i + 1, j])
-        d = (int(s[i - 1, j - 1]) + int(s[i - 1, j + 1])
-             + int(s[i + 1, j - 1]) + int(s[i + 1, j + 1]))
-        return _zc_context(band, h, v, d)
-
-    def sc(self, y: int, x: int) -> tuple[int, int]:
-        s, g = self.sig, self.sgn
-        i, j = y + 1, x + 1
-
-        def contrib(a, b):
-            c = 0
-            if s[i + a, j + b]:
-                c = -1 if g[i + a, j + b] else 1
-            return c
-
-        hc = max(-1, min(1, contrib(0, -1) + contrib(0, 1)))
-        vc = max(-1, min(1, contrib(-1, 0) + contrib(1, 0)))
-        return _SC_TABLE[(hc, vc)]
-
-    def mr(self, y: int, x: int) -> int:
-        if self.refined[y + 1, x + 1]:
-            return 16
-        s = self.sig
-        i, j = y + 1, x + 1
-        any_nb = (s[i - 1, j - 1:j + 2].any() or s[i + 1, j - 1:j + 2].any()
-                  or s[i, j - 1] or s[i, j + 1])
-        return 15 if any_nb else 14
+_ZC_LUTS: dict[str, list[int]] = {}
+_SC_LUT = [_SC_TABLE[(hc, vc)] for hc in (-1, 0, 1) for vc in (-1, 0, 1)]
 
 
-def _t1_walk(h: int, w: int):
-    """Stripe scan order: 4-row stripes, column-major inside a stripe."""
-    for y0 in range(0, h, 4):
-        for x in range(w):
-            yield y0, x, min(4, h - y0)
+def _zc_lut(band: str) -> list[int]:
+    """Flat zero-coding LUT indexed (h*3 + v)*5 + d."""
+    lut = _ZC_LUTS.get(band)
+    if lut is None:
+        lut = [_zc_context(band, hh, vv, dd)
+               for hh in range(3) for vv in range(3) for dd in range(5)]
+        _ZC_LUTS[band] = lut
+    return lut
 
 
 def t1_encode(mag: np.ndarray, sign: np.ndarray, band: str
               ) -> tuple[bytes, int, int]:
     """Encode one code-block (magnitude, sign) → (codeword segment,
-    n_passes, n_bitplanes)."""
+    n_passes, n_bitplanes). Inner loops run on flat bytearrays with a
+    one-sample zero border (numpy scalar indexing measured ~6× slower
+    than list/bytearray access at this grain)."""
     h, w = mag.shape
     nbps = int(mag.max()).bit_length() if mag.size else 0
     if nbps == 0:
         return b"", 0, 0
-    g = _T1Grid(w, h)
+    w2 = w + 2
+    size = (h + 2) * w2
+    sig = bytearray(size)
+    sgn = bytearray(size)
+    vis = bytearray(size)
+    refn = bytearray(size)
+    magf = [int(v) for v in mag.ravel()]
+    sgnf = [int(v) for v in sign.ravel()]
+    zc = _zc_lut(band)
+    sc = _SC_LUT
     mq = MQEncoder(n_contexts=19)
     mq.reset_contexts(T1_INIT_STATES)
+    enc = mq.encode
     npasses = 0
+    stripes = [(y0, min(4, h - y0)) for y0 in range(0, h, 4)]
     for p in range(nbps - 1, -1, -1):
-        bit = (mag >> p) & 1
         if npasses > 0:
             # significance propagation
-            for y0, x, sh in _t1_walk(h, w):
-                for y in range(y0, y0 + sh):
-                    if g.sig[y + 1, x + 1]:
-                        continue
-                    cx = g.zc(band, y, x)
-                    if cx == 0:
-                        continue
-                    v = int(bit[y, x])
-                    mq.encode(v, cx)
-                    g.visited[y + 1, x + 1] = 1
-                    if v:
-                        scx, xo = g.sc(y, x)
-                        mq.encode(int(sign[y, x]) ^ xo, scx)
-                        g.sig[y + 1, x + 1] = 1
-                        g.sgn[y + 1, x + 1] = sign[y, x]
+            for y0, sh in stripes:
+                for x in range(w):
+                    i = (y0 + 1) * w2 + x + 1
+                    k = y0 * w + x
+                    for _ in range(sh):
+                        if not sig[i]:
+                            hcnt = sig[i - 1] + sig[i + 1]
+                            vcnt = sig[i - w2] + sig[i + w2]
+                            dcnt = (sig[i - w2 - 1] + sig[i - w2 + 1]
+                                    + sig[i + w2 - 1] + sig[i + w2 + 1])
+                            cx = zc[(hcnt * 3 + vcnt) * 5 + dcnt]
+                            if cx:
+                                v = (magf[k] >> p) & 1
+                                enc(v, cx)
+                                vis[i] = 1
+                                if v:
+                                    hc = (sig[i - 1] * (1 - 2 * sgn[i - 1])
+                                          + sig[i + 1] * (1 - 2 * sgn[i + 1]))
+                                    vc = (sig[i - w2] * (1 - 2 * sgn[i - w2])
+                                          + sig[i + w2] * (1 - 2 * sgn[i + w2]))
+                                    hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+                                    vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+                                    scx, xo = sc[(hc + 1) * 3 + vc + 1]
+                                    s = sgnf[k]
+                                    enc(s ^ xo, scx)
+                                    sig[i] = 1
+                                    sgn[i] = s
+                        i += w2
+                        k += w
             npasses += 1
             # magnitude refinement
-            for y0, x, sh in _t1_walk(h, w):
-                for y in range(y0, y0 + sh):
-                    if (not g.sig[y + 1, x + 1]
-                            or g.visited[y + 1, x + 1]):
-                        continue
-                    mq.encode(int(bit[y, x]), g.mr(y, x))
-                    g.refined[y + 1, x + 1] = 1
-                    g.visited[y + 1, x + 1] = 1
+            for y0, sh in stripes:
+                for x in range(w):
+                    i = (y0 + 1) * w2 + x + 1
+                    k = y0 * w + x
+                    for _ in range(sh):
+                        if sig[i] and not vis[i]:
+                            if refn[i]:
+                                cx = 16
+                            elif (sig[i - 1] or sig[i + 1] or sig[i - w2]
+                                  or sig[i + w2] or sig[i - w2 - 1]
+                                  or sig[i - w2 + 1] or sig[i + w2 - 1]
+                                  or sig[i + w2 + 1]):
+                                cx = 15
+                            else:
+                                cx = 14
+                            enc((magf[k] >> p) & 1, cx)
+                            refn[i] = 1
+                            vis[i] = 1
+                        i += w2
+                        k += w
             npasses += 1
         # cleanup
-        for y0, x, sh in _t1_walk(h, w):
-            y = y0
-            if (sh == 4
-                    and not g.visited[y0 + 1:y0 + 5, x + 1].any()
-                    and not g.sig[y0 + 1:y0 + 5, x + 1].any()
-                    and all(g.zc(band, yy, x) == 0
-                            for yy in range(y0, y0 + 4))):
-                run = [int(bit[yy, x]) for yy in range(y0, y0 + 4)]
-                if not any(run):
-                    mq.encode(0, CX_RUN)
-                    continue
-                mq.encode(1, CX_RUN)
-                r = run.index(1)
-                mq.encode(r >> 1, CX_UNI)
-                mq.encode(r & 1, CX_UNI)
-                y = y0 + r
-                # the r-th sample is significant by implication: sign only
-                scx, xo = g.sc(y, x)
-                mq.encode(int(sign[y, x]) ^ xo, scx)
-                g.sig[y + 1, x + 1] = 1
-                g.sgn[y + 1, x + 1] = sign[y, x]
-                y += 1
-            for yy in range(y, y0 + sh):
-                if g.visited[yy + 1, x + 1] or g.sig[yy + 1, x + 1]:
-                    continue
-                v = int(bit[yy, x])
-                mq.encode(v, g.zc(band, yy, x))
-                if v:
-                    scx, xo = g.sc(yy, x)
-                    mq.encode(int(sign[yy, x]) ^ xo, scx)
-                    g.sig[yy + 1, x + 1] = 1
-                    g.sgn[yy + 1, x + 1] = sign[yy, x]
+        for y0, sh in stripes:
+            for x in range(w):
+                i0 = (y0 + 1) * w2 + x + 1
+                k0 = y0 * w + x
+                start = 0
+                if sh == 4:
+                    rl = True
+                    i = i0
+                    for _ in range(4):
+                        if vis[i] or sig[i]:
+                            rl = False
+                            break
+                        if zc[(sig[i - 1] + sig[i + 1]) * 15
+                              + (sig[i - w2] + sig[i + w2]) * 5
+                              + sig[i - w2 - 1] + sig[i - w2 + 1]
+                              + sig[i + w2 - 1] + sig[i + w2 + 1]]:
+                            rl = False
+                            break
+                        i += w2
+                    if rl:
+                        run = [(magf[k0 + d * w] >> p) & 1
+                               for d in range(4)]
+                        if 1 not in run:
+                            enc(0, CX_RUN)
+                            continue
+                        enc(1, CX_RUN)
+                        r = run.index(1)
+                        enc(r >> 1, CX_UNI)
+                        enc(r & 1, CX_UNI)
+                        i = i0 + r * w2
+                        k = k0 + r * w
+                        hc = (sig[i - 1] * (1 - 2 * sgn[i - 1])
+                              + sig[i + 1] * (1 - 2 * sgn[i + 1]))
+                        vc = (sig[i - w2] * (1 - 2 * sgn[i - w2])
+                              + sig[i + w2] * (1 - 2 * sgn[i + w2]))
+                        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+                        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+                        scx, xo = sc[(hc + 1) * 3 + vc + 1]
+                        s = sgnf[k]
+                        enc(s ^ xo, scx)
+                        sig[i] = 1
+                        sgn[i] = s
+                        start = r + 1
+                i = i0 + start * w2
+                k = k0 + start * w
+                for _ in range(start, sh):
+                    if not vis[i] and not sig[i]:
+                        hcnt = sig[i - 1] + sig[i + 1]
+                        vcnt = sig[i - w2] + sig[i + w2]
+                        dcnt = (sig[i - w2 - 1] + sig[i - w2 + 1]
+                                + sig[i + w2 - 1] + sig[i + w2 + 1])
+                        v = (magf[k] >> p) & 1
+                        enc(v, zc[(hcnt * 3 + vcnt) * 5 + dcnt])
+                        if v:
+                            hc = (sig[i - 1] * (1 - 2 * sgn[i - 1])
+                                  + sig[i + 1] * (1 - 2 * sgn[i + 1]))
+                            vc = (sig[i - w2] * (1 - 2 * sgn[i - w2])
+                                  + sig[i + w2] * (1 - 2 * sgn[i + w2]))
+                            hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+                            vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+                            scx, xo = sc[(hc + 1) * 3 + vc + 1]
+                            s = sgnf[k]
+                            enc(s ^ xo, scx)
+                            sig[i] = 1
+                            sgn[i] = s
+                    i += w2
+                    k += w
         npasses += 1
-        g.visited[...] = 0
+        vis = bytearray(size)
     return mq.flush(), npasses, nbps
 
 
 def t1_decode(data: bytes, w: int, h: int, band: str, nbps: int,
               npasses: int) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one code-block codeword segment → (magnitude, sign)."""
-    mag = np.zeros((h, w), dtype=np.int64)
-    sign = np.zeros((h, w), dtype=np.int8)
-    if nbps == 0 or npasses == 0:
-        return mag, sign
-    g = _T1Grid(w, h)
+    """Decode one code-block codeword segment → (magnitude, sign).
+    Mirrors t1_encode decision-for-decision on the same flat state."""
+    if nbps <= 0 or npasses <= 0:
+        return (np.zeros((h, w), dtype=np.int64),
+                np.zeros((h, w), dtype=np.int8))
+    w2 = w + 2
+    size = (h + 2) * w2
+    sig = bytearray(size)
+    sgn = bytearray(size)
+    vis = bytearray(size)
+    refn = bytearray(size)
+    magf = [0] * (h * w)
+    sgnf = [0] * (h * w)
+    zc = _zc_lut(band)
+    sc = _SC_LUT
     mq = MQDecoder(data, n_contexts=19)
     mq.reset_contexts(T1_INIT_STATES)
+    dec = mq.decode
+    stripes = [(y0, min(4, h - y0)) for y0 in range(0, h, 4)]
     done = 0
     p = nbps - 1
     first = True
     while done < npasses:
         if not first:
             # significance propagation
-            for y0, x, sh in _t1_walk(h, w):
-                for y in range(y0, y0 + sh):
-                    if g.sig[y + 1, x + 1]:
-                        continue
-                    cx = g.zc(band, y, x)
-                    if cx == 0:
-                        continue
-                    g.visited[y + 1, x + 1] = 1
-                    if mq.decode(cx):
-                        scx, xo = g.sc(y, x)
-                        sg = mq.decode(scx) ^ xo
-                        mag[y, x] |= 1 << p
-                        sign[y, x] = sg
-                        g.sig[y + 1, x + 1] = 1
-                        g.sgn[y + 1, x + 1] = sg
+            for y0, sh in stripes:
+                for x in range(w):
+                    i = (y0 + 1) * w2 + x + 1
+                    k = y0 * w + x
+                    for _ in range(sh):
+                        if not sig[i]:
+                            hcnt = sig[i - 1] + sig[i + 1]
+                            vcnt = sig[i - w2] + sig[i + w2]
+                            dcnt = (sig[i - w2 - 1] + sig[i - w2 + 1]
+                                    + sig[i + w2 - 1] + sig[i + w2 + 1])
+                            cx = zc[(hcnt * 3 + vcnt) * 5 + dcnt]
+                            if cx:
+                                vis[i] = 1
+                                if dec(cx):
+                                    hc = (sig[i - 1] * (1 - 2 * sgn[i - 1])
+                                          + sig[i + 1] * (1 - 2 * sgn[i + 1]))
+                                    vc = (sig[i - w2] * (1 - 2 * sgn[i - w2])
+                                          + sig[i + w2] * (1 - 2 * sgn[i + w2]))
+                                    hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+                                    vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+                                    scx, xo = sc[(hc + 1) * 3 + vc + 1]
+                                    s = dec(scx) ^ xo
+                                    magf[k] |= 1 << p
+                                    sgnf[k] = s
+                                    sig[i] = 1
+                                    sgn[i] = s
+                        i += w2
+                        k += w
             done += 1
             if done >= npasses:
                 break
             # magnitude refinement
-            for y0, x, sh in _t1_walk(h, w):
-                for y in range(y0, y0 + sh):
-                    if (not g.sig[y + 1, x + 1]
-                            or g.visited[y + 1, x + 1]):
-                        continue
-                    if mq.decode(g.mr(y, x)):
-                        mag[y, x] |= 1 << p
-                    g.refined[y + 1, x + 1] = 1
-                    g.visited[y + 1, x + 1] = 1
+            for y0, sh in stripes:
+                for x in range(w):
+                    i = (y0 + 1) * w2 + x + 1
+                    k = y0 * w + x
+                    for _ in range(sh):
+                        if sig[i] and not vis[i]:
+                            if refn[i]:
+                                cx = 16
+                            elif (sig[i - 1] or sig[i + 1] or sig[i - w2]
+                                  or sig[i + w2] or sig[i - w2 - 1]
+                                  or sig[i - w2 + 1] or sig[i + w2 - 1]
+                                  or sig[i + w2 + 1]):
+                                cx = 15
+                            else:
+                                cx = 14
+                            if dec(cx):
+                                magf[k] |= 1 << p
+                            refn[i] = 1
+                            vis[i] = 1
+                        i += w2
+                        k += w
             done += 1
             if done >= npasses:
                 break
         # cleanup
-        for y0, x, sh in _t1_walk(h, w):
-            y = y0
-            if (sh == 4
-                    and not g.visited[y0 + 1:y0 + 5, x + 1].any()
-                    and not g.sig[y0 + 1:y0 + 5, x + 1].any()
-                    and all(g.zc(band, yy, x) == 0
-                            for yy in range(y0, y0 + 4))):
-                if not mq.decode(CX_RUN):
-                    continue
-                r = (mq.decode(CX_UNI) << 1) | mq.decode(CX_UNI)
-                y = y0 + r
-                scx, xo = g.sc(y, x)
-                sg = mq.decode(scx) ^ xo
-                mag[y, x] |= 1 << p
-                sign[y, x] = sg
-                g.sig[y + 1, x + 1] = 1
-                g.sgn[y + 1, x + 1] = sg
-                y += 1
-            for yy in range(y, y0 + sh):
-                if g.visited[yy + 1, x + 1] or g.sig[yy + 1, x + 1]:
-                    continue
-                if mq.decode(g.zc(band, yy, x)):
-                    scx, xo = g.sc(yy, x)
-                    sg = mq.decode(scx) ^ xo
-                    mag[yy, x] |= 1 << p
-                    sign[yy, x] = sg
-                    g.sig[yy + 1, x + 1] = 1
-                    g.sgn[yy + 1, x + 1] = sg
+        for y0, sh in stripes:
+            for x in range(w):
+                i0 = (y0 + 1) * w2 + x + 1
+                k0 = y0 * w + x
+                start = 0
+                if sh == 4:
+                    rl = True
+                    i = i0
+                    for _ in range(4):
+                        if vis[i] or sig[i]:
+                            rl = False
+                            break
+                        if zc[(sig[i - 1] + sig[i + 1]) * 15
+                              + (sig[i - w2] + sig[i + w2]) * 5
+                              + sig[i - w2 - 1] + sig[i - w2 + 1]
+                              + sig[i + w2 - 1] + sig[i + w2 + 1]]:
+                            rl = False
+                            break
+                        i += w2
+                    if rl:
+                        if not dec(CX_RUN):
+                            continue
+                        r = (dec(CX_UNI) << 1) | dec(CX_UNI)
+                        i = i0 + r * w2
+                        k = k0 + r * w
+                        hc = (sig[i - 1] * (1 - 2 * sgn[i - 1])
+                              + sig[i + 1] * (1 - 2 * sgn[i + 1]))
+                        vc = (sig[i - w2] * (1 - 2 * sgn[i - w2])
+                              + sig[i + w2] * (1 - 2 * sgn[i + w2]))
+                        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+                        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+                        scx, xo = sc[(hc + 1) * 3 + vc + 1]
+                        s = dec(scx) ^ xo
+                        magf[k] |= 1 << p
+                        sgnf[k] = s
+                        sig[i] = 1
+                        sgn[i] = s
+                        start = r + 1
+                i = i0 + start * w2
+                k = k0 + start * w
+                for _ in range(start, sh):
+                    if not vis[i] and not sig[i]:
+                        hcnt = sig[i - 1] + sig[i + 1]
+                        vcnt = sig[i - w2] + sig[i + w2]
+                        dcnt = (sig[i - w2 - 1] + sig[i - w2 + 1]
+                                + sig[i + w2 - 1] + sig[i + w2 + 1])
+                        if dec(zc[(hcnt * 3 + vcnt) * 5 + dcnt]):
+                            hc = (sig[i - 1] * (1 - 2 * sgn[i - 1])
+                                  + sig[i + 1] * (1 - 2 * sgn[i + 1]))
+                            vc = (sig[i - w2] * (1 - 2 * sgn[i - w2])
+                                  + sig[i + w2] * (1 - 2 * sgn[i + w2]))
+                            hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+                            vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+                            scx, xo = sc[(hc + 1) * 3 + vc + 1]
+                            s = dec(scx) ^ xo
+                            magf[k] |= 1 << p
+                            sgnf[k] = s
+                            sig[i] = 1
+                            sgn[i] = s
+                    i += w2
+                    k += w
         done += 1
-        g.visited[...] = 0
+        vis = bytearray(size)
         p -= 1
         first = False
+    mag = np.asarray(magf, dtype=np.int64).reshape(h, w)
+    sign = np.asarray(sgnf, dtype=np.int8).reshape(h, w)
     return mag, sign
 
 
