@@ -770,6 +770,7 @@ _DRIVER_PRIORITY = [
     "ingest_grib2_png",
     "ingest_grib2_lcc",
     "ingest_grib2_j2k",
+    "zarr_scan",
     "ingest_netcdf4",
     "utm_project",
     "lm_score",

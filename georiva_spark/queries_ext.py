@@ -940,6 +940,53 @@ FROM u GROUP BY y
 """
 
 
+def q_zarr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12 made concrete: embeddings table → Zarr v2 directory
+    store (float32 chunks, zlib) → chunk-parallel binaryFile scan with
+    the y-window pruned at LISTING time (untouched chunks' bytes never
+    ship) → per-row aggregates. Values are raw float32 → exact in both
+    engines. The window keeps rows with y < 256 — spanning several
+    64-row chunks plus a partial one, so edge-clipping and pruning are
+    both on the hot path."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])[None]
+    nvec = arr.shape[1]
+    d = os.path.join(tempfile.gettempdir(),
+                     f"georiva_spark_zarr_{nvec}")
+    if not os.path.exists(os.path.join(d, "emb", ".zarray")):
+        write_zarr(d, {
+            "emb": arr,
+            "lat": np.arange(nvec, dtype="<f8"),
+            "lon": np.arange(arr.shape[2], dtype="<f8"),
+            "time": np.array([0], dtype="<i8"),
+        }, chunks={"emb": (1, 64, 16)})
+
+    win_h = min(256, nvec)
+    g = ZARR.open_variable(spark, d, "emb",
+                           window=(0, 0, arr.shape[2], win_h))
+    return (g.groupBy("y")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_ZARR_SCAN = """
+WITH u AS (SELECT vec_id AS y, CAST(x AS DOUBLE) AS v
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+           WHERE vec_id < LEAST(256, (SELECT COUNT(*) FROM embeddings)))
+SELECT y, COUNT(v) AS n, AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
 def q_ingest_grib2_j2k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end via JPEG2000 packing (template 5.40 — the encoding
     GFS/NCEP products ship): the X integers ride in a lossless JPEG 2000
@@ -2276,6 +2323,7 @@ EXT_QUERIES = {
     "ingest_grib2_png": q_ingest_grib2_png,
     "ingest_grib2_lcc": q_ingest_grib2_lcc,
     "ingest_grib2_j2k": q_ingest_grib2_j2k,
+    "zarr_scan": q_zarr_scan,
     "webmercator_tiles": q_webmercator_tiles,
     "utm_project": q_utm_project,
     "regrid_bilinear": q_regrid_bilinear,
@@ -2343,6 +2391,7 @@ EXT_ORACLES = {
     "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
     "ingest_grib2_lcc": SQL_INGEST_GRIB2_LCC,
     "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,
+    "zarr_scan": SQL_ZARR_SCAN,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "utm_project": SQL_UTM_PROJECT,
     "regrid_bilinear": SQL_REGRID_BILINEAR,

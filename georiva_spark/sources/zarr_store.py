@@ -1,0 +1,276 @@
+"""Zarr v2 directory-store scan and write (S11/S12 made concrete).
+
+The reference builds virtual-Zarr/kerchunk manifests over per-timestep
+COGs and opens them as one lazy xarray cube
+(virtual_zarr/virtual_zarr.py:242-399). Here the long grid table is the
+cube, so the manifest machinery is unnecessary — but a native Zarr READ
+path is still valuable: archives increasingly ship as Zarr stores, and
+the format is a *directory of independently compressed chunk files*,
+which maps onto Spark better than any whole-file raster format:
+
+- `spark.read.format("binaryFile")` lists the chunk files as splits —
+  each executor decodes its chunks with zero coordination;
+- spatial windows / timestamp selection prune at the LISTING level
+  (chunk indices → file names), so a subset query never even ships the
+  untouched chunks' bytes — stronger pushdown than the in-decoder
+  window slice the whole-file formats get;
+- a 100-TB cube is just more chunk files; scan parallelism is the
+  chunk count, no single-file decode bottleneck.
+
+Dependency-free subset (zlib/gzip or uncompressed, C order, no filter
+chain — what plain ``zarr.save``-style writers emit); blosc/F-order/
+filters raise NotImplementedError naming the feature. Spec:
+https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from georiva_spark.schemas import GRID_SCHEMA
+
+_GRID_COLS = [f.name for f in GRID_SCHEMA.fields]
+
+
+def _read_meta(store: str, array: str) -> dict:
+    with open(os.path.join(store, array, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 2:
+        raise NotImplementedError(
+            f"zarr_format {meta.get('zarr_format')} (only v2)")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+        raise NotImplementedError(
+            f"zarr compressor {comp.get('id')!r} (zlib/gzip/None only)")
+    if meta.get("filters"):
+        raise NotImplementedError("zarr filter chain")
+    if meta.get("order", "C") != "C":
+        raise NotImplementedError("zarr F-order array")
+    return meta
+
+
+def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
+    comp = meta.get("compressor")
+    raw = zlib.decompress(content, 47) if comp is not None else content
+    a = np.frombuffer(raw, dtype=np.dtype(meta["dtype"]))
+    return a.reshape(meta["chunks"])
+
+
+def _read_small_array(store: str, array: str) -> np.ndarray:
+    """Driver-side read of a SMALL coordinate array (lat/lon/time axes —
+    bounded metadata, same role as parsing a file header)."""
+    meta = _read_meta(store, array)
+    shape, chunks = meta["shape"], meta["chunks"]
+    if len(shape) != 1:
+        raise ValueError(f"coordinate array {array} is not 1-D")
+    out = np.empty(shape[0], dtype=np.dtype(meta["dtype"]))
+    nchunks = -(-shape[0] // chunks[0])
+    for c in range(nchunks):
+        with open(os.path.join(store, array, str(c)), "rb") as f:
+            data = _decode_chunk(f.read(), meta)
+        lo = c * chunks[0]
+        out[lo:lo + min(chunks[0], shape[0] - lo)] = \
+            data[:min(chunks[0], shape[0] - lo)]
+    return out
+
+
+class ZarrStorePlugin:
+    """Chunk-parallel Zarr v2 store read → long grid rows.
+
+    Store layout contract (the CF-style cube the reference's virtual
+    manifests expose): data arrays of shape (Y, X) or (T, Y, X) with
+    1-D coordinate arrays ``lat``/``lon`` (+ ``time`` as epoch seconds
+    for 3-D). Rows come out in the south-up grid contract (y=0 the
+    southernmost row) regardless of the store's latitude orientation.
+    """
+
+    name = "zarr"
+
+    def list_variables(self, store: str) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(store)):
+            if entry in ("lat", "lon", "time", "latitude", "longitude"):
+                continue
+            if os.path.isfile(os.path.join(store, entry, ".zarray")):
+                out.append(entry)
+        return out
+
+    def get_timestamps(self, store: str) -> list[dt.datetime]:
+        t = _read_small_array(store, "time")
+        return [dt.datetime.fromtimestamp(float(s), dt.timezone.utc)
+                .replace(tzinfo=None) for s in t]
+
+    def open_variable(self, spark: SparkSession, store: str, variable: str,
+                      *, window: tuple[int, int, int, int] | None = None,
+                      timestamp: dt.datetime | None = None,
+                      collection: str = "c") -> DataFrame:
+        meta = _read_meta(store, variable)
+        shape, chunks = meta["shape"], meta["chunks"]
+        if len(shape) == 2:
+            tdim = False
+            ny, nx = shape
+            cy, cx = chunks
+        elif len(shape) == 3:
+            tdim = True
+            nt, ny, nx = shape
+            ct, cy, cx = chunks
+        else:
+            raise ValueError(f"unsupported zarr rank {len(shape)}")
+
+        lat = _read_small_array(
+            store, "lat" if os.path.isdir(os.path.join(store, "lat"))
+            else "latitude")
+        lon = _read_small_array(
+            store, "lon" if os.path.isdir(os.path.join(store, "lon"))
+            else "longitude")
+        descending = len(lat) > 1 and lat[0] > lat[-1]
+        times = (self.get_timestamps(store) if tdim
+                 else [dt.datetime(1970, 1, 1)])
+
+        # ---- listing-level chunk pruning --------------------------------
+        # window is (x_off, y_off, w, h) in SOUTH-UP grid coordinates;
+        # translate to storage rows before choosing chunk indices.
+        ys = range(-(-ny // cy))
+        xs = range(-(-nx // cx))
+        ts = range(-(-nt // ct)) if tdim else [None]
+        if window is not None:
+            x0, y0, ww, wh = window
+            rows = ([ny - (y0 + wh), ny - y0 - 1] if descending
+                    else [y0, y0 + wh - 1])
+            ys = range(max(0, rows[0] // cy),
+                       min(len(ys), rows[1] // cy + 1))
+            xs = range(x0 // cx, min(len(xs), (x0 + ww - 1) // cx + 1))
+        if tdim and timestamp is not None:
+            diffs = [abs((t - timestamp).total_seconds()) for t in times]
+            tsel = int(np.argmin(diffs))
+            ts = [tsel // ct]
+        paths = []
+        for t in ts:
+            for y in ys:
+                for x in xs:
+                    key = (f"{t}.{y}.{x}" if tdim else f"{y}.{x}")
+                    p = os.path.join(store, variable, key)
+                    if os.path.exists(p):
+                        paths.append(p)
+        if not paths:
+            return spark.createDataFrame([], GRID_SCHEMA)
+
+        fill = meta.get("fill_value")
+        lat_b = lat.copy()
+        lon_b = lon.copy()
+        times_b = list(times)
+        tsel_only = (int(np.argmin(
+            [abs((t - timestamp).total_seconds()) for t in times]))
+            if (tdim and timestamp is not None) else None)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for fpath, content in zip(pdf["path"], pdf["content"]):
+                    key = fpath.rsplit("/", 1)[-1]
+                    idx = [int(v) for v in key.split(".")]
+                    a = _decode_chunk(content, meta).astype(np.float64)
+                    if fill is not None:
+                        a = np.where(a == fill, np.nan, a)
+                    if tdim:
+                        tc, yc, xc = idx
+                        tlo = tc * ct
+                    else:
+                        yc, xc = idx
+                        tlo = 0
+                        a = a[None]
+                    ylo, xlo = yc * cy, xc * cx
+                    # clip padded edge chunks to the array bounds
+                    a = a[:, :max(0, min(cy, ny - ylo)),
+                          :max(0, min(cx, nx - xlo))]
+                    hh, ww_ = a.shape[1], a.shape[2]
+                    yy, xx = np.mgrid[0:hh, 0:ww_]
+                    rows_g = ylo + yy            # storage row index
+                    # south-up contract: flip when lat is descending
+                    gy = (ny - 1 - rows_g) if descending else rows_g
+                    frames = []
+                    for ti in range(a.shape[0]):
+                        tglob = tlo + ti
+                        if tglob >= len(times_b):
+                            continue
+                        if tsel_only is not None and tglob != tsel_only:
+                            continue
+                        vals = a[ti].ravel()
+                        sub = pd.DataFrame({
+                            "org": "default", "catalog": "t",
+                            "collection": collection,
+                            "variable": variable,
+                            "time": times_b[tglob],
+                            "reference_time": None,
+                            "y": gy.ravel().astype("int64"),
+                            "x": (xlo + xx).ravel().astype("int64"),
+                            "lat": lat_b[rows_g.ravel()],
+                            "lon": lon_b[(xlo + xx).ravel()],
+                            "value": np.where(np.isnan(vals), None,
+                                              vals),
+                        })
+                        frames.append(sub)
+                    if frames:
+                        yield pd.concat(frames,
+                                        ignore_index=True)[_GRID_COLS]
+
+        df = (spark.read.format("binaryFile").load(paths)
+              .select("path", "content")
+              .mapInPandas(gen, schema=GRID_SCHEMA))
+        if window is not None:
+            from pyspark.sql import functions as F
+            x0, y0, ww, wh = window
+            df = df.where((F.col("x") >= x0) & (F.col("x") < x0 + ww)
+                          & (F.col("y") >= y0) & (F.col("y") < y0 + wh))
+        return df
+
+
+def write_zarr(store: str, arrays: dict[str, np.ndarray],
+               chunks: dict[str, tuple] | None = None,
+               fill_value: float | None = None,
+               compress: bool = True) -> None:
+    """Minimal Zarr v2 directory-store writer (tests + export): C-order
+    chunks, zlib compressor, edge chunks padded to full chunk shape per
+    spec. ``arrays`` maps name → ndarray; 1-D coordinate arrays get one
+    chunk by default."""
+    for name, a in arrays.items():
+        a = np.ascontiguousarray(a)
+        ch = tuple((chunks or {}).get(name, ()) or
+                   (a.shape if a.ndim == 1 else
+                    tuple(min(s, 64) for s in a.shape)))
+        adir = os.path.join(store, name)
+        os.makedirs(adir, exist_ok=True)
+        meta = {
+            "zarr_format": 2, "shape": list(a.shape),
+            "chunks": list(ch), "dtype": a.dtype.str,
+            "compressor": ({"id": "zlib", "level": 6} if compress
+                           else None),
+            "fill_value": fill_value, "order": "C", "filters": None,
+        }
+        with open(os.path.join(adir, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        grid = [range(-(-s // c)) for s, c in zip(a.shape, ch)]
+        import itertools
+        for idx in itertools.product(*grid):
+            sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, ch))
+            block = a[sl]
+            if block.shape != ch:                 # pad edge chunks
+                pad = np.full(ch, fill_value if fill_value is not None
+                              else 0, dtype=a.dtype)
+                pad[tuple(slice(0, s) for s in block.shape)] = block
+                block = pad
+            raw = np.ascontiguousarray(block).tobytes()
+            payload = zlib.compress(raw, 6) if compress else raw
+            with open(os.path.join(adir, ".".join(map(str, idx))),
+                      "wb") as f:
+                f.write(payload)
+
+
+ZARR = ZarrStorePlugin()

@@ -1,0 +1,110 @@
+"""Zarr v2 store scan tests (S11/S12 concrete): chunk-parallel read,
+listing-level pruning, orientation, fills, gates."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from georiva_spark.sources.zarr_store import ZARR, write_zarr
+
+
+def _store(tmp_path, a3, lat, lon, times, **kw):
+    store = str(tmp_path / "store.zarr")
+    write_zarr(store, {"t2m": a3, "lat": lat, "lon": lon,
+                       "time": times}, **kw)
+    return store
+
+
+def test_roundtrip_3d_chunked(spark, tmp_path):
+    rng = np.random.default_rng(0)
+    a = rng.uniform(250, 300, (3, 10, 14)).astype("<f8")
+    lat = np.arange(10, dtype="<f8") * 0.5 - 2.0       # ascending
+    lon = np.arange(14, dtype="<f8") * 0.5 + 5.0
+    times = np.array([0, 3600, 7200], dtype="<i8")
+    store = _store(tmp_path, a, lat, lon, times,
+                   chunks={"t2m": (2, 4, 5)})
+    assert ZARR.list_variables(store) == ["t2m"]
+    assert len(ZARR.get_timestamps(store)) == 3
+    df = ZARR.open_variable(spark, store, "t2m")
+    rows = {(r.time.hour, r.y, r.x): r for r in df.collect()}
+    assert len(rows) == 3 * 10 * 14
+    assert rows[(1, 3, 7)].value == a[1, 3, 7]
+    assert rows[(0, 0, 0)].lat == -2.0 and rows[(0, 0, 0)].lon == 5.0
+
+
+def test_descending_lat_flips_to_south_up(spark, tmp_path):
+    a = np.arange(12, dtype="<f4").reshape(1, 3, 4)
+    lat = np.array([10.0, 9.0, 8.0])                   # north-up store
+    lon = np.arange(4, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon, np.array([0], dtype="<i8"))
+    rows = {(r.y, r.x): r for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    # y=0 must be the southernmost (lat 8), holding storage row 2
+    assert rows[(0, 0)].lat == 8.0
+    assert rows[(0, 0)].value == 8.0
+    assert rows[(2, 3)].lat == 10.0 and rows[(2, 3)].value == 3.0
+
+
+def test_window_prunes_at_listing_time(spark, tmp_path):
+    """Chunks outside the window are never READ: delete them from the
+    store and the windowed query still works."""
+    a = np.arange(64, dtype="<f8").reshape(1, 8, 8)
+    lat = np.arange(8, dtype="<f8")
+    lon = np.arange(8, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon, np.array([0], dtype="<i8"),
+                   chunks={"t2m": (1, 4, 4)})
+    # window covers only the (0,0) spatial chunk; corrupt the others
+    for key in ("0.0.1", "0.1.0", "0.1.1"):
+        os.remove(os.path.join(store, "t2m", key))
+    df = ZARR.open_variable(spark, store, "t2m", window=(0, 0, 3, 3))
+    rows = {(r.y, r.x): r.value for r in df.collect()}
+    assert rows == {(y, x): a[0, y, x]
+                    for y in range(3) for x in range(3)}
+
+
+def test_timestamp_prunes_time_chunks(spark, tmp_path):
+    import datetime as dt
+    a = np.arange(2 * 4, dtype="<f8").reshape(2, 2, 2)
+    lat = np.arange(2, dtype="<f8")
+    lon = np.arange(2, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon,
+                   np.array([0, 3600], dtype="<i8"),
+                   chunks={"t2m": (1, 2, 2)})
+    os.remove(os.path.join(store, "t2m", "0.0.0"))      # t=0 chunk gone
+    df = ZARR.open_variable(spark, store, "t2m",
+                            timestamp=dt.datetime(1970, 1, 1, 1))
+    rows = df.collect()
+    assert len(rows) == 4
+    assert all(r.time.hour == 1 for r in rows)
+
+
+def test_fill_value_and_uncompressed(spark, tmp_path):
+    a = np.array([[[1.0, -9999.0], [3.0, 4.0]]])
+    lat = np.arange(2, dtype="<f8")
+    lon = np.arange(2, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon, np.array([0], dtype="<i8"),
+                   fill_value=-9999.0, compress=False)
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert rows[(0, 1)] is None
+    assert rows[(1, 1)] == 4.0
+
+
+def test_unsupported_features_gated(tmp_path):
+    a = np.ones((2, 2), dtype="<f8")
+    store = str(tmp_path / "bad.zarr")
+    write_zarr(store, {"v": a})
+    meta = json.load(open(os.path.join(store, "v", ".zarray")))
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(meta, open(os.path.join(store, "v", ".zarray"), "w"))
+    with pytest.raises(NotImplementedError, match="blosc"):
+        from georiva_spark.sources.zarr_store import _read_meta
+        _read_meta(store, "v")
+    meta["compressor"] = None
+    meta["order"] = "F"
+    json.dump(meta, open(os.path.join(store, "v", ".zarray"), "w"))
+    with pytest.raises(NotImplementedError, match="F-order"):
+        from georiva_spark.sources.zarr_store import _read_meta
+        _read_meta(store, "v")
