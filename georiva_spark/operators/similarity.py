@@ -318,8 +318,10 @@ def semdedup(emb: DataFrame, n_clusters: int = 8,
     cell = F.array_min(F.array(*[
         F.struct(l2(cents[i]).alias("d"), F.lit(i).alias("c"))
         for i in range(n_clusters)]))["c"]
-    assigned = emb.select("vec_id", "embedding",
-                          cell.alias("cluster"))
+    # null embeddings can't be clustered or compared — drop them here
+    # rather than letting one null row kill the per-cluster kernel
+    assigned = (emb.where(F.col("embedding").isNotNull())
+                .select("vec_id", "embedding", cell.alias("cluster")))
 
     def mark(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

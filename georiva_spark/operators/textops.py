@@ -530,3 +530,58 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
         F.size(toks).alias("n_tokens"),
         F.size(bpe).alias("n_bpe_tokens"),
         F.array_join(F.slice(bpe, 1, 12), "|").alias("bpe_preview"))
+
+
+def gopher_rules(docs: DataFrame, *, min_words: int = 50,
+                 max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 min_stopword_hits: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    §A1.1): the published heuristic battery pretraining pipelines apply
+    before model-based filtering. Emits one boolean per rule plus the
+    conjunction, so downstream can audit WHICH rule dropped a document
+    (the paper's thresholds are the defaults). → (doc_id, n_words,
+    mean_word_len, symbol_ratio, bullet_ratio, stopword_hits,
+    rule_* booleans, gopher_pass).
+
+    Pure in-row HOF/regexp expressions — scan speed, zero shuffle,
+    whole-stage codegen; null text fails all rules (gopher_pass false)
+    rather than erroring.
+    """
+    toks = tokens(F.col(text_col))
+    nw = F.size(toks)
+    # single-space-join identity: total word chars = chars - (words-1)
+    mean_wl = ((F.length(F.col(text_col)) - nw + 1)
+               / F.greatest(nw, F.lit(1))).cast("double")
+    # symbol-to-word ratio per the paper: '#' and '...' occurrences
+    nsym = (F.regexp_count(F.col(text_col), F.lit("#"))
+            + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
+    symr = (nsym / F.greatest(nw, F.lit(1))).cast("double")
+    lines = F.split(F.col(text_col), "\n", -1)
+    nbullet = F.size(F.filter(
+        lines, lambda ln: ln.startswith("- ") | ln.startswith("* ")
+        | ln.startswith("• ")))
+    bulr = (nbullet / F.greatest(F.size(lines), F.lit(1))).cast("double")
+    nstop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+    r_words = (nw >= min_words) & (nw <= max_words)
+    r_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_sym = symr <= max_symbol_ratio
+    r_bul = bulr <= max_bullet_ratio
+    r_stop = nstop >= min_stopword_hits
+    passed = F.coalesce(r_words & r_wl & r_sym & r_bul & r_stop,
+                        F.lit(False))
+    return docs.select(
+        "doc_id", nw.alias("n_words"), mean_wl.alias("mean_word_len"),
+        symr.alias("symbol_ratio"), bulr.alias("bullet_ratio"),
+        nstop.alias("stopword_hits"),
+        F.coalesce(r_words, F.lit(False)).alias("rule_word_count"),
+        F.coalesce(r_wl, F.lit(False)).alias("rule_word_len"),
+        F.coalesce(r_sym, F.lit(False)).alias("rule_symbols"),
+        F.coalesce(r_bul, F.lit(False)).alias("rule_bullets"),
+        F.coalesce(r_stop, F.lit(False)).alias("rule_stopwords"),
+        passed.alias("gopher_pass"))

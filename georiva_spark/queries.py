@@ -771,6 +771,7 @@ _DRIVER_PRIORITY = [
     "ingest_grib2_lcc",
     "ingest_grib2_j2k",
     "zarr_scan",
+    "gopher_rules",
     "ingest_netcdf4",
     "utm_project",
     "lm_score",

@@ -940,6 +940,80 @@ FROM u GROUP BY y
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter battery (arXiv:2112.11446 §A1.1) over the
+    documents table. The corpus is deterministically augmented so every
+    rule fires both ways: doc_id%7==0 gains a '#'-symbol run (symbol
+    rule), %7==1 gains bullet lines (bullet rule), %7==2 is truncated
+    to 5 words (word-count rule); thresholds are tuned to the synthetic
+    word lengths so the pass/fail mix is non-vacuous."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.col("doc_id") % 7
+    text2 = (F.when(m == 0, F.concat(F.col("text"),
+                                     F.lit(" ### ### ### ### ###")))
+              .when(m == 1, F.concat(F.lit("- item one\n- item two\n"),
+                                     F.col("text")))
+              .when(m == 2, F.array_join(F.slice(toks, 1, 5), " "))
+              .otherwise(F.col("text")))
+    staged = docs.select("doc_id", text2.alias("text"))
+    return textops.gopher_rules(staged, min_words=10, max_words=1000,
+                                min_mean_word_len=1.0,
+                                max_mean_word_len=6.0,
+                                max_symbol_ratio=0.05,
+                                max_bullet_ratio=0.3,
+                                min_stopword_hits=1)
+
+
+SQL_GOPHER_RULES = """
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' ### ### ### ### ###'
+              WHEN doc_id % 7 = 1
+                   THEN '- item one' || chr(10) || '- item two'
+                        || chr(10) || text
+              WHEN doc_id % 7 = 2
+                   THEN array_to_string(
+                            list_slice(string_split(text, ' '), 1, 5), ' ')
+              ELSE text END AS text
+  FROM documents),
+m AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1) AS mean_word_len,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1) AS symbol_ratio,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                  ln -> ln LIKE '- %' OR ln LIKE '* %' OR ln LIKE '• %'))
+              AS DOUBLE)
+             / greatest(len(string_split(text, chr(10))), 1)
+             AS bullet_ratio,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+             AS stopword_hits
+  FROM staged),
+r AS (
+  SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         stopword_hits,
+         (n_words >= 10 AND n_words <= 1000) AS rule_word_count,
+         (mean_word_len >= 1.0 AND mean_word_len <= 6.0) AS rule_word_len,
+         (symbol_ratio <= 0.05) AS rule_symbols,
+         (bullet_ratio <= 0.3) AS rule_bullets,
+         (stopword_hits >= 1) AS rule_stopwords
+  FROM m)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+       symbol_ratio, bullet_ratio,
+       CAST(stopword_hits AS INTEGER) AS stopword_hits,
+       rule_word_count, rule_word_len, rule_symbols, rule_bullets,
+       rule_stopwords,
+       (rule_word_count AND rule_word_len AND rule_symbols
+        AND rule_bullets AND rule_stopwords) AS gopher_pass
+FROM r
+"""
+
+
 def q_zarr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/S12 made concrete: embeddings table → Zarr v2 directory
     store (float32 chunks, zlib) → chunk-parallel binaryFile scan with
@@ -2324,6 +2398,7 @@ EXT_QUERIES = {
     "ingest_grib2_lcc": q_ingest_grib2_lcc,
     "ingest_grib2_j2k": q_ingest_grib2_j2k,
     "zarr_scan": q_zarr_scan,
+    "gopher_rules": q_gopher_rules,
     "webmercator_tiles": q_webmercator_tiles,
     "utm_project": q_utm_project,
     "regrid_bilinear": q_regrid_bilinear,
@@ -2392,6 +2467,7 @@ EXT_ORACLES = {
     "ingest_grib2_lcc": SQL_INGEST_GRIB2_LCC,
     "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,
     "zarr_scan": SQL_ZARR_SCAN,
+    "gopher_rules": SQL_GOPHER_RULES,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "utm_project": SQL_UTM_PROJECT,
     "regrid_bilinear": SQL_REGRID_BILINEAR,

@@ -677,3 +677,40 @@ def test_bpe_rank_order_matters(spark):
     assert out1.bpe_preview == "ab|c"
     out2 = textops.bpe_apply(df, [("b", "c"), ("a", "b")]).head()
     assert out2.bpe_preview == "a|bc"
+
+
+def test_gopher_rules_battery(spark):
+    rows = [
+        (1, "the cat sat on a mat and then the dog came to sit in turn "
+            * 5),                                   # clean, passes
+        (2, "short text only"),                     # fails word count
+        (3, "the " + "### " * 30 + "cat sat on a mat and more words "
+            "arrive to make it long enough to pass the count rule ok"),
+        (4, "- one\n- two\n- three\nthe only prose line here"),
+        (5, "zz " * 60),                            # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.gopher_rules(
+        df, min_words=10, max_words=1000, min_mean_word_len=1.0,
+        max_mean_word_len=8.0, max_symbol_ratio=0.1,
+        max_bullet_ratio=0.5, min_stopword_hits=1).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].rule_word_count and not out[2].gopher_pass
+    assert not out[3].rule_symbols and out[3].rule_word_count
+    assert not out[4].rule_bullets
+    assert not out[5].rule_stopwords and out[5].rule_word_count
+    # null text fails closed rather than erroring
+    nl = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r = textops.gopher_rules(nl).head()
+    assert r.gopher_pass is False
+
+
+def test_semdedup_null_embedding_dropped(spark):
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(v) for v in rng.normal(size=8)])
+            for i in range(20)]
+    rows.append((99, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semdedup(emb, n_clusters=2, threshold=0.99).collect()
+    assert len(out) == 20                  # null row dropped, no crash
+    assert all(r.vec_id != 99 for r in out)
