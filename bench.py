@@ -30,7 +30,7 @@ HEADLINE = [
     "dedup_clusters", "chunk_docs", "pii_scrub", "repetition", "hash_sample",
     "vocab", "quantize_emb", "mvt_tiles", "fingerprints", "file_times",
     "line_dedup", "url_dedup", "semdedup", "bpe_tokenize",
-    "ingest_grib2_lcc",
+    "ingest_grib2_lcc", "zarr_scan", "gopher_rules",
 ]
 
 

@@ -117,3 +117,48 @@ def test_knn_ivf_pinned_assignment_in_row(spark):
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", "")          # 1-row query broadcast ok
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_tokenize_zero_shuffle(spark):
+    """The pinned-merge BPE chain is pure in-row expressions — the plan
+    must contain NO Exchange at all (a tokenization that shuffles the
+    corpus would be wrong at any scale)."""
+    plan = _plan(QUERIES["bpe_tokenize"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_gopher_rules_zero_shuffle_no_python(spark):
+    plan = _plan(QUERIES["gopher_rules"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark):
+    """The line-frequency exchange must carry the 64-bit line hash, not
+    the line string: the hash column feeds hashpartitioning."""
+    plan = _plan(QUERIES["line_dedup"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning(lh#" in phys
+
+
+def test_url_dedup_no_window_sort(spark):
+    """One hash aggregation, no Window operator, no global Sort — the
+    winner-per-URL policy must be max_by, not row_number."""
+    plan = _plan(QUERIES["url_dedup"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Window" not in phys
+    assert "max_by" in phys or "HashAggregate" in phys
+
+
+def test_semdedup_single_cluster_shuffle(spark):
+    """Assignment is in-row (no join/exchange before the cluster
+    groupBy); exactly one hashpartitioning on the cluster key feeds the
+    per-cluster kernel."""
+    plan = _plan(QUERIES["semdedup"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("hashpartitioning(cluster#") == 1
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoop" \
+        not in phys
