@@ -448,7 +448,7 @@ def _decode_message(m: bytes, discipline: int) -> dict:
 
     s4 = sections[4]
     ptmpl = _u(s4, 7, 2)
-    if ptmpl not in (0, 8):
+    if ptmpl not in (0, 1, 8, 11):
         raise NotImplementedError(f"product template {ptmpl}")
     category, number = s4[9], s4[10]
     unit = s4[17]
@@ -458,14 +458,21 @@ def _decode_message(m: bytes, discipline: int) -> dict:
             }.get(unit, dt.timedelta(hours=fstep))
     stat_process = None
     interval_end = None
-    if ptmpl == 8:
-        # 4.8 (statistically processed over an interval — accumulations
-        # and means, e.g. precipitation totals): valid time is the END
-        # of the overall interval, encoded at octets 35-41
-        interval_end = dt.datetime(_u(s4, 34, 2), s4[36], s4[37],
-                                   s4[38], s4[39], s4[40])
-        if s4[41] >= 1:                    # first time-range's process
-            stat_process = s4[46]
+    ens_type = ens_member = ens_size = None
+    off8 = 34
+    if ptmpl in (1, 11):
+        # ensemble templates insert (type, perturbation number, ensemble
+        # size) at octets 35-37; everything after shifts by 3
+        ens_type, ens_member, ens_size = s4[34], s4[35], s4[36]
+        off8 = 37
+    if ptmpl in (8, 11):
+        # statistically processed over an interval — accumulations and
+        # means (precip totals): valid time is the END of the interval
+        interval_end = dt.datetime(_u(s4, off8, 2), s4[off8 + 2],
+                                   s4[off8 + 3], s4[off8 + 4],
+                                   s4[off8 + 5], s4[off8 + 6])
+        if s4[off8 + 7] >= 1:              # first time-range's process
+            stat_process = s4[off8 + 12]
 
     s5 = sections[5]
     npoints = _u(s5, 5, 4)
@@ -532,6 +539,8 @@ def _decode_message(m: bytes, discipline: int) -> dict:
         "valid_time": (interval_end if interval_end is not None
                        else ref_time + step),
         "stat_process": stat_process,
+        "ens_type": ens_type, "ens_member": ens_member,
+        "ens_size": ens_size,
         "values": values, "la1": la1, "lo1": lo1, "la2": la2, "lo2": lo2,
         "di": di, "dj": dj, "scan": scan,
         "grid_template": grid["template"], "proj": grid["proj"],
@@ -562,7 +571,10 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                          group_size: int = 20,
                          missing_management: bool = False,
                          accum_hours: int | None = None,
-                         grid_def: dict | None = None) -> bytes:
+                         grid_def: dict | None = None,
+                         ens_member: int | None = None,
+                         ens_type: int = 3,
+                         ens_size: int = 0) -> bytes:
     """One GRIB2 message: lat/lon grid (3.0), product 4.0, packing 5.0
     (simple, default), 5.2 (complex, fixed `group_size` groups), 5.3
     (complex + spatial differencing of `spatial_order`) or 5.41 (PNG);
@@ -662,24 +674,32 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                    + _sm(round(-90 * 1e6), 4) + _sm(0, 4))
     else:
         raise NotImplementedError(f"grid_def kind {kind!r}")
+    ens = (bytes([ens_type, ens_member, ens_size])
+           if ens_member is not None else b"")
     if accum_hours is None:
-        s4 = ((0).to_bytes(2, "big") + (0).to_bytes(2, "big")  # tmpl 4.0
+        tnum = 1 if ens else 0            # 4.1 = 4.0 + ensemble octets
+        s4 = ((0).to_bytes(2, "big") + tnum.to_bytes(2, "big")
               + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
               + bytes([0, 1])                                  # unit: hours
               + forecast_hours.to_bytes(4, "big")
-              + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
-              + bytes([255, 0]) + (0).to_bytes(4, "big"))
+              # octets 23-28 / 29-34: two (type, scale, value) surfaces
+              + bytes([1, 0]) + (0).to_bytes(4, "big")
+              + bytes([255, 0]) + (0).to_bytes(4, "big")
+              + ens)
     else:
-        # template 4.8 — statistical processing (accumulation) over the
-        # interval [ref+forecast, ref+forecast+accum]; octet layout is
-        # 4.0 through octet 34, then end-of-interval + one range spec
+        # template 4.8 (or 4.11 with ensemble octets) — statistical
+        # processing (accumulation) over [ref+forecast,
+        # ref+forecast+accum]; layout is 4.0 through octet 34, then the
+        # ensemble triple (4.11 only), then end-of-interval + one range
         end = ref_time + dt.timedelta(hours=forecast_hours + accum_hours)
-        s4 = ((0).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        tnum = 11 if ens else 8
+        s4 = ((0).to_bytes(2, "big") + tnum.to_bytes(2, "big")
               + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
               + bytes([0, 1])
               + forecast_hours.to_bytes(4, "big")
-              + bytes([1, 0, 0]) + (0).to_bytes(4, "big")
-              + bytes([255, 0]) + (0).to_bytes(3, "big")       # → octet 34
+              + bytes([1, 0]) + (0).to_bytes(4, "big")
+              + bytes([255, 0]) + (0).to_bytes(4, "big")       # → octet 34
+              + ens
               + end.year.to_bytes(2, "big")
               + bytes([end.month, end.day, end.hour, end.minute,
                        end.second])

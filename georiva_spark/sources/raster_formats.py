@@ -210,7 +210,13 @@ class Grib2Plugin(_BaseFilePlugin):
             raise ValueError("empty GRIB2 payload")
         by_var: dict[str, list] = {}
         for m in msgs:
-            by_var.setdefault(m["shortName"], []).append(m)
+            # ensemble members (templates 4.1/4.11) surface as distinct
+            # variables — shortName:pNN — so each member is selectable
+            # through the shared (values, times) contract
+            name = m["shortName"]
+            if m.get("ens_member") is not None:
+                name = f"{name}:p{m['ens_member']}"
+            by_var.setdefault(name, []).append(m)
         m0 = msgs[0]
         nj = m0["values"].shape[0]
         dj, di = m0["dj"], m0["di"]

@@ -559,3 +559,33 @@ def test_reduced_gaussian_gated():
         pos += ln
     with pytest.raises(NotImplementedError, match="reduced Gaussian"):
         decode_grib2(bytes(buf))
+
+
+def test_ensemble_templates_4_1_and_4_11(spark, tmp_path):
+    """Templates 4.1/4.11: ensemble octets surface as ens_* fields and
+    each member becomes a selectable shortName:pNN variable."""
+    a = np.arange(6, dtype=float).reshape(2, 3)
+    kw = dict(shortname="t", ref_time=T0, forecast_hours=6,
+              la1=1.5, lo1=0.5, di=1.0, dj=1.0)
+    buf = (encode_grib2_message(a, ens_member=0, ens_size=20, **kw)
+           + encode_grib2_message(a + 5, ens_member=1, ens_size=20, **kw))
+    msgs = decode_grib2(buf)
+    assert [m["ens_member"] for m in msgs] == [0, 1]
+    assert msgs[0]["ens_size"] == 20 and msgs[0]["ens_type"] == 3
+    assert msgs[0]["valid_time"] == T0 + dt.timedelta(hours=6)
+    base = decode_grib2(encode_grib2_message(a, **kw))[0]
+    np.testing.assert_array_equal(msgs[0]["values"], base["values"])
+
+    fp = tmp_path / "ens.grib2"
+    fp.write_bytes(buf)
+    assert GRIB2.list_variables(spark, str(fp)) == ["t:p0", "t:p1"]
+    rows = GRIB2.open_variable(spark, str(fp), "t:p1").collect()
+    assert {r.value for r in rows} == set((a + 5).ravel())
+
+    # 4.11 = ensemble + accumulation interval
+    m11 = decode_grib2(encode_grib2_message(
+        a, ens_member=4, ens_size=10, accum_hours=12, **kw))[0]
+    assert m11["ens_member"] == 4
+    assert m11["valid_time"] == T0 + dt.timedelta(hours=18)
+    assert m11["stat_process"] == 1      # accumulation
+    np.testing.assert_array_equal(m11["values"], base["values"])
