@@ -153,3 +153,66 @@ def test_grib2_quantization_bound_and_georef(shape, seed, south_up):
     # quantization error bounded by one step of 2^-24 × value scale
     assert np.max(np.abs(m["values"] - a)) <= 2.0 ** -24 * (
         np.max(a) - np.min(a) + 1)
+
+
+# -- JPEG 2000 / projections (round-3 codecs) -------------------------------
+
+@given(st.integers(1, 120), st.integers(1, 120), st.integers(1, 20),
+       st.integers(0, 2 ** 31))
+@settings(max_examples=30, deadline=None)
+def test_j2k_roundtrip_any_shape_depth(w, h, depth, seed):
+    from georiva_spark.sources.j2k_codec import j2k_decode, j2k_encode
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << depth, (h, w))
+    assert np.array_equal(j2k_decode(j2k_encode(a, depth)), a)
+
+
+@given(st.integers(0, 2 ** 31), st.sampled_from([1, 2, 3, 5]))
+@settings(max_examples=30, deadline=None)
+def test_dwt53_perfect_reconstruction(seed, levels):
+    from georiva_spark.sources.j2k_codec import (
+        dwt53_forward, dwt53_inverse,
+    )
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(1, 200)), int(rng.integers(1, 200)))
+    a = rng.integers(-(1 << 20), 1 << 20, shape)
+    ll, det = dwt53_forward(a, levels)
+    assert np.array_equal(dwt53_inverse(ll, det), a)
+
+
+@given(st.floats(-85, 85), st.floats(-180, 179.999),
+       st.floats(20, 60), st.floats(-150, 150))
+@settings(max_examples=200, deadline=None)
+def test_lcc_inverse_of_forward(lat, lon, lat1, lon0):
+    from georiva_spark.functions.geo import (
+        lcc_sphere_inverse_np, lcc_sphere_np,
+    )
+    # stay away from the opposite cone pole where LCC is undefined
+    if abs(lat - (-np.sign(lat1 if lat1 else 1) * 90)) < 10:
+        return
+    x, y = lcc_sphere_np(lat, lon, lat1, lat1, lat1, lon0)
+    la, lo = lcc_sphere_inverse_np(x, y, lat1, lat1, lat1, lon0)
+    assert abs(float(la) - lat) < 1e-8
+    dlon = (float(lo) - lon + 180.0) % 360.0 - 180.0
+    assert abs(dlon) < 1e-8
+
+
+@given(st.floats(-89.9, 89.9), st.floats(-180, 179.999),
+       st.floats(-89, 89), st.floats(-180, 180),
+       st.floats(-45, 45))
+@settings(max_examples=200, deadline=None)
+def test_rotated_pole_inverse_of_forward(lat, lon, sp_lat, sp_lon, angle):
+    from georiva_spark.functions.geo import (
+        lonlat_to_rotated_pole_np, rotated_pole_to_lonlat_np,
+    )
+    lr, lor = lonlat_to_rotated_pole_np(lat, lon, sp_lat, sp_lon, angle)
+    la, lo = rotated_pole_to_lonlat_np(lr, lor, sp_lat, sp_lon, angle)
+    # angle extraction is ill-conditioned near the rotated frame's poles
+    # (arcsin derivative blows up); the well-conditioned invariant is the
+    # 3-D chord between the two unit vectors — arcsin near ±1 loses half
+    # the mantissa (√ε ≈ 1.5e-8), so bound at 5e-7 (≈3 m on Earth)
+    def vec(pla, plo):
+        pla, plo = math.radians(pla), math.radians(plo)
+        return np.array([math.cos(pla) * math.cos(plo),
+                         math.cos(pla) * math.sin(plo), math.sin(pla)])
+    assert np.linalg.norm(vec(lat, lon) - vec(float(la), float(lo))) < 5e-7
