@@ -236,6 +236,12 @@ def knn_ivf_pinned(emb: DataFrame, query_vec_id: int, k: int = 5,
     cmap = {r.vec_id: [float(v) for v in r.embedding]
             for r in emb.where(F.col("vec_id").isin(cids))
                         .select("vec_id", "embedding").collect()}
+    missing = [c for c in cids if c not in cmap]
+    if missing:
+        raise ValueError(
+            f"pinned-centroid quantizer needs dense vec_ids 0..N-1: "
+            f"centroid rows {missing} absent from the corpus; re-index "
+            "ids or use the trained-quantizer path (knn_ivf)")
     cents = [cmap[c] for c in cids]
 
     def l2(cvec):
@@ -252,10 +258,14 @@ def knn_ivf_pinned(emb: DataFrame, query_vec_id: int, k: int = 5,
         for i in range(n_centroids)]))["c"]
     assigned = emb.withColumn("cell", cell)
 
-    q = np.asarray(cmap.get(query_vec_id) or
-                   emb.where(F.col("vec_id") == query_vec_id)
-                      .select("embedding").head().embedding,
-                   dtype=np.float64)
+    qv = cmap.get(query_vec_id)
+    if qv is None:
+        row = (emb.where(F.col("vec_id") == query_vec_id)
+                  .select("embedding").head())
+        if row is None:
+            raise ValueError(f"query vec_id {query_vec_id} not in corpus")
+        qv = row.embedding
+    q = np.asarray(qv, dtype=np.float64)
     d = [(float(((np.asarray(c) - q) ** 2).sum()), i)
          for i, c in enumerate(cents)]
     probe_cells = [i for _, i in sorted(d)[:nprobe]]
@@ -305,6 +315,12 @@ def semdedup(emb: DataFrame, n_clusters: int = 8,
     cmap = {r.vec_id: [float(v) for v in r.embedding]
             for r in emb.where(F.col("vec_id").isin(cids))
                         .select("vec_id", "embedding").collect()}
+    missing = [c for c in cids if c not in cmap]
+    if missing:
+        raise ValueError(
+            f"pinned-centroid quantizer needs dense vec_ids 0..N-1: "
+            f"centroid rows {missing} absent from the corpus; re-index "
+            "ids or use the trained-quantizer path (knn_ivf)")
     cents = [cmap[c] for c in cids]
 
     def l2(cvec):
@@ -374,6 +390,12 @@ def knn_ivf_pq(emb: DataFrame, query_vec_id: int, k: int = 5,
     vecs = {r.vec_id: [float(v) for v in r.embedding]
             for r in emb.where(F.col("vec_id").isin(want))
                         .select("vec_id", "embedding").collect()}
+    absent = [c for c in sorted(set(cids) | set(cwids))
+              if c not in vecs]
+    if absent:
+        raise ValueError(
+            f"pinned-centroid/codebook rows {absent} absent from the "
+            "corpus — PQ pinning needs dense vec_ids 0..N-1")
     cents = [vecs[c] for c in cids]
     cb = [vecs[c] for c in cwids]
     dim = len(cb[0])
@@ -406,6 +428,8 @@ def knn_ivf_pq(emb: DataFrame, query_vec_id: int, k: int = 5,
         for j in range(ncw)]))["c"] for s in range(m)]
 
     # --- query-side: probe cells + ADC lookup table (driver numpy) ----
+    if query_vec_id not in vecs:
+        raise ValueError(f"query vec_id {query_vec_id} not in corpus")
     q = np.asarray(vecs[query_vec_id], dtype=np.float64)
     dc = [(float(((np.asarray(c) - q) ** 2).sum()), i)
           for i, c in enumerate(cents)]

@@ -158,8 +158,9 @@ HTML_STRIP_RULES = (
     (r"(?s)<!--.*?-->", " "),
     (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n"),
     (r"<[^>]+>", " "),
-    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"), (r"&gt;", ">"),
-    (r"&quot;", "\""), (r"&#39;", "'"),
+    # entity decode: &amp; LAST, else '&amp;lt;' double-decodes to '<'
+    (r"&nbsp;", " "), (r"&lt;", "<"), (r"&gt;", ">"),
+    (r"&quot;", "\""), (r"&#39;", "'"), (r"&amp;", "&"),
     (r"[ \t\x0b\f\r]+", " "),
     (r" ?\n ?", "\n"), (r"\n{2,}", "\n"),
     (r"^\s+|\s+$", ""),
@@ -288,7 +289,8 @@ def lm_score(docs: DataFrame, top_k: int = 10_000, add_k: float = 0.5,
     against the BROADCAST vocab (map-side, no shuffle) and the per-doc
     aggregation's map-side partial collapses to ~one exchanged row per
     document. The corpus token total N is the only driver scalar.
-    Returns (doc_id, n_tokens, bits_per_token)."""
+    Returns (doc_id, n_tokens, bits_per_token) for EVERY input row —
+    null/empty-text documents score (0, null)."""
     toks = tokens(F.col(text_col))
     ex = (docs.where(F.length(F.col(text_col)) > 0)
           .select("doc_id", F.explode(toks).alias("token")))
@@ -298,10 +300,18 @@ def lm_score(docs: DataFrame, top_k: int = 10_000, add_k: float = 0.5,
     denom = float(n_total) + add_k * (top_k + 1)
     lp = F.log2((F.coalesce(F.col("tf"), F.lit(0)).cast("double")
                  + F.lit(add_k)) / F.lit(denom))
-    return (ex.join(F.broadcast(vocab), "token", "left")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 (-F.avg(lp)).alias("bits_per_token")))
+    scored = (ex.join(F.broadcast(vocab), "token", "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   (-F.avg(lp)).alias("bits_per_token")))
+    # emit EVERY input row: null/empty-text docs score (0, null) rather
+    # than vanishing — callers join scores back to the corpus, where a
+    # silently missing row reads as "not yet scored"
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+                     .alias("n_tokens"),
+                    F.col("bits_per_token")))
 
 
 def fingerprint(docs: DataFrame, window: int = 8,
@@ -461,13 +471,18 @@ def canonicalize_url(url):
                                     0))
     tail = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
     c = F.concat(head, tail)
-    c = F.regexp_replace(c, r"^(https?://[^/:?]*):(80|443)([/?]|$)",
-                         r"$1$3")                          # default port
-    c = F.regexp_replace(c, r"[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*",
-                         "")                               # trackers
-    # a surviving '&...' that lost its '?' lead becomes '?...'
-    c = F.regexp_replace(c, r"^([^?]*)&", r"$1?")
-    c = F.regexp_replace(c, r"\?$", "")                    # bare '?'
+    # default ports are scheme-specific: only http:80 and https:443
+    c = F.regexp_replace(c, r"^(http://[^/:?]*):80([/?]|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:?]*):443([/?]|$)", r"$1$2")
+    # trackers: first drop 'param=value&' occurrences keeping the lead
+    # separator (twice — adjacent trackers leave a fresh match), then a
+    # trailing '[?&]param=value'. This never touches a literal '&' in
+    # the PATH (legal per RFC 3986), which the previous
+    # strip-then-promote-'&'-to-'?' rewrite corrupted.
+    tracker = r"(utm_[A-Za-z0-9_]*|fbclid|gclid)"
+    for _ in range(2):
+        c = F.regexp_replace(c, r"([?&])" + tracker + r"=[^&]*&", r"$1")
+    c = F.regexp_replace(c, r"[?&]" + tracker + r"=[^&]*$", "")
     c = F.regexp_replace(c, r"(://[^/?]+/[^?]*?)/(\?|$)", r"$1$2")
     return c
 
@@ -552,11 +567,16 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
     whole-stage codegen; null text fails all rules (gopher_pass false)
     rather than erroring.
     """
-    toks = tokens(F.col(text_col))
+    # split on ANY whitespace run — gopher_rules explicitly targets
+    # multi-line documents (the bullet rule), where single-space
+    # tokenization would merge words across newlines and the
+    # single-space-join length identity would count '\n' as word chars
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != F.lit(""))
     nw = F.size(toks)
-    # single-space-join identity: total word chars = chars - (words-1)
-    mean_wl = ((F.length(F.col(text_col)) - nw + 1)
-               / F.greatest(nw, F.lit(1))).cast("double")
+    mean_wl = (F.aggregate(toks, F.lit(0),
+                           lambda acc, t: acc + F.length(t))
+               .cast("double") / F.greatest(nw, F.lit(1)))
     # symbol-to-word ratio per the paper: '#' and '...' occurrences
     nsym = (F.regexp_count(F.col(text_col), F.lit("#"))
             + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))

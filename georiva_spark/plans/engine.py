@@ -335,7 +335,6 @@ class DerivationEngine:
         item_id = self._register_item(out_item, uh, ih, prev)
         self._write_output(uh, out_df)
         # lineage (engine.py:194-221): dedup edges per (derived, source)
-        self.lineage = [e for e in self.lineage if e.derived_item_id != item_id]
         seen = set()
         new_edges = []
         for r in resolved:
@@ -346,7 +345,14 @@ class DerivationEngine:
                 derived_item_id=item_id, source_item_id=r.item_id,
                 source_tier=r.tier, recipe_id=recipe.recipe_id,
                 recipe_version=recipe.version, input_hash=ih))
-        self.lineage.extend(new_edges)
+        if self.ledger_dir is None:
+            # in-memory mode only: the driver list IS the record. In
+            # ledger mode the table is the record and this list would
+            # grow unboundedly (and be O(n) rescanned per run) — the
+            # exact residency problem the table-primary ledger removed.
+            self.lineage = [e for e in self.lineage
+                            if e.derived_item_id != item_id]
+            self.lineage.extend(new_edges)
         self._append_lineage(new_edges)
         rec.input_hash = ih
         rec.produced_item_id = item_id
@@ -609,13 +615,22 @@ class DerivationEngine:
         self._write_event_file(f"{path}/runs", rows,
                                self._runs_pa_schema(), len(rows))
         if self.lineage:
+            # one seq PER DERIVED ITEM's edge batch — the live append
+            # gives a whole batch one seq, and lineage_df keeps only the
+            # max-seq rows per derived item; a distinct seq per edge
+            # would drop all but one edge of every multi-input unit
+            # after a save/load round trip
+            seq_of: dict[int, int] = {}
+            for e in self.lineage:
+                seq_of.setdefault(e.derived_item_id,
+                                  len(rows) + len(seq_of))
             lrows = [(e.derived_item_id, e.source_item_id, e.source_tier,
                       e.recipe_id, e.recipe_version, e.input_hash,
-                      len(rows) + i)
-                     for i, e in enumerate(self.lineage)]
+                      seq_of[e.derived_item_id])
+                     for e in self.lineage]
             self._write_event_file(f"{path}/lineage", lrows,
                                    self._lineage_pa_schema(),
-                                   len(rows) + len(lrows))
+                                   len(rows) + len(seq_of))
 
     def load_ledger(self, path: str) -> None:
         """Resume from a persisted ledger WITHOUT collecting it: attaches

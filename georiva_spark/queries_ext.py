@@ -977,23 +977,28 @@ WITH staged AS (
                             list_slice(string_split(text, ' '), 1, 5), ' ')
               ELSE text END AS text
   FROM documents),
+w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'),
+                     t -> t <> '') AS words
+  FROM staged),
 m AS (
   SELECT doc_id, text,
-         len(string_split(text, ' ')) AS n_words,
-         CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-             / greatest(len(string_split(text, ' ')), 1) AS mean_word_len,
+         len(words) AS n_words,
+         CAST(list_sum(list_transform(words, t -> length(t)))
+              AS DOUBLE) / greatest(len(words), 1) AS mean_word_len,
          CAST(length(text) - length(replace(text, '#', ''))
               + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
-             / greatest(len(string_split(text, ' ')), 1) AS symbol_ratio,
+             / greatest(len(words), 1) AS symbol_ratio,
          CAST(len(list_filter(string_split(text, chr(10)),
                   ln -> ln LIKE '- %' OR ln LIKE '* %' OR ln LIKE '• %'))
               AS DOUBLE)
              / greatest(len(string_split(text, chr(10))), 1)
              AS bullet_ratio,
-         len(list_filter(string_split(text, ' '),
+         len(list_filter(words,
              t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
              AS stopword_hits
-  FROM staged),
+  FROM w),
 r AS (
   SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
          stopword_hits,
@@ -2017,12 +2022,15 @@ WITH ex AS (
 vocab AS (
   SELECT token, COUNT(*) AS tf FROM ex GROUP BY token
   ORDER BY tf DESC, token LIMIT 10000),
-n AS (SELECT COUNT(*) AS nt FROM ex)
-SELECT ex.doc_id, COUNT(*) AS n_tokens,
-  -AVG(log2((COALESCE(v.tf, 0) + 0.5)
-            / (n.nt + 0.5 * 10001))) AS bits_per_token
-FROM ex LEFT JOIN vocab v USING (token), n
-GROUP BY ex.doc_id
+n AS (SELECT COUNT(*) AS nt FROM ex),
+scored AS (
+  SELECT ex.doc_id, COUNT(*) AS n_tokens,
+    -AVG(log2((COALESCE(v.tf, 0) + 0.5)
+              / (n.nt + 0.5 * 10001))) AS bits_per_token
+  FROM ex LEFT JOIN vocab v USING (token), n
+  GROUP BY ex.doc_id)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.bits_per_token
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 

@@ -892,10 +892,11 @@ def _encode_complex_missing(a: np.ndarray, packing: int, order: int,
         if fin.all() and span == 0:
             refs[g] = ref
             continue                     # constant group, width 0
-        # reserve all-ones for the missing marker when the group has any
-        w = ((span + 1).bit_length() if not fin.all()
-             else span.bit_length())
-        w = max(w, 1)
+        # ALWAYS reserve all-ones for the missing marker: the decoder
+        # treats an all-ones raw value as missing in EVERY group when
+        # octet 23 != 0, so a fully-finite group whose span is exactly
+        # 2^k-1 would otherwise decode its maximum as NaN
+        w = max((span + 1).bit_length(), 1)
         refs[g], widths[g] = ref, w
         raw = np.where(fin, seg - ref, (1 << w) - 1).astype(np.int64)
         chunks.append(((raw[:, None]

@@ -589,3 +589,17 @@ def test_ensemble_templates_4_1_and_4_11(spark, tmp_path):
     assert m11["valid_time"] == T0 + dt.timedelta(hours=18)
     assert m11["stat_process"] == 1      # accumulation
     np.testing.assert_array_equal(m11["values"], base["values"])
+
+
+def test_missing_management_reserves_marker_in_finite_groups():
+    """Regression: a fully-finite group with span 2^k-1 must not decode
+    its maximum as a missing point — the all-ones marker is reserved in
+    every group when octet 23 != 0."""
+    a = np.array([[0.0, 1.0, 2.0, 3.0], [10.0, 11.0, 12.0, 13.0]])
+    kw = dict(shortname="t", ref_time=T0, la1=1.5, lo1=0.5, di=1.0,
+              dj=1.0, e_scale=0)
+    for packing, order in ((2, 0), (3, 1), (3, 2)):
+        m = decode_grib2(encode_grib2_message(
+            a, packing=packing, spatial_order=order, group_size=4,
+            missing_management=True, **kw))[0]
+        np.testing.assert_array_equal(m["values"], a)

@@ -607,9 +607,13 @@ def test_canonicalize_url(spark):
         "https://a.com:443/x": "https://a.com/x",
         "http://a.com:80/x": "http://a.com/x",
         "http://a.com:8080/x": "http://a.com:8080/x",   # non-default kept
+        "https://a.com:80/x": "https://a.com:80/x",     # not https default
+        "http://a.com:443/x": "http://a.com:443/x",     # not http default
         "https://a.com/x?utm_source=f": "https://a.com/x",
         "https://a.com/x?utm_source=f&id=3": "https://a.com/x?id=3",
         "https://a.com/x?id=3&utm_medium=m&fbclid=z": "https://a.com/x?id=3",
+        "https://a.com/x?utm_a=1&utm_b=2&id=3": "https://a.com/x?id=3",
+        "https://a.com/a&b": "https://a.com/a&b",       # RFC 3986 path '&'
         "https://a.com/x/": "https://a.com/x",
         "https://a.com/": "https://a.com/",             # root slash kept
         "https://a.com/x/?id=1": "https://a.com/x?id=1",

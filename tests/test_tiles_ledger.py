@@ -63,3 +63,35 @@ def test_ledger_persistence_roundtrip(spark, tmp_path):
     again = eng2.run_all()
     assert {r.status for r in again} == {"skipped"}
     assert eng2.lineage_df().count() == len(eng.lineage)
+
+
+def test_ledger_roundtrip_keeps_multi_input_lineage(spark, tmp_path):
+    """Regression: the snapshot must give each derived item's edge
+    batch ONE seq — a distinct seq per edge made lineage_df() (which
+    keeps only the max-seq batch per derived item) drop all but one
+    edge of every multi-input unit after save/load."""
+    import tests.test_engine as te
+    from georiva_spark.plans import DerivationEngine, RecipeRegistry
+    from georiva_spark.plans.recipes import ClimatologyRecipe, PromotionRecipe
+
+    ctx = te._staging_catalog(spark, 24)
+    reg = RecipeRegistry()
+    reg.register(ClimatologyRecipe(
+        "src", "clim", periods=[(2020, 2021)], seasons=["annual"],
+        quantities=["value"]))
+    eng = DerivationEngine(spark, reg, ctx)
+    eng.run_all()      # climatology units consume many monthly sources
+    multi = {}
+    for e in eng.lineage:
+        multi.setdefault(e.derived_item_id, set()).add(e.source_item_id)
+    assert any(len(v) > 1 for v in multi.values()), "fixture has no " \
+        "multi-input unit; adjust the recipe window"
+
+    path = str(tmp_path / "ledger")
+    eng.save_ledger(path)
+    eng2 = DerivationEngine(spark, reg, ctx)
+    eng2.load_ledger(path)
+    got = {}
+    for r in eng2.lineage_df().collect():
+        got.setdefault(r.derived_item_id, set()).add(r.source_item_id)
+    assert got == multi
