@@ -442,6 +442,28 @@ def polar_stereo_sphere_inverse_np(x, y, lat_ts: float, lon0: float,
     return np.degrees(phi), np.degrees(lam) + lon0
 
 
+def mercator_sphere_np(lat, lon, lat_ts: float, lon0: float = 0.0,
+                       radius: float = GRIB_EARTH_SPHERE):
+    """Spherical Mercator forward with true scale at ``lat_ts`` (Snyder
+    7-1/7-2 with k0 = cos φts folded in) — GRIB2 grid template 3.10.
+    → (x, y) meters."""
+    k = radius * math.cos(math.radians(lat_ts))
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(((np.asarray(lon, np.float64) - lon0 + 180.0)
+                      % 360.0) - 180.0)
+    return k * lam, k * np.log(np.tan(np.pi / 4 + phi / 2))
+
+
+def mercator_sphere_inverse_np(x, y, lat_ts: float, lon0: float = 0.0,
+                               radius: float = GRIB_EARTH_SPHERE):
+    """Inverse of mercator_sphere_np → (lat, lon) degrees."""
+    k = radius * math.cos(math.radians(lat_ts))
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, np.float64) / k))
+                     - np.pi / 2)
+    lon = np.degrees(np.asarray(x, np.float64) / k) + lon0
+    return lat, lon
+
+
 def rotated_pole_to_lonlat_np(lat_r, lon_r, sp_lat: float, sp_lon: float,
                               angle: float = 0.0):
     """Rotated-pole grid (GRIB2 template 3.1) → true (lat, lon) degrees.

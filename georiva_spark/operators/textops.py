@@ -605,3 +605,64 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
         F.coalesce(r_bul, F.lit(False)).alias("rule_bullets"),
         F.coalesce(r_stop, F.lit(False)).alias("rule_stopwords"),
         passed.alias("gopher_pass"))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """LEARN a BPE merge table from the corpus (Sennrich et al. 2016) —
+    the tokenizer-training counterpart of bpe_apply. Each round counts
+    adjacent symbol pairs corpus-wide, picks the most frequent (ties →
+    lexicographically smallest pair), and merges it everywhere.
+    → (rank, left, right, pair_count).
+
+    Scale shape: training runs on the DISTINCT-WORD table weighted by
+    word frequency (the standard trick) — one corpus pass builds the
+    word-count table, then every round is an explode+sum over |vocab|
+    rows, not corpus tokens; the chosen pair is the only driver scalar
+    per round. Pair occurrences count overlapping positions ('aaa' →
+    (a,a) twice) and merges apply left-to-right per rank — both the
+    published algorithm's semantics.
+    """
+    spark = docs.sparkSession
+    words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    state = words.select(
+        "cnt",
+        F.concat(F.lit(" "),
+                 F.array_join(F.split(F.col("w"), ""), " "),
+                 F.lit(" ")).alias("sym")).persist()
+    state.count()
+    merges = []
+    try:
+        for rank in range(n_merges):
+            syms = F.split(F.trim(F.col("sym")), " ")
+            t2 = F.slice(syms, 2,
+                         F.greatest(F.size(syms) - 1, F.lit(0)))
+            pairs = F.filter(
+                F.zip_with(syms, t2,
+                           lambda a, b: F.when(
+                               b.isNull(), F.lit(None)).otherwise(
+                               F.concat(a, F.lit(" "), b))),
+                lambda p: p.isNotNull())
+            top = (state.select("cnt", F.explode(pairs).alias("p"))
+                   .groupBy("p").agg(F.sum("cnt").alias("total"))
+                   .orderBy(F.desc("total"), F.asc("p"))
+                   .head())
+            if top is None:
+                break
+            left, right = top.p.split(" ")
+            merges.append((rank, left, right, int(top.total)))
+            pat = F.lit(f" {left} {right} ")
+            rep = F.lit(f" {left}{right} ")
+            nxt = state.select(
+                "cnt",
+                F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
+                 .alias("sym")).persist()
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long")

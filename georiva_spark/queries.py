@@ -772,6 +772,7 @@ _DRIVER_PRIORITY = [
     "ingest_grib2_j2k",
     "zarr_scan",
     "gopher_rules",
+    "bpe_train",
     "ingest_netcdf4",
     "utm_project",
     "lm_score",

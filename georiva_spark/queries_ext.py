@@ -940,6 +940,65 @@ FROM u GROUP BY y
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table LEARNING over the documents table (6 rounds) —
+    the oracle replays the identical rounds as chained SQL CTEs: pair
+    counting over the frequency-weighted distinct-word table, argmax
+    with the (count desc, pair asc) tiebreak as a scalar subquery, and
+    the same double-replace merge application. Counts are exact longs,
+    so the learned table matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_train(docs, n_merges=6)
+
+
+def _sql_bpe_train(n_merges: int = 6) -> str:
+    rounds = []
+    prev = "r0"
+    sel = []
+    for i in range(1, n_merges + 1):
+        rounds.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT pair, SUM(cnt) AS total
+  FROM (SELECT cnt,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(trim(sym), ' ')) - 1),
+                   k -> string_split(trim(sym), ' ')[k] || ' '
+                        || string_split(trim(sym), ' ')[k + 1])) AS pair
+        FROM {prev})
+  GROUP BY pair),
+b{i} AS MATERIALIZED (SELECT pair, total FROM p{i}
+         ORDER BY total DESC, pair LIMIT 1),
+r{i} AS MATERIALIZED (
+  SELECT cnt,
+         replace(replace(sym,
+             ' ' || (SELECT pair FROM b{i}) || ' ',
+             ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+             ' ' || (SELECT pair FROM b{i}) || ' ',
+             ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')
+             AS sym
+  FROM {prev})""")
+        sel.append(f"""
+SELECT {i - 1} AS rank,
+       string_split((SELECT pair FROM b{i}), ' ')[1] AS left,
+       string_split((SELECT pair FROM b{i}), ' ')[2] AS right,
+       (SELECT total FROM b{i}) AS pair_count""")
+        prev = f"r{i}"
+    return (f"""
+WITH w AS (SELECT w, COUNT(*) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY w),
+r0 AS MATERIALIZED (SELECT cnt,
+              ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                  AS sym
+       FROM w),{",".join(rounds)}
+{" UNION ALL ".join(sel)}
+""")
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter battery (arXiv:2112.11446 §A1.1) over the
     documents table. The corpus is deterministically augmented so every
@@ -2407,6 +2466,7 @@ EXT_QUERIES = {
     "ingest_grib2_j2k": q_ingest_grib2_j2k,
     "zarr_scan": q_zarr_scan,
     "gopher_rules": q_gopher_rules,
+    "bpe_train": q_bpe_train,
     "webmercator_tiles": q_webmercator_tiles,
     "utm_project": q_utm_project,
     "regrid_bilinear": q_regrid_bilinear,
@@ -2476,6 +2536,7 @@ EXT_ORACLES = {
     "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,
     "zarr_scan": SQL_ZARR_SCAN,
     "gopher_rules": SQL_GOPHER_RULES,
+    "bpe_train": SQL_BPE_TRAIN,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "utm_project": SQL_UTM_PROJECT,
     "regrid_bilinear": SQL_REGRID_BILINEAR,

@@ -289,6 +289,29 @@ def _parse_grid(s3: bytes) -> dict:
         return {"template": tmpl, "ni": ni, "nj": nj, "la1": la1,
                 "lo1": lo1, "la2": la2, "lo2": lo2, "di": di,
                 "dj": 90.0 / max(ngauss, 1), "scan": scan, "proj": proj}
+    if tmpl == 10:
+        # Mercator: Di/Dj in meters at the true-scale latitude LaD
+        from georiva_spark.functions.geo import (
+            mercator_sphere_inverse_np, mercator_sphere_np,
+        )
+        radius = _earth_radius(s3)
+        ni, nj = _u(s3, 30, 4), _u(s3, 34, 4)
+        la1, lo1 = _s(s3, 38, 4) / 1e6, _s(s3, 42, 4) / 1e6
+        lad = _s(s3, 47, 4) / 1e6
+        la2, lo2 = _s(s3, 51, 4) / 1e6, _s(s3, 55, 4) / 1e6
+        scan = s3[59]
+        di, dj = _u(s3, 64, 4) / 1e3, _u(s3, 68, 4) / 1e3
+        x1, y1 = mercator_sphere_np(la1, lo1, lad, 0.0, radius)
+        proj = {"kind": "mercator", "lat_ts": lad, "radius": radius,
+                "x1": float(x1), "y1": float(y1)}
+        sx = -1.0 if scan & 0x80 else 1.0
+        sy = 1.0 if scan & 0x40 else -1.0
+        la2c, lo2c = mercator_sphere_inverse_np(
+            float(x1) + sx * di * (ni - 1), float(y1) + sy * dj * (nj - 1),
+            lad, 0.0, radius)
+        return {"template": tmpl, "ni": ni, "nj": nj, "la1": la1,
+                "lo1": lo1, "la2": float(la2c), "lo2": float(lo2c),
+                "di": di, "dj": dj, "scan": scan, "proj": proj}
     if tmpl in (20, 30):
         from georiva_spark.functions.geo import (
             lcc_sphere_inverse_np, lcc_sphere_np,
@@ -384,7 +407,13 @@ def grid_latlon_mesh(msg: dict) -> tuple[np.ndarray, np.ndarray] | None:
         xs = proj["x1"] + sx * dx * np.arange(ni, dtype=np.float64)
         ys = proj["y1"] + sy * dy * np.arange(nj, dtype=np.float64)
         xg, yg = np.meshgrid(xs, ys)
-        if proj["kind"] == "ps":
+        if proj["kind"] == "mercator":
+            from georiva_spark.functions.geo import (
+                mercator_sphere_inverse_np,
+            )
+            lat, lon = mercator_sphere_inverse_np(
+                xg, yg, proj["lat_ts"], 0.0, proj["radius"])
+        elif proj["kind"] == "ps":
             from georiva_spark.functions.geo import (
                 polar_stereo_sphere_inverse_np,
             )
@@ -636,6 +665,29 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
             s3 += (_sm(round(grid_def["sp_lat"] * 1e6), 4)
                    + _sm(round(grid_def["sp_lon"] * 1e6), 4)
                    + struct.pack(">f", float(grid_def.get("angle", 0.0))))
+    elif kind == "mercator":
+        from georiva_spark.functions.geo import (
+            mercator_sphere_inverse_np, mercator_sphere_np,
+        )
+        lat_ts = grid_def["lat_ts"]
+        dx, dy = grid_def["dx"], grid_def["dy"]
+        x1m, y1m = mercator_sphere_np(la1, lo1, lat_ts)
+        sy = 1.0 if south_up else -1.0
+        la2m, lo2m = mercator_sphere_inverse_np(
+            float(x1m) + dx * (ni - 1), float(y1m) + sy * dy * (nj - 1),
+            lat_ts)
+        s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big") + bytes([0, 0])
+              + (10).to_bytes(2, "big") + earth
+              + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+              + _sm(round(la1 * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
+              + bytes([0x08])
+              + _sm(round(lat_ts * 1e6), 4)
+              + _sm(round(float(la2m) * 1e6), 4)
+              + _sm(round(float(lo2m) * 1e6), 4)
+              + bytes([scan])
+              + (0).to_bytes(4, "big")            # orientation
+              + round(dx * 1e3).to_bytes(4, "big")
+              + round(dy * 1e3).to_bytes(4, "big"))
     elif kind == "gaussian":
         ngauss = grid_def["n"]
         if nj != 2 * ngauss:

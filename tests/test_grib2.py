@@ -603,3 +603,38 @@ def test_missing_management_reserves_marker_in_finite_groups():
             a, packing=packing, spatial_order=order, group_size=4,
             missing_management=True, **kw))[0]
         np.testing.assert_array_equal(m["values"], a)
+
+
+def test_mercator_grid_template(spark, tmp_path):
+    """Template 3.10: Di/Dj are meters at the true-scale latitude; the
+    mesh is separable (lat varies by row, lon by column)."""
+    from georiva_spark.functions.geo import (
+        mercator_sphere_inverse_np, mercator_sphere_np,
+    )
+    from georiva_spark.sources.grib2_codec import grid_latlon_mesh
+
+    a = np.arange(12, dtype=float).reshape(3, 4)
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=10.0, lo1=100.0, di=0, dj=0,
+        south_up=True,
+        grid_def={"kind": "mercator", "lat_ts": 20.0,
+                  "dx": 50000.0, "dy": 50000.0})
+    m = decode_grib2(buf)[0]
+    assert m["grid_template"] == 10
+    assert m["proj"]["kind"] == "mercator"
+    lat2d, lon2d = grid_latlon_mesh(m)
+    assert (lat2d[0, 0], lon2d[0, 0]) == (10.0, 100.0)
+    # mesh is separable: lon constant down a column, lat along a row
+    assert np.all(lon2d[0] == lon2d[-1])
+    assert np.all(lat2d[:, 0] == lat2d[:, -1])
+    x1, y1 = mercator_sphere_np(10.0, 100.0, 20.0)
+    la, lo = mercator_sphere_inverse_np(float(x1) + 2 * 50000.0,
+                                        float(y1) + 1 * 50000.0, 20.0)
+    micro = lambda v: np.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert lat2d[1, 2] == micro(la) and lon2d[1, 2] == micro(lo)
+    fp = tmp_path / "merc.grib2"
+    fp.write_bytes(buf)
+    rows = {(r.y, r.x): r for r in
+            GRIB2.open_variable(spark, str(fp), "t").collect()}
+    assert rows[(0, 0)].lat == 10.0 and rows[(0, 0)].value == a[0, 0]
+    assert rows[(2, 3)].lat > rows[(0, 3)].lat

@@ -718,3 +718,26 @@ def test_semdedup_null_embedding_dropped(spark):
     out = similarity.semdedup(emb, n_clusters=2, threshold=0.99).collect()
     assert len(out) == 20                  # null row dropped, no crash
     assert all(r.vec_id != 99 for r in out)
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    # 'aaab' x3 + 'ab' x2: round 1 counts (a,a)=6 (overlapping), (a,b)=5
+    # -> merge (a,a); round 2: 'aa a b' x3 + 'a b' x2 -> (a,b)=5 wins
+    # over (aa,a)=3; round 3: 'aa ab' x3, 'ab' x2 -> (aa,ab)=3
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string")
+    out = textops.bpe_train(df, n_merges=3).collect()
+    got = [(r.rank, r.left, r.right, r.pair_count) for r in out]
+    assert got == [(0, "a", "a", 6), (1, "a", "b", 5), (2, "aa", "ab", 3)]
+
+
+def test_bpe_train_then_apply_roundtrip(spark):
+    """Merges learned by bpe_train drive bpe_apply: the most frequent
+    corpus words collapse to single tokens."""
+    text = " ".join(["table"] * 10 + ["tab"] * 3 + ["cat"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = [(r.left, r.right) for r in
+              textops.bpe_train(df, n_merges=6).collect()]
+    applied = textops.bpe_apply(df, merges).head()
+    toks = applied.bpe_preview.split("|")
+    assert "table" in toks          # 10 occurrences → fully merged
