@@ -767,6 +767,7 @@ _DRIVER_PRIORITY = [
     # fixed this round (r2 red row) — needs a fresh record
     "nearest_time",
     # new this round
+    "zarr_blosc",
     "ingest_grib2_png",
     "ingest_grib2_lcc",
     "ingest_grib2_j2k",

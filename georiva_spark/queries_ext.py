@@ -1125,6 +1125,54 @@ FROM u GROUP BY y
 """
 
 
+def q_zarr_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same store/scan contract as ``zarr_scan`` but compressed with
+    Blosc(cname='lz4', shuffle=1) — zarr-python's DEFAULT compressor —
+    so the driver row proves the native blosc container decode
+    (blosc_codec.py: 16-byte header, per-block typesize-split streams,
+    byte unshuffle, pyarrow lz4_raw inner codec) end-to-end on real
+    chunk files, with the y-window pruned at listing time. float32
+    values are bit-exact through compression, so the raw-value oracle
+    is unchanged."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])[None]
+    nvec = arr.shape[1]
+    d = os.path.join(tempfile.gettempdir(),
+                     f"georiva_spark_zarr_blosc_{nvec}")
+    if not os.path.exists(os.path.join(d, "emb", ".zarray")):
+        write_zarr(d, {
+            "emb": arr,
+            "lat": np.arange(nvec, dtype="<f8"),
+            "lon": np.arange(arr.shape[2], dtype="<f8"),
+            "time": np.array([0], dtype="<i8"),
+        }, chunks={"emb": (1, 64, 16)}, compressor="blosc:lz4")
+
+    win_h = min(192, nvec)
+    g = ZARR.open_variable(spark, d, "emb",
+                           window=(0, 0, arr.shape[2], win_h))
+    return (g.groupBy("y")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_ZARR_BLOSC = """
+WITH u AS (SELECT vec_id AS y, CAST(x AS DOUBLE) AS v
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+           WHERE vec_id < LEAST(192, (SELECT COUNT(*) FROM embeddings)))
+SELECT y, COUNT(v) AS n, AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
 def q_ingest_grib2_j2k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end via JPEG2000 packing (template 5.40 — the encoding
     GFS/NCEP products ship): the X integers ride in a lossless JPEG 2000
@@ -2465,6 +2513,7 @@ EXT_QUERIES = {
     "ingest_grib2_lcc": q_ingest_grib2_lcc,
     "ingest_grib2_j2k": q_ingest_grib2_j2k,
     "zarr_scan": q_zarr_scan,
+    "zarr_blosc": q_zarr_blosc,
     "gopher_rules": q_gopher_rules,
     "bpe_train": q_bpe_train,
     "webmercator_tiles": q_webmercator_tiles,
@@ -2535,6 +2584,7 @@ EXT_ORACLES = {
     "ingest_grib2_lcc": SQL_INGEST_GRIB2_LCC,
     "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,
     "zarr_scan": SQL_ZARR_SCAN,
+    "zarr_blosc": SQL_ZARR_BLOSC,
     "gopher_rules": SQL_GOPHER_RULES,
     "bpe_train": SQL_BPE_TRAIN,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,

@@ -17,10 +17,11 @@ which maps onto Spark better than any whole-file raster format:
 - a 100-TB cube is just more chunk files; scan parallelism is the
   chunk count, no single-file decode bottleneck.
 
-Dependency-free subset (zlib/gzip or uncompressed, C order, no filter
-chain — what plain ``zarr.save``-style writers emit); blosc/F-order/
-filters raise NotImplementedError naming the feature. Spec:
-https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html
+Dependency-free subset: uncompressed, zlib/gzip, AND blosc (zarr's
+default compressor — lz4/zstd/snappy/zlib inner codecs with the
+byte-shuffle filter, via ``blosc_codec.py``), C order, no filter chain.
+blosclz/bit-shuffle/F-order/filters raise NotImplementedError naming the
+feature. Spec: https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html
 """
 
 from __future__ import annotations
@@ -47,9 +48,10 @@ def _read_meta(store: str, array: str) -> dict:
         raise NotImplementedError(
             f"zarr_format {meta.get('zarr_format')} (only v2)")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+    if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc"):
         raise NotImplementedError(
-            f"zarr compressor {comp.get('id')!r} (zlib/gzip/None only)")
+            f"zarr compressor {comp.get('id')!r} "
+            "(blosc/zlib/gzip/None only)")
     if meta.get("filters"):
         raise NotImplementedError("zarr filter chain")
     if meta.get("order", "C") != "C":
@@ -59,7 +61,13 @@ def _read_meta(store: str, array: str) -> dict:
 
 def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
     comp = meta.get("compressor")
-    raw = zlib.decompress(content, 47) if comp is not None else content
+    if comp is None:
+        raw = content
+    elif comp.get("id") == "blosc":
+        from georiva_spark.sources.blosc_codec import blosc_decompress
+        raw = blosc_decompress(content)
+    else:
+        raw = zlib.decompress(content, 47)
     a = np.frombuffer(raw, dtype=np.dtype(meta["dtype"]))
     return a.reshape(meta["chunks"])
 
@@ -235,11 +243,19 @@ class ZarrStorePlugin:
 def write_zarr(store: str, arrays: dict[str, np.ndarray],
                chunks: dict[str, tuple] | None = None,
                fill_value: float | None = None,
-               compress: bool = True) -> None:
+               compress: bool = True,
+               compressor: str = "zlib") -> None:
     """Minimal Zarr v2 directory-store writer (tests + export): C-order
-    chunks, zlib compressor, edge chunks padded to full chunk shape per
-    spec. ``arrays`` maps name → ndarray; 1-D coordinate arrays get one
-    chunk by default."""
+    chunks, zlib or blosc compressor (``compressor="blosc:<cname>"``,
+    e.g. ``"blosc:lz4"`` — zarr-python's default layout), edge chunks
+    padded to full chunk shape per spec. ``arrays`` maps name → ndarray;
+    1-D coordinate arrays get one chunk by default."""
+    blosc_cname = (compressor.split(":", 1)[1]
+                   if compressor.startswith("blosc") and ":" in compressor
+                   else "lz4")
+    use_blosc = compress and compressor.startswith("blosc")
+    if use_blosc:
+        from georiva_spark.sources.blosc_codec import blosc_compress
     for name, a in arrays.items():
         a = np.ascontiguousarray(a)
         ch = tuple((chunks or {}).get(name, ()) or
@@ -247,11 +263,15 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                     tuple(min(s, 64) for s in a.shape)))
         adir = os.path.join(store, name)
         os.makedirs(adir, exist_ok=True)
+        comp_meta = None
+        if compress:
+            comp_meta = ({"id": "blosc", "cname": blosc_cname,
+                          "clevel": 5, "shuffle": 1, "blocksize": 0}
+                         if use_blosc else {"id": "zlib", "level": 6})
         meta = {
             "zarr_format": 2, "shape": list(a.shape),
             "chunks": list(ch), "dtype": a.dtype.str,
-            "compressor": ({"id": "zlib", "level": 6} if compress
-                           else None),
+            "compressor": comp_meta,
             "fill_value": fill_value, "order": "C", "filters": None,
         }
         with open(os.path.join(adir, ".zarray"), "w") as f:
@@ -267,7 +287,13 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                 pad[tuple(slice(0, s) for s in block.shape)] = block
                 block = pad
             raw = np.ascontiguousarray(block).tobytes()
-            payload = zlib.compress(raw, 6) if compress else raw
+            if not compress:
+                payload = raw
+            elif use_blosc:
+                payload = blosc_compress(raw, a.dtype.itemsize,
+                                         cname=blosc_cname)
+            else:
+                payload = zlib.compress(raw, 6)
             with open(os.path.join(adir, ".".join(map(str, idx))),
                       "wb") as f:
                 f.write(payload)

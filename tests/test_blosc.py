@@ -1,0 +1,109 @@
+"""Blosc1 chunk codec tests: container round-trips across inner codecs /
+typesizes / sizes, LZ4 block-format cross-checks vs pyarrow's C codec,
+shuffle tails, memcpy fallback, hand-built frame decode, gates."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from georiva_spark.sources.blosc_codec import (
+    blosc_compress, blosc_decompress, lz4_compress_py, lz4_decompress_py)
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zstd", "snappy", "zlib"])
+@pytest.mark.parametrize("typesize", [1, 2, 4, 8, 16, 32])
+def test_roundtrip_matrix(cname, typesize):
+    rng = np.random.default_rng(typesize)
+    for n_el in (0, 1, 100, 5000, 70000):
+        comp = (np.arange(n_el) % 251).astype(np.uint8) \
+            .repeat(typesize).tobytes()
+        rand = rng.integers(0, 256, n_el * typesize) \
+            .astype(np.uint8).tobytes()
+        for payload in (comp, rand):
+            frame = blosc_compress(payload, typesize, cname=cname)
+            assert blosc_decompress(frame) == payload
+
+
+def test_leftover_blocks_and_shuffle_tails():
+    rng = np.random.default_rng(0)
+    for n in (17, 1000, 4097, 123457):
+        payload = rng.integers(0, 7, n).astype(np.uint8).tobytes()
+        for ts in (3, 4, 8):
+            frame = blosc_compress(payload, ts, cname="lz4",
+                                   blocksize=4096)
+            assert blosc_decompress(frame) == payload
+
+
+def test_lz4_cross_check_vs_pyarrow():
+    """Pure-Python LZ4 block codec interoperates with the C one both
+    ways — so the fallback path is wire-identical, not merely self-
+    consistent."""
+    import pyarrow as pa
+    c = pa.Codec("lz4_raw")
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(1, 8000))
+        data = (rng.integers(0, 5 if trial % 2 else 256, n)
+                .astype(np.uint8).tobytes())
+        real = c.compress(data, asbytes=True)
+        assert lz4_decompress_py(real, len(data)) == data
+        mine = lz4_compress_py(data)
+        assert c.decompress(mine, decompressed_size=len(data),
+                            asbytes=True) == data
+        assert lz4_decompress_py(mine, len(data)) == data
+
+
+def test_lz4_overlapping_match_vector():
+    # token 0x1F: 1 literal, match len 15+4+ext; offset 1 → RLE-style
+    # overlap replication, the trickiest decoder path.
+    frame = bytes([0x1F, ord("a"), 0x01, 0x00, 0x05]) + \
+        bytes([0x50]) + b"tail!"
+    out = lz4_decompress_py(frame, 1 + 24 + 5)
+    assert out == b"a" * 25 + b"tail!"
+
+
+def test_memcpy_frame_for_incompressible():
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 256, 4096).astype(np.uint8).tobytes()
+    frame = blosc_compress(payload, 4, cname="lz4")
+    flags = frame[2]
+    assert flags & 0x2                       # memcpyed
+    assert blosc_decompress(frame) == payload
+
+
+def test_float32_grid_compresses():
+    a = np.sin(np.arange(100000) / 100).astype("<f4").tobytes()
+    for cname in ("lz4", "zstd"):
+        frame = blosc_compress(a, 4, cname=cname)
+        assert len(frame) < len(a) * 0.7
+        assert blosc_decompress(frame) == a
+
+
+def test_hand_built_unsplit_frame():
+    """Decode a frame assembled octet-by-octet from the published
+    container spec (dont-split flag, zlib codec) — independent of our
+    own encoder's choices."""
+    import zlib
+    payload = bytes(range(16)) * 64          # 1024 bytes, typesize 4
+    shuffled = np.frombuffer(payload, np.uint8).reshape(-1, 4).T.tobytes()
+    comp = zlib.compress(shuffled, 6)
+    flags = (3 << 5) | 0x1 | 0x10            # zlib | shuffle | dont-split
+    header = struct.pack("<BBBBiii", 2, 1, flags, 4, 1024, 1024,
+                         16 + 4 + 4 + len(comp))
+    frame = header + struct.pack("<i", 20) + \
+        struct.pack("<i", len(comp)) + comp
+    assert blosc_decompress(frame) == payload
+
+
+def test_gates_named():
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        blosc_decompress(struct.pack("<BBBBiii", 2, 1, 0x4, 4, 8, 8, 16)
+                         + b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="blosclz"):
+        blosc_compress(b"x" * 64, 4, cname="blosclz")
+    with pytest.raises(NotImplementedError, match="blosclz"):
+        # codec bits 5-7 = 0 → blosclz payload
+        frame = struct.pack("<BBBBiii", 2, 1, 0x10, 1, 64, 64, 16 + 4 + 8)
+        frame += struct.pack("<i", 20) + struct.pack("<i", 4) + b"abcd"
+        blosc_decompress(frame)

@@ -92,14 +92,36 @@ def test_fill_value_and_uncompressed(spark, tmp_path):
     assert rows[(1, 1)] == 4.0
 
 
+def test_blosc_store_roundtrip(spark, tmp_path):
+    """zarr-python's default layout — Blosc(cname='lz4', shuffle=1) —
+    decodes through the same scan path, fills and orientation intact."""
+    rng = np.random.default_rng(3)
+    a = rng.uniform(250, 300, (2, 9, 11)).astype("<f4")
+    a[0, 2, 3] = -9999.0
+    lat = np.arange(9, dtype="<f8")[::-1].copy()        # north-up store
+    lon = np.arange(11, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon,
+                   np.array([0, 3600], dtype="<i8"),
+                   chunks={"t2m": (1, 4, 4)}, fill_value=-9999.0,
+                   compressor="blosc:lz4")
+    meta = json.load(open(os.path.join(store, "t2m", ".zarray")))
+    assert meta["compressor"]["id"] == "blosc"
+    rows = {(r.time.hour, r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert len(rows) == 2 * 9 * 11
+    assert rows[(0, 8 - 2, 3)] is None                  # fill → null
+    exp = float(a[1, 4, 7])
+    assert rows[(1, 8 - 4, 7)] == pytest.approx(exp)
+
+
 def test_unsupported_features_gated(tmp_path):
     a = np.ones((2, 2), dtype="<f8")
     store = str(tmp_path / "bad.zarr")
     write_zarr(store, {"v": a})
     meta = json.load(open(os.path.join(store, "v", ".zarray")))
-    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    meta["compressor"] = {"id": "lzma"}
     json.dump(meta, open(os.path.join(store, "v", ".zarray"), "w"))
-    with pytest.raises(NotImplementedError, match="blosc"):
+    with pytest.raises(NotImplementedError, match="lzma"):
         from georiva_spark.sources.zarr_store import _read_meta
         _read_meta(store, "v")
     meta["compressor"] = None
