@@ -768,6 +768,7 @@ _DRIVER_PRIORITY = [
     "nearest_time",
     # new this round
     "zarr_blosc",
+    "ingest_grib2_reduced",
     "ingest_grib2_png",
     "ingest_grib2_lcc",
     "ingest_grib2_j2k",

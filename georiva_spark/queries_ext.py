@@ -1333,6 +1333,110 @@ FROM w GROUP BY j
 SQL_INGEST_GRIB2_LCC = _sql_ingest_grib2_lcc()
 
 
+def q_ingest_grib2_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end on a REDUCED Gaussian grid (template 3.40 with the
+    octet-11 per-parallel point-count list — ERA5 / IFS native layout):
+    N=16 (32 parallels), octahedral-style Ni_j = 24 + 8·min(j, 31−j),
+    2688 points filled cyclically from the embedding stream. The decoder
+    rectangularizes to a NaN-padded (32, 144) array whose pad cells are
+    dropped at emission, so the long table holds exactly sum(Ni) pixels.
+    The oracle reproduces: per-row counts from the Ni formula, the
+    floor-quantized values (exact dyadic arithmetic), per-row longitude
+    extrema from lon_i = i·360/Ni wrapped and micro-degree-rounded, and
+    the Gaussian PARALLELS themselves against pinned Legendre-root
+    literals. Reference reads reduced grids via eccodes
+    (formats/grib.py:61-144)."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.grib2_codec import encode_grib2_message
+    from georiva_spark.sources.raster_formats import GRIB2
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    stream = arr.ravel().astype(np.float64)
+    row_ni = [24 + 8 * min(j, 31 - j) for j in range(32)]
+    need = sum(row_ni)                           # 2688
+    used = stream[np.arange(need) % stream.size]
+    padded = np.full((32, max(row_ni)), np.nan)
+    off = 0
+    for j, n_j in enumerate(row_ni):
+        padded[j, :n_j] = used[off:off + n_j]
+        off += n_j
+    buf = encode_grib2_message(
+        padded, shortname="t", ref_time=dt.datetime(2024, 3, 2),
+        forecast_hours=6, la1=0.0, lo1=0.0, di=1.0, dj=1.0,
+        grid_def={"kind": "gaussian_reduced", "n": 16,
+                  "row_ni": row_ni})
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_grib")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_red_{arr.shape[0]}.grib2")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = GRIB2.open_variable(spark, fp, "t")
+    return (g.groupBy("y", "lat")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 F.min("lon").alias("lmin"),
+                 F.max("lon").alias("lmax")))
+
+
+# Gaussian parallels for N=16, micro-degree-rounded, indexed by the
+# south-up row y — pinned literals (arcsin of the P_32 Legendre roots),
+# NOT recomputed from the code under test.
+_GAUSS16_LATS = """(VALUES
+(0, -85.760587), (1, -80.268779), (2, -74.74454), (3, -69.212976),
+(4, -63.678636), (5, -58.142954), (6, -52.606526), (7, -47.069642),
+(8, -41.532461), (9, -35.995078), (10, -30.457554), (11, -24.919929),
+(12, -19.382231), (13, -13.844484), (14, -8.306703), (15, -2.768903),
+(16, 2.768903), (17, 8.306703), (18, 13.844484), (19, 19.382231),
+(20, 24.919929), (21, 30.457554), (22, 35.995078), (23, 41.532461),
+(24, 47.069642), (25, 52.606526), (26, 58.142954), (27, 63.678636),
+(28, 69.212976), (29, 74.74454), (30, 80.268779), (31, 85.760587))"""
+
+SQL_INGEST_GRIB2_REDUCED = f"""
+WITH flat AS (
+  SELECT (vec_id * 64 + idx - 1) AS p, CAST(x AS DOUBLE) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings)
+),
+total AS (SELECT COUNT(*) AS tn FROM flat),
+rows_t AS (SELECT j, 24 + 8 * LEAST(j, 31 - j) AS ni
+           FROM generate_series(0, 31) t(j)),
+offs AS (SELECT j, ni,
+                COALESCE(SUM(ni) OVER (ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS o
+         FROM rows_t),
+cells AS (SELECT o.j, o.ni, g.i AS ii, (o.o + g.i) % t.tn AS pm
+          FROM offs o JOIN generate_series(0, 143) g(i)
+            ON g.i < o.ni CROSS JOIN total t),
+vals AS (SELECT c.j, c.ni, c.ii, f.v
+         FROM cells c JOIN flat f ON f.p = c.pm),
+r AS (SELECT MIN(v) AS rv FROM vals),
+q AS (SELECT j, ni, ii,
+             rv + floor((v - rv) * 16777216.0)
+                * 5.9604644775390625e-08 AS vq,
+             floor((((ii * (360.0 / ni) + 180.0) % 360.0) - 180.0)
+                   * 1e6 + 0.5) / 1e6 AS lon
+      FROM vals, r)
+SELECT 31 - j AS y, CAST(lt.lat AS DOUBLE) AS lat,
+       COUNT(vq) AS n, AVG(vq) AS vmean,
+       MIN(vq) AS vmin, MAX(vq) AS vmax,
+       MIN(lon) AS lmin, MAX(lon) AS lmax
+FROM q JOIN {_GAUSS16_LATS} lt(y, lat) ON lt.y = 31 - q.j
+GROUP BY 31 - j, lt.lat
+"""
+
+
 def q_webmercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326→3857 reprojection + slippy tile index (z=6) per distinct
     grid pixel — the tile-export path of the reference's titiler service
@@ -2511,6 +2615,7 @@ EXT_QUERIES = {
     "ingest_grib2": q_ingest_grib2,
     "ingest_grib2_png": q_ingest_grib2_png,
     "ingest_grib2_lcc": q_ingest_grib2_lcc,
+    "ingest_grib2_reduced": q_ingest_grib2_reduced,
     "ingest_grib2_j2k": q_ingest_grib2_j2k,
     "zarr_scan": q_zarr_scan,
     "zarr_blosc": q_zarr_blosc,
@@ -2582,6 +2687,7 @@ EXT_ORACLES = {
     "ingest_grib2": SQL_INGEST_GRIB2,
     "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
     "ingest_grib2_lcc": SQL_INGEST_GRIB2_LCC,
+    "ingest_grib2_reduced": SQL_INGEST_GRIB2_REDUCED,
     "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,
     "zarr_scan": SQL_ZARR_SCAN,
     "zarr_blosc": SQL_ZARR_BLOSC,

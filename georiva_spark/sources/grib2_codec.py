@@ -274,11 +274,32 @@ def _parse_grid(s3: bytes) -> dict:
     if tmpl == 40:
         # regular Gaussian grid (ECMWF): layout mirrors 3.0 but octets
         # 68-71 carry N (parallels pole→equator); latitudes are the
-        # roots of P_2N(sin φ). Reduced Gaussian grids (per-row Ni via
-        # the octet-11 list) are gated.
+        # roots of P_2N(sin φ).
         if s3[10] != 0:
-            raise NotImplementedError("reduced Gaussian grid (template "
-                                      "3.40 with per-row point counts)")
+            # REDUCED Gaussian grid (ERA5 / IFS native): the octet-11
+            # list gives Ni per parallel; each row spans the full
+            # longitude circle at its own spacing 360/Ni. Decodes to a
+            # NaN-padded (nj, max Ni) rectangle whose pad cells carry no
+            # geographic coordinate and are dropped at row emission —
+            # the long grid table holds exactly sum(Ni) real pixels.
+            esz = s3[10]
+            nj = _u(s3, 34, 4)
+            la1, lo1 = _s(s3, 46, 4) / 1e6, _s(s3, 50, 4) / 1e6
+            la2, lo2 = _s(s3, 55, 4) / 1e6, _s(s3, 59, 4) / 1e6
+            ngauss = _u(s3, 67, 4)
+            scan = s3[71]
+            if len(s3) < 72 + nj * esz:
+                raise ValueError("reduced Gaussian point-count list "
+                                 "truncated")
+            row_ni = [_u(s3, 72 + k * esz, esz) for k in range(nj)]
+            ni = max(row_ni)
+            proj = {"kind": "gaussian_reduced", "n": ngauss,
+                    "row_ni": row_ni}
+            return {"template": tmpl, "ni": ni, "nj": nj, "la1": la1,
+                    "lo1": lo1, "la2": la2, "lo2": lo2,
+                    "di": 360.0 / ni, "dj": 90.0 / max(ngauss, 1),
+                    "scan": scan, "proj": proj,
+                    "npoints": int(sum(row_ni))}
         ni, nj = _u(s3, 30, 4), _u(s3, 34, 4)
         la1, lo1 = _s(s3, 46, 4) / 1e6, _s(s3, 50, 4) / 1e6
         la2, lo2 = _s(s3, 55, 4) / 1e6, _s(s3, 59, 4) / 1e6
@@ -372,7 +393,7 @@ def grid_latlon_mesh(msg: dict) -> tuple[np.ndarray, np.ndarray] | None:
         return None
     ni, nj = msg["values"].shape[1], msg["values"].shape[0]
     scan = msg["scan"]
-    if proj["kind"] == "gaussian":
+    if proj["kind"] in ("gaussian", "gaussian_reduced"):
         lats = gaussian_latitudes(proj["n"])        # descending N→S
         # locate the la1 row and walk nj rows in the scan direction
         j0 = int(np.argmin(np.abs(lats - msg["la1"])))
@@ -385,10 +406,21 @@ def grid_latlon_mesh(msg: dict) -> tuple[np.ndarray, np.ndarray] | None:
         if abs(rowlats[-1] - msg["la2"]) > 1e-3:
             raise ValueError("Gaussian grid la2 does not match the "
                              "latitude table")
-        si = -msg["di"] if scan & 0x80 else msg["di"]
-        lons = msg["lo1"] + si * np.arange(ni, dtype=np.float64)
-        lon_g, lat_g = np.meshgrid(lons, rowlats)
-        lat, lon = lat_g, lon_g
+        if proj["kind"] == "gaussian_reduced":
+            # each parallel spans the full circle at its own spacing
+            # 360/Ni; pad cells past Ni stay NaN → dropped at emission
+            lat = np.full((nj, ni), np.nan)
+            lon = np.full((nj, ni), np.nan)
+            for j, n_j in enumerate(proj["row_ni"]):
+                lat[j, :n_j] = rowlats[j]
+                lon[j, :n_j] = (msg["lo1"]
+                                + np.arange(n_j, dtype=np.float64)
+                                * (360.0 / n_j))
+        else:
+            si = -msg["di"] if scan & 0x80 else msg["di"]
+            lons = msg["lo1"] + si * np.arange(ni, dtype=np.float64)
+            lon_g, lat_g = np.meshgrid(lons, rowlats)
+            lat, lon = lat_g, lon_g
     elif proj["kind"] == "rotated":
         dj, di = msg["dj"], msg["di"]
         latr1, lonr1 = msg["la1"], msg["lo1"]
@@ -516,11 +548,12 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     d_scale = _s(s5, 17, 2)
     nbits = s5[19]
 
+    npts_total = grid.get("npoints", ni * nj)
     s6 = sections[6]
     bitmap = None
     if s6[5] == 0:
         bitmap = np.unpackbits(np.frombuffer(s6[6:], np.uint8),
-                               count=ni * nj).astype(bool)
+                               count=npts_total).astype(bool)
     elif s6[5] != 255:
         raise NotImplementedError(f"bitmap indicator {s6[5]}")
 
@@ -554,11 +587,21 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     if miss is not None:
         packed = np.where(miss > 0, np.nan, packed)
     if bitmap is None:
-        values = packed.reshape(nj, ni)
+        flat = packed
     else:
-        full = np.full(ni * nj, np.nan)
-        full[bitmap] = packed
-        values = full.reshape(nj, ni)
+        flat = np.full(npts_total, np.nan)
+        flat[bitmap] = packed
+    row_ni = (grid["proj"] or {}).get("row_ni") if grid["proj"] else None
+    if row_ni is not None:
+        # ragged reduced grid → NaN-padded rectangle; pad cells get no
+        # lat/lon from grid_latlon_mesh and vanish at emission
+        values = np.full((nj, ni), np.nan)
+        off = 0
+        for j, n_j in enumerate(row_ni):
+            values[j, :n_j] = flat[off:off + n_j]
+            off += n_j
+    else:
+        values = flat.reshape(nj, ni)
     key = (discipline, category, number)
     return {
         "shortName": PARAM_SHORTNAMES.get(
@@ -625,8 +668,16 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
     (sphere 6 371 229 m)."""
     a = np.asarray(values, dtype=np.float64)
     nj, ni = a.shape
-    mask = np.isfinite(a.ravel())
-    data = a.ravel()[mask]
+    red_ni = (grid_def or {}).get("row_ni") \
+        if (grid_def or {}).get("kind") == "gaussian_reduced" else None
+    if red_ni is not None:
+        # ragged reduced-Gaussian input: a is the NaN-padded rectangle;
+        # the wire stream holds exactly the first Ni_j cells of row j
+        flat = np.concatenate([a[j, :red_ni[j]] for j in range(nj)])
+    else:
+        flat = a.ravel()
+    mask = np.isfinite(flat)
+    data = flat[mask]
     disc, cat, num = _SHORTNAME_PARAMS.get(shortname, (255, 255, 255))
 
     r = np.float32(data.min()) if data.size else np.float32(0.0)
@@ -688,7 +739,7 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
               + (0).to_bytes(4, "big")            # orientation
               + round(dx * 1e3).to_bytes(4, "big")
               + round(dy * 1e3).to_bytes(4, "big"))
-    elif kind == "gaussian":
+    elif kind in ("gaussian", "gaussian_reduced"):
         ngauss = grid_def["n"]
         if nj != 2 * ngauss:
             raise ValueError(f"full-globe Gaussian grid needs nj == 2N "
@@ -696,16 +747,36 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
         lats = gaussian_latitudes(ngauss)
         la1g = lats[-1] if south_up else lats[0]
         la2g = lats[0] if south_up else lats[-1]
-        lo2 = lo1 + (ni - 1) * di
-        s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big") + bytes([0, 0])
-              + (40).to_bytes(2, "big") + earth
-              + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
-              + (0).to_bytes(4, "big") + (0xFFFFFFFF).to_bytes(4, "big")
-              + _sm(round(la1g * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
-              + bytes([0x30])
-              + _sm(round(la2g * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
-              + round(di * 1e6).to_bytes(4, "big")
-              + ngauss.to_bytes(4, "big") + bytes([scan]))
+        if kind == "gaussian_reduced":
+            # ni / di are coded MISSING; the per-parallel point counts
+            # ride the octet-11 list (2-octet entries, interpretation 1)
+            npts = int(sum(red_ni))
+            lo2 = lo1 + 360.0 - 360.0 / max(red_ni)
+            s3 = (bytes([0]) + npts.to_bytes(4, "big") + bytes([2, 1])
+                  + (40).to_bytes(2, "big") + earth
+                  + (0xFFFFFFFF).to_bytes(4, "big")
+                  + nj.to_bytes(4, "big")
+                  + (0).to_bytes(4, "big")
+                  + (0xFFFFFFFF).to_bytes(4, "big")
+                  + _sm(round(la1g * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
+                  + bytes([0x30])
+                  + _sm(round(la2g * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
+                  + (0xFFFFFFFF).to_bytes(4, "big")
+                  + ngauss.to_bytes(4, "big") + bytes([scan])
+                  + b"".join(n.to_bytes(2, "big") for n in red_ni))
+        else:
+            lo2 = lo1 + (ni - 1) * di
+            s3 = (bytes([0]) + (ni * nj).to_bytes(4, "big")
+                  + bytes([0, 0])
+                  + (40).to_bytes(2, "big") + earth
+                  + ni.to_bytes(4, "big") + nj.to_bytes(4, "big")
+                  + (0).to_bytes(4, "big")
+                  + (0xFFFFFFFF).to_bytes(4, "big")
+                  + _sm(round(la1g * 1e6), 4) + _sm(round(lo1 * 1e6), 4)
+                  + bytes([0x30])
+                  + _sm(round(la2g * 1e6), 4) + _sm(round(lo2 * 1e6), 4)
+                  + round(di * 1e6).to_bytes(4, "big")
+                  + ngauss.to_bytes(4, "big") + bytes([scan]))
     elif kind in ("ps", "lcc"):
         tnum = 20 if kind == "ps" else 30
         lad = (grid_def["lat_ts"] if kind == "ps" else grid_def["lad"])
@@ -763,7 +834,7 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
         if packing not in (2, 3):
             raise ValueError("missing management needs complex packing")
         s5, s7 = _encode_complex_missing(
-            a.ravel(), packing, spatial_order, group_size, float(r),
+            flat, packing, spatial_order, group_size, float(r),
             e_scale)
         body = (_sec(1, s1) + _sec(3, s3) + _sec(4, s4) + _sec(5, s5)
                 + _sec(6, bytes([255])) + _sec(7, s7))
@@ -771,7 +842,7 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
         head = (b"GRIB" + bytes([0, 0, disc if disc != 255 else 0, 2])
                 + total.to_bytes(8, "big"))
         return head + body + b"7777"
-    npk = ni * nj if mask.all() else int(mask.sum())
+    npk = flat.size if mask.all() else int(mask.sum())
     if packing == 0:
         s5 = (npk.to_bytes(4, "big")
               + (0).to_bytes(2, "big")                       # template 5.0
@@ -791,10 +862,11 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
               + bytes([0, 255]))      # lossless, no explicit target ratio
         if nbits == 0:
             s7 = b""
-        elif mask.all():
+        elif mask.all() and red_ni is None:
             s7 = j2k_encode(x.reshape(nj, ni), nbits)
         else:
-            # bitmap present: pack the npk valid points as a 1-row image
+            # bitmap present (or ragged reduced stream): pack the npk
+            # valid points as a 1-row image
             s7 = j2k_encode(x.reshape(1, npk), nbits)
     elif packing == 41:
         from georiva_spark.sources.png_codec import png_encode
@@ -809,10 +881,11 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
               + _sm(0, 2) + bytes([nbits, 0]))
         if nbits == 0:
             s7 = b""
-        elif mask.all():
+        elif mask.all() and red_ni is None:
             s7 = png_encode(x, ni, nj, nbits)
         else:
-            # bitmap present: pack the npk valid points as a 1-row image
+            # bitmap present (or ragged reduced stream): pack the npk
+            # valid points as a 1-row image
             s7 = png_encode(x, npk, 1, nbits)
     else:
         raise NotImplementedError(f"packing template 5.{packing}")

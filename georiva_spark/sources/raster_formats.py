@@ -90,7 +90,7 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
         yy = yy + y0
         xx = xx + x0
         vals = a.ravel()
-        frames.append(pd.DataFrame({
+        sub = pd.DataFrame({
             "org": org, "catalog": catalog, "collection": collection,
             "variable": variable, "time": times[ti], "reference_time": None,
             "y": yy.ravel().astype("int64"), "x": xx.ravel().astype("int64"),
@@ -99,7 +99,13 @@ def _emit_rows(values: np.ndarray, times: list, variable: str,
             "lon": (lon2d.ravel() if lon2d is not None
                     else lon0 + res_x * (xx.ravel() + 0.5)),
             "value": np.where(np.isnan(vals), None, vals),
-        }))
+        })
+        if lat2d is not None:
+            # a NaN coordinate marks a PAD cell (ragged reduced-Gaussian
+            # rows rectangularized) — not a real pixel; drop it. Bitmap-
+            # missing pixels keep their coordinates and stay as nulls.
+            sub = sub[sub["lat"].notna()]
+        frames.append(sub)
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
         columns=_GRID_COLS)
     return out[_GRID_COLS]

@@ -546,7 +546,7 @@ def test_gaussian_grid_plugin_contract(spark, tmp_path):
     assert rows[(0, 0)].lon == 10.0
 
 
-def test_reduced_gaussian_gated():
+def test_reduced_gaussian_truncated_list_raises():
     buf = bytearray(encode_grib2_message(
         np.ones((2, 2)), shortname="t", ref_time=T0, la1=0.0, lo1=0.0,
         di=1.0, dj=0, grid_def={"kind": "gaussian", "n": 1}))
@@ -554,11 +554,81 @@ def test_reduced_gaussian_gated():
     while True:
         ln = int.from_bytes(buf[pos:pos + 4], "big")
         if buf[pos + 4] == 3:
-            buf[pos + 10] = 2      # octet 11: per-row point-count list
+            buf[pos + 10] = 2      # claims a point list it doesn't carry
             break
         pos += ln
-    with pytest.raises(NotImplementedError, match="reduced Gaussian"):
+    with pytest.raises(ValueError, match="point-count list truncated"):
         decode_grib2(bytes(buf))
+
+
+def test_reduced_gaussian_roundtrip_and_mesh():
+    """Template 3.40 with the octet-11 per-parallel list (ERA5 native):
+    ragged rows decode into a NaN-padded rectangle, per-row longitudes
+    run at 360/Ni, parallels come from the shared Gaussian table."""
+    from georiva_spark.sources.grib2_codec import (
+        gaussian_latitudes, grid_latlon_mesh,
+    )
+
+    n = 4
+    row_ni = [4, 8, 12, 16, 16, 12, 8, 4]
+    rng = np.random.default_rng(0)
+    a = np.full((8, 16), np.nan)
+    for j, nr in enumerate(row_ni):
+        a[j, :nr] = np.round(rng.uniform(250, 300, nr), 2)
+    a[1, 2] = np.nan                         # bitmap missing, real cell
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=0.0, lo1=0.0, di=1.0, dj=0,
+        grid_def={"kind": "gaussian_reduced", "n": n, "row_ni": row_ni})
+    m = decode_grib2(buf)[0]
+    assert m["grid_template"] == 40
+    assert m["proj"]["kind"] == "gaussian_reduced"
+    assert m["proj"]["row_ni"] == row_ni
+    v = m["values"]
+    assert v.shape == (8, 16)
+    for j, nr in enumerate(row_ni):
+        assert np.isnan(v[j, nr:]).all()     # pad
+        exp = a[j, :nr]
+        got = v[j, :nr]
+        assert (np.isnan(exp) == np.isnan(got)).all()
+        ok = np.isfinite(exp)
+        assert np.abs(exp[ok] - got[ok]).max() < 2.0 ** -24 + 1e-12
+    lat2d, lon2d = grid_latlon_mesh(m)
+    micro = np.floor(gaussian_latitudes(n) * 1e6 + 0.5) / 1e6
+    for j, nr in enumerate(row_ni):
+        assert np.isnan(lat2d[j, nr:]).all() and np.isnan(lon2d[j, nr:]).all()
+        assert lat2d[j, 0] == micro[j]       # row 0 = north
+        step = 360.0 / nr
+        exp_lon = np.arange(nr) * step
+        exp_lon = ((exp_lon + 180.0) % 360.0) - 180.0
+        np.testing.assert_allclose(lon2d[j, :nr],
+                                   np.floor(exp_lon * 1e6 + 0.5) / 1e6)
+
+
+def test_reduced_gaussian_plugin_drops_pad_cells(spark, tmp_path):
+    """The long grid table holds exactly sum(Ni) pixels — pad cells
+    never become rows; bitmap-missing pixels DO (as nulls)."""
+    n = 2
+    row_ni = [6, 8, 8, 6]
+    a = np.full((4, 8), np.nan)
+    for j, nr in enumerate(row_ni):
+        a[j, :nr] = float(j * 100) + np.arange(nr)
+    a[0, 1] = np.nan                         # real missing pixel
+    buf = encode_grib2_message(
+        a, shortname="t", ref_time=T0, la1=0.0, lo1=0.0, di=1.0, dj=0,
+        grid_def={"kind": "gaussian_reduced", "n": n, "row_ni": row_ni})
+    fp = tmp_path / "red.grib2"
+    fp.write_bytes(buf)
+    rows = {(r.y, r.x): r for r in
+            GRIB2.open_variable(spark, str(fp), "t").collect()}
+    assert len(rows) == sum(row_ni)
+    # south-up contract: y=0 holds storage row 3 (6 points)
+    assert {x for (y, x) in rows if y == 0} == set(range(6))
+    assert {x for (y, x) in rows if y == 2} == set(range(8))
+    assert rows[(3, 1)].value is None        # bitmap missing kept
+    assert rows[(3, 2)].value == 2.0
+    assert rows[(0, 0)].value == 300.0
+    assert rows[(2, 3)].lon == 3 * 360.0 / 8
+    assert rows[(2, 4)].lon == -180.0        # 180° wraps to the west edge
 
 
 def test_ensemble_templates_4_1_and_4_11(spark, tmp_path):
