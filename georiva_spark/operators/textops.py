@@ -607,6 +607,88 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
         passed.alias("gopher_pass"))
 
 
+def c4_rules(docs: DataFrame, *, min_words_per_line: int = 5,
+             min_sentences: int = 3, text_col: str = "text") -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) — the line- and page-level rules behind the C4 corpus,
+    complementing the Gopher battery:
+
+    line level (a line survives iff ALL hold):
+      * ends in terminal punctuation (``. ! ? "``),
+      * has at least ``min_words_per_line`` words (paper: 5... the
+        paper phrases it as 3-word lines dropped; threshold is a knob),
+      * does not mention "javascript" (boilerplate warning lines);
+    page level: drop the page if it contains "lorem ipsum" or a curly
+    brace (code), or if fewer than ``min_sentences`` sentences survive.
+
+    → (doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    kept_chars, c4_pass). Pure in-row HOF/regexp expressions — scan
+    speed, zero shuffle, whole-stage codegen; null text fails closed.
+    """
+    col = F.col(text_col)
+    lines = F.split(col, "\n", -1)
+
+    def _keep(ln):
+        t = F.trim(ln)
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+        return (t.rlike('[.!?"]$')
+                & (F.size(words) >= min_words_per_line)
+                & ~F.lower(t).contains("javascript"))
+
+    kept = F.filter(lines, _keep)
+    kept_text = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    has_lorem = F.lower(col).contains("lorem ipsum")
+    has_brace = col.contains("{")
+    c4_pass = F.coalesce((F.size(kept) > 0) & (n_sent >= min_sentences)
+                         & ~has_lorem & ~has_brace, F.lit(False))
+    return docs.select(
+        "doc_id", F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"), n_sent.alias("n_sentences"),
+        F.coalesce(has_lorem, F.lit(False)).alias("has_lorem"),
+        F.coalesce(has_brace, F.lit(False)).alias("has_brace"),
+        F.length(kept_text).alias("kept_chars"),
+        c4_pass.alias("c4_pass"))
+
+
+def linear_quality_score(docs: DataFrame, weights: list[float],
+                         bias: float = 0.0, *, use_bigrams: bool = True,
+                         threshold: float = 0.5,
+                         text_col: str = "text") -> DataFrame:
+    """fastText-architecture linear text classifier (Joulin et al. 2016,
+    arXiv:1607.01759) with PINNED weights — the model-based quality
+    filter shape (DCLM / fineweb-edu style) that follows the heuristic
+    batteries: features are hashed unigrams (+ word bigrams), each
+    feature looks up a scalar weight in a fixed ``len(weights)``-bucket
+    table, and the document score is sigmoid(bias + mean of feature
+    weights). Training happens offline; scoring at 100 TB is the hot
+    path and runs here as pure in-row HOFs — hash, modulo, literal-array
+    lookup, fold — zero shuffle, zero Python, whole-stage codegen. The
+    md5-derived portable hash keeps bucket assignment bit-identical in
+    the DuckDB oracle. → (doc_id, n_features, score, keep)."""
+    nb = len(weights)
+    toks = tokens(F.col(text_col))
+    feats = toks
+    if use_bigrams:
+        n = F.size(toks)
+        bi = F.zip_with(F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+        feats = F.concat(toks, bi)
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    wsum = F.aggregate(
+        feats, F.lit(0.0),
+        lambda acc, g: acc + F.element_at(
+            wlit, (F.pmod(portable_hash64(g), F.lit(nb)) + 1)
+            .cast("int")))
+    nf = F.size(feats)
+    z = F.lit(float(bias)) + wsum / F.greatest(nf, F.lit(1))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id", nf.alias("n_features"), score.alias("score"),
+        F.coalesce(score >= threshold, F.lit(False)).alias("keep"))
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 8,
               text_col: str = "text") -> DataFrame:
     """LEARN a BPE merge table from the corpus (Sennrich et al. 2016) —

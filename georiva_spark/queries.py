@@ -768,6 +768,8 @@ _DRIVER_PRIORITY = [
     "nearest_time",
     # new this round
     "zarr_blosc",
+    "c4_rules",
+    "fasttext_score",
     "ingest_grib2_reduced",
     "ingest_grib2_png",
     "ingest_grib2_lcc",

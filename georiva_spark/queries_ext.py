@@ -1078,6 +1078,123 @@ FROM r
 """
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning battery (arXiv:1910.10683 §2.2) over the documents
+    table, deterministically augmented so every rule fires both ways:
+    each doc gains a 3-sentence line built from its first 6 words;
+    doc_id%5==1 adds a javascript-mentioning line (line rule), %5==2 a
+    lorem-ipsum line (page rule), %5==3 a curly-brace line (page rule),
+    %5==4 keeps only the raw unpunctuated text (no surviving lines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s1 = F.concat(F.array_join(F.slice(toks, 1, 6), " "), F.lit("."))
+    line_a = F.concat(s1, F.lit(" "), s1, F.lit(" "), s1)
+    m = F.col("doc_id") % 5
+    text2 = (
+        F.when(m == 1, F.concat(
+            line_a, F.lit("\nthis line mentions javascript so it must "
+                          "be dropped.")))
+        .when(m == 2, F.concat(
+            line_a, F.lit("\nlorem ipsum dolor sit amet consectetur "
+                          "adipiscing elit.")))
+        .when(m == 3, F.concat(line_a, F.lit("\nif (x) { return y; }")))
+        .when(m == 4, F.col("text"))
+        .otherwise(F.concat(line_a, F.lit("\n"), F.col("text"))))
+    staged = docs.select("doc_id", text2.alias("text"))
+    return textops.c4_rules(staged)
+
+
+SQL_C4_RULES = """
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN line_a || chr(10) ||
+                'this line mentions javascript so it must be dropped.'
+              WHEN doc_id % 5 = 2 THEN line_a || chr(10) ||
+                'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+              WHEN doc_id % 5 = 3 THEN line_a || chr(10) ||
+                'if (x) { return y; }'
+              WHEN doc_id % 5 = 4 THEN text
+              ELSE line_a || chr(10) || text END AS text
+  FROM (SELECT doc_id, text,
+               s1 || ' ' || s1 || ' ' || s1 AS line_a
+        FROM (SELECT doc_id, text,
+                     array_to_string(list_slice(
+                         string_split(text, ' '), 1, 6), ' ') || '.'
+                     AS s1
+              FROM documents))),
+l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           ln -> regexp_matches(trim(ln), '[.!?"]$')
+             AND len(list_filter(string_split_regex(trim(ln), '\\s+'),
+                                 w -> w <> '')) >= 5
+             AND NOT contains(lower(trim(ln)), 'javascript')) AS kept
+  FROM staged),
+m AS (
+  SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+         len(regexp_extract_all(
+             COALESCE(array_to_string(kept, chr(10)), ''),
+             '[.!?]')) AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace,
+         length(COALESCE(array_to_string(kept, chr(10)), ''))
+             AS kept_chars
+  FROM l)
+SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(n_kept AS INTEGER) AS n_kept,
+       CAST(n_sentences AS INTEGER) AS n_sentences,
+       has_lorem, has_brace, CAST(kept_chars AS INTEGER) AS kept_chars,
+       (n_kept > 0 AND n_sentences >= 3 AND NOT has_lorem
+        AND NOT has_brace) AS c4_pass
+FROM m
+"""
+
+
+# Pinned fastText-style weight table (64 buckets, seeded offline) —
+# hard-coded so Spark and the oracle score with the SAME model.
+_FT_WEIGHTS = [
+    0.609, -2.08, 1.501, 1.881, -3.902, -2.604, 0.256, -0.632, -0.034,
+    -1.706, 1.759, 1.556, 0.132, 2.254, 0.935, -1.719, 0.738, -1.918,
+    1.757, -0.1, -0.37, -1.362, 2.445, -0.309, -0.857, -0.704, 1.065,
+    0.731, 0.825, 0.862, 4.283, -0.813, -1.024, -1.628, 1.232, 2.258,
+    -0.228, -1.68, -1.649, 1.301, 1.487, 1.086, -1.331, 0.464, 0.233,
+    0.437, 1.743, 0.447, 1.358, 0.135, 0.578, 1.263, -2.914, -0.639,
+    -0.941, -1.278, -0.55, 2.99, -1.732, 1.937, -3.366, -0.67, 0.326,
+    1.172]
+
+
+def q_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (fastText architecture, arXiv:
+    1607.01759 — the DCLM / fineweb-edu classifier shape): hashed
+    unigram+bigram features, pinned 64-bucket weight table, document
+    score = sigmoid(mean feature weight). Scoring is the 100-TB hot
+    path and runs as pure in-row HOFs; the portable hash makes bucket
+    assignment — and therefore the score — bit-reproducible in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.linear_quality_score(docs, _FT_WEIGHTS, bias=0.0)
+
+
+SQL_FASTTEXT_SCORE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+f AS (SELECT doc_id,
+             list_concat(toks,
+               list_transform(list_slice(toks, 1, len(toks) - 1),
+                 (x, i) -> x || ' ' || toks[i + 1])) AS feats
+      FROM t),
+s AS (SELECT doc_id, len(feats) AS nf,
+             list_sum(list_transform(feats, g ->
+               ({_FT_WEIGHTS!r})[
+                 CAST(CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
+                      % 64 AS INTEGER) + 1])) AS wsum
+      FROM f)
+SELECT doc_id, CAST(nf AS INTEGER) AS n_features,
+       1.0 / (1.0 + exp(-(wsum / greatest(nf, 1)))) AS score,
+       (1.0 / (1.0 + exp(-(wsum / greatest(nf, 1)))) >= 0.5) AS keep
+FROM s
+"""
+
+
 def q_zarr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/S12 made concrete: embeddings table → Zarr v2 directory
     store (float32 chunks, zlib) → chunk-parallel binaryFile scan with
@@ -2620,6 +2737,8 @@ EXT_QUERIES = {
     "zarr_scan": q_zarr_scan,
     "zarr_blosc": q_zarr_blosc,
     "gopher_rules": q_gopher_rules,
+    "c4_rules": q_c4_rules,
+    "fasttext_score": q_fasttext_score,
     "bpe_train": q_bpe_train,
     "webmercator_tiles": q_webmercator_tiles,
     "utm_project": q_utm_project,
@@ -2692,6 +2811,8 @@ EXT_ORACLES = {
     "zarr_scan": SQL_ZARR_SCAN,
     "zarr_blosc": SQL_ZARR_BLOSC,
     "gopher_rules": SQL_GOPHER_RULES,
+    "c4_rules": SQL_C4_RULES,
+    "fasttext_score": SQL_FASTTEXT_SCORE,
     "bpe_train": SQL_BPE_TRAIN,
     "webmercator_tiles": SQL_WEBMERCATOR_TILES,
     "utm_project": SQL_UTM_PROJECT,

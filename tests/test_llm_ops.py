@@ -709,6 +709,61 @@ def test_gopher_rules_battery(spark):
     assert r.gopher_pass is False
 
 
+def test_c4_rules_battery(spark):
+    good = ("this first sentence clearly ends with a period. "
+            "here is the second full sentence of prose. "
+            "and the third one closes the paragraph.")
+    rows = [
+        (1, good),                                      # passes
+        (2, good + "\ntiny line."),                     # short line dropped
+        (3, good + "\nplease enable javascript to view the page."),
+        (4, good + "\nlorem ipsum dolor sit amet consectetur."),
+        (5, good + "\nfunction f() { return 1; }"),
+        (6, "no terminal punctuation on this only line at all"),
+        (7, "one short sentence only ends here."),      # < 3 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.c4_rules(df).collect()}
+    assert out[1].c4_pass and out[1].n_kept == 1 and out[1].n_sentences == 3
+    assert out[2].c4_pass and out[2].n_kept == 1     # short line dropped
+    assert out[3].c4_pass and out[3].n_kept == 1     # js line dropped
+    assert not out[4].c4_pass and out[4].has_lorem
+    assert not out[5].c4_pass and out[5].has_brace
+    assert not out[6].c4_pass and out[6].n_kept == 0
+    assert not out[7].c4_pass and out[7].n_sentences == 1
+    nl = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert textops.c4_rules(nl).head().c4_pass is False
+
+
+def test_linear_quality_score_golden(spark):
+    """Score recomputed independently with hashlib — same md5-bucket
+    hash, same mean-weight sigmoid."""
+    import hashlib
+    import math
+
+    weights = [0.5, -1.0, 2.0, -0.25]
+    rows = [(1, "the cat sat"), (2, "dogs bark loudly at night")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.linear_quality_score(
+        df, weights, bias=0.1).collect()}
+
+    def expect(text):
+        toks = text.split(" ")
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        ws = sum(weights[int(hashlib.md5(g.encode()).hexdigest()[:15],
+                             16) % 4] for g in feats)
+        z = 0.1 + ws / max(len(feats), 1)
+        return len(feats), 1.0 / (1.0 + math.exp(-z))
+
+    for did, text in rows:
+        nf, s = expect(text)
+        assert out[did].n_features == nf
+        assert out[did].score == pytest.approx(s, rel=1e-12)
+        assert out[did].keep == (s >= 0.5)
+    nl = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert textops.linear_quality_score(nl, weights).head().keep is False
+
+
 def test_semdedup_null_embedding_dropped(spark):
     rng = np.random.default_rng(1)
     rows = [(i, [float(v) for v in rng.normal(size=8)])
