@@ -74,6 +74,39 @@ def source_mix(df: DataFrame, weights_ppm: dict[str, int], budget_ppm: int,
     return df.where(_bucket(F.col(key_col), salt) < thr)
 
 
+def temperature_mix(df: DataFrame, alpha: float = 0.5,
+                    budget_ppm: int = 1_000_000,
+                    strata_col: str = "lang", key_col: str = "doc_id",
+                    salt: str = "georiva-temp") -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual α-sampling
+    of XLM-R / mT5, arXiv:1911.02116 §3.1): the target share of stratum
+    s is q_s ∝ p_s^α where p_s is its observed corpus share — α=1 keeps
+    the natural mix, α→0 flattens toward uniform, boosting rare
+    languages/sources. Unlike ``source_mix`` the weights are DERIVED
+    from the corpus, not supplied.
+
+    For the default α=0.5 (the common square-root schedule) the weights
+    come from EXACT integer square roots — w_ppm_s = isqrt(n_s·10¹²) ·
+    10⁶ // Σ_t isqrt(n_t·10¹²) — so a DuckDB audit recomputing them in
+    HUGEINT lands on identical thresholds and an identical sample (for
+    other α the driver uses float pow; documented, not oracle-exact).
+    Counts are one bounded map-side-combined agg; sampling itself is a
+    scan-speed predicate, zero shuffle of the corpus."""
+    import math
+
+    counts = {r[0]: r[1]
+              for r in df.groupBy(strata_col).count().collect()}
+    if alpha == 0.5:
+        scaled = {s: math.isqrt(n * 10 ** 12) for s, n in counts.items()}
+    else:
+        scaled = {s: int(round((float(n) ** alpha) * 1e6))
+                  for s, n in counts.items()}
+    tot = sum(scaled.values())
+    weights_ppm = {s: v * 1_000_000 // tot for s, v in scaled.items()}
+    return source_mix(df, weights_ppm, budget_ppm,
+                      strata_col=strata_col, key_col=key_col, salt=salt)
+
+
 def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
                            strata_col: str, key_col: str = "doc_id",
                            default_rate: float = 0.0,

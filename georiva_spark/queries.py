@@ -770,6 +770,7 @@ _DRIVER_PRIORITY = [
     "zarr_blosc",
     "c4_rules",
     "fasttext_score",
+    "temperature_mix",
     "ingest_grib2_reduced",
     "ingest_grib2_png",
     "ingest_grib2_lcc",

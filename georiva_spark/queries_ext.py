@@ -504,6 +504,52 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based α-sampling (XLM-R/mT5, arXiv:1911.02116 §3.1)
+    at α=0.5 over the language strata, 50% budget: target shares
+    q_s ∝ √p_s flatten the language distribution toward uniform. The
+    oracle recomputes the weights from the same counts with exact
+    integer square roots in HUGEINT (floor(sqrt) double seed, ±1
+    correction), so thresholds — and the kept rows — match
+    bit-identically."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_mix(docs, alpha=0.5, budget_ppm=500_000,
+                                   strata_col="lang")
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_TEMPERATURE_MIX = """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+isq0 AS (SELECT lang, n,
+                CAST(floor(sqrt(CAST(n AS DOUBLE) * 1e12)) AS HUGEINT)
+                    AS s0
+         FROM counts),
+isq AS (SELECT lang, n,
+               CASE WHEN (s0 + 1) * (s0 + 1)
+                         <= CAST(n AS HUGEINT) * 1000000000000
+                    THEN s0 + 1
+                    WHEN s0 * s0 > CAST(n AS HUGEINT) * 1000000000000
+                    THEN s0 - 1
+                    ELSE s0 END AS s
+        FROM isq0),
+ts AS (SELECT SUM(s) AS tot_s FROM isq),
+w AS (SELECT lang, n, (s * 1000000) // t.tot_s AS w_ppm
+      FROM isq CROSS JOIN ts t),
+tot AS (SELECT SUM(n) AS total FROM counts),
+thr AS (SELECT w.lang,
+               least(1000000,
+                     (CAST(500000 AS HUGEINT) * w.w_ppm * t.total)
+                     // (CAST(w.n AS HUGEINT) * 1000000)) AS t
+        FROM w CROSS JOIN tot t)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE CAST('0x' || substring(md5('georiva-temp:'
+                                 || CAST(d.doc_id AS VARCHAR)),
+                             1, 15) AS BIGINT) % 1000000 < thr.t
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-set decontamination against a held-out eval slice: the eval
     set is a deterministic 10% hash split; a train-side doc is flagged on
@@ -2766,6 +2812,7 @@ EXT_QUERIES = {
     "repetition": q_repetition,
     "hash_sample": q_hash_sample,
     "source_mix": q_source_mix,
+    "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
     "bow_score": q_bow_score,
     "approx_distinct": q_approx_distinct,
@@ -2840,6 +2887,7 @@ EXT_ORACLES = {
     "repetition": SQL_REPETITION,
     "hash_sample": SQL_HASH_SAMPLE,
     "source_mix": SQL_SOURCE_MIX,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,
     "bow_score": SQL_BOW_SCORE,
     "simhash": SQL_SIMHASH,

@@ -369,6 +369,39 @@ def test_source_mix_composition_and_determinism(spark):
         sorted(r.doc_id for r in again.collect())
 
 
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """α=0.5 square-root sampling: a 9:1 two-language corpus should mix
+    toward 3:1 (√9:√1) in the output; weights come from exact isqrt."""
+    import math
+
+    from georiva_spark.operators import sampling
+    rows = [(i, "t", "en" if i < 2700 else "sw", "s", 1)
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = sampling.temperature_mix(df, alpha=0.5, budget_ppm=500_000)
+    counts = {r.lang: r["count"]
+              for r in out.groupBy("lang").count().collect()}
+    total = sum(counts.values())
+    # expected shares: isqrt-exact weights 3:1
+    s_en, s_sw = math.isqrt(2700 * 10 ** 12), math.isqrt(300 * 10 ** 12)
+    exp_en = s_en / (s_en + s_sw)
+    assert abs(counts["en"] / total - exp_en) < 0.08
+    # rare language boosted well above its 10% natural share
+    assert counts["sw"] / total > 0.18
+    # deterministic under repartition
+    again = sampling.temperature_mix(df.repartition(5), alpha=0.5,
+                                     budget_ppm=500_000)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+    # α=1 keeps the natural mix (weights ∝ counts)
+    nat = sampling.temperature_mix(df, alpha=1.0, budget_ppm=500_000)
+    ncounts = {r.lang: r["count"]
+               for r in nat.groupBy("lang").count().collect()}
+    assert abs(ncounts["en"] / sum(ncounts.values()) - 0.9) < 0.05
+
+
 def test_source_mix_saturates_rare_stratum(spark):
     from georiva_spark.operators import sampling
     rows = [(i, "t", "rare" if i < 5 else "en", "s", 1)
