@@ -768,6 +768,7 @@ _DRIVER_PRIORITY = [
     "nearest_time",
     # new this round
     "zarr_blosc",
+    "zarr_v3",
     "c4_rules",
     "fasttext_score",
     "temperature_mix",

@@ -1336,6 +1336,52 @@ FROM u GROUP BY y
 """
 
 
+def q_zarr_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v3 layout (zarr.json metadata, ``c/``-prefixed slash chunk
+    keys, bytes + blosc codec chain) through the same chunk-parallel
+    scan and the same raw-float32 oracle — proving v3 metadata parsing,
+    v3 key listing/pruning, and the codec chain end-to-end. Window
+    y < 128 spans two full 64-row chunk rows."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])[None]
+    nvec = arr.shape[1]
+    d = os.path.join(tempfile.gettempdir(),
+                     f"georiva_spark_zarr_v3_{nvec}")
+    if not os.path.exists(os.path.join(d, "emb", "zarr.json")):
+        write_zarr(d, {
+            "emb": arr,
+            "lat": np.arange(nvec, dtype="<f8"),
+            "lon": np.arange(arr.shape[2], dtype="<f8"),
+            "time": np.array([0], dtype="<i8"),
+        }, chunks={"emb": (1, 64, 16)}, zarr_format=3,
+            compressor="blosc:lz4")
+
+    win_h = min(128, nvec)
+    g = ZARR.open_variable(spark, d, "emb",
+                           window=(0, 0, arr.shape[2], win_h))
+    return (g.groupBy("y")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_ZARR_V3 = """
+WITH u AS (SELECT vec_id AS y, CAST(x AS DOUBLE) AS v
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+           WHERE vec_id < LEAST(128, (SELECT COUNT(*) FROM embeddings)))
+SELECT y, COUNT(v) AS n, AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
 def q_ingest_grib2_j2k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end via JPEG2000 packing (template 5.40 — the encoding
     GFS/NCEP products ship): the X integers ride in a lossless JPEG 2000
@@ -2782,6 +2828,7 @@ EXT_QUERIES = {
     "ingest_grib2_j2k": q_ingest_grib2_j2k,
     "zarr_scan": q_zarr_scan,
     "zarr_blosc": q_zarr_blosc,
+    "zarr_v3": q_zarr_v3,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "fasttext_score": q_fasttext_score,
@@ -2857,6 +2904,7 @@ EXT_ORACLES = {
     "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,
     "zarr_scan": SQL_ZARR_SCAN,
     "zarr_blosc": SQL_ZARR_BLOSC,
+    "zarr_v3": SQL_ZARR_V3,
     "gopher_rules": SQL_GOPHER_RULES,
     "c4_rules": SQL_C4_RULES,
     "fasttext_score": SQL_FASTTEXT_SCORE,

@@ -41,12 +41,74 @@ from georiva_spark.schemas import GRID_SCHEMA
 _GRID_COLS = [f.name for f in GRID_SCHEMA.fields]
 
 
+# Zarr v3 data_type names → numpy dtype strings (little-endian payload;
+# the bytes codec's endian configuration flips to big when asked)
+_DT3 = {"float64": "f8", "float32": "f4", "float16": "f2",
+        "int64": "i8", "int32": "i4", "int16": "i2", "int8": "i1",
+        "uint64": "u8", "uint32": "u4", "uint16": "u2", "uint8": "u1"}
+
+
+def _read_meta3(store: str, array: str) -> dict:
+    """Zarr v3 array metadata (zarr.json) normalized into the same dict
+    shape the v2 path uses, plus ``v3``/``key_sep`` for chunk-key
+    construction. Codec chain support: [bytes] (+ endian), then one of
+    gzip / zstd / blosc; transpose, sharding_indexed and crc32c are
+    gated with named errors. Spec:
+    https://zarr-specs.readthedocs.io/en/latest/v3/core/v3.0.html"""
+    with open(os.path.join(store, array, "zarr.json")) as f:
+        m3 = json.load(f)
+    if m3.get("zarr_format") != 3 or m3.get("node_type") != "array":
+        raise NotImplementedError("zarr.json is not a v3 array node")
+    grid = m3["chunk_grid"]
+    if grid.get("name") != "regular":
+        raise NotImplementedError(f"zarr v3 chunk grid {grid.get('name')!r}")
+    kenc = m3.get("chunk_key_encoding",
+                  {"name": "default", "configuration": {}})
+    cfg = kenc.get("configuration") or {}
+    if kenc.get("name") == "default":
+        sep, prefix = cfg.get("separator", "/"), "c"
+    elif kenc.get("name") == "v2":
+        sep, prefix = cfg.get("separator", "."), ""
+    else:
+        raise NotImplementedError(
+            f"zarr v3 chunk key encoding {kenc.get('name')!r}")
+    if m3["data_type"] not in _DT3:
+        raise NotImplementedError(f"zarr v3 data type {m3['data_type']!r}")
+    dtype = "<" + _DT3[m3["data_type"]]
+    comp = None
+    codecs = m3.get("codecs") or [{"name": "bytes"}]
+    rest = list(codecs)
+    if rest and rest[0].get("name") == "bytes":
+        endian = (rest[0].get("configuration") or {}).get("endian",
+                                                          "little")
+        if endian == "big":
+            dtype = ">" + _DT3[m3["data_type"]]
+        rest = rest[1:]
+    if len(rest) > 1:
+        raise NotImplementedError(
+            "zarr v3 codec chain beyond bytes + one compressor")
+    if rest:
+        name = rest[0].get("name")
+        if name in ("gzip", "zstd", "blosc"):
+            comp = {"id": {"gzip": "zlib", "zstd": "zstd3",
+                           "blosc": "blosc"}[name]}
+        else:
+            raise NotImplementedError(f"zarr v3 codec {name!r}")
+    return {"zarr_format": 3, "shape": m3["shape"],
+            "chunks": grid["configuration"]["chunk_shape"],
+            "dtype": dtype, "fill_value": m3.get("fill_value"),
+            "compressor": comp, "order": "C", "filters": None,
+            "v3": True, "key_sep": sep, "key_prefix": prefix}
+
+
 def _read_meta(store: str, array: str) -> dict:
+    if os.path.exists(os.path.join(store, array, "zarr.json")):
+        return _read_meta3(store, array)
     with open(os.path.join(store, array, ".zarray")) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
         raise NotImplementedError(
-            f"zarr_format {meta.get('zarr_format')} (only v2)")
+            f"zarr_format {meta.get('zarr_format')} (only v2/v3)")
     comp = meta.get("compressor")
     if comp is not None and comp.get("id") not in ("zlib", "gzip", "blosc"):
         raise NotImplementedError(
@@ -59,6 +121,19 @@ def _read_meta(store: str, array: str) -> dict:
     return meta
 
 
+def _chunk_key(meta: dict, idx: tuple[int, ...]) -> str:
+    """Chunk file path (relative to the array dir) for chunk indices —
+    v2 '0.1.2'; v3 default 'c/0/1/2' (or 'c.0.1.2'), v2-encoding per the
+    configured separator."""
+    if not meta.get("v3"):
+        return ".".join(map(str, idx))
+    sep = meta["key_sep"]
+    parts = [str(v) for v in idx]
+    if meta["key_prefix"]:
+        return sep.join([meta["key_prefix"], *parts])
+    return sep.join(parts)
+
+
 def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
     comp = meta.get("compressor")
     if comp is None:
@@ -66,6 +141,12 @@ def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
     elif comp.get("id") == "blosc":
         from georiva_spark.sources.blosc_codec import blosc_decompress
         raw = blosc_decompress(content)
+    elif comp.get("id") == "zstd3":
+        import pyarrow as pa
+        raw = pa.Codec("zstd").decompress(
+            content, decompressed_size=int(
+                np.prod(meta["chunks"])
+                * np.dtype(meta["dtype"]).itemsize), asbytes=True)
     else:
         raw = zlib.decompress(content, 47)
     a = np.frombuffer(raw, dtype=np.dtype(meta["dtype"]))
@@ -82,7 +163,8 @@ def _read_small_array(store: str, array: str) -> np.ndarray:
     out = np.empty(shape[0], dtype=np.dtype(meta["dtype"]))
     nchunks = -(-shape[0] // chunks[0])
     for c in range(nchunks):
-        with open(os.path.join(store, array, str(c)), "rb") as f:
+        with open(os.path.join(store, array,
+                               _chunk_key(meta, (c,))), "rb") as f:
             data = _decode_chunk(f.read(), meta)
         lo = c * chunks[0]
         out[lo:lo + min(chunks[0], shape[0] - lo)] = \
@@ -107,7 +189,9 @@ class ZarrStorePlugin:
         for entry in sorted(os.listdir(store)):
             if entry in ("lat", "lon", "time", "latitude", "longitude"):
                 continue
-            if os.path.isfile(os.path.join(store, entry, ".zarray")):
+            d = os.path.join(store, entry)
+            if os.path.isfile(os.path.join(d, ".zarray")) or \
+                    os.path.isfile(os.path.join(d, "zarr.json")):
                 out.append(entry)
         return out
 
@@ -164,8 +248,9 @@ class ZarrStorePlugin:
         for t in ts:
             for y in ys:
                 for x in xs:
-                    key = (f"{t}.{y}.{x}" if tdim else f"{y}.{x}")
-                    p = os.path.join(store, variable, key)
+                    idx = (t, y, x) if tdim else (y, x)
+                    p = os.path.join(store, variable,
+                                     _chunk_key(meta, idx))
                     if os.path.exists(p):
                         paths.append(p)
         if not paths:
@@ -179,11 +264,24 @@ class ZarrStorePlugin:
             [abs((t - timestamp).total_seconds()) for t in times]))
             if (tdim and timestamp is not None) else None)
 
+        ndim_k = 3 if tdim else 2
+
+        def _parse_key(fpath: str) -> list[int]:
+            # v2: '<t>.<y>.<x>' in the final component; v3 default:
+            # '.../c/<t>/<y>/<x>' (or 'c.<t>.<y>.<x>'); v3 v2-encoding:
+            # separator-joined final component
+            if meta.get("v3") and meta["key_sep"] == "/":
+                return [int(v) for v in fpath.split("/")[-ndim_k:]]
+            key = fpath.rsplit("/", 1)[-1]
+            parts = key.split(meta.get("key_sep", "."))
+            if meta.get("v3") and meta.get("key_prefix"):
+                parts = parts[1:]
+            return [int(v) for v in parts]
+
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for fpath, content in zip(pdf["path"], pdf["content"]):
-                    key = fpath.rsplit("/", 1)[-1]
-                    idx = [int(v) for v in key.split(".")]
+                    idx = _parse_key(fpath)
                     a = _decode_chunk(content, meta).astype(np.float64)
                     if fill is not None:
                         a = np.where(a == fill, np.nan, a)
@@ -240,22 +338,35 @@ class ZarrStorePlugin:
         return df
 
 
+_DT3_INV = {"f8": "float64", "f4": "float32", "f2": "float16",
+            "i8": "int64", "i4": "int32", "i2": "int16", "i1": "int8",
+            "u8": "uint64", "u4": "uint32", "u2": "uint16", "u1": "uint8"}
+
+
 def write_zarr(store: str, arrays: dict[str, np.ndarray],
                chunks: dict[str, tuple] | None = None,
                fill_value: float | None = None,
                compress: bool = True,
-               compressor: str = "zlib") -> None:
-    """Minimal Zarr v2 directory-store writer (tests + export): C-order
-    chunks, zlib or blosc compressor (``compressor="blosc:<cname>"``,
+               compressor: str = "zlib",
+               zarr_format: int = 2) -> None:
+    """Minimal Zarr directory-store writer (tests + export): C-order
+    chunks, zlib/gzip or blosc compressor (``compressor="blosc:<cname>"``,
     e.g. ``"blosc:lz4"`` — zarr-python's default layout), edge chunks
-    padded to full chunk shape per spec. ``arrays`` maps name → ndarray;
-    1-D coordinate arrays get one chunk by default."""
+    padded to full chunk shape per spec. ``zarr_format=3`` writes the v3
+    layout: per-array ``zarr.json`` (bytes + gzip/blosc codec chain) and
+    ``c/``-prefixed slash-separated chunk keys. ``arrays`` maps
+    name → ndarray; 1-D coordinate arrays get one chunk by default."""
     blosc_cname = (compressor.split(":", 1)[1]
                    if compressor.startswith("blosc") and ":" in compressor
                    else "lz4")
     use_blosc = compress and compressor.startswith("blosc")
     if use_blosc:
         from georiva_spark.sources.blosc_codec import blosc_compress
+    v3 = zarr_format == 3
+    if v3:
+        os.makedirs(store, exist_ok=True)
+        with open(os.path.join(store, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group"}, f)
     for name, a in arrays.items():
         a = np.ascontiguousarray(a)
         ch = tuple((chunks or {}).get(name, ()) or
@@ -263,19 +374,49 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                     tuple(min(s, 64) for s in a.shape)))
         adir = os.path.join(store, name)
         os.makedirs(adir, exist_ok=True)
-        comp_meta = None
-        if compress:
-            comp_meta = ({"id": "blosc", "cname": blosc_cname,
-                          "clevel": 5, "shuffle": 1, "blocksize": 0}
-                         if use_blosc else {"id": "zlib", "level": 6})
-        meta = {
-            "zarr_format": 2, "shape": list(a.shape),
-            "chunks": list(ch), "dtype": a.dtype.str,
-            "compressor": comp_meta,
-            "fill_value": fill_value, "order": "C", "filters": None,
-        }
-        with open(os.path.join(adir, ".zarray"), "w") as f:
-            json.dump(meta, f)
+        if v3:
+            codecs = [{"name": "bytes",
+                       "configuration": {"endian": "little"}}]
+            if compress:
+                codecs.append(
+                    {"name": "blosc",
+                     "configuration": {"cname": blosc_cname, "clevel": 5,
+                                       "shuffle": "shuffle",
+                                       "typesize": a.dtype.itemsize,
+                                       "blocksize": 0}}
+                    if use_blosc else
+                    {"name": "gzip", "configuration": {"level": 6}})
+            meta = {
+                "zarr_format": 3, "node_type": "array",
+                "shape": list(a.shape),
+                "data_type": _DT3_INV[a.dtype.str.lstrip("<>|=")],
+                "chunk_grid": {"name": "regular",
+                               "configuration":
+                                   {"chunk_shape": list(ch)}},
+                "chunk_key_encoding": {"name": "default",
+                                       "configuration":
+                                           {"separator": "/"}},
+                "fill_value": (fill_value if fill_value is not None
+                               else 0),
+                "codecs": codecs,
+            }
+            with open(os.path.join(adir, "zarr.json"), "w") as f:
+                json.dump(meta, f)
+        else:
+            comp_meta = None
+            if compress:
+                comp_meta = ({"id": "blosc", "cname": blosc_cname,
+                              "clevel": 5, "shuffle": 1, "blocksize": 0}
+                             if use_blosc
+                             else {"id": "zlib", "level": 6})
+            meta = {
+                "zarr_format": 2, "shape": list(a.shape),
+                "chunks": list(ch), "dtype": a.dtype.str,
+                "compressor": comp_meta,
+                "fill_value": fill_value, "order": "C", "filters": None,
+            }
+            with open(os.path.join(adir, ".zarray"), "w") as f:
+                json.dump(meta, f)
         grid = [range(-(-s // c)) for s, c in zip(a.shape, ch)]
         import itertools
         for idx in itertools.product(*grid):
@@ -292,10 +433,17 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
             elif use_blosc:
                 payload = blosc_compress(raw, a.dtype.itemsize,
                                          cname=blosc_cname)
+            elif v3:
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)   # true gzip
+                payload = co.compress(raw) + co.flush()
             else:
                 payload = zlib.compress(raw, 6)
-            with open(os.path.join(adir, ".".join(map(str, idx))),
-                      "wb") as f:
+            if v3:
+                kp = os.path.join(adir, "c", *map(str, idx))
+                os.makedirs(os.path.dirname(kp), exist_ok=True)
+            else:
+                kp = os.path.join(adir, ".".join(map(str, idx)))
+            with open(kp, "wb") as f:
                 f.write(payload)
 
 

@@ -114,6 +114,54 @@ def test_blosc_store_roundtrip(spark, tmp_path):
     assert rows[(1, 8 - 4, 7)] == pytest.approx(exp)
 
 
+def test_v3_store_roundtrip_and_prune(spark, tmp_path):
+    """Zarr v3 layout (zarr.json, c/-prefixed slash keys, bytes+blosc
+    codec chain) through the same scan: round-trip, orientation, fills,
+    and listing-level pruning (deleted out-of-window chunks never read)."""
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 10, (1, 8, 8)).astype("<f8")
+    a[0, 1, 2] = -1.0
+    lat = np.arange(8, dtype="<f8")
+    lon = np.arange(8, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon, np.array([0], dtype="<i8"),
+                   chunks={"t2m": (1, 4, 4)}, fill_value=-1.0,
+                   zarr_format=3, compressor="blosc:lz4")
+    assert os.path.isfile(os.path.join(store, "t2m", "zarr.json"))
+    assert os.path.isfile(os.path.join(store, "t2m", "c", "0", "0", "0"))
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert len(rows) == 64
+    assert rows[(1, 2)] is None                  # fill → null
+    assert rows[(5, 6)] == a[0, 5, 6]
+    # prune: drop the three chunks outside a (0,0,3,3) window
+    for key in ("0/0/1", "0/1/0", "0/1/1"):
+        os.remove(os.path.join(store, "t2m", "c", *key.split("/")))
+    sub = {(r.y, r.x): r.value for r in
+           ZARR.open_variable(spark, store, "t2m",
+                              window=(0, 0, 3, 3)).collect()}
+    assert sub == {(y, x): (None if (y, x) == (1, 2) else a[0, y, x])
+                   for y in range(3) for x in range(3)}
+
+
+def test_v3_gzip_codec_and_gates(spark, tmp_path):
+    a = np.arange(12, dtype="<f4").reshape(1, 3, 4)
+    lat = np.arange(3, dtype="<f8")
+    lon = np.arange(4, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon, np.array([0], dtype="<i8"),
+                   zarr_format=3)                # gzip codec chain
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert rows[(2, 3)] == 11.0
+    # gates: sharding and unknown codecs raise by name
+    meta = json.load(open(os.path.join(store, "t2m", "zarr.json")))
+    meta["codecs"] = [{"name": "bytes"},
+                      {"name": "sharding_indexed", "configuration": {}}]
+    json.dump(meta, open(os.path.join(store, "t2m", "zarr.json"), "w"))
+    from georiva_spark.sources.zarr_store import _read_meta
+    with pytest.raises(NotImplementedError, match="sharding_indexed"):
+        _read_meta(store, "t2m")
+
+
 def test_unsupported_features_gated(tmp_path):
     a = np.ones((2, 2), dtype="<f8")
     store = str(tmp_path / "bad.zarr")
