@@ -48,6 +48,31 @@ _DT3 = {"float64": "f8", "float32": "f4", "float16": "f2",
         "uint64": "u8", "uint32": "u4", "uint16": "u2", "uint8": "u1"}
 
 
+def _crc32c_table() -> list[int]:
+    poly = 0x82F63B78                   # reflected Castagnoli polynomial
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, RFC 3720 §B.4) — the checksum the Zarr v3
+    ``crc32c`` codec appends. Table-driven; matches the published test
+    vectors (crc32c(b'123456789') == 0xE3069283)."""
+    crc = 0xFFFFFFFF
+    t = _CRC32C_TABLE
+    for b in data:
+        crc = t[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
 def _read_meta3(store: str, array: str) -> dict:
     """Zarr v3 array metadata (zarr.json) normalized into the same dict
     shape the v2 path uses, plus ``v3``/``key_sep`` for chunk-key
@@ -84,6 +109,10 @@ def _read_meta3(store: str, array: str) -> dict:
         if endian == "big":
             dtype = ">" + _DT3[m3["data_type"]]
         rest = rest[1:]
+    checksum = False
+    if rest and rest[-1].get("name") == "crc32c":
+        checksum = True
+        rest = rest[:-1]
     if len(rest) > 1:
         raise NotImplementedError(
             "zarr v3 codec chain beyond bytes + one compressor")
@@ -98,7 +127,8 @@ def _read_meta3(store: str, array: str) -> dict:
             "chunks": grid["configuration"]["chunk_shape"],
             "dtype": dtype, "fill_value": m3.get("fill_value"),
             "compressor": comp, "order": "C", "filters": None,
-            "v3": True, "key_sep": sep, "key_prefix": prefix}
+            "v3": True, "key_sep": sep, "key_prefix": prefix,
+            "crc32c": checksum}
 
 
 def _read_meta(store: str, array: str) -> dict:
@@ -135,6 +165,13 @@ def _chunk_key(meta: dict, idx: tuple[int, ...]) -> str:
 
 
 def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
+    if meta.get("crc32c"):
+        want = int.from_bytes(content[-4:], "little")
+        content = content[:-4]
+        got = crc32c(content)
+        if got != want:
+            raise ValueError(
+                f"zarr v3 crc32c mismatch: {got:#010x} != {want:#010x}")
     comp = meta.get("compressor")
     if comp is None:
         raw = content
@@ -348,7 +385,8 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                fill_value: float | None = None,
                compress: bool = True,
                compressor: str = "zlib",
-               zarr_format: int = 2) -> None:
+               zarr_format: int = 2,
+               checksum: bool = False) -> None:
     """Minimal Zarr directory-store writer (tests + export): C-order
     chunks, zlib/gzip or blosc compressor (``compressor="blosc:<cname>"``,
     e.g. ``"blosc:lz4"`` — zarr-python's default layout), edge chunks
@@ -386,6 +424,8 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                                        "blocksize": 0}}
                     if use_blosc else
                     {"name": "gzip", "configuration": {"level": 6}})
+            if checksum:
+                codecs.append({"name": "crc32c"})
             meta = {
                 "zarr_format": 3, "node_type": "array",
                 "shape": list(a.shape),
@@ -439,6 +479,8 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
             else:
                 payload = zlib.compress(raw, 6)
             if v3:
+                if checksum:
+                    payload += crc32c(payload).to_bytes(4, "little")
                 kp = os.path.join(adir, "c", *map(str, idx))
                 os.makedirs(os.path.dirname(kp), exist_ok=True)
             else:

@@ -162,6 +162,33 @@ def test_v3_gzip_codec_and_gates(spark, tmp_path):
         _read_meta(store, "t2m")
 
 
+def test_v3_crc32c_codec(spark, tmp_path):
+    """Published CRC-32C vectors + verify-and-strip on read + loud
+    failure on a corrupted chunk."""
+    from georiva_spark.sources.zarr_store import _decode_chunk, \
+        _read_meta, crc32c
+    assert crc32c(b"123456789") == 0xE3069283       # RFC 3720 vector
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA       # iSCSI zero vector
+    a = np.arange(12, dtype="<f4").reshape(1, 3, 4)
+    lat = np.arange(3, dtype="<f8")
+    lon = np.arange(4, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon, np.array([0], dtype="<i8"),
+                   zarr_format=3, checksum=True)
+    meta = json.load(open(os.path.join(store, "t2m", "zarr.json")))
+    assert meta["codecs"][-1]["name"] == "crc32c"
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert rows[(1, 2)] == 6.0
+    # corrupt one byte → named failure, not silent garbage
+    kp = os.path.join(store, "t2m", "c", "0", "0", "0")
+    blob = bytearray(open(kp, "rb").read())
+    blob[0] ^= 0xFF
+    m = _read_meta(store, "t2m")
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        _decode_chunk(bytes(blob), m)
+
+
 def test_unsupported_features_gated(tmp_path):
     a = np.ones((2, 2), dtype="<f8")
     store = str(tmp_path / "bad.zarr")
