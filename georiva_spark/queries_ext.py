@@ -1338,10 +1338,11 @@ FROM u GROUP BY y
 
 def q_zarr_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zarr v3 layout (zarr.json metadata, ``c/``-prefixed slash chunk
-    keys, bytes + blosc codec chain) through the same chunk-parallel
-    scan and the same raw-float32 oracle — proving v3 metadata parsing,
-    v3 key listing/pruning, and the codec chain end-to-end. Window
-    y < 128 spans two full 64-row chunk rows."""
+    keys, sharding_indexed: each 64×16 shard packs 4 blosc-compressed
+    16×16 inner chunks behind a crc32c-protected uint64 index) through
+    the same chunk-parallel scan and the same raw-float32 oracle —
+    proving v3 metadata, key listing/pruning, the shard index walk, and
+    the inner codec chain end-to-end. Window y < 128 spans two shards."""
     import os
     import tempfile
 
@@ -1353,7 +1354,7 @@ def q_zarr_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for e in pdf["embedding"]])[None]
     nvec = arr.shape[1]
     d = os.path.join(tempfile.gettempdir(),
-                     f"georiva_spark_zarr_v3_{nvec}")
+                     f"georiva_spark_zarr_v3s_{nvec}")
     if not os.path.exists(os.path.join(d, "emb", "zarr.json")):
         write_zarr(d, {
             "emb": arr,
@@ -1361,7 +1362,8 @@ def q_zarr_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lon": np.arange(arr.shape[2], dtype="<f8"),
             "time": np.array([0], dtype="<i8"),
         }, chunks={"emb": (1, 64, 16)}, zarr_format=3,
-            compressor="blosc:lz4")
+            compressor="blosc:lz4",
+            shard_inner={"emb": (1, 16, 16)})
 
     win_h = min(128, nvec)
     g = ZARR.open_variable(spark, d, "emb",

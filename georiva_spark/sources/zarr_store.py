@@ -99,15 +99,42 @@ def _read_meta3(store: str, array: str) -> dict:
             f"zarr v3 chunk key encoding {kenc.get('name')!r}")
     if m3["data_type"] not in _DT3:
         raise NotImplementedError(f"zarr v3 data type {m3['data_type']!r}")
-    dtype = "<" + _DT3[m3["data_type"]]
-    comp = None
     codecs = m3.get("codecs") or [{"name": "bytes"}]
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        # sharding: the chunk_grid shape is the SHARD shape; each shard
+        # file packs a grid of inner chunks plus an (offset, nbytes)
+        # uint64 index at index_location — the shard is the Spark split
+        scfg = codecs[0].get("configuration") or {}
+        dtype, comp, checksum = _parse_codec_chain(
+            scfg.get("codecs") or [{"name": "bytes"}], m3["data_type"])
+        _, _, idx_crc = _parse_codec_chain(
+            scfg.get("index_codecs") or [{"name": "bytes"}], "uint64")
+        shard = {"inner": scfg["chunk_shape"],
+                 "index_location": scfg.get("index_location", "end"),
+                 "index_crc32c": idx_crc}
+    else:
+        dtype, comp, checksum = _parse_codec_chain(codecs,
+                                                   m3["data_type"])
+    return {"zarr_format": 3, "shape": m3["shape"],
+            "chunks": grid["configuration"]["chunk_shape"],
+            "dtype": dtype, "fill_value": m3.get("fill_value"),
+            "compressor": comp, "order": "C", "filters": None,
+            "v3": True, "key_sep": sep, "key_prefix": prefix,
+            "crc32c": checksum, "shard": shard}
+
+
+def _parse_codec_chain(codecs: list[dict], data_type: str):
+    """Normalize a v3 codec chain [bytes(endian)] [+ one compressor]
+    [+ crc32c] → (numpy dtype str, compressor dict | None, crc32c
+    flag). Anything else raises by name."""
+    dtype = "<" + _DT3[data_type]
     rest = list(codecs)
     if rest and rest[0].get("name") == "bytes":
         endian = (rest[0].get("configuration") or {}).get("endian",
                                                           "little")
         if endian == "big":
-            dtype = ">" + _DT3[m3["data_type"]]
+            dtype = ">" + _DT3[data_type]
         rest = rest[1:]
     checksum = False
     if rest and rest[-1].get("name") == "crc32c":
@@ -116,6 +143,7 @@ def _read_meta3(store: str, array: str) -> dict:
     if len(rest) > 1:
         raise NotImplementedError(
             "zarr v3 codec chain beyond bytes + one compressor")
+    comp = None
     if rest:
         name = rest[0].get("name")
         if name in ("gzip", "zstd", "blosc"):
@@ -123,12 +151,7 @@ def _read_meta3(store: str, array: str) -> dict:
                            "blosc": "blosc"}[name]}
         else:
             raise NotImplementedError(f"zarr v3 codec {name!r}")
-    return {"zarr_format": 3, "shape": m3["shape"],
-            "chunks": grid["configuration"]["chunk_shape"],
-            "dtype": dtype, "fill_value": m3.get("fill_value"),
-            "compressor": comp, "order": "C", "filters": None,
-            "v3": True, "key_sep": sep, "key_prefix": prefix,
-            "crc32c": checksum}
+    return dtype, comp, checksum
 
 
 def _read_meta(store: str, array: str) -> dict:
@@ -188,6 +211,43 @@ def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
         raw = zlib.decompress(content, 47)
     a = np.frombuffer(raw, dtype=np.dtype(meta["dtype"]))
     return a.reshape(meta["chunks"])
+
+
+_SHARD_MISSING = 0xFFFFFFFFFFFFFFFF
+
+
+def _decode_shard(content: bytes, meta: dict):
+    """Yield (origin-in-elements, inner ndarray) for every inner chunk
+    of one shard file (v3 sharding_indexed): parse the uint64
+    (offset, nbytes) index at index_location, then decode each present
+    inner chunk through the inner codec chain; a missing pair
+    (all-ones) reads as fill per spec."""
+    sh = meta["shard"]
+    inner = sh["inner"]
+    chunks = meta["chunks"]
+    n_per_dim = [-(-c // i) for c, i in zip(chunks, inner)]
+    n_tot = int(np.prod(n_per_dim))
+    isz = n_tot * 16 + (4 if sh["index_crc32c"] else 0)
+    ib = (content[:isz] if sh["index_location"] == "start"
+          else content[-isz:])
+    if sh["index_crc32c"]:
+        want = int.from_bytes(ib[-4:], "little")
+        ib = ib[:-4]
+        if crc32c(ib) != want:
+            raise ValueError("zarr v3 shard index crc32c mismatch")
+    offs = np.frombuffer(ib, "<u8").reshape(n_tot, 2)
+    inner_meta = {"chunks": inner, "dtype": meta["dtype"],
+                  "compressor": meta["compressor"],
+                  "crc32c": meta["crc32c"]}
+    fill = meta.get("fill_value")
+    for k, idx in enumerate(np.ndindex(*n_per_dim)):
+        off, nb = int(offs[k, 0]), int(offs[k, 1])
+        if off == _SHARD_MISSING and nb == _SHARD_MISSING:
+            arr = np.full(inner, fill if fill is not None else 0,
+                          dtype=np.dtype(meta["dtype"]))
+        else:
+            arr = _decode_chunk(content[off:off + nb], inner_meta)
+        yield tuple(i * s for i, s in zip(idx, inner)), arr
 
 
 def _read_small_array(store: str, array: str) -> np.ndarray:
@@ -315,51 +375,86 @@ class ZarrStorePlugin:
                 parts = parts[1:]
             return [int(v) for v in parts]
 
+        # storage-space window for WITHIN-shard inner-chunk pruning
+        # (listing-level pruning already dropped whole shards/chunks)
+        stor_win = None
+        if window is not None:
+            x0, y0, ww, wh = window
+            srows = ([ny - (y0 + wh), ny - y0 - 1] if descending
+                     else [y0, y0 + wh - 1])
+            stor_win = (srows[0], srows[1], x0, x0 + ww - 1)
+        sharded = bool(meta.get("shard"))
+
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for fpath, content in zip(pdf["path"], pdf["content"]):
                     idx = _parse_key(fpath)
-                    a = _decode_chunk(content, meta).astype(np.float64)
-                    if fill is not None:
-                        a = np.where(a == fill, np.nan, a)
                     if tdim:
                         tc, yc, xc = idx
-                        tlo = tc * ct
+                        corigin = (tc * ct, yc * cy, xc * cx)
                     else:
                         yc, xc = idx
-                        tlo = 0
-                        a = a[None]
-                    ylo, xlo = yc * cy, xc * cx
-                    # clip padded edge chunks to the array bounds
-                    a = a[:, :max(0, min(cy, ny - ylo)),
-                          :max(0, min(cx, nx - xlo))]
-                    hh, ww_ = a.shape[1], a.shape[2]
-                    yy, xx = np.mgrid[0:hh, 0:ww_]
-                    rows_g = ylo + yy            # storage row index
-                    # south-up contract: flip when lat is descending
-                    gy = (ny - 1 - rows_g) if descending else rows_g
+                        corigin = (0, yc * cy, xc * cx)
+                    if sharded:
+                        blocks = []
+                        for ioff, arr in _decode_shard(content, meta):
+                            if tdim:
+                                borigin = (corigin[0] + ioff[0],
+                                           corigin[1] + ioff[1],
+                                           corigin[2] + ioff[2])
+                                a3 = arr
+                            else:
+                                borigin = (0, corigin[1] + ioff[0],
+                                           corigin[2] + ioff[1])
+                                a3 = arr[None]
+                            if stor_win is not None:
+                                rl, rh, xl, xh = stor_win
+                                if (borigin[1] > rh
+                                        or borigin[1] + a3.shape[1] <= rl
+                                        or borigin[2] > xh
+                                        or borigin[2] + a3.shape[2]
+                                        <= xl):
+                                    continue     # inner chunk outside
+                            blocks.append((borigin, a3))
+                    else:
+                        a = _decode_chunk(content, meta)
+                        blocks = [(corigin, a if tdim else a[None])]
                     frames = []
-                    for ti in range(a.shape[0]):
-                        tglob = tlo + ti
-                        if tglob >= len(times_b):
+                    for (tlo, ylo, xlo), a in blocks:
+                        a = a.astype(np.float64)
+                        if fill is not None:
+                            a = np.where(a == fill, np.nan, a)
+                        # clip padded edge blocks to the array bounds
+                        a = a[:, :max(0, min(a.shape[1], ny - ylo)),
+                              :max(0, min(a.shape[2], nx - xlo))]
+                        if a.shape[1] == 0 or a.shape[2] == 0:
                             continue
-                        if tsel_only is not None and tglob != tsel_only:
-                            continue
-                        vals = a[ti].ravel()
-                        sub = pd.DataFrame({
-                            "org": "default", "catalog": "t",
-                            "collection": collection,
-                            "variable": variable,
-                            "time": times_b[tglob],
-                            "reference_time": None,
-                            "y": gy.ravel().astype("int64"),
-                            "x": (xlo + xx).ravel().astype("int64"),
-                            "lat": lat_b[rows_g.ravel()],
-                            "lon": lon_b[(xlo + xx).ravel()],
-                            "value": np.where(np.isnan(vals), None,
-                                              vals),
-                        })
-                        frames.append(sub)
+                        hh, ww_ = a.shape[1], a.shape[2]
+                        yy, xx = np.mgrid[0:hh, 0:ww_]
+                        rows_g = ylo + yy        # storage row index
+                        # south-up contract: flip when lat descending
+                        gy = (ny - 1 - rows_g) if descending else rows_g
+                        for ti in range(a.shape[0]):
+                            tglob = tlo + ti
+                            if tglob >= len(times_b):
+                                continue
+                            if (tsel_only is not None
+                                    and tglob != tsel_only):
+                                continue
+                            vals = a[ti].ravel()
+                            frames.append(pd.DataFrame({
+                                "org": "default", "catalog": "t",
+                                "collection": collection,
+                                "variable": variable,
+                                "time": times_b[tglob],
+                                "reference_time": None,
+                                "y": gy.ravel().astype("int64"),
+                                "x": (xlo + xx).ravel().astype("int64"),
+                                "lat": lat_b[rows_g.ravel()],
+                                "lon": lon_b[(xlo + xx).ravel()],
+                                "value": np.where(np.isnan(vals), None,
+                                                  vals),
+                            }))
                     if frames:
                         yield pd.concat(frames,
                                         ignore_index=True)[_GRID_COLS]
@@ -386,7 +481,8 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                compress: bool = True,
                compressor: str = "zlib",
                zarr_format: int = 2,
-               checksum: bool = False) -> None:
+               checksum: bool = False,
+               shard_inner: dict[str, tuple] | None = None) -> None:
     """Minimal Zarr directory-store writer (tests + export): C-order
     chunks, zlib/gzip or blosc compressor (``compressor="blosc:<cname>"``,
     e.g. ``"blosc:lz4"`` — zarr-python's default layout), edge chunks
@@ -412,6 +508,9 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                     tuple(min(s, 64) for s in a.shape)))
         adir = os.path.join(store, name)
         os.makedirs(adir, exist_ok=True)
+        sh_in = tuple((shard_inner or {}).get(name, ()))
+        if sh_in and not v3:
+            raise ValueError("sharding requires zarr_format=3")
         if v3:
             codecs = [{"name": "bytes",
                        "configuration": {"endian": "little"}}]
@@ -426,6 +525,17 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                     {"name": "gzip", "configuration": {"level": 6}})
             if checksum:
                 codecs.append({"name": "crc32c"})
+            if sh_in:
+                codecs = [{"name": "sharding_indexed",
+                           "configuration": {
+                               "chunk_shape": list(sh_in),
+                               "codecs": codecs,
+                               "index_codecs": [
+                                   {"name": "bytes",
+                                    "configuration":
+                                        {"endian": "little"}},
+                                   {"name": "crc32c"}],
+                               "index_location": "end"}}]
             meta = {
                 "zarr_format": 3, "node_type": "array",
                 "shape": list(a.shape),
@@ -457,30 +567,61 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
             }
             with open(os.path.join(adir, ".zarray"), "w") as f:
                 json.dump(meta, f)
-        grid = [range(-(-s // c)) for s, c in zip(a.shape, ch)]
-        import itertools
-        for idx in itertools.product(*grid):
-            sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, ch))
-            block = a[sl]
-            if block.shape != ch:                 # pad edge chunks
-                pad = np.full(ch, fill_value if fill_value is not None
-                              else 0, dtype=a.dtype)
-                pad[tuple(slice(0, s) for s in block.shape)] = block
-                block = pad
-            raw = np.ascontiguousarray(block).tobytes()
+        def _enc(raw: bytes) -> bytes:
             if not compress:
                 payload = raw
             elif use_blosc:
                 payload = blosc_compress(raw, a.dtype.itemsize,
                                          cname=blosc_cname)
             elif v3:
-                co = zlib.compressobj(6, zlib.DEFLATED, 31)   # true gzip
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)  # true gzip
                 payload = co.compress(raw) + co.flush()
             else:
                 payload = zlib.compress(raw, 6)
+            if v3 and checksum:
+                payload += crc32c(payload).to_bytes(4, "little")
+            return payload
+
+        def _padded(block: np.ndarray, shape: tuple) -> bytes:
+            if block.shape != shape:              # pad edge chunks
+                pad = np.full(shape, fill_value
+                              if fill_value is not None else 0,
+                              dtype=a.dtype)
+                pad[tuple(slice(0, s) for s in block.shape)] = block
+                block = pad
+            return np.ascontiguousarray(block).tobytes()
+
+        grid = [range(-(-s // c)) for s, c in zip(a.shape, ch)]
+        import itertools
+        for idx in itertools.product(*grid):
+            sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, ch))
+            block = a[sl]
+            if sh_in:
+                # assemble one shard: concatenated encoded inner chunks
+                # + (offset, nbytes) uint64 index + its crc32c at end
+                if block.shape != ch:
+                    pad = np.full(ch, fill_value
+                                  if fill_value is not None else 0,
+                                  dtype=a.dtype)
+                    pad[tuple(slice(0, s)
+                              for s in block.shape)] = block
+                    block = pad
+                body = bytearray()
+                index: list[int] = []
+                igrid = [range(-(-c // i))
+                         for c, i in zip(ch, sh_in)]
+                for iidx in itertools.product(*igrid):
+                    isl = tuple(slice(j * i, (j + 1) * i)
+                                for j, i in zip(iidx, sh_in))
+                    pay = _enc(_padded(block[isl], sh_in))
+                    index += [len(body), len(pay)]
+                    body += pay
+                ib = b"".join(v.to_bytes(8, "little") for v in index)
+                payload = bytes(body) + ib + \
+                    crc32c(ib).to_bytes(4, "little")
+            else:
+                payload = _enc(_padded(block, ch))
             if v3:
-                if checksum:
-                    payload += crc32c(payload).to_bytes(4, "little")
                 kp = os.path.join(adir, "c", *map(str, idx))
                 os.makedirs(os.path.dirname(kp), exist_ok=True)
             else:

@@ -162,6 +162,51 @@ def test_v3_gzip_codec_and_gates(spark, tmp_path):
         _read_meta(store, "t2m")
 
 
+def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
+    """sharding_indexed: shard files decode to their inner-chunk grid
+    (index at end, crc32c-protected); a missing inner chunk (all-ones
+    index pair) reads as fill → null rows; a window skips whole inner
+    chunks inside the shard."""
+    import struct
+
+    from georiva_spark.sources.zarr_store import _read_meta, crc32c
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 100, (1, 16, 16)).astype("<f8")
+    lat = np.arange(16, dtype="<f8")
+    lon = np.arange(16, dtype="<f8")
+    store = _store(tmp_path, a, lat, lon, np.array([0], dtype="<i8"),
+                   chunks={"t2m": (1, 16, 16)}, fill_value=-9.0,
+                   zarr_format=3, compressor="blosc:lz4",
+                   shard_inner={"t2m": (1, 4, 4)})
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert len(rows) == 256
+    assert rows[(10, 13)] == a[0, 10, 13]
+    # mark inner chunk (0, 1, 2) missing in the index → 4x4 fill block
+    kp = os.path.join(store, "t2m", "c", "0", "0", "0")
+    blob = bytearray(open(kp, "rb").read())
+    n_tot = 4 * 4
+    isz = n_tot * 16 + 4
+    k = (0 * 4 + 1) * 4 + 2                  # C order over (1, 4, 4) grid
+    off = len(blob) - isz + k * 16
+    blob[off:off + 16] = b"\xff" * 16
+    ib = bytes(blob[len(blob) - isz:len(blob) - 4])
+    blob[-4:] = struct.pack("<I", crc32c(ib))
+    open(kp, "wb").write(bytes(blob))
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert rows[(4, 8)] is None and rows[(7, 11)] is None
+    assert rows[(4, 12)] == a[0, 4, 12]
+    # window confined to the top-left 4x4 inner chunk
+    sub = ZARR.open_variable(spark, store, "t2m",
+                             window=(0, 0, 4, 4)).collect()
+    assert len(sub) == 16
+    assert {(r.y, r.x) for r in sub} == \
+        {(y, x) for y in range(4) for x in range(4)}
+    m = _read_meta(store, "t2m")
+    assert m["shard"]["inner"] == [1, 4, 4]
+
+
 def test_v3_crc32c_codec(spark, tmp_path):
     """Published CRC-32C vectors + verify-and-strip on read + loud
     failure on a corrupted chunk."""
