@@ -162,3 +162,26 @@ def test_semdedup_single_cluster_shuffle(spark):
     assert phys.count("hashpartitioning(cluster#") == 1
     assert "CartesianProduct" not in phys and "BroadcastNestedLoop" \
         not in phys
+
+
+def test_c4_and_classifier_are_scan_speed(spark):
+    """c4_rules and fasttext_score are pure in-row expression chains:
+    no Exchange, no Python eval in the physical plan (the classifier's
+    weight table is a literal array, not a join)."""
+    for name in ("c4_rules", "fasttext_score"):
+        plan = _plan(QUERIES[name](spark, SF))
+        phys = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in phys, name
+        assert "BatchEvalPython" not in phys, name
+        assert "ArrowEvalPython" not in phys, name
+
+
+def test_temperature_mix_is_scan_predicate(spark):
+    """After the bounded count agg (driver-side), the sampling itself
+    is a single filter over the scan — no joins, no exchanges, no
+    Python."""
+    plan = _plan(QUERIES["temperature_mix"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys
+    assert "Join" not in phys
+    assert "BatchEvalPython" not in phys
