@@ -11,6 +11,8 @@ re-evaluate their upstream expression tree per round (measured 85×).
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -307,6 +309,82 @@ def lm_score(docs: DataFrame, top_k: int = 10_000, add_k: float = 0.5,
     # emit EVERY input row: null/empty-text docs score (0, null) rather
     # than vanishing — callers join scores back to the corpus, where a
     # silently missing row reads as "not yet scored"
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+                     .alias("n_tokens"),
+                    F.col("bits_per_token")))
+
+
+def lm_score_bigram(docs: DataFrame, top_k: int = 10_000,
+                    top_k_bigrams: int = 50_000, add_k: float = 0.5,
+                    alpha: float = 0.4,
+                    text_col: str = "text") -> DataFrame:
+    """Bigram language-model scoring with Stupid Backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    backoff scheme DESIGNED for distributed corpus-scale LMs): fit
+    bigram counts on the corpus, score each token position by
+
+        S(w|v) = c(v,w)/c(v)                 if (v,w) in the kept table
+               = α · p_uni(w)                otherwise (backoff)
+
+    with the first token scored by the add-k unigram p_uni (same model
+    as ``lm_score``). Returns (doc_id, n_tokens, bits_per_token) —
+    −avg log₂ S — for EVERY input row; null/empty text scores
+    (0, null). A sharper fluency filter than the unigram score: word-
+    salad with common words stays cheap under unigrams but expensive
+    under bigrams.
+
+    Scale shape: bigram counts explode zip-shifted pairs (map-side
+    partial collapse before the exchange); the kept table is bounded at
+    ``top_k_bigrams`` (deterministic tie-break count desc, then pair)
+    and BROADCAST with c(v) folded in at fit time, so scoring is two
+    broadcast joins over the token stream + one per-doc partial agg —
+    the corpus shuffles ~one row per document."""
+    toks = tokens(F.col(text_col))
+    base = (docs.where(F.length(F.col(text_col)) > 0)
+            .select("doc_id", toks.alias("t")))
+    ex = base.select("doc_id", F.explode("t").alias("w"))
+    uni = ex.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = uni.orderBy(F.col("tf").desc(), "w").limit(top_k)
+    n_total = ex.count()                     # one scalar to the driver
+    denom = float(n_total) + add_k * (top_k + 1)
+
+    n = F.size(F.col("t"))
+    shift = F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0)))
+    head = F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0)))
+    pair_structs = F.zip_with(
+        head, shift, lambda a, b: F.struct(a.alias("v"), b.alias("w")))
+    bi_stream = (base.select("doc_id", F.explode(pair_structs)
+                             .alias("p"))
+                 .select("doc_id", F.col("p.v").alias("v"),
+                         F.col("p.w").alias("w")))
+    bi = (bi_stream.groupBy("v", "w")
+          .agg(F.count(F.lit(1)).alias("c_vw"))
+          .orderBy(F.col("c_vw").desc(), "v", "w")
+          .limit(top_k_bigrams))
+    # fold c(v) into the bounded table at fit time: one broadcast join
+    # of 50k rows against the unigram counts, result still bounded
+    bi2 = (F.broadcast(bi).join(
+        uni.select(F.col("w").alias("v"), F.col("tf").alias("c_v")),
+        "v"))
+
+    first = base.select("doc_id", F.lit(None).cast("string").alias("v"),
+                        F.element_at("t", 1).alias("w"))
+    stream = first.unionByName(bi_stream)
+    j = (stream.join(F.broadcast(bi2), ["v", "w"], "left")
+         .join(F.broadcast(vocab), "w", "left"))
+    p_uni = (F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+             + F.lit(add_k)) / F.lit(denom)
+    lp = F.when(F.col("c_vw").isNotNull(),
+                F.log2(F.col("c_vw").cast("double")
+                       / F.col("c_v").cast("double"))) \
+        .otherwise(F.log2(p_uni)
+                   + F.when(F.col("v").isNull(), F.lit(0.0))
+                      .otherwise(F.lit(float(_math.log2(alpha)))))
+    scored = (j.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   (-F.avg(lp)).alias("bits_per_token")))
     return (docs.select("doc_id").join(scored, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))

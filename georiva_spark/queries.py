@@ -772,6 +772,7 @@ _DRIVER_PRIORITY = [
     "c4_rules",
     "fasttext_score",
     "temperature_mix",
+    "lm_bigram",
     "ingest_grib2_reduced",
     "ingest_grib2_png",
     "ingest_grib2_lcc",

@@ -2456,6 +2456,59 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff (Brants et al. 2007):
+    corpus-fit bigram table (c(v) folded in at fit time, broadcast),
+    backoff to the α-discounted add-k unigram; first token scored by
+    the unigram alone. Sharper than the unigram filter: common-word
+    word-salad stays cheap under unigrams but expensive under bigrams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lm_score_bigram(docs, top_k=10_000,
+                                   top_k_bigrams=50_000, add_k=0.5,
+                                   alpha=0.4)
+
+
+SQL_LM_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE length(text) > 0),
+ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+uni AS (SELECT w, COUNT(*) AS tf FROM ex GROUP BY w),
+vocab AS (SELECT w, tf FROM uni ORDER BY tf DESC, w LIMIT 10000),
+n AS (SELECT COUNT(*) AS nt FROM ex),
+bis AS (
+  SELECT doc_id, p[1] AS v, p[2] AS w
+  FROM (SELECT doc_id,
+               unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+        FROM toks WHERE len(t) > 1)),
+bi AS (SELECT v, w, COUNT(*) AS c_vw FROM bis GROUP BY v, w
+       ORDER BY c_vw DESC, v, w LIMIT 50000),
+bi2 AS (SELECT b.v, b.w, b.c_vw, u.tf AS c_v
+        FROM bi b JOIN uni u ON u.w = b.v),
+stream AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS v, t[1] AS w FROM toks
+  UNION ALL SELECT doc_id, v, w FROM bis),
+j AS (
+  SELECT s.doc_id,
+         CASE WHEN b.c_vw IS NOT NULL
+              THEN log2(CAST(b.c_vw AS DOUBLE) / CAST(b.c_v AS DOUBLE))
+              ELSE log2((COALESCE(vo.tf, 0) + 0.5)
+                        / (CAST(n.nt AS DOUBLE) + 0.5 * 10001))
+                   + CASE WHEN s.v IS NULL THEN 0.0
+                          ELSE -1.3219280948873622 END
+         END AS lp
+  FROM stream s
+  LEFT JOIN bi2 b ON s.v = b.v AND s.w = b.w
+  LEFT JOIN vocab vo ON s.w = vo.w
+  CROSS JOIN n),
+scored AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                  -AVG(lp) AS bits_per_token
+           FROM j GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.bits_per_token
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 _FEED_STATES = ("complete", "failed", "partial", "queued", "running")
 
 
@@ -2876,6 +2929,7 @@ EXT_QUERIES = {
     "feed_health": q_feed_health,
     "vocab": q_vocab,
     "lm_score": q_lm_score,
+    "lm_bigram": q_lm_bigram,
     "file_times": q_file_times,
     "quantize_emb": q_quantize_emb,
 }
@@ -2951,6 +3005,7 @@ EXT_ORACLES = {
     "feed_health": SQL_FEED_HEALTH,
     "vocab": SQL_VOCAB,
     "lm_score": SQL_LM_SCORE,
+    "lm_bigram": SQL_LM_BIGRAM,
     "file_times": SQL_FILE_TIMES,
     "quantize_emb": SQL_QUANTIZE_EMB,
 }

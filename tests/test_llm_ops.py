@@ -742,6 +742,36 @@ def test_gopher_rules_battery(spark):
     assert r.gopher_pass is False
 
 
+def test_lm_score_bigram_stupid_backoff_golden(spark):
+    """Hand-computed Stupid Backoff: kept bigrams score c(v,w)/c(v),
+    pruned ones back off to α·p_uni, the first token to p_uni alone."""
+    import math
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "c c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # N=9; tf a=b=c=3; denom = 9 + 0.5*(4+1) = 11.5
+    # bigrams: (a,b)=3 (b,a)=1 (b,c)=1 (c,c)=1; top-2 by (count desc,
+    # v, w) = (a,b), (b,a) — (b,c) and (c,c) take the backoff path
+    out = {r.doc_id: r for r in textops.lm_score_bigram(
+        df, top_k=4, top_k_bigrams=2, add_k=0.5, alpha=0.4).collect()}
+    l1 = math.log2(3.5 / 11.5)
+    la = math.log2(0.4)
+    exp = {
+        1: -(l1 + 0.0 + math.log2(1 / 3) + 0.0 + (la + l1)) / 5,
+        2: -(l1 + 0.0) / 2,
+        3: -(l1 + (la + l1)) / 2,
+    }
+    for did, e in exp.items():
+        assert out[did].bits_per_token == pytest.approx(e, rel=1e-12)
+    assert out[1].n_tokens == 5 and out[3].n_tokens == 2
+    # null/empty text scores (0, null) instead of vanishing
+    nl = spark.createDataFrame([(1, "a b"), (9, None)],
+                               "doc_id long, text string")
+    r9 = {r.doc_id: r for r in
+          textops.lm_score_bigram(nl).collect()}[9]
+    assert r9.n_tokens == 0 and r9.bits_per_token is None
+
+
 def test_c4_rules_battery(spark):
     good = ("this first sentence clearly ends with a period. "
             "here is the second full sentence of prose. "
