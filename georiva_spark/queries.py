@@ -811,7 +811,10 @@ _DRIVER_PRIORITY = [
     "source_mix",
     "decontaminate",
     "bow_score",
-    "approx_distinct",
+    # approx_distinct stays OUT of the 50-entry driver window: it is
+    # legitimately no-oracle (HLL sketch) and already holds its r1
+    # rows-only record — a window slot re-recording it is wasted while
+    # oracle-bearing queries remain unrecorded
     "simhash",
     "simhash_pairs",
     "language_id",
