@@ -207,6 +207,39 @@ def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
     assert m["shard"]["inner"] == [1, 4, 4]
 
 
+def test_layouts_agree_v2_v3_sharded(spark, tmp_path):
+    """Format-invariance: one array written as v2+zlib, v2+blosc,
+    v3+gzip, and v3+sharded-blosc reads back IDENTICALLY (rows, coords,
+    nulls) through the same scan — the layout is an encoding detail,
+    never a semantics change."""
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 50, (2, 10, 12)).astype("<f8")
+    a[0, 3, 4] = -5.0                       # fill sentinel
+    lat = np.arange(10, dtype="<f8")[::-1].copy()       # north-up
+    lon = np.arange(12, dtype="<f8")
+    times = np.array([0, 3600], dtype="<i8")
+    variants = [
+        dict(zarr_format=2),
+        dict(zarr_format=2, compressor="blosc:zstd"),
+        dict(zarr_format=3),
+        dict(zarr_format=3, compressor="blosc:lz4", checksum=True,
+             shard_inner={"t2m": (1, 4, 4)}),
+    ]
+    results = []
+    for i, kw in enumerate(variants):
+        store = str(tmp_path / f"v{i}.zarr")
+        write_zarr(store, {"t2m": a, "lat": lat, "lon": lon,
+                           "time": times},
+                   chunks={"t2m": (1, 4, 8)}, fill_value=-5.0, **kw)
+        rows = sorted(
+            ((r.time.isoformat(), r.y, r.x, r.lat, r.lon, r.value)
+             for r in ZARR.open_variable(spark, store, "t2m").collect()))
+        results.append(rows)
+    assert len(results[0]) == 2 * 10 * 12
+    for other in results[1:]:
+        assert other == results[0]
+
+
 def test_v3_crc32c_codec(spark, tmp_path):
     """Published CRC-32C vectors + verify-and-strip on read + loud
     failure on a corrupted chunk."""
