@@ -509,7 +509,7 @@ def _decode_message(m: bytes, discipline: int) -> dict:
 
     s4 = sections[4]
     ptmpl = _u(s4, 7, 2)
-    if ptmpl not in (0, 1, 8, 11):
+    if ptmpl not in (0, 1, 2, 8, 11, 12):
         raise NotImplementedError(f"product template {ptmpl}")
     category, number = s4[9], s4[10]
     unit = s4[17]
@@ -520,13 +520,21 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     stat_process = None
     interval_end = None
     ens_type = ens_member = ens_size = None
+    derived_code = None
     off8 = 34
     if ptmpl in (1, 11):
         # ensemble templates insert (type, perturbation number, ensemble
         # size) at octets 35-37; everything after shifts by 3
         ens_type, ens_member, ens_size = s4[34], s4[35], s4[36]
         off8 = 37
-    if ptmpl in (8, 11):
+    if ptmpl in (2, 12):
+        # derived-forecast templates (4.2/4.12 — GEFS ensemble
+        # mean/spread products): octet 35 = derivation code (code table
+        # 4.7: 0 unweighted mean, 4 spread, ...), octet 36 = ensemble
+        # size; everything after shifts by 2
+        derived_code, ens_size = s4[34], s4[35]
+        off8 = 36
+    if ptmpl in (8, 11, 12):
         # statistically processed over an interval — accumulations and
         # means (precip totals): valid time is the END of the interval
         interval_end = dt.datetime(_u(s4, off8, 2), s4[off8 + 2],
@@ -612,7 +620,7 @@ def _decode_message(m: bytes, discipline: int) -> dict:
                        else ref_time + step),
         "stat_process": stat_process,
         "ens_type": ens_type, "ens_member": ens_member,
-        "ens_size": ens_size,
+        "ens_size": ens_size, "derived_code": derived_code,
         "values": values, "la1": la1, "lo1": lo1, "la2": la2, "lo2": lo2,
         "di": di, "dj": dj, "scan": scan,
         "grid_template": grid["template"], "proj": grid["proj"],
@@ -646,7 +654,8 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                          grid_def: dict | None = None,
                          ens_member: int | None = None,
                          ens_type: int = 3,
-                         ens_size: int = 0) -> bytes:
+                         ens_size: int = 0,
+                         derived_code: int | None = None) -> bytes:
     """One GRIB2 message: lat/lon grid (3.0), product 4.0, packing 5.0
     (simple, default), 5.2 (complex, fixed `group_size` groups), 5.3
     (complex + spatial differencing of `spatial_order`) or 5.41 (PNG);
@@ -797,10 +806,17 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                    + _sm(round(-90 * 1e6), 4) + _sm(0, 4))
     else:
         raise NotImplementedError(f"grid_def kind {kind!r}")
+    if ens_member is not None and derived_code is not None:
+        raise ValueError("a message is either a perturbed member (4.1/"
+                         "4.11) or a derived product (4.2/4.12), not "
+                         "both")
     ens = (bytes([ens_type, ens_member, ens_size])
            if ens_member is not None else b"")
+    if derived_code is not None:
+        # 4.2/4.12: (derivation code, ensemble size) after octet 34
+        ens = bytes([derived_code, ens_size])
     if accum_hours is None:
-        tnum = 1 if ens else 0            # 4.1 = 4.0 + ensemble octets
+        tnum = (2 if derived_code is not None else 1) if ens else 0
         s4 = ((0).to_bytes(2, "big") + tnum.to_bytes(2, "big")
               + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
               + bytes([0, 1])                                  # unit: hours
@@ -815,7 +831,7 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
         # ref+forecast+accum]; layout is 4.0 through octet 34, then the
         # ensemble triple (4.11 only), then end-of-interval + one range
         end = ref_time + dt.timedelta(hours=forecast_hours + accum_hours)
-        tnum = 11 if ens else 8
+        tnum = (12 if derived_code is not None else 11) if ens else 8
         s4 = ((0).to_bytes(2, "big") + tnum.to_bytes(2, "big")
               + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
               + bytes([0, 1])

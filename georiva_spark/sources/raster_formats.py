@@ -222,6 +222,12 @@ class Grib2Plugin(_BaseFilePlugin):
             name = m["shortName"]
             if m.get("ens_member") is not None:
                 name = f"{name}:p{m['ens_member']}"
+            if m.get("derived_code") is not None:
+                # derived-forecast products (4.2/4.12): mean/spread etc.
+                # surface as distinct selectable variables
+                suffix = {0: "mean", 4: "spread"}.get(
+                    m["derived_code"], f"d{m['derived_code']}")
+                name = f"{name}:{suffix}"
             by_var.setdefault(name, []).append(m)
         m0 = msgs[0]
         nj = m0["values"].shape[0]

@@ -631,6 +631,39 @@ def test_reduced_gaussian_plugin_drops_pad_cells(spark, tmp_path):
     assert rows[(2, 4)].lon == -180.0        # 180° wraps to the west edge
 
 
+def test_derived_templates_4_2_and_4_12(spark, tmp_path):
+    """Templates 4.2/4.12 (GEFS ensemble mean/spread): the derivation
+    code surfaces as a :mean/:spread variable suffix; 4.12 keeps the
+    interval-end valid time."""
+    a = np.arange(6, dtype=float).reshape(2, 3)
+    kw = dict(shortname="t", ref_time=T0, forecast_hours=6,
+              la1=1.5, lo1=0.5, di=1.0, dj=1.0)
+    buf = (encode_grib2_message(a, derived_code=0, ens_size=31, **kw)
+           + encode_grib2_message(a * 0.1, derived_code=4, ens_size=31,
+                                  **kw))
+    msgs = decode_grib2(buf)
+    assert [m["derived_code"] for m in msgs] == [0, 4]
+    assert msgs[0]["ens_size"] == 31
+    assert msgs[0]["ens_member"] is None
+    assert msgs[0]["valid_time"] == T0 + dt.timedelta(hours=6)
+    fp = tmp_path / "drv.grib2"
+    fp.write_bytes(buf)
+    assert GRIB2.list_variables(spark, str(fp)) == ["t:mean", "t:spread"]
+    rows = {(r.variable, r.y, r.x): r.value
+            for r in GRIB2.open_variable(spark, str(fp), "t:spread")
+            .collect()}
+    assert rows[("t:spread", 1, 2)] == pytest.approx(0.2)
+    # 4.12: derived + statistically processed interval
+    buf12 = encode_grib2_message(a, derived_code=0, ens_size=31,
+                                 accum_hours=24, **kw)
+    m12 = decode_grib2(buf12)[0]
+    assert m12["derived_code"] == 0
+    assert m12["stat_process"] == 1
+    assert m12["valid_time"] == T0 + dt.timedelta(hours=30)
+    with pytest.raises(ValueError, match="not.*both|either"):
+        encode_grib2_message(a, derived_code=0, ens_member=1, **kw)
+
+
 def test_ensemble_templates_4_1_and_4_11(spark, tmp_path):
     """Templates 4.1/4.11: ensemble octets surface as ens_* fields and
     each member becomes a selectable shortName:pNN variable."""
