@@ -32,7 +32,7 @@ HEADLINE = [
     "line_dedup", "url_dedup", "semdedup", "bpe_tokenize",
     "ingest_grib2_lcc", "zarr_scan", "gopher_rules",
     "zarr_blosc", "zarr_v3", "ingest_grib2_reduced",
-    "c4_rules", "fasttext_score", "temperature_mix",
+    "c4_rules", "fasttext_score", "temperature_mix", "lm_bigram",
 ]
 
 
