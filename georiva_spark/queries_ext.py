@@ -1217,7 +1217,8 @@ def q_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     path and runs as pure in-row HOFs; the portable hash makes bucket
     assignment — and therefore the score — bit-reproducible in SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    return textops.linear_quality_score(docs, _FT_WEIGHTS, bias=0.0)
+    return textops.linear_quality_score(docs, _FT_WEIGHTS, bias=0.0,
+                                        portable=True)
 
 
 SQL_FASTTEXT_SCORE = f"""

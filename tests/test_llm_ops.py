@@ -808,7 +808,7 @@ def test_linear_quality_score_golden(spark):
     rows = [(1, "the cat sat"), (2, "dogs bark loudly at night")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in textops.linear_quality_score(
-        df, weights, bias=0.1).collect()}
+        df, weights, bias=0.1, portable=True).collect()}
 
     def expect(text):
         toks = text.split(" ")

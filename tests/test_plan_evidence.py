@@ -164,16 +164,26 @@ def test_semdedup_single_cluster_shuffle(spark):
         not in phys
 
 
-def test_c4_and_classifier_are_scan_speed(spark):
-    """c4_rules and fasttext_score are pure in-row expression chains:
-    no Exchange, no Python eval in the physical plan (the classifier's
-    weight table is a literal array, not a join)."""
-    for name in ("c4_rules", "fasttext_score"):
-        plan = _plan(QUERIES[name](spark, SF))
-        phys = plan.split("== Physical Plan ==")[-1]
-        assert "Exchange" not in phys, name
-        assert "BatchEvalPython" not in phys, name
-        assert "ArrowEvalPython" not in phys, name
+def test_c4_rules_is_scan_speed(spark):
+    """c4_rules is a pure in-row expression chain: no Exchange, no
+    Python eval in the physical plan."""
+    plan = _plan(QUERIES["c4_rules"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys
+    assert "BatchEvalPython" not in phys
+    assert "ArrowEvalPython" not in phys
+
+
+def test_fasttext_score_partial_agg_no_python(spark):
+    """fasttext_score explodes features and collapses them map-side:
+    the only shuffle key is doc_id (partial agg), the weight table is a
+    literal array (no weight join), and nothing drops to Python."""
+    plan = _plan(QUERIES["fasttext_score"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning(doc_id#" in phys
+    assert "BatchEvalPython" not in phys
+    assert "ArrowEvalPython" not in phys
+    assert "CartesianProduct" not in phys
 
 
 def test_temperature_mix_is_scan_predicate(spark):

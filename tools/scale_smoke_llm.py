@@ -189,6 +189,36 @@ def main():
           f"({ne/el/1e6:.2f}M vec/s) -> {ndup_e} dups "
           f"(expect {ne // 2})")
 
+    t0 = time.perf_counter()
+    c4 = textops.c4_rules(docs)
+    nc4 = c4.where(F.col("c4_pass")).count()
+    el = time.perf_counter() - t0
+    print(f"c4_rules scan: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nc4} pass")
+
+    t0 = time.perf_counter()
+    w = [((k * 37) % 19 - 9) / 3.0 for k in range(64)]
+    ft = textops.linear_quality_score(docs, w)
+    nft = ft.where(F.col("keep")).count()
+    el = time.perf_counter() - t0
+    print(f"fasttext_score scan: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nft} kept")
+
+    t0 = time.perf_counter()
+    tm = sampling.temperature_mix(docs, alpha=0.5, budget_ppm=500_000)
+    ntm = tm.count()
+    el = time.perf_counter() - t0
+    print(f"temperature_mix: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {ntm} kept (~{n // 2} expected)")
+
+    t0 = time.perf_counter()
+    lb = textops.lm_score_bigram(docs, top_k=50_000,
+                                 top_k_bigrams=200_000)
+    nlb = lb.where(F.col("bits_per_token").isNotNull()).count()
+    el = time.perf_counter() - t0
+    print(f"lm_bigram fit+score: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nlb} scored")
+
 
 if __name__ == "__main__":
     main()
