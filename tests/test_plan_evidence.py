@@ -195,3 +195,15 @@ def test_temperature_mix_is_scan_predicate(spark):
     assert "Exchange" not in phys
     assert "Join" not in phys
     assert "BatchEvalPython" not in phys
+
+
+def test_lm_bigram_broadcast_model_joins(spark):
+    """Stupid-Backoff scoring joins the token stream against BROADCAST
+    model tables (bounded bigram table + vocab) — no shuffle join of
+    the corpus against the model, no cartesian."""
+    plan = _plan(QUERIES["lm_bigram"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys or "BroadcastExchange" in phys
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoop" not in phys
+    assert "BatchEvalPython" not in phys
