@@ -994,7 +994,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same double-replace merge application. Counts are exact longs,
     so the learned table matches bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    return textops.bpe_train(docs, n_merges=6)
+    return textops.bpe_train(docs, n_merges=6).orderBy("rank")
 
 
 def _sql_bpe_train(n_merges: int = 6) -> str:
@@ -1039,6 +1039,7 @@ r0 AS MATERIALIZED (SELECT cnt,
                   AS sym
        FROM w),{",".join(rounds)}
 {" UNION ALL ".join(sel)}
+ORDER BY rank
 """)
 
 
