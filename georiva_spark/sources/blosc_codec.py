@@ -255,8 +255,13 @@ def blosc_decompress(frame: bytes) -> bytes:
         if bi == nblocks - 1 and leftover:
             bsize = leftover
             leftoverblock = True
-        nstreams = 1 if (dont_split or leftoverblock or typesize == 1) \
-            else typesize
+        # mirror c-blosc's blosc_d split decision exactly: pre-1.11
+        # writers never set DONT_SPLIT, so the size conditions must be
+        # re-derived on decode (typesize cap and minimum stream size)
+        split = (not dont_split and not leftoverblock
+                 and 1 < typesize <= _MAX_SPLITS
+                 and blocksize // typesize >= _MIN_BUFFERSIZE)
+        nstreams = typesize if split else 1
         if bsize % nstreams:
             raise ValueError("blosc block size not divisible by typesize")
         neblock = bsize // nstreams

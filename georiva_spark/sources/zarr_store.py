@@ -118,10 +118,23 @@ def _read_meta3(store: str, array: str) -> dict:
                                                    m3["data_type"])
     return {"zarr_format": 3, "shape": m3["shape"],
             "chunks": grid["configuration"]["chunk_shape"],
-            "dtype": dtype, "fill_value": m3.get("fill_value"),
+            "dtype": dtype,
+            "fill_value": _norm_fill(m3.get("fill_value")),
             "compressor": comp, "order": "C", "filters": None,
             "v3": True, "key_sep": sep, "key_prefix": prefix,
-            "crc32c": checksum, "shard": shard}
+            "crc32c": checksum, "shard": shard,
+            "attrs": m3.get("attributes") or {}}
+
+
+def _norm_fill(fv):
+    """v3 JSON encodes non-finite float fills as strings per spec."""
+    if fv == "NaN":
+        return float("nan")
+    if fv == "Infinity":
+        return float("inf")
+    if fv == "-Infinity":
+        return float("-inf")
+    return fv
 
 
 def _parse_codec_chain(codecs: list[dict], data_type: str):
@@ -171,7 +184,28 @@ def _read_meta(store: str, array: str) -> dict:
         raise NotImplementedError("zarr filter chain")
     if meta.get("order", "C") != "C":
         raise NotImplementedError("zarr F-order array")
+    zattrs = os.path.join(store, array, ".zattrs")
+    if os.path.exists(zattrs):
+        with open(zattrs) as f:
+            meta["attrs"] = json.load(f)
     return meta
+
+
+def _nodata_sentinel(meta: dict):
+    """The value the scan masks to null, per the reference's semantics
+    (virtual_zarr: mask only on the CF ``_FillValue`` attribute, never on
+    zarr's structural fill). v2's ``fill_value`` is kept as a sentinel
+    when non-null — the long-standing v2 convention — but v3 REQUIRES a
+    fill_value (zarr-python defaults it to 0), so treating it as nodata
+    silently nulls genuine zeros; for v3 only an explicit ``_FillValue``
+    attribute or a NaN fill masks. Returns None for "mask nothing"."""
+    attrs = meta.get("attrs") or {}
+    if "_FillValue" in attrs:
+        return _norm_fill(attrs["_FillValue"])
+    if meta.get("v3"):
+        fv = meta.get("fill_value")
+        return fv if isinstance(fv, float) and np.isnan(fv) else None
+    return meta.get("fill_value")
 
 
 def _chunk_key(meta: dict, idx: tuple[int, ...]) -> str:
@@ -239,14 +273,15 @@ def _decode_shard(content: bytes, meta: dict):
     inner_meta = {"chunks": inner, "dtype": meta["dtype"],
                   "compressor": meta["compressor"],
                   "crc32c": meta["crc32c"]}
-    fill = meta.get("fill_value")
     for k, idx in enumerate(np.ndindex(*n_per_dim)):
         off, nb = int(offs[k, 0]), int(offs[k, 1])
         if off == _SHARD_MISSING and nb == _SHARD_MISSING:
-            arr = np.full(inner, fill if fill is not None else 0,
-                          dtype=np.dtype(meta["dtype"]))
-        else:
-            arr = _decode_chunk(content[off:off + nb], inner_meta)
+            # spec: missing pair reads as fill — but the scan's contract
+            # for an absent chunk FILE (v2 or unsharded v3) is "no rows"
+            # (pruned at listing), so an absent inner chunk yields no
+            # rows too; both layouts agree on missing-data semantics
+            continue
+        arr = _decode_chunk(content[off:off + nb], inner_meta)
         yield tuple(i * s for i, s in zip(idx, inner)), arr
 
 
@@ -254,6 +289,10 @@ def _read_small_array(store: str, array: str) -> np.ndarray:
     """Driver-side read of a SMALL coordinate array (lat/lon/time axes —
     bounded metadata, same role as parsing a file header)."""
     meta = _read_meta(store, array)
+    if meta.get("shard"):
+        raise NotImplementedError(
+            f"sharded coordinate array {array!r} (sharding_indexed on a "
+            "1-D axis array)")
     shape, chunks = meta["shape"], meta["chunks"]
     if len(shape) != 1:
         raise ValueError(f"coordinate array {array} is not 1-D")
@@ -353,7 +392,7 @@ class ZarrStorePlugin:
         if not paths:
             return spark.createDataFrame([], GRID_SCHEMA)
 
-        fill = meta.get("fill_value")
+        fill = _nodata_sentinel(meta)
         lat_b = lat.copy()
         lon_b = lon.copy()
         times_b = list(times)
@@ -422,7 +461,9 @@ class ZarrStorePlugin:
                     frames = []
                     for (tlo, ylo, xlo), a in blocks:
                         a = a.astype(np.float64)
-                        if fill is not None:
+                        if fill is not None and not (
+                                isinstance(fill, float)
+                                and np.isnan(fill)):
                             a = np.where(a == fill, np.nan, a)
                         # clip padded edge blocks to the array bounds
                         a = a[:, :max(0, min(a.shape[1], ny - ylo)),
@@ -508,6 +549,8 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                     tuple(min(s, 64) for s in a.shape)))
         adir = os.path.join(store, name)
         os.makedirs(adir, exist_ok=True)
+        pad_fill = (fill_value if fill_value is not None
+                    else np.nan if (v3 and a.dtype.kind == "f") else 0)
         sh_in = tuple((shard_inner or {}).get(name, ()))
         if sh_in and not v3:
             raise ValueError("sharding requires zarr_format=3")
@@ -536,6 +579,20 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                                         {"endian": "little"}},
                                    {"name": "crc32c"}],
                                "index_location": "end"}}]
+            # v3 REQUIRES a fill_value, but it is structural (the value
+            # an unwritten chunk reads as), NOT a nodata sentinel — so
+            # float arrays default to NaN (encoded "NaN" per spec, as
+            # JSON has no NaN literal) rather than 0, which would alias
+            # genuine zero data. An explicit caller fill is additionally
+            # recorded as a CF ``_FillValue`` attribute, which is what
+            # the scan masks on (xarray writes nodata the same way).
+            if fill_value is not None:
+                fv3 = ("NaN" if isinstance(fill_value, float)
+                       and np.isnan(fill_value) else fill_value)
+            elif a.dtype.kind == "f":
+                fv3 = "NaN"
+            else:
+                fv3 = 0
             meta = {
                 "zarr_format": 3, "node_type": "array",
                 "shape": list(a.shape),
@@ -546,10 +603,11 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                 "chunk_key_encoding": {"name": "default",
                                        "configuration":
                                            {"separator": "/"}},
-                "fill_value": (fill_value if fill_value is not None
-                               else 0),
+                "fill_value": fv3,
                 "codecs": codecs,
             }
+            if fill_value is not None:
+                meta["attributes"] = {"_FillValue": fv3}
             with open(os.path.join(adir, "zarr.json"), "w") as f:
                 json.dump(meta, f)
         else:
@@ -584,9 +642,7 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
 
         def _padded(block: np.ndarray, shape: tuple) -> bytes:
             if block.shape != shape:              # pad edge chunks
-                pad = np.full(shape, fill_value
-                              if fill_value is not None else 0,
-                              dtype=a.dtype)
+                pad = np.full(shape, pad_fill, dtype=a.dtype)
                 pad[tuple(slice(0, s) for s in block.shape)] = block
                 block = pad
             return np.ascontiguousarray(block).tobytes()
@@ -600,9 +656,7 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                 # assemble one shard: concatenated encoded inner chunks
                 # + (offset, nbytes) uint64 index + its crc32c at end
                 if block.shape != ch:
-                    pad = np.full(ch, fill_value
-                                  if fill_value is not None else 0,
-                                  dtype=a.dtype)
+                    pad = np.full(ch, pad_fill, dtype=a.dtype)
                     pad[tuple(slice(0, s)
                               for s in block.shape)] = block
                     block = pad

@@ -165,8 +165,10 @@ def test_v3_gzip_codec_and_gates(spark, tmp_path):
 def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
     """sharding_indexed: shard files decode to their inner-chunk grid
     (index at end, crc32c-protected); a missing inner chunk (all-ones
-    index pair) reads as fill → null rows; a window skips whole inner
-    chunks inside the shard."""
+    index pair) yields NO rows — the same semantics as an absent chunk
+    file in the v2/unsharded layouts, which the listing prunes — so the
+    missing-data contract is layout-invariant; a window skips whole
+    inner chunks inside the shard."""
     import struct
 
     from georiva_spark.sources.zarr_store import _read_meta, crc32c
@@ -182,7 +184,8 @@ def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
             ZARR.open_variable(spark, store, "t2m").collect()}
     assert len(rows) == 256
     assert rows[(10, 13)] == a[0, 10, 13]
-    # mark inner chunk (0, 1, 2) missing in the index → 4x4 fill block
+    # mark inner chunk (0, 1, 2) missing in the index → its 4x4 block
+    # emits no rows (layout-invariant with a deleted chunk file)
     kp = os.path.join(store, "t2m", "c", "0", "0", "0")
     blob = bytearray(open(kp, "rb").read())
     n_tot = 4 * 4
@@ -195,7 +198,9 @@ def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
     open(kp, "wb").write(bytes(blob))
     rows = {(r.y, r.x): r.value for r in
             ZARR.open_variable(spark, store, "t2m").collect()}
-    assert rows[(4, 8)] is None and rows[(7, 11)] is None
+    assert len(rows) == 256 - 16
+    missing = {(y, x) for y in range(4, 8) for x in range(8, 12)}
+    assert not missing & set(rows)
     assert rows[(4, 12)] == a[0, 4, 12]
     # window confined to the top-left 4x4 inner chunk
     sub = ZARR.open_variable(spark, store, "t2m",
@@ -283,3 +288,78 @@ def test_unsupported_features_gated(tmp_path):
     with pytest.raises(NotImplementedError, match="F-order"):
         from georiva_spark.sources.zarr_store import _read_meta
         _read_meta(store, "v")
+
+
+def test_v3_default_fill_keeps_genuine_zeros(spark, tmp_path):
+    """v3 REQUIRES a structural fill_value (zarr-python defaults 0) but
+    it is not a nodata sentinel: the same zero-bearing array written
+    with writer defaults must read back identically under v2 and v3 —
+    genuine 0.0 stays 0.0, never null. (Round-3 advisor bug: v3 wrote
+    fill_value=0 and the scan masked value==fill → nulled real zeros.)"""
+    a = np.array([[[0.0, 1.0], [2.0, 3.0]]], dtype="<f8")
+    lat = np.arange(2, dtype="<f8")
+    lon = np.arange(2, dtype="<f8")
+    t = np.array([0], dtype="<i8")
+    got = {}
+    for fmt in (2, 3):
+        store = str(tmp_path / f"z{fmt}.zarr")
+        write_zarr(store, {"t2m": a, "lat": lat, "lon": lon, "time": t},
+                   zarr_format=fmt)
+        got[fmt] = {(r.y, r.x): r.value for r in
+                    ZARR.open_variable(spark, store, "t2m").collect()}
+    assert got[2] == got[3]
+    assert got[3][(0, 0)] == 0.0
+    # the v3 metadata advertises a float NaN fill, not 0
+    meta = json.load(open(str(tmp_path / "z3.zarr/t2m/zarr.json")))
+    assert meta["fill_value"] == "NaN"
+
+
+def test_v3_explicit_fill_masks_via_fillvalue_attr(spark, tmp_path):
+    """An explicit writer fill is recorded as a CF ``_FillValue``
+    attribute (the only thing the scan masks on for v3, matching the
+    reference's xarray mask-and-scale semantics) and sentinel values
+    read back as null in BOTH formats."""
+    a = np.array([[[-9.0, 1.0], [2.0, -9.0]]], dtype="<f8")
+    lat = np.arange(2, dtype="<f8")
+    lon = np.arange(2, dtype="<f8")
+    t = np.array([0], dtype="<i8")
+    for fmt in (2, 3):
+        store = str(tmp_path / f"f{fmt}.zarr")
+        write_zarr(store, {"t2m": a, "lat": lat, "lon": lon, "time": t},
+                   fill_value=-9.0, zarr_format=fmt)
+        rows = {(r.y, r.x): r.value for r in
+                ZARR.open_variable(spark, store, "t2m").collect()}
+        assert rows[(0, 0)] is None and rows[(1, 1)] is None
+        assert rows[(0, 1)] == 1.0 and rows[(1, 0)] == 2.0
+    meta = json.load(open(str(tmp_path / "f3.zarr/t2m/zarr.json")))
+    assert meta["attributes"]["_FillValue"] == -9.0
+
+
+def test_v2_zattrs_fillvalue_attr_masks(spark, tmp_path):
+    """A third-party v2 store with fill_value: null but a CF
+    ``_FillValue`` in .zattrs (xarray's encoding) still masks."""
+    a = np.array([[[5.0, -1.0], [-1.0, 8.0]]], dtype="<f8")
+    lat = np.arange(2, dtype="<f8")
+    lon = np.arange(2, dtype="<f8")
+    t = np.array([0], dtype="<i8")
+    store = str(tmp_path / "attr.zarr")
+    write_zarr(store, {"t2m": a, "lat": lat, "lon": lon, "time": t})
+    with open(os.path.join(store, "t2m", ".zattrs"), "w") as f:
+        json.dump({"_FillValue": -1.0}, f)
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert rows[(0, 1)] is None and rows[(1, 0)] is None
+    assert rows[(0, 0)] == 5.0 and rows[(1, 1)] == 8.0
+
+
+def test_sharded_coordinate_array_gated(tmp_path):
+    """A v3 store whose 1-D axis arrays are themselves sharded raises a
+    NAMED gate from the driver-side coordinate read, not an opaque
+    reshape error."""
+    store = str(tmp_path / "shco.zarr")
+    write_zarr(store, {"lat": np.arange(8, dtype="<f8")},
+               chunks={"lat": (8,)}, zarr_format=3,
+               shard_inner={"lat": (4,)})
+    from georiva_spark.sources.zarr_store import _read_small_array
+    with pytest.raises(NotImplementedError, match="sharded coordinate"):
+        _read_small_array(store, "lat")
