@@ -102,12 +102,27 @@ def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
                   .select("boundary_id", "level", "name", "y", "x"))
 
 
-def tag_pixels(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
-    """Tag each grid row with every boundary containing its pixel center:
-    broadcast the per-pixel mask table back onto the (big) grid — the fact
-    side is never shuffled."""
-    mask = pixel_boundary_mask(grid, boundaries)
-    return grid.join(F.broadcast(mask), on=["y", "x"], how="inner")
+def tag_pixels(grid: DataFrame, boundaries: DataFrame,
+               broadcast_max_mask_rows: int = 2_000_000) -> DataFrame:
+    """Tag each grid row with every boundary containing its pixel center.
+
+    The mask is #distinct-pixels × #containing-boundaries rows. For the
+    common case (reference's max grid is 25.9 M pixels, admin masks are
+    far sparser) it fits comfortably under Spark's broadcast ceiling, so
+    the mask is broadcast and the (big) fact side is never shuffled. But
+    a 0.01-degree global grid (648 M pixels) or a deep multi-level admin
+    set can blow past executor memory and the 8 GB broadcast hard limit,
+    so past ``broadcast_max_mask_rows`` (same 2 M gate as
+    ``regrid._regrid_bilinear``) the join falls back to a shuffle on
+    (y, x) — both paths plan-asserted in tests/test_plan_evidence.py.
+    The mask is persisted either way: it is the distributed form of the
+    reference's mask cache (ingestion/clipper.py:145-163) and the count
+    that decides the strategy doubles as its materialization."""
+    mask = pixel_boundary_mask(grid, boundaries).persist()
+    n = mask.count()
+    if n <= broadcast_max_mask_rows:
+        mask = F.broadcast(mask)
+    return grid.join(mask, on=["y", "x"], how="inner")
 
 
 def zonal_stats(grid: DataFrame, boundaries: DataFrame,

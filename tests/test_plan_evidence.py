@@ -54,6 +54,31 @@ def test_zonal_mask_broadcast_no_fact_shuffle_for_tagging(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_zonal_mask_gate_broadcasts_small_shuffles_large(spark):
+    """J3 at 100× scale: past broadcast_max_mask_rows the mask join
+    falls back to a shuffle on (y, x) instead of force-broadcasting a
+    mask that could exceed the 8 GB broadcast ceiling on a fine grid —
+    goldens unchanged either way (same join, different strategy)."""
+    from georiva_spark.operators import zonal
+    g = grid_from_arrays(spark, np.ones((4, 4)), [T0],
+                         lat0=0.5, lon0=0.5, res=1.0)
+    box = ('{"type":"Polygon","coordinates":'
+           '[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}')
+    b = [(1, 0, "box", box)]
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = zonal.tag_pixels(g, b)
+        assert "BroadcastHashJoin" in _plan(small)   # hinted
+        large = zonal.tag_pixels(g, b, broadcast_max_mask_rows=4)
+        plan = _plan(large)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert sorted((r.y, r.x) for r in small.collect()) == \
+            sorted((r.y, r.x) for r in large.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_bilinear_broadcasts_small_target_shuffles_large(spark):
     """Small targets carry an explicit broadcast hint (survives even
     with auto-broadcast off); past broadcast_max_targets the hint is
