@@ -68,17 +68,30 @@ def encode_raw_video(frames: np.ndarray) -> bytes:
     return RAW_VIDEO_MAGIC + struct.pack("<III", n, h, w) + a.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def _decode_image_bytes(content: bytes, mime: str) -> np.ndarray:
-    """The decode seam: RAW is native; standard formats are import-gated."""
+    """The decode seam: RAW and PNG decode natively (PNG through the
+    same dependency-free codec GRIB2 template 5.41 uses,
+    sources/png_codec.py); JPEG falls back to Pillow when present,
+    import-gated by name otherwise. Always returns float32 (h, w, c)."""
     if content.startswith(RAW_IMAGE_MAGIC):
         return decode_raw_image(content)
+    if content.startswith(_PNG_SIG):
+        from georiva_spark.sources.png_codec import png_decode_image
+        return png_decode_image(content).astype(np.float32)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             f"decoding {mime!r} needs Pillow (not in this container); "
-            "RAW payloads decode natively") from e
-    raise NotImplementedError("PIL decode path not wired yet")
+            "RAW and PNG payloads decode natively") from e
+    import io
+    a = np.asarray(Image.open(io.BytesIO(content)))
+    if a.ndim == 2:
+        a = a[:, :, None]
+    return a.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -1833,6 +1833,54 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "height", "width", "mean"))
 
 
+def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format image decode: the SAME deterministic uint8 RGB pixels
+    (value = (31·vec_id + 7·i + 97·c) mod 256, i = flat pixel index) are
+    shipped twice per vector — once RAW-encoded, once as a real PNG
+    (color type 2, written and read by the dependency-free codec GRIB2
+    template 5.41 uses, sources/png_codec.py) — and both rows must
+    produce identical stats. media_id = 2·vec_id + (0 raw | 1 png).
+    Reference analog: rasterio band reads (formats/geotiff.py)."""
+    from georiva_spark.sources.png_codec import png_encode_image
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id in pdf["vec_id"]:
+                v = int(vec_id)
+                i = np.arange(64, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                px = ((31 * v + 7 * i + 97 * c) % 256).astype(
+                    np.uint8).reshape(8, 8, 3)
+                rows.append((2 * v, "image",
+                             mm.encode_raw_image(px.astype(np.float32)),
+                             "image/raw"))
+                rows.append((2 * v + 1, "image",
+                             png_encode_image(px), "image/png"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "mime"])
+
+    media = emb.select("vec_id").mapInPandas(
+        gen, schema="media_id long, kind string, content binary, mime string")
+    return mm.image_features(media)
+
+
+SQL_IMAGE_FEATURES_PNG = """
+WITH u AS (
+  SELECT vec_id, k,
+         CAST((31 * vec_id + 7 * i + 97 * c) % 256 AS DOUBLE) AS v
+  FROM embeddings,
+       range(0, 64) r1(i), range(0, 3) r2(c), (VALUES (0), (1)) t(k))
+SELECT 2 * vec_id + k AS media_id, CAST(8 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS width, CAST(3 AS INTEGER) AS channels,
+       avg(v) AS mean, stddev_pop(v) AS std,
+       min(v) AS "min", max(v) AS "max"
+FROM u GROUP BY vec_id, k
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _embeddings_as_media(spark, sf_dir, "audio")
     return mm.audio_features(media)
@@ -2899,6 +2947,7 @@ EXT_QUERIES = {
     "knn_all_topk": q_knn_all_topk,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
+    "image_features_png": q_image_features_png,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "embedding_near_dup": q_embedding_near_dup,
@@ -2976,6 +3025,7 @@ EXT_ORACLES = {
     "knn_all_topk": SQL_KNN_ALL_TOPK,
     "image_features": SQL_IMAGE_FEATURES,
     "image_resize": SQL_IMAGE_RESIZE,
+    "image_features_png": SQL_IMAGE_FEATURES_PNG,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frames": SQL_VIDEO_FRAMES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -57,6 +57,25 @@ def png_encode(samples: np.ndarray, width: int, height: int,
             + _chunk(b"IEND", b""))
 
 
+def png_encode_image(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) or (h, w, c) uint8 array (c in {1, 3, 4}) as a
+    real grayscale/RGB/RGBA PNG — filter-0 scanlines, zlib level 6.
+    Round-trips through png_decode_image bit-exactly."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 3: 2, 4: 6}.get(c)
+    if color is None:
+        raise ValueError(f"PNG channel count {c} (1/3/4 only)")
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * c)], axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _chunk(b"IEND", b""))
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -102,9 +121,9 @@ def _unfilter(raw: np.ndarray, height: int, stride: int,
     return out
 
 
-def png_decode(data: bytes) -> tuple[np.ndarray, int, int]:
-    """→ (samples int64 row-major, width, height). One integer sample
-    per pixel, big-endian across the pixel's channel bytes."""
+def _decode_planes(data: bytes) -> tuple[np.ndarray, int, int, int, int]:
+    """Shared chunk walk + unfilter → (pixel bytes (h, w*nbytes),
+    width, height, depth, nch)."""
     if data[:8] != _SIG:
         raise ValueError("bad PNG signature")
     pos = 8
@@ -137,7 +156,27 @@ def png_decode(data: bytes) -> tuple[np.ndarray, int, int]:
     if raw.size != height * (width * nbytes + 1):
         raise ValueError("PNG scanline size mismatch")
     px = _unfilter(raw.copy(), height, width * nbytes, nbytes)
+    return px, width, height, depth, nch
+
+
+def png_decode(data: bytes) -> tuple[np.ndarray, int, int]:
+    """→ (samples int64 row-major, width, height). One integer sample
+    per pixel, big-endian across the pixel's channel bytes (the GRIB2
+    5.41 packing contract)."""
+    px, width, height, depth, nch = _decode_planes(data)
+    nbytes = (depth // 8) * nch
     shifts = np.arange(nbytes - 1, -1, -1, dtype=np.int64) * 8
     samples = (px.reshape(height * width, nbytes).astype(np.int64)
                << shifts[None, :]).sum(axis=1)
     return samples, width, height
+
+
+def png_decode_image(data: bytes) -> np.ndarray:
+    """→ (h, w, channels) per-CHANNEL pixel array (uint8 for depth 8,
+    uint16 for depth 16) — the image-processing view of the same
+    decoder (vs png_decode's combined GRIB sample integers)."""
+    px, width, height, depth, nch = _decode_planes(data)
+    a = px.reshape(height, width, nch, depth // 8)
+    if depth == 8:
+        return a[:, :, :, 0]
+    return (a[:, :, :, 0].astype(np.uint16) << 8) | a[:, :, :, 1]
