@@ -1386,6 +1386,111 @@ FROM u GROUP BY y
 """
 
 
+def q_zarr_forder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 F-order chunks compressed with Blosc(cname='blosclz') — the
+    two legacy-store variants the r3 verdict flagged, in one driver
+    record: Fortran element order (xarray transposes) and c-blosc's own
+    pre-1.14 default codec, through the same chunk-parallel scan and
+    raw-float32 oracle. Window y < 160 spans two 64-row chunk rows plus
+    a partial one."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])[None]
+    nvec = arr.shape[1]
+    d = os.path.join(tempfile.gettempdir(),
+                     f"georiva_spark_zarr_forder_{nvec}")
+    if not os.path.exists(os.path.join(d, "emb", ".zarray")):
+        write_zarr(d, {
+            "emb": arr,
+            "lat": np.arange(nvec, dtype="<f8"),
+            "lon": np.arange(arr.shape[2], dtype="<f8"),
+            "time": np.array([0], dtype="<i8"),
+        }, chunks={"emb": (1, 64, 16)}, order="F",
+            compressor="blosc:blosclz")
+
+    win_h = min(160, nvec)
+    g = ZARR.open_variable(spark, d, "emb",
+                           window=(0, 0, arr.shape[2], win_h))
+    return (g.groupBy("y")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_ZARR_FORDER = """
+WITH u AS (SELECT vec_id AS y, CAST(x AS DOUBLE) AS v
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+           WHERE vec_id < LEAST(160, (SELECT COUNT(*) FROM embeddings)))
+SELECT y, COUNT(v) AS n, AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
+def q_zarr_v3_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r3 advisor's data-corruption bug as a standing driver record:
+    a v3 store written with WRITER DEFAULTS (structural fill, no nodata
+    attr) whose data contains genuine zeros — every value, including
+    0.0, must survive the scan (count n proves nothing was nulled).
+    Zeros are planted where (vec_id + i) % 7 == 0, reproduced exactly
+    by the oracle."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec, dim = arr.shape
+    vi = np.arange(nvec)[:, None]
+    ii = np.arange(dim)[None, :]
+    arr = np.where((vi + ii) % 7 == 0, np.float32(0.0), arr)[None]
+    d = os.path.join(tempfile.gettempdir(),
+                     f"georiva_spark_zarr_v3fill_{nvec}")
+    if not os.path.exists(os.path.join(d, "emb", "zarr.json")):
+        write_zarr(d, {
+            "emb": arr,
+            "lat": np.arange(nvec, dtype="<f8"),
+            "lon": np.arange(dim, dtype="<f8"),
+            "time": np.array([0], dtype="<i8"),
+        }, chunks={"emb": (1, 64, 16)}, zarr_format=3)
+
+    win_h = min(128, nvec)
+    g = ZARR.open_variable(spark, d, "emb",
+                           window=(0, 0, dim, win_h))
+    return (g.groupBy("y")
+            .agg(F.count("value").alias("n"),
+                 F.sum(F.when(F.col("value") == 0.0, 1)
+                       .otherwise(0)).alias("n_zero"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_ZARR_V3_FILL = """
+WITH u AS (
+  SELECT vec_id AS y,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> CASE WHEN (vec_id + i - 1) % 7 = 0
+                     THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(embedding[i] AS DOUBLE) END)) AS v
+  FROM embeddings
+  WHERE vec_id < LEAST(128, (SELECT COUNT(*) FROM embeddings)))
+SELECT y, COUNT(v) AS n,
+       SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+       AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
 def q_ingest_grib2_j2k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end via JPEG2000 packing (template 5.40 — the encoding
     GFS/NCEP products ship): the X integers ride in a lossless JPEG 2000
@@ -2934,6 +3039,8 @@ EXT_QUERIES = {
     "zarr_scan": q_zarr_scan,
     "zarr_blosc": q_zarr_blosc,
     "zarr_v3": q_zarr_v3,
+    "zarr_forder": q_zarr_forder,
+    "zarr_v3_fill": q_zarr_v3_fill,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "fasttext_score": q_fasttext_score,
@@ -3012,6 +3119,8 @@ EXT_ORACLES = {
     "zarr_scan": SQL_ZARR_SCAN,
     "zarr_blosc": SQL_ZARR_BLOSC,
     "zarr_v3": SQL_ZARR_V3,
+    "zarr_forder": SQL_ZARR_FORDER,
+    "zarr_v3_fill": SQL_ZARR_V3_FILL,
     "gopher_rules": SQL_GOPHER_RULES,
     "c4_rules": SQL_C4_RULES,
     "fasttext_score": SQL_FASTTEXT_SCORE,

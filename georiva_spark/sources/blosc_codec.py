@@ -22,9 +22,9 @@ concat streams → unshuffle(typesize).
 Inner codecs: lz4 / zstd / snappy / zlib ride pyarrow's bundled codecs
 (zero-copy C, no new dependency); an LZ4 *block-format* decoder and a
 greedy hash-chain encoder in pure Python back them up so the path works
-even on a pyarrow built without lz4.  blosclz and bit-shuffle raise
-NotImplementedError naming the feature (blosclz is only emitted when a
-writer explicitly asks for it — zarr's default is lz4).
+even on a pyarrow built without lz4; blosclz (c-blosc's own FastLZ
+derivative, the pre-1.14 default) decodes natively.  bit-shuffle raises
+NotImplementedError naming the feature.
 
 Reference behavior: the reference reads Zarr through zarr-python/numcodecs
 (virtual_zarr/virtual_zarr.py:242-399); this is the same chunk format
@@ -161,6 +161,123 @@ def lz4_compress_py(src: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# blosclz — c-blosc's own FastLZ-derived codec (blosclz.c).  Chunks from
+# pre-1.14 c-blosc writers (default cname) and explicit Blosc(cname=
+# 'blosclz') stores use codec id 0.  Token stream: first byte is a
+# literal-run control (& 31); then ctrl < 32 → literal run of ctrl+1
+# bytes, ctrl >= 32 → match of length (ctrl>>5)+2 (7 → 255-extended)
+# at distance ((ctrl&31)<<8)+code+1; code==255 with high bits 31 marks
+# a far match with a 16-bit extra distance beyond MAX_DISTANCE.
+# ---------------------------------------------------------------------------
+
+_BLOSCLZ_MAX_DISTANCE = 8191
+
+
+def blosclz_decompress(src: bytes, dst_size: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    if n == 0:
+        return b""
+    ctrl = src[i] & 31
+    i += 1
+    while True:
+        if ctrl >= 32:
+            mlen = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if mlen == 6:                      # 7 - 1: length extension
+                while True:
+                    code = src[i]
+                    i += 1
+                    mlen += code
+                    if code != 255:
+                        break
+            code = src[i]
+            i += 1
+            mlen += 3
+            dist = ofs + code
+            if code == 255 and ofs == (31 << 8):
+                dist = ((src[i] << 8) | src[i + 1]) + _BLOSCLZ_MAX_DISTANCE
+                i += 2
+            start = len(out) - dist - 1
+            if start < 0:
+                raise ValueError("corrupt blosclz stream: bad distance")
+            if dist + 1 >= mlen:
+                out += out[start:start + mlen]
+            else:                              # overlapping: replicate run
+                pattern = out[start:]
+                reps = -(-mlen // len(pattern))
+                out += (bytes(pattern) * reps)[:mlen]
+        else:
+            run = ctrl + 1
+            out += src[i:i + run]
+            i += run
+        if i < n:
+            ctrl = src[i]
+            i += 1
+        else:
+            break
+    if len(out) != dst_size:
+        raise ValueError(
+            f"corrupt blosclz stream: got {len(out)} bytes, "
+            f"want {dst_size}")
+    return bytes(out)
+
+
+def blosclz_compress(src: bytes) -> bytes:
+    """Greedy hash-table blosclz encoder (valid, not maximal): literal
+    runs ≤ 32 and NEAR matches only (distance < MAX_DISTANCE) — the far
+    branch is decode-only, covered by hand-built vectors in tests."""
+    n = len(src)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+
+    def emit_lits(lo: int, hi: int) -> None:
+        while lo < hi:
+            run = min(32, hi - lo)
+            out.append(run - 1)
+            out.extend(src[lo:lo + run])
+            lo += run
+
+    def emit_match(mlen: int, dist: int) -> None:
+        code = dist & 0xFF
+        high = dist >> 8
+        if mlen <= 8:                          # (ctrl>>5) in 1..6
+            out.append(((mlen - 2) << 5) | high)
+        else:
+            out.append((7 << 5) | high)
+            rem = mlen - 9
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.append(code)
+
+    i = anchor = 0
+    while i + 3 <= n:
+        key = src[i:i + 3]
+        cand = table.get(key)
+        table[key] = i
+        dist = i - cand - 1 if cand is not None else None
+        if (dist is not None and dist < _BLOSCLZ_MAX_DISTANCE
+                and src[cand:cand + 3] == key):
+            mlen = 3
+            while i + mlen < n and src[cand + mlen] == src[i + mlen]:
+                mlen += 1
+            # the far-match marker (high=31 AND code=255 ⇒ dist 8191)
+            # is unreachable here: dist < 8191 by the guard above
+            emit_lits(anchor, i)
+            emit_match(mlen, dist)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit_lits(anchor, n)
+    if not out:
+        out.append(0)                          # empty input: 1-lit header?
+    return bytes(out)
+
+
 def _pa_codec(name: str):
     try:
         import pyarrow as pa
@@ -171,6 +288,8 @@ def _pa_codec(name: str):
 
 def _inner_decompress(codec: int, payload: bytes, dst_size: int) -> bytes:
     name = _CODEC_NAMES.get(codec, str(codec))
+    if codec == 0:
+        return blosclz_decompress(payload, dst_size)
     if codec == 3:
         return zlib.decompress(payload)
     if codec == 1:
@@ -190,6 +309,8 @@ def _inner_decompress(codec: int, payload: bytes, dst_size: int) -> bytes:
 
 
 def _inner_compress(codec: int, payload: bytes, clevel: int) -> bytes:
+    if codec == 0:
+        return blosclz_compress(payload)
     if codec == 3:
         return zlib.compress(payload, min(clevel, 9))
     if codec == 1:
@@ -298,8 +419,6 @@ def blosc_compress(data: bytes, typesize: int, *, cname: str = "lz4",
     if cname not in _CODEC_IDS:
         raise NotImplementedError(f"blosc inner codec {cname!r}")
     codec = _CODEC_IDS[cname]
-    if codec == 0:
-        raise NotImplementedError("blosc inner codec blosclz")
     nbytes = len(data)
     if typesize <= 0 or typesize > 255:
         typesize = 1

@@ -18,10 +18,11 @@ which maps onto Spark better than any whole-file raster format:
   chunk count, no single-file decode bottleneck.
 
 Dependency-free subset: uncompressed, zlib/gzip, AND blosc (zarr's
-default compressor — lz4/zstd/snappy/zlib inner codecs with the
-byte-shuffle filter, via ``blosc_codec.py``), C order, no filter chain.
-blosclz/bit-shuffle/F-order/filters raise NotImplementedError naming the
-feature. Spec: https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html
+default compressor — blosclz/lz4/zstd/snappy/zlib inner codecs with the
+byte-shuffle filter, via ``blosc_codec.py``), C and F order (v2) plus
+the v3 ``transpose`` codec, no filter chain. bit-shuffle/filters raise
+NotImplementedError naming the feature.
+Spec: https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html
 """
 
 from __future__ import annotations
@@ -106,23 +107,23 @@ def _read_meta3(store: str, array: str) -> dict:
         # file packs a grid of inner chunks plus an (offset, nbytes)
         # uint64 index at index_location — the shard is the Spark split
         scfg = codecs[0].get("configuration") or {}
-        dtype, comp, checksum = _parse_codec_chain(
+        dtype, comp, checksum, perm = _parse_codec_chain(
             scfg.get("codecs") or [{"name": "bytes"}], m3["data_type"])
-        _, _, idx_crc = _parse_codec_chain(
+        _, _, idx_crc, _ = _parse_codec_chain(
             scfg.get("index_codecs") or [{"name": "bytes"}], "uint64")
         shard = {"inner": scfg["chunk_shape"],
                  "index_location": scfg.get("index_location", "end"),
                  "index_crc32c": idx_crc}
     else:
-        dtype, comp, checksum = _parse_codec_chain(codecs,
-                                                   m3["data_type"])
+        dtype, comp, checksum, perm = _parse_codec_chain(codecs,
+                                                         m3["data_type"])
     return {"zarr_format": 3, "shape": m3["shape"],
             "chunks": grid["configuration"]["chunk_shape"],
             "dtype": dtype,
             "fill_value": _norm_fill(m3.get("fill_value")),
             "compressor": comp, "order": "C", "filters": None,
             "v3": True, "key_sep": sep, "key_prefix": prefix,
-            "crc32c": checksum, "shard": shard,
+            "crc32c": checksum, "shard": shard, "transpose": perm,
             "attrs": m3.get("attributes") or {}}
 
 
@@ -138,11 +139,18 @@ def _norm_fill(fv):
 
 
 def _parse_codec_chain(codecs: list[dict], data_type: str):
-    """Normalize a v3 codec chain [bytes(endian)] [+ one compressor]
-    [+ crc32c] → (numpy dtype str, compressor dict | None, crc32c
-    flag). Anything else raises by name."""
+    """Normalize a v3 codec chain [transpose] [bytes(endian)]
+    [+ one compressor] [+ crc32c] → (numpy dtype str, compressor
+    dict | None, crc32c flag, transpose order | None). Anything else
+    raises by name."""
     dtype = "<" + _DT3[data_type]
     rest = list(codecs)
+    perm = None
+    if rest and rest[0].get("name") == "transpose":
+        perm = list((rest[0].get("configuration") or {}).get("order", []))
+        if not perm:
+            raise NotImplementedError("zarr v3 transpose without order")
+        rest = rest[1:]
     if rest and rest[0].get("name") == "bytes":
         endian = (rest[0].get("configuration") or {}).get("endian",
                                                           "little")
@@ -164,7 +172,7 @@ def _parse_codec_chain(codecs: list[dict], data_type: str):
                            "blosc": "blosc"}[name]}
         else:
             raise NotImplementedError(f"zarr v3 codec {name!r}")
-    return dtype, comp, checksum
+    return dtype, comp, checksum, perm
 
 
 def _read_meta(store: str, array: str) -> dict:
@@ -182,8 +190,9 @@ def _read_meta(store: str, array: str) -> dict:
             "(blosc/zlib/gzip/None only)")
     if meta.get("filters"):
         raise NotImplementedError("zarr filter chain")
-    if meta.get("order", "C") != "C":
-        raise NotImplementedError("zarr F-order array")
+    if meta.get("order", "C") not in ("C", "F"):
+        raise NotImplementedError(
+            f"zarr order {meta.get('order')!r}")
     zattrs = os.path.join(store, array, ".zattrs")
     if os.path.exists(zattrs):
         with open(zattrs) as f:
@@ -244,6 +253,16 @@ def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
     else:
         raw = zlib.decompress(content, 47)
     a = np.frombuffer(raw, dtype=np.dtype(meta["dtype"]))
+    perm = meta.get("transpose")
+    if perm:
+        # v3 transpose codec: stored dims are chunk dims permuted by
+        # ``order``; reshape to the stored layout, then invert
+        stored = [meta["chunks"][p] for p in perm]
+        inv = np.argsort(perm)
+        return np.ascontiguousarray(a.reshape(stored).transpose(inv))
+    if meta.get("order", "C") == "F":
+        # v2 F-order chunks (xarray transposes in legacy stores)
+        return a.reshape(meta["chunks"], order="F")
     return a.reshape(meta["chunks"])
 
 
@@ -272,7 +291,8 @@ def _decode_shard(content: bytes, meta: dict):
     offs = np.frombuffer(ib, "<u8").reshape(n_tot, 2)
     inner_meta = {"chunks": inner, "dtype": meta["dtype"],
                   "compressor": meta["compressor"],
-                  "crc32c": meta["crc32c"]}
+                  "crc32c": meta["crc32c"],
+                  "transpose": meta.get("transpose")}
     for k, idx in enumerate(np.ndindex(*n_per_dim)):
         off, nb = int(offs[k, 0]), int(offs[k, 1])
         if off == _SHARD_MISSING and nb == _SHARD_MISSING:
@@ -523,7 +543,8 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                compressor: str = "zlib",
                zarr_format: int = 2,
                checksum: bool = False,
-               shard_inner: dict[str, tuple] | None = None) -> None:
+               shard_inner: dict[str, tuple] | None = None,
+               order: str = "C") -> None:
     """Minimal Zarr directory-store writer (tests + export): C-order
     chunks, zlib/gzip or blosc compressor (``compressor="blosc:<cname>"``,
     e.g. ``"blosc:lz4"`` — zarr-python's default layout), edge chunks
@@ -538,6 +559,9 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
     if use_blosc:
         from georiva_spark.sources.blosc_codec import blosc_compress
     v3 = zarr_format == 3
+    if order not in ("C", "F") or (v3 and order == "F"):
+        raise ValueError("order='F' is a v2 layout (v3 uses the "
+                         "transpose codec)")
     if v3:
         os.makedirs(store, exist_ok=True)
         with open(os.path.join(store, "zarr.json"), "w") as f:
@@ -621,7 +645,8 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                 "zarr_format": 2, "shape": list(a.shape),
                 "chunks": list(ch), "dtype": a.dtype.str,
                 "compressor": comp_meta,
-                "fill_value": fill_value, "order": "C", "filters": None,
+                "fill_value": fill_value, "order": order,
+                "filters": None,
             }
             with open(os.path.join(adir, ".zarray"), "w") as f:
                 json.dump(meta, f)
@@ -645,7 +670,7 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                 pad = np.full(shape, pad_fill, dtype=a.dtype)
                 pad[tuple(slice(0, s) for s in block.shape)] = block
                 block = pad
-            return np.ascontiguousarray(block).tobytes()
+            return np.asarray(block).tobytes(order=order)
 
         grid = [range(-(-s // c)) for s, c in zip(a.shape, ch)]
         import itertools

@@ -11,7 +11,7 @@ from georiva_spark.sources.blosc_codec import (
     blosc_compress, blosc_decompress, lz4_compress_py, lz4_decompress_py)
 
 
-@pytest.mark.parametrize("cname", ["lz4", "zstd", "snappy", "zlib"])
+@pytest.mark.parametrize("cname", ["blosclz", "lz4", "zstd", "snappy", "zlib"])
 @pytest.mark.parametrize("typesize", [1, 2, 4, 8, 16, 32])
 def test_roundtrip_matrix(cname, typesize):
     rng = np.random.default_rng(typesize)
@@ -100,10 +100,59 @@ def test_gates_named():
     with pytest.raises(NotImplementedError, match="bit-shuffle"):
         blosc_decompress(struct.pack("<BBBBiii", 2, 1, 0x4, 4, 8, 8, 16)
                          + b"\x00" * 8)
-    with pytest.raises(NotImplementedError, match="blosclz"):
-        blosc_compress(b"x" * 64, 4, cname="blosclz")
-    with pytest.raises(NotImplementedError, match="blosclz"):
-        # codec bits 5-7 = 0 → blosclz payload
-        frame = struct.pack("<BBBBiii", 2, 1, 0x10, 1, 64, 64, 16 + 4 + 8)
-        frame += struct.pack("<i", 20) + struct.pack("<i", 4) + b"abcd"
-        blosc_decompress(frame)
+    with pytest.raises(NotImplementedError, match="unknowncodec"):
+        blosc_compress(b"x" * 64, 4, cname="unknowncodec")
+
+
+def test_blosclz_token_stream_vectors():
+    """Decode blosclz token streams assembled byte-by-byte from the
+    blosclz.c format — literal runs, short match, 255-extended long
+    match, overlapping match, and the far-distance marker (high bits 31
+    + code 255 + 16-bit extra) that only pre-8191-window data hits."""
+    from georiva_spark.sources.blosc_codec import (blosclz_compress,
+                                                   blosclz_decompress)
+    # literal run of 5 ("hello"): first token is masked & 31
+    assert blosclz_decompress(bytes([4]) + b"hello", 5) == b"hello"
+    # "abcabcabc": 3 literals then an overlapping match len 6 dist 2
+    # (ref walks abc abc): ctrl = ((6-2)<<5)|0, code = 2
+    s = bytes([2]) + b"abc" + bytes([(4 << 5) | 0, 2])
+    assert blosclz_decompress(s, 9) == b"abcabcabc"
+    # long match: 1 literal 'x' then 300 copies of it — len ext:
+    # len = 7-1 + 255 + 36 + 3 = 300 → ext bytes 255, 36; dist 0
+    s = bytes([0]) + b"x" + bytes([(7 << 5) | 0, 255, 36, 0])
+    assert blosclz_decompress(s, 301) == b"x" * 301
+    # far match: 9000 junk literals then re-copy the first 4 bytes.
+    # dist = 8999 ≥ 8191 → ctrl high 31, code 255, extra16 = 808
+    lead = bytes((i * 7 + 1) % 256 for i in range(9000))
+    toks = bytearray()
+    toks.append(31)                   # first literal token: 32-run
+    pos = 0
+    runs = []
+    while pos < 9000:
+        run = min(32, 9000 - pos)
+        if pos:
+            runs.append(run - 1)
+        toks += lead[pos:pos + run]
+        if pos + run < 9000:
+            toks.append(min(32, 9000 - pos - run) - 1)
+        pos += run
+    # rebuild properly: simpler to emit with the encoder's writer
+    toks = bytearray()
+    pos = 0
+    first = True
+    while pos < 9000:
+        run = min(32, 9000 - pos)
+        toks.append(run - 1)
+        toks += lead[pos:pos + run]
+        pos += run
+    extra = 8999 - 8191
+    toks += bytes([(2 << 5) | 31, 255, extra >> 8, extra & 0xFF])
+    got = blosclz_decompress(bytes(toks), 9004)
+    assert got == lead + lead[:4]
+    # encoder round-trip on compressible + random data
+    rng = np.random.default_rng(9)
+    for payload in (b"", b"a", b"ab" * 5000,
+                    bytes(rng.integers(0, 256, 70000, dtype=np.uint8)),
+                    lead):
+        assert blosclz_decompress(blosclz_compress(payload),
+                                  len(payload)) == payload

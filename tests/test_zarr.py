@@ -283,9 +283,9 @@ def test_unsupported_features_gated(tmp_path):
         from georiva_spark.sources.zarr_store import _read_meta
         _read_meta(store, "v")
     meta["compressor"] = None
-    meta["order"] = "F"
+    meta["order"] = "Q"                 # F decodes now; junk still gates
     json.dump(meta, open(os.path.join(store, "v", ".zarray"), "w"))
-    with pytest.raises(NotImplementedError, match="F-order"):
+    with pytest.raises(NotImplementedError, match="order"):
         from georiva_spark.sources.zarr_store import _read_meta
         _read_meta(store, "v")
 
@@ -363,3 +363,76 @@ def test_sharded_coordinate_array_gated(tmp_path):
     from georiva_spark.sources.zarr_store import _read_small_array
     with pytest.raises(NotImplementedError, match="sharded coordinate"):
         _read_small_array(store, "lat")
+
+
+def test_v2_forder_store_roundtrip(spark, tmp_path):
+    """v2 order:'F' chunks (xarray transposes in legacy stores) decode
+    identically to the same data written C-order — including blosc
+    compression and edge-chunk padding."""
+    rng = np.random.default_rng(13)
+    a = rng.uniform(0, 50, (1, 9, 11)).astype("<f8")
+    lat = np.arange(9, dtype="<f8")
+    lon = np.arange(11, dtype="<f8")
+    t = np.array([0], dtype="<i8")
+    got = {}
+    for order in ("C", "F"):
+        store = str(tmp_path / f"ord{order}.zarr")
+        write_zarr(store, {"t2m": a, "lat": lat, "lon": lon, "time": t},
+                   chunks={"t2m": (1, 4, 4)}, order=order,
+                   compressor="blosc:lz4")
+        meta = json.load(open(os.path.join(store, "t2m", ".zarray")))
+        assert meta["order"] == order
+        got[order] = {(r.y, r.x): r.value for r in
+                      ZARR.open_variable(spark, store, "t2m").collect()}
+    assert got["C"] == got["F"]
+    assert got["F"][(3, 7)] == a[0, 3, 7]
+
+
+def test_v2_blosclz_store_roundtrip(spark, tmp_path):
+    """Blosc(cname='blosclz') — c-blosc's own codec, the pre-1.14
+    default — decodes through the native scan."""
+    rng = np.random.default_rng(17)
+    a = rng.uniform(0, 50, (1, 8, 8)).astype("<f4")
+    store = str(tmp_path / "blz.zarr")
+    write_zarr(store, {"t2m": a, "lat": np.arange(8, dtype="<f8"),
+                       "lon": np.arange(8, dtype="<f8"),
+                       "time": np.array([0], dtype="<i8")},
+               chunks={"t2m": (1, 4, 4)}, compressor="blosc:blosclz")
+    meta = json.load(open(os.path.join(store, "t2m", ".zarray")))
+    assert meta["compressor"]["cname"] == "blosclz"
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert len(rows) == 64
+    assert rows[(5, 2)] == pytest.approx(float(a[0, 5, 2]))
+
+
+def test_v3_transpose_codec(spark, tmp_path):
+    """v3 ``transpose`` codec (array→array, order=[2,1,0]): chunks are
+    stored dim-permuted; the scan inverts the permutation. Store built
+    by rewriting a plain v3 store's chunks + metadata — independent of
+    the writer."""
+    rng = np.random.default_rng(19)
+    a = rng.uniform(0, 9, (2, 4, 6)).astype("<f8")
+    lat = np.arange(4, dtype="<f8")
+    lon = np.arange(6, dtype="<f8")
+    t = np.array([0, 3600], dtype="<i8")
+    store = str(tmp_path / "tr.zarr")
+    write_zarr(store, {"t2m": a, "lat": lat, "lon": lon, "time": t},
+               chunks={"t2m": (1, 4, 6)}, zarr_format=3, compress=False)
+    # rewrite chunk files in (x, y, t) storage order + declare the codec
+    mp = os.path.join(store, "t2m", "zarr.json")
+    meta = json.load(open(mp))
+    meta["codecs"] = [{"name": "transpose",
+                       "configuration": {"order": [2, 1, 0]}}] \
+        + meta["codecs"]
+    json.dump(meta, open(mp, "w"))
+    for ti in range(2):
+        kp = os.path.join(store, "t2m", "c", str(ti), "0", "0")
+        raw = np.frombuffer(open(kp, "rb").read(), "<f8").reshape(1, 4, 6)
+        open(kp, "wb").write(
+            np.ascontiguousarray(raw.transpose(2, 1, 0)).tobytes())
+    rows = {(r.time.hour, r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert len(rows) == 2 * 4 * 6
+    assert rows[(0, 2, 5)] == a[0, 2, 5]
+    assert rows[(1, 3, 1)] == a[1, 3, 1]
