@@ -549,8 +549,77 @@ class DerivationEngine:
         reclaimed = self.reclaim_stale_running()
         resurrected = self.sweep_not_ready()
         stale = self.sweep_stale()
+        compacted = self.compact_ledger() if self._should_compact() else {}
         return {"reclaimed": reclaimed, "resurrected": len(resurrected),
-                "stale_recomputed": len(stale)}
+                "stale_recomputed": len(stale),
+                "compacted_files": compacted.get("files_removed", 0)}
+
+    # ---- ledger compaction (T7) ------------------------------------------
+    compact_threshold_files = 512
+
+    def _should_compact(self) -> bool:
+        if self.ledger_dir is None:
+            return False
+        d = os.path.join(self.ledger_dir, "runs")
+        if not os.path.isdir(d):
+            return False
+        n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return n > self.compact_threshold_files
+
+    def compact_ledger(self) -> dict[str, int]:
+        """Rewrite the ledger event tables as latest-state snapshots and
+        drop the superseded event files. The write-side stays one tiny
+        file per event (driver latency); without compaction a 1 M-unit
+        plan with several status transitions each leaves millions of
+        small files and every ``_runs_view()`` scan pays the listing —
+        the T7 sweep folds them down. Matches the reference's DB-backed
+        run table (processing/models.py), where UPDATE is in-place.
+
+        Concurrency-safe against appends: only the files listed at entry
+        are read and deleted; events appended mid-compaction survive. A
+        crash between snapshot-write and delete leaves duplicate rows of
+        identical content, which the latest-per-key views absorb."""
+        out = {"files_removed": 0}
+        if self.ledger_dir is None:
+            return out
+        for sub, keep in (("runs", "latest_per_unit"),
+                          ("lineage", "latest_batch")):
+            d = os.path.join(self.ledger_dir, sub)
+            if not os.path.isdir(d):
+                continue
+            files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".parquet"))
+            if len(files) <= 1:
+                continue
+            from pyspark.sql import Window, functions as F
+            df = self.spark.read.parquet(*files)
+            if keep == "latest_per_unit":
+                w = Window.partitionBy("unit_hash").orderBy(
+                    F.col("seq").desc())
+                snap = (df.withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1).drop("_rn"))
+            else:
+                w = Window.partitionBy("derived_item_id")
+                snap = (df.withColumn("_mx", F.max("seq").over(w))
+                        .where(F.col("seq") == F.col("_mx")).drop("_mx"))
+            tmp = os.path.join(self.ledger_dir, f"_{sub}_compact_tmp")
+            (snap.coalesce(max(1, len(files) // 4096))
+                 .write.mode("overwrite").parquet(tmp))
+            import shutil
+            import uuid
+            moved = []
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(
+                        d, f"compact-{self._seq:012d}-"
+                           f"{uuid.uuid4().hex}.parquet")
+                    os.replace(os.path.join(tmp, f), dst)
+                    moved.append(dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            for f in files:
+                os.remove(f)
+            out["files_removed"] += len(files) - len(moved)
+        return out
 
     # ---- ledger views ----------------------------------------------------
     def _runs_view(self) -> DataFrame:

@@ -8,6 +8,7 @@ HTTP server, including the flaky-then-succeed retry path.
 import http.server
 import json
 import os
+import shutil
 import threading
 
 import pytest
@@ -312,3 +313,64 @@ def test_http_loader_end_to_end(spark, http_server, tmp_path):
     result = loader.run()
     assert result.files_fetched == 3
     assert loader.run().files_skipped == 3
+
+
+def test_sftp_strategy_stubbed_fetch(tmp_path):
+    """The SFTP transport plugs into the same strategy/ledger contract:
+    with a stub connection wired in place of paramiko's SFTPClient, a
+    fetch downloads the remote path, fills bytes/duration/status, and a
+    missing path fails without raising — byte-for-byte the FTP/HTTP
+    result shape."""
+    from georiva_spark.sources.acquisition import (FileRequest,
+                                                   FTPFetchStrategy)
+
+    remote = tmp_path / "remote.grib2"
+    remote.write_bytes(b"GRIB-payload" * 10)
+
+    class _StubSFTP:
+        def get(self, path, local):
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
+            shutil.copyfile(path, local)
+
+        def close(self):
+            pass
+
+    s = FTPFetchStrategy({"protocol": "sftp", "host": "example.org"})
+    assert s.protocol == "sftp" and s.label == "FTP/SFTP/FTPS"
+    s._sftp = _StubSFTP()                     # transport stub
+    req = FileRequest(identifier="c", filename="remote.grib2",
+                      params={"path": str(remote)})
+    dst = str(tmp_path / "local" / "remote.grib2")
+    r = s.fetch(req, dst)
+    assert r.success and r.status == "complete"
+    assert r.bytes_transferred == len(b"GRIB-payload") * 10
+    assert open(dst, "rb").read() == remote.read_bytes()
+
+    bad = s.fetch(FileRequest(identifier="c", filename="nope",
+                              params={"path": str(tmp_path / "nope")}),
+                  str(tmp_path / "local" / "nope"))
+    assert bad.failed and bad.status == "failed"
+    s.disconnect()                            # stub close() path
+
+
+def test_sftp_gate_names_paramiko_when_absent(monkeypatch):
+    """No paramiko in this container → connect raises a NAMED gate (the
+    strategy itself constructs fine; ftp/ftps are unaffected)."""
+    from georiva_spark.sources.acquisition import FTPFetchStrategy
+    try:
+        import paramiko  # noqa: F401
+        pytest.skip("paramiko present — gate not reachable")
+    except ImportError:
+        pass
+    s = FTPFetchStrategy({"protocol": "sftp", "host": "h"})
+    with pytest.raises(NotImplementedError, match="paramiko"):
+        s.connect()
+
+
+def test_ftp_protocol_validation_and_defaults():
+    from georiva_spark.sources.acquisition import FTPFetchStrategy
+    assert FTPFetchStrategy({}).protocol == "ftp"
+    assert FTPFetchStrategy({"protocol": "FTPS"}).protocol == "ftps"
+    with pytest.raises(ValueError, match="gopher"):
+        FTPFetchStrategy({"protocol": "gopher"})

@@ -334,3 +334,43 @@ def test_table_ledger_invalidate_downstream(spark, tmp_path):
     eng.lineage.clear()                     # force the table path
     affected = eng.invalidate_downstream([ctx.items[0]["item_id"]])
     assert promoted in affected and rec2.produced_item_id in affected
+
+
+def test_ledger_compaction_preserves_views_and_recovery(spark, tmp_path):
+    """T7 compaction: the event files fold into a latest-state snapshot
+    — runs_df/lineage_df identical before and after, superseded event
+    files gone, and a fresh engine attaching the compacted dir recovers
+    seq/item-id scalars and still skips completed work."""
+    import os as _os
+    ctx = _staging_catalog(spark, 6)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    led = str(tmp_path / "led")
+    eng = DerivationEngine(spark, reg, ctx, ledger_dir=led, cache_cap=2)
+    eng.run_all()
+    # force extra transitions so units hold multiple events
+    ctx.items[0]["checksum"] = "sha-CHANGED"
+    eng.sweep_stale()
+    runs_dir = _os.path.join(led, "runs")
+    n_before = len([f for f in _os.listdir(runs_dir)
+                    if f.endswith(".parquet")])
+    assert n_before > 6                       # events, not state
+    before_runs = sorted(map(tuple, eng.runs_df().collect()))
+    before_lin = sorted(map(tuple, eng.lineage_df().collect()))
+    seq_before = eng._seq
+    out = eng.compact_ledger()
+    assert out["files_removed"] > 0
+    n_after = len([f for f in _os.listdir(runs_dir)
+                   if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert sorted(map(tuple, eng.runs_df().collect())) == before_runs
+    assert sorted(map(tuple, eng.lineage_df().collect())) == before_lin
+    # recovery from the compacted table
+    eng2 = DerivationEngine(spark, reg, ctx, ledger_dir=led)
+    assert eng2._seq == seq_before
+    third = eng2.run_all()
+    assert {r.status for r in third} == {"skipped"}
+    # sweep() auto-compacts only past the file threshold
+    eng2.compact_threshold_files = 0
+    res = eng2.sweep()
+    assert "compacted_files" in res

@@ -108,13 +108,49 @@ def main() -> None:
     running = len(eng._sweep_candidates("running", "not_ready"))
     sweep_s = time.perf_counter() - t0
 
-    ok = clean == 0 and len(stale_rows) == MUT // 2 and running == 0
+    # ---- compaction: fragment the ledger with FRAG one-row event files
+    # (the write-side's per-event format), measure the view scan cost,
+    # compact, re-measure — same answers, listing cost folded away.
+    FRAG = int(os.environ.get("LEDGER_SMOKE_FRAG", "5000"))
+    rows_schema = eng._runs_pa_schema()
+    import datetime as dt
+    t0 = time.perf_counter()
+    for k in range(FRAG):
+        seq = N + k
+        eng._write_event_file(
+            f"{BASE}/runs",
+            [("synthetic", "1", '{"frag": %d}' % k, f"frag-{k}",
+              "running", "h", "sweep", None, None,
+              dt.datetime(2024, 1, 1), 0, seq)],
+            rows_schema, seq)
+    frag_write_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    frag_running = len(eng._sweep_candidates("running"))
+    frag_scan_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    comp = eng.compact_ledger()
+    compact_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    post_running = len(eng._sweep_candidates("running"))
+    post_scan_s = time.perf_counter() - t0
+    n_files = len([f for f in os.listdir(f"{BASE}/runs")
+                   if f.endswith(".parquet")])
+
+    ok = (clean == 0 and len(stale_rows) == MUT // 2 and running == 0
+          and frag_running == FRAG and post_running == FRAG
+          and n_files < 64)
     print(json.dumps({
         "n_units": N, "clean_stale": clean, "stale_found": len(stale_rows),
         "stale_expected": MUT // 2, "build_sec": round(build_s, 2),
         "attach_sec": round(attach_s, 2), "clean_scan_sec": round(clean_s, 2),
         "stale_scan_sec": round(stale_s, 2),
-        "status_sweep_sec": round(sweep_s, 2), "ok": ok,
+        "status_sweep_sec": round(sweep_s, 2),
+        "frag_files": FRAG, "frag_write_sec": round(frag_write_s, 2),
+        "frag_scan_sec": round(frag_scan_s, 2),
+        "compact_sec": round(compact_s, 2),
+        "post_compact_scan_sec": round(post_scan_s, 2),
+        "post_compact_files": n_files,
+        "files_removed": comp["files_removed"], "ok": ok,
     }))
     shutil.rmtree(BASE, ignore_errors=True)
     if not ok:
