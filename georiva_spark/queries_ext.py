@@ -986,6 +986,59 @@ FROM u GROUP BY y
 """
 
 
+def q_ingest_grib2_aec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end via CCSDS/AEC packing (template 5.42 — the
+    encoding some ECMWF archives ship): the same pipeline as
+    q_ingest_grib2 but the X integers ride in a CCSDS 121.0 Rice-coded
+    stream (aec_codec.py: unit-delay preprocessing, per-block option
+    select over zero-run / second-extension / k-split / uncompressed).
+    AEC is lossless, so the identical floor-quantization oracle
+    applies; forecast step 30 h keeps the query distinct. Reference
+    reads this encoding via eccodes+libaec (formats/grib.py:61-144)."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.grib2_codec import encode_grib2_message
+    from georiva_spark.sources.raster_formats import GRIB2
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    pdf = emb.select("embedding").toPandas()  # bounded fixture build
+    arr = np.asarray([np.asarray(e, dtype=np.float32)
+                      for e in pdf["embedding"]])
+    nvec = arr.shape[0]
+    buf = encode_grib2_message(
+        arr, shortname="t", ref_time=dt.datetime(2024, 3, 1, 6),
+        forecast_hours=30, la1=(nvec - 0.5) * 0.01, lo1=0.005,
+        di=0.01, dj=0.01, packing=42)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_grib_aec")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"emb_{nvec}.grib2")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    g = GRIB2.open_variable(spark, fp, "t")
+    return (g.groupBy("y", "time")
+            .agg(F.count("value").alias("n"),
+                 F.avg("value").alias("vmean"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax")))
+
+
+SQL_INGEST_GRIB2_AEC = """
+WITH r AS (SELECT CAST(MIN(x) AS DOUBLE) AS rv
+           FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+u AS (SELECT (SELECT COUNT(*) FROM embeddings) - 1 - vec_id AS y,
+             rv + floor((CAST(x AS DOUBLE) - rv) * 16777216.0)
+                  * 5.9604644775390625e-08 AS v
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings), r)
+SELECT y, TIMESTAMP '2024-03-02 12:00:00' AS time, COUNT(v) AS n,
+       AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
+FROM u GROUP BY y
+"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table LEARNING over the documents table (6 rounds) —
     the oracle replays the identical rounds as chained SQL CTEs: pair
@@ -3033,6 +3086,7 @@ EXT_QUERIES = {
     "ingest_netcdf4": q_ingest_netcdf4,
     "ingest_grib2": q_ingest_grib2,
     "ingest_grib2_png": q_ingest_grib2_png,
+    "ingest_grib2_aec": q_ingest_grib2_aec,
     "ingest_grib2_lcc": q_ingest_grib2_lcc,
     "ingest_grib2_reduced": q_ingest_grib2_reduced,
     "ingest_grib2_j2k": q_ingest_grib2_j2k,
@@ -3113,6 +3167,7 @@ EXT_ORACLES = {
     "ingest_netcdf4": SQL_INGEST_NETCDF4,
     "ingest_grib2": SQL_INGEST_GRIB2,
     "ingest_grib2_png": SQL_INGEST_GRIB2_PNG,
+    "ingest_grib2_aec": SQL_INGEST_GRIB2_AEC,
     "ingest_grib2_lcc": SQL_INGEST_GRIB2_LCC,
     "ingest_grib2_reduced": SQL_INGEST_GRIB2_REDUCED,
     "ingest_grib2_j2k": SQL_INGEST_GRIB2_J2K,

@@ -1,0 +1,326 @@
+"""CCSDS 121.0-B Adaptive Entropy Coding (Rice) for GRIB2 template 5.42.
+
+The reference reads CCSDS/AEC-packed GRIB through eccodes+libaec
+(formats/grib.py:61-144); this container has neither, so the coder is
+implemented from the published recommendation (CCSDS 121.0-B-2,
+"Lossless Data Compression", blue book) in the same dependency-free
+spirit as the 5.40 (JPEG2000) and 5.41 (PNG) codecs.
+
+Structure per the recommendation:
+
+- samples are grouped into blocks of ``block_size`` (J) samples;
+  ``rsi`` blocks form a reference sample interval;
+- with preprocessing on, samples are unit-delay mapped: Δ = x − x̂
+  (x̂ = previous sample), θ = min(x̂, 2ⁿ−1−x̂), d = 2Δ (0 ≤ Δ ≤ θ),
+  2|Δ|−1 (−θ ≤ Δ < 0), θ+|Δ| otherwise; the first sample of each RSI
+  is a REFERENCE, stored raw (n bits) right after its block's option
+  ID, with the block coding the remaining J−1 mapped samples;
+- each block selects one option, tagged by an ID of
+  ``idlen = 1 (n≤2) / 2 (n≤4) / 3 (n≤8) / 4 (n≤16) / 5`` bits:
+  * ID 0 + '0'  zero-block: a fundamental-sequence codeword gives the
+    run of consecutive all-zero blocks — z<4 → z+1 blocks, z=4 → ROS
+    (rest of the 64-block segment), z>4 → z blocks;
+  * ID 0 + '1'  second extension: sample pairs folded
+    m = (d₁+d₂)(d₁+d₂+1)/2 + d₂, FS-coded;
+  * ID k+1      sample splitting: FS codes of d≫k for the whole
+    block, then the k LSBs of each sample;
+  * ID all-ones no compression: the mapped samples verbatim, n bits
+    each.
+- fundamental sequence codeword for value m: m '0's then '1'; bit
+  order is MSB-first (AEC_DATA_MSB — the GRIB convention).
+
+Encoder restrictions (all decode-side paths still accepted where
+noted): zero runs are flushed at RSI and 64-block segment boundaries
+and never emit ROS (decode handles ROS); second extension is never
+chosen for reference blocks (decode raises a named error if a foreign
+stream does, as the pairing of a ref block is writer-defined).
+AEC_DATA_SIGNED / AEC_RESTRICTED / 3-byte modes raise by name.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEGMENT = 64          # blocks per zero-run segment (CCSDS 121.0 §5.2)
+
+
+def _id_len(nbits: int) -> int:
+    if nbits <= 2:
+        return 1
+    if nbits <= 4:
+        return 2
+    if nbits <= 8:
+        return 3
+    if nbits <= 16:
+        return 4
+    return 5
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def write_fs(self, value: int) -> None:
+        while value >= 32:
+            self.write(0, 32)
+            value -= 32
+        self.write(1, value + 1)      # value zeros then a one
+
+    def bytes(self) -> bytes:
+        if self.nacc:
+            return bytes(self.buf) + bytes(
+                [(self.acc << (8 - self.nacc)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                   # bit position
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        p = self.pos
+        for _ in range(nbits):
+            byte = self.data[p >> 3]
+            out = (out << 1) | ((byte >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return out
+
+    def read_fs(self) -> int:
+        p = self.pos
+        n = 0
+        data = self.data
+        while True:
+            byte = data[p >> 3]
+            if (byte >> (7 - (p & 7))) & 1:
+                p += 1
+                break
+            n += 1
+            p += 1
+        self.pos = p
+        return n
+
+
+def _map_deltas(x: np.ndarray, nbits: int, block: int,
+                rsi: int) -> np.ndarray:
+    """Unit-delay preprocessor: per-RSI mapped deltas; index 0 of each
+    RSI holds the RAW reference sample (emitted separately)."""
+    xmax = (1 << nbits) - 1
+    per = block * rsi
+    d = np.empty_like(x)
+    prev = np.empty_like(x)
+    prev[1:] = x[:-1]
+    for lo in range(0, len(x), per):
+        prev[lo] = x[lo]
+        d[lo] = x[lo]                 # reference, stored raw
+    delta = x.astype(np.int64) - prev.astype(np.int64)
+    theta = np.minimum(prev, xmax - prev)
+    mapped = np.where(
+        (delta >= 0) & (delta <= theta), 2 * delta,
+        np.where((delta < 0) & (-delta <= theta), -2 * delta - 1,
+                 theta + np.abs(delta)))
+    for lo in range(0, len(x), per):
+        mapped[lo] = x[lo]
+    return mapped.astype(np.int64)
+
+
+def aec_encode(samples: np.ndarray, nbits: int, *, block_size: int = 32,
+               rsi: int = 128, preprocess: bool = True) -> bytes:
+    """Encode non-negative ints < 2**nbits into a CCSDS 121.0 stream."""
+    x = np.asarray(samples, dtype=np.int64).ravel()
+    if nbits < 1 or nbits > 32:
+        raise ValueError(f"AEC bits per sample {nbits} (1..32)")
+    if x.size and (x.min() < 0 or x.max() >= (1 << nbits)):
+        raise ValueError("sample out of range for nbits")
+    J = block_size
+    idlen = _id_len(nbits)
+    uncompressed_id = (1 << idlen) - 1
+    k_max = min(nbits - 1, (1 << idlen) - 3)
+    w = _BitWriter()
+    if x.size == 0:
+        return w.bytes()
+
+    npad = (-len(x)) % J
+    xp = np.concatenate([x, np.zeros(npad, np.int64)]) if npad else x
+    d = (_map_deltas(xp, nbits, J, rsi) if preprocess
+         else xp.copy())
+    nblocks = len(xp) // J
+    per_rsi = rsi                      # blocks per reference interval
+
+    def emit_block(b: int) -> None:
+        lo = b * J
+        is_ref = preprocess and (b % per_rsi == 0)
+        vals = d[lo + 1:lo + J] if is_ref else d[lo:lo + J]
+        m = len(vals)
+        # option costs
+        best_id, best_cost = uncompressed_id, m * nbits
+        split_costs = [(int(np.sum(vals >> k)) + m + m * k, k)
+                       for k in range(0, k_max + 1)]
+        for cost, k in split_costs:
+            if cost < best_cost:
+                best_cost, best_id = cost, k + 1
+        se_cost = None
+        if not is_ref and m % 2 == 0:
+            pairs = vals.reshape(-1, 2)
+            s = pairs[:, 0] + pairs[:, 1]
+            mvals = s * (s + 1) // 2 + pairs[:, 1]
+            se_cost = int(np.sum(mvals)) + len(mvals) + 1
+            if se_cost < best_cost:
+                best_cost, best_id = se_cost, "se"
+        if best_id == "se":
+            w.write(0, idlen)
+            w.write(1, 1)
+            for mv in mvals:
+                w.write_fs(int(mv))
+            return
+        w.write(best_id, idlen)
+        if is_ref:
+            w.write(int(d[lo]), nbits)
+        if best_id == uncompressed_id:
+            for v in vals:
+                w.write(int(v), nbits)
+        else:
+            k = best_id - 1
+            for v in vals:
+                w.write_fs(int(v) >> k)
+            if k:
+                for v in vals:
+                    w.write(int(v), k)
+
+    b = 0
+    while b < nblocks:
+        lo = b * J
+        is_ref = preprocess and (b % per_rsi == 0)
+        vals = d[lo + 1:lo + J] if is_ref else d[lo:lo + J]
+        if np.all(vals == 0):
+            # zero-run: extend to the next non-zero block, RSI or
+            # segment boundary
+            run = 1
+            while True:
+                nb = b + run
+                if nb >= nblocks:
+                    break
+                if preprocess and nb % per_rsi == 0:
+                    break              # next block re-references
+                if (nb % _SEGMENT) == 0:
+                    break              # segment boundary
+                nlo = nb * J
+                if not np.all(d[nlo:nlo + J] == 0):
+                    break
+                run += 1
+            w.write(0, idlen)
+            w.write(0, 1)
+            if is_ref:
+                w.write(int(d[lo]), nbits)
+            w.write_fs(run - 1 if run < 5 else run)
+            b += run
+        else:
+            emit_block(b)
+            b += 1
+    return w.bytes()
+
+
+def aec_decode(data: bytes, n_samples: int, nbits: int, *,
+               block_size: int = 32, rsi: int = 128,
+               preprocess: bool = True) -> np.ndarray:
+    """Decode a CCSDS 121.0 stream back to ``n_samples`` ints."""
+    if n_samples == 0:
+        return np.zeros(0, np.int64)
+    J = block_size
+    idlen = _id_len(nbits)
+    uncompressed_id = (1 << idlen) - 1
+    r = _BitReader(data)
+    nblocks = -(-n_samples // J)
+    d = np.zeros(nblocks * J, np.int64)
+    refs: dict[int, int] = {}
+    b = 0
+    while b < nblocks:
+        is_ref = preprocess and (b % rsi == 0)
+        sel = r.read(idlen)
+        lo = b * J
+        m = J - 1 if is_ref else J
+        if sel == 0:
+            low = r.read(1)
+            if low == 0:               # zero block(s)
+                if is_ref:
+                    refs[b] = r.read(nbits)
+                z = r.read_fs()
+                if z < 4:
+                    run = z + 1
+                elif z == 4:           # ROS: rest of the segment
+                    seg_left = _SEGMENT - (b % _SEGMENT)
+                    rsi_left = (rsi - (b % rsi)) if preprocess \
+                        else seg_left
+                    run = min(seg_left, rsi_left, nblocks - b)
+                else:
+                    run = z
+                b += run               # samples already zero
+                continue
+            # second extension
+            if is_ref:
+                raise NotImplementedError(
+                    "second extension on a reference block (writer-"
+                    "defined pairing)")
+            for p in range(J // 2):
+                mv = r.read_fs()
+                s = int((np.sqrt(8 * mv + 1) - 1) // 2)
+                while s * (s + 1) // 2 > mv:
+                    s -= 1
+                while (s + 1) * (s + 2) // 2 <= mv:
+                    s += 1
+                d2 = mv - s * (s + 1) // 2
+                d[lo + 2 * p] = s - d2
+                d[lo + 2 * p + 1] = d2
+            b += 1
+            continue
+        if is_ref:
+            refs[b] = r.read(nbits)
+        off = lo + 1 if is_ref else lo
+        if sel == uncompressed_id:
+            for i in range(m):
+                d[off + i] = r.read(nbits)
+        else:
+            k = sel - 1
+            for i in range(m):
+                d[off + i] = r.read_fs() << k
+            if k:
+                for i in range(m):
+                    d[off + i] |= r.read(k)
+        b += 1
+
+    if not preprocess:
+        return d[:n_samples]
+    # invert the unit-delay mapping
+    xmax = (1 << nbits) - 1
+    out = np.zeros(len(d), np.int64)
+    per = J * rsi
+    for lo in range(0, len(d), per):
+        rb = lo // J
+        prev = refs.get(rb, 0)
+        out[lo] = prev
+        hi = min(lo + per, len(d))
+        for i in range(lo + 1, hi):
+            dv = int(d[i])
+            theta = prev if prev <= xmax - prev else xmax - prev
+            if dv <= 2 * theta:
+                delta = dv // 2 if dv % 2 == 0 else -((dv + 1) // 2)
+            else:
+                mag = dv - theta
+                delta = mag if prev <= xmax - prev else -mag
+            prev = prev + delta
+            out[i] = prev
+    return out[:n_samples]

@@ -24,7 +24,10 @@ filters — same section-5 layout as 5.0, X values as PNG pixel samples).
 JPEG2000 packing (5.40 — the encoding GFS/NCEP products actually ship)
 decodes natively via j2k_codec.py (MQ coder, EBCOT T1, reversible 5/3
 wavelet, full codestream parse); lossless J2K reproduces the X integers
-exactly, so the same quantization oracle applies. Missing-value
+exactly, so the same quantization oracle applies. CCSDS/AEC packing
+(5.42 — some ECMWF archives) decodes natively via aec_codec.py
+(CCSDS 121.0 Rice coding: unit-delay preprocessing, zero-run /
+second-extension / k-split / uncompressed options). Missing-value
 management with complex packing is handled (octet 23 modes 1/2); other
 representation templates raise NotImplementedError naming the variant.
 
@@ -546,11 +549,11 @@ def _decode_message(m: bytes, discipline: int) -> dict:
     s5 = sections[5]
     npoints = _u(s5, 5, 4)
     tmpl = _u(s5, 9, 2)
-    if tmpl not in (0, 2, 3, 40, 41):
+    if tmpl not in (0, 2, 3, 40, 41, 42):
         raise NotImplementedError(
             f"data representation template 5.{tmpl} unsupported; simple "
-            "(5.0), complex (5.2/5.3), JPEG2000 (5.40) and PNG (5.41) "
-            "packing decode natively")
+            "(5.0), complex (5.2/5.3), JPEG2000 (5.40), PNG (5.41) and "
+            "CCSDS/AEC (5.42) packing decode natively")
     ref_val = struct.unpack(">f", s5[11:15])[0]
     e_scale = _s(s5, 15, 2)
     d_scale = _s(s5, 17, 2)
@@ -588,6 +591,27 @@ def _decode_message(m: bytes, discipline: int) -> dict:
             if pw * ph != npoints:
                 raise ValueError(
                     f"PNG image {pw}x{ph} != {npoints} packed points")
+    elif tmpl == 42:
+        # template 5.42: octet 22 CCSDS flags, 23 block size, 24-25 RSI
+        from georiva_spark.sources.aec_codec import aec_decode
+        aflags = s5[21]
+        ablock = s5[22]
+        arsi = _u(s5, 23, 2)
+        if aflags & 0x01:
+            raise NotImplementedError("AEC_DATA_SIGNED samples")
+        if aflags & 0x02:
+            raise NotImplementedError("AEC_DATA_3BYTE mode")
+        if aflags & 0x10:
+            raise NotImplementedError("AEC_RESTRICTED coding")
+        if aflags & 0x20:
+            raise NotImplementedError("AEC_PAD_RSI alignment")
+        if not aflags & 0x04:
+            raise NotImplementedError("AEC LSB-first bit order")
+        if nbits == 0:
+            x = np.zeros(npoints, dtype=np.int64)
+        else:
+            x = aec_decode(s7[5:], npoints, nbits, block_size=ablock,
+                           rsi=arsi, preprocess=bool(aflags & 0x08))
     else:
         x, miss = _unpack_complex(s5, s7, npoints)
     packed = (ref_val + x.astype(np.float64) * 2.0 ** e_scale) \
@@ -903,6 +927,17 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
             # bitmap present (or ragged reduced stream): pack the npk
             # valid points as a 1-row image
             s7 = png_encode(x, npk, 1, nbits)
+    elif packing == 42:
+        from georiva_spark.sources.aec_codec import aec_encode
+        # template 5.42 = 5.0's layout + CCSDS flags / block size / RSI
+        aflags, ablock, arsi = 0x04 | 0x08, 32, 128   # MSB + preprocess
+        s5 = (npk.to_bytes(4, "big")
+              + (42).to_bytes(2, "big")
+              + struct.pack(">f", float(r)) + _sm(e_scale, 2)
+              + _sm(0, 2) + bytes([nbits, 0])
+              + bytes([aflags, ablock]) + arsi.to_bytes(2, "big"))
+        s7 = (aec_encode(x, nbits, block_size=ablock, rsi=arsi)
+              if nbits else b"")
     else:
         raise NotImplementedError(f"packing template 5.{packing}")
     if mask.all():

@@ -285,10 +285,11 @@ def test_exotic_packing_gated():
     while True:
         ln = int.from_bytes(buf[pos:pos + 4], "big")
         if buf[pos + 4] == 5:
-            buf[pos + 9:pos + 11] = (42).to_bytes(2, "big")  # CCSDS
+            # 5.200 run-length packing — still legitimately gated
+            buf[pos + 9:pos + 11] = (200).to_bytes(2, "big")
             break
         pos += ln
-    with pytest.raises(NotImplementedError, match="5.42"):
+    with pytest.raises(NotImplementedError, match="5.200"):
         decode_grib2(bytes(buf))
 
 
@@ -741,3 +742,83 @@ def test_mercator_grid_template(spark, tmp_path):
             GRIB2.open_variable(spark, str(fp), "t").collect()}
     assert rows[(0, 0)].lat == 10.0 and rows[(0, 0)].value == a[0, 0]
     assert rows[(2, 3)].lat > rows[(0, 3)].lat
+
+
+@pytest.mark.parametrize("e_scale", [-16, -8, 0])
+def test_aec_packing_roundtrip(e_scale):
+    """5.42 (CCSDS/AEC) decode matches the 5.0 decode of the same field
+    exactly — AEC is a lossless container for the same floor-quantized
+    X values; e_scale varies the dynamic range so different Rice option
+    mixes are exercised."""
+    rng = np.random.default_rng(42 + e_scale)
+    a = np.cumsum(rng.normal(size=(19, 27)), axis=1) * 100
+    a[2, 3] = np.nan
+    kw = dict(shortname="t", ref_time=T0, forecast_hours=6,
+              e_scale=e_scale, la1=10.0, lo1=-5.0, di=0.5, dj=0.5)
+    simple = decode_grib2(encode_grib2_message(a, **kw))[0]
+    m = decode_grib2(encode_grib2_message(a, packing=42, **kw))[0]
+    assert m["shortName"] == "t"
+    assert np.isnan(m["values"][2, 3])
+    np.testing.assert_array_equal(m["values"], simple["values"])
+
+
+def test_aec_packing_constant_and_tiny_fields():
+    kw = dict(shortname="t", ref_time=T0, la1=1.5, lo1=0.5, di=1, dj=1)
+    for a in (np.full((4, 5), 2.5), np.array([[1.0, 2.0]]),
+              np.full((1, 1), 7.0)):
+        simple = decode_grib2(encode_grib2_message(a, **kw))[0]
+        m = decode_grib2(encode_grib2_message(a, packing=42, **kw))[0]
+        np.testing.assert_array_equal(m["values"], simple["values"])
+
+
+def test_aec_codec_options_and_gates():
+    """The coder hits every CCSDS option (zero-run incl. ROS decode,
+    second extension, k-split ladder, uncompressed) and gates the
+    unsupported libaec modes by name."""
+    from georiva_spark.sources.aec_codec import aec_decode, aec_encode
+
+    rng = np.random.default_rng(5)
+    # hand-built ROS vector: nbits 8 (idlen 3), J=8, no preprocess —
+    # one uncompressed block of 1s, then ID0+'0' + FS(4)=ROS to the end
+    # of the 64-block segment (63 blocks), total 64*8 samples
+    bits = "111" + "".join(f"{1:08b}" for _ in range(8))   # uncompressed
+    bits += "000" + "0" + "00001"                          # zero + ROS
+    pad = (-len(bits)) % 8
+    data = int(bits + "0" * pad, 2).to_bytes((len(bits) + pad) // 8, "big")
+    out = aec_decode(data, 64 * 8, 8, block_size=8, preprocess=False)
+    assert out[:8].tolist() == [1] * 8 and not out[8:].any()
+
+    # second extension chosen for tiny paired values
+    x = np.tile([0, 1], 512).astype(np.int64)
+    enc = aec_encode(x, 16, preprocess=False)
+    assert np.array_equal(
+        aec_decode(enc, len(x), 16, preprocess=False), x)
+    assert len(enc) < len(x) * 2 // 4      # far below raw
+
+    # every e_scale/k mix round-trips at odd sizes and tiny RSIs
+    for n in (1, 31, 257, 1000):
+        x = rng.integers(0, 1 << 12, n)
+        enc = aec_encode(x, 12, block_size=16, rsi=2)
+        assert np.array_equal(
+            aec_decode(enc, n, 12, block_size=16, rsi=2), x)
+
+    # named gates for libaec modes we don't speak
+    from georiva_spark.sources.grib2_codec import (decode_grib2,
+                                                   encode_grib2_message)
+    msg = bytearray(encode_grib2_message(
+        np.ones((4, 4)), shortname="t", ref_time=T0, la1=1.5, lo1=0.5,
+        di=1, dj=1, packing=42))
+    # find section 5 and poke the flags octet (21 bytes into s5 body)
+    pos = 16
+    while True:
+        ln = int.from_bytes(msg[pos:pos + 4], "big")
+        if msg[pos + 4] == 5:
+            break
+        pos += ln
+    flag_off = pos + 21
+    for bad, name in ((0x01 | 0x04, "SIGNED"), (0x02 | 0x04, "3BYTE"),
+                      (0x10 | 0x04, "RESTRICTED"),
+                      (0x20 | 0x04, "PAD_RSI"), (0x00, "LSB")):
+        msg[flag_off] = bad
+        with pytest.raises(NotImplementedError, match=name):
+            decode_grib2(bytes(msg))
