@@ -792,9 +792,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
 
     Scale shape: training runs on the DISTINCT-WORD table weighted by
     word frequency (the standard trick) — one corpus pass builds the
-    word-count table, then every round is an explode+sum over |vocab|
-    rows, not corpus tokens; the chosen pair is the only driver scalar
-    per round. Pair occurrences count overlapping positions ('aaa' →
+    word-count table. Pair counts are maintained INCREMENTALLY (r3
+    verdict item 8): the initial explode+sum builds the pair table
+    once, then each round recounts only the words actually CONTAINING
+    the merged pair (before/after delta, outer-joined into the running
+    totals) — a real 32k-merge training touches a shrinking affected
+    set per round instead of re-exploding the whole vocabulary 32k
+    times. Three bounded driver actions per round (argmax head + two
+    localCheckpoint materializations, which also keep the logical plan
+    constant-size). Pair occurrences count overlapping positions ('aaa' →
     (a,a) twice) and merges apply left-to-right per rank — both the
     published algorithm's semantics.
     """
@@ -808,36 +814,70 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
                  F.array_join(F.split(F.col("w"), ""), " "),
                  F.lit(" ")).alias("sym")).persist()
     state.count()
+
+    def pair_arr(symcol):
+        syms = F.split(F.trim(symcol), " ")
+        t2 = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+        return F.filter(
+            F.zip_with(syms, t2,
+                       lambda a, b: F.when(
+                           b.isNull(), F.lit(None)).otherwise(
+                           F.concat(a, F.lit(" "), b))),
+            lambda p: p.isNotNull())
+
+    counts = (state.select("cnt", F.explode(pair_arr(F.col("sym")))
+                           .alias("p"))
+              .groupBy("p").agg(F.sum("cnt").alias("total"))).persist()
+    counts.count()
     merges = []
     try:
         for rank in range(n_merges):
-            syms = F.split(F.trim(F.col("sym")), " ")
-            t2 = F.slice(syms, 2,
-                         F.greatest(F.size(syms) - 1, F.lit(0)))
-            pairs = F.filter(
-                F.zip_with(syms, t2,
-                           lambda a, b: F.when(
-                               b.isNull(), F.lit(None)).otherwise(
-                               F.concat(a, F.lit(" "), b))),
-                lambda p: p.isNotNull())
-            top = (state.select("cnt", F.explode(pairs).alias("p"))
-                   .groupBy("p").agg(F.sum("cnt").alias("total"))
-                   .orderBy(F.desc("total"), F.asc("p"))
-                   .head())
-            if top is None:
+            top = (counts.orderBy(F.desc("total"), F.asc("p")).head())
+            if top is None or top.total <= 0:
                 break
             left, right = top.p.split(" ")
             merges.append((rank, left, right, int(top.total)))
-            pat = F.lit(f" {left} {right} ")
-            rep = F.lit(f" {left}{right} ")
-            nxt = state.select(
+            pat = f" {left} {right} "
+            rep = f" {left}{right} "
+            hit = F.col("sym").contains(pat)
+            affected = state.where(hit)
+            rewritten = affected.select(
                 "cnt",
-                F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
-                 .alias("sym")).persist()
-            nxt.count()
+                F.replace(F.replace(F.col("sym"), F.lit(pat),
+                                    F.lit(rep)), F.lit(pat), F.lit(rep))
+                 .alias("sym"))
+            delta = (rewritten.select(F.col("cnt").alias("w"),
+                                      F.explode(pair_arr(F.col("sym")))
+                                      .alias("p"))
+                     .unionByName(
+                         affected.select((-F.col("cnt")).alias("w"),
+                                         F.explode(
+                                             pair_arr(F.col("sym")))
+                                         .alias("p")))
+                     .groupBy("p").agg(F.sum("w").alias("d")))
+            new_counts = (counts.join(delta, "p", "full_outer")
+                          .select("p",
+                                  (F.coalesce(F.col("total"), F.lit(0))
+                                   + F.coalesce(F.col("d"), F.lit(0)))
+                                  .alias("total"))
+                          .where(F.col("total") > 0))
+            new_state = state.where(~hit).unionByName(rewritten)
+            # localCheckpoint EVERY round: the union/join plan references
+            # the previous round's plan twice, so without truncation the
+            # logical plan doubles per round (exponential analysis cost
+            # by round ~15); checkpointing pins the materialized RDD and
+            # resets the plan to a constant-size LogicalRDD. The coalesce
+            # is equally load-bearing: union sums its inputs' partitions,
+            # so without it the checkpointed partition count doubles per
+            # round (measured: 8192 tasks by round 7).
+            npart = spark.sparkContext.defaultParallelism
+            new_counts = new_counts.coalesce(npart).localCheckpoint()
+            new_state = new_state.coalesce(npart).localCheckpoint()
+            counts.unpersist()
             state.unpersist()
-            state = nxt
+            counts, state = new_counts, new_state
     finally:
+        counts.unpersist()
         state.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long")

@@ -92,3 +92,25 @@ def test_import_without_session():
     import georiva_spark.operators.temporal
     import georiva_spark.functions.geo
     importlib.reload(georiva_spark.operators.filters)
+
+
+def test_approx_distinct_within_documented_rsd(spark):
+    """The one no-oracle driver query gets a quantitative bound: the
+    HLL estimate per event_type is within a small multiple of the
+    declared rsd (1%) of the exact distinct count on the driver
+    testdata — 5σ guards against flakiness while still catching a
+    broken sketch (which would be off by orders of magnitude)."""
+    from georiva_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.01"
+    approx = {r.event_type: r.approx_users
+              for r in QUERIES["approx_distinct"](spark, sf).collect()}
+    from georiva_spark.queries_ext import load_table
+    ev = load_table(spark, sf, "events")
+    from pyspark.sql import functions as F
+    exact = {r.event_type: r.exact for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("exact")).collect()}
+    assert set(approx) == set(exact) and exact
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(5, 0.05 * ex), \
+            (et, approx[et], ex)
