@@ -33,6 +33,9 @@ HEADLINE = [
     "ingest_grib2_lcc", "zarr_scan", "gopher_rules",
     "zarr_blosc", "zarr_v3", "ingest_grib2_reduced",
     "c4_rules", "fasttext_score", "temperature_mix", "lm_bigram",
+    # r4 additions: legacy-layout zarr scan, CCSDS-packed GRIB ingest,
+    # real-PNG multimodal decode, incremental BPE training
+    "zarr_forder", "ingest_grib2_aec", "image_features_png", "bpe_train",
 ]
 
 
