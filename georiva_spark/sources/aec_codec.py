@@ -174,7 +174,11 @@ def aec_encode(samples: np.ndarray, nbits: int, *, block_size: int = 32,
             if cost < best_cost:
                 best_cost, best_id = cost, k + 1
         se_cost = None
-        if not is_ref and m % 2 == 0:
+        # second extension only ever wins for tiny samples; the guard
+        # also keeps m = (d1+d2)(d1+d2+1)/2 inside int64 (unguarded,
+        # 32-bit samples overflow the fold and the bogus negative cost
+        # wins the option select)
+        if not is_ref and m % 2 == 0 and int(vals.max(initial=0)) < 1 << 15:
             pairs = vals.reshape(-1, 2)
             s = pairs[:, 0] + pairs[:, 1]
             mvals = s * (s + 1) // 2 + pairs[:, 1]

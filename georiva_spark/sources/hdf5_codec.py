@@ -15,7 +15,8 @@ reader (`decode_hdf5` / `decode_netcdf4`):
   object reference, vlen
 - layout v3 contiguous and chunked (v1 B-tree chunk index, any depth)
 - filter pipeline v1/v2: deflate (1), shuffle (2), fletcher32 (3,
-  checksum stripped)
+  checksum stripped), szip (4 — CCSDS 121.0 via aec_codec.py, the
+  H5Z 4-byte-size-prefix chunk layout, LSB/MSB sample orders)
 - attributes (v1 and v3), including the netCDF-4 ``DIMENSION_LIST``
   vlen of object references resolved through global heap collections —
   this is how variables are bound to their dimension-scale datasets
@@ -24,13 +25,13 @@ reader (`decode_hdf5` / `decode_netcdf4`):
 writer (`encode_hdf5` / `encode_grid_netcdf4`):
 - the canonical layout above: superblock v0, one root symbol-table
   group, contiguous coordinate datasets, the data variable chunked one
-  chunk per leading index with deflate, DIMENSION_SCALE/DIMENSION_LIST
-  conventions. Purpose: round-trip tests and oracle fixtures (the same
+  chunk per leading index with deflate (or szip), DIMENSION_SCALE/
+  DIMENSION_LIST conventions. Purpose: round-trip tests and oracle fixtures (the same
   role encode_grid_netcdf plays for classic files) — but the reader is
   written against the HDF5 spec, not against this writer.
 
 Anything outside the subset raises NotImplementedError naming the
-feature (v2 object headers, BE numerics, fractal-heap groups, szip).
+feature (v2 object headers, BE numerics, fractal-heap groups).
 """
 
 from __future__ import annotations
@@ -328,7 +329,7 @@ def _walk_chunk_btree(buf: bytes, addr: int, ndims: int,
 def _defilter(data: bytes, filters: list[tuple[int, int, list[int]]],
               fmask: int) -> bytes:
     """Undo the filter pipeline in reverse order (deflate/shuffle/
-    fletcher32)."""
+    fletcher32/szip)."""
     for i in range(len(filters) - 1, -1, -1):
         fid, _flags, client = filters[i]
         if fmask & (1 << i):
@@ -342,9 +343,38 @@ def _defilter(data: bytes, filters: list[tuple[int, int, list[int]]],
                     .reshape(sz, n).T.reshape(-1).tobytes())
         elif fid == 3:
             data = data[:-4]             # checksum verified elsewhere
+        elif fid == 4:
+            data = _unszip(data, client)
         else:
             raise NotImplementedError(f"HDF5 filter id {fid}")
     return data
+
+
+def _unszip(data: bytes, client: list[int]) -> bytes:
+    """HDF5 szip filter (id 4) — szip IS CCSDS 121.0 entropy coding
+    (libsz is a thin wrapper over libaec), so the chunk decodes through
+    the same dependency-free coder GRIB2 template 5.42 uses
+    (aec_codec.py). Client data per H5Zszip set_local:
+    [options_mask, bits_per_pixel, pixels_per_block,
+    pixels_per_scanline]; the chunk payload carries the uncompressed
+    byte count as a 4-byte little-endian prefix (H5Z__filter_szip),
+    then the raw AEC stream. Options mask (szlib.h): 0x04 EC, 0x08
+    LSB / 0x10 MSB (the SAMPLE byte order in the uncompressed buffer —
+    HDF5 sets it from the datatype's endianness; the AEC bitstream is
+    MSB-first either way), 0x20 NN (= unit-delay preprocessing),
+    0x80 raw."""
+    from georiva_spark.sources.aec_codec import aec_decode
+    opts, bpp, ppb, pps = (list(client) + [0, 0, 0, 0])[:4]
+    if bpp not in (8, 16, 32):
+        raise NotImplementedError(f"szip bits_per_pixel {bpp}")
+    width = bpp // 8
+    order = ">" if opts & 0x10 and not opts & 0x08 else "<"
+    orig = int.from_bytes(data[:4], "little")
+    n = orig // width
+    rsi = max(1, (pps or ppb) // max(1, ppb))
+    x = aec_decode(data[4:], n, bpp, block_size=ppb or 32, rsi=rsi,
+                   preprocess=bool(opts & 0x20))
+    return x.astype(f"{order}u{width}").tobytes()[:orig]
 
 
 def _read_dataset(buf: bytes, addr: int) -> dict:
@@ -609,13 +639,29 @@ def _header_v1(messages: list[bytes]) -> bytes:
 
 def encode_hdf5(variables: dict, dims: list[tuple[str, int]],
                 var_dims: dict, atts: dict | None = None,
-                chunk_deflate: bool = True) -> bytes:
+                chunk_deflate: bool = True,
+                chunk_filter: str = "deflate") -> bytes:
     """Encode a netCDF-4 file (same signature as encode_netcdf).
     1-D variables whose name matches a dim are DIMENSION_SCALEs written
     contiguous; multi-dim variables are chunked one-chunk-per-leading-
     index with deflate (the layout libhdf5 produces for typical CF
-    grids) and carry DIMENSION_LIST references."""
+    grids) — or szip (CCSDS 121.0 via aec_codec, H5Z client-data
+    layout) with ``chunk_filter='szip'`` — and carry DIMENSION_LIST
+    references."""
     atts = atts or {}
+    if chunk_filter not in ("deflate", "szip"):
+        raise ValueError(f"chunk_filter {chunk_filter!r}")
+    _SZ_OPTS, _SZ_PPB = 0x08 | 0x20 | 0x80, 32   # LSB + NN + raw
+
+    def _szip_pack(raw: bytes, itemsize: int) -> bytes:
+        from georiva_spark.sources.aec_codec import aec_encode
+        bpp = itemsize * 8
+        x = np.frombuffer(raw, f"<u{itemsize}").astype(np.int64)
+        enc = aec_encode(x, bpp, block_size=_SZ_PPB,
+                         rsi=_SZ_PPS // _SZ_PPB)
+        return len(raw).to_bytes(4, "little") + enc
+
+    _SZ_PPS = _SZ_PPB * 128
     dim_sizes = dict(dims)
     names = list(variables)
     out = bytearray()
@@ -653,7 +699,9 @@ def encode_hdf5(variables: dict, dims: list[tuple[str, int]],
         else:
             infos = []
             for i in range(a.shape[0]):
-                comp = zlib.compress(a[i].tobytes(), 6)
+                comp = (_szip_pack(a[i].tobytes(), a.dtype.itemsize)
+                        if chunk_filter == "szip"
+                        else zlib.compress(a[i].tobytes(), 6))
                 caddr = alloc(len(comp))
                 out[caddr:caddr + len(comp)] = comp
                 infos.append(((i,) + (0,) * (a.ndim - 1) + (0,),
@@ -712,8 +760,14 @@ def encode_hdf5(variables: dict, dims: list[tuple[str, int]],
             lay += struct.pack("<I", a.dtype.itemsize)
             msgs.append(_msg(MSG_LAYOUT, lay))
             filt = struct.pack("<BB2x4x", 1, 1)
-            filt += struct.pack("<HHHH", 1, 0, 0, 1)   # deflate, 1 value
-            filt += struct.pack("<I", 6) + b"\0\0\0\0"  # level + odd pad
+            if chunk_filter == "szip":
+                filt += struct.pack("<HHHH", 4, 0, 0, 4)   # szip, 4 vals
+                filt += struct.pack("<IIII", _SZ_OPTS,
+                                    a.dtype.itemsize * 8, _SZ_PPB,
+                                    _SZ_PPS)
+            else:
+                filt += struct.pack("<HHHH", 1, 0, 0, 1)   # deflate
+                filt += struct.pack("<I", 6) + b"\0\0\0\0"  # odd pad
             msgs.append(_msg(MSG_FILTERS, filt))
         else:
             lay = struct.pack("<BB", 3, 1)

@@ -3,6 +3,7 @@ decode, CF conventions (_FillValue, scale/offset, time units), latitude
 orientation, windowed read through the shared seam."""
 
 import datetime as dt
+import struct
 
 import numpy as np
 import pytest
@@ -336,3 +337,64 @@ def test_hdf5_v2_headers_and_link_groups():
     np.testing.assert_array_equal(d["temp"]["data"], vals)
     assert d["temp"]["atts"]["units"] == "K"
     np.testing.assert_array_equal(d["grid"]["data"], grid)
+
+
+def test_hdf5_szip_chunks_roundtrip(spark, tmp_path):
+    """szip-filtered chunks (filter id 4 — CCSDS 121.0 through the same
+    AEC coder GRIB2 5.42 uses) decode identically to deflate: same
+    variables, values and CF semantics, through both the raw decoder
+    and the full NetCDF-4 plugin scan."""
+    from georiva_spark.sources.hdf5_codec import decode_hdf5, encode_hdf5
+    rng = np.random.default_rng(11)
+    field = rng.normal(size=(2, 5, 7)).astype(np.float32)
+    counts = np.arange(35, dtype=np.int32).reshape(5, 7)
+    dims = [("time", 2), ("lat", 5), ("lon", 7)]
+    variables = {"time": np.array([0.0, 3600.0]),
+                 "lat": np.arange(5) + 0.5, "lon": np.arange(7) + 0.5,
+                 "field": field, "counts": counts}
+    var_dims = {"time": ("time",), "lat": ("lat",), "lon": ("lon",),
+                "field": ("time", "lat", "lon"), "counts": ("lat", "lon")}
+    atts = {"time": {"units": "seconds since 1970-01-01"}}
+    got = {}
+    for filt in ("deflate", "szip"):
+        buf = encode_hdf5(variables, dims, var_dims, atts,
+                          chunk_filter=filt)
+        raw = decode_hdf5(buf)
+        got[filt] = raw
+        np.testing.assert_array_equal(raw["field"]["data"], field)
+        np.testing.assert_array_equal(raw["counts"]["data"], counts)
+    # the filter message advertises szip (id 4) — not a silent deflate
+    szbuf = encode_hdf5(variables, dims, var_dims, atts,
+                        chunk_filter="szip")
+    assert struct.pack("<HHHH", 4, 0, 0, 4) in szbuf
+    # full plugin path over a real file
+    import os
+    fp = str(tmp_path / "sz_20240101.nc")
+    from georiva_spark.sources.hdf5_codec import encode_grid_netcdf4
+    # reuse the canonical grid writer if it grows a filter knob later;
+    # here exercise the plugin via the hand-written file
+    with open(fp, "wb") as f:
+        f.write(szbuf)
+    from georiva_spark.sources.raster_formats import NETCDF
+    rows = {(r.time.hour, r.y, r.x): r.value
+            for r in NETCDF.open_variable(spark, fp, "field").collect()}
+    assert len(rows) == 2 * 5 * 7
+    assert rows[(1, 2, 3)] == pytest.approx(float(field[1, 2, 3]))
+
+
+def test_hdf5_szip_lsb_msb_sample_orders():
+    """Foreign-file sample orders: the MSB variant (big-endian sample
+    bytes in the uncompressed buffer) re-serializes correctly."""
+    from georiva_spark.sources.hdf5_codec import _unszip
+    from georiva_spark.sources.aec_codec import aec_encode
+    x = np.arange(256, dtype=np.int64) * 3 % 4096
+    enc = aec_encode(x, 16, block_size=32, rsi=4)
+    raw = len(x.astype("<u2").tobytes()).to_bytes(4, "little") + enc
+    lsb = _unszip(raw, [0x08 | 0x20 | 0x80, 16, 32, 128])
+    np.testing.assert_array_equal(np.frombuffer(lsb, "<u2"),
+                                  x.astype("<u2"))
+    msb = _unszip(raw, [0x10 | 0x20 | 0x80, 16, 32, 128])
+    np.testing.assert_array_equal(np.frombuffer(msb, ">u2"),
+                                  x.astype(">u2"))
+    with pytest.raises(NotImplementedError, match="bits_per_pixel"):
+        _unszip(raw, [0x10, 24, 32, 128])
