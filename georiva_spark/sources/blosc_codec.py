@@ -23,8 +23,8 @@ Inner codecs: lz4 / zstd / snappy / zlib ride pyarrow's bundled codecs
 (zero-copy C, no new dependency); an LZ4 *block-format* decoder and a
 greedy hash-chain encoder in pure Python back them up so the path works
 even on a pyarrow built without lz4; blosclz (c-blosc's own FastLZ
-derivative, the pre-1.14 default) decodes natively.  bit-shuffle raises
-NotImplementedError naming the feature.
+derivative, the pre-1.14 default) decodes natively, as does the
+bit-shuffle filter (flag 0x4 — per-block bit-matrix transpose).
 
 Reference behavior: the reference reads Zarr through zarr-python/numcodecs
 (virtual_zarr/virtual_zarr.py:242-399); this is the same chunk format
@@ -328,6 +328,36 @@ def _inner_compress(codec: int, payload: bytes, clevel: int) -> bytes:
     raise NotImplementedError(f"blosc inner codec {_CODEC_NAMES[codec]}")
 
 
+def _bit_shuffle(block: bytes, typesize: int) -> bytes:
+    """Bitshuffle (Masui's bitshuffle library, what blosc flag 0x4
+    applies per block): view the block as (n_elements, typesize*8)
+    bits — element bytes in memory order, MSB-first per byte (the
+    numpy unpackbits/packbits formulation bitshuffle's own test suite
+    uses as the reference) — and transpose to bit-plane-major. Only
+    complete groups of 8 elements shuffle; the tail is copied raw."""
+    n = len(block) // typesize
+    nb = n - n % 8
+    body = nb * typesize
+    if nb == 0:
+        return bytes(block)
+    a = np.frombuffer(block[:body], np.uint8)
+    bits = np.unpackbits(a).reshape(nb, typesize * 8)
+    out = np.packbits(np.ascontiguousarray(bits.T))
+    return out.tobytes() + bytes(block[body:])
+
+
+def _bit_unshuffle(block: bytes, typesize: int) -> bytes:
+    n = len(block) // typesize
+    nb = n - n % 8
+    body = nb * typesize
+    if nb == 0:
+        return bytes(block)
+    a = np.frombuffer(block[:body], np.uint8)
+    bits = np.unpackbits(a).reshape(typesize * 8, nb)
+    out = np.packbits(np.ascontiguousarray(bits.T))
+    return out.tobytes() + bytes(block[body:])
+
+
 def _unshuffle(block: bytes, typesize: int) -> bytes:
     """Inverse byte-shuffle: typesize planes of n/typesize bytes back to
     interleaved elements (numpy transpose — no Python loop).  A tail not
@@ -358,8 +388,6 @@ def blosc_decompress(frame: bytes) -> bytes:
     nbytes, blocksize, cbytes = struct.unpack_from("<iii", frame, 4)
     if version > 2:
         raise NotImplementedError(f"blosc format version {version}")
-    if flags & _BITSHUFFLE:
-        raise NotImplementedError("blosc bit-shuffle filter")
     if flags & _MEMCPYED:
         return bytes(frame[16:16 + nbytes])
     codec = flags >> 5
@@ -397,7 +425,9 @@ def blosc_decompress(frame: bytes) -> bytes:
                 block += payload
             else:
                 block += _inner_decompress(codec, payload, neblock)
-        if (flags & _SHUFFLE) and typesize > 1:
+        if flags & _BITSHUFFLE:
+            block = _bit_unshuffle(bytes(block), typesize)
+        elif (flags & _SHUFFLE) and typesize > 1:
             block = _unshuffle(bytes(block), typesize)
         out += block
     if len(out) != nbytes:
@@ -408,7 +438,7 @@ def blosc_decompress(frame: bytes) -> bytes:
 
 
 def blosc_compress(data: bytes, typesize: int, *, cname: str = "lz4",
-                   clevel: int = 5, shuffle: bool = True,
+                   clevel: int = 5, shuffle: bool | str = True,
                    blocksize: int = 0) -> bytes:
     """Encode raw bytes as one Blosc1 chunk (writer + test vectors).
 
@@ -426,10 +456,12 @@ def blosc_compress(data: bytes, typesize: int, *, cname: str = "lz4",
         blocksize = min(max(nbytes, typesize), 1 << 18)
     blocksize -= blocksize % typesize or 0
     blocksize = max(blocksize, typesize)
-    do_shuffle = shuffle and typesize > 1
-    split = (typesize <= _MAX_SPLITS
+    do_bitshuffle = shuffle == "bit"
+    do_shuffle = bool(shuffle) and not do_bitshuffle and typesize > 1
+    split = (not do_bitshuffle and typesize <= _MAX_SPLITS
              and blocksize // typesize >= _MIN_BUFFERSIZE)
     flags = (codec << 5) | (_SHUFFLE if do_shuffle else 0) \
+        | (_BITSHUFFLE if do_bitshuffle else 0) \
         | (0 if split else _DONT_SPLIT)
     nblocks = -(-nbytes // blocksize) if nbytes else 1
     leftover = nbytes % blocksize
@@ -441,7 +473,9 @@ def blosc_compress(data: bytes, typesize: int, *, cname: str = "lz4",
         block = data[lo:lo + blocksize]
         bsize = len(block)
         leftoverblock = bi == nblocks - 1 and leftover
-        if do_shuffle and bsize:
+        if do_bitshuffle and bsize:
+            block = _bit_shuffle(block, typesize)
+        elif do_shuffle and bsize:
             block = _shuffle(block, typesize)
         nstreams = 1 if (not split or leftoverblock or typesize == 1) \
             else typesize

@@ -19,9 +19,9 @@ which maps onto Spark better than any whole-file raster format:
 
 Dependency-free subset: uncompressed, zlib/gzip, AND blosc (zarr's
 default compressor — blosclz/lz4/zstd/snappy/zlib inner codecs with the
-byte-shuffle filter, via ``blosc_codec.py``), C and F order (v2) plus
-the v3 ``transpose`` codec, no filter chain. bit-shuffle/filters raise
-NotImplementedError naming the feature.
+byte-shuffle AND bit-shuffle filters, via ``blosc_codec.py``), C and F
+order (v2) plus the v3 ``transpose`` codec, no zarr filter chain
+(zarr-level filters raise NotImplementedError naming the feature).
 Spec: https://zarr-specs.readthedocs.io/en/latest/v2/v2.0.html
 """
 
@@ -546,15 +546,16 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                shard_inner: dict[str, tuple] | None = None,
                order: str = "C") -> None:
     """Minimal Zarr directory-store writer (tests + export): C-order
-    chunks, zlib/gzip or blosc compressor (``compressor="blosc:<cname>"``,
-    e.g. ``"blosc:lz4"`` — zarr-python's default layout), edge chunks
+    chunks, zlib/gzip or blosc compressor (``compressor="blosc:<cname>[:bit]"``,
+    e.g. ``"blosc:lz4"`` — zarr-python's default layout — or
+    ``"blosc:lz4:bit"`` for the bit-shuffle filter), edge chunks
     padded to full chunk shape per spec. ``zarr_format=3`` writes the v3
     layout: per-array ``zarr.json`` (bytes + gzip/blosc codec chain) and
     ``c/``-prefixed slash-separated chunk keys. ``arrays`` maps
     name → ndarray; 1-D coordinate arrays get one chunk by default."""
-    blosc_cname = (compressor.split(":", 1)[1]
-                   if compressor.startswith("blosc") and ":" in compressor
-                   else "lz4")
+    parts = compressor.split(":")
+    blosc_cname = parts[1] if len(parts) > 1 else "lz4"
+    blosc_bit = len(parts) > 2 and parts[2] == "bit"
     use_blosc = compress and compressor.startswith("blosc")
     if use_blosc:
         from georiva_spark.sources.blosc_codec import blosc_compress
@@ -585,7 +586,9 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                 codecs.append(
                     {"name": "blosc",
                      "configuration": {"cname": blosc_cname, "clevel": 5,
-                                       "shuffle": "shuffle",
+                                       "shuffle": ("bitshuffle"
+                                                   if blosc_bit
+                                                   else "shuffle"),
                                        "typesize": a.dtype.itemsize,
                                        "blocksize": 0}}
                     if use_blosc else
@@ -638,7 +641,9 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
             comp_meta = None
             if compress:
                 comp_meta = ({"id": "blosc", "cname": blosc_cname,
-                              "clevel": 5, "shuffle": 1, "blocksize": 0}
+                              "clevel": 5,
+                              "shuffle": 2 if blosc_bit else 1,
+                              "blocksize": 0}
                              if use_blosc
                              else {"id": "zlib", "level": 6})
             meta = {
@@ -655,7 +660,9 @@ def write_zarr(store: str, arrays: dict[str, np.ndarray],
                 payload = raw
             elif use_blosc:
                 payload = blosc_compress(raw, a.dtype.itemsize,
-                                         cname=blosc_cname)
+                                         cname=blosc_cname,
+                                         shuffle="bit" if blosc_bit
+                                         else True)
             elif v3:
                 co = zlib.compressobj(6, zlib.DEFLATED, 31)  # true gzip
                 payload = co.compress(raw) + co.flush()

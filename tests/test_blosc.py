@@ -97,11 +97,29 @@ def test_hand_built_unsplit_frame():
 
 
 def test_gates_named():
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        blosc_decompress(struct.pack("<BBBBiii", 2, 1, 0x4, 4, 8, 8, 16)
-                         + b"\x00" * 8)
     with pytest.raises(NotImplementedError, match="unknowncodec"):
         blosc_compress(b"x" * 64, 4, cname="unknowncodec")
+
+
+def test_bitshuffle_roundtrip_and_frame():
+    """Bit-shuffle (flag 0x4): matrix-of-bits transpose per block, tail
+    elements raw — round-trips across typesizes/sizes and beats
+    byte-shuffle on smooth numeric data."""
+    from georiva_spark.sources.blosc_codec import (_bit_shuffle,
+                                                   _bit_unshuffle)
+    rng = np.random.default_rng(4)
+    for ts in (1, 2, 4, 8, 16):
+        for n_el in (0, 7, 8, 63, 1000, 4097):
+            raw = bytes(rng.integers(0, 256, n_el * ts, dtype=np.uint8))
+            assert _bit_unshuffle(_bit_shuffle(raw, ts), ts) == raw
+            frame = blosc_compress(raw, ts, cname="lz4", shuffle="bit")
+            assert frame[2] & 0x4 or frame[2] & 0x2  # bit flag (or memcpy fallback)
+            assert blosc_decompress(frame) == raw
+    smooth = (1000 + np.cumsum(rng.integers(-2, 3, 20000))) \
+        .astype("<i4").tobytes()
+    bit = blosc_compress(smooth, 4, cname="lz4", shuffle="bit")
+    byte = blosc_compress(smooth, 4, cname="lz4", shuffle=True)
+    assert len(bit) < len(byte) < len(smooth)
 
 
 def test_blosclz_token_stream_vectors():

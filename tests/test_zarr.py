@@ -436,3 +436,22 @@ def test_v3_transpose_codec(spark, tmp_path):
     assert len(rows) == 2 * 4 * 6
     assert rows[(0, 2, 5)] == a[0, 2, 5]
     assert rows[(1, 3, 1)] == a[1, 3, 1]
+
+
+def test_v2_bitshuffle_store_roundtrip(spark, tmp_path):
+    """Blosc bit-shuffle (v2 meta shuffle: 2, frame flag 0x4) decodes
+    through the native scan — the last blosc filter gate closed."""
+    rng = np.random.default_rng(23)
+    a = np.cumsum(rng.integers(-2, 3, (1, 8, 8)), axis=2) \
+        .astype("<f4") + 100.0
+    store = str(tmp_path / "bshuf.zarr")
+    write_zarr(store, {"t2m": a, "lat": np.arange(8, dtype="<f8"),
+                       "lon": np.arange(8, dtype="<f8"),
+                       "time": np.array([0], dtype="<i8")},
+               chunks={"t2m": (1, 8, 8)}, compressor="blosc:lz4:bit")
+    meta = json.load(open(os.path.join(store, "t2m", ".zarray")))
+    assert meta["compressor"]["shuffle"] == 2
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert len(rows) == 64
+    assert rows[(5, 2)] == pytest.approx(float(a[0, 5, 2]))
