@@ -69,24 +69,33 @@ def encode_raw_video(frames: np.ndarray) -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8\xff"
 
 
 def _decode_image_bytes(content: bytes, mime: str) -> np.ndarray:
-    """The decode seam: RAW and PNG decode natively (PNG through the
-    same dependency-free codec GRIB2 template 5.41 uses,
-    sources/png_codec.py); JPEG falls back to Pillow when present,
-    import-gated by name otherwise. Always returns float32 (h, w, c)."""
+    """The decode seam: RAW, PNG and baseline JPEG decode natively (PNG
+    through the same dependency-free codec GRIB2 template 5.41 uses,
+    sources/png_codec.py; JPEG through sources/jpeg_codec.py — gray,
+    4:4:4 and 4:2:0, restart markers; progressive/arithmetic variants
+    raise by name and fall back to Pillow when it is installed).
+    Always returns float32 (h, w, c)."""
     if content.startswith(RAW_IMAGE_MAGIC):
         return decode_raw_image(content)
     if content.startswith(_PNG_SIG):
         from georiva_spark.sources.png_codec import png_decode_image
         return png_decode_image(content).astype(np.float32)
+    if content.startswith(_JPEG_SIG):
+        from georiva_spark.sources.jpeg_codec import jpeg_decode
+        try:
+            return jpeg_decode(content).astype(np.float32)
+        except NotImplementedError:
+            pass                                   # try Pillow below
     try:
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             f"decoding {mime!r} needs Pillow (not in this container); "
-            "RAW and PNG payloads decode natively") from e
+            "RAW, PNG and baseline JPEG payloads decode natively") from e
     import io
     a = np.asarray(Image.open(io.BytesIO(content)))
     if a.ndim == 2:

@@ -92,3 +92,54 @@ def test_png_resize_path(spark):
     r = mm.resize_images(df, 4, 4).collect()[0]
     got = mm.decode_raw_image(r.content)[:, :, 0]
     np.testing.assert_array_equal(got, px[1::2, 1::2, 0].astype(np.float32))
+
+
+def test_jpeg_codec_roundtrip_matrix():
+    """Baseline JPEG codec: gray / RGB 4:4:4 / RGB 4:2:0 across the
+    quality ladder — error bounded and monotone, q=100 near-lossless;
+    non-baseline SOFs gate by name."""
+    from georiva_spark.sources.jpeg_codec import jpeg_decode, jpeg_encode
+    rng = np.random.default_rng(31)
+    g = (128 + 60 * np.sin(np.arange(32)[:, None] / 5)
+         * np.cos(np.arange(48)[None, :] / 7)).astype(np.uint8)
+    prev = None
+    for q in (50, 70, 90, 100):
+        dec = jpeg_decode(jpeg_encode(g, quality=q))[:, :, 0]
+        err = float(np.abs(dec.astype(int) - g.astype(int)).mean())
+        assert err <= (prev if prev is not None else 2.0) + 0.25
+        prev = err
+    assert np.abs(jpeg_decode(jpeg_encode(g, quality=100))[:, :, 0]
+                  .astype(int) - g.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, (35, 52, 3), dtype=np.uint8)
+    rgb[:, :, 2] = 100                     # keep chroma tame
+    for sub in (False, True):
+        dec = jpeg_decode(jpeg_encode(rgb, quality=95, subsample=sub))
+        assert dec.shape == (35, 52, 3)
+    # progressive gate by name
+    buf = bytearray(jpeg_encode(g, quality=90))
+    sof = buf.find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(bytes(buf))
+
+
+def test_jpeg_through_image_features(spark):
+    """JPEG payloads flow through the multimodal seam: stats land close
+    to the RAW-encoded truth (lossy, so approx — the plumbing and the
+    colorspace math are what is under test)."""
+    from georiva_spark.sources.jpeg_codec import jpeg_encode
+    rng = np.random.default_rng(33)
+    base = np.zeros((16, 16, 3), np.uint8)
+    base[:, :, 0] = np.linspace(30, 220, 16)[None, :]
+    base[:, :, 1] = np.linspace(60, 180, 16)[:, None]
+    base[:, :, 2] = 90
+    df = _media_df(spark, [
+        (1, "image", mm.encode_raw_image(base.astype(np.float32)),
+         "image/raw"),
+        (2, "image", jpeg_encode(base, quality=95), "image/jpeg"),
+    ])
+    rows = {r.media_id: r for r in mm.image_features(df).collect()}
+    assert rows[2].height == 16 and rows[2].width == 16
+    assert rows[2].channels == 3
+    assert abs(rows[1].mean - rows[2].mean) < 2.0
+    assert abs(rows[1].std - rows[2].std) < 3.0
