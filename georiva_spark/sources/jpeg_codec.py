@@ -427,11 +427,13 @@ def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def jpeg_encode(pixels: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Encode (h, w) or (h, w, c) uint8 (c in {1, 3}) as baseline JFIF
     (Annex-K tables scaled by ``quality``); ``subsample=True`` writes
     4:2:0 (2×2-averaged chroma — the layout wild JPEGs ship), else
-    4:4:4."""
+    4:4:4. ``restart_interval`` emits a DRI segment and RSTn markers
+    every N MCUs (what camera firmware writes for error resilience)."""
     a = np.asarray(pixels, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -464,6 +466,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     out += _dht_seg(0, 0, *_DC_L) + _dht_seg(1, 0, *_AC_L)
     if nc == 3:
         out += _dht_seg(0, 1, *_DC_C) + _dht_seg(1, 1, *_AC_C)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
@@ -488,8 +492,18 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     else:
         padded = [_pad_plane(p, mcuy * 8, mcux * 8) for p in planes]
         nblk = [(1, 1)] * nc
+    mcu_count = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                for p in preds:
+                    p[0] = 0
+            mcu_count += 1
             for ci in range(nc):
                 bh, bv = nblk[ci]
                 for by in range(bv):

@@ -143,3 +143,16 @@ def test_jpeg_through_image_features(spark):
     assert rows[2].channels == 3
     assert abs(rows[1].mean - rows[2].mean) < 2.0
     assert abs(rows[1].std - rows[2].std) < 3.0
+
+
+def test_jpeg_restart_markers():
+    """DRI + RSTn streams decode identically to the unsegmented stream
+    (DC predictors reset, bit alignment at each marker)."""
+    from georiva_spark.sources.jpeg_codec import jpeg_decode, jpeg_encode
+    g = (128 + 60 * np.sin(np.arange(64)[:, None] / 5)
+         * np.cos(np.arange(64)[None, :] / 7)).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(g, quality=90))
+    for ri in (1, 3):
+        enc = jpeg_encode(g, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        np.testing.assert_array_equal(jpeg_decode(enc), base)
