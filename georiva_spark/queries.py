@@ -778,6 +778,7 @@ _DRIVER_PRIORITY = [
     # new/changed this round
     "ingest_grib2_aec",
     "image_features_png",
+    "image_features_jpeg",
     "zarr_v3_fill",
     "zarr_forder",
     # previously recorded green; remaining window slots re-verify the

@@ -2039,6 +2039,51 @@ FROM u GROUP BY vec_id, k
 """
 
 
+def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG decode with a HASH-EXACT oracle: 8×8-block-constant
+    grayscale images survive baseline JPEG at quality 100 bit-exactly
+    (a constant block is pure DC; the top-left quantizer is 1 at q=100,
+    so FDCT→quantize→IDCT→round is the identity — asserted for the
+    whole value range in tests). Each vector becomes a 16×16 image of 4
+    constant blocks valued (31·vec_id + 57·b) mod 256, JPEG-encoded by
+    sources/jpeg_codec.py and decoded back through the multimodal seam;
+    the oracle replays the block values in SQL."""
+    from georiva_spark.sources.jpeg_codec import jpeg_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id in pdf["vec_id"]:
+                v = int(vec_id)
+                blocks = np.array(
+                    [[(31 * v) % 256, (31 * v + 57) % 256],
+                     [(31 * v + 114) % 256, (31 * v + 171) % 256]],
+                    dtype=np.uint8)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                rows.append((v, "image", jpeg_encode(img, quality=100),
+                             "image/jpeg"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "mime"])
+
+    media = emb.select("vec_id").mapInPandas(
+        gen, schema="media_id long, kind string, content binary, mime string")
+    return mm.image_features(media)
+
+
+SQL_IMAGE_FEATURES_JPEG = """
+WITH u AS (
+  SELECT vec_id, CAST((31 * vec_id + 57 * b) % 256 AS DOUBLE) AS v
+  FROM embeddings, (VALUES (0), (1), (2), (3)) t(b))
+SELECT vec_id AS media_id, CAST(16 AS INTEGER) AS height,
+       CAST(16 AS INTEGER) AS width, CAST(1 AS INTEGER) AS channels,
+       avg(v) AS mean, stddev_pop(v) AS std,
+       min(v) AS "min", max(v) AS "max"
+FROM u GROUP BY vec_id
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _embeddings_as_media(spark, sf_dir, "audio")
     return mm.audio_features(media)
@@ -3109,6 +3154,7 @@ EXT_QUERIES = {
     "image_features": q_image_features,
     "image_resize": q_image_resize,
     "image_features_png": q_image_features_png,
+    "image_features_jpeg": q_image_features_jpeg,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3190,6 +3236,7 @@ EXT_ORACLES = {
     "image_features": SQL_IMAGE_FEATURES,
     "image_resize": SQL_IMAGE_RESIZE,
     "image_features_png": SQL_IMAGE_FEATURES_PNG,
+    "image_features_jpeg": SQL_IMAGE_FEATURES_JPEG,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frames": SQL_VIDEO_FRAMES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

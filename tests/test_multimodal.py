@@ -156,3 +156,14 @@ def test_jpeg_restart_markers():
         enc = jpeg_encode(g, quality=90, restart_interval=ri)
         assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
         np.testing.assert_array_equal(jpeg_decode(enc), base)
+
+
+def test_jpeg_q100_constant_blocks_identity_whole_range():
+    """The invariant image_features_jpeg's oracle rests on: EVERY uint8
+    value round-trips bit-exactly through baseline JPEG q=100 when the
+    image is 8x8-block-constant (pure DC, top-left quantizer 1)."""
+    from georiva_spark.sources.jpeg_codec import jpeg_decode, jpeg_encode
+    vals = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)      # 128x128
+    dec = jpeg_decode(jpeg_encode(img, quality=100))[:, :, 0]
+    np.testing.assert_array_equal(dec, img)
