@@ -9,10 +9,12 @@ stored partitioned by (kind, bucket(media_id)) so a decode pass is an
 embarrassingly parallel scan.
 
 Codecs: a deterministic dependency-free RAW codec (little-endian header +
-float32 samples) is implemented fully and exercised by tests — it defines
-the batch shape, schema, and UDF signatures. JPEG/PNG (PIL) and compressed
-audio (soundfile) decoders are import-gated behind the same seam
-(_decode_image_bytes), so wiring a real library is a one-function change.
+float32 samples) defines the batch shape, schema, and UDF signatures;
+real PNG (gray/RGB/RGBA, 8/16-bit — sources/png_codec.py) and baseline
+JPEG (gray/4:4:4/4:2:0, restart markers — sources/jpeg_codec.py) decode
+natively through the same seam (_decode_image_bytes). Progressive JPEG
+and compressed audio (soundfile) fall back to import-gated libraries,
+raising by name when absent.
 """
 
 from __future__ import annotations
@@ -231,3 +233,44 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     return (media.select("media_id", "content")
             .mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA))
+
+
+SCENE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame_mean", T.DoubleType()),
+])
+
+
+def scene_cuts(media: DataFrame, threshold: float) -> DataFrame:
+    """Scene-cut detection over video columns: per-frame brightness
+    means (one vectorized decode per video, Arrow-batched) followed by
+    a per-video lag window — a cut is a frame whose mean jumps more
+    than ``threshold`` from its predecessor (frame 0 always starts a
+    scene). The window partitions by media_id, so state is one video's
+    frames — never a global sort."""
+    from pyspark.sql import Window
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not content.startswith(RAW_VIDEO_MAGIC):
+                    raise NotImplementedError(
+                        "only RAW video payloads decode in this container")
+                n, h, w = struct.unpack_from("<III", content, 4)
+                frames = np.frombuffer(content, dtype=np.float32,
+                                       offset=16).reshape(n, h * w)
+                means = frames.astype(np.float64).mean(axis=1)
+                rows.extend((int(mid), i, float(m))
+                            for i, m in enumerate(means))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              SCENE_SCHEMA.fields])
+
+    feats = (media.select("media_id", "content")
+             .mapInPandas(gen, schema=SCENE_SCHEMA))
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    prev = F.lag("frame_mean").over(w)
+    return feats.withColumn(
+        "cut", prev.isNull() | (F.abs(F.col("frame_mean") - prev)
+                                > F.lit(threshold)))

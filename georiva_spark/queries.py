@@ -779,6 +779,7 @@ _DRIVER_PRIORITY = [
     "ingest_grib2_aec",
     "image_features_png",
     "image_features_jpeg",
+    "video_scenes",
     "zarr_v3_fill",
     "zarr_forder",
     # previously recorded green; remaining window slots re-verify the

@@ -2165,6 +2165,41 @@ FROM embeddings, (VALUES (0), (2)) t(f)
 """
 
 
+def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection: each embedding becomes a 4-frame 4×4 RAW
+    video; a cut is a frame whose brightness mean jumps > 0.2 from its
+    predecessor (frame 0 always cuts). One vectorized decode per video
+    + a per-video lag window; the oracle replays the frame means over
+    the embedding slices and the same lag comparison in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32).reshape(4, 4, 4)
+                rows.append((int(vec_id), mm.encode_raw_video(a)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = emb.mapInPandas(gen, schema="media_id long, content binary")
+    return mm.scene_cuts(media, threshold=0.2)
+
+
+SQL_VIDEO_SCENES = """
+WITH m AS (
+  SELECT vec_id AS media_id, f AS frame_index,
+         list_avg(list_transform(range(16*f + 1, 16*f + 17),
+                                 i -> CAST(embedding[i] AS DOUBLE)))
+           AS frame_mean
+  FROM embeddings, (VALUES (0), (1), (2), (3)) t(f))
+SELECT media_id, frame_index, frame_mean,
+       COALESCE(ABS(frame_mean - LAG(frame_mean) OVER
+                    (PARTITION BY media_id ORDER BY frame_index))
+                > 0.2, TRUE) AS cut
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the hash-dependent / multimodal queries. The portable
 # 60-bit hash (first 15 hex chars of md5 as integer) is computable
@@ -3157,6 +3192,7 @@ EXT_QUERIES = {
     "image_features_jpeg": q_image_features_jpeg,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "video_scenes": q_video_scenes,
     "embedding_near_dup": q_embedding_near_dup,
     "windowed_agg": q_windowed_agg,
     "minhash_dedup": q_minhash_dedup,
@@ -3239,6 +3275,7 @@ EXT_ORACLES = {
     "image_features_jpeg": SQL_IMAGE_FEATURES_JPEG,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frames": SQL_VIDEO_FRAMES,
+    "video_scenes": SQL_VIDEO_SCENES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "windowed_agg": SQL_WINDOWED_AGG,
     "minhash_dedup": SQL_MINHASH_DEDUP,

@@ -167,3 +167,17 @@ def test_jpeg_q100_constant_blocks_identity_whole_range():
     img = np.repeat(np.repeat(vals, 8, 0), 8, 1)      # 128x128
     dec = jpeg_decode(jpeg_encode(img, quality=100))[:, :, 0]
     np.testing.assert_array_equal(dec, img)
+
+
+def test_scene_cuts_golden(spark):
+    """Hand-built video: flat, flat, jump, flat → cuts at frames 0, 2."""
+    frames = np.stack([np.full((4, 4), 0.1), np.full((4, 4), 0.15),
+                       np.full((4, 4), 0.9), np.full((4, 4), 0.88)])
+    df = _media_df(spark, [(5, "video",
+                            mm.encode_raw_video(frames.astype(np.float32)),
+                            "video/raw")])
+    rows = {r.frame_index: r for r in
+            mm.scene_cuts(df.select("media_id", "content"),
+                          threshold=0.2).collect()}
+    assert [rows[i].cut for i in range(4)] == [True, False, True, False]
+    assert rows[2].frame_mean == pytest.approx(0.9, abs=1e-6)
