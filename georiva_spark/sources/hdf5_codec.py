@@ -9,8 +9,11 @@ reader (`decode_hdf5` / `decode_netcdf4`):
 - superblock v0 (libhdf5 default) and v2/v3 (libver='latest')
 - version-1 object headers incl. continuation blocks AND version-2
   ('OHDR', 'OCHK' continuations; checksums skipped like fletcher32)
-- symbol-table groups (v1 B-tree + local heap) AND new-style groups
-  with compact link messages (dense/fractal-heap storage gates)
+- symbol-table groups (v1 B-tree + local heap) AND new-style groups:
+  compact link messages OR dense storage (fractal heap root-direct /
+  one-level-indirect blocks + v2 B-tree link-name records — libhdf5's
+  layout past 8 links; filtered heaps, nested indirect blocks and
+  deeper B-trees gate by name)
 - dataspace v1/v2; datatypes: fixed-point, IEEE float (LE), string,
   object reference, vlen
 - layout v3 contiguous and chunked (v1 B-tree chunk index, any depth)
@@ -31,7 +34,7 @@ writer (`encode_hdf5` / `encode_grid_netcdf4`):
   written against the HDF5 spec, not against this writer.
 
 Anything outside the subset raises NotImplementedError naming the
-feature (v2 object headers, BE numerics, fractal-heap groups).
+feature (BE numerics, filtered/nested fractal heaps, deep v2 B-trees).
 """
 
 from __future__ import annotations
@@ -302,6 +305,120 @@ def _parse_link(body: bytes) -> tuple[str, int] | None:
     return name, _u(body, pos, 8)
 
 
+def _fractal_heap_blocks(buf: bytes, frhp_addr: int):
+    """Parse a fractal heap (FRHP) header + root block into
+    (block_map, offset_size, length_size): block_map is a sorted list of
+    (heap_offset, file_addr, size) for every DIRECT block, so a managed
+    heap ID's offset can be resolved to a file position. Supported
+    layout: root direct block, or one root indirect block (FHIB) whose
+    children are all direct — the shape libhdf5 emits for link storage
+    up to tens of thousands of links. Filtered heaps and nested
+    indirect blocks raise by name."""
+    if buf[frhp_addr:frhp_addr + 4] != b"FRHP":
+        raise ValueError(f"bad fractal heap @{frhp_addr}")
+    p = frhp_addr + 5
+    heap_id_len = _u(buf, p, 2)
+    filt_len = _u(buf, p + 2, 2)
+    if filt_len:
+        raise NotImplementedError("filtered fractal heap")
+    flags = buf[p + 4]
+    p += 5 + 4                           # max managed obj size
+    p += 8 * 12                          # ids/addrs/space statistics
+    width = _u(buf, p, 2)
+    start_size = _u(buf, p + 2, 8)
+    max_direct = _u(buf, p + 10, 8)
+    max_heap_bits = _u(buf, p + 18, 2)
+    p += 20
+    p += 2                               # starting rows in root indirect
+    root_addr = _u(buf, p, 8)
+    cur_rows = _u(buf, p + 8, 2)
+    off_size = (max_heap_bits + 7) // 8
+    len_size = heap_id_len - 1 - off_size
+    dblk_hdr = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
+
+    def _check_dblk(addr: int) -> None:
+        if buf[addr:addr + 4] != b"FHDB":
+            raise ValueError(f"bad fractal heap direct block @{addr}")
+
+    blocks = []
+    if cur_rows == 0:                    # root IS a direct block
+        _check_dblk(root_addr)
+        blocks.append((0, root_addr, start_size))
+    else:
+        if buf[root_addr:root_addr + 4] != b"FHIB":
+            raise ValueError(f"bad fractal heap indirect @{root_addr}")
+        q = root_addr + 4 + 1 + 8 + off_size
+        heap_off = 0
+        max_direct_rows = (max_direct // start_size).bit_length() + 1
+        for row in range(cur_rows):
+            size = start_size if row < 2 else start_size << (row - 1)
+            if row >= max_direct_rows:
+                raise NotImplementedError(
+                    "nested indirect fractal heap blocks")
+            for _ in range(width):
+                caddr = _u(buf, q, 8)
+                q += 8
+                if caddr != UNDEF:
+                    _check_dblk(caddr)
+                    blocks.append((heap_off, caddr, size))
+                heap_off += size
+    return blocks, off_size, len_size, dblk_hdr
+
+
+def _heap_object(buf, blocks, dblk_hdr, heap_off: int,
+                 length: int) -> bytes:
+    for boff, baddr, bsize in blocks:
+        if boff <= heap_off < boff + bsize:
+            # heap offsets COVER the block header bytes
+            return buf[baddr + (heap_off - boff):
+                       baddr + (heap_off - boff) + length]
+    raise ValueError(f"heap offset {heap_off} outside all direct blocks")
+
+
+def _v2_btree_records(buf: bytes, bthd_addr: int):
+    """v2 B-tree (BTHD) → raw record list. Depth-0 (root leaf) only —
+    the shape link-name indexes take until ~node_size/record_size
+    links; deeper trees raise by name."""
+    if buf[bthd_addr:bthd_addr + 4] != b"BTHD":
+        raise ValueError(f"bad v2 btree @{bthd_addr}")
+    p = bthd_addr + 4 + 1 + 1
+    p += 4                               # node size
+    rec_size = _u(buf, p, 2)
+    depth = _u(buf, p + 2, 2)
+    p += 4 + 2                           # split/merge percent
+    root_addr = _u(buf, p, 8)
+    root_nrec = _u(buf, p + 8, 2)
+    if depth != 0:
+        raise NotImplementedError("v2 B-tree deeper than a root leaf")
+    if buf[root_addr:root_addr + 4] != b"BTLF":
+        raise ValueError(f"bad v2 btree leaf @{root_addr}")
+    q = root_addr + 4 + 1 + 1
+    return [buf[q + i * rec_size:q + (i + 1) * rec_size]
+            for i in range(root_nrec)]
+
+
+def _dense_links(buf: bytes, frhp_addr: int, bthd_addr: int) -> dict:
+    """Dense link storage: resolve every type-5 (link name) v2-B-tree
+    record's managed heap ID into the fractal heap, decode the stored
+    Link message body. Record layout: 4-byte name hash + heap ID
+    (flag byte, offset, length); the hash is an index key we don't
+    need — records are scanned, not looked up."""
+    blocks, off_size, len_size, dblk_hdr = \
+        _fractal_heap_blocks(buf, frhp_addr)
+    entries = {}
+    for rec in _v2_btree_records(buf, bthd_addr):
+        hid = rec[4:]
+        if (hid[0] >> 4) & 0x03 != 0:
+            raise NotImplementedError("huge/tiny fractal heap object")
+        off = _u(hid, 1, off_size)
+        length = _u(hid, 1 + off_size, len_size)
+        body = _heap_object(buf, blocks, dblk_hdr, off, length)
+        link = _parse_link(body)
+        if link is not None:
+            entries[link[0]] = link[1]
+    return entries
+
+
 def _walk_chunk_btree(buf: bytes, addr: int, ndims: int,
                       out: list) -> None:
     """Collect (offsets, size, filter_mask, address) from a v1 chunk
@@ -509,14 +626,17 @@ def decode_hdf5(buf: bytes) -> dict:
         if st:
             entries = _read_group(buf, _u(st[0], 0, 8), _u(st[0], 8, 8))
         else:
-            # new-style group: compact link messages in the header
+            # new-style group: compact link messages in the header, or
+            # dense storage (fractal heap + v2 B-tree name index) past
+            # libhdf5's 8-link compact threshold
+            entries = {}
             for t, b in msgs:
                 if t == 0x0002 and len(b) >= 2:     # Link Info
                     off = 2 + (8 if b[1] & 0x01 else 0)
-                    if _u(b, off, 8) != UNDEF:
-                        raise NotImplementedError(
-                            "dense link storage (fractal heap)")
-            entries = {}
+                    frhp = _u(b, off, 8)
+                    if frhp != UNDEF:
+                        entries.update(
+                            _dense_links(buf, frhp, _u(b, off + 8, 8)))
             for t, b in msgs:
                 if t == MSG_LINK:
                     link = _parse_link(b)

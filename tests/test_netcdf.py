@@ -398,3 +398,215 @@ def test_hdf5_szip_lsb_msb_sample_orders():
                                   x.astype(">u2"))
     with pytest.raises(NotImplementedError, match="bits_per_pixel"):
         _unszip(raw, [0x10, 24, 32, 128])
+
+
+def test_hdf5_dense_link_group_fractal_heap():
+    """Dense link storage — what libhdf5 switches to past 8 links (so
+    any ≥9-variable netCDF-4 file): link messages live as managed
+    objects in a fractal heap, indexed by a v2 B-tree of (hash, heap
+    ID) records. Hand-assembled: FRHP header + one root direct block
+    holding 12 link messages, BTHD + BTLF leaf with 12 records, root
+    OHDR carrying the Link Info message."""
+    from georiva_spark.sources.hdf5_codec import decode_hdf5
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    out = bytearray(b"\0" * 48)          # superblock v2 placeholder
+
+    def alloc(b):
+        off = len(out)
+        out.extend(b)
+        return off
+
+    DT_F64 = (b"\x11\x20\x3f\x00" + struct.pack("<I", 8)
+              + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+
+    def ds_v2(shape):
+        return (struct.pack("<BBBB", 2, len(shape), 0, 1)
+                + b"".join(struct.pack("<Q", s) for s in shape))
+
+    def msg(mtype, body):
+        return struct.pack("<BHB", mtype, len(body), 0) + body
+
+    def ohdr(msgs):
+        payload = b"".join(msgs)
+        assert len(payload) < 256
+        return (b"OHDR" + struct.pack("<BBB", 2, 0, len(payload))
+                + payload + b"\0\0\0\0")
+
+    # 12 contiguous float64 datasets var00..var11 = [i, i+1]
+    headers = {}
+    for i in range(12):
+        vals = np.array([float(i), float(i) + 1.0])
+        daddr = alloc(vals.tobytes())
+        lay = struct.pack("<BB", 3, 1) + struct.pack("<QQ", daddr, 16)
+        headers[f"var{i:02d}"] = alloc(ohdr([
+            msg(0x0001, ds_v2((2,))), msg(0x0003, DT_F64),
+            msg(0x0008, lay)]))
+
+    # ---- fractal heap: one root DIRECT block with the link messages
+    HID_LEN, MAXHEAP_BITS = 8, 32        # → offset 4 bytes, length 3
+    off_size = (MAXHEAP_BITS + 7) // 8
+    dblk_hdr = 4 + 1 + 8 + off_size      # flags=0: no dblk checksum
+    link_bodies = []
+    for name, addr in headers.items():
+        b = name.encode()
+        link_bodies.append(struct.pack("<BBB", 1, 0, len(b)) + b
+                           + struct.pack("<Q", addr))
+    START_SIZE = 512
+    dblk = bytearray(b"FHDB" + bytes([0]) + b"\0" * 8
+                     + (0).to_bytes(off_size, "little"))
+    ids = []                              # (heap_offset, length)
+    for body in link_bodies:
+        ids.append((len(dblk), len(body)))
+        dblk += body
+    dblk += b"\0" * (START_SIZE - len(dblk))
+    dblk_addr = alloc(bytes(dblk))
+
+    frhp = bytearray(b"FRHP" + bytes([0]))
+    frhp += struct.pack("<HHB", HID_LEN, 0, 0)     # id len, filt, flags
+    frhp += struct.pack("<I", 256)                 # max managed size
+    frhp += b"\0" * (8 * 12)                       # stats block
+    frhp += struct.pack("<H", 4)                   # table width
+    frhp += struct.pack("<QQ", START_SIZE, 4096)   # start/max direct
+    frhp += struct.pack("<HH", MAXHEAP_BITS, 0)
+    frhp += struct.pack("<QH", dblk_addr, 0)       # root dblk, 0 rows
+    frhp += b"\0\0\0\0"
+    frhp_addr = alloc(bytes(frhp))
+    # heap header address inside the dblk back-patches
+    out[dblk_addr + 5:dblk_addr + 13] = struct.pack("<Q", frhp_addr)
+
+    # ---- v2 B-tree: BTHD + one BTLF leaf of (hash, heap id) records
+    rec_size = 4 + HID_LEN
+    recs = b""
+    for off, ln in ids:
+        hid = bytes([0]) + off.to_bytes(off_size, "little") \
+            + ln.to_bytes(HID_LEN - 1 - off_size, "little")
+        recs += struct.pack("<I", 0xDEAD) + hid    # hash unused by scan
+    btlf = b"BTLF" + bytes([0, 5]) + recs + b"\0\0\0\0"
+    btlf_addr = alloc(btlf)
+    bthd = (b"BTHD" + bytes([0, 5]) + struct.pack("<IHH", 2048, rec_size, 0)
+            + bytes([85, 40]) + struct.pack("<QH", btlf_addr, len(ids))
+            + struct.pack("<Q", len(ids)) + b"\0\0\0\0")
+    bthd_addr = alloc(bthd)
+
+    link_info = msg(0x0002, struct.pack("<BB", 0, 0)
+                    + struct.pack("<QQ", frhp_addr, bthd_addr))
+    root_hdr = alloc(ohdr([link_info]))
+
+    sb = (b"\x89HDF\r\n\x1a\n" + struct.pack("<BBBB", 2, 8, 8, 0)
+          + struct.pack("<QQQQ", 0, UNDEF, len(out), root_hdr)
+          + b"\0\0\0\0")
+    out[0:48] = sb
+
+    d = decode_hdf5(bytes(out))
+    assert sorted(d) == [f"var{i:02d}" for i in range(12)]
+    for i in range(12):
+        np.testing.assert_array_equal(d[f"var{i:02d}"]["data"],
+                                      [float(i), float(i) + 1.0])
+
+
+def test_hdf5_dense_links_root_indirect_block():
+    """Same dense layout but with a root INDIRECT block (FHIB, 1 row ×
+    width 4, two occupied direct blocks) — the next shape up when links
+    outgrow one direct block."""
+    from georiva_spark.sources.hdf5_codec import decode_hdf5
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    out = bytearray(b"\0" * 48)
+
+    def alloc(b):
+        off = len(out)
+        out.extend(b)
+        return off
+
+    DT_F64 = (b"\x11\x20\x3f\x00" + struct.pack("<I", 8)
+              + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+
+    def ds_v2(shape):
+        return (struct.pack("<BBBB", 2, len(shape), 0, 1)
+                + b"".join(struct.pack("<Q", s) for s in shape))
+
+    def msg(mtype, body):
+        return struct.pack("<BHB", mtype, len(body), 0) + body
+
+    def ohdr(msgs):
+        payload = b"".join(msgs)
+        return (b"OHDR" + struct.pack("<BBB", 2, 0, len(payload))
+                + payload + b"\0\0\0\0")
+
+    headers = {}
+    for i in range(10):
+        vals = np.array([10.0 * i])
+        daddr = alloc(vals.tobytes())
+        lay = struct.pack("<BB", 3, 1) + struct.pack("<QQ", daddr, 8)
+        headers[f"d{i}"] = alloc(ohdr([
+            msg(0x0001, ds_v2((1,))), msg(0x0003, DT_F64),
+            msg(0x0008, lay)]))
+
+    HID_LEN, MAXHEAP_BITS, START = 8, 32, 128
+    off_size = (MAXHEAP_BITS + 7) // 8
+    names = list(headers)
+    halves = [names[:5], names[5:]]
+    dblk_addrs = []
+    ids = []
+    for bi, group in enumerate(halves):
+        block_heap_off = bi * START
+        dblk = bytearray(b"FHDB" + bytes([0]) + b"\0" * 8
+                         + block_heap_off.to_bytes(off_size, "little"))
+        for name in group:
+            b = name.encode()
+            body = struct.pack("<BBB", 1, 0, len(b)) + b \
+                + struct.pack("<Q", headers[name])
+            ids.append((block_heap_off + len(dblk), len(body)))
+            dblk += body
+        dblk += b"\0" * (START - len(dblk))
+        dblk_addrs.append(alloc(bytes(dblk)))
+
+    # root indirect: 1 current row, width 4 → 4 child slots (2 used)
+    fhib = bytearray(b"FHIB" + bytes([0]) + b"\0" * 8
+                     + (0).to_bytes(off_size, "little"))
+    for slot in range(4):
+        addr = dblk_addrs[slot] if slot < 2 else UNDEF
+        fhib += struct.pack("<Q", addr)
+    fhib += b"\0\0\0\0"
+    fhib_addr = alloc(bytes(fhib))
+
+    frhp = bytearray(b"FRHP" + bytes([0]))
+    frhp += struct.pack("<HHB", HID_LEN, 0, 0)
+    frhp += struct.pack("<I", 256)
+    frhp += b"\0" * (8 * 12)
+    frhp += struct.pack("<H", 4)
+    frhp += struct.pack("<QQ", START, 4096)
+    frhp += struct.pack("<HH", MAXHEAP_BITS, 1)    # starting rows 1
+    frhp += struct.pack("<QH", fhib_addr, 1)       # root FHIB, 1 row
+    frhp += b"\0\0\0\0"
+    frhp_addr = alloc(bytes(frhp))
+    for a in dblk_addrs:
+        out[a + 5:a + 13] = struct.pack("<Q", frhp_addr)
+    out[fhib_addr + 5:fhib_addr + 13] = struct.pack("<Q", frhp_addr)
+
+    rec_size = 4 + HID_LEN
+    recs = b""
+    for off, ln in ids:
+        hid = bytes([0]) + off.to_bytes(off_size, "little") \
+            + ln.to_bytes(HID_LEN - 1 - off_size, "little")
+        recs += struct.pack("<I", 0, ) + hid
+    btlf = b"BTLF" + bytes([0, 5]) + recs + b"\0\0\0\0"
+    btlf_addr = alloc(btlf)
+    bthd = (b"BTHD" + bytes([0, 5])
+            + struct.pack("<IHH", 2048, rec_size, 0)
+            + bytes([85, 40]) + struct.pack("<QH", btlf_addr, len(ids))
+            + struct.pack("<Q", len(ids)) + b"\0\0\0\0")
+    bthd_addr = alloc(bthd)
+
+    link_info = msg(0x0002, struct.pack("<BB", 0, 0)
+                    + struct.pack("<QQ", frhp_addr, bthd_addr))
+    root_hdr = alloc(ohdr([link_info]))
+    sb = (b"\x89HDF\r\n\x1a\n" + struct.pack("<BBBB", 2, 8, 8, 0)
+          + struct.pack("<QQQQ", 0, UNDEF, len(out), root_hdr)
+          + b"\0\0\0\0")
+    out[0:48] = sb
+
+    d = decode_hdf5(bytes(out))
+    assert sorted(d) == sorted(names)
+    np.testing.assert_array_equal(d["d7"]["data"], [70.0])
