@@ -881,3 +881,51 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         state.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long")
+
+
+def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
+                    text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 — at
+    n-gram granularity): every token position covered by an n-gram that
+    occurs in ≥ ``min_docs`` DISTINCT documents, merged into maximal
+    spans → (doc_id, span_start, span_end, n_tokens). Downstream can
+    cut the spans out of the corpus (the paper's ExactSubstr policy).
+
+    Scale shape: in-row n-gram hashing (portable 60-bit, never the
+    text), one (gram, doc_id) shuffle for the document-frequency
+    filter, one gram-keyed join back, then a per-doc window — every
+    shuffled row is (hash, id, pos) longs; the span merge is island
+    detection over sorted positions, state bounded by one document."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array())
+    grams = F.transform(
+        idx, lambda i: F.struct(
+            (i - 1).alias("pos"),
+            portable_hash64(F.concat_ws(" ", F.slice(toks, i, n)))
+            .alias("gram")))
+    g = (docs.select("doc_id", F.explode(grams).alias("g"))
+         .select("doc_id", F.col("g.pos").alias("pos"),
+                 F.col("g.gram").alias("gram")))
+    dup = (g.groupBy("gram")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .where(F.col("df") >= min_docs))
+    hits = g.join(dup.select("gram"), "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + n,
+                 1).otherwise(0)
+    run = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (hits.withColumn("brk", brk)
+            .withColumn("grp", F.sum("brk").over(run))
+            .groupBy("doc_id", "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(n - 1)).alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("n_tokens")))

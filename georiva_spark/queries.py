@@ -780,6 +780,7 @@ _DRIVER_PRIORITY = [
     "image_features_png",
     "image_features_jpeg",
     "video_scenes",
+    "dup_spans",
     "zarr_v3_fill",
     "zarr_forder",
     # previously recorded green; remaining window slots re-verify the

@@ -986,6 +986,47 @@ FROM u GROUP BY y
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. arXiv:2107.06499 at
+    5-gram granularity) over the documents table: positions covered by
+    a 5-gram occurring in ≥2 distinct docs, merged into maximal spans.
+    The oracle replays the portable-hash n-grams, the document-
+    frequency filter, and the island merge in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (textops.duplicate_spans(docs, n=5, min_docs=2)
+            .orderBy("doc_id", "span_start"))
+
+
+SQL_DUP_SPANS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+        unnest(generate_series(1, greatest(len(toks) - 4, 0))) - 1
+          AS pos,
+        unnest(list_transform(
+          generate_series(1, greatest(len(toks) - 4, 0)),
+          i -> CAST('0x' || substring(
+                 md5(array_to_string(list_slice(toks, i, i + 4), ' ')),
+                 1, 15) AS BIGINT))) AS gram
+      FROM t),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+b AS (SELECT doc_id, pos,
+        CASE WHEN pos > LAG(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) + 5
+             THEN 1 ELSE 0 END AS brk
+      FROM h),
+s AS (SELECT doc_id, pos,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       MAX(pos) + 5 - MIN(pos) AS n_tokens
+FROM s GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def q_ingest_grib2_aec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end via CCSDS/AEC packing (template 5.42 — the
     encoding some ECMWF archives ship): the same pipeline as
@@ -3199,6 +3240,7 @@ EXT_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "line_dedup": q_line_dedup,
+    "dup_spans": q_dup_spans,
     "url_dedup": q_url_dedup,
     "semdedup": q_semdedup,
     "bpe_tokenize": q_bpe_tokenize,
@@ -3282,6 +3324,7 @@ EXT_ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "line_dedup": SQL_LINE_DEDUP,
+    "dup_spans": SQL_DUP_SPANS,
     "url_dedup": SQL_URL_DEDUP,
     "semdedup": SQL_SEMDEDUP,
     "bpe_tokenize": SQL_BPE_TOKENIZE,

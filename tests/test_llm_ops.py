@@ -859,3 +859,33 @@ def test_bpe_train_then_apply_roundtrip(spark):
     applied = textops.bpe_apply(df, merges).head()
     toks = applied.bpe_preview.split("|")
     assert "table" in toks          # 10 occurrences → fully merged
+
+
+def test_duplicate_spans_golden(spark):
+    """Two docs sharing an exact 7-token run + one unique doc: the
+    shared run is reported once per doc as a single merged span
+    (overlapping 3-grams fold into one island); the unique doc reports
+    nothing."""
+    from georiva_spark.operators.textops import duplicate_spans
+    shared = "the quick brown fox jumps over fences"
+    rows = [(1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon zeta"),
+            (3, "totally unrelated words only here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id): (r.span_start, r.span_end, r.n_tokens)
+           for r in duplicate_spans(docs, n=3, min_docs=2).collect()}
+    # doc 1: shared run occupies tokens 2..8; doc 2: tokens 0..6
+    assert out[1] == (2, 8, 7)
+    assert out[2] == (0, 6, 7)
+    assert 3 not in out
+
+
+def test_duplicate_spans_merges_disjoint_islands(spark):
+    from georiva_spark.operators.textops import duplicate_spans
+    rows = [(1, "a b c X Y Z d e f"),
+            (2, "a b c Q Q Q d e f")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted((r.doc_id, r.span_start, r.span_end)
+                 for r in duplicate_spans(docs, n=3, min_docs=2).collect())
+    # 'a b c' (positions 0-2) and 'd e f' (6-8) are separate islands
+    assert out == [(1, 0, 2), (1, 6, 8), (2, 0, 2), (2, 6, 8)]
