@@ -274,3 +274,40 @@ def scene_cuts(media: DataFrame, threshold: float) -> DataFrame:
     return feats.withColumn(
         "cut", prev.isNull() | (F.abs(F.col("frame_mean") - prev)
                                 > F.lit(threshold)))
+
+
+def audio_spectrum(media: DataFrame,
+                   bins: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
+    """Spectral features per clip: DFT band energies at the requested
+    bins (E_k = |Σ_t x_t e^{-2πikt/N}|²) plus the spectral centroid
+    over those bins — the frequency-domain counterpart of
+    audio_features, vectorized per batch (one matmul against the
+    cos/sin bank per Arrow batch, no per-sample Python)."""
+    fields = [T.StructField("media_id", T.LongType()),
+              T.StructField("n_samples", T.LongType())]
+    fields += [T.StructField(f"e{k}", T.DoubleType()) for k in bins]
+    fields += [T.StructField("centroid", T.DoubleType())]
+    schema = T.StructType(fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                x, _rate = decode_raw_audio(content)
+                x = x.astype(np.float64)
+                n = len(x)
+                t = np.arange(n)
+                es = []
+                for k in bins:
+                    ang = 2.0 * np.pi * k * t / n
+                    re = float(np.dot(x, np.cos(ang)))
+                    im = float(np.dot(x, np.sin(ang)))
+                    es.append(re * re + im * im)
+                tot = sum(es)
+                cen = (sum(k * e for k, e in zip(bins, es)) / tot
+                       if tot > 0 else None)
+                rows.append((int(mid), n, *es, cen))
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return (media.select("media_id", "content")
+            .mapInPandas(gen, schema=schema))

@@ -781,6 +781,7 @@ _DRIVER_PRIORITY = [
     "image_features_jpeg",
     "video_scenes",
     "dup_spans",
+    "audio_spectrum",
     "zarr_v3_fill",
     "zarr_forder",
     # previously recorded green; remaining window slots re-verify the

@@ -2130,6 +2130,49 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(media)
 
 
+def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features: DFT band energies at bins
+    1/2/4/8 + spectral centroid per 64-sample clip. The oracle computes
+    the identical naive-DFT sums (cos/sin banks over the embedding
+    slice) in SQL; both sides round to 4 dp per the float-determinism
+    policy (transcendental libm ulps)."""
+    media = _embeddings_as_media(spark, sf_dir, "audio")
+    out = mm.audio_spectrum(media, bins=(1, 2, 4, 8))
+    return out.select(
+        "media_id", "n_samples",
+        *[F.round(F.col(f"e{k}"), 4).alias(f"e{k}") for k in (1, 2, 4, 8)],
+        F.round("centroid", 4).alias("centroid"))
+
+
+def _sql_audio_spectrum() -> str:
+    def re_im(k):
+        return (f"list_sum(list_transform(generate_series(1, "
+                f"len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * "
+                f"cos(2*pi()*{k}*(i-1)/len(embedding))))",
+                f"list_sum(list_transform(generate_series(1, "
+                f"len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * "
+                f"sin(2*pi()*{k}*(i-1)/len(embedding))))")
+    es = []
+    for k in (1, 2, 4, 8):
+        re, im = re_im(k)
+        es.append(f"(({re}) * ({re}) + ({im}) * ({im})) AS raw_e{k}")
+    return f"""
+WITH s AS (SELECT vec_id AS media_id,
+                  CAST(len(embedding) AS BIGINT) AS n_samples,
+                  {", ".join(es)}
+           FROM embeddings)
+SELECT media_id, n_samples,
+       ROUND(raw_e1, 4) AS e1, ROUND(raw_e2, 4) AS e2,
+       ROUND(raw_e4, 4) AS e4, ROUND(raw_e8, 4) AS e8,
+       ROUND((1*raw_e1 + 2*raw_e2 + 4*raw_e4 + 8*raw_e8)
+             / (raw_e1 + raw_e2 + raw_e4 + raw_e8), 4) AS centroid
+FROM s
+"""
+
+
+SQL_AUDIO_SPECTRUM = _sql_audio_spectrum()
+
+
 def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window stats (streaming windowed_stats in its
     batch form — identical expression; the watermark/late-data behavior
@@ -3232,6 +3275,7 @@ EXT_QUERIES = {
     "image_features_png": q_image_features_png,
     "image_features_jpeg": q_image_features_jpeg,
     "audio_features": q_audio_features,
+    "audio_spectrum": q_audio_spectrum,
     "video_frames": q_video_frames,
     "video_scenes": q_video_scenes,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3316,6 +3360,7 @@ EXT_ORACLES = {
     "image_features_png": SQL_IMAGE_FEATURES_PNG,
     "image_features_jpeg": SQL_IMAGE_FEATURES_JPEG,
     "audio_features": SQL_AUDIO_FEATURES,
+    "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "video_frames": SQL_VIDEO_FRAMES,
     "video_scenes": SQL_VIDEO_SCENES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

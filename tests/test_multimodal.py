@@ -181,3 +181,19 @@ def test_scene_cuts_golden(spark):
                           threshold=0.2).collect()}
     assert [rows[i].cut for i in range(4)] == [True, False, True, False]
     assert rows[2].frame_mean == pytest.approx(0.9, abs=1e-6)
+
+
+def test_audio_spectrum_pure_tone(spark):
+    """A pure 4-cycle sine concentrates all band energy at bin 4 and
+    the centroid sits on 4; a DC-ish clip spreads nothing into the
+    probed bins."""
+    t = np.arange(64)
+    tone = np.sin(2 * np.pi * 4 * t / 64).astype(np.float32)
+    df = _media_df(spark, [(1, "audio", mm.encode_raw_audio(tone, 64),
+                            "audio/raw")])
+    r = mm.audio_spectrum(df.select("media_id", "content"),
+                          bins=(1, 2, 4, 8)).collect()[0]
+    assert r.e4 == pytest.approx((64 / 2) ** 2, rel=1e-6)
+    for k in (1, 2, 8):
+        assert getattr(r, f"e{k}") == pytest.approx(0.0, abs=1e-6)
+    assert r.centroid == pytest.approx(4.0, rel=1e-6)
