@@ -34,8 +34,10 @@ HEADLINE = [
     "zarr_blosc", "zarr_v3", "ingest_grib2_reduced",
     "c4_rules", "fasttext_score", "temperature_mix", "lm_bigram",
     # r4 additions: legacy-layout zarr scan, CCSDS-packed GRIB ingest,
-    # real-PNG multimodal decode, incremental BPE training
+    # real-PNG/JPEG multimodal decode, incremental BPE training,
+    # duplicated-span dedup, video scene cuts, audio spectra
     "zarr_forder", "ingest_grib2_aec", "image_features_png", "bpe_train",
+    "image_features_jpeg", "video_scenes", "dup_spans", "audio_spectrum",
 ]
 
 

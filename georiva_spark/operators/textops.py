@@ -900,18 +900,25 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
-    idx = F.when(
-        F.size(toks) >= n,
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    ).otherwise(F.array())
-    grams = F.transform(
-        idx, lambda i: F.struct(
-            (i - 1).alias("pos"),
-            portable_hash64(F.concat_ws(" ", F.slice(toks, i, n)))
-            .alias("gram")))
-    g = (docs.select("doc_id", F.explode(grams).alias("g"))
-         .select("doc_id", F.col("g.pos").alias("pos"),
-                 F.col("g.gram").alias("gram")))
+    # n-gram strings via ZIP-SHIFTED arrays (arrays only ever top-level
+    # HOF args — a slice-per-index transform re-evaluates the upstream
+    # array per element in the interpreted evaluator: measured 3.3 s →
+    # 0.4 s at sf0.1); hashing happens AFTER the explode, where md5 is
+    # whole-stage codegen over rows, not an interpreted lambda
+    s = toks
+    for k in range(1, n):
+        tk = F.slice(toks, k + 1,
+                     F.greatest(F.size(toks) - k, F.lit(0)))
+        s = F.zip_with(
+            s, tk, lambda a, b: F.when(
+                b.isNull() | a.isNull(), F.lit(None)
+            ).otherwise(F.concat_ws(" ", a, b)))
+    gram_strs = F.slice(
+        s, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    g = (docs.select("doc_id",
+                     F.posexplode(gram_strs).alias("pos", "gs"))
+         .select("doc_id", "pos",
+                 portable_hash64(F.col("gs")).alias("gram")))
     dup = (g.groupBy("gram")
            .agg(F.countDistinct("doc_id").alias("df"))
            .where(F.col("df") >= min_docs))
