@@ -919,10 +919,19 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
                      F.posexplode(gram_strs).alias("pos", "gs"))
          .select("doc_id", "pos",
                  portable_hash64(F.col("gs")).alias("gram")))
-    dup = (g.groupBy("gram")
-           .agg(F.countDistinct("doc_id").alias("df"))
-           .where(F.col("df") >= min_docs))
-    hits = g.join(dup.select("gram"), "gram").select("doc_id", "pos")
+    # document frequency as a WINDOW over the gram partition (max of
+    # dense_rank by doc_id) — one shuffle+sort on gram, g evaluated
+    # once, no join-back recompute of the explode lineage (a
+    # groupBy-countDistinct + join shape re-ran the gram build twice
+    # and cost ~2× at bench scale); sort-based, so no per-key
+    # collect_set state for boilerplate grams that appear in millions
+    # of documents
+    wg = Window.partitionBy("gram").orderBy("doc_id")
+    wall = Window.partitionBy("gram")
+    hits = (g.withColumn("dr", F.dense_rank().over(wg))
+            .withColumn("df", F.max("dr").over(wall))
+            .where(F.col("df") >= min_docs)
+            .select("doc_id", "pos"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + n,
                  1).otherwise(0)
