@@ -232,3 +232,34 @@ def test_lm_bigram_broadcast_model_joins(spark):
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoop" not in phys
     assert "BatchEvalPython" not in phys
+
+
+def test_dup_spans_single_gram_shuffle_no_join(spark):
+    """dup_spans computes document frequency as a window over the gram
+    partition: no join back (which would recompute the explode
+    lineage), no cartesian, and the gram build stays in the scan stage
+    (hash applied post-explode in codegen, not an interpreted lambda)."""
+    plan = _plan(QUERIES["dup_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # two logical window stages (gram df, island merge), both present
+    assert plan.count("Window") >= 2
+
+
+def test_video_scenes_partitions_by_media(spark):
+    """scene_cuts' lag window partitions by media_id — state is one
+    video's frames, never a global sort."""
+    plan = _plan(QUERIES["video_scenes"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Window" in phys
+    assert "hashpartitioning(media_id#" in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_audio_spectrum_no_shuffle(spark):
+    """audio_spectrum is a pure per-clip decode: no exchange other than
+    the scan's own output."""
+    plan = _plan(QUERIES["audio_spectrum"](spark, SF))
+    import re
+    n_ex = len(re.findall(r"Exchange", plan))
+    assert n_ex == 0, plan
