@@ -219,6 +219,17 @@ def main():
     print(f"lm_bigram fit+score: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
           f"-> {nlb} scored")
 
+    # duplicated-substring spans: every doc shares its template's
+    # 5-grams with ≥4 siblings (one mutated token only breaks grams in
+    # a ±4 window), so EVERY doc must carry at least one span
+    t0 = time.perf_counter()
+    sp = textops.duplicate_spans(docs, n=5, min_docs=2)
+    ndocs_spanned = sp.select("doc_id").distinct().count()
+    el = time.perf_counter() - t0
+    print(f"dup_spans (5-gram df window + island merge): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {ndocs_spanned} docs spanned "
+          f"(expect {n})")
+
 
 if __name__ == "__main__":
     main()
