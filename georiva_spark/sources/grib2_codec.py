@@ -512,7 +512,7 @@ def _decode_message(m: bytes, discipline: int) -> dict:
 
     s4 = sections[4]
     ptmpl = _u(s4, 7, 2)
-    if ptmpl not in (0, 1, 2, 8, 11, 12):
+    if ptmpl not in (0, 1, 2, 5, 8, 9, 11, 12):
         raise NotImplementedError(f"product template {ptmpl}")
     category, number = s4[9], s4[10]
     unit = s4[17]
@@ -537,7 +537,19 @@ def _decode_message(m: bytes, discipline: int) -> dict:
         # size; everything after shifts by 2
         derived_code, ens_size = s4[34], s4[35]
         off8 = 36
-    if ptmpl in (8, 11, 12):
+    prob_num = prob_type = prob_lower = prob_upper = None
+    if ptmpl in (5, 9):
+        # probability-forecast templates (4.5 point-in-time / 4.9 over
+        # an interval — NCEP PQPF/ECMWF EPS probability products):
+        # octets 35-36 probability number/total, 37 probability type
+        # (code table 4.9: 0 below-lower, 1 above-upper, 2 between,
+        # 3 above-lower, 4 below-upper), then (scale, scaled value)
+        # sign-magnitude pairs for the lower and upper limits
+        prob_num, prob_type = s4[34], s4[36]
+        prob_lower = _s(s4, 38, 4) * 10.0 ** (-_s(s4, 37, 1))
+        prob_upper = _s(s4, 43, 4) * 10.0 ** (-_s(s4, 42, 1))
+        off8 = 47
+    if ptmpl in (8, 9, 11, 12):
         # statistically processed over an interval — accumulations and
         # means (precip totals): valid time is the END of the interval
         interval_end = dt.datetime(_u(s4, off8, 2), s4[off8 + 2],
@@ -645,6 +657,8 @@ def _decode_message(m: bytes, discipline: int) -> dict:
         "stat_process": stat_process,
         "ens_type": ens_type, "ens_member": ens_member,
         "ens_size": ens_size, "derived_code": derived_code,
+        "prob_num": prob_num, "prob_type": prob_type,
+        "prob_lower": prob_lower, "prob_upper": prob_upper,
         "values": values, "la1": la1, "lo1": lo1, "la2": la2, "lo2": lo2,
         "di": di, "dj": dj, "scan": scan,
         "grid_template": grid["template"], "proj": grid["proj"],
@@ -679,7 +693,8 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                          ens_member: int | None = None,
                          ens_type: int = 3,
                          ens_size: int = 0,
-                         derived_code: int | None = None) -> bytes:
+                         derived_code: int | None = None,
+                         probability: dict | None = None) -> bytes:
     """One GRIB2 message: lat/lon grid (3.0), product 4.0, packing 5.0
     (simple, default), 5.2 (complex, fixed `group_size` groups), 5.3
     (complex + spatial differencing of `spatial_order`) or 5.41 (PNG);
@@ -830,17 +845,30 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
                    + _sm(round(-90 * 1e6), 4) + _sm(0, 4))
     else:
         raise NotImplementedError(f"grid_def kind {kind!r}")
-    if ens_member is not None and derived_code is not None:
+    if sum(x is not None for x in (ens_member, derived_code,
+                                   probability)) > 1:
         raise ValueError("a message is either a perturbed member (4.1/"
-                         "4.11) or a derived product (4.2/4.12), not "
-                         "both")
+                         "4.11), a derived product (4.2/4.12), or a "
+                         "probability forecast (4.5/4.9)")
     ens = (bytes([ens_type, ens_member, ens_size])
            if ens_member is not None else b"")
     if derived_code is not None:
         # 4.2/4.12: (derivation code, ensemble size) after octet 34
         ens = bytes([derived_code, ens_size])
+    if probability is not None:
+        # 4.5/4.9 probability block after octet 34: number/total/type
+        # then (scale, sign-magnitude scaled value) lower/upper limit
+        # pairs; limits carried at scale 3 (milli-units)
+        ens = (bytes([probability.get("num", 0),
+                      probability.get("total", 1),
+                      probability["type"], 3])
+               + _sm(round(probability.get("lower", 0.0) * 1000), 4)
+               + bytes([3])
+               + _sm(round(probability.get("upper", 0.0) * 1000), 4))
     if accum_hours is None:
-        tnum = (2 if derived_code is not None else 1) if ens else 0
+        tnum = ((2 if derived_code is not None else 1) if ens else 0)
+        if probability is not None:
+            tnum = 5
         s4 = ((0).to_bytes(2, "big") + tnum.to_bytes(2, "big")
               + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
               + bytes([0, 1])                                  # unit: hours
@@ -856,6 +884,8 @@ def encode_grib2_message(values: np.ndarray, *, shortname: str,
         # ensemble triple (4.11 only), then end-of-interval + one range
         end = ref_time + dt.timedelta(hours=forecast_hours + accum_hours)
         tnum = (12 if derived_code is not None else 11) if ens else 8
+        if probability is not None:
+            tnum = 9
         s4 = ((0).to_bytes(2, "big") + tnum.to_bytes(2, "big")
               + bytes([cat, num, 0, 0, 0]) + (0).to_bytes(2, "big")
               + bytes([0, 1])

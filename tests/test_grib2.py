@@ -822,3 +822,31 @@ def test_aec_codec_options_and_gates():
         msg[flag_off] = bad
         with pytest.raises(NotImplementedError, match=name):
             decode_grib2(bytes(msg))
+
+
+def test_probability_templates_4_5_and_4_9():
+    """Probability-forecast products (NCEP PQPF / ECMWF EPS): 4.5
+    point-in-time and 4.9 over-an-interval round-trip the probability
+    block (number/total/type, scaled lower/upper limits) and decode the
+    same values as the plain 4.0/4.8 encodings."""
+    a = np.cumsum(np.ones((3, 4)), axis=1)
+    kw = dict(shortname="tp", ref_time=T0, forecast_hours=6,
+              la1=1.5, lo1=0.5, di=1, dj=1)
+    plain = decode_grib2(encode_grib2_message(a, **kw))[0]
+    m = decode_grib2(encode_grib2_message(
+        a, probability={"num": 2, "total": 10, "type": 1,
+                        "lower": 0.0, "upper": 25.4}, **kw))[0]
+    assert (m["prob_num"], m["prob_type"]) == (2, 1)
+    assert m["prob_upper"] == pytest.approx(25.4)
+    assert m["valid_time"] == plain["valid_time"]
+    np.testing.assert_array_equal(m["values"], plain["values"])
+    # plain messages carry no probability metadata
+    assert plain["prob_type"] is None and plain["prob_lower"] is None
+    m9 = decode_grib2(encode_grib2_message(
+        a, accum_hours=6, probability={"type": 3, "lower": 1.0},
+        **kw))[0]
+    assert m9["prob_type"] == 3 and m9["prob_lower"] == pytest.approx(1.0)
+    assert m9["valid_time"] == T0 + dt.timedelta(hours=12)
+    with pytest.raises(ValueError, match="either"):
+        encode_grib2_message(a, ens_member=1,
+                             probability={"type": 0}, **kw)
