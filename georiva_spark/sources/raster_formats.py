@@ -228,6 +228,10 @@ class Grib2Plugin(_BaseFilePlugin):
                 suffix = {0: "mean", 4: "spread"}.get(
                     m["derived_code"], f"d{m['derived_code']}")
                 name = f"{name}:{suffix}"
+            if m.get("prob_type") is not None:
+                # probability products (4.5/4.9): each probability
+                # member is its own selectable variable
+                name = f"{name}:prob{m.get('prob_num') or 0}"
             by_var.setdefault(name, []).append(m)
         m0 = msgs[0]
         nj = m0["values"].shape[0]

@@ -850,3 +850,24 @@ def test_probability_templates_4_5_and_4_9():
     with pytest.raises(ValueError, match="either"):
         encode_grib2_message(a, ens_member=1,
                              probability={"type": 0}, **kw)
+
+
+def test_probability_members_are_selectable_variables(spark, tmp_path):
+    """Two probability thresholds of the same parameter in one file
+    surface as distinct variables (tp:prob0, tp:prob1) with the shared
+    time-axis contract intact."""
+    a = np.arange(4, dtype=float).reshape(2, 2)
+    kw = dict(shortname="tp", ref_time=T0, la1=1.5, lo1=0.5, di=1, dj=1)
+    buf = (encode_grib2_message(
+               a, probability={"num": 0, "total": 2, "type": 1,
+                               "upper": 1.0}, **kw)
+           + encode_grib2_message(
+               a * 2, probability={"num": 1, "total": 2, "type": 1,
+                                   "upper": 5.0}, **kw))
+    fp = tmp_path / "prob.grib2"
+    fp.write_bytes(buf)
+    assert GRIB2.list_variables(spark, str(fp)) == ["tp:prob0",
+                                                    "tp:prob1"]
+    rows = {(r.y, r.x): r.value for r in
+            GRIB2.open_variable(spark, str(fp), "tp:prob1").collect()}
+    assert rows[(0, 0)] == 4.0            # north-up flip: file row 1
