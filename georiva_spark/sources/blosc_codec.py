@@ -178,6 +178,8 @@ def blosclz_decompress(src: bytes, dst_size: int) -> bytes:
     out = bytearray()
     i, n = 0, len(src)
     if n == 0:
+        if dst_size:
+            raise ValueError("empty blosclz stream for nonzero output")
         return b""
     ctrl = src[i] & 31
     i += 1

@@ -193,6 +193,8 @@ def _read_meta(store: str, array: str) -> dict:
     if meta.get("order", "C") not in ("C", "F"):
         raise NotImplementedError(
             f"zarr order {meta.get('order')!r}")
+    # v2 also JSON-encodes non-finite float fills as strings
+    meta["fill_value"] = _norm_fill(meta.get("fill_value"))
     zattrs = os.path.join(store, array, ".zattrs")
     if os.path.exists(zattrs):
         with open(zattrs) as f:

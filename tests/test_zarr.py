@@ -455,3 +455,24 @@ def test_v2_bitshuffle_store_roundtrip(spark, tmp_path):
             ZARR.open_variable(spark, store, "t2m").collect()}
     assert len(rows) == 64
     assert rows[(5, 2)] == pytest.approx(float(a[0, 5, 2]))
+
+
+def test_v2_string_nan_fill(spark, tmp_path):
+    """zarr v2 JSON-encodes a NaN fill as the string "NaN" (spec:
+    non-finite floats have no JSON literal) — the scan must parse it,
+    not compare floats to a string; NaN data reads as null, genuine
+    values survive."""
+    a = np.array([[[np.nan, 1.0], [2.0, 0.0]]], dtype="<f8")
+    lat = np.arange(2, dtype="<f8")
+    lon = np.arange(2, dtype="<f8")
+    store = str(tmp_path / "nanfill.zarr")
+    write_zarr(store, {"t2m": a, "lat": lat, "lon": lon,
+                       "time": np.array([0], dtype="<i8")})
+    mp = os.path.join(store, "t2m", ".zarray")
+    meta = json.load(open(mp))
+    meta["fill_value"] = "NaN"
+    json.dump(meta, open(mp, "w"))
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert rows[(0, 0)] is None
+    assert rows[(1, 1)] == 0.0 and rows[(0, 1)] == 1.0
