@@ -120,3 +120,28 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
         thr = F.when(F.col(strata_col) == stratum,
                      F.lit(int(rate * _BUCKETS))).otherwise(thr)
     return df.where(_bucket(F.col(key_col), salt) < thr)
+
+
+def split_assign(df: DataFrame, fractions_ppm: dict[str, int],
+                 key_col: str = "doc_id",
+                 salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test split assignment: each row's md5
+    bucket lands in exactly one split by cumulative ppm thresholds —
+    reproducible across engines, partitionings, and corpus growth
+    (adding documents never reassigns existing ones), and auditable in
+    SQL with the same arithmetic. Fractions are INTEGER ppm so the
+    boundary bucket never moves with float rounding; they must sum to
+    1,000,000. Zero shuffle — one scan predicate per row."""
+    total = sum(fractions_ppm.values())
+    if total != 1_000_000:
+        raise ValueError(f"fractions_ppm must sum to 1,000,000 "
+                         f"(got {total})")
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0
+    for name, ppm in fractions_ppm.items():
+        acc += ppm
+        cond = b < acc
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    return df.withColumn("split", expr)

@@ -782,6 +782,7 @@ _DRIVER_PRIORITY = [
     "video_scenes",
     "dup_spans",
     "audio_spectrum",
+    "split_assign",
     "zarr_v3_fill",
     "zarr_forder",
     # previously recorded green; remaining window slots re-verify the

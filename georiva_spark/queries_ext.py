@@ -491,6 +491,32 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp.select("doc_id", "lang", "source")
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1% in integer
+    ppm): every doc lands in exactly one split by md5-bucket
+    thresholds; the oracle recomputes the identical bucket arithmetic,
+    so counts AND memberships hash-match."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.split_assign(
+        docs, {"train": 980_000, "val": 10_000, "test": 10_000})
+    return out.select("doc_id", "lang", "split")
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 1000000 AS bucket
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 980000 THEN 'train'
+            WHEN bucket < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-composition corpus mixing: sample so the output is ~50% en /
     30% zh / 20% de at ~40% of corpus size, with exact-integer per-stratum
@@ -3293,6 +3319,7 @@ EXT_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
     "hash_sample": q_hash_sample,
+    "split_assign": q_split_assign,
     "source_mix": q_source_mix,
     "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
@@ -3378,6 +3405,7 @@ EXT_ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "repetition": SQL_REPETITION,
     "hash_sample": SQL_HASH_SAMPLE,
+    "split_assign": SQL_SPLIT_ASSIGN,
     "source_mix": SQL_SOURCE_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,

@@ -889,3 +889,26 @@ def test_duplicate_spans_merges_disjoint_islands(spark):
                  for r in duplicate_spans(docs, n=3, min_docs=2).collect())
     # 'a b c' (positions 0-2) and 'd e f' (6-8) are separate islands
     assert out == [(1, 0, 2), (1, 6, 8), (2, 0, 2), (2, 6, 8)]
+
+
+def test_split_assign_partition_properties(spark):
+    """Every doc lands in exactly one split; fractions are honored
+    within hash tolerance; assignment is stable under corpus growth."""
+    from georiva_spark.operators import sampling
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(20_000)], "doc_id long, text string")
+    out = sampling.split_assign(
+        docs, {"train": 900_000, "val": 50_000, "test": 50_000})
+    counts = {r.split: r["count"] for r in
+              out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 20_000
+    assert 0.88 < counts["train"] / 20_000 < 0.92
+    # growth stability: the first 10k docs keep their assignment
+    sub = sampling.split_assign(
+        docs.where("doc_id < 10000"),
+        {"train": 900_000, "val": 50_000, "test": 50_000})
+    a = dict(out.where("doc_id < 10000").select("doc_id", "split").collect())
+    b = dict(sub.select("doc_id", "split").collect())
+    assert a == b
+    with pytest.raises(ValueError, match="1,000,000"):
+        sampling.split_assign(docs, {"train": 1})
