@@ -103,7 +103,8 @@ def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
 
 
 def tag_pixels(grid: DataFrame, boundaries: DataFrame,
-               broadcast_max_mask_rows: int = 2_000_000) -> DataFrame:
+               broadcast_max_mask_rows: int = 2_000_000,
+               assumed_min_res_deg: float = 0.01) -> DataFrame:
     """Tag each grid row with every boundary containing its pixel center.
 
     The mask is #distinct-pixels × #containing-boundaries rows. For the
@@ -115,22 +116,48 @@ def tag_pixels(grid: DataFrame, boundaries: DataFrame,
     so past ``broadcast_max_mask_rows`` (same 2 M gate as
     ``regrid._regrid_bilinear``) the join falls back to a shuffle on
     (y, x) — both paths plan-asserted in tests/test_plan_evidence.py.
-    The mask is persisted either way: it is the distributed form of the
-    reference's mask cache (ingestion/clipper.py:145-163) and the count
-    that decides the strategy doubles as its materialization."""
-    mask = pixel_boundary_mask(grid, boundaries).persist()
-    n = mask.count()
-    if n <= broadcast_max_mask_rows:
+
+    Two-stage decision so the common small-mask case pays ZERO extra
+    Spark jobs: (1) a driver-side upper-bound ESTIMATE — total boundary
+    bbox area in deg² × pixels/deg² at ``assumed_min_res_deg`` (0.01°,
+    the finest grid the reference ecosystem ships; pass the true
+    resolution for finer grids) — broadcasts immediately when under the
+    gate; (2) only when the estimate exceeds the gate is the mask
+    persisted and COUNTED exactly (the count doubles as materializing
+    the reference's mask cache, ingestion/clipper.py:145-163), choosing
+    broadcast vs a (y, x) shuffle join on the real size."""
+    spark = grid.sparkSession
+    if isinstance(boundaries, DataFrame):
+        rows = boundaries.select("boundary_id", "level", "name",
+                                 "geometry").collect()
+    else:
+        from collections import namedtuple
+        B = namedtuple("B", "boundary_id level name geometry")
+        rows = [B(*r) for r in boundaries]
+    area = 0.0
+    for r in rows:
+        g = parse_geojson(r.geometry)
+        if g is not None:
+            w, s, e, n_ = g.bbox
+            area += max(0.0, e - w) * max(0.0, n_ - s)
+    est_rows = area / (assumed_min_res_deg * assumed_min_res_deg)
+    mask = pixel_boundary_mask(grid, rows)
+    if est_rows <= broadcast_max_mask_rows:
+        return grid.join(F.broadcast(mask), on=["y", "x"], how="inner")
+    mask = mask.persist()
+    if mask.count() <= broadcast_max_mask_rows:
         mask = F.broadcast(mask)
     return grid.join(mask, on=["y", "x"], how="inner")
 
 
 def zonal_stats(grid: DataFrame, boundaries: DataFrame,
-                keys: Sequence[str] = ("collection", "variable", "time")) -> DataFrame:
+                keys: Sequence[str] = ("collection", "variable", "time"),
+                res_deg: float = 0.01) -> DataFrame:
     """A1 — per-boundary stats over valid pixels; boundaries that intersect
     nothing (or have null geometry) yield an all-null stats row, mirroring
-    EMPTY_STATS (geoprocessing/zonal.py:24-27,41-48)."""
-    tagged = tag_pixels(grid, boundaries)
+    EMPTY_STATS (geoprocessing/zonal.py:24-27,41-48). ``res_deg`` is the
+    grid resolution the mask-size estimate assumes (see tag_pixels)."""
+    tagged = tag_pixels(grid, boundaries, assumed_min_res_deg=res_deg)
     stats = (tagged.groupBy("boundary_id", *keys)
                    .agg(*_stat_aggs()))
     # Right-join back so empty boundaries appear with all-null stats.
@@ -145,8 +172,8 @@ def zonal_stats(grid: DataFrame, boundaries: DataFrame,
 
 
 def zonal_rollup(grid: DataFrame, boundaries: DataFrame,
-                 keys: Sequence[str] = ("collection", "variable", "time")
-                 ) -> DataFrame:
+                 keys: Sequence[str] = ("collection", "variable", "time"),
+                 res_deg: float = 0.01) -> DataFrame:
     """Per-boundary AND per-admin-level stats in ONE pass via GROUPING
     SETS — replaces the reference's loop over admin levels
     (analysis/zonal_stats/service.py:160-176), which re-reads the raster
@@ -154,7 +181,7 @@ def zonal_rollup(grid: DataFrame, boundaries: DataFrame,
     per-boundary rows; (level, *keys) → level rollups (boundary_id/name
     null). The tagged fact stream aggregates map-side once; the shuffle
     is #boundaries + #levels wide, never #pixels."""
-    tagged = tag_pixels(grid, boundaries)
+    tagged = tag_pixels(grid, boundaries, assumed_min_res_deg=res_deg)
     cols = ["level", "boundary_id", "name", *keys]
     gs = tagged.groupingSets([cols, ["level", *keys]], *cols)
     return gs.agg(*_stat_aggs())

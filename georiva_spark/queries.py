@@ -418,7 +418,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               '[%f, %f], [%f, %f], [%f, %f]]]}' % (w, s, e, s, e, n, w, n, w, s))
         rows.append((bid, level, name, gj))
     g = filters.select_variable(events_grid(spark, sf_dir), "signup")
-    out = zonal.zonal_stats(g, rows, keys=("variable",))
+    out = zonal.zonal_stats(g, rows, keys=("variable",), res_deg=RES)
     return out.select(
         "boundary_id", "level", "name", "variable",
         _r4("mean").alias("mean"), _r4("min").alias("min"),
@@ -464,7 +464,7 @@ def q_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               '[%f, %f], [%f, %f], [%f, %f]]]}' % (w, s, e, s, e, n, w, n, w, s))
         rows.append((bid, level, name, gj))
     g = filters.select_variable(events_grid(spark, sf_dir), "signup")
-    out = zonal.zonal_rollup(g, rows, keys=("variable",))
+    out = zonal.zonal_rollup(g, rows, keys=("variable",), res_deg=RES)
     return out.select(
         "level", "boundary_id", "name", "variable",
         _r4("mean").alias("mean"), _r4("sum").alias("sum"),
