@@ -307,7 +307,7 @@ def _parse_link(body: bytes) -> tuple[str, int] | None:
 
 def _fractal_heap_blocks(buf: bytes, frhp_addr: int):
     """Parse a fractal heap (FRHP) header + root block into
-    (block_map, offset_size, length_size): block_map is a sorted list of
+    (block_map, offset_size, length_size): block_map is a list of
     (heap_offset, file_addr, size) for every DIRECT block, so a managed
     heap ID's offset can be resolved to a file position. Supported
     layout: root direct block, or one root indirect block (FHIB) whose
@@ -334,7 +334,6 @@ def _fractal_heap_blocks(buf: bytes, frhp_addr: int):
     cur_rows = _u(buf, p + 8, 2)
     off_size = (max_heap_bits + 7) // 8
     len_size = heap_id_len - 1 - off_size
-    dblk_hdr = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
 
     def _check_dblk(addr: int) -> None:
         if buf[addr:addr + 4] != b"FHDB":
@@ -362,11 +361,10 @@ def _fractal_heap_blocks(buf: bytes, frhp_addr: int):
                     _check_dblk(caddr)
                     blocks.append((heap_off, caddr, size))
                 heap_off += size
-    return blocks, off_size, len_size, dblk_hdr
+    return blocks, off_size, len_size
 
 
-def _heap_object(buf, blocks, dblk_hdr, heap_off: int,
-                 length: int) -> bytes:
+def _heap_object(buf, blocks, heap_off: int, length: int) -> bytes:
     for boff, baddr, bsize in blocks:
         if boff <= heap_off < boff + bsize:
             # heap offsets COVER the block header bytes
@@ -403,8 +401,7 @@ def _dense_links(buf: bytes, frhp_addr: int, bthd_addr: int) -> dict:
     Link message body. Record layout: 4-byte name hash + heap ID
     (flag byte, offset, length); the hash is an index key we don't
     need — records are scanned, not looked up."""
-    blocks, off_size, len_size, dblk_hdr = \
-        _fractal_heap_blocks(buf, frhp_addr)
+    blocks, off_size, len_size = _fractal_heap_blocks(buf, frhp_addr)
     entries = {}
     for rec in _v2_btree_records(buf, bthd_addr):
         hid = rec[4:]
@@ -412,7 +409,7 @@ def _dense_links(buf: bytes, frhp_addr: int, bthd_addr: int) -> dict:
             raise NotImplementedError("huge/tiny fractal heap object")
         off = _u(hid, 1, off_size)
         length = _u(hid, 1 + off_size, len_size)
-        body = _heap_object(buf, blocks, dblk_hdr, off, length)
+        body = _heap_object(buf, blocks, off, length)
         link = _parse_link(body)
         if link is not None:
             entries[link[0]] = link[1]
