@@ -85,7 +85,10 @@ def _decode_image_bytes(content: bytes, mime: str) -> np.ndarray:
         return decode_raw_image(content)
     if content.startswith(_PNG_SIG):
         from georiva_spark.sources.png_codec import png_decode_image
-        return png_decode_image(content).astype(np.float32)
+        try:
+            return png_decode_image(content).astype(np.float32)
+        except NotImplementedError:
+            pass        # palette/interlaced/low-bit PNG: try Pillow below
     if content.startswith(_JPEG_SIG):
         from georiva_spark.sources.jpeg_codec import jpeg_decode
         try:

@@ -42,7 +42,35 @@ def _stat_aggs(value: str = "value"):
     ]
 
 
-def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
+def _collect_boundaries(boundaries):
+    if isinstance(boundaries, DataFrame):
+        return boundaries.select("boundary_id", "level", "name",
+                                 "geometry").collect()
+    # local boundary rows (id, level, name, geojson): skip the collect job
+    from collections import namedtuple
+    B = namedtuple("B", "boundary_id level name geometry")
+    return [B(*r) for r in boundaries]
+
+
+def _parse_boundaries(rows):
+    """→ (id → ParsedGeometry, bbox rows) — parsed ONCE per call chain
+    (tag_pixels shares this with its size estimate; re-parsing hundreds
+    of MB of admin GeoJSON on the driver twice would double the mask
+    build's driver latency)."""
+    parsed: dict[int, ParsedGeometry] = {}
+    bbox_rows = []
+    for r in rows:
+        g = parse_geojson(r.geometry)
+        if g is None:
+            continue
+        parsed[r.boundary_id] = g
+        w, s, e, n = g.bbox
+        bbox_rows.append((r.boundary_id, r.level, r.name, w, s, e, n))
+    return parsed, bbox_rows
+
+
+def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame,
+                        pre_parsed=None) -> DataFrame:
     """(boundary_id, level, name, y, x) pairs for every pixel whose center
     falls inside a boundary — the distributed form of the reference's mask
     cache (ingestion/clipper.py:145-163).
@@ -54,23 +82,11 @@ def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
     pandas UDF. The resulting mask table is tiny and broadcastable.
     """
     spark = grid.sparkSession
-    if isinstance(boundaries, DataFrame):
-        rows = boundaries.select("boundary_id", "level", "name",
-                                 "geometry").collect()
+    if pre_parsed is not None:
+        parsed, bbox_rows = pre_parsed
     else:
-        # local boundary rows (id, level, name, geojson): skip the collect job
-        from collections import namedtuple
-        B = namedtuple("B", "boundary_id level name geometry")
-        rows = [B(*r) for r in boundaries]
-    parsed: dict[int, ParsedGeometry] = {}
-    bbox_rows = []
-    for r in rows:
-        g = parse_geojson(r.geometry)
-        if g is None:
-            continue
-        parsed[r.boundary_id] = g
-        w, s, e, n = g.bbox
-        bbox_rows.append((r.boundary_id, r.level, r.name, w, s, e, n))
+        parsed, bbox_rows = _parse_boundaries(
+            _collect_boundaries(boundaries))
     if not bbox_rows:
         return spark.createDataFrame(
             [], "boundary_id long, level int, name string, y long, x long")
@@ -102,6 +118,9 @@ def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame) -> DataFrame:
                   .select("boundary_id", "level", "name", "y", "x"))
 
 
+_last_big_mask = None
+
+
 def tag_pixels(grid: DataFrame, boundaries: DataFrame,
                broadcast_max_mask_rows: int = 2_000_000,
                assumed_min_res_deg: float = 0.01) -> DataFrame:
@@ -126,25 +145,26 @@ def tag_pixels(grid: DataFrame, boundaries: DataFrame,
     persisted and COUNTED exactly (the count doubles as materializing
     the reference's mask cache, ingestion/clipper.py:145-163), choosing
     broadcast vs a (y, x) shuffle join on the real size."""
-    spark = grid.sparkSession
-    if isinstance(boundaries, DataFrame):
-        rows = boundaries.select("boundary_id", "level", "name",
-                                 "geometry").collect()
-    else:
-        from collections import namedtuple
-        B = namedtuple("B", "boundary_id level name geometry")
-        rows = [B(*r) for r in boundaries]
-    area = 0.0
-    for r in rows:
-        g = parse_geojson(r.geometry)
-        if g is not None:
-            w, s, e, n_ = g.bbox
-            area += max(0.0, e - w) * max(0.0, n_ - s)
+    rows = _collect_boundaries(boundaries)
+    parsed, bbox_rows = _parse_boundaries(rows)
+    area = sum(max(0.0, e - w) * max(0.0, n_ - s)
+               for _, _, _, w, s, e, n_ in bbox_rows)
     est_rows = area / (assumed_min_res_deg * assumed_min_res_deg)
-    mask = pixel_boundary_mask(grid, rows)
+    mask = pixel_boundary_mask(grid, rows, pre_parsed=(parsed, bbox_rows))
     if est_rows <= broadcast_max_mask_rows:
         return grid.join(F.broadcast(mask), on=["y", "x"], how="inner")
+    # big-estimate path: persist so the exact-count job doubles as the
+    # mask-cache materialization — retention is BOUNDED: the previous
+    # big mask (if any) is unpersisted when the next one arrives, so a
+    # long-lived session holds at most one cached mask
+    global _last_big_mask
+    if _last_big_mask is not None:
+        try:
+            _last_big_mask.unpersist()
+        except Exception:
+            pass
     mask = mask.persist()
+    _last_big_mask = mask
     if mask.count() <= broadcast_max_mask_rows:
         mask = F.broadcast(mask)
     return grid.join(mask, on=["y", "x"], how="inner")

@@ -171,6 +171,19 @@ class DerivationEngine:
             row = (self.spark.read.parquet(f"{path}/lineage")
                    .agg(F.max("seq").alias("s")).head())
             self._seq = max(self._seq, (row.s or 0) + 1)
+        # compaction sidecar: latest-state snapshots can DROP the event
+        # carrying the historical max produced_item_id (a re-triggered
+        # unit's latest event has produced_item_id=None) — the sidecar
+        # preserves the high-water marks across compactions so a
+        # restarted engine never re-issues a live item id
+        meta_p = os.path.join(path, "_compact_meta.json")
+        if os.path.exists(meta_p):
+            import json as _json
+            with open(meta_p) as f:
+                meta = _json.load(f)
+            self._seq = max(self._seq, int(meta.get("max_seq", 0)) + 1)
+            self._next_item_id = max(self._next_item_id,
+                                     int(meta.get("max_item_id", 0)) + 1)
 
     @staticmethod
     def _write_event_file(dirpath: str, rows: list[tuple], schema,
@@ -582,6 +595,31 @@ class DerivationEngine:
         out = {"files_removed": 0}
         if self.ledger_dir is None:
             return out
+        # preserve the high-water marks the snapshot may drop (see
+        # attach_ledger): write the sidecar BEFORE deleting any event
+        # file, atomically, taking the max with any previous sidecar
+        from pyspark.sql import functions as F
+        hi_seq, hi_item = self._seq - 1, self._next_item_id - 1
+        runs_dir = os.path.join(self.ledger_dir, "runs")
+        if os.path.isdir(runs_dir):
+            row = (self.spark.read.parquet(runs_dir)
+                   .agg(F.max("seq").alias("s"),
+                        F.max("produced_item_id").alias("i")).head())
+            hi_seq = max(hi_seq, row.s or 0)
+            if row.i is not None:
+                hi_item = max(hi_item, row.i)
+        meta_p = os.path.join(self.ledger_dir, "_compact_meta.json")
+        if os.path.exists(meta_p):
+            import json as _json
+            with open(meta_p) as f:
+                prev = _json.load(f)
+            hi_seq = max(hi_seq, int(prev.get("max_seq", 0)))
+            hi_item = max(hi_item, int(prev.get("max_item_id", 0)))
+        import json as _json
+        tmp_meta = meta_p + ".tmp"
+        with open(tmp_meta, "w") as f:
+            _json.dump({"max_seq": hi_seq, "max_item_id": hi_item}, f)
+        os.replace(tmp_meta, meta_p)
         for sub, keep in (("runs", "latest_per_unit"),
                           ("lineage", "latest_batch")):
             d = os.path.join(self.ledger_dir, sub)

@@ -307,6 +307,11 @@ class FTPFetchStrategy(BaseFetchStrategy):
                     break
                 except paramiko.SSHException:
                     continue
+            else:
+                raise ValueError(
+                    "SFTP private_key is not a parseable RSA/Ed25519/"
+                    "ECDSA PEM (passphrase-protected keys are not "
+                    "supported) — fix the key or use password auth")
         else:
             kwargs["password"] = self.config.get("password")
         self._ssh.connect(**kwargs)

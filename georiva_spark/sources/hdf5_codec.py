@@ -485,7 +485,10 @@ def _unszip(data: bytes, client: list[int]) -> bytes:
     order = ">" if opts & 0x10 and not opts & 0x08 else "<"
     orig = int.from_bytes(data[:4], "little")
     n = orig // width
-    rsi = max(1, (pps or ppb) // max(1, ppb))
+    # libsz/libaec: rsi = CEILING(pixels_per_scanline / pixels_per_block)
+    # — floor would make every block a reference block when the scanline
+    # is not a block multiple and desynchronize the stream
+    rsi = max(1, -(-(pps or ppb) // max(1, ppb)))
     x = aec_decode(data[4:], n, bpp, block_size=ppb or 32, rsi=rsi,
                    preprocess=bool(opts & 0x20))
     return x.astype(f"{order}u{width}").tobytes()[:orig]

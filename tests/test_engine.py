@@ -374,3 +374,35 @@ def test_ledger_compaction_preserves_views_and_recovery(spark, tmp_path):
     eng2.compact_threshold_files = 0
     res = eng2.sweep()
     assert "compacted_files" in res
+
+
+def test_compaction_preserves_item_id_high_water_mark(spark, tmp_path):
+    """A re-triggered unit's latest event carries produced_item_id=None;
+    compaction drops its completed event — the sidecar must still let a
+    restarted engine recover the historical max item id, or it would
+    re-issue ids colliding with live catalog items."""
+    import json as _json
+    import os as _os
+    ctx = _staging_catalog(spark, 3)
+    reg = RecipeRegistry()
+    reg.register(PromotionRecipe("src", "pub"))
+    led = str(tmp_path / "led")
+    eng = DerivationEngine(spark, reg, ctx, ledger_dir=led)
+    recs = eng.run_all()
+    max_item = max(r.produced_item_id for r in recs)
+    # append a superseding event WITHOUT a produced item (as a failed
+    # retry would), for the unit that produced the max id
+    victim = [r for r in recs if r.produced_item_id == max_item][0]
+    seq = eng._seq
+    eng._seq += 1
+    eng._write_event_file(
+        f"{led}/runs",
+        [(victim.recipe_id, victim.recipe_version, victim.unit_key,
+          victim.unit_hash, "not_ready", victim.input_hash, "retrigger",
+          None, None, victim.updated_at, 0, seq)],
+        eng._runs_pa_schema(), seq)
+    eng.compact_ledger()
+    meta = _json.load(open(_os.path.join(led, "_compact_meta.json")))
+    assert meta["max_item_id"] >= max_item
+    eng2 = DerivationEngine(spark, reg, ctx, ledger_dir=led)
+    assert eng2._next_item_id > max_item

@@ -610,3 +610,18 @@ def test_hdf5_dense_links_root_indirect_block():
     d = decode_hdf5(bytes(out))
     assert sorted(d) == sorted(names)
     np.testing.assert_array_equal(d["d7"]["data"], [70.0])
+
+
+def test_szip_rsi_ceiling_non_multiple_scanline():
+    """libsz derives rsi = CEIL(pixels_per_scanline / pixels_per_block);
+    a 35-pixel scanline with 32-pixel blocks must decode with rsi=2 —
+    floor (rsi=1) would treat every block as a reference and
+    desynchronize."""
+    from georiva_spark.sources.aec_codec import aec_encode
+    from georiva_spark.sources.hdf5_codec import _unszip
+    x = (np.arange(350, dtype=np.int64) * 7) % 4096
+    enc = aec_encode(x, 16, block_size=32, rsi=2)   # ceil(35/32) = 2
+    raw = (len(x) * 2).to_bytes(4, "little") + enc
+    out = _unszip(raw, [0x08 | 0x20 | 0x80, 16, 32, 35])
+    np.testing.assert_array_equal(np.frombuffer(out, "<u2"),
+                                  x.astype("<u2"))
