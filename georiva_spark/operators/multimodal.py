@@ -4,9 +4,10 @@ opaque binary columns with typed metadata, processed by Arrow-batched
 
 Scale design: binary payloads never pass through Python row-at-a-time —
 each decoder receives whole Arrow batches; outputs are fixed-schema feature
-rows so downstream is plain columnar Spark. Partitioning: media tables are
-stored partitioned by (kind, bucket(media_id)) so a decode pass is an
-embarrassingly parallel scan.
+rows so downstream is plain columnar Spark. Partitioning: media tables
+are stored partitioned by (kind, bucket(media_id)) via
+sources/media_store.py, so a decode pass prunes to its modality and
+fans out over hash buckets — an embarrassingly parallel scan.
 
 Codecs: a deterministic dependency-free RAW codec (little-endian header +
 float32 samples) defines the batch shape, schema, and UDF signatures;

@@ -197,3 +197,44 @@ def test_audio_spectrum_pure_tone(spark):
     for k in (1, 2, 8):
         assert getattr(r, f"e{k}") == pytest.approx(0.0, abs=1e-6)
     assert r.centroid == pytest.approx(4.0, rel=1e-6)
+
+
+def test_media_store_partitioning_and_pruning(spark, tmp_path):
+    """The layout the multimodal scale story assumes, made real:
+    (kind, bucket) partitions, kind filter prunes at the partition
+    level, dynamic overwrite replaces only touched partitions, and the
+    decode operators run straight off the stored table."""
+    from georiva_spark.sources import media_store as ms
+    rows = []
+    for i in range(8):
+        px = np.full((4, 4), float(i), np.float32)
+        rows.append((i, "image", mm.encode_raw_image(px), "image/raw"))
+    for i in range(8, 12):
+        rows.append((i, "audio",
+                     mm.encode_raw_audio(np.ones(16, np.float32), 16),
+                     "audio/raw"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string")
+    path = str(tmp_path / "media")
+    ms.write_media(media, path, n_buckets=4)
+    back = ms.read_media(spark, path)
+    assert back.count() == 12
+    imgs = ms.read_media(spark, path, kind="image")
+    plan = imgs._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "kind" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    feats = {r.media_id: r.mean for r in
+             mm.image_features(imgs).collect()}
+    assert feats[3] == 3.0 and len(feats) == 8
+    # idempotent re-ingest: overwrite the image slice with new content
+    redo = spark.createDataFrame(
+        [(i, "image",
+          mm.encode_raw_image(np.full((4, 4), 99.0, np.float32)),
+          "image/raw") for i in range(8)],
+        "media_id long, kind string, content binary, mime string")
+    ms.overwrite_media_slice(redo, path, n_buckets=4)
+    again = ms.read_media(spark, path)
+    assert again.count() == 12                  # audio untouched
+    assert all(r.mean == 99.0 for r in
+               mm.image_features(ms.read_media(spark, path, "image"))
+               .collect())
