@@ -11,7 +11,7 @@ fans out over hash buckets — an embarrassingly parallel scan.
 
 Codecs: a deterministic dependency-free RAW codec (little-endian header +
 float32 samples) defines the batch shape, schema, and UDF signatures;
-real PNG (gray/RGB/RGBA, 8/16-bit — sources/png_codec.py) and baseline
+real PNG (gray/RGB/RGBA 8/16-bit + indexed PLTE/tRNS palettes at depths 1/2/4/8 — sources/png_codec.py) and baseline
 JPEG (gray/4:4:4/4:2:0, restart markers — sources/jpeg_codec.py) decode
 natively through the same seam (_decode_image_bytes). Progressive JPEG
 and compressed audio (soundfile) fall back to import-gated libraries,

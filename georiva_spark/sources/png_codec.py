@@ -121,14 +121,14 @@ def _unfilter(raw: np.ndarray, height: int, stride: int,
     return out
 
 
-def _decode_planes(data: bytes) -> tuple[np.ndarray, int, int, int, int]:
-    """Shared chunk walk + unfilter → (pixel bytes (h, w*nbytes),
-    width, height, depth, nch)."""
+def _walk_chunks(data: bytes):
+    """→ (width, height, depth, color, idat, plte, trns)."""
     if data[:8] != _SIG:
         raise ValueError("bad PNG signature")
     pos = 8
     width = height = depth = color = None
     idat = bytearray()
+    plte = trns = None
     while pos < len(data):
         ln = struct.unpack(">I", data[pos:pos + 4])[0]
         tag = data[pos + 4:pos + 8]
@@ -143,20 +143,62 @@ def _decode_planes(data: bytes) -> tuple[np.ndarray, int, int, int, int]:
                 raise ValueError("bad IHDR compression/filter method")
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    return width, height, depth, color, bytes(idat), plte, trns
+
+
+def _decode_planes(data: bytes) -> tuple[np.ndarray, int, int, int, int]:
+    """Shared chunk walk + unfilter → (pixel bytes (h, w*nbytes),
+    width, height, depth, nch)."""
+    width, height, depth, color, idat, _, _ = _walk_chunks(data)
     nch = {0: 1, 2: 3, 6: 4}.get(color)
     if nch is None or depth not in (8, 16):
         raise NotImplementedError(
             f"PNG color type {color} / bit depth {depth}")
     nbytes = (depth // 8) * nch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     if raw.size != height * (width * nbytes + 1):
         raise ValueError("PNG scanline size mismatch")
     px = _unfilter(raw.copy(), height, width * nbytes, nbytes)
     return px, width, height, depth, nch
+
+
+def _decode_palette(data: bytes) -> np.ndarray:
+    """Color type 3 (indexed) → (h, w, 3) or (h, w, 4 with tRNS) uint8.
+    Indices at depth 1/2/4 pack MSB-first within scanline bytes; each
+    scanline pads to a byte boundary."""
+    width, height, depth, color, idat, plte, trns = _walk_chunks(data)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if depth not in (1, 2, 4, 8):
+        raise NotImplementedError(f"palette PNG bit depth {depth}")
+    stride = (width * depth + 7) // 8
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    px = _unfilter(raw.copy(), height, stride, 1)
+    if depth == 8:
+        idx = px[:, :width]
+    else:
+        bits = np.unpackbits(px, axis=1)
+        idx = np.zeros((height, width), np.uint8)
+        for b in range(depth):
+            idx = (idx << 1) | bits[:, b::depth][:, :width]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    rgb = plte[idx]
+    if trns is not None:
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[:len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    return rgb
 
 
 def png_decode(data: bytes) -> tuple[np.ndarray, int, int]:
@@ -174,7 +216,10 @@ def png_decode(data: bytes) -> tuple[np.ndarray, int, int]:
 def png_decode_image(data: bytes) -> np.ndarray:
     """→ (h, w, channels) per-CHANNEL pixel array (uint8 for depth 8,
     uint16 for depth 16) — the image-processing view of the same
-    decoder (vs png_decode's combined GRIB sample integers)."""
+    decoder (vs png_decode's combined GRIB sample integers). Indexed
+    (palette) PNGs resolve through PLTE/tRNS to RGB(A)."""
+    if len(data) > 25 and data[25] == 3:        # IHDR color type
+        return _decode_palette(data)
     px, width, height, depth, nch = _decode_planes(data)
     a = px.reshape(height, width, nch, depth // 8)
     if depth == 8:

@@ -238,3 +238,53 @@ def test_media_store_partitioning_and_pruning(spark, tmp_path):
     assert all(r.mean == 99.0 for r in
                mm.image_features(ms.read_media(spark, path, "image"))
                .collect())
+
+
+def test_palette_png_decodes_natively(spark):
+    """Color type 3 (indexed) — the most common quantized web PNG —
+    resolves through PLTE (+ tRNS alpha) without Pillow, across bit
+    depths 1/2/4/8, and flows through image_features."""
+    import struct
+    import zlib as _z
+
+    from georiva_spark.sources.png_codec import _chunk, png_decode_image
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def make(idx, plte, depth, trns=None):
+        h, w = idx.shape
+        stride = (w * depth + 7) // 8
+        rows = bytearray()
+        for r in range(h):
+            rows.append(0)
+            if depth == 8:
+                rows += bytes(idx[r]) + b"\0" * (stride - w)
+            else:
+                bits = []
+                for v in idx[r]:
+                    bits += [(int(v) >> k) & 1
+                             for k in range(depth - 1, -1, -1)]
+                bits += [0] * (stride * 8 - len(bits))
+                rows += np.packbits(np.array(bits, np.uint8)).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        out = sig + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE",
+                                                   bytes(plte.ravel()))
+        if trns is not None:
+            out += _chunk(b"tRNS", bytes(trns))
+        return out + _chunk(b"IDAT", _z.compress(bytes(rows), 6)) \
+            + _chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(3)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for depth in (1, 2, 4, 8):
+        idx = rng.integers(0, min(16, 1 << depth), (5, 9),
+                           dtype=np.uint8)
+        np.testing.assert_array_equal(
+            png_decode_image(make(idx, plte, depth)), plte[idx])
+    # through the operator seam
+    idx = rng.integers(0, 16, (8, 8), dtype=np.uint8)
+    df = _media_df(spark, [(1, "image", make(idx, plte, 8),
+                            "image/png")])
+    r = mm.image_features(df).collect()[0]
+    assert (r.height, r.width, r.channels) == (8, 8, 3)
+    assert r.mean == pytest.approx(float(plte[idx].mean()))
