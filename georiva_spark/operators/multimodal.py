@@ -58,10 +58,61 @@ def encode_raw_audio(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_raw_audio(content: bytes) -> tuple[np.ndarray, int]:
-    if not content.startswith(RAW_AUDIO_MAGIC):
-        raise ValueError("not a RAUD payload")
-    rate = struct.unpack_from("<I", content, 4)[0]
-    return np.frombuffer(content, dtype=np.float32, offset=8), rate
+    """RAW float32 or RIFF/WAVE PCM → (float32 samples in [-1, 1],
+    rate). WAV: 8-bit unsigned / 16-bit / 24-bit / 32-bit signed and
+    32-bit IEEE float PCM, multi-channel downmixed by mean (the
+    standard mono-ization for audio feature pipelines); compressed WAV
+    codecs (ADPCM/mu-law) raise by name."""
+    if content.startswith(RAW_AUDIO_MAGIC):
+        rate = struct.unpack_from("<I", content, 4)[0]
+        return np.frombuffer(content, dtype=np.float32, offset=8), rate
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(content)
+    raise ValueError("not a RAUD or RIFF/WAVE payload")
+
+
+def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        ln = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)          # chunks pad to even
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, nch, rate, _, _, bits = fmt
+    if code == 0xFFFE and len(content) >= 12:   # WAVE_FORMAT_EXTENSIBLE
+        code = 1                                # subformat assumed PCM
+    if code == 1:                     # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            v = (b[:, 0].astype(np.int32)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"WAV PCM bit depth {bits}")
+    elif code == 3 and bits == 32:    # IEEE float
+        x = np.frombuffer(data, "<f4").copy()
+    else:
+        raise NotImplementedError(f"WAV format code {code}/{bits}-bit")
+    if nch > 1:
+        x = x[:len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)             .astype(np.float32)
+    return x, rate
 
 
 def encode_raw_video(frames: np.ndarray) -> bytes:

@@ -288,3 +288,57 @@ def test_palette_png_decodes_natively(spark):
     r = mm.image_features(df).collect()[0]
     assert (r.height, r.width, r.channels) == (8, 8, 3)
     assert r.mean == pytest.approx(float(plte[idx].mean()))
+
+
+def test_wav_decode_formats(spark):
+    """RIFF/WAVE PCM decodes natively across 8/16/24/32-bit int and
+    32-bit float, stereo downmixes by mean, and flows through
+    audio_features."""
+    import struct as _s
+
+    def wav(samples_f32, rate, bits, code=1, nch=1):
+        if code == 3:
+            data = np.asarray(samples_f32, "<f4").tobytes()
+        elif bits == 8:
+            data = (np.asarray(samples_f32) * 128 + 128).clip(0, 255) \
+                .astype(np.uint8).tobytes()
+        elif bits == 16:
+            data = (np.asarray(samples_f32) * 32768).clip(-32768, 32767) \
+                .astype("<i2").tobytes()
+        elif bits == 24:
+            v = (np.asarray(samples_f32) * (1 << 23)).clip(
+                -(1 << 23), (1 << 23) - 1).astype(np.int64)
+            v = np.where(v < 0, v + (1 << 24), v)
+            b = np.zeros((len(v), 3), np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            data = b.tobytes()
+        else:
+            data = (np.asarray(samples_f32) * 2147483648).clip(
+                -2**31, 2**31 - 1).astype("<i4").tobytes()
+        fmt = _s.pack("<HHIIHH", code, nch, rate,
+                      rate * nch * bits // 8, nch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    t = np.arange(800) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 100 * t)).astype(np.float32)
+    for bits, code, tol in ((8, 1, 2e-2), (16, 1, 1e-3), (24, 1, 1e-5),
+                            (32, 1, 1e-7), (32, 3, 0)):
+        x, rate = mm.decode_raw_audio(wav(sine, 8000, bits, code))
+        assert rate == 8000 and len(x) == 800
+        assert float(np.abs(x - sine).max()) <= tol
+    # stereo downmix
+    inter = np.empty(1600, np.float32)
+    inter[0::2] = sine
+    inter[1::2] = -sine
+    x, _ = mm.decode_raw_audio(wav(inter, 8000, 32, 3, nch=2))
+    assert float(np.abs(x).max()) < 1e-7          # L+R cancels
+    # operator seam
+    df = _media_df(spark, [(9, "audio", wav(sine, 8000, 16, 1),
+                            "audio/wav")])
+    r = mm.audio_features(df).collect()[0]
+    assert r.rate == 8000 and r.n_samples == 800
+    np.testing.assert_allclose(r.rms, 0.5 / np.sqrt(2), rtol=1e-3)
