@@ -12,9 +12,10 @@ fans out over hash buckets — an embarrassingly parallel scan.
 Codecs: a deterministic dependency-free RAW codec (little-endian header +
 float32 samples) defines the batch shape, schema, and UDF signatures;
 real PNG (gray/RGB/RGBA 8/16-bit + indexed PLTE/tRNS palettes at depths 1/2/4/8 — sources/png_codec.py) and baseline
-JPEG (gray/4:4:4/4:2:0, restart markers — sources/jpeg_codec.py) decode
-natively through the same seam (_decode_image_bytes). Progressive JPEG
-and compressed audio (soundfile) fall back to import-gated libraries,
+AND progressive JPEG (gray/4:4:4/4:2:0, restart markers, SOF2
+multi-scan — sources/jpeg_codec.py) and RIFF/WAVE PCM audio decode
+natively through the same seams. Arithmetic/lossless JPEG and
+compressed audio (soundfile) fall back to import-gated libraries,
 raising by name when absent.
 """
 
@@ -130,8 +131,9 @@ def _decode_image_bytes(content: bytes, mime: str) -> np.ndarray:
     """The decode seam: RAW, PNG and baseline JPEG decode natively (PNG
     through the same dependency-free codec GRIB2 template 5.41 uses,
     sources/png_codec.py; JPEG through sources/jpeg_codec.py — gray,
-    4:4:4 and 4:2:0, restart markers; progressive/arithmetic variants
-    raise by name and fall back to Pillow when it is installed).
+    4:4:4/4:2:0, restart markers, baseline AND progressive;
+    arithmetic/lossless variants raise by name and fall back to Pillow
+    when it is installed).
     Always returns float32 (h, w, c)."""
     if content.startswith(RAW_IMAGE_MAGIC):
         return decode_raw_image(content)

@@ -8,13 +8,20 @@ ISO 10918-1): Huffman-coded 8×8 DCT blocks over YCbCr. Implemented in
 the same spirit as the PNG/J2K/AEC codecs — from the spec, decode-first,
 with named gates for the variants outside the subset:
 
-- decode: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI; grayscale, 4:4:4 and
-  4:2:0 (and any H,V ≤ 2 factor mix); restart markers; byte-stuffing;
-  8-bit precision. SOF2 (progressive), SOF1/3/5+ (extended/lossless/
-  arithmetic), 12-bit precision raise NotImplementedError by name.
-- encode (tests/fixtures): grayscale or RGB 4:4:4, quality-scaled
-  Annex-K quantization tables, the Annex-K "typical" Huffman tables,
-  no restarts.
+- decode: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF2/SOS/EOI; grayscale,
+  4:4:4 and 4:2:0 (and any H,V ≤ 2 factor mix); restart markers;
+  byte-stuffing; 8-bit precision. SOF2 PROGRESSIVE decodes natively:
+  multi-scan spectral selection + successive approximation into
+  per-component coefficient buffers (DC first/refine interleaved or
+  not, AC first with EOB runs, AC refine with correction-bit
+  interleaving per ITU-T.81 G.2 / libjpeg jdphuff semantics).
+  SOF1/3/5+ (extended/lossless/arithmetic) and 12-bit precision raise
+  NotImplementedError by name.
+- encode (tests/fixtures): baseline grayscale or RGB 4:4:4/4:2:0 with
+  optional restart intervals, and ``jpeg_encode_progressive`` (the
+  classic spectral-selection + successive-approximation scan script,
+  per-scan Huffman tables) — verified by the invariant
+  decode(progressive(img)) == decode(baseline(img)) bit-exactly.
 
 The IDCT/FDCT are exact float64 matrix transforms (separable DCT-II),
 so encode→decode round-trips are deterministic across platforms.
@@ -232,7 +239,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 values = list(body[p + 17:p + 17 + n])
                 huff[(tc, th)] = _HuffTable(bits, values)
                 p += 17 + n
-        elif marker == 0xC0:                       # SOF0 baseline
+        elif marker in (0xC0, 0xC2):               # SOF0 / SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -241,11 +248,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                coefs = _alloc_coefs(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kinds = {0xC1: "extended sequential", 0xC2: "progressive",
-                     0xC3: "lossless"}
+            kinds = {0xC1: "extended sequential", 0xC3: "lossless"}
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} "
                 f"({kinds.get(marker, 'non-baseline')}) coding")
@@ -257,11 +266,242 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, td_ta >> 4, td_ta & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
             pos += seglen
-            return _decode_scan(data, pos, frame, scan, qt, huff,
-                                restart_interval)
+            if not frame or not frame.get("progressive"):
+                return _decode_scan(data, pos, frame, scan, qt, huff,
+                                    restart_interval)
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, huff, restart_interval,
+                coefs, ss, se, ah_al >> 4, ah_al & 0x0F)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct(frame, coefs, qt)
     raise ValueError("no SOS marker found")
+
+
+def _mcu_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_grid(frame, c):
+    """Non-interleaved block grid (ceil of the COMPONENT's own size —
+    NOT padded to the MCU grid, per G.1.2)."""
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_coefs(frame):
+    _, _, mcux, mcuy = _mcu_geometry(frame)
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              np.int32)
+            for c in frame["comps"]}
+
+
+def _next_marker_pos(data: bytes, p: int) -> int:
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 \
+                and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _decode_progressive_scan(data, pos, frame, scan, huff, ri,
+                             coefs, ss, se, ah, al):
+    """One SOF2 scan into the coefficient buffers (ITU-T.81 G.2 /
+    libjpeg jdphuff.c semantics): DC first/refine (interleaved or not),
+    AC first with EOB runs, AC refine with correction bits. Returns the
+    byte position of the next marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    sel = {cs: (td, ta) for cs, td, ta in scan}
+    r = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = {cs: 0 for cs in sel}
+
+    def maybe_restart(count):
+        if ri and count and count % ri == 0:
+            r.align()
+            if r.data[r.pos] == 0xFF and \
+                    0xD0 <= r.data[r.pos + 1] <= 0xD7:
+                r.skip_restart()
+            state["eobrun"] = 0
+            for k in pred:
+                pred[k] = 0
+
+    try:
+        if ss == 0:                                # DC scan
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            if len(sel) > 1:                       # interleaved MCUs
+                _, _, mcux, mcuy = _mcu_geometry(frame)
+                n = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart(n)
+                        n += 1
+                        for c in comps:
+                            if c["id"] not in sel:
+                                continue
+                            td, _ = sel[c["id"]]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    blk = coefs[c["id"]][
+                                        my * c["v"] + by,
+                                        mx * c["h"] + bx]
+                                    _dc_prog(r, huff.get((0, td)), blk,
+                                             ah, al, pred, c["id"])
+            else:
+                cs = next(iter(sel))
+                c = by_id[cs]
+                rows, cols = _comp_grid(frame, c)
+                td, _ = sel[cs]
+                n = 0
+                for byy in range(rows):
+                    for bxx in range(cols):
+                        maybe_restart(n)
+                        n += 1
+                        _dc_prog(r, huff.get((0, td)),
+                                 coefs[cs][byy, bxx], ah, al, pred, cs)
+        else:                                      # AC scan: 1 component
+            if len(sel) != 1:
+                raise ValueError("interleaved AC progressive scan")
+            cs = next(iter(sel))
+            c = by_id[cs]
+            rows, cols = _comp_grid(frame, c)
+            _, ta = sel[cs]
+            ac_t = huff[(1, ta)]
+            n = 0
+            for byy in range(rows):
+                for bxx in range(cols):
+                    maybe_restart(n)
+                    n += 1
+                    blk = coefs[cs][byy, bxx]
+                    if ah == 0:
+                        _ac_first(r, ac_t, blk, ss, se, al, state)
+                    else:
+                        _ac_refine(r, ac_t, blk, ss, se, al, state)
+    except _RestartMarker:
+        pass                                       # tolerant, like baseline
+    return _next_marker_pos(data, r.pos)
+
+
+def _dc_prog(r, dc_t, blk, ah, al, pred, cid):
+    if ah == 0:                                    # first DC scan
+        s = r.decode(dc_t)
+        diff = _extend(r.read(s), s) if s else 0
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+    else:                                          # refinement: 1 bit
+        if r.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(r, ac_t, blk, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.decode(ac_t)
+        run, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if run < 15:                           # EOBn
+                eob = 1 << run
+                if run:
+                    eob += r.read(run)
+                state["eobrun"] = eob - 1
+                return
+            k += 16                                # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC run past spectral end")
+        blk[k] = _extend(r.read(s), s) << al
+        k += 1
+
+
+def _ac_refine(r, ac_t, blk, ss, se, al, state):
+    """libjpeg decode_mcu_AC_refine: correction bits for already-nonzero
+    coefficients interleave with newly significant ones."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = r.decode(ac_t)
+            run, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if run < 15:                       # EOBn: break to tail
+                    eob = 1 << run
+                    if run:
+                        eob += r.read(run)
+                    state["eobrun"] = eob
+                    break
+                # run == 15: skip 16 zero-history coefficients
+            else:
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k]:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k <= se and newval:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:                             # tail correction bits
+            if blk[k]:
+                if r.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, coefs, qt):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
+    out = []
+    for c in comps:
+        q = qt[c["tq"]]
+        arr = coefs[c["id"]]
+        bv, bh = arr.shape[:2]
+        plane = np.zeros((bv * 8, bh * 8))
+        deq = (arr.astype(np.float64)
+               * q[np.newaxis, np.newaxis, :])
+        for byy in range(bv):
+            for bxx in range(bh):
+                plane[byy * 8:byy * 8 + 8, bxx * 8:bxx * 8 + 8] = \
+                    _idct2(deq[byy, bxx][_UNZZ].reshape(8, 8))
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:h, :w])
+    img = np.stack(out, axis=2) + 128.0
+    if len(comps) == 3:
+        y, cb, cr = img[:, :, 0], img[:, :, 1] - 128, img[:, :, 2] - 128
+        img = np.stack([y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], axis=2)
+    elif len(comps) != 1:
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
@@ -516,4 +756,250 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"                             # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (tests/fixtures): gray or RGB 4:4:4, the classic
+# spectral-selection + successive-approximation scan script. Verified by
+# the invariant decode(progressive) == decode(baseline) for the same
+# quant tables — both encode the identical quantized coefficients.
+# ---------------------------------------------------------------------------
+
+class _SymSink:
+    """Two-pass scan emission: pass 1 counts symbols (to build the
+    scan's Huffman table — the Annex-K BASELINE tables lack the EOBn
+    symbols progressive AC scans need), pass 2 writes bits."""
+
+    def __init__(self, table=None, writer=None):
+        self.table = table
+        self.writer = writer
+        self.counts: dict[int, int] = {}
+
+    def sym(self, symbol: int) -> None:
+        if self.writer is None:
+            self.counts[symbol] = self.counts.get(symbol, 0) + 1
+        else:
+            code, ln = self.table.enc[symbol]
+            self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if self.writer is not None:
+            self.writer.write(v, n)
+
+
+def _fixed_table(symbols):
+    """Canonical fixed-length Huffman table covering ``symbols`` (all
+    codes length L with 2^L − 1 ≥ n, avoiding the all-ones code)."""
+    vals = sorted(symbols) or [0]
+    L = max(1, (len(vals) + 1 - 1).bit_length())
+    while (1 << L) - 1 < len(vals):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(vals)
+    return bits, vals
+
+
+def _flush_cur(sk, state):
+    for b in state["cur_bits"]:
+        sk.bits(b, 1)
+    state["cur_bits"] = []
+
+
+def _emit_eobrun(sk, state):
+    # libjpeg emit_eobrun: the EOBn symbol, its extension bits, THEN
+    # the correction bits buffered over the RUN'S blocks (BE) — the
+    # CURRENT block's buffered bits (BR) flush only after its own
+    # in-block symbols, never here
+    eobrun = state["eobrun"]
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        sk.sym(r << 4)
+        if r:
+            sk.bits(eobrun - (1 << r), r)
+        state["eobrun"] = 0
+        for b in state["eob_bits"]:
+            sk.bits(b, 1)
+        state["eob_bits"] = []
+
+
+def _enc_ac_first(sk, zz, ss, se, al, state):
+    run = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        t2 = (abs(t)) >> al
+        if t2 == 0:
+            run += 1
+            continue
+        _emit_eobrun(sk, state)
+        while run > 15:
+            sk.sym(0xF0)
+            run -= 16
+        s = t2.bit_length()
+        sk.sym((run << 4) | s)
+        v = t2 if t > 0 else (1 << s) - 1 - t2
+        sk.bits(v, s)
+        run = 0
+    if run > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(sk, state)
+
+
+def _end_refine_block(sk, state, run):
+    if run > 0 or state["cur_bits"]:
+        state["eobrun"] += 1
+        state["eob_bits"] += state["cur_bits"]
+        state["cur_bits"] = []
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(sk, state)
+
+
+def _enc_ac_refine(sk, zz, ss, se, al, state):
+    # jcphuff encode_mcu_AC_refine: pending ZRLs are emitted at EVERY
+    # nonzero once the zero run exceeds 15 — including correction-only
+    # coefficients — but only while k <= EOB (the last newly-significant
+    # position); past EOB the run folds into the EOB run instead
+    eob_k = ss - 1
+    for k in range(ss, se + 1):
+        if (abs(int(zz[k])) >> al) == 1:
+            eob_k = k
+    run = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        t2 = abs(t) >> al
+        if t2 == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob_k:
+            _emit_eobrun(sk, state)
+            sk.sym(0xF0)
+            run -= 16
+            _flush_cur(sk, state)
+        if t2 > 1:                  # already significant: correction bit
+            state["cur_bits"].append(t2 & 1)
+            continue
+        # newly significant (t2 == 1)
+        _emit_eobrun(sk, state)
+        sk.sym((run << 4) | 1)
+        sk.bits(1 if t > 0 else 0, 1)
+        _flush_cur(sk, state)
+        run = 0
+    _end_refine_block(sk, state, run)
+
+
+def jpeg_encode_progressive(pixels: np.ndarray,
+                            quality: int = 90) -> bytes:
+    """Encode as SOF2 progressive JFIF (gray or RGB 4:4:4): DC first at
+    Al=1 + DC refine, AC spectral bands 1-5 / 6-63 at Al=1, then an AC
+    refinement pass — the classic libjpeg-style script, exercising EOB
+    runs, ZRL-in-refine and correction-bit interleaving."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w_, nc = a.shape
+    if nc not in (1, 3):
+        raise ValueError(f"JPEG channel count {nc} (1/3 only)")
+    ql = _scale_q(_QL, quality)
+    qc = _scale_q(_QC, quality)
+    if nc == 3:
+        r_, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [0.299 * r_ + 0.587 * g + 0.114 * b - 128.0,
+                  -0.168736 * r_ - 0.331264 * g + 0.5 * b,
+                  0.5 * r_ - 0.418688 * g - 0.081312 * b]
+    else:
+        planes = [a[:, :, 0].astype(np.float64) - 128.0]
+    qs = [ql] + [qc] * (nc - 1)
+    mcux, mcuy = -(-w_ // 8), -(-h // 8)
+    # quantized zigzag coefficient arrays, one per component
+    zzs = []
+    for ci, p in enumerate(planes):
+        pp = _pad_plane(p, mcuy * 8, mcux * 8)
+        arr = np.zeros((mcuy, mcux, 64), np.int64)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = pp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                co = np.round(_fdct2(blk)
+                              / qs[ci].reshape(8, 8)).astype(np.int64)
+                arr[my, mx] = co.reshape(-1)[_ZZ]
+        zzs.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    for tq, q in ((0, ql),) + (((1, qc),) if nc == 3 else ()):
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+                + bytes(int(q[z]) for z in _ZZ))
+    sof = struct.pack(">BHHB", 8, h, w_, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_seg(0, 0, *_DC_L) + _dht_seg(1, 0, *_AC_L)
+    if nc == 3:
+        out += _dht_seg(0, 1, *_DC_C) + _dht_seg(1, 1, *_AC_C)
+    dc_tabs = [_HuffTable(*_DC_L)] + [_HuffTable(*_DC_C)] * (nc - 1)
+    ac_tabs = [_HuffTable(*_AC_L)] + [_HuffTable(*_AC_C)] * (nc - 1)
+
+    def sos_header(comps_td_ta, ss, se, ah, al):
+        body = bytes([len(comps_td_ta)])
+        for cid, td, ta in comps_td_ta:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # scan 1: DC first, interleaved over all components, Al=1
+    out += sos_header([(i + 1, 0 if i == 0 else 1, 0)
+                       for i in range(nc)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                v = int(zzs[ci][my, mx, 0]) >> 1
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = abs(diff).bit_length()
+                code, ln = dc_tabs[ci].enc[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0
+                             else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.buf
+
+    # AC scans per component: bands (1-5, 6-63) first at Al=1, then one
+    # refinement pass 1-63 Ah=1 Al=0. Each scan builds its own Huffman
+    # table (two-pass: count, then emit) and redefines DHT slot (1, 0).
+    for ss, se, ah, al in ((1, 5, 0, 1), (6, 63, 0, 1), (1, 63, 1, 0)):
+        for ci in range(nc):
+            enc = _enc_ac_refine if ah else _enc_ac_first
+            counter = _SymSink()
+            state = {"eobrun": 0, "eob_bits": [], "cur_bits": []}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    enc(counter, zzs[ci][my, mx], ss, se, al, state)
+            _emit_eobrun(counter, state)
+            bits, vals = _fixed_table(counter.counts)
+            out += _dht_seg(1, 0, bits, vals)
+            out += sos_header([(ci + 1, 0, 0)], ss, se, ah, al)
+            bw = _BitWriter()
+            sink = _SymSink(_HuffTable(bits, vals), bw)
+            state = {"eobrun": 0, "eob_bits": [], "cur_bits": []}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    enc(sink, zzs[ci][my, mx], ss, se, al, state)
+            _emit_eobrun(sink, state)
+            bw.flush()
+            out += bw.buf
+
+    # final scan: DC refinement, Ah=1 Al=0
+    out += sos_header([(i + 1, 0, 0) for i in range(nc)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                bw.write(int(zzs[ci][my, mx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)

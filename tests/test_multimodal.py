@@ -115,11 +115,11 @@ def test_jpeg_codec_roundtrip_matrix():
     for sub in (False, True):
         dec = jpeg_decode(jpeg_encode(rgb, quality=95, subsample=sub))
         assert dec.shape == (35, 52, 3)
-    # progressive gate by name
+    # lossless coding gates by name (progressive now decodes natively)
     buf = bytearray(jpeg_encode(g, quality=90))
     sof = buf.find(b"\xff\xc0")
-    buf[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    buf[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
         jpeg_decode(bytes(buf))
 
 
@@ -342,3 +342,30 @@ def test_wav_decode_formats(spark):
     r = mm.audio_features(df).collect()[0]
     assert r.rate == 8000 and r.n_samples == 800
     np.testing.assert_allclose(r.rms, 0.5 / np.sqrt(2), rtol=1e-3)
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline(spark):
+    """SOF2 progressive (spectral selection + successive approximation,
+    EOB runs, correction-bit interleaving) must reconstruct EXACTLY the
+    same pixels as the baseline encoding of the same image — both carry
+    the identical quantized coefficients."""
+    from georiva_spark.sources.jpeg_codec import (jpeg_decode,
+                                                  jpeg_encode,
+                                                  jpeg_encode_progressive)
+    rng = np.random.default_rng(41)
+    g = (128 + 60 * np.sin(np.arange(32)[:, None] / 5)
+         * np.cos(np.arange(48)[None, :] / 7)).astype(np.uint8)
+    for q in (30, 90, 100):
+        np.testing.assert_array_equal(
+            jpeg_decode(jpeg_encode_progressive(g, quality=q)),
+            jpeg_decode(jpeg_encode(g, quality=q)))
+    rgb = rng.integers(0, 256, (19, 26, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        jpeg_decode(jpeg_encode_progressive(rgb, quality=85)),
+        jpeg_decode(jpeg_encode(rgb, quality=85)))
+    # through the operator seam: a progressive payload just works
+    df = _media_df(spark, [(1, "image",
+                            jpeg_encode_progressive(g, quality=90),
+                            "image/jpeg")])
+    r = mm.image_features(df).collect()[0]
+    assert (r.height, r.width, r.channels) == (32, 48, 1)
