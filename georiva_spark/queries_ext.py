@@ -2108,14 +2108,16 @@ FROM u GROUP BY vec_id, k
 
 def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real JPEG decode with a HASH-EXACT oracle: 8×8-block-constant
-    grayscale images survive baseline JPEG at quality 100 bit-exactly
-    (a constant block is pure DC; the top-left quantizer is 1 at q=100,
-    so FDCT→quantize→IDCT→round is the identity — asserted for the
-    whole value range in tests). Each vector becomes a 16×16 image of 4
-    constant blocks valued (31·vec_id + 57·b) mod 256, JPEG-encoded by
-    sources/jpeg_codec.py and decoded back through the multimodal seam;
-    the oracle replays the block values in SQL."""
-    from georiva_spark.sources.jpeg_codec import jpeg_encode
+    grayscale images survive JPEG at quality 100 bit-exactly (a
+    constant block is pure DC; the top-left quantizer is 1 at q=100, so
+    FDCT→quantize→IDCT→round is the identity — asserted for the whole
+    value range in tests). Each vector becomes a 16×16 image of 4
+    constant blocks valued (31·vec_id + 57·b) mod 256, shipped TWICE —
+    media_id 2·vec_id as BASELINE (SOF0), 2·vec_id+1 as PROGRESSIVE
+    (SOF2 multi-scan) — and both must decode to identical stats; the
+    oracle replays the block values in SQL."""
+    from georiva_spark.sources.jpeg_codec import (jpeg_encode,
+                                                  jpeg_encode_progressive)
 
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -2129,7 +2131,11 @@ def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      [(31 * v + 114) % 256, (31 * v + 171) % 256]],
                     dtype=np.uint8)
                 img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-                rows.append((v, "image", jpeg_encode(img, quality=100),
+                rows.append((2 * v, "image",
+                             jpeg_encode(img, quality=100),
+                             "image/jpeg"))
+                rows.append((2 * v + 1, "image",
+                             jpeg_encode_progressive(img, quality=100),
                              "image/jpeg"))
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "mime"])
@@ -2141,13 +2147,15 @@ def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IMAGE_FEATURES_JPEG = """
 WITH u AS (
-  SELECT vec_id, CAST((31 * vec_id + 57 * b) % 256 AS DOUBLE) AS v
-  FROM embeddings, (VALUES (0), (1), (2), (3)) t(b))
-SELECT vec_id AS media_id, CAST(16 AS INTEGER) AS height,
+  SELECT vec_id, k,
+         CAST((31 * vec_id + 57 * b) % 256 AS DOUBLE) AS v
+  FROM embeddings, (VALUES (0), (1), (2), (3)) t(b),
+       (VALUES (0), (1)) p(k))
+SELECT 2 * vec_id + k AS media_id, CAST(16 AS INTEGER) AS height,
        CAST(16 AS INTEGER) AS width, CAST(1 AS INTEGER) AS channels,
        avg(v) AS mean, stddev_pop(v) AS std,
        min(v) AS "min", max(v) AS "max"
-FROM u GROUP BY vec_id
+FROM u GROUP BY vec_id, k
 """
 
 
