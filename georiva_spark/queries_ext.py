@@ -2140,8 +2140,9 @@ def q_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "mime"])
 
-    media = emb.select("vec_id").mapInPandas(
-        gen, schema="media_id long, kind string, content binary, mime string")
+    media = (emb.where(F.col("vec_id") < 250).select("vec_id")
+             .mapInPandas(gen, schema="media_id long, kind string, "
+                                      "content binary, mime string"))
     return mm.image_features(media)
 
 
@@ -2150,7 +2151,8 @@ WITH u AS (
   SELECT vec_id, k,
          CAST((31 * vec_id + 57 * b) % 256 AS DOUBLE) AS v
   FROM embeddings, (VALUES (0), (1), (2), (3)) t(b),
-       (VALUES (0), (1)) p(k))
+       (VALUES (0), (1)) p(k)
+  WHERE vec_id < 250)
 SELECT 2 * vec_id + k AS media_id, CAST(16 AS INTEGER) AS height,
        CAST(16 AS INTEGER) AS width, CAST(1 AS INTEGER) AS channels,
        avg(v) AS mean, stddev_pop(v) AS std,
