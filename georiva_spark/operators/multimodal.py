@@ -208,9 +208,58 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
-def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
-    """Nearest-neighbour resize (matches the regrid operator's semantics,
-    geoprocessing/tests/test_regrid.py) producing RAW payloads."""
+def _resize_array(a: np.ndarray, out_h: int, out_w: int,
+                  method: str) -> np.ndarray:
+    h, w, _ = a.shape
+    if method == "nearest":
+        yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h,
+                        h - 1).astype(int)
+        xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w,
+                        w - 1).astype(int)
+        return a[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"resize method {method!r}")
+    # pixel-center bilinear (the regrid operator's weight convention)
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int,
+                  method: str = "nearest") -> DataFrame:
+    """Resize producing RAW payloads: ``nearest`` (matches the regrid
+    operator's semantics, geoprocessing/tests/test_regrid.py) or
+    ``bilinear`` (pixel-center weights, the vision-pipeline default)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            mimes = pdf["mime"] if "mime" in pdf else [""] * len(pdf)
+            for mid, content, mime in zip(pdf["media_id"], pdf["content"],
+                                          mimes):
+                a = _decode_image_bytes(content, mime)
+                res = _resize_array(a, out_h, out_w, method)
+                rows.append((mid, out_h, out_w, encode_raw_image(res)))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return (media.select("media_id", "content", "mime")
+            .mapInPandas(gen, schema=RESIZED_SCHEMA))
+
+
+def preprocess_images(media: DataFrame, size: int = 224,
+                      method: str = "bilinear") -> DataFrame:
+    """The standard vision-training preprocessing (CLIP-style): resize
+    the SHORTEST side to ``size`` preserving aspect, center-crop to
+    size×size, emit RAW float payloads — one Arrow-batched decode +
+    numpy resize per image, no Python per pixel."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,11 +269,17 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                                           mimes):
                 a = _decode_image_bytes(content, mime)
                 h, w, _ = a.shape
-                yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(int)
-                xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(int)
-                res = a[yi][:, xi]
-                rows.append((mid, out_h, out_w, encode_raw_image(res)))
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+                if h <= w:
+                    nh, nw = size, max(size, round(w * size / h))
+                else:
+                    nh, nw = max(size, round(h * size / w)), size
+                r = _resize_array(a, nh, nw, method)
+                y0 = (nh - size) // 2
+                x0 = (nw - size) // 2
+                crop = r[y0:y0 + size, x0:x0 + size]
+                rows.append((mid, size, size, encode_raw_image(crop)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZED_SCHEMA.fields])
 
     return (media.select("media_id", "content", "mime")
             .mapInPandas(gen, schema=RESIZED_SCHEMA))

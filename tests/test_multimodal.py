@@ -369,3 +369,29 @@ def test_progressive_jpeg_decodes_identically_to_baseline(spark):
                             "image/jpeg")])
     r = mm.image_features(df).collect()[0]
     assert (r.height, r.width, r.channels) == (32, 48, 1)
+
+
+def test_bilinear_resize_and_clip_preprocess(spark):
+    """Bilinear 2x upsample of a ramp interpolates linearly (interior
+    pixels hit exact midpoints); preprocess_images resizes the shortest
+    side and center-crops to a square."""
+    ramp = np.arange(16, dtype=np.float32).reshape(4, 4)
+    df = _media_df(spark, [(1, "image", mm.encode_raw_image(ramp),
+                            "image/raw")])
+    r = mm.resize_images(df, 8, 8, method="bilinear").collect()[0]
+    out = mm.decode_raw_image(r.content)[:, :, 0]
+    # ramp is linear (v = 4y + x), so interior bilinear samples are
+    # exact: out[i,j] = 4*fy + fx with fy=(i+.5)/2-.5, fx=(j+.5)/2-.5
+    assert out[4, 3] == pytest.approx(4 * 1.75 + 1.25)
+    assert out[3, 5] == pytest.approx(4 * 1.25 + 2.25)
+    assert out[0, 0] == ramp[0, 0]                  # corners clamp
+    # CLIP-style preprocess: 40x20 → shortest side 8 → 16x8 → crop 8x8
+    tall = np.arange(800, dtype=np.float32).reshape(40, 20)
+    df = _media_df(spark, [(2, "image", mm.encode_raw_image(tall),
+                            "image/raw")])
+    p = mm.preprocess_images(df, size=8).collect()[0]
+    assert (p.height, p.width) == (8, 8)
+    crop = mm.decode_raw_image(p.content)[:, :, 0]
+    assert crop.shape == (8, 8)
+    # the crop is centered: its mean sits near the image's global mean
+    assert abs(crop.mean() - tall.mean()) < tall.mean() * 0.1
