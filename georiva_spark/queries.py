@@ -783,6 +783,7 @@ _DRIVER_PRIORITY = [
     "dup_spans",
     "audio_spectrum",
     "split_assign",
+    "image_resize_bl",
     "zarr_v3_fill",
     "zarr_forder",
     # previously recorded green; remaining window slots re-verify the

@@ -2058,6 +2058,42 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "height", "width", "mean"))
 
 
+def q_image_resize_bl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resize with an exact oracle: at an integer 2× downsample
+    the pixel-center bilinear weights are all 1/4, so every output
+    pixel is the mean of its 2×2 block — the oracle replays the block
+    means and the re-extracted stats in SQL (std/min/max distinguish a
+    wrong kernel; the mean alone would degenerate to the global mean)."""
+    media = _embeddings_as_media(spark, sf_dir, "image")
+    resized = mm.resize_images(media, 4, 4, method="bilinear") \
+        .withColumn("mime", F.lit("image/raw"))
+    out = mm.image_features(resized)
+    return out.select("media_id", "height", "width",
+                      _r4ge("mean"), _r4ge("std"),
+                      _r4ge("min"), _r4ge("max"))
+
+
+def _r4ge(c):
+    return F.round(F.col(c), 4).alias(c)
+
+
+SQL_IMAGE_RESIZE_BL = """
+WITH px AS (
+  SELECT vec_id, (i - 1) // 8 AS y, (i - 1) % 8 AS x,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT vec_id, unnest(generate_series(1, 64)) AS i, embedding
+        FROM embeddings)),
+blocks AS (
+  SELECT vec_id, y // 2 AS by, x // 2 AS bx, AVG(v) AS bv
+  FROM px GROUP BY vec_id, y // 2, x // 2)
+SELECT vec_id AS media_id, CAST(4 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS width,
+       ROUND(AVG(bv), 4) AS mean, ROUND(stddev_pop(bv), 4) AS std,
+       ROUND(MIN(bv), 4) AS "min", ROUND(MAX(bv), 4) AS "max"
+FROM blocks GROUP BY vec_id
+"""
+
+
 def q_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-format image decode: the SAME deterministic uint8 RGB pixels
     (value = (31·vec_id + 7·i + 97·c) mod 256, i = flat pixel index) are
@@ -3308,6 +3344,7 @@ EXT_QUERIES = {
     "knn_all_topk": q_knn_all_topk,
     "image_features": q_image_features,
     "image_resize": q_image_resize,
+    "image_resize_bl": q_image_resize_bl,
     "image_features_png": q_image_features_png,
     "image_features_jpeg": q_image_features_jpeg,
     "audio_features": q_audio_features,
@@ -3394,6 +3431,7 @@ EXT_ORACLES = {
     "knn_all_topk": SQL_KNN_ALL_TOPK,
     "image_features": SQL_IMAGE_FEATURES,
     "image_resize": SQL_IMAGE_RESIZE,
+    "image_resize_bl": SQL_IMAGE_RESIZE_BL,
     "image_features_png": SQL_IMAGE_FEATURES_PNG,
     "image_features_jpeg": SQL_IMAGE_FEATURES_JPEG,
     "audio_features": SQL_AUDIO_FEATURES,
