@@ -784,6 +784,7 @@ _DRIVER_PRIORITY = [
     "audio_spectrum",
     "split_assign",
     "image_resize_bl",
+    "audio_wav",
     "zarr_v3_fill",
     "zarr_forder",
     # previously recorded green; remaining window slots re-verify the

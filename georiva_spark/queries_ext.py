@@ -2245,6 +2245,57 @@ FROM s
 SQL_AUDIO_SPECTRUM = _sql_audio_spectrum()
 
 
+def q_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format audio decode: each embedding becomes a 16-bit PCM
+    RIFF/WAVE clip (samples int16-quantized by truncation toward zero,
+    clipped to the int16 range) and flows through the native WAV
+    decoder + audio_features; the oracle replays the quantization
+    (TRUNC) and the RMS/zero-crossing math over the same samples."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(embedding, dtype=np.float64)
+                q = np.clip(np.trunc(x * 32768.0), -32768, 32767) \
+                    .astype("<i2")
+                data = q.tobytes()
+                fmt = _s.pack("<HHIIHH", 1, 1, 64, 128, 2, 16)
+                body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                        + b"data" + _s.pack("<I", len(data)) + data)
+                rows.append((int(vec_id), "audio",
+                             b"RIFF" + _s.pack("<I", len(body)) + body,
+                             "audio/wav"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "mime"])
+
+    media = emb.mapInPandas(
+        gen, schema="media_id long, kind string, content binary, mime string")
+    out = mm.audio_features(media)
+    return out.select("media_id", "rate", "n_samples", "duration_s",
+                      F.round("rms", 6).alias("rms"), "zero_crossings")
+
+
+SQL_AUDIO_WAV = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           GREATEST(-32768, LEAST(32767,
+             TRUNC(CAST(x AS DOUBLE) * 32768.0))) / 32768.0) AS s
+  FROM embeddings)
+SELECT vec_id AS media_id, CAST(64 AS INTEGER) AS rate,
+  CAST(len(s) AS BIGINT) AS n_samples,
+  CAST(len(s) AS DOUBLE) / 64.0 AS duration_s,
+  ROUND(sqrt(list_avg(list_transform(s, v -> v * v))), 6) AS rms,
+  CAST(len(list_filter(range(0, len(s) - 1),
+       i -> (s[i + 1] < 0) <> (s[i + 2] < 0))) AS BIGINT)
+    AS zero_crossings
+FROM q
+"""
+
+
 def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window stats (streaming windowed_stats in its
     batch form — identical expression; the watermark/late-data behavior
@@ -3349,6 +3400,7 @@ EXT_QUERIES = {
     "image_features_jpeg": q_image_features_jpeg,
     "audio_features": q_audio_features,
     "audio_spectrum": q_audio_spectrum,
+    "audio_wav": q_audio_wav,
     "video_frames": q_video_frames,
     "video_scenes": q_video_scenes,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3436,6 +3488,7 @@ EXT_ORACLES = {
     "image_features_jpeg": SQL_IMAGE_FEATURES_JPEG,
     "audio_features": SQL_AUDIO_FEATURES,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
+    "audio_wav": SQL_AUDIO_WAV,
     "video_frames": SQL_VIDEO_FRAMES,
     "video_scenes": SQL_VIDEO_SCENES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -263,3 +263,12 @@ def test_audio_spectrum_no_shuffle(spark):
     import re
     n_ex = len(re.findall(r"Exchange", plan))
     assert n_ex == 0, plan
+
+
+def test_split_assign_zero_exchange(spark):
+    """split_assign is a pure scan-stage projection — no Exchange, no
+    Python, the md5-bucket CASE runs in whole-stage codegen."""
+    plan = _plan(QUERIES["split_assign"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
