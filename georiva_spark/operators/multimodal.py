@@ -83,13 +83,18 @@ def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + ln + (ln & 1)          # chunks pad to even
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif tag == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     code, nch, rate, _, _, bits = fmt
-    if code == 0xFFFE and len(content) >= 12:   # WAVE_FORMAT_EXTENSIBLE
-        code = 1                                # subformat assumed PCM
+    if code == 0xFFFE:                          # WAVE_FORMAT_EXTENSIBLE
+        # fmt body: 16 common bytes, cbSize(2), valid bits(2),
+        # channel mask(4), SubFormat GUID (first u16 = format code)
+        if len(fmt_body) < 40:
+            raise ValueError("extensible WAV missing SubFormat")
+        code = struct.unpack_from("<H", fmt_body, 24)[0]
     if code == 1:                     # integer PCM
         if bits == 8:
             x = (np.frombuffer(data, np.uint8).astype(np.float32)
@@ -233,11 +238,10 @@ def _resize_array(a: np.ndarray, out_h: int, out_w: int,
     return (top * (1 - wy) + bot * wy).astype(np.float32)
 
 
-def resize_images(media: DataFrame, out_h: int, out_w: int,
-                  method: str = "nearest") -> DataFrame:
-    """Resize producing RAW payloads: ``nearest`` (matches the regrid
-    operator's semantics, geoprocessing/tests/test_regrid.py) or
-    ``bilinear`` (pixel-center weights, the vision-pipeline default)."""
+def _image_transform(media: DataFrame, fn) -> DataFrame:
+    """Shared Arrow-batched decode→transform→RAW scaffolding for the
+    image-to-image operators (one copy of the batch loop / mime
+    defaulting / schema emission)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,13 +249,23 @@ def resize_images(media: DataFrame, out_h: int, out_w: int,
             mimes = pdf["mime"] if "mime" in pdf else [""] * len(pdf)
             for mid, content, mime in zip(pdf["media_id"], pdf["content"],
                                           mimes):
-                a = _decode_image_bytes(content, mime)
-                res = _resize_array(a, out_h, out_w, method)
-                rows.append((mid, out_h, out_w, encode_raw_image(res)))
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+                out = fn(_decode_image_bytes(content, mime))
+                rows.append((mid, out.shape[0], out.shape[1],
+                             encode_raw_image(out)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZED_SCHEMA.fields])
 
     return (media.select("media_id", "content", "mime")
             .mapInPandas(gen, schema=RESIZED_SCHEMA))
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int,
+                  method: str = "nearest") -> DataFrame:
+    """Resize producing RAW payloads: ``nearest`` (matches the regrid
+    operator's semantics, geoprocessing/tests/test_regrid.py) or
+    ``bilinear`` (pixel-center weights, the vision-pipeline default)."""
+    return _image_transform(
+        media, lambda a: _resize_array(a, out_h, out_w, method))
 
 
 def preprocess_images(media: DataFrame, size: int = 224,
@@ -261,28 +275,18 @@ def preprocess_images(media: DataFrame, size: int = 224,
     size×size, emit RAW float payloads — one Arrow-batched decode +
     numpy resize per image, no Python per pixel."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            mimes = pdf["mime"] if "mime" in pdf else [""] * len(pdf)
-            for mid, content, mime in zip(pdf["media_id"], pdf["content"],
-                                          mimes):
-                a = _decode_image_bytes(content, mime)
-                h, w, _ = a.shape
-                if h <= w:
-                    nh, nw = size, max(size, round(w * size / h))
-                else:
-                    nh, nw = max(size, round(h * size / w)), size
-                r = _resize_array(a, nh, nw, method)
-                y0 = (nh - size) // 2
-                x0 = (nw - size) // 2
-                crop = r[y0:y0 + size, x0:x0 + size]
-                rows.append((mid, size, size, encode_raw_image(crop)))
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              RESIZED_SCHEMA.fields])
+    def _prep(a: np.ndarray) -> np.ndarray:
+        h, w, _ = a.shape
+        if h <= w:
+            nh, nw = size, max(size, round(w * size / h))
+        else:
+            nh, nw = max(size, round(h * size / w)), size
+        r = _resize_array(a, nh, nw, method)
+        y0 = (nh - size) // 2
+        x0 = (nw - size) // 2
+        return r[y0:y0 + size, x0:x0 + size]
 
-    return (media.select("media_id", "content", "mime")
-            .mapInPandas(gen, schema=RESIZED_SCHEMA))
+    return _image_transform(media, _prep)
 
 
 FRAME_SCHEMA = T.StructType([

@@ -209,6 +209,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None
     restart_interval = 0
+    n_scans = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -275,9 +276,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             pos = _decode_progressive_scan(
                 data, pos, frame, scan, huff, restart_interval,
                 coefs, ss, se, ah_al >> 4, ah_al & 0x0F)
+            n_scans += 1
             continue
         pos += seglen
-    if frame is not None and frame.get("progressive"):
+    if frame is not None and frame.get("progressive") and n_scans:
         return _reconstruct(frame, coefs, qt)
     raise ValueError("no SOS marker found")
 
@@ -474,11 +476,8 @@ def _ac_refine(r, ac_t, blk, ss, se, al, state):
 
 
 def _reconstruct(frame, coefs, qt):
-    comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
-    out = []
-    for c in comps:
+    planes = {}
+    for c in frame["comps"]:
         q = qt[c["tq"]]
         arr = coefs[c["id"]]
         bv, bh = arr.shape[:2]
@@ -489,19 +488,8 @@ def _reconstruct(frame, coefs, qt):
             for bxx in range(bh):
                 plane[byy * 8:byy * 8 + 8, bxx * 8:bxx * 8 + 8] = \
                     _idct2(deq[byy, bxx][_UNZZ].reshape(8, 8))
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out.append(plane[:h, :w])
-    img = np.stack(out, axis=2) + 128.0
-    if len(comps) == 3:
-        y, cb, cr = img[:, :, 0], img[:, :, 1] - 128, img[:, :, 2] - 128
-        img = np.stack([y + 1.402 * cr,
-                        y - 0.344136 * cb - 0.714136 * cr,
-                        y + 1.772 * cb], axis=2)
-    elif len(comps) != 1:
-        raise NotImplementedError(f"{len(comps)}-component JPEG")
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+        planes[c["id"]] = plane
+    return _assemble(frame, planes)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
@@ -547,6 +535,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes):
+    """Shared reconstruction tail (baseline + progressive): chroma
+    upsample, YCbCr→RGB (JFIF constants), clip/round — one copy so the
+    two decode paths can never drift apart."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _mcu_geometry(frame)
     out = []
     for c in comps:
         p = planes[c["id"]]

@@ -395,3 +395,36 @@ def test_bilinear_resize_and_clip_preprocess(spark):
     assert crop.shape == (8, 8)
     # the crop is centered: its mean sits near the image's global mean
     assert abs(crop.mean() - tall.mean()) < tall.mean() * 0.1
+
+
+def test_wav_extensible_subformat_and_zero_scan_jpeg():
+    """Second-review regressions: WAVE_FORMAT_EXTENSIBLE resolves the
+    SubFormat GUID (float subformat decodes as float, ADPCM gates by
+    name), and a progressive JPEG truncated before its first scan
+    raises instead of fabricating a gray image."""
+    import struct as _s
+
+    sine = (0.5 * np.sin(np.arange(100) / 5)).astype("<f4")
+    guid_tail = bytes.fromhex("000010008000" + "00aa00389b71")
+
+    def ext_wav(code, bits, data):
+        fmt = (_s.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, bits)
+               + _s.pack("<HHI", 22, bits, 4)
+               + _s.pack("<H", code) + b"\x00\x00" + guid_tail)
+        body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    x, rate = mm.decode_raw_audio(ext_wav(3, 32, sine.tobytes()))
+    assert rate == 8000
+    np.testing.assert_array_equal(x, sine)
+    with pytest.raises(NotImplementedError, match="format code 2"):
+        mm.decode_raw_audio(ext_wav(2, 4, b"\0\0\0\0"))
+
+    from georiva_spark.sources.jpeg_codec import (jpeg_decode,
+                                                  jpeg_encode_progressive)
+    g = np.full((16, 16), 7, np.uint8)
+    enc = bytearray(jpeg_encode_progressive(g, 90))
+    trunc = bytes(enc[:enc.find(b"\xff\xda")]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no SOS"):
+        jpeg_decode(trunc)
