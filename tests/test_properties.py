@@ -216,3 +216,82 @@ def test_rotated_pole_inverse_of_forward(lat, lon, sp_lat, sp_lon, angle):
         return np.array([math.cos(pla) * math.cos(plo),
                          math.cos(pla) * math.sin(plo), math.sin(pla)])
     assert np.linalg.norm(vec(lat, lon) - vec(float(la), float(lo))) < 5e-7
+
+
+# -- r4 codecs ---------------------------------------------------------------
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 2000),
+       st.sampled_from([1, 2, 8, 12, 16, 24, 32]),
+       st.sampled_from([(8, 4), (16, 16), (32, 128), (64, 8)]),
+       st.booleans(), st.sampled_from(["rand", "smooth", "zero", "const"]))
+@settings(max_examples=60, deadline=None)
+def test_aec_roundtrip_property(seed, n, nbits, jr, pre, shape):
+    from georiva_spark.sources.aec_codec import aec_decode, aec_encode
+    rng = np.random.default_rng(seed)
+    hi = (1 << nbits) - 1
+    if shape == "rand":
+        x = rng.integers(0, hi + 1, n)
+    elif shape == "smooth":
+        x = np.clip(hi // 2 + np.cumsum(rng.integers(-2, 3, n)), 0, hi)
+    elif shape == "zero":
+        x = np.zeros(n, np.int64)
+    else:
+        x = np.full(n, min(7, hi), np.int64)
+    J, R = jr
+    enc = aec_encode(x, nbits, block_size=J, rsi=R, preprocess=pre)
+    dec = aec_decode(enc, n, nbits, block_size=J, rsi=R, preprocess=pre)
+    np.testing.assert_array_equal(dec, x)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 30000),
+       st.sampled_from(["rand", "runs", "text"]))
+@settings(max_examples=40, deadline=None)
+def test_blosclz_roundtrip_property(seed, n, shape):
+    from georiva_spark.sources.blosc_codec import (blosclz_compress,
+                                                   blosclz_decompress)
+    rng = np.random.default_rng(seed)
+    if shape == "rand":
+        raw = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+    elif shape == "runs":
+        raw = b"".join(bytes([int(b)]) * int(r) for b, r in
+                       zip(rng.integers(0, 4, 50),
+                           rng.integers(1, max(2, n // 25), 50)))[:n]
+    else:
+        raw = bytes(rng.choice(list(b"abcde fgh "), n))
+    assert blosclz_decompress(blosclz_compress(raw), len(raw)) == raw
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([1, 2, 4, 8, 16]),
+       st.integers(0, 5000))
+@settings(max_examples=40, deadline=None)
+def test_bitshuffle_involution_property(seed, ts, nel):
+    from georiva_spark.sources.blosc_codec import (_bit_shuffle,
+                                                   _bit_unshuffle)
+    rng = np.random.default_rng(seed)
+    raw = bytes(rng.integers(0, 256, nel * ts, dtype=np.uint8))
+    assert _bit_unshuffle(_bit_shuffle(raw, ts), ts) == raw
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(8, 48), st.integers(8, 48),
+       st.integers(30, 100), st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_progressive_jpeg_equals_baseline_property(seed, h, w, q, color):
+    from georiva_spark.sources.jpeg_codec import (jpeg_decode, jpeg_encode,
+                                                  jpeg_encode_progressive)
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        jpeg_decode(jpeg_encode_progressive(img, quality=q)),
+        jpeg_decode(jpeg_encode(img, quality=q)))
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 64), st.integers(1, 64),
+       st.sampled_from([1, 3, 4]))
+@settings(max_examples=40, deadline=None)
+def test_png_image_roundtrip_property(seed, h, w, c):
+    from georiva_spark.sources.png_codec import (png_decode_image,
+                                                 png_encode_image)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    np.testing.assert_array_equal(png_decode_image(png_encode_image(a)), a)
