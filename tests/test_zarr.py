@@ -476,3 +476,45 @@ def test_v2_string_nan_fill(spark, tmp_path):
             ZARR.open_variable(spark, store, "t2m").collect()}
     assert rows[(0, 0)] is None
     assert rows[(1, 1)] == 0.0 and rows[(0, 1)] == 1.0
+
+
+def test_v3_sharded_with_inner_transpose(spark, tmp_path):
+    """transpose inside a sharding_indexed inner codec chain: the perm
+    flows through the shard's inner-chunk decode (the combination a
+    zarr-python store with both codecs produces)."""
+    rng = np.random.default_rng(29)
+    a = rng.uniform(0, 9, (1, 8, 8)).astype("<f8")
+    lat = np.arange(8, dtype="<f8")
+    lon = np.arange(8, dtype="<f8")
+    store = str(tmp_path / "shtr.zarr")
+    write_zarr(store, {"t2m": a, "lat": lat, "lon": lon,
+                       "time": np.array([0], dtype="<i8")},
+               chunks={"t2m": (1, 8, 8)}, zarr_format=3, compress=False,
+               shard_inner={"t2m": (1, 4, 4)})
+    mp = os.path.join(store, "t2m", "zarr.json")
+    meta = json.load(open(mp))
+    shard_cfg = meta["codecs"][0]["configuration"]
+    shard_cfg["codecs"] = [{"name": "transpose",
+                            "configuration": {"order": [2, 1, 0]}}] \
+        + shard_cfg["codecs"]
+    json.dump(meta, open(mp, "w"))
+    # rewrite each inner chunk's payload in (x, y, t) storage order;
+    # the shard layout (uncompressed, crc32c index at end) is preserved
+    kp = os.path.join(store, "t2m", "c", "0", "0", "0")
+    blob = bytearray(open(kp, "rb").read())
+    from georiva_spark.sources.zarr_store import crc32c
+    import struct as _s
+    n_inner = 4
+    isz = n_inner * 16 + 4
+    offs = np.frombuffer(bytes(blob[-isz:-4]), "<u8").reshape(-1, 2)
+    for off, nb in offs:
+        raw = np.frombuffer(bytes(blob[off:off + nb]), "<f8") \
+            .reshape(1, 4, 4)
+        blob[off:off + nb] = np.ascontiguousarray(
+            raw.transpose(2, 1, 0)).tobytes()
+    open(kp, "wb").write(bytes(blob))
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, store, "t2m").collect()}
+    assert len(rows) == 64
+    assert rows[(2, 5)] == a[0, 2, 5]
+    assert rows[(6, 1)] == a[0, 6, 1]
