@@ -893,10 +893,19 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
     cut the spans out of the corpus (the paper's ExactSubstr policy).
 
     Scale shape: in-row n-gram hashing (portable 60-bit, never the
-    text), one (gram, doc_id) shuffle for the document-frequency
-    filter, one gram-keyed join back, then a per-doc window — every
-    shuffled row is (hash, id, pos) longs; the span merge is island
-    detection over sorted positions, state bounded by one document."""
+    text); the (gram, doc_id, pos) table is persisted ONCE and feeds
+    both branches (no 2× recompute of the explode lineage). Document
+    frequency is a two-level aggregation — groupBy(gram, doc_id) then
+    groupBy(gram).count(), both with map-side partial combine — so a
+    boilerplate gram occurring in millions of documents spreads over
+    doc_id in level 1 and collapses to ≤1 row per upstream partition
+    in level 2; there is NO window over the gram partition (a window
+    partition cannot be split by AQE — the r4 shape put every
+    occurrence of a hot gram through one task's sort). The join back
+    to positions is gram-keyed and AQE-skew-splittable (and AQE
+    broadcasts the duplicated-gram side when it is small). The span
+    merge is island detection over sorted positions, state bounded by
+    one document. Every shuffled row is (hash, id, pos) longs."""
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
@@ -915,22 +924,25 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
             ).otherwise(F.concat_ws(" ", a, b)))
     gram_strs = F.slice(
         s, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    from pyspark import StorageLevel
+
     g = (docs.select("doc_id",
                      F.posexplode(gram_strs).alias("pos", "gs"))
          .select("doc_id", "pos",
-                 portable_hash64(F.col("gs")).alias("gram")))
-    # document frequency as a WINDOW over the gram partition (max of
-    # dense_rank by doc_id) — one shuffle+sort on gram, g evaluated
-    # once, no join-back recompute of the explode lineage (a
-    # groupBy-countDistinct + join shape re-ran the gram build twice
-    # and cost ~2× at bench scale); sort-based, so no per-key
-    # collect_set state for boilerplate grams that appear in millions
-    # of documents
-    wg = Window.partitionBy("gram").orderBy("doc_id")
-    wall = Window.partitionBy("gram")
-    hits = (g.withColumn("dr", F.dense_rank().over(wg))
-            .withColumn("df", F.max("dr").over(wall))
-            .where(F.col("df") >= min_docs)
+                 portable_hash64(F.col("gs")).alias("gram"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    # document frequency via two-level aggregation over the persisted g
+    # (persist = both branches read the explode output once, like the
+    # minhash signature table). groupBy(gram, doc_id) distributes a hot
+    # gram across doc_id; groupBy(gram) sees ≤1 row per (gram, doc) and
+    # partial-combines, so no single task ever sorts a boilerplate
+    # gram's full occurrence list (the r4 window-on-gram did — a window
+    # partition is un-splittable by AQE).
+    dup_grams = (g.groupBy("gram", "doc_id").agg(F.count(F.lit(1)))
+                 .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+                 .where(F.col("df") >= min_docs)
+                 .select("gram"))
+    hits = (g.join(dup_grams, "gram", "inner")
             .select("doc_id", "pos"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + n,

@@ -764,84 +764,69 @@ FROM sims ORDER BY dot / (na * nb) DESC, vec_id LIMIT 5
 # round-1 block goes to the back. Keep rotating each round until every
 # query has a recorded row.
 _DRIVER_PRIORITY = [
-    # never recorded in r1-r3 (sat past position 50 every round) — these
-    # five pass the identical oracle locally; a window slot finishes the
-    # 105/105 record
-    "mvt_tiles",
-    "feed_health",
-    "vocab",
-    "file_times",
-    "quantize_emb",
-    # r3 red hash (values verified bit-identical; oracle now carries a
-    # deterministic final ORDER BY on both sides) — needs a fresh record
+    # r5 rotation. The driver records the FIRST 50 entries of QUERIES.
+    # Front: the four rows non-green in r4, each with its root-cause fix
+    # landed this round (bpe_train/zarr_v3_fill: uncast DuckDB HUGEINT
+    # SUM now CAST AS BIGINT; quantize_emb: array column serialized to a
+    # string on both sides; approx_distinct: first real oracle — exact
+    # count + within_rsd bool), plus dup_spans whose document-frequency
+    # shape changed (window-on-gram -> skew-safe two-level agg + join).
+    # Then the 49 queries whose latest record is r2 — the stalest — to
+    # refresh the rotating window (45 fit; the tail catches r6).
     "bpe_train",
-    # new/changed this round
-    "ingest_grib2_aec",
-    "image_features_png",
-    "image_features_jpeg",
-    "video_scenes",
-    "dup_spans",
-    "audio_spectrum",
-    "split_assign",
-    "image_resize_bl",
-    "audio_wav",
     "zarr_v3_fill",
-    "zarr_forder",
-    # previously recorded green; remaining window slots re-verify the
-    # most complex operators first
-    "nearest_time",
-    "zarr_blosc",
-    "zarr_v3",
-    "c4_rules",
-    "fasttext_score",
-    "temperature_mix",
-    "lm_bigram",
-    "ingest_grib2_reduced",
-    "ingest_grib2_png",
-    "ingest_grib2_lcc",
-    "ingest_grib2_j2k",
-    "zarr_scan",
-    "gopher_rules",
-    "ingest_netcdf4",
-    "utm_project",
-    "lm_score",
-    "html_text",
-    "knn_ivf_pq",
-    "line_dedup",
-    "url_dedup",
-    "semdedup",
-    "bpe_tokenize",
-    "regrid_bilinear",
-    "fingerprints",
-    "token_counts",
-    "pack_sequences",
-    "knn_all_topk",
-    "image_features",
-    "image_resize",
-    "audio_features",
-    "video_frames",
-    "embedding_near_dup",
-    "windowed_agg",
-    "minhash_dedup",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "chunk_docs",
-    "pii_scrub",
-    "repetition",
-    "hash_sample",
-    "source_mix",
-    "decontaminate",
-    "bow_score",
-    # approx_distinct stays OUT of the 50-entry driver window: it is
-    # legitimately no-oracle (HLL sketch) and already holds its r1
-    # rows-only record — a window slot re-recording it is wasted while
-    # oracle-bearing queries remain unrecorded
-    "simhash",
-    "simhash_pairs",
-    "language_id",
-    "knn_lsh",
-    "knn_ivf",
-    "mvt_geom",
+    "quantize_emb",
+    "approx_distinct",
+    "dup_spans",
+    "pricing_summary",
+    "revenue_join",
+    "time_filter",
+    "keyset_page",
+    "latest_per_user",
+    "latest_run_steps",
+    "status_rollup",
+    "distinct_days",
+    "anti_join",
+    "semi_join",
+    "safe_divide",
+    "rollup_sets",
+    "bbox_subset",
+    "resample_daily",
+    "climatology",
+    "anomaly",
+    "trend",
+    "zonal_stats",
+    "area_timeseries",
+    "point_timeseries",
+    "vector_transform",
+    "raster_combine",
+    "unit_rescale",
+    "extent",
+    "global_stats",
+    "season_filter",
+    "dedup_exact",
+    "text_quality",
+    "doc_stats",
+    "knn_cosine",
+    "rolling_window",
+    "union_concat",
+    "drop_duplicates",
+    "regional_revenue",
+    "topk_per_group",
+    "cube_rollup",
+    "lod_pyramid",
+    "regrid_coarse",
+    "json_extract",
+    "checksum",
+    "path_grammar",
+    "tile_pack",
+    "sessionize",
+    "percentiles",
+    "zonal_rollup",
+    "ingest_geotiff",
+    "ingest_netcdf",
+    "ingest_grib2",
+    "webmercator_tiles",
 ]
 
 _BASE_QUERIES: dict[str, QueryFn] = {

@@ -389,13 +389,32 @@ FROM events GROUP BY event_type
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approx-distinct users per event type — the cardinality path at
-    100 TB where exact COUNT(DISTINCT) would shuffle every key. Rows-only
-    (sketch values are engine-specific); exactness is asserted separately
-    in tests at small scale."""
+    100 TB where exact COUNT(DISTINCT) would shuffle every key. The raw
+    sketch estimate is engine-specific, so the driver-facing output is
+    the exact count plus `within_rsd`, a boolean asserting the HLL
+    estimate landed within 5× the declared rsd (1%) of exact (floor of
+    5 absolute for tiny groups) — the oracle computes exact + TRUE, so a
+    broken sketch (off by orders of magnitude) flips the hash."""
     ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-                 F.count(F.lit(1)).alias("n")))
+    agg = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=0.01)
+                .alias("approx_users"),
+                F.countDistinct("user_id").alias("exact_users"),
+                F.count(F.lit(1)).alias("n")))
+    tol = F.greatest(F.lit(5.0), F.lit(0.05) * F.col("exact_users"))
+    return agg.select(
+        "event_type", "exact_users", "n",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol)
+        .alias("within_rsd"))
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS within_rsd
+FROM events GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1147,7 +1166,7 @@ r{i} AS MATERIALIZED (
 SELECT {i - 1} AS rank,
        string_split((SELECT pair FROM b{i}), ' ')[1] AS left,
        string_split((SELECT pair FROM b{i}), ' ')[2] AS right,
-       (SELECT total FROM b{i}) AS pair_count""")
+       CAST((SELECT total FROM b{i}) AS BIGINT) AS pair_count""")
         prev = f"r{i}"
     return (f"""
 WITH w AS (SELECT w, COUNT(*) AS cnt
@@ -1605,7 +1624,7 @@ WITH u AS (
   FROM embeddings
   WHERE vec_id < LEAST(128, (SELECT COUNT(*) FROM embeddings)))
 SELECT y, COUNT(v) AS n,
-       SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+       CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        AVG(v) AS vmean, MIN(v) AS vmin, MAX(v) AS vmax
 FROM u GROUP BY y
 """
@@ -2799,8 +2818,12 @@ def q_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = dequantize_int8(q)
     err = F.array_max(F.zip_with(deq, F.col("embedding"),
                                  lambda a, b: F.abs(a - b)))
+    # `codes` rides as a comma-joined string: the driver's pandas
+    # canonicalizer sorts every column, and a top-level array column is
+    # unhashable there (r4 ERR). The oracle serializes identically.
     return emb.select(
-        "vec_id", q["scale"].alias("scale"), q["codes"].alias("codes"),
+        "vec_id", q["scale"].alias("scale"),
+        F.concat_ws(",", q["codes"].cast("array<string>")).alias("codes"),
         (err <= q["scale"] / F.lit(2.0) + F.lit(1e-12)).alias("err_ok"))
 
 
@@ -2815,7 +2838,9 @@ c AS (
          ELSE list_transform(embedding,
                              x -> CAST(round(x / scale) AS INT)) END AS codes
   FROM q)
-SELECT vec_id, scale, codes,
+SELECT vec_id, scale,
+  array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',')
+    AS codes,
   list_max(list_transform(list_zip(codes, embedding),
     p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))) <= scale/2.0 + 1e-12
     AS err_ok
@@ -3441,6 +3466,7 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "approx_distinct": SQL_APPROX_DISTINCT,
     "nearest_time": SQL_NEAREST_TIME,
     "rolling_window": SQL_ROLLING_WINDOW,
     "union_concat": SQL_UNION_CONCAT,

@@ -95,21 +95,25 @@ def test_import_without_session():
 
 
 def test_approx_distinct_within_documented_rsd(spark):
-    """The one no-oracle driver query gets a quantitative bound: the
-    HLL estimate per event_type is within a small multiple of the
-    declared rsd (1%) of the exact distinct count on the driver
-    testdata — 5σ guards against flakiness while still catching a
-    broken sketch (which would be off by orders of magnitude)."""
+    """r5: the query is now oracle-able — it emits the exact distinct
+    count plus `within_rsd` (HLL estimate within 5× the declared 1%
+    rsd of exact, floor 5 absolute; the DuckDB oracle emits TRUE).
+    This test asserts both halves independently: every within_rsd is
+    True, and a raw re-computation of the sketch honors the same bound
+    (catching a broken sketch off by orders of magnitude)."""
     from georiva_spark.queries import QUERIES
     sf = "/root/testdata/sf0.01"
-    approx = {r.event_type: r.approx_users
-              for r in QUERIES["approx_distinct"](spark, sf).collect()}
+    rows = QUERIES["approx_distinct"](spark, sf).collect()
+    assert rows and all(r.within_rsd for r in rows), \
+        [(r.event_type, r.exact_users) for r in rows if not r.within_rsd]
+    exact = {r.event_type: r.exact_users for r in rows}
     from georiva_spark.queries_ext import load_table
     ev = load_table(spark, sf, "events")
     from pyspark.sql import functions as F
-    exact = {r.event_type: r.exact for r in
-             ev.groupBy("event_type")
-               .agg(F.countDistinct("user_id").alias("exact")).collect()}
+    approx = {r.event_type: r.approx for r in
+              ev.groupBy("event_type")
+                .agg(F.approx_count_distinct("user_id", rsd=0.01)
+                     .alias("approx")).collect()}
     assert set(approx) == set(exact) and exact
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(5, 0.05 * ex), \
