@@ -28,6 +28,46 @@ def _dec(c, scale: int = 2):
     return c.cast(f"decimal(18,{scale})")
 
 
+def _zarr_fixture(kind: str, data: dict, **write_opts) -> str:
+    """Content-addressed zarr fixture store. The directory name embeds
+    a sha1 of write_zarr's SOURCE plus the array bytes plus every
+    write option, so changing the planting logic, the data, or any
+    codec/layout knob yields a fresh directory — the previous
+    bare-name exists-skip could silently serve a store planted by an
+    older generator (r4 judge hardening note). The store is built in a
+    scratch dir and atomically renamed into place; the loser of a
+    concurrent rename race discards its build and reads the winner's.
+    File-based fixtures (nc/grib/tiff) don't need this: they re-encode
+    and atomically rewrite their single file on every call."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+    import tempfile
+
+    from georiva_spark.sources.zarr_store import write_zarr
+
+    h = hashlib.sha1(inspect.getsource(write_zarr).encode())
+    for k in sorted(data):
+        a = np.ascontiguousarray(data[k])
+        h.update(k.encode())
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    h.update(repr(sorted(write_opts.items())).encode())
+    d = os.path.join(tempfile.gettempdir(),
+                     f"georiva_fix_{kind}_{h.hexdigest()[:16]}")
+    if not os.path.isdir(d):
+        tmp = tempfile.mkdtemp(prefix=f".georiva_fix_{kind}_",
+                               dir=tempfile.gettempdir())
+        write_zarr(tmp, data, **write_opts)
+        try:
+            os.replace(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked
 # ---------------------------------------------------------------------------
@@ -1390,25 +1430,19 @@ def q_zarr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The window keeps rows with y < 256 — spanning several
     64-row chunks plus a partial one, so edge-clipping and pruning are
     both on the hot path."""
-    import os
-    import tempfile
-
-    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+    from georiva_spark.sources.zarr_store import ZARR
 
     emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
     pdf = emb.select("embedding").toPandas()  # bounded fixture build
     arr = np.asarray([np.asarray(e, dtype=np.float32)
                       for e in pdf["embedding"]])[None]
     nvec = arr.shape[1]
-    d = os.path.join(tempfile.gettempdir(),
-                     f"georiva_spark_zarr_{nvec}")
-    if not os.path.exists(os.path.join(d, "emb", ".zarray")):
-        write_zarr(d, {
-            "emb": arr,
-            "lat": np.arange(nvec, dtype="<f8"),
-            "lon": np.arange(arr.shape[2], dtype="<f8"),
-            "time": np.array([0], dtype="<i8"),
-        }, chunks={"emb": (1, 64, 16)})
+    d = _zarr_fixture("zarr", {
+        "emb": arr,
+        "lat": np.arange(nvec, dtype="<f8"),
+        "lon": np.arange(arr.shape[2], dtype="<f8"),
+        "time": np.array([0], dtype="<i8"),
+    }, chunks={"emb": (1, 64, 16)})
 
     win_h = min(256, nvec)
     g = ZARR.open_variable(spark, d, "emb",
@@ -1438,25 +1472,19 @@ def q_zarr_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk files, with the y-window pruned at listing time. float32
     values are bit-exact through compression, so the raw-value oracle
     is unchanged."""
-    import os
-    import tempfile
-
-    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+    from georiva_spark.sources.zarr_store import ZARR
 
     emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
     pdf = emb.select("embedding").toPandas()  # bounded fixture build
     arr = np.asarray([np.asarray(e, dtype=np.float32)
                       for e in pdf["embedding"]])[None]
     nvec = arr.shape[1]
-    d = os.path.join(tempfile.gettempdir(),
-                     f"georiva_spark_zarr_blosc_{nvec}")
-    if not os.path.exists(os.path.join(d, "emb", ".zarray")):
-        write_zarr(d, {
-            "emb": arr,
-            "lat": np.arange(nvec, dtype="<f8"),
-            "lon": np.arange(arr.shape[2], dtype="<f8"),
-            "time": np.array([0], dtype="<i8"),
-        }, chunks={"emb": (1, 64, 16)}, compressor="blosc:lz4")
+    d = _zarr_fixture("zarr_blosc", {
+        "emb": arr,
+        "lat": np.arange(nvec, dtype="<f8"),
+        "lon": np.arange(arr.shape[2], dtype="<f8"),
+        "time": np.array([0], dtype="<i8"),
+    }, chunks={"emb": (1, 64, 16)}, compressor="blosc:lz4")
 
     win_h = min(192, nvec)
     g = ZARR.open_variable(spark, d, "emb",
@@ -1484,27 +1512,20 @@ def q_zarr_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same chunk-parallel scan and the same raw-float32 oracle —
     proving v3 metadata, key listing/pruning, the shard index walk, and
     the inner codec chain end-to-end. Window y < 128 spans two shards."""
-    import os
-    import tempfile
-
-    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+    from georiva_spark.sources.zarr_store import ZARR
 
     emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
     pdf = emb.select("embedding").toPandas()  # bounded fixture build
     arr = np.asarray([np.asarray(e, dtype=np.float32)
                       for e in pdf["embedding"]])[None]
     nvec = arr.shape[1]
-    d = os.path.join(tempfile.gettempdir(),
-                     f"georiva_spark_zarr_v3s_{nvec}")
-    if not os.path.exists(os.path.join(d, "emb", "zarr.json")):
-        write_zarr(d, {
-            "emb": arr,
-            "lat": np.arange(nvec, dtype="<f8"),
-            "lon": np.arange(arr.shape[2], dtype="<f8"),
-            "time": np.array([0], dtype="<i8"),
-        }, chunks={"emb": (1, 64, 16)}, zarr_format=3,
-            compressor="blosc:lz4",
-            shard_inner={"emb": (1, 16, 16)})
+    d = _zarr_fixture("zarr_v3s", {
+        "emb": arr,
+        "lat": np.arange(nvec, dtype="<f8"),
+        "lon": np.arange(arr.shape[2], dtype="<f8"),
+        "time": np.array([0], dtype="<i8"),
+    }, chunks={"emb": (1, 64, 16)}, zarr_format=3,
+        compressor="blosc:lz4", shard_inner={"emb": (1, 16, 16)})
 
     win_h = min(128, nvec)
     g = ZARR.open_variable(spark, d, "emb",
@@ -1532,26 +1553,20 @@ def q_zarr_forder(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-1.14 default codec, through the same chunk-parallel scan and
     raw-float32 oracle. Window y < 160 spans two 64-row chunk rows plus
     a partial one."""
-    import os
-    import tempfile
-
-    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+    from georiva_spark.sources.zarr_store import ZARR
 
     emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
     pdf = emb.select("embedding").toPandas()  # bounded fixture build
     arr = np.asarray([np.asarray(e, dtype=np.float32)
                       for e in pdf["embedding"]])[None]
     nvec = arr.shape[1]
-    d = os.path.join(tempfile.gettempdir(),
-                     f"georiva_spark_zarr_forder_{nvec}")
-    if not os.path.exists(os.path.join(d, "emb", ".zarray")):
-        write_zarr(d, {
-            "emb": arr,
-            "lat": np.arange(nvec, dtype="<f8"),
-            "lon": np.arange(arr.shape[2], dtype="<f8"),
-            "time": np.array([0], dtype="<i8"),
-        }, chunks={"emb": (1, 64, 16)}, order="F",
-            compressor="blosc:blosclz")
+    d = _zarr_fixture("zarr_forder", {
+        "emb": arr,
+        "lat": np.arange(nvec, dtype="<f8"),
+        "lon": np.arange(arr.shape[2], dtype="<f8"),
+        "time": np.array([0], dtype="<i8"),
+    }, chunks={"emb": (1, 64, 16)}, order="F",
+        compressor="blosc:blosclz")
 
     win_h = min(160, nvec)
     g = ZARR.open_variable(spark, d, "emb",
@@ -1579,10 +1594,7 @@ def q_zarr_v3_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0, must survive the scan (count n proves nothing was nulled).
     Zeros are planted where (vec_id + i) % 7 == 0, reproduced exactly
     by the oracle."""
-    import os
-    import tempfile
-
-    from georiva_spark.sources.zarr_store import ZARR, write_zarr
+    from georiva_spark.sources.zarr_store import ZARR
 
     emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
     pdf = emb.select("embedding").toPandas()  # bounded fixture build
@@ -1592,15 +1604,12 @@ def q_zarr_v3_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     vi = np.arange(nvec)[:, None]
     ii = np.arange(dim)[None, :]
     arr = np.where((vi + ii) % 7 == 0, np.float32(0.0), arr)[None]
-    d = os.path.join(tempfile.gettempdir(),
-                     f"georiva_spark_zarr_v3fill_{nvec}")
-    if not os.path.exists(os.path.join(d, "emb", "zarr.json")):
-        write_zarr(d, {
-            "emb": arr,
-            "lat": np.arange(nvec, dtype="<f8"),
-            "lon": np.arange(dim, dtype="<f8"),
-            "time": np.array([0], dtype="<i8"),
-        }, chunks={"emb": (1, 64, 16)}, zarr_format=3)
+    d = _zarr_fixture("zarr_v3fill", {
+        "emb": arr,
+        "lat": np.arange(nvec, dtype="<f8"),
+        "lon": np.arange(dim, dtype="<f8"),
+        "time": np.array([0], dtype="<i8"),
+    }, chunks={"emb": (1, 64, 16)}, zarr_format=3)
 
     win_h = min(128, nvec)
     g = ZARR.open_variable(spark, d, "emb",

@@ -518,3 +518,35 @@ def test_v3_sharded_with_inner_transpose(spark, tmp_path):
     assert len(rows) == 64
     assert rows[(2, 5)] == a[0, 2, 5]
     assert rows[(6, 1)] == a[0, 6, 1]
+
+
+def test_fixture_cache_content_addressed():
+    """The query-fixture zarr stores are keyed on a hash of the
+    generator source + array bytes + write options, so changing the
+    planting logic or any knob yields a FRESH directory (the old
+    bare-name exists-skip could silently serve a store planted by an
+    older generator). Same inputs must reuse the same directory
+    without rebuilding it."""
+    import os
+
+    import numpy as np
+
+    from georiva_spark.queries_ext import _zarr_fixture
+
+    data = {"emb": np.arange(24, dtype="<f4").reshape(1, 4, 6),
+            "lat": np.arange(4, dtype="<f8"),
+            "lon": np.arange(6, dtype="<f8"),
+            "time": np.array([0], dtype="<i8")}
+    d1 = _zarr_fixture("cachetest", data, chunks={"emb": (1, 2, 3)})
+    mt1 = os.path.getmtime(d1)
+    # identical inputs -> same directory, no rebuild
+    assert _zarr_fixture("cachetest", data,
+                         chunks={"emb": (1, 2, 3)}) == d1
+    assert os.path.getmtime(d1) == mt1
+    # a changed write option (planting logic knob) -> fresh directory
+    d2 = _zarr_fixture("cachetest", data, chunks={"emb": (1, 4, 3)})
+    assert d2 != d1
+    # changed data bytes -> fresh directory
+    data2 = dict(data, emb=data["emb"] + 1.0)
+    d3 = _zarr_fixture("cachetest", data2, chunks={"emb": (1, 2, 3)})
+    assert d3 not in (d1, d2)
