@@ -782,8 +782,60 @@ def linear_quality_score(docs: DataFrame, weights: list[float],
                      .alias("keep")))
 
 
+def _bpe_train_driver(word_rows, n_merges: int):
+    """In-memory BPE merge loop over the aggregated (cnt, sym) word
+    table — the post-corpus-pass phase every published BPE trainer runs
+    single-node (Sennrich's learn_bpe, HF tokenizers). Semantics are
+    IDENTICAL to the distributed loop: overlapping adjacent-pair counts
+    weighted by word frequency, ties broken by lexicographically
+    smallest pair, left-to-right non-overlapping replacement (the
+    double str.replace catches even-length runs exactly like the Spark
+    double F.replace). Incremental: a pair→word-ids index confines each
+    round to the words actually containing the merged pair; argmax is
+    an O(pairs) scan per round (fine for the gated sizes — a 32k-merge
+    production run at the gate boundary would want a heap)."""
+    from collections import Counter, defaultdict
+
+    words = [[cnt, sym] for cnt, sym in word_rows]
+    pair_counts: Counter = Counter()
+    occ = defaultdict(set)
+
+    def pairs_of(sym):
+        t = sym.split()
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    for i, (cnt, sym) in enumerate(words):
+        for p in pairs_of(sym):
+            pair_counts[p] += cnt
+            occ[p].add(i)
+    merges = []
+    for rank in range(n_merges):
+        live = [kv for kv in pair_counts.items() if kv[1] > 0]
+        if not live:
+            break
+        best, total = min(live, key=lambda kv: (-kv[1], kv[0]))
+        left, right = best.split(" ")
+        merges.append((rank, left, right, int(total)))
+        pat = f" {left} {right} "
+        rep = f" {left}{right} "
+        for i in list(occ.get(best, ())):
+            cnt, sym = words[i]
+            if pat not in sym:       # stale index entry
+                occ[best].discard(i)
+                continue
+            for p in pairs_of(sym):
+                pair_counts[p] -= cnt
+            new_sym = sym.replace(pat, rep).replace(pat, rep)
+            words[i][1] = new_sym
+            for p in pairs_of(new_sym):
+                pair_counts[p] += cnt
+                occ[p].add(i)
+    return merges
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 8,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              max_driver_words: int = 2_000_000) -> DataFrame:
     """LEARN a BPE merge table from the corpus (Sennrich et al. 2016) —
     the tokenizer-training counterpart of bpe_apply. Each round counts
     adjacent symbol pairs corpus-wide, picks the most frequent (ties →
@@ -791,18 +843,25 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     → (rank, left, right, pair_count).
 
     Scale shape: training runs on the DISTINCT-WORD table weighted by
-    word frequency (the standard trick) — one corpus pass builds the
-    word-count table. Pair counts are maintained INCREMENTALLY (r3
-    verdict item 8): the initial explode+sum builds the pair table
-    once, then each round recounts only the words actually CONTAINING
-    the merged pair (before/after delta, outer-joined into the running
-    totals) — a real 32k-merge training touches a shrinking affected
-    set per round instead of re-exploding the whole vocabulary 32k
-    times. Three bounded driver actions per round (argmax head + two
-    localCheckpoint materializations, which also keep the logical plan
-    constant-size). Pair occurrences count overlapping positions ('aaa' →
-    (a,a) twice) and merges apply left-to-right per rank — both the
-    published algorithm's semantics.
+    word frequency (the standard trick) — one distributed corpus pass
+    builds the word-count table; that pass is the 100-TB part. The
+    merge loop itself operates on the VOCABULARY, which is size-gated
+    (r5, same pattern as the zonal mask broadcast): at ≤
+    ``max_driver_words`` distinct words (default 2M ≈ tens of MB) the
+    aggregated table collects to the driver and the loop runs
+    in-memory — exactly where Sennrich's learn_bpe and HF tokenizers
+    run it — eliminating the per-round Spark job latency that
+    dominated at small scale. Beyond the gate, the distributed
+    incremental loop (r3 verdict item 8) takes over: the pair table
+    is built once, each round recounts only the words actually
+    CONTAINING the merged pair (one-pass signed delta folded into the
+    running totals' shuffle), and counts+state ride ONE tagged
+    localCheckpoint per round (two bounded driver actions: argmax head
+    + checkpoint; the checkpoint also keeps the logical plan
+    constant-size). Both paths produce the same merge table
+    bit-for-bit (pytest parity). Pair occurrences count overlapping
+    positions ('aaa' → (a,a) twice) and merges apply left-to-right per
+    rank — both the published algorithm's semantics.
     """
     spark = docs.sparkSession
     words = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -813,7 +872,21 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         F.concat(F.lit(" "),
                  F.array_join(F.split(F.col("w"), ""), " "),
                  F.lit(" ")).alias("sym")).persist()
-    state.count()
+    n_words = state.count()
+    if n_words <= max_driver_words:
+        rows = [(r.cnt, r.sym) for r in state.collect()]
+        state.unpersist()
+        return spark.createDataFrame(
+            _bpe_train_driver(rows, n_merges),
+            "rank int, left string, right string, pair_count long")
+    # checkpoint partition count scales with the VOCABULARY size, not
+    # the cluster: the per-round tables are one row per distinct word
+    # (plus pairs), so near the gate a handful of partitions beats
+    # defaultParallelism (~100 near-empty tasks per round was most of
+    # the round latency), while a 10M-word web vocabulary still fans
+    # out to every core.
+    npart = int(max(1, min(spark.sparkContext.defaultParallelism,
+                           n_words // 50_000 + 1)))
 
     def pair_arr(symcol):
         syms = F.split(F.trim(symcol), " ")
@@ -829,6 +902,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
                            .alias("p"))
               .groupBy("p").agg(F.sum("cnt").alias("total"))).persist()
     counts.count()
+    pinned = [state, counts]   # the cached objects to release
     merges = []
     try:
         for rank in range(n_merges):
@@ -841,44 +915,63 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
             rep = f" {left}{right} "
             hit = F.col("sym").contains(pat)
             affected = state.where(hit)
-            rewritten = affected.select(
-                "cnt",
-                F.replace(F.replace(F.col("sym"), F.lit(pat),
-                                    F.lit(rep)), F.lit(pat), F.lit(rep))
-                 .alias("sym"))
-            delta = (rewritten.select(F.col("cnt").alias("w"),
-                                      F.explode(pair_arr(F.col("sym")))
-                                      .alias("p"))
-                     .unionByName(
-                         affected.select((-F.col("cnt")).alias("w"),
-                                         F.explode(
-                                             pair_arr(F.col("sym")))
-                                         .alias("p")))
-                     .groupBy("p").agg(F.sum("w").alias("d")))
-            new_counts = (counts.join(delta, "p", "full_outer")
-                          .select("p",
-                                  (F.coalesce(F.col("total"), F.lit(0))
-                                   + F.coalesce(F.col("d"), F.lit(0)))
-                                  .alias("total"))
+            new_sym = F.replace(
+                F.replace(F.col("sym"), F.lit(pat), F.lit(rep)),
+                F.lit(pat), F.lit(rep))
+            rewritten = affected.select("cnt", new_sym.alias("sym"))
+            # before/after delta in ONE pass over the affected words:
+            # the rewritten symbol's pairs (+cnt) and the old symbol's
+            # pairs (−cnt) concatenate in-row and explode once; the
+            # running totals then fold into the SAME shuffle as the
+            # delta rows (r5: union-aggregate replaces the r4
+            # full_outer join — one shuffle per round, one scan of the
+            # affected set instead of two)
+            signed = F.concat(
+                F.transform(pair_arr(new_sym),
+                            lambda q: F.struct(
+                                F.col("cnt").alias("w"),
+                                q.alias("p"))),
+                F.transform(pair_arr(F.col("sym")),
+                            lambda q: F.struct(
+                                (-F.col("cnt")).alias("w"),
+                                q.alias("p"))))
+            delta_rows = (affected.select(F.explode(signed).alias("sp"))
+                          .select("sp.w", "sp.p"))
+            new_counts = (counts.select("p", F.col("total").alias("w"))
+                          .unionByName(delta_rows.select("w", "p"))
+                          .groupBy("p").agg(F.sum("w").alias("total"))
                           .where(F.col("total") > 0))
             new_state = state.where(~hit).unionByName(rewritten)
-            # localCheckpoint EVERY round: the union/join plan references
-            # the previous round's plan twice, so without truncation the
-            # logical plan doubles per round (exponential analysis cost
-            # by round ~15); checkpointing pins the materialized RDD and
-            # resets the plan to a constant-size LogicalRDD. The coalesce
-            # is equally load-bearing: union sums its inputs' partitions,
-            # so without it the checkpointed partition count doubles per
-            # round (measured: 8192 tasks by round 7).
-            npart = spark.sparkContext.defaultParallelism
-            new_counts = new_counts.coalesce(npart).localCheckpoint()
-            new_state = new_state.coalesce(npart).localCheckpoint()
-            counts.unpersist()
-            state.unpersist()
-            counts, state = new_counts, new_state
+            # ONE localCheckpoint EVERY round (r5: the two per-table
+            # checkpoints are fused — counts and state are tagged and
+            # unioned so a single job materializes both; they are
+            # re-split with cheap cached-side filters). The checkpoint
+            # is load-bearing twice over: the union/join plan
+            # references the previous round's plan twice, so without
+            # truncation the logical plan doubles per round
+            # (exponential analysis cost by round ~15), and the
+            # coalesce pins the partition count (union sums its
+            # inputs' partitions — measured 8192 tasks by round 7
+            # without it).
+            comb = (new_counts
+                    .select(F.lit(True).alias("isc"),
+                            F.col("p").alias("s"),
+                            F.col("total").alias("v"))
+                    .unionByName(
+                        new_state.select(F.lit(False).alias("isc"),
+                                         F.col("sym").alias("s"),
+                                         F.col("cnt").alias("v")))
+                    .coalesce(npart).localCheckpoint())
+            for d in pinned:
+                d.unpersist()
+            pinned = [comb]
+            counts = comb.where(F.col("isc")).select(
+                F.col("s").alias("p"), F.col("v").alias("total"))
+            state = comb.where(~F.col("isc")).select(
+                F.col("v").alias("cnt"), F.col("s").alias("sym"))
     finally:
-        counts.unpersist()
-        state.unpersist()
+        for d in pinned:
+            d.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long")
 

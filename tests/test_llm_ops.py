@@ -849,6 +849,22 @@ def test_bpe_train_learns_expected_merges(spark):
     assert got == [(0, "a", "a", 6), (1, "a", "b", 5), (2, "aa", "ab", 3)]
 
 
+def test_bpe_train_driver_vs_distributed_parity(spark):
+    """The size-gated driver merge loop and the distributed incremental
+    loop must produce the same merge table bit-for-bit — including
+    overlapping-run counting and lexicographic tie-breaks. The corpus
+    plants both: 'aaaa' (even run, double-replace path) and a dead tie
+    between (c,d) and (e,f)."""
+    df = spark.createDataFrame(
+        [(1, "aaaa aaab cd cd ef ef xyz")], "doc_id long, text string")
+    drv = [(r.rank, r.left, r.right, r.pair_count) for r in
+           textops.bpe_train(df, n_merges=5).collect()]
+    dist = [(r.rank, r.left, r.right, r.pair_count) for r in
+            textops.bpe_train(df, n_merges=5,
+                              max_driver_words=0).collect()]
+    assert drv == dist and len(drv) == 5
+
+
 def test_bpe_train_then_apply_roundtrip(spark):
     """Merges learned by bpe_train drive bpe_apply: the most frequent
     corpus words collapse to single tokens."""
