@@ -118,7 +118,14 @@ def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame,
                   .select("boundary_id", "level", "name", "y", "x"))
 
 
-_last_big_mask = None
+# one cached big mask PER SparkSession (weak-keyed so a torn-down
+# session releases its entry): unpersisting the previous big mask when
+# a new one arrives bounds cache retention, at the documented cost that
+# a still-unexecuted DataFrame returned from an EARLIER tag_pixels call
+# will recompute its mask (perf, never correctness)
+import weakref
+
+_last_big_mask: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def tag_pixels(grid: DataFrame, boundaries: DataFrame,
@@ -154,17 +161,19 @@ def tag_pixels(grid: DataFrame, boundaries: DataFrame,
     if est_rows <= broadcast_max_mask_rows:
         return grid.join(F.broadcast(mask), on=["y", "x"], how="inner")
     # big-estimate path: persist so the exact-count job doubles as the
-    # mask-cache materialization — retention is BOUNDED: the previous
-    # big mask (if any) is unpersisted when the next one arrives, so a
-    # long-lived session holds at most one cached mask
-    global _last_big_mask
-    if _last_big_mask is not None:
+    # mask-cache materialization — retention is BOUNDED per session:
+    # the session's previous big mask (if any) is unpersisted when its
+    # next one arrives, so a long-lived session holds at most one
+    # cached mask (and concurrent sessions no longer evict each other)
+    sess = grid.sparkSession
+    prev = _last_big_mask.get(sess)
+    if prev is not None:
         try:
-            _last_big_mask.unpersist()
+            prev.unpersist()
         except Exception:
             pass
     mask = mask.persist()
-    _last_big_mask = mask
+    _last_big_mask[sess] = mask
     if mask.count() <= broadcast_max_mask_rows:
         mask = F.broadcast(mask)
     return grid.join(mask, on=["y", "x"], how="inner")

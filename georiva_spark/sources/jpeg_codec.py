@@ -145,8 +145,12 @@ class _BitReader:
         self.nacc = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -525,15 +529,25 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                 q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
                         try:
                             blk = _decode_block(r, dc_t, ac_t, q,
                                                 pred, c["id"])
                         except _RestartMarker:
-                            # tolerant: treat as zero block (corrupt or
-                            # short stream)
+                            # tolerate ONLY padding blocks whose pixel
+                            # region lies wholly outside the image (a
+                            # short final MCU some encoders emit); an
+                            # unexpected restart inside visible data is
+                            # a corrupt stream, not a gray block
+                            sy = y0 * vmax // c["v"]
+                            sx = x0 * hmax // c["h"]
+                            if sy < h and sx < w:
+                                raise ValueError(
+                                    "unexpected restart marker inside "
+                                    "JPEG entropy data (corrupt "
+                                    "stream)") from None
                             blk = np.zeros((8, 8))
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
     return _assemble(frame, planes)
 

@@ -271,12 +271,33 @@ def _decode_chunk(content: bytes, meta: dict) -> np.ndarray:
 _SHARD_MISSING = 0xFFFFFFFFFFFFFFFF
 
 
+def _fill_block(shape, meta: dict):
+    """Materialize a missing chunk as a fill-valued block, per the zarr
+    spec (absent chunk file / all-ones shard index pair == fill_value).
+    Returns None when nothing is materializable: fill_value null (legacy
+    v2 stores leave missing data undefined) or a NaN fill on an integer
+    dtype (not representable). The block then flows through the SAME
+    nodata masking as decoded data, so a v2 sentinel fill or an explicit
+    _FillValue comes out as null values while a v3 structural fill
+    (e.g. 0) comes out as genuine data — exactly what zarr-python
+    returns for a sparsely-written store (r4 advisor item)."""
+    fv = meta.get("fill_value")
+    if fv is None:
+        return None
+    dt = np.dtype(meta["dtype"])
+    if isinstance(fv, float) and np.isnan(fv) and dt.kind not in "fc":
+        return None
+    return np.full(shape, fv, dtype=dt)
+
+
 def _decode_shard(content: bytes, meta: dict):
     """Yield (origin-in-elements, inner ndarray) for every inner chunk
     of one shard file (v3 sharding_indexed): parse the uint64
     (offset, nbytes) index at index_location, then decode each present
     inner chunk through the inner codec chain; a missing pair
-    (all-ones) reads as fill per spec."""
+    (all-ones) MATERIALIZES as a fill_value block per spec (r5 —
+    matching zarr-python on sparsely-written shards; previously those
+    cells were dropped)."""
     sh = meta["shard"]
     inner = sh["inner"]
     chunks = meta["chunks"]
@@ -298,12 +319,11 @@ def _decode_shard(content: bytes, meta: dict):
     for k, idx in enumerate(np.ndindex(*n_per_dim)):
         off, nb = int(offs[k, 0]), int(offs[k, 1])
         if off == _SHARD_MISSING and nb == _SHARD_MISSING:
-            # spec: missing pair reads as fill — but the scan's contract
-            # for an absent chunk FILE (v2 or unsharded v3) is "no rows"
-            # (pruned at listing), so an absent inner chunk yields no
-            # rows too; both layouts agree on missing-data semantics
-            continue
-        arr = _decode_chunk(content[off:off + nb], inner_meta)
+            arr = _fill_block(tuple(inner), meta)
+            if arr is None:
+                continue            # null fill: missing data undefined
+        else:
+            arr = _decode_chunk(content[off:off + nb], inner_meta)
         yield tuple(i * s for i, s in zip(idx, inner)), arr
 
 
@@ -402,7 +422,15 @@ class ZarrStorePlugin:
             diffs = [abs((t - timestamp).total_seconds()) for t in times]
             tsel = int(np.argmin(diffs))
             ts = [tsel // ct]
+        # absent chunk files materialize as fill_value per spec (r5):
+        # enumerate them alongside the present ones (the driver already
+        # walks this candidate grid) and ship each as a zero-byte
+        # synthetic row through the same decode map — the generator
+        # expands it to a fill block, so masking/windowing/clipping are
+        # shared with decoded chunks. Stores with a null fill keep the
+        # old "no rows" behavior (missing data is undefined there).
         paths = []
+        missing = []
         for t in ts:
             for y in ys:
                 for x in xs:
@@ -411,7 +439,12 @@ class ZarrStorePlugin:
                                      _chunk_key(meta, idx))
                     if os.path.exists(p):
                         paths.append(p)
-        if not paths:
+                    else:
+                        missing.append(p)
+        fillable = _fill_block((1,) * len(meta["chunks"]), meta)
+        if not missing or fillable is None:
+            missing = []
+        if not paths and not missing:
             return spark.createDataFrame([], GRID_SCHEMA)
 
         fill = _nodata_sentinel(meta)
@@ -456,7 +489,12 @@ class ZarrStorePlugin:
                     else:
                         yc, xc = idx
                         corigin = (0, yc * cy, xc * cx)
-                    if sharded:
+                    if len(content) == 0:
+                        # synthetic row for an absent chunk file:
+                        # materialize the whole (outer) chunk as fill
+                        a = _fill_block(tuple(meta["chunks"]), meta)
+                        blocks = [(corigin, a if tdim else a[None])]
+                    elif sharded:
                         blocks = []
                         for ioff, arr in _decode_shard(content, meta):
                             if tdim:
@@ -522,9 +560,17 @@ class ZarrStorePlugin:
                         yield pd.concat(frames,
                                         ignore_index=True)[_GRID_COLS]
 
-        df = (spark.read.format("binaryFile").load(paths)
-              .select("path", "content")
-              .mapInPandas(gen, schema=GRID_SCHEMA))
+        srcs = []
+        if paths:
+            srcs.append(spark.read.format("binaryFile").load(paths)
+                        .select("path", "content"))
+        if missing:
+            srcs.append(spark.createDataFrame(
+                [(p, b"") for p in missing], "path string, content binary"))
+        src = srcs[0]
+        for s in srcs[1:]:
+            src = src.unionByName(s)
+        df = src.mapInPandas(gen, schema=GRID_SCHEMA)
         if window is not None:
             from pyspark.sql import functions as F
             x0, y0, ww, wh = window

@@ -295,3 +295,20 @@ def test_png_image_roundtrip_property(seed, h, w, c):
     rng = np.random.default_rng(seed)
     a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
     np.testing.assert_array_equal(png_decode_image(png_encode_image(a)), a)
+
+
+def test_jpeg_truncated_stream_raises_by_name():
+    """A baseline JPEG cut off mid-entropy-stream must fail loudly with
+    a NAMED error, not a bare IndexError (and never a silent gray
+    image) — the multimodal seam surfaces decode errors per image."""
+    import numpy as np
+    import pytest
+
+    from georiva_spark.sources.jpeg_codec import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = jpeg_encode(img, quality=85)
+    # cut inside the entropy data (well past the headers, before EOI)
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        jpeg_decode(data[:len(data) - 8])

@@ -165,10 +165,12 @@ def test_v3_gzip_codec_and_gates(spark, tmp_path):
 def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
     """sharding_indexed: shard files decode to their inner-chunk grid
     (index at end, crc32c-protected); a missing inner chunk (all-ones
-    index pair) yields NO rows — the same semantics as an absent chunk
-    file in the v2/unsharded layouts, which the listing prunes — so the
-    missing-data contract is layout-invariant; a window skips whole
-    inner chunks inside the shard."""
+    index pair) MATERIALIZES as fill_value per spec (r5 — zarr-python
+    returns real fill-valued cells for sparsely-written shards). Here
+    the caller-declared fill -9.0 is also the CF _FillValue, so the
+    materialized cells surface as rows with NULL values — present, but
+    nodata, exactly what the reference pipeline sees after masking; a
+    window skips whole inner chunks inside the shard."""
     import struct
 
     from georiva_spark.sources.zarr_store import _read_meta, crc32c
@@ -185,7 +187,7 @@ def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
     assert len(rows) == 256
     assert rows[(10, 13)] == a[0, 10, 13]
     # mark inner chunk (0, 1, 2) missing in the index → its 4x4 block
-    # emits no rows (layout-invariant with a deleted chunk file)
+    # reads back as fill (-9.0), masked to null by the _FillValue attr
     kp = os.path.join(store, "t2m", "c", "0", "0", "0")
     blob = bytearray(open(kp, "rb").read())
     n_tot = 4 * 4
@@ -198,9 +200,9 @@ def test_v3_sharding_roundtrip_missing_and_window(spark, tmp_path):
     open(kp, "wb").write(bytes(blob))
     rows = {(r.y, r.x): r.value for r in
             ZARR.open_variable(spark, store, "t2m").collect()}
-    assert len(rows) == 256 - 16
+    assert len(rows) == 256
     missing = {(y, x) for y in range(4, 8) for x in range(8, 12)}
-    assert not missing & set(rows)
+    assert all(rows[yx] is None for yx in missing)
     assert rows[(4, 12)] == a[0, 4, 12]
     # window confined to the top-left 4x4 inner chunk
     sub = ZARR.open_variable(spark, store, "t2m",
@@ -550,3 +552,50 @@ def test_fixture_cache_content_addressed():
     data2 = dict(data, emb=data["emb"] + 1.0)
     d3 = _zarr_fixture("cachetest", data2, chunks={"emb": (1, 2, 3)})
     assert d3 not in (d1, d2)
+
+
+def test_absent_chunk_file_materializes_fill(spark, tmp_path):
+    """Absent chunk FILES read as fill_value per spec, matching
+    zarr-python on sparsely-written stores (r5). Three fill regimes:
+    v3 structural fill (int array, no _FillValue attr -> fill 0) ->
+    genuine zero-valued rows; v2 sentinel fill (-7.0) -> rows PRESENT
+    with null values (fill is nodata in the v2 convention); v2 null
+    fill -> no rows (missing data undefined, the pre-r5 behavior)."""
+    import numpy as np
+
+    a = np.arange(16, dtype="<f8").reshape(1, 4, 4) + 1.0
+    lat = np.arange(4, dtype="<f8")
+    lon = np.arange(4, dtype="<f8")
+    t = np.array([0], dtype="<i8")
+
+    # v3 int array, no caller fill: structural fill 0 -> real zeros
+    s3 = str(tmp_path / "v3.zarr")
+    ai = (a + 0).astype("<i4")
+    write_zarr(s3, {"t2m": ai, "lat": lat, "lon": lon, "time": t},
+               chunks={"t2m": (1, 2, 2)}, zarr_format=3)
+    os.remove(os.path.join(s3, "t2m", "c", "0", "1", "1"))
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, s3, "t2m").collect()}
+    assert len(rows) == 16
+    assert rows[(3, 3)] == 0.0 and rows[(2, 2)] == 0.0
+    assert rows[(0, 0)] == float(ai[0, 0, 0])
+
+    # v2: non-null fill is the nodata sentinel -> null-valued rows
+    s2 = str(tmp_path / "v2.zarr")
+    write_zarr(s2, {"t2m": a, "lat": lat, "lon": lon, "time": t},
+               chunks={"t2m": (1, 2, 2)}, fill_value=-7.0)
+    os.remove(os.path.join(s2, "t2m", "0.1.1"))
+    rows = {(r.y, r.x): r.value for r in
+            ZARR.open_variable(spark, s2, "t2m").collect()}
+    assert len(rows) == 16
+    assert rows[(3, 3)] is None and rows[(0, 1)] == a[0, 0, 1]
+
+    # v2 null fill: absent chunk stays absent
+    s0 = str(tmp_path / "v0.zarr")
+    write_zarr(s0, {"t2m": a, "lat": lat, "lon": lon, "time": t},
+               chunks={"t2m": (1, 2, 2)})
+    os.remove(os.path.join(s0, "t2m", "0.1.1"))
+    rows = {(r.y, r.x) for r in
+            ZARR.open_variable(spark, s0, "t2m").collect()}
+    assert len(rows) == 12
+    assert (3, 3) not in rows
