@@ -188,18 +188,19 @@ def _parse_datatype(body: bytes, off: int = 0) -> tuple[dict, int]:
     size = _u(body, off + 4, 4)
     pos = off + 8
     if cls == 0:                         # fixed-point
-        if bits[0] & 0x01:
-            raise NotImplementedError("big-endian integers")
+        bo = ">" if bits[0] & 0x01 else "<"   # r5: BE legacy archives
         signed = bool(bits[0] & 0x08)
         pos += 4                         # bit offset + precision
-        dt = np.dtype(f"<{'i' if signed else 'u'}{size}")
+        dt = np.dtype(f"{bo}{'i' if signed else 'u'}{size}")
         return {"class": cls, "size": size, "dtype": dt}, pos - off
     if cls == 1:                         # IEEE float
-        if bits[0] & 0x01:
-            raise NotImplementedError("big-endian floats")
+        # float byte order rides bits 0 and 6: 00 LE, 01 BE, 11 VAX
+        if bits[0] & 0x40:
+            raise NotImplementedError("VAX-order floats")
+        bo = ">" if bits[0] & 0x01 else "<"   # r5: BE legacy archives
         pos += 12                        # offset/precision/exp/man/bias
         return {"class": cls, "size": size,
-                "dtype": np.dtype(f"<f{size}")}, pos - off
+                "dtype": np.dtype(f"{bo}f{size}")}, pos - off
     if cls == 3:                         # string
         return {"class": cls, "size": size}, pos - off
     if cls == 7:                         # reference
@@ -701,8 +702,21 @@ _DT_I32 = b"\x10\x08\x00\x00" + struct.pack("<I", 4) + struct.pack("<HH", 0, 32)
 _DT_I64 = b"\x10\x08\x00\x00" + struct.pack("<I", 8) + struct.pack("<HH", 0, 64)
 _DT_REF = b"\x17\x00\x00\x00" + struct.pack("<I", 8)
 
+# big-endian variants (bit 0 of the class bit field = byte order) for
+# round-tripping legacy s390x/POWER-written archives through the writer
+_DT_F32BE = (b"\x11\x21\x1f\x00" + struct.pack("<I", 4)
+             + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127))
+_DT_F64BE = (b"\x11\x21\x3f\x00" + struct.pack("<I", 8)
+             + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+_DT_I32BE = (b"\x10\x09\x00\x00" + struct.pack("<I", 4)
+             + struct.pack("<HH", 0, 32))
+_DT_I64BE = (b"\x10\x09\x00\x00" + struct.pack("<I", 8)
+             + struct.pack("<HH", 0, 64))
+
 _NP_DT = {np.dtype("<f4"): _DT_F32, np.dtype("<f8"): _DT_F64,
-          np.dtype("<i4"): _DT_I32, np.dtype("<i8"): _DT_I64}
+          np.dtype("<i4"): _DT_I32, np.dtype("<i8"): _DT_I64,
+          np.dtype(">f4"): _DT_F32BE, np.dtype(">f8"): _DT_F64BE,
+          np.dtype(">i4"): _DT_I32BE, np.dtype(">i8"): _DT_I64BE}
 
 
 def _dt_string(n: int) -> bytes:
@@ -807,12 +821,22 @@ def encode_hdf5(variables: dict, dims: list[tuple[str, int]],
         b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data),
                               len(heap_data), heap_data_addr))
 
+    def _wire(a: np.ndarray) -> np.ndarray:
+        """Storage representation: an explicitly big-endian dtype with
+        a BE datatype message is preserved (legacy-archive round-trip
+        fixtures) unless the szip filter is active — H5Z szip packs
+        LSB-first samples, so BE coerces to LE there; everything else
+        normalizes to little-endian."""
+        if a.dtype in _NP_DT and not (chunk_deflate
+                                      and chunk_filter == "szip"):
+            return a
+        return a.astype(a.dtype.newbyteorder("<"))
+
     # --- data blocks ----------------------------------------------------
     data_addr: dict[str, int] = {}
     chunk_info: dict[str, list] = {}     # name → [(offs, size, addr)]
     for n in names:
-        a = np.asarray(variables[n])
-        a = a.astype(a.dtype.newbyteorder("<"))
+        a = _wire(np.asarray(variables[n]))
         if a.ndim <= 1 or not chunk_deflate:
             data_addr[n] = alloc(a.nbytes)
             out[data_addr[n]:data_addr[n] + a.nbytes] = a.tobytes()
@@ -867,7 +891,7 @@ def encode_hdf5(variables: dict, dims: list[tuple[str, int]],
     # --- object headers (sizes must be computed before placement) -------
     def dataset_msgs(n: str, header_addrs: dict[str, int] | None) -> list:
         a = np.asarray(variables[n])
-        dt = _NP_DT[a.dtype.newbyteorder("<")]
+        dt = _NP_DT[_wire(a).dtype]
         msgs = [_msg(MSG_DATASPACE, _ds_simple(a.shape)),
                 _msg(MSG_DATATYPE, dt),
                 _msg(MSG_FILL, struct.pack("<BBBB", 2, 2, 0, 0))]

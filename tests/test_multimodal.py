@@ -428,3 +428,52 @@ def test_wav_extensible_subformat_and_zero_scan_jpeg():
     trunc = bytes(enc[:enc.find(b"\xff\xda")]) + b"\xff\xd9"
     with pytest.raises(ValueError, match="no SOS"):
         jpeg_decode(trunc)
+
+
+def test_video_container_seam_named_gate_and_plugin(spark):
+    """The video decode seam: an MP4 (ftyp box) or WebM (EBML magic)
+    payload raises BY NAME when no backend is available; a decoder
+    registered via register_video_decoder is captured into the plan
+    closure and drives sample_frames / scene_cuts end-to-end; RAW still
+    decodes natively alongside."""
+    import numpy as np
+    import pytest
+
+    from georiva_spark.operators import multimodal as mm
+
+    fake_mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64
+    fake_webm = mm._EBML_SIG + b"\x00" * 64
+
+    # no backend: named gates
+    with pytest.raises(NotImplementedError, match="MP4/QuickTime"):
+        mm._decode_video_frames(fake_mp4, [])
+    with pytest.raises(NotImplementedError, match="WebM/Matroska"):
+        mm._decode_video_frames(fake_webm, [])
+    with pytest.raises(ValueError, match="unrecognized video payload"):
+        mm._decode_video_frames(b"\x00" * 32, [])
+
+    # a registered plugin decodes the container through the operators
+    frames = np.stack([np.full((4, 4), float(i), dtype=np.float32)
+                       for i in (0, 0, 9, 9)])
+
+    def fake_decoder(content):
+        if content[4:8] != b"ftyp":
+            raise NotImplementedError("not mine")
+        return frames
+
+    mm.register_video_decoder("fake-mp4", fake_decoder)
+    try:
+        media = spark.createDataFrame(
+            [(1, bytearray(fake_mp4)),
+             (2, bytearray(mm.encode_raw_video(frames)))],
+            "media_id long, content binary")
+        out = mm.sample_frames(media, every=2).collect()
+        assert sorted((r.media_id, r.frame_index) for r in out) == \
+            [(1, 0), (1, 2), (2, 0), (2, 2)]
+        cuts = {(r.media_id, r.frame_index): r.cut
+                for r in mm.scene_cuts(media, threshold=5.0).collect()}
+        # frame 0 starts a scene; the 0->9 jump at frame 2 is a cut
+        assert cuts[(1, 0)] and cuts[(1, 2)] and not cuts[(1, 1)]
+        assert cuts[(2, 2)]
+    finally:
+        mm._VIDEO_PLUGINS.clear()

@@ -625,3 +625,50 @@ def test_szip_rsi_ceiling_non_multiple_scanline():
     out = _unszip(raw, [0x08 | 0x20 | 0x80, 16, 32, 35])
     np.testing.assert_array_equal(np.frombuffer(out, "<u2"),
                                   x.astype("<u2"))
+
+
+def test_hdf5_big_endian_roundtrip():
+    """Legacy s390x/POWER-written NetCDF-4: big-endian IEEE floats and
+    fixed-point integers round-trip bit-exactly through both the
+    contiguous and the chunked-deflate layouts (r5 — the BE gate is
+    gone; the datatype message carries byte-order bit 0 and the reader
+    builds a '>'-order numpy dtype)."""
+    from georiva_spark.sources.hdf5_codec import decode_hdf5, encode_hdf5
+
+    rng = np.random.default_rng(42)
+    f = rng.uniform(-50, 50, (2, 6, 8)).astype(">f4")
+    i = rng.integers(-1000, 1000, (2, 6, 8)).astype(">i4")
+    d = rng.uniform(0, 1, (2, 6, 8)).astype(">f8")
+    for chunk_deflate in (False, True):
+        buf = encode_hdf5(
+            {"f": f, "i": i, "d": d,
+             "time": np.arange(2.0), "y": np.arange(6.0),
+             "x": np.arange(8.0)},
+            [("time", 2), ("y", 6), ("x", 8)],
+            {"f": ("time", "y", "x"), "i": ("time", "y", "x"),
+             "d": ("time", "y", "x"), "time": ("time",),
+             "y": ("y",), "x": ("x",)},
+            chunk_deflate=chunk_deflate)
+        out = decode_hdf5(buf)
+        np.testing.assert_array_equal(out["f"]["data"], f)
+        np.testing.assert_array_equal(out["i"]["data"], i)
+        np.testing.assert_array_equal(out["d"]["data"], d)
+
+
+def test_hdf5_big_endian_szip_coerces_le():
+    """szip packs LSB-first samples, so the writer coerces BE arrays to
+    LE under the szip filter — values still round-trip exactly (the
+    stored byte order is an encoding detail there)."""
+    from georiva_spark.sources.hdf5_codec import decode_hdf5, encode_hdf5
+
+    i = np.arange(2 * 4 * 6, dtype=">i4").reshape(2, 4, 6)
+    buf = encode_hdf5(
+        {"i": i, "time": np.arange(2.0), "y": np.arange(4.0),
+         "x": np.arange(6.0)},
+        [("time", 2), ("y", 4), ("x", 6)],
+        {"i": ("time", "y", "x"), "time": ("time",), "y": ("y",),
+         "x": ("x",)},
+        chunk_deflate=True, chunk_filter="szip")
+    out = decode_hdf5(buf)
+    np.testing.assert_array_equal(out["i"]["data"].astype("<i4"),
+                                  i.astype("<i4"))
