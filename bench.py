@@ -38,6 +38,9 @@ HEADLINE = [
     # duplicated-span dedup, video scene cuts, audio spectra
     "zarr_forder", "ingest_grib2_aec", "image_features_png", "bpe_train",
     "image_features_jpeg", "video_scenes", "dup_spans", "audio_spectrum",
+    # r5 additions: distributed k-means training, BM25 retrieval,
+    # JL random projection
+    "kmeans_fit", "bm25_topk", "random_proj",
 ]
 
 

@@ -54,3 +54,38 @@ def dequantize_int8(q: Column) -> Column:
     scales = F.array_repeat(q["scale"], F.size(q["codes"]))
     return F.zip_with(q["codes"], scales,
                       lambda c, s: c.cast("double") * s)
+
+def projection_signs(in_dim: int, out_dim: int,
+                     seed: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 sign matrix for sparse random projection
+    (Achlioptas 2003, JCSS 66(4) §2 — the database-friendly variant of
+    Johnson-Lindenstrauss): sign(i,j) from the first hex digit of
+    md5('{seed}:{i}:{j}'), so an external SQL engine derives the SAME
+    matrix independently (DuckDB: CAST('0x'||substring(md5(s),1,1) AS
+    BIGINT) % 2 — the portable_hash64 idiom)."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"{seed}:{i}:{j}".encode())
+                        .hexdigest()[0], 16) % 2 == 0 else -1.0
+             for i in range(in_dim)]
+            for j in range(out_dim)]
+
+
+def random_projection(vec: Column, in_dim: int, out_dim: int,
+                      seed: str = "rp") -> Column:
+    """JL random projection of an embedding column → array<double> of
+    ``out_dim`` components: p[j] = Σᵢ x[i]·sign(i,j) / √out_dim. The
+    embedding dimension-reduction op a 100-TB dedup/ANN pre-pass wants
+    (shrink 64-dim to 8-dim before bucketing): distances are preserved
+    within (1±ε) w.h.p. per JL, and the matrix is hash-derived so no
+    model state ships at all. Pure sequential-fold HOFs — JVM-side,
+    zero shuffle, and the fold order matches a SQL engine's ordered
+    SUM for bit-comparable replay."""
+    import math
+    signs = projection_signs(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(float(out_dim))
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale)
+        for j in range(out_dim)])

@@ -470,3 +470,68 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
             .select("vec_id", cos.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column → final
+    cluster assignment (vec_id, cluster) after ``iters`` centroid
+    updates. This is the TRAINING pass the IVF/SemDeDup quantizers
+    assume was "trained elsewhere" (reference analog: the clustering
+    stage of arXiv:2303.09540 §2; Spark MLlib's KMeans is the library
+    shape but its init/tie-breaks aren't reproducible across engines —
+    this one is exact closed-form arithmetic end-to-end).
+
+    Determinism: init is the pinned evenly-spaced-id rule shared with
+    knn_ivf_pinned; assignment ties break toward the lower cluster id;
+    empty clusters carry their previous centroid; all arithmetic is
+    double on float32 inputs, so an external SQL engine replays the
+    rounds bit-comparably (integral output — no float hashing).
+
+    Scale shape per iteration: assignment is a pure IN-ROW argmin over
+    K literal centroids (zero shuffle, one corpus scan, whole-stage
+    codegen); the update is posexplode → groupBy(cluster, dim).avg
+    whose map-side partial collapses each partition to ≤ K·d rows
+    before the exchange, and only the K·d result (bounded model state,
+    like the pinned-centroid collects above) ever reaches the driver.
+    The corpus is never collected, broadcast, or pairwise-joined."""
+    n = emb.count()
+    step = max(1, n // k)
+    cids = [i * step + step // 2 for i in range(k)]
+    cmap = {r.vec_id: [float(v) for v in r.embedding]
+            for r in emb.where(F.col("vec_id").isin(cids))
+                        .select("vec_id", "embedding").collect()}
+    missing = [c for c in cids if c not in cmap]
+    if missing:
+        raise ValueError(
+            f"pinned-init kmeans needs dense vec_ids 0..N-1: seed rows "
+            f"{missing} absent from the corpus")
+    cents = [cmap[c] for c in cids]
+    corpus = emb.where(F.col("embedding").isNotNull())
+
+    def l2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in cvec]),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def argmin(cs):
+        return F.array_min(F.array(*[
+            F.struct(l2(cs[i]).alias("d"), F.lit(i).alias("c"))
+            for i in range(k)]))["c"]
+
+    for _ in range(iters):
+        # withColumn-then-select: a Generate (posexplode) in the same
+        # select drops the struct field aliases inside the argmin
+        means = (corpus.withColumn("cluster", argmin(cents))
+                 .select("cluster",
+                         F.posexplode("embedding").alias("dim", "v"))
+                 .groupBy("cluster", "dim")
+                 .agg(F.avg(F.col("v").cast("double")).alias("v"))
+                 .collect())
+        nxt = [list(c) for c in cents]        # empty-cluster carryover
+        for r in means:
+            nxt[r.cluster][r.dim] = float(r.v)
+        cents = nxt
+
+    return corpus.select("vec_id", argmin(cents).alias("cluster"))

@@ -1050,3 +1050,60 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
             .select("doc_id", "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start") + 1)
                     .alias("n_tokens")))
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text") -> DataFrame:
+    """BM25 retrieval: score every document against each query's term
+    set and keep the top-``k`` docs per query → (query_id, doc_id,
+    rank, score). The Lucene/Okapi form: idf = ln(1 + (N−df+0.5)/
+    (df+0.5)), per-term contribution idf·tf·(k1+1)/(tf + k1·(1−b+
+    b·dl/avgdl)) — the retrieval stage of a RAG/quality-mining
+    pipeline over the corpus.
+
+    Scale shape: the query term set is a broadcast literal, so the
+    exploded token stream is filtered to matching terms MAP-SIDE
+    before anything shuffles — the only corpus-sized exchanges are the
+    (doc, term) tf partial and the (query, doc) score partial, both
+    map-side-combined. Document frequency is computed on the matched
+    stream only (≤ |terms| rows, broadcast back), and N / avgdl are the
+    two driver scalars, same policy as lm_score's token total. The
+    final top-k windows each query's candidate list, never the corpus.
+    """
+    toks = tokens(F.col(text_col))
+    qterms = sorted({t for _, ts in queries for t in ts})
+    lens = (docs.where(F.length(F.col(text_col)) > 0)
+            .select("doc_id", F.size(toks).alias("dl")))
+    stats = lens.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("dl").alias("avgdl")).head()
+    n_docs, avgdl = int(stats.n), float(stats.avgdl)
+
+    ex = (docs.where(F.length(F.col(text_col)) > 0)
+          .select("doc_id", F.explode(toks).alias("term"))
+          .where(F.col("term").isin(qterms)))
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    df = ex.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
+                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+
+    qdf = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "query_id int, term string")
+    contrib = (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                  + F.lit(b) * F.col("dl").cast("double")
+                  / F.lit(avgdl))))
+    scored = (tf.join(F.broadcast(df.select("term", idf.alias("idf"))),
+                      "term")
+              .join(F.broadcast(qdf), "term")
+              .join(lens, "doc_id")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum(contrib).alias("s")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", F.col("rank").cast("long")
+                    .alias("rank"), F.round("s", 4).alias("score")))

@@ -3386,6 +3386,138 @@ FROM b
 SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
 
 
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means TRAINING over the embeddings table
+    (pinned evenly-spaced-id init, 2 centroid updates, lower-cluster-id
+    tie-break, empty-cluster carryover) → final (vec_id, cluster). The
+    oracle replays both rounds as SQL CTEs — integral output, so no
+    float-hash exposure; the centroid means agree to ~1e-15 and the
+    planted clusters are O(1) apart, so assignments match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_fit(emb, k=8, iters=2)
+
+
+def _sql_kmeans_fit(k: int = 8, d: int = 64, iters: int = 2) -> str:
+    parts = [f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS INT) AS c,
+               CAST(t.i * (nn.n // {k}) + (nn.n // {k}) // 2 AS BIGINT)
+                   AS vid
+        FROM range({k}) t(i), nn),
+e AS (SELECT vec_id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, {d}) t(i)
+      WHERE embedding IS NOT NULL),
+c0 AS (SELECT cid.c, e.dim, e.v FROM cid JOIN e ON e.vec_id = cid.vid)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f""",
+d{it} AS (SELECT e.vec_id, p.c, SUM((e.v - p.v) * (e.v - p.v)) AS d2
+       FROM e JOIN {prev} p ON e.dim = p.dim GROUP BY e.vec_id, p.c),
+a{it} AS (SELECT vec_id, c AS cluster FROM d{it}
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, c) = 1),
+m{it} AS (SELECT a{it}.cluster AS c, e.dim, AVG(e.v) AS v
+       FROM e JOIN a{it} USING (vec_id) GROUP BY a{it}.cluster, e.dim),
+c{it} AS (SELECT p.c, p.dim, COALESCE(m{it}.v, p.v) AS v
+       FROM {prev} p LEFT JOIN m{it}
+         ON m{it}.c = p.c AND m{it}.dim = p.dim)""")
+        prev = f"c{it}"
+    parts.append(f""",
+df AS (SELECT e.vec_id, p.c, SUM((e.v - p.v) * (e.v - p.v)) AS d2
+       FROM e JOIN {prev} p ON e.dim = p.dim GROUP BY e.vec_id, p.c)
+SELECT vec_id, CAST(c AS INT) AS cluster FROM df
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1""")
+    return "".join(parts)
+
+
+SQL_KMEANS_FIT = _sql_kmeans_fit()
+
+
+# Pinned BM25 query set over the synthetic corpus vocabulary — three
+# query term lists with distinct df profiles.
+BM25_QUERIES = [(0, ["hash", "join"]),
+                (1, ["vector", "scan", "batch"]),
+                (2, ["customer", "order"])]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for the pinned query set: query terms are
+    a broadcast literal so the token stream is pruned map-side; df/idf
+    live on the bounded matched-term table; the only corpus-sized
+    shuffles are the two map-side-combined partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bm25_topk(docs, BM25_QUERIES, k=10)
+
+
+def _sql_bm25_topk(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    qvals = ", ".join(f"({qid}, '{t}')"
+                      for qid, ts in BM25_QUERIES for t in ts)
+    return f"""
+WITH q(query_id, term) AS (VALUES {qvals}),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+         FROM documents WHERE length(text) > 0),
+st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+mx AS (SELECT doc_id, term FROM (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents WHERE length(text) > 0)
+       WHERE term IN (SELECT DISTINCT term FROM q)),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM mx GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM mx GROUP BY term),
+sc AS (SELECT q.query_id, tf.doc_id,
+         SUM(ln(1.0 + (CAST(st.n AS DOUBLE) - df.df + 0.5)
+                      / (df.df + 0.5))
+             * tf.tf * {k1 + 1.0!r}
+             / (tf.tf + {k1} * ({1.0 - b!r}
+                + {b} * CAST(lens.dl AS DOUBLE) / st.avgdl))) AS s
+       FROM tf JOIN df USING (term) JOIN q USING (term)
+            JOIN lens ON lens.doc_id = tf.doc_id, st
+       GROUP BY q.query_id, tf.doc_id)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       CAST(rank AS BIGINT) AS rank, ROUND(s, 4) AS score
+FROM (SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id) AS rank
+      FROM sc)
+WHERE rank <= {k}"""
+
+
+SQL_BM25_TOPK = _sql_bm25_topk()
+
+
+def q_random_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→8 dims of every embedding, long form
+    (vec_id, dim, val): the ±1 matrix is md5-derived (portable_hash64
+    idiom) so the oracle derives the SAME matrix independently; the
+    sequential HOF fold and ordered SQL SUM agree to ≪ the 4-dp
+    rounding quantum."""
+    from georiva_spark.functions.vectors import random_projection
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(F.col("embedding"), 64, 8)
+    return (emb.where(F.col("embedding").isNotNull())
+            .select("vec_id", F.posexplode(proj).alias("dim", "v"))
+            .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                    F.round("v", 4).alias("val")))
+
+
+SQL_RANDOM_PROJ = """
+WITH s AS (
+  SELECT t.i AS i, j.j AS j,
+         CASE WHEN CAST('0x' || substring(md5('rp:'
+                  || CAST(t.i - 1 AS VARCHAR) || ':'
+                  || CAST(j.j AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM generate_series(1, 64) t(i), range(8) j(j))
+SELECT e.vec_id, CAST(s.j AS INT) AS dim,
+       ROUND(SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn)
+             * (1.0 / SQRT(8.0)), 4) AS val
+FROM embeddings e JOIN s ON TRUE
+WHERE e.embedding IS NOT NULL
+GROUP BY e.vec_id, s.j
+"""
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -3446,6 +3578,9 @@ EXT_QUERIES = {
     "dup_spans": q_dup_spans,
     "url_dedup": q_url_dedup,
     "semdedup": q_semdedup,
+    "kmeans_fit": q_kmeans_fit,
+    "bm25_topk": q_bm25_topk,
+    "random_proj": q_random_proj,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
@@ -3535,6 +3670,9 @@ EXT_ORACLES = {
     "dup_spans": SQL_DUP_SPANS,
     "url_dedup": SQL_URL_DEDUP,
     "semdedup": SQL_SEMDEDUP,
+    "kmeans_fit": SQL_KMEANS_FIT,
+    "bm25_topk": SQL_BM25_TOPK,
+    "random_proj": SQL_RANDOM_PROJ,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,

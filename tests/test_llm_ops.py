@@ -928,3 +928,86 @@ def test_split_assign_partition_properties(spark):
     assert a == b
     with pytest.raises(ValueError, match="1,000,000"):
         sampling.split_assign(docs, {"train": 1})
+
+
+def test_kmeans_fit_recovers_planted_blobs(spark):
+    rng = np.random.default_rng(7)
+    centers = np.array([[8.0] * 16, [-8.0] * 16,
+                        [8.0] * 8 + [-8.0] * 8])
+    rows = []
+    # id-blocked blobs: pinned seeds at ids 10/30/50 land one per blob
+    for b in range(3):
+        for i in range(20):
+            v = centers[b] + rng.normal(scale=0.5, size=16)
+            rows.append((b * 20 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster
+           for r in similarity.kmeans_fit(emb, k=3, iters=2).collect()}
+    assert len(out) == 60
+    blobs = [{out[b * 20 + i] for i in range(20)} for b in range(3)]
+    assert all(len(s) == 1 for s in blobs)          # blob = one cluster
+    assert len(set().union(*blobs)) == 3            # three distinct
+
+
+def test_kmeans_fit_identical_points_tie_break_and_carryover(spark):
+    # every point identical: all seeds coincide, assignment tie-breaks
+    # to cluster 0 and clusters 1..k-1 stay empty (centroid carryover
+    # must not NaN them)
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_fit(emb, k=4, iters=2).collect()
+    assert len(out) == 12
+    assert {r.cluster for r in out} == {0}
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    import math
+    texts = {1: "a b a c", 2: "a a a a", 3: "b b c d", 4: "d d d d",
+             5: "a b c d e f g h"}
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    queries = [(0, ["a", "b"]), (1, ["d"])]
+    out = textops.bm25_topk(docs, queries, k=3)
+    got = {(r.query_id, r.doc_id): (r.rank, r.score) for r in out.collect()}
+
+    # reference implementation (float64, Lucene idf)
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    n, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+    def score(q, d):
+        s = 0.0
+        for t in set(q):
+            tf = float(toks[d].count(t))
+            if tf == 0.0:
+                continue
+            df = float(sum(t in tk for tk in toks.values()))
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+        return s
+    for qid, terms in queries:
+        exp = sorted(((score(terms, d), d) for d in toks
+                      if score(terms, d) > 0), key=lambda x: (-x[0], x[1]))[:3]
+        for rank, (s, d) in enumerate(exp, 1):
+            assert got[(qid, d)][0] == rank
+            assert abs(got[(qid, d)][1] - s) < 5e-4
+
+
+def test_random_projection_is_the_signed_sum(spark):
+    from georiva_spark.functions.vectors import (
+        projection_signs, random_projection)
+    signs = projection_signs(4, 3, seed="rp")
+    # one-hot inputs read the matrix columns straight back out
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)])
+            for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = random_projection(F.col("embedding"), 4, 3)
+    got = {r.vec_id: r.p for r in
+           emb.select("vec_id", proj.alias("p")).collect()}
+    scale = 1.0 / (3.0 ** 0.5)
+    for i in range(4):
+        exp = [signs[j][i] * scale for j in range(3)]
+        assert got[i] == pytest.approx(exp, abs=1e-12)
+    # signs are deterministic and balanced-ish
+    assert projection_signs(4, 3, seed="rp") == signs
+    flat = [s for row in signs for s in row]
+    assert -len(flat) < sum(flat) < len(flat)

@@ -283,3 +283,34 @@ def test_split_assign_zero_exchange(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "Exchange" not in phys
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_kmeans_fit_assignment_in_row_no_python(spark):
+    """kmeans_fit's final assignment is an in-row argmin over K literal
+    centroids: no Python eval, no cartesian, and the only exchange in
+    the FINAL plan is none at all (the per-iteration update shuffles
+    K*d partials, but the returned assignment is scan -> project)."""
+    plan = _plan(QUERIES["kmeans_fit"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    assert "CartesianProduct" not in phys
+    assert "Exchange" not in phys
+
+
+def test_bm25_broadcasts_model_sides_never_sorts_corpus(spark):
+    """BM25: idf table and query terms join the corpus stream as
+    BROADCASTS (map-side); the corpus is never globally sorted — the
+    only Sort is inside the bounded per-query top-k window."""
+    plan = _plan(QUERIES["bm25_topk"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in phys
+    assert "BatchEvalPython" not in phys
+
+
+def test_random_proj_zero_shuffle_no_python(spark):
+    """The JL projection is pure in-row HOFs: no exchange, no Python."""
+    plan = _plan(QUERIES["random_proj"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
