@@ -40,7 +40,7 @@ HEADLINE = [
     "image_features_jpeg", "video_scenes", "dup_spans", "audio_spectrum",
     # r5 additions: distributed k-means training, BM25 retrieval,
     # JL random projection
-    "kmeans_fit", "bm25_topk", "random_proj",
+    "kmeans_fit", "bm25_topk", "random_proj", "embed_cov",
 ]
 
 

@@ -535,3 +535,116 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
         cents = nxt
 
     return corpus.select("vec_id", argmin(cents).alias("cluster"))
+
+def embedding_moments(emb: DataFrame, d: int) -> DataFrame:
+    """Distributed second-moment pass over an embedding column →
+    ONE row (n, sum[d], gram[d*d]): the sufficient statistics for
+    mean/covariance/PCA. The covariance path every
+    embedding-analytics stage (PCA whitening, SemDeDup
+    cluster-shape audits, drift monitors) starts from.
+
+    Scale shape: each partition folds its rows into ONE d×d Gram
+    matrix with a single BLAS matmul (Arrow-batched mapInPandas — the
+    per-element expression equivalent explodes n·d² rows, a 4096×
+    amplification at d=64); the partials then tree-reduce through a
+    posexplode → groupBy(idx) SUM whose map-side combine ships d²+d+1
+    values per partition, so no driver ever sees more than the d²
+    result. The corpus is scanned exactly once."""
+    import pandas as pd
+    import numpy as np
+
+    def gram(batches):
+        g = np.zeros((d, d)); s = np.zeros(d); c = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g += m.T @ m
+            s += m.sum(axis=0)
+            c += len(m)
+        yield pd.DataFrame({"c": [c], "v": [s.tolist() + g.ravel().tolist()]})
+
+    parts = (emb.where(F.col("embedding").isNotNull())
+             .select("embedding")
+             .mapInPandas(gram, "c long, v array<double>"))
+    reduced = (parts.select(F.col("c"), F.posexplode("v").alias("i", "x"))
+               .groupBy("i").agg(F.sum("x").alias("x"),
+                                 F.sum("c").alias("c")))
+    # n rides every (i, x) row; d²+d bounded rows total
+    return reduced
+
+
+def _moments_arrays(emb: DataFrame, d: int):
+    """Collect the bounded d²+d moment rows once → (n, mean[d],
+    exx[d,d]) numpy arrays. The collect is model-sized driver control
+    data (≈ d² doubles), same policy as the pinned-centroid collects —
+    a DataFrame-side assembly was measured to branch the plan and
+    re-run the corpus Gram pass three times (mean×2 + gram)."""
+    import numpy as np
+
+    rows = embedding_moments(emb, d).collect()
+    n = rows[0].c if rows else 0
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        if r.i < d:
+            s[r.i] = r.x
+        else:
+            g[(r.i - d) // d, (r.i - d) % d] = r.x
+    if n == 0:
+        raise ValueError("no non-null embeddings to aggregate")
+    return n, s / n, g / n
+
+
+def covariance_long(emb: DataFrame, d: int,
+                    decimals: int = 6) -> DataFrame:
+    """Embedding covariance in long form (i, j, cov) for i ≤ j, from
+    ONE :func:`embedding_moments` corpus pass: cov = E[xᵢxⱼ] − μᵢμⱼ,
+    assembled driver-side from the bounded moments (the result is d²
+    values — model, not data) and returned as a local relation.
+    Rounded at ``decimals`` (6: the engines agree to ~1e-14 abs, and
+    4 dp would flatten the small off-diagonal entries to zero);
+    ``+ 0.0`` folds IEEE −0.0 to +0.0 (DuckDB's ROUND emits −0.0 for
+    tiny negatives and the value hash distinguishes the two)."""
+    _, mu, exx = _moments_arrays(emb, d)
+    cov = exx - mu[:, None] * mu[None, :]
+    data = [(i, j, round(float(cov[i, j]), decimals) + 0.0)
+            for i in range(d) for j in range(i, d)]
+    return emb.sparkSession.createDataFrame(
+        data, "i int, j int, cov double")
+
+
+def pca_project(emb: DataFrame, d: int, q: int = 4) -> DataFrame:
+    """PCA projection onto the top-``q`` principal components: fit =
+    one distributed moments pass (covariance is d×d, bounded) + a
+    driver-side eigendecomposition of the d×d matrix (numpy eigh —
+    model-sized work, like the k-means centroid update); project =
+    the same literal-fold in-row HOFs as random_projection (zero
+    shuffle, components ship in the plan). Eigenvector sign is fixed
+    by making each component's largest-|coefficient| entry positive,
+    so output is deterministic. → (vec_id, dim, val)."""
+    import numpy as np
+
+    _, mu, exx = _moments_arrays(emb, d)
+    cov = exx - mu[:, None] * mu[None, :]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:q]
+    comps = v[:, order].T                                   # q × d
+    for ci in range(q):
+        amax = int(np.argmax(np.abs(comps[ci])))
+        if comps[ci][amax] < 0:
+            comps[ci] = -comps[ci]
+
+    def proj(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(float(x)) for x in cvec]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    arr = F.array(*[proj(comps[ci]) for ci in range(q)])
+    return (emb.where(F.col("embedding").isNotNull())
+            .withColumn("_p", arr)
+            .select("vec_id", F.posexplode("_p").alias("dim", "val"))
+            .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                    F.round("val", 4).alias("val")))

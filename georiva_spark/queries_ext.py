@@ -3518,6 +3518,32 @@ GROUP BY e.vec_id, s.j
 """
 
 
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (long form, i ≤ j) from ONE
+    distributed moments pass: per-partition BLAS Gram matrices
+    tree-reduced through a posexplode SUM — the sufficient-statistics
+    op PCA/whitening/drift monitoring start from. 6-dp rounding: the
+    engines agree to ~1e-14 and 4 dp would flatten the off-diagonal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.covariance_long(emb, 64)
+
+
+SQL_EMBED_COV = """
+WITH e AS (SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+           FROM embeddings, generate_series(1, 64) t(i)
+           WHERE embedding IS NOT NULL),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
+       WHERE embedding IS NOT NULL),
+mu AS (SELECT i, SUM(v) / nn.n AS mu FROM e, nn GROUP BY i, nn.n),
+g AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) / nn.n AS exx
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i, nn
+      GROUP BY a.i, b.i, nn.n)
+SELECT CAST(g.i - 1 AS INT) AS i, CAST(g.j - 1 AS INT) AS j,
+       ROUND(g.exx - ma.mu * mb.mu, 6) + 0.0 AS cov
+FROM g JOIN mu ma ON ma.i = g.i JOIN mu mb ON mb.i = g.j
+"""
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -3581,6 +3607,7 @@ EXT_QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "bm25_topk": q_bm25_topk,
     "random_proj": q_random_proj,
+    "embed_cov": q_embed_cov,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
@@ -3673,6 +3700,7 @@ EXT_ORACLES = {
     "kmeans_fit": SQL_KMEANS_FIT,
     "bm25_topk": SQL_BM25_TOPK,
     "random_proj": SQL_RANDOM_PROJ,
+    "embed_cov": SQL_EMBED_COV,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,

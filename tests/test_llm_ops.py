@@ -1011,3 +1011,39 @@ def test_random_projection_is_the_signed_sum(spark):
     assert projection_signs(4, 3, seed="rp") == signs
     flat = [s for row in signs for s in row]
     assert -len(flat) < sum(flat) < len(flat)
+
+
+def test_covariance_long_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(30, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in m[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    got = {(r.i, r.j): r.cov
+           for r in similarity.covariance_long(emb, 8).collect()}
+    exp = np.cov(m.astype(np.float64).T, bias=True)
+    assert len(got) == 8 * 9 // 2
+    for (i, j), v in got.items():
+        assert v == pytest.approx(exp[i, j], abs=2e-6)
+
+
+def test_pca_project_recovers_planted_direction(spark):
+    rng = np.random.default_rng(11)
+    u = rng.normal(size=16)
+    u /= np.linalg.norm(u)
+    t = rng.normal(scale=5.0, size=100)
+    x = (t[:, None] * u[None, :]
+         + rng.normal(scale=0.05, size=(100, 16))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    out = similarity.pca_project(emb, 16, q=2).toPandas()
+    p0 = (out[out.dim == 0].sort_values("vec_id")["val"]
+          .to_numpy(dtype=np.float64))
+    p1 = (out[out.dim == 1].sort_values("vec_id")["val"]
+          .to_numpy(dtype=np.float64))
+    # component 0 carries the planted direction: |corr| with t ≈ 1,
+    # and its variance dwarfs component 1's
+    corr = np.corrcoef(p0, t)[0, 1]
+    assert abs(corr) > 0.999
+    assert p0.var() > 50 * p1.var()

@@ -314,3 +314,23 @@ def test_random_proj_zero_shuffle_no_python(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "Exchange" not in phys
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_embed_cov_moments_one_gram_pass_bounded_shuffle(spark):
+    """Covariance: the distributed part is ONE Arrow-batched Gram pass
+    (mapInPandas) whose output is one row per partition BEFORE any
+    exchange — the only shuffle moves the bounded d²+d partials, and
+    the returned covariance itself is a local (model-sized) relation."""
+    import pyspark.sql.functions as SF_
+    from georiva_spark.operators import similarity
+    from georiva_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(similarity.embedding_moments(emb, 64))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in phys
+    # the exchange sits ABOVE the Gram partials: partial_sum before it
+    assert "partial_sum" in phys
+    cov_plan = _plan(QUERIES["embed_cov"](spark, SF))
+    assert "FileScan" not in cov_plan.split("== Physical Plan ==")[-1]

@@ -230,6 +230,42 @@ def main():
           f"({n/el/1e6:.2f}M docs/s) -> {ndocs_spanned} docs spanned "
           f"(expect {n})")
 
+    # k-means training on ne = n/4 synthetic 64-dim vectors in 16
+    # BLOCK-layout planted blobs (pinned seeds land one per blob):
+    # center[blob][j] ~ hash in [-10,10], noise in [-1,1] -> after two
+    # Lloyd's rounds every blob must map to exactly one cluster.
+    t0 = time.perf_counter()
+    ne = n // 4
+    blob = (F.col("id") / (ne // 16)).cast("long")
+    kvec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((F.pmod(F.xxhash64(blob, j, F.lit(11)), F.lit(21))
+                    .cast("double") - F.lit(10.0))
+                   + (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001))
+                      .cast("double") / F.lit(1000.0) - F.lit(1.0)))
+        .cast("float"))
+    kemb = spark.range(ne).select(F.col("id").alias("vec_id"),
+                                  kvec.alias("embedding"),
+                                  blob.alias("blob"))
+    km = similarity.kmeans_fit(kemb, k=16, iters=2)
+    agree = (km.join(kemb.select("vec_id", "blob"), "vec_id")
+             .groupBy("blob")
+             .agg(F.countDistinct("cluster").alias("nc")))
+    pure = agree.where(F.col("nc") == 1).count()
+    el = time.perf_counter() - t0
+    print(f"kmeans_fit (k=16, 2 rounds): {el:.1f}s over {ne/1e6:.2f}M "
+          f"vectors ({ne/el/1e6:.2f}M vec/s) -> {pure}/16 pure blobs")
+
+    # BM25 retrieval for 3 template-vocab queries over the full corpus
+    t0 = time.perf_counter()
+    bq = [(0, ["w10", "w20"]), (1, ["w33", "w44", "w55"]),
+          (2, ["w7"])]
+    bm = textops.bm25_topk(docs, bq, k=10)
+    nbm = bm.count()
+    el = time.perf_counter() - t0
+    print(f"bm25_topk (3 queries): {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nbm} result rows (expect <=30)")
+
 
 if __name__ == "__main__":
     main()
