@@ -52,3 +52,96 @@ def nearest_time(grid: DataFrame, ts: _dt.datetime) -> DataFrame:
                 .select("collection", "variable", "y", "x", "lat", "lon",
                         F.col("_nv.time").alias("time"),
                         F.col("_nv.value").alias("value")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None,
+              tolerance_us: int | None = None) -> DataFrame:
+    """As-of join (pandas.merge_asof backward-inclusive semantics):
+    every left row gains the right row with the LARGEST right_ts ≤
+    left_ts for the same ``on`` key (ties at equal right_ts break to
+    the lexicographically largest payload, so the result is
+    deterministic); no match → nulls. ``tolerance_us`` discards
+    matches older than left_ts − tolerance.
+
+    Spark lacks this operator natively; the scale shape is the
+    union-tag trick, NOT a join: tag right rows 0 and left rows 1,
+    union, and run ONE per-key window ordered by (ts, tag, payload) —
+    last(payload, ignorenulls) over unbounded-preceding..current hands
+    each left row its predecessor right payload in a single sort
+    within a single shuffle on the key. A per-pair range join would be
+    O(|L|·|R|) per key; this is O((|L|+|R|) log) and AQE-balanced
+    across keys (one key's history must sort in one task — the same
+    bound any per-key stateful op has; time-series keys are many and
+    small by construction).
+
+    Right columns are carried through the window as ONE struct (null
+    on left rows), so the window state is a single column regardless
+    of how wide the right table is."""
+    from pyspark.sql import Window
+
+    rc = right_cols or [c for c in right.columns
+                        if c not in (on, right_ts)]
+    payload = F.struct(F.col(right_ts).alias("_rt"),
+                       *[F.col(c) for c in rc])
+    r = right.select(F.col(on), F.col(right_ts).alias("_t"),
+                     F.lit(0).alias("_side"), payload.alias("_p"))
+    l = (left.withColumn("_t", F.col(left_ts))
+         .withColumn("_side", F.lit(1))
+         .withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType)))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(on).orderBy("_t", "_side", "_p")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    m = F.last("_p", ignorenulls=True).over(w)
+    out = u.withColumn("_m", m).where(F.col("_side") == 1)
+    if tolerance_us is not None:
+        ok = (F.unix_micros(F.col("_t").cast("timestamp_ltz"))
+              - F.unix_micros(F.col("_m._rt").cast("timestamp_ltz"))
+              <= F.lit(tolerance_us))
+        out = out.withColumn(
+            "_m", F.when(F.col("_m").isNotNull() & ok, F.col("_m")))
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep, F.col("_m._rt").alias("matched_" + right_ts),
+        *[F.col(f"_m.{c}").alias("matched_" + c) for c in rc])
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          bin_us: int = 3_600_000_000) -> DataFrame:
+    """Range join on interval overlap: (l_id, r_id, overlap_us) for
+    every pair whose [start, end] intervals intersect (inclusive).
+    Inputs: DataFrames with (id, start, end) timestamp columns.
+
+    Spark has no native range join; the scale shape is BINNING: each
+    interval explodes to the fixed-width time bins it covers (sequence
+    over floor(start/W)..floor(end/W)), pairs equi-join on the bin key,
+    the exact overlap predicate filters, and duplicates from
+    multi-bin-spanning pairs collapse map-side via the half-open
+    ownership rule (a pair is EMITTED only from the first bin both
+    intervals share: greatest(l_bin_start, r_bin_start) — so no
+    distinct over the pair space is needed). Bin width trades
+    replication (long intervals × narrow bins) against bin skew (wide
+    bins put more candidates in one key); pick ~ the median interval
+    length. A theta join would be O(|L|·|R|); this is O(pairs per
+    bin), AQE-splittable across bins."""
+    def bins(df, tag):
+        s_us = F.unix_micros(F.col("start").cast("timestamp_ltz"))
+        e_us = F.unix_micros(F.col("end").cast("timestamp_ltz"))
+        return df.select(
+            F.col("id").alias(f"{tag}_id"),
+            s_us.alias(f"{tag}_s"), e_us.alias(f"{tag}_e"),
+            F.explode(F.sequence(
+                F.floor(s_us / bin_us), F.floor(e_us / bin_us)))
+            .alias("bin"))
+
+    lb, rb = bins(left, "l"), bins(right, "r")
+    first_shared = F.greatest(F.floor(F.col("l_s") / bin_us),
+                              F.floor(F.col("r_s") / bin_us))
+    return (lb.join(rb, "bin")
+            .where((F.col("l_s") <= F.col("r_e"))
+                   & (F.col("r_s") <= F.col("l_e"))
+                   & (F.col("bin") == first_shared))
+            .select("l_id", "r_id",
+                    (F.least("l_e", "r_e")
+                     - F.greatest("l_s", "r_s")).alias("overlap_us")))

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from georiva_spark.operators import dedup, multimodal as mm, similarity, textops
+from georiva_spark.operators import dedup, multimodal as mm, similarity, textops, timeseries
 from georiva_spark.operators.timeseries import nearest_time
 from georiva_spark.sources.synthetic import EVENTS_GRID_SQL, events_grid
 from georiva_spark.sources.tables import load_table
@@ -3544,6 +3544,73 @@ FROM g JOIN mu ma ON ma.i = g.i JOIN mu mb ON mb.i = g.j
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (merge_asof backward-inclusive): every 'view' event
+    gains the latest 'click' by the same user at-or-before its
+    timestamp. Union-tag + ONE per-user window — Spark has no native
+    as-of join; the oracle is an independent LATERAL top-1 per row."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view") \
+              .select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id", "value")
+    out = timeseries.asof_join(views, clicks, on="user_id",
+                               right_cols=["event_id", "value"])
+    return out.select("event_id", "user_id",
+                      F.col("matched_event_id"),
+                      F.col("matched_value"))
+
+
+SQL_ASOF_JOIN = """
+WITH v AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click')
+SELECT v.event_id, v.user_id,
+       m.event_id AS matched_event_id, m.value AS matched_value
+FROM v LEFT JOIN LATERAL (
+  SELECT c.event_id, c.value FROM c
+  WHERE c.user_id = v.user_id AND c.ts <= v.ts
+  ORDER BY c.ts DESC, c.event_id DESC, c.value DESC LIMIT 1) m ON TRUE
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join: 'view' windows [ts, ts + value
+    minutes] × 'error' windows, all overlapping pairs with the overlap
+    length. Bin-bucketed equi-join (1-hour bins, first-shared-bin
+    ownership — no distinct over the pair space); the oracle is the
+    plain theta join DuckDB runs natively (IEJoin)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def iv(kind):
+        s = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        # value is a 2-dp quantity stored as double: round(value*100)
+        # is integral, so the duration math is EXACT integer arithmetic
+        # (double->long CAST truncates in Spark but rounds in DuckDB)
+        e = s + F.round(F.col("value") * 100).cast("long") * 600_000
+        return (ev.where(F.col("event_type") == kind)
+                .select(F.col("event_id").alias("id"),
+                        F.timestamp_micros(s).alias("start"),
+                        F.timestamp_micros(e).alias("end")))
+
+    out = timeseries.interval_overlap_join(iv("view"), iv("error"))
+    return out.select("l_id", "r_id", "overlap_us")
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (SELECT event_id AS id, event_type,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 600000 AS e
+            FROM events),
+l AS (SELECT id, s, e FROM iv WHERE event_type = 'view'),
+r AS (SELECT id, s, e FROM iv WHERE event_type = 'error')
+SELECT l.id AS l_id, r.id AS r_id,
+       LEAST(l.e, r.e) - GREATEST(l.s, r.s) AS overlap_us
+FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+"""
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -3608,6 +3675,8 @@ EXT_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "random_proj": q_random_proj,
     "embed_cov": q_embed_cov,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
@@ -3701,6 +3770,8 @@ EXT_ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "random_proj": SQL_RANDOM_PROJ,
     "embed_cov": SQL_EMBED_COV,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,

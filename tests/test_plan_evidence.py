@@ -334,3 +334,23 @@ def test_embed_cov_moments_one_gram_pass_bounded_shuffle(spark):
     assert "partial_sum" in phys
     cov_plan = _plan(QUERIES["embed_cov"](spark, SF))
     assert "FileScan" not in cov_plan.split("== Physical Plan ==")[-1]
+
+
+def test_asof_join_one_key_shuffle_no_join(spark):
+    """As-of: the union-tag shape means NO join operator at all — one
+    exchange on the key feeds one window sort."""
+    plan = _plan(QUERIES["asof_join"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in phys          # no SortMergeJoin/BroadcastHashJoin
+    assert "Window" in phys
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_binned_equi_join_no_theta(spark):
+    """Range join: the bin key turns the interval-overlap theta join
+    into an equi-join — no cartesian, no broadcast-nested-loop."""
+    plan = _plan(QUERIES["range_join"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "bin" in phys
