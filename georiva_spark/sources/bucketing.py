@@ -1,0 +1,43 @@
+"""Bucketed-table materialization — the co-located-join storage layout.
+
+A join between two tables bucketed by the SAME key into the SAME bucket
+count needs NO exchange at read time: each task joins bucket i of both
+sides (Spark's bucketed scan reports the hash distribution to the
+planner, which elides both shuffles — and with sortBy, the sort too).
+At 100 TB this is the difference between re-shuffling the fact table on
+every join and paying the shuffle ONCE at write time; the reference's
+engine re-partitions per query (processing/executor.py joins), so this
+is a strictly-better Spark-native capability, not a port.
+
+Bucket-count guidance: pick so one bucket of the larger table ≈ one
+task's memory (128-512 MB) — e.g. 100 TB / 4096 buckets ≈ 25 GB per
+bucket per table-wide scan, split further by parquet row groups. The
+bucket count is part of the table contract: both join sides must match
+(Spark 4 can coalesce mismatched counts when one divides the other —
+spark.sql.bucketing.coalesceBucketsInJoin.enabled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, key: str | list[str],
+                   n_buckets: int, path: str,
+                   sort: bool = True) -> None:
+    """Materialize ``df`` as an external parquet table bucketed (and by
+    default sorted) by ``key`` — the pay-shuffle-once step. ``path``
+    keeps the data outside the session warehouse so tests and callers
+    control the lifecycle; re-running overwrites idempotently."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (df.write.mode("overwrite").format("parquet")
+         .option("path", path)
+         .bucketBy(n_buckets, *keys))
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Drop the catalog entry (external data stays at ``path``)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
