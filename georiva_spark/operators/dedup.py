@@ -490,3 +490,85 @@ def line_dedup(docs: DataFrame, *, delim: str = "\n", max_line_df: int = 1,
                      .cast("int").alias("n_kept"),
                     F.coalesce(F.col("kept_text"), F.lit(""))
                      .alias("kept_text")))
+
+def minhash_index_write(docs: DataFrame, table: str, path: str,
+                        n_buckets: int = 64, num_hashes: int = 64,
+                        bands: int = 16, n: int = 3,
+                        text_col: str = "text") -> None:
+    """Materialize a persistent MinHash-LSH index for INCREMENTAL
+    dedup: new shards probe the index without ever recomputing or
+    re-shuffling the existing corpus — the index grows with the
+    corpus, the probe cost grows with the delta. Two bucketed tables
+    (sources/bucketing.py layout, shuffle paid once here):
+
+    - ``{table}_bands``  (band, bucket, doc_id), bucketed by
+      (band, bucket) — the candidate-generation side;
+    - ``{table}_sigs``   (doc_id, signature), bucketed by doc_id —
+      the verification side.
+
+    At probe time Spark shuffles only the (tiny) delta into the
+    index's bucket layout; the index side scans shuffle-free
+    (plan-asserted in tests/test_dedup_index.py)."""
+    from georiva_spark.sources.bucketing import write_bucketed
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                             text_col=text_col)
+    bucket_arr = F.array(*[
+        F.xxhash64(F.lit(b), *[F.element_at("signature",
+                                            b * rows_per_band + i + 1)
+                               for i in range(rows_per_band)])
+        for b in range(bands)])
+    banded = sig.select(
+        "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+    write_bucketed(banded.select("band", "bucket", "doc_id"),
+                   f"{table}_bands", ["band", "bucket"], n_buckets,
+                   f"{path}/bands")
+    write_bucketed(sig, f"{table}_sigs", "doc_id", n_buckets,
+                   f"{path}/sigs", sort=False)
+
+
+def minhash_index_probe(new_docs: DataFrame, table: str,
+                        threshold: float = 0.5, num_hashes: int = 64,
+                        bands: int = 16, n: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """Probe a :func:`minhash_index_write` index with a new shard →
+    (doc_new, doc_old, est_jaccard) pairs at est ≥ threshold. The
+    incremental half of a growing-corpus dedup: signatures are
+    computed for the DELTA only; candidate generation joins the
+    delta's band keys against the bucketed index (index side
+    shuffle-free); verification joins candidates back to the two
+    signature sources by id. Nothing about the existing corpus is
+    recomputed, collected, or broadcast."""
+    from pyspark import StorageLevel
+
+    spark = new_docs.sparkSession
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
+                                 text_col=text_col
+                                 ).persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_arr = F.array(*[
+        F.xxhash64(F.lit(b), *[F.element_at("signature",
+                                            b * rows_per_band + i + 1)
+                               for i in range(rows_per_band)])
+        for b in range(bands)])
+    banded_new = sig_new.select(
+        F.col("doc_id").alias("doc_new"),
+        F.posexplode(bucket_arr).alias("band", "bucket"))
+    idx = spark.table(f"{table}_bands")
+    cand = (banded_new.join(idx, ["band", "bucket"])
+            .where(F.col("doc_new") != F.col("doc_id"))
+            .select("doc_new", F.col("doc_id").alias("doc_old"))
+            .dropDuplicates(["doc_new", "doc_old"]))
+    a = sig_new.select(F.col("doc_id").alias("doc_new"),
+                       F.col("signature").alias("sig_a"))
+    b = spark.table(f"{table}_sigs").select(
+        F.col("doc_id").alias("doc_old"),
+        F.col("signature").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: (x == y).cast("int")),
+                           lambda v: v == 1)).cast("double")
+           / F.lit(float(num_hashes)))
+    return (cand.join(a, "doc_new").join(b, "doc_old")
+            .select("doc_new", "doc_old", est.alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold))

@@ -1,0 +1,75 @@
+"""Incremental MinHash-LSH index: probe a delta shard against a
+persistent bucketed index — correctness (planted near-dups found,
+novel docs clean) and the layout claim (the index side of the
+candidate join scans shuffle-free: one fewer exchange than the same
+probe against an unbucketed copy)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from georiva_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+
+
+@pytest.fixture()
+def mh_index(spark, tmp_path):
+    base = _docs(spark, [
+        (1, BASE),
+        (2, "completely different content about spark query engines"),
+        (3, "another unrelated document mentioning climatology anomalies"),
+    ])
+    dedup.minhash_index_write(base, "t_mhidx", str(tmp_path / "idx"),
+                              n_buckets=8)
+    yield "t_mhidx"
+    spark.sql("DROP TABLE IF EXISTS t_mhidx_bands")
+    spark.sql("DROP TABLE IF EXISTS t_mhidx_sigs")
+
+
+def test_probe_finds_planted_near_dups_only(spark, mh_index):
+    delta = _docs(spark, [
+        (100, BASE),                                     # exact dup of 1
+        (101, BASE.replace("tonight", "yesterday")),     # near dup of 1
+        (102, "totally novel text about bucketed join layouts today"),
+    ])
+    got = {(r.doc_new, r.doc_old): r.est_jaccard
+           for r in dedup.minhash_index_probe(delta, mh_index,
+                                              threshold=0.4).collect()}
+    assert got[(100, 1)] == 1.0
+    assert (101, 1) in got and got[(101, 1)] >= 0.4
+    assert not any(dn == 102 for dn, _ in got)
+
+
+def test_index_side_joins_without_reshuffle(spark, mh_index, tmp_path):
+    """The bucketed index saves exactly the index-side exchanges: the
+    same probe against a plain-parquet copy of the band table plans
+    strictly more hashpartitioning exchanges."""
+    delta = _docs(spark, [(100, BASE)])
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = (dedup.minhash_index_probe(delta, mh_index)
+                    ._jdf.queryExecution().executedPlan().toString())
+        # unbucketed control: same data via plain parquet round-trip
+        spark.table("t_mhidx_bands").write.mode("overwrite") \
+             .parquet(str(tmp_path / "flat_bands"))
+        spark.table("t_mhidx_sigs").write.mode("overwrite") \
+             .parquet(str(tmp_path / "flat_sigs"))
+        spark.read.parquet(str(tmp_path / "flat_bands")) \
+             .createOrReplaceTempView("t_flat_bands")
+        spark.read.parquet(str(tmp_path / "flat_sigs")) \
+             .createOrReplaceTempView("t_flat_sigs")
+        flat = (dedup.minhash_index_probe(delta, "t_flat")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert (bucketed.count("Exchange hashpartitioning")
+                < flat.count("Exchange hashpartitioning"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
