@@ -330,27 +330,42 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     "signature" is one long, cheaper to carry through the join than to
     fetch back. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
     """
-    k = max_hamming + 1
-    w = 64 // k
     codes = simhash(docs, text_col=text_col, portable=portable)
+    return hamming_pairs(codes, "doc_id", "simhash",
+                         max_hamming=max_hamming, bits=64,
+                         out_a="doc_a", out_b="doc_b")
+
+
+def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
+                  max_hamming: int = 3, bits: int = 64,
+                  out_a: str = "id_a", out_b: str = "id_b") -> DataFrame:
+    """Generic pigeonhole Hamming-pair mining over ANY integer code
+    column (SimHash text codes, image dHashes, audio fingerprints):
+    split the ``bits``-bit code into ``max_hamming + 1`` disjoint bands
+    — two codes within Hamming k MUST agree exactly on at least one
+    band — bucket-join on (band_idx, band_bits), verify exact Hamming
+    with bit_count(xor). Shuffle = (id, band-bits) keys, k+1 rows per
+    code; never all-pairs. Returns (out_a, out_b, hamming), a < b."""
+    k = max_hamming + 1
+    w = bits // k
     bands = []
     for j in range(k):
-        b = F.shiftrightunsigned(F.col("simhash"), j * w)
+        b = F.shiftrightunsigned(F.col(code_col), j * w)
         if j < k - 1:          # top band keeps the remainder bits
             b = b.bitwiseAND(F.lit((1 << w) - 1))
         bands.append(F.struct(F.lit(j).alias("band"), b.alias("key")))
-    ex = (codes.select("doc_id", "simhash",
+    ex = (codes.select(id_col, code_col,
                        F.explode(F.array(*bands)).alias("bk"))
-          .select("doc_id", "simhash", "bk.band", "bk.key"))
+          .select(id_col, code_col, "bk.band", "bk.key"))
     cand = (ex.alias("l").join(ex.alias("r"), ["band", "key"])
-            .where(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(F.col("l.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"),
-                    F.col("l.simhash").alias("ca"),
-                    F.col("r.simhash").alias("cb"))
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias(out_a),
+                    F.col(f"r.{id_col}").alias(out_b),
+                    F.col(f"l.{code_col}").alias("ca"),
+                    F.col(f"r.{code_col}").alias("cb"))
             .distinct())
     ham = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
-    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+    return (cand.select(out_a, out_b, ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
 
 

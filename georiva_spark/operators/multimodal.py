@@ -500,3 +500,41 @@ def audio_spectrum(media: DataFrame,
 
     return (media.select("media_id", "content")
             .mapInPandas(gen, schema=schema))
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash per image → (media_id, dhash): bit
+    7·r + c is set iff pixel (r, c) < pixel (r, c+1) on the 8×8
+    grayscale grid — 56 gradient-sign bits, the standard dHash shape
+    (on larger inputs, resize to 8×8 first with resize_images). Near-
+    identical images differ in a few bits; Arrow-batched decode, one
+    vectorized comparison per batch."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(56, dtype=np.int64))
+        for pdf in batches:
+            rows = []
+            for mid, content, mime in zip(pdf["media_id"], pdf["content"],
+                                          pdf["mime"]):
+                img = _decode_image_bytes(bytes(content), mime)
+                if img.ndim == 3:
+                    img = img.mean(axis=2)
+                if img.shape != (8, 8):
+                    raise ValueError(
+                        f"dhash needs an 8x8 grid, got {img.shape}; "
+                        "resize_images first")
+                bits = (img[:, :-1] < img[:, 1:]).ravel()
+                rows.append((int(mid), int(bits @ weights)))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(gen, schema="media_id long, dhash long")
+
+
+def image_near_dup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by dHash Hamming distance — the
+    multimodal arm of the dedup stack: decode → 56-bit dHash →
+    pigeonhole band join (dedup.hamming_pairs; never all-pairs) →
+    exact bit_count verify. → (id_a, id_b, hamming), a < b."""
+    from georiva_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(image_dhash(media), "media_id", "dhash",
+                         max_hamming=max_hamming, bits=56)

@@ -3611,6 +3611,86 @@ FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash per image (bit 7r+c = pixel(r,c) < pixel(r,c+1)
+    on the 8×8 grid): the decode→hash path must reproduce the 56-bit
+    code the oracle derives directly from the source vectors —
+    hash-exact, no rounding anywhere."""
+    media = _embeddings_as_media(spark, sf_dir, "image")
+    return mm.image_dhash(media)
+
+
+SQL_IMAGE_DHASH = """
+SELECT vec_id AS media_id,
+       (SELECT CAST(SUM(CASE
+            WHEN CAST(e.embedding[8*t.r + t.c + 1] AS DOUBLE)
+               < CAST(e.embedding[8*t.r + t.c + 2] AS DOUBLE)
+            THEN CAST(1 AS BIGINT) << (7*t.r + t.c) ELSE 0 END) AS BIGINT)
+        FROM (SELECT r.r, c.c FROM range(8) r(r), range(7) c(c)) t)
+           AS dhash
+FROM embeddings e
+"""
+
+
+def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup mining over a corpus with PLANTED duplicates:
+    each source image ships three ways — original (id), exact copy
+    (id+100000), and a first-two-pixels-swapped variant (id+200000,
+    Hamming ≤ 2 from the original by construction). The pigeonhole
+    band join must recover exactly the planted triangles (random
+    cross-image pairs sit at Hamming ≈ 28 of 56 — unreachable at the
+    ≤3 cut)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32)
+                img = mm.encode_raw_image(a.reshape(8, 8))
+                sw = a.copy()
+                sw[0], sw[1] = a[1], a[0]
+                rows.append((int(vec_id), "image", img, "image/raw"))
+                rows.append((int(vec_id) + 100000, "image", img,
+                             "image/raw"))
+                rows.append((int(vec_id) + 200000, "image",
+                             mm.encode_raw_image(sw.reshape(8, 8)),
+                             "image/raw"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "mime"])
+
+    media = emb.mapInPandas(
+        gen, schema="media_id long, kind string, content binary, mime string")
+    out = mm.image_near_dup(media, max_hamming=3)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_IMAGE_DUP_PAIRS = """
+WITH m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         [embedding[2], embedding[1]] || embedding[3:] FROM embeddings),
+h AS (
+  SELECT media_id,
+         (SELECT CAST(SUM(CASE
+              WHEN CAST(m.embedding[8*t.r + t.c + 1] AS DOUBLE)
+                 < CAST(m.embedding[8*t.r + t.c + 2] AS DOUBLE)
+              THEN CAST(1 AS BIGINT) << (7*t.r + t.c) ELSE 0 END)
+          AS BIGINT)
+          FROM (SELECT r.r, c.c FROM range(8) r(r), range(7) c(c)) t)
+             AS dhash
+  FROM m)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -3677,6 +3757,8 @@ EXT_QUERIES = {
     "embed_cov": q_embed_cov,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "image_dhash": q_image_dhash,
+    "image_dup_pairs": q_image_dup_pairs,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
@@ -3772,6 +3854,8 @@ EXT_ORACLES = {
     "embed_cov": SQL_EMBED_COV,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "image_dhash": SQL_IMAGE_DHASH,
+    "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,

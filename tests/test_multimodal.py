@@ -477,3 +477,41 @@ def test_video_container_seam_named_gate_and_plugin(spark):
         assert cuts[(2, 2)]
     finally:
         mm._VIDEO_PLUGINS.clear()
+
+
+def test_image_dhash_gradient_signs_and_brightness_invariance(spark):
+    import numpy as np
+    from georiva_spark.operators import multimodal as mm
+    ramp = np.tile(np.arange(8, dtype=np.float32), (8, 1))   # all < bits
+    flat = np.zeros((8, 8), dtype=np.float32)                # no bits
+    rows = [(1, "image", mm.encode_raw_image(ramp), "image/raw"),
+            (2, "image", mm.encode_raw_image(flat), "image/raw"),
+            (3, "image", mm.encode_raw_image(ramp + 100.0), "image/raw")]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string")
+    got = {r.media_id: r.dhash for r in mm.image_dhash(media).collect()}
+    assert got[1] == (1 << 56) - 1
+    assert got[2] == 0
+    assert got[3] == got[1]        # brightness shift preserves the hash
+
+
+def test_image_near_dup_recovers_planted_variants_only(spark):
+    import numpy as np
+    from georiva_spark.operators import multimodal as mm
+    rng = np.random.default_rng(5)
+    imgs = {i: rng.normal(size=(8, 8)).astype(np.float32)
+            for i in range(10)}
+    v = imgs[0].copy()
+    v[0, 0], v[0, 1] = imgs[0][0, 1], imgs[0][0, 0]   # hamming <= 2
+    rows = [(i, "image", mm.encode_raw_image(a), "image/raw")
+            for i, a in imgs.items()]
+    rows.append((100, "image", mm.encode_raw_image(imgs[0]), "image/raw"))
+    rows.append((200, "image", mm.encode_raw_image(v), "image/raw"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in mm.image_near_dup(media, max_hamming=3).collect()}
+    assert got[(0, 100)] == 0
+    assert (0, 200) in got and got[(0, 200)] <= 2
+    assert (100, 200) in got
+    assert len(got) == 3            # random gaussians never within 3

@@ -354,3 +354,12 @@ def test_range_join_binned_equi_join_no_theta(spark):
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
     assert "bin" in phys
+
+
+def test_image_dup_pairs_band_join_no_cartesian(spark):
+    """Image near-dup: candidates come from the pigeonhole band
+    equi-join — never an all-pairs product."""
+    plan = _plan(QUERIES["image_dup_pairs"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
