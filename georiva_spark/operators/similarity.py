@@ -471,6 +471,7 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
 
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column → final
     cluster assignment (vec_id, cluster) after ``iters`` centroid
@@ -535,6 +536,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
         cents = nxt
 
     return corpus.select("vec_id", argmin(cents).alias("cluster"))
+
 
 def embedding_moments(emb: DataFrame, d: int) -> DataFrame:
     """Distributed second-moment pass over an embedding column →
