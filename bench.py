@@ -41,7 +41,7 @@ HEADLINE = [
     # r5 additions: distributed k-means training, BM25 retrieval,
     # JL random projection
     "kmeans_fit", "bm25_topk", "random_proj", "embed_cov",
-    "asof_join", "range_join", "image_dup_pairs",
+    "asof_join", "range_join", "image_dup_pairs", "train_classifier",
 ]
 
 

@@ -1107,3 +1107,67 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", F.col("rank").cast("long")
                     .alias("rank"), F.round("s", 4).alias("score")))
+
+def train_linear_classifier(docs: DataFrame, label: Column,
+                            dims: int = 64, iters: int = 2,
+                            lr: float = 1.0,
+                            text_col: str = "text"):
+    """Distributed logistic-regression TRAINING over hashed
+    bag-of-words features — the fit step behind a fastText-style
+    quality filter, run ON the cluster (the scoring op,
+    fasttext_score, assumes weights "trained elsewhere"; this trains
+    them). Full-batch gradient descent: w ← w − lr·Xᵀ(σ(Xw) − y)/n.
+
+    Determinism: features are portable-hashed token buckets
+    (portable_hash64 % dims, + a bias column), weights start at 0, and
+    every step is closed-form double arithmetic — an external SQL
+    engine replays the rounds to ~1e-15.
+
+    Scale shape: the long-form feature table (doc, bucket, tf/len) is
+    built once and persisted (ONE token shuffle — the vocab-pass
+    shape); each iteration joins the 65-row weight vector in-row via a
+    literal array lookup (map-side, no weight shuffle), reduces scores
+    per doc and gradients per bucket with map-side partials, and only
+    the dims+1 gradient reaches the driver — model state is bounded
+    like kmeans_fit's centroids. Returns (weights, scored) where
+    scored = (doc_id, prob σ(x·w) after ``iters`` updates)."""
+    from pyspark import StorageLevel
+
+    toks = tokens(F.col(text_col))
+    base = docs.where(F.length(F.col(text_col)) > 0)
+    ex = base.select("doc_id", F.explode(toks).alias("t"))
+    bucket = F.pmod(portable_hash64(F.col("t")), F.lit(dims)).cast("int")
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    f0 = (ex.select("doc_id", bucket.alias("j"))
+          .groupBy("doc_id", "j").agg(F.count(F.lit(1)).alias("c")))
+    feats = (f0.join(dl, "doc_id")
+             .select("doc_id", "j", (F.col("c").cast("double")
+                                     / F.col("n")).alias("x"))
+             .unionByName(dl.select(
+                 "doc_id", F.lit(dims).alias("j"),
+                 F.lit(1.0).alias("x")))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    ydf = base.select("doc_id", label.cast("double").alias("y"))
+    n_docs = base.count()
+
+    def scores(w):
+        wj = F.element_at(F.array(*[F.lit(v) for v in w]),
+                          F.col("j") + 1)
+        return (feats.select("doc_id", (F.col("x") * wj).alias("wx"))
+                .groupBy("doc_id").agg(F.sum("wx").alias("s")))
+
+    w = [0.0] * (dims + 1)
+    for _ in range(iters):
+        resid = (scores(w).join(ydf, "doc_id")
+                 .select("doc_id",
+                         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s")))
+                          - F.col("y")).alias("r")))
+        grad = (feats.join(resid, "doc_id")
+                .groupBy("j")
+                .agg((F.sum(F.col("x") * F.col("r"))
+                      / F.lit(float(n_docs))).alias("g"))
+                .collect())
+        for row in grad:
+            w[row.j] -= lr * float(row.g)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s")))
+    return w, scores(w).select("doc_id", prob.alias("prob"))

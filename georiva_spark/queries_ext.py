@@ -3691,6 +3691,50 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression training on hashed bag-of-words (label:
+    lang == 'en'), two full-batch GD rounds replayed by the oracle as
+    SQL CTEs — probabilities agree to ~1e-15, hashed at 4 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, scored = textops.train_linear_classifier(
+        docs, F.col("lang") == "en", dims=64, iters=2)
+    return scored.select(
+        "doc_id", (F.round("prob", 4) + F.lit(0.0)).alias("prob"))
+
+
+SQL_TRAIN_CLASSIFIER = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE length(text) > 0),
+dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+f0 AS (SELECT doc_id,
+              CAST(CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64
+                   AS INT) AS j,
+              COUNT(*) AS c
+       FROM toks GROUP BY doc_id, 2),
+f AS (SELECT f0.doc_id, f0.j, CAST(c AS DOUBLE) / dl.n AS x
+      FROM f0 JOIN dl USING (doc_id)
+      UNION ALL SELECT doc_id, 64, 1.0 FROM dl),
+y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE length(text) > 0),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM y),
+g1 AS (SELECT f.j, SUM(f.x * (0.5 - y.y)) / nn.n AS g
+       FROM f JOIN y USING (doc_id), nn GROUP BY f.j, nn.n),
+w1 AS (SELECT jj.j, COALESCE(-1.0 * g1.g, 0.0) AS w
+       FROM range(65) jj(j) LEFT JOIN g1 ON g1.j = jj.j),
+s2 AS (SELECT f.doc_id, SUM(f.x * w1.w) AS s
+       FROM f JOIN w1 ON w1.j = f.j GROUP BY f.doc_id),
+r2 AS (SELECT s2.doc_id, 1.0 / (1.0 + exp(-s2.s)) - y.y AS r
+       FROM s2 JOIN y USING (doc_id)),
+g2 AS (SELECT f.j, SUM(f.x * r2.r) / nn.n AS g
+       FROM f JOIN r2 USING (doc_id), nn GROUP BY f.j, nn.n),
+w2 AS (SELECT w1.j, w1.w - COALESCE(g2.g, 0.0) AS w
+       FROM w1 LEFT JOIN g2 ON g2.j = w1.j),
+sf AS (SELECT f.doc_id, SUM(f.x * w2.w) AS s
+       FROM f JOIN w2 ON w2.j = f.j GROUP BY f.doc_id)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 4) + 0.0 AS prob FROM sf
+"""
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -3759,6 +3803,7 @@ EXT_QUERIES = {
     "range_join": q_range_join,
     "image_dhash": q_image_dhash,
     "image_dup_pairs": q_image_dup_pairs,
+    "train_classifier": q_train_classifier,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
@@ -3856,6 +3901,7 @@ EXT_ORACLES = {
     "range_join": SQL_RANGE_JOIN,
     "image_dhash": SQL_IMAGE_DHASH,
     "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
+    "train_classifier": SQL_TRAIN_CLASSIFIER,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,

@@ -1047,3 +1047,38 @@ def test_pca_project_recovers_planted_direction(spark):
     corr = np.corrcoef(p0, t)[0, 1]
     assert abs(corr) > 0.999
     assert p0.var() > 50 * p1.var()
+
+
+def test_train_linear_classifier_matches_numpy_reference(spark):
+    texts = {1: ("alpha beta alpha", 1.0), 2: ("alpha alpha gamma", 1.0),
+             3: ("delta epsilon zeta", 0.0), 4: ("delta delta eta", 0.0),
+             5: ("alpha delta beta", 1.0)}
+    docs = spark.createDataFrame(
+        [(i, t, "en" if y else "de", "s", len(t))
+         for i, (t, y) in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    w, scored = textops.train_linear_classifier(
+        docs, F.col("lang") == "en", dims=8, iters=3)
+    got = {r.doc_id: r.prob for r in scored.collect()}
+
+    # numpy replica with the identical portable hash + GD schedule
+    import hashlib
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 8
+    X = np.zeros((5, 9)); y = np.zeros(5)
+    for row, (i, (t, lab)) in enumerate(sorted(texts.items())):
+        ts = t.split()
+        for tk in ts:
+            X[row, bucket(tk)] += 1.0 / len(ts)
+        X[row, 8] = 1.0
+        y[row] = lab
+    wv = np.zeros(9)
+    for _ in range(3):
+        s = X @ wv
+        wv -= X.T @ (1.0 / (1.0 + np.exp(-s)) - y) / 5.0
+    probs = 1.0 / (1.0 + np.exp(-(X @ wv)))
+    for row, i in enumerate(sorted(texts)):
+        assert got[i] == pytest.approx(probs[row], abs=1e-12)
+    assert np.asarray(w) == pytest.approx(wv, abs=1e-12)
+    # and the fit separates the planted classes
+    assert min(got[1], got[2], got[5]) > max(got[3], got[4])

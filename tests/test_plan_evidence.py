@@ -363,3 +363,13 @@ def test_image_dup_pairs_band_join_no_cartesian(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_train_classifier_weights_in_row_no_python(spark):
+    """Classifier scoring joins the weight vector as a literal array
+    lookup — no Python anywhere, no cartesian; the only exchanges are
+    the feature build and the per-doc/per-bucket reductions."""
+    plan = _plan(QUERIES["train_classifier"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    assert "CartesianProduct" not in phys
