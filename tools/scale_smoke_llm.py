@@ -266,6 +266,30 @@ def main():
     print(f"bm25_topk (3 queries): {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
           f"-> {nbm} result rows (expect <=30)")
 
+    # logistic-regression training over hashed BoW, 2 full-batch GD
+    # rounds. On THIS corpus no 64-bucket feature correlates with any
+    # cheap label (shared vocab, rare tokens drown in collisions), so
+    # the quantitative check is the GD trajectory itself: with
+    # uncorrelated features the mean prob must track the bias-only
+    # recursion b -= lr*(sigma(b) - p) toward the positive rate p
+    # (feature-level learning is pinned by the numpy-parity unit test)
+    t0 = time.perf_counter()
+    has7 = F.array_contains(F.split(F.col("text"), " "), "w7")
+    _, scored = textops.train_linear_classifier(docs, has7,
+                                                dims=64, iters=2)
+    mp = float(scored.agg(F.avg("prob")).head()[0])
+    p_pos = docs.where(has7).count() / docs.count()
+    import math as m
+    b = 0.0
+    for _ in range(2):
+        b -= 1.0 / (1.0 + m.exp(-b)) - p_pos
+    ref = 1.0 / (1.0 + m.exp(-b))
+    el = time.perf_counter() - t0
+    print(f"train_classifier (2 GD rounds): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> mean prob {mp:.4f} vs "
+          f"closed-form bias trajectory {ref:.4f} "
+          f"(|diff| {abs(mp-ref):.4f}, expect < 0.02)")
+
 
 if __name__ == "__main__":
     main()
