@@ -3735,6 +3735,103 @@ SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 4) + 0.0 AS prob FROM sf
 """
 
 
+def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haitsma-Kalker audio fingerprint per clip (28 sign-of-energy-
+    delta bits over 8 frames × 4 DFT bands): the decode→frame→DFT→
+    threshold path must reproduce the hash the oracle derives directly
+    from the source samples — hash-exact (sign comparisons of O(0.1)
+    energy deltas are immune to the engines' ≤1-ulp libm drift)."""
+    media = _embeddings_as_media(spark, sf_dir, "audio")
+    return mm.audio_fingerprint(media)
+
+
+SQL_AUDIO_FP = """
+WITH sq AS (
+  SELECT e.vec_id AS media_id, f.f, k.k,
+         SUM(CAST(e.embedding[8*f.f + t.t + 1] AS DOUBLE)
+             * cos(2*pi()*k.k*t.t/8)) AS re,
+         SUM(CAST(e.embedding[8*f.f + t.t + 1] AS DOUBLE)
+             * sin(2*pi()*k.k*t.t/8)) AS im
+  FROM embeddings e, range(8) f(f), range(1, 5) k(k), range(8) t(t)
+  GROUP BY e.vec_id, f.f, k.k),
+en AS (SELECT media_id, f, k, re*re + im*im AS e FROM sq)
+SELECT a.media_id,
+       CAST(SUM(CASE WHEN b.e > a.e
+            THEN CAST(1 AS BIGINT) << (a.f*4 + a.k - 1)
+            ELSE 0 END) AS BIGINT) AS fp
+FROM en a JOIN en b ON b.media_id = a.media_id
+                   AND b.f = a.f + 1 AND b.k = a.k
+WHERE a.f < 7
+GROUP BY a.media_id
+"""
+
+
+def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup mining with PLANTED duplicates: each clip ships
+    as original (id), exact copy (id+100000), and 2× gain (id+200000 —
+    fingerprint-INVARIANT by the HK sign-of-delta construction, so the
+    gained copy sits at Hamming 0). The band join must recover the
+    planted triangles; the oracle derives the same fingerprints and
+    verifies all pairs independently."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32)
+                clip = mm.encode_raw_audio(a, rate=64)
+                gained = mm.encode_raw_audio(a * np.float32(2.0),
+                                             rate=64)
+                rows.append((int(vec_id), "audio", clip, "audio/raw"))
+                rows.append((int(vec_id) + 100000, "audio", clip,
+                             "audio/raw"))
+                rows.append((int(vec_id) + 200000, "audio", gained,
+                             "audio/raw"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "mime"])
+
+    media = emb.mapInPandas(
+        gen, schema="media_id long, kind string, content binary, mime string")
+    out = mm.audio_near_dup(media, max_hamming=2)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_AUDIO_DUP_PAIRS = """
+WITH m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+  FROM embeddings),
+sq AS (
+  SELECT m.media_id, f.f, k.k,
+         SUM(CAST(m.embedding[8*f.f + t.t + 1] AS DOUBLE)
+             * cos(2*pi()*k.k*t.t/8)) AS re,
+         SUM(CAST(m.embedding[8*f.f + t.t + 1] AS DOUBLE)
+             * sin(2*pi()*k.k*t.t/8)) AS im
+  FROM m, range(8) f(f), range(1, 5) k(k), range(8) t(t)
+  GROUP BY m.media_id, f.f, k.k),
+en AS (SELECT media_id, f, k, re*re + im*im AS e FROM sq),
+h AS (
+  SELECT a.media_id,
+         CAST(SUM(CASE WHEN b.e > a.e
+              THEN CAST(1 AS BIGINT) << (a.f*4 + a.k - 1)
+              ELSE 0 END) AS BIGINT) AS fp
+  FROM en a JOIN en b ON b.media_id = a.media_id
+                     AND b.f = a.f + 1 AND b.k = a.k
+  WHERE a.f < 7
+  GROUP BY a.media_id)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 2
+"""
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -3804,6 +3901,8 @@ EXT_QUERIES = {
     "image_dhash": q_image_dhash,
     "image_dup_pairs": q_image_dup_pairs,
     "train_classifier": q_train_classifier,
+    "audio_fp": q_audio_fp,
+    "audio_dup_pairs": q_audio_dup_pairs,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
@@ -3902,6 +4001,8 @@ EXT_ORACLES = {
     "image_dhash": SQL_IMAGE_DHASH,
     "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
+    "audio_fp": SQL_AUDIO_FP,
+    "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,

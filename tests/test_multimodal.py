@@ -515,3 +515,47 @@ def test_image_near_dup_recovers_planted_variants_only(spark):
     assert (0, 200) in got and got[(0, 200)] <= 2
     assert (100, 200) in got
     assert len(got) == 3            # random gaussians never within 3
+
+
+def test_audio_fingerprint_gain_invariance_and_delta_signs(spark):
+    import numpy as np
+    from georiva_spark.operators import multimodal as mm
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=64).astype(np.float32)
+    # ramp loudness: the SAME 8-sample frame repeated, frame f scaled
+    # by (f+1) — every band's energy is (f+1)^2 * E0[k], strictly
+    # rising frame-over-frame, so ALL 28 bits set
+    ramp = (np.tile(x[:8], (8, 1))
+            * np.arange(1, 9, dtype=np.float32)[:, None]).ravel()
+    rows = [(1, "audio", mm.encode_raw_audio(x, rate=64), "audio/raw"),
+            (2, "audio", mm.encode_raw_audio(x * np.float32(2.0),
+                                             rate=64), "audio/raw"),
+            (3, "audio", mm.encode_raw_audio(ramp, rate=64), "audio/raw")]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string")
+    got = {r.media_id: r.fp
+           for r in mm.audio_fingerprint(media).collect()}
+    assert got[2] == got[1]           # 2x gain: fingerprint-invariant
+    assert got[3] == (1 << 28) - 1    # monotone loudness: all bits
+
+
+def test_audio_near_dup_recovers_planted_copies(spark):
+    import numpy as np
+    from georiva_spark.operators import multimodal as mm
+    rng = np.random.default_rng(13)
+    clips = {i: rng.normal(size=64).astype(np.float32) for i in range(8)}
+    rows = [(i, "audio", mm.encode_raw_audio(a, rate=64), "audio/raw")
+            for i, a in clips.items()]
+    rows.append((100, "audio", mm.encode_raw_audio(clips[0], rate=64),
+                 "audio/raw"))
+    rows.append((200, "audio",
+                 mm.encode_raw_audio(clips[0] * np.float32(0.5),
+                                     rate=64), "audio/raw"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in mm.audio_near_dup(media, max_hamming=2).collect()}
+    assert got[(0, 100)] == 0 and got[(0, 200)] == 0
+    assert (100, 200) in got
+    assert all(a in (0, 100, 200) and b in (0, 100, 200)
+               for a, b in got)       # random clips never within 2

@@ -373,3 +373,10 @@ def test_train_classifier_weights_in_row_no_python(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
     assert "CartesianProduct" not in phys
+
+
+def test_audio_dup_pairs_band_join_no_cartesian(spark):
+    plan = _plan(QUERIES["audio_dup_pairs"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
