@@ -42,7 +42,7 @@ HEADLINE = [
     # JL random projection
     "kmeans_fit", "bm25_topk", "random_proj", "embed_cov",
     "asof_join", "range_join", "image_dup_pairs", "train_classifier",
-    "audio_dup_pairs",
+    "audio_dup_pairs", "video_dup_pairs",
 ]
 
 

@@ -3832,6 +3832,63 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 2
 """
 
 
+def q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup mining with PLANTED duplicates: each 4-frame
+    4×4 clip ships as original (id), exact copy (id+100000), and a
+    +1.0-brightened variant (id+200000 — gradient signs survive the
+    shift up to float32 tie-rounding, so Hamming stays ≤ 3). The band
+    join must recover the planted triangles; the oracle derives the
+    same 48-bit fingerprints from the source vectors (replaying the
+    float32 rounding of the brightness shift) and verifies all pairs
+    independently."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32).reshape(4, 4, 4)
+                clip = mm.encode_raw_video(a)
+                bright = mm.encode_raw_video(a + np.float32(1.0))
+                rows.append((int(vec_id), clip))
+                rows.append((int(vec_id) + 100000, clip))
+                rows.append((int(vec_id) + 200000, bright))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = emb.mapInPandas(gen, schema="media_id long, content binary")
+    out = mm.video_near_dup(media, max_hamming=3)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_VIDEO_DUP_PAIRS = """
+WITH m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))
+  FROM embeddings),
+h AS (
+  SELECT media_id,
+         (SELECT CAST(SUM(CASE
+              WHEN CAST(m.embedding[16*t.n + 4*t.r + t.c + 1] AS DOUBLE)
+                 < CAST(m.embedding[16*t.n + 4*t.r + t.c + 2] AS DOUBLE)
+              THEN CAST(1 AS BIGINT) << (12*t.n + 3*t.r + t.c)
+              ELSE 0 END) AS BIGINT)
+          FROM (SELECT n.n, r.r, c.c
+                FROM range(4) n(n), range(4) r(r), range(3) c(c)) t)
+             AS fp
+  FROM m)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
 EXT_QUERIES = {
     "nearest_time": q_nearest_time,
     "rolling_window": q_rolling_window,
@@ -3903,6 +3960,7 @@ EXT_QUERIES = {
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
+    "video_dup_pairs": q_video_dup_pairs,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
     "html_text": q_html_text,
@@ -4003,6 +4061,7 @@ EXT_ORACLES = {
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
+    "video_dup_pairs": SQL_VIDEO_DUP_PAIRS,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
     "html_text": SQL_HTML_TEXT,

@@ -559,3 +559,36 @@ def test_audio_near_dup_recovers_planted_copies(spark):
     assert (100, 200) in got
     assert all(a in (0, 100, 200) and b in (0, 100, 200)
                for a, b in got)       # random clips never within 2
+
+
+def test_video_fingerprint_brightness_invariant_frame_reorder_not(spark):
+    import numpy as np
+    from georiva_spark.operators import multimodal as mm
+    rng = np.random.default_rng(17)
+    v = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    rows = [(1, mm.encode_raw_video(v)),
+            (2, mm.encode_raw_video(v + np.float32(1.0))),
+            (3, mm.encode_raw_video(v[::-1].copy()))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r.fp
+           for r in mm.video_fingerprint(media).collect()}
+    # brightness shift: gradient signs survive up to f32 tie-rounding
+    assert bin(got[1] ^ got[2]).count("1") <= 3
+    # frame reorder permutes whole 12-bit blocks
+    blocks = [(got[1] >> (12 * n)) & 0xFFF for n in range(4)]
+    rblocks = [(got[3] >> (12 * n)) & 0xFFF for n in range(4)]
+    assert rblocks == blocks[::-1]
+
+
+def test_video_near_dup_recovers_planted_copies(spark):
+    import numpy as np
+    from georiva_spark.operators import multimodal as mm
+    rng = np.random.default_rng(19)
+    clips = {i: rng.normal(size=(4, 4, 4)).astype(np.float32)
+             for i in range(8)}
+    rows = [(i, mm.encode_raw_video(a)) for i, a in clips.items()]
+    rows.append((100, mm.encode_raw_video(clips[0])))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in mm.video_near_dup(media, max_hamming=3).collect()}
+    assert got == {(0, 100): 0}     # only the planted copy pairs up

@@ -380,3 +380,10 @@ def test_audio_dup_pairs_band_join_no_cartesian(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_video_dup_pairs_band_join_no_cartesian(spark):
+    plan = _plan(QUERIES["video_dup_pairs"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
