@@ -57,13 +57,18 @@ def nearest_time(grid: DataFrame, ts: _dt.datetime) -> DataFrame:
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: list[str] | None = None,
-              tolerance_us: int | None = None) -> DataFrame:
-    """As-of join (pandas.merge_asof backward-inclusive semantics):
-    every left row gains the right row with the LARGEST right_ts ≤
-    left_ts for the same ``on`` key (ties at equal right_ts break to
-    the lexicographically largest payload, so the result is
-    deterministic); no match → nulls. ``tolerance_us`` discards
-    matches older than left_ts − tolerance.
+              tolerance_us: int | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join with pandas.merge_asof semantics (inclusive):
+    ``direction="backward"`` (default) matches each left row to the
+    right row with the LARGEST right_ts ≤ left_ts for the same ``on``
+    key; ``"forward"`` to the SMALLEST right_ts ≥ left_ts (the same
+    window trick with the time ordering reversed); ``"nearest"`` to
+    whichever of the two is closer (tie → the earlier right row,
+    pandas' rule). Ties at equal right_ts break to the
+    lexicographically largest payload, so the result is deterministic;
+    no match → nulls. ``tolerance_us`` discards matches farther than
+    tolerance from left_ts (in the match direction).
 
     Spark lacks this operator natively; the scale shape is the
     union-tag trick, NOT a join: tag right rows 0 and left rows 1,
@@ -81,8 +86,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     of how wide the right table is."""
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction {direction!r}")
     rc = right_cols or [c for c in right.columns
                         if c not in (on, right_ts)]
+
     payload = F.struct(F.col(right_ts).alias("_rt"),
                        *[F.col(c) for c in rc])
     r = right.select(F.col(on), F.col(right_ts).alias("_t"),
@@ -91,16 +99,47 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
          .withColumn("_side", F.lit(1))
          .withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType)))
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy(on).orderBy("_t", "_side", "_p")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    m = F.last("_p", ignorenulls=True).over(w)
-    out = u.withColumn("_m", m).where(F.col("_side") == 1)
+    wb = (Window.partitionBy(on)
+          .orderBy(F.col("_t").asc(), F.col("_side").asc(),
+                   F.col("_p").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(on)
+          .orderBy(F.col("_t").desc(), F.col("_side").asc(),
+                   F.col("_p").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    mb = F.last("_p", ignorenulls=True).over(wb)
+    mf = F.last("_p", ignorenulls=True).over(wf)
+    lt = F.unix_micros(F.col("_t").cast("timestamp_ltz"))
+
+    def gap_of(m, fwd):
+        rt = F.unix_micros(m["_rt"].cast("timestamp_ltz"))
+        return (rt - lt) if fwd else (lt - rt)
+
+    if direction == "backward":
+        out = u.withColumn("_m", mb).where(F.col("_side") == 1)
+        gap = gap_of(F.col("_m"), False)
+    elif direction == "forward":
+        out = u.withColumn("_m", mf).where(F.col("_side") == 1)
+        gap = gap_of(F.col("_m"), True)
+    else:
+        # nearest: both matches from ONE union pass (two in-partition
+        # sorts, still a single key shuffle, no self-join — so
+        # duplicate left rows stay independent); smaller |gap| wins,
+        # tie -> the earlier (backward) match, pandas' rule
+        both = u.withColumn("_mb", mb).withColumn("_mf", mf) \
+                .where(F.col("_side") == 1)
+        use_f = (F.col("_mb").isNull()
+                 | (F.col("_mf").isNotNull()
+                    & (gap_of(F.col("_mf"), True)
+                       < gap_of(F.col("_mb"), False))))
+        out = both.withColumn(
+            "_m", F.when(use_f, F.col("_mf")).otherwise(F.col("_mb")))
+        gap = F.when(use_f, gap_of(F.col("_m"), True)) \
+               .otherwise(gap_of(F.col("_m"), False))
     if tolerance_us is not None:
-        ok = (F.unix_micros(F.col("_t").cast("timestamp_ltz"))
-              - F.unix_micros(F.col("_m._rt").cast("timestamp_ltz"))
-              <= F.lit(tolerance_us))
         out = out.withColumn(
-            "_m", F.when(F.col("_m").isNotNull() & ok, F.col("_m")))
+            "_m", F.when(F.col("_m").isNotNull()
+                         & (gap <= F.lit(tolerance_us)), F.col("_m")))
     keep = [c for c in left.columns]
     return out.select(
         *keep, F.col("_m._rt").alias("matched_" + right_ts),

@@ -85,3 +85,58 @@ def test_interval_overlap_join_cross_bin_pair_emitted_once(spark):
         left, right, bin_us=60_000_000).collect()   # 1-minute bins
     assert len(rows) == 1
     assert rows[0].overlap_us == 35 * 60 * 1_000_000
+
+
+def test_asof_join_forward_and_nearest_directions(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _t(10)), (2, 1, _t(20)), (3, 1, _t(36))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(4), 100, 1.0),     # 6 before l1
+         (1, _t(12), 101, 2.0),    # 2 after l1, 8 before l2
+         (1, _t(35), 102, 3.0)],   # 1 before l3
+        "user_id long, ts timestamp, event_id long, value double")
+
+    def run(d):
+        return {r.event_id: r.matched_event_id
+                for r in timeseries.asof_join(
+                    left, right, on="user_id",
+                    right_cols=["event_id", "value"],
+                    direction=d).collect()}
+
+    fwd = run("forward")
+    assert fwd[1] == 101 and fwd[2] == 102 and fwd[3] is None
+    near = run("nearest")
+    assert near[1] == 101        # 2 after beats 6 before
+    assert near[2] == 101        # 8 before beats 15 after
+    assert near[3] == 102
+    # nearest tie -> the earlier (backward) match
+    l2 = spark.createDataFrame([(9, 1, _t(8))],
+                               "event_id long, user_id long, ts timestamp")
+    r2 = spark.createDataFrame(
+        [(1, _t(4), 200, 1.0), (1, _t(12), 201, 2.0)],
+        "user_id long, ts timestamp, event_id long, value double")
+    got = timeseries.asof_join(l2, r2, on="user_id",
+                               right_cols=["event_id", "value"],
+                               direction="nearest").collect()[0]
+    assert got.matched_event_id == 200
+
+
+def test_asof_join_forward_inclusive_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _t(10))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(10), 300, 1.0), (1, _t(10), 301, 2.0)],
+        "user_id long, ts timestamp, event_id long, value double")
+    got = timeseries.asof_join(left, right, on="user_id",
+                               right_cols=["event_id", "value"],
+                               direction="forward").collect()[0]
+    assert got.matched_event_id == 301     # inclusive + tie -> max payload
+    far = spark.createDataFrame(
+        [(1, _t(40), 302, 1.0)],
+        "user_id long, ts timestamp, event_id long, value double")
+    drop = timeseries.asof_join(left, far, on="user_id",
+                                right_cols=["event_id", "value"],
+                                direction="forward",
+                                tolerance_us=20 * 60 * 1_000_000)
+    assert drop.collect()[0].matched_event_id is None
