@@ -23,9 +23,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries the driver's rotating correctness window has not recorded yet
+# (r5 additions) — surfaced first so the next window reaches them.
+_SURFACE_FIRST = [
+    "asof_join", "range_join", "kmeans_fit", "bm25_topk", "random_proj",
+    "embed_cov", "train_classifier", "image_dhash", "image_dup_pairs",
+    "audio_fp", "audio_dup_pairs", "video_dup_pairs",
+]
+
+
+def _reorder(d: dict) -> dict:
+    head = {k: d[k] for k in _SURFACE_FIRST if k in d}
+    return {**head, **{k: v for k, v in d.items() if k not in head}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _reorder(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _reorder(dict(ORACLES))

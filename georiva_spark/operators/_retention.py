@@ -1,0 +1,39 @@
+"""Bounded cache retention for operators that persist an intermediate
+they cannot unpersist before returning (the returned lazy DataFrame
+still reads it, so an immediate unpersist would defeat the cache).
+
+Without a bound, repeated calls in a long-lived session accumulate
+cached blocks for the session's lifetime. The pattern here is the one
+zonal.tag_pixels established for its mask cache: keep at most ONE
+cached intermediate per (SparkSession, slot) — the next call through
+the same slot unpersists the previous call's cache. Weak-keyed on the
+session so a torn-down session releases its entries. Documented cost:
+a still-unexecuted DataFrame returned from an EARLIER call recomputes
+its intermediate (performance, never correctness).
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame
+
+_slots: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def persist_bounded(df: DataFrame, slot: str,
+                    storage_level=None) -> DataFrame:
+    """persist() with per-(session, slot) bounded retention."""
+    from pyspark import StorageLevel
+
+    sess = df.sparkSession
+    per = _slots.setdefault(sess, {})
+    prev = per.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    per[slot] = df
+    return df

@@ -320,15 +320,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text",
                   portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``, via
-    the pigeonhole band trick: split the 64-bit code into
-    ``max_hamming + 1`` disjoint bands — two codes within Hamming k MUST
-    agree exactly on at least one band — then bucket-join on
-    (band_idx, band_bits) and verify exact Hamming with bit_count(xor).
-
-    Shuffle = (doc_id, band-bits) keys, k+1 rows per doc; never
-    all-pairs. Unlike MinHash there is no signature rejoin: the whole
-    "signature" is one long, cheaper to carry through the join than to
-    fetch back. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    the pigeonhole band trick over the 64-bit codes (see
+    hamming_pairs: distinct codes through the band join, identical
+    codes pre-collapsed). Shuffle = band-bits keys over DISTINCT
+    codes, k+1 rows per code; never all-pairs. Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     codes = simhash(docs, text_col=text_col, portable=portable)
     return hamming_pairs(codes, "doc_id", "simhash",
@@ -338,35 +334,97 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
                   max_hamming: int = 3, bits: int = 64,
-                  out_a: str = "id_a", out_b: str = "id_b") -> DataFrame:
-    """Generic pigeonhole Hamming-pair mining over ANY integer code
-    column (SimHash text codes, image dHashes, audio fingerprints):
-    split the ``bits``-bit code into ``max_hamming + 1`` disjoint bands
-    — two codes within Hamming k MUST agree exactly on at least one
-    band — bucket-join on (band_idx, band_bits), verify exact Hamming
-    with bit_count(xor). Shuffle = (id, band-bits) keys, k+1 rows per
-    code; never all-pairs. Returns (out_a, out_b, hamming), a < b."""
+                  out_a: str = "id_a", out_b: str = "id_b",
+                  word_bits: int = 56) -> DataFrame:
+    """Generic pigeonhole Hamming-pair mining over ANY code column —
+    a single long (SimHash text codes, image dHashes) or an
+    array<long> of non-negative ``word_bits``-bit words for codes
+    longer than 63 bits (audio/video perceptual fingerprints, packed
+    by multimodal._pack_bits_words).
+
+    Split the ``bits``-bit code into ``max_hamming + 1`` disjoint
+    bands — two codes within Hamming k MUST agree exactly on at least
+    one band — bucket-join on (band_idx, band_bits), verify exact
+    Hamming with bit_count(xor).
+
+    Scale shape (the 100-TB design): **identical codes are
+    pre-collapsed before banding** — the band self-join runs on
+    DISTINCT codes only, so N items sharing one code (silence clips,
+    black frames, boilerplate) contribute ONE row per band, not N,
+    and the candidate `.distinct()` runs on code pairs (bounded by
+    the code space), never on the id-pair space. Exact-duplicate
+    members expand relationally afterwards: within-code pairs via an
+    equi-self-join on the code, cross-code pairs via two equi-joins
+    of the surviving code pairs back to the id table. Every join is
+    an equi-join; nothing is ever all-pairs.
+
+    Band key space per band is 2^(bits/(k+1)); keep codes >= 64 bits
+    so it never degenerates (a 28-bit code would give 512 keys — a
+    cartesian product in disguise at web scale). Returns
+    (out_a, out_b, hamming), a < b."""
+    from pyspark.sql.types import ArrayType
+
     k = max_hamming + 1
-    w = bits // k
-    bands = []
-    for j in range(k):
-        b = F.shiftrightunsigned(F.col(code_col), j * w)
-        if j < k - 1:          # top band keeps the remainder bits
-            b = b.bitwiseAND(F.lit((1 << w) - 1))
-        bands.append(F.struct(F.lit(j).alias("band"), b.alias("key")))
-    ex = (codes.select(id_col, code_col,
-                       F.explode(F.array(*bands)).alias("bk"))
-          .select(id_col, code_col, "bk.band", "bk.key"))
-    cand = (ex.alias("l").join(ex.alias("r"), ["band", "key"])
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias(out_a),
-                    F.col(f"r.{id_col}").alias(out_b),
-                    F.col(f"l.{code_col}").alias("ca"),
-                    F.col(f"r.{code_col}").alias("cb"))
-            .distinct())
-    ham = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
-    return (cand.select(out_a, out_b, ham.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+    is_arr = isinstance(codes.schema[code_col].dataType, ArrayType)
+    codes = codes.select(id_col, code_col).where(F.col(code_col).isNotNull())
+    dc = codes.select(code_col).distinct()
+
+    if is_arr:
+        # words of word_bits (< 64) non-negative bits, hex-formatted so
+        # bands are substrings of the concatenated nibble string; any
+        # disjoint nibble partition is a valid pigeonhole split.
+        nw_word = word_bits // 4
+        n_words = (bits + word_bits - 1) // word_bits
+        hexc = F.concat(*[F.format_string(f"%0{nw_word}x",
+                                          F.col(code_col)[i])
+                          for i in range(n_words)])
+        nib_total = n_words * nw_word
+        per = nib_total // k
+        bands = [F.struct(
+            F.lit(j).alias("band"),
+            F.substring(hexc, j * per + 1,
+                        (nib_total - j * per) if j == k - 1 else per)
+            .alias("key")) for j in range(k)]
+        ham = F.aggregate(
+            F.zip_with(F.col("__ca"), F.col("__cb"),
+                       lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+            F.lit(0), lambda acc, x: acc + x)
+    else:
+        w = bits // k
+        band_cols = []
+        for j in range(k):
+            b = F.shiftrightunsigned(F.col(code_col), j * w)
+            if j < k - 1:          # top band keeps the remainder bits
+                b = b.bitwiseAND(F.lit((1 << w) - 1))
+            band_cols.append(b)
+        bands = [F.struct(F.lit(j).alias("band"), b.alias("key"))
+                 for j, b in enumerate(band_cols)]
+        ham = F.bit_count(F.col("__ca").bitwiseXOR(F.col("__cb")))
+
+    ex = (dc.select(code_col, F.explode(F.array(*bands)).alias("bk"))
+          .select(code_col, "bk.band", "bk.key"))
+    code_pairs = (ex.alias("l").join(ex.alias("r"), ["band", "key"])
+                  .where(F.col(f"l.{code_col}") < F.col(f"r.{code_col}"))
+                  .select(F.col(f"l.{code_col}").alias("__ca"),
+                          F.col(f"r.{code_col}").alias("__cb"))
+                  .select("__ca", "__cb", ham.alias("hamming"))
+                  .where(F.col("hamming") <= max_hamming)
+                  .distinct())
+
+    ida = codes.select(F.col(code_col).alias("__ca"),
+                       F.col(id_col).alias("__ia"))
+    idb = codes.select(F.col(code_col).alias("__cb"),
+                       F.col(id_col).alias("__ib"))
+    cross = (code_pairs.join(ida, "__ca").join(idb, "__cb")
+             .select(F.least("__ia", "__ib").alias(out_a),
+                     F.greatest("__ia", "__ib").alias(out_b),
+                     F.col("hamming").cast("int").alias("hamming")))
+    within = (codes.alias("l").join(codes.alias("r"), code_col)
+              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+              .select(F.col(f"l.{id_col}").alias(out_a),
+                      F.col(f"r.{id_col}").alias(out_b),
+                      F.lit(0).cast("int").alias("hamming")))
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
@@ -541,6 +599,13 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
                    f"{path}/bands")
     write_bucketed(sig, f"{table}_sigs", "doc_id", n_buckets,
                    f"{path}/sigs", sort=False)
+    # stamp the signature parameters on the index so a probe with
+    # mismatched params fails loudly instead of silently generating
+    # wrong bucket keys / garbage est_jaccard
+    docs.sparkSession.sql(
+        f"ALTER TABLE {table}_bands SET TBLPROPERTIES ("
+        f"'georiva.num_hashes'='{num_hashes}', "
+        f"'georiva.bands'='{bands}', 'georiva.n'='{n}')")
 
 
 def minhash_index_probe(new_docs: DataFrame, table: str,
@@ -554,14 +619,39 @@ def minhash_index_probe(new_docs: DataFrame, table: str,
     delta's band keys against the bucketed index (index side
     shuffle-free); verification joins candidates back to the two
     signature sources by id. Nothing about the existing corpus is
-    recomputed, collected, or broadcast."""
+    recomputed, collected, or broadcast.
+
+    The probe's (num_hashes, bands, n) are validated against the
+    parameters minhash_index_write stamped on the index table — a
+    mismatch raises instead of silently yielding wrong bucket keys
+    (tables without the stamp, e.g. temp-view controls, skip the
+    check)."""
     from pyspark import StorageLevel
 
     spark = new_docs.sparkSession
+    try:
+        props = {r.key: r.value for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {table}_bands").collect()}
+    except Exception:
+        props = {}
+    stored = {name: props.get(f"georiva.{name}")
+              for name in ("num_hashes", "bands", "n")}
+    if any(v is not None for v in stored.values()):
+        asked = {"num_hashes": num_hashes, "bands": bands, "n": n}
+        bad = {name: (stored[name], asked[name])
+               for name in asked
+               if stored[name] is not None
+               and int(stored[name]) != asked[name]}
+        if bad:
+            raise ValueError(
+                f"minhash_index_probe params do not match the index "
+                f"{table!r} (stored, asked): {bad}")
     rows_per_band = num_hashes // bands
-    sig_new = minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
-                                 text_col=text_col
-                                 ).persist(StorageLevel.MEMORY_AND_DISK)
+    from georiva_spark.operators._retention import persist_bounded
+    sig_new = persist_bounded(
+        minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
+                           text_col=text_col),
+        "minhash_index_probe.sig_new", StorageLevel.MEMORY_AND_DISK)
     bucket_arr = F.array(*[
         F.xxhash64(F.lit(b), *[F.element_at("signature",
                                             b * rows_per_band + i + 1)

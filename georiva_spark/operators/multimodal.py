@@ -540,17 +540,33 @@ def image_near_dup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
                          max_hamming=max_hamming, bits=56)
 
 
-def audio_fingerprint(media: DataFrame, frames: int = 8,
+def _pack_bits_words(bits: np.ndarray, word_bits: int = 56) -> list[int]:
+    """Pack an LSB-first bit array into non-negative ``word_bits``-bit
+    long words (bit i → word i // word_bits, position i % word_bits).
+    Sub-64-bit words keep every value positive, so the DuckDB oracle
+    can rebuild them with plain `1 << p` shifts (no sign games) and
+    dedup.hamming_pairs can hex-format them for nibble banding."""
+    w = np.uint64(1) << np.arange(word_bits, dtype=np.uint64)
+    return [int(bits[i:i + word_bits] @ w[:len(bits[i:i + word_bits])])
+            for i in range(0, len(bits), word_bits)]
+
+
+def audio_fingerprint(media: DataFrame, frame_len: int = 8, hop: int = 2,
                       bins: tuple[int, ...] = (1, 2, 3, 4)) -> DataFrame:
-    """Robust audio fingerprint per clip → (media_id, fp): split the
-    clip into ``frames`` equal frames, take DFT band energies at
-    ``bins`` per frame, and set bit f·|bins|+b iff band b's energy
-    RISES from frame f to f+1 — the sign-of-energy-delta shape of
-    Haitsma & Kalker 2002 ("A Highly Robust Audio Fingerprint
-    System"), which is invariant to uniform gain (energies scale
-    together, deltas keep sign) and robust to small distortions.
-    (frames−1)·|bins| bits (28 at the defaults). One cos/sin-bank
-    matmul per clip, Arrow-batched."""
+    """Robust audio fingerprint per clip → (media_id, fp array<long>):
+    slide a ``frame_len``-sample window by ``hop`` (75% overlap at the
+    defaults — Haitsma & Kalker 2002, "A Highly Robust Audio
+    Fingerprint System", uses heavily overlapped frames), take DFT
+    band energies at ``bins`` per frame, and set bit f·|bins|+b iff
+    band b's energy RISES from frame f to f+1 — the sign-of-energy-
+    delta shape, invariant to uniform gain (energies scale together,
+    deltas keep sign) and robust to small distortions.
+
+    (n_frames−1)·|bins| bits, packed into 56-bit words: a 64-sample
+    clip at the defaults yields 29 frames → 112 bits → 2 words, so
+    the pigeonhole band join gets ≥2^36 keys per band instead of the
+    512 a 28-bit code would give (the short-code cartesian trap).
+    One cos/sin-bank matmul per clip, Arrow-batched."""
     nb = len(bins)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -559,52 +575,62 @@ def audio_fingerprint(media: DataFrame, frames: int = 8,
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 x, _rate = decode_raw_audio(content)
                 x = x.astype(np.float64)
-                if len(x) % frames:
+                if len(x) < frame_len or (len(x) - frame_len) % hop:
                     raise ValueError(
-                        f"clip length {len(x)} not divisible into "
-                        f"{frames} frames")
-                fl = len(x) // frames
-                fx = x.reshape(frames, fl)
-                t = np.arange(fl)
-                e = np.empty((frames, nb))
+                        f"clip length {len(x)} does not tile into "
+                        f"frame_len={frame_len} hop={hop} windows")
+                nf = (len(x) - frame_len) // hop + 1
+                idx = (np.arange(frame_len)[None, :]
+                       + hop * np.arange(nf)[:, None])
+                fx = x[idx]                            # (nf, frame_len)
+                t = np.arange(frame_len)
+                e = np.empty((nf, nb))
                 for b, k in enumerate(bins):
-                    ang = 2.0 * np.pi * k * t / fl
+                    ang = 2.0 * np.pi * k * t / frame_len
                     re = fx @ np.cos(ang)
                     im = fx @ np.sin(ang)
                     e[:, b] = re * re + im * im
-                bits = (e[1:] > e[:-1]).ravel()       # (frames-1) x nb
-                w = 1 << np.arange(len(bits), dtype=np.int64)
-                rows.append((int(mid), int(bits @ w)))
+                bits = (e[1:] > e[:-1]).ravel()        # (nf-1) x nb
+                rows.append((int(mid), _pack_bits_words(bits)))
             yield pd.DataFrame(rows, columns=["media_id", "fp"])
 
     return (media.select("media_id", "content")
-            .mapInPandas(gen, schema="media_id long, fp long"))
+            .mapInPandas(gen, schema="media_id long, fp array<long>"))
 
 
 def audio_near_dup(media: DataFrame, max_hamming: int = 2,
-                   frames: int = 8,
-                   bins: tuple[int, ...] = (1, 2, 3, 4)) -> DataFrame:
+                   frame_len: int = 8, hop: int = 2,
+                   bins: tuple[int, ...] = (1, 2, 3, 4),
+                   clip_len: int = 64) -> DataFrame:
     """Audio near-duplicate pairs by fingerprint Hamming distance —
     the audio arm of the dedup stack (text SimHash / image dHash /
     audio HK-fingerprint all share dedup.hamming_pairs' pigeonhole
-    band join). → (id_a, id_b, hamming), a < b."""
+    band join, identical codes pre-collapsed before banding).
+    ``clip_len`` is the uniform sample count per clip (fingerprint
+    lengths must match for Hamming to be defined).
+    → (id_a, id_b, hamming), a < b."""
     from georiva_spark.operators.dedup import hamming_pairs
 
-    nbits = (frames - 1) * len(bins)
-    return hamming_pairs(audio_fingerprint(media, frames, bins),
+    nf = (clip_len - frame_len) // hop + 1
+    nbits = (nf - 1) * len(bins)
+    return hamming_pairs(audio_fingerprint(media, frame_len, hop, bins),
                          "media_id", "fp",
                          max_hamming=max_hamming, bits=nbits)
 
 
 def video_fingerprint(media: DataFrame) -> DataFrame:
-    """Spatiotemporal video fingerprint → (media_id, fp): per frame,
-    the 4×4 grid's horizontal gradient signs (3 bits × 4 rows), frames
-    concatenated — bit n·12 + r·3 + c set iff frame n's pixel (r, c) <
-    (r, c+1). 48 bits for a 4-frame 4×4 clip; brightness-shift
-    invariant like the image dHash, and a frame reorder scrambles
-    whole 12-bit blocks (the frame-level TMK-style signature shape).
-    Decodes through the container plugin seam, one vectorized
-    comparison per clip."""
+    """Spatiotemporal video fingerprint → (media_id, fp array<long>):
+    per frame, the grid's horizontal THEN vertical gradient signs,
+    frames concatenated. For an h×w frame that is h·(w−1) + (h−1)·w
+    bits per frame — within frame n of a 4×4 grid, bit 3r+c iff pixel
+    (r, c) < (r, c+1), then bit 12 + 4r+c iff pixel (r, c) <
+    (r+1, c). 96 bits for a 4-frame 4×4 clip, packed into 48-bit
+    words, so the pigeonhole band join gets 2^24 keys per band
+    instead of the 2^12 the horizontal-only 48-bit code gave (the
+    short-code cartesian trap). Brightness-shift invariant like the
+    image dHash, and a frame reorder scrambles whole per-frame blocks
+    (the frame-level TMK-style signature shape). Decodes through the
+    container plugin seam, one vectorized comparison per clip."""
     plugins = _video_decoder_chain()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -612,25 +638,28 @@ def video_fingerprint(media: DataFrame) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 fr = _decode_video_frames(bytes(content), plugins)
-                bits = (fr[:, :, :-1] < fr[:, :, 1:]).ravel()
-                if len(bits) > 63:
-                    raise ValueError(
-                        f"fingerprint needs <=63 gradient bits, got "
-                        f"{len(bits)} — downsample frames first")
-                w = 1 << np.arange(len(bits), dtype=np.int64)
-                rows.append((int(mid), int(bits @ w)))
+                hg = fr[:, :, :-1] < fr[:, :, 1:]     # (n, h, w-1)
+                vg = fr[:, :-1, :] < fr[:, 1:, :]     # (n, h-1, w)
+                bits = np.concatenate(
+                    [np.concatenate([hg[n].ravel(), vg[n].ravel()])
+                     for n in range(len(fr))])
+                rows.append((int(mid),
+                             _pack_bits_words(bits, word_bits=48)))
             yield pd.DataFrame(rows, columns=["media_id", "fp"])
 
     return (media.select("media_id", "content")
-            .mapInPandas(gen, schema="media_id long, fp long"))
+            .mapInPandas(gen, schema="media_id long, fp array<long>"))
 
 
 def video_near_dup(media: DataFrame, max_hamming: int = 3,
-                   bits: int = 48) -> DataFrame:
+                   bits: int = 96) -> DataFrame:
     """Video near-duplicate pairs by fingerprint Hamming distance —
-    the fourth modality on the shared dedup.hamming_pairs band join.
-    → (id_a, id_b, hamming), a < b."""
+    the fourth modality on the shared dedup.hamming_pairs band join
+    (identical codes pre-collapsed before banding). ``bits`` is the
+    uniform fingerprint length: n_frames · (h·(w−1) + (h−1)·w), 96
+    for 4-frame 4×4 clips. → (id_a, id_b, hamming), a < b."""
     from georiva_spark.operators.dedup import hamming_pairs
 
     return hamming_pairs(video_fingerprint(media), "media_id", "fp",
-                         max_hamming=max_hamming, bits=bits)
+                         max_hamming=max_hamming, bits=bits,
+                         word_bits=48)

@@ -481,11 +481,15 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     shape but its init/tie-breaks aren't reproducible across engines —
     this one is exact closed-form arithmetic end-to-end).
 
-    Determinism: init is the pinned evenly-spaced-id rule shared with
-    knn_ivf_pinned; assignment ties break toward the lower cluster id;
-    empty clusters carry their previous centroid; all arithmetic is
-    double on float32 inputs, so an external SQL engine replays the
-    rounds bit-comparably (integral output — no float hashing).
+    Determinism: init picks the k corpus rows with the smallest
+    (md5(vec_id), vec_id) — a deterministic hash-order sample that
+    works on ANY id space (sparse, negative, non-contiguous) and that
+    an external SQL engine replays verbatim (md5 of the decimal id
+    string is engine-independent); seed rank = cluster id. Assignment
+    ties break toward the lower cluster id; empty clusters carry
+    their previous centroid; all arithmetic is double on float32
+    inputs, so the rounds replay bit-comparably (integral output —
+    no float hashing). Null embeddings never seed or assign.
 
     Scale shape per iteration: assignment is a pure IN-ROW argmin over
     K literal centroids (zero shuffle, one corpus scan, whole-stage
@@ -494,19 +498,19 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     before the exchange, and only the K·d result (bounded model state,
     like the pinned-centroid collects above) ever reaches the driver.
     The corpus is never collected, broadcast, or pairwise-joined."""
-    n = emb.count()
-    step = max(1, n // k)
-    cids = [i * step + step // 2 for i in range(k)]
-    cmap = {r.vec_id: [float(v) for v in r.embedding]
-            for r in emb.where(F.col("vec_id").isin(cids))
-                        .select("vec_id", "embedding").collect()}
-    missing = [c for c in cids if c not in cmap]
-    if missing:
-        raise ValueError(
-            f"pinned-init kmeans needs dense vec_ids 0..N-1: seed rows "
-            f"{missing} absent from the corpus")
-    cents = [cmap[c] for c in cids]
     corpus = emb.where(F.col("embedding").isNotNull())
+    # hash-order seed pick: TakeOrderedAndProject ships only k rows to
+    # the driver (bounded model state, never the corpus)
+    seeds = (corpus.select(
+                 "vec_id", "embedding",
+                 F.md5(F.col("vec_id").cast("string").cast("binary"))
+                 .alias("__h"))
+             .orderBy("__h", "vec_id").limit(k).collect())
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_fit needs at least k={k} rows with non-null "
+            f"embeddings, found {len(seeds)}")
+    cents = [[float(v) for v in r.embedding] for r in seeds]
 
     def l2(cvec):
         return F.aggregate(

@@ -1019,11 +1019,14 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
         s, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
     from pyspark import StorageLevel
 
-    g = (docs.select("doc_id",
-                     F.posexplode(gram_strs).alias("pos", "gs"))
-         .select("doc_id", "pos",
-                 portable_hash64(F.col("gs")).alias("gram"))
-         .persist(StorageLevel.MEMORY_AND_DISK))
+    from georiva_spark.operators._retention import persist_bounded
+
+    g = persist_bounded(
+        docs.select("doc_id",
+                    F.posexplode(gram_strs).alias("pos", "gs"))
+        .select("doc_id", "pos",
+                portable_hash64(F.col("gs")).alias("gram")),
+        "duplicate_spans.g", StorageLevel.MEMORY_AND_DISK)
     # document frequency via two-level aggregation over the persisted g
     # (persist = both branches read the explode output once, like the
     # minhash signature table). groupBy(gram, doc_id) distributes a hot
@@ -1145,8 +1148,10 @@ def train_linear_classifier(docs: DataFrame, label: Column,
                                      / F.col("n")).alias("x"))
              .unionByName(dl.select(
                  "doc_id", F.lit(dims).alias("j"),
-                 F.lit(1.0).alias("x")))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+                 F.lit(1.0).alias("x"))))
+    from georiva_spark.operators._retention import persist_bounded
+    feats = persist_bounded(feats, "train_linear_classifier.feats",
+                            StorageLevel.MEMORY_AND_DISK)
     ydf = base.select("doc_id", label.cast("double").alias("y"))
     n_docs = base.count()
 

@@ -3388,22 +3388,26 @@ SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
 
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means TRAINING over the embeddings table
-    (pinned evenly-spaced-id init, 2 centroid updates, lower-cluster-id
-    tie-break, empty-cluster carryover) → final (vec_id, cluster). The
-    oracle replays both rounds as SQL CTEs — integral output, so no
-    float-hash exposure; the centroid means agree to ~1e-15 and the
-    planted clusters are O(1) apart, so assignments match exactly."""
+    (hash-order md5(vec_id) seed init — works on any id space, 2
+    centroid updates, lower-cluster-id tie-break, empty-cluster
+    carryover) → final (vec_id, cluster). The oracle replays the init
+    and both rounds as SQL CTEs — integral output, so no float-hash
+    exposure; the centroid means agree to ~1e-15 and the planted
+    clusters are O(1) apart, so assignments match exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_fit(emb, k=8, iters=2)
 
 
 def _sql_kmeans_fit(k: int = 8, d: int = 64, iters: int = 2) -> str:
     parts = [f"""
-WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-cid AS (SELECT CAST(t.i AS INT) AS c,
-               CAST(t.i * (nn.n // {k}) + (nn.n // {k}) // 2 AS BIGINT)
-                   AS vid
-        FROM range({k}) t(i), nn),
+WITH cid AS (
+  SELECT CAST(row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+             AS c,
+         vec_id AS vid
+  FROM embeddings WHERE embedding IS NOT NULL
+  QUALIFY row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k}),
 e AS (SELECT vec_id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
       FROM embeddings, generate_series(1, {d}) t(i)
       WHERE embedding IS NOT NULL),
@@ -3736,33 +3740,40 @@ SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 4) + 0.0 AS prob FROM sf
 
 
 def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Haitsma-Kalker audio fingerprint per clip (28 sign-of-energy-
-    delta bits over 8 frames × 4 DFT bands): the decode→frame→DFT→
-    threshold path must reproduce the hash the oracle derives directly
-    from the source samples — hash-exact (sign comparisons of O(0.1)
-    energy deltas are immune to the engines' ≤1-ulp libm drift)."""
+    """Haitsma-Kalker audio fingerprint per clip (112 sign-of-energy-
+    delta bits over 29 75%-overlapped frames × 4 DFT bands, packed as
+    two 56-bit words): the decode→frame→DFT→threshold path must
+    reproduce the hash the oracle derives directly from the source
+    samples — hash-exact (sign comparisons of O(0.1) energy deltas
+    are immune to the engines' ≤1-ulp libm drift)."""
     media = _embeddings_as_media(spark, sf_dir, "audio")
-    return mm.audio_fingerprint(media)
+    fp = mm.audio_fingerprint(media)
+    return fp.select("media_id",
+                     F.col("fp")[0].alias("fp0"),
+                     F.col("fp")[1].alias("fp1"))
 
 
 SQL_AUDIO_FP = """
 WITH sq AS (
   SELECT e.vec_id AS media_id, f.f, k.k,
-         SUM(CAST(e.embedding[8*f.f + t.t + 1] AS DOUBLE)
+         SUM(CAST(e.embedding[2*f.f + t.t + 1] AS DOUBLE)
              * cos(2*pi()*k.k*t.t/8)) AS re,
-         SUM(CAST(e.embedding[8*f.f + t.t + 1] AS DOUBLE)
+         SUM(CAST(e.embedding[2*f.f + t.t + 1] AS DOUBLE)
              * sin(2*pi()*k.k*t.t/8)) AS im
-  FROM embeddings e, range(8) f(f), range(1, 5) k(k), range(8) t(t)
+  FROM embeddings e, range(29) f(f), range(1, 5) k(k), range(8) t(t)
   GROUP BY e.vec_id, f.f, k.k),
-en AS (SELECT media_id, f, k, re*re + im*im AS e FROM sq)
-SELECT a.media_id,
-       CAST(SUM(CASE WHEN b.e > a.e
-            THEN CAST(1 AS BIGINT) << (a.f*4 + a.k - 1)
-            ELSE 0 END) AS BIGINT) AS fp
-FROM en a JOIN en b ON b.media_id = a.media_id
-                   AND b.f = a.f + 1 AND b.k = a.k
-WHERE a.f < 7
-GROUP BY a.media_id
+en AS (SELECT media_id, f, k, re*re + im*im AS e FROM sq),
+bt AS (SELECT a.media_id, a.f*4 + a.k - 1 AS p, (b.e > a.e) AS bit
+       FROM en a JOIN en b ON b.media_id = a.media_id
+                          AND b.f = a.f + 1 AND b.k = a.k
+       WHERE a.f < 28)
+SELECT media_id,
+       CAST(SUM(CASE WHEN bit AND p < 56
+            THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS fp0,
+       CAST(SUM(CASE WHEN bit AND p >= 56
+            THEN CAST(1 AS BIGINT) << (p - 56) ELSE 0 END) AS BIGINT)
+           AS fp1
+FROM bt GROUP BY media_id
 """
 
 
@@ -3809,26 +3820,30 @@ WITH m AS (
   FROM embeddings),
 sq AS (
   SELECT m.media_id, f.f, k.k,
-         SUM(CAST(m.embedding[8*f.f + t.t + 1] AS DOUBLE)
+         SUM(CAST(m.embedding[2*f.f + t.t + 1] AS DOUBLE)
              * cos(2*pi()*k.k*t.t/8)) AS re,
-         SUM(CAST(m.embedding[8*f.f + t.t + 1] AS DOUBLE)
+         SUM(CAST(m.embedding[2*f.f + t.t + 1] AS DOUBLE)
              * sin(2*pi()*k.k*t.t/8)) AS im
-  FROM m, range(8) f(f), range(1, 5) k(k), range(8) t(t)
+  FROM m, range(29) f(f), range(1, 5) k(k), range(8) t(t)
   GROUP BY m.media_id, f.f, k.k),
 en AS (SELECT media_id, f, k, re*re + im*im AS e FROM sq),
+bt AS (SELECT a.media_id, a.f*4 + a.k - 1 AS p, (b.e > a.e) AS bit
+       FROM en a JOIN en b ON b.media_id = a.media_id
+                          AND b.f = a.f + 1 AND b.k = a.k
+       WHERE a.f < 28),
 h AS (
-  SELECT a.media_id,
-         CAST(SUM(CASE WHEN b.e > a.e
-              THEN CAST(1 AS BIGINT) << (a.f*4 + a.k - 1)
-              ELSE 0 END) AS BIGINT) AS fp
-  FROM en a JOIN en b ON b.media_id = a.media_id
-                     AND b.f = a.f + 1 AND b.k = a.k
-  WHERE a.f < 7
-  GROUP BY a.media_id)
+  SELECT media_id,
+         CAST(SUM(CASE WHEN bit AND p < 56
+              THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS fp0,
+         CAST(SUM(CASE WHEN bit AND p >= 56
+              THEN CAST(1 AS BIGINT) << (p - 56) ELSE 0 END) AS BIGINT)
+             AS fp1
+  FROM bt GROUP BY media_id)
 SELECT a.media_id AS id_a, b.media_id AS id_b,
-       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.fp0, b.fp0))
+            + bit_count(xor(a.fp1, b.fp1)) AS BIGINT) AS hamming
 FROM h a JOIN h b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.fp, b.fp)) <= 2
+WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) <= 2
 """
 
 
@@ -3838,7 +3853,8 @@ def q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     +1.0-brightened variant (id+200000 — gradient signs survive the
     shift up to float32 tie-rounding, so Hamming stays ≤ 3). The band
     join must recover the planted triangles; the oracle derives the
-    same 48-bit fingerprints from the source vectors (replaying the
+    same 96-bit fingerprints (two 48-bit words: horizontal + vertical
+    gradient signs per frame) from the source vectors (replaying the
     float32 rounding of the brightness shift) and verifies all pairs
     independently."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3871,21 +3887,34 @@ WITH m AS (
          list_transform(embedding,
                         x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))
   FROM embeddings),
+g AS (
+  SELECT 24*n.n + 3*r.r + c.c AS p,
+         16*n.n + 4*r.r + c.c + 1 AS i,
+         16*n.n + 4*r.r + c.c + 2 AS j
+  FROM range(4) n(n), range(4) r(r), range(3) c(c)
+  UNION ALL
+  SELECT 24*n.n + 12 + 4*r.r + c.c,
+         16*n.n + 4*r.r + c.c + 1,
+         16*n.n + 4*r.r + c.c + 5
+  FROM range(4) n(n), range(3) r(r), range(4) c(c)),
 h AS (
   SELECT media_id,
-         (SELECT CAST(SUM(CASE
-              WHEN CAST(m.embedding[16*t.n + 4*t.r + t.c + 1] AS DOUBLE)
-                 < CAST(m.embedding[16*t.n + 4*t.r + t.c + 2] AS DOUBLE)
-              THEN CAST(1 AS BIGINT) << (12*t.n + 3*t.r + t.c)
-              ELSE 0 END) AS BIGINT)
-          FROM (SELECT n.n, r.r, c.c
-                FROM range(4) n(n), range(4) r(r), range(3) c(c)) t)
-             AS fp
-  FROM m)
+         CAST(SUM(CASE
+              WHEN CAST(m.embedding[g.i] AS DOUBLE)
+                 < CAST(m.embedding[g.j] AS DOUBLE) AND g.p < 48
+              THEN CAST(1 AS BIGINT) << g.p ELSE 0 END) AS BIGINT)
+             AS fp0,
+         CAST(SUM(CASE
+              WHEN CAST(m.embedding[g.i] AS DOUBLE)
+                 < CAST(m.embedding[g.j] AS DOUBLE) AND g.p >= 48
+              THEN CAST(1 AS BIGINT) << (g.p - 48) ELSE 0 END)
+              AS BIGINT) AS fp1
+  FROM m, g GROUP BY media_id)
 SELECT a.media_id AS id_a, b.media_id AS id_b,
-       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.fp0, b.fp0))
+            + bit_count(xor(a.fp1, b.fp1)) AS BIGINT) AS hamming
 FROM h a JOIN h b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.fp, b.fp)) <= 3
+WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) <= 3
 """
 
 

@@ -73,3 +73,15 @@ def test_index_side_joins_without_reshuffle(spark, mh_index, tmp_path):
                 < flat.count("Exchange hashpartitioning"))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_probe_param_mismatch_raises(spark, mh_index):
+    """The index stamps its signature parameters at write time; a
+    probe with different params must fail loudly, not return wrong
+    bucket keys."""
+    delta = _docs(spark, [(100, BASE)])
+    with pytest.raises(ValueError, match="do not match the index"):
+        dedup.minhash_index_probe(delta, mh_index, bands=8)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.minhash_index_probe(delta, mh_index, num_hashes=32,
+                                  bands=16)

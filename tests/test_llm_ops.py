@@ -935,7 +935,8 @@ def test_kmeans_fit_recovers_planted_blobs(spark):
     centers = np.array([[8.0] * 16, [-8.0] * 16,
                         [8.0] * 8 + [-8.0] * 8])
     rows = []
-    # id-blocked blobs: pinned seeds at ids 10/30/50 land one per blob
+    # id-blocked blobs: the md5-order seeds for ids 0..59 are
+    # 27/59/6 — one per blob
     for b in range(3):
         for i in range(20):
             v = centers[b] + rng.normal(scale=0.5, size=16)
@@ -958,6 +959,26 @@ def test_kmeans_fit_identical_points_tie_break_and_carryover(spark):
     out = similarity.kmeans_fit(emb, k=4, iters=2).collect()
     assert len(out) == 12
     assert {r.cluster for r in out} == {0}
+
+
+def test_kmeans_fit_sparse_ids_and_null_embeddings(spark):
+    # hash-order init must work on a sparse, non-contiguous id space
+    # and never seed from (or assign) a null-embedding row
+    rng = np.random.default_rng(11)
+    ids = [7, 1000003, -42, 900000009, 123456, 17, 888, 31337]
+    rows = [(i, [float(x) for x in rng.normal(size=8) + (10.0 if j % 2 else -10.0)])
+            for j, i in enumerate(ids)]
+    rows.append((555, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster
+           for r in similarity.kmeans_fit(emb, k=2, iters=2).collect()}
+    assert set(out) == set(ids)               # null row never assigned
+    lo = {i for j, i in enumerate(ids) if j % 2 == 0}
+    hi = set(ids) - lo
+    assert len({out[i] for i in lo}) == 1 and len({out[i] for i in hi}) == 1
+    assert {out[i] for i in ids} == {0, 1}
+    with pytest.raises(ValueError, match="at least k="):
+        similarity.kmeans_fit(emb, k=20, iters=1)
 
 
 def test_bm25_topk_matches_reference_formula(spark):
@@ -1082,3 +1103,56 @@ def test_train_linear_classifier_matches_numpy_reference(spark):
     assert np.asarray(w) == pytest.approx(wv, abs=1e-12)
     # and the fit separates the planted classes
     assert min(got[1], got[2], got[5]) > max(got[3], got[4])
+
+
+def test_hamming_pairs_precollapse_duplicate_heavy(spark):
+    """Identical codes pre-collapse before banding: a duplicate-heavy
+    corpus (hot code shared by many items — the silence-clip /
+    black-frame shape) must still emit EXACTLY the brute-force pair
+    set: quadratic within-group zero-Hamming pairs plus the cross-code
+    near pairs, never a missed or spurious pair."""
+    import itertools
+    codes = {1: 0b1111, 2: 0b1111, 3: 0b1111, 4: 0b1111,   # hot group
+             5: 0b1110,                                    # hamming 1
+             6: 1 << 40, 7: (1 << 40) | 0b11,              # hamming 2
+             8: 0x5A5A5A5A}                                # far away
+    df = spark.createDataFrame(list(codes.items()), "id long, code long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.hamming_pairs(df, "id", "code",
+                                        max_hamming=2).collect()}
+    want = {}
+    for i, j in itertools.combinations(sorted(codes), 2):
+        h = bin(codes[i] ^ codes[j]).count("1")
+        if h <= 2:
+            want[(i, j)] = h
+    assert got == want
+    assert got[(1, 2)] == 0 and got[(1, 5)] == 1 and got[(6, 7)] == 2
+
+
+def test_hamming_pairs_multiword_array_codes(spark):
+    """Array<long> codes (fingerprints beyond 63 bits): the nibble
+    banding over hex-formatted 56-bit words must recover exactly the
+    brute-force Hamming pairs across word boundaries."""
+    import itertools
+    rng = np.random.default_rng(23)
+
+    def words(bits112):
+        return [bits112 & ((1 << 56) - 1), bits112 >> 56]
+
+    base = int(rng.integers(0, 1 << 62)) | (int(rng.integers(0, 1 << 50)) << 62)
+    codes = {1: base, 2: base,                      # identical pair
+             3: base ^ (1 << 60),                   # flips in word 2
+             4: base ^ 0b101,                       # flips in word 1
+             5: base ^ ((1 << 55) | (1 << 56)),     # straddles boundary
+             6: int(rng.integers(0, 1 << 62))}      # far away
+    df = spark.createDataFrame([(i, words(c)) for i, c in codes.items()],
+                               "id long, code array<long>")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.hamming_pairs(df, "id", "code", max_hamming=2,
+                                        bits=112).collect()}
+    want = {}
+    for i, j in itertools.combinations(sorted(codes), 2):
+        h = bin(codes[i] ^ codes[j]).count("1")
+        if h <= 2:
+            want[(i, j)] = h
+    assert got == want and (1, 2) in got and (1, 5) in got

@@ -535,8 +535,16 @@ def test_audio_fingerprint_gain_invariance_and_delta_signs(spark):
         rows, "media_id long, kind string, content binary, mime string")
     got = {r.media_id: r.fp
            for r in mm.audio_fingerprint(media).collect()}
+    # defaults: 29 overlapped frames -> 112 bits -> two 56-bit words
+    assert all(len(v) == 2 for v in got.values())
     assert got[2] == got[1]           # 2x gain: fingerprint-invariant
-    assert got[3] == (1 << 28) - 1    # monotone loudness: all bits
+    # non-overlapping frames (hop = frame_len): 8 frames -> 28 bits,
+    # and the strictly-rising ramp sets every delta bit
+    got8 = {r.media_id: r.fp
+            for r in mm.audio_fingerprint(media, frame_len=8,
+                                          hop=8).collect()}
+    assert got8[3] == [(1 << 28) - 1]  # monotone loudness: all bits
+    assert got8[2] == got8[1]
 
 
 def test_audio_near_dup_recovers_planted_copies(spark):
@@ -572,11 +580,14 @@ def test_video_fingerprint_brightness_invariant_frame_reorder_not(spark):
     media = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r.media_id: r.fp
            for r in mm.video_fingerprint(media).collect()}
+    # two 48-bit words -> one 96-bit integer per clip
+    u = {k: w[0] | (w[1] << 48) for k, w in got.items()}
     # brightness shift: gradient signs survive up to f32 tie-rounding
-    assert bin(got[1] ^ got[2]).count("1") <= 3
-    # frame reorder permutes whole 12-bit blocks
-    blocks = [(got[1] >> (12 * n)) & 0xFFF for n in range(4)]
-    rblocks = [(got[3] >> (12 * n)) & 0xFFF for n in range(4)]
+    assert bin(u[1] ^ u[2]).count("1") <= 3
+    # frame reorder permutes whole 24-bit per-frame blocks (12
+    # horizontal + 12 vertical gradient signs per frame)
+    blocks = [(u[1] >> (24 * n)) & 0xFFFFFF for n in range(4)]
+    rblocks = [(u[3] >> (24 * n)) & 0xFFFFFF for n in range(4)]
     assert rblocks == blocks[::-1]
 
 

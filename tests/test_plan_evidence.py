@@ -358,11 +358,15 @@ def test_range_join_binned_equi_join_no_theta(spark):
 
 def test_image_dup_pairs_band_join_no_cartesian(spark):
     """Image near-dup: candidates come from the pigeonhole band
-    equi-join — never an all-pairs product."""
+    equi-join — never an all-pairs product — and identical codes are
+    pre-collapsed (HashAggregate on the code) before banding, so a
+    hot code (black frames) contributes ONE row per band."""
     plan = _plan(QUERIES["image_dup_pairs"](spark, SF))
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+    assert "HashAggregate(keys=[dhash" in phys   # distinct codes band
+    assert "Union" in phys                       # cross + within pairs
 
 
 def test_train_classifier_weights_in_row_no_python(spark):
@@ -376,14 +380,20 @@ def test_train_classifier_weights_in_row_no_python(spark):
 
 
 def test_audio_dup_pairs_band_join_no_cartesian(spark):
+    """112-bit multiword fingerprints: banding on hex nibbles of the
+    distinct codes, identical codes pre-collapsed (silence clips)."""
     plan = _plan(QUERIES["audio_dup_pairs"](spark, SF))
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+    assert "HashAggregate(keys=[fp" in phys      # distinct codes band
 
 
 def test_video_dup_pairs_band_join_no_cartesian(spark):
+    """96-bit multiword fingerprints: banding on hex nibbles of the
+    distinct codes, identical codes pre-collapsed (black frames)."""
     plan = _plan(QUERIES["video_dup_pairs"](spark, SF))
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+    assert "HashAggregate(keys=[fp" in phys      # distinct codes band
