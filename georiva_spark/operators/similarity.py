@@ -472,7 +472,8 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
             .limit(k))
 
 
-def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               seed_ids: list[int] | None = None) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column → final
     cluster assignment (vec_id, cluster) after ``iters`` centroid
     updates. This is the TRAINING pass the IVF/SemDeDup quantizers
@@ -499,18 +500,34 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     like the pinned-centroid collects above) ever reaches the driver.
     The corpus is never collected, broadcast, or pairwise-joined."""
     corpus = emb.where(F.col("embedding").isNotNull())
-    # hash-order seed pick: TakeOrderedAndProject ships only k rows to
-    # the driver (bounded model state, never the corpus)
-    seeds = (corpus.select(
-                 "vec_id", "embedding",
-                 F.md5(F.col("vec_id").cast("string").cast("binary"))
-                 .alias("__h"))
-             .orderBy("__h", "vec_id").limit(k).collect())
-    if len(seeds) < k:
-        raise ValueError(
-            f"kmeans_fit needs at least k={k} rows with non-null "
-            f"embeddings, found {len(seeds)}")
-    cents = [[float(v) for v in r.embedding] for r in seeds]
+    if seed_ids is not None:
+        # explicit pinned seeds (callers that know the data layout,
+        # e.g. one per planted blob); seed order = cluster id
+        if len(seed_ids) != k:
+            raise ValueError(
+                f"kmeans_fit: {len(seed_ids)} seed_ids for k={k}")
+        cmap = {r.vec_id: [float(v) for v in r.embedding]
+                for r in corpus.where(F.col("vec_id").isin(seed_ids))
+                               .select("vec_id", "embedding").collect()}
+        missing = [s for s in seed_ids if s not in cmap]
+        if missing:
+            raise ValueError(
+                f"kmeans_fit: seed rows {missing} absent from the "
+                f"corpus (or have null embeddings)")
+        cents = [cmap[s] for s in seed_ids]
+    else:
+        # hash-order seed pick: TakeOrderedAndProject ships only k
+        # rows to the driver (bounded model state, never the corpus)
+        seeds = (corpus.select(
+                     "vec_id", "embedding",
+                     F.md5(F.col("vec_id").cast("string").cast("binary"))
+                     .alias("__h"))
+                 .orderBy("__h", "vec_id").limit(k).collect())
+        if len(seeds) < k:
+            raise ValueError(
+                f"kmeans_fit needs at least k={k} rows with non-null "
+                f"embeddings, found {len(seeds)}")
+        cents = [[float(v) for v in r.embedding] for r in seeds]
 
     def l2(cvec):
         return F.aggregate(

@@ -147,7 +147,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
 
 def interval_overlap_join(left: DataFrame, right: DataFrame,
-                          bin_us: int = 3_600_000_000) -> DataFrame:
+                          bin_us: int | None = None) -> DataFrame:
     """Range join on interval overlap: (l_id, r_id, overlap_us) for
     every pair whose [start, end] intervals intersect (inclusive).
     Inputs: DataFrames with (id, start, end) timestamp columns.
@@ -161,17 +161,45 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     intervals share: greatest(l_bin_start, r_bin_start) — so no
     distinct over the pair space is needed). Bin width trades
     replication (long intervals × narrow bins) against bin skew (wide
-    bins put more candidates in one key); pick ~ the median interval
-    length. A theta join would be O(|L|·|R|); this is O(pairs per
-    bin), AQE-splittable across bins."""
+    bins put more candidates in one key); ~ the median interval length
+    is the sweet spot, so the DEFAULT (bin_us=None) derives it at plan
+    time from a map-side-combined percentile_approx over both sides'
+    interval lengths — a driver scalar, same policy as bm25's N/avgdl
+    (a fixed default is a footgun: 1 h bins explode year-long
+    intervals into 8760 rows each and funnel sub-second ones into one
+    mega-bin). A theta join would be O(|L|·|R|); this is O(pairs per
+    bin), AQE-splittable across bins.
+
+    Reversed intervals (end < start) raise a named error instead of
+    Spark's opaque sequence-boundaries failure."""
+    def lens(df):
+        s = F.unix_micros(F.col("start").cast("timestamp_ltz"))
+        e = F.unix_micros(F.col("end").cast("timestamp_ltz"))
+        return df.select((e - s).alias("len"))
+
+    if bin_us is None:
+        row = (lens(left).unionByName(lens(right))
+               .agg(F.percentile_approx("len", 0.5).alias("med"),
+                    F.min("len").alias("mn")).first())
+        if row.mn is not None and row.mn < 0:
+            raise ValueError(
+                "interval_overlap_join: reversed interval (end < "
+                "start) in input — normalize or filter before joining")
+        bin_us = max(int(row.med or 0), 1)
+
+    err = F.raise_error(F.concat(
+        F.lit("interval_overlap_join: reversed interval (end < start) "
+              "for id "), F.col("id").cast("string")))
+
     def bins(df, tag):
         s_us = F.unix_micros(F.col("start").cast("timestamp_ltz"))
         e_us = F.unix_micros(F.col("end").cast("timestamp_ltz"))
+        e_ok = F.when(e_us >= s_us, e_us).otherwise(err)
         return df.select(
             F.col("id").alias(f"{tag}_id"),
             s_us.alias(f"{tag}_s"), e_us.alias(f"{tag}_e"),
             F.explode(F.sequence(
-                F.floor(s_us / bin_us), F.floor(e_us / bin_us)))
+                F.floor(s_us / bin_us), F.floor(e_ok / bin_us)))
             .alias("bin"))
 
     lb, rb = bins(left, "l"), bins(right, "r")

@@ -140,3 +140,43 @@ def test_asof_join_forward_inclusive_and_tolerance(spark):
                                 direction="forward",
                                 tolerance_us=20 * 60 * 1_000_000)
     assert drop.collect()[0].matched_event_id is None
+
+
+def test_interval_overlap_join_adaptive_bins_mixed_lengths(spark):
+    """Mixed interval lengths (seconds to days): the adaptive median
+    bin width must keep the result exact — a fixed 1h default would
+    explode the day-long intervals or funnel the short ones into one
+    mega-bin."""
+    import datetime as dt
+    import itertools
+    T0 = dt.datetime(2020, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), T0 + dt.timedelta(seconds=e))
+         for i, s, e in rows], "id long, start timestamp, end timestamp")
+    ld = [(1, 0, 5), (2, 100, 86400 * 2), (3, 50, 60), (4, 7, 8)]
+    rd = [(10, 3, 10), (11, 86400, 86400 * 3), (12, 1000, 1001),
+          (13, 59, 2000)]
+    got = sorted((r.l_id, r.r_id) for r in
+                 timeseries.interval_overlap_join(mk(ld), mk(rd)).collect())
+    want = sorted((l[0], r[0]) for l, r in itertools.product(ld, rd)
+                  if l[1] <= r[2] and r[1] <= l[2])
+    assert got == want
+
+
+def test_interval_overlap_join_reversed_interval_named_error(spark):
+    import datetime as dt
+    import pytest
+    T0 = dt.datetime(2020, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), T0 + dt.timedelta(seconds=e))
+         for i, s, e in rows], "id long, start timestamp, end timestamp")
+    bad = mk([(1, 10, 5)])
+    ok = mk([(2, 0, 10)])
+    # adaptive path: plan-time scalar check
+    with pytest.raises(ValueError, match="reversed interval"):
+        timeseries.interval_overlap_join(bad, ok)
+    # explicit-bin path: named in-plan raise_error, not an opaque
+    # sequence-boundaries failure
+    with pytest.raises(Exception, match="reversed interval"):
+        timeseries.interval_overlap_join(bad, ok,
+                                         bin_us=1_000_000).collect()

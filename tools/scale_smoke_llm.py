@@ -231,7 +231,7 @@ def main():
           f"(expect {n})")
 
     # k-means training on ne = n/4 synthetic 64-dim vectors in 16
-    # BLOCK-layout planted blobs (pinned seeds land one per blob):
+    # BLOCK-layout planted blobs (explicit seed_ids — one per blob):
     # center[blob][j] ~ hash in [-10,10], noise in [-1,1] -> after two
     # Lloyd's rounds every blob must map to exactly one cluster.
     t0 = time.perf_counter()
@@ -247,7 +247,10 @@ def main():
     kemb = spark.range(ne).select(F.col("id").alias("vec_id"),
                                   kvec.alias("embedding"),
                                   blob.alias("blob"))
-    km = similarity.kmeans_fit(kemb, k=16, iters=2)
+    step = ne // 16
+    km = similarity.kmeans_fit(
+        kemb, k=16, iters=2,
+        seed_ids=[b * step + step // 2 for b in range(16)])
     agree = (km.join(kemb.select("vec_id", "blob"), "vec_id")
              .groupBy("blob")
              .agg(F.countDistinct("cluster").alias("nc")))
@@ -289,6 +292,47 @@ def main():
           f"({n/el/1e6:.2f}M docs/s) -> mean prob {mp:.4f} vs "
           f"closed-form bias trajectory {ref:.4f} "
           f"(|diff| {abs(mp-ref):.4f}, expect < 0.02)")
+
+    perceptual_stage(spark, max(n // 2, 1_000_000))
+
+
+def perceptual_stage(spark, nm: int):
+    """Perceptual near-dup at scale: nm 56-bit codes (the image-dHash
+    shape; audio/video differ only in width) with PLANTED structure —
+    per 10-item block, members 0-2 share ONE code exactly (30%
+    identical codes corpus-wide: the silence-clip / black-frame
+    regime the r6 pre-collapse exists for), member 3 sits at Hamming
+    1, members 4-9 are random. dedup.hamming_pairs must emit exactly
+    6 pairs per block (3 exact + 3 near) with the band join running
+    on DISTINCT codes only."""
+    mask = (1 << 56) - 1
+    g = (F.col("id") / 10).cast("long")
+    m = F.col("id") % 10
+    hot = F.xxhash64(g, F.lit(3)).bitwiseAND(F.lit(mask))
+    near = hot.bitwiseXOR(F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "CAST(pmod(CAST(id / 10 AS BIGINT), 56) AS INT))"))
+    rand = F.xxhash64(F.col("id"), F.lit(17)).bitwiseAND(F.lit(mask))
+    codes = spark.range(nm).select(
+        F.col("id").alias("media_id"),
+        F.when(m <= 2, hot).when(m == 3, near).otherwise(rand)
+        .alias("code"))
+
+    t0 = time.perf_counter()
+    distinct = codes.select("code").distinct().count()
+    pairs = dedup.hamming_pairs(codes, "media_id", "code",
+                                max_hamming=3, bits=56)
+    npairs = pairs.count()
+    nexact = pairs.where(F.col("hamming") == 0).count()
+    el = time.perf_counter() - t0
+    blocks = nm // 10
+    print(f"perceptual_near_dup: {el:.1f}s over {nm/1e6:.1f}M codes "
+          f"({nm/el/1e6:.2f}M codes/s) -> {distinct} distinct codes "
+          f"({distinct/nm:.0%} of corpus; 30% identical planted), "
+          f"{npairs} pairs ({nexact} exact) vs {6*blocks} expected "
+          f"({3*blocks} exact) — candidates/pairs ratio "
+          f"{npairs/(6*blocks):.3f}")
+
 
 
 if __name__ == "__main__":
