@@ -43,6 +43,9 @@ HEADLINE = [
     "kmeans_fit", "bm25_topk", "random_proj", "embed_cov",
     "asof_join", "range_join", "image_dup_pairs", "train_classifier",
     "audio_dup_pairs", "video_dup_pairs",
+    # r6: MJPEG/AVI container decode (real demux + JPEG entropy decode)
+    # and near-dup group rollup (linear output, distinct-code CC)
+    "mjpeg_scenes", "dup_groups",
 ]
 
 

@@ -427,6 +427,59 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
     return cross.unionByName(within)
 
 
+def hamming_groups(codes: DataFrame, id_col: str, code_col: str,
+                   max_hamming: int = 3, bits: int = 64,
+                   word_bits: int = 56) -> DataFrame:
+    """Group-rollup companion to :func:`hamming_pairs` for
+    duplicate-HEAVY corpora: → (id, group_id, group_size, exact_size)
+    where group_id is the minimum id in the item's near-duplicate
+    component (codes within ``max_hamming`` chained transitively) and
+    exact_size counts items sharing the item's EXACT code.
+
+    Why it exists: hamming_pairs' output is the pair list, which is
+    inherently quadratic inside an identical-code group — at web
+    scale one black-frame code shared by 10M clips means 5·10^13
+    pairs no matter how cleverly they are mined. The keep-one-drop-
+    rest dedup decision never needs the pairs: it needs each item's
+    GROUP. This operator stays linear end-to-end: the band join and
+    connected components run on DISTINCT codes only (pre-collapse),
+    and items join their code's component by one equi-join.
+    """
+    from pyspark.sql.types import ArrayType
+
+    codes = codes.select(id_col, code_col).where(F.col(code_col).isNotNull())
+    # near pairs among DISTINCT codes (linear in the code space, not in
+    # items) need a LONG surrogate id per code for the CC node space:
+    # a long code is its own surrogate (bijective, oracle-trivial); an
+    # array code hashes its canonical "[w0, w1]" string through the
+    # md5-derived portable hash (DuckDB-replayable, 2^60 space).
+    if isinstance(codes.schema[code_col].dataType, ArrayType):
+        cid = portable_hash64(F.col(code_col).cast("string"))
+    else:
+        cid = F.col(code_col)
+    dc = codes.select(code_col).distinct()
+    tagged = dc.select(cid.alias("__cid"), code_col)
+    cp = hamming_pairs(tagged, "__cid", code_col,
+                       max_hamming=max_hamming, bits=bits,
+                       out_a="__ca", out_b="__cb", word_bits=word_bits)
+    comp = connected_components(cp.select("__ca", "__cb"),
+                                a_col="__ca", b_col="__cb")
+    withc = (codes.select(id_col, code_col, cid.alias("__cid"))
+             .join(comp.withColumnRenamed("node", "__cid"),
+                   "__cid", "left")
+             .select(id_col, code_col,
+                     F.coalesce("component", F.col("__cid"))
+                     .alias("__comp")))
+    grp = (withc.groupBy("__comp")
+           .agg(F.min(id_col).alias("group_id"),
+                F.count(F.lit(1)).alias("group_size")))
+    exact = (codes.groupBy(code_col)
+             .agg(F.count(F.lit(1)).alias("exact_size")))
+    return (withc.join(grp, "__comp").join(exact, code_col)
+            .select(F.col(id_col).alias("id"), "group_id",
+                    "group_size", "exact_size"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                         text_col: str = "text",
                         max_doc_freq: int | None = 1000) -> DataFrame:

@@ -176,7 +176,9 @@ def _video_decoder_chain() -> list:
 
 def _decode_video_frames(content: bytes, plugins: list) -> np.ndarray:
     """The video decode seam (contract mirrors ``_decode_image_bytes``):
-    → (n_frames, h, w) float32 grayscale. RAW (RVID) decodes natively;
+    → (n_frames, h, w) float32 grayscale. RAW (RVID) and MJPEG/AVI
+    (RIFF 'AVI ' — each frame a baseline JPEG through
+    sources/jpeg_codec.py) decode natively, dependency-free;
     MP4/QuickTime (ftyp box) and WebM/Matroska (EBML magic) containers
     dispatch to the plugin chain and raise BY NAME when no backend
     exists — a dependency-free H.264/VP9 decoder is not worth the LoC
@@ -186,6 +188,9 @@ def _decode_video_frames(content: bytes, plugins: list) -> np.ndarray:
         n, h, w = struct.unpack_from("<III", content, 4)
         return np.frombuffer(content, dtype=np.float32,
                              offset=16).reshape(n, h, w)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from georiva_spark.sources.avi_codec import avi_mjpeg_decode
+        return avi_mjpeg_decode(content)
     kind = ("MP4/QuickTime" if content[4:8] == b"ftyp"
             else "WebM/Matroska" if content.startswith(_EBML_SIG)
             else None)

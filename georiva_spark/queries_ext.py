@@ -2435,6 +2435,50 @@ FROM m
 """
 
 
+def q_mjpeg_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene cuts over MJPEG/AVI clips — the r6 dependency-free video
+    CONTAINER path (sources/avi_codec.py + per-frame baseline JPEG
+    through sources/jpeg_codec.py): each embedding becomes a 4-frame
+    AVI whose frames are 8×8 CONSTANT uint8 blocks
+    (clip(floor(40·e[16n]) + 128)), so the quality-100 JPEG round-trip
+    is bit-exact (pure DC, top-left quantizer 1 — invariant pinned in
+    tests/test_multimodal.py) and the oracle derives the exact frame
+    means straight from the source vectors. Real container demux +
+    real entropy decode on every row, yet hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from georiva_spark.sources.avi_codec import avi_mjpeg_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32)
+                vals = np.clip(
+                    np.floor(a[[0, 16, 32, 48]].astype(np.float64)
+                             * 40.0) + 128.0, 0, 255).astype(np.uint8)
+                frames = np.repeat(vals, 64).reshape(4, 8, 8)
+                rows.append((int(vec_id),
+                             avi_mjpeg_encode(frames, quality=100)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = emb.mapInPandas(gen, schema="media_id long, content binary")
+    return mm.scene_cuts(media, threshold=20.0)
+
+
+SQL_MJPEG_SCENES = """
+WITH m AS (
+  SELECT vec_id AS media_id, f AS frame_index,
+         LEAST(GREATEST(FLOOR(CAST(embedding[16*f + 1] AS DOUBLE)
+                              * 40) + 128, 0), 255) AS frame_mean
+  FROM embeddings, (VALUES (0), (1), (2), (3)) t(f))
+SELECT media_id, frame_index, frame_mean,
+       COALESCE(ABS(frame_mean - LAG(frame_mean) OVER
+                    (PARTITION BY media_id ORDER BY frame_index))
+                > 20.0, TRUE) AS cut
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the hash-dependent / multimodal queries. The portable
 # 60-bit hash (first 15 hex chars of md5 as integer) is computable
@@ -3695,6 +3739,87 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup GROUP rollup (r6): the linear-output
+    alternative to pair mining for duplicate-heavy corpora — per item,
+    its transitive near-dup group (min-id representative), group size,
+    and exact-code count. Same planted corpus as image_dup_pairs
+    (original / exact copy / 2-bit variant per source image); the
+    oracle replays the dHashes, the distinct-code Hamming graph, and
+    the connected components as a recursive CTE."""
+    from georiva_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32)
+                img = mm.encode_raw_image(a.reshape(8, 8))
+                sw = a.copy()
+                sw[0], sw[1] = a[1], a[0]
+                rows.append((int(vec_id), "image", img, "image/raw"))
+                rows.append((int(vec_id) + 100000, "image", img,
+                             "image/raw"))
+                rows.append((int(vec_id) + 200000, "image",
+                             mm.encode_raw_image(sw.reshape(8, 8)),
+                             "image/raw"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "mime"])
+
+    media = emb.mapInPandas(
+        gen, schema="media_id long, kind string, content binary, mime string")
+    out = dedup.hamming_groups(mm.image_dhash(media), "media_id",
+                               "dhash", max_hamming=3, bits=56)
+    return out.select("id", "group_id",
+                      F.col("group_size").cast("long").alias("group_size"),
+                      F.col("exact_size").cast("long").alias("exact_size"))
+
+
+SQL_DUP_GROUPS = """
+WITH RECURSIVE m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         [embedding[2], embedding[1]] || embedding[3:] FROM embeddings),
+h AS (
+  SELECT media_id,
+         (SELECT CAST(SUM(CASE
+              WHEN CAST(m.embedding[8*t.r + t.c + 1] AS DOUBLE)
+                 < CAST(m.embedding[8*t.r + t.c + 2] AS DOUBLE)
+              THEN CAST(1 AS BIGINT) << (7*t.r + t.c) ELSE 0 END)
+          AS BIGINT)
+          FROM (SELECT r.r, c.c FROM range(8) r(r), range(7) c(c)) t)
+             AS dhash
+  FROM m),
+dc AS (SELECT DISTINCT dhash FROM h),
+e0 AS (SELECT a.dhash AS ca, b.dhash AS cb
+       FROM dc a JOIN dc b ON a.dhash < b.dhash
+       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+edges AS (SELECT ca AS u, cb AS v FROM e0
+          UNION ALL SELECT cb, ca FROM e0),
+reach(node, lab) AS (
+  SELECT dhash, dhash FROM dc
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+compo AS (SELECT node AS dhash, MIN(lab) AS comp
+          FROM reach GROUP BY node),
+withc AS (SELECT h.media_id, h.dhash, compo.comp
+          FROM h JOIN compo USING (dhash)),
+grp AS (SELECT comp, MIN(media_id) AS group_id,
+               COUNT(*) AS group_size
+        FROM withc GROUP BY comp),
+ex AS (SELECT dhash, COUNT(*) AS exact_size FROM h GROUP BY dhash)
+SELECT withc.media_id AS id, grp.group_id,
+       CAST(grp.group_size AS BIGINT) AS group_size,
+       CAST(ex.exact_size AS BIGINT) AS exact_size
+FROM withc JOIN grp USING (comp) JOIN ex USING (dhash)
+"""
+
+
 def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic-regression training on hashed bag-of-words (label:
     lang == 'en'), two full-batch GD rounds replayed by the oracle as
@@ -3969,6 +4094,7 @@ EXT_QUERIES = {
     "audio_wav": q_audio_wav,
     "video_frames": q_video_frames,
     "video_scenes": q_video_scenes,
+    "mjpeg_scenes": q_mjpeg_scenes,
     "embedding_near_dup": q_embedding_near_dup,
     "windowed_agg": q_windowed_agg,
     "minhash_dedup": q_minhash_dedup,
@@ -3986,6 +4112,7 @@ EXT_QUERIES = {
     "range_join": q_range_join,
     "image_dhash": q_image_dhash,
     "image_dup_pairs": q_image_dup_pairs,
+    "dup_groups": q_dup_groups,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -4070,6 +4197,7 @@ EXT_ORACLES = {
     "audio_wav": SQL_AUDIO_WAV,
     "video_frames": SQL_VIDEO_FRAMES,
     "video_scenes": SQL_VIDEO_SCENES,
+    "mjpeg_scenes": SQL_MJPEG_SCENES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "windowed_agg": SQL_WINDOWED_AGG,
     "minhash_dedup": SQL_MINHASH_DEDUP,
@@ -4087,6 +4215,7 @@ EXT_ORACLES = {
     "range_join": SQL_RANGE_JOIN,
     "image_dhash": SQL_IMAGE_DHASH,
     "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
+    "dup_groups": SQL_DUP_GROUPS,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,

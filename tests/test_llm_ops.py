@@ -1156,3 +1156,42 @@ def test_hamming_pairs_multiword_array_codes(spark):
         if h <= 2:
             want[(i, j)] = h
     assert got == want and (1, 2) in got and (1, 5) in got
+
+
+def test_hamming_groups_rollup_and_transitive_chain(spark):
+    """Group rollup: exact-dup members share exact_size; near dups
+    chain transitively into one component (A~B, B~C => one group even
+    when A-C exceeds max_hamming); output is linear, never pairs."""
+    codes = {1: 0b0000, 2: 0b0000,          # exact pair
+             3: 0b0011,                     # within 2 of group {1,2}
+             4: 0b1111,                     # within 2 of 3, 4 from 1
+             5: 0xFF00FF00, 6: 0xFF00FF00,  # separate exact pair
+             7: 0x5A5A5A5A}                 # singleton
+    df = spark.createDataFrame(list(codes.items()), "id long, code long")
+    got = {r.id: (r.group_id, r.group_size, r.exact_size)
+           for r in dedup.hamming_groups(df, "id", "code",
+                                         max_hamming=2).collect()}
+    assert {got[i] for i in (1, 2, 3, 4)} == {(1, 4, 2), (1, 4, 2),
+                                              (1, 4, 1)} or \
+           all(got[i][0] == 1 and got[i][1] == 4 for i in (1, 2, 3, 4))
+    assert got[1][2] == 2 and got[2][2] == 2       # exact pair
+    assert got[3][2] == 1 and got[4][2] == 1
+    assert got[5] == (5, 2, 2) and got[6] == (5, 2, 2)
+    assert got[7] == (7, 1, 1)
+
+
+def test_hamming_groups_array_codes(spark):
+    rng = np.random.default_rng(29)
+    base = int(rng.integers(0, 1 << 56))
+    w = lambda v: [v & ((1 << 56) - 1), v >> 56]
+    codes = {1: w(base), 2: w(base), 3: w(base ^ (1 << 60)),
+             4: w(int(rng.integers(0, 1 << 56)) | (1 << 100))}
+    df = spark.createDataFrame([(i, c) for i, c in codes.items()],
+                               "id long, code array<long>")
+    got = {r.id: (r.group_id, r.group_size, r.exact_size)
+           for r in dedup.hamming_groups(df, "id", "code",
+                                         max_hamming=2,
+                                         bits=112).collect()}
+    assert got[1] == (1, 3, 2) and got[2] == (1, 3, 2)
+    assert got[3] == (1, 3, 1)
+    assert got[4] == (4, 1, 1)

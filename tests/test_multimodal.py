@@ -603,3 +603,56 @@ def test_video_near_dup_recovers_planted_copies(spark):
     got = {(r.id_a, r.id_b): r.hamming
            for r in mm.video_near_dup(media, max_hamming=3).collect()}
     assert got == {(0, 100): 0}     # only the planted copy pairs up
+
+
+def test_avi_mjpeg_roundtrip_and_named_gates(spark):
+    import numpy as np
+    import pytest
+    from georiva_spark.sources.avi_codec import (avi_mjpeg_decode,
+                                                 avi_mjpeg_encode)
+    r, c = np.mgrid[0:8, 0:8]
+    frames = np.stack([((r + 2 * c + n) % 8).astype(np.uint8) * 32
+                       for n in range(4)])
+    avi = avi_mjpeg_encode(frames, quality=100)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    dec = avi_mjpeg_decode(avi)
+    assert dec.shape == (4, 8, 8)
+    # quality-100 baseline JPEG: every pixel within a few gray levels
+    assert np.abs(dec - frames.astype(np.float32)).max() < 8.0
+    # non-MJPEG codec: named gate, not a garbage decode
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="only MJPEG"):
+        avi_mjpeg_decode(bad)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        avi_mjpeg_decode(b"nonsense")
+
+
+def test_video_fingerprint_and_scenes_through_mjpeg_avi(spark):
+    """The dependency-free MJPEG/AVI container path: the SAME clip
+    shipped as RAW and as an MJPEG AVI must fingerprint identically
+    (all gradient margins are ≥32 gray levels, far above quality-100
+    JPEG error), and scene_cuts must find the planted brightness
+    jump."""
+    import numpy as np
+    from georiva_spark.operators import multimodal as mm
+    from georiva_spark.sources.avi_codec import avi_mjpeg_encode
+    r, c = np.mgrid[0:8, 0:8]
+    frames = np.stack([((r + 2 * c + n) % 8).astype(np.uint8) * 32
+                       for n in range(4)])
+    media = spark.createDataFrame(
+        [(1, mm.encode_raw_video(frames.astype(np.float32))),
+         (2, bytes(avi_mjpeg_encode(frames, quality=100)))],
+        "media_id long, content binary")
+    got = {m.media_id: m.fp for m in mm.video_fingerprint(media).collect()}
+    assert got[2] == got[1]          # container path == RAW path
+
+    bright = frames.copy()
+    bright[2] = np.clip(bright[2].astype(np.int32) + 160,
+                        0, 255).astype(np.uint8)
+    scenes = spark.createDataFrame(
+        [(3, bytes(avi_mjpeg_encode(bright, quality=100)))],
+        "media_id long, content binary")
+    cuts = {r2.frame_index: r2.cut
+            for r2 in mm.scene_cuts(scenes, threshold=80.0).collect()}
+    assert cuts[0] and cuts[2] and cuts[3]      # jump in AND out
+    assert not cuts[1]
