@@ -658,7 +658,48 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
     docs.sparkSession.sql(
         f"ALTER TABLE {table}_bands SET TBLPROPERTIES ("
         f"'georiva.num_hashes'='{num_hashes}', "
-        f"'georiva.bands'='{bands}', 'georiva.n'='{n}')")
+        f"'georiva.bands'='{bands}', 'georiva.n'='{n}', "
+        f"'georiva.n_buckets'='{n_buckets}')")
+
+
+def minhash_index_params(spark, table: str) -> dict[str, int]:
+    """Read the signature parameters minhash_index_write stamped on
+    ``{table}_bands`` (raises if absent — an unstamped table is not a
+    managed index)."""
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}_bands").collect()}
+    try:
+        return {name: int(props[f"georiva.{name}"])
+                for name in ("num_hashes", "bands", "n", "n_buckets")}
+    except KeyError as e:
+        raise ValueError(
+            f"{table!r} is not a stamped minhash index "
+            f"(missing property {e})") from None
+
+
+def minhash_index_append(docs: DataFrame, table: str) -> None:
+    """Append a delta shard to a :func:`minhash_index_write` index —
+    the growth half of the incremental dedup loop: signatures computed
+    for the DELTA only, appended into the SAME bucket layout (Spark
+    appends to bucketed tables when the bucketBy spec matches), so
+    future probes stay shuffle-free on the index side. Parameters come
+    from the stamp the write left on the table."""
+    p = minhash_index_params(docs.sparkSession, table)
+    rows_per_band = p["num_hashes"] // p["bands"]
+    sig = minhash_signatures(docs, num_hashes=p["num_hashes"], n=p["n"])
+    bucket_arr = F.array(*[
+        F.xxhash64(F.lit(b), *[F.element_at("signature",
+                                            b * rows_per_band + i + 1)
+                               for i in range(rows_per_band)])
+        for b in range(p["bands"])])
+    banded = sig.select(
+        "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+    (banded.select("band", "bucket", "doc_id")
+     .write.mode("append").format("parquet")
+     .bucketBy(p["n_buckets"], "band", "bucket")
+     .sortBy("band", "bucket").saveAsTable(f"{table}_bands"))
+    (sig.write.mode("append").format("parquet")
+     .bucketBy(p["n_buckets"], "doc_id").saveAsTable(f"{table}_sigs"))
 
 
 def minhash_index_probe(new_docs: DataFrame, table: str,

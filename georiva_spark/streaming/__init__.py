@@ -3,6 +3,10 @@ from georiva_spark.streaming.ingest import (
 )
 from georiva_spark.streaming.windows import windowed_stats
 from georiva_spark.streaming.dedupe import dedup_stream
+from georiva_spark.streaming.neardup import (
+    start_neardup_stream, read_neardup_pairs,
+)
 
 __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
-           "windowed_stats", "dedup_stream"]
+           "windowed_stats", "dedup_stream", "start_neardup_stream",
+           "read_neardup_pairs"]

@@ -1,0 +1,77 @@
+"""Continuous near-duplicate detection against a GROWING corpus — the
+streaming face of the incremental MinHash-LSH index
+(operators/dedup.py: minhash_index_write / probe / append).
+
+The growing-corpus dedup shape at 100 TB: the existing corpus lives in
+two bucketed index tables (shuffle paid once at write); each arriving
+micro-batch of documents (a crawl shard, an upload burst) is probed
+against the index — signatures computed for the DELTA only, index side
+scanned shuffle-free — and then appended INTO the index in the same
+bucket layout, so batch N+1 dedups against everything through batch N.
+Nothing about the existing corpus is ever recomputed or re-shuffled.
+
+Idempotency across restarts (foreachBatch is at-least-once): the pair
+output for batch B overwrites the deterministic directory
+``{out_dir}/batch_id=B`` (a replay rewrites the same bytes), and the
+index append is guarded by a marker file per batch id — the same
+overwrite-deterministic-partitions policy the derivation ledger uses
+(plans/engine.py), no lock service required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from georiva_spark.operators.dedup import (minhash_index_append,
+                                           minhash_index_params,
+                                           minhash_index_probe)
+
+
+def _marker_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def start_neardup_stream(docs_stream: DataFrame, table: str,
+                         out_dir: str, checkpoint_dir: str,
+                         threshold: float = 0.5, grow: bool = True):
+    """Start the probe-then-grow stream: ``docs_stream`` must carry
+    (doc_id, text); pairs land in ``{out_dir}/batch_id=N`` as
+    (doc_new, doc_old, est_jaccard). ``grow=False`` probes without
+    appending (audit mode). Returns the StreamingQuery."""
+    spark = docs_stream.sparkSession
+    params = minhash_index_params(spark, table)   # fail fast on launch
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        try:
+            pairs = minhash_index_probe(
+                batch, table, threshold=threshold,
+                num_hashes=params["num_hashes"], bands=params["bands"],
+                n=params["n"])
+            (pairs.write.mode("overwrite")
+             .parquet(f"{out_dir}/batch_id={batch_id}"))
+            if grow:
+                fs, marker = _marker_fs(
+                    spark, f"{out_dir}/_index_applied/batch_id={batch_id}")
+                if not fs.exists(marker):
+                    minhash_index_append(batch, table)
+                    fs.mkdirs(marker)
+        finally:
+            batch.unpersist()
+
+    return (docs_stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_neardup_pairs(spark, out_dir: str) -> DataFrame:
+    """Read the accumulated pair output (all batches)."""
+    return (spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .select("doc_new", "doc_old", "est_jaccard",
+                    F.col("batch_id").cast("long").alias("batch_id")))

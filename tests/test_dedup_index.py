@@ -85,3 +85,52 @@ def test_probe_param_mismatch_raises(spark, mh_index):
     with pytest.raises(ValueError, match="num_hashes"):
         dedup.minhash_index_probe(delta, mh_index, num_hashes=32,
                                   bands=16)
+
+
+def test_streaming_neardup_probe_grows_index(spark, mh_index, tmp_path):
+    """Continuous dedup: batch 2's duplicate of a batch-1 doc is caught
+    because batch 1 was appended into the index after its probe — the
+    index GROWS between micro-batches. Replays are idempotent (marker
+    guard: no duplicate index rows after a second availableNow run)."""
+    from georiva_spark.streaming import (read_neardup_pairs,
+                                         start_neardup_stream)
+
+    landing = tmp_path / "nd_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "nd_out"), str(tmp_path / "nd_ckpt")
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+
+    novel = ("a brand new crawl document about bucketed hamming bands "
+             "and distinct code pre collapse at corpus scale")
+
+    def drop(name, rows):
+        (spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows], schema)
+         .coalesce(1).write.mode("append")
+         .parquet(str(landing / name)))
+
+    drop("b0", [(100, BASE), (101, novel)])          # 100 dups index doc 1
+    drop("b1", [(200, novel)])                       # dups doc 101 (batch 1!)
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_neardup_stream(src, "t_mhidx", out, ckpt, threshold=0.5)
+        q.awaitTermination(180)
+
+    cycle()
+    pairs = {(r.doc_new, r.doc_old) for r in
+             read_neardup_pairs(spark, out).collect()}
+    assert (100, 1) in pairs                 # caught vs the base index
+    assert (200, 101) in pairs               # caught vs the GROWN index
+    assert not any(dn == 101 for dn, _ in pairs)   # novel at its arrival
+
+    nbands = spark.table("t_mhidx_bands").count()
+    nsigs = spark.table("t_mhidx_sigs").count()
+    cycle()                                   # replay: nothing new
+    assert spark.table("t_mhidx_bands").count() == nbands
+    assert spark.table("t_mhidx_sigs").count() == nsigs
+    assert {(r.doc_new, r.doc_old) for r in
+            read_neardup_pairs(spark, out).collect()} == pairs
