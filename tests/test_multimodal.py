@@ -656,3 +656,39 @@ def test_video_fingerprint_and_scenes_through_mjpeg_avi(spark):
             for r2 in mm.scene_cuts(scenes, threshold=80.0).collect()}
     assert cuts[0] and cuts[2] and cuts[3]      # jump in AND out
     assert not cuts[1]
+
+
+def test_warc_codec_roundtrip_and_response_strip(spark, tmp_path):
+    """WARC/WET container: plain and gzip-per-record framing both parse
+    back exactly; 'response' records drop the HTTP head; warcinfo /
+    request records are skipped; junk raises by name."""
+    import pytest
+    from georiva_spark.sources.warc_codec import (warc_encode,
+                                                  warc_records, warc_scan)
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html>body text</html>")
+    recs = [
+        {"warc_type": "warcinfo", "payload": "software: test"},
+        {"warc_type": "conversion", "payload": "extracted text one",
+         "target_uri": "http://a.example/1"},
+        {"warc_type": "response", "payload": http,
+         "target_uri": "http://a.example/2"},
+        {"warc_type": "conversion", "payload": "ünicode — text",
+         "target_uri": "http://a.example/3"},
+    ]
+    for gz, name in ((False, "t.warc"), (True, "t.warc.gz")):
+        buf = warc_encode(recs, gz=gz)
+        parsed = list(warc_records(buf))
+        assert [r["headers"]["warc-type"] for r in parsed] == [
+            "warcinfo", "conversion", "response", "conversion"]
+        assert parsed[1]["payload"] == b"extracted text one"
+        fp = tmp_path / name
+        fp.write_bytes(buf)
+        rows = {r.target_uri: r for r in warc_scan(
+            spark, str(fp)).collect()}
+        assert rows["http://a.example/2"].text == "<html>body text</html>"
+        assert rows["http://a.example/1"].n_bytes == 18
+        assert rows["http://a.example/3"].text == "ünicode — text"
+        assert len(rows) == 3          # warcinfo skipped
+    with pytest.raises(ValueError, match="WARC"):
+        list(warc_records(b"GIBBERISH NOT A WARC"))
