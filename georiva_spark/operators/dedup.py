@@ -394,8 +394,19 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
         hexc = F.concat(*[F.format_string(f"%0{nw_word}x",
                                           F.col(code_col)[i])
                           for i in range(n_words)])
+        # a ragged code (wrong word count) would null the hex key and
+        # the equi-join would silently DROP its pairs — fail by name
+        hexc = F.when(F.size(F.col(code_col)) == n_words, hexc) \
+                .otherwise(F.raise_error(F.concat(
+                    F.lit(f"hamming_pairs: code needs {n_words} words "
+                          f"({bits} bits / {word_bits}-bit words), got "),
+                    F.size(F.col(code_col)).cast("string"))))
         nib_total = n_words * nw_word
         per = nib_total // k
+        if per == 0:
+            raise ValueError(
+                f"hamming_pairs: max_hamming={max_hamming} needs "
+                f"{k} bands but the code has only {nib_total} nibbles")
         bands = [F.struct(
             F.lit(j).alias("band"),
             F.substring(hexc, j * per + 1,
@@ -407,6 +418,11 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
             F.lit(0), lambda acc, x: acc + x)
     else:
         w = bits // k
+        if w == 0:
+            raise ValueError(
+                f"hamming_pairs: max_hamming={max_hamming} needs "
+                f"{k} bands but the code has only {bits} bits — every "
+                f"band key would be empty (a full cartesian in disguise)")
         band_cols = []
         for j in range(k):
             b = F.shiftrightunsigned(F.col(code_col), j * w)
@@ -463,7 +479,14 @@ def hamming_groups(codes: DataFrame, id_col: str, code_col: str,
     """
     from pyspark.sql.types import ArrayType
 
-    codes = codes.select(id_col, code_col).where(F.col(code_col).isNotNull())
+    from georiva_spark.operators._retention import persist_bounded
+
+    # the code table feeds three branches here (distinct, item-tagging,
+    # exact-size rollup) plus hamming_pairs' four — persist once so an
+    # expensive upstream (fingerprint decode) runs once
+    codes = persist_bounded(
+        codes.select(id_col, code_col).where(F.col(code_col).isNotNull()),
+        "hamming_groups.codes")
     # near pairs among DISTINCT codes (linear in the code space, not in
     # items) need a LONG surrogate id per code for the CC node space:
     # a long code is its own surrogate (bijective, oracle-trivial); an

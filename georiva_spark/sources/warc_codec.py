@@ -95,6 +95,10 @@ def warc_records(content: bytes) -> Iterator[dict]:
             raise ValueError("WARC: record without Content-Length")
         body_start = hdr_end + 4
         payload = content[body_start:body_start + length]
+        if len(payload) < length:
+            raise ValueError(
+                f"WARC: truncated record — Content-Length {length} but "
+                f"only {len(payload)} bytes remain")
         yield {"headers": headers, "payload": payload}
         pos = body_start + length
 

@@ -1195,3 +1195,14 @@ def test_hamming_groups_array_codes(spark):
     assert got[1] == (1, 3, 2) and got[2] == (1, 3, 2)
     assert got[3] == (1, 3, 1)
     assert got[4] == (4, 1, 1)
+
+
+def test_hamming_pairs_named_guards(spark):
+    df = spark.createDataFrame([(1, 7), (2, 6)], "id long, code long")
+    with pytest.raises(ValueError, match="cartesian in disguise"):
+        dedup.hamming_pairs(df, "id", "code", max_hamming=63, bits=8)
+    arr = spark.createDataFrame([(1, [1, 2]), (2, [3])],
+                                "id long, code array<long>")
+    with pytest.raises(Exception, match="needs 2 words"):
+        dedup.hamming_pairs(arr, "id", "code", max_hamming=2,
+                            bits=112).collect()

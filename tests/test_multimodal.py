@@ -692,3 +692,11 @@ def test_warc_codec_roundtrip_and_response_strip(spark, tmp_path):
         assert len(rows) == 3          # warcinfo skipped
     with pytest.raises(ValueError, match="WARC"):
         list(warc_records(b"GIBBERISH NOT A WARC"))
+
+
+def test_warc_truncated_record_raises():
+    import pytest
+    from georiva_spark.sources.warc_codec import warc_encode, warc_records
+    buf = warc_encode([{"warc_type": "conversion", "payload": "hello"}])
+    with pytest.raises(ValueError, match="truncated"):
+        list(warc_records(buf[:-9]))          # cut into the payload

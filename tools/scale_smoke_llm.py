@@ -77,6 +77,19 @@ def main():
     print(f"minhash_lsh_pairs: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
           f"-> {np_} candidate pairs (expect ~{n//T*10})")
 
+    # SimHash near-dup over the same corpus: template exact-dup pairs
+    # sit at Hamming 0 (identical docs -> identical codes, caught by
+    # the pre-collapse). max_hamming=2 keeps the band key space at
+    # 2^21 — k=6 would shrink it to 2^9=512 keys, the short-band
+    # cartesian trap the r6 redesign exists to avoid.
+    t0 = time.perf_counter()
+    sp = dedup.simhash_pairs(docs, max_hamming=2)
+    nsp = sp.count()
+    nzero = sp.where(F.col("hamming") == 0).count()
+    el = time.perf_counter() - t0
+    print(f"simhash_pairs (k<=2): {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
+          f"-> {nsp} pairs, {nzero} exact (expect >= {n//T})")
+
     t0 = time.perf_counter()
     cc = dedup.connected_components(pairs)
     ncl = cc.select("component").distinct().count()
