@@ -3783,6 +3783,52 @@ FROM documents
 """
 
 
+def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→corpus pipeline end-to-end (r6): documents wrapped in
+    the html_text markup, framed as HTTP 200 responses inside a real
+    gzip-per-record WARC, then scanned back — container demux, HTTP
+    head strip, HTML→text rule chain — all in one lineage. The oracle
+    never sees the container: the round-trip is byte-identity on the
+    payload (proven by ingest_warc), so it replays only the HTML wrap
+    + strip chain, the same shape as html_text."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.warc_codec import warc_encode, warc_scan
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
+    pdf = docs.select("doc_id", "text").toPandas()  # bounded fixture
+    http_head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    records = []
+    for i, t in zip(pdf["doc_id"], pdf["text"]):
+        html = ("<html><head><style>p{color:red}</style>"
+                "<script>if(a<b){go()}</script></head><body><h1>Doc "
+                f"{int(i)}</h1><!-- hidden --><p>{t}"
+                "</p><div>tail &amp; end</div></body></html>")
+        records.append({"warc_type": "response",
+                        "target_uri": f"http://corpus.example/doc/{int(i)}",
+                        "content_type":
+                            "application/http; msgtype=response",
+                        "payload": http_head + html})
+    buf = warc_encode(records, gz=True)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_warc")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"crawl_{len(records)}.warc.gz")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    pages = (warc_scan(spark, fp, types=("response",))
+             .select(F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+                     .cast("long").alias("doc_id"),
+                     F.col("text")))
+    return textops.html_to_text(pages)
+
+
+SQL_WARC_PIPELINE = SQL_HTML_TEXT
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup GROUP rollup (r6): the linear-output
     alternative to pair mining for duplicate-heavy corpora — per item,
@@ -4158,6 +4204,7 @@ EXT_QUERIES = {
     "image_dup_pairs": q_image_dup_pairs,
     "dup_groups": q_dup_groups,
     "ingest_warc": q_ingest_warc,
+    "warc_pipeline": q_warc_pipeline,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -4262,6 +4309,7 @@ EXT_ORACLES = {
     "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
     "dup_groups": SQL_DUP_GROUPS,
     "ingest_warc": SQL_INGEST_WARC,
+    "warc_pipeline": SQL_WARC_PIPELINE,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
