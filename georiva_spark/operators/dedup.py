@@ -52,8 +52,12 @@ _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """pd.Series of int64 lists → (flat uint64 view, starts, lens)."""
-    arrs = [np.asarray(s, dtype=np.int64) for s in series]
+    """pd.Series of int64 lists → (flat uint64 view, starts, lens).
+    A null list (null text upstream) flattens as empty — the owning
+    kernels emit the all-zero code/signature, the empty-doc
+    convention, instead of crashing the stage."""
+    arrs = [np.asarray(s if s is not None else [], dtype=np.int64)
+            for s in series]
     lens = np.fromiter((x.size for x in arrs), np.int64, len(arrs))
     flat = (np.concatenate(arrs) if lens.sum()
             else np.empty(0, np.int64)).view(np.uint64)
@@ -147,6 +151,20 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
     return docs.select("doc_id", _sig_tok(th).alias("signature"))
 
 
+def _band_buckets(num_hashes: int, bands: int,
+                  sig_col: str = "signature") -> "F.Column":
+    """The LSH band→bucket key array shared by the pair miner and the
+    persistent index (write/append/probe MUST derive identical keys —
+    one definition, so code drift cannot silently break an existing
+    index)."""
+    rows_per_band = num_hashes // bands
+    return F.array(*[
+        F.xxhash64(F.lit(b), *[F.element_at(sig_col,
+                                            b * rows_per_band + i + 1)
+                               for i in range(rows_per_band)])
+        for b in range(bands)])
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, n: int = 3,
                       text_col: str = "text",
@@ -178,11 +196,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     # band buckets as multi-arg xxhash64 over element_at positions: stays
     # inside whole-stage codegen (a concat_ws-of-strings bucket was 8×
     # slower — 32M interpreted string builds at 2M docs)
-    bucket_arr = F.array(*[
-        F.xxhash64(F.lit(b), *[F.element_at("signature",
-                                            b * rows_per_band + i + 1)
-                               for i in range(rows_per_band)])
-        for b in range(bands)])
+    bucket_arr = _band_buckets(num_hashes, bands)
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
     cand = (banded.alias("l").join(banded.alias("r"), ["band", "bucket"])
@@ -344,7 +358,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
                   max_hamming: int = 3, bits: int = 64,
                   out_a: str = "id_a", out_b: str = "id_b",
-                  word_bits: int = 56) -> DataFrame:
+                  word_bits: int = 56,
+                  distinct_codes: bool = False) -> DataFrame:
     """Generic pigeonhole Hamming-pair mining over ANY code column —
     a single long (SimHash text codes, image dHashes) or an
     array<long> of non-negative ``word_bits``-bit words for codes
@@ -369,8 +384,10 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
 
     Band key space per band is 2^(bits/(k+1)); keep codes >= 64 bits
     so it never degenerates (a 28-bit code would give 512 keys — a
-    cartesian product in disguise at web scale). Returns
-    (out_a, out_b, hamming), a < b."""
+    cartesian product in disguise at web scale).
+    ``distinct_codes=True`` declares the input one-row-per-distinct-
+    code (skips the pre-banding distinct — hamming_groups' case).
+    Returns (out_a, out_b, hamming), a < b."""
     from pyspark.sql.types import ArrayType
 
     from georiva_spark.operators._retention import persist_bounded
@@ -380,12 +397,20 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
     # the code table feeds FOUR plan branches (distinct, two expansion
     # sides, within self-join); without a persist an expensive upstream
     # (a mapInPandas fingerprint decode) re-executes per branch
+    # dropDuplicates: a repeated (id, code) row (unioned shards) must
+    # not double its pairs in the expansion joins
     codes = persist_bounded(
-        codes.select(id_col, code_col).where(F.col(code_col).isNotNull()),
+        codes.select(id_col, code_col).where(F.col(code_col).isNotNull())
+        .dropDuplicates([id_col, code_col]),
         "hamming_pairs.codes")
-    dc = codes.select(code_col).distinct()
+    dc = (codes.select(code_col) if distinct_codes
+          else codes.select(code_col).distinct())
 
     if is_arr:
+        if word_bits % 4:
+            raise ValueError(
+                f"hamming_pairs: word_bits={word_bits} must be a "
+                f"multiple of 4 (words are hex-formatted for banding)")
         # words of word_bits (< 64) non-negative bits, hex-formatted so
         # bands are substrings of the concatenated nibble string; any
         # disjoint nibble partition is a valid pigeonhole split.
@@ -395,12 +420,18 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
                                           F.col(code_col)[i])
                           for i in range(n_words)])
         # a ragged code (wrong word count) would null the hex key and
-        # the equi-join would silently DROP its pairs — fail by name
-        hexc = F.when(F.size(F.col(code_col)) == n_words, hexc) \
-                .otherwise(F.raise_error(F.concat(
-                    F.lit(f"hamming_pairs: code needs {n_words} words "
-                          f"({bits} bits / {word_bits}-bit words), got "),
-                    F.size(F.col(code_col)).cast("string"))))
+        # the equi-join would silently DROP its pairs; an OVERSIZED
+        # word (value >= 2^word_bits) widens its hex field and shifts
+        # every later band's substring — both fail by name
+        hexc = F.when(
+            (F.size(F.col(code_col)) == n_words)
+            & (F.length(hexc) == n_words * nw_word), hexc) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"hamming_pairs: code needs {n_words} words of "
+                      f"< 2^{word_bits} ({bits} bits / {word_bits}-bit "
+                      f"words), got "),
+                F.size(F.col(code_col)).cast("string"),
+                F.lit(" words"))))
         nib_total = n_words * nw_word
         per = nib_total // k
         if per == 0:
@@ -500,7 +531,8 @@ def hamming_groups(codes: DataFrame, id_col: str, code_col: str,
     tagged = dc.select(cid.alias("__cid"), code_col)
     cp = hamming_pairs(tagged, "__cid", code_col,
                        max_hamming=max_hamming, bits=bits,
-                       out_a="__ca", out_b="__cb", word_bits=word_bits)
+                       out_a="__ca", out_b="__cb", word_bits=word_bits,
+                       distinct_codes=True)
     comp = connected_components(cp.select("__ca", "__cb"),
                                 a_col="__ca", b_col="__cb")
     withc = (codes.select(id_col, code_col, cid.alias("__cid"))
@@ -676,14 +708,9 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
     (plan-asserted in tests/test_dedup_index.py)."""
     from georiva_spark.sources.bucketing import write_bucketed
 
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
                              text_col=text_col)
-    bucket_arr = F.array(*[
-        F.xxhash64(F.lit(b), *[F.element_at("signature",
-                                            b * rows_per_band + i + 1)
-                               for i in range(rows_per_band)])
-        for b in range(bands)])
+    bucket_arr = _band_buckets(num_hashes, bands)
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
     write_bucketed(banded.select("band", "bucket", "doc_id"),
@@ -698,7 +725,8 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
         f"ALTER TABLE {table}_bands SET TBLPROPERTIES ("
         f"'georiva.num_hashes'='{num_hashes}', "
         f"'georiva.bands'='{bands}', 'georiva.n'='{n}', "
-        f"'georiva.n_buckets'='{n_buckets}')")
+        f"'georiva.n_buckets'='{n_buckets}', "
+        f"'georiva.text_col'='{text_col}')")
 
 
 def minhash_index_params(spark, table: str) -> dict[str, int]:
@@ -708,8 +736,10 @@ def minhash_index_params(spark, table: str) -> dict[str, int]:
     props = {r.key: r.value for r in
              spark.sql(f"SHOW TBLPROPERTIES {table}_bands").collect()}
     try:
-        return {name: int(props[f"georiva.{name}"])
-                for name in ("num_hashes", "bands", "n", "n_buckets")}
+        out = {name: int(props[f"georiva.{name}"])
+               for name in ("num_hashes", "bands", "n", "n_buckets")}
+        out["text_col"] = props.get("georiva.text_col", "text")
+        return out
     except KeyError as e:
         raise ValueError(
             f"{table!r} is not a stamped minhash index "
@@ -724,13 +754,9 @@ def minhash_index_append(docs: DataFrame, table: str) -> None:
     future probes stay shuffle-free on the index side. Parameters come
     from the stamp the write left on the table."""
     p = minhash_index_params(docs.sparkSession, table)
-    rows_per_band = p["num_hashes"] // p["bands"]
-    sig = minhash_signatures(docs, num_hashes=p["num_hashes"], n=p["n"])
-    bucket_arr = F.array(*[
-        F.xxhash64(F.lit(b), *[F.element_at("signature",
-                                            b * rows_per_band + i + 1)
-                               for i in range(rows_per_band)])
-        for b in range(p["bands"])])
+    sig = minhash_signatures(docs, num_hashes=p["num_hashes"], n=p["n"],
+                             text_col=p["text_col"])
+    bucket_arr = _band_buckets(p["num_hashes"], p["bands"])
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
     (banded.select("band", "bucket", "doc_id")
@@ -779,17 +805,12 @@ def minhash_index_probe(new_docs: DataFrame, table: str,
             raise ValueError(
                 f"minhash_index_probe params do not match the index "
                 f"{table!r} (stored, asked): {bad}")
-    rows_per_band = num_hashes // bands
     from georiva_spark.operators._retention import persist_bounded
     sig_new = persist_bounded(
         minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
                            text_col=text_col),
         "minhash_index_probe.sig_new", StorageLevel.MEMORY_AND_DISK)
-    bucket_arr = F.array(*[
-        F.xxhash64(F.lit(b), *[F.element_at("signature",
-                                            b * rows_per_band + i + 1)
-                               for i in range(rows_per_band)])
-        for b in range(bands)])
+    bucket_arr = _band_buckets(num_hashes, bands)
     banded_new = sig_new.select(
         F.col("doc_id").alias("doc_new"),
         F.posexplode(bucket_arr).alias("band", "bucket"))

@@ -180,12 +180,17 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     if bin_us is None:
         row = (lens(left).unionByName(lens(right))
                .agg(F.percentile_approx("len", 0.5).alias("med"),
-                    F.min("len").alias("mn")).first())
+                    F.min("len").alias("mn"),
+                    F.max("len").alias("mx")).first())
         if row.mn is not None and row.mn < 0:
             raise ValueError(
                 "interval_overlap_join: reversed interval (end < "
                 "start) in input — normalize or filter before joining")
-        bin_us = max(int(row.med or 0), 1)
+        # floor the width so the LONGEST interval explodes into at
+        # most ~10k bins: a point-event-heavy corpus (median length 0)
+        # must not set bin_us=1 µs and hand a single hour-long
+        # interval a 3.6e9-element sequence
+        bin_us = max(int(row.med or 0), (int(row.mx or 0) // 10_000), 1)
 
     err = F.raise_error(F.concat(
         F.lit("interval_overlap_join: reversed interval (end < start) "

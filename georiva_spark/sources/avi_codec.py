@@ -75,7 +75,27 @@ def avi_mjpeg_decode(content: bytes) -> np.ndarray:
         raise ValueError("not a RIFF/AVI payload")
     end = min(len(content), 8 + _u32(content, 4))
 
+    # two passes: find hdrl and gate on the codec FIRST, so a reordered
+    # file (movi before hdrl) cannot feed H.264 bytes into jpeg_decode
+    # and fail with an opaque JPEG error instead of the named gate
     codec = None
+    movi_ranges: list[tuple[int, int]] = []
+    for fcc, p, sz in _walk_chunks(content, 12, end):
+        if fcc != b"LIST":
+            continue
+        ltype = content[p:p + 4]
+        if ltype == b"hdrl":
+            codec = _video_codec(content, p + 4, p + sz)
+        elif ltype == b"movi":
+            movi_ranges.append((p + 4, p + sz))
+    if codec is None:
+        raise ValueError("AVI: missing hdrl header list")
+    if codec not in _MJPG_CODES:
+        raise NotImplementedError(
+            f"AVI codec {codec!r}: only MJPEG decodes natively — "
+            "register a plugin backend (register_video_decoder) for "
+            "other codecs")
+
     frames: list[np.ndarray] = []
 
     def movi(data: bytes, start: int, stop: int) -> None:
@@ -95,22 +115,8 @@ def avi_mjpeg_decode(content: bytes) -> np.ndarray:
                                   + a[:, :, 1] * 0.587
                                   + a[:, :, 2] * 0.114)
 
-    for fcc, p, sz in _walk_chunks(content, 12, end):
-        if fcc != b"LIST":
-            continue
-        ltype = content[p:p + 4]
-        if ltype == b"hdrl":
-            codec = _video_codec(content, p + 4, p + sz)
-            if codec not in _MJPG_CODES:
-                raise NotImplementedError(
-                    f"AVI codec {codec!r}: only MJPEG decodes "
-                    "natively — register a plugin backend "
-                    "(register_video_decoder) for other codecs")
-        elif ltype == b"movi":
-            movi(content, p + 4, p + sz)
-
-    if codec is None:
-        raise ValueError("AVI: missing hdrl header list")
+    for mstart, mstop in movi_ranges:
+        movi(content, mstart, mstop)
     if not frames:
         raise ValueError("AVI: movi list has no video frames")
     shapes = {f.shape for f in frames}

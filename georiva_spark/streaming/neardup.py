@@ -12,9 +12,15 @@ Nothing about the existing corpus is ever recomputed or re-shuffled.
 
 Idempotency across restarts (foreachBatch is at-least-once): the pair
 output for batch B overwrites the deterministic directory
-``{out_dir}/batch_id=B`` (a replay rewrites the same bytes), and the
-index append is guarded by a marker file per batch id — the same
-overwrite-deterministic-partitions policy the derivation ledger uses
+``{out_dir}/batch_id=B`` (a replay rewrites the same bytes), phantom
+pairs a replay would see against its OWN docs (appended by the crashed
+first attempt) are anti-joined away, and the index append is guarded
+by the batch's presence in the SIGNATURE table — append writes bands
+first and sigs last, so "any batch doc in _sigs" implies the append
+completed. The one partial-failure residue is duplicate BAND rows from
+a crash between the two appends; those only duplicate candidates,
+which the probe's dropDuplicates already collapses. Same overwrite-
+deterministic-partitions policy as the derivation ledger
 (plans/engine.py), no lock service required.
 """
 
@@ -27,20 +33,14 @@ from georiva_spark.operators.dedup import (minhash_index_append,
                                            minhash_index_probe)
 
 
-def _marker_fs(spark, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
-
-
 def start_neardup_stream(docs_stream: DataFrame, table: str,
                          out_dir: str, checkpoint_dir: str,
                          threshold: float = 0.5, grow: bool = True):
     """Start the probe-then-grow stream: ``docs_stream`` must carry
-    (doc_id, text); pairs land in ``{out_dir}/batch_id=N`` as
-    (doc_new, doc_old, est_jaccard). ``grow=False`` probes without
-    appending (audit mode). Returns the StreamingQuery."""
+    (doc_id, text) with corpus-unique doc_ids; pairs land in
+    ``{out_dir}/batch_id=N`` as (doc_new, doc_old, est_jaccard).
+    ``grow=False`` probes without appending (audit mode). Returns the
+    StreamingQuery."""
     spark = docs_stream.sparkSession
     params = minhash_index_params(spark, table)   # fail fast on launch
 
@@ -49,18 +49,24 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
             return
         batch = batch.persist()
         try:
+            ids = batch.select("doc_id")
             pairs = minhash_index_probe(
                 batch, table, threshold=threshold,
                 num_hashes=params["num_hashes"], bands=params["bands"],
                 n=params["n"])
+            # a replayed batch whose first attempt already appended
+            # would otherwise pair its docs against THEMSELVES in the
+            # index — drop pairs whose doc_old is in this batch
+            pairs = pairs.join(ids.withColumnRenamed("doc_id", "doc_old"),
+                               "doc_old", "left_anti")
             (pairs.write.mode("overwrite")
              .parquet(f"{out_dir}/batch_id={batch_id}"))
             if grow:
-                fs, marker = _marker_fs(
-                    spark, f"{out_dir}/_index_applied/batch_id={batch_id}")
-                if not fs.exists(marker):
+                applied = (spark.table(f"{table}_sigs")
+                           .join(ids, "doc_id", "left_semi")
+                           .limit(1).count() > 0)
+                if not applied:
                     minhash_index_append(batch, table)
-                    fs.mkdirs(marker)
         finally:
             batch.unpersist()
 

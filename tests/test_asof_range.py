@@ -180,3 +180,19 @@ def test_interval_overlap_join_reversed_interval_named_error(spark):
     with pytest.raises(Exception, match="reversed interval"):
         timeseries.interval_overlap_join(bad, ok,
                                          bin_us=1_000_000).collect()
+
+
+def test_interval_overlap_join_point_events_do_not_explode(spark):
+    """Point events (zero-length intervals) dominate: the adaptive
+    median would be 0 — the bin floor must keep the one long interval
+    at ~10k bins instead of a 3.6e9-element sequence."""
+    import datetime as dt
+    T0 = dt.datetime(2020, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), T0 + dt.timedelta(seconds=e))
+         for i, s, e in rows], "id long, start timestamp, end timestamp")
+    pts = mk([(i, i, i) for i in range(20)])        # instants
+    span = mk([(100, 0, 3600)])                     # one hour-long
+    got = sorted((r.l_id, r.r_id) for r in
+                 timeseries.interval_overlap_join(pts, span).collect())
+    assert got == [(i, 100) for i in range(20)]

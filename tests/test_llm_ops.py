@@ -1206,3 +1206,20 @@ def test_hamming_pairs_named_guards(spark):
     with pytest.raises(Exception, match="needs 2 words"):
         dedup.hamming_pairs(arr, "id", "code", max_hamming=2,
                             bits=112).collect()
+
+
+def test_simhash_null_text_emits_empty_code(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert got[2] == 0 and got[1] != 0     # empty-doc convention, no crash
+
+
+def test_hamming_pairs_duplicate_input_rows_not_doubled(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (1, 5), (2, 5), (3, 1 << 20)], "id long, code long")
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in dedup.hamming_pairs(df, "id", "code",
+                                              max_hamming=2).collect())
+    assert got == [(1, 2, 0)]              # emitted once, not per copy

@@ -700,3 +700,32 @@ def test_warc_truncated_record_raises():
     buf = warc_encode([{"warc_type": "conversion", "payload": "hello"}])
     with pytest.raises(ValueError, match="truncated"):
         list(warc_records(buf[:-9]))          # cut into the payload
+
+
+def test_avi_codec_gate_fires_before_frame_decode():
+    """A reordered AVI (movi before hdrl) must still hit the NAMED
+    codec gate, never feed non-JPEG bytes into jpeg_decode."""
+    import numpy as np
+    import pytest
+    from georiva_spark.sources.avi_codec import (avi_mjpeg_decode,
+                                                 avi_mjpeg_encode)
+    r, c = np.mgrid[0:8, 0:8]
+    frames = np.stack([((r + c) % 8).astype(np.uint8) * 32
+                       for _ in range(2)])
+    avi = bytearray(avi_mjpeg_encode(frames, quality=100))
+    # swap hdrl and movi LISTs to simulate a reordered writer
+    import struct as st
+    pos, lists = 12, []
+    end = 8 + st.unpack_from("<I", avi, 4)[0]
+    while pos + 8 <= end:
+        fcc = bytes(avi[pos:pos + 4]); sz = st.unpack_from("<I", avi, pos + 4)[0]
+        lists.append((fcc, pos, 8 + sz + (sz & 1)))
+        pos += 8 + sz + (sz & 1)
+    chunks = [bytes(avi[p:p + ln]) for _, p, ln in lists]
+    reordered = bytes(avi[:12]) + b"".join(reversed(chunks))
+    hdr = bytearray(reordered); st.pack_into("<I", hdr, 4, len(reordered) - 8)
+    out = avi_mjpeg_decode(bytes(hdr))
+    assert out.shape == (2, 8, 8)          # still decodes (gate first)
+    bad = bytes(hdr).replace(b"MJPG", b"XVID")
+    with pytest.raises(NotImplementedError, match="only MJPEG"):
+        avi_mjpeg_decode(bad)
