@@ -23,7 +23,14 @@ _slots: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def persist_bounded(df: DataFrame, slot: str,
                     storage_level=None) -> DataFrame:
-    """persist() with per-(session, slot) bounded retention."""
+    """persist() with per-(session, slot) bounded retention.
+
+    The previous cache entry is evicted only when the new plan is
+    SEMANTICALLY DIFFERENT: for a repeated identical call Spark's
+    CacheManager reuses the existing entry (canonical-plan lookup), and
+    unpersisting it first would force a full re-materialization — a
+    measured 2× on duplicate_spans' bench entry. Different-plan calls
+    (new inputs — the unbounded-retention leak case) still evict."""
     from pyspark import StorageLevel
 
     sess = df.sparkSession
@@ -31,9 +38,15 @@ def persist_bounded(df: DataFrame, slot: str,
     prev = per.get(slot)
     if prev is not None:
         try:
-            prev.unpersist()
+            same = (prev._jdf.queryExecution().analyzed().semanticHash()
+                    == df._jdf.queryExecution().analyzed().semanticHash())
         except Exception:
-            pass
+            same = False
+        if not same:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
     df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     per[slot] = df
     return df
