@@ -3783,6 +3783,33 @@ FROM documents
 """
 
 
+def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL.gz corpus round-trip (r6): the documents table writes as
+    gzip JSONL shards (Spark JSON sink, one file per partition) and
+    reads back schema-enforced + FAILFAST — the crawl-shard
+    interchange layout. Text, unicode and counts must survive the
+    JSON encode/decode exactly; the oracle reads the source table."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.tables import (read_jsonl_corpus,
+                                              write_jsonl_corpus)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_jsonl",
+                     f"docs_{n}")
+    if not os.path.isdir(d):          # content-addressed fixture cache
+        write_jsonl_corpus(docs, d)
+    back = read_jsonl_corpus(spark, d)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+SQL_INGEST_JSONL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl→corpus pipeline end-to-end (r6): documents wrapped in
     the html_text markup, framed as HTTP 200 responses inside a real
@@ -4205,6 +4232,7 @@ EXT_QUERIES = {
     "dup_groups": q_dup_groups,
     "ingest_warc": q_ingest_warc,
     "warc_pipeline": q_warc_pipeline,
+    "ingest_jsonl": q_ingest_jsonl,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -4310,6 +4338,7 @@ EXT_ORACLES = {
     "dup_groups": SQL_DUP_GROUPS,
     "ingest_warc": SQL_INGEST_WARC,
     "warc_pipeline": SQL_WARC_PIPELINE,
+    "ingest_jsonl": SQL_INGEST_JSONL,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,

@@ -37,3 +37,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def write_jsonl_corpus(docs: DataFrame, path: str,
+                       compression: str = "gzip") -> None:
+    """Materialize a documents table as JSONL (one JSON object per
+    line, gzip by default) — the interchange format crawl-processing
+    pipelines exchange shards in. Spark's native JSON sink: splittable
+    listing, one file per partition, no driver involvement."""
+    docs.write.mode("overwrite").option("compression", compression) \
+        .json(path)
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str,
+                      schema: str = ("doc_id long, text string, "
+                                     "lang string, source string, "
+                                     "n_chars long")) -> DataFrame:
+    """Scan a JSONL/JSONL.gz corpus with an ENFORCED schema (never
+    inferSchema — a schema-inference pass re-reads the whole corpus at
+    plan time, and drifting shard schemas must fail loudly, not union
+    silently). FAILFAST: a malformed line is a named parse error, not
+    a silent null row. Spark's JSON source is splittable for plain
+    files; .gz shards parallelize at file granularity — exactly the
+    crawl-shard layout."""
+    return (spark.read.schema(schema).option("mode", "FAILFAST")
+            .json(path))

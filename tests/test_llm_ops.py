@@ -1223,3 +1223,20 @@ def test_hamming_pairs_duplicate_input_rows_not_doubled(spark):
                  for r in dedup.hamming_pairs(df, "id", "code",
                                               max_hamming=2).collect())
     assert got == [(1, 2, 0)]              # emitted once, not per copy
+
+
+def test_jsonl_corpus_roundtrip_and_failfast(spark, tmp_path):
+    from georiva_spark.sources.tables import (read_jsonl_corpus,
+                                              write_jsonl_corpus)
+    docs = spark.createDataFrame(
+        [(1, "hello wörld", "en", "s", 11), (2, "", "de", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "jl")
+    write_jsonl_corpus(docs, d)
+    back = {r.doc_id: r for r in read_jsonl_corpus(spark, d).collect()}
+    assert back[1].text == "hello wörld" and back[2].lang == "de"
+    # FAILFAST: malformed line is a loud error, not a null row
+    bad = tmp_path / "bad"; bad.mkdir()
+    (bad / "x.json").write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON\n')
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        read_jsonl_corpus(spark, str(bad)).collect()
