@@ -71,7 +71,11 @@ def warc_records(content: bytes) -> Iterator[dict]:
     WARC headers + payload bytes. Linear pass, tolerant of the
     trailing \\r\\n\\r\\n record separator."""
     if content[:2] == b"\x1f\x8b":
-        content = gzip.decompress(content)
+        # NOT gzip.decompress: on a crawl shard with one gzip member
+        # per record it re-slices the remaining buffer per member
+        # (unused_data) — quadratic over 60k+ members. The streaming
+        # GzipFile reader walks concatenated members linearly.
+        content = gzip.GzipFile(fileobj=io.BytesIO(content)).read()
     pos, n = 0, len(content)
     while pos < n:
         # skip inter-record blank lines

@@ -307,6 +307,60 @@ def main():
           f"(|diff| {abs(mp-ref):.4f}, expect < 0.02)")
 
     perceptual_stage(spark, max(n // 2, 1_000_000))
+    warc_stage(spark, docs, n)
+
+
+
+def warc_stage(spark, docs, n: int):
+    """WARC/WET at corpus scale: executors write one gzip-per-record
+    WET shard per partition (the crawl layout), then warc_scan reads
+    the whole directory back — record framing, per-member gunzip,
+    payload decode — and the byte totals must reconcile exactly with
+    the source table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from georiva_spark.sources.warc_codec import warc_encode, warc_scan
+
+    out_dir = tempfile.mkdtemp(prefix="georiva_warc_smoke_")
+
+    def write_shard(batches):
+        recs, nb = [], 0
+        for pdf in batches:
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                recs.append({"warc_type": "conversion",
+                             "target_uri": f"u:{int(i)}", "payload": t})
+                nb += len(t.encode("utf-8"))
+        if recs:
+            buf = warc_encode(recs, gz=True)
+            fp = os.path.join(out_dir,
+                              f"shard-{uuid.uuid4().hex}.wet.gz")
+            with open(fp, "wb") as f:
+                f.write(buf)
+        yield pd.DataFrame({"n": [len(recs)], "nb": [nb]})
+
+    try:
+        t0 = time.perf_counter()
+        wrote = (docs.select("doc_id", "text")
+                 .mapInPandas(write_shard, schema="n long, nb long")
+                 .agg(F.sum("n"), F.sum("nb")).head())
+        el_w = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = (warc_scan(spark, out_dir)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_bytes").alias("nb")).head())
+        el_r = time.perf_counter() - t0
+        print(f"warc write+scan: write {el_w:.1f}s "
+              f"({n/el_w/1e6:.2f}M docs/s), scan {el_r:.1f}s "
+              f"({n/el_r/1e6:.2f}M docs/s) -> {got['n']} records / "
+              f"{got['nb']} bytes (source {wrote[0]} / {wrote[1]} — "
+              f"{'EXACT' if (got['n'], got['nb']) == (wrote[0], wrote[1]) else 'MISMATCH'})")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
 
 
 def perceptual_stage(spark, nm: int):
