@@ -759,6 +759,27 @@ FROM sims ORDER BY dot / (na * nb) DESC, vec_id LIMIT 5
 """
 
 
+def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent partitioned IVF index (r6): the embeddings table
+    materializes PARTITIONED BY cell (pinned quantizer, zero-shuffle
+    in-row assignment) with a bounded centroid sidecar; the probe's
+    cell predicate prunes the scan at file-listing time
+    (PartitionFilters, plan-asserted) — the pay-assignment-once layout
+    knn_ivf recomputes per call. Same closed-form answer as knn_ivf,
+    so the oracle is the identical SQL."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    similarity.ivf_index_write(emb, "t_ivfidx", os.path.join(d, "idx"),
+                               n_centroids=8)
+    q = (emb.where(F.col("vec_id") == 0)
+         .select("embedding").head().embedding)
+    return similarity.ivf_index_probe(spark, "t_ivfidx", q, k=5,
+                                      nprobe=2, exclude_vec_id=0)
+
+
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ probe with pinned coarse centroids AND pinned product-
     quantization codebooks — cell assignment, per-subspace sub-code
@@ -4233,6 +4254,7 @@ EXT_QUERIES = {
     "ingest_warc": q_ingest_warc,
     "warc_pipeline": q_warc_pipeline,
     "ingest_jsonl": q_ingest_jsonl,
+    "ivf_index": q_ivf_index,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -4339,6 +4361,7 @@ EXT_ORACLES = {
     "ingest_warc": SQL_INGEST_WARC,
     "warc_pipeline": SQL_WARC_PIPELINE,
     "ingest_jsonl": SQL_INGEST_JSONL,
+    "ivf_index": SQL_KNN_IVF,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,

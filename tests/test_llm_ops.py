@@ -1240,3 +1240,29 @@ def test_jsonl_corpus_roundtrip_and_failfast(spark, tmp_path):
     (bad / "x.json").write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON\n')
     with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
         read_jsonl_corpus(spark, str(bad)).collect()
+
+
+def test_ivf_index_matches_in_memory_probe(spark, tmp_path):
+    """The materialized partitioned index returns EXACTLY the in-memory
+    knn_ivf_pinned answer (same pinned quantizer, same tie-breaks)."""
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 25, axis=0)
+            + rng.normal(scale=0.3, size=(100, 8))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(100)],
+        "vec_id long, embedding array<float>, label int")
+    want = [(r.vec_id, r.cosine) for r in
+            similarity.knn_ivf_pinned(emb, query_vec_id=0, k=5,
+                                      n_centroids=4, nprobe=2).collect()]
+    similarity.ivf_index_write(emb, "t_ivfidx_ut", str(tmp_path / "ix"),
+                               n_centroids=4)
+    try:
+        got = [(r.vec_id, r.cosine) for r in
+               similarity.ivf_index_probe(
+                   spark, "t_ivfidx_ut", [float(v) for v in vecs[0]],
+                   k=5, nprobe=2, exclude_vec_id=0).collect()]
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfidx_ut")
+        spark.sql("DROP TABLE IF EXISTS t_ivfidx_ut_centroids")

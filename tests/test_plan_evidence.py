@@ -397,3 +397,17 @@ def test_video_dup_pairs_band_join_no_cartesian(spark):
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
     assert "HashAggregate(keys=[fp" in phys      # distinct codes band
+
+
+def test_ivf_index_probe_partition_pruning(spark):
+    """The persistent IVF index exists for this plan property: the
+    probe's cell predicate reaches the scan as PartitionFilters —
+    file-listing-level pruning to nprobe/C of the corpus — and the
+    centroid sidecar never joins the corpus (driver-side cell pick)."""
+    plan = _plan(QUERIES["ivf_index"](spark, SF))
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "t_ivfidx" in ln][0]
+    pf = scan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell" in pf                      # pruned at listing time
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
