@@ -340,6 +340,25 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
      .saveAsTable(f"{table}_centroids"))
 
 
+def ivf_index_append(emb: DataFrame, table: str) -> None:
+    """Append a delta shard to a :func:`ivf_index_write` index — the
+    growth half of the ANN layout (mirror of minhash_index_append):
+    new vectors are assigned with the INDEX'S OWN centroids (read from
+    the bounded sidecar, inlined as literals — zero shuffle) and
+    appended into the same cell partitions, so probes keep pruning to
+    nprobe/C over the grown corpus without ever re-assigning it."""
+    spark = emb.sparkSession
+    rows = spark.table(f"{table}_centroids").collect()
+    cents = [list(map(float, r.embedding))
+             for r in sorted(rows, key=lambda r: r.cell)]
+    if not cents:
+        raise ValueError(f"{table!r} has no centroid sidecar — not an "
+                         f"ivf_index_write index")
+    assigned = emb.withColumn("cell", _argmin_cell(cents))
+    (assigned.write.mode("append").format("parquet")
+     .partitionBy("cell").saveAsTable(table))
+
+
 def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
                     nprobe: int = 2,
                     exclude_vec_id: int | None = None) -> DataFrame:

@@ -1266,3 +1266,34 @@ def test_ivf_index_matches_in_memory_probe(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivfidx_ut")
         spark.sql("DROP TABLE IF EXISTS t_ivfidx_ut_centroids")
+
+
+def test_ivf_index_append_grows_probed_cells(spark, tmp_path):
+    """Delta vectors assigned with the INDEX's centroids land in the
+    right partitions: a probe after append finds the planted
+    near-query vector without any re-assignment of the base corpus."""
+    rng = np.random.default_rng(43)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 10, axis=0)
+            + rng.normal(scale=0.3, size=(40, 8))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int")
+    similarity.ivf_index_write(emb, "t_ivfap_ut", str(tmp_path / "ix"),
+                               n_centroids=4)
+    try:
+        q = [float(v) for v in vecs[0]]
+        before = {r.vec_id for r in similarity.ivf_index_probe(
+            spark, "t_ivfap_ut", q, k=3, nprobe=1).collect()}
+        twin = [float(v) for v in vecs[0] + np.float32(0.01)]
+        delta = spark.createDataFrame([(999, twin, 0)],
+                                      "vec_id long, embedding array<float>,"
+                                      " label int")
+        similarity.ivf_index_append(delta, "t_ivfap_ut")
+        after = {r.vec_id: r.cosine for r in similarity.ivf_index_probe(
+            spark, "t_ivfap_ut", q, k=3, nprobe=1).collect()}
+        assert 999 in after                 # the twin tops the probe
+        assert before <= set(after) | {999} | before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfap_ut")
+        spark.sql("DROP TABLE IF EXISTS t_ivfap_ut_centroids")
