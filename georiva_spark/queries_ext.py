@@ -2468,8 +2468,21 @@ def q_mjpeg_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     real entropy decode on every row, yet hash-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     from georiva_spark.sources.avi_codec import avi_mjpeg_encode
+    from georiva_spark.sources.jpeg_codec import jpeg_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # frames are CONSTANT 8x8 blocks: only 256 distinct JPEGs
+        # exist, so memoize the per-frame encode (fixture-build cost
+        # only — the container mux and the full decode path under
+        # test still run per clip)
+        jcache: dict[int, bytes] = {}
+
+        def jfr(v: int) -> bytes:
+            if v not in jcache:
+                jcache[v] = jpeg_encode(
+                    np.full((8, 8), v, dtype=np.uint8), quality=100)
+            return jcache[v]
+
         for pdf in batches:
             rows = []
             for vec_id, embedding in zip(pdf["vec_id"], pdf["embedding"]):
@@ -2479,7 +2492,9 @@ def q_mjpeg_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * 40.0) + 128.0, 0, 255).astype(np.uint8)
                 frames = np.repeat(vals, 64).reshape(4, 8, 8)
                 rows.append((int(vec_id),
-                             avi_mjpeg_encode(frames, quality=100)))
+                             avi_mjpeg_encode(frames, quality=100,
+                                              jpegs=[jfr(int(v))
+                                                     for v in vals])))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = emb.mapInPandas(gen, schema="media_id long, content binary")

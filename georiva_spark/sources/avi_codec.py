@@ -126,16 +126,25 @@ def avi_mjpeg_decode(content: bytes) -> np.ndarray:
 
 
 def avi_mjpeg_encode(frames: np.ndarray, fps: int = 25,
-                     quality: int = 95) -> bytes:
+                     quality: int = 95,
+                     jpegs: list[bytes] | None = None) -> bytes:
     """Encode (n, h, w) or (n, h, w, 3) uint8 frames as an MJPEG AVI
     (fixture writer): avih + one 'vids'/'MJPG' stream + movi of '00dc'
-    baseline JPEGs + idx1."""
+    baseline JPEGs + idx1. ``jpegs`` lets a caller supply the
+    per-frame JPEG bytes (e.g. memoized encodes of repeated frames);
+    ``frames`` still fixes n/h/w for the headers."""
     from georiva_spark.sources.jpeg_codec import jpeg_encode
 
     a = np.asarray(frames, dtype=np.uint8)
     n = a.shape[0]
     h, w = a.shape[1], a.shape[2]
-    jpgs = [jpeg_encode(a[i], quality=quality) for i in range(n)]
+    if jpegs is not None:
+        if len(jpegs) != n:
+            raise ValueError(
+                f"avi_mjpeg_encode: {len(jpegs)} jpegs for {n} frames")
+        jpgs = list(jpegs)
+    else:
+        jpgs = [jpeg_encode(a[i], quality=quality) for i in range(n)]
     maxbuf = max(len(j) for j in jpgs)
 
     def chunk(fcc: bytes, payload: bytes) -> bytes:
