@@ -767,6 +767,39 @@ def minhash_index_append(docs: DataFrame, table: str) -> None:
      .bucketBy(p["n_buckets"], "doc_id").saveAsTable(f"{table}_sigs"))
 
 
+def minhash_index_compact(spark, table: str, path: str) -> None:
+    """Compact an appended-to index back to one file per bucket.
+
+    Every :func:`minhash_index_append` (each streaming micro-batch)
+    adds n_buckets files per table; after B batches a probe opens
+    B×n_buckets files — the classic small-files tax. Compaction
+    re-materializes both tables with the SAME bucket spec into a fresh
+    ``path`` (no signature is recomputed — this is a pure layout
+    rewrite), swaps the catalog entries, and re-stamps the signature
+    parameters. The old data directories are left for the caller to
+    retire (the swap is atomic at the catalog level; a reader mid-swap
+    sees the old or the new table, never a mix)."""
+    from georiva_spark.sources.bucketing import write_bucketed
+
+    p = minhash_index_params(spark, table)
+    write_bucketed(spark.table(f"{table}_bands"),
+                   f"{table}_bands_compact", ["band", "bucket"],
+                   p["n_buckets"], f"{path}/bands")
+    write_bucketed(spark.table(f"{table}_sigs"),
+                   f"{table}_sigs_compact", "doc_id",
+                   p["n_buckets"], f"{path}/sigs", sort=False)
+    for suffix in ("bands", "sigs"):
+        spark.sql(f"DROP TABLE {table}_{suffix}")
+        spark.sql(f"ALTER TABLE {table}_{suffix}_compact "
+                  f"RENAME TO {table}_{suffix}")
+    spark.sql(
+        f"ALTER TABLE {table}_bands SET TBLPROPERTIES ("
+        f"'georiva.num_hashes'='{p['num_hashes']}', "
+        f"'georiva.bands'='{p['bands']}', 'georiva.n'='{p['n']}', "
+        f"'georiva.n_buckets'='{p['n_buckets']}', "
+        f"'georiva.text_col'='{p['text_col']}')")
+
+
 def minhash_index_probe(new_docs: DataFrame, table: str,
                         threshold: float = 0.5, num_hashes: int = 64,
                         bands: int = 16, n: int = 3,

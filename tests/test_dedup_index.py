@@ -134,3 +134,39 @@ def test_streaming_neardup_probe_grows_index(spark, mh_index, tmp_path):
     assert spark.table("t_mhidx_sigs").count() == nsigs
     assert {(r.doc_new, r.doc_old) for r in
             read_neardup_pairs(spark, out).collect()} == pairs
+
+
+def test_index_compact_restores_one_file_per_bucket(spark, mh_index,
+                                                    tmp_path):
+    """Three appends -> many files per bucket; compact rewrites to the
+    write-time layout with identical probe results, preserved bucket
+    spec (shuffle-free index side), and a preserved parameter stamp."""
+    import glob
+
+    for b in range(3):
+        delta = _docs(spark, [(500 + b, f"filler document number {b} "
+                                        "with enough words to shingle")])
+        dedup.minhash_index_append(delta, mh_index)
+    probe_docs = _docs(spark, [(900, BASE)])
+    before = {(r.doc_new, r.doc_old): r.est_jaccard
+              for r in dedup.minhash_index_probe(
+                  probe_docs, mh_index, threshold=0.4).collect()}
+
+    loc = (spark.sql(f"DESCRIBE FORMATTED {mh_index}_bands").collect())
+    old_path = [r.data_type for r in loc if r.col_name == "Location"][0]
+    n_before = len(glob.glob(old_path.replace("file:", "") + "/part-*"))
+
+    dedup.minhash_index_compact(spark, mh_index, str(tmp_path / "cmp"))
+    new_files = glob.glob(str(tmp_path / "cmp" / "bands" / "part-*"))
+    assert 0 < len(new_files) < n_before           # fewer, compacted
+
+    after = {(r.doc_new, r.doc_old): r.est_jaccard
+             for r in dedup.minhash_index_probe(
+                 probe_docs, mh_index, threshold=0.4).collect()}
+    assert after == before                          # pure layout rewrite
+    p = dedup.minhash_index_params(spark, mh_index)
+    assert p["num_hashes"] == 64 and p["n_buckets"] == 8
+    # the stamp still guards mismatched probes
+    import pytest
+    with pytest.raises(ValueError, match="do not match"):
+        dedup.minhash_index_probe(probe_docs, mh_index, bands=8)
