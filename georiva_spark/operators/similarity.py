@@ -359,6 +359,23 @@ def ivf_index_append(emb: DataFrame, table: str) -> None:
      .partitionBy("cell").saveAsTable(table))
 
 
+def ivf_index_compact(spark, table: str, path: str) -> None:
+    """Compact an appended-to IVF index: every
+    :func:`ivf_index_append` adds files to the touched cell
+    partitions; after many deltas a probe opens one file per append
+    per probed cell. Re-materialize one file per cell (repartition on
+    the partition column, pure layout rewrite — no re-assignment),
+    swap the catalog entry; the centroid sidecar is untouched. Old
+    data directories are the caller's to retire."""
+    cur = spark.table(table)
+    (cur.repartition("cell")
+     .write.mode("overwrite").format("parquet")
+     .partitionBy("cell").option("path", path)
+     .saveAsTable(f"{table}_compact"))
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table}_compact RENAME TO {table}")
+
+
 def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
                     nprobe: int = 2,
                     exclude_vec_id: int | None = None) -> DataFrame:

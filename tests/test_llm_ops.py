@@ -1297,3 +1297,43 @@ def test_ivf_index_append_grows_probed_cells(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivfap_ut")
         spark.sql("DROP TABLE IF EXISTS t_ivfap_ut_centroids")
+
+
+def test_ivf_index_compact_preserves_probe(spark, tmp_path):
+    """After several appends, compaction rewrites one file per cell
+    with identical probe output and intact partition pruning."""
+    import glob
+    rng = np.random.default_rng(47)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 10, axis=0)
+            + rng.normal(scale=0.3, size=(40, 8))).astype(np.float32)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    emb = mk([(i, [float(v) for v in vecs[i]], 0) for i in range(40)])
+    similarity.ivf_index_write(emb, "t_ivfc_ut", str(tmp_path / "ix"),
+                               n_centroids=4)
+    try:
+        for b in range(3):
+            tw = [float(v) for v in vecs[1] + np.float32(0.01 * (b + 1))]
+            similarity.ivf_index_append(mk([(900 + b, tw, 0)]),
+                                        "t_ivfc_ut")
+        q = [float(v) for v in vecs[0]]
+        before = [(r.vec_id, r.cosine) for r in similarity.ivf_index_probe(
+            spark, "t_ivfc_ut", q, k=8, nprobe=2).collect()]
+        similarity.ivf_index_compact(spark, "t_ivfc_ut",
+                                     str(tmp_path / "ix2"))
+        after_df = similarity.ivf_index_probe(spark, "t_ivfc_ut", q,
+                                              k=8, nprobe=2)
+        after = [(r.vec_id, r.cosine) for r in after_df.collect()]
+        assert after == before
+        plan = after_df._jdf.queryExecution().toString()
+        scan = [ln for ln in plan.splitlines()
+                if "FileScan" in ln and "t_ivfc_ut" in ln][0]
+        assert "cell" in scan.split("PartitionFilters:", 1)[1].split("]")[0]
+        # one file per cell partition
+        for cd in glob.glob(str(tmp_path / "ix2" / "cell=*")):
+            assert len(glob.glob(cd + "/part-*")) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfc_ut")
+        spark.sql("DROP TABLE IF EXISTS t_ivfc_ut_compact")
+        spark.sql("DROP TABLE IF EXISTS t_ivfc_ut_centroids")
