@@ -29,7 +29,7 @@ _SURFACE_FIRST = [
     "asof_join", "range_join", "kmeans_fit", "bm25_topk", "random_proj",
     "embed_cov", "train_classifier", "image_dhash", "image_dup_pairs",
     "audio_fp", "audio_dup_pairs", "video_dup_pairs", "mjpeg_scenes",
-    "dup_groups", "ingest_warc", "warc_pipeline", "ingest_jsonl", "ivf_index",
+    "dup_groups", "ingest_warc", "warc_pipeline", "ingest_jsonl", "ivf_index", "ivf_probe_batch",
 ]
 
 

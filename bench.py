@@ -45,7 +45,7 @@ HEADLINE = [
     "audio_dup_pairs", "video_dup_pairs",
     # r6: MJPEG/AVI container decode (real demux + JPEG entropy decode)
     # and near-dup group rollup (linear output, distinct-code CC)
-    "mjpeg_scenes", "dup_groups", "ingest_warc", "warc_pipeline", "ingest_jsonl", "ivf_index",
+    "mjpeg_scenes", "dup_groups", "ingest_warc", "warc_pipeline", "ingest_jsonl", "ivf_index", "ivf_probe_batch",
     "simhash_pairs",
 ]
 

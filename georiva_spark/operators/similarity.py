@@ -407,6 +407,65 @@ def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
             .limit(k).drop("_c"))
 
 
+def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
+                          k: int = 5, nprobe: int = 2) -> DataFrame:
+    """Batch-serve ANN queries against a :func:`ivf_index_write`
+    index: every query row (q_id, embedding) routes IN-ROW to its
+    nprobe nearest cells (argsort over the sidecar centroids inlined
+    as literals — no shuffle on the query side), the (q_id, cell)
+    fan-out broadcast-joins the partitioned index on cell, and the
+    scan carries a STATIC partition filter over the union of probed
+    cells — that union is bounded by C, so collecting it is
+    model-state scale like the centroids themselves, and the listing
+    prunes deterministically (PartitionFilters, asserted in tests;
+    Spark's dynamic pruning would need a selective build-side
+    predicate it cannot see here). Per-query top-k by exact cosine,
+    (desc cosine, vec_id) tie-break.
+
+    This is the serving shape the per-query :func:`ivf_index_probe`
+    can't reach: 10k queries cost ONE join over the probed cells, not
+    10k driver round-trips. → (q_id, vec_id, cell, cosine)."""
+    from georiva_spark.functions.vectors import cosine_similarity
+
+    rows = spark.table(f"{table}_centroids").collect()
+    cents = [list(map(float, r.embedding))
+             for r in sorted(rows, key=lambda r: r.cell)]
+    if not cents:
+        raise ValueError(f"{table!r} has no centroid sidecar")
+
+    def l2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in cvec]),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[F.struct(l2(cents[i]).alias("d"),
+                               F.lit(i).alias("c"))
+                      for i in range(len(cents))])
+    cells = F.transform(F.slice(F.array_sort(dists), 1, nprobe),
+                        lambda s: s["c"])
+    probed = (queries.select("q_id",
+                             F.col("embedding").alias("qe"),
+                             F.explode(cells).alias("cell")))
+    # bounded by C: the probed-cell union is model-state scale
+    live_cells = sorted({r.cell for r in
+                         probed.select("cell").distinct().collect()})
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    cand = (spark.table(table)
+            .where(F.col("cell").isin(live_cells))
+            .join(F.broadcast(probed), "cell")
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", "cell", cos.alias("_c")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (cand.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select("q_id", "vec_id",
+                    F.col("cell").cast("long").alias("cell"),
+                    F.round("_c", 4).alias("cosine")))
+
+
 def semdedup(emb: DataFrame, n_clusters: int = 8,
              threshold: float = 0.97) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the

@@ -780,6 +780,67 @@ def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       nprobe=2, exclude_vec_id=0)
 
 
+def q_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving against the persistent IVF index (r6): three
+    query vectors route in-row to their nprobe cells, ONE broadcast
+    join against the cell-partitioned index answers all of them, and
+    the scan's static partition filter covers only the probed-cell
+    union. Same closed-form arithmetic as knn_ivf, so the oracle
+    replays assignment, per-query cell pick, and the ranked cosines."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    similarity.ivf_index_write(emb, "t_ivfidxb", os.path.join(d, "idxb"),
+                               n_centroids=8)
+    queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return similarity.ivf_index_probe_batch(spark, "t_ivfidxb", queries,
+                                            k=5, nprobe=2)
+
+
+SQL_IVF_PROBE_BATCH = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+dist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+probe AS (SELECT vec_id AS q_id, c AS cell FROM dist
+          WHERE vec_id IN (0, 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c) <= 2),
+qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT p.q_id, a.vec_id, a.cell,
+    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i)) AS dot,
+    SQRT((SELECT SUM(CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS na,
+    SQRT((SELECT SUM(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS nb
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell
+  JOIN qs ON qs.q_id = p.q_id
+  WHERE e.vec_id <> p.q_id)
+SELECT q_id, vec_id, cell, ROUND(dot / (na * nb), 4) AS cosine
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY dot / (na * nb) DESC, vec_id) <= 5
+"""
+
+
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ probe with pinned coarse centroids AND pinned product-
     quantization codebooks — cell assignment, per-subspace sub-code
@@ -4270,6 +4331,7 @@ EXT_QUERIES = {
     "warc_pipeline": q_warc_pipeline,
     "ingest_jsonl": q_ingest_jsonl,
     "ivf_index": q_ivf_index,
+    "ivf_probe_batch": q_ivf_probe_batch,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -4377,6 +4439,7 @@ EXT_ORACLES = {
     "warc_pipeline": SQL_WARC_PIPELINE,
     "ingest_jsonl": SQL_INGEST_JSONL,
     "ivf_index": SQL_KNN_IVF,
+    "ivf_probe_batch": SQL_IVF_PROBE_BATCH,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,

@@ -411,3 +411,16 @@ def test_ivf_index_probe_partition_pruning(spark):
     assert "cell" in pf                      # pruned at listing time
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys
+
+
+def test_ivf_probe_batch_static_pruning_one_join(spark):
+    """Batch ANN serving: one broadcast join answers every query, and
+    the index scan's PartitionFilters cover only the probed-cell
+    union — never the whole corpus, never a cartesian."""
+    plan = _plan(QUERIES["ivf_probe_batch"](spark, SF))
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "t_ivfidxb" in ln][0]
+    assert "cell" in scan.split("PartitionFilters:", 1)[1].split("]")[0]
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
