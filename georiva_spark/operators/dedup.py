@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from georiva_spark.operators.textops import portable_hash64, tokens
 
@@ -240,8 +240,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     identical), and convergence is detected by an edge-set checksum, a
     single tiny action per round.
     """
-    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
-                          F.col(b_col).cast("long").alias("v"))
+    # long node ids shuffle as 8-byte keys; STRING node ids pass
+    # through uncast (hamming_groups' collision-free md5 surrogates —
+    # min/greatest/least are deterministic on strings and the
+    # component label is only ever a grouping key)
+    from pyspark.sql.types import StringType
+    cast_to = (pairs.schema[a_col].dataType
+               if isinstance(pairs.schema[a_col].dataType, StringType)
+               else "long")
+    edges = (pairs.select(F.col(a_col).cast(cast_to).alias("u"),
+                          F.col(b_col).cast(cast_to).alias("v"))
              .where(F.col("u") != F.col("v")))
     edges = (edges.select(F.greatest("u", "v").alias("u"),
                           F.least("u", "v").alias("v")).distinct()
@@ -359,7 +367,8 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
                   max_hamming: int = 3, bits: int = 64,
                   out_a: str = "id_a", out_b: str = "id_b",
                   word_bits: int = 56,
-                  distinct_codes: bool = False) -> DataFrame:
+                  distinct_codes: bool = False,
+                  max_exact_group: int | None = None) -> DataFrame:
     """Generic pigeonhole Hamming-pair mining over ANY code column —
     a single long (SimHash text codes, image dHashes) or an
     array<long> of non-negative ``word_bits``-bit words for codes
@@ -387,7 +396,21 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
     cartesian product in disguise at web scale).
     ``distinct_codes=True`` declares the input one-row-per-distinct-
     code (skips the pre-banding distinct — hamming_groups' case).
-    Returns (out_a, out_b, hamming), a < b."""
+
+    QUADRATIC-OUTPUT HAZARD: the pair CONTRACT is inherently quadratic
+    inside an identical-code group — M items sharing one code (black
+    frames, silence clips) owe M·(M−1)/2 within-pairs regardless of
+    how candidates are mined, so a 10 M-member group means 5·10¹³
+    output rows. If the downstream decision is keep-one-drop-rest, use
+    :func:`hamming_groups` (linear: per-item group labels, no pair
+    list). ``max_exact_group`` is the named guard: when set, any
+    exact-code group larger than it raises at execution time instead
+    of silently expanding.
+
+    An id may carry several codes (unioned shards, re-encodes): pairs
+    are deduplicated on (a, b) keeping the MINIMUM Hamming distance
+    across the id pair's code pairs, and an id never pairs with
+    itself. Returns (out_a, out_b, hamming), a < b."""
     from pyspark.sql.types import ArrayType
 
     from georiva_spark.operators._retention import persist_bounded
@@ -474,11 +497,32 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
                   .where(F.col("hamming") <= max_hamming)
                   .distinct())
 
+    if max_exact_group is not None:
+        # named guard against an accidental quadratic expansion: the
+        # group-size count rides the (already persisted) code table
+        # through one window, and the within-join's constant raises by
+        # name the moment an oversized group would start expanding
+        gw = Window.partitionBy(code_col)
+        codes = codes.withColumn("__gsz", F.count(F.lit(1)).over(gw))
+        grd = F.when(
+            F.col("l.__gsz") <= max_exact_group, F.lit(0)) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit("hamming_pairs: an exact-code group has "),
+                F.col("l.__gsz").cast("string"),
+                F.lit(f" members (> max_exact_group={max_exact_group})"
+                      " — its pair expansion is quadratic; use "
+                      "hamming_groups for keep-one dedup"))))
+    else:
+        grd = F.lit(0)
+
     ida = codes.select(F.col(code_col).alias("__ca"),
                        F.col(id_col).alias("__ia"))
     idb = codes.select(F.col(code_col).alias("__cb"),
                        F.col(id_col).alias("__ib"))
+    # an id carrying two near codes must not self-pair; the same id
+    # pair reachable via several code pairs keeps its minimum Hamming
     cross = (code_pairs.join(ida, "__ca").join(idb, "__cb")
+             .where(F.col("__ia") != F.col("__ib"))
              .select(F.least("__ia", "__ib").alias(out_a),
                      F.greatest("__ia", "__ib").alias(out_b),
                      F.col("hamming").cast("int").alias("hamming")))
@@ -486,8 +530,10 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
               .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
               .select(F.col(f"l.{id_col}").alias(out_a),
                       F.col(f"r.{id_col}").alias(out_b),
-                      F.lit(0).cast("int").alias("hamming")))
-    return cross.unionByName(within)
+                      (F.lit(0) + grd).cast("int").alias("hamming")))
+    return (cross.unionByName(within)
+            .groupBy(out_a, out_b)
+            .agg(F.min("hamming").cast("int").alias("hamming")))
 
 
 def hamming_groups(codes: DataFrame, id_col: str, code_col: str,
@@ -519,12 +565,15 @@ def hamming_groups(codes: DataFrame, id_col: str, code_col: str,
         codes.select(id_col, code_col).where(F.col(code_col).isNotNull()),
         "hamming_groups.codes")
     # near pairs among DISTINCT codes (linear in the code space, not in
-    # items) need a LONG surrogate id per code for the CC node space:
-    # a long code is its own surrogate (bijective, oracle-trivial); an
-    # array code hashes its canonical "[w0, w1]" string through the
-    # md5-derived portable hash (DuckDB-replayable, 2^60 space).
+    # items) need a surrogate id per code for the CC node space: a long
+    # code is its own surrogate (bijective, oracle-trivial); an array
+    # code uses the FULL 128-bit md5 of its canonical "[w0, w1]" string
+    # — collision-free at web scale (a 60-bit hash goes birthday-bound
+    # at ~2^30 distinct codes, and a collision silently merges two
+    # unrelated components). CC propagates string nodes uncast; the
+    # component label is internal, so no oracle sees the surrogate.
     if isinstance(codes.schema[code_col].dataType, ArrayType):
-        cid = portable_hash64(F.col(code_col).cast("string"))
+        cid = F.md5(F.col(code_col).cast("string").cast("binary"))
     else:
         cid = F.col(code_col)
     dc = codes.select(code_col).distinct()
@@ -775,11 +824,17 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
     B×n_buckets files — the classic small-files tax. Compaction
     re-materializes both tables with the SAME bucket spec into a fresh
     ``path`` (no signature is recomputed — this is a pure layout
-    rewrite), swaps the catalog entries, and re-stamps the signature
-    parameters. The old data directories are left for the caller to
-    retire (the swap is atomic at the catalog level; a reader mid-swap
-    sees the old or the new table, never a mix)."""
-    from georiva_spark.sources.bucketing import write_bucketed
+    rewrite), stamps the signature parameters on the staged tables,
+    then swaps each catalog entry via
+    :func:`~georiva_spark.sources.bucketing.atomic_swap_table`
+    (rename-out / rename-in / drop-old). Each catalog statement is
+    atomic; the SEQUENCE is not — but every intermediate state leaves
+    a probeable, param-stamped table under some name, and a crash is
+    recovered by renaming the surviving ``_compact``/``_old`` table
+    back (see atomic_swap_table). Old data directories are the
+    caller's to retire."""
+    from georiva_spark.sources.bucketing import (atomic_swap_table,
+                                                 write_bucketed)
 
     p = minhash_index_params(spark, table)
     write_bucketed(spark.table(f"{table}_bands"),
@@ -788,16 +843,16 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
     write_bucketed(spark.table(f"{table}_sigs"),
                    f"{table}_sigs_compact", "doc_id",
                    p["n_buckets"], f"{path}/sigs", sort=False)
-    for suffix in ("bands", "sigs"):
-        spark.sql(f"DROP TABLE {table}_{suffix}")
-        spark.sql(f"ALTER TABLE {table}_{suffix}_compact "
-                  f"RENAME TO {table}_{suffix}")
+    # stamp BEFORE the swap: a probe that lands on the staged table at
+    # any intermediate state must already see valid parameters
     spark.sql(
-        f"ALTER TABLE {table}_bands SET TBLPROPERTIES ("
+        f"ALTER TABLE {table}_bands_compact SET TBLPROPERTIES ("
         f"'georiva.num_hashes'='{p['num_hashes']}', "
         f"'georiva.bands'='{p['bands']}', 'georiva.n'='{p['n']}', "
         f"'georiva.n_buckets'='{p['n_buckets']}', "
         f"'georiva.text_col'='{p['text_col']}')")
+    for suffix in ("bands", "sigs"):
+        atomic_swap_table(spark, f"{table}_{suffix}")
 
 
 def minhash_index_probe(new_docs: DataFrame, table: str,

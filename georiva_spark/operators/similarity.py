@@ -317,9 +317,10 @@ def _argmin_cell(cents: list[list[float]]):
 
 
 def ivf_index_write(emb: DataFrame, table: str, path: str,
-                    n_centroids: int = 8) -> None:
+                    n_centroids: int = 8, train_iters: int = 0,
+                    seed_ids: list[int] | None = None) -> None:
     """Materialize a PERSISTENT IVF ANN index — the storage layout
-    knn_ivf_pinned's docstring promises: the pinned-quantizer cell
+    knn_ivf_pinned's docstring promises: the quantizer cell
     assignment (in-row argmin over literal centroids, zero shuffle on
     the corpus) written PARTITIONED BY cell, plus a bounded
     ``{table}_centroids`` sidecar (cell, embedding). A probe then
@@ -327,8 +328,30 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
     time (PartitionFilters in the scan, plan-asserted in tests) — so
     repeated queries pay the assignment once and read nprobe/C of the
     corpus. At 100 TB with C=4096 cells, a 2-probe query touches
-    ~0.05% of the data."""
-    cents = _pinned_cents(emb, n_centroids)
+    ~0.05% of the data.
+
+    Quantizer choice — ``train_iters`` (the 100-TB knob):
+
+    - ``train_iters=0`` (default): deterministic hash-order SAMPLE
+      centroids (:func:`_pinned_cents`). Exact, SQL-replayable, fine
+      for uniformly scattered vectors — but real embedding corpora
+      are CLUSTERED by construction, and sampled centroids then give
+      unbalanced cells: one hot cell can absorb a large corpus
+      fraction, and every probe routed there reads that fraction
+      instead of ~1/C, defeating the layout.
+    - ``train_iters>0``: run :func:`kmeans_centroids` Lloyd rounds
+      first (same deterministic seeds/tie-breaks, still
+      SQL-replayable). On a 16-blob clustered 500 k-vector corpus the
+      max-cell/mean-cell balance ratio drops from ~8 (sampled) to ~1
+      (trained) — see SCALE.md's clustered-quantizer smoke.
+
+    The quantizer parameters are stamped as TBLPROPERTIES so probes
+    and appends can validate what they are joining against."""
+    if train_iters > 0:
+        cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
+                                 seed_ids=seed_ids)
+    else:
+        cents = _pinned_cents(emb, n_centroids)
     assigned = emb.withColumn("cell", _argmin_cell(cents))
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
@@ -338,6 +361,10 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
     (cdf.write.mode("overwrite").format("parquet")
      .option("path", f"{path}_centroids")
      .saveAsTable(f"{table}_centroids"))
+    emb.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'georiva.n_centroids'='{n_centroids}', "
+        f"'georiva.train_iters'='{train_iters}')")
 
 
 def ivf_index_append(emb: DataFrame, table: str) -> None:
@@ -365,15 +392,21 @@ def ivf_index_compact(spark, table: str, path: str) -> None:
     partitions; after many deltas a probe opens one file per append
     per probed cell. Re-materialize one file per cell (repartition on
     the partition column, pure layout rewrite — no re-assignment),
-    swap the catalog entry; the centroid sidecar is untouched. Old
-    data directories are the caller's to retire."""
+    then swap the catalog entry via
+    :func:`~georiva_spark.sources.bucketing.atomic_swap_table`
+    (rename-out / rename-in / drop-old): each statement is atomic, the
+    sequence is not, but every intermediate state leaves a probeable
+    table under some name and a crash is recovered by renaming the
+    surviving ``_compact``/``_old`` back. The centroid sidecar is
+    untouched. Old data directories are the caller's to retire."""
+    from georiva_spark.sources.bucketing import atomic_swap_table
+
     cur = spark.table(table)
     (cur.repartition("cell")
      .write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path)
      .saveAsTable(f"{table}_compact"))
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {table}_compact RENAME TO {table}")
+    atomic_swap_table(spark, table)
 
 
 def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
@@ -408,24 +441,52 @@ def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
 
 
 def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
-                          k: int = 5, nprobe: int = 2) -> DataFrame:
+                          k: int = 5, nprobe: int = 2,
+                          exclude_self: bool = False,
+                          max_broadcast_queries: int = 10_000
+                          ) -> DataFrame:
     """Batch-serve ANN queries against a :func:`ivf_index_write`
     index: every query row (q_id, embedding) routes IN-ROW to its
     nprobe nearest cells (argsort over the sidecar centroids inlined
     as literals — no shuffle on the query side), the (q_id, cell)
-    fan-out broadcast-joins the partitioned index on cell, and the
-    scan carries a STATIC partition filter over the union of probed
-    cells — that union is bounded by C, so collecting it is
-    model-state scale like the centroids themselves, and the listing
-    prunes deterministically (PartitionFilters, asserted in tests;
-    Spark's dynamic pruning would need a selective build-side
-    predicate it cannot see here). Per-query top-k by exact cosine,
+    fan-out joins the partitioned index on cell, and the scan carries
+    a STATIC partition filter over the union of probed cells — that
+    union is bounded by C, so collecting it is model-state scale like
+    the centroids themselves, and the listing prunes
+    deterministically (PartitionFilters, asserted in tests; Spark's
+    dynamic pruning would need a selective build-side predicate it
+    cannot see here). Per-query top-k by exact cosine,
     (desc cosine, vec_id) tie-break.
+
+    The fan-out is PERSISTED before the probed-cell union is
+    collected, so the query-side routing executes exactly once — a
+    non-deterministic ``queries`` frame cannot route to one cell set
+    in the static filter and another in the join (which would
+    silently drop candidates).
+
+    Broadcast gate (the 100×-scale rule; same pattern as the zonal
+    mask gate, operators/zonal.py): batches up to
+    ``max_broadcast_queries`` broadcast the fan-out — ONE
+    shuffle-free join answers the whole batch. A larger backlog
+    (50 M queries streamed through one call) would OOM an executor as
+    a broadcast, so past the gate the join runs as a shuffle join on
+    cell instead — both plan shapes asserted in tests. At production
+    C (≥4096) the cell key distributes the shuffle; tiny-C indexes
+    should keep batches under the gate.
+
+    ``exclude_self`` (opt-in): drop candidates whose vec_id equals
+    the query's q_id — only meaningful when q_ids share the corpus
+    id space (corpus-internal dedup probes). External query batches
+    must leave it False: a q_id that happens to collide with an
+    unrelated vec_id would silently lose that valid neighbor.
 
     This is the serving shape the per-query :func:`ivf_index_probe`
     can't reach: 10k queries cost ONE join over the probed cells, not
     10k driver round-trips. → (q_id, vec_id, cell, cosine)."""
+    from pyspark import StorageLevel
+
     from georiva_spark.functions.vectors import cosine_similarity
+    from georiva_spark.operators._retention import persist_bounded
 
     rows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
@@ -446,24 +507,195 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
                       for i in range(len(cents))])
     cells = F.transform(F.slice(F.array_sort(dists), 1, nprobe),
                         lambda s: s["c"])
-    probed = (queries.select("q_id",
-                             F.col("embedding").alias("qe"),
-                             F.explode(cells).alias("cell")))
-    # bounded by C: the probed-cell union is model-state scale
+    probed = persist_bounded(
+        queries.select("q_id", F.col("embedding").alias("qe"),
+                       F.explode(cells).alias("cell")),
+        "ivf_index_probe_batch.probed", StorageLevel.MEMORY_AND_DISK)
+    # one count serves both the gate and the size check; the fan-out
+    # is exactly nprobe rows per query
+    n_fanout = probed.count()
+    # bounded by C: the probed-cell union is model-state scale, read
+    # from the PERSISTED fan-out (routing computed once)
     live_cells = sorted({r.cell for r in
                          probed.select("cell").distinct().collect()})
+    build = (F.broadcast(probed)
+             if n_fanout <= max_broadcast_queries * nprobe
+             else probed)
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     cand = (spark.table(table)
             .where(F.col("cell").isin(live_cells))
-            .join(F.broadcast(probed), "cell")
-            .where(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", "cell", cos.alias("_c")))
+            .join(build, "cell"))
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("q_id"))
+    cand = cand.select("q_id", "vec_id", "cell", cos.alias("_c"))
     w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
     return (cand.withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") <= k)
             .select("q_id", "vec_id",
                     F.col("cell").cast("long").alias("cell"),
                     F.round("_c", 4).alias("cosine")))
+
+
+def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
+                       n_centroids: int = 8, m: int = 8, nbits: int = 4,
+                       train_iters: int = 0,
+                       seed_ids: list[int] | None = None) -> None:
+    """PQ-COMPRESSED persistent IVF index — the memory-bound variant
+    of :func:`ivf_index_write`: instead of storing raw
+    ``array<double>`` embeddings (at 100 TB the float index is as
+    large as the corpus), each vector stores ONE packed long of
+    ``m`` sub-codes (``m·nbits`` bits), PARTITIONED BY cell. The
+    measured on-disk ratio vs the float index is ~40× at 64-dim
+    doubles (SCALE.md smoke) — the difference between an in-memory
+    probe and an I/O-bound one.
+
+    Layout: ``{table}`` (vec_id, pq_code, cell) partitioned by cell;
+    ``{table}_centroids`` (cell, embedding) — the coarse quantizer
+    sidecar, C rows; ``{table}_codebook`` (code, embedding) — the
+    PQ codeword sidecar, 2^nbits rows of the ACTUAL codeword vectors
+    (pinned hash-order corpus rows, knn_ivf_pq's rule), so probes
+    are self-contained and never depend on the pinning rule.
+    ``m``/``nbits``/quantizer provenance are stamped as
+    TBLPROPERTIES and validated at probe time.
+
+    Encoding is an IN-ROW argmin per subspace over codeword literals
+    (zero shuffle, one corpus scan, whole-stage codegen), exactly
+    :func:`knn_ivf_pq`'s arithmetic — so a probe of this index
+    matches knn_ivf_pq's answer bit-for-bit and the same SQL oracle
+    replays it. Sub-codes pack little-end-first:
+    ``pq_code = Σ_s code_s << (s·nbits)``; ``m·nbits`` must stay
+    ≤ 62 (the sub-64-bit packing convention — DuckDB's ``1 << p``
+    overflows at 63)."""
+    if m * nbits > 62:
+        raise ValueError(
+            f"ivf_pq_index_write: m={m} × nbits={nbits} = {m * nbits} "
+            f"bits does not fit one signed long (≤ 62); lower m or "
+            f"nbits, or shard the code into words")
+    ncw = 1 << nbits
+    n = emb.count()
+    if train_iters > 0:
+        cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
+                                 seed_ids=seed_ids)
+    else:
+        cents = _pinned_cents(emb, n_centroids)
+    # PQ codebook: pinned codeword rows (same rule as knn_ivf_pq so
+    # the in-memory and persistent variants agree bit-for-bit)
+    step2 = max(1, n // ncw)
+    cwids = [j * step2 + step2 // 3 for j in range(ncw)]
+    cmap = {r.vec_id: [float(v) for v in r.embedding]
+            for r in emb.where(F.col("vec_id").isin(cwids))
+                        .select("vec_id", "embedding").collect()}
+    missing = [c for c in cwids if c not in cmap]
+    if missing:
+        raise ValueError(
+            f"pinned-codebook rows {missing} absent from the corpus — "
+            f"PQ pinning needs dense vec_ids 0..N-1")
+    cb = [cmap[c] for c in cwids]
+    dim = len(cb[0])
+    if dim % m:
+        raise ValueError(
+            f"ivf_pq_index_write: dim={dim} not divisible by m={m}")
+    sub = dim // m
+
+    def sub_l2(s: int, j: int):
+        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
+        lits = F.array(*[F.lit(v) for v in cb[j][s * sub:(s + 1) * sub]])
+        return F.aggregate(
+            F.zip_with(seg, lits,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    codes = [F.array_min(F.array(*[
+        F.struct(sub_l2(s, j).alias("d"), F.lit(j).alias("c"))
+        for j in range(ncw)]))["c"] for s in range(m)]
+    packed = None
+    for s in range(m):
+        term = F.shiftleft(codes[s].cast("long"), s * nbits)
+        packed = term if packed is None else packed + term
+
+    assigned = (emb.withColumn("cell", _argmin_cell(cents))
+                .select("vec_id", packed.alias("pq_code"), "cell"))
+    (assigned.write.mode("overwrite").format("parquet")
+     .partitionBy("cell").option("path", path).saveAsTable(table))
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, embedding array<double>")
+    (cdf.write.mode("overwrite").format("parquet")
+     .option("path", f"{path}_centroids")
+     .saveAsTable(f"{table}_centroids"))
+    cbdf = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cb)],
+        "code int, embedding array<double>")
+    (cbdf.write.mode("overwrite").format("parquet")
+     .option("path", f"{path}_codebook")
+     .saveAsTable(f"{table}_codebook"))
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'georiva.n_centroids'='{n_centroids}', "
+        f"'georiva.train_iters'='{train_iters}', "
+        f"'georiva.pq_m'='{m}', 'georiva.pq_nbits'='{nbits}')")
+
+
+def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
+                       nprobe: int = 2,
+                       exclude_vec_id: int | None = None) -> DataFrame:
+    """Probe a :func:`ivf_pq_index_write` index → top-k
+    (vec_id, adc_dist), approximate L2² ascending — FAISS IVFPQ's
+    serving shape. Cell selection is driver-side over the C-row
+    centroid sidecar; the scan carries the ``cell IN (...)`` partition
+    filter (file-listing pruning); scoring is an ADC lookup — the
+    per-subspace query↔codeword distance table (m × 2^nbits doubles,
+    computed driver-side from the codebook sidecar) ships as literals
+    and each row's score is m ``element_at`` picks on its unpacked
+    sub-codes. The scan never touches a float embedding: it reads
+    (vec_id, pq_code) only — the ~40× I/O reduction is the point.
+    ``m``/``nbits`` come from the stamp (a probe against a
+    non-PQ table fails by name)."""
+    import numpy as np
+
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    try:
+        m = int(props["georiva.pq_m"])
+        nbits = int(props["georiva.pq_nbits"])
+    except KeyError as e:
+        raise ValueError(
+            f"{table!r} is not a stamped ivf_pq index "
+            f"(missing property {e})") from None
+    ncw = 1 << nbits
+
+    cents = {int(r.cell): np.asarray(r.embedding, dtype=np.float64)
+             for r in spark.table(f"{table}_centroids").collect()}
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    order = sorted((float(((c - q) ** 2).sum()), cell)
+                   for cell, c in cents.items())
+    probe_cells = [cell for _, cell in order[:nprobe]]
+
+    cb = {int(r.code): np.asarray(r.embedding, dtype=np.float64)
+          for r in spark.table(f"{table}_codebook").collect()}
+    dim = len(cb[0])
+    sub = dim // m
+    qd = [[float(((q[s * sub:(s + 1) * sub]
+                   - cb[j][s * sub:(s + 1) * sub]) ** 2).sum())
+           for j in range(ncw)] for s in range(m)]
+
+    adc = None
+    for s in range(m):
+        code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
+                  .bitwiseAND(F.lit(ncw - 1)).cast("int"))
+        term = F.element_at(F.array(*[F.lit(v) for v in qd[s]]),
+                            code_s + 1)
+        adc = term if adc is None else adc + term
+
+    scan = spark.table(table).where(F.col("cell").isin(probe_cells))
+    if exclude_vec_id is not None:
+        scan = scan.where(F.col("vec_id") != exclude_vec_id)
+    return (scan.select("vec_id", F.round(adc, 6).alias("adc_dist"),
+                        adc.alias("_d"))
+            .orderBy(F.asc("_d"), F.asc("vec_id"))
+            .limit(k).drop("_d"))
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,
@@ -655,33 +887,16 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
             .limit(k))
 
 
-def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
-               seed_ids: list[int] | None = None) -> DataFrame:
-    """Distributed Lloyd's k-means over an embedding column → final
-    cluster assignment (vec_id, cluster) after ``iters`` centroid
-    updates. This is the TRAINING pass the IVF/SemDeDup quantizers
-    assume was "trained elsewhere" (reference analog: the clustering
-    stage of arXiv:2303.09540 §2; Spark MLlib's KMeans is the library
-    shape but its init/tie-breaks aren't reproducible across engines —
-    this one is exact closed-form arithmetic end-to-end).
-
-    Determinism: init picks the k corpus rows with the smallest
-    (md5(vec_id), vec_id) — a deterministic hash-order sample that
-    works on ANY id space (sparse, negative, non-contiguous) and that
-    an external SQL engine replays verbatim (md5 of the decimal id
-    string is engine-independent); seed rank = cluster id. Assignment
-    ties break toward the lower cluster id; empty clusters carry
-    their previous centroid; all arithmetic is double on float32
-    inputs, so the rounds replay bit-comparably (integral output —
-    no float hashing). Null embeddings never seed or assign.
-
-    Scale shape per iteration: assignment is a pure IN-ROW argmin over
-    K literal centroids (zero shuffle, one corpus scan, whole-stage
-    codegen); the update is posexplode → groupBy(cluster, dim).avg
-    whose map-side partial collapses each partition to ≤ K·d rows
-    before the exchange, and only the K·d result (bounded model state,
-    like the pinned-centroid collects above) ever reaches the driver.
-    The corpus is never collected, broadcast, or pairwise-joined."""
+def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
+                     seed_ids: list[int] | None = None
+                     ) -> list[list[float]]:
+    """The TRAINING half of :func:`kmeans_fit`: run ``iters`` Lloyd
+    rounds and return the trained centroid list — bounded model state
+    (K·d floats), never the corpus. Same determinism contract as
+    kmeans_fit (hash-order seeds on any id space, lower-cluster tie
+    break, empty-cluster carryover, double arithmetic); split out so
+    :func:`ivf_index_write` can train its quantizer with the exact
+    arithmetic an external SQL engine replays."""
     corpus = emb.where(F.col("embedding").isNotNull())
     if seed_ids is not None:
         # explicit pinned seeds (callers that know the data layout,
@@ -712,23 +927,10 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
                 f"embeddings, found {len(seeds)}")
         cents = [[float(v) for v in r.embedding] for r in seeds]
 
-    def l2(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    def argmin(cs):
-        return F.array_min(F.array(*[
-            F.struct(l2(cs[i]).alias("d"), F.lit(i).alias("c"))
-            for i in range(k)]))["c"]
-
     for _ in range(iters):
         # withColumn-then-select: a Generate (posexplode) in the same
         # select drops the struct field aliases inside the argmin
-        means = (corpus.withColumn("cluster", argmin(cents))
+        means = (corpus.withColumn("cluster", _argmin_cell(cents))
                  .select("cluster",
                          F.posexplode("embedding").alias("dim", "v"))
                  .groupBy("cluster", "dim")
@@ -738,8 +940,39 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
         for r in means:
             nxt[r.cluster][r.dim] = float(r.v)
         cents = nxt
+    return cents
 
-    return corpus.select("vec_id", argmin(cents).alias("cluster"))
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               seed_ids: list[int] | None = None) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column → final
+    cluster assignment (vec_id, cluster) after ``iters`` centroid
+    updates. This is the TRAINING pass the IVF/SemDeDup quantizers
+    assume was "trained elsewhere" (reference analog: the clustering
+    stage of arXiv:2303.09540 §2; Spark MLlib's KMeans is the library
+    shape but its init/tie-breaks aren't reproducible across engines —
+    this one is exact closed-form arithmetic end-to-end).
+
+    Determinism: init picks the k corpus rows with the smallest
+    (md5(vec_id), vec_id) — a deterministic hash-order sample that
+    works on ANY id space (sparse, negative, non-contiguous) and that
+    an external SQL engine replays verbatim (md5 of the decimal id
+    string is engine-independent); seed rank = cluster id. Assignment
+    ties break toward the lower cluster id; empty clusters carry
+    their previous centroid; all arithmetic is double on float32
+    inputs, so the rounds replay bit-comparably (integral output —
+    no float hashing). Null embeddings never seed or assign.
+
+    Scale shape per iteration: assignment is a pure IN-ROW argmin over
+    K literal centroids (zero shuffle, one corpus scan, whole-stage
+    codegen); the update is posexplode → groupBy(cluster, dim).avg
+    whose map-side partial collapses each partition to ≤ K·d rows
+    before the exchange, and only the K·d result (bounded model state,
+    like the pinned-centroid collects above) ever reaches the driver.
+    The corpus is never collected, broadcast, or pairwise-joined."""
+    cents = kmeans_centroids(emb, k=k, iters=iters, seed_ids=seed_ids)
+    return (emb.where(F.col("embedding").isNotNull())
+            .select("vec_id", _argmin_cell(cents).alias("cluster")))
 
 
 def embedding_moments(emb: DataFrame, d: int) -> DataFrame:

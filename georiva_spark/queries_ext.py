@@ -797,7 +797,8 @@ def q_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
                .select(F.col("vec_id").alias("q_id"), "embedding"))
     return similarity.ivf_index_probe_batch(spark, "t_ivfidxb", queries,
-                                            k=5, nprobe=2)
+                                            k=5, nprobe=2,
+                                            exclude_self=True)
 
 
 SQL_IVF_PROBE_BATCH = """
@@ -892,6 +893,27 @@ JOIN probe p ON g.cell = p.cell
 WHERE a.vec_id <> 0
 ORDER BY a.dist, a.vec_id LIMIT 5
 """
+
+
+def q_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed PERSISTENT IVF index (r7): cells + packed
+    sub-codes + sidecar codebook materialized once, probe scans only
+    its nprobe cell partitions and scores via the ADC lookup table —
+    never touching a float embedding. Same pinned closed-form
+    arithmetic as knn_ivf_pq, so the identical SQL oracle replays
+    assignment, encoding, and the ADC ranking; equality with the
+    in-memory knn_ivf_pq answer is asserted in pytest."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    similarity.ivf_pq_index_write(emb, "t_ivfpq", os.path.join(d, "idx"),
+                                  n_centroids=8, m=8, nbits=4)
+    q = (emb.where(F.col("vec_id") == 0)
+         .select("embedding").head().embedding)
+    return similarity.ivf_pq_index_probe(spark, "t_ivfpq", q, k=5,
+                                         nprobe=2, exclude_vec_id=0)
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4354,6 +4376,7 @@ EXT_QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_pq": q_knn_ivf_pq,
+    "ivf_pq_index": q_ivf_pq_index,
     "mvt_geom": q_mvt_geom,
     "mvt_tiles": q_mvt_tiles,
     "feed_health": q_feed_health,
@@ -4461,6 +4484,7 @@ EXT_ORACLES = {
     "knn_lsh": SQL_KNN_LSH,
     "knn_ivf": SQL_KNN_IVF,
     "knn_ivf_pq": SQL_KNN_IVF_PQ,
+    "ivf_pq_index": SQL_KNN_IVF_PQ,
     "mvt_geom": SQL_MVT_GEOM,
     "mvt_tiles": SQL_MVT_TILES,
     "feed_health": SQL_FEED_HEALTH,

@@ -41,3 +41,29 @@ def write_bucketed(df: DataFrame, table: str, key: str | list[str],
 def drop_bucketed(spark: SparkSession, table: str) -> None:
     """Drop the catalog entry (external data stays at ``path``)."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def atomic_swap_table(spark: SparkSession, table: str) -> None:
+    """Swap a staged ``{table}_compact`` into place as ``{table}`` so
+    that EVERY intermediate state leaves a probeable table under SOME
+    name (rename-out / rename-in / drop-old — never drop-then-rename,
+    whose crash window strands the data under the staging name):
+
+      state 0: ``{table}`` live, ``{table}_compact`` staged
+      after 1: ``{table}_old`` live (probeable), ``_compact`` staged
+      after 2: ``{table}`` live (the new data), ``{table}_old`` retired
+      after 3: ``{table}`` live
+
+    Each ALTER/DROP is one catalog statement — atomic per statement,
+    NOT across the sequence. A reader mid-swap sees the old table, the
+    new table, or a retriable 'table not found'; never a mix of files.
+    Crash recovery: if ``{table}`` is missing, rename whichever of
+    ``{table}_compact`` / ``{table}_old`` still exists back to
+    ``{table}`` (prefer ``_compact`` — it is the newer data); the
+    leftover ``_old`` from a crashed drop is cleared up front here.
+    Callers must fully stamp TBLPROPERTIES on the ``_compact`` table
+    BEFORE calling, so every probeable state is also param-valid."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}_old")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}_old")
+    spark.sql(f"ALTER TABLE {table}_compact RENAME TO {table}")
+    spark.sql(f"DROP TABLE {table}_old")

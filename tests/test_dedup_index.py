@@ -170,3 +170,129 @@ def test_index_compact_restores_one_file_per_bucket(spark, mh_index,
     import pytest
     with pytest.raises(ValueError, match="do not match"):
         dedup.minhash_index_probe(probe_docs, mh_index, bands=8)
+
+
+def _swap_failpoints(spark, monkeypatch, failpoint):
+    """Monkeypatch spark.sql to raise at the Nth catalog-swap statement
+    (ALTER/DROP, excluding the TBLPROPERTIES stamp and SHOW)."""
+    real_sql = type(spark).sql
+    calls = {"n": 0}
+
+    def failing(self, stmt, *a, **k):
+        if (("ALTER TABLE" in stmt or "DROP TABLE" in stmt)
+                and "TBLPROPERTIES" not in stmt):
+            calls["n"] += 1
+            if calls["n"] == failpoint:
+                raise RuntimeError(f"injected crash at swap stmt "
+                                   f"{failpoint}: {stmt}")
+        return real_sql(self, stmt, *a, **k)
+
+    monkeypatch.setattr(type(spark), "sql", failing)
+    return lambda: monkeypatch.setattr(type(spark), "sql", real_sql)
+
+
+def _recover_swap(spark, table):
+    """The documented crash-recovery path (atomic_swap_table docstring):
+    if the canonical name is missing, rename the surviving _compact
+    (preferred — the newer data) or _old table back; then retire
+    leftovers. Every step is one catalog statement."""
+    names = {t.name for t in spark.catalog.listTables()}
+    if table not in names:
+        src = (f"{table}_compact" if f"{table}_compact" in names
+               else f"{table}_old")
+        assert src in names, f"no surviving table for {table}"
+        spark.sql(f"ALTER TABLE {src} RENAME TO {table}")
+        names.discard(src)
+    for leftover in (f"{table}_compact", f"{table}_old"):
+        if leftover in names:
+            spark.sql(f"DROP TABLE {leftover}")
+
+
+def test_minhash_compact_crash_leaves_probeable_index(spark, tmp_path,
+                                                      monkeypatch):
+    """Crash-atomicity of the compaction swap: inject a failure before
+    EACH of the 8 catalog statements (two atomic_swap_table calls ×
+    4 statements); at every intermediate state some table name holds a
+    probeable, param-STAMPED index (the stamp lands on _compact before
+    any swap), and the one-rename recovery restores identical probe
+    results."""
+    probe_docs = _docs(spark, [(900, BASE)])
+    # 8 swap statements; failpoint 9 = no failure (control)
+    for failpoint in range(1, 10):
+        t = f"t_mhcr{failpoint}"
+        base = _docs(spark, [(1, BASE), (2, "other text entirely here")])
+        dedup.minhash_index_write(base, t, str(tmp_path / f"i{failpoint}"),
+                                  n_buckets=4)
+        want = {(r.doc_new, r.doc_old) for r in dedup.minhash_index_probe(
+            probe_docs, t, threshold=0.4).collect()}
+        restore = _swap_failpoints(spark, monkeypatch, failpoint)
+        try:
+            if failpoint <= 8:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    dedup.minhash_index_compact(
+                        spark, t, str(tmp_path / f"c{failpoint}"))
+            else:
+                dedup.minhash_index_compact(
+                    spark, t, str(tmp_path / f"c{failpoint}"))
+        finally:
+            restore()
+        # at every failpoint, BOTH halves survive under some name,
+        # param-valid (the _compact stamp precedes every swap stmt)
+        for suffix in ("bands", "sigs"):
+            names = {x.name for x in spark.catalog.listTables()}
+            assert {f"{t}_{suffix}", f"{t}_{suffix}_compact",
+                    f"{t}_{suffix}_old"} & names
+            _recover_swap(spark, f"{t}_{suffix}")
+        p = dedup.minhash_index_params(spark, t)
+        assert p["num_hashes"] == 64 and p["n_buckets"] == 4
+        got = {(r.doc_new, r.doc_old) for r in dedup.minhash_index_probe(
+            probe_docs, t, threshold=0.4).collect()}
+        assert got == want
+        for suffix in ("bands", "sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{suffix}")
+
+
+def test_ivf_compact_crash_leaves_probeable_index(spark, tmp_path,
+                                                  monkeypatch):
+    """Same crash-atomicity contract for the IVF index compaction: a
+    failure before each of the 4 swap statements leaves the corpus
+    probeable under some name, and the rename recovery restores
+    identical probe results (centroid sidecar untouched throughout)."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(v) for v in rng.normal(size=4)]) for i in range(24)]
+    q = rows[0][1]
+    for failpoint in range(1, 6):          # 4 stmts; 5 = control
+        t = f"t_ivfcr{failpoint}"
+        emb = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        similarity.ivf_index_write(emb, t, str(tmp_path / f"v{failpoint}"),
+                                   n_centroids=2)
+        similarity.ivf_index_append(
+            spark.createDataFrame(rows[:4],
+                                  "vec_id long, embedding array<double>")
+            .withColumn("vec_id", F.col("vec_id") + 100), t)
+        want = {(r.vec_id, r.cosine) for r in similarity.ivf_index_probe(
+            spark, t, q, k=3, nprobe=2).collect()}
+        restore = _swap_failpoints(spark, monkeypatch, failpoint)
+        try:
+            if failpoint <= 4:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    similarity.ivf_index_compact(
+                        spark, t, str(tmp_path / f"vc{failpoint}"))
+            else:
+                similarity.ivf_index_compact(
+                    spark, t, str(tmp_path / f"vc{failpoint}"))
+        finally:
+            restore()
+        names = {x.name for x in spark.catalog.listTables()}
+        assert {t, f"{t}_compact", f"{t}_old"} & names
+        _recover_swap(spark, t)
+        got = {(r.vec_id, r.cosine) for r in similarity.ivf_index_probe(
+            spark, t, q, k=3, nprobe=2).collect()}
+        assert got == want
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")

@@ -1225,6 +1225,56 @@ def test_hamming_pairs_duplicate_input_rows_not_doubled(spark):
     assert got == [(1, 2, 0)]              # emitted once, not per copy
 
 
+def test_hamming_pairs_multi_code_per_id(spark):
+    """An id carrying TWO distinct codes within max_hamming (unioned
+    shards, re-encodes) must not pair with itself, and an id pair
+    reachable through several code pairs collapses to ONE row with the
+    minimum Hamming distance."""
+    df = spark.createDataFrame(
+        [(1, 0b0000), (1, 0b0001),          # id 1 twice, codes 1 apart
+         (2, 0b0001), (2, 0b0011),          # id 2 twice, overlaps id 1
+         (3, 0x5A5A5A5A)],                  # far away (16 bits set)
+        "id long, code long")
+    rows = dedup.hamming_pairs(df, "id", "code", max_hamming=2).collect()
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in rows)
+    # no self-pairs, one row per id pair, min-hamming kept:
+    # (1,2) reachable via (0000,0001)=1, (0000,0011)=2, (0001,0001)=0,
+    # (0001,0011)=1 → hamming 0
+    assert got == [(1, 2, 0)]
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_hamming_pairs_max_exact_group_guard(spark):
+    """The named quadratic-expansion guard: an exact-code group larger
+    than max_exact_group raises by name instead of silently emitting
+    M²/2 pairs; under the cap the output is unchanged."""
+    rows = [(i, 0b1010) for i in range(5)] + [(9, 0b1000)]
+    df = spark.createDataFrame(rows, "id long, code long")
+    ok = sorted((r.id_a, r.id_b, r.hamming)
+                for r in dedup.hamming_pairs(
+                    df, "id", "code", max_hamming=2,
+                    max_exact_group=5).collect())
+    assert len(ok) == 15 and (0, 9, 1) in ok
+    with pytest.raises(Exception, match="max_exact_group"):
+        dedup.hamming_pairs(df, "id", "code", max_hamming=2,
+                            max_exact_group=4).collect()
+
+
+def test_hamming_groups_array_surrogate_collision_free(spark):
+    """Array-code CC nodes use the full 128-bit md5 surrogate (not a
+    60-bit hash): distinct codes must map to distinct groups."""
+    w = lambda v: [v & ((1 << 56) - 1), v >> 56]
+    df = spark.createDataFrame(
+        [(1, w(0)), (2, w(1 << 90)), (3, w(0))],
+        "id long, code array<long>")
+    got = {r.id: (r.group_id, r.group_size, r.exact_size)
+           for r in dedup.hamming_groups(df, "id", "code",
+                                         max_hamming=0,
+                                         bits=112).collect()}
+    assert got[1] == (1, 2, 2) and got[3] == (1, 2, 2)
+    assert got[2] == (2, 1, 1)
+
+
 def test_jsonl_corpus_roundtrip_and_failfast(spark, tmp_path):
     from georiva_spark.sources.tables import (read_jsonl_corpus,
                                               write_jsonl_corpus)
@@ -1337,3 +1387,60 @@ def test_ivf_index_compact_preserves_probe(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_ivfc_ut")
         spark.sql("DROP TABLE IF EXISTS t_ivfc_ut_compact")
         spark.sql("DROP TABLE IF EXISTS t_ivfc_ut_centroids")
+
+
+def test_ivf_pq_index_matches_in_memory_pq(spark, tmp_path):
+    """The PQ-compressed persistent index returns EXACTLY the
+    in-memory knn_ivf_pq answer (same pinned quantizer + codebook,
+    same ADC arithmetic), and its probe scan reads ONLY
+    (vec_id, pq_code) from the probed cell partitions — never a float
+    embedding."""
+    rng = np.random.default_rng(53)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 25, axis=0)
+            + rng.normal(scale=0.3, size=(100, 8))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]], 0) for i in range(100)],
+        "vec_id long, embedding array<float>, label int")
+    want = [(r.vec_id, r.adc_dist) for r in
+            similarity.knn_ivf_pq(emb, query_vec_id=0, k=5,
+                                  n_centroids=4, nprobe=2,
+                                  m=4, nbits=3).collect()]
+    similarity.ivf_pq_index_write(emb, "t_pq_ut", str(tmp_path / "pq"),
+                                  n_centroids=4, m=4, nbits=3)
+    try:
+        out = similarity.ivf_pq_index_probe(
+            spark, "t_pq_ut", [float(v) for v in vecs[0]],
+            k=5, nprobe=2, exclude_vec_id=0)
+        got = [(r.vec_id, r.adc_dist) for r in out.collect()]
+        assert got == want
+        plan = out._jdf.queryExecution().toString()
+        scan = [ln for ln in plan.splitlines()
+                if "FileScan" in ln and "t_pq_ut" in ln
+                and "codebook" not in ln and "centroids" not in ln][0]
+        assert "cell" in scan.split("PartitionFilters:", 1)[1].split("]")[0]
+        read = scan.split("ReadSchema:", 1)[1]
+        assert "embedding" not in read and "pq_code" in read
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pq_ut")
+        spark.sql("DROP TABLE IF EXISTS t_pq_ut_centroids")
+        spark.sql("DROP TABLE IF EXISTS t_pq_ut_codebook")
+
+
+def test_ivf_pq_index_named_guards(spark, tmp_path):
+    """Over-wide packing (m·nbits > 62) and probes against unstamped
+    tables fail by name, not with garbage codes."""
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="does not fit one signed long"):
+        similarity.ivf_pq_index_write(emb, "t_pqg", str(tmp_path / "g"),
+                                      m=8, nbits=8)
+    similarity.ivf_index_write(emb, "t_pqg2", str(tmp_path / "g2"),
+                               n_centroids=2)
+    try:
+        with pytest.raises(ValueError, match="not a stamped ivf_pq"):
+            similarity.ivf_pq_index_probe(spark, "t_pqg2", [0.0] * 8)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pqg2")
+        spark.sql("DROP TABLE IF EXISTS t_pqg2_centroids")

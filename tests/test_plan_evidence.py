@@ -424,3 +424,97 @@ def test_ivf_probe_batch_static_pruning_one_join(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_ivf_probe_batch_gate_broadcasts_small_shuffles_large(spark):
+    """probe_batch at 100× scale: up to max_broadcast_queries the
+    query fan-out is broadcast-hinted (shuffle-free serving join);
+    past the gate the hint is withheld so a 50 M-query backlog joins
+    as a shuffle on cell instead of force-broadcasting into an
+    executor OOM — results identical either way, and the static
+    PartitionFilters pruning survives both shapes."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    import os
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfgate")
+    similarity.ivf_index_write(emb, "t_ivfgate", os.path.join(d, "idx"),
+                               n_centroids=4)
+    qs = (emb.where("vec_id in (0, 1, 2)")
+          .selectExpr("vec_id as q_id", "embedding"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = similarity.ivf_index_probe_batch(
+            spark, "t_ivfgate", qs, k=3, nprobe=2, exclude_self=True)
+        assert "BroadcastHashJoin" in _plan(small)    # hinted
+        large = similarity.ivf_index_probe_batch(
+            spark, "t_ivfgate", qs, k=3, nprobe=2, exclude_self=True,
+            max_broadcast_queries=0)
+        plan = _plan(large)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        scan = [ln for ln in plan.splitlines()
+                if "FileScan parquet" in ln and "t_ivfgate" in ln][0]
+        assert "cell" in scan.split("PartitionFilters:", 1)[1].split("]")[0]
+        assert sorted(map(tuple, small.collect())) == \
+            sorted(map(tuple, large.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_ivfgate")
+        spark.sql("DROP TABLE IF EXISTS t_ivfgate_centroids")
+
+
+def test_ivf_index_trained_quantizer_balances_clustered_cells(spark):
+    """What's-wrong #3 fix: on a CLUSTERED corpus (the real embedding
+    shape) the sampled quantizer leaves a hot cell; train_iters>0 runs
+    kmeans_centroids first and the max-cell/mean-cell balance ratio
+    drops to ~1 — which is what keeps a probe at ~nprobe/C of the
+    corpus instead of the hot-cell fraction."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(400):
+        blob = i % 8
+        center = np.zeros(16)
+        center[blob * 2] = 10.0
+        rows.append((i, [float(v)
+                         for v in center + rng.normal(0, 0.3, 16)]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    import os
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivftr")
+
+    def balance(table):
+        from pyspark.sql import functions as F
+        sizes = [r.n for r in spark.table(table).groupBy("cell")
+                 .agg(F.count("*").alias("n")).collect()]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    try:
+        similarity.ivf_index_write(emb, "t_ivfs", os.path.join(d, "s"),
+                                   n_centroids=8)
+        similarity.ivf_index_write(emb, "t_ivft", os.path.join(d, "t"),
+                                   n_centroids=8, train_iters=3,
+                                   seed_ids=list(range(8)))
+        b_sampled, b_trained = balance("t_ivfs"), balance("t_ivft")
+        assert b_trained <= 1.05          # one cell per blob
+        assert b_sampled > b_trained      # sampling leaves hot cells
+        # the trained index stamps its quantizer provenance
+        props = {r.key: r.value for r in spark.sql(
+            "SHOW TBLPROPERTIES t_ivft").collect()}
+        assert props["georiva.train_iters"] == "3"
+        assert props["georiva.n_centroids"] == "8"
+    finally:
+        for t in ("t_ivfs", "t_ivft"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")
