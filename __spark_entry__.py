@@ -24,12 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the driver's rotating correctness window has not recorded yet
-# (r5 additions) — surfaced first so the next window reaches them.
+# (r7 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "asof_join", "range_join", "kmeans_fit", "bm25_topk", "random_proj",
-    "embed_cov", "train_classifier", "image_dhash", "image_dup_pairs",
-    "audio_fp", "audio_dup_pairs", "video_dup_pairs", "mjpeg_scenes",
-    "dup_groups", "ingest_warc", "warc_pipeline", "ingest_jsonl", "ivf_index", "ivf_probe_batch",
+    "corpus_pipeline", "ivf_pq_index",
 ]
 
 

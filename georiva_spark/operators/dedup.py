@@ -740,7 +740,8 @@ def line_dedup(docs: DataFrame, *, delim: str = "\n", max_line_df: int = 1,
 def minhash_index_write(docs: DataFrame, table: str, path: str,
                         n_buckets: int = 64, num_hashes: int = 64,
                         bands: int = 16, n: int = 3,
-                        text_col: str = "text") -> None:
+                        text_col: str = "text",
+                        portable: bool = False) -> None:
     """Materialize a persistent MinHash-LSH index for INCREMENTAL
     dedup: new shards probe the index without ever recomputing or
     re-shuffling the existing corpus — the index grows with the
@@ -758,7 +759,7 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
     from georiva_spark.sources.bucketing import write_bucketed
 
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
-                             text_col=text_col)
+                             text_col=text_col, portable=portable)
     bucket_arr = _band_buckets(num_hashes, bands)
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
@@ -775,7 +776,8 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
         f"'georiva.num_hashes'='{num_hashes}', "
         f"'georiva.bands'='{bands}', 'georiva.n'='{n}', "
         f"'georiva.n_buckets'='{n_buckets}', "
-        f"'georiva.text_col'='{text_col}')")
+        f"'georiva.text_col'='{text_col}', "
+        f"'georiva.portable'='{int(portable)}')")
 
 
 def minhash_index_params(spark, table: str) -> dict[str, int]:
@@ -788,6 +790,7 @@ def minhash_index_params(spark, table: str) -> dict[str, int]:
         out = {name: int(props[f"georiva.{name}"])
                for name in ("num_hashes", "bands", "n", "n_buckets")}
         out["text_col"] = props.get("georiva.text_col", "text")
+        out["portable"] = bool(int(props.get("georiva.portable", "0")))
         return out
     except KeyError as e:
         raise ValueError(
@@ -804,7 +807,8 @@ def minhash_index_append(docs: DataFrame, table: str) -> None:
     from the stamp the write left on the table."""
     p = minhash_index_params(docs.sparkSession, table)
     sig = minhash_signatures(docs, num_hashes=p["num_hashes"], n=p["n"],
-                             text_col=p["text_col"])
+                             text_col=p["text_col"],
+                             portable=p["portable"])
     bucket_arr = _band_buckets(p["num_hashes"], p["bands"])
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
@@ -850,7 +854,8 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
         f"'georiva.num_hashes'='{p['num_hashes']}', "
         f"'georiva.bands'='{p['bands']}', 'georiva.n'='{p['n']}', "
         f"'georiva.n_buckets'='{p['n_buckets']}', "
-        f"'georiva.text_col'='{p['text_col']}')")
+        f"'georiva.text_col'='{p['text_col']}', "
+        f"'georiva.portable'='{int(p['portable'])}')")
     for suffix in ("bands", "sigs"):
         atomic_swap_table(spark, f"{table}_{suffix}")
 
@@ -893,10 +898,14 @@ def minhash_index_probe(new_docs: DataFrame, table: str,
             raise ValueError(
                 f"minhash_index_probe params do not match the index "
                 f"{table!r} (stored, asked): {bad}")
+    # the stamp's hash family is authoritative: a portable index must
+    # be probed with portable delta signatures or every est_jaccard
+    # is garbage (and vice versa)
+    portable = bool(int(props.get("georiva.portable", "0")))
     from georiva_spark.operators._retention import persist_bounded
     sig_new = persist_bounded(
         minhash_signatures(new_docs, num_hashes=num_hashes, n=n,
-                           text_col=text_col),
+                           text_col=text_col, portable=portable),
         "minhash_index_probe.sig_new", StorageLevel.MEMORY_AND_DISK)
     bucket_arr = _band_buckets(num_hashes, bands)
     banded_new = sig_new.select(

@@ -384,6 +384,11 @@ def ivf_index_append(emb: DataFrame, table: str) -> None:
     assigned = emb.withColumn("cell", _argmin_cell(cents))
     (assigned.write.mode("append").format("parquet")
      .partitionBy("cell").saveAsTable(table))
+    # a reader that scanned the table BEFORE this append (the probe in
+    # a probe-then-grow streaming loop, foreachBatch's cloned session)
+    # holds a cached file listing that silently misses the new files —
+    # invalidate it here so the very next probe sees the grown index
+    spark.catalog.refreshTable(table)
 
 
 def ivf_index_compact(spark, table: str, path: str) -> None:

@@ -3915,11 +3915,12 @@ def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               write_jsonl_corpus)
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
     d = os.path.join(tempfile.gettempdir(), "georiva_spark_jsonl",
-                     f"docs_{n}")
-    if not os.path.isdir(d):          # content-addressed fixture cache
-        write_jsonl_corpus(docs, d)
+                     "docs")
+    # always rewrite (mode=overwrite is atomic-per-run): a row-count
+    # keyed isdir cache would silently reuse a stale tempdir from a
+    # DIFFERENT same-sized corpus, or a partially-written failed run
+    write_jsonl_corpus(docs, d)
     back = read_jsonl_corpus(spark, d)
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
@@ -3973,6 +3974,189 @@ def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_WARC_PIPELINE = SQL_HTML_TEXT
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL crawl→corpus→filter→dedup composition under ONE plan
+    (r7): plant cross-half near-dups (docs with doc_id%10==1 carry the
+    previous doc's text), wrap every doc as an HTTP response inside a
+    real gzip-per-record WARC, scan the container back, strip HTML,
+    gate on the Gopher quality rules, drop boilerplate lines
+    corpus-wide (the injected 'tail & end' footer appears on EVERY
+    page and must vanish; planted shared lines survive at
+    max_line_df=2), then probe the odd half against a MinHash index
+    planted from the even half — the LLM-corpus refresh shape:
+    yesterday's corpus is the index, today's crawl is the delta.
+    → (doc_new, doc_old, est_jaccard ≥ 0.5).
+
+    Every stage is exact closed-form arithmetic (portable md5 hashes
+    end-to-end — the index is written with portable=True), so one SQL
+    oracle replays the whole chain; the WARC hop is byte-identity
+    (proven by ingest_warc), so the oracle starts at the HTML wrap.
+    Plan shape: scan→regexp chain (codegen) → two hash aggregates
+    (line df, signature) → bucketed band join; no stage breaks
+    pushdown, nothing broadcasts the corpus (plan-asserted)."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.warc_codec import warc_encode, warc_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.col("text").alias("src_text"))
+    planted = (docs.join(prev, "doc_id", "left")
+               .select("doc_id",
+                       F.when((F.col("doc_id") % 10 == 1)
+                              & F.col("src_text").isNotNull(),
+                              F.col("src_text"))
+                       .otherwise(F.col("text")).alias("text"))
+               .orderBy("doc_id"))
+    pdf = planted.toPandas()                      # bounded fixture
+    http_head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    records = []
+    for i, t in zip(pdf["doc_id"], pdf["text"]):
+        html = ("<html><head><style>p{color:red}</style>"
+                "<script>if(a<b){go()}</script></head><body><h1>Doc "
+                f"{int(i)}</h1><!-- hidden --><p>{t}"
+                "</p><div>tail &amp; end</div></body></html>")
+        records.append({"warc_type": "response",
+                        "target_uri": f"http://corpus.example/doc/{int(i)}",
+                        "content_type":
+                            "application/http; msgtype=response",
+                        "payload": http_head + html})
+    buf = warc_encode(records, gz=True)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_warc")
+    os.makedirs(d, exist_ok=True)
+    fp = os.path.join(d, f"corpus_{len(records)}.warc.gz")
+    tmp = fp + ".part"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, fp)
+
+    pages = (warc_scan(spark, fp, types=("response",))
+             .select(F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+                     .cast("long").alias("doc_id"),
+                     F.col("text")))
+    stripped = (textops.html_to_text(pages)
+                .select("doc_id", F.col("clean_text").alias("text")))
+    g = textops.gopher_rules(stripped, min_words=8, max_words=1000,
+                             min_mean_word_len=1.0,
+                             max_mean_word_len=12.0,
+                             max_symbol_ratio=0.2, max_bullet_ratio=0.9,
+                             min_stopword_hits=1)
+    kept = stripped.join(g.where("gopher_pass").select("doc_id"),
+                         "doc_id", "left_semi")
+    ld = dedup.line_dedup(kept, max_line_df=2, portable=True)
+    corpus = (ld.where(F.col("n_kept") > 0)
+              .select("doc_id", F.col("kept_text").alias("text")))
+
+    idx_path = os.path.join(tempfile.gettempdir(), "georiva_spark_cpidx")
+    dedup.minhash_index_write(corpus.where(F.col("doc_id") % 2 == 0),
+                              "t_corpusmh", os.path.join(idx_path, "idx"),
+                              n_buckets=8, portable=True)
+    delta = corpus.where(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_index_probe(delta, "t_corpusmh", threshold=0.5)
+
+
+def _sql_corpus_pipeline(threshold: float = 0.5, num_hashes: int = 64,
+                         bands: int = 16) -> str:
+    """Replay the whole crawl→corpus→filter→dedup chain in SQL: each
+    CTE block is the proven oracle of its stage (html strip chain from
+    HTML_STRIP_RULES verbatim, the gopher metric formulas from
+    SQL_GOPHER_RULES, the line-df reassembly from SQL_LINE_DEDUP, the
+    signature/banding arithmetic from _sql_minhash), composed over the
+    planted corpus instead of raw documents."""
+    a, b = dedup.minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    expr = "html"
+    for pat, repl in textops.HTML_STRIP_RULES:
+        p = pat.replace("'", "''")
+        rr = ("chr(10)" if repl == "\n"
+              else "'" + repl.replace("'", "''") + "'")
+        expr = f"regexp_replace({expr}, '{p}', {rr}, 'g')"
+    shingle = "array_to_string(t[i+1:i+3], ' ')"
+    phash = f"CAST('0x' || substring(md5({shingle}), 1, 15) AS BIGINT)"
+    shingles = (f"list_transform(range(0, greatest(len(t)-3, 0)+1), "
+                f"i -> {phash})")
+    mins = [f"list_min(list_transform(s, v -> "
+            f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+            f" % 18446744073709551616))" for j in range(num_hashes)]
+    est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
+           f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
+    return f"""
+WITH planted AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 1 AND p.text IS NOT NULL
+              THEN p.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+aug AS (SELECT doc_id,
+  '<html><head><style>p{{color:red}}</style>'
+  || '<script>if(a<b){{go()}}</script></head><body><h1>Doc '
+  || CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' || text
+  || '</p><div>tail &amp; end</div></body></html>' AS html
+  FROM planted),
+stripped AS (SELECT doc_id, {expr} AS text FROM aug),
+gw AS (SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'),
+                     t -> t <> '') AS words
+       FROM stripped),
+gm AS (SELECT doc_id, text,
+         len(words) AS n_words,
+         CAST(list_sum(list_transform(words, t -> length(t)))
+              AS DOUBLE) / greatest(len(words), 1) AS mean_word_len,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+             / greatest(len(words), 1) AS symbol_ratio,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                  ln -> ln LIKE '- %' OR ln LIKE '* %' OR ln LIKE '• %'))
+              AS DOUBLE)
+             / greatest(len(string_split(text, chr(10))), 1)
+             AS bullet_ratio,
+         len(list_filter(words,
+             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+             AS stopword_hits
+       FROM gw),
+gkept AS (SELECT doc_id, text FROM gm
+          WHERE n_words >= 8 AND n_words <= 1000
+            AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+            AND symbol_ratio <= 0.2 AND bullet_ratio <= 0.9
+            AND stopword_hits >= 1),
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM gkept),
+lp AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls
+       FROM lx),
+l AS (SELECT doc_id, pos, ls[pos] AS line FROM lp),
+n AS (SELECT doc_id, pos, line,
+             lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS norm
+      FROM l),
+freq AS (SELECT norm, COUNT(DISTINCT doc_id) AS line_df
+         FROM n GROUP BY norm),
+corpus AS (SELECT doc_id,
+                  string_agg(line, chr(10) ORDER BY pos) AS text
+           FROM n JOIN freq USING (norm) WHERE line_df <= 2
+           GROUP BY doc_id),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (SELECT doc_id, list_distinct({shingles}) AS s FROM toks),
+sigu AS (SELECT doc_id, [{', '.join(mins)}] AS u FROM sh),
+sig AS (SELECT doc_id,
+               list_transform(u, m -> CAST(CASE
+                 WHEN m >= 9223372036854775808
+                 THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS sig
+        FROM sigu),
+banded AS (SELECT doc_id, sig, bb.band AS band,
+                  sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+           FROM sig CROSS JOIN
+                (SELECT unnest(range(0, {bands})) AS band) bb),
+cand AS (SELECT DISTINCT l.doc_id AS doc_new, r.doc_id AS doc_old,
+                l.sig AS sa, r.sig AS sb
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.key = r.key
+          AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0)
+SELECT doc_new, doc_old, {est} AS est_jaccard
+FROM cand WHERE {est} >= {threshold}
+"""
+
+
+SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
 
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4351,6 +4535,7 @@ EXT_QUERIES = {
     "dup_groups": q_dup_groups,
     "ingest_warc": q_ingest_warc,
     "warc_pipeline": q_warc_pipeline,
+    "corpus_pipeline": q_corpus_pipeline,
     "ingest_jsonl": q_ingest_jsonl,
     "ivf_index": q_ivf_index,
     "ivf_probe_batch": q_ivf_probe_batch,
@@ -4460,6 +4645,7 @@ EXT_ORACLES = {
     "dup_groups": SQL_DUP_GROUPS,
     "ingest_warc": SQL_INGEST_WARC,
     "warc_pipeline": SQL_WARC_PIPELINE,
+    "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "ingest_jsonl": SQL_INGEST_JSONL,
     "ivf_index": SQL_KNN_IVF,
     "ivf_probe_batch": SQL_IVF_PROBE_BATCH,

@@ -6,7 +6,11 @@ from georiva_spark.streaming.dedupe import dedup_stream
 from georiva_spark.streaming.neardup import (
     start_neardup_stream, read_neardup_pairs,
 )
+from georiva_spark.streaming.annstream import (
+    start_ann_stream, read_ann_neighbors,
+)
 
 __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
            "windowed_stats", "dedup_stream", "start_neardup_stream",
-           "read_neardup_pairs"]
+           "read_neardup_pairs", "start_ann_stream",
+           "read_ann_neighbors"]

@@ -1,0 +1,90 @@
+"""Continuous ANN serving against a GROWING vector corpus — the
+streaming face of the persistent IVF index (operators/similarity.py:
+ivf_index_write / probe_batch / append), mirroring the MinHash loop in
+streaming/neardup.py.
+
+The growing-corpus shape at 100 TB: the existing corpus lives in the
+cell-partitioned index (assignment paid once at write); each arriving
+micro-batch of embeddings (a crawl shard's vectors, an upload burst) is
+batch-probed against the index — routing is in-row over the bounded
+centroid sidecar, the scan prunes to the probed-cell union at listing
+time — and then appended INTO the index in the same cell layout
+(assigned with the index's OWN centroids, zero shuffle), so batch N+1
+queries see every vector through batch N. Nothing about the existing
+corpus is ever re-assigned or re-shuffled.
+
+Idempotency across restarts (foreachBatch is at-least-once): the
+neighbor output for batch B overwrites the deterministic directory
+``{out_dir}/batch_id=B`` (a replay rewrites the same bytes), phantom
+matches a replay would see against its OWN vectors (appended by the
+crashed first attempt) are anti-joined away, and the index append is
+guarded by the batch's presence in the index table — any batch vec_id
+already in a cell partition implies the append completed. Same
+overwrite-deterministic-partitions policy as the derivation ledger
+(plans/engine.py), no lock service required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from georiva_spark.operators.similarity import (ivf_index_append,
+                                                ivf_index_probe_batch)
+
+
+def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
+                     checkpoint_dir: str, k: int = 5, nprobe: int = 2,
+                     grow: bool = True):
+    """Start the probe-then-grow ANN stream: ``emb_stream`` must carry
+    (vec_id, embedding) with corpus-unique vec_ids; per-batch neighbor
+    sets land in ``{out_dir}/batch_id=N`` as (q_id, vec_id, cell,
+    cosine). ``grow=False`` probes without appending (serving-only
+    mode). Returns the StreamingQuery."""
+    spark = emb_stream.sparkSession
+    if not spark.table(f"{table}_centroids").head(1):   # fail fast
+        raise ValueError(f"{table!r} has no centroid sidecar — not an "
+                         f"ivf_index_write index")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        try:
+            ids = batch.select("vec_id")
+            queries = batch.select(F.col("vec_id").alias("q_id"),
+                                   "embedding")
+            nbrs = ivf_index_probe_batch(spark, table, queries,
+                                         k=k, nprobe=nprobe)
+            # a replayed batch whose first attempt already appended
+            # would otherwise match its vectors against THEMSELVES in
+            # the index — drop matches whose vec_id is in this batch
+            nbrs = nbrs.join(ids, "vec_id", "left_anti")
+            (nbrs.write.mode("overwrite")
+             .parquet(f"{out_dir}/batch_id={batch_id}"))
+            if grow:
+                applied = (spark.table(table)
+                           .join(ids, "vec_id", "left_semi")
+                           .limit(1).count() > 0)
+                if not applied:
+                    ivf_index_append(batch.select("vec_id", "embedding"),
+                                     table)
+                    # the append ran (and refreshed) on foreachBatch's
+                    # CLONED session; the relation cache is per-session
+                    # state, so the serving session this loop probes
+                    # with must be invalidated separately or the next
+                    # batch probes a stale file listing
+                    spark.catalog.refreshTable(table)
+        finally:
+            batch.unpersist()
+
+    return (emb_stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_ann_neighbors(spark, out_dir: str) -> DataFrame:
+    """Read the accumulated neighbor output (all batches)."""
+    return (spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .select("q_id", "vec_id", "cell", "cosine",
+                    F.col("batch_id").cast("long").alias("batch_id")))

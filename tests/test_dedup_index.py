@@ -136,6 +136,77 @@ def test_streaming_neardup_probe_grows_index(spark, mh_index, tmp_path):
             read_neardup_pairs(spark, out).collect()} == pairs
 
 
+def test_streaming_ann_probe_grows_index(spark, tmp_path):
+    """Continuous ANN (r7): batch 2's planted twin of a batch-1 vector
+    is found because batch 1 was appended into the cell layout after
+    its probe — the IVF index GROWS between micro-batches. Replays are
+    idempotent (vec_id-presence guard: a second availableNow run adds
+    no index rows and rewrites identical neighbor sets)."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+    from georiva_spark.streaming import (read_ann_neighbors,
+                                         start_ann_stream)
+
+    rng = np.random.default_rng(61)
+    centers = rng.normal(size=(4, 8)) * 4
+    base = np.repeat(centers, 5, axis=0) + rng.normal(scale=0.2,
+                                                      size=(20, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    similarity.ivf_index_write(emb, "t_annstr", str(tmp_path / "ix"),
+                               n_centroids=4)
+    landing = tmp_path / "ann_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "ann_out"), str(tmp_path / "ann_ckpt")
+    schema = "vec_id long, embedding array<double>"
+
+    novel = -centers[0] + rng.normal(scale=0.1, size=8)   # new direction
+    rows0 = [(100, [float(v) for v in base[1] + 0.01]),   # dups vec 1
+             (101, [float(v) for v in novel])]            # novel
+    rows1 = [(200, [float(v) for v in novel + 0.01])]     # twin of 101
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+
+    drop("b0", rows0)
+    drop("b1", rows1)
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_ann_stream(src, "t_annstr", out, ckpt, k=3, nprobe=2)
+        q.awaitTermination(180)
+
+    try:
+        cycle()
+        nbrs = read_ann_neighbors(spark, out).collect()
+        by_q = {}
+        for r in nbrs:
+            by_q.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+        # batch-0 near-dup caught against the base index
+        assert max(by_q[100], key=lambda t: t[1])[0] == 1
+        # batch-1 twin caught against the GROWN index (vec 101 was
+        # appended by batch 0 — it exists nowhere else)
+        assert max(by_q[200], key=lambda t: t[1])[0] == 101
+        # no self-matches leaked through the replay anti-join
+        assert all(v != q for q, vs in by_q.items() for v, _ in vs)
+
+        n_idx = spark.table("t_annstr").count()
+        assert n_idx == 23                     # 20 base + 3 appended
+        cycle()                                # replay: nothing new
+        assert spark.table("t_annstr").count() == n_idx
+        again = {(r.q_id, r.vec_id, r.cosine)
+                 for r in read_ann_neighbors(spark, out).collect()}
+        assert again == {(r.q_id, r.vec_id, r.cosine) for r in nbrs}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_annstr")
+        spark.sql("DROP TABLE IF EXISTS t_annstr_centroids")
+
+
 def test_index_compact_restores_one_file_per_bucket(spark, mh_index,
                                                     tmp_path):
     """Three appends -> many files per bucket; compact rewrites to the
@@ -170,6 +241,34 @@ def test_index_compact_restores_one_file_per_bucket(spark, mh_index,
     import pytest
     with pytest.raises(ValueError, match="do not match"):
         dedup.minhash_index_probe(probe_docs, mh_index, bands=8)
+
+
+def test_minhash_index_portable_stamp_roundtrip(spark, tmp_path):
+    """portable=True indexes stamp their hash family; probes pick it
+    up from the stamp (a probe hashing with the other family would
+    yield silently-garbage est_jaccard) and compaction preserves it."""
+    base = _docs(spark, [(1, BASE), (2, "other text entirely here now")])
+    dedup.minhash_index_write(base, "t_mhport", str(tmp_path / "i"),
+                              n_buckets=4, portable=True)
+    try:
+        assert dedup.minhash_index_params(spark, "t_mhport")["portable"] \
+            is True
+        delta = _docs(spark, [(100, BASE)])
+        got = {(r.doc_new, r.doc_old): r.est_jaccard
+               for r in dedup.minhash_index_probe(
+                   delta, "t_mhport", threshold=0.4).collect()}
+        assert got[(100, 1)] == 1.0
+        dedup.minhash_index_compact(spark, "t_mhport",
+                                    str(tmp_path / "c"))
+        assert dedup.minhash_index_params(spark, "t_mhport")["portable"] \
+            is True
+        got2 = {(r.doc_new, r.doc_old): r.est_jaccard
+                for r in dedup.minhash_index_probe(
+                    delta, "t_mhport", threshold=0.4).collect()}
+        assert got2 == got
+    finally:
+        for s in ("bands", "sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS t_mhport_{s}")
 
 
 def _swap_failpoints(spark, monkeypatch, failpoint):

@@ -470,6 +470,64 @@ def test_ivf_probe_batch_gate_broadcasts_small_shuffles_large(spark):
         spark.sql("DROP TABLE IF EXISTS t_ivfgate_centroids")
 
 
+def test_python_boundary_audit_current():
+    """SCALE.md §'Python boundary' must stay true: zero row-at-a-time
+    F.udf sites anywhere in the package, and the set of files carrying
+    an Arrow callsite must exactly match the documented enumeration —
+    a new Arrow boundary added without updating the audit fails here
+    (the r6→r7 'exactly six places' rot, made impossible)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "georiva_spark"
+    arrow_re = re.compile(
+        r"mapInPandas\(|applyInPandas\(|applyInPandasWithState\(|"
+        r"pandas_udf\(")
+    row_udf_re = re.compile(r"\bF\.udf\(|\bfunctions\.udf\(")
+    arrow_files, row_udfs = set(), []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        if arrow_re.search(src):
+            arrow_files.add(str(py.relative_to(pkg)))
+        for m in row_udf_re.finditer(src):
+            row_udfs.append(f"{py}:{src[:m.start()].count(chr(10)) + 1}")
+    assert not row_udfs, f"row-at-a-time Python UDFs found: {row_udfs}"
+
+    documented = {
+        "sources/raster_formats.py", "sources/zarr_store.py",
+        "sources/warc_codec.py", "sources/mvt_sink.py",
+        "operators/zonal.py", "operators/multimodal.py",
+        "operators/similarity.py", "operators/dedup.py",
+        "operators/textops.py", "streaming/sessions.py",
+        "queries_ext.py",
+    }
+    scale = (Path(__file__).resolve().parents[1] / "SCALE.md").read_text()
+    sect = scale.split("## Python boundary", 1)[1].split("\n## ", 1)[0]
+    missing_doc = {f for f in documented if Path(f).name not in sect}
+    assert not missing_doc, f"SCALE.md lost entries: {missing_doc}"
+    assert arrow_files == documented, (
+        f"Arrow-boundary drift — in code but undocumented: "
+        f"{arrow_files - documented}; documented but gone: "
+        f"{documented - arrow_files}. Update SCALE.md §Python boundary "
+        f"AND this test together.")
+
+
+def test_corpus_pipeline_composition_keeps_plan_shapes(spark):
+    """The end-to-end crawl→strip→gopher→line-dedup→minhash-probe
+    composition must not break any stage's plan contract when chained
+    under one plan: no cartesian or nested-loop join anywhere, and the
+    dedup stage READS the planted bucketed index (FileScan on the
+    bands table) instead of recomputing the even half's signatures."""
+    plan = _plan(QUERIES["corpus_pipeline"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert any("FileScan parquet" in ln and "t_corpusmh_bands" in ln
+               for ln in phys.splitlines())
+    assert any("FileScan parquet" in ln and "t_corpusmh_sigs" in ln
+               for ln in phys.splitlines())
+
+
 def test_ivf_index_trained_quantizer_balances_clustered_cells(spark):
     """What's-wrong #3 fix: on a CLUSTERED corpus (the real embedding
     shape) the sampled quantizer leaves a hot cell; train_iters>0 runs
