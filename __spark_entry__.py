@@ -26,7 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries the driver's rotating correctness window has not recorded yet
 # (r7 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "corpus_pipeline", "ivf_pq_index",
+    "corpus_pipeline", "ivf_pq_index", "ivf_index_trained",
+    "ivf_pq_probe_batch",
 ]
 
 

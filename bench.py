@@ -47,6 +47,10 @@ HEADLINE = [
     # and near-dup group rollup (linear output, distinct-code CC)
     "mjpeg_scenes", "dup_groups", "ingest_warc", "warc_pipeline", "ingest_jsonl", "ivf_index", "ivf_probe_batch",
     "simhash_pairs",
+    # r7: end-to-end corpus pipeline, trained-quantizer IVF (gated
+    # shuffle probe path), PQ-compressed persistent index
+    "corpus_pipeline", "ivf_index_trained", "ivf_pq_index",
+    "ivf_pq_probe_batch",
 ]
 
 

@@ -411,6 +411,16 @@ def ivf_index_compact(spark, table: str, path: str) -> None:
      .write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path)
      .saveAsTable(f"{table}_compact"))
+    # carry the quantizer/PQ stamps onto the staged table BEFORE the
+    # swap (atomic_swap_table's contract: every probeable state is
+    # param-valid) — works for both the float and the PQ layout
+    stamps = {r.key: r.value for r in
+              spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+              if r.key.startswith("georiva.")}
+    if stamps:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(stamps.items()))
+        spark.sql(f"ALTER TABLE {table}_compact "
+                  f"SET TBLPROPERTIES ({kv})")
     atomic_swap_table(spark, table)
 
 
@@ -643,6 +653,61 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
         f"'georiva.pq_m'='{m}', 'georiva.pq_nbits'='{nbits}')")
 
 
+def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
+    """Append a delta shard to a :func:`ivf_pq_index_write` index —
+    the growth half of the compressed ANN layout: new vectors are
+    assigned with the INDEX'S OWN centroids and encoded with the
+    INDEX'S OWN codebook (both read from the bounded sidecars and
+    inlined as literals — zero shuffle), then appended into the same
+    cell partitions. The stamped m/nbits drive the packing, so a
+    probe's unpacking stays consistent across appends. Readers'
+    cached listings are refreshed (the probe-then-grow loop's
+    per-session cache hazard)."""
+    spark = emb.sparkSession
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    try:
+        m = int(props["georiva.pq_m"])
+        nbits = int(props["georiva.pq_nbits"])
+    except KeyError as e:
+        raise ValueError(
+            f"{table!r} is not a stamped ivf_pq index "
+            f"(missing property {e})") from None
+    ncw = 1 << nbits
+    crows = spark.table(f"{table}_centroids").collect()
+    cents = [list(map(float, r.embedding))
+             for r in sorted(crows, key=lambda r: r.cell)]
+    if not cents:
+        raise ValueError(f"{table!r} has no centroid sidecar")
+    cbrows = spark.table(f"{table}_codebook").collect()
+    cb = [list(map(float, r.embedding))
+          for r in sorted(cbrows, key=lambda r: r.code)]
+    dim = len(cb[0])
+    sub = dim // m
+
+    def sub_l2(s: int, j: int):
+        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
+        lits = F.array(*[F.lit(v) for v in cb[j][s * sub:(s + 1) * sub]])
+        return F.aggregate(
+            F.zip_with(seg, lits,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    codes = [F.array_min(F.array(*[
+        F.struct(sub_l2(s, j).alias("d"), F.lit(j).alias("c"))
+        for j in range(ncw)]))["c"] for s in range(m)]
+    packed = None
+    for s in range(m):
+        term = F.shiftleft(codes[s].cast("long"), s * nbits)
+        packed = term if packed is None else packed + term
+    assigned = (emb.withColumn("cell", _argmin_cell(cents))
+                .select("vec_id", packed.alias("pq_code"), "cell"))
+    (assigned.write.mode("append").format("parquet")
+     .partitionBy("cell").saveAsTable(table))
+    spark.catalog.refreshTable(table)
+
+
 def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
                        nprobe: int = 2,
                        exclude_vec_id: int | None = None) -> DataFrame:
@@ -701,6 +766,108 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
                         adc.alias("_d"))
             .orderBy(F.asc("_d"), F.asc("vec_id"))
             .limit(k).drop("_d"))
+
+
+def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
+                             k: int = 5, nprobe: int = 2,
+                             exclude_self: bool = False,
+                             max_broadcast_queries: int = 10_000
+                             ) -> DataFrame:
+    """Batch-serve ANN queries against a :func:`ivf_pq_index_write`
+    index → per-query top-k (q_id, vec_id, cell, adc_dist), ADC-L2²
+    ascending. Each query row routes IN-ROW to its nprobe cells AND
+    materializes its ADC lookup table in the same pass — the
+    m·2^nbits query↔codeword distances computed against codebook
+    literals, a bounded flat array riding the fan-out row in place of
+    the embedding. The fan-out (PERSISTED — routing executes once)
+    joins the cell-partitioned index under a static probed-cell
+    partition filter, and every candidate scores with m ``element_at``
+    picks on its unpacked sub-codes: the serving join ships NO float
+    embeddings in either direction — query side is C+m·2^nbits
+    doubles per query, corpus side is one long per vector. Broadcast
+    gated at ``max_broadcast_queries`` with a shuffle fallback, same
+    contract as :func:`ivf_index_probe_batch`; ``exclude_self``
+    opt-in for corpus-internal q_id spaces."""
+    import numpy as np
+
+    from georiva_spark.operators._retention import persist_bounded
+    from pyspark import StorageLevel
+
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    try:
+        m = int(props["georiva.pq_m"])
+        nbits = int(props["georiva.pq_nbits"])
+    except KeyError as e:
+        raise ValueError(
+            f"{table!r} is not a stamped ivf_pq index "
+            f"(missing property {e})") from None
+    ncw = 1 << nbits
+    crows = spark.table(f"{table}_centroids").collect()
+    cents = [list(map(float, r.embedding))
+             for r in sorted(crows, key=lambda r: r.cell)]
+    if not cents:
+        raise ValueError(f"{table!r} has no centroid sidecar")
+    cbrows = spark.table(f"{table}_codebook").collect()
+    cb = [np.asarray(r.embedding, dtype=np.float64)
+          for r in sorted(cbrows, key=lambda r: r.code)]
+    dim = len(cb[0])
+    sub = dim // m
+
+    def l2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in cvec]),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[F.struct(l2(cents[i]).alias("d"),
+                               F.lit(i).alias("c"))
+                      for i in range(len(cents))])
+    cells = F.transform(F.slice(F.array_sort(dists), 1, nprobe),
+                        lambda s: s["c"])
+
+    def qd(s: int, j: int):           # ADC entry: ||q_seg − cw_seg||²
+        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
+        lits = F.array(*[F.lit(float(v))
+                         for v in cb[j][s * sub:(s + 1) * sub]])
+        return F.aggregate(
+            F.zip_with(seg, lits,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    adc_flat = F.array(*[qd(s, j) for s in range(m)
+                         for j in range(ncw)])
+    probed = persist_bounded(
+        queries.select("q_id", adc_flat.alias("qd"),
+                       F.explode(cells).alias("cell")),
+        "ivf_pq_index_probe_batch.probed", StorageLevel.MEMORY_AND_DISK)
+    n_fanout = probed.count()
+    live_cells = sorted({r.cell for r in
+                         probed.select("cell").distinct().collect()})
+    build = (F.broadcast(probed)
+             if n_fanout <= max_broadcast_queries * nprobe
+             else probed)
+    adc = None
+    for s in range(m):
+        code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
+                  .bitwiseAND(F.lit(ncw - 1)).cast("int"))
+        term = F.element_at(F.col("qd"), F.lit(s * ncw) + code_s + 1)
+        adc = term if adc is None else adc + term
+    cand = (spark.table(table)
+            .where(F.col("cell").isin(live_cells))
+            .join(build, "cell"))
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("q_id"))
+    cand = cand.select("q_id", "vec_id", "cell", adc.alias("_d"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("_d"), F.asc("vec_id"))
+    return (cand.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select("q_id", "vec_id",
+                    F.col("cell").cast("long").alias("cell"),
+                    F.round("_d", 6).alias("adc_dist")))
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,

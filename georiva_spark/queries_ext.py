@@ -916,6 +916,77 @@ def q_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          nprobe=2, exclude_vec_id=0)
 
 
+def q_ivf_pq_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving against the PQ-compressed persistent index
+    (r7): each query's ADC lookup table rides the fan-out row in place
+    of its embedding, candidates score with m element_at picks on
+    their unpacked sub-codes — the serving join ships no float
+    embeddings in either direction. Same pinned closed-form arithmetic
+    as knn_ivf_pq, generalized to three queries; the oracle replays
+    assignment, encoding, per-query routing, and the per-query ADC
+    ranking."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    similarity.ivf_pq_index_write(emb, "t_ivfpqb",
+                                  os.path.join(d, "idxb"),
+                                  n_centroids=8, m=8, nbits=4)
+    queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return similarity.ivf_pq_index_probe_batch(
+        spark, "t_ivfpqb", queries, k=5, nprobe=2, exclude_self=True)
+
+
+SQL_IVF_PQ_PROBE_BATCH = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+cdist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM cdist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+probe AS (SELECT vec_id AS q_id, c AS cell FROM cdist
+          WHERE vec_id IN (0, 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c) <= 2),
+pq AS (SELECT CAST(t.i AS BIGINT) AS cw,
+              CAST(t.i * (nn.n // 16) + (nn.n // 16) // 3 AS BIGINT) AS vid
+       FROM range(16) t(i), nn),
+cb AS (SELECT cw, embedding AS ce FROM pq JOIN embeddings ON vec_id = vid),
+subdist AS (SELECT e.vec_id, CAST(s.i AS BIGINT) AS s, cb.cw,
+  (SELECT SUM((CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE))
+            * (CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE)))
+   FROM generate_series(1, 8) AS t(i)) AS d2
+  FROM embeddings e, range(8) s(i), cb),
+codes AS (SELECT vec_id, s, cw FROM subdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cw) = 1),
+qd AS (SELECT vec_id AS q_id, s, cw, d2 FROM subdist
+       WHERE vec_id IN (0, 1, 2)),
+adc AS (SELECT qd.q_id, c.vec_id, SUM(qd.d2) AS dist
+        FROM codes c JOIN qd ON qd.s = c.s AND qd.cw = c.cw
+        GROUP BY qd.q_id, c.vec_id)
+SELECT a.q_id, a.vec_id, CAST(g.cell AS BIGINT) AS cell,
+       ROUND(a.dist, 6) AS adc_dist
+FROM adc a
+JOIN assign g ON a.vec_id = g.vec_id
+JOIN probe p ON g.cell = p.cell AND p.q_id = a.q_id
+WHERE a.vec_id <> a.q_id
+QUALIFY row_number() OVER (PARTITION BY a.q_id
+                           ORDER BY a.dist, a.vec_id) <= 5
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH probe — portable centered-md5 plane coefficients so the
     DuckDB oracle reproduces buckets and the probed top-k exactly."""
@@ -3561,7 +3632,13 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_fit(emb, k=8, iters=2)
 
 
-def _sql_kmeans_fit(k: int = 8, d: int = 64, iters: int = 2) -> str:
+def _sql_kmeans_cents(k: int = 8, d: int = 64,
+                      iters: int = 2) -> tuple[str, str]:
+    """Shared Lloyd-training CTE chain (hash-order md5 seed init +
+    ``iters`` rounds) → (sql_prefix, name of the final long-form
+    centroid CTE (c, dim, v)). Used by the kmeans_fit oracle AND the
+    trained-quantizer IVF oracle, so both replay the identical
+    training arithmetic."""
     parts = [f"""
 WITH cid AS (
   SELECT CAST(row_number() OVER (
@@ -3589,15 +3666,83 @@ c{it} AS (SELECT p.c, p.dim, COALESCE(m{it}.v, p.v) AS v
        FROM {prev} p LEFT JOIN m{it}
          ON m{it}.c = p.c AND m{it}.dim = p.dim)""")
         prev = f"c{it}"
-    parts.append(f""",
+    return "".join(parts), prev
+
+
+def _sql_kmeans_fit(k: int = 8, d: int = 64, iters: int = 2) -> str:
+    prefix, cn = _sql_kmeans_cents(k, d, iters)
+    return prefix + f""",
 df AS (SELECT e.vec_id, p.c, SUM((e.v - p.v) * (e.v - p.v)) AS d2
-       FROM e JOIN {prev} p ON e.dim = p.dim GROUP BY e.vec_id, p.c)
+       FROM e JOIN {cn} p ON e.dim = p.dim GROUP BY e.vec_id, p.c)
 SELECT vec_id, CAST(c AS INT) AS cluster FROM df
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1""")
-    return "".join(parts)
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1"""
 
 
 SQL_KMEANS_FIT = _sql_kmeans_fit()
+
+
+def q_ivf_index_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer persistent IVF index (r7): centroids come
+    from two Lloyd rounds (kmeans_centroids — the What's-wrong #3 fix
+    for clustered corpora) instead of hash-order samples, and the
+    three queries are served through probe_batch's GATED SHUFFLE path
+    (max_broadcast_queries=0 — the 50 M-backlog plan shape, the
+    broadcast hint withheld). The oracle replays seed init, both
+    training rounds, assignment, per-query cell routing, and the
+    ranked cosines in one CTE chain."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    similarity.ivf_index_write(emb, "t_ivfidxt", os.path.join(d, "idxt"),
+                               n_centroids=8, train_iters=2)
+    queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return similarity.ivf_index_probe_batch(spark, "t_ivfidxt", queries,
+                                            k=5, nprobe=2,
+                                            exclude_self=True,
+                                            max_broadcast_queries=0)
+
+
+def _sql_ivf_trained(k: int = 8, d: int = 64, iters: int = 2,
+                     nprobe: int = 2, topk: int = 5) -> str:
+    prefix, cn = _sql_kmeans_cents(k, d, iters)
+    return prefix + f""",
+dfin AS (SELECT e.vec_id, p.c, SUM((e.v - p.v) * (e.v - p.v)) AS d2
+         FROM e JOIN {cn} p ON e.dim = p.dim GROUP BY e.vec_id, p.c),
+assign AS (SELECT vec_id, c AS cell FROM dfin
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+probe AS (SELECT vec_id AS q_id, c AS cell FROM dfin
+          WHERE vec_id IN (0, 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c) <= {nprobe}),
+qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT p.q_id, a.vec_id, a.cell,
+    (SELECT SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))
+     FROM generate_series(1, {d}) AS t(i)) AS dot,
+    SQRT((SELECT SUM(CAST(e2.embedding[i] AS DOUBLE)
+                   * CAST(e2.embedding[i] AS DOUBLE))
+     FROM generate_series(1, {d}) AS t(i))) AS na,
+    SQRT((SELECT SUM(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))
+     FROM generate_series(1, {d}) AS t(i))) AS nb
+  FROM embeddings e2
+  JOIN assign a ON e2.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell
+  JOIN qs ON qs.q_id = p.q_id
+  WHERE e2.vec_id <> p.q_id)
+SELECT q_id, vec_id, CAST(cell AS BIGINT) AS cell,
+       ROUND(dot / (na * nb), 4) AS cosine
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY dot / (na * nb) DESC, vec_id) <= {topk}
+"""
+
+
+SQL_IVF_INDEX_TRAINED = _sql_ivf_trained()
 
 
 # Pinned BM25 query set over the synthetic corpus vocabulary — three
@@ -4539,6 +4684,7 @@ EXT_QUERIES = {
     "ingest_jsonl": q_ingest_jsonl,
     "ivf_index": q_ivf_index,
     "ivf_probe_batch": q_ivf_probe_batch,
+    "ivf_index_trained": q_ivf_index_trained,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -4562,6 +4708,7 @@ EXT_QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_pq": q_knn_ivf_pq,
     "ivf_pq_index": q_ivf_pq_index,
+    "ivf_pq_probe_batch": q_ivf_pq_probe_batch,
     "mvt_geom": q_mvt_geom,
     "mvt_tiles": q_mvt_tiles,
     "feed_health": q_feed_health,
@@ -4649,6 +4796,7 @@ EXT_ORACLES = {
     "ingest_jsonl": SQL_INGEST_JSONL,
     "ivf_index": SQL_KNN_IVF,
     "ivf_probe_batch": SQL_IVF_PROBE_BATCH,
+    "ivf_index_trained": SQL_IVF_INDEX_TRAINED,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
@@ -4671,6 +4819,7 @@ EXT_ORACLES = {
     "knn_ivf": SQL_KNN_IVF,
     "knn_ivf_pq": SQL_KNN_IVF_PQ,
     "ivf_pq_index": SQL_KNN_IVF_PQ,
+    "ivf_pq_probe_batch": SQL_IVF_PQ_PROBE_BATCH,
     "mvt_geom": SQL_MVT_GEOM,
     "mvt_tiles": SQL_MVT_TILES,
     "feed_health": SQL_FEED_HEALTH,

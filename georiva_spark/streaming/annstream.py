@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from georiva_spark.operators.similarity import (ivf_index_append,
-                                                ivf_index_probe_batch)
+                                                ivf_index_probe_batch,
+                                                ivf_pq_index_append,
+                                                ivf_pq_index_probe_batch)
 
 
 def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
@@ -38,12 +40,19 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
     """Start the probe-then-grow ANN stream: ``emb_stream`` must carry
     (vec_id, embedding) with corpus-unique vec_ids; per-batch neighbor
     sets land in ``{out_dir}/batch_id=N`` as (q_id, vec_id, cell,
-    cosine). ``grow=False`` probes without appending (serving-only
-    mode). Returns the StreamingQuery."""
+    cosine) — or (…, adc_dist) when ``table`` is a PQ-compressed
+    index (detected from its TBLPROPERTIES stamp: the same loop
+    serves and grows both layouts). ``grow=False`` probes without
+    appending (serving-only mode). Returns the StreamingQuery."""
     spark = emb_stream.sparkSession
     if not spark.table(f"{table}_centroids").head(1):   # fail fast
         raise ValueError(f"{table!r} has no centroid sidecar — not an "
                          f"ivf_index_write index")
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    is_pq = "georiva.pq_m" in props
+    probe = ivf_pq_index_probe_batch if is_pq else ivf_index_probe_batch
+    append = ivf_pq_index_append if is_pq else ivf_index_append
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -53,8 +62,7 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
             ids = batch.select("vec_id")
             queries = batch.select(F.col("vec_id").alias("q_id"),
                                    "embedding")
-            nbrs = ivf_index_probe_batch(spark, table, queries,
-                                         k=k, nprobe=nprobe)
+            nbrs = probe(spark, table, queries, k=k, nprobe=nprobe)
             # a replayed batch whose first attempt already appended
             # would otherwise match its vectors against THEMSELVES in
             # the index — drop matches whose vec_id is in this batch
@@ -66,8 +74,7 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
                            .join(ids, "vec_id", "left_semi")
                            .limit(1).count() > 0)
                 if not applied:
-                    ivf_index_append(batch.select("vec_id", "embedding"),
-                                     table)
+                    append(batch.select("vec_id", "embedding"), table)
                     # the append ran (and refreshed) on foreachBatch's
                     # CLONED session; the relation cache is per-session
                     # state, so the serving session this loop probes
@@ -83,8 +90,8 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
 
 
 def read_ann_neighbors(spark, out_dir: str) -> DataFrame:
-    """Read the accumulated neighbor output (all batches)."""
-    return (spark.read.option("basePath", out_dir)
-            .parquet(f"{out_dir}/batch_id=*")
-            .select("q_id", "vec_id", "cell", "cosine",
-                    F.col("batch_id").cast("long").alias("batch_id")))
+    """Read the accumulated neighbor output (all batches). The score
+    column is `cosine` for a float index, `adc_dist` for a PQ one."""
+    df = (spark.read.option("basePath", out_dir)
+          .parquet(f"{out_dir}/batch_id=*"))
+    return df.withColumn("batch_id", F.col("batch_id").cast("long"))

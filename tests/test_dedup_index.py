@@ -207,6 +207,52 @@ def test_streaming_ann_probe_grows_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_annstr_centroids")
 
 
+def test_streaming_ann_pq_mode_autodetects(spark, tmp_path):
+    """The same probe-then-grow loop serves a PQ-compressed index:
+    the stamp autodetects PQ mode, the cross-batch twin is found via
+    the grown compressed index (scored by adc_dist), and no float
+    embedding ever enters the serving join."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+    from georiva_spark.streaming import (read_ann_neighbors,
+                                         start_ann_stream)
+
+    rng = np.random.default_rng(67)
+    centers = rng.normal(size=(4, 8)) * 4
+    base = np.repeat(centers, 5, axis=0) + rng.normal(scale=0.2,
+                                                      size=(20, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    similarity.ivf_pq_index_write(emb, "t_annpq", str(tmp_path / "ix"),
+                                  n_centroids=4, m=4, nbits=3)
+    landing = tmp_path / "pq_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "pq_out"), str(tmp_path / "pq_ckpt")
+    schema = "vec_id long, embedding array<double>"
+    novel = -centers[0] + rng.normal(scale=0.1, size=8)
+    for name, rows in (("b0", [(101, [float(v) for v in novel])]),
+                       ("b1", [(200, [float(v) for v in novel + 0.01])])):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+    try:
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_ann_stream(src, "t_annpq", out, ckpt, k=3, nprobe=2)
+        q.awaitTermination(180)
+        nbrs = read_ann_neighbors(spark, out).collect()
+        assert all(hasattr(r, "adc_dist") for r in nbrs)   # PQ scores
+        b200 = [r for r in nbrs if r.q_id == 200]
+        assert min(b200, key=lambda r: r.adc_dist).vec_id == 101
+        assert spark.table("t_annpq").count() == 22
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_annpq")
+        spark.sql("DROP TABLE IF EXISTS t_annpq_centroids")
+        spark.sql("DROP TABLE IF EXISTS t_annpq_codebook")
+
+
 def test_index_compact_restores_one_file_per_bucket(spark, mh_index,
                                                     tmp_path):
     """Three appends -> many files per bucket; compact rewrites to the

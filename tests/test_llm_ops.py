@@ -1427,6 +1427,43 @@ def test_ivf_pq_index_matches_in_memory_pq(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_pq_ut_codebook")
 
 
+def test_ivf_pq_index_append_and_compact(spark, tmp_path):
+    """The compressed index grows like the float one: a delta twin of
+    the query encodes with the INDEX's codebook into the right cell
+    and tops the probe; compaction preserves the pq stamps and the
+    probe output bit-for-bit."""
+    rng = np.random.default_rng(59)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 10, axis=0)
+            + rng.normal(scale=0.3, size=(40, 8))).astype(np.float32)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    emb = mk([(i, [float(v) for v in vecs[i]]) for i in range(40)])
+    similarity.ivf_pq_index_write(emb, "t_pqa_ut", str(tmp_path / "pq"),
+                                  n_centroids=4, m=4, nbits=3)
+    try:
+        q = [float(v) for v in vecs[0]]
+        twin = [float(v) for v in vecs[0] + np.float32(0.001)]
+        similarity.ivf_pq_index_append(mk([(999, twin)]), "t_pqa_ut")
+        top = similarity.ivf_pq_index_probe(
+            spark, "t_pqa_ut", q, k=3, nprobe=1,
+            exclude_vec_id=0).collect()
+        assert top[0].vec_id == 999 and top[0].adc_dist <= top[-1].adc_dist
+        before = [(r.vec_id, r.adc_dist) for r in top]
+        similarity.ivf_index_compact(spark, "t_pqa_ut",
+                                     str(tmp_path / "pq2"))
+        after = [(r.vec_id, r.adc_dist)
+                 for r in similarity.ivf_pq_index_probe(
+                     spark, "t_pqa_ut", q, k=3, nprobe=1,
+                     exclude_vec_id=0).collect()]
+        assert after == before          # stamps + layout survive
+    finally:
+        for t in ("t_pqa_ut", "t_pqa_ut_compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql("DROP TABLE IF EXISTS t_pqa_ut_centroids")
+        spark.sql("DROP TABLE IF EXISTS t_pqa_ut_codebook")
+
+
 def test_ivf_pq_index_named_guards(spark, tmp_path):
     """Over-wide packing (m·nbits > 62) and probes against unstamped
     tables fail by name, not with garbage codes."""

@@ -426,6 +426,23 @@ def test_ivf_probe_batch_static_pruning_one_join(spark):
     assert "BroadcastNestedLoopJoin" not in phys
 
 
+def test_ivf_pq_probe_batch_ships_no_embeddings(spark):
+    """The PQ serving join moves no float embeddings in EITHER
+    direction: the index scan reads (vec_id, pq_code) under a cell
+    partition filter, and the query fan-out carries the bounded ADC
+    array instead of the embedding."""
+    plan = _plan(QUERIES["ivf_pq_probe_batch"](spark, SF))
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "t_ivfpqb" in ln
+            and "codebook" not in ln and "centroids" not in ln][0]
+    assert "cell" in scan.split("PartitionFilters:", 1)[1].split("]")[0]
+    read = scan.split("ReadSchema:", 1)[1]
+    assert "embedding" not in read and "pq_code" in read
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
 def test_ivf_probe_batch_gate_broadcasts_small_shuffles_large(spark):
     """probe_batch at 100× scale: up to max_broadcast_queries the
     query fan-out is broadcast-hinted (shuffle-free serving join);

@@ -1,0 +1,105 @@
+"""r7 smoke: trained-vs-sampled IVF quantizer balance on a CLUSTERED
+corpus, and PQ index compression ratio.
+
+Real embedding corpora are clustered by construction; the sampled
+(pinned) quantizer's risk is a hot cell absorbing a large corpus
+fraction. This smoke builds 500k 64-d vectors in 16 tight blobs, writes
+the persistent index both ways, and reports max-cell/mean-cell — the
+number that decides whether a probe reads ~nprobe/C of the corpus or
+the hot-cell fraction. Then it writes the PQ index (m=8, nbits=4) and
+reports on-disk bytes vs the float index.
+
+Run: python tools/scale_smoke_ivf.py [n_vectors]
+"""
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from georiva_spark.operators import similarity  # noqa: E402
+from georiva_spark.session import get_spark  # noqa: E402
+
+
+def main(n=500_000, d=64, blobs=16):
+    spark = get_spark()
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(blobs, d)) * 6.0
+
+    def gen(it):
+        import pandas as pd
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            base = centers[ids % blobs]
+            v = base + np.random.default_rng(ids[0]).normal(
+                scale=0.4, size=(len(ids), d))
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": list(v.astype(np.float64))})
+
+    emb = (spark.range(n).withColumnRenamed("id", "id")
+           .mapInPandas(gen, "vec_id long, embedding array<double>"))
+    root = tempfile.mkdtemp(prefix="ivf_smoke_")
+    out = {}
+
+    for tag, iters in (("sampled", 0), ("trained", 2)):
+        t0 = time.time()
+        similarity.ivf_index_write(
+            emb, f"t_smk_{tag}", os.path.join(root, tag),
+            n_centroids=blobs, train_iters=iters,
+            seed_ids=list(range(blobs)) if iters else None)
+        dt = time.time() - t0
+        sizes = [r.n for r in spark.sql(
+            f"SELECT cell, COUNT(*) n FROM t_smk_{tag} GROUP BY cell"
+        ).collect()]
+        ratio = max(sizes) / (sum(sizes) / len(sizes))
+        out[tag] = (dt, ratio, len(sizes))
+        print(f"{tag}: write {dt:.1f}s  cells={len(sizes)}  "
+              f"max/mean={ratio:.2f}  sizes[:4]={sorted(sizes)[:4]}")
+
+    # probe the trained index: planted twin of vector 0 must rank top
+    q = emb.where("vec_id = 0").head().embedding
+    t0 = time.time()
+    top = similarity.ivf_index_probe(spark, "t_smk_trained", q, k=10,
+                                     nprobe=2, exclude_vec_id=0).collect()
+    dt = time.time() - t0
+    same_blob = sum(1 for r in top if r.vec_id % blobs == 0)
+    print(f"trained probe: {dt:.2f}s  top10-from-query-blob={same_blob}/10")
+
+    # PQ index: bytes vs float index
+    t0 = time.time()
+    similarity.ivf_pq_index_write(emb, "t_smk_pq",
+                                  os.path.join(root, "pq"),
+                                  n_centroids=blobs, m=8, nbits=4)
+    print(f"pq write: {time.time() - t0:.1f}s")
+
+    def du(path):
+        return sum(os.path.getsize(f) for f in
+                   glob.glob(os.path.join(path, "**", "*"),
+                             recursive=True) if os.path.isfile(f))
+
+    fb, pb = du(os.path.join(root, "sampled")), du(os.path.join(root, "pq"))
+    print(f"float index bytes={fb:,}  pq index bytes={pb:,}  "
+          f"ratio={fb / pb:.1f}x")
+    t0 = time.time()
+    ptop = similarity.ivf_pq_index_probe(spark, "t_smk_pq", q, k=10,
+                                         nprobe=2,
+                                         exclude_vec_id=0).collect()
+    psame = sum(1 for r in ptop if r.vec_id % blobs == 0)
+    print(f"pq probe: {time.time() - t0:.2f}s  "
+          f"top10-from-query-blob={psame}/10")
+
+    for t in ("t_smk_sampled", "t_smk_trained", "t_smk_pq"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")
+    spark.sql("DROP TABLE IF EXISTS t_smk_pq_codebook")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500_000)
