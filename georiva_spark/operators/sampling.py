@@ -145,3 +145,33 @@ def split_assign(df: DataFrame, fractions_ppm: dict[str, int],
         expr = (F.when(cond, F.lit(name)) if expr is None
                 else expr.when(cond, F.lit(name)))
     return df.withColumn("split", expr)
+
+
+def cluster_aware_split(docs: DataFrame, pairs: DataFrame,
+                        fractions_ppm: dict[str, int],
+                        id_col: str = "doc_id",
+                        salt: str = "split") -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: every document in a
+    near-duplicate cluster lands in the SAME split. Splitting by
+    per-document hash (plain :func:`split_assign`) silently leaks —
+    a val document whose near-dup sits in train hands the model the
+    answer (Lee et al. 2022, arXiv:2107.06499 §6.2 measure exactly
+    this train/test overlap); the fix is to hash the document's
+    near-dup CLUSTER id (minimum member id, from
+    :func:`~georiva_spark.operators.dedup.dedup_clusters` over any
+    pair generator — MinHash, SimHash, embedding-cosine), so split
+    membership moves with the cluster and two near-dups can never
+    straddle a boundary.
+
+    Scale shape: connected components run on the PAIR list
+    (hash-sized, never the corpus); each document joins its cluster
+    label once (one shuffle on ``id_col``); the split decision is an
+    in-row md5-bucket predicate on the cluster id — same integer-ppm
+    arithmetic as split_assign, auditable in SQL.
+    → (doc_id, cluster_id, split)."""
+    from georiva_spark.operators.dedup import dedup_clusters
+
+    labeled = dedup_clusters(docs, pairs, id_col=id_col)
+    return (split_assign(labeled, fractions_ppm, key_col="cluster_id",
+                         salt=salt)
+            .select(id_col, "cluster_id", "split"))

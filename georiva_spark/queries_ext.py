@@ -576,6 +576,20 @@ FROM b
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment (r7): near-duplicate documents
+    (MinHash-LSH pairs → connected components) share a cluster id and
+    the split hash runs on THAT, so no near-dup pair ever straddles
+    train/val/test. The oracle replays the portable-hash pair set, the
+    recursive-CTE closure, and the identical md5-bucket thresholds —
+    counts AND memberships hash-match."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3, portable=True)
+    return sampling.cluster_aware_split(
+        docs, pairs, {"train": 980_000, "val": 10_000, "test": 10_000})
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-composition corpus mixing: sample so the output is ~50% en /
     30% zh / 20% de at ~40% of corpus size, with exact-integer per-stratum
@@ -2916,6 +2930,29 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
 """
 
+SQL_CLUSTER_SPLIT = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({SQL_MINHASH_DEDUP}),
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION SELECT r.u, g.v FROM reach r JOIN e g ON r.v = g.u),
+lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u),
+cl AS (SELECT d.doc_id,
+              COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+b AS (SELECT doc_id, cluster_id,
+             CAST('0x' || substring(
+                 md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 1000000 AS bucket
+      FROM cl)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 980000 THEN 'train'
+            WHEN bucket < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
 _DDOT = ("list_inner_product(CAST(e.embedding AS DOUBLE[]), "
          "CAST(e.embedding AS DOUBLE[]))")
 SQL_KNN_ALL_TOPK = f"""
@@ -4696,6 +4733,7 @@ EXT_QUERIES = {
     "repetition": q_repetition,
     "hash_sample": q_hash_sample,
     "split_assign": q_split_assign,
+    "cluster_split": q_cluster_split,
     "source_mix": q_source_mix,
     "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
@@ -4808,6 +4846,7 @@ EXT_ORACLES = {
     "repetition": SQL_REPETITION,
     "hash_sample": SQL_HASH_SAMPLE,
     "split_assign": SQL_SPLIT_ASSIGN,
+    "cluster_split": SQL_CLUSTER_SPLIT,
     "source_mix": SQL_SOURCE_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,

@@ -1389,6 +1389,37 @@ def test_ivf_index_compact_preserves_probe(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_ivfc_ut_centroids")
 
 
+def test_cluster_aware_split_no_leakage(spark):
+    """Near-dup documents must share a split: the bucket hashes the
+    CLUSTER id, so a pair that plain per-doc split_assign would
+    separate stays together; singletons keep their own-id bucket
+    (growth-stable vs split_assign)."""
+    from georiva_spark.operators import sampling
+
+    docs = spark.createDataFrame([(i,) for i in range(40)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 17), (17, 33), (4, 29)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.cluster_id, r.split)
+           for r in sampling.cluster_aware_split(
+               docs, pairs,
+               {"train": 500_000, "val": 500_000}).collect()}
+    # transitive chain {1,17,33} shares cluster 1 and ONE split
+    assert out[1][0] == out[17][0] == out[33][0] == 1
+    assert out[1][1] == out[17][1] == out[33][1]
+    assert out[4][0] == out[29][0] == 4 and out[4][1] == out[29][1]
+    # the naive per-doc split WOULD have separated at least one pair
+    naive = {r.doc_id: r.split for r in sampling.split_assign(
+        docs, {"train": 500_000, "val": 500_000}).collect()}
+    assert any(naive[a] != naive[b] for a, b in ((1, 17), (17, 33),
+                                                 (4, 29)))
+    # singletons bucket on their own id — identical to split_assign
+    singles = set(range(40)) - {1, 17, 33, 4, 29}
+    assert all(out[i][1] == naive[i] for i in singles)
+    # both splits populated (non-vacuous 50/50)
+    assert {s for _, s in out.values()} == {"train", "val"}
+
+
 def test_ivf_pq_index_matches_in_memory_pq(spark, tmp_path):
     """The PQ-compressed persistent index returns EXACTLY the
     in-memory knn_ivf_pq answer (same pinned quantizer + codebook,
