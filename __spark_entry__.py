@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (r7 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
     "corpus_pipeline", "ivf_pq_index", "ivf_index_trained",
-    "ivf_pq_probe_batch", "cluster_split",
+    "ivf_pq_probe_batch", "cluster_split", "ivf_pq_refine",
 ]
 
 

@@ -50,7 +50,7 @@ HEADLINE = [
     # r7: end-to-end corpus pipeline, trained-quantizer IVF (gated
     # shuffle probe path), PQ-compressed persistent index
     "corpus_pipeline", "ivf_index_trained", "ivf_pq_index",
-    "ivf_pq_probe_batch", "cluster_split",
+    "ivf_pq_probe_batch", "cluster_split", "ivf_pq_refine",
 ]
 
 

@@ -768,6 +768,37 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
             .limit(k).drop("_d"))
 
 
+def ivf_pq_index_refine(spark, table: str, emb: DataFrame, query_vec,
+                        k: int = 5, nprobe: int = 2,
+                        shortlist: int = 100,
+                        exclude_vec_id: int | None = None) -> DataFrame:
+    """Two-stage high-recall ANN serving (FAISS IVFPQ + refine): stage
+    1 probes the COMPRESSED index — cell-pruned scan over (vec_id,
+    pq_code) only — and keeps the top-``shortlist`` candidates by ADC;
+    stage 2 re-ranks them EXACTLY by cosine, reading float embeddings
+    for only those R rows: the shortlist ids (bounded driver data,
+    same class as the centroid collect) become an ``IN`` predicate the
+    float scan pushes down to parquet row-group skipping. At 100 TB
+    the corpus-sized read is sub-code longs; float I/O is R rows per
+    query. ADC's quantization error is confined to the shortlist
+    BOUNDARY — with shortlist ≫ k the exact top-k is recovered unless
+    a true neighbor's ADC rank falls below the cutoff.
+    → (vec_id, cosine) desc, the exact scores."""
+    from georiva_spark.functions.vectors import cosine_similarity
+
+    short = ivf_pq_index_probe(spark, table, query_vec, k=shortlist,
+                               nprobe=nprobe,
+                               exclude_vec_id=exclude_vec_id)
+    ids = [r.vec_id for r in short.select("vec_id").collect()]
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = cosine_similarity(F.col("embedding"), qlit)
+    return (emb.where(F.col("vec_id").isin(ids))
+            .select("vec_id", F.round(cos, 4).alias("cosine"),
+                    cos.alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("vec_id"))
+            .limit(k).drop("_c"))
+
+
 def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
                              k: int = 5, nprobe: int = 2,
                              exclude_self: bool = False,

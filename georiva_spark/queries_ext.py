@@ -930,6 +930,82 @@ def q_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          nprobe=2, exclude_vec_id=0)
 
 
+def q_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ + exact refine (r7): the compressed index
+    yields a 20-candidate ADC shortlist (no float I/O), then exact
+    cosine re-ranks only those rows — float reads collapse from the
+    probed cells to R rows, and the output carries EXACT scores. The
+    oracle replays the ADC shortlist cut and the exact re-rank."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    similarity.ivf_pq_index_write(emb, "t_ivfpqr",
+                                  os.path.join(d, "idxr"),
+                                  n_centroids=8, m=8, nbits=4)
+    q = (emb.where(F.col("vec_id") == 0)
+         .select("embedding").head().embedding)
+    return similarity.ivf_pq_index_refine(
+        spark, "t_ivfpqr", emb, q, k=5, nprobe=2, shortlist=20,
+        exclude_vec_id=0)
+
+
+SQL_IVF_PQ_REFINE = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+cdist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM cdist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+probe AS (SELECT c AS cell FROM cdist WHERE vec_id = 0
+          QUALIFY row_number() OVER (ORDER BY d2, c) <= 2),
+pq AS (SELECT CAST(t.i AS BIGINT) AS cw,
+              CAST(t.i * (nn.n // 16) + (nn.n // 16) // 3 AS BIGINT) AS vid
+       FROM range(16) t(i), nn),
+cb AS (SELECT cw, embedding AS ce FROM pq JOIN embeddings ON vec_id = vid),
+subdist AS (SELECT e.vec_id, CAST(s.i AS BIGINT) AS s, cb.cw,
+  (SELECT SUM((CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE))
+            * (CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE)))
+   FROM generate_series(1, 8) AS t(i)) AS d2
+  FROM embeddings e, range(8) s(i), cb),
+codes AS (SELECT vec_id, s, cw FROM subdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cw) = 1),
+qd AS (SELECT s, cw, d2 FROM subdist WHERE vec_id = 0),
+adc AS (SELECT c.vec_id, SUM(qd.d2) AS dist
+        FROM codes c JOIN qd ON qd.s = c.s AND qd.cw = c.cw
+        GROUP BY c.vec_id),
+short AS (SELECT a.vec_id FROM adc a
+          JOIN assign g ON a.vec_id = g.vec_id
+          JOIN probe p ON g.cell = p.cell
+          WHERE a.vec_id <> 0
+          QUALIFY row_number() OVER (ORDER BY a.dist, a.vec_id) <= 20),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i)) AS dot,
+    SQRT((SELECT SUM(CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS na,
+    SQRT((SELECT SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS nb
+  FROM embeddings e JOIN short USING (vec_id), q)
+SELECT vec_id, ROUND(dot / (na * nb), 4) AS cosine
+FROM sims ORDER BY dot / (na * nb) DESC, vec_id LIMIT 5
+"""
+
+
 def q_ivf_pq_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN serving against the PQ-compressed persistent index
     (r7): each query's ADC lookup table rides the fan-out row in place
@@ -4747,6 +4823,7 @@ EXT_QUERIES = {
     "knn_ivf_pq": q_knn_ivf_pq,
     "ivf_pq_index": q_ivf_pq_index,
     "ivf_pq_probe_batch": q_ivf_pq_probe_batch,
+    "ivf_pq_refine": q_ivf_pq_refine,
     "mvt_geom": q_mvt_geom,
     "mvt_tiles": q_mvt_tiles,
     "feed_health": q_feed_health,
@@ -4859,6 +4936,7 @@ EXT_ORACLES = {
     "knn_ivf_pq": SQL_KNN_IVF_PQ,
     "ivf_pq_index": SQL_KNN_IVF_PQ,
     "ivf_pq_probe_batch": SQL_IVF_PQ_PROBE_BATCH,
+    "ivf_pq_refine": SQL_IVF_PQ_REFINE,
     "mvt_geom": SQL_MVT_GEOM,
     "mvt_tiles": SQL_MVT_TILES,
     "feed_health": SQL_FEED_HEALTH,

@@ -1495,6 +1495,43 @@ def test_ivf_pq_index_append_and_compact(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_pqa_ut_codebook")
 
 
+def test_ivf_pq_refine_recovers_exact_topk(spark, tmp_path):
+    """The refine stage undoes ADC quantization error: with a
+    generous shortlist the two-stage probe returns EXACTLY the
+    brute-force cosine top-k over the probed cells, with exact
+    scores — while the float scan reads only the shortlist rows."""
+    rng = np.random.default_rng(71)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 25, axis=0)
+            + rng.normal(scale=0.3, size=(100, 8))).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    similarity.ivf_pq_index_write(emb, "t_pqr_ut", str(tmp_path / "pq"),
+                                  n_centroids=4, m=4, nbits=3)
+    try:
+        q = [float(v) for v in vecs[0]]
+        got = [(r.vec_id, r.cosine) for r in
+               similarity.ivf_pq_index_refine(
+                   spark, "t_pqr_ut", emb, q, k=5, nprobe=4,
+                   shortlist=99, exclude_vec_id=0).collect()]
+        # brute-force exact top-5 (all cells probed, full shortlist)
+        import numpy as np_
+        qv = np_.asarray(q)
+        cos = {}
+        for i in range(1, 100):
+            v = np_.asarray([float(x) for x in vecs[i]])
+            cos[i] = float(qv @ v / (np_.linalg.norm(qv)
+                                     * np_.linalg.norm(v)))
+        want = sorted(cos.items(), key=lambda t: (-t[1], t[0]))[:5]
+        want = [(i, round(c, 4)) for i, c in want]
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pqr_ut")
+        spark.sql("DROP TABLE IF EXISTS t_pqr_ut_centroids")
+        spark.sql("DROP TABLE IF EXISTS t_pqr_ut_codebook")
+
+
 def test_ivf_pq_index_named_guards(spark, tmp_path):
     """Over-wide packing (m·nbits > 62) and probes against unstamped
     tables fail by name, not with garbage codes."""
