@@ -689,6 +689,64 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                     (ov >= min_overlap).alias("contaminated")))
 
 
+def fuzzy_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                        threshold: float = 0.5, num_hashes: int = 64,
+                        bands: int = 16, n: int = 3,
+                        portable: bool = False,
+                        text_col: str = "text") -> DataFrame:
+    """NEAR-DUPLICATE test-set decontamination: flag corpus documents
+    whose MinHash est-Jaccard against ANY benchmark document reaches
+    ``threshold`` — the fuzzy complement of :func:`decontaminate`
+    (exact n-gram overlap): a lightly edited, truncated, or
+    re-templated eval passage keeps a high global Jaccard even where
+    the contiguous-n-gram overlap falls under an exact-match cutoff
+    (the contamination mode arXiv:2107.06499 §6.2 measures).
+
+    Scale shape: the benchmark side — an eval suite, thousands of
+    docs, never billions — bands and BROADCASTS; corpus band keys
+    stream through the broadcast join map-side, so the only shuffled
+    rows are the candidate hits (empty for almost all of a 100 TB
+    corpus). Verification compares signatures for candidates only;
+    the per-doc rollup keeps the MAX estimate. Returns the dense
+    audit table (doc_id, max_est_jaccard, contaminated); at scale
+    keep the sparse hit side and anti-join at the point of use.
+    Both signature sets must use one hash family (``portable``)."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
+    sig_c = persist_bounded(
+        minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                           text_col=text_col, portable=portable),
+        "fuzzy_decontaminate.sig_c", StorageLevel.MEMORY_AND_DISK)
+    sig_b = persist_bounded(
+        minhash_signatures(benchmark, num_hashes=num_hashes, n=n,
+                           text_col=text_col, portable=portable)
+        .withColumnRenamed("doc_id", "bm_id")
+        .withColumnRenamed("signature", "sig_b"),
+        "fuzzy_decontaminate.sig_b", StorageLevel.MEMORY_AND_DISK)
+    bucket_arr = _band_buckets(num_hashes, bands)
+    bands_c = sig_c.select(
+        "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+    bands_b = sig_b.select(
+        "bm_id", F.posexplode(_band_buckets(num_hashes, bands, "sig_b"))
+        .alias("band", "bucket"))
+    cand = (bands_c.join(F.broadcast(bands_b), ["band", "bucket"])
+            .select("doc_id", "bm_id").distinct())
+    est = (F.size(F.filter(F.zip_with("signature", "sig_b",
+                                      lambda x, y: (x == y).cast("int")),
+                           lambda v: v == 1)).cast("double")
+           / F.lit(float(num_hashes)))
+    hits = (cand.join(sig_c, "doc_id")
+            .join(F.broadcast(sig_b), "bm_id")
+            .select("doc_id", est.alias("est"))
+            .groupBy("doc_id").agg(F.max("est").alias("max_est")))
+    mx = F.coalesce(F.col("max_est"), F.lit(0.0))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id", mx.alias("max_est_jaccard"),
+                    (mx >= threshold).alias("contaminated")))
+
+
 def line_dedup(docs: DataFrame, *, delim: str = "\n", max_line_df: int = 1,
                text_col: str = "text",
                portable: bool = False) -> DataFrame:

@@ -666,6 +666,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                portable=True)
 
 
+def q_fuzzy_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination (r7): the benchmark is every
+    20th document TRUNCATED by two tokens — the lightly-edited leak
+    exact long-n-gram rules can miss near the cut; any corpus doc
+    whose MinHash est-Jaccard against a benchmark doc reaches 0.5 is
+    flagged. Portable hashes end-to-end; the oracle replays the
+    truncation, both signature sets, the banding, and the per-doc MAX
+    estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))),
+            " ").alias("text"))
+    return dedup.fuzzy_decontaminate(docs, bench, threshold=0.5,
+                                     portable=True)
+
+
 def q_bow_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-words linear quality score (fastText-style filter
     plumbing) — scaled-integer weight sum so Spark and DuckDB agree
@@ -2864,6 +2883,57 @@ FROM cand WHERE {est} >= {threshold}
 
 SQL_MINHASH_DEDUP = _sql_minhash(threshold=0.3)
 
+
+def _sql_fuzzy_decon(threshold: float = 0.5, num_hashes: int = 64,
+                     bands: int = 16) -> str:
+    """Replay fuzzy_decontaminate: the truncated-benchmark fixture,
+    both portable signature sets, band-candidate generation between
+    corpus and benchmark, and the per-doc MAX est-Jaccard."""
+    a, b = dedup.minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(s, v -> "
+        f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+        f" % 18446744073709551616))" for j in range(num_hashes))
+    unsig = ("list_transform(u, m -> CAST(CASE "
+             "WHEN m >= 9223372036854775808 "
+             "THEN m - 18446744073709551616 ELSE m END AS BIGINT))")
+    est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
+           f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
+    return f"""
+WITH bmt AS (SELECT doc_id,
+        array_to_string(list_slice(string_split(text, ' '), 1,
+            greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+     FROM documents WHERE doc_id % 20 = 0),
+tc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM bmt),
+shc AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM tc),
+shb AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM tb),
+sigc AS (SELECT doc_id, {unsig} AS sig
+         FROM (SELECT doc_id, [{mins}] AS u FROM shc)),
+sigb AS (SELECT doc_id AS bm_id, {unsig} AS sig
+         FROM (SELECT doc_id, [{mins}] AS u FROM shb)),
+bandc AS (SELECT doc_id, sig, bb.band AS band,
+                 sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+          FROM sigc CROSS JOIN
+               (SELECT unnest(range(0, {bands})) AS band) bb),
+bandb AS (SELECT bm_id, sig, bb.band AS band,
+                 sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+          FROM sigb CROSS JOIN
+               (SELECT unnest(range(0, {bands})) AS band) bb),
+cand AS (SELECT DISTINCT c.doc_id, b.bm_id, c.sig AS sa, b.sig AS sb
+         FROM bandc c JOIN bandb b
+           ON c.band = b.band AND c.key = b.key),
+hits AS (SELECT doc_id, MAX({est}) AS max_est
+         FROM cand GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.max_est, 0.0) AS max_est_jaccard,
+       COALESCE(h.max_est, 0.0) >= {threshold} AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+SQL_FUZZY_DECON = _sql_fuzzy_decon()
+
 _JACC = "CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)"
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS ({_TOKS_CTE}),
@@ -4813,6 +4883,7 @@ EXT_QUERIES = {
     "source_mix": q_source_mix,
     "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
+    "fuzzy_decon": q_fuzzy_decon,
     "bow_score": q_bow_score,
     "approx_distinct": q_approx_distinct,
     "simhash": q_simhash,
@@ -4927,6 +4998,7 @@ EXT_ORACLES = {
     "source_mix": SQL_SOURCE_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,
+    "fuzzy_decon": SQL_FUZZY_DECON,
     "bow_score": SQL_BOW_SCORE,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -1244,6 +1244,34 @@ def test_hamming_pairs_multi_code_per_id(spark):
     assert all(r.id_a < r.id_b for r in rows)
 
 
+def test_hamming_pairs_multi_code_randomized_brute_force(spark):
+    """Randomized sweep of the multi-code contract: ids carrying 1-3
+    codes drawn from a near-collision pool must produce EXACTLY the
+    brute-force pair set — (a, b) once with the MINIMUM Hamming over
+    all code combinations, no self-pairs, a < b."""
+    import itertools
+    rng = np.random.default_rng(83)
+    pool = [int(rng.integers(0, 1 << 62)) for _ in range(6)]
+    variants = [b ^ (1 << int(rng.integers(0, 62)))
+                for b in pool for _ in range(2)]
+    codespace = pool + variants
+    mapping = {i: {codespace[int(rng.integers(0, len(codespace)))]
+                   for _ in range(int(rng.integers(1, 4)))}
+               for i in range(30)}
+    rows = [(i, c) for i, cs in mapping.items() for c in cs]
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in dedup.hamming_pairs(
+                     spark.createDataFrame(rows, "id long, code long"),
+                     "id", "code", max_hamming=2).collect())
+    want = []
+    for a, b in itertools.combinations(sorted(mapping), 2):
+        h = min(bin(ca ^ cb).count("1")
+                for ca in mapping[a] for cb in mapping[b])
+        if h <= 2:
+            want.append((a, b, h))
+    assert got == sorted(want)
+
+
 def test_hamming_pairs_max_exact_group_guard(spark):
     """The named quadratic-expansion guard: an exact-code group larger
     than max_exact_group raises by name instead of silently emitting
