@@ -876,6 +876,13 @@ def minhash_index_append(docs: DataFrame, table: str) -> None:
      .sortBy("band", "bucket").saveAsTable(f"{table}_bands"))
     (sig.write.mode("append").format("parquet")
      .bucketBy(p["n_buckets"], "doc_id").saveAsTable(f"{table}_sigs"))
+    # a reader that scanned either table BEFORE this append holds a
+    # cached file listing that silently misses the new files (the
+    # probe-then-grow loops; relation caches are per-session — the
+    # serving session must refresh separately, see streaming/corpus.py)
+    spark = docs.sparkSession
+    spark.catalog.refreshTable(f"{table}_bands")
+    spark.catalog.refreshTable(f"{table}_sigs")
 
 
 def minhash_index_compact(spark, table: str, path: str) -> None:

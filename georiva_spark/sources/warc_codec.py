@@ -113,15 +113,16 @@ def _http_body(payload: bytes) -> bytes:
     return payload[sep + 4:] if sep >= 0 else payload
 
 
-def warc_scan(spark: SparkSession, path: str,
-              types: tuple[str, ...] = ("conversion", "response")
-              ) -> DataFrame:
-    """Scan WARC/WET files under ``path`` → one row per text-bearing
-    record: (path, record_id, warc_type, target_uri, warc_date,
-    content_type, n_bytes, text). 'conversion' (WET) payloads are the
-    text; 'response' payloads drop the HTTP head first. Other record
-    types (warcinfo, request, metadata) are skipped. binaryFile
-    listing → Arrow-batched per-file decode; no driver-side loop."""
+def warc_parse(files: DataFrame,
+               types: tuple[str, ...] = ("conversion", "response")
+               ) -> DataFrame:
+    """Parse a (path, content) DataFrame of WARC/WET archive bytes →
+    one row per text-bearing record (the transform half of
+    :func:`warc_scan`, shared with the STREAMING ingestion loop —
+    batch and stream must demux identically). 'conversion' (WET)
+    payloads are the text; 'response' payloads drop the HTTP head
+    first; other record types are skipped. Arrow-batched per-file
+    decode; no driver-side loop."""
     import pandas as pd
 
     tset = set(types)
@@ -147,6 +148,16 @@ def warc_scan(spark: SparkSession, path: str,
                 "path", "record_id", "warc_type", "target_uri",
                 "warc_date", "content_type", "n_bytes", "text"])
 
-    return (spark.read.format("binaryFile").load(path)
-            .select("path", "content")
+    return (files.select("path", "content")
             .mapInPandas(gen, schema=WARC_SCHEMA))
+
+
+def warc_scan(spark: SparkSession, path: str,
+              types: tuple[str, ...] = ("conversion", "response")
+              ) -> DataFrame:
+    """Scan WARC/WET files under ``path`` → one row per text-bearing
+    record: (path, record_id, warc_type, target_uri, warc_date,
+    content_type, n_bytes, text). binaryFile listing →
+    :func:`warc_parse`."""
+    return warc_parse(spark.read.format("binaryFile").load(path),
+                      types=types)

@@ -9,8 +9,12 @@ from georiva_spark.streaming.neardup import (
 from georiva_spark.streaming.annstream import (
     start_ann_stream, read_ann_neighbors,
 )
+from georiva_spark.streaming.corpus import (
+    start_corpus_stream, read_corpus_stream,
+)
 
 __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
            "windowed_stats", "dedup_stream", "start_neardup_stream",
            "read_neardup_pairs", "start_ann_stream",
-           "read_ann_neighbors"]
+           "read_ann_neighbors", "start_corpus_stream",
+           "read_corpus_stream"]

@@ -1,0 +1,124 @@
+"""Continuous crawl→corpus ingestion — the streaming face of the
+corpus_pipeline composition (queries_ext.q_corpus_pipeline): WARC
+shards land in a directory; each micro-batch demuxes its records
+(sources/warc_codec.warc_parse — the SAME transform the batch scan
+uses), strips HTML from response payloads, gates on the Gopher quality
+rules, probes the surviving documents against a GROWING MinHash index
+(delta-only signatures, index side shuffle-free) and appends them —
+batch N+1 dedups against every accepted document through batch N. The
+accepted corpus and the near-dup pairs both land under deterministic
+batch_id directories.
+
+Line-level boilerplate removal is deliberately NOT in the loop: its
+document-frequency table is corpus-GLOBAL (a batch-local df would
+under-count every boilerplate line), so run line_dedup as a periodic
+batch pass over the landed corpus — the lambda split the CCNet shape
+forces on any streaming ingester.
+
+Idempotency across restarts (foreachBatch is at-least-once): doc ids
+derive from xxhash64(target_uri) — stable across replays, unlike the
+writer-random WARC record ids — the outputs for batch B overwrite
+``…/batch_id=B``, phantom pairs against the batch's own docs are
+anti-joined away, and the index append is guarded by the batch's
+presence in the signature table (the neardup-loop guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from georiva_spark.operators.dedup import (minhash_index_append,
+                                           minhash_index_params,
+                                           minhash_index_probe)
+from georiva_spark.operators.textops import HTML_STRIP_RULES, gopher_rules
+from georiva_spark.sources.warc_codec import warc_parse
+
+
+def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
+                        checkpoint_dir: str, threshold: float = 0.5,
+                        gopher_kwargs: dict | None = None,
+                        grow: bool = True,
+                        max_files_per_trigger: int | None = None):
+    """Start the crawl→corpus loop over WARC files arriving in
+    ``warc_dir``. ``table`` is an existing minhash_index_write index
+    (yesterday's corpus — may be empty-seeded). Outputs per batch B:
+    ``{out_dir}/docs/batch_id=B`` — the accepted documents
+    (doc_id, target_uri, warc_type, n_bytes, text);
+    ``{out_dir}/pairs/batch_id=B`` — (doc_new, doc_old, est_jaccard)
+    near-dups of the arriving docs against everything already
+    indexed. Returns the StreamingQuery."""
+    params = minhash_index_params(spark, table)     # fail fast
+    gk = dict(min_words=8, max_words=100_000, min_mean_word_len=1.0,
+              max_mean_word_len=12.0, max_symbol_ratio=0.2,
+              max_bullet_ratio=0.9, min_stopword_hits=1)
+    gk.update(gopher_kwargs or {})
+
+    strip = F.col("text")
+    for pat, repl in HTML_STRIP_RULES:
+        strip = F.regexp_replace(strip, pat, repl)
+
+    def process(files: DataFrame, batch_id: int) -> None:
+        if files.isEmpty():
+            return
+        recs = warc_parse(files)
+        docs = (recs.select(
+            F.xxhash64("target_uri").alias("doc_id"),
+            "target_uri", "warc_type", "n_bytes",
+            F.when(F.col("warc_type") == "response", strip)
+            .otherwise(F.col("text")).alias("text"))
+            .dropDuplicates(["doc_id"]))
+        passed = (docs.join(
+            gopher_rules(docs, **gk).where("gopher_pass")
+            .select("doc_id"), "doc_id", "left_semi")
+            .persist())
+        try:
+            (passed.write.mode("overwrite")
+             .parquet(f"{out_dir}/docs/batch_id={batch_id}"))
+            ids = passed.select("doc_id")
+            pairs = minhash_index_probe(
+                passed, table, threshold=threshold,
+                num_hashes=params["num_hashes"], bands=params["bands"],
+                n=params["n"])
+            pairs = pairs.join(ids.withColumnRenamed("doc_id", "doc_old"),
+                               "doc_old", "left_anti")
+            (pairs.write.mode("overwrite")
+             .parquet(f"{out_dir}/pairs/batch_id={batch_id}"))
+            if grow:
+                applied = (spark.table(f"{table}_sigs")
+                           .join(ids, "doc_id", "left_semi")
+                           .limit(1).count() > 0)
+                if not applied:
+                    minhash_index_append(passed.select("doc_id", "text"),
+                                         table)
+                    # the append refreshed foreachBatch's CLONED
+                    # session; relation caches are per-session, so the
+                    # serving session must invalidate its own listings
+                    # or the next batch's applied-guard and any outer
+                    # reader scan a stale index
+                    spark.catalog.refreshTable(f"{table}_bands")
+                    spark.catalog.refreshTable(f"{table}_sigs")
+        finally:
+            passed.unpersist()
+
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    src = reader.load(warc_dir)
+    return (src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_corpus_stream(spark, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Read the accumulated (docs, pairs) outputs of
+    :func:`start_corpus_stream`."""
+    docs = (spark.read.option("basePath", f"{out_dir}/docs")
+            .parquet(f"{out_dir}/docs/batch_id=*")
+            .withColumn("batch_id", F.col("batch_id").cast("long")))
+    pairs = (spark.read.option("basePath", f"{out_dir}/pairs")
+             .parquet(f"{out_dir}/pairs/batch_id=*")
+             .withColumn("batch_id", F.col("batch_id").cast("long")))
+    return docs, pairs

@@ -67,6 +67,13 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
                            .limit(1).count() > 0)
                 if not applied:
                     minhash_index_append(batch, table)
+                    # relation caches are per-session: the append ran
+                    # (and refreshed) on foreachBatch's cloned session;
+                    # without this, the serving session's applied-guard
+                    # scans a pre-append file listing on REPLAY and
+                    # appends the same batch twice
+                    spark.catalog.refreshTable(f"{table}_bands")
+                    spark.catalog.refreshTable(f"{table}_sigs")
         finally:
             batch.unpersist()
 

@@ -207,6 +207,78 @@ def test_streaming_ann_probe_grows_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_annstr_centroids")
 
 
+def test_streaming_corpus_crawl_to_index(spark, tmp_path):
+    """The full streaming crawl→corpus loop (r7): WARC shards arrive,
+    HTML strips, the Gopher gate drops junk, survivors probe a GROWING
+    MinHash index. Batch 2's duplicate of a batch-1 page is caught via
+    the grown index; the junk page reaches neither the corpus output
+    nor the index; replay is idempotent."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from georiva_spark.sources.warc_codec import warc_encode
+    from georiva_spark.streaming import (read_corpus_stream,
+                                         start_corpus_stream)
+
+    base = _docs(spark, [(1, BASE)])
+    dedup.minhash_index_write(base, "t_crawl", str(tmp_path / "idx"),
+                              n_buckets=4)
+    http = "HTTP/1.1 200 OK\r\n\r\n"
+    wrap = lambda t: http + f"<html><body><p>{t}</p></body></html>"
+    novel = ("fresh crawl content about corpus loops and spark plans "
+             "with the quick brown fox of streaming ingestion today")
+    rec = lambda uri, t: {
+        "warc_type": "response", "target_uri": uri,
+        "content_type": "application/http; msgtype=response",
+        "payload": wrap(t)}
+    f1 = warc_encode([rec("http://x/dup-of-base", BASE),
+                      rec("http://x/novel", novel),
+                      rec("http://x/junk", "tiny junk page")], gz=True)
+    f2 = warc_encode([rec("http://x/dup-of-novel",
+                          novel + " plus an extra tail")], gz=True)
+    land = tmp_path / "crawl"
+    land.mkdir()
+    (land / "a1.warc.gz").write_bytes(f1)
+    time.sleep(1.1)                     # distinct mtimes → batch order
+    (land / "a2.warc.gz").write_bytes(f2)
+    out, ckpt = str(tmp_path / "corp_out"), str(tmp_path / "corp_ckpt")
+
+    def hid(uri):
+        return spark.range(1).select(
+            F.xxhash64(F.lit(uri))).head()[0]
+
+    def cycle():
+        q = start_corpus_stream(spark, str(land), "t_crawl", out, ckpt,
+                                threshold=0.5, max_files_per_trigger=1)
+        q.awaitTermination(180)
+
+    try:
+        cycle()
+        docs, pairs = read_corpus_stream(spark, out)
+        uris = {r.target_uri for r in docs.collect()}
+        assert uris == {"http://x/dup-of-base", "http://x/novel",
+                        "http://x/dup-of-novel"}   # junk gated out
+        got = {(r.doc_new, r.doc_old) for r in pairs.collect()}
+        assert (hid("http://x/dup-of-base"), 1) in got
+        # the cross-batch catch: only possible via the GROWN index
+        assert (hid("http://x/dup-of-novel"),
+                hid("http://x/novel")) in got
+        sig_ids = {r.doc_id for r in
+                   spark.table("t_crawl_sigs").collect()}
+        assert hid("http://x/junk") not in sig_ids
+        assert hid("http://x/novel") in sig_ids
+        nsig = len(sig_ids)
+        cycle()                          # replay: nothing new
+        assert spark.table("t_crawl_sigs").count() == nsig
+        _, pairs2 = read_corpus_stream(spark, out)
+        assert {(r.doc_new, r.doc_old)
+                for r in pairs2.collect()} == got
+    finally:
+        for s in ("bands", "sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS t_crawl_{s}")
+
+
 def test_streaming_ann_pq_mode_autodetects(spark, tmp_path):
     """The same probe-then-grow loop serves a PQ-compressed index:
     the stamp autodetects PQ mode, the cross-batch twin is found via
