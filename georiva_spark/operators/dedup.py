@@ -363,6 +363,79 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                          out_a="doc_a", out_b="doc_b")
 
 
+def _hamming_band_exprs(is_arr: bool, code_col: str, max_hamming: int,
+                        bits: int, word_bits: int = 56,
+                        caller: str = "hamming_pairs"):
+    """ONE definition of the pigeonhole band keys and the exact
+    Hamming verifier (over ``__ca``/``__cb``), shared by the
+    in-memory pair miner AND the persistent Hamming index —
+    write/append/probe must derive identical keys or an existing
+    index silently stops finding pairs (the _band_buckets principle).
+    Long codes band as shifted bit slices (long keys); array codes
+    band as substrings of the hex-formatted word concatenation
+    (string keys), with named guards for ragged/oversized words and
+    degenerate band widths. Returns (bands_struct_exprs, ham_expr)."""
+    k = max_hamming + 1
+    if is_arr:
+        if word_bits % 4:
+            raise ValueError(
+                f"{caller}: word_bits={word_bits} must be a "
+                f"multiple of 4 (words are hex-formatted for banding)")
+        # words of word_bits (< 64) non-negative bits, hex-formatted so
+        # bands are substrings of the concatenated nibble string; any
+        # disjoint nibble partition is a valid pigeonhole split.
+        nw_word = word_bits // 4
+        n_words = (bits + word_bits - 1) // word_bits
+        hexc = F.concat(*[F.format_string(f"%0{nw_word}x",
+                                          F.col(code_col)[i])
+                          for i in range(n_words)])
+        # a ragged code (wrong word count) would null the hex key and
+        # the equi-join would silently DROP its pairs; an OVERSIZED
+        # word (value >= 2^word_bits) widens its hex field and shifts
+        # every later band's substring — both fail by name
+        hexc = F.when(
+            (F.size(F.col(code_col)) == n_words)
+            & (F.length(hexc) == n_words * nw_word), hexc) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"{caller}: code needs {n_words} words of "
+                      f"< 2^{word_bits} ({bits} bits / {word_bits}-bit "
+                      f"words), got "),
+                F.size(F.col(code_col)).cast("string"),
+                F.lit(" words"))))
+        nib_total = n_words * nw_word
+        per = nib_total // k
+        if per == 0:
+            raise ValueError(
+                f"{caller}: max_hamming={max_hamming} needs "
+                f"{k} bands but the code has only {nib_total} nibbles")
+        bands = [F.struct(
+            F.lit(j).alias("band"),
+            F.substring(hexc, j * per + 1,
+                        (nib_total - j * per) if j == k - 1 else per)
+            .alias("key")) for j in range(k)]
+        ham = F.aggregate(
+            F.zip_with(F.col("__ca"), F.col("__cb"),
+                       lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+            F.lit(0), lambda acc, x: acc + x)
+    else:
+        w = bits // k
+        if w == 0:
+            raise ValueError(
+                f"{caller}: max_hamming={max_hamming} needs "
+                f"{k} bands but the code has only {bits} bits — every "
+                f"band key would be empty (a full cartesian in disguise)")
+        band_cols = []
+        for j in range(k):
+            b = F.shiftrightunsigned(F.col(code_col), j * w)
+            if j < k - 1:          # top band keeps the remainder bits
+                b = b.bitwiseAND(F.lit((1 << w) - 1))
+            band_cols.append(b)
+        bands = [F.struct(F.lit(j).alias("band"), b.alias("key"))
+                 for j, b in enumerate(band_cols)]
+        ham = F.bit_count(F.col("__ca").bitwiseXOR(F.col("__cb")))
+    return bands, ham
+
+
 def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
                   max_hamming: int = 3, bits: int = 64,
                   out_a: str = "id_a", out_b: str = "id_b",
@@ -415,7 +488,6 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
 
     from georiva_spark.operators._retention import persist_bounded
 
-    k = max_hamming + 1
     is_arr = isinstance(codes.schema[code_col].dataType, ArrayType)
     # the code table feeds FOUR plan branches (distinct, two expansion
     # sides, within self-join); without a persist an expensive upstream
@@ -429,63 +501,8 @@ def hamming_pairs(codes: DataFrame, id_col: str, code_col: str,
     dc = (codes.select(code_col) if distinct_codes
           else codes.select(code_col).distinct())
 
-    if is_arr:
-        if word_bits % 4:
-            raise ValueError(
-                f"hamming_pairs: word_bits={word_bits} must be a "
-                f"multiple of 4 (words are hex-formatted for banding)")
-        # words of word_bits (< 64) non-negative bits, hex-formatted so
-        # bands are substrings of the concatenated nibble string; any
-        # disjoint nibble partition is a valid pigeonhole split.
-        nw_word = word_bits // 4
-        n_words = (bits + word_bits - 1) // word_bits
-        hexc = F.concat(*[F.format_string(f"%0{nw_word}x",
-                                          F.col(code_col)[i])
-                          for i in range(n_words)])
-        # a ragged code (wrong word count) would null the hex key and
-        # the equi-join would silently DROP its pairs; an OVERSIZED
-        # word (value >= 2^word_bits) widens its hex field and shifts
-        # every later band's substring — both fail by name
-        hexc = F.when(
-            (F.size(F.col(code_col)) == n_words)
-            & (F.length(hexc) == n_words * nw_word), hexc) \
-            .otherwise(F.raise_error(F.concat(
-                F.lit(f"hamming_pairs: code needs {n_words} words of "
-                      f"< 2^{word_bits} ({bits} bits / {word_bits}-bit "
-                      f"words), got "),
-                F.size(F.col(code_col)).cast("string"),
-                F.lit(" words"))))
-        nib_total = n_words * nw_word
-        per = nib_total // k
-        if per == 0:
-            raise ValueError(
-                f"hamming_pairs: max_hamming={max_hamming} needs "
-                f"{k} bands but the code has only {nib_total} nibbles")
-        bands = [F.struct(
-            F.lit(j).alias("band"),
-            F.substring(hexc, j * per + 1,
-                        (nib_total - j * per) if j == k - 1 else per)
-            .alias("key")) for j in range(k)]
-        ham = F.aggregate(
-            F.zip_with(F.col("__ca"), F.col("__cb"),
-                       lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-            F.lit(0), lambda acc, x: acc + x)
-    else:
-        w = bits // k
-        if w == 0:
-            raise ValueError(
-                f"hamming_pairs: max_hamming={max_hamming} needs "
-                f"{k} bands but the code has only {bits} bits — every "
-                f"band key would be empty (a full cartesian in disguise)")
-        band_cols = []
-        for j in range(k):
-            b = F.shiftrightunsigned(F.col(code_col), j * w)
-            if j < k - 1:          # top band keeps the remainder bits
-                b = b.bitwiseAND(F.lit((1 << w) - 1))
-            band_cols.append(b)
-        bands = [F.struct(F.lit(j).alias("band"), b.alias("key"))
-                 for j, b in enumerate(band_cols)]
-        ham = F.bit_count(F.col("__ca").bitwiseXOR(F.col("__cb")))
+    bands, ham = _hamming_band_exprs(is_arr, code_col, max_hamming,
+                                     bits, word_bits)
 
     ex = (dc.select(code_col, F.explode(F.array(*bands)).alias("bk"))
           .select(code_col, "bk.band", "bk.key"))
@@ -598,6 +615,207 @@ def hamming_groups(codes: DataFrame, id_col: str, code_col: str,
     return (withc.join(grp, "__comp").join(exact, code_col)
             .select(F.col(id_col).alias("id"), "group_id",
                     "group_size", "exact_size"))
+
+
+def _code_ref(codes: DataFrame, code_col: str):
+    """Collision-free join key for a code column: a long code is its
+    own ref; an array code uses the full 128-bit md5 of its canonical
+    string (the hamming_groups surrogate policy — bucketable, unlike
+    the array itself)."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(codes.schema[code_col].dataType, ArrayType):
+        return F.md5(F.col(code_col).cast("string").cast("binary")), True
+    return F.col(code_col), False
+
+
+def hamming_index_write(codes: DataFrame, table: str, path: str,
+                        id_col: str = "media_id",
+                        code_col: str = "code",
+                        max_hamming: int = 3, bits: int = 64,
+                        word_bits: int = 56,
+                        n_buckets: int = 64) -> None:
+    """Persistent Hamming near-dup index — the PERCEPTUAL member of
+    the index triad (MinHash for text, IVF for embeddings): probe
+    yesterday's media corpus with today's shard without recomputing
+    or re-shuffling anything about it. Two bucketed tables:
+
+    - ``{table}_bands`` (band, key, code, ref) bucketed by
+      (band, key) — candidate generation over DISTINCT codes only
+      (the pre-collapse: N silence clips sharing one code cost ONE
+      row per band, not N);
+    - ``{table}_ids`` (ref, id) bucketed by ref — membership, where
+      ref is the code itself (long codes) or its 128-bit md5 (array
+      codes — bucketable and collision-free).
+
+    Band keys come from :func:`_hamming_band_exprs` — the SAME
+    definition the in-memory miner uses, so index and probe cannot
+    drift. Banding parameters are stamped as TBLPROPERTIES and read
+    back at probe/append time (no caller params to mismatch)."""
+    from georiva_spark.sources.bucketing import write_bucketed
+
+    _, is_arr = _code_ref(codes, code_col)
+    base = (codes.select(F.col(id_col).alias("id"),
+                         F.col(code_col).alias("code"))
+            .where(F.col("code").isNotNull())
+            .dropDuplicates(["id", "code"]))
+    bands, _ = _hamming_band_exprs(is_arr, "code", max_hamming, bits,
+                                   word_bits, caller="hamming_index")
+    ref2, _ = _code_ref(base, "code")
+    dc = base.select("code").distinct()
+    banded = (dc.select("code", F.explode(F.array(*bands)).alias("bk"))
+              .select("bk.band", "bk.key", "code",
+                      _code_ref(dc, "code")[0].alias("ref")))
+    write_bucketed(banded, f"{table}_bands", ["band", "key"],
+                   n_buckets, f"{path}/bands", sort=False)
+    write_bucketed(base.select(ref2.alias("ref"), "id"),
+                   f"{table}_ids", "ref", n_buckets, f"{path}/ids",
+                   sort=False)
+    codes.sparkSession.sql(
+        f"ALTER TABLE {table}_bands SET TBLPROPERTIES ("
+        f"'georiva.max_hamming'='{max_hamming}', "
+        f"'georiva.bits'='{bits}', "
+        f"'georiva.word_bits'='{word_bits}', "
+        f"'georiva.n_buckets'='{n_buckets}', "
+        f"'georiva.arr'='{int(is_arr)}')")
+
+
+def hamming_index_params(spark, table: str) -> dict:
+    """Read the banding parameters :func:`hamming_index_write`
+    stamped (raises by name if absent — an unstamped table is not a
+    managed Hamming index)."""
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}_bands").collect()}
+    try:
+        return {name: int(props[f"georiva.{name}"])
+                for name in ("max_hamming", "bits", "word_bits",
+                             "n_buckets", "arr")}
+    except KeyError as e:
+        raise ValueError(
+            f"{table!r} is not a stamped hamming index "
+            f"(missing property {e})") from None
+
+
+def hamming_index_probe(new_codes: DataFrame, table: str,
+                        id_col: str = "media_id",
+                        code_col: str = "code") -> DataFrame:
+    """Probe a :func:`hamming_index_write` index with a delta shard →
+    (id_new, id_old, hamming ≤ max_hamming) pairs, min-hamming per id
+    pair, id_new ≠ id_old. Banding parameters come from the stamp;
+    the delta's band keys join the bucketed index SHUFFLE-FREE on the
+    index side; verification runs the exact bit_count on the
+    band-matched DISTINCT code pairs only; members expand through the
+    bucketed ``_ids`` table. Nothing about the indexed corpus is
+    recomputed, collected, or broadcast."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
+    spark = new_codes.sparkSession
+    p = hamming_index_params(spark, table)
+    ref, is_arr = _code_ref(new_codes, code_col)
+    if bool(p["arr"]) != is_arr:
+        raise ValueError(
+            f"hamming_index_probe: index {table!r} stores "
+            f"{'array' if p['arr'] else 'long'} codes but the delta "
+            f"carries {'array' if is_arr else 'long'} codes")
+    delta = persist_bounded(
+        new_codes.select(F.col(id_col).alias("id"),
+                         F.col(code_col).alias("code"))
+        .where(F.col("code").isNotNull())
+        .dropDuplicates(["id", "code"]),
+        "hamming_index_probe.delta", StorageLevel.MEMORY_AND_DISK)
+    bands, ham = _hamming_band_exprs(
+        is_arr, "code", p["max_hamming"], p["bits"], p["word_bits"],
+        caller="hamming_index")
+    dc = delta.select("code").distinct()
+    dband = (dc.select("code", F.explode(F.array(*bands)).alias("bk"))
+             .select("bk.band", "bk.key",
+                     F.col("code").alias("__ca"),
+                     _code_ref(dc, "code")[0].alias("__ra")))
+    iband = (spark.table(f"{table}_bands")
+             .select("band", "key", F.col("code").alias("__cb"),
+                     F.col("ref").alias("__rb")))
+    cand = (dband.join(iband, ["band", "key"])
+            .select("__ra", "__rb", ham.alias("hamming"))
+            .where(F.col("hamming") <= p["max_hamming"])
+            .dropDuplicates(["__ra", "__rb"]))
+    da = delta.select(_code_ref(delta, "code")[0].alias("__ra"),
+                      F.col("id").alias("id_new"))
+    ib = spark.table(f"{table}_ids").select(
+        F.col("ref").alias("__rb"), F.col("id").alias("id_old"))
+    return (cand.join(da, "__ra").join(ib, "__rb")
+            .where(F.col("id_new") != F.col("id_old"))
+            .groupBy("id_new", "id_old")
+            .agg(F.min("hamming").cast("int").alias("hamming")))
+
+
+def hamming_index_append(new_codes: DataFrame, table: str,
+                         id_col: str = "media_id",
+                         code_col: str = "code") -> None:
+    """Append a delta shard into a :func:`hamming_index_write` index:
+    membership rows append always; band rows append only for codes
+    the index has NOT seen (anti-join on the collision-free ref — the
+    pre-collapse survives growth: a code appearing in every future
+    shard still costs one band row). Parameters come from the stamp;
+    listings refresh so an open serving session sees the growth."""
+    spark = new_codes.sparkSession
+    p = hamming_index_params(spark, table)
+    ref, is_arr = _code_ref(new_codes, code_col)
+    if bool(p["arr"]) != is_arr:
+        raise ValueError(
+            f"hamming_index_append: index {table!r} stores "
+            f"{'array' if p['arr'] else 'long'} codes but the delta "
+            f"carries {'array' if is_arr else 'long'} codes")
+    base = (new_codes.select(F.col(id_col).alias("id"),
+                             F.col(code_col).alias("code"))
+            .where(F.col("code").isNotNull())
+            .dropDuplicates(["id", "code"]))
+    (base.select(_code_ref(base, "code")[0].alias("ref"), "id")
+     .write.mode("append").format("parquet")
+     .bucketBy(p["n_buckets"], "ref").saveAsTable(f"{table}_ids"))
+    bands, _ = _hamming_band_exprs(
+        is_arr, "code", p["max_hamming"], p["bits"], p["word_bits"],
+        caller="hamming_index")
+    dc = base.select("code").distinct()
+    seen = spark.table(f"{table}_bands").select("ref").distinct()
+    fresh = (dc.select("code",
+                       _code_ref(dc, "code")[0].alias("ref"))
+             .join(seen, "ref", "left_anti"))
+    banded = (fresh.select("code", "ref",
+                           F.explode(F.array(*bands)).alias("bk"))
+              .select("bk.band", "bk.key", "code", "ref"))
+    (banded.write.mode("append").format("parquet")
+     .bucketBy(p["n_buckets"], "band", "key")
+     .saveAsTable(f"{table}_bands"))
+    spark.catalog.refreshTable(f"{table}_bands")
+    spark.catalog.refreshTable(f"{table}_ids")
+
+
+def hamming_index_compact(spark, table: str, path: str) -> None:
+    """Compact an appended-to Hamming index back to one file per
+    bucket — stamps land on the staged tables BEFORE the crash-atomic
+    swap (atomic_swap_table's contract), same policy as the MinHash
+    and IVF compactions."""
+    from georiva_spark.sources.bucketing import (atomic_swap_table,
+                                                 write_bucketed)
+
+    p = hamming_index_params(spark, table)
+    write_bucketed(spark.table(f"{table}_bands"),
+                   f"{table}_bands_compact", ["band", "key"],
+                   p["n_buckets"], f"{path}/bands", sort=False)
+    write_bucketed(spark.table(f"{table}_ids"),
+                   f"{table}_ids_compact", "ref",
+                   p["n_buckets"], f"{path}/ids", sort=False)
+    spark.sql(
+        f"ALTER TABLE {table}_bands_compact SET TBLPROPERTIES ("
+        f"'georiva.max_hamming'='{p['max_hamming']}', "
+        f"'georiva.bits'='{p['bits']}', "
+        f"'georiva.word_bits'='{p['word_bits']}', "
+        f"'georiva.n_buckets'='{p['n_buckets']}', "
+        f"'georiva.arr'='{p['arr']}')")
+    for suffix in ("bands", "ids"):
+        atomic_swap_table(spark, f"{table}_{suffix}")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,

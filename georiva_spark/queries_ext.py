@@ -4186,6 +4186,84 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
 
 
+def q_image_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent PERCEPTUAL index probe (r7): the originals are
+    yesterday's indexed media corpus (distinct dHashes banded into a
+    bucketed table — the pre-collapse layout); today's shard (exact
+    copies + 2-bit variants) probes it with delta-only fingerprint
+    compute, the index side joining shuffle-free. Each delta item must
+    find exactly its original (copies at Hamming 0, variants ≤ 2;
+    random cross-image pairs sit at ~28 of 56 bits). The oracle
+    derives the same dHashes and all-pairs-verifies the delta × index
+    relation independently."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(variants):
+        def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for vec_id, embedding in zip(pdf["vec_id"],
+                                             pdf["embedding"]):
+                    a = np.asarray(embedding, dtype=np.float32)
+                    if 0 in variants:
+                        rows.append((int(vec_id), "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 1 in variants:
+                        rows.append((int(vec_id) + 100000, "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 2 in variants:
+                        sw = a.copy()
+                        sw[0], sw[1] = a[1], a[0]
+                        rows.append((int(vec_id) + 200000, "image",
+                                     mm.encode_raw_image(sw.reshape(8, 8)),
+                                     "image/raw"))
+                yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                                  "content", "mime"])
+        return g
+
+    schema = "media_id long, kind string, content binary, mime string"
+    originals = emb.mapInPandas(gen({0}), schema=schema)
+    delta = emb.mapInPandas(gen({1, 2}), schema=schema)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_imgidx")
+    dedup.hamming_index_write(mm.image_dhash(originals), "t_imgidx",
+                              os.path.join(d, "idx"),
+                              id_col="media_id", code_col="dhash",
+                              max_hamming=3, bits=56, n_buckets=8)
+    return dedup.hamming_index_probe(mm.image_dhash(delta), "t_imgidx",
+                                     id_col="media_id",
+                                     code_col="dhash")
+
+
+SQL_IMAGE_INDEX_PROBE = """
+WITH m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         [embedding[2], embedding[1]] || embedding[3:] FROM embeddings),
+h AS (
+  SELECT media_id,
+         (SELECT CAST(SUM(CASE
+              WHEN CAST(m.embedding[8*t.r + t.c + 1] AS DOUBLE)
+                 < CAST(m.embedding[8*t.r + t.c + 2] AS DOUBLE)
+              THEN CAST(1 AS BIGINT) << (7*t.r + t.c) ELSE 0 END)
+          AS BIGINT)
+          FROM (SELECT r.r, c.c FROM range(8) r(r), range(7) c(c)) t)
+             AS dhash
+  FROM m)
+SELECT d.media_id AS id_new, i.media_id AS id_old,
+       CAST(bit_count(xor(d.dhash, i.dhash)) AS INTEGER) AS hamming
+FROM h d JOIN h i ON d.media_id >= 100000 AND i.media_id < 100000
+WHERE bit_count(xor(d.dhash, i.dhash)) <= 3
+"""
+
+
 def q_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/WET ingest end-to-end (r6): the documents table becomes a
     real gzip-per-record WET archive (sources/warc_codec.py — the
@@ -4860,6 +4938,7 @@ EXT_QUERIES = {
     "range_join": q_range_join,
     "image_dhash": q_image_dhash,
     "image_dup_pairs": q_image_dup_pairs,
+    "image_index_probe": q_image_index_probe,
     "dup_groups": q_dup_groups,
     "ingest_warc": q_ingest_warc,
     "warc_pipeline": q_warc_pipeline,
@@ -4975,6 +5054,7 @@ EXT_ORACLES = {
     "range_join": SQL_RANGE_JOIN,
     "image_dhash": SQL_IMAGE_DHASH,
     "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
+    "image_index_probe": SQL_IMAGE_INDEX_PROBE,
     "dup_groups": SQL_DUP_GROUPS,
     "ingest_warc": SQL_INGEST_WARC,
     "warc_pipeline": SQL_WARC_PIPELINE,

@@ -361,6 +361,110 @@ def test_index_compact_restores_one_file_per_bucket(spark, mh_index,
         dedup.minhash_index_probe(probe_docs, mh_index, bands=8)
 
 
+def test_hamming_index_write_probe_append_compact(spark, tmp_path):
+    """The persistent perceptual index (r7): distinct-code bands +
+    membership in bucketed tables; a delta probe finds exact and near
+    codes with min-hamming per id pair; append grows it (band rows
+    only for UNSEEN codes — the pre-collapse survives growth);
+    compaction preserves probes and the stamp; long and array codes
+    both band through the shared _hamming_band_exprs definition."""
+    idx = spark.createDataFrame(
+        [(1, 0b1111), (2, 1 << 40), (3, 0b1111)],
+        "media_id long, code long")
+    dedup.hamming_index_write(idx, "t_hidx", str(tmp_path / "h"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    try:
+        delta = spark.createDataFrame(
+            [(100, 0b1110), (101, 0x5A5A5A5A), (102, 0b1111)],
+            "media_id long, code long")
+        got = sorted((r.id_new, r.id_old, r.hamming) for r in
+                     dedup.hamming_index_probe(delta, "t_hidx")
+                     .collect())
+        assert got == [(100, 1, 1), (100, 3, 1),
+                       (102, 1, 0), (102, 3, 0)]
+        dedup.hamming_index_append(delta, "t_hidx")
+        d2 = spark.createDataFrame([(200, 0b1110)],
+                                   "media_id long, code long")
+        got2 = sorted((r.id_new, r.id_old, r.hamming) for r in
+                      dedup.hamming_index_probe(d2, "t_hidx")
+                      .collect())
+        assert (200, 100, 0) in got2 and (200, 1, 1) in got2
+        # pre-collapse: band rows = distinct codes × (k+1) bands even
+        # though three ids share code 0b1111
+        assert spark.table("t_hidx_bands").count() == 4 * 3
+        dedup.hamming_index_compact(spark, "t_hidx",
+                                    str(tmp_path / "h2"))
+        got3 = sorted((r.id_new, r.id_old, r.hamming) for r in
+                      dedup.hamming_index_probe(d2, "t_hidx")
+                      .collect())
+        assert got3 == got2
+        p = dedup.hamming_index_params(spark, "t_hidx")
+        assert p["max_hamming"] == 2 and p["arr"] == 0
+    finally:
+        for s in ("bands", "ids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_hidx_{s}")
+
+
+def test_hamming_index_array_codes_and_type_guard(spark, tmp_path):
+    w = lambda v: [v & ((1 << 56) - 1), v >> 56]
+    idx = spark.createDataFrame([(1, w(77)), (2, w(1 << 90))],
+                                "media_id long, code array<long>")
+    dedup.hamming_index_write(idx, "t_hidxa", str(tmp_path / "ha"),
+                              max_hamming=2, bits=112, n_buckets=4)
+    try:
+        da = spark.createDataFrame([(100, w(77 ^ 3))],
+                                   "media_id long, code array<long>")
+        got = [(r.id_new, r.id_old, r.hamming) for r in
+               dedup.hamming_index_probe(da, "t_hidxa").collect()]
+        assert got == [(100, 1, 2)]
+        wrong = spark.createDataFrame([(100, 5)],
+                                      "media_id long, code long")
+        with pytest.raises(ValueError, match="stores array codes"):
+            dedup.hamming_index_probe(wrong, "t_hidxa")
+    finally:
+        for s in ("bands", "ids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_hidxa_{s}")
+
+
+def test_hamming_index_side_joins_without_reshuffle(spark, tmp_path):
+    """The bucketed (band, key) layout saves the index-side exchange:
+    the same probe against a plain-parquet copy of the band table
+    plans strictly more hashpartitioning exchanges."""
+    idx = spark.createDataFrame(
+        [(i, (i << 20) | 0b1010) for i in range(50)],
+        "media_id long, code long")
+    dedup.hamming_index_write(idx, "t_hplan", str(tmp_path / "hp"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    delta = spark.createDataFrame([(900, (7 << 20) | 0b1010)],
+                                  "media_id long, code long")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = (dedup.hamming_index_probe(delta, "t_hplan")
+                    ._jdf.queryExecution().executedPlan().toString())
+        # unbucketed control: same data as stamped UNBUCKETED tables
+        # (the probe reads the stamp from {table}_bands, so a temp
+        # view would fail the params lookup)
+        spark.sql("DROP TABLE IF EXISTS t_hflat2_bands")
+        spark.sql("DROP TABLE IF EXISTS t_hflat2_ids")
+        spark.table("t_hplan_bands").write.saveAsTable("t_hflat2_bands")
+        spark.table("t_hplan_ids").write.saveAsTable("t_hflat2_ids")
+        spark.sql(
+            "ALTER TABLE t_hflat2_bands SET TBLPROPERTIES ("
+            "'georiva.max_hamming'='2', 'georiva.bits'='64', "
+            "'georiva.word_bits'='56', 'georiva.n_buckets'='4', "
+            "'georiva.arr'='0')")
+        flat = (dedup.hamming_index_probe(delta, "t_hflat2")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert (bucketed.count("Exchange hashpartitioning")
+                < flat.count("Exchange hashpartitioning"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in ("t_hplan", "t_hflat2"):
+            for s in ("bands", "ids"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
+
+
 def test_minhash_index_portable_stamp_roundtrip(spark, tmp_path):
     """portable=True indexes stamp their hash family; probes pick it
     up from the stamp (a probe hashing with the other family would
