@@ -771,9 +771,6 @@ def hamming_index_append(new_codes: DataFrame, table: str,
                              F.col(code_col).alias("code"))
             .where(F.col("code").isNotNull())
             .dropDuplicates(["id", "code"]))
-    (base.select(_code_ref(base, "code")[0].alias("ref"), "id")
-     .write.mode("append").format("parquet")
-     .bucketBy(p["n_buckets"], "ref").saveAsTable(f"{table}_ids"))
     bands, _ = _hamming_band_exprs(
         is_arr, "code", p["max_hamming"], p["bits"], p["word_bits"],
         caller="hamming_index")
@@ -785,9 +782,17 @@ def hamming_index_append(new_codes: DataFrame, table: str,
     banded = (fresh.select("code", "ref",
                            F.explode(F.array(*bands)).alias("bk"))
               .select("bk.band", "bk.key", "code", "ref"))
+    # bands FIRST, membership LAST: "any batch id in _ids" then
+    # implies the append completed (the streaming loop's replay
+    # guard), and a crash between the two writes leaves only codes
+    # that the next attempt's anti-join sees as SEEN — no duplicate
+    # band rows, no lost bands (the neardup-append ordering)
     (banded.write.mode("append").format("parquet")
      .bucketBy(p["n_buckets"], "band", "key")
      .saveAsTable(f"{table}_bands"))
+    (base.select(_code_ref(base, "code")[0].alias("ref"), "id")
+     .write.mode("append").format("parquet")
+     .bucketBy(p["n_buckets"], "ref").saveAsTable(f"{table}_ids"))
     spark.catalog.refreshTable(f"{table}_bands")
     spark.catalog.refreshTable(f"{table}_ids")
 

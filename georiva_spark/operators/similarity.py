@@ -902,7 +902,8 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,
-             threshold: float = 0.97) -> DataFrame:
+             threshold: float = 0.97, train_iters: int = 0,
+             seed_ids: list[int] | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embedding space, then mark as duplicates the members whose cosine to
     a LOWER-vec_id member of the SAME cluster exceeds ``threshold`` (the
@@ -913,7 +914,12 @@ def semdedup(emb: DataFrame, n_clusters: int = 8,
     knn_ivf_pinned (corpus rows at evenly spaced ids — a quantizer
     "trained elsewhere and shipped as literals"), so assignment is an
     in-row argmin with ZERO shuffle and the whole pipeline is exact
-    closed-form arithmetic a SQL oracle reproduces.
+    closed-form arithmetic a SQL oracle reproduces. ``train_iters>0``
+    runs :func:`kmeans_centroids` Lloyd rounds first (the
+    ivf_index_write policy: real embedding corpora are clustered, and
+    sampled centroids give unbalanced clusters — one hot cluster
+    makes the per-cluster |c|×|c| cosine block quadratic in the hot
+    fraction, exactly what K bounds exist to prevent).
 
     Scale shape: the point of SemDeDup is that the O(n²) cosine matrix
     is never formed — pairs exist only WITHIN a cluster. After the
@@ -927,19 +933,23 @@ def semdedup(emb: DataFrame, n_clusters: int = 8,
     inner loop in BLAS, not in the expression interpreter.
     """
     import pandas as pd
-    n = emb.count()
-    step = max(1, n // n_clusters)
-    cids = [i * step + step // 2 for i in range(n_clusters)]
-    cmap = {r.vec_id: [float(v) for v in r.embedding]
-            for r in emb.where(F.col("vec_id").isin(cids))
-                        .select("vec_id", "embedding").collect()}
-    missing = [c for c in cids if c not in cmap]
-    if missing:
-        raise ValueError(
-            f"pinned-centroid quantizer needs dense vec_ids 0..N-1: "
-            f"centroid rows {missing} absent from the corpus; re-index "
-            "ids or use the trained-quantizer path (knn_ivf)")
-    cents = [cmap[c] for c in cids]
+    if train_iters > 0:
+        cents = kmeans_centroids(emb, k=n_clusters, iters=train_iters,
+                                 seed_ids=seed_ids)
+    else:
+        n = emb.count()
+        step = max(1, n // n_clusters)
+        cids = [i * step + step // 2 for i in range(n_clusters)]
+        cmap = {r.vec_id: [float(v) for v in r.embedding]
+                for r in emb.where(F.col("vec_id").isin(cids))
+                            .select("vec_id", "embedding").collect()}
+        missing = [c for c in cids if c not in cmap]
+        if missing:
+            raise ValueError(
+                f"pinned-centroid quantizer needs dense vec_ids "
+                f"0..N-1: centroid rows {missing} absent from the "
+                "corpus; re-index ids or use train_iters>0")
+        cents = [cmap[c] for c in cids]
 
     def l2(cvec):
         return F.aggregate(

@@ -12,9 +12,13 @@ from georiva_spark.streaming.annstream import (
 from georiva_spark.streaming.corpus import (
     start_corpus_stream, read_corpus_stream,
 )
+from georiva_spark.streaming.mediadup import (
+    start_mediadup_stream, read_mediadup_pairs,
+)
 
 __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
            "windowed_stats", "dedup_stream", "start_neardup_stream",
            "read_neardup_pairs", "start_ann_stream",
            "read_ann_neighbors", "start_corpus_stream",
-           "read_corpus_stream"]
+           "read_corpus_stream", "start_mediadup_stream",
+           "read_mediadup_pairs"]

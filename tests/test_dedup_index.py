@@ -465,6 +465,56 @@ def test_hamming_index_side_joins_without_reshuffle(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
 
 
+def test_streaming_mediadup_probe_grows_index(spark, tmp_path):
+    """Continuous perceptual dedup (r7): batch 2's 1-bit variant of a
+    batch-1 code is caught because batch 1 was appended after its
+    probe — the Hamming index GROWS between micro-batches; replays
+    are idempotent (ids-presence guard) and the pre-collapse holds
+    through growth."""
+    from georiva_spark.streaming import (read_mediadup_pairs,
+                                         start_mediadup_stream)
+
+    idx = spark.createDataFrame([(1, 0b1111), (2, 1 << 40)],
+                                "media_id long, code long")
+    dedup.hamming_index_write(idx, "t_mdstr", str(tmp_path / "h"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    landing = tmp_path / "md_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "md_out"), str(tmp_path / "md_ckpt")
+    schema = "media_id long, code long"
+    novel = 0x5A5A5A5A00
+    for name, rows in (("b0", [(100, 0b1110), (101, novel)]),
+                       ("b1", [(200, novel ^ 1)])):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_mediadup_stream(src, "t_mdstr", out, ckpt)
+        q.awaitTermination(180)
+
+    try:
+        cycle()
+        pairs = {(r.id_new, r.id_old, r.hamming) for r in
+                 read_mediadup_pairs(spark, out).collect()}
+        assert (100, 1, 1) in pairs          # vs the base index
+        assert (200, 101, 1) in pairs        # vs the GROWN index
+        assert not any(n == 101 for n, _, _ in pairs)  # novel on arrival
+        n_ids = spark.table("t_mdstr_ids").count()
+        n_bands = spark.table("t_mdstr_bands").count()
+        assert n_ids == 5                    # 2 base + 3 streamed
+        cycle()                              # replay: nothing new
+        assert spark.table("t_mdstr_ids").count() == n_ids
+        assert spark.table("t_mdstr_bands").count() == n_bands
+        assert {(r.id_new, r.id_old, r.hamming) for r in
+                read_mediadup_pairs(spark, out).collect()} == pairs
+    finally:
+        for s in ("bands", "ids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_mdstr_{s}")
+
+
 def test_minhash_index_portable_stamp_roundtrip(spark, tmp_path):
     """portable=True indexes stamp their hash family; probes pick it
     up from the stamp (a probe hashing with the other family would

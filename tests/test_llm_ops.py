@@ -692,6 +692,30 @@ def test_semdedup_marks_near_duplicates(spark):
     assert sum(r.is_dup for r in out.values()) == 2
 
 
+def test_semdedup_trained_quantizer_balances_clusters(spark):
+    """train_iters>0 runs kmeans_centroids first: on a clustered
+    corpus (the real embedding shape) the per-cluster cosine blocks
+    stay balanced — one block per planted blob — and the planted twin
+    is still marked dup inside its blob's cluster."""
+    rng = np.random.default_rng(77)
+    centers = rng.normal(size=(4, 8)) * 6
+    rows = [(i, [float(v) for v in centers[i % 4]
+                 + rng.normal(0, 0.2, 8)]) for i in range(40)]
+    rows.append((99, [v + 1e-4 for v in rows[0][1]]))   # twin of 0
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           similarity.semdedup(emb, n_clusters=4, threshold=0.99,
+                               train_iters=2,
+                               seed_ids=[0, 1, 2, 3]).collect()}
+    assert out[99].is_dup and not out[0].is_dup
+    assert out[99].cluster == out[0].cluster
+    sizes = {}
+    for r in out.values():
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    assert len(sizes) == 4 and max(sizes.values()) <= 11
+
+
 def test_bpe_apply_merge_semantics(spark):
     merges = [("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
               ("p", "a")]
