@@ -750,6 +750,72 @@ def hamming_index_probe(new_codes: DataFrame, table: str,
             .agg(F.min("hamming").cast("int").alias("hamming")))
 
 
+def hamming_index_lookup(new_codes: DataFrame, table: str,
+                         id_col: str = "media_id",
+                         code_col: str = "code") -> DataFrame:
+    """LINEAR keep-or-drop lookup against a :func:`hamming_index_write`
+    index — the :func:`hamming_groups` principle applied to serving:
+    per delta item, (id_new, min_hamming, n_matched_items) WITHOUT
+    materializing the pair expansion. A delta item whose code sits
+    near a 10 M-member black-frame group costs ONE row here; the same
+    item through :func:`hamming_index_probe` owes 10 M pair rows —
+    inherent to the pair contract, so use the probe only when the
+    pairs themselves are the product. min_hamming is over matched
+    DISTINCT index codes; n_matched_items sums the matched codes'
+    membership counts (a bounded rollup of the ``_ids`` table). Items
+    with no match are absent (semi shape — anti-join for the keeps).
+    An id carrying several codes reports its best (min) hamming and
+    the MAX of its per-code match counts — an overlap-safe lower
+    bound (summing could double-count an index code matched through
+    two of the id's codes)."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
+    spark = new_codes.sparkSession
+    p = hamming_index_params(spark, table)
+    _, is_arr = _code_ref(new_codes, code_col)
+    if bool(p["arr"]) != is_arr:
+        raise ValueError(
+            f"hamming_index_lookup: index {table!r} stores "
+            f"{'array' if p['arr'] else 'long'} codes but the delta "
+            f"carries {'array' if is_arr else 'long'} codes")
+    delta = persist_bounded(
+        new_codes.select(F.col(id_col).alias("id"),
+                         F.col(code_col).alias("code"))
+        .where(F.col("code").isNotNull())
+        .dropDuplicates(["id", "code"]),
+        "hamming_index_lookup.delta", StorageLevel.MEMORY_AND_DISK)
+    bands, ham = _hamming_band_exprs(
+        is_arr, "code", p["max_hamming"], p["bits"], p["word_bits"],
+        caller="hamming_index")
+    dc = delta.select("code").distinct()
+    dband = (dc.select("code", F.explode(F.array(*bands)).alias("bk"))
+             .select("bk.band", "bk.key",
+                     F.col("code").alias("__ca"),
+                     _code_ref(dc, "code")[0].alias("__ra")))
+    iband = (spark.table(f"{table}_bands")
+             .select("band", "key", F.col("code").alias("__cb"),
+                     F.col("ref").alias("__rb")))
+    cand = (dband.join(iband, ["band", "key"])
+            .select("__ra", "__rb", ham.alias("hamming"))
+            .where(F.col("hamming") <= p["max_hamming"])
+            .dropDuplicates(["__ra", "__rb"]))
+    sizes = (spark.table(f"{table}_ids")
+             .groupBy(F.col("ref").alias("__rb"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    per_ref = (cand.join(sizes, "__rb")
+               .groupBy("__ra")
+               .agg(F.min("hamming").cast("int").alias("min_hamming"),
+                    F.sum("__n").alias("n_matched_items")))
+    da = delta.select(_code_ref(delta, "code")[0].alias("__ra"),
+                      F.col("id").alias("id_new"))
+    return (da.join(per_ref, "__ra")
+            .groupBy("id_new")
+            .agg(F.min("min_hamming").cast("int").alias("min_hamming"),
+                 F.max("n_matched_items").alias("n_matched_items")))
+
+
 def hamming_index_append(new_codes: DataFrame, table: str,
                          id_col: str = "media_id",
                          code_col: str = "code") -> None:

@@ -405,6 +405,36 @@ def test_hamming_index_write_probe_append_compact(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS t_hidx_{s}")
 
 
+def test_hamming_index_lookup_linear_decision_shape(spark, tmp_path):
+    """The keep-or-drop lookup: per delta item one row with its best
+    hamming and matched-member count — never the pair expansion (a
+    delta code near an M-member group costs 1 row, not M)."""
+    idx = spark.createDataFrame(
+        [(i, 0b1111) for i in range(5)]        # 5-member hot group
+        + [(10, 0b1100), (11, 1 << 40)],
+        "media_id long, code long")
+    dedup.hamming_index_write(idx, "t_hlk", str(tmp_path / "h"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    try:
+        delta = spark.createDataFrame(
+            [(100, 0b1110),     # 1 from hot group, 1 from 0b1100
+             (101, 0x5A5A5A5A),                 # no match
+             (102, 1 << 40)],                   # exact of 11
+            "media_id long, code long")
+        got = {r.id_new: (r.min_hamming, r.n_matched_items)
+               for r in dedup.hamming_index_lookup(
+                   delta, "t_hlk").collect()}
+        # 100 matches the 5-member hot group (h=1) AND 0b1100 (h=1):
+        # min_hamming 1, matched items = 5 + 1 (distinct codes — the
+        # per-code sum is exact; only multi-code ids fall back to max)
+        assert got[100] == (1, 6)
+        assert got[102] == (0, 1)
+        assert 101 not in got                   # semi shape
+    finally:
+        for s in ("bands", "ids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_hlk_{s}")
+
+
 def test_hamming_index_array_codes_and_type_guard(spark, tmp_path):
     w = lambda v: [v & ((1 << 56) - 1), v >> 56]
     idx = spark.createDataFrame([(1, w(77)), (2, w(1 << 90))],
