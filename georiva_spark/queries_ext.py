@@ -4798,6 +4798,95 @@ WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) <= 2
 """
 
 
+def q_audio_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent Hamming index probe for ARRAY codes (r7): the
+    112-bit Haitsma-Kalker audio fingerprints of the originals are
+    indexed (multi-word nibble banding, md5 refs); exact copies and
+    2×-gained variants (fingerprint-invariant) probe it — every delta
+    clip must find exactly its original at Hamming 0. The oracle
+    derives the same fingerprints and all-pairs-verifies the
+    delta × index relation."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(variants):
+        def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for vec_id, embedding in zip(pdf["vec_id"],
+                                             pdf["embedding"]):
+                    a = np.asarray(embedding, dtype=np.float32)
+                    if 0 in variants:
+                        rows.append((int(vec_id), "audio",
+                                     mm.encode_raw_audio(a, rate=64),
+                                     "audio/raw"))
+                    if 1 in variants:
+                        rows.append((int(vec_id) + 100000, "audio",
+                                     mm.encode_raw_audio(a, rate=64),
+                                     "audio/raw"))
+                    if 2 in variants:
+                        rows.append((int(vec_id) + 200000, "audio",
+                                     mm.encode_raw_audio(
+                                         a * np.float32(2.0), rate=64),
+                                     "audio/raw"))
+                yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                                  "content", "mime"])
+        return g
+
+    schema = "media_id long, kind string, content binary, mime string"
+    originals = emb.mapInPandas(gen({0}), schema=schema)
+    delta = emb.mapInPandas(gen({1, 2}), schema=schema)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_audidx")
+    dedup.hamming_index_write(mm.audio_fingerprint(originals),
+                              "t_audidx", os.path.join(d, "idx"),
+                              id_col="media_id", code_col="fp",
+                              max_hamming=2, bits=112, word_bits=56,
+                              n_buckets=8)
+    return dedup.hamming_index_probe(mm.audio_fingerprint(delta),
+                                     "t_audidx", id_col="media_id",
+                                     code_col="fp")
+
+
+SQL_AUDIO_INDEX_PROBE = """
+WITH m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+  FROM embeddings),
+sq AS (
+  SELECT m.media_id, f.f, k.k,
+         SUM(CAST(m.embedding[2*f.f + t.t + 1] AS DOUBLE)
+             * cos(2*pi()*k.k*t.t/8)) AS re,
+         SUM(CAST(m.embedding[2*f.f + t.t + 1] AS DOUBLE)
+             * sin(2*pi()*k.k*t.t/8)) AS im
+  FROM m, range(29) f(f), range(1, 5) k(k), range(8) t(t)
+  GROUP BY m.media_id, f.f, k.k),
+en AS (SELECT media_id, f, k, re*re + im*im AS e FROM sq),
+bt AS (SELECT a.media_id, a.f*4 + a.k - 1 AS p, (b.e > a.e) AS bit
+       FROM en a JOIN en b ON b.media_id = a.media_id
+                          AND b.f = a.f + 1 AND b.k = a.k
+       WHERE a.f < 28),
+h AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN bit AND p < 56
+              THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS fp0,
+         CAST(SUM(CASE WHEN bit AND p >= 56
+              THEN CAST(1 AS BIGINT) << (p - 56) ELSE 0 END) AS BIGINT)
+             AS fp1
+  FROM bt GROUP BY media_id)
+SELECT d.media_id AS id_new, i.media_id AS id_old,
+       CAST(bit_count(xor(d.fp0, i.fp0))
+            + bit_count(xor(d.fp1, i.fp1)) AS INTEGER) AS hamming
+FROM h d JOIN h i ON d.media_id >= 100000 AND i.media_id < 100000
+WHERE bit_count(xor(d.fp0, i.fp0)) + bit_count(xor(d.fp1, i.fp1)) <= 2
+"""
+
+
 def q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup mining with PLANTED duplicates: each 4-frame
     4×4 clip ships as original (id), exact copy (id+100000), and a
@@ -4950,6 +5039,7 @@ EXT_QUERIES = {
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
+    "audio_index_probe": q_audio_index_probe,
     "video_dup_pairs": q_video_dup_pairs,
     "bpe_tokenize": q_bpe_tokenize,
     "chunk_docs": q_chunk_docs,
@@ -5066,6 +5156,7 @@ EXT_ORACLES = {
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
+    "audio_index_probe": SQL_AUDIO_INDEX_PROBE,
     "video_dup_pairs": SQL_VIDEO_DUP_PAIRS,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "chunk_docs": SQL_CHUNK_DOCS,
