@@ -52,6 +52,7 @@ HEADLINE = [
     "corpus_pipeline", "ivf_index_trained", "ivf_pq_index",
     "ivf_pq_probe_batch", "cluster_split", "ivf_pq_refine",
     "fuzzy_decon", "image_index_probe", "audio_index_probe",
+    "image_index_lookup",
 ]
 
 

@@ -4264,6 +4264,86 @@ WHERE bit_count(xor(d.dhash, i.dhash)) <= 3
 """
 
 
+def q_image_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR keep-or-drop lookup against the persistent perceptual
+    index (r7): per delta item ONE row — its best Hamming distance and
+    the count of matched index members — never the pair expansion (a
+    delta code near a 10 M-member group costs one row, as the 1 M-code
+    smoke measures: 34.8 s pairs vs 3.7 s lookup). Same planted
+    corpus as image_index_probe; the oracle derives the dHashes,
+    all-pairs the delta × index relation, and rolls it up per delta
+    item."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(variants):
+        def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for vec_id, embedding in zip(pdf["vec_id"],
+                                             pdf["embedding"]):
+                    a = np.asarray(embedding, dtype=np.float32)
+                    if 0 in variants:
+                        rows.append((int(vec_id), "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 1 in variants:
+                        rows.append((int(vec_id) + 100000, "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 2 in variants:
+                        sw = a.copy()
+                        sw[0], sw[1] = a[1], a[0]
+                        rows.append((int(vec_id) + 200000, "image",
+                                     mm.encode_raw_image(sw.reshape(8, 8)),
+                                     "image/raw"))
+                yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                                  "content", "mime"])
+        return g
+
+    schema = "media_id long, kind string, content binary, mime string"
+    originals = emb.mapInPandas(gen({0}), schema=schema)
+    delta = emb.mapInPandas(gen({1, 2}), schema=schema)
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_imgidx")
+    dedup.hamming_index_write(mm.image_dhash(originals), "t_imgidxl",
+                              os.path.join(d, "idxl"),
+                              id_col="media_id", code_col="dhash",
+                              max_hamming=3, bits=56, n_buckets=8)
+    return dedup.hamming_index_lookup(mm.image_dhash(delta),
+                                      "t_imgidxl", id_col="media_id",
+                                      code_col="dhash")
+
+
+SQL_IMAGE_INDEX_LOOKUP = """
+WITH m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         [embedding[2], embedding[1]] || embedding[3:] FROM embeddings),
+h AS (
+  SELECT media_id,
+         (SELECT CAST(SUM(CASE
+              WHEN CAST(m.embedding[8*t.r + t.c + 1] AS DOUBLE)
+                 < CAST(m.embedding[8*t.r + t.c + 2] AS DOUBLE)
+              THEN CAST(1 AS BIGINT) << (7*t.r + t.c) ELSE 0 END)
+          AS BIGINT)
+          FROM (SELECT r.r, c.c FROM range(8) r(r), range(7) c(c)) t)
+             AS dhash
+  FROM m)
+SELECT d.media_id AS id_new,
+       CAST(MIN(bit_count(xor(d.dhash, i.dhash))) AS INTEGER)
+           AS min_hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_items
+FROM h d JOIN h i ON d.media_id >= 100000 AND i.media_id < 100000
+WHERE bit_count(xor(d.dhash, i.dhash)) <= 3
+GROUP BY d.media_id
+"""
+
+
 def q_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/WET ingest end-to-end (r6): the documents table becomes a
     real gzip-per-record WET archive (sources/warc_codec.py — the
@@ -5028,6 +5108,7 @@ EXT_QUERIES = {
     "image_dhash": q_image_dhash,
     "image_dup_pairs": q_image_dup_pairs,
     "image_index_probe": q_image_index_probe,
+    "image_index_lookup": q_image_index_lookup,
     "dup_groups": q_dup_groups,
     "ingest_warc": q_ingest_warc,
     "warc_pipeline": q_warc_pipeline,
@@ -5145,6 +5226,7 @@ EXT_ORACLES = {
     "image_dhash": SQL_IMAGE_DHASH,
     "image_dup_pairs": SQL_IMAGE_DUP_PAIRS,
     "image_index_probe": SQL_IMAGE_INDEX_PROBE,
+    "image_index_lookup": SQL_IMAGE_INDEX_LOOKUP,
     "dup_groups": SQL_DUP_GROUPS,
     "ingest_warc": SQL_INGEST_WARC,
     "warc_pipeline": SQL_WARC_PIPELINE,
