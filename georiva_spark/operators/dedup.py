@@ -706,7 +706,14 @@ def hamming_index_probe(new_codes: DataFrame, table: str,
     index side; verification runs the exact bit_count on the
     band-matched DISTINCT code pairs only; members expand through the
     bucketed ``_ids`` table. Nothing about the indexed corpus is
-    recomputed, collected, or broadcast."""
+    recomputed, collected, or broadcast.
+
+    QUADRATIC-OUTPUT HAZARD (the hamming_pairs contract): a delta
+    code near an M-member identical-code group owes M pair rows —
+    the 1M-code smoke measures 34.8 s for a hot-group delta that
+    :func:`hamming_index_lookup` answers in 3.7 s with one row per
+    delta item. Use the probe only when the pairs themselves are the
+    product; keep-or-drop decisions belong to the lookup."""
     from pyspark import StorageLevel
 
     from georiva_spark.operators._retention import persist_bounded

@@ -38,7 +38,11 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
     must carry (id_col, code_col) with corpus-unique ids; pairs land
     in ``{out_dir}/batch_id=N`` as (id_new, id_old, hamming).
     ``grow=False`` probes without appending (audit mode). Returns the
-    StreamingQuery."""
+    StreamingQuery. The per-batch output is the PAIR list — on a
+    duplicate-heavy stream (black frames, silence) swap the probe for
+    :func:`~georiva_spark.operators.dedup.hamming_index_lookup` in a
+    custom loop: a batch item near an M-member group owes M pair rows
+    here but one lookup row there."""
     spark = codes_stream.sparkSession
     hamming_index_params(spark, table)              # fail fast
 

@@ -443,6 +443,48 @@ def test_ivf_pq_probe_batch_ships_no_embeddings(spark):
     assert "BroadcastNestedLoopJoin" not in phys
 
 
+def test_ivf_pq_probe_batch_gate_matches_float_contract(spark):
+    """The PQ batch probe carries the same broadcast gate as the
+    float one: hinted broadcast under max_broadcast_queries, shuffle
+    join past it, identical results either way, pruning intact."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    import os
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_pqgate")
+    similarity.ivf_pq_index_write(emb, "t_pqgate", os.path.join(d, "i"),
+                                  n_centroids=4, m=4, nbits=3)
+    qs = (emb.where("vec_id in (0, 1, 2)")
+          .selectExpr("vec_id as q_id", "embedding"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = similarity.ivf_pq_index_probe_batch(
+            spark, "t_pqgate", qs, k=3, nprobe=2, exclude_self=True)
+        assert "BroadcastHashJoin" in _plan(small)
+        large = similarity.ivf_pq_index_probe_batch(
+            spark, "t_pqgate", qs, k=3, nprobe=2, exclude_self=True,
+            max_broadcast_queries=0)
+        plan = _plan(large)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        scan = [ln for ln in plan.splitlines()
+                if "FileScan parquet" in ln and "t_pqgate" in ln
+                and "codebook" not in ln and "centroids" not in ln][0]
+        assert "cell" in scan.split("PartitionFilters:", 1)[1].split("]")[0]
+        assert sorted(map(tuple, small.collect())) == \
+            sorted(map(tuple, large.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in ("t_pqgate", "t_pqgate_centroids", "t_pqgate_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ivf_probe_batch_gate_broadcasts_small_shuffles_large(spark):
     """probe_batch at 100× scale: up to max_broadcast_queries the
     query fan-out is broadcast-hinted (shuffle-free serving join);
