@@ -24,12 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the driver's rotating correctness window has not recorded yet
-# (r7 additions) — surfaced first so the next window reaches them.
+# (r8 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "corpus_pipeline", "ivf_pq_index", "ivf_index_trained",
-    "ivf_pq_probe_batch", "cluster_split", "ivf_pq_refine",
-    "fuzzy_decon", "image_index_probe", "audio_index_probe",
-    "image_index_lookup",
+    "ivf_pq_trained", "ivf_pq_refine_batch",
 ]
 
 

@@ -53,6 +53,9 @@ HEADLINE = [
     "ivf_pq_probe_batch", "cluster_split", "ivf_pq_refine",
     "fuzzy_decon", "image_index_probe", "audio_index_probe",
     "image_index_lookup",
+    # r8: trained per-subspace PQ codebooks + residual encoding, and
+    # the join-based batch refine (no driver round-trip)
+    "ivf_pq_trained", "ivf_pq_refine_batch",
 ]
 
 

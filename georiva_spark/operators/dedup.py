@@ -243,11 +243,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     # long node ids shuffle as 8-byte keys; STRING node ids pass
     # through uncast (hamming_groups' collision-free md5 surrogates —
     # min/greatest/least are deterministic on strings and the
-    # component label is only ever a grouping key)
+    # component label is only ever a grouping key). The two id columns
+    # must agree: casting a string side to long yields NULLs that the
+    # u != v filter would silently drop — fail by name instead.
     from pyspark.sql.types import StringType
-    cast_to = (pairs.schema[a_col].dataType
-               if isinstance(pairs.schema[a_col].dataType, StringType)
-               else "long")
+    ta = pairs.schema[a_col].dataType
+    tb = pairs.schema[b_col].dataType
+    if isinstance(ta, StringType) != isinstance(tb, StringType):
+        raise ValueError(
+            f"connected_components: {a_col} is {ta.simpleString()} but "
+            f"{b_col} is {tb.simpleString()} — node id columns must "
+            f"share a type (a mixed cast silently NULLs one side)")
+    cast_to = ta if isinstance(ta, StringType) else "long"
     edges = (pairs.select(F.col(a_col).cast(cast_to).alias("u"),
                           F.col(b_col).cast(cast_to).alias("v"))
              .where(F.col("u") != F.col("v")))
@@ -759,7 +766,9 @@ def hamming_index_probe(new_codes: DataFrame, table: str,
 
 def hamming_index_lookup(new_codes: DataFrame, table: str,
                          id_col: str = "media_id",
-                         code_col: str = "code") -> DataFrame:
+                         code_col: str = "code",
+                         exclude_ids: DataFrame | None = None
+                         ) -> DataFrame:
     """LINEAR keep-or-drop lookup against a :func:`hamming_index_write`
     index — the :func:`hamming_groups` principle applied to serving:
     per delta item, (id_new, min_hamming, n_matched_items) WITHOUT
@@ -774,7 +783,15 @@ def hamming_index_lookup(new_codes: DataFrame, table: str,
     An id carrying several codes reports its best (min) hamming and
     the MAX of its per-code match counts — an overlap-safe lower
     bound (summing could double-count an index code matched through
-    two of the id's codes)."""
+    two of the id's codes).
+
+    ``exclude_ids`` (optional single-column frame): index MEMBERS to
+    ignore — both in the size rollup and in match existence (an index
+    code whose only members are excluded contributes nothing). The
+    streaming lookup mode passes the batch's own ids here so a
+    REPLAYED batch (whose first attempt already appended) does not
+    self-match at hamming 0 — the lookup-shaped analog of the pair
+    loop's id_old anti-join."""
     from pyspark import StorageLevel
 
     from georiva_spark.operators._retention import persist_bounded
@@ -808,7 +825,12 @@ def hamming_index_lookup(new_codes: DataFrame, table: str,
             .select("__ra", "__rb", ham.alias("hamming"))
             .where(F.col("hamming") <= p["max_hamming"])
             .dropDuplicates(["__ra", "__rb"]))
-    sizes = (spark.table(f"{table}_ids")
+    ids_tbl = spark.table(f"{table}_ids")
+    if exclude_ids is not None:
+        ex = exclude_ids.select(
+            F.col(exclude_ids.columns[0]).alias("id"))
+        ids_tbl = ids_tbl.join(ex, "id", "left_anti")
+    sizes = (ids_tbl
              .groupBy(F.col("ref").alias("__rb"))
              .agg(F.count(F.lit(1)).alias("__n")))
     per_ref = (cand.join(sizes, "__rb")
@@ -827,11 +849,18 @@ def hamming_index_append(new_codes: DataFrame, table: str,
                          id_col: str = "media_id",
                          code_col: str = "code") -> None:
     """Append a delta shard into a :func:`hamming_index_write` index:
-    membership rows append always; band rows append only for codes
-    the index has NOT seen (anti-join on the collision-free ref — the
-    pre-collapse survives growth: a code appearing in every future
-    shard still costs one band row). Parameters come from the stamp;
-    listings refresh so an open serving session sees the growth."""
+    band rows append only for codes the index has NOT seen (anti-join
+    on the collision-free ref — the pre-collapse survives growth: a
+    code appearing in every future shard still costs one band row),
+    and membership rows anti-join on (ref, id) so a duplicate or
+    REPLAYED append outside the streaming loop's guard is a no-op —
+    without it, double-counted members silently inflate
+    :func:`hamming_index_lookup`'s n_matched_items (the probe collapses
+    dupes via its min-groupBy; the lookup's size rollup does not).
+    The existing-membership scan is pruned to the delta's refs first
+    (broadcast semi join — the delta is micro-batch-sized), mirroring
+    the cost of the band-side seen-refs scan. Parameters come from the
+    stamp; listings refresh so an open serving session sees growth."""
     spark = new_codes.sparkSession
     p = hamming_index_params(spark, table)
     ref, is_arr = _code_ref(new_codes, code_col)
@@ -863,7 +892,11 @@ def hamming_index_append(new_codes: DataFrame, table: str,
     (banded.write.mode("append").format("parquet")
      .bucketBy(p["n_buckets"], "band", "key")
      .saveAsTable(f"{table}_bands"))
-    (base.select(_code_ref(base, "code")[0].alias("ref"), "id")
+    delta_ids = base.select(_code_ref(base, "code")[0].alias("ref"), "id")
+    existing = (spark.table(f"{table}_ids")
+                .join(delta_ids.select("ref").distinct(), "ref",
+                      "left_semi"))
+    (delta_ids.join(existing, ["ref", "id"], "left_anti")
      .write.mode("append").format("parquet")
      .bucketBy(p["n_buckets"], "ref").saveAsTable(f"{table}_ids"))
     spark.catalog.refreshTable(f"{table}_bands")

@@ -345,6 +345,15 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
       max-cell/mean-cell balance ratio drops from ~8 (sampled) to ~1
       (trained) — see SCALE.md's clustered-quantizer smoke.
 
+    DEFAULT POLICY (decided r8): the default stays ``train_iters=0``
+    — the pinned quantizer matches the in-memory knn_ivf_pinned
+    bit-for-bit and costs no training scans, which is what tests and
+    oracles want. It is NOT the production setting: real corpora are
+    clustered, and the pinned path additionally requires dense
+    vec_ids 0..N-1 (raises by name otherwise). Production indexes
+    should always pass ``train_iters>0`` (the trained path has no id
+    requirement); COVERAGE.md carries the same note.
+
     The quantizer parameters are stamped as TBLPROPERTIES so probes
     and appends can validate what they are joining against."""
     if train_iters > 0:
@@ -364,7 +373,11 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
     emb.sparkSession.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'georiva.n_centroids'='{n_centroids}', "
-        f"'georiva.train_iters'='{train_iters}')")
+        f"'georiva.train_iters'='{train_iters}', "
+        f"'georiva.quantizer_version'='1')")
+    emb.sparkSession.sql(
+        f"ALTER TABLE {table}_centroids SET TBLPROPERTIES ("
+        f"'georiva.quantizer_version'='1')")
 
 
 def ivf_index_append(emb: DataFrame, table: str) -> None:
@@ -375,6 +388,7 @@ def ivf_index_append(emb: DataFrame, table: str) -> None:
     appended into the same cell partitions, so probes keep pruning to
     nprobe/C over the grown corpus without ever re-assigning it."""
     spark = emb.sparkSession
+    _check_quantizer_sync(spark, table, ("_centroids",))
     rows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(rows, key=lambda r: r.cell)]
@@ -391,7 +405,8 @@ def ivf_index_append(emb: DataFrame, table: str) -> None:
     spark.catalog.refreshTable(table)
 
 
-def ivf_index_compact(spark, table: str, path: str) -> None:
+def ivf_index_compact(spark, table: str, path: str,
+                      retrain_iters: int = 0) -> None:
     """Compact an appended-to IVF index: every
     :func:`ivf_index_append` adds files to the touched cell
     partitions; after many deltas a probe opens one file per append
@@ -402,10 +417,69 @@ def ivf_index_compact(spark, table: str, path: str) -> None:
     (rename-out / rename-in / drop-old): each statement is atomic, the
     sequence is not, but every intermediate state leaves a probeable
     table under some name and a crash is recovered by renaming the
-    surviving ``_compact``/``_old`` back. The centroid sidecar is
-    untouched. Old data directories are the caller's to retire."""
+    surviving ``_compact``/``_old`` back. Old data directories are
+    the caller's to retire.
+
+    ``retrain_iters>0`` — RETRAIN on compact (the drift story): heavy
+    appends under distribution drift decay the cell balance (new
+    blobs all route to whichever old cell is least-far — one hot
+    cell, probes read its fraction instead of ~1/C) and nothing
+    re-trains. Since compaction rewrites every byte anyway, this is
+    the free moment to re-run Lloyd on the compacted corpus:
+    :func:`kmeans_centroids` over the table's own (vec_id, embedding),
+    full re-assignment, NEW centroid sidecar. Consistency across the
+    two swapped tables is stamp-enforced: both staged tables carry an
+    incremented ``georiva.quantizer_version``, the SIDECAR swaps
+    first, and every probe/append validates version sync — the crash
+    window between the swaps fails BY NAME instead of routing new
+    assignments with old centroids (silently wrong recall). Only the
+    float layout can self-retrain (it stores its embeddings); a PQ
+    table raises by name toward :func:`ivf_pq_index_compact`, which
+    takes the float corpus as input."""
     from georiva_spark.sources.bucketing import atomic_swap_table
 
+    stamps = {r.key: r.value for r in
+              spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+              if r.key.startswith("georiva.")}
+    if retrain_iters > 0:
+        if "georiva.pq_m" in stamps:
+            raise ValueError(
+                "ivf_index_compact: a PQ index stores no float "
+                "embeddings to retrain from — use "
+                "ivf_pq_index_compact(emb=..., retrain_iters=...)")
+        k = int(stamps.get("georiva.n_centroids", "0"))
+        if not k:
+            raise ValueError(
+                f"{table!r} has no n_centroids stamp — not a managed "
+                f"IVF index")
+        corpus = spark.table(table).drop("cell")
+        cents = kmeans_centroids(corpus, k=k, iters=retrain_iters)
+        staged = corpus.withColumn("cell", _argmin_cell(cents))
+        ver = str(int(stamps.get("georiva.quantizer_version", "1")) + 1)
+        stamps["georiva.train_iters"] = str(retrain_iters)
+        stamps["georiva.quantizer_version"] = ver
+        (staged.write.mode("overwrite").format("parquet")
+         .partitionBy("cell").option("path", path)
+         .saveAsTable(f"{table}_compact"))
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, embedding array<double>")
+        (cdf.write.mode("overwrite").format("parquet")
+         .option("path", f"{path}_centroids")
+         .saveAsTable(f"{table}_centroids_compact"))
+        kv = ", ".join(f"'{k2}'='{v}'"
+                       for k2, v in sorted(stamps.items()))
+        spark.sql(f"ALTER TABLE {table}_compact "
+                  f"SET TBLPROPERTIES ({kv})")
+        spark.sql(f"ALTER TABLE {table}_centroids_compact "
+                  f"SET TBLPROPERTIES ("
+                  f"'georiva.quantizer_version'='{ver}')")
+        # sidecar FIRST: the crash window (new sidecar + old main) is
+        # version-skewed and probes fail by name; main-first would
+        # leave new assignments probed with old centroids — silent
+        atomic_swap_table(spark, f"{table}_centroids")
+        atomic_swap_table(spark, table)
+        return
     cur = spark.table(table)
     (cur.repartition("cell")
      .write.mode("overwrite").format("parquet")
@@ -414,13 +488,89 @@ def ivf_index_compact(spark, table: str, path: str) -> None:
     # carry the quantizer/PQ stamps onto the staged table BEFORE the
     # swap (atomic_swap_table's contract: every probeable state is
     # param-valid) — works for both the float and the PQ layout
-    stamps = {r.key: r.value for r in
-              spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-              if r.key.startswith("georiva.")}
     if stamps:
         kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(stamps.items()))
         spark.sql(f"ALTER TABLE {table}_compact "
                   f"SET TBLPROPERTIES ({kv})")
+    atomic_swap_table(spark, table)
+
+
+def ivf_pq_index_compact(spark, table: str, path: str,
+                         emb: DataFrame | None = None,
+                         retrain_iters: int = 0) -> None:
+    """Compact a PQ-compressed index; with ``retrain_iters>0``,
+    RETRAIN it — the PQ variant of
+    :func:`ivf_index_compact(retrain_iters=…)`. A PQ table stores
+    sub-codes, not floats, so retraining needs the float corpus
+    passed as ``emb`` (the caller's grown corpus — base + every
+    appended delta; raises by name without it). The coarse quantizer
+    re-runs Lloyd; a trained codebook (stamped
+    ``pq_codebook_iters>0``) re-trains with the same iteration count
+    (on residuals if stamped); a pinned codebook is CARRIED — its
+    codewords are data, and re-pinning under a new id space would
+    silently re-encode everything against different codewords. The
+    whole corpus re-encodes through the shared
+    :func:`_pq_encode_frame`, all three staged tables stamp the
+    incremented quantizer version, and the swap order is sidecars
+    (centroids, codebook) then main — every crash window is
+    version-skewed and fails by name at the next probe/append."""
+    from georiva_spark.sources.bucketing import atomic_swap_table
+
+    if retrain_iters <= 0:
+        ivf_index_compact(spark, table, path)
+        return
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    try:
+        m = int(props["georiva.pq_m"])
+        nbits = int(props["georiva.pq_nbits"])
+        n_centroids = int(props["georiva.n_centroids"])
+    except KeyError as e:
+        raise ValueError(
+            f"{table!r} is not a stamped ivf_pq index "
+            f"(missing property {e})") from None
+    codebook_iters = int(props.get("georiva.pq_codebook_iters", "0"))
+    residual = bool(int(props.get("georiva.pq_residual", "0")))
+    if emb is None:
+        raise ValueError(
+            "ivf_pq_index_compact: retrain_iters>0 needs the float "
+            "corpus (emb=) — the PQ table stores sub-codes only")
+    cents = kmeans_centroids(emb, k=n_centroids, iters=retrain_iters)
+    if codebook_iters > 0:
+        cb = pq_train_codebooks(emb, m, nbits, codebook_iters,
+                                cents=cents if residual else None)
+    else:
+        cbrows = spark.table(f"{table}_codebook").collect()
+        cb = [list(map(float, r.embedding))
+              for r in sorted(cbrows, key=lambda r: r.code)]
+    ver = str(int(props.get("georiva.quantizer_version", "1")) + 1)
+    assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
+    (assigned.write.mode("overwrite").format("parquet")
+     .partitionBy("cell").option("path", path)
+     .saveAsTable(f"{table}_compact"))
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, embedding array<double>")
+    (cdf.write.mode("overwrite").format("parquet")
+     .option("path", f"{path}_centroids")
+     .saveAsTable(f"{table}_centroids_compact"))
+    cbdf = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cb)],
+        "code int, embedding array<double>")
+    (cbdf.write.mode("overwrite").format("parquet")
+     .option("path", f"{path}_codebook")
+     .saveAsTable(f"{table}_codebook_compact"))
+    stamps = {k2: v for k2, v in props.items()
+              if k2.startswith("georiva.")}
+    stamps["georiva.train_iters"] = str(retrain_iters)
+    stamps["georiva.quantizer_version"] = ver
+    kv = ", ".join(f"'{k2}'='{v}'" for k2, v in sorted(stamps.items()))
+    spark.sql(f"ALTER TABLE {table}_compact SET TBLPROPERTIES ({kv})")
+    for sc in ("_centroids", "_codebook"):
+        spark.sql(f"ALTER TABLE {table}{sc}_compact SET TBLPROPERTIES ("
+                  f"'georiva.quantizer_version'='{ver}')")
+    atomic_swap_table(spark, f"{table}_centroids")
+    atomic_swap_table(spark, f"{table}_codebook")
     atomic_swap_table(spark, table)
 
 
@@ -436,6 +586,7 @@ def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
 
     from georiva_spark.functions.vectors import cosine_similarity
 
+    _check_quantizer_sync(spark, table, ("_centroids",))
     cents = {int(r.cell): np.asarray(r.embedding, dtype=np.float64)
              for r in spark.table(f"{table}_centroids").collect()}
     q = np.asarray(list(query_vec), dtype=np.float64)
@@ -503,6 +654,7 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
     from georiva_spark.functions.vectors import cosine_similarity
     from georiva_spark.operators._retention import persist_bounded
 
+    _check_quantizer_sync(spark, table, ("_centroids",))
     rows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(rows, key=lambda r: r.cell)]
@@ -526,15 +678,19 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
         queries.select("q_id", F.col("embedding").alias("qe"),
                        F.explode(cells).alias("cell")),
         "ivf_index_probe_batch.probed", StorageLevel.MEMORY_AND_DISK)
-    # one count serves both the gate and the size check; the fan-out
-    # is exactly nprobe rows per query
-    n_fanout = probed.count()
+    # gate on the DISTINCT query count, not the fan-out row count: an
+    # index with fewer cells than nprobe fans out fewer rows per query,
+    # so a fan-out gate would let batches larger than
+    # max_broadcast_queries slip onto the broadcast path (the tiny-C
+    # hazard). The count also materializes the persisted fan-out so
+    # routing executes exactly once before live_cells reads it.
+    n_queries = probed.select("q_id").distinct().count()
     # bounded by C: the probed-cell union is model-state scale, read
     # from the PERSISTED fan-out (routing computed once)
     live_cells = sorted({r.cell for r in
                          probed.select("cell").distinct().collect()})
     build = (F.broadcast(probed)
-             if n_fanout <= max_broadcast_queries * nprobe
+             if n_queries <= max_broadcast_queries
              else probed)
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     cand = (spark.table(table)
@@ -551,70 +707,29 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
                     F.round("_c", 4).alias("cosine")))
 
 
-def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
-                       n_centroids: int = 8, m: int = 8, nbits: int = 4,
-                       train_iters: int = 0,
-                       seed_ids: list[int] | None = None) -> None:
-    """PQ-COMPRESSED persistent IVF index — the memory-bound variant
-    of :func:`ivf_index_write`: instead of storing raw
-    ``array<double>`` embeddings (at 100 TB the float index is as
-    large as the corpus), each vector stores ONE packed long of
-    ``m`` sub-codes (``m·nbits`` bits), PARTITIONED BY cell. The
-    measured on-disk ratio vs the float index is ~40× at 64-dim
-    doubles (SCALE.md smoke) — the difference between an in-memory
-    probe and an I/O-bound one.
+def _cent_lookup(cents: list[list[float]]):
+    """In-row centroid pick for a frame carrying a ``cell`` column: an
+    array-of-arrays literal (bounded C·d doubles — model state shipped
+    in the plan) indexed by the row's cell. The residual-encoding
+    primitive: ``x − cent[cell]`` without any join or shuffle."""
+    return F.element_at(
+        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents]),
+        F.col("cell") + 1)
 
-    Layout: ``{table}`` (vec_id, pq_code, cell) partitioned by cell;
-    ``{table}_centroids`` (cell, embedding) — the coarse quantizer
-    sidecar, C rows; ``{table}_codebook`` (code, embedding) — the
-    PQ codeword sidecar, 2^nbits rows of the ACTUAL codeword vectors
-    (pinned hash-order corpus rows, knn_ivf_pq's rule), so probes
-    are self-contained and never depend on the pinning rule.
-    ``m``/``nbits``/quantizer provenance are stamped as
-    TBLPROPERTIES and validated at probe time.
 
-    Encoding is an IN-ROW argmin per subspace over codeword literals
-    (zero shuffle, one corpus scan, whole-stage codegen), exactly
-    :func:`knn_ivf_pq`'s arithmetic — so a probe of this index
-    matches knn_ivf_pq's answer bit-for-bit and the same SQL oracle
-    replays it. Sub-codes pack little-end-first:
-    ``pq_code = Σ_s code_s << (s·nbits)``; ``m·nbits`` must stay
-    ≤ 62 (the sub-64-bit packing convention — DuckDB's ``1 << p``
-    overflows at 63)."""
-    if m * nbits > 62:
-        raise ValueError(
-            f"ivf_pq_index_write: m={m} × nbits={nbits} = {m * nbits} "
-            f"bits does not fit one signed long (≤ 62); lower m or "
-            f"nbits, or shard the code into words")
+def _pq_pack_expr(vec: str, cb: list[list[float]], m: int, nbits: int,
+                  sub: int):
+    """Packed PQ code for the array column ``vec``: per-subspace IN-ROW
+    argmin over codeword literals (zero shuffle, whole-stage codegen,
+    lower code wins ties), sub-codes packed little-end-first —
+    ``Σ_s code_s << (s·nbits)``. Shared by write and append so the
+    encodings cannot drift."""
     ncw = 1 << nbits
-    n = emb.count()
-    if train_iters > 0:
-        cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
-                                 seed_ids=seed_ids)
-    else:
-        cents = _pinned_cents(emb, n_centroids)
-    # PQ codebook: pinned codeword rows (same rule as knn_ivf_pq so
-    # the in-memory and persistent variants agree bit-for-bit)
-    step2 = max(1, n // ncw)
-    cwids = [j * step2 + step2 // 3 for j in range(ncw)]
-    cmap = {r.vec_id: [float(v) for v in r.embedding]
-            for r in emb.where(F.col("vec_id").isin(cwids))
-                        .select("vec_id", "embedding").collect()}
-    missing = [c for c in cwids if c not in cmap]
-    if missing:
-        raise ValueError(
-            f"pinned-codebook rows {missing} absent from the corpus — "
-            f"PQ pinning needs dense vec_ids 0..N-1")
-    cb = [cmap[c] for c in cwids]
-    dim = len(cb[0])
-    if dim % m:
-        raise ValueError(
-            f"ivf_pq_index_write: dim={dim} not divisible by m={m}")
-    sub = dim // m
 
     def sub_l2(s: int, j: int):
-        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
-        lits = F.array(*[F.lit(v) for v in cb[j][s * sub:(s + 1) * sub]])
+        seg = F.slice(F.col(vec), s * sub + 1, sub)
+        lits = F.array(*[F.lit(float(v))
+                         for v in cb[j][s * sub:(s + 1) * sub]])
         return F.aggregate(
             F.zip_with(seg, lits,
                        lambda a, b: (a.cast("double") - b)
@@ -628,9 +743,273 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
     for s in range(m):
         term = F.shiftleft(codes[s].cast("long"), s * nbits)
         packed = term if packed is None else packed + term
+    return packed
 
-    assigned = (emb.withColumn("cell", _argmin_cell(cents))
-                .select("vec_id", packed.alias("pq_code"), "cell"))
+
+def _pq_encode_frame(emb: DataFrame, cents: list[list[float]],
+                     cb: list[list[float]], m: int, nbits: int,
+                     residual: bool) -> DataFrame:
+    """(vec_id, pq_code, cell) for ``emb`` under the given quantizer +
+    codebook — the one encode pipeline write, append, and retraining
+    compaction all share, so the three cannot drift."""
+    sub = len(cb[0]) // m
+    assigned = emb.withColumn("cell", _argmin_cell(cents))
+    vec_col = "embedding"
+    if residual:
+        assigned = assigned.withColumn(
+            "_v", F.zip_with(F.col("embedding"), _cent_lookup(cents),
+                             lambda a, b: a.cast("double") - b))
+        vec_col = "_v"
+    packed = _pq_pack_expr(vec_col, cb, m, nbits, sub)
+    return assigned.select("vec_id", packed.alias("pq_code"), "cell")
+
+
+def _check_quantizer_sync(spark, table: str,
+                          sidecars: tuple[str, ...]) -> None:
+    """Fail by name when the main index table and a quantizer sidecar
+    carry DIFFERENT ``georiva.quantizer_version`` stamps — the crash
+    window of a RETRAINING compaction (sidecars swap before the main
+    table so every probeable state is either consistent or detectably
+    skewed). A skew means routing would use centroids the stored cell
+    assignment was not built with — silently wrong recall — so probes
+    and appends refuse instead. Recovery: re-run the interrupted
+    ``*_index_compact(retrain_iters=…)`` (it re-stages from the
+    surviving main table / corpus) or finish the pending
+    :func:`~georiva_spark.sources.bucketing.atomic_swap_table`.
+    Unversioned tables (pre-r8 indexes) are exempt."""
+    def ver(t: str):
+        props = {r.key: r.value for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+        return props.get("georiva.quantizer_version")
+
+    main = ver(table)
+    if main is None:
+        return
+    for sc in sidecars:
+        v = ver(f"{table}{sc}")
+        if v is not None and v != main:
+            raise ValueError(
+                f"{table!r}: quantizer version skew — table is "
+                f"v{main} but {table}{sc} is v{v}; a retraining "
+                f"compaction was interrupted between the sidecar and "
+                f"main swaps. Re-run the compact (it re-stages) or "
+                f"finish the pending atomic swap.")
+
+
+def pq_train_codebooks(emb: DataFrame, m: int, nbits: int, iters: int,
+                       cents: list[list[float]] | None = None,
+                       decimals: int = 6) -> list[list[float]]:
+    """Train per-subspace PQ codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 §II; FAISS
+    IVFPQ's training stage): an independent 2^nbits-codeword k-means
+    per subspace, run as ``iters`` Lloyd rounds — this, not the coarse
+    quantizer, is where ADC recall comes from on non-uniform data,
+    because each subspace's codewords move to where THAT slice of the
+    distribution actually lives instead of being hash-order corpus
+    rows shared across all subspaces.
+
+    ``cents`` (optional): coarse quantizer centroids — when given,
+    training runs on RESIDUALS ``x − cent[cell(x)]`` (the IVFPQ
+    encoding that removes the coarse component before quantizing, so
+    the codebook spends its 2^nbits codewords on the within-cell
+    structure where ANN distances are decided).
+
+    Determinism contract (the kmeans_fit policy, so a SQL oracle
+    replays training verbatim): seeds are the 2^nbits corpus rows with
+    the smallest (md5(vec_id), vec_id) — the SAME seed rows for every
+    subspace, diverging from round 1; assignment ties break toward the
+    lower code; empty codewords carry over; every codeword coordinate
+    is ROUNDED at ``decimals`` after init and after each update (PQ
+    codebooks are routinely stored fp16 — 6 dp is far finer — and the
+    quantization pins the codebook bit-identical across engines, so
+    the downstream encode argmin sees literally equal operands).
+
+    Scale shape: ONE corpus scan per Lloyd round trains ALL m
+    subspaces — each row emits m (subspace, code, segment) structs and
+    the update is a groupBy(s, code, dim) mean whose map-side partial
+    collapses to ≤ m·2^nbits·(d/m) = 2^nbits·d rows per partition;
+    only that bounded model state reaches the driver. Returns the
+    2^nbits codewords in CONCATENATED layout (codeword j's dims
+    [s·sub, (s+1)·sub) belong to subspace s's j-th codeword), the
+    exact shape the ``{table}_codebook`` sidecar and every ADC slice
+    already use — trained and pinned codebooks are interchangeable
+    downstream."""
+    ncw = 1 << nbits
+    corpus = emb.where(F.col("embedding").isNotNull())
+    if cents is not None:
+        corpus = (corpus
+                  .withColumn("cell", _argmin_cell(cents))
+                  .select("vec_id",
+                          F.zip_with(F.col("embedding"),
+                                     _cent_lookup(cents),
+                                     lambda a, b: a.cast("double") - b)
+                          .alias("vec")))
+    else:
+        corpus = corpus.select(
+            "vec_id",
+            F.transform(F.col("embedding"),
+                        lambda a: a.cast("double")).alias("vec"))
+    seeds = (corpus.select(
+                 "vec_id", "vec",
+                 F.md5(F.col("vec_id").cast("string").cast("binary"))
+                 .alias("__h"))
+             .orderBy("__h", "vec_id").limit(ncw).collect())
+    if len(seeds) < ncw:
+        raise ValueError(
+            f"pq_train_codebooks needs at least 2^nbits={ncw} rows "
+            f"with non-null embeddings, found {len(seeds)}")
+    dim = len(seeds[0].vec)
+    if dim % m:
+        raise ValueError(
+            f"pq_train_codebooks: dim={dim} not divisible by m={m}")
+    sub = dim // m
+
+    def rnd(v) -> float:
+        return round(float(v), decimals) + 0.0
+
+    cb = [[[rnd(v) for v in r.vec[s * sub:(s + 1) * sub]]
+           for r in seeds] for s in range(m)]     # cb[s][j][local dim]
+
+    def seg_argmin(s: int):
+        seg = F.slice(F.col("vec"), s * sub + 1, sub)
+
+        def d2(j: int):
+            lits = F.array(*[F.lit(v) for v in cb[s][j]])
+            return F.aggregate(
+                F.zip_with(seg, lits, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+
+        return F.array_min(F.array(*[
+            F.struct(d2(j).alias("d"), F.lit(j).alias("c"))
+            for j in range(ncw)]))["c"]
+
+    for _ in range(iters):
+        rows = (corpus.select(F.explode(F.array(*[
+                    F.struct(F.lit(s).alias("s"),
+                             seg_argmin(s).alias("code"),
+                             F.slice(F.col("vec"), s * sub + 1, sub)
+                             .alias("seg"))
+                    for s in range(m)])).alias("t"))
+                .select("t.s", "t.code",
+                        F.posexplode("t.seg").alias("dim", "v"))
+                .groupBy("s", "code", "dim")
+                .agg(F.avg("v").alias("v"))
+                .collect())
+        nxt = [[list(cw) for cw in cb[s]] for s in range(m)]
+        for r in rows:
+            nxt[r.s][r.code][r.dim] = rnd(r.v)
+        cb = nxt
+    return [[v for s in range(m) for v in cb[s][j]] for j in range(ncw)]
+
+
+def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
+                       n_centroids: int = 8, m: int = 8, nbits: int = 4,
+                       train_iters: int = 0,
+                       seed_ids: list[int] | None = None,
+                       codebook_iters: int = 0,
+                       residual: bool = False) -> None:
+    """PQ-COMPRESSED persistent IVF index — the memory-bound variant
+    of :func:`ivf_index_write`: instead of storing raw
+    ``array<double>`` embeddings (at 100 TB the float index is as
+    large as the corpus), each vector stores ONE packed long of
+    ``m`` sub-codes (``m·nbits`` bits), PARTITIONED BY cell. The
+    measured on-disk ratio vs the float index is ~40× at 64-dim
+    doubles (SCALE.md smoke) — the difference between an in-memory
+    probe and an I/O-bound one.
+
+    Layout: ``{table}`` (vec_id, pq_code, cell) partitioned by cell;
+    ``{table}_centroids`` (cell, embedding) — the coarse quantizer
+    sidecar, C rows; ``{table}_codebook`` (code, embedding) — the
+    PQ codeword sidecar, 2^nbits rows of the ACTUAL codeword vectors
+    in concatenated per-subspace layout (dims [s·sub, (s+1)·sub) of
+    codeword j = subspace s's j-th codeword — for the pinned default
+    every subspace shares the same corpus row, for trained codebooks
+    they diverge), so probes are self-contained and never depend on
+    how the codebook was derived.
+
+    Codebook choice — ``codebook_iters`` (the ADC-recall knob):
+
+    - ``codebook_iters=0`` (default): PINNED codewords — 2^nbits
+      hash-order corpus rows shared across all m subspaces
+      (:func:`knn_ivf_pq`'s rule, so the in-memory and persistent
+      variants agree bit-for-bit). Exact and SQL-replayable, but
+      statistically naive: on real (clustered, anisotropic) embedding
+      corpora the shared untrained codebook inflates ADC error exactly
+      where distances are close. Fine for uniform data and smoke
+      tests; NOT the production setting.
+    - ``codebook_iters>0``: per-subspace k-means codebooks
+      (:func:`pq_train_codebooks` — Jégou et al. 2011, FAISS IVFPQ's
+      training). Same determinism contract as the coarse
+      ``train_iters`` (SQL-replayable), measured recall@10 win on an
+      unequal-variance correlated-blob corpus in SCALE.md's trained-PQ
+      smoke. This is the recommended production setting.
+    - ``residual=True`` (requires ``codebook_iters>0``): encode
+      ``x − cent[cell(x)]`` instead of raw ``x`` — the coarse
+      component is removed before quantizing, so the codebook's
+      2^nbits codewords resolve within-cell structure; probes build
+      their ADC tables per probed cell from the query's residual.
+      Raw pinned rows would make a nonsense residual codebook, hence
+      the coupling.
+
+    DEFAULT POLICY (decided r8, same as ivf_index_write's): defaults
+    stay pinned (``train_iters=0, codebook_iters=0``) for bit-for-bit
+    parity with :func:`knn_ivf_pq` and zero training cost — the
+    test/oracle setting, which also requires dense vec_ids 0..N-1.
+    Production indexes should pass ``train_iters>0, codebook_iters>0,
+    residual=True`` — SCALE.md's trained-PQ smoke measures 3.4–3.7×
+    the pinned codebook's recall on unequal-variance correlated
+    blobs, and the trained path has no id requirement.
+
+    Encoding is an IN-ROW argmin per subspace over codeword literals
+    (zero shuffle, one corpus scan, whole-stage codegen), exactly
+    :func:`knn_ivf_pq`'s arithmetic — so a probe of this index
+    matches knn_ivf_pq's answer bit-for-bit and the same SQL oracle
+    replays it. Sub-codes pack little-end-first:
+    ``pq_code = Σ_s code_s << (s·nbits)``; ``m·nbits`` must stay
+    ≤ 62 (the sub-64-bit packing convention — DuckDB's ``1 << p``
+    overflows at 63). All quantizer/codebook provenance
+    (n_centroids, train_iters, m, nbits, codebook_iters, residual)
+    is stamped as TBLPROPERTIES and validated at probe/append."""
+    if m * nbits > 62:
+        raise ValueError(
+            f"ivf_pq_index_write: m={m} × nbits={nbits} = {m * nbits} "
+            f"bits does not fit one signed long (≤ 62); lower m or "
+            f"nbits, or shard the code into words")
+    if residual and codebook_iters <= 0:
+        raise ValueError(
+            "ivf_pq_index_write: residual=True requires "
+            "codebook_iters>0 — residuals are centered near zero and "
+            "a pinned raw-corpus-row codebook cannot quantize them")
+    ncw = 1 << nbits
+    if train_iters > 0:
+        cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
+                                 seed_ids=seed_ids)
+    else:
+        cents = _pinned_cents(emb, n_centroids)
+    if codebook_iters > 0:
+        cb = pq_train_codebooks(emb, m, nbits, codebook_iters,
+                                cents=cents if residual else None)
+    else:
+        # pinned codebook: hash-order corpus rows (knn_ivf_pq's rule)
+        n = emb.count()
+        step2 = max(1, n // ncw)
+        cwids = [j * step2 + step2 // 3 for j in range(ncw)]
+        cmap = {r.vec_id: [float(v) for v in r.embedding]
+                for r in emb.where(F.col("vec_id").isin(cwids))
+                            .select("vec_id", "embedding").collect()}
+        missing = [c for c in cwids if c not in cmap]
+        if missing:
+            raise ValueError(
+                f"pinned-codebook rows {missing} absent from the "
+                f"corpus — PQ pinning needs dense vec_ids 0..N-1")
+        cb = [cmap[c] for c in cwids]
+    dim = len(cb[0])
+    if dim % m:
+        raise ValueError(
+            f"ivf_pq_index_write: dim={dim} not divisible by m={m}")
+    sub = dim // m
+
+    assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
     spark = emb.sparkSession
@@ -650,7 +1029,13 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'georiva.n_centroids'='{n_centroids}', "
         f"'georiva.train_iters'='{train_iters}', "
-        f"'georiva.pq_m'='{m}', 'georiva.pq_nbits'='{nbits}')")
+        f"'georiva.pq_m'='{m}', 'georiva.pq_nbits'='{nbits}', "
+        f"'georiva.pq_codebook_iters'='{codebook_iters}', "
+        f"'georiva.pq_residual'='{int(residual)}', "
+        f"'georiva.quantizer_version'='1')")
+    for sc in ("_centroids", "_codebook"):
+        spark.sql(f"ALTER TABLE {table}{sc} SET TBLPROPERTIES ("
+                  f"'georiva.quantizer_version'='1')")
 
 
 def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
@@ -659,7 +1044,8 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
     assigned with the INDEX'S OWN centroids and encoded with the
     INDEX'S OWN codebook (both read from the bounded sidecars and
     inlined as literals — zero shuffle), then appended into the same
-    cell partitions. The stamped m/nbits drive the packing, so a
+    cell partitions. The stamped m/nbits/residual drive the packing
+    (a residual index encodes the delta's residuals too), so a
     probe's unpacking stays consistent across appends. Readers'
     cached listings are refreshed (the probe-then-grow loop's
     per-session cache hazard)."""
@@ -673,7 +1059,8 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
         raise ValueError(
             f"{table!r} is not a stamped ivf_pq index "
             f"(missing property {e})") from None
-    ncw = 1 << nbits
+    residual = bool(int(props.get("georiva.pq_residual", "0")))
+    _check_quantizer_sync(spark, table, ("_centroids", "_codebook"))
     crows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(crows, key=lambda r: r.cell)]
@@ -682,27 +1069,8 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
     cbrows = spark.table(f"{table}_codebook").collect()
     cb = [list(map(float, r.embedding))
           for r in sorted(cbrows, key=lambda r: r.code)]
-    dim = len(cb[0])
-    sub = dim // m
 
-    def sub_l2(s: int, j: int):
-        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
-        lits = F.array(*[F.lit(v) for v in cb[j][s * sub:(s + 1) * sub]])
-        return F.aggregate(
-            F.zip_with(seg, lits,
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    codes = [F.array_min(F.array(*[
-        F.struct(sub_l2(s, j).alias("d"), F.lit(j).alias("c"))
-        for j in range(ncw)]))["c"] for s in range(m)]
-    packed = None
-    for s in range(m):
-        term = F.shiftleft(codes[s].cast("long"), s * nbits)
-        packed = term if packed is None else packed + term
-    assigned = (emb.withColumn("cell", _argmin_cell(cents))
-                .select("vec_id", packed.alias("pq_code"), "cell"))
+    assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
     (assigned.write.mode("append").format("parquet")
      .partitionBy("cell").saveAsTable(table))
     spark.catalog.refreshTable(table)
@@ -719,10 +1087,13 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
     per-subspace query↔codeword distance table (m × 2^nbits doubles,
     computed driver-side from the codebook sidecar) ships as literals
     and each row's score is m ``element_at`` picks on its unpacked
-    sub-codes. The scan never touches a float embedding: it reads
-    (vec_id, pq_code) only — the ~40× I/O reduction is the point.
-    ``m``/``nbits`` come from the stamp (a probe against a
-    non-PQ table fails by name)."""
+    sub-codes. A RESIDUAL index (stamped ``pq_residual``) builds one
+    ADC table per probed cell from the query's residual against THAT
+    cell's centroid — nprobe bounded tables, dispatched by a
+    when-chain on the row's cell. The scan never touches a float
+    embedding: it reads (vec_id, pq_code) only — the ~40× I/O
+    reduction is the point. ``m``/``nbits``/``residual`` come from
+    the stamp (a probe against a non-PQ table fails by name)."""
     import numpy as np
 
     props = {r.key: r.value for r in
@@ -734,8 +1105,10 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
         raise ValueError(
             f"{table!r} is not a stamped ivf_pq index "
             f"(missing property {e})") from None
+    residual = bool(int(props.get("georiva.pq_residual", "0")))
     ncw = 1 << nbits
 
+    _check_quantizer_sync(spark, table, ("_centroids", "_codebook"))
     cents = {int(r.cell): np.asarray(r.embedding, dtype=np.float64)
              for r in spark.table(f"{table}_centroids").collect()}
     q = np.asarray(list(query_vec), dtype=np.float64)
@@ -747,17 +1120,28 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
           for r in spark.table(f"{table}_codebook").collect()}
     dim = len(cb[0])
     sub = dim // m
-    qd = [[float(((q[s * sub:(s + 1) * sub]
-                   - cb[j][s * sub:(s + 1) * sub]) ** 2).sum())
-           for j in range(ncw)] for s in range(m)]
 
-    adc = None
-    for s in range(m):
-        code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
-                  .bitwiseAND(F.lit(ncw - 1)).cast("int"))
-        term = F.element_at(F.array(*[F.lit(v) for v in qd[s]]),
-                            code_s + 1)
-        adc = term if adc is None else adc + term
+    def adc_for(qv: "np.ndarray"):
+        qd = [[float(((qv[s * sub:(s + 1) * sub]
+                       - cb[j][s * sub:(s + 1) * sub]) ** 2).sum())
+               for j in range(ncw)] for s in range(m)]
+        expr = None
+        for s in range(m):
+            code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
+                      .bitwiseAND(F.lit(ncw - 1)).cast("int"))
+            term = F.element_at(F.array(*[F.lit(v) for v in qd[s]]),
+                                code_s + 1)
+            expr = term if expr is None else expr + term
+        return expr
+
+    if residual:
+        adc = None
+        for cell in probe_cells:
+            branch = adc_for(q - cents[cell])
+            adc = (F.when(F.col("cell") == cell, branch) if adc is None
+                   else adc.when(F.col("cell") == cell, branch))
+    else:
+        adc = adc_for(q)
 
     scan = spark.table(table).where(F.col("cell").isin(probe_cells))
     if exclude_vec_id is not None:
@@ -783,7 +1167,13 @@ def ivf_pq_index_refine(spark, table: str, emb: DataFrame, query_vec,
     query. ADC's quantization error is confined to the shortlist
     BOUNDARY — with shortlist ≫ k the exact top-k is recovered unless
     a true neighbor's ADC rank falls below the cutoff.
-    → (vec_id, cosine) desc, the exact scores."""
+    → (vec_id, cosine) desc, the exact scores.
+
+    This is the ONE-QUERY shape (the shortlist ids take a driver hop
+    and ride as an IN predicate — bounded by ``shortlist``, fine for
+    a single interactive query). Serving many queries must go through
+    :func:`ivf_pq_index_refine_batch`, which re-ranks via a join and
+    never touches the driver."""
     from georiva_spark.functions.vectors import cosine_similarity
 
     short = ivf_pq_index_probe(spark, table, query_vec, k=shortlist,
@@ -815,10 +1205,13 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     partition filter, and every candidate scores with m ``element_at``
     picks on its unpacked sub-codes: the serving join ships NO float
     embeddings in either direction — query side is C+m·2^nbits
-    doubles per query, corpus side is one long per vector. Broadcast
-    gated at ``max_broadcast_queries`` with a shuffle fallback, same
-    contract as :func:`ivf_index_probe_batch`; ``exclude_self``
-    opt-in for corpus-internal q_id spaces."""
+    doubles per query, corpus side is one long per vector. A RESIDUAL
+    index (stamped) computes each fan-out row's ADC table from the
+    query's residual against the row's probed cell — still bounded,
+    still no floats shipped. Broadcast gated at
+    ``max_broadcast_queries`` with a shuffle fallback, same contract
+    as :func:`ivf_index_probe_batch`; ``exclude_self`` opt-in for
+    corpus-internal q_id spaces."""
     import numpy as np
 
     from georiva_spark.operators._retention import persist_bounded
@@ -833,7 +1226,9 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
         raise ValueError(
             f"{table!r} is not a stamped ivf_pq index "
             f"(missing property {e})") from None
+    residual = bool(int(props.get("georiva.pq_residual", "0")))
     ncw = 1 << nbits
+    _check_quantizer_sync(spark, table, ("_centroids", "_codebook"))
     crows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(crows, key=lambda r: r.cell)]
@@ -859,8 +1254,8 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     cells = F.transform(F.slice(F.array_sort(dists), 1, nprobe),
                         lambda s: s["c"])
 
-    def qd(s: int, j: int):           # ADC entry: ||q_seg − cw_seg||²
-        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
+    def qd(vec: str, s: int, j: int):  # ADC entry: ||q_seg − cw_seg||²
+        seg = F.slice(F.col(vec), s * sub + 1, sub)
         lits = F.array(*[F.lit(float(v))
                          for v in cb[j][s * sub:(s + 1) * sub]])
         return F.aggregate(
@@ -869,17 +1264,33 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
                        * (a.cast("double") - b)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    adc_flat = F.array(*[qd(s, j) for s in range(m)
+    # a residual index builds each fan-out row's ADC table from the
+    # query's residual against the row's PROBED cell (q − cent[cell],
+    # picked in-row from the bounded centroid literal) — so the flat
+    # table is computed AFTER the explode; the non-residual table is
+    # cell-independent and rides through the explode unchanged
+    fan = queries.select("q_id", F.col("embedding").alias("qe"),
+                         F.explode(cells).alias("cell"))
+    if residual:
+        fan = fan.withColumn(
+            "_rq", F.zip_with(F.col("qe"), _cent_lookup(cents),
+                              lambda a, b: a.cast("double") - b))
+        vec_col = "_rq"
+    else:
+        vec_col = "qe"
+    adc_flat = F.array(*[qd(vec_col, s, j) for s in range(m)
                          for j in range(ncw)])
     probed = persist_bounded(
-        queries.select("q_id", adc_flat.alias("qd"),
-                       F.explode(cells).alias("cell")),
+        fan.select("q_id", adc_flat.alias("qd"), "cell"),
         "ivf_pq_index_probe_batch.probed", StorageLevel.MEMORY_AND_DISK)
-    n_fanout = probed.count()
+    # distinct-q_id gate, not fan-out rows: with fewer cells than
+    # nprobe each query fans out fewer rows and a row-count gate
+    # over-admits (the ivf_index_probe_batch comment)
+    n_queries = probed.select("q_id").distinct().count()
     live_cells = sorted({r.cell for r in
                          probed.select("cell").distinct().collect()})
     build = (F.broadcast(probed)
-             if n_fanout <= max_broadcast_queries * nprobe
+             if n_queries <= max_broadcast_queries
              else probed)
     adc = None
     for s in range(m):
@@ -899,6 +1310,64 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
             .select("q_id", "vec_id",
                     F.col("cell").cast("long").alias("cell"),
                     F.round("_d", 6).alias("adc_dist")))
+
+
+def ivf_pq_index_refine_batch(spark, table: str, emb: DataFrame,
+                              queries: DataFrame, k: int = 5,
+                              nprobe: int = 2, shortlist: int = 100,
+                              exclude_self: bool = False,
+                              max_broadcast_queries: int = 10_000
+                              ) -> DataFrame:
+    """Two-stage BATCH ANN serving — the per-query
+    :func:`ivf_pq_index_refine`'s driver round-trip removed: stage 1
+    is :func:`ivf_pq_index_probe_batch` (compressed cell-pruned scan,
+    no float I/O) keeping the top-``shortlist`` ADC candidates per
+    query; stage 2 re-ranks them EXACTLY by cosine via a JOIN of the
+    (q_id, vec_id) shortlist against the float table — no driver
+    collect, no ``IN``-literal in the plan, so serving N queries
+    costs ONE two-join plan instead of N driver hops (the shape the
+    r7 verdict flagged as un-loopable). Float I/O is the join-matched
+    shortlist rows (≤ |batch|·shortlist); at production scale the
+    float table is bucketed/sorted on vec_id so the join co-locates,
+    and Spark's runtime bloom-filter join pushes the shortlist keys
+    into the scan.
+
+    The ``queries`` projection is PERSISTED before stage 1 so a
+    non-deterministic frame cannot route with one set of embeddings
+    and re-rank with another. Broadcast gate: both stage-2 build
+    sides (the shortlist pairs and the query embeddings) broadcast
+    under ``max_broadcast_queries`` distinct queries, shuffle past it
+    — same contract as the stage-1 join. → per-query top-k
+    (q_id, vec_id, cosine), exact scores, desc."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.functions.vectors import cosine_similarity
+    from georiva_spark.operators._retention import persist_bounded
+
+    qsrc = persist_bounded(
+        queries.select("q_id", "embedding"),
+        "ivf_pq_index_refine_batch.queries",
+        StorageLevel.MEMORY_AND_DISK)
+    short = ivf_pq_index_probe_batch(
+        spark, table, qsrc, k=shortlist, nprobe=nprobe,
+        exclude_self=exclude_self,
+        max_broadcast_queries=max_broadcast_queries)
+    pairs = short.select("q_id", "vec_id")
+    n_queries = qsrc.select("q_id").distinct().count()
+    small = n_queries <= max_broadcast_queries
+    build = F.broadcast(pairs) if small else pairs
+    qe = qsrc.select(F.col("q_id").alias("__qid"),
+                     F.col("embedding").alias("qe"))
+    if small:
+        qe = F.broadcast(qe)
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    cand = (emb.join(build, "vec_id")
+            .join(qe, F.col("q_id") == F.col("__qid"))
+            .select("q_id", "vec_id", cos.alias("_c")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (cand.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select("q_id", "vec_id", F.round("_c", 4).alias("cosine")))
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,

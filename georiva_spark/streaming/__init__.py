@@ -13,7 +13,7 @@ from georiva_spark.streaming.corpus import (
     start_corpus_stream, read_corpus_stream,
 )
 from georiva_spark.streaming.mediadup import (
-    start_mediadup_stream, read_mediadup_pairs,
+    start_mediadup_stream, read_mediadup_pairs, read_mediadup_lookup,
 )
 
 __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
@@ -21,4 +21,4 @@ __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
            "read_neardup_pairs", "start_ann_stream",
            "read_ann_neighbors", "start_corpus_stream",
            "read_corpus_stream", "start_mediadup_stream",
-           "read_mediadup_pairs"]
+           "read_mediadup_pairs", "read_mediadup_lookup"]

@@ -14,14 +14,13 @@ queries see every vector through batch N. Nothing about the existing
 corpus is ever re-assigned or re-shuffled.
 
 Idempotency across restarts (foreachBatch is at-least-once): the
-neighbor output for batch B overwrites the deterministic directory
-``{out_dir}/batch_id=B`` (a replay rewrites the same bytes), phantom
-matches a replay would see against its OWN vectors (appended by the
-crashed first attempt) are anti-joined away, and the index append is
-guarded by the batch's presence in the index table — any batch vec_id
-already in a cell partition implies the append completed. Same
-overwrite-deterministic-partitions policy as the derivation ledger
-(plans/engine.py), no lock service required.
+shared probe-then-grow skeleton (streaming/_loop.py) overwrites the
+deterministic ``{out_dir}/batch_id=B`` directory, guards the append on
+the batch's presence in the index table (any batch vec_id already in a
+cell partition implies the append completed), and refreshes the
+serving session's relation caches after growth. Phantom matches a
+replay would see against its OWN vectors (appended by the crashed
+first attempt) are anti-joined away here.
 """
 
 from __future__ import annotations
@@ -32,6 +31,7 @@ from georiva_spark.operators.similarity import (ivf_index_append,
                                                 ivf_index_probe_batch,
                                                 ivf_pq_index_append,
                                                 ivf_pq_index_probe_batch)
+from georiva_spark.streaming._loop import run_probe_grow
 
 
 def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
@@ -54,39 +54,22 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
     probe = ivf_pq_index_probe_batch if is_pq else ivf_index_probe_batch
     append = ivf_pq_index_append if is_pq else ivf_index_append
 
-    def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch = batch.persist()
-        try:
-            ids = batch.select("vec_id")
-            queries = batch.select(F.col("vec_id").alias("q_id"),
-                                   "embedding")
-            nbrs = probe(spark, table, queries, k=k, nprobe=nprobe)
-            # a replayed batch whose first attempt already appended
-            # would otherwise match its vectors against THEMSELVES in
-            # the index — drop matches whose vec_id is in this batch
-            nbrs = nbrs.join(ids, "vec_id", "left_anti")
-            (nbrs.write.mode("overwrite")
-             .parquet(f"{out_dir}/batch_id={batch_id}"))
-            if grow:
-                applied = (spark.table(table)
-                           .join(ids, "vec_id", "left_semi")
-                           .limit(1).count() > 0)
-                if not applied:
-                    append(batch.select("vec_id", "embedding"), table)
-                    # the append ran (and refreshed) on foreachBatch's
-                    # CLONED session; the relation cache is per-session
-                    # state, so the serving session this loop probes
-                    # with must be invalidated separately or the next
-                    # batch probes a stale file listing
-                    spark.catalog.refreshTable(table)
-        finally:
-            batch.unpersist()
+    def neighbors(work: DataFrame) -> DataFrame:
+        # a replayed batch whose first attempt already appended would
+        # otherwise match its vectors against THEMSELVES in the index
+        queries = work.select(F.col("vec_id").alias("q_id"),
+                              "embedding")
+        nbrs = probe(spark, table, queries, k=k, nprobe=nprobe)
+        return nbrs.join(work.select("vec_id"), "vec_id", "left_anti")
 
-    return (emb_stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True).start())
+    return run_probe_grow(
+        emb_stream, checkpoint_dir, spark=spark,
+        outputs=[(out_dir, neighbors)],
+        guard_table=table,
+        guard_keys=lambda w: w.select("vec_id"),
+        append=lambda w: append(w.select("vec_id", "embedding"), table),
+        refresh_tables=(table,),
+        grow=grow)
 
 
 def read_ann_neighbors(spark, out_dir: str) -> DataFrame:

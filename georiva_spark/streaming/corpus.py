@@ -16,11 +16,17 @@ batch pass over the landed corpus — the lambda split the CCNet shape
 forces on any streaming ingester.
 
 Idempotency across restarts (foreachBatch is at-least-once): doc ids
-derive from xxhash64(target_uri) — stable across replays, unlike the
-writer-random WARC record ids — the outputs for batch B overwrite
-``…/batch_id=B``, phantom pairs against the batch's own docs are
-anti-joined away, and the index append is guarded by the batch's
-presence in the signature table (the neardup-loop guard).
+derive from the full 128-bit md5 of target_uri (hex string — the
+_code_ref policy) — stable across replays, unlike the writer-random
+WARC record ids, and collision-free at web scale where a 64-bit
+surrogate goes birthday-bound past ~2^30 distinct URIs and a silent
+collision would drop a document via dropDuplicates and corrupt the
+replay guard — the outputs for batch B overwrite ``…/batch_id=B``,
+phantom pairs against the batch's own docs are anti-joined away, and
+the index append is guarded by the batch's presence in the signature
+table (the neardup-loop guard). The index this loop grows must
+therefore carry STRING doc ids (seed it from the same md5-hex
+derivation, or empty-seed it).
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ from georiva_spark.operators.dedup import (minhash_index_append,
                                            minhash_index_probe)
 from georiva_spark.operators.textops import HTML_STRIP_RULES, gopher_rules
 from georiva_spark.sources.warc_codec import warc_parse
+from georiva_spark.streaming._loop import run_probe_grow
 
 
 def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
@@ -57,48 +64,26 @@ def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
     for pat, repl in HTML_STRIP_RULES:
         strip = F.regexp_replace(strip, pat, repl)
 
-    def process(files: DataFrame, batch_id: int) -> None:
-        if files.isEmpty():
-            return
+    def prepare(files: DataFrame) -> DataFrame:
         recs = warc_parse(files)
         docs = (recs.select(
-            F.xxhash64("target_uri").alias("doc_id"),
+            F.md5(F.col("target_uri").cast("binary")).alias("doc_id"),
             "target_uri", "warc_type", "n_bytes",
             F.when(F.col("warc_type") == "response", strip)
             .otherwise(F.col("text")).alias("text"))
             .dropDuplicates(["doc_id"]))
-        passed = (docs.join(
+        return docs.join(
             gopher_rules(docs, **gk).where("gopher_pass")
             .select("doc_id"), "doc_id", "left_semi")
-            .persist())
-        try:
-            (passed.write.mode("overwrite")
-             .parquet(f"{out_dir}/docs/batch_id={batch_id}"))
-            ids = passed.select("doc_id")
-            pairs = minhash_index_probe(
-                passed, table, threshold=threshold,
-                num_hashes=params["num_hashes"], bands=params["bands"],
-                n=params["n"])
-            pairs = pairs.join(ids.withColumnRenamed("doc_id", "doc_old"),
-                               "doc_old", "left_anti")
-            (pairs.write.mode("overwrite")
-             .parquet(f"{out_dir}/pairs/batch_id={batch_id}"))
-            if grow:
-                applied = (spark.table(f"{table}_sigs")
-                           .join(ids, "doc_id", "left_semi")
-                           .limit(1).count() > 0)
-                if not applied:
-                    minhash_index_append(passed.select("doc_id", "text"),
-                                         table)
-                    # the append refreshed foreachBatch's CLONED
-                    # session; relation caches are per-session, so the
-                    # serving session must invalidate its own listings
-                    # or the next batch's applied-guard and any outer
-                    # reader scan a stale index
-                    spark.catalog.refreshTable(f"{table}_bands")
-                    spark.catalog.refreshTable(f"{table}_sigs")
-        finally:
-            passed.unpersist()
+
+    def pairs(passed: DataFrame) -> DataFrame:
+        ids = passed.select("doc_id")
+        p = minhash_index_probe(
+            passed, table, threshold=threshold,
+            num_hashes=params["num_hashes"], bands=params["bands"],
+            n=params["n"])
+        return p.join(ids.withColumnRenamed("doc_id", "doc_old"),
+                      "doc_old", "left_anti")
 
     reader = (spark.readStream.format("binaryFile")
               .schema("path string, modificationTime timestamp, "
@@ -107,9 +92,16 @@ def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     src = reader.load(warc_dir)
-    return (src.writeStream.foreachBatch(process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True).start())
+    return run_probe_grow(
+        src, checkpoint_dir, spark=spark, prepare=prepare,
+        outputs=[(f"{out_dir}/docs", lambda w: w),
+                 (f"{out_dir}/pairs", pairs)],
+        guard_table=f"{table}_sigs",
+        guard_keys=lambda w: w.select("doc_id"),
+        append=lambda w: minhash_index_append(
+            w.select("doc_id", "text"), table),
+        refresh_tables=(f"{table}_bands", f"{table}_sigs"),
+        grow=grow)
 
 
 def read_corpus_stream(spark, out_dir: str) -> tuple[DataFrame, DataFrame]:

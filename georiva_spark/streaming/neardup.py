@@ -10,18 +10,17 @@ scanned shuffle-free — and then appended INTO the index in the same
 bucket layout, so batch N+1 dedups against everything through batch N.
 Nothing about the existing corpus is ever recomputed or re-shuffled.
 
-Idempotency across restarts (foreachBatch is at-least-once): the pair
-output for batch B overwrites the deterministic directory
-``{out_dir}/batch_id=B`` (a replay rewrites the same bytes), phantom
-pairs a replay would see against its OWN docs (appended by the crashed
-first attempt) are anti-joined away, and the index append is guarded
-by the batch's presence in the SIGNATURE table — append writes bands
-first and sigs last, so "any batch doc in _sigs" implies the append
-completed. The one partial-failure residue is duplicate BAND rows from
-a crash between the two appends; those only duplicate candidates,
-which the probe's dropDuplicates already collapses. Same overwrite-
-deterministic-partitions policy as the derivation ledger
-(plans/engine.py), no lock service required.
+Idempotency across restarts (foreachBatch is at-least-once): the
+shared probe-then-grow skeleton (streaming/_loop.py) overwrites the
+deterministic ``{out_dir}/batch_id=B`` directory, guards the append on
+the batch's presence in the SIGNATURE table (append writes bands first
+and sigs last, so "any batch doc in _sigs" implies the append
+completed), and refreshes the serving session's relation caches after
+growth. Phantom pairs a replay would see against its OWN docs
+(appended by the crashed first attempt) are anti-joined away here. The
+one partial-failure residue is duplicate BAND rows from a crash
+between the two appends; those only duplicate candidates, which the
+probe's dropDuplicates already collapses.
 """
 
 from __future__ import annotations
@@ -31,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from georiva_spark.operators.dedup import (minhash_index_append,
                                            minhash_index_params,
                                            minhash_index_probe)
+from georiva_spark.streaming._loop import run_probe_grow
 
 
 def start_neardup_stream(docs_stream: DataFrame, table: str,
@@ -44,42 +44,26 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
     spark = docs_stream.sparkSession
     params = minhash_index_params(spark, table)   # fail fast on launch
 
-    def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch = batch.persist()
-        try:
-            ids = batch.select("doc_id")
-            pairs = minhash_index_probe(
-                batch, table, threshold=threshold,
-                num_hashes=params["num_hashes"], bands=params["bands"],
-                n=params["n"])
-            # a replayed batch whose first attempt already appended
-            # would otherwise pair its docs against THEMSELVES in the
-            # index — drop pairs whose doc_old is in this batch
-            pairs = pairs.join(ids.withColumnRenamed("doc_id", "doc_old"),
-                               "doc_old", "left_anti")
-            (pairs.write.mode("overwrite")
-             .parquet(f"{out_dir}/batch_id={batch_id}"))
-            if grow:
-                applied = (spark.table(f"{table}_sigs")
-                           .join(ids, "doc_id", "left_semi")
-                           .limit(1).count() > 0)
-                if not applied:
-                    minhash_index_append(batch, table)
-                    # relation caches are per-session: the append ran
-                    # (and refreshed) on foreachBatch's cloned session;
-                    # without this, the serving session's applied-guard
-                    # scans a pre-append file listing on REPLAY and
-                    # appends the same batch twice
-                    spark.catalog.refreshTable(f"{table}_bands")
-                    spark.catalog.refreshTable(f"{table}_sigs")
-        finally:
-            batch.unpersist()
+    def pairs(work: DataFrame) -> DataFrame:
+        # a replayed batch whose first attempt already appended would
+        # otherwise pair its docs against THEMSELVES in the index —
+        # drop pairs whose doc_old is in this batch
+        ids = work.select("doc_id")
+        p = minhash_index_probe(
+            work, table, threshold=threshold,
+            num_hashes=params["num_hashes"], bands=params["bands"],
+            n=params["n"])
+        return p.join(ids.withColumnRenamed("doc_id", "doc_old"),
+                      "doc_old", "left_anti")
 
-    return (docs_stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True).start())
+    return run_probe_grow(
+        docs_stream, checkpoint_dir, spark=spark,
+        outputs=[(out_dir, pairs)],
+        guard_table=f"{table}_sigs",
+        guard_keys=lambda w: w.select("doc_id"),
+        append=lambda w: minhash_index_append(w, table),
+        refresh_tables=(f"{table}_bands", f"{table}_sigs"),
+        grow=grow)
 
 
 def read_neardup_pairs(spark, out_dir: str) -> DataFrame:

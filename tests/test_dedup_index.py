@@ -221,7 +221,12 @@ def test_streaming_corpus_crawl_to_index(spark, tmp_path):
     from georiva_spark.streaming import (read_corpus_stream,
                                          start_corpus_stream)
 
-    base = _docs(spark, [(1, BASE)])
+    # the corpus loop's doc ids are md5-hex STRINGS (collision-free
+    # URI identity) — seed the index with the same id type
+    base = spark.createDataFrame(
+        [("seed-1", BASE, "en", "s", len(BASE))],
+        "doc_id string, text string, lang string, source string, "
+        "n_chars long")
     dedup.minhash_index_write(base, "t_crawl", str(tmp_path / "idx"),
                               n_buckets=4)
     http = "HTTP/1.1 200 OK\r\n\r\n"
@@ -245,8 +250,8 @@ def test_streaming_corpus_crawl_to_index(spark, tmp_path):
     out, ckpt = str(tmp_path / "corp_out"), str(tmp_path / "corp_ckpt")
 
     def hid(uri):
-        return spark.range(1).select(
-            F.xxhash64(F.lit(uri))).head()[0]
+        import hashlib
+        return hashlib.md5(uri.encode()).hexdigest()
 
     def cycle():
         q = start_corpus_stream(spark, str(land), "t_crawl", out, ckpt,
@@ -260,7 +265,7 @@ def test_streaming_corpus_crawl_to_index(spark, tmp_path):
         assert uris == {"http://x/dup-of-base", "http://x/novel",
                         "http://x/dup-of-novel"}   # junk gated out
         got = {(r.doc_new, r.doc_old) for r in pairs.collect()}
-        assert (hid("http://x/dup-of-base"), 1) in got
+        assert (hid("http://x/dup-of-base"), "seed-1") in got
         # the cross-batch catch: only possible via the GROWN index
         assert (hid("http://x/dup-of-novel"),
                 hid("http://x/novel")) in got
@@ -405,6 +410,37 @@ def test_hamming_index_write_probe_append_compact(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS t_hidx_{s}")
 
 
+def test_hamming_index_append_replay_is_idempotent(spark, tmp_path):
+    """A duplicate append OUTSIDE the streaming loop's guard must be a
+    no-op: membership rows anti-join on (ref, id), so a replay neither
+    double-counts lookup's n_matched_items nor duplicates band rows."""
+    idx = spark.createDataFrame([(1, 0b1111)], "media_id long, code long")
+    dedup.hamming_index_write(idx, "t_hrep", str(tmp_path / "h"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    try:
+        delta = spark.createDataFrame(
+            [(100, 0b1111), (101, 0b0011)], "media_id long, code long")
+        dedup.hamming_index_append(delta, "t_hrep")
+        dedup.hamming_index_append(delta, "t_hrep")    # replay
+        assert spark.table("t_hrep_ids").count() == 3  # 1 + 2, not 1 + 4
+        probe = spark.createDataFrame([(200, 0b1111)],
+                                      "media_id long, code long")
+        got = {r.id_new: (r.min_hamming, r.n_matched_items)
+               for r in dedup.hamming_index_lookup(
+                   probe, "t_hrep").collect()}
+        # hot code 0b1111 has members {1, 100}; 0b0011 (h=2) adds 101 —
+        # a double-counted replay would report 5
+        assert got[200] == (0, 3)
+        # an id re-arriving with a NEW code still appends that pair
+        grow = spark.createDataFrame([(100, 0b1100)],
+                                     "media_id long, code long")
+        dedup.hamming_index_append(grow, "t_hrep")
+        assert spark.table("t_hrep_ids").count() == 4
+    finally:
+        for s in ("bands", "ids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_hrep_{s}")
+
+
 def test_hamming_index_lookup_linear_decision_shape(spark, tmp_path):
     """The keep-or-drop lookup: per delta item one row with its best
     hamming and matched-member count — never the pair expansion (a
@@ -543,6 +579,61 @@ def test_streaming_mediadup_probe_grows_index(spark, tmp_path):
     finally:
         for s in ("bands", "ids"):
             spark.sql(f"DROP TABLE IF EXISTS t_mdstr_{s}")
+
+
+def test_streaming_mediadup_lookup_mode(spark, tmp_path):
+    """output='lookup' (r8): a batch item near an M-member hot group
+    yields ONE decision row (id_new, min_hamming, n_matched_items),
+    not M pair rows; cross-batch detection still works via the grown
+    index; replays are idempotent because the batch's own ids are
+    excluded from the membership rollup (a replayed batch's codes ARE
+    in the index and would otherwise self-match at hamming 0)."""
+    from georiva_spark.streaming import (read_mediadup_lookup,
+                                         start_mediadup_stream)
+
+    idx = spark.createDataFrame(
+        [(i, 0b1111) for i in range(1, 6)]       # 5-member hot group
+        + [(6, 1 << 40)],
+        "media_id long, code long")
+    dedup.hamming_index_write(idx, "t_mdlk", str(tmp_path / "h"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    landing = tmp_path / "mdlk_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "mdlk_out"), str(tmp_path / "mdlk_ckpt")
+    schema = "media_id long, code long"
+    novel = 0x5A5A5A5A00
+    for name, rows in (("b0", [(100, 0b1110), (101, novel)]),
+                       ("b1", [(200, novel ^ 1)])):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_mediadup_stream(src, "t_mdlk", out, ckpt,
+                                  output="lookup")
+        q.awaitTermination(180)
+
+    try:
+        cycle()
+        got = {r.id_new: (r.min_hamming, r.n_matched_items)
+               for r in read_mediadup_lookup(spark, out).collect()}
+        # ONE row for the hot-group hit, carrying all 5 members
+        assert got[100] == (1, 5)
+        assert 101 not in got                # novel on arrival
+        assert got[200] == (1, 1)            # via the GROWN index
+        assert len(got) == 2
+        n_ids = spark.table("t_mdlk_ids").count()
+        assert n_ids == 6 + 3                # base + streamed
+        cycle()                              # replay: nothing new,
+        assert spark.table("t_mdlk_ids").count() == n_ids
+        again = {r.id_new: (r.min_hamming, r.n_matched_items)
+                 for r in read_mediadup_lookup(spark, out).collect()}
+        assert again == got                  # no self-matches leaked
+    finally:
+        for s in ("bands", "ids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_mdlk_{s}")
 
 
 def test_minhash_index_portable_stamp_roundtrip(spark, tmp_path):

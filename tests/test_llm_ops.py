@@ -242,6 +242,17 @@ def test_connected_components_random_vs_union_find(spark):
     assert got == {n: want[n] for n in touched}
 
 
+def test_connected_components_mixed_id_types_fail_by_name(spark):
+    """A pair frame with one long and one string id column must raise
+    by name: the old single-column cast dispatch silently cast the
+    string side to long, and the resulting NULLs were dropped by the
+    u != v filter — edges vanished without an error."""
+    pairs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_a long, doc_b string")
+    with pytest.raises(ValueError, match="must share a type"):
+        dedup.connected_components(pairs)
+
+
 def test_dedup_clusters_singletons_and_canonical(spark, docs):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     out = {r.doc_id: (r.cluster_id, r.is_canonical)
@@ -1582,6 +1593,179 @@ def test_ivf_pq_refine_recovers_exact_topk(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_pqr_ut")
         spark.sql("DROP TABLE IF EXISTS t_pqr_ut_centroids")
         spark.sql("DROP TABLE IF EXISTS t_pqr_ut_codebook")
+
+
+def test_ivf_pq_trained_residual_index(spark, tmp_path):
+    """r8: per-subspace TRAINED codebooks + residual encoding. The
+    stamps record codebook provenance; an appended twin encodes with
+    the index's trained codebook into the query's cell and carries
+    the minimal ADC distance in its cell; the refine stage surfaces
+    it top-1 exactly; the residual batch probe still ships no float
+    embeddings; residual without training fails by name."""
+    rng = np.random.default_rng(83)
+    centers = rng.normal(size=(4, 16)) * 5
+    vecs = (np.repeat(centers, 30, axis=0)
+            + rng.normal(scale=0.3, size=(120, 16))).astype(np.float64)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    emb = mk([(i, [float(v) for v in vecs[i]]) for i in range(120)])
+    with pytest.raises(ValueError, match="requires codebook_iters"):
+        similarity.ivf_pq_index_write(emb, "t_pqt_ut",
+                                      str(tmp_path / "x"),
+                                      m=4, nbits=3, residual=True)
+    similarity.ivf_pq_index_write(emb, "t_pqt_ut", str(tmp_path / "pq"),
+                                  n_centroids=4, m=4, nbits=3,
+                                  train_iters=2, codebook_iters=2,
+                                  residual=True)
+    try:
+        props = {r.key: r.value for r in spark.sql(
+            "SHOW TBLPROPERTIES t_pqt_ut").collect()}
+        assert props["georiva.pq_codebook_iters"] == "2"
+        assert props["georiva.pq_residual"] == "1"
+        q = [float(v) for v in vecs[0]]
+        top = similarity.ivf_pq_index_probe(
+            spark, "t_pqt_ut", q, k=5, nprobe=2,
+            exclude_vec_id=0).collect()
+        blob0 = set(range(0, 30))
+        assert {r.vec_id for r in top} <= blob0   # routing + ADC sane
+        # append a twin: encodes with the INDEX's residual codebook —
+        # it must carry the minimal ADC distance (ties with same-code
+        # cellmates are possible; refine then surfaces it exactly)
+        twin = [float(v) for v in vecs[0] + 0.001]
+        similarity.ivf_pq_index_append(mk([(999, twin)]), "t_pqt_ut")
+        top2 = similarity.ivf_pq_index_probe(
+            spark, "t_pqt_ut", q, k=10, nprobe=2,
+            exclude_vec_id=0).collect()
+        dmin = min(r.adc_dist for r in top2)
+        hit = [r for r in top2 if r.vec_id == 999]
+        assert hit and hit[0].adc_dist == dmin
+        ref = similarity.ivf_pq_index_refine(
+            spark, "t_pqt_ut", emb.union(mk([(999, twin)])), q,
+            k=1, nprobe=2, shortlist=20, exclude_vec_id=0).collect()
+        assert ref[0].vec_id == 999
+        # residual batch probe: ADC rides the fan-out, no floats read
+        qs = emb.where("vec_id in (0, 1)").selectExpr(
+            "vec_id as q_id", "embedding")
+        out = similarity.ivf_pq_index_probe_batch(
+            spark, "t_pqt_ut", qs, k=3, nprobe=2, exclude_self=True)
+        plan = out._jdf.queryExecution().toString()
+        scan = [ln for ln in plan.splitlines()
+                if "FileScan" in ln and "t_pqt_ut" in ln
+                and "codebook" not in ln and "centroids" not in ln][0]
+        read = scan.split("ReadSchema:", 1)[1]
+        assert "embedding" not in read and "pq_code" in read
+        assert out.count() == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pqt_ut")
+        spark.sql("DROP TABLE IF EXISTS t_pqt_ut_centroids")
+        spark.sql("DROP TABLE IF EXISTS t_pqt_ut_codebook")
+
+
+def test_ivf_index_retrain_on_compact(spark, tmp_path):
+    """r8 drift story: appends from a NEW blob all route into one old
+    cell (balance decays — probes of that cell read its fraction, not
+    ~1/C); compaction is the free rewrite moment, so
+    retrain_iters>0 re-runs Lloyd over the compacted corpus, restores
+    balance, bumps the quantizer version on BOTH swapped tables, and
+    leaves probes working. The crash window between the two swaps is
+    version-skewed and fails by name."""
+    rng = np.random.default_rng(41)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    base = mk([(i, [float(v) for v in rng.normal(0, 1.0, 8)])
+               for i in range(200)])
+    similarity.ivf_index_write(base, "t_rtc", str(tmp_path / "i"),
+                               n_centroids=4, train_iters=2)
+
+    def balance():
+        sizes = [r.n for r in spark.sql(
+            "SELECT cell, COUNT(*) n FROM t_rtc GROUP BY cell"
+        ).collect()]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    try:
+        b0 = balance()
+        drift = mk([(1000 + i,
+                     [float(v) for v in rng.normal(0, 0.2, 8) + 25.0])
+                    for i in range(200)])
+        similarity.ivf_index_append(drift, "t_rtc")
+        b1 = balance()
+        assert b1 > b0 + 0.5          # the new blob piled into one cell
+        similarity.ivf_index_compact(spark, "t_rtc",
+                                     str(tmp_path / "c"),
+                                     retrain_iters=3)
+        b2 = balance()
+        assert b2 < b1 - 0.5          # retrain restored balance
+        props = {r.key: r.value for r in spark.sql(
+            "SHOW TBLPROPERTIES t_rtc").collect()}
+        assert props["georiva.quantizer_version"] == "2"
+        sprops = {r.key: r.value for r in spark.sql(
+            "SHOW TBLPROPERTIES t_rtc_centroids").collect()}
+        assert sprops["georiva.quantizer_version"] == "2"
+        # probes still serve, and the drifted twin is found
+        q = drift.where("vec_id = 1000").head().embedding
+        top = similarity.ivf_index_probe(
+            spark, "t_rtc", q, k=3, nprobe=1,
+            exclude_vec_id=1000).collect()
+        assert all(r.vec_id >= 1000 for r in top)   # routed to new cell
+        # simulated crash window: skewed sidecar version fails by name
+        spark.sql("ALTER TABLE t_rtc_centroids SET TBLPROPERTIES "
+                  "('georiva.quantizer_version'='3')")
+        with pytest.raises(ValueError, match="version skew"):
+            similarity.ivf_index_probe(spark, "t_rtc", q, k=3)
+        with pytest.raises(ValueError, match="version skew"):
+            similarity.ivf_index_append(drift, "t_rtc")
+    finally:
+        for t in ("t_rtc", "t_rtc_centroids", "t_rtc_compact",
+                  "t_rtc_centroids_compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_pq_index_retrain_compact_reencodes(spark, tmp_path):
+    """The PQ retrain-compact re-encodes the grown corpus against the
+    retrained quantizer (float corpus passed in — the PQ table has no
+    embeddings, and omitting it fails by name): after drifted appends
+    the rebuilt index routes the drifted twin into its own cell,
+    versions bump on all THREE tables, and the trained codebook
+    retrains too (stamps preserved)."""
+    rng = np.random.default_rng(43)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    base_rows = [(i, [float(v) for v in rng.normal(0, 1.0, 8)])
+                 for i in range(120)]
+    base = mk(base_rows)
+    similarity.ivf_pq_index_write(base, "t_rtpq", str(tmp_path / "p"),
+                                  n_centroids=4, m=4, nbits=3,
+                                  train_iters=2, codebook_iters=1,
+                                  residual=True)
+    try:
+        drift_rows = [(2000 + i,
+                       [float(v) for v in rng.normal(0, 0.2, 8) + 30.0])
+                      for i in range(120)]
+        similarity.ivf_pq_index_append(mk(drift_rows), "t_rtpq")
+        with pytest.raises(ValueError, match="needs the float corpus"):
+            similarity.ivf_pq_index_compact(spark, "t_rtpq",
+                                            str(tmp_path / "p2"),
+                                            retrain_iters=2)
+        grown = mk(base_rows + drift_rows)
+        similarity.ivf_pq_index_compact(spark, "t_rtpq",
+                                        str(tmp_path / "p2"),
+                                        emb=grown, retrain_iters=2)
+        for t in ("t_rtpq", "t_rtpq_centroids", "t_rtpq_codebook"):
+            props = {r.key: r.value for r in spark.sql(
+                f"SHOW TBLPROPERTIES {t}").collect()}
+            assert props["georiva.quantizer_version"] == "2"
+        q = [float(v) for v in np.asarray(drift_rows[0][1])]
+        top = similarity.ivf_pq_index_probe(
+            spark, "t_rtpq", q, k=3, nprobe=1,
+            exclude_vec_id=2000).collect()
+        assert all(r.vec_id >= 2000 for r in top)
+        assert spark.table("t_rtpq").count() == 240
+    finally:
+        for t in ("t_rtpq", "t_rtpq_centroids", "t_rtpq_codebook",
+                  "t_rtpq_compact", "t_rtpq_centroids_compact",
+                  "t_rtpq_codebook_compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_ivf_pq_index_named_guards(spark, tmp_path):

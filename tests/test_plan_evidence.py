@@ -529,6 +529,108 @@ def test_ivf_probe_batch_gate_broadcasts_small_shuffles_large(spark):
         spark.sql("DROP TABLE IF EXISTS t_ivfgate_centroids")
 
 
+def test_ivf_pq_refine_batch_joins_not_enumerates(spark):
+    """The batch refine's stage-2 must be a JOIN against the float
+    table — zero driver collects of candidate ids, no IN-literal
+    filter in the plan (the r7 per-query refine's un-loopable shape);
+    broadcast under the gate, shuffle past it, identical results
+    either way, and per-query results equal to N per-query refines."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 25, axis=0)
+            + rng.normal(scale=0.3, size=(100, 8)))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    import os
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_pqrb")
+    similarity.ivf_pq_index_write(emb, "t_pqrb", os.path.join(d, "i"),
+                                  n_centroids=4, m=4, nbits=3)
+    # a range predicate, not IN — so ANY vec_id IN/INSET in the plan
+    # is the forbidden shortlist enumeration, not this query filter
+    qs = emb.where("vec_id < 3").selectExpr("vec_id as q_id", "embedding")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = similarity.ivf_pq_index_refine_batch(
+            spark, "t_pqrb", emb, qs, k=3, nprobe=2, shortlist=20,
+            exclude_self=True)
+        plan = _plan(small)
+        phys = plan.split("== Physical Plan ==")[-1]
+        # the float side is JOINED on vec_id, never enumerated as an
+        # IN/INSET literal (the old per-query shape); the cell IN (...)
+        # partition filter from stage 1 is expected and allowed
+        import re
+        assert not re.search(r"vec_id#\d+L? (IN|INSET) ", phys)
+        assert "CartesianProduct" not in phys
+        assert "BroadcastNestedLoopJoin" not in phys
+        assert "BroadcastHashJoin" in phys
+        large = similarity.ivf_pq_index_refine_batch(
+            spark, "t_pqrb", emb, qs, k=3, nprobe=2, shortlist=20,
+            exclude_self=True, max_broadcast_queries=0)
+        lphys = _plan(large).split("== Physical Plan ==")[-1]
+        assert "SortMergeJoin" in lphys or "ShuffledHashJoin" in lphys
+        got_small = sorted(map(tuple, small.collect()))
+        assert got_small == sorted(map(tuple, large.collect()))
+        # agrees with N per-query refines (the driver-hop shape it
+        # replaces)
+        per_q = []
+        for q in (0, 1, 2):
+            qv = [float(v) for v in vecs[q]]
+            for r in similarity.ivf_pq_index_refine(
+                    spark, "t_pqrb", emb, qv, k=3, nprobe=2,
+                    shortlist=20, exclude_vec_id=q).collect():
+                per_q.append((q, r.vec_id, r.cosine))
+        assert got_small == sorted(per_q)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in ("t_pqrb", "t_pqrb_centroids", "t_pqrb_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_probe_batch_gate_counts_queries_not_fanout(spark):
+    """The broadcast gate counts DISTINCT queries, not fan-out rows:
+    with fewer cells than nprobe each query fans out fewer rows, and a
+    row-count gate would broadcast batches larger than
+    max_broadcast_queries (the tiny-C hazard)."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(21)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(32)],
+        "vec_id long, embedding array<double>")
+    import os
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_tinyc")
+    # C=2 cells but nprobe=4: fan-out is 2 rows/query, so 3 queries
+    # fan out 6 rows — under the OLD gate of max*nprobe = 2*4 = 8,
+    # over the new distinct-query gate of 2
+    similarity.ivf_index_write(emb, "t_tinyc", os.path.join(d, "i"),
+                               n_centroids=2)
+    qs = (emb.where("vec_id in (0, 1, 2)")
+          .selectExpr("vec_id as q_id", "embedding"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = similarity.ivf_index_probe_batch(
+            spark, "t_tinyc", qs, k=3, nprobe=4, exclude_self=True,
+            max_broadcast_queries=2)
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_tinyc")
+        spark.sql("DROP TABLE IF EXISTS t_tinyc_centroids")
+
+
 def test_python_boundary_audit_current():
     """SCALE.md §'Python boundary' must stay true: zero row-at-a-time
     F.udf sites anywhere in the package, and the set of files carrying
