@@ -53,9 +53,11 @@ HEADLINE = [
     "ivf_pq_probe_batch", "cluster_split", "ivf_pq_refine",
     "fuzzy_decon", "image_index_probe", "audio_index_probe",
     "image_index_lookup",
-    # r8: trained per-subspace PQ codebooks + residual encoding, and
-    # the join-based batch refine (no driver round-trip)
-    "ivf_pq_trained", "ivf_pq_refine_batch",
+    # r8: trained per-subspace PQ codebooks + residual encoding, the
+    # join-based batch refine (no driver round-trip), filtered ANN,
+    # deterministic shard shuffle + per-stratum token-budget draw
+    "ivf_pq_trained", "ivf_pq_refine_batch", "ivf_filtered_probe",
+    "shuffle_shards", "token_budget",
 ]
 
 

@@ -147,6 +147,83 @@ def split_assign(df: DataFrame, fractions_ppm: dict[str, int],
     return df.withColumn("split", expr)
 
 
+def shuffle_shards(df: DataFrame, n_shards: int,
+                   key_col: str = "doc_id",
+                   salt: str = "shuffle") -> DataFrame:
+    """Deterministic GLOBAL corpus shuffle into training shards — the
+    step between a curated corpus and the training loader: examples
+    must arrive in pseudorandom order, the order must be reproducible
+    (restartable jobs, auditable runs), and no single node may ever
+    hold the global permutation. Each row routes to
+    ``shard = md5(salt:key) mod n_shards`` and takes
+    ``pos = rank of (md5, key) within its shard`` — reading shards
+    0..N-1 in pos order yields a deterministic pseudorandom permutation
+    of the corpus, identical across runs, engines, partitionings, and
+    cluster sizes (a seeded ``orderBy(rand())`` is none of those).
+
+    Scale shape: ONE shuffle on the shard key, then a per-shard sort
+    (the window's partition IS the output shard — size n_shards so a
+    shard matches the training-file target, e.g. 2–4 GB; at 100 TB
+    that is tens of thousands of shards, each sorting independently).
+    No global ordering structure is ever materialized.
+    → input columns + (shard int, pos long)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards={n_shards} must "
+                         f"be >= 1")
+    h = F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(key_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (df.withColumn("__h", h)
+            .withColumn("shard", shard)
+            .withColumn("pos",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .drop("__h"))
+
+
+def token_budget_sample(docs: DataFrame, budget_tokens: int,
+                        strata_col: str = "source",
+                        key_col: str = "doc_id",
+                        text_col: str = "text",
+                        salt: str = "budget") -> DataFrame:
+    """Per-stratum TOKEN-budget draw — the "take N tokens per source"
+    recipe of corpus mixing (token budgets, not document counts, are
+    what training runs are specified in): each stratum's documents
+    order by their md5 bucket (a deterministic pseudorandom order) and
+    the kept set is the PREFIX whose running token total first covers
+    ``budget_tokens`` — the document that crosses the line is kept, so
+    a stratum with enough data always yields ≥ budget tokens, and a
+    stratum with less yields everything. Reproducible across runs,
+    engines, and partitionings (same md5-bucket policy as
+    :func:`hash_sample`).
+
+    Tokens are whitespace tokens (the corpus-accounting convention of
+    the BM25/vocab ops); empty/blank text counts 0. Scale shape: one
+    shuffle on the stratum key + a per-stratum running sum — strata
+    are sources/languages, so the window parallelism is the stratum
+    count; corpora with few huge strata should sub-shard the stratum
+    key first. → input columns + (n_tokens, cum_tokens), where
+    cum_tokens INCLUDES the row's own tokens."""
+    ntok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col(text_col)),
+                                      r"\s+")))
+    b = _bucket(F.col(key_col), salt)
+    from pyspark.sql import Window
+    w = (Window.partitionBy(strata_col).orderBy(b.asc(),
+                                                F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (docs.withColumn("n_tokens", ntok.cast("long"))
+           .withColumn("cum_tokens",
+                       F.sum("n_tokens").over(w).cast("long")))
+    # keep while the total BEFORE this doc is under budget — the
+    # crossing document is included
+    return out.where(F.col("cum_tokens") - F.col("n_tokens")
+                     < budget_tokens)
+
+
 def cluster_aware_split(docs: DataFrame, pairs: DataFrame,
                         fractions_ppm: dict[str, int],
                         id_col: str = "doc_id",

@@ -576,12 +576,22 @@ def ivf_pq_index_compact(spark, table: str, path: str,
 
 def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
                     nprobe: int = 2,
-                    exclude_vec_id: int | None = None) -> DataFrame:
+                    exclude_vec_id: int | None = None,
+                    candidate_filter=None) -> DataFrame:
     """Probe a :func:`ivf_index_write` index with a query VECTOR →
     top-k (vec_id, cell, cosine). Cell selection is driver-side over
     the bounded centroid sidecar (C rows); the corpus scan carries a
     `cell IN (...)` predicate that Spark turns into partition pruning
-    — the nprobe/C read the index layout exists for."""
+    — the nprobe/C read the index layout exists for.
+
+    ``candidate_filter`` (optional Column or SQL string): FILTERED ANN
+    — the float index stores every attribute column the corpus had, so
+    a metadata predicate (``"label = 2"``, ``"lang = 'en'"``) applies
+    scan-side and pushes down to parquet (PushedFilters) BEFORE any
+    distance math. Semantics are filter-then-rank within the probed
+    cells: a highly selective filter thins each cell, so callers
+    should raise ``nprobe`` accordingly (the standard filtered-ANN
+    recall trade — the filter does not change which cells are probed)."""
     import numpy as np
 
     from georiva_spark.functions.vectors import cosine_similarity
@@ -597,6 +607,8 @@ def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
     qlit = F.array(*[F.lit(float(v)) for v in q])
     cos = cosine_similarity(F.col("embedding"), qlit)
     scan = spark.table(table).where(F.col("cell").isin(probe_cells))
+    if candidate_filter is not None:
+        scan = scan.where(candidate_filter)
     if exclude_vec_id is not None:
         scan = scan.where(F.col("vec_id") != exclude_vec_id)
     return (scan.select("vec_id", F.col("cell").cast("long").alias("cell"),
@@ -609,8 +621,8 @@ def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
 def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
                           k: int = 5, nprobe: int = 2,
                           exclude_self: bool = False,
-                          max_broadcast_queries: int = 10_000
-                          ) -> DataFrame:
+                          max_broadcast_queries: int = 10_000,
+                          candidate_filter=None) -> DataFrame:
     """Batch-serve ANN queries against a :func:`ivf_index_write`
     index: every query row (q_id, embedding) routes IN-ROW to its
     nprobe nearest cells (argsort over the sidecar centroids inlined
@@ -645,6 +657,13 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
     id space (corpus-internal dedup probes). External query batches
     must leave it False: a q_id that happens to collide with an
     unrelated vec_id would silently lose that valid neighbor.
+
+    ``candidate_filter`` (optional Column or SQL string): FILTERED
+    batch ANN — the metadata predicate applies to the index scan
+    BEFORE the serving join (pushed to parquet alongside the cell
+    partition filter), so non-matching candidates never enter the
+    join. Filter-then-rank semantics; selective filters warrant a
+    larger ``nprobe`` (see :func:`ivf_index_probe`).
 
     This is the serving shape the per-query :func:`ivf_index_probe`
     can't reach: 10k queries cost ONE join over the probed cells, not
@@ -693,9 +712,10 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
              if n_queries <= max_broadcast_queries
              else probed)
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    cand = (spark.table(table)
-            .where(F.col("cell").isin(live_cells))
-            .join(build, "cell"))
+    scan = spark.table(table).where(F.col("cell").isin(live_cells))
+    if candidate_filter is not None:
+        scan = scan.where(candidate_filter)
+    cand = scan.join(build, "cell")
     if exclude_self:
         cand = cand.where(F.col("vec_id") != F.col("q_id"))
     cand = cand.select("q_id", "vec_id", "cell", cos.alias("_c"))
@@ -1078,7 +1098,9 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
 
 def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
                        nprobe: int = 2,
-                       exclude_vec_id: int | None = None) -> DataFrame:
+                       exclude_vec_id: int | None = None,
+                       candidate_ids: DataFrame | None = None
+                       ) -> DataFrame:
     """Probe a :func:`ivf_pq_index_write` index → top-k
     (vec_id, adc_dist), approximate L2² ascending — FAISS IVFPQ's
     serving shape. Cell selection is driver-side over the C-row
@@ -1093,7 +1115,15 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
     when-chain on the row's cell. The scan never touches a float
     embedding: it reads (vec_id, pq_code) only — the ~40× I/O
     reduction is the point. ``m``/``nbits``/``residual`` come from
-    the stamp (a probe against a non-PQ table fails by name)."""
+    the stamp (a probe against a non-PQ table fails by name).
+
+    ``candidate_ids`` (optional single-column frame): FILTERED ANN
+    for the compressed layout — the PQ table stores only sub-codes,
+    so attribute predicates evaluate on the metadata table and pass
+    their surviving vec_ids here; the scan SEMI-joins them (hash keys
+    only, no floats, no pair expansion) before scoring. Same
+    filter-then-rank semantics as the float family's
+    ``candidate_filter`` — selective filters warrant larger nprobe."""
     import numpy as np
 
     props = {r.key: r.value for r in
@@ -1144,6 +1174,10 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
         adc = adc_for(q)
 
     scan = spark.table(table).where(F.col("cell").isin(probe_cells))
+    if candidate_ids is not None:
+        ids = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).alias("vec_id"))
+        scan = scan.join(ids, "vec_id", "left_semi")
     if exclude_vec_id is not None:
         scan = scan.where(F.col("vec_id") != exclude_vec_id)
     return (scan.select("vec_id", F.round(adc, 6).alias("adc_dist"),
@@ -1192,7 +1226,8 @@ def ivf_pq_index_refine(spark, table: str, emb: DataFrame, query_vec,
 def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
                              k: int = 5, nprobe: int = 2,
                              exclude_self: bool = False,
-                             max_broadcast_queries: int = 10_000
+                             max_broadcast_queries: int = 10_000,
+                             candidate_ids: DataFrame | None = None
                              ) -> DataFrame:
     """Batch-serve ANN queries against a :func:`ivf_pq_index_write`
     index → per-query top-k (q_id, vec_id, cell, adc_dist), ADC-L2²
@@ -1211,7 +1246,9 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     still no floats shipped. Broadcast gated at
     ``max_broadcast_queries`` with a shuffle fallback, same contract
     as :func:`ivf_index_probe_batch`; ``exclude_self`` opt-in for
-    corpus-internal q_id spaces."""
+    corpus-internal q_id spaces; ``candidate_ids`` (optional
+    single-column frame) SEMI-joins the scan for filtered batch ANN —
+    see :func:`ivf_pq_index_probe`."""
     import numpy as np
 
     from georiva_spark.operators._retention import persist_bounded
@@ -1298,9 +1335,12 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
                   .bitwiseAND(F.lit(ncw - 1)).cast("int"))
         term = F.element_at(F.col("qd"), F.lit(s * ncw) + code_s + 1)
         adc = term if adc is None else adc + term
-    cand = (spark.table(table)
-            .where(F.col("cell").isin(live_cells))
-            .join(build, "cell"))
+    scan = spark.table(table).where(F.col("cell").isin(live_cells))
+    if candidate_ids is not None:
+        ids = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).alias("vec_id"))
+        scan = scan.join(ids, "vec_id", "left_semi")
+    cand = scan.join(build, "cell")
     if exclude_self:
         cand = cand.where(F.col("vec_id") != F.col("q_id"))
     cand = cand.select("q_id", "vec_id", "cell", adc.alias("_d"))

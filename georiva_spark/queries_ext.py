@@ -576,6 +576,68 @@ FROM b
 """
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards (r8):
+    shard = md5-route, pos = md5-rank within the shard — the
+    reproducible pseudorandom permutation a training loader reads
+    (seeded orderBy(rand()) is partitioning-dependent; this is not).
+    The oracle recomputes the identical route + rank in SQL, so shard
+    membership AND positions hash-match."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.shuffle_shards(docs, n_shards=8)
+    return out.select("doc_id", "shard", "pos")
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH b AS (
+  SELECT doc_id,
+         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(CAST('0x' || substring(h, 1, 15) AS BIGINT) % 8 AS INT)
+         AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY CAST('0x' || substring(h, 1, 15) AS BIGINT) % 8
+           ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM b
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum token-budget draw (r8): each lang's documents order
+    by md5 bucket and the kept set is the prefix that first covers the
+    token budget (crossing doc included). The oracle replays the
+    bucket order, the whitespace token counts, and the running-sum
+    cut, so memberships and cumulative totals hash-match."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.token_budget_sample(docs, budget_tokens=2_000,
+                                       strata_col="lang")
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+SQL_TOKEN_BUDGET = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 1000000 AS bucket
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM t)
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 2000
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split assignment (r7): near-duplicate documents
     (MinHash-LSH pairs → connected components) share a cluster id and
@@ -832,6 +894,70 @@ def q_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_index_probe_batch(spark, "t_ivfidxb", queries,
                                             k=5, nprobe=2,
                                             exclude_self=True)
+
+
+def q_ivf_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED batch ANN (r8): a metadata predicate (label = 2)
+    rides the index scan alongside the cell partition filter — the
+    float index stores every attribute column the corpus had, so
+    filter-then-rank costs nothing extra and non-matching candidates
+    never enter the serving join (pushed to parquet; plan-asserted in
+    pytest). nprobe is raised to 3 per the selective-filter recall
+    rule. The oracle replays assignment, routing, the predicate, and
+    the per-query ranked cosines."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    similarity.ivf_index_write(emb, "t_ivfidxf", os.path.join(d, "idxf"),
+                               n_centroids=8)
+    queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return similarity.ivf_index_probe_batch(
+        spark, "t_ivfidxf", queries, k=5, nprobe=3, exclude_self=True,
+        candidate_filter="label = 2")
+
+
+SQL_IVF_FILTERED_PROBE = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+dist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+probe AS (SELECT vec_id AS q_id, c AS cell FROM dist
+          WHERE vec_id IN (0, 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c) <= 3),
+qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT p.q_id, a.vec_id, a.cell,
+    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i)) AS dot,
+    SQRT((SELECT SUM(CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS na,
+    SQRT((SELECT SUM(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))
+     FROM generate_series(1, 64) AS t(i))) AS nb
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell
+  JOIN qs ON qs.q_id = p.q_id
+  WHERE e.vec_id <> p.q_id AND e.label = 2)
+SELECT q_id, vec_id, cell, ROUND(dot / (na * nb), 4) AS cosine
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY dot / (na * nb) DESC, vec_id) <= 5
+"""
 
 
 SQL_IVF_PROBE_BATCH = """
@@ -5328,6 +5454,7 @@ EXT_QUERIES = {
     "ivf_index": q_ivf_index,
     "ivf_probe_batch": q_ivf_probe_batch,
     "ivf_index_trained": q_ivf_index_trained,
+    "ivf_filtered_probe": q_ivf_filtered_probe,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -5341,6 +5468,8 @@ EXT_QUERIES = {
     "hash_sample": q_hash_sample,
     "split_assign": q_split_assign,
     "cluster_split": q_cluster_split,
+    "shuffle_shards": q_shuffle_shards,
+    "token_budget": q_token_budget,
     "source_mix": q_source_mix,
     "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
@@ -5448,6 +5577,7 @@ EXT_ORACLES = {
     "ivf_index": SQL_KNN_IVF,
     "ivf_probe_batch": SQL_IVF_PROBE_BATCH,
     "ivf_index_trained": SQL_IVF_INDEX_TRAINED,
+    "ivf_filtered_probe": SQL_IVF_FILTERED_PROBE,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
@@ -5461,6 +5591,8 @@ EXT_ORACLES = {
     "hash_sample": SQL_HASH_SAMPLE,
     "split_assign": SQL_SPLIT_ASSIGN,
     "cluster_split": SQL_CLUSTER_SPLIT,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "token_budget": SQL_TOKEN_BUDGET,
     "source_mix": SQL_SOURCE_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,

@@ -207,6 +207,57 @@ def test_streaming_ann_probe_grows_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_annstr_centroids")
 
 
+def test_streaming_ann_residual_pq_index(spark, tmp_path):
+    """The probe-then-grow loop against a TRAINED + RESIDUAL PQ index
+    (r8): the stamps ride through the stream — batch appends re-encode
+    residuals with the index's own codebook, and the cross-batch twin
+    is still found via the grown compressed index."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+    from georiva_spark.streaming import (read_ann_neighbors,
+                                         start_ann_stream)
+
+    rng = np.random.default_rng(73)
+    centers = rng.normal(size=(4, 8)) * 5
+    base = np.repeat(centers, 8, axis=0) + rng.normal(scale=0.2,
+                                                      size=(32, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(32)],
+        "vec_id long, embedding array<double>")
+    similarity.ivf_pq_index_write(emb, "t_annres", str(tmp_path / "ix"),
+                                  n_centroids=4, m=4, nbits=3,
+                                  train_iters=2, codebook_iters=2,
+                                  residual=True)
+    landing = tmp_path / "res_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "res_out"), str(tmp_path / "res_ckpt")
+    schema = "vec_id long, embedding array<double>"
+    novel = -centers[0] + rng.normal(scale=0.1, size=8)
+    for name, rows in (("b0", [(101, [float(v) for v in novel])]),
+                       ("b1", [(200, [float(v) for v in novel + 0.01])])):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+    try:
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_ann_stream(src, "t_annres", out, ckpt, k=3, nprobe=2)
+        q.awaitTermination(180)
+        nbrs = read_ann_neighbors(spark, out).collect()
+        assert all(hasattr(r, "adc_dist") for r in nbrs)
+        b200 = [r for r in nbrs if r.q_id == 200]
+        # the twin appended by batch 0 must be 200's best ADC match —
+        # only reachable if the append encoded ITS residual with the
+        # same trained codebook the probe scores against
+        assert min(b200, key=lambda r: (r.adc_dist, r.vec_id)).vec_id \
+            == 101
+        assert spark.table("t_annres").count() == 34
+    finally:
+        for s in ("", "_centroids", "_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS t_annres{s}")
+
+
 def test_streaming_corpus_crawl_to_index(spark, tmp_path):
     """The full streaming crawl→corpus loop (r7): WARC shards arrive,
     HTML strips, the Gopher gate drops junk, survivors probe a GROWING

@@ -965,6 +965,54 @@ def test_split_assign_partition_properties(spark):
         sampling.split_assign(docs, {"train": 1})
 
 
+def test_shuffle_shards_deterministic_permutation(spark):
+    """Every doc gets exactly one (shard, pos); positions are dense
+    0..n_s-1 per shard; the permutation is invariant under input
+    partitioning (the property orderBy(rand()) lacks)."""
+    from georiva_spark.operators import sampling
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(5_000)], "doc_id long, text string")
+    out = sampling.shuffle_shards(docs, n_shards=4)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == 5_000
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # repartition invariance: identical assignment from 1 partition
+    again = {(r.doc_id, r.shard, r.pos) for r in
+             sampling.shuffle_shards(docs.coalesce(1), n_shards=4)
+             .select("doc_id", "shard", "pos").collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.shuffle_shards(docs, n_shards=0)
+
+
+def test_token_budget_sample_prefix_covers_budget(spark):
+    """Per stratum: kept docs are a prefix of the md5 order, the total
+    covers the budget when the stratum has enough tokens (crossing doc
+    included), a starved stratum yields everything, and blank text
+    counts zero tokens."""
+    from georiva_spark.operators import sampling
+    rows = [(i, "en", "w " * 10) for i in range(100)]          # 1000 tok
+    rows += [(1000 + i, "de", "x y z") for i in range(3)]      # 9 tok
+    rows += [(2000, "fr", "   ")]                              # 0 tok
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    out = sampling.token_budget_sample(docs, budget_tokens=55,
+                                       strata_col="lang")
+    by_lang: dict = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, []).append(r)
+    en = sorted(by_lang["en"], key=lambda r: r.cum_tokens)
+    # 10 tokens per doc: 5 docs reach 50 < 55, the 6th crosses → 6 kept
+    assert len(en) == 6 and en[-1].cum_tokens == 60
+    assert len(by_lang["de"]) == 3            # starved: everything
+    assert by_lang["fr"][0].n_tokens == 0     # blank text counts zero
+
+
 def test_kmeans_fit_recovers_planted_blobs(spark):
     rng = np.random.default_rng(7)
     centers = np.array([[8.0] * 16, [-8.0] * 16,
@@ -1765,6 +1813,55 @@ def test_ivf_pq_index_retrain_compact_reencodes(spark, tmp_path):
         for t in ("t_rtpq", "t_rtpq_centroids", "t_rtpq_codebook",
                   "t_rtpq_compact", "t_rtpq_centroids_compact",
                   "t_rtpq_codebook_compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_pq_probe_candidate_ids_semi_join(spark, tmp_path):
+    """Filtered ANN on the COMPRESSED layout (r8): the PQ table has
+    no attribute columns, so the metadata predicate's surviving
+    vec_ids SEMI-join the scan (hash keys only). Results equal the
+    unfiltered probe post-filtered to the candidate set, the filtered
+    scan still reads no float embeddings, and both the single and the
+    batch probe honor the filter."""
+    rng = np.random.default_rng(97)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = (np.repeat(centers, 25, axis=0)
+            + rng.normal(scale=0.3, size=(100, 8)))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    similarity.ivf_pq_index_write(emb, "t_pqf", str(tmp_path / "f"),
+                                  n_centroids=4, m=4, nbits=3)
+    try:
+        allowed = emb.where("vec_id % 2 = 0").select("vec_id")
+        q = [float(v) for v in vecs[0]]
+        unf = similarity.ivf_pq_index_probe(
+            spark, "t_pqf", q, k=100, nprobe=4,
+            exclude_vec_id=0).collect()
+        want = [(r.vec_id, r.adc_dist) for r in unf
+                if r.vec_id % 2 == 0][:5]
+        # re-rank the post-filter list with the probe's tie-break
+        want = sorted(want, key=lambda t: (t[1], t[0]))[:5]
+        out = similarity.ivf_pq_index_probe(
+            spark, "t_pqf", q, k=5, nprobe=4, exclude_vec_id=0,
+            candidate_ids=allowed)
+        got = [(r.vec_id, r.adc_dist) for r in out.collect()]
+        assert got == want
+        assert all(v % 2 == 0 for v, _ in got)
+        plan = out._jdf.queryExecution().toString()
+        scan = [ln for ln in plan.splitlines()
+                if "FileScan" in ln and "t_pqf" in ln
+                and "codebook" not in ln and "centroids" not in ln][0]
+        read = scan.split("ReadSchema:", 1)[1]
+        assert "embedding" not in read          # still no float I/O
+        qs = emb.where("vec_id < 2").selectExpr("vec_id as q_id",
+                                                "embedding")
+        b = similarity.ivf_pq_index_probe_batch(
+            spark, "t_pqf", qs, k=3, nprobe=4, exclude_self=True,
+            candidate_ids=allowed).collect()
+        assert b and all(r.vec_id % 2 == 0 for r in b)
+    finally:
+        for t in ("t_pqf", "t_pqf_centroids", "t_pqf_codebook"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

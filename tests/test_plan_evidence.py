@@ -593,6 +593,23 @@ def test_ivf_pq_refine_batch_joins_not_enumerates(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ivf_filtered_probe_pushes_predicate_to_scan(spark):
+    """Filtered ANN (r8): the metadata predicate reaches the index
+    scan as a PushedFilter alongside the cell PartitionFilters —
+    non-matching candidates are dropped at the parquet reader, before
+    any distance math or the serving join."""
+    plan = _plan(QUERIES["ivf_filtered_probe"](spark, SF))
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "t_ivfidxf" in ln
+            and "centroids" not in ln][0]
+    assert "cell" in scan.split("PartitionFilters:", 1)[1].split("]")[0]
+    pushed = scan.split("PushedFilters:", 1)[1].split("]")[0]
+    assert "label" in pushed                    # predicate at the scan
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
 def test_ivf_probe_batch_gate_counts_queries_not_fanout(spark):
     """The broadcast gate counts DISTINCT queries, not fan-out rows:
     with fewer cells than nprobe each query fans out fewer rows, and a
