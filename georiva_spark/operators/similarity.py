@@ -1027,7 +1027,6 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
     if dim % m:
         raise ValueError(
             f"ivf_pq_index_write: dim={dim} not divisible by m={m}")
-    sub = dim // m
 
     assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
     (assigned.write.mode("overwrite").format("parquet")

@@ -839,3 +839,91 @@ def test_ivf_compact_crash_leaves_probeable_index(spark, tmp_path,
         assert got == want
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")
+
+
+def test_ivf_retrain_compact_crash_fails_by_name_or_recovers(
+        spark, tmp_path, monkeypatch):
+    """Crash-atomicity of the RETRAINING compaction (r8): two swapped
+    tables (centroid sidecar first, then main), 8 catalog statements.
+    A crash at any of them leaves a state that is either consistent
+    (probe works and matches the reference retrain) or VERSION-SKEWED
+    — in which case the probe fails BY NAME, never routes new
+    assignments with old centroids, and the documented recovery
+    (re-run the retraining compact) restores a consistent index with
+    the reference results."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(19)
+    rows = ([(i, [float(v) for v in rng.normal(0, 1.0, 4)])
+             for i in range(24)]
+            + [(100 + i, [float(v) for v in rng.normal(0, 0.2, 4) + 9.0])
+               for i in range(24)])
+    q = rows[0][1]
+    mk = lambda: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+    # reference: same corpus — probe BEFORE and AFTER a clean retrain
+    # (a crash before any rename leaves the valid pre-retrain state;
+    # every other recovered state must equal the retrained reference)
+    similarity.ivf_index_write(mk(), "t_rtref", str(tmp_path / "ref"),
+                               n_centroids=2, train_iters=1)
+    want_orig = {(r.vec_id, r.cosine)
+                 for r in similarity.ivf_index_probe(
+                     spark, "t_rtref", q, k=3, nprobe=1).collect()}
+    similarity.ivf_index_compact(spark, "t_rtref",
+                                 str(tmp_path / "refc"),
+                                 retrain_iters=2)
+    want = {(r.vec_id, r.cosine) for r in similarity.ivf_index_probe(
+        spark, "t_rtref", q, k=3, nprobe=1).collect()}
+
+    try:
+        for failpoint in range(1, 10):     # 8 stmts; 9 = control
+            t = f"t_rtcr{failpoint}"
+            similarity.ivf_index_write(mk(), t,
+                                       str(tmp_path / f"w{failpoint}"),
+                                       n_centroids=2, train_iters=1)
+            restore = _swap_failpoints(spark, monkeypatch, failpoint)
+            try:
+                if failpoint <= 8:
+                    with pytest.raises(RuntimeError,
+                                       match="injected crash"):
+                        similarity.ivf_index_compact(
+                            spark, t, str(tmp_path / f"c{failpoint}"),
+                            retrain_iters=2)
+                else:
+                    similarity.ivf_index_compact(
+                        spark, t, str(tmp_path / f"c{failpoint}"),
+                        retrain_iters=2)
+            finally:
+                restore()
+            for part in (t, f"{t}_centroids"):
+                names = {x.name for x in spark.catalog.listTables()}
+                assert {part, f"{part}_compact", f"{part}_old"} & names
+                _recover_swap(spark, part)
+            try:
+                got = {(r.vec_id, r.cosine)
+                       for r in similarity.ivf_index_probe(
+                           spark, t, q, k=3, nprobe=1).collect()}
+            except ValueError as e:
+                # the mid-swap mixture: detected by name, then the
+                # documented recovery — re-run the retraining compact
+                assert "version skew" in str(e)
+                similarity.ivf_index_compact(
+                    spark, t, str(tmp_path / f"r{failpoint}"),
+                    retrain_iters=2)
+                got = {(r.vec_id, r.cosine)
+                       for r in similarity.ivf_index_probe(
+                           spark, t, q, k=3, nprobe=1).collect()}
+                assert got == want      # re-run => retrained state
+                got = None
+            if got is not None:
+                # no skew: the recovered state is one of the two
+                # legitimate index states, never a mixture
+                assert got in (want, want_orig)
+            for part in (t, f"{t}_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {part}")
+    finally:
+        for part in ("t_rtref", "t_rtref_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {part}")

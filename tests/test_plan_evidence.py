@@ -593,6 +593,20 @@ def test_ivf_pq_refine_batch_joins_not_enumerates(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_shuffle_shards_and_token_budget_one_exchange(spark):
+    """The r8 sampling ops keep the documented shuffle budget: the
+    shard shuffle exchanges ONCE on the shard key (per-shard sorts are
+    window-local, no global sort operator over the corpus), and the
+    token-budget draw exchanges ONCE on the stratum key."""
+    for name in ("shuffle_shards", "token_budget"):
+        plan = _plan(QUERIES[name](spark, SF))
+        phys = plan.split("== Physical Plan ==")[-1]
+        n_ex = phys.count("Exchange hashpartitioning")
+        assert n_ex == 1, f"{name}: {n_ex} hash exchanges (want 1)"
+        assert "Exchange rangepartitioning" not in phys  # no global sort
+        assert "CartesianProduct" not in phys
+
+
 def test_ivf_filtered_probe_pushes_predicate_to_scan(spark):
     """Filtered ANN (r8): the metadata predicate reaches the index
     scan as a PushedFilter alongside the cell PartitionFilters —

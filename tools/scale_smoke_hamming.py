@@ -77,6 +77,23 @@ def main(n=1_000_000, distinct=100_000):
           f"with matches, {nhot} against the hot group — one row "
           f"each, no pair expansion")
 
+    # append the delta TWICE: r8's (ref, id) membership anti-join makes
+    # the un-guarded replay a no-op; its cost is the pruned existing-
+    # membership scan (delta refs broadcast-semi against 1M ids) — the
+    # same class as the band-side seen-refs scan the append always paid
+    t0 = time.perf_counter()
+    dedup.hamming_index_append(delta, "t_smk_ham")
+    el1 = time.perf_counter() - t0
+    n_ids1 = spark.table("t_smk_ham_ids").count()
+    t0 = time.perf_counter()
+    dedup.hamming_index_append(delta, "t_smk_ham")
+    el2 = time.perf_counter() - t0
+    n_ids2 = spark.table("t_smk_ham_ids").count()
+    print(f"append 10k delta: {el1:.1f}s -> {n_ids1} members; "
+          f"REPLAYED append: {el2:.1f}s -> {n_ids2} members "
+          f"(idempotent: {n_ids1 == n_ids2})")
+    assert n_ids1 == n_ids2 == n + 10_000
+
     for s in ("bands", "ids"):
         spark.sql(f"DROP TABLE IF EXISTS t_smk_ham_{s}")
 
