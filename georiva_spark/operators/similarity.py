@@ -318,7 +318,8 @@ def _argmin_cell(cents: list[list[float]]):
 
 def ivf_index_write(emb: DataFrame, table: str, path: str,
                     n_centroids: int = 8, train_iters: int = 0,
-                    seed_ids: list[int] | None = None) -> None:
+                    seed_ids: list[int] | None = None,
+                    train_sample_ppm: int | None = None) -> None:
     """Materialize a PERSISTENT IVF ANN index — the storage layout
     knn_ivf_pinned's docstring promises: the quantizer cell
     assignment (in-row argmin over literal centroids, zero shuffle on
@@ -345,6 +346,14 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
       max-cell/mean-cell balance ratio drops from ~8 (sampled) to ~1
       (trained) — see SCALE.md's clustered-quantizer smoke.
 
+    ``train_sample_ppm`` (with ``train_iters>0``): train the quantizer
+    on a deterministic md5-bucket SUBSAMPLE — the FAISS practice
+    (~256·k training vectors suffice) that makes training cost
+    independent of corpus size; each Lloyd round scans the sample, the
+    final assignment still covers every row. At 100 TB this is the
+    difference between "training costs iters extra corpus scans" and
+    "training is free relative to the write".
+
     DEFAULT POLICY (decided r8): the default stays ``train_iters=0``
     — the pinned quantizer matches the in-memory knn_ivf_pinned
     bit-for-bit and costs no training scans, which is what tests and
@@ -358,7 +367,8 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
     and appends can validate what they are joining against."""
     if train_iters > 0:
         cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
-                                 seed_ids=seed_ids)
+                                 seed_ids=seed_ids,
+                                 sample_ppm=train_sample_ppm)
     else:
         cents = _pinned_cents(emb, n_centroids)
     assigned = emb.withColumn("cell", _argmin_cell(cents))
@@ -374,6 +384,7 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'georiva.n_centroids'='{n_centroids}', "
         f"'georiva.train_iters'='{train_iters}', "
+        f"'georiva.train_sample_ppm'='{train_sample_ppm or 0}', "
         f"'georiva.quantizer_version'='1')")
     emb.sparkSession.sql(
         f"ALTER TABLE {table}_centroids SET TBLPROPERTIES ("
@@ -406,7 +417,8 @@ def ivf_index_append(emb: DataFrame, table: str) -> None:
 
 
 def ivf_index_compact(spark, table: str, path: str,
-                      retrain_iters: int = 0) -> None:
+                      retrain_iters: int = 0,
+                      train_sample_ppm: int | None = None) -> None:
     """Compact an appended-to IVF index: every
     :func:`ivf_index_append` adds files to the touched cell
     partitions; after many deltas a probe opens one file per append
@@ -435,7 +447,11 @@ def ivf_index_compact(spark, table: str, path: str,
     assignments with old centroids (silently wrong recall). Only the
     float layout can self-retrain (it stores its embeddings); a PQ
     table raises by name toward :func:`ivf_pq_index_compact`, which
-    takes the float corpus as input."""
+    takes the float corpus as input. ``train_sample_ppm`` gates the
+    retrain's Lloyd rounds to a deterministic md5-bucket subsample
+    (the writer's knob) — at 100 TB the re-ASSIGNMENT is the
+    compaction rewrite itself, but per-round training cost should
+    never be corpus-sized."""
     from georiva_spark.sources.bucketing import atomic_swap_table
 
     stamps = {r.key: r.value for r in
@@ -453,10 +469,12 @@ def ivf_index_compact(spark, table: str, path: str,
                 f"{table!r} has no n_centroids stamp — not a managed "
                 f"IVF index")
         corpus = spark.table(table).drop("cell")
-        cents = kmeans_centroids(corpus, k=k, iters=retrain_iters)
+        cents = kmeans_centroids(corpus, k=k, iters=retrain_iters,
+                                 sample_ppm=train_sample_ppm)
         staged = corpus.withColumn("cell", _argmin_cell(cents))
         ver = str(int(stamps.get("georiva.quantizer_version", "1")) + 1)
         stamps["georiva.train_iters"] = str(retrain_iters)
+        stamps["georiva.train_sample_ppm"] = str(train_sample_ppm or 0)
         stamps["georiva.quantizer_version"] = ver
         (staged.write.mode("overwrite").format("parquet")
          .partitionBy("cell").option("path", path)
@@ -497,7 +515,8 @@ def ivf_index_compact(spark, table: str, path: str,
 
 def ivf_pq_index_compact(spark, table: str, path: str,
                          emb: DataFrame | None = None,
-                         retrain_iters: int = 0) -> None:
+                         retrain_iters: int = 0,
+                         train_sample_ppm: int | None = None) -> None:
     """Compact a PQ-compressed index; with ``retrain_iters>0``,
     RETRAIN it — the PQ variant of
     :func:`ivf_index_compact(retrain_iters=…)`. A PQ table stores
@@ -513,7 +532,10 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     :func:`_pq_encode_frame`, all three staged tables stamp the
     incremented quantizer version, and the swap order is sidecars
     (centroids, codebook) then main — every crash window is
-    version-skewed and fails by name at the next probe/append."""
+    version-skewed and fails by name at the next probe/append.
+    ``train_sample_ppm`` gates both retraining stages to a
+    deterministic md5-bucket subsample (see
+    :func:`ivf_index_compact`)."""
     from georiva_spark.sources.bucketing import atomic_swap_table
 
     if retrain_iters <= 0:
@@ -535,10 +557,12 @@ def ivf_pq_index_compact(spark, table: str, path: str,
         raise ValueError(
             "ivf_pq_index_compact: retrain_iters>0 needs the float "
             "corpus (emb=) — the PQ table stores sub-codes only")
-    cents = kmeans_centroids(emb, k=n_centroids, iters=retrain_iters)
+    cents = kmeans_centroids(emb, k=n_centroids, iters=retrain_iters,
+                             sample_ppm=train_sample_ppm)
     if codebook_iters > 0:
         cb = pq_train_codebooks(emb, m, nbits, codebook_iters,
-                                cents=cents if residual else None)
+                                cents=cents if residual else None,
+                                sample_ppm=train_sample_ppm)
     else:
         cbrows = spark.table(f"{table}_codebook").collect()
         cb = [list(map(float, r.embedding))
@@ -563,6 +587,7 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     stamps = {k2: v for k2, v in props.items()
               if k2.startswith("georiva.")}
     stamps["georiva.train_iters"] = str(retrain_iters)
+    stamps["georiva.train_sample_ppm"] = str(train_sample_ppm or 0)
     stamps["georiva.quantizer_version"] = ver
     kv = ", ".join(f"'{k2}'='{v}'" for k2, v in sorted(stamps.items()))
     spark.sql(f"ALTER TABLE {table}_compact SET TBLPROPERTIES ({kv})")
@@ -816,9 +841,35 @@ def _check_quantizer_sync(spark, table: str,
                 f"finish the pending atomic swap.")
 
 
+def _train_sample(corpus: DataFrame, sample_ppm: int | None,
+                  caller: str) -> DataFrame:
+    """Deterministic training subsample: keep rows whose md5 bucket
+    (salt 'train', the operators/sampling.py policy — reproducible
+    across engines/partitionings) falls under ``sample_ppm``/1e6.
+    Training quantizers on a sample is the standard scale move (FAISS
+    trains on ~256·k vectors, not the corpus): it caps EVERY Lloyd
+    round at sample size instead of a full corpus scan per round,
+    while assignment/encoding still cover the whole corpus with the
+    trained model. Zero shuffle, zero sort — a scan predicate, so the
+    sample never materializes anywhere."""
+    if sample_ppm is None:
+        return corpus
+    if not 0 < sample_ppm <= 1_000_000:
+        raise ValueError(
+            f"{caller}: train_sample_ppm={sample_ppm} must be in "
+            f"(0, 1_000_000]")
+    h = F.md5(F.concat_ws(":", F.lit("train"),
+                          F.col("vec_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % 1_000_000
+    return corpus.where(bucket < sample_ppm)
+
+
 def pq_train_codebooks(emb: DataFrame, m: int, nbits: int, iters: int,
                        cents: list[list[float]] | None = None,
-                       decimals: int = 6) -> list[list[float]]:
+                       decimals: int = 6,
+                       sample_ppm: int | None = None
+                       ) -> list[list[float]]:
     """Train per-subspace PQ codebooks (Jégou, Douze & Schmid, "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011 §II; FAISS
     IVFPQ's training stage): an independent 2^nbits-codeword k-means
@@ -853,9 +904,13 @@ def pq_train_codebooks(emb: DataFrame, m: int, nbits: int, iters: int,
     [s·sub, (s+1)·sub) belong to subspace s's j-th codeword), the
     exact shape the ``{table}_codebook`` sidecar and every ADC slice
     already use — trained and pinned codebooks are interchangeable
-    downstream."""
+    downstream. ``sample_ppm`` trains on a deterministic md5-bucket
+    subsample (:func:`_train_sample`) — the FAISS move that makes
+    training cost independent of corpus size; encoding still covers
+    every row."""
     ncw = 1 << nbits
-    corpus = emb.where(F.col("embedding").isNotNull())
+    corpus = _train_sample(emb.where(F.col("embedding").isNotNull()),
+                           sample_ppm, "pq_train_codebooks")
     if cents is not None:
         corpus = (corpus
                   .withColumn("cell", _argmin_cell(cents))
@@ -927,7 +982,8 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
                        train_iters: int = 0,
                        seed_ids: list[int] | None = None,
                        codebook_iters: int = 0,
-                       residual: bool = False) -> None:
+                       residual: bool = False,
+                       train_sample_ppm: int | None = None) -> None:
     """PQ-COMPRESSED persistent IVF index — the memory-bound variant
     of :func:`ivf_index_write`: instead of storing raw
     ``array<double>`` embeddings (at 100 TB the float index is as
@@ -1003,12 +1059,14 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
     ncw = 1 << nbits
     if train_iters > 0:
         cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
-                                 seed_ids=seed_ids)
+                                 seed_ids=seed_ids,
+                                 sample_ppm=train_sample_ppm)
     else:
         cents = _pinned_cents(emb, n_centroids)
     if codebook_iters > 0:
         cb = pq_train_codebooks(emb, m, nbits, codebook_iters,
-                                cents=cents if residual else None)
+                                cents=cents if residual else None,
+                                sample_ppm=train_sample_ppm)
     else:
         # pinned codebook: hash-order corpus rows (knn_ivf_pq's rule)
         n = emb.count()
@@ -1048,6 +1106,7 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'georiva.n_centroids'='{n_centroids}', "
         f"'georiva.train_iters'='{train_iters}', "
+        f"'georiva.train_sample_ppm'='{train_sample_ppm or 0}', "
         f"'georiva.pq_m'='{m}', 'georiva.pq_nbits'='{nbits}', "
         f"'georiva.pq_codebook_iters'='{codebook_iters}', "
         f"'georiva.pq_residual'='{int(residual)}', "
@@ -1609,7 +1668,8 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = 5,
 
 
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
-                     seed_ids: list[int] | None = None
+                     seed_ids: list[int] | None = None,
+                     sample_ppm: int | None = None
                      ) -> list[list[float]]:
     """The TRAINING half of :func:`kmeans_fit`: run ``iters`` Lloyd
     rounds and return the trained centroid list — bounded model state
@@ -1617,8 +1677,15 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
     kmeans_fit (hash-order seeds on any id space, lower-cluster tie
     break, empty-cluster carryover, double arithmetic); split out so
     :func:`ivf_index_write` can train its quantizer with the exact
-    arithmetic an external SQL engine replays."""
-    corpus = emb.where(F.col("embedding").isNotNull())
+    arithmetic an external SQL engine replays. ``sample_ppm`` trains
+    on a deterministic md5-bucket subsample (:func:`_train_sample` —
+    hash-order seeding and the Lloyd rounds see only the sample;
+    EXPLICIT ``seed_ids`` resolve against the full corpus, since the
+    caller pinned those exact rows), capping per-round cost at sample
+    size instead of a full corpus scan — assignment downstream still
+    covers every row."""
+    full = emb.where(F.col("embedding").isNotNull())
+    corpus = _train_sample(full, sample_ppm, "kmeans_centroids")
     if seed_ids is not None:
         # explicit pinned seeds (callers that know the data layout,
         # e.g. one per planted blob); seed order = cluster id
@@ -1626,8 +1693,8 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
             raise ValueError(
                 f"kmeans_fit: {len(seed_ids)} seed_ids for k={k}")
         cmap = {r.vec_id: [float(v) for v in r.embedding]
-                for r in corpus.where(F.col("vec_id").isin(seed_ids))
-                               .select("vec_id", "embedding").collect()}
+                for r in full.where(F.col("vec_id").isin(seed_ids))
+                             .select("vec_id", "embedding").collect()}
         missing = [s for s in seed_ids if s not in cmap]
         if missing:
             raise ValueError(

@@ -1816,6 +1816,48 @@ def test_ivf_pq_index_retrain_compact_reencodes(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_train_sample_ppm_trains_on_subsample(spark, tmp_path):
+    """Sampled quantizer/codebook training (r8, the FAISS practice):
+    train_sample_ppm gates Lloyd rounds to a deterministic md5-bucket
+    subsample — training centroids differ from full training (they saw
+    different rows) but the index still routes the planted blobs
+    correctly, the sample fraction is stamped, and a degenerate
+    sample that leaves fewer rows than seeds fails by name."""
+    rng = np.random.default_rng(101)
+    centers = rng.normal(size=(4, 8)) * 6
+    vecs = np.repeat(centers, 50, axis=0) + rng.normal(
+        scale=0.3, size=(200, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    full = similarity.kmeans_centroids(emb, k=4, iters=2)
+    samp = similarity.kmeans_centroids(emb, k=4, iters=2,
+                                       sample_ppm=500_000)
+    assert samp != full                      # trained on fewer rows
+    similarity.ivf_index_write(emb, "t_smpt", str(tmp_path / "s"),
+                               n_centroids=4, train_iters=2,
+                               train_sample_ppm=500_000)
+    try:
+        props = {r.key: r.value for r in spark.sql(
+            "SHOW TBLPROPERTIES t_smpt").collect()}
+        assert props["georiva.train_sample_ppm"] == "500000"
+        q = [float(v) for v in vecs[0]]
+        top = similarity.ivf_index_probe(spark, "t_smpt", q, k=5,
+                                         nprobe=1,
+                                         exclude_vec_id=0).collect()
+        assert {r.vec_id for r in top} <= set(range(50))  # query blob
+        with pytest.raises(ValueError, match="train_sample_ppm"):
+            similarity.kmeans_centroids(emb, k=4, iters=1,
+                                        sample_ppm=0)
+        with pytest.raises(ValueError, match="at least k"):
+            # 1-ppm sample keeps ~0 rows — fewer than k seeds
+            similarity.kmeans_centroids(emb, k=4, iters=1,
+                                        sample_ppm=1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_smpt")
+        spark.sql("DROP TABLE IF EXISTS t_smpt_centroids")
+
+
 def test_ivf_pq_probe_candidate_ids_semi_join(spark, tmp_path):
     """Filtered ANN on the COMPRESSED layout (r8): the PQ table has
     no attribute columns, so the metadata predicate's surviving
