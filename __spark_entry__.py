@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (r8 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
     "ivf_pq_trained", "ivf_pq_refine_batch", "ivf_filtered_probe",
-    "shuffle_shards", "token_budget",
+    "shuffle_shards", "token_budget", "shard_export",
 ]
 
 

@@ -57,7 +57,7 @@ HEADLINE = [
     # join-based batch refine (no driver round-trip), filtered ANN,
     # deterministic shard shuffle + per-stratum token-budget draw
     "ivf_pq_trained", "ivf_pq_refine_batch", "ivf_filtered_probe",
-    "shuffle_shards", "token_budget",
+    "shuffle_shards", "token_budget", "shard_export",
 ]
 
 

@@ -604,6 +604,37 @@ FROM b
 """
 
 
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard EXPORT (r8): the documents corpus materializes
+    as one pos-ordered file per shard directory (the loader layout),
+    and the returned manifest — shard, record count, pos range — is
+    derived from the same md5 permutation, so the oracle recomputes it
+    straight from the shuffle definition. The export write itself is
+    pytest-verified (one file per shard, read-back order = the
+    permutation); the manifest is what a loader consumes."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.tables import export_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_shards")
+    return export_shards(docs, d, n_shards=8)
+
+
+SQL_SHARD_EXPORT = """
+WITH b AS (
+  SELECT CAST(CAST('0x' || substring(
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 8 AS INT) AS shard
+  FROM documents)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_pos,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_pos
+FROM b GROUP BY shard ORDER BY shard
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum token-budget draw (r8): each lang's documents order
     by md5 bucket and the kept set is the prefix that first covers the
@@ -5470,6 +5501,7 @@ EXT_QUERIES = {
     "cluster_split": q_cluster_split,
     "shuffle_shards": q_shuffle_shards,
     "token_budget": q_token_budget,
+    "shard_export": q_shard_export,
     "source_mix": q_source_mix,
     "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
@@ -5593,6 +5625,7 @@ EXT_ORACLES = {
     "cluster_split": SQL_CLUSTER_SPLIT,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "token_budget": SQL_TOKEN_BUDGET,
+    "shard_export": SQL_SHARD_EXPORT,
     "source_mix": SQL_SOURCE_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,

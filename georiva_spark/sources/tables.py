@@ -49,6 +49,46 @@ def write_jsonl_corpus(docs: DataFrame, path: str,
         .json(path)
 
 
+def export_shards(df: DataFrame, path: str, n_shards: int,
+                  key_col: str = "doc_id", fmt: str = "parquet",
+                  salt: str = "shuffle") -> DataFrame:
+    """Materialize a corpus as TRAINING SHARDS — the last step before
+    the training loader: route every row through
+    :func:`~georiva_spark.operators.sampling.shuffle_shards`
+    (deterministic md5 permutation), then write ONE file per shard
+    under ``{path}/shard=N``, rows in pos order — so a loader reading
+    shard directories 0..N-1 sequentially replays the exact
+    pseudorandom permutation, restartably, on any cluster size.
+
+    Layout mechanics: ``repartition(n_shards, shard)`` makes the task
+    the shard (a hash collision putting two shards in one task still
+    writes them to separate ``shard=`` directories — each remains one
+    file), ``sortWithinPartitions(shard, pos)`` orders rows inside the
+    file, and ``partitionBy(shard)`` names the directories. Returns
+    the MANIFEST (shard, n_rows, min_pos, max_pos) — the loader's
+    bounded table of record counts, derivable (and oracle-checked)
+    straight from the shuffle definition. ``fmt='json'`` writes
+    gzip JSONL shards (the crawl interchange layout) instead."""
+    from georiva_spark.operators.sampling import shuffle_shards
+
+    sharded = shuffle_shards(df, n_shards, key_col=key_col, salt=salt)
+    w = (sharded.repartition(n_shards, F.col("shard"))
+         .sortWithinPartitions("shard", "pos")
+         .write.mode("overwrite").partitionBy("shard"))
+    if fmt == "json":
+        w.option("compression", "gzip").json(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"export_shards: fmt={fmt!r} not in "
+                         f"('parquet', 'json')")
+    return (sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("pos").alias("min_pos"),
+                 F.max("pos").alias("max_pos"))
+            .orderBy("shard"))
+
+
 def read_jsonl_corpus(spark: SparkSession, path: str,
                       schema: str = ("doc_id long, text string, "
                                      "lang string, source string, "

@@ -990,6 +990,40 @@ def test_shuffle_shards_deterministic_permutation(spark):
         sampling.shuffle_shards(docs, n_shards=0)
 
 
+def test_export_shards_layout_and_order(spark, tmp_path):
+    """The training-shard export: ONE data file per shard directory,
+    rows inside each file in pos order (the loader replays the
+    permutation by reading dirs 0..N-1 sequentially), manifest counts
+    match the files, and fmt='json' writes gzip JSONL shards."""
+    import glob
+
+    from georiva_spark.sources.tables import export_shards
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(2_000)],
+        "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    manifest = export_shards(docs, out, n_shards=4).collect()
+    assert [r.shard for r in manifest] == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in manifest) == 2_000
+    assert all(r.min_pos == 0 and r.max_pos == r.n_rows - 1
+               for r in manifest)
+    for r in manifest:
+        files = [f for f in glob.glob(f"{out}/shard={r.shard}/part-*")
+                 if not f.endswith(".crc")]
+        assert len(files) == 1                 # one file per shard
+        rows = spark.read.parquet(f"{out}/shard={r.shard}").collect()
+        assert len(rows) == r.n_rows
+        # file order IS pos order: the loader needs no sort
+        assert [x.pos for x in rows] == list(range(r.n_rows))
+    # json variant: gzip JSONL shards
+    out2 = str(tmp_path / "shards_json")
+    export_shards(docs, out2, n_shards=2, fmt="json")
+    gz = glob.glob(f"{out2}/shard=*/part-*.gz")
+    assert len(gz) == 2
+    with pytest.raises(ValueError, match="fmt="):
+        export_shards(docs, str(tmp_path / "x"), 2, fmt="csv")
+
+
 def test_token_budget_sample_prefix_covers_budget(spark):
     """Per stratum: kept docs are a prefix of the md5 order, the total
     covers the budget when the stratum has enough tokens (crossing doc
