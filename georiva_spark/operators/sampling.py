@@ -172,6 +172,12 @@ def shuffle_shards(df: DataFrame, n_shards: int,
     if n_shards < 1:
         raise ValueError(f"shuffle_shards: n_shards={n_shards} must "
                          f"be >= 1")
+    taken = {"shard", "pos", "__h"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"shuffle_shards: input already has column(s) "
+            f"{sorted(taken)} — the output adds (shard, pos) and a "
+            f"silent overwrite would corrupt them; rename first")
     h = F.md5(F.concat_ws(":", F.lit(salt),
                           F.col(key_col).cast("string")))
     shard = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
@@ -207,6 +213,12 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     count; corpora with few huge strata should sub-shard the stratum
     key first. → input columns + (n_tokens, cum_tokens), where
     cum_tokens INCLUDES the row's own tokens."""
+    taken = {"n_tokens", "cum_tokens"} & set(docs.columns)
+    if taken:
+        raise ValueError(
+            f"token_budget_sample: input already has column(s) "
+            f"{sorted(taken)} — the output adds (n_tokens, "
+            f"cum_tokens); rename first")
     ntok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
             .otherwise(F.size(F.split(F.trim(F.col(text_col)),
                                       r"\s+")))

@@ -988,6 +988,12 @@ def test_shuffle_shards_deterministic_permutation(spark):
     assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
     with pytest.raises(ValueError, match="n_shards"):
         sampling.shuffle_shards(docs, n_shards=0)
+    with pytest.raises(ValueError, match="already has column"):
+        sampling.shuffle_shards(out, n_shards=4)    # shard/pos taken
+    with pytest.raises(ValueError, match="already has column"):
+        sampling.token_budget_sample(
+            docs.withColumn("n_tokens", F.lit(1)), 10,
+            strata_col="text")
 
 
 def test_export_shards_layout_and_order(spark, tmp_path):
