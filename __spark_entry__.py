@@ -28,6 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SURFACE_FIRST = [
     "ivf_pq_trained", "ivf_pq_refine_batch", "ivf_filtered_probe",
     "shuffle_shards", "token_budget", "shard_export",
+    "quality_threshold",
 ]
 
 

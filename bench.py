@@ -58,6 +58,7 @@ HEADLINE = [
     # deterministic shard shuffle + per-stratum token-budget draw
     "ivf_pq_trained", "ivf_pq_refine_batch", "ivf_filtered_probe",
     "shuffle_shards", "token_budget", "shard_export",
+    "quality_threshold",
 ]
 
 

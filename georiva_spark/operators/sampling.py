@@ -236,6 +236,73 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
                      < budget_tokens)
 
 
+def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
+                      strata_col: str | None = None, bins: int = 2000,
+                      score_min: float = 0.0, score_max: float = 1.0,
+                      key_col: str = "doc_id",
+                      salt: str = "qthr") -> DataFrame:
+    """Keep the TOP ``keep_ppm``/1e6 of rows by score (per stratum) —
+    the "top X% by classifier score" recipe step (fineweb-edu keeps
+    the top band of its quality model's scores; specifying the cut as
+    a RATE, not a score value, is what survives model recalibration).
+
+    A corpus sort would be the naive implementation; instead the
+    scores bucketize into ``bins`` integer bins over
+    [score_min, score_max] (out-of-range clamps to the edge bins),
+    ONE map-side-combined histogram aggregation collects the bounded
+    strata×bins counts to the driver, and exact integer arithmetic
+    derives per stratum: the threshold bin (smallest cut covering the
+    target count from the top) and a within-bin md5-bucket fraction
+    that fills the remainder from the boundary bin — so the kept set
+    is `bin > thr OR (bin = thr AND md5_bucket < within_ppm)`, a
+    scan-speed predicate with ZERO corpus shuffle and no sort. The
+    keep rate is exact to bin resolution ± hash noise in the boundary
+    bin, fully deterministic, and an external SQL engine reproduces
+    the same histogram, thresholds, and memberships. Ties inside the
+    boundary bin resolve by document hash, not score — two docs with
+    equal scores have equal claim, and the hash keeps the decision
+    reproducible under corpus growth."""
+    if not 0 <= keep_ppm <= 1_000_000:
+        raise ValueError("keep_ppm must be in [0, 1_000_000]")
+    if score_max <= score_min:
+        raise ValueError("quality_threshold: score_max must exceed "
+                         "score_min")
+    strat = F.col(strata_col) if strata_col else F.lit("__all")
+    width = score_max - score_min
+    bin_c = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor(
+            (F.col(score_col).cast("double") - score_min)
+            / width * bins).cast("int")))
+    hist = (docs.groupBy(strat.alias("__s"), bin_c.alias("__b"))
+            .count().collect())
+    per: dict = {}
+    for r in hist:
+        per.setdefault(r["__s"], {})[r["__b"]] = r["count"]
+    thr_ppm: dict = {}
+    for s, h in per.items():
+        n_s = sum(h.values())
+        target = n_s * keep_ppm // 1_000_000
+        cum = 0
+        thr, within = bins, 0
+        for b in sorted(h, reverse=True):
+            if cum + h[b] >= target:
+                thr = b
+                within = (target - cum) * 1_000_000 // h[b]
+                break
+            cum += h[b]
+        thr_ppm[s] = (thr, within)
+    thr_col: Column = F.lit(bins)
+    win_col: Column = F.lit(0)
+    for s, (t, wppm) in sorted(thr_ppm.items()):
+        thr_col = F.when(strat == s, F.lit(int(t))).otherwise(thr_col)
+        win_col = F.when(strat == s, F.lit(int(wppm))).otherwise(win_col)
+    b = bin_c
+    keep = (b > thr_col) | ((b == thr_col)
+                            & (_bucket(F.col(key_col), salt) < win_col))
+    return docs.where(keep)
+
+
 def cluster_aware_split(docs: DataFrame, pairs: DataFrame,
                         fractions_ppm: dict[str, int],
                         id_col: str = "doc_id",

@@ -669,6 +669,55 @@ FROM c WHERE cum_tokens - n_tokens < 2000
 """
 
 
+def q_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-X%-by-score quality cut (r8): keep the top 30% of each
+    lang's documents by score (n_chars stands in for a model score)
+    WITHOUT sorting the corpus — one bounded histogram aggregation,
+    exact integer threshold arithmetic on the driver, an md5 fraction
+    filling the boundary bin, then a scan-speed keep predicate. The
+    oracle recomputes the histogram, per-stratum thresholds, and
+    boundary-bin memberships, so the kept sets hash-match."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.quality_threshold(
+        docs, "n_chars", keep_ppm=300_000, strata_col="lang",
+        bins=100, score_min=0.0, score_max=5000.0)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+SQL_QUALITY_THRESHOLD = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         LEAST(99, GREATEST(0,
+             CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 5000.0 * 100)
+                  AS INT))) AS bin,
+         CAST('0x' || substring(md5('qthr:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 1000000 AS bk
+  FROM documents),
+h AS (SELECT lang, bin, COUNT(*) AS c FROM base GROUP BY lang, bin),
+tgt AS (SELECT lang, SUM(c) * 300000 // 1000000 AS target
+        FROM h GROUP BY lang),
+cum AS (SELECT h.lang, h.bin, h.c,
+               SUM(h.c) OVER (PARTITION BY h.lang
+                              ORDER BY h.bin DESC) AS cum_ge
+        FROM h),
+thr AS (SELECT cum.lang, MAX(cum.bin) AS thr
+        FROM cum JOIN tgt USING (lang)
+        WHERE cum.cum_ge >= tgt.target GROUP BY cum.lang),
+wn AS (SELECT t.lang, t.thr,
+              (tg.target - COALESCE(SUM(c2.c), 0)) * 1000000
+                // MAX(h2.c) AS within_ppm
+       FROM thr t
+       JOIN tgt tg ON tg.lang = t.lang
+       JOIN h h2 ON h2.lang = t.lang AND h2.bin = t.thr
+       LEFT JOIN h c2 ON c2.lang = t.lang AND c2.bin > t.thr
+       GROUP BY t.lang, t.thr, tg.target)
+SELECT b.doc_id, b.lang, b.n_chars
+FROM base b JOIN wn ON wn.lang = b.lang
+WHERE b.bin > wn.thr OR (b.bin = wn.thr AND b.bk < wn.within_ppm)
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split assignment (r7): near-duplicate documents
     (MinHash-LSH pairs → connected components) share a cluster id and
@@ -5502,6 +5551,7 @@ EXT_QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "token_budget": q_token_budget,
     "shard_export": q_shard_export,
+    "quality_threshold": q_quality_threshold,
     "source_mix": q_source_mix,
     "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
@@ -5626,6 +5676,7 @@ EXT_ORACLES = {
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "token_budget": SQL_TOKEN_BUDGET,
     "shard_export": SQL_SHARD_EXPORT,
+    "quality_threshold": SQL_QUALITY_THRESHOLD,
     "source_mix": SQL_SOURCE_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,

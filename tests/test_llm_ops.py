@@ -996,6 +996,49 @@ def test_shuffle_shards_deterministic_permutation(spark):
             strata_col="text")
 
 
+def test_quality_threshold_keeps_top_band_at_target_rate(spark):
+    """Top-X%-by-score cut without sorting the corpus: the kept set is
+    exactly the high-score band down to the boundary bin (everything
+    above the threshold bin survives, everything below is gone), the
+    realized keep rate lands within bin+hash tolerance of the target,
+    per-stratum targets are independent, edge rates keep none/all, and
+    the decision is invariant under repartitioning."""
+    from georiva_spark.operators import sampling
+    rows = ([(i, "en", float(i % 1000)) for i in range(10_000)]
+            + [(100_000 + i, "de", float(i % 100)) for i in range(1_000)])
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, score double")
+    kept = sampling.quality_threshold(
+        docs, "score", keep_ppm=200_000, strata_col="lang",
+        bins=100, score_min=0.0, score_max=1000.0).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.lang, []).append(r)
+    # rate: 20% ± (one 10-unit bin + hash noise)
+    assert 0.17 <= len(by["en"]) / 10_000 <= 0.23
+    assert 0.15 <= len(by["de"]) / 1_000 <= 0.25
+    # the kept set is the TOP band: en scores 0..999, threshold bin
+    # ~80 → every score ≥ 810 kept, none < 790 kept (bin boundary ±)
+    en_scores = sorted(r.score for r in by["en"])
+    assert en_scores[0] >= 790.0
+    n_high = sum(1 for _, l, s in rows if l == "en" and s >= 810.0)
+    assert sum(1 for r in by["en"] if r.score >= 810.0) == n_high
+    # de's scores live in 0..99 (bins 0-9 of the shared range): its
+    # own 20% cut still applies within that low band
+    assert max(r.score for r in by["de"]) == 99.0
+    # edges + determinism
+    assert sampling.quality_threshold(
+        docs, "score", 0, strata_col="lang", bins=100,
+        score_max=1000.0).count() == 0
+    assert sampling.quality_threshold(
+        docs, "score", 1_000_000, strata_col="lang", bins=100,
+        score_max=1000.0).count() == 11_000
+    again = {r.doc_id for r in sampling.quality_threshold(
+        docs.repartition(7), "score", keep_ppm=200_000,
+        strata_col="lang", bins=100, score_max=1000.0).collect()}
+    assert again == {r.doc_id for r in kept}
+
+
 def test_export_shards_layout_and_order(spark, tmp_path):
     """The training-shard export: ONE data file per shard directory,
     rows inside each file in pos order (the loader replays the
