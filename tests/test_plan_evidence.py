@@ -605,6 +605,12 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
         assert n_ex == 1, f"{name}: {n_ex} hash exchanges (want 1)"
         assert "Exchange rangepartitioning" not in phys  # no global sort
         assert "CartesianProduct" not in phys
+    # the quality cut's returned frame is a PURE SCAN PREDICATE — the
+    # bounded histogram ran at plan build, thresholds are literals, so
+    # a percentile cut costs zero exchanges and zero sorts at read time
+    plan = _plan(QUERIES["quality_threshold"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys and "Sort" not in phys
 
 
 def test_ivf_filtered_probe_pushes_predicate_to_scan(spark):
