@@ -224,6 +224,37 @@ def main():
     print(f"temperature_mix: {el:.1f}s ({n/el/1e6:.2f}M docs/s) "
           f"-> {ntm} kept (~{n // 2} expected)")
 
+    # r8: sort-free top-20% quality cut (score = n_chars stand-in) —
+    # ONE bounded histogram agg, then a scan-speed keep predicate
+    t0 = time.perf_counter()
+    qt = sampling.quality_threshold(docs, "n_chars", keep_ppm=200_000,
+                                    strata_col="lang", bins=1000,
+                                    score_min=0.0, score_max=400.0)
+    nqt = qt.count()
+    el = time.perf_counter() - t0
+    print(f"quality_threshold (top 20%/lang): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {nqt} kept "
+          f"(~{n // 5} expected)")
+
+    # r8: deterministic shard shuffle — one shuffle on the shard key,
+    # per-shard window rank (the training-loader permutation)
+    t0 = time.perf_counter()
+    sh = sampling.shuffle_shards(docs.select("doc_id"), n_shards=256)
+    nsh = sh.select("shard").distinct().count()
+    el = time.perf_counter() - t0
+    print(f"shuffle_shards (256 shards): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {nsh} shards")
+
+    # r8: per-lang token budget — one stratum-key shuffle + running sum
+    t0 = time.perf_counter()
+    tb = sampling.token_budget_sample(docs, budget_tokens=1_000_000,
+                                      strata_col="lang")
+    ntb = tb.count()
+    el = time.perf_counter() - t0
+    print(f"token_budget (1M tok/lang): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {ntb} docs kept "
+          f"(~{5 * 1_000_000 // L} expected)")
+
     t0 = time.perf_counter()
     lb = textops.lm_score_bigram(docs, top_k=50_000,
                                  top_k_bigrams=200_000)
