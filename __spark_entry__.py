@@ -24,11 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the driver's rotating correctness window has not recorded yet
-# (r8 additions) — surfaced first so the next window reaches them.
+# (r9 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "ivf_pq_trained", "ivf_pq_refine_batch", "ivf_filtered_probe",
-    "shuffle_shards", "token_budget", "shard_export",
-    "quality_threshold",
+    "training_pipeline",
 ]
 
 

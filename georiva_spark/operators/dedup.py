@@ -914,10 +914,12 @@ def hamming_index_compact(spark, table: str, path: str) -> None:
     p = hamming_index_params(spark, table)
     write_bucketed(spark.table(f"{table}_bands"),
                    f"{table}_bands_compact", ["band", "key"],
-                   p["n_buckets"], f"{path}/bands", sort=False)
+                   p["n_buckets"], f"{path}/bands", sort=False,
+                   one_file_per_bucket=True)
     write_bucketed(spark.table(f"{table}_ids"),
                    f"{table}_ids_compact", "ref",
-                   p["n_buckets"], f"{path}/ids", sort=False)
+                   p["n_buckets"], f"{path}/ids", sort=False,
+                   one_file_per_bucket=True)
     spark.sql(
         f"ALTER TABLE {table}_bands_compact SET TBLPROPERTIES ("
         f"'georiva.max_hamming'='{p['max_hamming']}', "
@@ -1237,10 +1239,12 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
     p = minhash_index_params(spark, table)
     write_bucketed(spark.table(f"{table}_bands"),
                    f"{table}_bands_compact", ["band", "bucket"],
-                   p["n_buckets"], f"{path}/bands")
+                   p["n_buckets"], f"{path}/bands",
+                   one_file_per_bucket=True)
     write_bucketed(spark.table(f"{table}_sigs"),
                    f"{table}_sigs_compact", "doc_id",
-                   p["n_buckets"], f"{path}/sigs", sort=False)
+                   p["n_buckets"], f"{path}/sigs", sort=False,
+                   one_file_per_bucket=True)
     # stamp BEFORE the swap: a probe that lands on the staged table at
     # any intermediate state must already see valid parameters
     spark.sql(

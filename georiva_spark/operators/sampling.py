@@ -194,7 +194,8 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
                         strata_col: str = "source",
                         key_col: str = "doc_id",
                         text_col: str = "text",
-                        salt: str = "budget") -> DataFrame:
+                        salt: str = "budget",
+                        coarse_buckets: int = 1000) -> DataFrame:
     """Per-stratum TOKEN-budget draw — the "take N tokens per source"
     recipe of corpus mixing (token budgets, not document counts, are
     what training runs are specified in): each stratum's documents
@@ -207,40 +208,106 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     :func:`hash_sample`).
 
     Tokens are whitespace tokens (the corpus-accounting convention of
-    the BM25/vocab ops); empty/blank text counts 0. Scale shape: one
-    shuffle on the stratum key + a per-stratum running sum — strata
-    are sources/languages, so the window parallelism is the stratum
-    count; corpora with few huge strata should sub-shard the stratum
-    key first. → input columns + (n_tokens, cum_tokens), where
-    cum_tokens INCLUDES the row's own tokens."""
-    taken = {"n_tokens", "cum_tokens"} & set(docs.columns)
+    the BM25/vocab ops); NULL or blank text counts 0 (NULL must not
+    silently fall out of ``size(split(NULL))`` semantics, which differ
+    between ANSI modes).
+
+    Scale shape — TWO-PHASE, never one task per stratum (a dominant
+    language is routinely >40% of a web corpus; a plain
+    ``Window.partitionBy(stratum)`` running sum would funnel tens of
+    TB through a single reducer's sort):
+
+    1. ONE map-side-combined aggregation of token sums per
+       (stratum, coarse md5-bucket range) — bounded by
+       strata × ``coarse_buckets`` rows — collects to the driver,
+       which computes each stratum's running prefix across coarse
+       buckets, the BOUNDARY bucket where the prefix first covers the
+       budget, and each pre-boundary bucket's starting offset.
+    2. The bounded (stratum, coarse, offset) frame broadcast-joins
+       back (null-safe on the stratum, so NULL strata sample like any
+       other); buckets past the boundary have no row and drop at the
+       join — before any exchange. The exact running sum then runs in
+       a window partitioned by (stratum, coarse) — parallelism is
+       strata × coarse_buckets tasks, each sorting ≤ 1/coarse_buckets
+       of its stratum — and ``cum_tokens = offset + within-bucket
+       sum`` is bit-identical to the single-window definition.
+
+    → input columns + (n_tokens, cum_tokens), where cum_tokens
+    INCLUDES the row's own tokens."""
+    taken = {"n_tokens", "cum_tokens", "__tb_bk", "__tb_coarse"} \
+        & set(docs.columns)
     if taken:
         raise ValueError(
             f"token_budget_sample: input already has column(s) "
             f"{sorted(taken)} — the output adds (n_tokens, "
             f"cum_tokens); rename first")
-    ntok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+    if not 1 <= coarse_buckets <= _BUCKETS or _BUCKETS % coarse_buckets:
+        raise ValueError(
+            f"token_budget_sample: coarse_buckets={coarse_buckets} "
+            f"must divide {_BUCKETS}")
+    width = _BUCKETS // coarse_buckets
+    ntok = F.when(F.col(text_col).isNull()
+                  | (F.length(F.trim(F.col(text_col))) == 0), F.lit(0)) \
             .otherwise(F.size(F.split(F.trim(F.col(text_col)),
-                                      r"\s+")))
+                                      r"\s+"))).cast("long")
     b = _bucket(F.col(key_col), salt)
+    base = (docs.withColumn("n_tokens", ntok)
+            .withColumn("__tb_bk", b)
+            .withColumn("__tb_coarse",
+                        (F.col("__tb_bk") / width).cast("int")))
+    # phase 1: bounded histogram (strata × coarse_buckets) → driver
+    hist = (base.groupBy(strata_col, "__tb_coarse")
+            .agg(F.sum("n_tokens").alias("__t")).collect())
+    per: dict = {}
+    for r in hist:
+        per.setdefault(r[0], {})[r[1]] = r[2]
+    # per stratum: prefix offsets per coarse bucket, stop past the
+    # boundary bucket (the one whose prefix first covers the budget)
+    spark = docs.sparkSession
+    off_rows = []
+    for s, h in per.items():
+        run = 0
+        for c in sorted(h):
+            off_rows.append((s, c, run))
+            run += h[c]
+            if run >= budget_tokens:
+                break                      # later buckets are all cut
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    s_field = next(f for f in docs.schema.fields
+                   if f.name == strata_col)
+    off_schema = StructType([
+        StructField("__tb_s", s_field.dataType, True),
+        StructField("__tb_c", IntegerType(), False),
+        StructField("__tb_off", LongType(), False)])
+    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    # phase 2: join = pre-boundary prune (no offsets row → dropped),
+    # then the exact running sum inside each (stratum, coarse) slice
     from pyspark.sql import Window
-    w = (Window.partitionBy(strata_col).orderBy(b.asc(),
-                                                F.col(key_col).asc())
+    joined = base.join(
+        offsets,
+        base[strata_col].eqNullSafe(offsets["__tb_s"])
+        & (base["__tb_coarse"] == offsets["__tb_c"]), "inner")
+    w = (Window.partitionBy(strata_col, "__tb_coarse")
+         .orderBy(F.col("__tb_bk").asc(), F.col(key_col).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = (docs.withColumn("n_tokens", ntok.cast("long"))
-           .withColumn("cum_tokens",
-                       F.sum("n_tokens").over(w).cast("long")))
+    out = joined.withColumn(
+        "cum_tokens",
+        (F.col("__tb_off") + F.sum("n_tokens").over(w)).cast("long"))
     # keep while the total BEFORE this doc is under budget — the
     # crossing document is included
-    return out.where(F.col("cum_tokens") - F.col("n_tokens")
-                     < budget_tokens)
+    return (out.where(F.col("cum_tokens") - F.col("n_tokens")
+                      < budget_tokens)
+            .drop("__tb_bk", "__tb_coarse", "__tb_s", "__tb_c",
+                  "__tb_off"))
 
 
 def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
                       strata_col: str | None = None, bins: int = 2000,
                       score_min: float = 0.0, score_max: float = 1.0,
                       key_col: str = "doc_id",
-                      salt: str = "qthr") -> DataFrame:
+                      salt: str = "qthr",
+                      case_strata_max: int = 1000) -> DataFrame:
     """Keep the TOP ``keep_ppm``/1e6 of rows by score (per stratum) —
     the "top X% by classifier score" recipe step (fineweb-edu keeps
     the top band of its quality model's scores; specifying the cut as
@@ -261,7 +328,16 @@ def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
     the same histogram, thresholds, and memberships. Ties inside the
     boundary bin resolve by document hash, not score — two docs with
     equal scores have equal claim, and the hash keeps the decision
-    reproducible under corpus growth."""
+    reproducible under corpus growth.
+
+    NULL strata cut like any other stratum (null-safe matching, the
+    same policy as :func:`token_budget_sample`'s window partition).
+    Strata counts are bounded in the design (languages/sources), so
+    the thresholds normally return as a per-stratum CASE chain; past
+    ``case_strata_max`` strata (a per-domain cut can have 10k+) the
+    chain would grow the plan linearly, so the thresholds instead
+    broadcast-join back as a bounded (stratum, thr, within) frame —
+    identical membership, plan size O(1) in the stratum count."""
     if not 0 <= keep_ppm <= 1_000_000:
         raise ValueError("keep_ppm must be in [0, 1_000_000]")
     if score_max <= score_min:
@@ -292,14 +368,39 @@ def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
                 break
             cum += h[b]
         thr_ppm[s] = (thr, within)
+    b = bin_c
+    bk = _bucket(F.col(key_col), salt)
+    if len(thr_ppm) > case_strata_max:
+        # many-strata path: bounded thresholds frame, broadcast-joined
+        # null-safe on the stratum — the plan stays O(1) in strata
+        from pyspark.sql.types import (IntegerType, LongType,
+                                       StringType, StructField,
+                                       StructType)
+        s_type = (next(f for f in docs.schema.fields
+                       if f.name == strata_col).dataType
+                  if strata_col else StringType())
+        schema = StructType([
+            StructField("__qt_s", s_type, True),
+            StructField("__qt_thr", IntegerType(), False),
+            StructField("__qt_win", LongType(), False)])
+        spark = docs.sparkSession
+        thr_df = F.broadcast(spark.createDataFrame(
+            [(s, int(t), int(wp)) for s, (t, wp) in thr_ppm.items()],
+            schema))
+        joined = docs.join(thr_df, strat.eqNullSafe(F.col("__qt_s")),
+                           "inner")
+        keep = (b > F.col("__qt_thr")) | (
+            (b == F.col("__qt_thr")) & (bk < F.col("__qt_win")))
+        return joined.where(keep).drop("__qt_s", "__qt_thr", "__qt_win")
     thr_col: Column = F.lit(bins)
     win_col: Column = F.lit(0)
-    for s, (t, wppm) in sorted(thr_ppm.items()):
-        thr_col = F.when(strat == s, F.lit(int(t))).otherwise(thr_col)
-        win_col = F.when(strat == s, F.lit(int(wppm))).otherwise(win_col)
-    b = bin_c
-    keep = (b > thr_col) | ((b == thr_col)
-                            & (_bucket(F.col(key_col), salt) < win_col))
+    for s, (t, wppm) in sorted(thr_ppm.items(),
+                               key=lambda kv: (kv[0] is None,
+                                               str(kv[0]))):
+        m = strat.isNull() if s is None else strat.eqNullSafe(F.lit(s))
+        thr_col = F.when(m, F.lit(int(t))).otherwise(thr_col)
+        win_col = F.when(m, F.lit(int(wppm))).otherwise(win_col)
+    keep = (b > thr_col) | ((b == thr_col) & (bk < win_col))
     return docs.where(keep)
 
 

@@ -651,7 +651,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_BUDGET = """
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+'))
               END AS BIGINT) AS n_tokens,
          CAST('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)),
@@ -716,6 +716,51 @@ SELECT b.doc_id, b.lang, b.n_chars
 FROM base b JOIN wn ON wn.lang = b.lang
 WHERE b.bin > wn.thr OR (b.bin = wn.thr AND b.bk < wn.within_ppm)
 """
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data recipe (r9): one plan chaining the
+    r8 recipe operators end-to-end the way a real corpus build runs
+    them — quality cut (top 60% per lang by score) → fuzzy
+    decontamination vs the truncated-benchmark fixture → leakage-safe
+    cluster-aware split (train side) → per-lang token-budget draw →
+    deterministic shard shuffle → per-shard manifest. Each stage is
+    individually oracle-proven; THIS query proves the cross-operator
+    contracts hold under composition (column collisions, filter
+    pushthrough, hash determinism across stage boundaries). The
+    oracle replays all six stages as one CTE chain and the manifests
+    hash-match."""
+    from georiva_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = sampling.quality_threshold(
+        docs, "n_chars", keep_ppm=600_000, strata_col="lang",
+        bins=100, score_min=0.0, score_max=5000.0)
+    toks = F.split(F.col("text"), " ")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))),
+            " ").alias("text"))
+    audit = dedup.fuzzy_decontaminate(qt, bench, threshold=0.5,
+                                      portable=True)
+    clean = qt.join(audit.where(~F.col("contaminated"))
+                    .select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(clean, threshold=0.3, portable=True)
+    split = sampling.cluster_aware_split(
+        clean, pairs, {"train": 980_000, "val": 10_000, "test": 10_000})
+    train = clean.join(split.where(F.col("split") == "train")
+                       .select("doc_id"), "doc_id", "left_semi")
+    tb = sampling.token_budget_sample(train, budget_tokens=1_500,
+                                      strata_col="lang")
+    sh = sampling.shuffle_shards(
+        tb.select("doc_id", "lang", "n_tokens"), n_shards=8)
+    return (sh.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.min("pos").cast("long").alias("min_pos"),
+                 F.max("pos").cast("long").alias("max_pos"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"))
+            .orderBy("shard"))
 
 
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3516,6 +3561,143 @@ SELECT doc_id, cluster_id,
 FROM b
 """
 
+def _sql_training_pipeline(num_hashes: int = 64, bands: int = 16) -> str:
+    """Replay the COMPOSED training recipe as one CTE chain: quality
+    cut → fuzzy decon (truncated-benchmark fixture) → minhash pairs
+    among the survivors → recursive-CTE components → cluster-hash
+    train split → per-lang token budget → md5 shard route → manifest.
+    Every fragment is the same arithmetic its standalone oracle uses;
+    only the FROM sources change to the previous stage."""
+    a, b = dedup.minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(s, v -> "
+        f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+        f" % 18446744073709551616))" for j in range(num_hashes))
+    unsig = ("list_transform(u, m -> CAST(CASE "
+             "WHEN m >= 9223372036854775808 "
+             "THEN m - 18446744073709551616 ELSE m END AS BIGINT))")
+    est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
+           f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
+    return f"""
+WITH RECURSIVE
+qt AS MATERIALIZED (
+  WITH qb AS (SELECT doc_id, lang, text,
+         LEAST(99, GREATEST(0, CAST(FLOOR(
+             CAST(n_chars AS DOUBLE) / 5000.0 * 100) AS INT))) AS bin,
+         CAST('0x' || substring(md5('qthr:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 1000000 AS bk
+       FROM documents),
+  h AS (SELECT lang, bin, COUNT(*) AS c FROM qb GROUP BY lang, bin),
+  tgt AS (SELECT lang, SUM(c) * 600000 // 1000000 AS target
+          FROM h GROUP BY lang),
+  cum AS (SELECT h.lang, h.bin, h.c,
+                 SUM(h.c) OVER (PARTITION BY h.lang
+                                ORDER BY h.bin DESC) AS cum_ge
+          FROM h),
+  thr AS (SELECT cum.lang, MAX(cum.bin) AS thr
+          FROM cum JOIN tgt USING (lang)
+          WHERE cum.cum_ge >= tgt.target GROUP BY cum.lang),
+  wn AS (SELECT t.lang, t.thr,
+                (tg.target - COALESCE(SUM(c2.c), 0)) * 1000000
+                  // MAX(h2.c) AS within_ppm
+         FROM thr t
+         JOIN tgt tg ON tg.lang = t.lang
+         JOIN h h2 ON h2.lang = t.lang AND h2.bin = t.thr
+         LEFT JOIN h c2 ON c2.lang = t.lang AND c2.bin > t.thr
+         GROUP BY t.lang, t.thr, tg.target)
+  SELECT b.doc_id, b.lang, b.text
+  FROM qb b JOIN wn ON wn.lang = b.lang
+  WHERE b.bin > wn.thr OR (b.bin = wn.thr AND b.bk < wn.within_ppm)
+),
+clean AS MATERIALIZED (
+  WITH bmt AS (SELECT doc_id,
+          array_to_string(list_slice(string_split(text, ' '), 1,
+              greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+       FROM documents WHERE doc_id % 20 = 0),
+  tc AS (SELECT doc_id, string_split(text, ' ') AS t FROM qt),
+  tbm AS (SELECT doc_id, string_split(text, ' ') AS t FROM bmt),
+  shc AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM tc),
+  shb AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM tbm),
+  sigc AS (SELECT doc_id, {unsig} AS sig
+           FROM (SELECT doc_id, [{mins}] AS u FROM shc)),
+  sigb AS (SELECT doc_id AS bm_id, {unsig} AS sig
+           FROM (SELECT doc_id, [{mins}] AS u FROM shb)),
+  bandc AS (SELECT doc_id, sig, bb.band AS band,
+                   sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+            FROM sigc CROSS JOIN
+                 (SELECT unnest(range(0, {bands})) AS band) bb),
+  bandb AS (SELECT bm_id, sig, bb.band AS band,
+                   sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+            FROM sigb CROSS JOIN
+                 (SELECT unnest(range(0, {bands})) AS band) bb),
+  cand AS (SELECT DISTINCT c.doc_id, b.bm_id, c.sig AS sa, b.sig AS sb
+           FROM bandc c JOIN bandb b
+             ON c.band = b.band AND c.key = b.key),
+  hits AS (SELECT doc_id, MAX({est}) AS max_est
+           FROM cand GROUP BY doc_id)
+  SELECT q.doc_id, q.lang, q.text
+  FROM qt q LEFT JOIN hits h ON q.doc_id = h.doc_id
+  WHERE COALESCE(h.max_est, 0.0) < 0.5
+),
+pairs AS MATERIALIZED (
+  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM clean),
+  sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM toks),
+  sigu AS (SELECT doc_id, [{mins}] AS u FROM sh),
+  sig AS (SELECT doc_id, {unsig} AS sig FROM sigu),
+  banded AS (SELECT doc_id, sig, bb.band AS band,
+                    sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+             FROM sig CROSS JOIN
+                  (SELECT unnest(range(0, {bands})) AS band) bb),
+  cand AS (SELECT DISTINCT l.doc_id AS doc_a, r2.doc_id AS doc_b,
+                  l.sig AS sa, r2.sig AS sb
+           FROM banded l JOIN banded r2
+             ON l.band = r2.band AND l.key = r2.key
+                AND l.doc_id < r2.doc_id)
+  SELECT doc_a, doc_b FROM cand WHERE {est} >= 0.3
+),
+e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM e
+                UNION SELECT r.u, g.v FROM reach r JOIN e g ON r.v = g.u),
+lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u),
+train AS MATERIALIZED (
+  SELECT c.doc_id, c.lang, c.text
+  FROM clean c LEFT JOIN lab l ON c.doc_id = l.doc_id
+  WHERE CAST('0x' || substring(md5('split:' ||
+        CAST(COALESCE(l.cluster_id, c.doc_id) AS VARCHAR)), 1, 15)
+        AS BIGINT) % 1000000 < 980000
+),
+kept AS MATERIALIZED (
+  WITH t AS (SELECT doc_id, lang,
+        CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS BIGINT) AS n_tokens,
+        CAST('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)),
+             1, 15) AS BIGINT) % 1000000 AS bucket
+     FROM train),
+  c AS (SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_tokens
+     FROM t)
+  SELECT doc_id, lang, n_tokens FROM c WHERE cum_tokens - n_tokens < 1500
+),
+sh2 AS (SELECT CAST(CAST('0x' || substring(
+            md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS INT) AS shard, n_tokens
+        FROM kept)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_pos,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_pos,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM sh2 GROUP BY shard ORDER BY shard
+"""
+
+
+SQL_TRAINING_PIPELINE = _sql_training_pipeline()
+
 _DDOT = ("list_inner_product(CAST(e.embedding AS DOUBLE[]), "
          "CAST(e.embedding AS DOUBLE[]))")
 SQL_KNN_ALL_TOPK = f"""
@@ -5552,6 +5734,7 @@ EXT_QUERIES = {
     "token_budget": q_token_budget,
     "shard_export": q_shard_export,
     "quality_threshold": q_quality_threshold,
+    "training_pipeline": q_training_pipeline,
     "source_mix": q_source_mix,
     "temperature_mix": q_temperature_mix,
     "decontaminate": q_decontaminate,
@@ -5677,6 +5860,7 @@ EXT_ORACLES = {
     "token_budget": SQL_TOKEN_BUDGET,
     "shard_export": SQL_SHARD_EXPORT,
     "quality_threshold": SQL_QUALITY_THRESHOLD,
+    "training_pipeline": SQL_TRAINING_PIPELINE,
     "source_mix": SQL_SOURCE_MIX,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "decontaminate": SQL_DECONTAMINATE,

@@ -24,18 +24,48 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, key: str | list[str],
                    n_buckets: int, path: str,
-                   sort: bool = True) -> None:
+                   sort: bool = True,
+                   one_file_per_bucket: bool = False) -> None:
     """Materialize ``df`` as an external parquet table bucketed (and by
     default sorted) by ``key`` — the pay-shuffle-once step. ``path``
     keeps the data outside the session warehouse so tests and callers
-    control the lifecycle; re-running overwrites idempotently."""
+    control the lifecycle; re-running overwrites idempotently.
+
+    ``bucketBy`` writes one file per (task × bucket-present-in-task):
+    an initial corpus write keeps full write parallelism, but a
+    COMPACTION rewrite would then emit as many files as the fragmented
+    input has scan partitions. ``one_file_per_bucket=True``
+    pre-repartitions on the bucket keys into exactly ``n_buckets``
+    partitions — Spark's HashPartitioning and its bucket spec share
+    the Murmur3 hash, so each task holds exactly one bucket and the
+    table lands as ONE file per bucket (write parallelism capped at
+    n_buckets: right for compaction, where n_buckets was sized for
+    the corpus anyway; wrong for a first bulk write).
+
+    When ``df`` IS a matching bucketed-table scan (every compaction),
+    the scan already satisfies that distribution, so the planner
+    elides the repartition — and would then run
+    DisableUnnecessaryBucketedScan, falling back to one task per FILE
+    and re-fragmenting the output. Pinning autoBucketedScan off for
+    the write keeps the bucket-aligned read: one task per bucket,
+    ZERO exchange — the compaction never shuffles at all."""
     keys = [key] if isinstance(key, str) else list(key)
-    w = (df.write.mode("overwrite").format("parquet")
-         .option("path", path)
-         .bucketBy(n_buckets, *keys))
-    if sort:
-        w = w.sortBy(*keys)
-    w.saveAsTable(table)
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark = df.sparkSession
+    old = spark.conf.get(auto)
+    if one_file_per_bucket:
+        df = df.repartition(n_buckets, *keys)
+        spark.conf.set(auto, "false")
+    try:
+        w = (df.write.mode("overwrite").format("parquet")
+             .option("path", path)
+             .bucketBy(n_buckets, *keys))
+        if sort:
+            w = w.sortBy(*keys)
+        w.saveAsTable(table)
+    finally:
+        if one_file_per_bucket:
+            spark.conf.set(auto, old)
 
 
 def drop_bucketed(spark: SparkSession, table: str) -> None:

@@ -27,7 +27,16 @@ Contract per micro-batch:
    session and Spark's table relation cache is per-session state — an
    append refreshes its own session only, and without this step the
    serving session's next applied-guard or probe scans a pre-append
-   file listing (double-append / stale-index hazard).
+   file listing (double-append / stale-index hazard);
+5. every ``compact_every_n_appends`` SUCCESSFUL appends (replays a
+   guard skipped don't count), ``compact(n_appends)`` runs and the
+   serving tables refresh again — without this a long-running stream
+   appends small files forever and probes pay one file-open per
+   append per bucket/cell (each family's compact is crash-atomic:
+   stamp-then-swap, so a crash mid-compact leaves a probeable
+   table). The append counter is in-process maintenance cadence, not
+   replay state — a restarted stream counts from zero, which at most
+   delays the next compaction by one interval.
 """
 
 from __future__ import annotations
@@ -38,11 +47,26 @@ from pyspark.sql import DataFrame
 def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
                    spark, outputs, guard_table: str, guard_keys,
                    append, refresh_tables, prepare=None,
-                   grow: bool = True):
+                   grow: bool = True,
+                   compact_every_n_appends: int | None = None,
+                   compact=None):
     """Start the stream; returns the StreamingQuery. See module doc
     for the per-batch contract. ``spark`` must be the SERVING session
     (the one outer readers and the guard use), not the per-batch
-    cloned one."""
+    cloned one. ``compact`` is a no-arg-result callable
+    ``compact(n_appends) -> None`` (each family closes over its own
+    crash-atomic compact + a fresh staging path)."""
+    if (compact_every_n_appends is None) != (compact is None):
+        raise ValueError(
+            "run_probe_grow: compact_every_n_appends and compact must "
+            "be passed together")
+    if compact_every_n_appends is not None \
+            and compact_every_n_appends < 1:
+        raise ValueError(
+            f"run_probe_grow: compact_every_n_appends="
+            f"{compact_every_n_appends} must be >= 1")
+    n_appends = [0]
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -61,9 +85,36 @@ def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
                     append(work)
                     for t in refresh_tables:
                         spark.catalog.refreshTable(t)
+                    n_appends[0] += 1
+                    if (compact is not None and n_appends[0]
+                            % compact_every_n_appends == 0):
+                        compact(n_appends[0])
+                        for t in refresh_tables:
+                            spark.catalog.refreshTable(t)
         finally:
             work.unpersist()
 
     return (stream_df.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def _family_compact(compact_every: int | None, compact_dir: str | None,
+                    who: str, run):
+    """Build a family launcher's compact closure: validates the
+    (compact_every, compact_dir) pairing and hands ``run`` a FRESH
+    staging path per invocation (append counter + random suffix — a
+    restarted stream's counter resets, so the suffix keeps staging
+    dirs collision-free; compaction is a pure layout rewrite, so the
+    path needs no replay determinism). Returns None when compaction
+    is not requested."""
+    if compact_every is None and compact_dir is None:
+        return None
+    if compact_every is None or compact_dir is None:
+        raise ValueError(f"{who}: compact_every and compact_dir must "
+                         f"be passed together")
+    import uuid
+
+    def compact(n_appends: int) -> None:
+        run(f"{compact_dir}/c{n_appends}_{uuid.uuid4().hex[:8]}")
+    return compact

@@ -28,22 +28,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from georiva_spark.operators.similarity import (ivf_index_append,
+                                                ivf_index_compact,
                                                 ivf_index_probe_batch,
                                                 ivf_pq_index_append,
+                                                ivf_pq_index_compact,
                                                 ivf_pq_index_probe_batch)
-from georiva_spark.streaming._loop import run_probe_grow
+from georiva_spark.streaming._loop import _family_compact, run_probe_grow
 
 
 def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
                      checkpoint_dir: str, k: int = 5, nprobe: int = 2,
-                     grow: bool = True):
+                     grow: bool = True,
+                     compact_every: int | None = None,
+                     compact_dir: str | None = None,
+                     retrain_iters: int = 0,
+                     train_sample_ppm: int | None = None):
     """Start the probe-then-grow ANN stream: ``emb_stream`` must carry
     (vec_id, embedding) with corpus-unique vec_ids; per-batch neighbor
     sets land in ``{out_dir}/batch_id=N`` as (q_id, vec_id, cell,
     cosine) — or (…, adc_dist) when ``table`` is a PQ-compressed
     index (detected from its TBLPROPERTIES stamp: the same loop
     serves and grows both layouts). ``grow=False`` probes without
-    appending (serving-only mode). Returns the StreamingQuery."""
+    appending (serving-only mode).
+
+    With ``compact_every=N`` (requires ``compact_dir``), every N
+    appends the index compacts in place — one file per cell again —
+    optionally RETRAINING the coarse quantizer (``retrain_iters>0``,
+    the drift story; ``train_sample_ppm`` bounds the training scan).
+    Retraining a PQ index needs the float corpus, which a
+    sub-code-only stream doesn't carry — requesting it here raises by
+    name (run :func:`~georiva_spark.operators.similarity.
+    ivf_pq_index_compact` with ``emb=`` as a batch maintenance pass
+    instead); layout-only PQ compaction is fine. Returns the
+    StreamingQuery."""
     spark = emb_stream.sparkSession
     if not spark.table(f"{table}_centroids").head(1):   # fail fast
         raise ValueError(f"{table!r} has no centroid sidecar — not an "
@@ -53,6 +70,22 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
     is_pq = "georiva.pq_m" in props
     probe = ivf_pq_index_probe_batch if is_pq else ivf_index_probe_batch
     append = ivf_pq_index_append if is_pq else ivf_index_append
+    if is_pq and retrain_iters > 0:
+        raise ValueError(
+            "start_ann_stream: retrain_iters>0 on a PQ index — "
+            "retraining re-encodes from the FLOAT corpus, which this "
+            "stream doesn't carry; run ivf_pq_index_compact(emb=…, "
+            "retrain_iters=…) as a batch maintenance pass instead")
+    if is_pq:
+        compact = _family_compact(
+            compact_every, compact_dir, "start_ann_stream",
+            lambda path: ivf_pq_index_compact(spark, table, path))
+    else:
+        compact = _family_compact(
+            compact_every, compact_dir, "start_ann_stream",
+            lambda path: ivf_index_compact(
+                spark, table, path, retrain_iters=retrain_iters,
+                train_sample_ppm=train_sample_ppm))
 
     def neighbors(work: DataFrame) -> DataFrame:
         # a replayed batch whose first attempt already appended would
@@ -68,8 +101,14 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
         guard_table=table,
         guard_keys=lambda w: w.select("vec_id"),
         append=lambda w: append(w.select("vec_id", "embedding"), table),
-        refresh_tables=(table,),
-        grow=grow)
+        # compaction swaps the sidecars too (retrain swaps centroids,
+        # PQ compaction the codebook) — refresh them alongside main
+        refresh_tables=((table, f"{table}_centroids", f"{table}_codebook")
+                        if is_pq else (table, f"{table}_centroids")),
+        grow=grow,
+        compact_every_n_appends=(None if compact is None
+                                 else compact_every),
+        compact=compact)
 
 
 def read_ann_neighbors(spark, out_dir: str) -> DataFrame:

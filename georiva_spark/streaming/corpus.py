@@ -34,18 +34,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from georiva_spark.operators.dedup import (minhash_index_append,
+                                           minhash_index_compact,
                                            minhash_index_params,
                                            minhash_index_probe)
 from georiva_spark.operators.textops import HTML_STRIP_RULES, gopher_rules
 from georiva_spark.sources.warc_codec import warc_parse
-from georiva_spark.streaming._loop import run_probe_grow
+from georiva_spark.streaming._loop import _family_compact, run_probe_grow
 
 
 def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
                         checkpoint_dir: str, threshold: float = 0.5,
                         gopher_kwargs: dict | None = None,
                         grow: bool = True,
-                        max_files_per_trigger: int | None = None):
+                        max_files_per_trigger: int | None = None,
+                        compact_every: int | None = None,
+                        compact_dir: str | None = None):
     """Start the crawl→corpus loop over WARC files arriving in
     ``warc_dir``. ``table`` is an existing minhash_index_write index
     (yesterday's corpus — may be empty-seeded). Outputs per batch B:
@@ -53,12 +56,33 @@ def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
     (doc_id, target_uri, warc_type, n_bytes, text);
     ``{out_dir}/pairs/batch_id=B`` — (doc_new, doc_old, est_jaccard)
     near-dups of the arriving docs against everything already
-    indexed. Returns the StreamingQuery."""
+    indexed. With ``compact_every=N`` (requires ``compact_dir``),
+    every N appends the MinHash index compacts back to one file per
+    bucket (fresh staging dirs under ``compact_dir``). Returns the
+    StreamingQuery."""
     params = minhash_index_params(spark, table)     # fail fast
+    # fail fast on id dtype too: doc ids are md5 HEX STRINGS (module
+    # doc); against an old long-keyed index (the pre-r8 xxhash64
+    # derivation) the replay-guard semi-join would lean on implicit
+    # string↔long casts — ANSI runtime error at best, silent
+    # never-matching guard (double appends) at worst
+    from pyspark.sql.types import StringType
+    id_field = next(f for f in spark.table(f"{table}_sigs").schema
+                    if f.name == "doc_id")
+    if not isinstance(id_field.dataType, StringType):
+        raise ValueError(
+            f"start_corpus_stream: {table}_sigs.doc_id is "
+            f"{id_field.dataType.simpleString()}, but corpus doc ids "
+            f"are md5-hex STRINGS — this index was built under the "
+            f"pre-r8 long-id derivation; rebuild it (or seed an empty "
+            f"index) with string doc ids")
     gk = dict(min_words=8, max_words=100_000, min_mean_word_len=1.0,
               max_mean_word_len=12.0, max_symbol_ratio=0.2,
               max_bullet_ratio=0.9, min_stopword_hits=1)
     gk.update(gopher_kwargs or {})
+    compact = _family_compact(
+        compact_every, compact_dir, "start_corpus_stream",
+        lambda path: minhash_index_compact(spark, table, path))
 
     strip = F.col("text")
     for pat, repl in HTML_STRIP_RULES:
@@ -101,7 +125,10 @@ def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
         append=lambda w: minhash_index_append(
             w.select("doc_id", "text"), table),
         refresh_tables=(f"{table}_bands", f"{table}_sigs"),
-        grow=grow)
+        grow=grow,
+        compact_every_n_appends=(None if compact is None
+                                 else compact_every),
+        compact=compact)
 
 
 def read_corpus_stream(spark, out_dir: str) -> tuple[DataFrame, DataFrame]:

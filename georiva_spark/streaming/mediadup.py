@@ -26,17 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from georiva_spark.operators.dedup import (hamming_index_append,
+                                           hamming_index_compact,
                                            hamming_index_lookup,
                                            hamming_index_params,
                                            hamming_index_probe)
-from georiva_spark.streaming._loop import run_probe_grow
+from georiva_spark.streaming._loop import _family_compact, run_probe_grow
 
 
 def start_mediadup_stream(codes_stream: DataFrame, table: str,
                           out_dir: str, checkpoint_dir: str,
                           id_col: str = "media_id",
                           code_col: str = "code", grow: bool = True,
-                          output: str = "pairs"):
+                          output: str = "pairs",
+                          compact_every: int | None = None,
+                          compact_dir: str | None = None):
     """Start the probe-then-grow perceptual stream: ``codes_stream``
     must carry (id_col, code_col) with corpus-unique ids.
     ``grow=False`` probes without appending (audit mode). Returns the
@@ -56,13 +59,20 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
       keep/drop, which is the common dedup-ingest case. Replays stay
       idempotent by excluding the batch's own ids from the
       membership rollup (the lookup-shaped analog of the pair mode's
-      id_old anti-join)."""
+      id_old anti-join).
+
+    With ``compact_every=N`` (requires ``compact_dir``), every N
+    appends the index compacts back to one file per band bucket
+    (fresh staging dirs under ``compact_dir``)."""
     spark = codes_stream.sparkSession
     hamming_index_params(spark, table)              # fail fast
     if output not in ("pairs", "lookup"):
         raise ValueError(
             f"start_mediadup_stream: output={output!r} — expected "
             f"'pairs' or 'lookup'")
+    compact = _family_compact(
+        compact_every, compact_dir, "start_mediadup_stream",
+        lambda path: hamming_index_compact(spark, table, path))
 
     def pairs(work: DataFrame) -> DataFrame:
         ids = work.select(F.col(id_col).alias("id_old"))
@@ -83,7 +93,10 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
         append=lambda w: hamming_index_append(w, table, id_col=id_col,
                                               code_col=code_col),
         refresh_tables=(f"{table}_bands", f"{table}_ids"),
-        grow=grow)
+        grow=grow,
+        compact_every_n_appends=(None if compact is None
+                                 else compact_every),
+        compact=compact)
 
 
 def read_mediadup_pairs(spark, out_dir: str) -> DataFrame:

@@ -28,21 +28,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from georiva_spark.operators.dedup import (minhash_index_append,
+                                           minhash_index_compact,
                                            minhash_index_params,
                                            minhash_index_probe)
-from georiva_spark.streaming._loop import run_probe_grow
+from georiva_spark.streaming._loop import _family_compact, run_probe_grow
 
 
 def start_neardup_stream(docs_stream: DataFrame, table: str,
                          out_dir: str, checkpoint_dir: str,
-                         threshold: float = 0.5, grow: bool = True):
+                         threshold: float = 0.5, grow: bool = True,
+                         compact_every: int | None = None,
+                         compact_dir: str | None = None):
     """Start the probe-then-grow stream: ``docs_stream`` must carry
     (doc_id, text) with corpus-unique doc_ids; pairs land in
     ``{out_dir}/batch_id=N`` as (doc_new, doc_old, est_jaccard).
-    ``grow=False`` probes without appending (audit mode). Returns the
-    StreamingQuery."""
+    ``grow=False`` probes without appending (audit mode). With
+    ``compact_every=N`` (requires ``compact_dir``), every N appends
+    the index compacts in place via
+    :func:`~georiva_spark.operators.dedup.minhash_index_compact` —
+    fresh staging dirs under ``compact_dir``; retired ones are the
+    operator's to delete. Returns the StreamingQuery."""
     spark = docs_stream.sparkSession
     params = minhash_index_params(spark, table)   # fail fast on launch
+    compact = _family_compact(
+        compact_every, compact_dir, "start_neardup_stream",
+        lambda path: minhash_index_compact(spark, table, path))
 
     def pairs(work: DataFrame) -> DataFrame:
         # a replayed batch whose first attempt already appended would
@@ -63,7 +73,10 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
         guard_keys=lambda w: w.select("doc_id"),
         append=lambda w: minhash_index_append(w, table),
         refresh_tables=(f"{table}_bands", f"{table}_sigs"),
-        grow=grow)
+        grow=grow,
+        compact_every_n_appends=(None if compact is None
+                                 else compact_every),
+        compact=compact)
 
 
 def read_neardup_pairs(spark, out_dir: str) -> DataFrame:

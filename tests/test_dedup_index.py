@@ -136,6 +136,73 @@ def test_streaming_neardup_probe_grows_index(spark, mh_index, tmp_path):
             read_neardup_pairs(spark, out).collect()} == pairs
 
 
+def test_streaming_neardup_auto_compacts(spark, mh_index, tmp_path):
+    """r9: ``compact_every`` — a long-running stream no longer
+    accumulates one file-set per append forever. Three micro-batch
+    appends with compact_every=3 trigger one in-stream compaction:
+    the bands table drops back to its initial one-file-per-bucket
+    layout, and cross-batch detection + replay idempotency still hold
+    on the COMPACTED index (a post-compaction batch probes the
+    swapped tables, not a stale listing)."""
+    from georiva_spark.streaming import (read_neardup_pairs,
+                                         start_neardup_stream)
+
+    landing = tmp_path / "ndc_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "ndc_out"), str(tmp_path / "ndc_ckpt")
+    cdir = str(tmp_path / "ndc_compact")
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    novel = ("a brand new crawl document about bucketed hamming bands "
+             "and distinct code pre collapse at corpus scale")
+    novel2 = ("entirely separate prose describing ivf cell routing "
+              "with residual codebooks and versioned quantizers here")
+
+    def drop(name, rows):
+        (spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows], schema)
+         .coalesce(1).write.mode("append")
+         .parquet(str(landing / name)))
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_neardup_stream(src, "t_mhidx", out, ckpt,
+                                 threshold=0.5, compact_every=3,
+                                 compact_dir=cdir)
+        q.awaitTermination(180)
+
+    files0 = len(spark.table("t_mhidx_bands").inputFiles())
+    drop("b0", [(100, BASE), (101, novel)])
+    drop("b1", [(200, novel)])
+    drop("b2", [(300, novel2)])
+    cycle()                   # 3 appends → compaction fires at #3
+    n_after = len(spark.table("t_mhidx_bands").inputFiles())
+    assert n_after <= 8 < files0  # ONE file per bucket (8 buckets)
+    pairs = {(r.doc_new, r.doc_old) for r in
+             read_neardup_pairs(spark, out).collect()}
+    assert (100, 1) in pairs and (200, 101) in pairs
+    nsigs = spark.table("t_mhidx_sigs").count()
+    # post-compaction batch: detection against the SWAPPED index
+    drop("b3", [(400, novel2 + " with an extra tail")])
+    cycle()
+    pairs2 = {(r.doc_new, r.doc_old) for r in
+              read_neardup_pairs(spark, out).collect()}
+    assert (400, 300) in pairs2
+    assert spark.table("t_mhidx_sigs").count() == nsigs + 1
+    # replay on the compacted index: nothing new
+    cycle()
+    assert spark.table("t_mhidx_sigs").count() == nsigs + 1
+    assert {(r.doc_new, r.doc_old) for r in
+            read_neardup_pairs(spark, out).collect()} == pairs2
+    # the pairing guard fails by name
+    with pytest.raises(ValueError, match="compact_every"):
+        start_neardup_stream(
+            spark.readStream.schema(schema).parquet(str(landing) + "/*"),
+            "t_mhidx", out, ckpt, compact_every=2)
+
+
 def test_streaming_ann_probe_grows_index(spark, tmp_path):
     """Continuous ANN (r7): batch 2's planted twin of a batch-1 vector
     is found because batch 1 was appended into the cell layout after
@@ -335,6 +402,26 @@ def test_streaming_corpus_crawl_to_index(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS t_crawl_{s}")
 
 
+def test_streaming_corpus_rejects_long_id_index(spark, tmp_path):
+    """r9 advisor fix: the corpus loop's doc ids are md5-hex STRINGS;
+    launching against a pre-r8 long-keyed index must fail BY NAME at
+    start, not lean on implicit string↔long casts in the replay-guard
+    semi-join (silent never-match → double appends)."""
+    from georiva_spark.streaming import start_corpus_stream
+    old = spark.createDataFrame(
+        [(1, BASE)], "doc_id long, text string")
+    dedup.minhash_index_write(old, "t_crawl_old",
+                              str(tmp_path / "idx_old"), n_buckets=4)
+    try:
+        with pytest.raises(ValueError, match="md5-hex"):
+            start_corpus_stream(spark, str(tmp_path), "t_crawl_old",
+                                str(tmp_path / "o"),
+                                str(tmp_path / "c"))
+    finally:
+        for s in ("bands", "sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS t_crawl_old_{s}")
+
+
 def test_streaming_ann_pq_mode_autodetects(spark, tmp_path):
     """The same probe-then-grow loop serves a PQ-compressed index:
     the stamp autodetects PQ mode, the cross-batch twin is found via
@@ -403,7 +490,9 @@ def test_index_compact_restores_one_file_per_bucket(spark, mh_index,
 
     dedup.minhash_index_compact(spark, mh_index, str(tmp_path / "cmp"))
     new_files = glob.glob(str(tmp_path / "cmp" / "bands" / "part-*"))
-    assert 0 < len(new_files) < n_before           # fewer, compacted
+    # r9: the rewrite pre-repartitions on the bucket keys, so the
+    # compacted layout really is ONE file per (non-empty) bucket
+    assert 0 < len(new_files) <= 8 and len(new_files) < n_before
 
     after = {(r.doc_new, r.doc_old): r.est_jaccard
              for r in dedup.minhash_index_probe(

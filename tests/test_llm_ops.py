@@ -1039,6 +1039,40 @@ def test_quality_threshold_keeps_top_band_at_target_rate(spark):
     assert again == {r.doc_id for r in kept}
 
 
+def test_quality_threshold_null_strata_and_many_strata_path(spark):
+    """r9 guards: NULL strata cut like any other stratum (no silent
+    drop, no TypeError in the driver sort), and past case_strata_max
+    the thresholds broadcast-join back instead of growing a
+    per-stratum CASE chain — with IDENTICAL membership."""
+    from georiva_spark.operators import sampling
+    rows = ([(i, "en", float(i % 100)) for i in range(1_000)]
+            + [(10_000 + i, None, float(i % 100)) for i in range(1_000)])
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, score double")
+    kept = sampling.quality_threshold(
+        docs, "score", keep_ppm=300_000, strata_col="lang",
+        bins=100, score_max=100.0).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.lang, []).append(r)
+    # the NULL stratum gets its own 30% cut, same as 'en'
+    assert 250 <= len(by[None]) <= 350
+    assert 250 <= len(by["en"]) <= 350
+    assert min(r.score for r in by[None]) >= 65.0
+    # many-strata fallback (case_strata_max=1 forces the join path):
+    # identical kept set, and the plan is a broadcast join, not a CASE
+    alt = sampling.quality_threshold(
+        docs, "score", keep_ppm=300_000, strata_col="lang",
+        bins=100, score_max=100.0, case_strata_max=1)
+    assert ({(r.doc_id) for r in alt.collect()}
+            == {r.doc_id for r in kept})
+    assert set(alt.columns) == set(docs.columns)   # helpers dropped
+    phys = alt._jdf.queryExecution().toString() \
+        .split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys
+    assert "CASE WHEN" not in phys
+
+
 def test_export_shards_layout_and_order(spark, tmp_path):
     """The training-shard export: ONE data file per shard directory,
     rows inside each file in pos order (the loader replays the
@@ -1094,6 +1128,55 @@ def test_token_budget_sample_prefix_covers_budget(spark):
     assert len(en) == 6 and en[-1].cum_tokens == 60
     assert len(by_lang["de"]) == 3            # starved: everything
     assert by_lang["fr"][0].n_tokens == 0     # blank text counts zero
+
+
+def test_token_budget_two_phase_matches_single_window(spark):
+    """The r9 two-phase draw (bounded coarse-bucket histogram → driver
+    boundary → broadcast prune → (stratum, coarse)-partitioned exact
+    sum) is bit-identical to the definitional single-window running
+    sum, NULL text counts zero tokens instead of silently dropping
+    (ANSI-mode-dependent size(split(NULL))), NULL strata sample like
+    any other stratum (null-safe offsets join), and membership is
+    invariant under repartitioning and coarse_buckets choice."""
+    from pyspark.sql import Window
+
+    from georiva_spark.operators import sampling
+    from georiva_spark.operators.sampling import _bucket
+    rows = [(i, "en", f"tok " * (1 + i % 7)) for i in range(400)]
+    rows += [(10_000 + i, "de", "a b c d") for i in range(50)]
+    rows += [(20_000, "de", None), (20_001, None, "x y z w v"),
+             (20_002, None, "p q")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    out = sampling.token_budget_sample(
+        docs, budget_tokens=300, strata_col="lang",
+        coarse_buckets=100).collect()
+    got = {(r.doc_id, r.n_tokens, r.cum_tokens) for r in out}
+    # definitional replay: one window per stratum (fine at test size)
+    ntok = F.when(F.col("text").isNull()
+                  | (F.length(F.trim("text")) == 0), F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    b = _bucket(F.col("doc_id"), "budget")
+    w = (Window.partitionBy("lang").orderBy(b.asc(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ref = (docs.withColumn("n_tokens", ntok)
+           .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+           .where(F.col("cum_tokens") - F.col("n_tokens") < 300))
+    want = {(r.doc_id, r.n_tokens, r.cum_tokens) for r in ref.collect()}
+    assert got == want
+    # NULL text: zero tokens, still eligible (it never crosses budget)
+    assert (20_000, 0, [c for d, n, c in got if d == 20_000][0]) \
+        in got
+    # NULL stratum: both docs drawn (9 tokens < budget)
+    assert {d for d, _, _ in got if d >= 20_001} == {20_001, 20_002}
+    # invariance: partitioning and coarse resolution change nothing
+    again = sampling.token_budget_sample(
+        docs.repartition(13), budget_tokens=300, strata_col="lang",
+        coarse_buckets=2000).collect()
+    assert {(r.doc_id, r.n_tokens, r.cum_tokens) for r in again} == got
+    with pytest.raises(ValueError, match="coarse_buckets"):
+        sampling.token_budget_sample(docs, 10, strata_col="lang",
+                                     coarse_buckets=7)
 
 
 def test_kmeans_fit_recovers_planted_blobs(spark):

@@ -597,7 +597,12 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
     """The r8 sampling ops keep the documented shuffle budget: the
     shard shuffle exchanges ONCE on the shard key (per-shard sorts are
     window-local, no global sort operator over the corpus), and the
-    token-budget draw exchanges ONCE on the stratum key."""
+    token-budget draw exchanges ONCE — and (r9) on the COMPOSITE
+    (stratum, coarse-bucket) key, never the stratum alone: a dominant
+    stratum (English at >40% of a web corpus) must spread over
+    coarse_buckets window tasks, not funnel through one reducer. The
+    bounded offsets frame rides a broadcast join (the pre-boundary
+    prune), not a shuffle."""
     for name in ("shuffle_shards", "token_budget"):
         plan = _plan(QUERIES[name](spark, SF))
         phys = plan.split("== Physical Plan ==")[-1]
@@ -605,6 +610,11 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
         assert n_ex == 1, f"{name}: {n_ex} hash exchanges (want 1)"
         assert "Exchange rangepartitioning" not in phys  # no global sort
         assert "CartesianProduct" not in phys
+        if name == "token_budget":
+            ex = [ln for ln in phys.splitlines()
+                  if "Exchange hashpartitioning" in ln][0]
+            assert "__tb_coarse" in ex      # two-phase: never 1 task/stratum
+            assert "BroadcastHashJoin" in phys   # bounded offsets broadcast
     # the quality cut's returned frame is a PURE SCAN PREDICATE — the
     # bounded histogram ran at plan build, thresholds are literals, so
     # a percentile cut costs zero exchanges and zero sorts at read time
@@ -724,6 +734,26 @@ def test_corpus_pipeline_composition_keeps_plan_shapes(spark):
                for ln in phys.splitlines())
     assert any("FileScan parquet" in ln and "t_corpusmh_sigs" in ln
                for ln in phys.splitlines())
+
+
+def test_training_pipeline_composition_keeps_plan_shapes(spark):
+    """The composed training recipe (r9): quality cut → fuzzy decon →
+    cluster split → token budget → shard shuffle → manifest under ONE
+    plan. Every stage keeps its standalone contract when chained: no
+    cartesian/nested-loop join anywhere, the quality cut stays a scan
+    predicate (no extra exchange for it), the token-budget window
+    still partitions by the coarse bucket (never one task per
+    stratum), and the only range exchange is the 8-row manifest's
+    final ORDER BY — the corpus itself is never globally sorted."""
+    plan = _plan(QUERIES["training_pipeline"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    windows = [ln for ln in phys.splitlines()
+               if "windowspecdefinition" in ln]
+    tb = [ln for ln in windows if "__tb_coarse" in ln]
+    assert tb, "token-budget window lost its coarse sub-partition key"
+    assert phys.count("Exchange rangepartitioning") == 1  # manifest only
 
 
 def test_ivf_index_trained_quantizer_balances_clustered_cells(spark):

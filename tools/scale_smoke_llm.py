@@ -245,7 +245,8 @@ def main():
     print(f"shuffle_shards (256 shards): {el:.1f}s "
           f"({n/el/1e6:.2f}M docs/s) -> {nsh} shards")
 
-    # r8: per-lang token budget — one stratum-key shuffle + running sum
+    # r8: per-lang token budget — r9 two-phase (coarse histogram →
+    # broadcast boundary prune → (stratum, coarse)-partitioned sum)
     t0 = time.perf_counter()
     tb = sampling.token_budget_sample(docs, budget_tokens=1_000_000,
                                       strata_col="lang")
@@ -254,6 +255,25 @@ def main():
     print(f"token_budget (1M tok/lang): {el:.1f}s "
           f"({n/el/1e6:.2f}M docs/s) -> {ntb} docs kept "
           f"(~{5 * 1_000_000 // L} expected)")
+
+    # r9 dominant-stratum stress: 90% of the corpus in ONE stratum and
+    # a budget that keeps ~half of it — the exact shape where the old
+    # one-window-per-stratum draw funneled everything through a single
+    # reducer's sort; two-phase spreads it over ~coarse_buckets tasks
+    skew = docs.withColumn(
+        "dlang", F.when(F.pmod(F.xxhash64("doc_id", F.lit(11)),
+                               F.lit(10)) < 9, F.lit("en"))
+        .otherwise(F.col("lang")))
+    t0 = time.perf_counter()
+    tbs = sampling.token_budget_sample(
+        skew, budget_tokens=int(0.45 * n * L), strata_col="dlang")
+    ntbs = tbs.count()
+    el = time.perf_counter() - t0
+    # expected: budget/L ≈ 0.45n docs from the 90% stratum + the tail
+    # strata kept whole (each far below budget) ≈ 0.1n more
+    print(f"token_budget 90%-stratum (keep ~half): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {ntbs} docs kept "
+          f"(~{int(0.55 * n)} expected)")
 
     t0 = time.perf_counter()
     lb = textops.lm_score_bigram(docs, top_k=50_000,
