@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries the driver's rotating correctness window has not recorded yet
 # (r9 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "training_pipeline",
+    "training_pipeline", "ann_recall", "ann_recall_pq",
 ]
 
 

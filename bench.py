@@ -59,6 +59,10 @@ HEADLINE = [
     "ivf_pq_trained", "ivf_pq_refine_batch", "ivf_filtered_probe",
     "shuffle_shards", "token_budget", "shard_export",
     "quality_threshold",
+    # r9: composed training-recipe chain (six stages, one plan) and
+    # the ANN recall-calibration harness (sampled exact ground truth
+    # + probes at two nprobe settings)
+    "training_pipeline", "ann_recall", "ann_recall_pq",
 ]
 
 

@@ -234,8 +234,8 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
 
     → input columns + (n_tokens, cum_tokens), where cum_tokens
     INCLUDES the row's own tokens."""
-    taken = {"n_tokens", "cum_tokens", "__tb_bk", "__tb_coarse"} \
-        & set(docs.columns)
+    taken = {"n_tokens", "cum_tokens", "__tb_bk", "__tb_coarse",
+             "__tb_s", "__tb_c", "__tb_off"} & set(docs.columns)
     if taken:
         raise ValueError(
             f"token_budget_sample: input already has column(s) "
@@ -373,6 +373,12 @@ def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
     if len(thr_ppm) > case_strata_max:
         # many-strata path: bounded thresholds frame, broadcast-joined
         # null-safe on the stratum — the plan stays O(1) in strata
+        taken = {"__qt_s", "__qt_thr", "__qt_win"} & set(docs.columns)
+        if taken:
+            raise ValueError(
+                f"quality_threshold: input column(s) {sorted(taken)} "
+                f"collide with the threshold-join internals; rename "
+                f"first")
         from pyspark.sql.types import (IntegerType, LongType,
                                        StringType, StructField,
                                        StructType)

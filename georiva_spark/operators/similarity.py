@@ -557,6 +557,16 @@ def ivf_pq_index_compact(spark, table: str, path: str,
         raise ValueError(
             "ivf_pq_index_compact: retrain_iters>0 needs the float "
             "corpus (emb=) — the PQ table stores sub-codes only")
+    opq = props.get("georiva.pq_opq") == "1"
+    rot = None
+    if opq:
+        # the rotation is CARRIED, not relearned (same policy as a
+        # pinned codebook: codewords/rotations are data, and rotating
+        # under a fresh basis would silently re-route every probe a
+        # user calibrated against) — the retrained quantizer and
+        # codebook train in the SAME rotated space the index lives in
+        rot = _load_rotation(spark, table, props)
+        emb = emb.select("vec_id", _rotate_expr(rot).alias("embedding"))
     cents = kmeans_centroids(emb, k=n_centroids, iters=retrain_iters,
                              sample_ppm=train_sample_ppm)
     if codebook_iters > 0:
@@ -589,13 +599,22 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     stamps["georiva.train_iters"] = str(retrain_iters)
     stamps["georiva.train_sample_ppm"] = str(train_sample_ppm or 0)
     stamps["georiva.quantizer_version"] = ver
+    sidecars = ["_centroids", "_codebook"]
+    if opq:
+        rdf = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rot)],
+            "i int, row array<double>")
+        (rdf.write.mode("overwrite").format("parquet")
+         .option("path", f"{path}_rotation")
+         .saveAsTable(f"{table}_rotation_compact"))
+        sidecars.append("_rotation")
     kv = ", ".join(f"'{k2}'='{v}'" for k2, v in sorted(stamps.items()))
     spark.sql(f"ALTER TABLE {table}_compact SET TBLPROPERTIES ({kv})")
-    for sc in ("_centroids", "_codebook"):
+    for sc in sidecars:
         spark.sql(f"ALTER TABLE {table}{sc}_compact SET TBLPROPERTIES ("
                   f"'georiva.quantizer_version'='{ver}')")
-    atomic_swap_table(spark, f"{table}_centroids")
-    atomic_swap_table(spark, f"{table}_codebook")
+    for sc in sidecars:
+        atomic_swap_table(spark, f"{table}{sc}")
     atomic_swap_table(spark, table)
 
 
@@ -977,13 +996,107 @@ def pq_train_codebooks(emb: DataFrame, m: int, nbits: int, iters: int,
     return [[v for s in range(m) for v in cb[s][j]] for j in range(ncw)]
 
 
+def opq_train_rotation(emb: DataFrame, m: int,
+                       sample_ppm: int | None = None,
+                       decimals: int = 9) -> list[list[float]]:
+    """OPQ-P learned rotation (Ge, He, Ke & Sun, "Optimized Product
+    Quantization", CVPR 2013 §4 — the closed-form parametric
+    solution; FAISS OPQMatrix's PCA + eigenvalue-allocation init):
+    product quantization assumes the m subspaces are independent and
+    carry comparable energy, but real embedding dimensions are
+    correlated and anisotropic — so learn an ORTHOGONAL rotation R
+    that (1) decorrelates dimensions (PCA basis) and (2) permutes the
+    principal directions so each subspace's eigenvalue PRODUCT is
+    balanced (greedy: next-largest eigenvalue goes to the non-full
+    subspace with the smallest log-product — Ge et al.'s allocation).
+    Rotation preserves L2/cosine exactly (orthogonality), so an index
+    built entirely in rotated space returns the same exact neighbors
+    while ADC quantization error drops where the subspace-independence
+    assumption used to break.
+
+    Scale shape: ONE distributed Gram pass (:func:`embedding_moments`
+    — bounded d²+d model rows to the driver), then a driver-side d×d
+    eigendecomposition (model-sized, the kmeans-centroid-update
+    policy). ``sample_ppm`` bounds the moments scan like quantizer
+    training. Deterministic: eigenvector signs fix by
+    largest-|coefficient|-positive (the pca_project rule) and entries
+    round at ``decimals`` — the rotation is DATA, stamped into the
+    index sidecar like the codebook. Returns d×d R as rows:
+    ``x' = R·x`` (row i of R = the eigenvector serving output dim i;
+    output dims [s·(d/m), (s+1)·(d/m)) = subspace s's allocation)."""
+    import math
+
+    import numpy as np
+
+    corpus = _train_sample(emb.where(F.col("embedding").isNotNull()),
+                           sample_ppm, "opq_train_rotation")
+    head = corpus.select(F.size("embedding").alias("d")).head(1)
+    if not head:
+        raise ValueError("opq_train_rotation: no non-null embeddings")
+    d = head[0].d
+    if d % m:
+        raise ValueError(
+            f"opq_train_rotation: dim={d} not divisible by m={m}")
+    _, mu, exx = _moments_arrays(corpus, d)
+    cov = exx - mu[:, None] * mu[None, :]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    for c in range(d):
+        amax = int(np.argmax(np.abs(v[:, c])))
+        if v[amax, c] < 0:
+            v[:, c] = -v[:, c]
+    sub = d // m
+    logs = [math.log(max(float(x), 1e-12)) for x in w]
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    totals = [0.0] * m
+    for i in range(d):                     # eigenvalues descending
+        open_b = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(open_b, key=lambda bb: (totals[bb], bb))
+        buckets[b].append(i)
+        totals[b] += logs[i]
+    perm = [i for b in range(m) for i in buckets[b]]
+    R = v[:, perm].T                       # rows: x' = R @ x
+    return [[round(float(x), decimals) + 0.0 for x in row]
+            for row in R]
+
+
+def _rotate_expr(R: list[list[float]], col: str = "embedding"):
+    """In-row orthogonal rotation ``x' = R·x`` as a literal-fold HOF
+    array (d² multiply-adds inside whole-stage codegen — the
+    random_projection pattern): the d×d rotation is bounded model
+    state shipped in the plan, the corpus never shuffles."""
+    def rowdot(row):
+        return F.aggregate(
+            F.zip_with(F.col(col),
+                       F.array(*[F.lit(float(x)) for x in row]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+    return F.array(*[rowdot(r) for r in R])
+
+
+def _load_rotation(spark, table: str,
+                   props: dict | None = None):
+    """The index's stamped OPQ rotation, or None for a plain PQ
+    index. The sidecar is d rows — model state, like the codebook."""
+    if props is None:
+        props = {r.key: r.value for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    if props.get("georiva.pq_opq") != "1":
+        return None
+    rows = spark.table(f"{table}_rotation").collect()
+    return [list(map(float, r.row))
+            for r in sorted(rows, key=lambda r: r.i)]
+
+
 def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
                        n_centroids: int = 8, m: int = 8, nbits: int = 4,
                        train_iters: int = 0,
                        seed_ids: list[int] | None = None,
                        codebook_iters: int = 0,
                        residual: bool = False,
-                       train_sample_ppm: int | None = None) -> None:
+                       train_sample_ppm: int | None = None,
+                       opq: bool = False) -> None:
     """PQ-COMPRESSED persistent IVF index — the memory-bound variant
     of :func:`ivf_index_write`: instead of storing raw
     ``array<double>`` embeddings (at 100 TB the float index is as
@@ -1027,6 +1140,18 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
       Raw pinned rows would make a nonsense residual codebook, hence
       the coupling.
 
+    - ``opq=True`` (requires ``codebook_iters>0``): learn an
+      orthogonal OPQ-P rotation first (:func:`opq_train_rotation` —
+      Ge et al. 2013) and build the ENTIRE index in rotated space:
+      the coarse quantizer trains on rotated vectors, the codebook on
+      rotated (residuals if also ``residual=True``), and every
+      probe/append rotates its input against the stamped
+      ``{table}_rotation`` sidecar. Orthogonality preserves L2/cosine
+      exactly, so correctness is unchanged; ADC error drops where
+      correlated/anisotropic dimensions used to break PQ's
+      subspace-independence assumption (measured on the correlated-
+      blob smoke, SCALE.md).
+
     DEFAULT POLICY (decided r8, same as ivf_index_write's): defaults
     stay pinned (``train_iters=0, codebook_iters=0``) for bit-for-bit
     parity with :func:`knn_ivf_pq` and zero training cost — the
@@ -1034,7 +1159,10 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
     Production indexes should pass ``train_iters>0, codebook_iters>0,
     residual=True`` — SCALE.md's trained-PQ smoke measures 3.4–3.7×
     the pinned codebook's recall on unequal-variance correlated
-    blobs, and the trained path has no id requirement.
+    blobs, and the trained path has no id requirement. Add
+    ``opq=True`` when the recall harness (:func:`ann_recall_estimate`)
+    shows the budgeted (nprobe, shortlist) still misses target — see
+    SCALE.md's OPQ row for the measured case.
 
     Encoding is an IN-ROW argmin per subspace over codeword literals
     (zero shuffle, one corpus scan, whole-stage codegen), exactly
@@ -1056,6 +1184,17 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
             "ivf_pq_index_write: residual=True requires "
             "codebook_iters>0 — residuals are centered near zero and "
             "a pinned raw-corpus-row codebook cannot quantize them")
+    if opq and codebook_iters <= 0:
+        raise ValueError(
+            "ivf_pq_index_write: opq=True requires codebook_iters>0 "
+            "— pinned codewords are raw corpus rows in ORIGINAL "
+            "space; rotating the corpus under them would silently "
+            "mis-encode everything")
+    rot = None
+    if opq:
+        rot = opq_train_rotation(emb, m, sample_ppm=train_sample_ppm)
+        emb = emb.select("vec_id",
+                         _rotate_expr(rot).alias("embedding"))
     ncw = 1 << nbits
     if train_iters > 0:
         cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
@@ -1102,6 +1241,15 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
     (cbdf.write.mode("overwrite").format("parquet")
      .option("path", f"{path}_codebook")
      .saveAsTable(f"{table}_codebook"))
+    sidecars = ["_centroids", "_codebook"]
+    if rot is not None:
+        rdf = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rot)],
+            "i int, row array<double>")
+        (rdf.write.mode("overwrite").format("parquet")
+         .option("path", f"{path}_rotation")
+         .saveAsTable(f"{table}_rotation"))
+        sidecars.append("_rotation")
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'georiva.n_centroids'='{n_centroids}', "
@@ -1110,8 +1258,9 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
         f"'georiva.pq_m'='{m}', 'georiva.pq_nbits'='{nbits}', "
         f"'georiva.pq_codebook_iters'='{codebook_iters}', "
         f"'georiva.pq_residual'='{int(residual)}', "
+        f"'georiva.pq_opq'='{int(opq)}', "
         f"'georiva.quantizer_version'='1')")
-    for sc in ("_centroids", "_codebook"):
+    for sc in sidecars:
         spark.sql(f"ALTER TABLE {table}{sc} SET TBLPROPERTIES ("
                   f"'georiva.quantizer_version'='1')")
 
@@ -1138,7 +1287,10 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
             f"{table!r} is not a stamped ivf_pq index "
             f"(missing property {e})") from None
     residual = bool(int(props.get("georiva.pq_residual", "0")))
-    _check_quantizer_sync(spark, table, ("_centroids", "_codebook"))
+    opq = props.get("georiva.pq_opq") == "1"
+    _check_quantizer_sync(spark, table,
+                          ("_centroids", "_codebook")
+                          + (("_rotation",) if opq else ()))
     crows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(crows, key=lambda r: r.cell)]
@@ -1147,6 +1299,11 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
     cbrows = spark.table(f"{table}_codebook").collect()
     cb = [list(map(float, r.embedding))
           for r in sorted(cbrows, key=lambda r: r.code)]
+    if opq:
+        # an OPQ index lives entirely in rotated space — the delta
+        # rotates with the INDEX'S OWN stamped rotation before encode
+        rot = _load_rotation(spark, table, props)
+        emb = emb.select("vec_id", _rotate_expr(rot).alias("embedding"))
 
     assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
     (assigned.write.mode("append").format("parquet")
@@ -1194,12 +1351,20 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
             f"{table!r} is not a stamped ivf_pq index "
             f"(missing property {e})") from None
     residual = bool(int(props.get("georiva.pq_residual", "0")))
+    opq = props.get("georiva.pq_opq") == "1"
     ncw = 1 << nbits
 
-    _check_quantizer_sync(spark, table, ("_centroids", "_codebook"))
+    _check_quantizer_sync(spark, table,
+                          ("_centroids", "_codebook")
+                          + (("_rotation",) if opq else ()))
     cents = {int(r.cell): np.asarray(r.embedding, dtype=np.float64)
              for r in spark.table(f"{table}_centroids").collect()}
     q = np.asarray(list(query_vec), dtype=np.float64)
+    if opq:
+        # the index lives in rotated space; rotate the query into it
+        # (driver-side d×d matvec — model-sized, like the routing)
+        q = np.asarray(_load_rotation(spark, table, props),
+                       dtype=np.float64) @ q
     order = sorted((float(((c - q) ** 2).sum()), cell)
                    for cell, c in cents.items())
     probe_cells = [cell for _, cell in order[:nprobe]]
@@ -1322,8 +1487,16 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
             f"{table!r} is not a stamped ivf_pq index "
             f"(missing property {e})") from None
     residual = bool(int(props.get("georiva.pq_residual", "0")))
+    opq = props.get("georiva.pq_opq") == "1"
     ncw = 1 << nbits
-    _check_quantizer_sync(spark, table, ("_centroids", "_codebook"))
+    _check_quantizer_sync(spark, table,
+                          ("_centroids", "_codebook")
+                          + (("_rotation",) if opq else ()))
+    if opq:
+        # the index lives in rotated space — rotate every query
+        # in-row against the stamped rotation before routing/ADC
+        rot = _load_rotation(spark, table, props)
+        queries = queries.withColumn("embedding", _rotate_expr(rot))
     crows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(crows, key=lambda r: r.cell)]
@@ -1466,6 +1639,156 @@ def ivf_pq_index_refine_batch(spark, table: str, emb: DataFrame,
     return (cand.withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") <= k)
             .select("q_id", "vec_id", F.round("_c", 4).alias("cosine")))
+
+
+def _exact_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                metric: str) -> DataFrame:
+    """Exact per-query top-k ground truth over the float corpus —
+    broadcast the bounded query sample, scan the corpus ONCE, window
+    top-k. ``metric='cosine'`` (desc) matches what the float probe
+    and PQ refine rank by; ``'l2'`` (squared distance asc) matches
+    what raw ADC approximates. Ties break by vec_id, the probe-family
+    convention. → (q_id, vec_id).
+
+    Scale note: the window shuffles (q_id, vec_id, score) triples —
+    corpus_rows × n_queries of ~24 bytes, never an embedding — so the
+    exact-truth cost is LINEAR in the sample size; that is the knob
+    (``sample_ppm``), and why ground truth on a hash sample is the
+    standard calibration practice rather than corpus×corpus truth."""
+    from georiva_spark.functions.vectors import cosine_similarity
+
+    q = queries.select(F.col("q_id"), F.col("embedding").alias("qe"))
+    if metric == "cosine":
+        score = cosine_similarity(F.col("embedding"), F.col("qe"))
+        order = [F.desc("_s"), F.asc("vec_id")]
+    elif metric == "l2":
+        score = F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("qe"),
+                       lambda a, b: (a.cast("double") - b.cast("double"))
+                       * (a.cast("double") - b.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        order = [F.asc("_s"), F.asc("vec_id")]
+    else:
+        raise ValueError(f"_exact_topk: metric={metric!r} — expected "
+                         f"'cosine' or 'l2'")
+    scored = (corpus.select("vec_id", "embedding")
+              .crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id", score.alias("_s")))
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k).select("q_id", "vec_id"))
+
+
+def ann_recall_estimate(spark, table: str, k: int = 5,
+                        nprobes: tuple = (1, 2),
+                        sample_ppm: int = 30_000,
+                        emb: DataFrame | None = None,
+                        shortlist: int | tuple | None = None,
+                        salt: str = "recall",
+                        max_broadcast_queries: int = 10_000
+                        ) -> DataFrame:
+    """Recall-CALIBRATION harness — the sizing loop a production user
+    runs before committing to (nprobe, shortlist) settings: hash-
+    sample ``sample_ppm``/1e6 of the indexed ids as queries (md5
+    bucket, engine-reproducible), compute EXACT per-query top-k
+    ground truth on the sample (one corpus scan against the broadcast
+    sample — never all-pairs), probe the index at each ``nprobes``
+    setting, and report measured recall@k per setting. Until r9 this
+    calibration was the operator's problem (the r8 verdict's Missing
+    #1); now it is one query: pick the smallest setting whose recall
+    clears the product target.
+
+    Index families: a FLOAT IVF index is self-contained (the index
+    table holds the embeddings; ground truth and probes both read
+    it). A PQ index stores sub-codes only, so pass the float corpus
+    as ``emb``; with ``shortlist`` (an int or a tuple — the full
+    (nprobe × shortlist) sizing grid in one call) the probes run
+    two-stage refine (exact-cosine re-rank — truth metric cosine),
+    without it raw ADC (truth metric L2², what ADC approximates).
+
+    Scale shape: the sample is bounded (ppm of corpus ids, the
+    training-sample policy); ground truth is ONE corpus scan per call
+    (broadcast sample, window top-k — n_sample·k rows out); each
+    probe setting reuses the serving-path batch probe (cell-pruned,
+    plan-asserted elsewhere); recall aggregation joins two bounded
+    frames. Recall = |probe ∩ truth| / |truth| (truth rows per query
+    = min(k, N−1), so starved corpora don't deflate the score).
+    → (nprobe, shortlist, k, n_queries, truth_rows, hits, recall),
+    one row per setting."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    is_pq = "georiva.pq_m" in props
+    if not 0 < sample_ppm <= 1_000_000:
+        raise ValueError(
+            f"ann_recall_estimate: sample_ppm={sample_ppm} must be "
+            f"in (0, 1_000_000]")
+    if is_pq and emb is None:
+        raise ValueError(
+            "ann_recall_estimate: a PQ index stores sub-codes only — "
+            "pass the float corpus as emb for ground truth")
+    if shortlist is not None and not is_pq:
+        raise ValueError(
+            "ann_recall_estimate: shortlist applies to PQ refine "
+            "probes; a float index probes exactly at stage 1")
+    corpus = (emb if is_pq else spark.table(table)) \
+        .select("vec_id", "embedding")
+    h = F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col("vec_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % 1_000_000
+    queries = persist_bounded(
+        corpus.where(bucket < sample_ppm)
+        .select(F.col("vec_id").alias("q_id"), "embedding"),
+        "ann_recall_estimate.queries", StorageLevel.MEMORY_AND_DISK)
+    metric = "l2" if (is_pq and shortlist is None) else "cosine"
+    truth = persist_bounded(
+        _exact_topk(corpus, queries, k, metric),
+        "ann_recall_estimate.truth", StorageLevel.MEMORY_AND_DISK)
+    shortlists = ((shortlist,) if isinstance(shortlist, int)
+                  else tuple(shortlist) if shortlist is not None
+                  else (None,))
+    out = None
+    for np_, sl in [(n, s) for n in nprobes for s in shortlists]:
+        if is_pq and sl is not None:
+            got = ivf_pq_index_refine_batch(
+                spark, table, emb, queries, k=k, nprobe=np_,
+                shortlist=sl, exclude_self=True,
+                max_broadcast_queries=max_broadcast_queries)
+        elif is_pq:
+            got = ivf_pq_index_probe_batch(
+                spark, table, queries, k=k, nprobe=np_,
+                exclude_self=True,
+                max_broadcast_queries=max_broadcast_queries)
+        else:
+            got = ivf_index_probe_batch(
+                spark, table, queries, k=k, nprobe=np_,
+                exclude_self=True,
+                max_broadcast_queries=max_broadcast_queries)
+        # one bounded union-shuffle per setting: hits = pairs in both
+        u = (truth.select("q_id", "vec_id", F.lit(1).alias("__t"),
+                          F.lit(0).alias("__g"))
+             .unionByName(got.select(
+                 "q_id", "vec_id", F.lit(0).alias("__t"),
+                 F.lit(1).alias("__g"))))
+        flat = (u.groupBy("q_id", "vec_id")
+                .agg(F.max("__t").alias("t"), F.max("__g").alias("g")))
+        row = flat.agg(
+            F.lit(int(np_)).cast("int").alias("nprobe"),
+            F.lit(int(sl or 0)).cast("int").alias("shortlist"),
+            F.lit(int(k)).cast("int").alias("k"),
+            F.count_distinct(F.when(F.col("t") == 1, F.col("q_id")))
+            .cast("long").alias("n_queries"),
+            F.sum("t").cast("long").alias("truth_rows"),
+            F.sum(F.col("t") * F.col("g")).cast("long").alias("hits"),
+            F.round(F.sum(F.col("t") * F.col("g")).cast("double")
+                    / F.sum("t"), 6).alias("recall"))
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,

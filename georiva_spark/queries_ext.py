@@ -1044,6 +1044,198 @@ def q_ivf_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidate_filter="label = 2")
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-calibration harness (r9): md5-sample ~3% of the indexed
+    ids as queries, exact cosine top-5 ground truth on the sample (one
+    corpus scan against the broadcast sample), probe the pinned IVF
+    index at nprobe 1 and 2, report measured recall@5 per setting —
+    the sizing loop a production user runs before committing to an
+    nprobe. The oracle replays the sample, the exact top-k, both
+    probe settings (assignment + routing + ranked cosines), and the
+    hit counts, so the recall numbers hash-match."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    similarity.ivf_index_write(emb, "t_ivfrc", os.path.join(d, "idxrc"),
+                               n_centroids=8)
+    return similarity.ann_recall_estimate(
+        spark, "t_ivfrc", k=5, nprobes=(1, 2), sample_ppm=30_000)
+
+
+def _sql_ann_recall(k: int = 5, nprobes=(1, 2),
+                    sample_ppm: int = 30_000, n_cents: int = 8,
+                    d: int = 64) -> str:
+    """Replay ann_recall_estimate end-to-end: pinned centroids, cell
+    assignment, the md5 query sample, exact cosine top-k truth, the
+    per-nprobe probe (same ranked-cosine arithmetic as
+    SQL_IVF_PROBE_BATCH), and the per-setting hit aggregation."""
+    def dot(x, y):
+        return (f"(SELECT SUM(CAST({x}[i] AS DOUBLE) * "
+                f"CAST({y}[i] AS DOUBLE)) "
+                f"FROM generate_series(1, {d}) AS t(i))")
+
+    def l2(x, y):
+        return (f"(SELECT SUM((CAST({x}[i] AS DOUBLE) - "
+                f"CAST({y}[i] AS DOUBLE)) * (CAST({x}[i] AS DOUBLE) - "
+                f"CAST({y}[i] AS DOUBLE))) "
+                f"FROM generate_series(1, {d}) AS t(i))")
+
+    cos = (f"{dot('e.embedding', 'q.qe')} / "
+           f"(SQRT({dot('e.embedding', 'e.embedding')}) * "
+           f"SQRT({dot('q.qe', 'q.qe')}))")
+    branches = []
+    for np_ in nprobes:
+        branches.append(f"""
+probe{np_} AS (SELECT vec_id AS q_id, c AS cell FROM dist
+          WHERE vec_id IN (SELECT q_id FROM qs)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c) <= {np_}),
+got{np_} AS (
+  SELECT p.q_id, e.vec_id
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe{np_} p ON a.cell = p.cell
+  JOIN qs q ON q.q_id = p.q_id
+  WHERE e.vec_id <> p.q_id
+  QUALIFY row_number() OVER (PARTITION BY p.q_id
+                             ORDER BY {cos} DESC, e.vec_id) <= {k}),
+res{np_} AS (
+  SELECT {np_} AS nprobe, 0 AS shortlist, {k} AS k,
+         (SELECT COUNT(DISTINCT q_id) FROM truth) AS n_queries,
+         (SELECT COUNT(*) FROM truth) AS truth_rows,
+         (SELECT COUNT(*) FROM got{np_} g JOIN truth t
+            ON g.q_id = t.q_id AND g.vec_id = t.vec_id) AS hits)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM res{np_}"
+                                 for np_ in nprobes)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // {n_cents}) + (nn.n // {n_cents}) // 2
+                    AS BIGINT) AS vid
+        FROM range({n_cents}) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+dist AS (SELECT e.vec_id, cent.c, {l2('e.embedding', 'cent.ce')} AS d2
+         FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       WHERE CAST('0x' || substring(md5('recall:' ||
+             CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 < {sample_ppm}),
+truth AS (
+  SELECT q.q_id, e.vec_id
+  FROM embeddings e JOIN qs q ON e.vec_id <> q.q_id
+  QUALIFY row_number() OVER (PARTITION BY q.q_id
+                             ORDER BY {cos} DESC, e.vec_id) <= {k}),
+{','.join(branches)}
+SELECT CAST(nprobe AS INTEGER) AS nprobe,
+       CAST(shortlist AS INTEGER) AS shortlist,
+       CAST(k AS INTEGER) AS k,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(truth_rows AS BIGINT) AS truth_rows,
+       CAST(hits AS BIGINT) AS hits,
+       ROUND(CAST(hits AS DOUBLE) / truth_rows, 6) AS recall
+FROM ({union})
+"""
+
+
+SQL_ANN_RECALL = _sql_ann_recall()
+
+
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall harness over the COMPRESSED index family (r9): raw
+    ADC probes at nprobe=2 against the pinned IVF-PQ index, ground
+    truth = exact L2² top-5 on the md5 query sample (the metric ADC
+    approximates — cosine truth would conflate metric mismatch with
+    quantization error). The measured recall is honestly low — that
+    is the number this harness exists to SHOW, and what sizes the
+    refine shortlist. The oracle replays sample, exact-L2 truth,
+    assignment, encoding, per-query ADC ranking, and the hit
+    aggregation."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    similarity.ivf_pq_index_write(emb, "t_ivfrcpq",
+                                  os.path.join(d, "idxrcpq"),
+                                  n_centroids=8, m=8, nbits=4)
+    return similarity.ann_recall_estimate(
+        spark, "t_ivfrcpq", k=5, nprobes=(2,), sample_ppm=30_000,
+        emb=emb)
+
+
+SQL_ANN_RECALL_PQ = """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+cdist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, 64) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM cdist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       WHERE CAST('0x' || substring(md5('recall:' ||
+             CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 < 30000),
+probe AS (SELECT vec_id AS q_id, c AS cell FROM cdist
+          WHERE vec_id IN (SELECT q_id FROM qs)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c) <= 2),
+pq AS (SELECT CAST(t.i AS BIGINT) AS cw,
+              CAST(t.i * (nn.n // 16) + (nn.n // 16) // 3 AS BIGINT) AS vid
+       FROM range(16) t(i), nn),
+cb AS (SELECT cw, embedding AS ce FROM pq JOIN embeddings ON vec_id = vid),
+subdist AS (SELECT e.vec_id, CAST(s.i AS BIGINT) AS s, cb.cw,
+  (SELECT SUM((CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE))
+            * (CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE)))
+   FROM generate_series(1, 8) AS t(i)) AS d2
+  FROM embeddings e, range(8) s(i), cb),
+codes AS (SELECT vec_id, s, cw FROM subdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cw) = 1),
+qd AS (SELECT vec_id AS q_id, s, cw, d2 FROM subdist
+       WHERE vec_id IN (SELECT q_id FROM qs)),
+adc AS (SELECT qd.q_id, c.vec_id, SUM(qd.d2) AS dist
+        FROM codes c JOIN qd ON qd.s = c.s AND qd.cw = c.cw
+        GROUP BY qd.q_id, c.vec_id),
+got AS (SELECT a.q_id, a.vec_id
+        FROM adc a
+        JOIN assign g ON a.vec_id = g.vec_id
+        JOIN probe p ON g.cell = p.cell AND p.q_id = a.q_id
+        WHERE a.vec_id <> a.q_id
+        QUALIFY row_number() OVER (PARTITION BY a.q_id
+                                   ORDER BY a.dist, a.vec_id) <= 5),
+truth AS (
+  SELECT q.q_id, e.vec_id
+  FROM embeddings e JOIN qs q ON e.vec_id <> q.q_id
+  QUALIFY row_number() OVER (PARTITION BY q.q_id ORDER BY
+    (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)))
+     FROM generate_series(1, 64) AS t(i)) ASC, e.vec_id) <= 5)
+SELECT CAST(2 AS INTEGER) AS nprobe, CAST(0 AS INTEGER) AS shortlist,
+       CAST(5 AS INTEGER) AS k,
+       (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM truth)
+         AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS truth_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM got g JOIN truth t
+          ON g.q_id = t.q_id AND g.vec_id = t.vec_id) AS hits,
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM got g JOIN truth t
+          ON g.q_id = t.q_id AND g.vec_id = t.vec_id)
+          / (SELECT COUNT(*) FROM truth), 6) AS recall
+"""
+
+
 SQL_IVF_FILTERED_PROBE = """
 WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
 cid AS (SELECT CAST(t.i AS BIGINT) AS c,
@@ -1353,12 +1545,18 @@ def q_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks (2 Lloyd rounds, similarity.pq_train_codebooks — Jégou
     et al. 2011) trained on residuals against the pinned coarse
     quantizer, encoding x − cent[cell], probes building one ADC table
-    per probed cell from the query's residual. The oracle replays the
-    md5-order seed init, both training rounds (codeword coordinates
+    per probed cell from the query's residual. r9: training runs on a
+    25% md5-bucket SAMPLE (``train_sample_ppm`` — the FAISS practice
+    that decouples training cost from corpus size), so this bench
+    entry measures the PRODUCTION shape — sampled training + full
+    encode + serving — instead of full-corpus Lloyd (which at sf0.1
+    was 22% of the whole bench headline; SCALE.md §Bench methodology).
+    The oracle replays the sample membership, the md5-order seed init
+    WITHIN the sample, both training rounds (codeword coordinates
     quantized at 6 dp on BOTH sides — the determinism policy that
     pins the codebook bit-identical across engines), the residual
-    encode argmin, per-query per-cell ADC tables, and the ranked ADC
-    distances in one CTE chain."""
+    encode argmin over the FULL corpus, per-query per-cell ADC
+    tables, and the ranked ADC distances in one CTE chain."""
     import os
     import tempfile
 
@@ -1367,7 +1565,8 @@ def q_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.ivf_pq_index_write(emb, "t_ivfpqt",
                                   os.path.join(d, "idxt"),
                                   n_centroids=8, m=8, nbits=4,
-                                  codebook_iters=2, residual=True)
+                                  codebook_iters=2, residual=True,
+                                  train_sample_ppm=250_000)
     queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
                .select(F.col("vec_id").alias("q_id"), "embedding"))
     return similarity.ivf_pq_index_probe_batch(
@@ -1376,16 +1575,23 @@ def q_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ivf_pq_trained(c: int = 8, d: int = 64, m: int = 8,
                         nbits: int = 4, iters: int = 2,
-                        nprobe: int = 2, topk: int = 5) -> str:
+                        nprobe: int = 2, topk: int = 5,
+                        sample_ppm: int = 250_000) -> str:
     """SQL replay of the trained-residual PQ probe: pinned coarse
     quantizer → residuals → md5-order codebook seeds → ``iters``
     per-subspace Lloyd rounds (6-dp quantized codewords) → residual
     encode → per-(query, probed cell) ADC tables → ranked distances.
     Codebooks live in long form (code, dim, v) with GLOBAL dims — the
     concatenated layout the Spark sidecar stores — so subspace
-    membership is (dim-1)//sub on both sides."""
+    membership is (dim-1)//sub on both sides. r9: training (seeds AND
+    Lloyd updates) sees only the md5-bucket ``sample_ppm`` sample
+    (salt 'train', similarity._train_sample's arithmetic); the final
+    encode still covers every row."""
     ncw = 1 << nbits
     sub = d // m
+    tr_pred = (f"CAST('0x' || substring(md5('train:' || "
+               f"CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) "
+               f"% 1000000 < {sample_ppm}")
     parts = [f"""
 WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
 cid AS (SELECT CAST(t.i AS BIGINT) AS c,
@@ -1408,10 +1614,12 @@ assign AS (SELECT vec_id, c AS cell FROM cdist
 r AS (SELECT e.vec_id, e.dim, e.v - centl.v AS rv
       FROM e JOIN assign a USING (vec_id)
       JOIN centl ON centl.cell = a.cell AND centl.dim = e.dim),
+tr AS (SELECT r.* FROM r
+       WHERE {tr_pred.replace('vec_id', 'r.vec_id')}),
 seed AS (SELECT CAST(row_number() OVER (
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
              AS code, vec_id AS vid
-         FROM embeddings WHERE embedding IS NOT NULL
+         FROM embeddings WHERE embedding IS NOT NULL AND {tr_pred}
          QUALIFY row_number() OVER (
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {ncw}),
 cb0 AS (SELECT seed.code, r.dim, ROUND(r.rv, 6) + 0.0 AS v
@@ -1421,13 +1629,13 @@ cb0 AS (SELECT seed.code, r.dim, ROUND(r.rv, 6) + 0.0 AS v
         parts.append(f""",
 d{it} AS (SELECT r.vec_id, CAST((r.dim - 1) // {sub} AS INT) AS s,
               cb.code, SUM((r.rv - cb.v) * (r.rv - cb.v)) AS d2
-       FROM r JOIN {prev} cb ON cb.dim = r.dim
+       FROM tr r JOIN {prev} cb ON cb.dim = r.dim
        GROUP BY r.vec_id, s, cb.code),
 a{it} AS (SELECT vec_id, s, code FROM d{it}
        QUALIFY row_number() OVER (PARTITION BY vec_id, s
                                   ORDER BY d2, code) = 1),
 m{it} AS (SELECT a.s, a.code, r.dim, AVG(r.rv) AS v
-       FROM r JOIN a{it} a ON r.vec_id = a.vec_id
+       FROM tr r JOIN a{it} a ON r.vec_id = a.vec_id
          AND CAST((r.dim - 1) // {sub} AS INT) = a.s
        GROUP BY a.s, a.code, r.dim),
 cb{it} AS (SELECT p.code, p.dim,
@@ -5717,6 +5925,8 @@ EXT_QUERIES = {
     "ivf_probe_batch": q_ivf_probe_batch,
     "ivf_index_trained": q_ivf_index_trained,
     "ivf_filtered_probe": q_ivf_filtered_probe,
+    "ann_recall": q_ann_recall,
+    "ann_recall_pq": q_ann_recall_pq,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -5843,6 +6053,8 @@ EXT_ORACLES = {
     "ivf_probe_batch": SQL_IVF_PROBE_BATCH,
     "ivf_index_trained": SQL_IVF_INDEX_TRAINED,
     "ivf_filtered_probe": SQL_IVF_FILTERED_PROBE,
+    "ann_recall": SQL_ANN_RECALL,
+    "ann_recall_pq": SQL_ANN_RECALL_PQ,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,

@@ -1016,3 +1016,216 @@ def test_ivf_retrain_compact_crash_fails_by_name_or_recovers(
     finally:
         for part in ("t_rtref", "t_rtref_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {part}")
+
+
+def test_opq_rotation_index_probe_append_sync(spark, tmp_path):
+    """r9 OPQ: the learned rotation is orthogonal, stamped as a
+    versioned sidecar, applied consistently at write/probe/append
+    (the appended exact twin wins ADC through the rotated encode),
+    gated against a pinned codebook, and covered by the quantizer
+    version-skew check like the other sidecars."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    d, n = 16, 300
+    mix = rng.normal(size=(d, d)) * np.linspace(3, 0.1, d)[None, :]
+    X = rng.normal(size=(n, d)) @ mix.T
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    t = "t_opqx"
+    try:
+        similarity.ivf_pq_index_write(
+            emb, t, str(tmp_path / "i"), n_centroids=4, m=4, nbits=4,
+            train_iters=2, codebook_iters=2, residual=True, opq=True)
+        # rotation sidecar: d rows, orthogonal (R Rᵀ ≈ I)
+        rot = similarity._load_rotation(spark, t)
+        R = np.array(rot)
+        assert R.shape == (d, d)
+        assert np.allclose(R @ R.T, np.eye(d), atol=1e-6)
+        # the appended exact twin is found via the rotated encode
+        delta = spark.createDataFrame(
+            [(9999, [float(v) for v in X[7]])],
+            "vec_id long, embedding array<double>")
+        similarity.ivf_pq_index_append(delta, t)
+        top = similarity.ivf_pq_index_probe(
+            spark, t, [float(v) for v in X[7]], k=3, nprobe=2,
+            exclude_vec_id=7).collect()
+        assert top[0].vec_id == 9999
+        # refine stage-2 re-ranks by EXACT cosine in ORIGINAL space
+        # (the float corpus — which must carry the appended ids too)
+        qs = emb.where(F.col("vec_id") == 7).select(
+            F.col("vec_id").alias("q_id"), "embedding")
+        rb = similarity.ivf_pq_index_refine_batch(
+            spark, t, emb.union(delta), qs, k=3, nprobe=2,
+            shortlist=40, exclude_self=True)
+        got = rb.collect()
+        assert got[0].vec_id == 9999 and got[0].cosine == 1.0
+        # version skew on the rotation sidecar fails by name
+        spark.sql(f"ALTER TABLE {t}_rotation SET TBLPROPERTIES "
+                  f"('georiva.quantizer_version'='99')")
+        with pytest.raises(ValueError, match="version skew"):
+            similarity.ivf_pq_index_probe(spark, t, [0.0] * d, k=1)
+        spark.sql(f"ALTER TABLE {t}_rotation SET TBLPROPERTIES "
+                  f"('georiva.quantizer_version'='1')")
+        # pinned codewords live in original space — OPQ refuses them
+        with pytest.raises(ValueError, match="opq"):
+            similarity.ivf_pq_index_write(
+                emb, "t_opqbad", str(tmp_path / "b"), n_centroids=4,
+                m=4, nbits=4, opq=True)
+    finally:
+        for s in ("", "_centroids", "_codebook", "_rotation"):
+            spark.sql(f"DROP TABLE IF EXISTS t_opqx{s}")
+
+
+def test_ann_recall_estimate_monotone_and_exact_at_full_probe(
+        spark, tmp_path):
+    """r9 recall harness: on a float IVF index, measured recall@k is
+    the real thing — nondecreasing in nprobe and exactly 1.0 when
+    every cell is probed (full probe = exact cosine = the ground
+    truth definition); the guards fail by name."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 8
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=d)]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    t = "t_rcx"
+    try:
+        similarity.ivf_index_write(emb, t, str(tmp_path / "i"),
+                                   n_centroids=4, train_iters=1)
+        out = {r.nprobe: r for r in similarity.ann_recall_estimate(
+            spark, t, k=5, nprobes=(1, 2, 4),
+            sample_ppm=80_000).collect()}
+        assert out[1].n_queries > 0
+        assert out[1].recall <= out[2].recall <= out[4].recall
+        assert out[4].recall == 1.0          # full probe == exact
+        assert out[4].truth_rows == out[4].n_queries * 5
+        with pytest.raises(ValueError, match="shortlist"):
+            similarity.ann_recall_estimate(spark, t, shortlist=10)
+        with pytest.raises(ValueError, match="sample_ppm"):
+            similarity.ann_recall_estimate(spark, t, sample_ppm=0)
+    finally:
+        for s in ("", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_rcx{s}")
+
+
+def test_ann_recall_estimate_pq_refine_recovers_adc_loss(spark,
+                                                         tmp_path):
+    """The harness measures the ADC→refine recall ladder on a PQ
+    index: raw ADC probes (truth = exact L2) lose recall to
+    quantization; the same index probed with a shortlist + exact
+    re-rank (truth = exact cosine) recovers it. A PQ index without
+    the float corpus fails by name."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    n, d = 300, 16
+    X = rng.normal(size=(n, d))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    t = "t_rcpq"
+    try:
+        similarity.ivf_pq_index_write(
+            emb, t, str(tmp_path / "i"), n_centroids=4, m=4, nbits=4,
+            train_iters=1, codebook_iters=2, residual=True)
+        adc = similarity.ann_recall_estimate(
+            spark, t, k=5, nprobes=(4,), sample_ppm=60_000,
+            emb=emb).collect()[0]
+        # the (nprobe × shortlist) sizing GRID in one call
+        grid = {r.shortlist: r for r in similarity.ann_recall_estimate(
+            spark, t, k=5, nprobes=(4,), sample_ppm=60_000,
+            emb=emb, shortlist=(20, 80)).collect()}
+        ref = grid[80]
+        assert set(grid) == {20, 80} and adc.shortlist == 0
+        assert grid[20].recall <= ref.recall   # wider shortlist helps
+        # full-cell probe + wide shortlist + exact re-rank ≈ exact
+        assert ref.recall >= adc.recall
+        assert ref.recall >= 0.9
+        with pytest.raises(ValueError, match="float corpus"):
+            similarity.ann_recall_estimate(spark, t)
+    finally:
+        for s in ("", "_centroids", "_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS t_rcpq{s}")
+
+
+def test_streaming_ann_auto_compacts_with_retrain(spark, tmp_path):
+    """r9: the ANN stream's compact_every hook — two appends trigger
+    an in-stream RETRAINING compaction of the float index (the drift
+    story, now scheduled instead of operator-driven): the quantizer
+    version bumps, the serving session probes the swapped tables (a
+    later batch still finds its cross-batch twin), and requesting
+    retrain on a PQ index fails by name at launch (sub-codes can't
+    retrain without the float corpus)."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+    from georiva_spark.streaming import start_ann_stream
+
+    rng = np.random.default_rng(71)
+    centers = rng.normal(size=(4, 8)) * 4
+    base = np.repeat(centers, 5, axis=0) + rng.normal(scale=0.2,
+                                                      size=(20, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    landing = tmp_path / "annc_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "annc_out"), str(tmp_path / "annc_ckpt")
+    cdir = str(tmp_path / "annc_compact")
+    schema = "vec_id long, embedding array<double>"
+    novel = -centers[0] + rng.normal(scale=0.1, size=8)
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_ann_stream(src, "t_annc", out, ckpt, k=3, nprobe=2,
+                             compact_every=2, compact_dir=cdir,
+                             retrain_iters=1)
+        q.awaitTermination(180)
+
+    try:
+        similarity.ivf_index_write(emb, "t_annc", str(tmp_path / "ix"),
+                                   n_centroids=4, train_iters=1)
+        drop("b0", [(101, [float(v) for v in novel])])
+        drop("b1", [(102, [float(v) for v in base[3] + 0.01])])
+        cycle()                     # 2 appends → retraining compaction
+        props = {r.key: r.value for r in
+                 spark.sql("SHOW TBLPROPERTIES t_annc").collect()}
+        assert props["georiva.quantizer_version"] == "2"
+        # post-compaction batch probes the RETRAINED swapped index
+        drop("b2", [(200, [float(v) for v in novel + 0.01])])
+        cycle()
+        from georiva_spark.streaming import read_ann_neighbors
+        by_q = {}
+        for r in read_ann_neighbors(spark, out).collect():
+            by_q.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+        assert max(by_q[200], key=lambda t: t[1])[0] == 101
+        assert spark.table("t_annc").count() == 23
+        # PQ + retrain refuses at launch, by name
+        similarity.ivf_pq_index_write(
+            emb, "t_anncpq", str(tmp_path / "ixpq"), n_centroids=4,
+            m=4, nbits=4)
+        with pytest.raises(ValueError, match="retrain_iters"):
+            start_ann_stream(
+                spark.readStream.schema(schema)
+                .parquet(str(landing) + "/*"),
+                "t_anncpq", out, ckpt, compact_every=2,
+                compact_dir=cdir, retrain_iters=1)
+    finally:
+        for t in ("t_annc", "t_annc_centroids", "t_anncpq",
+                  "t_anncpq_centroids", "t_anncpq_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
