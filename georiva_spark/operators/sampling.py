@@ -302,6 +302,151 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
                   "__tb_off"))
 
 
+def token_budget_epochs(docs: DataFrame, budget_tokens: int,
+                        max_epochs: int = 4,
+                        strata_col: str = "source",
+                        key_col: str = "doc_id",
+                        text_col: str = "text",
+                        salt: str = "budget",
+                        coarse_buckets: int = 1000) -> DataFrame:
+    """Token-budget draw with EPOCH up-sampling — the "epochs" column
+    of an LLM data-recipe table (LLaMA, arXiv:2302.13971 Table 1:
+    high-quality sources repeat ~2 epochs while web crawl runs <1):
+    when a stratum holds fewer tokens than its budget,
+    :func:`token_budget_sample` just yields everything once; real
+    recipes REPEAT the starved stratum. Here the virtual corpus is
+    docs × epochs (each epoch a DIFFERENT deterministic permutation —
+    epoch e orders by md5 of ``salt#e{e}``, so the loader never
+    replays the same order) and the kept set is the virtual prefix
+    that first covers ``budget_tokens``: epochs before the crossing
+    epoch keep every document, the crossing epoch is a prefix draw
+    over its own permutation (crossing doc included), epochs after it
+    are dropped, and ``max_epochs`` caps repetition (the
+    over-repetition guard — Muennighoff et al. 2023 measure the decay
+    past ~4 epochs). ``max_epochs=1`` degenerates to
+    :func:`token_budget_sample` membership (same salt at epoch 0).
+
+    Scale shape: one bounded per-stratum token-total agg → the driver
+    derives each stratum's crossing epoch and residual budget; FULL
+    epochs are a broadcast-joined in-row ``sequence`` explode (no
+    shuffle — the fan-out never leaves the partition); only the
+    crossing epoch runs the two-phase prefix draw (bounded
+    (stratum, coarse) histogram → broadcast boundary prune →
+    (stratum, coarse)-keyed window — the :func:`token_budget_sample`
+    shape, never one task per stratum). NULL text counts 0 tokens;
+    NULL strata sample like any other stratum.
+    → input columns + (epoch int, n_tokens long)."""
+    taken = {"epoch", "n_tokens", "__tbe_bk", "__tbe_coarse",
+             "__tbe_cum", "__tbe_s", "__tbe_c", "__tbe_off",
+             "__tbe_res", "__tbe_full", "__tbe_salt"} \
+        & set(docs.columns)
+    if taken:
+        raise ValueError(
+            f"token_budget_epochs: input already has column(s) "
+            f"{sorted(taken)} — rename first")
+    if max_epochs < 1:
+        raise ValueError(
+            f"token_budget_epochs: max_epochs={max_epochs} must be "
+            f">= 1")
+    if not 1 <= coarse_buckets <= _BUCKETS or _BUCKETS % coarse_buckets:
+        raise ValueError(
+            f"token_budget_epochs: coarse_buckets={coarse_buckets} "
+            f"must divide {_BUCKETS}")
+    width = _BUCKETS // coarse_buckets
+    ntok = F.when(F.col(text_col).isNull()
+                  | (F.length(F.trim(F.col(text_col))) == 0), F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col(text_col)),
+                                      r"\s+"))).cast("long")
+    base = docs.withColumn("n_tokens", ntok)
+    # phase 1: bounded per-stratum token totals → crossing epochs
+    totals = {r[0]: r[1] for r in
+              base.groupBy(strata_col)
+              .agg(F.sum("n_tokens").alias("__t")).collect()}
+    spark = docs.sparkSession
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+    s_type = next(f for f in docs.schema.fields
+                  if f.name == strata_col).dataType
+    # per stratum: n_full fully-kept epochs; the crossing epoch
+    # (index n_full) draws a residual-budget prefix — absent when the
+    # cap cuts first or the budget is an exact multiple
+    plan_rows = []       # (stratum, n_full, residual, epoch_salt)
+    for s, t_s in totals.items():
+        if t_s <= 0:
+            # zero-token stratum: every doc rides epoch 0 (cum 0
+            # never reaches a positive budget)
+            plan_rows.append((s, 1 if budget_tokens > 0 else 0, 0, ""))
+            continue
+        n_full = min(max_epochs, budget_tokens // t_s)
+        residual = budget_tokens - n_full * t_s
+        if n_full == max_epochs or residual <= 0:
+            plan_rows.append((s, n_full, 0, ""))
+        else:
+            e = n_full
+            esalt = salt if e == 0 else f"{salt}#e{e}"
+            plan_rows.append((s, n_full, residual, esalt))
+    plan_schema = StructType([
+        StructField("__tbe_s", s_type, True),
+        StructField("__tbe_full", IntegerType(), False),
+        StructField("__tbe_res", LongType(), False),
+        StructField("__tbe_salt", StringType(), False)])
+    plan = F.broadcast(spark.createDataFrame(plan_rows, plan_schema))
+    joined = base.join(plan,
+                       base[strata_col].eqNullSafe(plan["__tbe_s"]),
+                       "inner")
+    # full epochs: in-row sequence explode, no shuffle
+    full = (joined.where(F.col("__tbe_full") > 0)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), F.col("__tbe_full") - 1)))
+            .drop("__tbe_s", "__tbe_full", "__tbe_res", "__tbe_salt"))
+    # crossing epoch: the two-phase prefix draw under that epoch's salt
+    part = joined.where(F.col("__tbe_res") > 0)
+    h = F.md5(F.concat_ws(":", F.col("__tbe_salt"),
+                          F.col(key_col).cast("string")))
+    bk = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
+    part = (part.withColumn("__tbe_bk", bk)
+            .withColumn("__tbe_coarse",
+                        (F.col("__tbe_bk") / width).cast("int")))
+    hist = (part.groupBy(strata_col, "__tbe_coarse")
+            .agg(F.sum("n_tokens").alias("__t")).collect())
+    per: dict = {}
+    for r in hist:
+        per.setdefault(r[0], {})[r[1]] = r[2]
+    res_by_s = {s: res for s, _, res, _ in plan_rows if res > 0}
+    off_rows = []
+    for s, hbuckets in per.items():
+        run = 0
+        res = res_by_s[s]
+        for c in sorted(hbuckets):
+            off_rows.append((s, c, run))
+            run += hbuckets[c]
+            if run >= res:
+                break
+    off_schema = StructType([
+        StructField("__tbe_s2", s_type, True),
+        StructField("__tbe_c", IntegerType(), False),
+        StructField("__tbe_off", LongType(), False)])
+    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    from pyspark.sql import Window
+    pj = part.join(offsets,
+                   part[strata_col].eqNullSafe(offsets["__tbe_s2"])
+                   & (part["__tbe_coarse"] == offsets["__tbe_c"]),
+                   "inner")
+    w = (Window.partitionBy(strata_col, "__tbe_coarse")
+         .orderBy(F.col("__tbe_bk").asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    partial = (pj.withColumn(
+        "__tbe_cum",
+        F.col("__tbe_off") + F.sum("n_tokens").over(w))
+        .where(F.col("__tbe_cum") - F.col("n_tokens")
+               < F.col("__tbe_res"))
+        .withColumn("epoch", F.col("__tbe_full"))
+        .drop("__tbe_s", "__tbe_full", "__tbe_res", "__tbe_salt",
+              "__tbe_bk", "__tbe_coarse", "__tbe_s2", "__tbe_c",
+              "__tbe_off", "__tbe_cum"))
+    return full.unionByName(partial)
+
+
 def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
                       strata_col: str | None = None, bins: int = 2000,
                       score_min: float = 0.0, score_max: float = 1.0,

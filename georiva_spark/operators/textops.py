@@ -1176,3 +1176,44 @@ def train_linear_classifier(docs: DataFrame, label: Column,
             w[row.j] -= lr * float(row.g)
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s")))
     return w, scores(w).select("doc_id", prob.alias("prob"))
+
+
+def corpus_stats(docs: DataFrame, dims: tuple = ("lang", "source"),
+                 text_col: str = "text") -> DataFrame:
+    """Corpus DATACARD rollup — the composition table every released
+    training set ships (per-language / per-source document and token
+    counts, e.g. the composition tables of LLaMA / The Pile / ROOTS):
+    ONE pass over the corpus aggregates doc count, whitespace-token
+    sum, char sum, and mean doc length for every CUBE combination of
+    ``dims`` (each dim alone, together, and the grand total). Rollup
+    cells print ``<all>`` so a genuine NULL stratum stays
+    distinguishable from the aggregate row (F.grouping disambiguates
+    — a bare NULL would conflate the two).
+
+    Scale shape: `cube` is ONE shuffle with map-side partial
+    aggregation — each map task ships ≤ 2^|dims| partial rows per
+    observed group, the output is bounded by the stratum-combination
+    count (languages × sources), and the mean is ONE exact division
+    of the two integer aggregates (never a float fold, and never
+    rounded — identical operands give bit-identical IEEE quotients in
+    any engine, where rounding would re-introduce .5-boundary
+    divergence)."""
+    ntok = F.when(F.col(text_col).isNull()
+                  | (F.length(F.trim(F.col(text_col))) == 0), F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col(text_col)),
+                                      r"\s+"))).cast("long")
+    nchr = F.coalesce(F.length(text_col).cast("long"), F.lit(0))
+    base = docs.withColumn("__ct_nt", ntok).withColumn("__ct_nc", nchr)
+    markers = [F.when(F.grouping(d) == 1, F.lit("<all>"))
+               .otherwise(F.col(d).cast("string")).alias(f"__m_{d}")
+               for d in dims]
+    g = base.cube(*dims).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__ct_nt").cast("long").alias("sum_tokens"),
+        F.sum("__ct_nc").cast("long").alias("sum_chars"),
+        *markers)
+    return g.select(
+        *[F.col(f"__m_{d}").alias(d) for d in dims],
+        "n_docs", "sum_tokens", "sum_chars",
+        (F.col("sum_tokens").cast("double") / F.col("n_docs"))
+        .alias("avg_doc_tokens"))

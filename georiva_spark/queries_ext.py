@@ -669,6 +669,98 @@ FROM c WHERE cum_tokens - n_tokens < 2000
 """
 
 
+def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch up-sampling token budget (r9 — the LLaMA recipe-table
+    'epochs' column): each lang's budget exceeds its token total, so
+    epoch 0 keeps everything and the crossing epoch draws a residual
+    prefix over its OWN md5 permutation (salt '#e1'), capped at
+    max_epochs. The oracle replays the per-stratum totals, the
+    crossing-epoch arithmetic, the full-epoch fan-out, and the
+    residual prefix draw — memberships AND epochs hash-match."""
+    from georiva_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.token_budget_epochs(docs, budget_tokens=8_000,
+                                       max_epochs=3, strata_col="lang")
+    return out.select("doc_id", "lang", "epoch", "n_tokens")
+
+
+SQL_TOKEN_BUDGET_EPOCHS = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT lang, SUM(n_tokens) AS ts FROM t GROUP BY lang),
+plan AS (SELECT lang, ts,
+                LEAST(3, 8000 // ts) AS n_full,
+                8000 - LEAST(3, 8000 // ts) * ts AS residual
+         FROM tot WHERE ts > 0),
+full_rows AS (
+  SELECT t.doc_id, t.lang, CAST(e.epoch AS INTEGER) AS epoch,
+         t.n_tokens
+  FROM t JOIN plan USING (lang)
+  CROSS JOIN LATERAL unnest(range(0, CAST(plan.n_full AS BIGINT)))
+    AS e(epoch)),
+part AS (
+  SELECT t.doc_id, t.lang, t.n_tokens, plan.n_full, plan.residual,
+         CAST('0x' || substring(md5(
+             (CASE WHEN plan.n_full = 0 THEN 'budget'
+                   ELSE 'budget#e' || plan.n_full END)
+             || ':' || CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 AS bucket
+  FROM t JOIN plan USING (lang)
+  WHERE plan.n_full < 3 AND plan.residual > 0),
+pc AS (
+  SELECT doc_id, lang, n_tokens, n_full, residual,
+         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY bucket, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM part)
+SELECT doc_id, lang, epoch, n_tokens FROM full_rows
+UNION ALL
+SELECT doc_id, lang, CAST(n_full AS INTEGER) AS epoch, n_tokens
+FROM pc WHERE cum - n_tokens < residual
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datacard rollup (r9): the per-language × per-source
+    composition table a released training set ships — doc counts,
+    whitespace-token and char sums, mean doc length — for every CUBE
+    combination in ONE pass (map-side-combined, output bounded by the
+    stratum combinations). Rollup cells print '<all>' via GROUPING()
+    so genuine NULL strata stay distinguishable. The oracle recomputes
+    the cube with the same token convention; the mean is one exact
+    integer division (no rounding, no float fold)."""
+    from georiva_spark.operators.textops import corpus_stats
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(docs, dims=("lang", "source"))
+
+
+SQL_CORPUS_STATS = """
+WITH t AS (
+  SELECT lang, source,
+         CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS n_tokens,
+         CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars_
+  FROM documents)
+SELECT
+  CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+       ELSE CAST(lang AS VARCHAR) END AS lang,
+  CASE WHEN GROUPING(source) = 1 THEN '<all>'
+       ELSE CAST(source AS VARCHAR) END AS source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(n_chars_) AS BIGINT) AS sum_chars,
+  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
+FROM t
+GROUP BY CUBE (lang, source)
+"""
+
+
 def q_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-X%-by-score quality cut (r8): keep the top 30% of each
     lang's documents by score (n_chars stands in for a model score)
@@ -5942,6 +6034,8 @@ EXT_QUERIES = {
     "cluster_split": q_cluster_split,
     "shuffle_shards": q_shuffle_shards,
     "token_budget": q_token_budget,
+    "token_budget_epochs": q_token_budget_epochs,
+    "corpus_stats": q_corpus_stats,
     "shard_export": q_shard_export,
     "quality_threshold": q_quality_threshold,
     "training_pipeline": q_training_pipeline,
@@ -6070,6 +6164,8 @@ EXT_ORACLES = {
     "cluster_split": SQL_CLUSTER_SPLIT,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "token_budget": SQL_TOKEN_BUDGET,
+    "token_budget_epochs": SQL_TOKEN_BUDGET_EPOCHS,
+    "corpus_stats": SQL_CORPUS_STATS,
     "shard_export": SQL_SHARD_EXPORT,
     "quality_threshold": SQL_QUALITY_THRESHOLD,
     "training_pipeline": SQL_TRAINING_PIPELINE,

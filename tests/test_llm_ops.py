@@ -1179,6 +1179,75 @@ def test_token_budget_two_phase_matches_single_window(spark):
                                      coarse_buckets=7)
 
 
+def test_token_budget_epochs_upsamples_starved_strata(spark):
+    """r9 epoch up-sampling (the LLaMA recipe-table 'epochs' column):
+    a stratum smaller than its budget REPEATS — full epochs keep every
+    doc, the crossing epoch is a prefix draw over its OWN permutation
+    (different salt per epoch), max_epochs caps repetition, and
+    max_epochs=1 degenerates to token_budget_sample membership."""
+    from georiva_spark.operators import sampling
+    rows = [(i, "en", "t " * 10) for i in range(100)]     # 1000 tok
+    rows += [(1000 + i, "de", "a b c") for i in range(3)]  # 9 tok
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    out = sampling.token_budget_epochs(
+        docs, budget_tokens=2_500, max_epochs=4,
+        strata_col="lang").collect()
+    en = [r for r in out if r.lang == "en"]
+    de = [r for r in out if r.lang == "de"]
+    by_epoch: dict = {}
+    for r in en:
+        by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+    # en: epochs 0,1 full (2×100 docs), epoch 2 a 500-token prefix
+    assert len(by_epoch[0]) == 100 and len(by_epoch[1]) == 100
+    assert len(by_epoch[2]) == 50 and set(by_epoch) == {0, 1, 2}
+    # the crossing epoch's permutation differs from epoch 0's order:
+    # its 50-doc prefix is NOT the epoch-0 md5-order prefix
+    e0_prefix = {r.doc_id for r in sampling.token_budget_sample(
+        docs.where("lang = 'en'"), budget_tokens=500,
+        strata_col="lang").collect()}
+    assert by_epoch[2] != e0_prefix
+    # de starved even ×4: the cap holds, every epoch full
+    assert {r.epoch for r in de} == {0, 1, 2, 3}
+    assert len(de) == 12
+    # degenerate: max_epochs=1 == token_budget_sample membership
+    one = sampling.token_budget_epochs(
+        docs, budget_tokens=500, max_epochs=1, strata_col="lang")
+    ref = sampling.token_budget_sample(docs, budget_tokens=500,
+                                       strata_col="lang")
+    assert ({(r.doc_id, r.epoch) for r in one.collect()}
+            == {(r.doc_id, 0) for r in ref.collect()})
+    # exact multiple: no partial epoch appears
+    two = sampling.token_budget_epochs(
+        docs.where("lang = 'en'"), budget_tokens=2_000, max_epochs=4,
+        strata_col="lang").collect()
+    assert {r.epoch for r in two} == {0, 1} and len(two) == 200
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.token_budget_epochs(docs, 10, max_epochs=0,
+                                     strata_col="lang")
+
+
+def test_corpus_stats_cube_disambiguates_null_strata(spark):
+    """r9 datacard rollup: one cube pass yields per-(lang, source),
+    per-dim, and grand-total rows; rollup cells print '<all>' while a
+    GENUINE NULL stratum stays NULL (GROUPING() disambiguation); the
+    mean is the exact integer-sum quotient."""
+    from georiva_spark.operators.textops import corpus_stats
+    docs = spark.createDataFrame(
+        [(1, "en", "web", "a b c"), (2, "en", "book", "d e"),
+         (3, None, "web", "f"), (4, "de", "web", None)],
+        "doc_id long, lang string, source string, text string")
+    rows = {(r.lang, r.source): r for r in corpus_stats(docs).collect()}
+    # 4 observed (lang, source) pairs + 3 lang rollups + 2 source
+    # rollups + 1 grand total
+    assert len(rows) == 10
+    total = rows[("<all>", "<all>")]
+    assert (total.n_docs, total.sum_tokens, total.sum_chars) == (4, 6, 9)
+    assert rows[(None, "<all>")].n_docs == 1   # NULL lang ≠ rollup
+    assert rows[("de", "web")].sum_tokens == 0   # NULL text = 0 tokens
+    assert rows[("en", "<all>")].avg_doc_tokens == 2.5
+
+
 def test_kmeans_fit_recovers_planted_blobs(spark):
     rng = np.random.default_rng(7)
     centers = np.array([[8.0] * 16, [-8.0] * 16,

@@ -615,6 +615,18 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
                   if "Exchange hashpartitioning" in ln][0]
             assert "__tb_coarse" in ex      # two-phase: never 1 task/stratum
             assert "BroadcastHashJoin" in phys   # bounded offsets broadcast
+    # epoch up-sampling: the full-epoch fan-out is an in-row sequence
+    # explode behind a broadcast join (zero exchange); only the
+    # crossing epoch's residual draw pays the (stratum, coarse) window
+    plan = _plan(QUERIES["token_budget_epochs"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    n_ex = phys.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"token_budget_epochs: {n_ex} hash exchanges"
+    ex = [ln for ln in phys.splitlines()
+          if "Exchange hashpartitioning" in ln][0]
+    assert "__tbe_coarse" in ex
+    assert "Exchange rangepartitioning" not in phys
+    assert "CartesianProduct" not in phys
     # the quality cut's returned frame is a PURE SCAN PREDICATE — the
     # bounded histogram ran at plan build, thresholds are literals, so
     # a percentile cut costs zero exchanges and zero sorts at read time

@@ -275,6 +275,24 @@ def main():
           f"({n/el/1e6:.2f}M docs/s) -> {ntbs} docs kept "
           f"(~{int(0.55 * n)} expected)")
 
+    # r9 epoch up-sampling on the same skewed corpus: the budget is a
+    # few epochs of a tail stratum, so the 90% stratum draws a partial
+    # epoch 0 while each ~2% tail stratum repeats across epochs up to
+    # the max_epochs cap — the LLaMA-recipe "epochs" column
+    # (measured: en→1 epoch, tails→4 incl. the capped partial, 16.4s)
+    tail_tokens = int(0.025 * n * L)
+    t0 = time.perf_counter()
+    tbe = sampling.token_budget_epochs(
+        skew, budget_tokens=int(2.5 * tail_tokens), max_epochs=4,
+        strata_col="dlang")
+    ne = (tbe.groupBy("dlang", "epoch").count()
+          .groupBy("dlang").count().collect())
+    el = time.perf_counter() - t0
+    n_epochs = {r[0]: r[1] for r in ne}
+    print(f"token_budget_epochs (2.5 tail-epochs budget): {el:.1f}s "
+          f"-> epochs per stratum: en={n_epochs.get('en')} (partial "
+          f"e0), tails={ {k: v for k, v in n_epochs.items() if k != 'en'} }")
+
     t0 = time.perf_counter()
     lb = textops.lm_score_bigram(docs, top_k=50_000,
                                  top_k_bigrams=200_000)
