@@ -71,6 +71,21 @@ def main(n=500_000, d=64, blobs=16):
     same_blob = sum(1 for r in top if r.vec_id % blobs == 0)
     print(f"trained probe: {dt:.2f}s  top10-from-query-blob={same_blob}/10")
 
+    # r9: the recall-calibration harness at 500k — the sizing loop a
+    # production user runs before committing to an nprobe: ~50 md5-
+    # sampled queries, exact ground truth (one corpus scan vs the
+    # broadcast sample), probes through the serving path
+    t0 = time.time()
+    ladder = similarity.ann_recall_estimate(
+        spark, "t_smk_trained", k=10, nprobes=(1, 2, 4),
+        sample_ppm=100).collect()
+    dt = time.time() - t0
+    lad = {r.nprobe: r.recall for r in ladder}
+    nq = ladder[0].n_queries
+    print(f"recall ladder ({nq} queries, {dt:.1f}s): "
+          + "  ".join(f"nprobe={p}: {lad[p]:.3f}" for p in sorted(lad)))
+    assert lad[1] <= lad[2] <= lad[4]
+
     # PQ index: bytes vs float index
     t0 = time.time()
     similarity.ivf_pq_index_write(emb, "t_smk_pq",
