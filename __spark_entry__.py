@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (r9 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
     "training_pipeline", "ann_recall", "ann_recall_pq",
-    "token_budget_epochs", "corpus_stats",
+    "token_budget_epochs", "corpus_stats", "minhash_recall",
 ]
 
 

@@ -63,7 +63,7 @@ HEADLINE = [
     # the ANN recall-calibration harness (sampled exact ground truth
     # + probes at two nprobe settings)
     "training_pipeline", "ann_recall", "ann_recall_pq",
-    "token_budget_epochs", "corpus_stats",
+    "token_budget_epochs", "corpus_stats", "minhash_recall",
 ]
 
 

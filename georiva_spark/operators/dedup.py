@@ -1326,3 +1326,79 @@ def minhash_index_probe(new_docs: DataFrame, table: str,
     return (cand.join(a, "doc_new").join(b, "doc_old")
             .select("doc_new", "doc_old", est.alias("est_jaccard"))
             .where(F.col("est_jaccard") >= threshold))
+
+
+def minhash_recall_estimate(docs: DataFrame, threshold: float = 0.5,
+                            sample_ppm: int = 50_000,
+                            num_hashes: int = 64, bands: int = 16,
+                            n: int = 3, key_col: str = "doc_id",
+                            text_col: str = "text",
+                            salt: str = "mh-recall",
+                            portable: bool = False) -> DataFrame:
+    """Banding-parameter CALIBRATION for the MinHash-LSH family — the
+    text-index sibling of
+    :func:`~georiva_spark.operators.similarity.ann_recall_estimate`:
+    before committing a 100-TB corpus to (num_hashes, bands), measure
+    on an md5 document sample what the pipeline actually catches.
+    Ground truth is EXACT n-gram Jaccard over all pairs within the
+    bounded sample; the candidate is :func:`minhash_lsh_pairs` at the
+    same (num_hashes, bands, threshold) — so the measured recall is
+    END-TO-END (banding misses + estimator error together, the number
+    that matters) and precision counts flagged pairs whose true
+    Jaccard clears the threshold.
+
+    Scale shape: the sample is ppm-bounded, the exact all-pairs truth
+    runs only within it (the explicit ``max_doc_freq=None`` opt-in —
+    safe because the input is the sample, never the corpus), the
+    banded side is the production path on the same sample, and the
+    final reconciliation joins two pair sets bounded by the sample's
+    near-dup density. → ONE row: (threshold, num_hashes, bands,
+    n_docs, true_pairs, caught_pairs, recall, flagged_pairs,
+    precision); recall/precision are NULL when their denominator is
+    empty (no true / no flagged pairs in the sample — raise
+    sample_ppm)."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
+    if not 0 < sample_ppm <= 1_000_000:
+        raise ValueError(
+            f"minhash_recall_estimate: sample_ppm={sample_ppm} must "
+            f"be in (0, 1_000_000]")
+    h = F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % 1_000_000
+    sample = persist_bounded(
+        docs.where(bucket < sample_ppm),
+        "minhash_recall_estimate.sample", StorageLevel.MEMORY_AND_DISK)
+    truth = (ngram_jaccard_pairs(sample, n=n, threshold=threshold,
+                                 text_col=text_col, max_doc_freq=None)
+             .select("doc_a", "doc_b"))
+    got = (minhash_lsh_pairs(sample, num_hashes=num_hashes,
+                             bands=bands, threshold=threshold, n=n,
+                             text_col=text_col, portable=portable)
+           .select("doc_a", "doc_b"))
+    u = (truth.withColumn("__t", F.lit(1)).withColumn("__g", F.lit(0))
+         .unionByName(got.withColumn("__t", F.lit(0))
+                      .withColumn("__g", F.lit(1))))
+    flat = (u.groupBy("doc_a", "doc_b")
+            .agg(F.max("__t").alias("t"), F.max("__g").alias("g")))
+    n_docs = sample.count()
+    # a pair-free sample leaves flat EMPTY: coalesce the sums so the
+    # counts read 0 and only the ratios go NULL
+    ts = F.coalesce(F.sum("t"), F.lit(0))
+    gs = F.coalesce(F.sum("g"), F.lit(0))
+    both = F.coalesce(F.sum(F.col("t") * F.col("g")), F.lit(0))
+    return flat.agg(
+        F.lit(float(threshold)).alias("threshold"),
+        F.lit(int(num_hashes)).cast("int").alias("num_hashes"),
+        F.lit(int(bands)).cast("int").alias("bands"),
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        ts.cast("long").alias("true_pairs"),
+        both.cast("long").alias("caught_pairs"),
+        F.when(ts > 0, F.round(both.cast("double") / ts, 6))
+        .alias("recall"),
+        gs.cast("long").alias("flagged_pairs"),
+        F.when(gs > 0, F.round(both.cast("double") / gs, 6))
+        .alias("precision"))

@@ -761,6 +761,90 @@ GROUP BY CUBE (lang, source)
 """
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding-parameter calibration (r9 — the text-family
+    sibling of ann_recall): on a 60% md5 document sample, exact
+    3-gram Jaccard ground truth over all within-sample pairs vs the
+    production minhash_lsh_pairs path at the same (64, 16, 0.3) —
+    end-to-end recall (banding misses + estimator error together) and
+    precision. The oracle replays the sample, the exact Jaccard, the
+    portable-hash banding + estimates, and the reconciliation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_recall_estimate(
+        docs, threshold=0.3, sample_ppm=600_000, portable=True)
+
+
+def _sql_minhash_recall(threshold: float = 0.3,
+                        sample_ppm: int = 600_000,
+                        num_hashes: int = 64, bands: int = 16) -> str:
+    """Replay minhash_recall_estimate: md5 sample → exact Jaccard
+    truth (string 3-shingles — same set semantics as the hashed
+    shingle sets) → portable minhash banding + est-Jaccard → pair-set
+    reconciliation with NULL-safe ratios."""
+    a, b = dedup.minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(s, v -> "
+        f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+        f" % 18446744073709551616))" for j in range(num_hashes))
+    unsig = ("list_transform(u, m -> CAST(CASE "
+             "WHEN m >= 9223372036854775808 "
+             "THEN m - 18446744073709551616 ELSE m END AS BIGINT))")
+    est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
+           f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
+    jac = "CAST(inter AS DOUBLE) / (sa2.sz + sb2.sz - inter)"
+    return f"""
+WITH smp AS (SELECT doc_id, text FROM documents
+             WHERE CAST('0x' || substring(md5('mh-recall:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 1000000 < {sample_ppm}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM smp),
+shs AS (SELECT doc_id, list_distinct(
+    list_transform(range(0, greatest(len(t)-3, 0)+1),
+                   i -> {_SHINGLE_STR})) AS s FROM toks),
+sizes AS (SELECT doc_id, len(s) AS sz FROM shs),
+inv AS (SELECT doc_id, unnest(s) AS g FROM shs),
+ip AS (SELECT l.doc_id AS doc_a, r2.doc_id AS doc_b, COUNT(*) AS inter
+       FROM inv l JOIN inv r2 ON l.g = r2.g AND l.doc_id < r2.doc_id
+       GROUP BY 1, 2),
+truth AS (SELECT doc_a, doc_b
+          FROM ip JOIN sizes sa2 ON sa2.doc_id = doc_a
+                  JOIN sizes sb2 ON sb2.doc_id = doc_b
+          WHERE {jac} >= {threshold}),
+shh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM toks),
+sigu AS (SELECT doc_id, [{mins}] AS u FROM shh),
+sig AS (SELECT doc_id, {unsig} AS sig FROM sigu),
+banded AS (SELECT doc_id, sig, bb.band AS band,
+                  sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+           FROM sig CROSS JOIN
+                (SELECT unnest(range(0, {bands})) AS band) bb),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r2.doc_id AS doc_b,
+                l.sig AS sa, r2.sig AS sb
+         FROM banded l JOIN banded r2
+           ON l.band = r2.band AND l.key = r2.key
+              AND l.doc_id < r2.doc_id),
+got AS (SELECT doc_a, doc_b FROM cand WHERE {est} >= {threshold}),
+u AS (SELECT doc_a, doc_b, 1 AS t, 0 AS g FROM truth
+      UNION ALL SELECT doc_a, doc_b, 0, 1 FROM got),
+flat AS (SELECT doc_a, doc_b, MAX(t) AS t, MAX(g) AS g
+         FROM u GROUP BY doc_a, doc_b)
+SELECT {float(threshold)} AS threshold,
+       CAST({num_hashes} AS INTEGER) AS num_hashes,
+       CAST({bands} AS INTEGER) AS bands,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM smp) AS n_docs,
+       CAST(COALESCE(SUM(t), 0) AS BIGINT) AS true_pairs,
+       CAST(COALESCE(SUM(t * g), 0) AS BIGINT) AS caught_pairs,
+       CASE WHEN COALESCE(SUM(t), 0) > 0
+            THEN ROUND(CAST(SUM(t * g) AS DOUBLE) / SUM(t), 6)
+            END AS recall,
+       CAST(COALESCE(SUM(g), 0) AS BIGINT) AS flagged_pairs,
+       CASE WHEN COALESCE(SUM(g), 0) > 0
+            THEN ROUND(CAST(SUM(t * g) AS DOUBLE) / SUM(g), 6)
+            END AS precision
+FROM flat
+"""
+
+
 def q_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-X%-by-score quality cut (r8): keep the top 30% of each
     lang's documents by score (n_chars stands in for a model score)
@@ -3645,6 +3729,8 @@ FROM cand WHERE {est} >= {threshold}
 
 SQL_MINHASH_DEDUP = _sql_minhash(threshold=0.3)
 
+SQL_MINHASH_RECALL = _sql_minhash_recall()
+
 
 def _sql_fuzzy_decon(threshold: float = 0.5, num_hashes: int = 64,
                      bands: int = 16) -> str:
@@ -6036,6 +6122,7 @@ EXT_QUERIES = {
     "token_budget": q_token_budget,
     "token_budget_epochs": q_token_budget_epochs,
     "corpus_stats": q_corpus_stats,
+    "minhash_recall": q_minhash_recall,
     "shard_export": q_shard_export,
     "quality_threshold": q_quality_threshold,
     "training_pipeline": q_training_pipeline,
@@ -6166,6 +6253,7 @@ EXT_ORACLES = {
     "token_budget": SQL_TOKEN_BUDGET,
     "token_budget_epochs": SQL_TOKEN_BUDGET_EPOCHS,
     "corpus_stats": SQL_CORPUS_STATS,
+    "minhash_recall": SQL_MINHASH_RECALL,
     "shard_export": SQL_SHARD_EXPORT,
     "quality_threshold": SQL_QUALITY_THRESHOLD,
     "training_pipeline": SQL_TRAINING_PIPELINE,

@@ -1229,3 +1229,99 @@ def test_streaming_ann_auto_compacts_with_retrain(spark, tmp_path):
         for t in ("t_annc", "t_annc_centroids", "t_anncpq",
                   "t_anncpq_centroids", "t_anncpq_codebook"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_ann_opq_index_end_to_end(spark, tmp_path):
+    """r9: the probe-then-grow loop over an OPQ index — every
+    streamed query and every appended delta rotates against the
+    stamped sidecar inside the shared serving paths, so the
+    cross-batch twin is still found via the grown ROTATED index and
+    the layout/rotation plumbing is invisible to the loop."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+    from georiva_spark.streaming import (read_ann_neighbors,
+                                         start_ann_stream)
+
+    rng = np.random.default_rng(73)
+    d = 8
+    mix = rng.normal(size=(d, d)) * np.linspace(3, 0.1, d)[None, :]
+    centers = (rng.normal(size=(4, d)) * 4) @ mix.T
+    base = np.repeat(centers, 8, axis=0) + (
+        rng.normal(scale=0.2, size=(32, d)) @ mix.T)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(32)],
+        "vec_id long, embedding array<double>")
+    similarity.ivf_pq_index_write(
+        emb, "t_annopq", str(tmp_path / "ix"), n_centroids=4, m=4,
+        nbits=3, train_iters=1, codebook_iters=2, residual=True,
+        opq=True)
+    landing = tmp_path / "opq_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "opq_out"), str(tmp_path / "opq_ckpt")
+    schema = "vec_id long, embedding array<double>"
+    novel = (-centers[0] + rng.normal(scale=0.1, size=d) @ mix.T)
+    for name, rows in (("b0", [(101, [float(v) for v in novel])]),
+                       ("b1", [(200, [float(v) for v in novel])])):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+    try:
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_ann_stream(src, "t_annopq", out, ckpt, k=3, nprobe=2)
+        q.awaitTermination(180)
+        nbrs = read_ann_neighbors(spark, out).collect()
+        b200 = [r for r in nbrs if r.q_id == 200]
+        # the exact twin appended by batch 0, found through the
+        # rotated encode + rotated probe
+        assert min(b200, key=lambda r: r.adc_dist).vec_id == 101
+        assert spark.table("t_annopq").count() == 34
+    finally:
+        for s in ("", "_centroids", "_codebook", "_rotation"):
+            spark.sql(f"DROP TABLE IF EXISTS t_annopq{s}")
+
+
+def test_minhash_recall_estimate_measures_end_to_end_catch(spark):
+    """r9: the LSH calibration harness — exact Jaccard ground truth
+    within the sample vs the production banding path. Planted exact
+    dups are caught (recall counts them), sub-threshold pairs stay
+    out of the truth set, empty denominators yield NULL instead of a
+    divide-by-zero, and the estimate is invariant under
+    repartitioning."""
+    from georiva_spark.operators.dedup import minhash_recall_estimate
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base),                      # exact dup pair
+            (3, base.replace("alpha", "qq").replace("pi", "zz")),
+            (4, "totally different words entirely here nothing shared "
+                "with anything else in this corpus at all today")]
+    rows += [(10 + i, f"filler doc number {i} about unrelated topic "
+              f"{i} with words {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_recall_estimate(docs, threshold=0.5,
+                                  sample_ppm=1_000_000,
+                                  portable=True).collect()[0]
+    assert out.n_docs == 14
+    assert out.true_pairs >= 1                 # the exact dup at least
+    assert out.caught_pairs >= 1               # ...and LSH catches it
+    assert out.caught_pairs <= out.true_pairs
+    assert out.recall is not None and 0 < out.recall <= 1.0
+    assert out.precision is not None and 0 < out.precision <= 1.0
+    # invariance under partitioning
+    again = minhash_recall_estimate(docs.repartition(7), threshold=0.5,
+                                    sample_ppm=1_000_000,
+                                    portable=True).collect()[0]
+    assert (again.true_pairs, again.caught_pairs, again.flagged_pairs) \
+        == (out.true_pairs, out.caught_pairs, out.flagged_pairs)
+    # a sample with no near-dup pairs: NULL ratios, not divide-by-zero
+    lone = spark.createDataFrame(
+        [(1, "one single document with no partner in the sample")],
+        "doc_id long, text string")
+    empty = minhash_recall_estimate(lone, threshold=0.5,
+                                    sample_ppm=1_000_000).collect()[0]
+    assert empty.true_pairs == 0 and empty.recall is None
+    assert empty.flagged_pairs == 0 and empty.precision is None
+    with pytest.raises(ValueError, match="sample_ppm"):
+        minhash_recall_estimate(docs, sample_ppm=0)
