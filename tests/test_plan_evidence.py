@@ -627,6 +627,15 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
     assert "__tbe_coarse" in ex
     assert "Exchange rangepartitioning" not in phys
     assert "CartesianProduct" not in phys
+    # the datacard cube: ONE exchange with a map-side partial in front
+    # (expand ships <= 2^dims partial rows per observed group per map
+    # task), no sort anywhere
+    plan = _plan(QUERIES["corpus_stats"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange hashpartitioning") == 1
+    pre = phys.split("Exchange hashpartitioning")[1]
+    assert "HashAggregate" in pre        # partial agg below the exchange
+    assert "Sort" not in phys and "Expand" in phys
     # the quality cut's returned frame is a PURE SCAN PREDICATE — the
     # bounded histogram ran at plan build, thresholds are literals, so
     # a percentile cut costs zero exchanges and zero sorts at read time
