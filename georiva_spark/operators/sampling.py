@@ -219,10 +219,12 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
 
     1. ONE map-side-combined aggregation of token sums per
        (stratum, coarse md5-bucket range) — bounded by
-       strata × ``coarse_buckets`` rows — collects to the driver,
-       which computes each stratum's running prefix across coarse
-       buckets, the BOUNDARY bucket where the prefix first covers the
-       budget, and each pre-boundary bucket's starting offset.
+       strata × ``coarse_buckets`` rows — stays DISTRIBUTED: a
+       running-prefix window over the bounded histogram derives each
+       bucket's starting offset, and a bucket survives iff that
+       prefix is still under budget (nothing strata-proportional ever
+       reaches the driver — a 10k-strata per-domain draw costs the
+       same as 5 languages).
     2. The bounded (stratum, coarse, offset) frame broadcast-joins
        back (null-safe on the stratum, so NULL strata sample like any
        other); buckets past the boundary have no row and drop at the
@@ -255,35 +257,26 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
             .withColumn("__tb_bk", b)
             .withColumn("__tb_coarse",
                         (F.col("__tb_bk") / width).cast("int")))
-    # phase 1: bounded histogram (strata × coarse_buckets) → driver
-    hist = (base.groupBy(strata_col, "__tb_coarse")
-            .agg(F.sum("n_tokens").alias("__t")).collect())
-    per: dict = {}
-    for r in hist:
-        per.setdefault(r[0], {})[r[1]] = r[2]
-    # per stratum: prefix offsets per coarse bucket, stop past the
-    # boundary bucket (the one whose prefix first covers the budget)
-    spark = docs.sparkSession
-    off_rows = []
-    for s, h in per.items():
-        run = 0
-        for c in sorted(h):
-            off_rows.append((s, c, run))
-            run += h[c]
-            if run >= budget_tokens:
-                break                      # later buckets are all cut
-    from pyspark.sql.types import (IntegerType, LongType, StructField,
-                                   StructType)
-    s_field = next(f for f in docs.schema.fields
-                   if f.name == strata_col)
-    off_schema = StructType([
-        StructField("__tb_s", s_field.dataType, True),
-        StructField("__tb_c", IntegerType(), False),
-        StructField("__tb_off", LongType(), False)])
-    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    # phase 1: bounded histogram (strata × coarse_buckets), boundary
+    # derivation fully DISTRIBUTED — a coarse bucket survives iff the
+    # stratum's token prefix BEFORE it is still under budget (that
+    # prefix is its offset); nothing strata-proportional ever reaches
+    # the driver, so 10k+ strata cost the same as 5 (r9: the r8
+    # version collected the histogram and looped it driver-side)
+    from pyspark.sql import Window
+    hist = (base.groupBy(F.col(strata_col).alias("__tb_s"),
+                         F.col("__tb_coarse").alias("__tb_c"))
+            .agg(F.sum("n_tokens").alias("__t")))
+    woff = (Window.partitionBy("__tb_s").orderBy(F.col("__tb_c").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = F.broadcast(
+        hist.withColumn("__tb_off",
+                        (F.sum("__t").over(woff) - F.col("__t"))
+                        .cast("long"))
+        .where(F.col("__tb_off") < budget_tokens)
+        .select("__tb_s", "__tb_c", "__tb_off"))
     # phase 2: join = pre-boundary prune (no offsets row → dropped),
     # then the exact running sum inside each (stratum, coarse) slice
-    from pyspark.sql import Window
     joined = base.join(
         offsets,
         base[strata_col].eqNullSafe(offsets["__tb_s"])
@@ -407,27 +400,24 @@ def token_budget_epochs(docs: DataFrame, budget_tokens: int,
     part = (part.withColumn("__tbe_bk", bk)
             .withColumn("__tbe_coarse",
                         (F.col("__tbe_bk") / width).cast("int")))
-    hist = (part.groupBy(strata_col, "__tbe_coarse")
-            .agg(F.sum("n_tokens").alias("__t")).collect())
-    per: dict = {}
-    for r in hist:
-        per.setdefault(r[0], {})[r[1]] = r[2]
-    res_by_s = {s: res for s, _, res, _ in plan_rows if res > 0}
-    off_rows = []
-    for s, hbuckets in per.items():
-        run = 0
-        res = res_by_s[s]
-        for c in sorted(hbuckets):
-            off_rows.append((s, c, run))
-            run += hbuckets[c]
-            if run >= res:
-                break
-    off_schema = StructType([
-        StructField("__tbe_s2", s_type, True),
-        StructField("__tbe_c", IntegerType(), False),
-        StructField("__tbe_off", LongType(), False)])
-    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    # boundary derivation stays DISTRIBUTED (the token_budget_sample
+    # r9 shape): a coarse bucket survives iff the stratum's prefix
+    # before it is under the stratum's RESIDUAL budget (constant per
+    # stratum, riding the histogram agg)
     from pyspark.sql import Window
+    histe = (part.groupBy(F.col(strata_col).alias("__tbe_s2"),
+                          F.col("__tbe_coarse").alias("__tbe_c"))
+             .agg(F.sum("n_tokens").alias("__t"),
+                  F.first("__tbe_res").alias("__r")))
+    woff = (Window.partitionBy("__tbe_s2")
+            .orderBy(F.col("__tbe_c").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = F.broadcast(
+        histe.withColumn("__tbe_off",
+                         (F.sum("__t").over(woff) - F.col("__t"))
+                         .cast("long"))
+        .where(F.col("__tbe_off") < F.col("__r"))
+        .select("__tbe_s2", "__tbe_c", "__tbe_off"))
     pj = part.join(offsets,
                    part[strata_col].eqNullSafe(offsets["__tbe_s2"])
                    & (part["__tbe_coarse"] == offsets["__tbe_c"]),
@@ -495,10 +485,54 @@ def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
         F.greatest(F.lit(0), F.floor(
             (F.col(score_col).cast("double") - score_min)
             / width * bins).cast("int")))
-    hist = (docs.groupBy(strat.alias("__s"), bin_c.alias("__b"))
-            .count().collect())
+    hist_df = docs.groupBy(strat.alias("__s"), bin_c.alias("__b")) \
+        .count()
+    # one bounded action decides the path; the histogram itself only
+    # comes to the driver on the small-strata path
+    n_strata = hist_df.select("__s").distinct().count()
+    b = bin_c
+    bk = _bucket(F.col(key_col), salt)
+    if n_strata > case_strata_max:
+        # many-strata path (r9, fully distributed): per-stratum
+        # thresholds derive from windows over the BOUNDED histogram —
+        # nothing strata-proportional reaches the driver and the plan
+        # stays O(1) in strata (a 10k-arm CASE chain would grow it
+        # linearly; a 10k×bins driver collect would be millions of
+        # rows). Same exact integer arithmetic as the driver loop.
+        taken = {"__qt_s", "__qt_thr", "__qt_win"} & set(docs.columns)
+        if taken:
+            raise ValueError(
+                f"quality_threshold: input column(s) {sorted(taken)} "
+                f"collide with the threshold-join internals; rename "
+                f"first")
+        from pyspark.sql import Window
+        wtot = Window.partitionBy("__s")
+        wge = (Window.partitionBy("__s").orderBy(F.col("__b").desc())
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+        target = F.expr(f"(__n * {int(keep_ppm)}) div 1000000")
+        scored = (hist_df
+                  .withColumn("__n", F.sum("count").over(wtot))
+                  .withColumn("__ge", F.sum("count").over(wge))
+                  .withColumn("__tgt", target))
+        first_cover = (Window.partitionBy("__s")
+                       .orderBy(F.col("__b").desc()))
+        thr_df = F.broadcast(
+            scored.where(F.col("__ge") >= F.col("__tgt"))
+            .withColumn("__rn", F.row_number().over(first_cover))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col("__s").alias("__qt_s"),
+                F.col("__b").cast("int").alias("__qt_thr"),
+                F.expr("((__tgt - (__ge - count)) * 1000000) "
+                       "div count").cast("long").alias("__qt_win")))
+        joined = docs.join(thr_df, strat.eqNullSafe(F.col("__qt_s")),
+                           "inner")
+        keep = (b > F.col("__qt_thr")) | (
+            (b == F.col("__qt_thr")) & (bk < F.col("__qt_win")))
+        return joined.where(keep).drop("__qt_s", "__qt_thr", "__qt_win")
     per: dict = {}
-    for r in hist:
+    for r in hist_df.collect():
         per.setdefault(r["__s"], {})[r["__b"]] = r["count"]
     thr_ppm: dict = {}
     for s, h in per.items():
@@ -506,43 +540,13 @@ def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
         target = n_s * keep_ppm // 1_000_000
         cum = 0
         thr, within = bins, 0
-        for b in sorted(h, reverse=True):
-            if cum + h[b] >= target:
-                thr = b
-                within = (target - cum) * 1_000_000 // h[b]
+        for bn in sorted(h, reverse=True):
+            if cum + h[bn] >= target:
+                thr = bn
+                within = (target - cum) * 1_000_000 // h[bn]
                 break
-            cum += h[b]
+            cum += h[bn]
         thr_ppm[s] = (thr, within)
-    b = bin_c
-    bk = _bucket(F.col(key_col), salt)
-    if len(thr_ppm) > case_strata_max:
-        # many-strata path: bounded thresholds frame, broadcast-joined
-        # null-safe on the stratum — the plan stays O(1) in strata
-        taken = {"__qt_s", "__qt_thr", "__qt_win"} & set(docs.columns)
-        if taken:
-            raise ValueError(
-                f"quality_threshold: input column(s) {sorted(taken)} "
-                f"collide with the threshold-join internals; rename "
-                f"first")
-        from pyspark.sql.types import (IntegerType, LongType,
-                                       StringType, StructField,
-                                       StructType)
-        s_type = (next(f for f in docs.schema.fields
-                       if f.name == strata_col).dataType
-                  if strata_col else StringType())
-        schema = StructType([
-            StructField("__qt_s", s_type, True),
-            StructField("__qt_thr", IntegerType(), False),
-            StructField("__qt_win", LongType(), False)])
-        spark = docs.sparkSession
-        thr_df = F.broadcast(spark.createDataFrame(
-            [(s, int(t), int(wp)) for s, (t, wp) in thr_ppm.items()],
-            schema))
-        joined = docs.join(thr_df, strat.eqNullSafe(F.col("__qt_s")),
-                           "inner")
-        keep = (b > F.col("__qt_thr")) | (
-            (b == F.col("__qt_thr")) & (bk < F.col("__qt_win")))
-        return joined.where(keep).drop("__qt_s", "__qt_thr", "__qt_win")
     thr_col: Column = F.lit(bins)
     win_col: Column = F.lit(0)
     for s, (t, wppm) in sorted(thr_ppm.items(),

@@ -603,28 +603,43 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
     coarse_buckets window tasks, not funnel through one reducer. The
     bounded offsets frame rides a broadcast join (the pre-boundary
     prune), not a shuffle."""
-    for name in ("shuffle_shards", "token_budget"):
-        plan = _plan(QUERIES[name](spark, SF))
-        phys = plan.split("== Physical Plan ==")[-1]
-        n_ex = phys.count("Exchange hashpartitioning")
-        assert n_ex == 1, f"{name}: {n_ex} hash exchanges (want 1)"
-        assert "Exchange rangepartitioning" not in phys  # no global sort
-        assert "CartesianProduct" not in phys
-        if name == "token_budget":
-            ex = [ln for ln in phys.splitlines()
-                  if "Exchange hashpartitioning" in ln][0]
-            assert "__tb_coarse" in ex      # two-phase: never 1 task/stratum
-            assert "BroadcastHashJoin" in phys   # bounded offsets broadcast
+    plan = _plan(QUERIES["shuffle_shards"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    n_ex = phys.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"shuffle_shards: {n_ex} hash exchanges (want 1)"
+    assert "Exchange rangepartitioning" not in phys  # no global sort
+    assert "CartesianProduct" not in phys
+    # token_budget: the CORPUS shuffles exactly once — the window
+    # exchange keyed by (stratum, __tb_coarse), never the stratum
+    # alone. Two more exchanges exist but sit on the bounded offsets
+    # branch BEHIND a map-side partial aggregate (only strata×coarse
+    # histogram rows ever shuffle there), feeding the broadcast join
+    # that prunes post-boundary buckets.
+    plan = _plan(QUERIES["token_budget"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange hashpartitioning") == 3
+    assert "Exchange rangepartitioning" not in phys
+    assert "CartesianProduct" not in phys
+    main_ex = [ln for ln in phys.splitlines()
+               if "Exchange hashpartitioning" in ln][0]
+    assert "__tb_coarse" in main_ex     # two-phase: never 1 task/stratum
+    assert "BroadcastHashJoin" in phys  # bounded offsets broadcast
+    # the histogram branch combines map-side BEFORE its exchange
+    hist_part = phys.split("BroadcastExchange", 1)[1]
+    assert "partial_sum" in hist_part.split(
+        "Exchange hashpartitioning")[-1]
     # epoch up-sampling: the full-epoch fan-out is an in-row sequence
-    # explode behind a broadcast join (zero exchange); only the
-    # crossing epoch's residual draw pays the (stratum, coarse) window
+    # explode behind a broadcast join (zero exchange); the crossing
+    # epoch pays the (stratum, coarse) window, and its two extra
+    # exchanges sit on the bounded offsets branch behind a map-side
+    # partial aggregate (the token_budget shape)
     plan = _plan(QUERIES["token_budget_epochs"](spark, SF))
     phys = plan.split("== Physical Plan ==")[-1]
     n_ex = phys.count("Exchange hashpartitioning")
-    assert n_ex == 1, f"token_budget_epochs: {n_ex} hash exchanges"
-    ex = [ln for ln in phys.splitlines()
-          if "Exchange hashpartitioning" in ln][0]
-    assert "__tbe_coarse" in ex
+    assert n_ex == 3, f"token_budget_epochs: {n_ex} hash exchanges"
+    assert any("__tbe_coarse" in ln for ln in phys.splitlines()
+               if "Exchange hashpartitioning" in ln)
+    assert "partial_sum" in phys        # histogram combines map-side
     assert "Exchange rangepartitioning" not in phys
     assert "CartesianProduct" not in phys
     # the datacard cube: ONE exchange with a map-side partial in front
