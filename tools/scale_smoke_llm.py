@@ -275,6 +275,34 @@ def main():
           f"({n/el/1e6:.2f}M docs/s) -> {ntbs} docs kept "
           f"(~{int(0.55 * n)} expected)")
 
+    # r9: MANY-strata stress — a per-DOMAIN recipe (10k strata) must
+    # route through the distributed-thresholds broadcast join, never a
+    # 10k-arm CASE chain or a 10k×bins driver collect
+    domains = docs.withColumn(
+        "domain", F.concat(F.lit("d"),
+                           F.pmod(F.xxhash64("doc_id", F.lit(3)),
+                                  F.lit(10_000)).cast("string")))
+    t0 = time.perf_counter()
+    qd = sampling.quality_threshold(domains, "n_chars",
+                                    keep_ppm=300_000,
+                                    strata_col="domain", bins=1000,
+                                    score_min=0.0, score_max=400.0)
+    nqd = qd.count()
+    el = time.perf_counter() - t0
+    phys = (qd._jdf.queryExecution().toString()
+            .split("== Physical Plan ==")[-1])
+    assert "BroadcastHashJoin" in phys and "__qt_thr" in phys
+    print(f"quality_threshold 10k strata: {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {nqd} kept "
+          f"(~{int(0.3 * n)} target; distributed-thresholds join)")
+    t0 = time.perf_counter()
+    td = sampling.token_budget_sample(domains, budget_tokens=3_000,
+                                      strata_col="domain")
+    ntd = td.count()
+    el = time.perf_counter() - t0
+    print(f"token_budget 10k strata (3k tok/domain): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {ntd} kept")
+
     # r9 epoch up-sampling on the same skewed corpus: the budget is a
     # few epochs of a tail stratum, so the 90% stratum draws a partial
     # epoch 0 while each ~2% tail stratum repeats across epochs up to
