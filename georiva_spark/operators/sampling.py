@@ -26,6 +26,44 @@ def _bucket(key: Column, salt: str) -> Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
 
 
+def _stratum_bucket_filter(df: DataFrame, thr_map: dict,
+                           strata_col: str, key_col: str, salt: str,
+                           case_strata_max: int = 1000) -> DataFrame:
+    """Keep rows whose md5 bucket falls under their stratum's
+    threshold — the shared tail of every per-stratum sampler. Small
+    stratum maps inline as a CASE chain (zero joins, the oracle
+    setting); past ``case_strata_max`` the (stratum, threshold) pairs
+    broadcast-join back instead, so a 10k-domain recipe neither grows
+    the plan linearly nor ships a 10k-arm CASE to every task. NULL
+    strata match null-safely on both paths (a plain ``==`` would
+    silently drop them); membership is identical either way."""
+    b = _bucket(F.col(key_col), salt)
+    strat = F.col(strata_col)
+    if len(thr_map) <= case_strata_max:
+        thr: Column = F.lit(0)
+        for s, t in sorted(thr_map.items(),
+                           key=lambda kv: (kv[0] is None, str(kv[0]))):
+            m = strat.isNull() if s is None else strat.eqNullSafe(
+                F.lit(s))
+            thr = F.when(m, F.lit(int(t))).otherwise(thr)
+        return df.where(b < thr)
+    taken = {"__sb_s", "__sb_thr"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"per-stratum sampler: input column(s) {sorted(taken)} "
+            f"collide with the threshold-join internals; rename first")
+    from pyspark.sql.types import LongType, StructField, StructType
+    s_type = next(f for f in df.schema.fields
+                  if f.name == strata_col).dataType
+    schema = StructType([StructField("__sb_s", s_type, True),
+                         StructField("__sb_thr", LongType(), False)])
+    thr_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(s, int(t)) for s, t in thr_map.items()], schema))
+    return (df.join(thr_df, strat.eqNullSafe(F.col("__sb_s")), "inner")
+            .where(b < F.col("__sb_thr"))
+            .drop("__sb_s", "__sb_thr"))
+
+
 def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
                 salt: str = "georiva", complement: bool = False) -> DataFrame:
     """Deterministic Bernoulli sample: keep rows whose hash bucket falls
@@ -65,13 +103,13 @@ def source_mix(df: DataFrame, weights_ppm: dict[str, int], budget_ppm: int,
     counts = {r[0]: r[1]
               for r in df.groupBy(strata_col).count().collect()}
     total = sum(counts.values())
-    thr: Column = F.lit(0)
-    for stratum, n_s in sorted(counts.items()):
-        w = weights_ppm.get(stratum, 0)
-        t = min(_BUCKETS, budget_ppm * w * total // (n_s * 1_000_000))
-        thr = F.when(F.col(strata_col) == stratum,
-                     F.lit(int(t))).otherwise(thr)
-    return df.where(_bucket(F.col(key_col), salt) < thr)
+    thr_map = {
+        s: min(_BUCKETS,
+               budget_ppm * weights_ppm.get(s, 0) * total
+               // (n_s * 1_000_000))
+        for s, n_s in counts.items()}
+    return _stratum_bucket_filter(df, thr_map, strata_col, key_col,
+                                  salt)
 
 
 def temperature_mix(df: DataFrame, alpha: float = 0.5,
@@ -115,11 +153,32 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     training pipeline (e.g. downsample boilerplate-heavy sources, keep
     all of a rare language). Strata with no configured rate keep
     ``default_rate``. One scan, no shuffle."""
-    thr = F.lit(int(default_rate * _BUCKETS))
-    for stratum, rate in sorted(rates.items()):
-        thr = F.when(F.col(strata_col) == stratum,
-                     F.lit(int(rate * _BUCKETS))).otherwise(thr)
-    return df.where(_bucket(F.col(key_col), salt) < thr)
+    b = _bucket(F.col(key_col), salt)
+    strat = F.col(strata_col)
+    default_thr = int(default_rate * _BUCKETS)
+    if len(rates) <= 1000:
+        thr = F.lit(default_thr)
+        for stratum, rate in sorted(rates.items(),
+                                    key=lambda kv: (kv[0] is None,
+                                                    str(kv[0]))):
+            m = (strat.isNull() if stratum is None
+                 else strat.eqNullSafe(F.lit(stratum)))
+            thr = F.when(m, F.lit(int(rate * _BUCKETS))).otherwise(thr)
+        return df.where(b < thr)
+    # many configured strata (per-domain rates): LEFT-join the bounded
+    # rate frame so unlisted strata keep default_rate and the plan
+    # stays O(1) in the rate-table size; still zero corpus scans
+    from pyspark.sql.types import LongType, StructField, StructType
+    s_type = next(f for f in df.schema.fields
+                  if f.name == strata_col).dataType
+    schema = StructType([StructField("__sb_s", s_type, True),
+                         StructField("__sb_thr", LongType(), False)])
+    thr_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(s, int(r * _BUCKETS)) for s, r in rates.items()], schema))
+    return (df.join(thr_df, strat.eqNullSafe(F.col("__sb_s")), "left")
+            .where(b < F.coalesce(F.col("__sb_thr"),
+                                  F.lit(default_thr)))
+            .drop("__sb_s", "__sb_thr"))
 
 
 def split_assign(df: DataFrame, fractions_ppm: dict[str, int],

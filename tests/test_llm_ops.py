@@ -2159,3 +2159,36 @@ def test_ivf_pq_index_named_guards(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pqg2")
         spark.sql("DROP TABLE IF EXISTS t_pqg2_centroids")
+
+
+def test_stratum_samplers_many_rates_and_null_strata(spark):
+    """r9 hardening for the remaining per-stratum samplers: a
+    10k-entry rate table routes stratified_hash_sample through the
+    broadcast left-join (unlisted strata keep default_rate; identical
+    membership to the CASE path), and source_mix with a NULL stratum
+    neither TypeErrors in the driver sort nor silently drops the
+    rows."""
+    from georiva_spark.operators import sampling
+    rows = [(i, f"d{i % 20}") for i in range(2_000)]
+    rows += [(90_000 + i, None) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    # CASE path vs join path: same rates, same membership
+    rates = {f"d{i}": (0.5 if i < 10 else 0.0) for i in range(20)}
+    want = {r.doc_id for r in sampling.stratified_hash_sample(
+        docs, rates, "lang", default_rate=1.0).collect()}
+    big = dict(rates)
+    big.update({f"zz{i}": 0.25 for i in range(2_000)})   # force join
+    got = {r.doc_id for r in sampling.stratified_hash_sample(
+        docs, big, "lang", default_rate=1.0).collect()}
+    assert got == want
+    assert {d for d in got if d >= 90_000}               # NULL kept
+    # source_mix: NULL stratum present in counts — no TypeError, and
+    # a weight keyed on None samples it like any other stratum
+    out = sampling.source_mix(
+        docs, weights_ppm={"d0": 500_000, None: 500_000},
+        budget_ppm=200_000, strata_col="lang")
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.lang, 0)
+        by[r.lang] += 1
+    assert set(by) <= {"d0", None} and by.get(None, 0) > 0
