@@ -1412,6 +1412,121 @@ SELECT CAST(2 AS INTEGER) AS nprobe, CAST(0 AS INTEGER) AS shortlist,
 """
 
 
+def q_ann_recall_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall harness over the PQ REFINE ladder (r9): two-stage
+    probes (ADC top-50 shortlist → exact cosine re-rank) at nprobe=2
+    against the pinned IVF-PQ index, ground truth = exact cosine
+    top-5 on the md5 sample. This is the production serving shape —
+    the number that tells a user whether (nprobe, shortlist) recovers
+    what raw ADC loses (compare the ann_recall_pq row). The oracle
+    replays sample, truth, assignment, encoding, the ADC shortlist
+    cut, the exact re-rank, and the hit aggregation."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    similarity.ivf_pq_index_write(emb, "t_ivfrcrf",
+                                  os.path.join(d, "idxrcrf"),
+                                  n_centroids=8, m=8, nbits=4)
+    return similarity.ann_recall_estimate(
+        spark, "t_ivfrcrf", k=5, nprobes=(2,), sample_ppm=30_000,
+        emb=emb, shortlist=50)
+
+
+def _sql_ann_recall_refine(k: int = 5, nprobe: int = 2,
+                           shortlist: int = 50,
+                           sample_ppm: int = 30_000, d: int = 64
+                           ) -> str:
+    """Replay the refine-ladder recall row: the ann_recall_pq chain
+    up to the per-query ADC ranking, cut at ``shortlist``, exact
+    cosine re-rank of the shortlist, cosine ground truth, hits."""
+    def dot(x, y):
+        return (f"(SELECT SUM(CAST({x}[i] AS DOUBLE) * "
+                f"CAST({y}[i] AS DOUBLE)) "
+                f"FROM generate_series(1, {d}) AS t(i))")
+
+    cosq = (f"{dot('e.embedding', 'q.qe')} / "
+            f"(SQRT({dot('e.embedding', 'e.embedding')}) * "
+            f"SQRT({dot('q.qe', 'q.qe')}))")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // 8) + (nn.n // 8) // 2 AS BIGINT) AS vid
+        FROM range(8) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+cdist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, {d}) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM cdist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       WHERE CAST('0x' || substring(md5('recall:' ||
+             CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 < {sample_ppm}),
+probe AS (SELECT vec_id AS q_id, c AS cell FROM cdist
+          WHERE vec_id IN (SELECT q_id FROM qs)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, c) <= {nprobe}),
+pq AS (SELECT CAST(t.i AS BIGINT) AS cw,
+              CAST(t.i * (nn.n // 16) + (nn.n // 16) // 3 AS BIGINT) AS vid
+       FROM range(16) t(i), nn),
+cb AS (SELECT cw, embedding AS ce FROM pq JOIN embeddings ON vec_id = vid),
+subdist AS (SELECT e.vec_id, CAST(s.i AS BIGINT) AS s, cb.cw,
+  (SELECT SUM((CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE))
+            * (CAST(e.embedding[s.i*8 + t.i] AS DOUBLE)
+               - CAST(cb.ce[s.i*8 + t.i] AS DOUBLE)))
+   FROM generate_series(1, 8) AS t(i)) AS d2
+  FROM embeddings e, range(8) s(i), cb),
+codes AS (SELECT vec_id, s, cw FROM subdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cw) = 1),
+qd AS (SELECT vec_id AS q_id, s, cw, d2 FROM subdist
+       WHERE vec_id IN (SELECT q_id FROM qs)),
+adc AS (SELECT qd.q_id, c.vec_id, SUM(qd.d2) AS dist
+        FROM codes c JOIN qd ON qd.s = c.s AND qd.cw = c.cw
+        GROUP BY qd.q_id, c.vec_id),
+short AS (SELECT a.q_id, a.vec_id
+          FROM adc a
+          JOIN assign g ON a.vec_id = g.vec_id
+          JOIN probe p ON g.cell = p.cell AND p.q_id = a.q_id
+          WHERE a.vec_id <> a.q_id
+          QUALIFY row_number() OVER (PARTITION BY a.q_id
+                                     ORDER BY a.dist, a.vec_id)
+                  <= {shortlist}),
+got AS (SELECT s2.q_id, s2.vec_id
+        FROM short s2
+        JOIN embeddings e ON e.vec_id = s2.vec_id
+        JOIN qs q ON q.q_id = s2.q_id
+        QUALIFY row_number() OVER (PARTITION BY s2.q_id
+                                   ORDER BY {cosq} DESC, s2.vec_id)
+                <= {k}),
+truth AS (
+  SELECT q.q_id, e.vec_id
+  FROM embeddings e JOIN qs q ON e.vec_id <> q.q_id
+  QUALIFY row_number() OVER (PARTITION BY q.q_id
+                             ORDER BY {cosq} DESC, e.vec_id) <= {k})
+SELECT CAST({nprobe} AS INTEGER) AS nprobe,
+       CAST({shortlist} AS INTEGER) AS shortlist,
+       CAST({k} AS INTEGER) AS k,
+       (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM truth)
+         AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS truth_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM got g JOIN truth t
+          ON g.q_id = t.q_id AND g.vec_id = t.vec_id) AS hits,
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM got g JOIN truth t
+          ON g.q_id = t.q_id AND g.vec_id = t.vec_id)
+          / (SELECT COUNT(*) FROM truth), 6) AS recall
+"""
+
+
+SQL_ANN_RECALL_REFINE = _sql_ann_recall_refine()
+
+
 SQL_IVF_FILTERED_PROBE = """
 WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
 cid AS (SELECT CAST(t.i AS BIGINT) AS c,
@@ -6105,6 +6220,7 @@ EXT_QUERIES = {
     "ivf_filtered_probe": q_ivf_filtered_probe,
     "ann_recall": q_ann_recall,
     "ann_recall_pq": q_ann_recall_pq,
+    "ann_recall_refine": q_ann_recall_refine,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -6236,6 +6352,7 @@ EXT_ORACLES = {
     "ivf_filtered_probe": SQL_IVF_FILTERED_PROBE,
     "ann_recall": SQL_ANN_RECALL,
     "ann_recall_pq": SQL_ANN_RECALL_PQ,
+    "ann_recall_refine": SQL_ANN_RECALL_REFINE,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
