@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SURFACE_FIRST = [
     "training_pipeline", "ann_recall", "ann_recall_pq",
     "token_budget_epochs", "corpus_stats", "minhash_recall",
-    "ann_recall_refine",
+    "ann_recall_refine", "hamming_recall",
 ]
 
 

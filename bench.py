@@ -64,7 +64,7 @@ HEADLINE = [
     # + probes at two nprobe settings)
     "training_pipeline", "ann_recall", "ann_recall_pq",
     "token_budget_epochs", "corpus_stats", "minhash_recall",
-    "ann_recall_refine",
+    "ann_recall_refine", "hamming_recall",
 ]
 
 

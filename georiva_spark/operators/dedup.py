@@ -1402,3 +1402,75 @@ def minhash_recall_estimate(docs: DataFrame, threshold: float = 0.5,
         gs.cast("long").alias("flagged_pairs"),
         F.when(gs > 0, F.round(both.cast("double") / gs, 6))
         .alias("precision"))
+
+
+def hamming_recall_estimate(codes: DataFrame, id_col: str = "media_id",
+                            code_col: str = "code",
+                            max_hamming: int = 3, bits: int = 64,
+                            sample_ppm: int = 200_000,
+                            salt: str = "hm-recall") -> DataFrame:
+    """Calibration harness for the PERCEPTUAL (Hamming) family —
+    completing the triad with
+    :func:`~georiva_spark.operators.similarity.ann_recall_estimate`
+    (embeddings) and :func:`minhash_recall_estimate` (text). Unlike
+    those two, the pigeonhole banding is EXACT by construction: two
+    codes within Hamming ``max_hamming`` must agree on one of the
+    ``max_hamming + 1`` disjoint bands, and every candidate verifies
+    with bit_count — so measured recall and precision are exactly
+    1.0, and this harness is the executable PROOF of that guarantee
+    against brute-force ground truth on an md5 sample (the number a
+    user checks once before trusting the index family without a
+    shortlist/nprobe trade).
+
+    Scale shape: ground truth is all-pairs bit_count over the BOUNDED
+    sample only; the candidate side is the production
+    :func:`hamming_pairs` path on the same sample. → ONE row:
+    (max_hamming, bits, n_items, true_pairs, caught_pairs, recall,
+    flagged_pairs, precision)."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
+    if not 0 < sample_ppm <= 1_000_000:
+        raise ValueError(
+            f"hamming_recall_estimate: sample_ppm={sample_ppm} must "
+            f"be in (0, 1_000_000]")
+    h = F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % 1_000_000
+    sample = persist_bounded(
+        codes.where(bucket < sample_ppm).select(id_col, code_col),
+        "hamming_recall_estimate.sample", StorageLevel.MEMORY_AND_DISK)
+    a = sample.select(F.col(id_col).alias("id_a"),
+                      F.col(code_col).alias("__ca"))
+    bside = sample.select(F.col(id_col).alias("id_b"),
+                          F.col(code_col).alias("__cb"))
+    truth = (a.crossJoin(bside)
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(F.bit_count(F.col("__ca").bitwiseXOR(F.col("__cb")))
+                    <= max_hamming)
+             .select("id_a", "id_b"))
+    got = (hamming_pairs(sample, id_col=id_col, code_col=code_col,
+                         max_hamming=max_hamming, bits=bits)
+           .select("id_a", "id_b"))
+    u = (truth.withColumn("__t", F.lit(1)).withColumn("__g", F.lit(0))
+         .unionByName(got.withColumn("__t", F.lit(0))
+                      .withColumn("__g", F.lit(1))))
+    flat = (u.groupBy("id_a", "id_b")
+            .agg(F.max("__t").alias("t"), F.max("__g").alias("g")))
+    n_items = sample.count()
+    ts = F.coalesce(F.sum("t"), F.lit(0))
+    gs = F.coalesce(F.sum("g"), F.lit(0))
+    both = F.coalesce(F.sum(F.col("t") * F.col("g")), F.lit(0))
+    return flat.agg(
+        F.lit(int(max_hamming)).cast("int").alias("max_hamming"),
+        F.lit(int(bits)).cast("int").alias("bits"),
+        F.lit(int(n_items)).cast("long").alias("n_items"),
+        ts.cast("long").alias("true_pairs"),
+        both.cast("long").alias("caught_pairs"),
+        F.when(ts > 0, F.round(both.cast("double") / ts, 6))
+        .alias("recall"),
+        gs.cast("long").alias("flagged_pairs"),
+        F.when(gs > 0, F.round(both.cast("double") / gs, 6))
+        .alias("precision"))

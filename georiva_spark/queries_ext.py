@@ -5261,6 +5261,85 @@ def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration for the PERCEPTUAL index family (r9 — completing
+    the triad with ann_recall/minhash_recall): brute-force Hamming
+    ground truth on an md5 sample of the planted-duplicate media
+    corpus vs the production pigeonhole band join. Unlike the other
+    two families the banding is EXACT by construction (a pair within
+    max_hamming must agree on one of max_hamming+1 disjoint bands,
+    candidates verify with bit_count), so the measured recall and
+    precision are exactly 1.0 — this query is the driver-checked
+    executable proof of that guarantee, the reason the family needs
+    no nprobe/shortlist trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, embedding in zip(pdf["vec_id"],
+                                         pdf["embedding"]):
+                a = np.asarray(embedding, dtype=np.float32)
+                img = mm.encode_raw_image(a.reshape(8, 8))
+                sw = a.copy()
+                sw[0], sw[1] = a[1], a[0]
+                rows.append((int(vec_id), "image", img, "image/raw"))
+                rows.append((int(vec_id) + 100000, "image", img,
+                             "image/raw"))
+                rows.append((int(vec_id) + 200000, "image",
+                             mm.encode_raw_image(sw.reshape(8, 8)),
+                             "image/raw"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "mime"])
+
+    media = emb.mapInPandas(
+        gen, schema="media_id long, kind string, content binary, "
+                    "mime string")
+    codes = mm.image_dhash(media).select(
+        "media_id", F.col("dhash").alias("code"))
+    return dedup.hamming_recall_estimate(
+        codes, id_col="media_id", code_col="code", max_hamming=3,
+        bits=56, sample_ppm=400_000)
+
+
+SQL_HAMMING_RECALL = """
+WITH m AS (
+  SELECT vec_id AS media_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000,
+         [embedding[2], embedding[1]] || embedding[3:] FROM embeddings),
+h AS (
+  SELECT media_id,
+         (SELECT CAST(SUM(CASE
+              WHEN CAST(m.embedding[8*t.r + t.c + 1] AS DOUBLE)
+                 < CAST(m.embedding[8*t.r + t.c + 2] AS DOUBLE)
+              THEN CAST(1 AS BIGINT) << (7*t.r + t.c) ELSE 0 END)
+          AS BIGINT)
+          FROM (SELECT r.r, c.c FROM range(8) r(r), range(7) c(c)) t)
+             AS dhash
+  FROM m),
+smp AS (SELECT media_id, dhash FROM h
+        WHERE CAST('0x' || substring(md5('hm-recall:' ||
+              CAST(media_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % 1000000 < 400000),
+truth AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+          FROM smp a JOIN smp b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)
+SELECT CAST(3 AS INTEGER) AS max_hamming,
+       CAST(56 AS INTEGER) AS bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM smp) AS n_items,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS caught_pairs,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN 1.0 END
+         AS recall,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS flagged_pairs,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN 1.0 END
+         AS precision
+"""
+
+
 SQL_IMAGE_DUP_PAIRS = """
 WITH m AS (
   SELECT vec_id AS media_id, embedding FROM embeddings
@@ -6221,6 +6300,7 @@ EXT_QUERIES = {
     "ann_recall": q_ann_recall,
     "ann_recall_pq": q_ann_recall_pq,
     "ann_recall_refine": q_ann_recall_refine,
+    "hamming_recall": q_hamming_recall,
     "train_classifier": q_train_classifier,
     "audio_fp": q_audio_fp,
     "audio_dup_pairs": q_audio_dup_pairs,
@@ -6353,6 +6433,7 @@ EXT_ORACLES = {
     "ann_recall": SQL_ANN_RECALL,
     "ann_recall_pq": SQL_ANN_RECALL_PQ,
     "ann_recall_refine": SQL_ANN_RECALL_REFINE,
+    "hamming_recall": SQL_HAMMING_RECALL,
     "train_classifier": SQL_TRAIN_CLASSIFIER,
     "audio_fp": SQL_AUDIO_FP,
     "audio_dup_pairs": SQL_AUDIO_DUP_PAIRS,
