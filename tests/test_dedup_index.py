@@ -1325,3 +1325,26 @@ def test_minhash_recall_estimate_measures_end_to_end_catch(spark):
     assert empty.flagged_pairs == 0 and empty.precision is None
     with pytest.raises(ValueError, match="sample_ppm"):
         minhash_recall_estimate(docs, sample_ppm=0)
+
+
+def test_hamming_recall_estimate_proves_pigeonhole_guarantee(spark):
+    """r9 triad completion: brute-force ground truth vs the banded
+    path on planted codes — recall and precision are EXACTLY 1.0
+    (pigeonhole completeness + exact verify), the empty sample yields
+    NULL ratios, and the guard fails by name."""
+    from georiva_spark.operators.dedup import hamming_recall_estimate
+
+    rows = [(1, 0b1111), (2, 0b1110),            # hamming 1 pair
+            (3, 0b1111),                          # exact dup of 1
+            (4, (1 << 40) | 0b101)]               # far from everything
+    rows += [(100 + i, (i * 0x9E3779B97F4A7) & ((1 << 56) - 1))
+             for i in range(50)]
+    codes = spark.createDataFrame(rows, "media_id long, code long")
+    out = hamming_recall_estimate(codes, max_hamming=2, bits=56,
+                                  sample_ppm=1_000_000).collect()[0]
+    assert out.n_items == 54
+    assert out.true_pairs >= 3            # (1,2),(1,3),(2,3) at least
+    assert out.caught_pairs == out.true_pairs == out.flagged_pairs
+    assert out.recall == 1.0 and out.precision == 1.0
+    with pytest.raises(ValueError, match="sample_ppm"):
+        hamming_recall_estimate(codes, sample_ppm=2_000_000)
