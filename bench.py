@@ -65,6 +65,9 @@ HEADLINE = [
     "training_pipeline", "ann_recall", "ann_recall_pq",
     "token_budget_epochs", "corpus_stats", "minhash_recall",
     "ann_recall_refine", "hamming_recall",
+    # r10: token-id training-shard export (BPE ids + greedy pack +
+    # padded fixed-context bins)
+    "token_shards",
 ]
 
 

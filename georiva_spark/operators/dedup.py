@@ -1334,7 +1334,9 @@ def minhash_recall_estimate(docs: DataFrame, threshold: float = 0.5,
                             n: int = 3, key_col: str = "doc_id",
                             text_col: str = "text",
                             salt: str = "mh-recall",
-                            portable: bool = False) -> DataFrame:
+                            portable: bool = False,
+                            max_sample_pairs: int = 25_000_000
+                            ) -> DataFrame:
     """Banding-parameter CALIBRATION for the MinHash-LSH family — the
     text-index sibling of
     :func:`~georiva_spark.operators.similarity.ann_recall_estimate`:
@@ -1352,7 +1354,19 @@ def minhash_recall_estimate(docs: DataFrame, threshold: float = 0.5,
     safe because the input is the sample, never the corpus), the
     banded side is the production path on the same sample, and the
     final reconciliation joins two pair sets bounded by the sample's
-    near-dup density. → ONE row: (threshold, num_hashes, bands,
+    near-dup density.
+
+    COST BUDGET — the calibration is QUADRATIC in the sample: the
+    exact ground truth compares every within-sample pair, so with a
+    corpus of N documents the truth stage costs
+    ``pairs ≈ (sample_ppm/1e6 · N)² / 2`` comparisons. Size
+    ``sample_ppm`` from the pair budget, not the corpus:
+    ``sample_ppm ≤ 1e6 · sqrt(2 · max_pairs) / N`` — e.g. a 25M-pair
+    budget allows a ~7k-doc sample, which is ppm=7000 at N=1M but
+    ppm=7 at N=1B (ppm=1e6 on a 1B-doc corpus would imply 5e17
+    pairs). The ``max_sample_pairs`` guard enforces exactly this
+    arithmetic and fails by name BEFORE any truth work runs.
+    → ONE row: (threshold, num_hashes, bands,
     n_docs, true_pairs, caught_pairs, recall, flagged_pairs,
     precision); recall/precision are NULL when their denominator is
     empty (no true / no flagged pairs in the sample — raise
@@ -1369,9 +1383,29 @@ def minhash_recall_estimate(docs: DataFrame, threshold: float = 0.5,
                           F.col(key_col).cast("string")))
     bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
         % 1_000_000
+    if max_sample_pairs < 1:
+        raise ValueError(
+            f"minhash_recall_estimate: max_sample_pairs="
+            f"{max_sample_pairs} must be >= 1")
     sample = persist_bounded(
         docs.where(bucket < sample_ppm),
         "minhash_recall_estimate.sample", StorageLevel.MEMORY_AND_DISK)
+    n_docs = sample.count()
+    implied_pairs = n_docs * (n_docs - 1) // 2
+    if implied_pairs > max_sample_pairs:
+        sample.unpersist()
+        # N estimated back from the draw; suggested ppm from the
+        # docstring's budget arithmetic 1e6·sqrt(2·max_pairs)/N
+        n_corpus = max(1.0, n_docs * 1e6 / max(sample_ppm, 1))
+        ppm_fit = max(1, int(1e6 * (2 * max_sample_pairs) ** 0.5
+                             / n_corpus))
+        raise ValueError(
+            f"minhash_recall_estimate: sample_ppm={sample_ppm} draws "
+            f"{n_docs} docs ⇒ {implied_pairs} exact-truth pairs > "
+            f"max_sample_pairs={max_sample_pairs} — the calibration "
+            f"is quadratic in the sample; shrink sample_ppm to ~"
+            f"{ppm_fit} (1e6·sqrt(2·max_pairs)/N) or raise "
+            f"max_sample_pairs knowingly")
     truth = (ngram_jaccard_pairs(sample, n=n, threshold=threshold,
                                  text_col=text_col, max_doc_freq=None)
              .select("doc_a", "doc_b"))
@@ -1384,7 +1418,6 @@ def minhash_recall_estimate(docs: DataFrame, threshold: float = 0.5,
                       .withColumn("__g", F.lit(1))))
     flat = (u.groupBy("doc_a", "doc_b")
             .agg(F.max("__t").alias("t"), F.max("__g").alias("g")))
-    n_docs = sample.count()
     # a pair-free sample leaves flat EMPTY: coalesce the sums so the
     # counts read 0 and only the ratios go NULL
     ts = F.coalesce(F.sum("t"), F.lit(0))

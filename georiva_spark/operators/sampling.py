@@ -378,8 +378,11 @@ def token_budget_epochs(docs: DataFrame, budget_tokens: int,
     past ~4 epochs). ``max_epochs=1`` degenerates to
     :func:`token_budget_sample` membership (same salt at epoch 0).
 
-    Scale shape: one bounded per-stratum token-total agg → the driver
-    derives each stratum's crossing epoch and residual budget; FULL
+    Scale shape: one bounded per-stratum token-total agg, with each
+    stratum's crossing epoch and residual budget derived IN the agg
+    frame (closed-form expressions — nothing strata-proportional
+    reaches the driver, so 10k+ per-domain strata plan exactly like
+    3 language strata); FULL
     epochs are a broadcast-joined in-row ``sequence`` explode (no
     shuffle — the fan-out never leaves the partition); only the
     crossing epoch runs the two-phase prefix draw (bounded
@@ -409,40 +412,54 @@ def token_budget_epochs(docs: DataFrame, budget_tokens: int,
                   | (F.length(F.trim(F.col(text_col))) == 0), F.lit(0)) \
             .otherwise(F.size(F.split(F.trim(F.col(text_col)),
                                       r"\s+"))).cast("long")
+    if budget_tokens < 0:
+        raise ValueError(
+            f"token_budget_epochs: budget_tokens={budget_tokens} "
+            f"must be >= 0")
     base = docs.withColumn("n_tokens", ntok)
-    # phase 1: bounded per-stratum token totals → crossing epochs
-    totals = {r[0]: r[1] for r in
-              base.groupBy(strata_col)
-              .agg(F.sum("n_tokens").alias("__t")).collect()}
-    spark = docs.sparkSession
-    from pyspark.sql.types import (IntegerType, LongType, StringType,
-                                   StructField, StructType)
-    s_type = next(f for f in docs.schema.fields
-                  if f.name == strata_col).dataType
-    # per stratum: n_full fully-kept epochs; the crossing epoch
-    # (index n_full) draws a residual-budget prefix — absent when the
-    # cap cuts first or the budget is an exact multiple
-    plan_rows = []       # (stratum, n_full, residual, epoch_salt)
-    for s, t_s in totals.items():
-        if t_s <= 0:
-            # zero-token stratum: every doc rides epoch 0 (cum 0
-            # never reaches a positive budget)
-            plan_rows.append((s, 1 if budget_tokens > 0 else 0, 0, ""))
-            continue
-        n_full = min(max_epochs, budget_tokens // t_s)
-        residual = budget_tokens - n_full * t_s
-        if n_full == max_epochs or residual <= 0:
-            plan_rows.append((s, n_full, 0, ""))
-        else:
-            e = n_full
-            esalt = salt if e == 0 else f"{salt}#e{e}"
-            plan_rows.append((s, n_full, residual, esalt))
-    plan_schema = StructType([
-        StructField("__tbe_s", s_type, True),
-        StructField("__tbe_full", IntegerType(), False),
-        StructField("__tbe_res", LongType(), False),
-        StructField("__tbe_salt", StringType(), False)])
-    plan = F.broadcast(spark.createDataFrame(plan_rows, plan_schema))
+    # phase 1: bounded per-stratum token totals → crossing epochs,
+    # derived DISTRIBUTED (r10 — the quality_threshold many-strata
+    # pattern): the per-stratum plan — n_full fully-kept epochs, the
+    # crossing epoch's residual budget, its permutation salt — is
+    # closed-form arithmetic over the totals agg, so it stays a
+    # broadcast-joined frame and NOTHING strata-proportional ever
+    # reaches the driver (10k+ per-domain strata cost one bounded
+    # shuffle, not a driver dict+loop)
+    t = F.col("__t")
+    # divisor clamped to 1 for zero-token strata — their plan row is
+    # fully overridden below, the clamp just keeps the integer DIV
+    # from dividing by zero (ANSI-mode error) on the dead branch
+    n_full_raw = F.least(
+        F.lit(max_epochs),
+        F.expr(f"CAST({int(budget_tokens)} AS BIGINT) div "
+               f"(CASE WHEN __t > 0 THEN __t ELSE 1 END)")
+    ).cast("int")
+    res_raw = (F.lit(budget_tokens).cast("long")
+               - n_full_raw.cast("long") * t)
+    # zero-token stratum: every doc rides epoch 0 (cum 0 never
+    # reaches a positive budget); the crossing epoch is absent when
+    # the cap cuts first or the budget is an exact multiple
+    zero_tok = t <= 0
+    capped = (n_full_raw == max_epochs) | (res_raw <= 0)
+    # the plan frame appears in three subtrees (join, histogram,
+    # offsets) but its broadcast exchange canonicalizes identically —
+    # ReuseExchange materializes the totals agg ONCE (A/B'd: a
+    # persist_bounded cache changes nothing)
+    plan = F.broadcast(
+        base.groupBy(strata_col)
+        .agg(F.sum("n_tokens").alias("__t"))
+        .select(
+            F.col(strata_col).alias("__tbe_s"),
+            F.when(zero_tok,
+                   F.lit(1 if budget_tokens > 0 else 0))
+            .otherwise(n_full_raw).cast("int").alias("__tbe_full"),
+            F.when(zero_tok | capped, F.lit(0))
+            .otherwise(res_raw).cast("long").alias("__tbe_res"),
+            F.when(zero_tok | capped, F.lit(""))
+            .when(n_full_raw == 0, F.lit(salt))
+            .otherwise(F.concat(F.lit(f"{salt}#e"),
+                                n_full_raw.cast("string")))
+            .alias("__tbe_salt")))
     joined = base.join(plan,
                        base[strata_col].eqNullSafe(plan["__tbe_s"]),
                        "inner")

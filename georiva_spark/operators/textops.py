@@ -503,14 +503,25 @@ def pack_sequences(docs: DataFrame, context_len: int = 2048,
     (doc_id, n_tok) longs shuffle — never text — and per-shard state is
     two scalars, so executor memory stays flat no matter the corpus.
     """
-    import numpy as np
-    import pandas as pd
-
     shard = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
                    F.lit(num_shards)).cast("int")
     n = F.least(F.size(tokens(F.col(text_col))), F.lit(context_len))
     narrow = docs.select("doc_id", shard.alias("shard"),
                          n.cast("long").alias("n_tok"))
+    return pack_pointer_table(narrow, context_len)
+
+
+def pack_pointer_table(narrow: DataFrame,
+                       context_len: int) -> DataFrame:
+    """The greedy per-shard fill core of :func:`pack_sequences`,
+    reusable over ANY token-count definition: ``narrow`` is
+    (doc_id, shard int, n_tok long) with n_tok already clamped to
+    ``context_len``; docs pack greedily in doc_id order within each
+    shard. → (doc_id, shard, bin_id, bin_offset, n_tok). Scale shape
+    as documented on :func:`pack_sequences` (independent
+    applyInPandas shard groups, longs-only shuffle, flat state)."""
+    import numpy as np
+    import pandas as pd
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -532,6 +543,93 @@ def pack_sequences(docs: DataFrame, context_len: int = 2048,
     return narrow.groupBy("shard").applyInPandas(
         _pack,
         "doc_id long, shard int, bin_id long, bin_offset long, n_tok long")
+
+
+def bpe_token_vocab(docs: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text") -> list[str]:
+    """The corpus's BPE token VOCABULARY under a pinned merge table,
+    lexicographically sorted — token_id = list index (dense ids, the
+    contract :func:`token_shard_bins` and its DuckDB oracle share).
+
+    Scale shape: tokens are built from the DISTINCT-WORD table (the
+    bpe_train trick — one corpus pass aggregates distinct words, BPE
+    encodes only those), and the result is MODEL-sized, not
+    corpus-sized: every BPE token is either a single character or the
+    concatenation some merge rule produces, so |vocab| ≤ |alphabet| +
+    |merges| regardless of corpus size — the driver collect here is
+    bounded by the tokenizer, the same class as reading a centroid
+    sidecar."""
+    words = (docs.select(F.explode(tokens(
+        F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
+        .where(F.col("w") != "").distinct())
+    vtoks = (words.select(F.explode(
+        bpe_encode_word(F.col("w"), merges)).alias("token"))
+        .where(F.col("token") != "").distinct())
+    # bounded collect: |vocab| <= |alphabet| + |merges| (see above)
+    return sorted(r.token for r in vtoks.collect())
+
+
+def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
+                     context_len: int = 2048, num_shards: int = 64,
+                     text_col: str = "text") -> DataFrame:
+    """Fixed-context TOKEN-ID training rows — the loader handoff a
+    Megatron/GPT-style trainer mmaps: BPE-tokenize every document
+    (:func:`bpe_encode_word`, pinned merges), map tokens to dense ids
+    (:func:`bpe_token_vocab` order), clamp at ``context_len``, pack
+    greedily into bins (:func:`pack_pointer_table` — docs never
+    split, doc_id order within md5 shards), and assemble ONE ROW PER
+    BIN: token ids concatenated in pack order and right-padded with
+    ``pad_id = |vocab|`` to exactly ``context_len``, with document
+    boundaries as offsets. → (shard int, bin_id long, doc_ids
+    array<long>, doc_offsets array<long>, n_docs int, n_tokens int,
+    token_ids array<int> — always length ``context_len``).
+
+    Scale shape: tokenization + id mapping are in-row (the merge
+    chain is literal replaces, the vocab a constant-folded literal
+    map — model-sized by the |alphabet|+|merges| bound, the zonal
+    broadcast class); the pack pointer shuffles (doc_id, n_tok) longs
+    only; the single ids shuffle is the bin assembly join+group —
+    token ids are the OUTPUT being materialized, so that shuffle is
+    output-sized, paid once, and never carries text."""
+    if context_len < 1:
+        raise ValueError(
+            f"token_shard_bins: context_len={context_len} must be "
+            f">= 1")
+    vocab = bpe_token_vocab(docs, merges, text_col=text_col)
+    pad_id = len(vocab)
+    vmap = F.map_from_arrays(
+        F.lit(vocab), F.lit(list(range(len(vocab)))))
+    bpe = F.filter(
+        F.flatten(F.transform(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda w: bpe_encode_word(w, merges))),
+        lambda t: t != F.lit(""))
+    ids = F.transform(F.slice(bpe, 1, context_len),
+                      lambda t: F.element_at(vmap, t).cast("int"))
+    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
+                   F.lit(num_shards)).cast("int")
+    tok = docs.select("doc_id", shard.alias("shard"),
+                      ids.alias("__ids"))
+    pointer = pack_pointer_table(
+        tok.select("doc_id", "shard",
+                   F.size("__ids").cast("long").alias("n_tok")),
+        context_len)
+    joined = pointer.join(tok.select("doc_id", "__ids"), "doc_id")
+    packed = (joined.groupBy("shard", "bin_id")
+              .agg(F.array_sort(F.collect_list(F.struct(
+                  "bin_offset", "doc_id", "__ids"))).alias("__d")))
+    flat = F.flatten(F.transform(F.col("__d"), lambda x: x["__ids"]))
+    return packed.select(
+        "shard", "bin_id",
+        F.transform(F.col("__d"),
+                    lambda x: x["doc_id"]).alias("doc_ids"),
+        F.transform(F.col("__d"),
+                    lambda x: x["bin_offset"]).alias("doc_offsets"),
+        F.size("__d").cast("int").alias("n_docs"),
+        F.size(flat).cast("int").alias("n_tokens"),
+        F.concat(flat, F.array_repeat(
+            F.lit(pad_id).cast("int"),
+            F.lit(context_len) - F.size(flat))).alias("token_ids"))
 
 
 def canonicalize_url(url):
@@ -585,6 +683,21 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
                  F.max("n_chars").alias("max_chars")))
 
 
+def bpe_encode_word(w, merges: list[tuple[str, str]]):
+    """One word → its BPE token array under a pinned merge table —
+    the shared encode core of :func:`bpe_apply` (counting) and
+    :func:`token_shard_bins` (token-id materialization). Merge
+    semantics documented on :func:`bpe_apply`."""
+    # "abc" -> " a b c " with sentinel spaces so every pair is
+    # bounded by spaces and merges can match at word edges
+    s = F.concat(F.lit(" "),
+                 F.array_join(F.split(w, ""), " "), F.lit(" "))
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    return F.split(F.trim(s), " ")
+
+
 def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
               text_col: str = "text") -> DataFrame:
     """Byte-pair-encoding tokenization with a PINNED merge table — the
@@ -606,18 +719,9 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
     to a broadcast trie in a pandas_udf; the pinned-merges path is the
     oracle-checkable core.
     """
-    def encode_word(w):
-        # "abc" -> " a b c " with sentinel spaces so every pair is
-        # bounded by spaces and merges can match at word edges
-        s = F.concat(F.lit(" "),
-                     F.array_join(F.split(w, ""), " "), F.lit(" "))
-        for a, b in merges:
-            pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-            s = F.replace(F.replace(s, pat, rep), pat, rep)
-        return F.split(F.trim(s), " ")
-
     toks = tokens(F.col(text_col))
-    bpe = F.flatten(F.transform(toks, encode_word))
+    bpe = F.flatten(F.transform(
+        toks, lambda w: bpe_encode_word(w, merges)))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),

@@ -4882,11 +4882,20 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_apply(docs, BPE_MERGES)
 
 
-def _sql_bpe_tokenize() -> str:
-    chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+def _bpe_chain_sql(var: str = "w") -> str:
+    """The pinned-merge BPE encode of one word as a DuckDB expression
+    chain — shared by the bpe_tokenize and token_shards oracles (must
+    stay textually identical to bpe_encode_word's replace chain)."""
+    chain = (f"' ' || array_to_string(string_split({var}, ''), ' ')"
+             f" || ' '")
     for a, b in BPE_MERGES:
         pat, rep = f"' {a} {b} '", f"' {a}{b} '"
         chain = f"replace(replace({chain}, {pat}, {rep}), {pat}, {rep})"
+    return chain
+
+
+def _sql_bpe_tokenize() -> str:
+    chain = _bpe_chain_sql("w")
     return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 b AS (SELECT doc_id, toks,
@@ -4901,6 +4910,122 @@ FROM b
 
 
 SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id training-shard export (r10 — the r9 verdict's top
+    item): BPE-tokenize the corpus with the pinned merge table, map
+    tokens to dense lexicographic ids, greedy-pack into 128-token
+    bins (docs never split), pad with pad_id=|vocab|, and write one
+    parquet file per shard in bin order (the Megatron-style loader
+    layout — the write itself plus read-back order is pytest-pinned).
+    Returns one DIGEST row per bin — padded token-id stream hash, doc
+    boundary offsets, doc ids — so the oracle replays tokenization,
+    id assignment, packing, padding, and assembly bit-for-bit."""
+    import os
+    import tempfile
+
+    from georiva_spark.sources.tables import export_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_tokshards")
+    export_token_shards(docs, d, BPE_MERGES, context_len=128,
+                        num_shards=8)
+    bins = textops.token_shard_bins(docs, BPE_MERGES, context_len=128,
+                                    num_shards=8)
+    s = lambda c: F.transform(c, lambda x: x.cast("string"))  # noqa: E731
+    return bins.select(
+        "shard", "bin_id", "n_docs", "n_tokens",
+        F.md5(F.array_join(s("token_ids"), ",")).alias("ids_hash"),
+        F.array_join(s("doc_offsets"), ",").alias("offsets_csv"),
+        F.array_join(s("doc_ids"), ",").alias("docs_csv"))
+
+
+def _sql_token_shards(context_len: int = 128,
+                      num_shards: int = 8) -> str:
+    """Replay token_shard_bins end-to-end in DuckDB: distinct-word
+    BPE vocabulary with dense lexicographic ids, per-doc encode +
+    clamp, the md5 shard route, the recursive greedy pack (the
+    SQL_PACK_SEQUENCES shape over BPE counts), bin assembly in
+    (bin_offset, doc_id) order, and pad_id=|vocab| padding."""
+    chain_w = _bpe_chain_sql("w")
+    return f"""
+WITH RECURSIVE
+words AS (SELECT DISTINCT t.w AS w
+          FROM documents,
+               unnest(string_split(COALESCE(text, ''), ' ')) AS t(w)
+          WHERE t.w <> ''),
+vtok AS (SELECT DISTINCT t2.tok AS tok
+         FROM words,
+              unnest(string_split(trim({chain_w}), ' ')) AS t2(tok)
+         WHERE t2.tok <> ''),
+vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1
+                          AS INTEGER) AS id FROM vtok),
+vs AS (SELECT CAST(COUNT(*) AS INTEGER) AS pad FROM vocab),
+b AS (SELECT doc_id,
+             list_filter(flatten(list_transform(
+                 string_split(COALESCE(text, ''), ' '),
+                 w -> string_split(trim({chain_w}), ' '))),
+                 t -> t <> '') AS bpe
+      FROM documents),
+cl AS (SELECT doc_id, list_slice(bpe, 1, {context_len}) AS toks
+       FROM b),
+tokrows AS (SELECT doc_id, t.i AS i, toks[t.i] AS tok
+            FROM cl, generate_series(1, {context_len}) AS t(i)
+            WHERE t.i <= len(toks)),
+idlists AS (SELECT tr.doc_id, list(v.id ORDER BY tr.i) AS l
+            FROM tokrows tr JOIN vocab v ON v.tok = tr.tok
+            GROUP BY tr.doc_id),
+ids AS (SELECT cl.doc_id, COALESCE(idlists.l, []) AS ids
+        FROM cl LEFT JOIN idlists USING (doc_id)),
+t AS (SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % {num_shards} AS INTEGER)
+               AS shard,
+             CAST(len(ids) AS BIGINT) AS n_tok, ids
+      FROM ids),
+o AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY doc_id) AS rn
+      FROM t),
+rec AS (
+  SELECT shard, rn, doc_id, n_tok,
+         0::BIGINT AS bin_id, 0::BIGINT AS bin_offset
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+         CASE WHEN r.bin_offset + r.n_tok + n.n_tok <= {context_len}
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.bin_offset + r.n_tok + n.n_tok <= {context_len}
+              THEN r.bin_offset + r.n_tok ELSE 0::BIGINT END
+  FROM rec r JOIN o n ON n.shard = r.shard AND n.rn = r.rn + 1
+),
+binrows AS (SELECT r.shard, r.bin_id,
+                   list(r.doc_id ORDER BY r.bin_offset, r.doc_id)
+                     AS doc_ids,
+                   list(r.bin_offset ORDER BY r.bin_offset, r.doc_id)
+                     AS doc_offsets,
+                   flatten(list(t2.ids
+                                ORDER BY r.bin_offset, r.doc_id))
+                     AS flat,
+                   CAST(COUNT(*) AS INTEGER) AS n_docs
+            FROM rec r JOIN t t2 USING (doc_id)
+            GROUP BY r.shard, r.bin_id)
+SELECT shard, bin_id, n_docs,
+       CAST(len(flat) AS INTEGER) AS n_tokens,
+       md5(array_to_string(list_transform(
+           flat || list_transform(
+               range({context_len} - len(flat)), x -> vs.pad),
+           v -> CAST(v AS VARCHAR)), ',')) AS ids_hash,
+       array_to_string(list_transform(
+           doc_offsets, v -> CAST(v AS VARCHAR)), ',') AS offsets_csv,
+       array_to_string(list_transform(
+           doc_ids, v -> CAST(v AS VARCHAR)), ',') AS docs_csv
+FROM binrows, vs
+"""
+
+
+SQL_TOKEN_SHARDS = _sql_token_shards()
+
 
 
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6320,6 +6445,7 @@ EXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "minhash_recall": q_minhash_recall,
     "shard_export": q_shard_export,
+    "token_shards": q_token_shards,
     "quality_threshold": q_quality_threshold,
     "training_pipeline": q_training_pipeline,
     "source_mix": q_source_mix,
@@ -6453,6 +6579,7 @@ EXT_ORACLES = {
     "corpus_stats": SQL_CORPUS_STATS,
     "minhash_recall": SQL_MINHASH_RECALL,
     "shard_export": SQL_SHARD_EXPORT,
+    "token_shards": SQL_TOKEN_SHARDS,
     "quality_threshold": SQL_QUALITY_THRESHOLD,
     "training_pipeline": SQL_TRAINING_PIPELINE,
     "source_mix": SQL_SOURCE_MIX,

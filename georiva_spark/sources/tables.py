@@ -89,6 +89,48 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
             .orderBy("shard"))
 
 
+def export_token_shards(docs: DataFrame, path: str,
+                        merges: list[tuple[str, str]],
+                        context_len: int = 2048,
+                        num_shards: int = 64,
+                        text_col: str = "text") -> DataFrame:
+    """Materialize a corpus as TOKEN-ID TRAINING SHARDS — the final
+    loader handoff (r10, the r9 verdict's top item): where
+    :func:`export_shards` ships text rows, this ships what a
+    Megatron/GPT-style training loader actually mmaps — fixed-context
+    token-id array rows (:func:`~georiva_spark.operators.textops.
+    token_shard_bins`: BPE ids, greedy-packed, doc boundaries as
+    offsets, right-padded with ``pad_id = |vocab|``), ONE file per
+    ``shard=N`` directory with bins in bin_id order, so a loader
+    reading shard dirs 0..N-1 sequentially streams deterministic
+    fixed-length training examples, restartably, on any cluster size.
+
+    Layout mechanics are export_shards': ``repartition(num_shards,
+    shard)`` makes the task the shard, ``sortWithinPartitions(shard,
+    bin_id)`` orders bins inside the file, ``partitionBy(shard)``
+    names the directories. Returns the extended MANIFEST
+    (shard, n_bins, n_docs, n_tokens, context_len, pad_id) — the
+    loader's bounded sizing table, derived from the same bin
+    definition (and oracle-checked as the ``token_shards`` query)."""
+    from georiva_spark.operators.textops import (bpe_token_vocab,
+                                                 token_shard_bins)
+
+    bins = token_shard_bins(docs, merges, context_len=context_len,
+                            num_shards=num_shards, text_col=text_col)
+    (bins.repartition(num_shards, F.col("shard"))
+     .sortWithinPartitions("shard", "bin_id")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    pad_id = len(bpe_token_vocab(docs, merges, text_col=text_col))
+    return (bins.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"))
+            .withColumn("context_len",
+                        F.lit(context_len).cast("int"))
+            .withColumn("pad_id", F.lit(pad_id).cast("int"))
+            .orderBy("shard"))
+
+
 def read_jsonl_corpus(spark: SparkSession, path: str,
                       schema: str = ("doc_id long, text string, "
                                      "lang string, source string, "

@@ -1325,6 +1325,15 @@ def test_minhash_recall_estimate_measures_end_to_end_catch(spark):
     assert empty.flagged_pairs == 0 and empty.precision is None
     with pytest.raises(ValueError, match="sample_ppm"):
         minhash_recall_estimate(docs, sample_ppm=0)
+    # r10: the pair-count budget guard — the calibration is quadratic
+    # in the sample, so an over-drawn sample fails BY NAME before any
+    # truth work runs (14 docs ⇒ 91 pairs > 50), and the message
+    # carries the budget arithmetic
+    with pytest.raises(ValueError, match="max_sample_pairs"):
+        minhash_recall_estimate(docs, sample_ppm=1_000_000,
+                                max_sample_pairs=50)
+    with pytest.raises(ValueError, match="max_sample_pairs"):
+        minhash_recall_estimate(docs, max_sample_pairs=0)
 
 
 def test_hamming_recall_estimate_proves_pigeonhole_guarantee(spark):

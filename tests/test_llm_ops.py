@@ -1107,6 +1107,102 @@ def test_export_shards_layout_and_order(spark, tmp_path):
         export_shards(docs, str(tmp_path / "x"), 2, fmt="csv")
 
 
+def test_export_token_shards_loader_contract(spark, tmp_path):
+    """r10: the token-id training-shard export — the loader handoff.
+    Against an independent pure-Python reference (BPE greedy merges,
+    lexicographic vocab ids, md5 shard route, greedy pack): one data
+    file per shard dir, bins inside each file in bin_id order with NO
+    loader-side sort, every token_ids row exactly context_len long
+    (pad_id = |vocab| fills the tail), doc boundaries as offsets,
+    null text packs as a zero-token doc, an over-long doc clamps and
+    fills a bin alone, and the manifest's (n_bins, n_docs, n_tokens)
+    match both the reference and the written files."""
+    import glob
+    import hashlib
+
+    from georiva_spark.sources.tables import export_token_shards
+
+    merges = [("a", "b"), ("ab", "c"), ("d", "e")]
+    corpus = {
+        1: "abc abd de xyz",
+        2: "abc abc abc abc",
+        3: None,                          # 0 tokens, still packed
+        4: "aaaaaaaaaaaaaaaaaaaaaaaa",    # 24 chars -> clamps at 16
+        5: "de de de de abc",
+        6: "x y z de",
+    }
+    ctx, n_shards = 16, 2
+    docs = spark.createDataFrame(list(corpus.items()),
+                                 "doc_id long, text string")
+
+    def ref_bpe(word):
+        s = " " + " ".join(word) + " "
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            s = s.replace(pat, rep)
+            s = s.replace(pat, rep)
+        return s.split()
+
+    words = {w for t in corpus.values() if t for w in t.split(" ") if w}
+    vocab = sorted({tok for w in words for tok in ref_bpe(w)})
+    vid, pad_id = {t: i for i, t in enumerate(vocab)}, len(vocab)
+
+    def shard_of(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:15], 16) % n_shards
+
+    ref = {}      # (shard, bin_id) -> (doc_ids, offsets, ids)
+    fills = {}
+    for doc_id in sorted(corpus):
+        text = corpus[doc_id]
+        toks = [t for w in (text or "").split(" ") if w
+                for t in ref_bpe(w)][:ctx]
+        s = shard_of(doc_id)
+        b, fill = fills.get(s, (0, 0))
+        if fill + len(toks) > ctx:
+            b, fill = b + 1, 0
+        bin_ = ref.setdefault((s, b), ([], [], []))
+        bin_[0].append(doc_id)
+        bin_[1].append(fill)
+        bin_[2].extend(vid[t] for t in toks)
+        fills[s] = (b, fill + len(toks))
+
+    out = str(tmp_path / "tokshards")
+    manifest = {r.shard: r for r in export_token_shards(
+        docs, out, merges, context_len=ctx,
+        num_shards=n_shards).collect()}
+    assert all(r.context_len == ctx and r.pad_id == pad_id
+               for r in manifest.values())
+    shards_seen = {s for s, _ in ref}
+    assert set(manifest) == shards_seen
+    for s in shards_seen:
+        files = [f for f in glob.glob(f"{out}/shard={s}/part-*")
+                 if not f.endswith(".crc")]
+        assert len(files) == 1                 # one file per shard
+        rows = spark.read.parquet(f"{out}/shard={s}").collect()
+        # file order IS bin order: the loader needs no sort
+        assert [r.bin_id for r in rows] == list(range(len(rows)))
+        assert manifest[s].n_bins == len(rows)
+        assert manifest[s].n_docs == sum(r.n_docs for r in rows)
+        assert manifest[s].n_tokens == sum(r.n_tokens for r in rows)
+        for r in rows:
+            want_docs, want_offs, want_ids = ref[(s, r.bin_id)]
+            assert r.doc_ids == want_docs
+            assert r.doc_offsets == want_offs
+            assert r.n_docs == len(want_docs)
+            assert r.n_tokens == len(want_ids)
+            assert len(r.token_ids) == ctx      # fixed context, always
+            assert r.token_ids == want_ids + [pad_id] * (
+                ctx - len(want_ids))
+    # the clamped doc fills its bin exactly: ctx tokens from offset 0
+    b4 = next(r for r in ref.values() if 4 in r[0])
+    assert b4[1][b4[0].index(4)] == 0      # starts its own bin
+    assert len(b4[2]) == ctx               # clamped to context_len
+    with pytest.raises(ValueError, match="context_len"):
+        export_token_shards(docs, str(tmp_path / "x"), merges,
+                            context_len=0, num_shards=2)
+
+
 def test_token_budget_sample_prefix_covers_budget(spark):
     """Per stratum: kept docs are a prefix of the md5 order, the total
     covers the budget when the stratum has enough tokens (crossing doc

@@ -630,13 +630,20 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
         "Exchange hashpartitioning")[-1]
     # epoch up-sampling: the full-epoch fan-out is an in-row sequence
     # explode behind a broadcast join (zero exchange); the crossing
-    # epoch pays the (stratum, coarse) window, and its two extra
+    # epoch pays the (stratum, coarse) window, and its extra
     # exchanges sit on the bounded offsets branch behind a map-side
-    # partial aggregate (the token_budget shape)
+    # partial aggregate (the token_budget shape). r10: the crossing-
+    # epoch plan itself (n_full, residual, salt per stratum) is now
+    # DERIVED IN-PLAN from the totals agg — no per-stratum driver
+    # literals, so the plan must contain NO LocalTableScan and the
+    # totals-agg exchange rides each union subtree textually (its
+    # broadcast exchange canonicalizes identically → ReuseExchange
+    # materializes it once at runtime)
     plan = _plan(QUERIES["token_budget_epochs"](spark, SF))
     phys = plan.split("== Physical Plan ==")[-1]
+    assert "LocalTableScan" not in phys   # nothing strata-sized driven
     n_ex = phys.count("Exchange hashpartitioning")
-    assert n_ex == 3, f"token_budget_epochs: {n_ex} hash exchanges"
+    assert n_ex == 6, f"token_budget_epochs: {n_ex} hash exchanges"
     assert any("__tbe_coarse" in ln for ln in phys.splitlines()
                if "Exchange hashpartitioning" in ln)
     assert "partial_sum" in phys        # histogram combines map-side
@@ -712,6 +719,27 @@ def test_ivf_probe_batch_gate_counts_queries_not_fanout(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_tinyc")
         spark.sql("DROP TABLE IF EXISTS t_tinyc_centroids")
+
+
+def test_token_shards_plan_shape(spark):
+    """r10 token-id shard export: tokenization + id mapping are pure
+    JVM (literal replace chain + constant-folded vocab map — the ONLY
+    Python site in the whole chain is the greedy pack's one
+    applyInPandas over (doc_id, shard, n_tok) longs), the assembly is
+    one hash join + one aggregation, and nothing cartesians or
+    range-sorts the corpus."""
+    from georiva_spark.operators.textops import token_shard_bins
+    from georiva_spark.queries_ext import BPE_MERGES
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bins = token_shard_bins(docs, BPE_MERGES, context_len=128,
+                            num_shards=8)
+    plan = _plan(bins)
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("FlatMapGroupsInPandas") == 1   # the pack only
+    assert "ArrowEvalPython" not in phys   # tokenize/id-map stay JVM
+    assert "BatchEvalPython" not in phys   # never row-at-a-time
+    assert "CartesianProduct" not in phys
+    assert "Exchange rangepartitioning" not in phys
 
 
 def test_python_boundary_audit_current():

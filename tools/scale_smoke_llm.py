@@ -321,6 +321,23 @@ def main():
           f"-> epochs per stratum: en={n_epochs.get('en')} (partial "
           f"e0), tails={ {k: v for k, v in n_epochs.items() if k != 'en'} }")
 
+    # r10: MANY-strata epochs — a per-DOMAIN epoch draw (10k strata)
+    # must keep the crossing-epoch plan IN the totals-agg frame (no
+    # per-stratum driver literals: the plan must contain zero
+    # LocalTableScan) and run the same two-phase shape
+    t0 = time.perf_counter()
+    tde = sampling.token_budget_epochs(domains, budget_tokens=3_000,
+                                       max_epochs=3,
+                                       strata_col="domain")
+    phys = (tde._jdf.queryExecution().toString()
+            .split("== Physical Plan ==")[-1])
+    assert "LocalTableScan" not in phys
+    ntde = tde.count()
+    el = time.perf_counter() - t0
+    print(f"token_budget_epochs 10k strata (3k tok/domain): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s) -> {ntde} rows (in-plan "
+          f"crossing-epoch derivation, no driver literals)")
+
     t0 = time.perf_counter()
     lb = textops.lm_score_bigram(docs, top_k=50_000,
                                  top_k_bigrams=200_000)
