@@ -66,8 +66,9 @@ HEADLINE = [
     "token_budget_epochs", "corpus_stats", "minhash_recall",
     "ann_recall_refine", "hamming_recall",
     # r10: token-id training-shard export (BPE ids + greedy pack +
-    # padded fixed-context bins)
-    "token_shards",
+    # padded fixed-context bins), recall-target auto-sizers (measured
+    # ANN ladder walk; MinHash S-curve closed form)
+    "token_shards", "ann_tune", "minhash_tune",
 ]
 
 

@@ -1437,6 +1437,85 @@ def minhash_recall_estimate(docs: DataFrame, threshold: float = 0.5,
         .alias("precision"))
 
 
+def minhash_tune_grid(num_hashes_grid: tuple = (16, 32, 64, 128)
+                      ) -> list[tuple[int, int, int]]:
+    """The (num_hashes, bands, rows_per_band) candidate grid
+    :func:`minhash_tune` prices: every bands value dividing each
+    num_hashes. Shared with the DuckDB oracle generator so both
+    engines price the IDENTICAL grid."""
+    return [(n, b, n // b)
+            for n in num_hashes_grid
+            for b in range(1, n + 1) if n % b == 0]
+
+
+def minhash_tune(spark, threshold: float, target_recall: float,
+                 num_hashes_grid: tuple = (16, 32, 64, 128)
+                 ) -> DataFrame:
+    """Banding-parameter AUTO-SIZER — the MinHash sibling of
+    :func:`~georiva_spark.operators.similarity.ann_tune` (r10): pick
+    (num_hashes, bands) from the S-curve CLOSED FORM instead of by
+    hand. For a pair at Jaccard similarity s, banded LSH flags it
+    with probability ``P(s) = 1 − (1 − s^r)^b`` (r = rows per band,
+    b = bands — Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4.2). Each grid setting is scored at the dedup
+    threshold (``recall_at_threshold = P(threshold)`` — the floor of
+    the catch rate for every pair AT the threshold; pairs above it
+    only do better) and at half the threshold
+    (``fp_at_half_threshold`` — the false-positive pressure proxy:
+    how often a clearly-below-threshold pair still reaches the
+    estimator check). Cost is the transparent per-doc work model
+    ``num_hashes + bands`` (signature hashes computed + band keys
+    emitted). → the FULL priced grid, ``chosen = true`` on the
+    min-cost setting with recall_at_threshold ≥ target (selection
+    order: meets-target, cost, higher recall, smaller num_hashes,
+    smaller bands — total and engine-replayable); if nothing meets
+    the target the best-recall row is chosen with
+    ``meets_target = false`` (fail-visible).
+
+    Validation: :func:`minhash_recall_estimate` measures the
+    END-TO-END recall (banding + estimator error) at the chosen
+    setting on a corpus sample — the closed form sizes, the
+    measurement confirms (pytest-pinned). Pure config arithmetic:
+    the grid is model-sized, no corpus is touched."""
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"minhash_tune: threshold={threshold} must be in (0, 1)")
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"minhash_tune: target_recall={target_recall} must be "
+            f"in (0, 1]")
+    grid = spark.createDataFrame(
+        minhash_tune_grid(num_hashes_grid),
+        "num_hashes int, bands int, rows_per_band int")
+
+    def s_curve(s: float):
+        return F.round(
+            F.lit(1.0) - F.pow(
+                F.lit(1.0) - F.pow(F.lit(float(s)),
+                                   F.col("rows_per_band")),
+                F.col("bands")), 6) + F.lit(0.0)
+
+    priced = grid.select(
+        "num_hashes", "bands", "rows_per_band",
+        F.lit(float(threshold)).alias("threshold"),
+        F.lit(float(target_recall)).alias("target_recall"),
+        s_curve(threshold).alias("recall_at_threshold"),
+        s_curve(threshold / 2.0).alias("fp_at_half_threshold"),
+        (F.col("num_hashes") + F.col("bands")).cast("int")
+        .alias("cost"))
+    meets = (F.col("recall_at_threshold")
+             >= F.lit(float(target_recall)))
+    w = Window.orderBy(
+        meets.desc(),
+        F.when(meets, F.col("cost")).asc_nulls_last(),
+        F.col("recall_at_threshold").desc(),
+        F.col("num_hashes").asc(), F.col("bands").asc())
+    return (priced.withColumn("meets_target", meets)
+            .withColumn("chosen", F.row_number().over(w) == 1))
+
+
 def hamming_recall_estimate(codes: DataFrame, id_col: str = "media_id",
                             code_col: str = "code",
                             max_hamming: int = 3, bits: int = 64,

@@ -752,14 +752,20 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
     # from the PERSISTED fan-out (routing computed once)
     live_cells = sorted({r.cell for r in
                          probed.select("cell").distinct().collect()})
-    build = (F.broadcast(probed)
-             if n_queries <= max_broadcast_queries
-             else probed)
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     scan = spark.table(table).where(F.col("cell").isin(live_cells))
     if candidate_filter is not None:
         scan = scan.where(candidate_filter)
-    cand = scan.join(build, "cell")
+    if n_queries <= max_broadcast_queries:
+        cand = scan.join(F.broadcast(probed), "cell")
+    else:
+        # past the gate: spread a degenerate fan-out (a one-file
+        # streaming micro-batch) so the heavy work parallelizes even
+        # when Spark auto-broadcasts a small scan side, and salt the
+        # genuine shuffle join against live-cell skew
+        cand = _salted_cell_join(spark, scan,
+                                 _spread_fanout(spark, probed),
+                                 len(live_cells))
     if exclude_self:
         cand = cand.where(F.col("vec_id") != F.col("q_id"))
     cand = cand.select("q_id", "vec_id", "cell", cos.alias("_c"))
@@ -769,6 +775,74 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
             .select("q_id", "vec_id",
                     F.col("cell").cast("long").alias("cell"),
                     F.round("_c", 4).alias("cosine")))
+
+
+def _spread_fanout(spark, fan: DataFrame) -> DataFrame:
+    """Repartition a DEGENERATE query fan-out by q_id before the
+    heavy per-candidate work (r10): a streaming micro-batch arrives
+    as one file = ONE partition, and when Spark broadcasts the
+    (small) index side the whole candidate evaluation + window
+    group-limit then runs inside that single task — measured as a
+    one-task 15-minute stall in the streamed-PQ smoke, with the
+    cell-salt never engaging because there is no shuffle join to
+    salt. One bounded narrow shuffle of the fan-out (queries ×
+    nprobe rows, each a q_id + one bounded table/embedding) restores
+    full parallelism under ANY join strategy, and hash(q_id)
+    pre-aligns the final top-k window's required distribution. A fan
+    already at ≥ parallelism partitions is returned untouched, and
+    the helper is applied only PAST the broadcast gate (under it the
+    fan-out is collected for broadcast and the scan side drives
+    parallelism) — the interactive batch path pays nothing. When the
+    join does run as a genuine shuffle join the salted exchange
+    supersedes this one (a redundant bounded shuffle of the
+    fan-out); the case that NEEDS it is Spark electing to broadcast
+    the small scan side, where no exchange would otherwise exist."""
+    if (fan.rdd.getNumPartitions()
+            >= spark.sparkContext.defaultParallelism):
+        return fan
+    return fan.repartition("q_id")
+
+
+def _salted_cell_join(spark, scan: DataFrame, probed: DataFrame,
+                      n_live_cells: int, salt_cap: int = 32
+                      ) -> DataFrame:
+    """The probe-batch SHUFFLE join, skew-proofed (r10): joining the
+    index scan to the query fan-out on ``cell`` alone caps
+    parallelism at the number of LIVE cells — and a regionally
+    skewed query batch (a drift burst, a single-tenant upload) can
+    route ~everything to one or two cells, serializing billions of
+    ADC/cosine evaluations through one reducer. AQE's skew-join
+    split rescues interactive batches but is DISABLED inside
+    Structured Streaming micro-batches (measured: a 100k-query drift
+    batch pinned one task for 15+ minutes in the streamed-PQ smoke),
+    so the salt must be in the plan: the index side gets a
+    deterministic ``pmod(xxhash64(vec_id), S)`` salt, the fan-out
+    side explodes ×S, and the join runs on (cell, salt) —
+    parallelism = live_cells × S. S sizes itself to
+    ``⌈defaultParallelism / live_cells⌉`` capped at ``salt_cap``, so
+    a healthy batch over many cells keeps S=1 and the plan is
+    byte-identical to the unsalted join; fan-out duplication cost is
+    bounded by S × fan-out rows (each a q_id + one bounded
+    table/embedding). Results are identical either way — the salt
+    never reaches the output."""
+    s = max(1, min(salt_cap,
+                   -(-spark.sparkContext.defaultParallelism
+                     // max(1, n_live_cells))))
+    if s <= 1:
+        return scan.join(probed, "cell")
+    for frame, who in ((scan, "index"), (probed, "fan-out")):
+        if "__cell_salt" in frame.columns:
+            raise ValueError(
+                f"_salted_cell_join: the {who} side already has a "
+                f"__cell_salt column — rename it")
+    salted_scan = scan.withColumn(
+        "__cell_salt",
+        F.pmod(F.xxhash64("vec_id"), F.lit(s)).cast("int"))
+    salted_fan = probed.withColumn(
+        "__cell_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+    return (salted_scan.join(salted_fan, ["cell", "__cell_salt"])
+            .drop("__cell_salt"))
 
 
 def _cent_lookup(cents: list[list[float]]):
@@ -1061,6 +1135,107 @@ def opq_train_rotation(emb: DataFrame, m: int,
             for row in R]
 
 
+def _pq_cross_moment(corpus: DataFrame, R, CB, m: int):
+    """Distributed cross-moment M = Σ_x x·y(x)ᵀ for the OPQ-NP
+    Procrustes step: y(x) is the PQ reconstruction of R·x under
+    codebook ``CB`` (2^nbits × d concatenated layout, argmin ties to
+    the lower code — the pq_train_codebooks contract). One
+    Arrow-batched BLAS pass per partition (the embedding_moments
+    shape: each partition folds to ONE d×d partial, the reduce ships
+    d² bounded rows), corpus scanned exactly once; the returned d×d
+    numpy matrix is model state."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(R)
+    sub = d // m
+    Rl = [list(map(float, r)) for r in R]
+    CBl = [list(map(float, c)) for c in CB]
+
+    def kern(batches):
+        Rm, CBm = np.array(Rl), np.array(CBl)
+        M = np.zeros((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64)
+            Xr = X @ Rm.T
+            Y = np.empty_like(Xr)
+            for s in range(m):
+                sl = slice(s * sub, (s + 1) * sub)
+                diff = Xr[:, None, sl] - CBm[None, :, sl]
+                codes = np.argmin((diff * diff).sum(-1), axis=1)
+                Y[:, sl] = CBm[codes, sl]
+            M += X.T @ Y
+        yield pd.DataFrame({"v": [M.ravel().tolist()]})
+
+    parts = (corpus.select("embedding")
+             .mapInPandas(kern, "v array<double>"))
+    red = (parts.select(F.posexplode("v").alias("i", "x"))
+           .groupBy("i").agg(F.sum("x").alias("x")))
+    rows = red.collect()          # bounded: d² model values
+    M = np.zeros((d, d))
+    for r in rows:
+        M[r.i // d, r.i % d] = r.x
+    return M
+
+
+def opq_train_rotation_np(emb: DataFrame, m: int, nbits: int = 4,
+                          iters: int = 2, codebook_iters: int = 1,
+                          sample_ppm: int | None = None,
+                          decimals: int = 9) -> list[list[float]]:
+    """NON-PARAMETRIC OPQ (Ge, He, Ke & Sun, CVPR 2013 §5; FAISS
+    OPQMatrix's training loop) — r10, the r9 verdict's item 6:
+    alternate codebook and rotation updates instead of trusting the
+    Gaussian assumption behind the closed-form OPQ-P allocation.
+    Initialized at :func:`opq_train_rotation` (OPQ-P — Ge et al.'s
+    own recommended init), then each iteration (1) trains per-
+    subspace PQ codebooks on the rotated sample
+    (:func:`pq_train_codebooks` — plain PQ, the paper's objective),
+    (2) reconstructs y = q(R·x) and solves the orthogonal Procrustes
+    problem min_R Σ‖R·x − y‖² in closed form: M = Σ x·yᵀ,
+    M = U·S·Vᵀ → R = V·Uᵀ. Monotone by construction (each half-step
+    minimizes the shared quantization-error objective with the other
+    half fixed), so the learned R is ≥ OPQ-P on the training
+    objective; SCALE.md's correlated-blob smoke measures the recall
+    side.
+
+    Scale shape: per iteration, one codebook-training pass (bounded
+    2^nbits·d model rows shuffle) + one cross-moment corpus pass
+    (embedding_moments' per-partition BLAS fold, d² bounded reduce)
+    — both over the ``sample_ppm`` md5 sample; the SVD is a driver
+    d×d (model-sized, the eigh policy). Same contract as
+    :func:`opq_train_rotation`: returns d×d R rows (x' = R·x),
+    entries rounded at ``decimals`` — a drop-in rotation for the
+    stamped ``{table}_rotation`` sidecar, nothing downstream
+    changes."""
+    import numpy as np
+
+    if iters < 1:
+        raise ValueError(
+            f"opq_train_rotation_np: iters={iters} must be >= 1")
+    if codebook_iters < 1:
+        raise ValueError(
+            f"opq_train_rotation_np: codebook_iters={codebook_iters} "
+            f"must be >= 1 (the rotation update needs trained "
+            f"codebooks to reconstruct against)")
+    R = np.array(opq_train_rotation(emb, m, sample_ppm=sample_ppm,
+                                    decimals=decimals), dtype=float)
+    corpus = _train_sample(emb.where(F.col("embedding").isNotNull()),
+                           sample_ppm, "opq_train_rotation_np")
+    for _ in range(iters):
+        rot = [[float(x) for x in row] for row in R]
+        rotated = corpus.select(
+            "vec_id", _rotate_expr(rot).alias("embedding"))
+        cb = pq_train_codebooks(rotated, m, nbits, codebook_iters)
+        M = _pq_cross_moment(corpus, rot, cb, m)
+        u, _, vt = np.linalg.svd(M)
+        R = (u @ vt).T                  # argmax tr(R·M) = V·Uᵀ
+    return [[round(float(x), decimals) + 0.0 for x in row]
+            for row in R]
+
+
 def _rotate_expr(R: list[list[float]], col: str = "embedding"):
     """In-row orthogonal rotation ``x' = R·x`` as a literal-fold HOF
     array (d² multiply-adds inside whole-stage codegen — the
@@ -1096,7 +1271,8 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
                        codebook_iters: int = 0,
                        residual: bool = False,
                        train_sample_ppm: int | None = None,
-                       opq: bool = False) -> None:
+                       opq: bool = False,
+                       opq_np_iters: int = 0) -> None:
     """PQ-COMPRESSED persistent IVF index — the memory-bound variant
     of :func:`ivf_index_write`: instead of storing raw
     ``array<double>`` embeddings (at 100 TB the float index is as
@@ -1150,7 +1326,11 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
       exactly, so correctness is unchanged; ADC error drops where
       correlated/anisotropic dimensions used to break PQ's
       subspace-independence assumption (measured on the correlated-
-      blob smoke, SCALE.md).
+      blob smoke, SCALE.md). ``opq_np_iters>0`` (r10) refines the
+      rotation NON-parametrically (:func:`opq_train_rotation_np` —
+      Ge et al. §5 alternating updates; same sidecar contract,
+      strictly ≥ OPQ-P on the training objective) — reach for it
+      when OPQ-P alone still misses the recall target.
 
     DEFAULT POLICY (decided r8, same as ivf_index_write's): defaults
     stay pinned (``train_iters=0, codebook_iters=0``) for bit-for-bit
@@ -1190,9 +1370,20 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
             "— pinned codewords are raw corpus rows in ORIGINAL "
             "space; rotating the corpus under them would silently "
             "mis-encode everything")
+    if opq_np_iters > 0 and not opq:
+        raise ValueError(
+            "ivf_pq_index_write: opq_np_iters>0 requires opq=True — "
+            "the non-parametric iterations refine the OPQ rotation")
     rot = None
     if opq:
-        rot = opq_train_rotation(emb, m, sample_ppm=train_sample_ppm)
+        if opq_np_iters > 0:
+            rot = opq_train_rotation_np(
+                emb, m, nbits=nbits, iters=opq_np_iters,
+                codebook_iters=codebook_iters,
+                sample_ppm=train_sample_ppm)
+        else:
+            rot = opq_train_rotation(emb, m,
+                                     sample_ppm=train_sample_ppm)
         emb = emb.select("vec_id",
                          _rotate_expr(rot).alias("embedding"))
     ncw = 1 << nbits
@@ -1557,9 +1748,6 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     n_queries = probed.select("q_id").distinct().count()
     live_cells = sorted({r.cell for r in
                          probed.select("cell").distinct().collect()})
-    build = (F.broadcast(probed)
-             if n_queries <= max_broadcast_queries
-             else probed)
     adc = None
     for s in range(m):
         code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
@@ -1571,7 +1759,16 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
         ids = candidate_ids.select(
             F.col(candidate_ids.columns[0]).alias("vec_id"))
         scan = scan.join(ids, "vec_id", "left_semi")
-    cand = scan.join(build, "cell")
+    if n_queries <= max_broadcast_queries:
+        cand = scan.join(F.broadcast(probed), "cell")
+    else:
+        # past the gate: spread a degenerate fan-out (a one-file
+        # streaming micro-batch) so the heavy work parallelizes even
+        # when Spark auto-broadcasts a small scan side, and salt the
+        # genuine shuffle join against live-cell skew
+        cand = _salted_cell_join(spark, scan,
+                                 _spread_fanout(spark, probed),
+                                 len(live_cells))
     if exclude_self:
         cand = cand.where(F.col("vec_id") != F.col("q_id"))
     cand = cand.select("q_id", "vec_id", "cell", adc.alias("_d"))
@@ -1789,6 +1986,72 @@ def ann_recall_estimate(spark, table: str, k: int = 5,
                     / F.sum("t"), 6).alias("recall"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def ann_tune(spark, table: str, target_recall: float, k: int = 5,
+             nprobes: tuple = (1, 2, 4),
+             shortlist: int | tuple | None = None,
+             sample_ppm: int = 30_000,
+             emb: DataFrame | None = None,
+             salt: str = "recall",
+             max_broadcast_queries: int = 10_000) -> DataFrame:
+    """Recall-target AUTO-SIZER — the capstone over
+    :func:`ann_recall_estimate` (r10, the r9 verdict's Missing #2):
+    instead of reading the calibration grid by hand, give the product
+    target and get back the CHEAPEST (nprobe, shortlist) that meets
+    it. Measures recall at every grid setting through the real
+    serving paths, prices each setting with the transparent serving
+    cost model ``cost = nprobe · ⌈N/C⌉ + shortlist`` (candidate rows
+    scanned per query — nprobe cells of an N-row C-cell index — plus
+    re-ranked rows for a PQ refine ladder), and returns ONE row: the
+    min-cost setting with measured recall ≥ ``target_recall``; if no
+    setting meets the target (raise nprobe/shortlist or the grid),
+    the best-recall row returns flagged ``meets_target = false``
+    (fail-visible, never silently under-recalled).
+
+    Tie/selection order is total and engine-replayable: meets-target
+    first, then cost, then higher recall, then smaller nprobe, then
+    smaller shortlist. Scale shape: the measurement is
+    ann_recall_estimate's (bounded sample, one truth scan, serving
+    probes); pricing joins ONE aggregated count row (broadcast); the
+    selection sorts |grid| bounded rows. → (nprobe, shortlist, k,
+    n_queries, truth_rows, hits, recall, cost, target_recall,
+    meets_target)."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"ann_tune: target_recall={target_recall} must be in "
+            f"(0, 1]")
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    try:
+        n_cents = int(props["georiva.n_centroids"])
+    except KeyError:
+        raise ValueError(
+            f"ann_tune: {table!r} is not a stamped IVF index "
+            f"(missing georiva.n_centroids)") from None
+    rows = ann_recall_estimate(
+        spark, table, k=k, nprobes=nprobes, sample_ppm=sample_ppm,
+        emb=emb, shortlist=shortlist, salt=salt,
+        max_broadcast_queries=max_broadcast_queries)
+    n = F.broadcast(spark.table(table)
+                    .agg(F.count(F.lit(1)).alias("__n")))
+    per_probe = F.expr(f"(__n + {n_cents} - 1) div {n_cents}")
+    cost = (F.col("nprobe").cast("long") * per_probe
+            + F.col("shortlist").cast("long"))
+    meets = F.round(F.col("recall"), 6) >= F.lit(float(target_recall))
+    priced = (rows.crossJoin(n)
+              .withColumn("cost", cost.cast("long"))
+              .withColumn("target_recall",
+                          F.lit(float(target_recall)))
+              .withColumn("meets_target", meets)
+              .drop("__n"))
+    return (priced.orderBy(
+        F.col("meets_target").desc(),
+        F.when(F.col("meets_target"), F.col("cost"))
+        .asc_nulls_last(),
+        F.col("recall").desc(), F.col("cost").asc(),
+        F.col("nprobe").asc(), F.col("shortlist").asc())
+        .limit(1))
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,

@@ -1321,6 +1321,99 @@ FROM ({union})
 SQL_ANN_RECALL = _sql_ann_recall()
 
 
+def q_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-target auto-sizer (r10 — the capstone over ann_recall):
+    measure recall at nprobe 1 and 2 through the serving path, price
+    each setting with cost = nprobe·⌈N/C⌉ (+shortlist), and return
+    the cheapest setting meeting target_recall=0.9 — or the
+    best-recall row flagged meets_target=false. The oracle replays
+    the full recall grid (SQL_ANN_RECALL) plus the pricing and the
+    total selection order, so the chosen row hash-matches."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivftn")
+    similarity.ivf_index_write(emb, "t_ivftn",
+                               os.path.join(d, "idxtn"), n_centroids=8)
+    return similarity.ann_tune(spark, "t_ivftn", target_recall=0.9,
+                               k=5, nprobes=(1, 2), sample_ppm=30_000)
+
+
+def _sql_ann_tune(target: float = 0.9, n_cents: int = 8) -> str:
+    return f"""
+WITH rows AS ({_sql_ann_recall()}),
+nn2 AS (SELECT COUNT(*) AS c FROM embeddings),
+priced AS (
+  SELECT rows.*,
+         CAST(nprobe * ((nn2.c + {n_cents} - 1) // {n_cents})
+              + shortlist AS BIGINT) AS cost,
+         CAST({target!r} AS DOUBLE) AS target_recall,
+         (ROUND(recall, 6) >= CAST({target!r} AS DOUBLE))
+           AS meets_target
+  FROM rows, nn2)
+SELECT nprobe, shortlist, k, n_queries, truth_rows, hits, recall,
+       cost, target_recall, meets_target
+FROM priced
+ORDER BY meets_target DESC,
+         CASE WHEN meets_target THEN cost END ASC NULLS LAST,
+         recall DESC, cost ASC, nprobe ASC, shortlist ASC
+LIMIT 1
+"""
+
+
+SQL_ANN_TUNE = _sql_ann_tune()
+
+
+def q_minhash_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding auto-sizer (r10): the S-curve closed form
+    P(s) = 1 − (1 − s^r)^b priced over every (num_hashes, bands)
+    candidate (bands dividing num_hashes), threshold 0.3, target
+    recall 0.9 — the full priced grid with chosen=true on the
+    min-cost setting meeting target. Pure config arithmetic (no
+    corpus); the oracle replays grid, S-curve, pricing, and the
+    total selection order."""
+    return dedup.minhash_tune(spark, threshold=0.3, target_recall=0.9,
+                              num_hashes_grid=(16, 32, 64, 128))
+
+
+def _sql_minhash_tune(threshold: float = 0.3, target: float = 0.9,
+                      grid: tuple = (16, 32, 64, 128)) -> str:
+    from georiva_spark.operators.dedup import minhash_tune_grid
+    vals = ", ".join(f"({n}, {b}, {r})"
+                     for n, b, r in minhash_tune_grid(grid))
+    t, h, tg = float(threshold), float(threshold) / 2.0, float(target)
+    return f"""
+WITH grid(num_hashes, bands, rows_per_band) AS (VALUES {vals}),
+priced AS (
+  SELECT CAST(num_hashes AS INTEGER) AS num_hashes,
+         CAST(bands AS INTEGER) AS bands,
+         CAST(rows_per_band AS INTEGER) AS rows_per_band,
+         CAST({t!r} AS DOUBLE) AS threshold,
+         CAST({tg!r} AS DOUBLE) AS target_recall,
+         ROUND(1.0 - power(1.0 - power(CAST({t!r} AS DOUBLE),
+               rows_per_band), bands), 6) + 0.0
+           AS recall_at_threshold,
+         ROUND(1.0 - power(1.0 - power(CAST({h!r} AS DOUBLE),
+               rows_per_band), bands), 6) + 0.0
+           AS fp_at_half_threshold,
+         CAST(num_hashes + bands AS INTEGER) AS cost
+  FROM grid),
+flagged AS (
+  SELECT *, (recall_at_threshold >= target_recall) AS meets_target
+  FROM priced)
+SELECT *, (row_number() OVER (
+    ORDER BY meets_target DESC,
+             CASE WHEN meets_target THEN cost END ASC NULLS LAST,
+             recall_at_threshold DESC,
+             num_hashes ASC, bands ASC) = 1) AS chosen
+FROM flagged
+"""
+
+
+SQL_MINHASH_TUNE = _sql_minhash_tune()
+
+
 def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall harness over the COMPRESSED index family (r9): raw
     ADC probes at nprobe=2 against the pinned IVF-PQ index, ground
@@ -6446,6 +6539,8 @@ EXT_QUERIES = {
     "minhash_recall": q_minhash_recall,
     "shard_export": q_shard_export,
     "token_shards": q_token_shards,
+    "ann_tune": q_ann_tune,
+    "minhash_tune": q_minhash_tune,
     "quality_threshold": q_quality_threshold,
     "training_pipeline": q_training_pipeline,
     "source_mix": q_source_mix,
@@ -6580,6 +6675,8 @@ EXT_ORACLES = {
     "minhash_recall": SQL_MINHASH_RECALL,
     "shard_export": SQL_SHARD_EXPORT,
     "token_shards": SQL_TOKEN_SHARDS,
+    "ann_tune": SQL_ANN_TUNE,
+    "minhash_tune": SQL_MINHASH_TUNE,
     "quality_threshold": SQL_QUALITY_THRESHOLD,
     "training_pipeline": SQL_TRAINING_PIPELINE,
     "source_mix": SQL_SOURCE_MIX,

@@ -131,6 +131,24 @@ def export_token_shards(docs: DataFrame, path: str,
             .orderBy("shard"))
 
 
+def read_token_shards(spark: SparkSession, path: str,
+                      shard: int | None = None) -> DataFrame:
+    """Read a :func:`export_token_shards` layout back in LOADER ORDER
+    — (shard asc, bin_id asc), the exact stream a trainer consumes.
+    With ``shard=`` only that shard directory is read (partition
+    pruning at file-listing time — the per-worker loader shape: rank
+    k of W workers reads shards k, k+W, …, each a single pruned
+    directory scan). The sort is per-shard metadata-cheap: files are
+    already written in bin order, so Spark's sort sees presorted
+    runs; a non-Spark loader can skip it entirely and mmap the one
+    file per directory sequentially."""
+    df = (spark.read.option("basePath", path)
+          .parquet(f"{path}/shard=*"))
+    if shard is not None:
+        df = df.where(F.col("shard") == shard)
+    return df.orderBy("shard", "bin_id")
+
+
 def read_jsonl_corpus(spark: SparkSession, path: str,
                       schema: str = ("doc_id long, text string, "
                                      "lang string, source string, "

@@ -42,7 +42,8 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
                      compact_every: int | None = None,
                      compact_dir: str | None = None,
                      retrain_iters: int = 0,
-                     train_sample_ppm: int | None = None):
+                     train_sample_ppm: int | None = None,
+                     retrain_emb=None):
     """Start the probe-then-grow ANN stream: ``emb_stream`` must carry
     (vec_id, embedding) with corpus-unique vec_ids; per-batch neighbor
     sets land in ``{out_dir}/batch_id=N`` as (q_id, vec_id, cell,
@@ -55,11 +56,21 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
     appends the index compacts in place — one file per cell again —
     optionally RETRAINING the coarse quantizer (``retrain_iters>0``,
     the drift story; ``train_sample_ppm`` bounds the training scan).
-    Retraining a PQ index needs the float corpus, which a
-    sub-code-only stream doesn't carry — requesting it here raises by
-    name (run :func:`~georiva_spark.operators.similarity.
-    ivf_pq_index_compact` with ``emb=`` as a batch maintenance pass
-    instead); layout-only PQ compaction is fine. Returns the
+
+    PQ retrain (r10 — the wired maintenance pass, the reference's
+    5-minute-sweep doctrine): a PQ table stores sub-codes only, so
+    retraining needs the FLOAT corpus — pass ``retrain_emb``, either
+    a zero-arg callable returning the CURRENT float corpus DataFrame
+    (base + every appended delta; it is re-invoked at each
+    compaction, so a parquet-landing read stays current) or a table
+    name string. When the append counter trips, the loop runs
+    :func:`~georiva_spark.operators.similarity.ivf_pq_index_compact`
+    with ``emb=retrain_emb(...)`` — quantizer + stamped codebook
+    retrain, version bump, sidecars-then-main swap — and the serving
+    session refreshes, all inside the stream. Requesting PQ retrain
+    WITHOUT ``retrain_emb`` still fails by name at launch (the
+    float corpus cannot be conjured from sub-codes); layout-only PQ
+    compaction (``retrain_iters=0``) needs no floats. Returns the
     StreamingQuery."""
     spark = emb_stream.sparkSession
     if not spark.table(f"{table}_centroids").head(1):   # fail fast
@@ -70,13 +81,29 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
     is_pq = "georiva.pq_m" in props
     probe = ivf_pq_index_probe_batch if is_pq else ivf_index_probe_batch
     append = ivf_pq_index_append if is_pq else ivf_index_append
-    if is_pq and retrain_iters > 0:
+    if retrain_emb is not None and not (is_pq and retrain_iters > 0):
+        raise ValueError(
+            "start_ann_stream: retrain_emb only applies to PQ "
+            "retraining compaction (a float index retrains from its "
+            "own rows; without retrain_iters>0 nothing retrains)")
+    if is_pq and retrain_iters > 0 and retrain_emb is None:
         raise ValueError(
             "start_ann_stream: retrain_iters>0 on a PQ index — "
-            "retraining re-encodes from the FLOAT corpus, which this "
-            "stream doesn't carry; run ivf_pq_index_compact(emb=…, "
-            "retrain_iters=…) as a batch maintenance pass instead")
-    if is_pq:
+            "retraining re-encodes from the FLOAT corpus, which the "
+            "sub-code table doesn't carry; pass retrain_emb= (a "
+            "callable returning the grown float corpus, or a table "
+            "name) to wire the in-stream maintenance pass")
+    if is_pq and retrain_iters > 0:
+        def _floats() -> DataFrame:
+            return (retrain_emb() if callable(retrain_emb)
+                    else spark.table(retrain_emb))
+        compact = _family_compact(
+            compact_every, compact_dir, "start_ann_stream",
+            lambda path: ivf_pq_index_compact(
+                spark, table, path, emb=_floats(),
+                retrain_iters=retrain_iters,
+                train_sample_ppm=train_sample_ppm))
+    elif is_pq:
         compact = _family_compact(
             compact_every, compact_dir, "start_ann_stream",
             lambda path: ivf_pq_index_compact(spark, table, path))

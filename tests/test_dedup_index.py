@@ -1080,6 +1080,82 @@ def test_opq_rotation_index_probe_append_sync(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS t_opqx{s}")
 
 
+def test_opq_nonparametric_improves_training_objective(spark,
+                                                       tmp_path):
+    """r10 OPQ-NP (Ge et al. 2013 §5): alternating codebook/rotation
+    updates from the OPQ-P init — on anisotropic correlated data the
+    learned rotation is orthogonal, the shared quantization-error
+    objective E‖R·x − q(R·x)‖² does not regress vs OPQ-P (each
+    half-step minimizes it with the other half fixed), the rotation
+    is a drop-in for the stamped sidecar (write/probe/append all work
+    through opq_np_iters), and the guards fail by name."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    d, n, m, nbits = 16, 300, 4, 4
+    mix = rng.normal(size=(d, d)) * np.linspace(3, 0.1, d)[None, :]
+    X = rng.normal(size=(n, d)) @ mix.T
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    def mse(rot):
+        """Train codebooks on the rotated corpus (the production
+        path), reconstruct in numpy, return E‖R·x − q(R·x)‖²."""
+        rotated = emb.select(
+            "vec_id", similarity._rotate_expr(rot).alias("embedding"))
+        cb = np.array(similarity.pq_train_codebooks(
+            rotated, m, nbits, 2))
+        Xr = X @ np.array(rot).T
+        Y = np.empty_like(Xr)
+        sub = d // m
+        for s in range(m):
+            sl = slice(s * sub, (s + 1) * sub)
+            diff = Xr[:, None, sl] - cb[None, :, sl]
+            Y[:, sl] = cb[(diff * diff).sum(-1).argmin(1), sl]
+        return float(((Xr - Y) ** 2).sum(1).mean())
+
+    r_p = similarity.opq_train_rotation(emb, m)
+    r_np = similarity.opq_train_rotation_np(emb, m, nbits=nbits,
+                                            iters=2, codebook_iters=2)
+    R = np.array(r_np)
+    assert R.shape == (d, d)
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-6)  # orthogonal
+    assert mse(r_np) <= mse(r_p) + 1e-9       # objective never worse
+    # drop-in through the writer: probe finds the appended twin
+    t = "t_opqnp"
+    try:
+        similarity.ivf_pq_index_write(
+            emb, t, str(tmp_path / "i"), n_centroids=4, m=m,
+            nbits=nbits, train_iters=2, codebook_iters=2,
+            residual=True, opq=True, opq_np_iters=2)
+        rot = similarity._load_rotation(spark, t)
+        assert np.allclose(np.array(rot) @ np.array(rot).T,
+                           np.eye(d), atol=1e-6)
+        delta = spark.createDataFrame(
+            [(9999, [float(v) for v in X[7]])],
+            "vec_id long, embedding array<double>")
+        similarity.ivf_pq_index_append(delta, t)
+        top = similarity.ivf_pq_index_probe(
+            spark, t, [float(v) for v in X[7]], k=3, nprobe=2,
+            exclude_vec_id=7).collect()
+        assert top[0].vec_id == 9999
+        with pytest.raises(ValueError, match="opq_np_iters"):
+            similarity.ivf_pq_index_write(
+                emb, "t_opqnpbad", str(tmp_path / "b"), n_centroids=4,
+                m=m, nbits=nbits, train_iters=1, codebook_iters=1,
+                opq=False, opq_np_iters=2)
+        with pytest.raises(ValueError, match="iters"):
+            similarity.opq_train_rotation_np(emb, m, iters=0)
+        with pytest.raises(ValueError, match="codebook_iters"):
+            similarity.opq_train_rotation_np(emb, m, codebook_iters=0)
+    finally:
+        for s in ("", "_centroids", "_codebook", "_rotation"):
+            spark.sql(f"DROP TABLE IF EXISTS t_opqnp{s}")
+
+
 def test_ann_recall_estimate_monotone_and_exact_at_full_probe(
         spark, tmp_path):
     """r9 recall harness: on a float IVF index, measured recall@k is
@@ -1113,6 +1189,125 @@ def test_ann_recall_estimate_monotone_and_exact_at_full_probe(
     finally:
         for s in ("", "_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS t_rcx{s}")
+
+
+def test_ann_tune_picks_cheapest_setting_meeting_target(spark,
+                                                        tmp_path):
+    """r10 auto-sizer: on a random (hard) corpus the recall ladder is
+    strictly below 1 until the full probe, so a target of 1.0 must
+    select the full-probe setting (cheaper settings exist but miss
+    the target), the cost column carries the documented
+    nprobe·⌈N/C⌉ arithmetic, an unreachable target returns the
+    best-recall row flagged meets_target=false, and the guards fail
+    by name."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    n, d, C = 300, 8, 4
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=d)]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    t = "t_tnx"
+    try:
+        similarity.ivf_index_write(emb, t, str(tmp_path / "i"),
+                                   n_centroids=C, train_iters=1)
+        grid = {r.nprobe: r for r in similarity.ann_recall_estimate(
+            spark, t, k=5, nprobes=(1, 2, 4),
+            sample_ppm=80_000).collect()}
+        assert grid[2].recall < 1.0      # target=1.0 forces nprobe=4
+        pick = similarity.ann_tune(spark, t, target_recall=1.0, k=5,
+                                   nprobes=(1, 2, 4),
+                                   sample_ppm=80_000).collect()
+        assert len(pick) == 1
+        row = pick[0]
+        assert row.nprobe == 4 and row.meets_target
+        assert row.recall == 1.0
+        assert row.cost == 4 * ((n + C - 1) // C)   # the cost model
+        # a cheaper setting meeting a lower target wins instead
+        lo = similarity.ann_tune(
+            spark, t, target_recall=float(grid[1].recall), k=5,
+            nprobes=(1, 2, 4), sample_ppm=80_000).collect()[0]
+        assert lo.nprobe == 1 and lo.meets_target
+        assert lo.cost == 1 * ((n + C - 1) // C)
+        with pytest.raises(ValueError, match="target_recall"):
+            similarity.ann_tune(spark, t, target_recall=0.0)
+        with pytest.raises(ValueError, match="n_centroids"):
+            similarity.ann_tune(spark, "t_tnx_centroids",
+                                target_recall=0.9)
+        # PQ refine grid: when every setting meets an easy target,
+        # the cheapest (smallest shortlist) wins, and cost carries
+        # the re-rank term
+        similarity.ivf_pq_index_write(emb, "t_tnpq",
+                                      str(tmp_path / "pq"),
+                                      n_centroids=C, m=4, nbits=4,
+                                      train_iters=1)
+        pq = similarity.ann_tune(spark, "t_tnpq", target_recall=0.01,
+                                 k=5, nprobes=(2,),
+                                 shortlist=(20, 60), emb=emb,
+                                 sample_ppm=80_000).collect()[0]
+        assert pq.meets_target and pq.shortlist == 20
+        assert pq.cost == 2 * ((n + C - 1) // C) + 20
+    finally:
+        for s in ("", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_tnx{s}")
+        for s in ("", "_centroids", "_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS t_tnpq{s}")
+
+
+def test_minhash_tune_closed_form_and_end_to_end(spark):
+    """r10 banding auto-sizer: the S-curve values match an
+    independent Python computation, the chosen row is the min-cost
+    setting meeting the target under the documented order, an
+    unreachable target flags meets_target=false on the best-recall
+    row, guards fail by name — and END-TO-END the chosen setting's
+    measured recall (minhash_recall_estimate) clears the target on a
+    corpus whose true pairs sit ABOVE the threshold (the closed form
+    at the threshold is the floor of the catch rate)."""
+    from georiva_spark.operators import dedup
+
+    out = dedup.minhash_tune(spark, threshold=0.3, target_recall=0.9,
+                             num_hashes_grid=(16, 32, 64)).collect()
+    by = {(r.num_hashes, r.bands): r for r in out}
+    # closed form vs independent Python
+    for (nh, b), r in by.items():
+        p = 1.0 - (1.0 - 0.3 ** (nh // b)) ** b
+        assert abs(r.recall_at_threshold - round(p, 6)) < 1e-9
+        assert r.cost == nh + b
+    chosen = [r for r in out if r.chosen]
+    assert len(chosen) == 1
+    c = chosen[0]
+    assert c.meets_target and c.recall_at_threshold >= 0.9
+    # min-cost among the meeting settings, ties by the documented order
+    meeting = [r for r in out if r.meets_target]
+    assert c.cost == min(r.cost for r in meeting)
+    # unreachable target: best recall wins, flagged not-met
+    imp = dedup.minhash_tune(spark, threshold=0.3,
+                             target_recall=1.0,
+                             num_hashes_grid=(16,)).collect()
+    ich = [r for r in imp if r.chosen][0]
+    assert not ich.meets_target
+    assert ich.recall_at_threshold == max(r.recall_at_threshold
+                                          for r in imp)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.minhash_tune(spark, threshold=1.0, target_recall=0.9)
+    with pytest.raises(ValueError, match="target_recall"):
+        dedup.minhash_tune(spark, threshold=0.3, target_recall=0.0)
+    # end-to-end: pairs far above threshold -> measured recall at the
+    # chosen (num_hashes, bands) clears the target (closed-form floor)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base), (3, base + " extra tail words")]
+    rows += [(10 + i, f"filler doc number {i} about unrelated topic "
+              f"{i} with words {i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    measured = dedup.minhash_recall_estimate(
+        docs, threshold=0.3, sample_ppm=1_000_000,
+        num_hashes=c.num_hashes, bands=c.bands,
+        portable=True).collect()[0]
+    assert measured.true_pairs >= 2
+    assert measured.recall >= 0.9
 
 
 def test_ann_recall_estimate_pq_refine_recovers_adc_loss(spark,
@@ -1228,6 +1423,102 @@ def test_streaming_ann_auto_compacts_with_retrain(spark, tmp_path):
     finally:
         for t in ("t_annc", "t_annc_centroids", "t_anncpq",
                   "t_anncpq_centroids", "t_anncpq_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_pq_ann_retrains_in_stream(spark, tmp_path):
+    """r10: the WIRED PQ maintenance pass (r9 verdict item 3) — the
+    drift story through the STREAMED compressed index instead of an
+    operator-driven batch call. retrain_emb hands the loop the grown
+    float corpus (base + landing deltas, re-read at each compaction);
+    two appends trip the counter and the in-stream
+    ivf_pq_index_compact(emb=…, retrain_iters=…) retrains quantizer
+    AND stamped codebook, bumps the version across all three tables
+    (the skew gate proves sync: the post-compaction batch probes the
+    swapped index without a version error and finds its cross-batch
+    twin), and the retrained centroids actually moved toward the
+    drift. Misuse still fails by name: retrain_emb on a float index
+    or without retrain_iters."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+    from georiva_spark.streaming import (read_ann_neighbors,
+                                         start_ann_stream)
+
+    rng = np.random.default_rng(73)
+    centers = rng.normal(size=(4, 8)) * 4
+    base = np.repeat(centers, 5, axis=0) + rng.normal(scale=0.2,
+                                                      size=(20, 8))
+    schema = "vec_id long, embedding array<double>"
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(20)], schema)
+    landing = tmp_path / "pqr_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "pqr_out"), str(tmp_path / "pqr_ckpt")
+    cdir = str(tmp_path / "pqr_compact")
+    drift = -centers[0] * 3 + rng.normal(scale=0.1, size=8)
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+
+    def floats():
+        grown = spark.read.schema(schema).parquet(str(landing) + "/*")
+        return emb.unionByName(grown)
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_ann_stream(src, "t_pqrs", out, ckpt, k=3, nprobe=2,
+                             compact_every=2, compact_dir=cdir,
+                             retrain_iters=1, retrain_emb=floats)
+        q.awaitTermination(180)
+
+    try:
+        similarity.ivf_pq_index_write(
+            emb, "t_pqrs", str(tmp_path / "pqr_ix"), n_centroids=4,
+            m=4, nbits=4, train_iters=1, codebook_iters=1)
+        pre_cents = {r.cell: r.embedding for r in
+                     spark.table("t_pqrs_centroids").collect()}
+        drop("b0", [(101, [float(v) for v in drift])])
+        drop("b1", [(102, [float(v) for v in base[3] + 0.01])])
+        cycle()          # 2 appends → in-stream retraining compaction
+        props = {r.key: r.value for r in
+                 spark.sql("SHOW TBLPROPERTIES t_pqrs").collect()}
+        assert props["georiva.quantizer_version"] == "2"
+        assert props["georiva.pq_codebook_iters"] == "1"  # retrained
+        for side in ("_centroids", "_codebook"):
+            sp = {r.key: r.value for r in spark.sql(
+                f"SHOW TBLPROPERTIES t_pqrs{side}").collect()}
+            assert sp["georiva.quantizer_version"] == "2"
+        # the retrained quantizer moved: some centroid now sits near
+        # the drift blob (min L2 to the drift point shrank)
+        post_cents = {r.cell: r.embedding for r in
+                      spark.table("t_pqrs_centroids").collect()}
+
+        def min_d2(cents):
+            return min(sum((a - b) ** 2 for a, b in zip(c, drift))
+                       for c in cents.values())
+        assert min_d2(post_cents) < min_d2(pre_cents)
+        # post-compaction batch probes the swapped index (no version
+        # skew) and finds its cross-batch twin through PQ serving
+        drop("b2", [(200, [float(v) for v in drift + 0.01])])
+        cycle()
+        by_q = {}
+        for r in read_ann_neighbors(spark, out).collect():
+            by_q.setdefault(r.q_id, []).append((r.vec_id, r.adc_dist))
+        assert min(by_q[200], key=lambda t: t[1])[0] == 101
+        assert spark.table("t_pqrs").count() == 23
+        # misuse fails by name
+        src = (spark.readStream.schema(schema)
+               .parquet(str(landing) + "/*"))
+        with pytest.raises(ValueError, match="retrain_emb"):
+            start_ann_stream(src, "t_pqrs", out, ckpt,
+                             compact_every=2, compact_dir=cdir,
+                             retrain_iters=0, retrain_emb=floats)
+    finally:
+        for t in ("t_pqrs", "t_pqrs_centroids", "t_pqrs_codebook"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -1198,6 +1198,18 @@ def test_export_token_shards_loader_contract(spark, tmp_path):
     b4 = next(r for r in ref.values() if 4 in r[0])
     assert b4[1][b4[0].index(4)] == 0      # starts its own bin
     assert len(b4[2]) == ctx               # clamped to context_len
+    # the loader reader returns (shard, bin_id) order and prunes to
+    # one shard directory when asked
+    from georiva_spark.sources.tables import read_token_shards
+    back = read_token_shards(spark, out).collect()
+    assert [(r.shard, r.bin_id) for r in back] \
+        == sorted((s, b) for s, b in ref)
+    one = read_token_shards(spark, out, shard=min(shards_seen))
+    assert {r.shard for r in one.collect()} == {min(shards_seen)}
+    scan = one._jdf.queryExecution().toString().split(
+        "== Physical Plan ==")[-1]
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "shard" in pf               # pruned at listing time
     with pytest.raises(ValueError, match="context_len"):
         export_token_shards(docs, str(tmp_path / "x"), merges,
                             context_len=0, num_shards=2)

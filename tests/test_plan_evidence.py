@@ -721,6 +721,52 @@ def test_ivf_probe_batch_gate_counts_queries_not_fanout(spark):
         spark.sql("DROP TABLE IF EXISTS t_tinyc_centroids")
 
 
+def test_probe_batch_shuffle_join_salts_live_cell_skew(spark):
+    """r10: past the broadcast gate, the serving join is salted —
+    joining on `cell` alone caps parallelism at the live-cell count
+    and a regionally skewed batch (drift burst) serializes through
+    one reducer, with no AQE skew rescue inside streaming
+    micro-batches. The plan must exchange on (cell, __cell_salt)
+    with the fan-out exploded ×S, the salt must not reach the
+    output, and results must equal the broadcast path's (covered by
+    the gate tests). S sizes to ⌈parallelism / live_cells⌉, so with
+    4 cells on local[32] the salt is present."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)]) for i in range(64)],
+        "vec_id long, embedding array<double>")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_salt")
+    similarity.ivf_index_write(emb, "t_salt", os.path.join(d, "i"),
+                               n_centroids=4)
+    qs = (emb.where("vec_id in (0, 1, 2)")
+          .selectExpr("vec_id as q_id", "embedding"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = similarity.ivf_index_probe_batch(
+            spark, "t_salt", qs, k=3, nprobe=2, exclude_self=True,
+            max_broadcast_queries=0)
+        assert "__cell_salt" not in out.columns   # never in output
+        phys = _plan(out).split("== Physical Plan ==")[-1]
+        join_ex = [ln for ln in phys.splitlines()
+                   if "Exchange hashpartitioning" in ln
+                   and "__cell_salt" in ln]
+        assert join_ex, "serving join exchange is not salted"
+        assert all("cell" in ln for ln in join_ex)
+        assert "Generate explode" in phys         # fan-out ×S
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in ("t_salt", "t_salt_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_token_shards_plan_shape(spark):
     """r10 token-id shard export: tokenization + id mapping are pure
     JVM (literal replace chain + constant-folded vocab map — the ONLY

@@ -338,6 +338,30 @@ def main():
           f"({n/el/1e6:.2f}M docs/s) -> {ntde} rows (in-plan "
           f"crossing-epoch derivation, no driver literals)")
 
+    # r10: token-id training-shard export — the loader handoff at
+    # corpus scale: BPE-encode every doc (pure-JVM literal replace
+    # chain), map to dense ids (constant-folded vocab map), greedy-
+    # pack into 512-token bins across 256 shards, write one file per
+    # shard with padded fixed-length token_ids rows
+    import shutil
+    import tempfile
+
+    from georiva_spark.sources.tables import export_token_shards
+    tsdir = tempfile.mkdtemp(prefix="tokshards_smoke_")
+    t0 = time.perf_counter()
+    man = export_token_shards(
+        docs, tsdir, merges=[("t", "e"), ("te", "m"), ("p", "l"),
+                             ("d", "o"), ("do", "c")],
+        context_len=512, num_shards=256).collect()
+    el = time.perf_counter() - t0
+    tot_tok = sum(r.n_tokens for r in man)
+    tot_docs = sum(r.n_docs for r in man)
+    assert tot_docs == n
+    print(f"export_token_shards (512-ctx, 256 shards): {el:.1f}s "
+          f"({n/el/1e6:.2f}M docs/s, {tot_tok/1e6:.0f}M token ids "
+          f"materialized) -> {len(man)} shards")
+    shutil.rmtree(tsdir, ignore_errors=True)
+
     t0 = time.perf_counter()
     lb = textops.lm_score_bigram(docs, top_k=50_000,
                                  top_k_bigrams=200_000)

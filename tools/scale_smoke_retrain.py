@@ -96,6 +96,84 @@ def main(n=200_000, d=64, blobs=8):
 
     for t in ("t_smk_rt", "t_smk_rt_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # ---- r10: the SAME degrade→restore sequence through the
+    # STREAMED PQ index (r9 verdict item 3 — in-stream maintenance,
+    # not an operator-driven batch call): trained PQ write on the
+    # base blobs, drift arrives as TWO micro-batches, compact_every=2
+    # trips the in-stream ivf_pq_index_compact(emb=retrain_emb(),
+    # retrain_iters=…) which retrains quantizer + codebook over the
+    # grown float corpus and swaps versioned tables under the serving
+    # session.
+    from georiva_spark.streaming import start_ann_stream
+
+    def pq_balance():
+        sizes = [r.n for r in spark.sql(
+            "SELECT cell, COUNT(*) n FROM t_smk_rtpq GROUP BY cell"
+        ).collect()]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    base_emb = frame(base_centers, 0)
+    landing = os.path.join(root, "landing")
+    half = frame(drift_centers, 10_000_000)
+    # ONE file per drift batch: maxFilesPerTrigger=1 makes the FILE
+    # the micro-batch, so an un-coalesced 64-part write would become
+    # 64 batches and ~32 retraining compactions (measured the hard
+    # way) instead of the intended 2 appends -> 1 compaction
+    (half.where("vec_id % 2 = 0").coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(landing, "b0")))
+    (half.where("vec_id % 2 = 1").coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(landing, "b1")))
+
+    t0 = time.time()
+    similarity.ivf_pq_index_write(base_emb, "t_smk_rtpq",
+                                  os.path.join(root, "ipq"),
+                                  n_centroids=blobs * 2, m=8, nbits=4,
+                                  train_iters=2, codebook_iters=1,
+                                  train_sample_ppm=250_000)
+    p0 = pq_balance()
+    print(f"pq write(trained): {time.time() - t0:.1f}s  "
+          f"max/mean={p0:.2f}")
+
+    def floats():
+        grown = spark.read.schema(
+            "vec_id long, embedding array<double>").parquet(
+            landing + "/*")
+        return base_emb.unionByName(grown)
+
+    t0 = time.time()
+    q = start_ann_stream(
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1").parquet(landing + "/*"),
+        "t_smk_rtpq", os.path.join(root, "out"),
+        os.path.join(root, "ckpt"), k=3, nprobe=2,
+        compact_every=2, compact_dir=os.path.join(root, "cpq"),
+        # full retraining (no train_sample_ppm), matching the float
+        # phase: the 25% sampled Lloyd lands in a worse local minimum
+        # on this 16-blob corpus (measured 3.00 vs 2.00 restored) —
+        # the restore-to-baseline assert needs the same training diet
+        # the baseline was written with
+        retrain_iters=3, retrain_emb=floats)
+    q.awaitTermination(1800)
+    p2 = pq_balance()
+    props = {r.key: r.value for r in spark.sql(
+        "SHOW TBLPROPERTIES t_smk_rtpq").collect()}
+    print(f"pq stream (2 drift appends + in-stream retrain-compact): "
+          f"{time.time() - t0:.1f}s  max/mean={p2:.2f}  "
+          f"quantizer_version={props['georiva.quantizer_version']}")
+    assert props["georiva.quantizer_version"] == "2"
+    assert p2 <= p0 + 0.15, (
+        f"in-stream PQ retrain did not restore balance "
+        f"({p0:.2f} baseline -> {p2:.2f} post-stream)")
+    n_rows = spark.sql("SELECT COUNT(*) n FROM t_smk_rtpq").head().n
+    assert n_rows == 2 * n, f"index rows {n_rows} != {2 * n}"
+    print("PASS: the streamed PQ index absorbed the drift and "
+          "retrained itself in-stream (degrade→restore through "
+          "start_ann_stream)")
+
+    for t in ("t_smk_rtpq", "t_smk_rtpq_centroids",
+              "t_smk_rtpq_codebook"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(root, ignore_errors=True)
 
 
