@@ -68,7 +68,8 @@ HEADLINE = [
     # r10: token-id training-shard export (BPE ids + greedy pack +
     # padded fixed-context bins), recall-target auto-sizers (measured
     # ANN ladder walk; MinHash S-curve closed form)
-    "token_shards", "ann_tune", "minhash_tune",
+    "token_shards", "ann_tune", "ann_tune_pq", "minhash_tune",
+    "token_pipeline",
 ]
 
 

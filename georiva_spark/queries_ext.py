@@ -1620,6 +1620,57 @@ SELECT CAST({nprobe} AS INTEGER) AS nprobe,
 SQL_ANN_RECALL_REFINE = _sql_ann_recall_refine()
 
 
+def q_ann_tune_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-sizer over the COMPRESSED refine family (r10): walk
+    the shortlist ladder (20, 50) at nprobe=2 through the real
+    two-stage serving path (ADC shortlist → exact cosine re-rank),
+    price each setting with cost = nprobe·⌈N/C⌉ + shortlist, and
+    return the cheapest setting meeting target_recall=0.2 — the
+    refine-grid sizing decision a PQ user actually makes. The oracle
+    replays BOTH refine-ladder recall rows (the SQL_ANN_RECALL_REFINE
+    chain per setting) plus pricing and the total selection order."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivftnpq")
+    similarity.ivf_pq_index_write(emb, "t_ivftnpq",
+                                  os.path.join(d, "idxtnpq"),
+                                  n_centroids=8, m=8, nbits=4)
+    return similarity.ann_tune(spark, "t_ivftnpq", target_recall=0.2,
+                               k=5, nprobes=(2,), shortlist=(20, 50),
+                               emb=emb, sample_ppm=30_000)
+
+
+def _sql_ann_tune_pq(target: float = 0.2, n_cents: int = 8,
+                     shortlists: tuple = (20, 50)) -> str:
+    branches = "\nUNION ALL\n".join(
+        f"({_sql_ann_recall_refine(k=5, nprobe=2, shortlist=sl)})"
+        for sl in shortlists)
+    return f"""
+WITH rows AS ({branches}),
+nn2 AS (SELECT COUNT(*) AS c FROM embeddings),
+priced AS (
+  SELECT rows.*,
+         CAST(nprobe * ((nn2.c + {n_cents} - 1) // {n_cents})
+              + shortlist AS BIGINT) AS cost,
+         CAST({target!r} AS DOUBLE) AS target_recall,
+         (ROUND(recall, 6) >= CAST({target!r} AS DOUBLE))
+           AS meets_target
+  FROM rows, nn2)
+SELECT nprobe, shortlist, k, n_queries, truth_rows, hits, recall,
+       cost, target_recall, meets_target
+FROM priced
+ORDER BY meets_target DESC,
+         CASE WHEN meets_target THEN cost END ASC NULLS LAST,
+         recall DESC, cost ASC, nprobe ASC, shortlist ASC
+LIMIT 1
+"""
+
+
+SQL_ANN_TUNE_PQ = _sql_ann_tune_pq()
+
+
 SQL_IVF_FILTERED_PROBE = """
 WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
 cid AS (SELECT CAST(t.i AS BIGINT) AS c,
@@ -5035,17 +5086,21 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_token_shards(context_len: int = 128,
-                      num_shards: int = 8) -> str:
+                      num_shards: int = 8,
+                      source: str = "documents",
+                      prelude: str = "") -> str:
     """Replay token_shard_bins end-to-end in DuckDB: distinct-word
     BPE vocabulary with dense lexicographic ids, per-doc encode +
     clamp, the md5 shard route, the recursive greedy pack (the
     SQL_PACK_SEQUENCES shape over BPE counts), bin assembly in
-    (bin_offset, doc_id) order, and pad_id=|vocab| padding."""
+    (bin_offset, doc_id) order, and pad_id=|vocab| padding.
+    ``source``/``prelude`` let a composed pipeline run the identical
+    chain over a derived corpus CTE (the token_pipeline oracle)."""
     chain_w = _bpe_chain_sql("w")
     return f"""
-WITH RECURSIVE
+WITH RECURSIVE{prelude}
 words AS (SELECT DISTINCT t.w AS w
-          FROM documents,
+          FROM {source},
                unnest(string_split(COALESCE(text, ''), ' ')) AS t(w)
           WHERE t.w <> ''),
 vtok AS (SELECT DISTINCT t2.tok AS tok
@@ -5060,7 +5115,7 @@ b AS (SELECT doc_id,
                  string_split(COALESCE(text, ''), ' '),
                  w -> string_split(trim({chain_w}), ' '))),
                  t -> t <> '') AS bpe
-      FROM documents),
+      FROM {source}),
 cl AS (SELECT doc_id, list_slice(bpe, 1, {context_len}) AS toks
        FROM b),
 tokrows AS (SELECT doc_id, t.i AS i, toks[t.i] AS tok
@@ -5118,6 +5173,79 @@ FROM binrows, vs
 
 
 SQL_TOKEN_SHARDS = _sql_token_shards()
+
+
+def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus→loader chain (r10 — the missing last leg
+    of training_pipeline's story): Gopher quality gate → exact-dedup
+    keeper semi-join → BPE token-id shard assembly, all under ONE
+    plan — proving the cross-operator contracts (semi-join
+    pushthrough into the tokenize scan, hash determinism across the
+    gate boundary, vocab derivation over the FILTERED corpus) hold
+    under composition. Returns the per-bin digest rows over the
+    surviving corpus; the oracle replays gate + keeper + the full
+    token-shard chain as one CTE graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = textops.gopher_rules(docs, min_words=30, max_words=1000,
+                             min_mean_word_len=1.0,
+                             max_mean_word_len=10.0,
+                             max_symbol_ratio=0.1,
+                             max_bullet_ratio=0.9,
+                             min_stopword_hits=1)
+    keep = dedup.exact_duplicates(docs).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    survivors = (docs
+                 .join(g.where(F.col("gopher_pass"))
+                       .select("doc_id"), "doc_id", "left_semi")
+                 .join(keep, "doc_id", "left_semi"))
+    bins = textops.token_shard_bins(survivors, BPE_MERGES,
+                                    context_len=128, num_shards=8)
+    s = lambda c: F.transform(c, lambda x: x.cast("string"))  # noqa: E731
+    return bins.select(
+        "shard", "bin_id", "n_docs", "n_tokens",
+        F.md5(F.array_join(s("token_ids"), ",")).alias("ids_hash"),
+        F.array_join(s("doc_offsets"), ",").alias("offsets_csv"),
+        F.array_join(s("doc_ids"), ",").alias("docs_csv"))
+
+
+def _sql_token_pipeline() -> str:
+    # the Gopher metrics on RAW text (no staging), thresholds
+    # (30, 1000, 1.0, 10.0, 0.1, 0.9, 1); the exact-dedup keeper is
+    # min(doc_id) per md5(text) — both folded into one survivors CTE
+    # the shared token-shard chain then consumes
+    prelude = """
+gw AS (SELECT doc_id, text,
+              list_filter(string_split_regex(text, '\\s+'),
+                          t -> t <> '') AS words
+       FROM documents),
+gm AS (SELECT doc_id, text,
+              len(words) AS nw,
+              CAST(list_sum(list_transform(words, t -> length(t)))
+                   AS DOUBLE) / greatest(len(words), 1) AS mwl,
+              CAST(length(text) - length(replace(text, '#', ''))
+                   + len(regexp_extract_all(text, '\\.\\.\\.'))
+                   AS DOUBLE) / greatest(len(words), 1) AS symr,
+              CAST(len(list_filter(string_split(text, chr(10)),
+                       ln -> ln LIKE '- %' OR ln LIKE '* %'
+                             OR ln LIKE '• %')) AS DOUBLE)
+                  / greatest(len(string_split(text, chr(10))), 1)
+                  AS bulr,
+              len(list_filter(words,
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                  AS stop
+       FROM gw),
+keepers AS (SELECT MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)),
+survivors AS (
+  SELECT gm.doc_id, gm.text
+  FROM gm JOIN keepers USING (doc_id)
+  WHERE gm.nw BETWEEN 30 AND 1000
+    AND gm.mwl BETWEEN 1.0 AND 10.0
+    AND gm.symr <= 0.1 AND gm.bulr <= 0.9 AND gm.stop >= 1),"""
+    return _sql_token_shards(source="survivors", prelude=prelude)
+
+
+SQL_TOKEN_PIPELINE = _sql_token_pipeline()
 
 
 
@@ -6539,7 +6667,9 @@ EXT_QUERIES = {
     "minhash_recall": q_minhash_recall,
     "shard_export": q_shard_export,
     "token_shards": q_token_shards,
+    "token_pipeline": q_token_pipeline,
     "ann_tune": q_ann_tune,
+    "ann_tune_pq": q_ann_tune_pq,
     "minhash_tune": q_minhash_tune,
     "quality_threshold": q_quality_threshold,
     "training_pipeline": q_training_pipeline,
@@ -6675,7 +6805,9 @@ EXT_ORACLES = {
     "minhash_recall": SQL_MINHASH_RECALL,
     "shard_export": SQL_SHARD_EXPORT,
     "token_shards": SQL_TOKEN_SHARDS,
+    "token_pipeline": SQL_TOKEN_PIPELINE,
     "ann_tune": SQL_ANN_TUNE,
+    "ann_tune_pq": SQL_ANN_TUNE_PQ,
     "minhash_tune": SQL_MINHASH_TUNE,
     "quality_threshold": SQL_QUALITY_THRESHOLD,
     "training_pipeline": SQL_TRAINING_PIPELINE,

@@ -786,6 +786,16 @@ def test_token_shards_plan_shape(spark):
     assert "BatchEvalPython" not in phys   # never row-at-a-time
     assert "CartesianProduct" not in phys
     assert "Exchange rangepartitioning" not in phys
+    # the composed corpus->loader chain keeps the same Python budget:
+    # gate + dedup keeper ride semi-joins, the pack stays the only
+    # Arrow site, nothing cartesians
+    plan = _plan(QUERIES["token_pipeline"](spark, SF))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in phys
+    assert "ArrowEvalPython" not in phys
+    assert "CartesianProduct" not in phys
+    assert "LeftSemi" in phys              # gate + keeper semi-joins
 
 
 def test_python_boundary_audit_current():
