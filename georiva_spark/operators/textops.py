@@ -571,13 +571,16 @@ def bpe_token_vocab(docs: DataFrame, merges: list[tuple[str, str]],
 
 def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
                      context_len: int = 2048, num_shards: int = 64,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     vocab: list[str] | None = None) -> DataFrame:
     """Fixed-context TOKEN-ID training rows — the loader handoff a
     Megatron/GPT-style trainer mmaps: BPE-tokenize every document
     (:func:`bpe_encode_word`, pinned merges), map tokens to dense ids
     (:func:`bpe_token_vocab` order), clamp at ``context_len``, pack
     greedily into bins (:func:`pack_pointer_table` — docs never
-    split, doc_id order within md5 shards), and assemble ONE ROW PER
+    split, doc_id order within md5 shards; pass a precomputed
+    ``vocab`` to skip the derivation — the export does, so it runs
+    once), and assemble ONE ROW PER
     BIN: token ids concatenated in pack order and right-padded with
     ``pad_id = |vocab|`` to exactly ``context_len``, with document
     boundaries as offsets. → (shard int, bin_id long, doc_ids
@@ -595,7 +598,8 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
         raise ValueError(
             f"token_shard_bins: context_len={context_len} must be "
             f">= 1")
-    vocab = bpe_token_vocab(docs, merges, text_col=text_col)
+    if vocab is None:
+        vocab = bpe_token_vocab(docs, merges, text_col=text_col)
     pad_id = len(vocab)
     vmap = F.map_from_arrays(
         F.lit(vocab), F.lit(list(range(len(vocab)))))

@@ -115,12 +115,14 @@ def export_token_shards(docs: DataFrame, path: str,
     from georiva_spark.operators.textops import (bpe_token_vocab,
                                                  token_shard_bins)
 
+    vocab = bpe_token_vocab(docs, merges, text_col=text_col)
     bins = token_shard_bins(docs, merges, context_len=context_len,
-                            num_shards=num_shards, text_col=text_col)
+                            num_shards=num_shards, text_col=text_col,
+                            vocab=vocab)
     (bins.repartition(num_shards, F.col("shard"))
      .sortWithinPartitions("shard", "bin_id")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
-    pad_id = len(bpe_token_vocab(docs, merges, text_col=text_col))
+    pad_id = len(vocab)
     return (bins.groupBy("shard")
             .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
                  F.sum("n_docs").cast("long").alias("n_docs"),
