@@ -9,6 +9,12 @@ refresh now live once.
 
 Contract per micro-batch:
 
+0. a batch with fewer partitions than defaultParallelism is
+   round-robin repartitioned FIRST (r10): file-source micro-batches
+   arrive one partition per file, and a single-file 100k-row batch
+   would otherwise run the whole per-row chain — demux, signature
+   kernels, probe fan-outs — inside one task (measured in the
+   streamed-PQ smoke);
 1. empty batches are skipped; ``prepare`` (optional) transforms the
    raw micro-batch into the working frame (e.g. WARC demux + quality
    gate), which is PERSISTED for the batch's lifetime so probe,
@@ -70,6 +76,18 @@ def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # a file-source micro-batch arrives with one partition per
+        # FILE — a single-file 100k-row batch would then run every
+        # per-row stage (WARC demux, signature/fingerprint kernels,
+        # probe fan-outs) inside ONE task (the r10 streamed-PQ smoke
+        # stall, generalized). One narrow round-robin shuffle of the
+        # raw batch restores executor-wide parallelism for the whole
+        # per-batch chain; batches already at >= parallelism
+        # partitions are left untouched, and a tiny batch shuffles
+        # trivially small data.
+        par = batch.sparkSession.sparkContext.defaultParallelism
+        if batch.rdd.getNumPartitions() < par:
+            batch = batch.repartition(par)
         work = (prepare(batch) if prepare is not None else batch)
         work = work.persist()
         try:
