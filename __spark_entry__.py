@@ -24,11 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the driver's rotating correctness window has not recorded yet
-# (r9 additions) — surfaced first so the next window reaches them.
+# (r10 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "training_pipeline", "ann_recall", "ann_recall_pq",
-    "token_budget_epochs", "corpus_stats", "minhash_recall",
-    "ann_recall_refine", "hamming_recall",
+    "token_shards", "ann_tune", "ann_tune_pq",
+    "minhash_tune", "token_pipeline",
 ]
 
 
