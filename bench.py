@@ -130,17 +130,25 @@ def main() -> None:
                .collect()[0])
         return row["n"]
 
+    slow_extra = int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_EXTRA", "1"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best, n = None, 0
-        for _ in range(runs):
+        best, n, done = None, 0, 0
+        # multi-second entries carry most of the ±40% cross-round
+        # noise (SCALE.md §Bench methodology): give them extra runs
+        # (best-of-3 at the defaults) so round-over-round comparisons
+        # are self-dismissing instead of needing a manual A/B
+        while done < runs or (best is not None and best > 2.0
+                              and done < runs + slow_extra):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = force_rows(df)
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
+            done += 1
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s ({n} rows, best of {done})",
+              file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

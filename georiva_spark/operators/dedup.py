@@ -1449,8 +1449,12 @@ def minhash_tune_grid(num_hashes_grid: tuple = (16, 32, 64, 128)
 
 
 def minhash_tune(spark, threshold: float, target_recall: float,
-                 num_hashes_grid: tuple = (16, 32, 64, 128)
-                 ) -> DataFrame:
+                 num_hashes_grid: tuple = (16, 32, 64, 128),
+                 docs: DataFrame | None = None,
+                 sample_ppm: int = 50_000, n: int = 3,
+                 key_col: str = "doc_id", text_col: str = "text",
+                 portable: bool = False,
+                 max_sample_pairs: int = 25_000_000) -> DataFrame:
     """Banding-parameter AUTO-SIZER — the MinHash sibling of
     :func:`~georiva_spark.operators.similarity.ann_tune` (r10): pick
     (num_hashes, bands) from the S-curve CLOSED FORM instead of by
@@ -1475,8 +1479,22 @@ def minhash_tune(spark, threshold: float, target_recall: float,
     Validation: :func:`minhash_recall_estimate` measures the
     END-TO-END recall (banding + estimator error) at the chosen
     setting on a corpus sample — the closed form sizes, the
-    measurement confirms (pytest-pinned). Pure config arithmetic:
-    the grid is model-sized, no corpus is touched."""
+    measurement confirms (pytest-pinned). Without ``docs`` this is
+    pure config arithmetic: the grid is model-sized, no corpus is
+    touched.
+
+    MEASURED LEG (r11): pass ``docs`` and the chosen row also carries
+    ``measured_recall`` / ``measured_precision`` from
+    :func:`minhash_recall_estimate` run at the chosen setting on an
+    md5 document sample — the S-curve prices false positives
+    analytically at threshold/2 (``fp_at_half_threshold``); the
+    measured precision is the empirical check of that pricing, from
+    the same end-to-end path production runs (measured precision ≥
+    the analytic floor on planted-pair fixtures is pytest-pinned).
+    Cost: ONE bounded collect of the model-sized grid to learn the
+    chosen setting, then the quadratic-in-sample calibration with the
+    same ``max_sample_pairs`` fail-by-name guard; non-chosen rows
+    carry NULLs."""
     from pyspark.sql import Window
 
     if not 0.0 < threshold < 1.0:
@@ -1512,8 +1530,29 @@ def minhash_tune(spark, threshold: float, target_recall: float,
         F.when(meets, F.col("cost")).asc_nulls_last(),
         F.col("recall_at_threshold").desc(),
         F.col("num_hashes").asc(), F.col("bands").asc())
-    return (priced.withColumn("meets_target", meets)
-            .withColumn("chosen", F.row_number().over(w) == 1))
+    out = (priced.withColumn("meets_target", meets)
+           .withColumn("chosen", F.row_number().over(w) == 1))
+    if docs is None:
+        return out
+    # measured leg: ONE bounded collect of the model-sized grid to
+    # learn the chosen setting (the grid IS the model — never corpus
+    # rows), then the end-to-end calibration at exactly that setting;
+    # its recall/precision attach to the chosen row only
+    c = out.where(F.col("chosen")).select(
+        "num_hashes", "bands").collect()[0]
+    est = minhash_recall_estimate(
+        docs, threshold=threshold, sample_ppm=sample_ppm,
+        num_hashes=int(c["num_hashes"]), bands=int(c["bands"]), n=n,
+        key_col=key_col, text_col=text_col, portable=portable,
+        max_sample_pairs=max_sample_pairs).select(
+        F.col("recall").alias("__m_rec"),
+        F.col("precision").alias("__m_prec"))
+    return (out.crossJoin(F.broadcast(est))
+            .withColumn("measured_recall",
+                        F.when(F.col("chosen"), F.col("__m_rec")))
+            .withColumn("measured_precision",
+                        F.when(F.col("chosen"), F.col("__m_prec")))
+            .drop("__m_rec", "__m_prec"))
 
 
 def hamming_recall_estimate(codes: DataFrame, id_col: str = "media_id",

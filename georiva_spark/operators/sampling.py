@@ -26,42 +26,67 @@ def _bucket(key: Column, salt: str) -> Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
 
 
-def _stratum_bucket_filter(df: DataFrame, thr_map: dict,
-                           strata_col: str, key_col: str, salt: str,
-                           case_strata_max: int = 1000) -> DataFrame:
+def _threshold_join_filter(df: DataFrame, thr_df: DataFrame,
+                           strata_col: str, key_col: str,
+                           salt: str) -> DataFrame:
     """Keep rows whose md5 bucket falls under their stratum's
-    threshold — the shared tail of every per-stratum sampler. Small
-    stratum maps inline as a CASE chain (zero joins, the oracle
-    setting); past ``case_strata_max`` the (stratum, threshold) pairs
-    broadcast-join back instead, so a 10k-domain recipe neither grows
-    the plan linearly nor ships a 10k-arm CASE to every task. NULL
-    strata match null-safely on both paths (a plain ``==`` would
-    silently drop them); membership is identical either way."""
-    b = _bucket(F.col(key_col), salt)
-    strat = F.col(strata_col)
-    if len(thr_map) <= case_strata_max:
-        thr: Column = F.lit(0)
-        for s, t in sorted(thr_map.items(),
-                           key=lambda kv: (kv[0] is None, str(kv[0]))):
-            m = strat.isNull() if s is None else strat.eqNullSafe(
-                F.lit(s))
-            thr = F.when(m, F.lit(int(t))).otherwise(thr)
-        return df.where(b < thr)
+    threshold — the shared tail of every per-stratum sampler.
+    Thresholds arrive as a BOUNDED (``__sb_s``, ``__sb_thr``) frame
+    derived IN the plan (one map-side-combined agg of #strata rows)
+    and broadcast-join back null-safely (NULL strata sample like any
+    other; a plain ``==`` would silently drop them). Nothing
+    strata-proportional ever reaches the driver — a 10k-domain recipe
+    plans exactly like 3 languages — and the corpus itself never
+    shuffles: the join is a broadcast hash join against the scan."""
     taken = {"__sb_s", "__sb_thr"} & set(df.columns)
     if taken:
         raise ValueError(
             f"per-stratum sampler: input column(s) {sorted(taken)} "
             f"collide with the threshold-join internals; rename first")
-    from pyspark.sql.types import LongType, StructField, StructType
-    s_type = next(f for f in df.schema.fields
-                  if f.name == strata_col).dataType
-    schema = StructType([StructField("__sb_s", s_type, True),
-                         StructField("__sb_thr", LongType(), False)])
-    thr_df = F.broadcast(df.sparkSession.createDataFrame(
-        [(s, int(t)) for s, t in thr_map.items()], schema))
-    return (df.join(thr_df, strat.eqNullSafe(F.col("__sb_s")), "inner")
+    b = _bucket(F.col(key_col), salt)
+    return (df.join(F.broadcast(thr_df.select("__sb_s", "__sb_thr")),
+                    F.col(strata_col).eqNullSafe(F.col("__sb_s")),
+                    "inner")
             .where(b < F.col("__sb_thr"))
             .drop("__sb_s", "__sb_thr"))
+
+
+def _counts_with_total(df: DataFrame, strata_col: str) -> DataFrame:
+    """Bounded per-stratum counts + corpus total, all in-plan: ONE
+    map-side-combined agg (#strata rows), the total a window sum over
+    the bounded agg frame (the single-partition exchange moves
+    #strata rows, never corpus rows). DECIMAL(20,0) counts so the
+    downstream threshold arithmetic stays exact integer — the same
+    HUGEINT arithmetic the DuckDB replay runs."""
+    from pyspark.sql import Window
+    return (df.groupBy(F.col(strata_col).alias("__sb_s"))
+            .agg(F.count(F.lit(1)).cast("decimal(20,0)")
+                 .alias("__sb_n"))
+            .withColumn("__sb_tot",
+                        F.sum("__sb_n").over(Window.partitionBy())))
+
+
+def _budget_threshold_filter(df: DataFrame, weighted: DataFrame,
+                             budget_ppm: int, strata_col: str,
+                             key_col: str, salt: str) -> DataFrame:
+    """Shared threshold math of the mix samplers, computed IN the
+    bounded frame:  thr_s = min(1e6, budget·w_s·N div (n_s·1e6))  in
+    exact DECIMAL(38,0) with integral ``div`` — bit-identical to the
+    Python-bigint / DuckDB-HUGEINT formulation, so the boundary
+    bucket never moves with float rounding. ``weighted`` carries
+    (__sb_s, __sb_n, __sb_tot, __sb_w); a NULL/absent weight means
+    thr 0 (stratum dropped); a stratum rarer than its target
+    saturates at keep-everything rather than inventing rows."""
+    num = (F.lit(int(budget_ppm)).cast("decimal(8,0)")
+           * F.coalesce(F.col("__sb_w"), F.lit(0)).cast("decimal(8,0)")
+           * F.col("__sb_tot"))
+    den = F.col("__sb_n") * F.lit(1_000_000).cast("decimal(7,0)")
+    thr = (weighted.withColumn("__sb_num", num)
+           .withColumn("__sb_den", den)
+           .withColumn("__sb_thr",
+                       F.least(F.lit(int(_BUCKETS)).cast("long"),
+                               F.expr("__sb_num div __sb_den"))))
+    return _threshold_join_filter(df, thr, strata_col, key_col, salt)
 
 
 def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
@@ -89,27 +114,31 @@ def source_mix(df: DataFrame, weights_ppm: dict[str, int], budget_ppm: int,
 
         thr_s = min(1e6, budget_ppm * w_ppm * N // (n_s * 1e6))
 
-    computed in EXACT integer arithmetic (Python bigint here, HUGEINT in
-    the DuckDB oracle) so the boundary bucket never moves with float
-    rounding and an audit reproduces the sample bit-identically. A
-    stratum rarer than its target weight saturates at keep-everything
-    (thr = 1e6) rather than inventing rows.
+    computed in EXACT integer arithmetic (Spark DECIMAL(38,0) with
+    integral ``div`` here, HUGEINT in the DuckDB oracle) so the boundary
+    bucket never moves with float rounding and an audit reproduces the
+    sample bit-identically. A stratum rarer than its target weight
+    saturates at keep-everything (thr = 1e6) rather than inventing rows.
 
-    The per-stratum counts are one map-side-combined agg collected to the
-    driver — bounded by #strata (sources/languages), never by rows — and
-    the thresholds return to the plan as literals, so the sampling itself
-    is a scan-speed predicate with zero shuffle of the corpus.
+    Scale shape (r11 — fully in-plan): the per-stratum counts are one
+    map-side-combined agg BOUNDED by #strata, the recipe dict enters as
+    a broadcast literal frame, and the thresholds broadcast-join back —
+    nothing strata-proportional ever reaches the driver (no collect, no
+    CASE chain), the corpus never shuffles, and the whole recipe is ONE
+    lazy plan that composes into pipelines with no eager action.
     """
-    counts = {r[0]: r[1]
-              for r in df.groupBy(strata_col).count().collect()}
-    total = sum(counts.values())
-    thr_map = {
-        s: min(_BUCKETS,
-               budget_ppm * weights_ppm.get(s, 0) * total
-               // (n_s * 1_000_000))
-        for s, n_s in counts.items()}
-    return _stratum_bucket_filter(df, thr_map, strata_col, key_col,
-                                  salt)
+    from pyspark.sql.types import LongType, StructField, StructType
+    s_type = next(f for f in df.schema.fields
+                  if f.name == strata_col).dataType
+    wschema = StructType([StructField("__sb_ws", s_type, True),
+                          StructField("__sb_w", LongType(), False)])
+    w_df = df.sparkSession.createDataFrame(
+        [(s, int(w)) for s, w in weights_ppm.items()], wschema)
+    weighted = _counts_with_total(df, strata_col).join(
+        F.broadcast(w_df),
+        F.col("__sb_s").eqNullSafe(F.col("__sb_ws")), "left")
+    return _budget_threshold_filter(df, weighted, budget_ppm,
+                                    strata_col, key_col, salt)
 
 
 def temperature_mix(df: DataFrame, alpha: float = 0.5,
@@ -125,24 +154,42 @@ def temperature_mix(df: DataFrame, alpha: float = 0.5,
 
     For the default α=0.5 (the common square-root schedule) the weights
     come from EXACT integer square roots — w_ppm_s = isqrt(n_s·10¹²) ·
-    10⁶ // Σ_t isqrt(n_t·10¹²) — so a DuckDB audit recomputing them in
-    HUGEINT lands on identical thresholds and an identical sample (for
-    other α the driver uses float pow; documented, not oracle-exact).
-    Counts are one bounded map-side-combined agg; sampling itself is a
-    scan-speed predicate, zero shuffle of the corpus."""
-    import math
+    10⁶ // Σ_t isqrt(n_t·10¹²) — computed in-plan as a floor(sqrt)
+    double seed plus a ±1 DECIMAL correction (the same expression the
+    DuckDB oracle runs in HUGEINT), so an audit lands on identical
+    thresholds and an identical sample (for other α the weights use
+    float pow; documented, not oracle-exact).
 
-    counts = {r[0]: r[1]
-              for r in df.groupBy(strata_col).count().collect()}
+    Scale shape (r11 — fully in-plan): counts, isqrt weights, and
+    thresholds all derive inside ONE bounded #strata-row frame that
+    broadcast-joins back — no driver collect, no CASE chain, zero
+    shuffle of the corpus, and the recipe composes lazily into
+    pipelines."""
+    from pyspark.sql import Window
+
+    counts = _counts_with_total(df, strata_col)
+    n_dbl = F.col("__sb_n").cast("double")
     if alpha == 0.5:
-        scaled = {s: math.isqrt(n * 10 ** 12) for s, n in counts.items()}
+        # exact isqrt(n·10^12): IEEE sqrt seeds within ±1 of the true
+        # integer root (radicand ≤ 1e23 ⇒ double error ≪ 1 in the
+        # root); the DECIMAL comparisons pin it exactly — the same
+        # seed+correction the DuckDB oracle runs, so thresholds match
+        # bit-for-bit
+        x = F.col("__sb_n") * F.lit(10 ** 12).cast("decimal(13,0)")
+        s0 = F.floor(F.sqrt(n_dbl * 1e12)).cast("decimal(20,0)")
+        scaled = (F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+                  .when(s0 * s0 > x, s0 - 1)
+                  .otherwise(s0)).cast("decimal(26,0)")
     else:
-        scaled = {s: int(round((float(n) ** alpha) * 1e6))
-                  for s, n in counts.items()}
-    tot = sum(scaled.values())
-    weights_ppm = {s: v * 1_000_000 // tot for s, v in scaled.items()}
-    return source_mix(df, weights_ppm, budget_ppm,
-                      strata_col=strata_col, key_col=key_col, salt=salt)
+        scaled = (F.round(F.pow(n_dbl, float(alpha)) * 1e6)
+                  .cast("decimal(26,0)"))
+    weighted = (counts.withColumn("__sb_sc", scaled)
+                .withColumn("__sb_sct",
+                            F.sum("__sb_sc").over(Window.partitionBy()))
+                .withColumn("__sb_w",
+                            F.expr("(__sb_sc * 1000000) div __sb_sct")))
+    return _budget_threshold_filter(df, weighted, budget_ppm,
+                                    strata_col, key_col, salt)
 
 
 def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
@@ -527,28 +574,27 @@ def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
     A corpus sort would be the naive implementation; instead the
     scores bucketize into ``bins`` integer bins over
     [score_min, score_max] (out-of-range clamps to the edge bins),
-    ONE map-side-combined histogram aggregation collects the bounded
-    strata×bins counts to the driver, and exact integer arithmetic
-    derives per stratum: the threshold bin (smallest cut covering the
-    target count from the top) and a within-bin md5-bucket fraction
-    that fills the remainder from the boundary bin — so the kept set
-    is `bin > thr OR (bin = thr AND md5_bucket < within_ppm)`, a
-    scan-speed predicate with ZERO corpus shuffle and no sort. The
-    keep rate is exact to bin resolution ± hash noise in the boundary
-    bin, fully deterministic, and an external SQL engine reproduces
-    the same histogram, thresholds, and memberships. Ties inside the
-    boundary bin resolve by document hash, not score — two docs with
-    equal scores have equal claim, and the hash keeps the decision
-    reproducible under corpus growth.
+    ONE map-side-combined histogram aggregation yields the bounded
+    strata×bins counts IN-PLAN, and exact integer window arithmetic
+    over that frame derives per stratum: the threshold bin (smallest
+    cut covering the target count from the top) and a within-bin
+    md5-bucket fraction that fills the remainder from the boundary
+    bin — so the kept set is `bin > thr OR (bin = thr AND md5_bucket
+    < within_ppm)`, a broadcast-joined scan predicate with ZERO
+    corpus shuffle and no corpus sort. The keep rate is exact to bin
+    resolution ± hash noise in the boundary bin, fully deterministic,
+    and an external SQL engine reproduces the same histogram,
+    thresholds, and memberships. Ties inside the boundary bin resolve
+    by document hash, not score — two docs with equal scores have
+    equal claim, and the hash keeps the decision reproducible under
+    corpus growth.
 
     NULL strata cut like any other stratum (null-safe matching, the
     same policy as :func:`token_budget_sample`'s window partition).
-    Strata counts are bounded in the design (languages/sources), so
-    the thresholds normally return as a per-stratum CASE chain; past
-    ``case_strata_max`` strata (a per-domain cut can have 10k+) the
-    chain would grow the plan linearly, so the thresholds instead
-    broadcast-join back as a bounded (stratum, thr, within) frame —
-    identical membership, plan size O(1) in the stratum count."""
+    ``case_strata_max`` is retained for API compatibility and ignored
+    (r11): every stratum count takes the broadcast-join path — the
+    plan is O(1) in strata, nothing strata-proportional reaches the
+    driver, and there is no eager action at composition time."""
     if not 0 <= keep_ppm <= 1_000_000:
         raise ValueError("keep_ppm must be in [0, 1_000_000]")
     if score_max <= score_min:
@@ -563,76 +609,47 @@ def quality_threshold(docs: DataFrame, score_col: str, keep_ppm: int,
             / width * bins).cast("int")))
     hist_df = docs.groupBy(strat.alias("__s"), bin_c.alias("__b")) \
         .count()
-    # one bounded action decides the path; the histogram itself only
-    # comes to the driver on the small-strata path
-    n_strata = hist_df.select("__s").distinct().count()
     b = bin_c
     bk = _bucket(F.col(key_col), salt)
-    if n_strata > case_strata_max:
-        # many-strata path (r9, fully distributed): per-stratum
-        # thresholds derive from windows over the BOUNDED histogram —
-        # nothing strata-proportional reaches the driver and the plan
-        # stays O(1) in strata (a 10k-arm CASE chain would grow it
-        # linearly; a 10k×bins driver collect would be millions of
-        # rows). Same exact integer arithmetic as the driver loop.
-        taken = {"__qt_s", "__qt_thr", "__qt_win"} & set(docs.columns)
-        if taken:
-            raise ValueError(
-                f"quality_threshold: input column(s) {sorted(taken)} "
-                f"collide with the threshold-join internals; rename "
-                f"first")
-        from pyspark.sql import Window
-        wtot = Window.partitionBy("__s")
-        wge = (Window.partitionBy("__s").orderBy(F.col("__b").desc())
-               .rowsBetween(Window.unboundedPreceding,
-                            Window.currentRow))
-        target = F.expr(f"(__n * {int(keep_ppm)}) div 1000000")
-        scored = (hist_df
-                  .withColumn("__n", F.sum("count").over(wtot))
-                  .withColumn("__ge", F.sum("count").over(wge))
-                  .withColumn("__tgt", target))
-        first_cover = (Window.partitionBy("__s")
-                       .orderBy(F.col("__b").desc()))
-        thr_df = F.broadcast(
-            scored.where(F.col("__ge") >= F.col("__tgt"))
-            .withColumn("__rn", F.row_number().over(first_cover))
-            .where(F.col("__rn") == 1)
-            .select(
-                F.col("__s").alias("__qt_s"),
-                F.col("__b").cast("int").alias("__qt_thr"),
-                F.expr("((__tgt - (__ge - count)) * 1000000) "
-                       "div count").cast("long").alias("__qt_win")))
-        joined = docs.join(thr_df, strat.eqNullSafe(F.col("__qt_s")),
-                           "inner")
-        keep = (b > F.col("__qt_thr")) | (
-            (b == F.col("__qt_thr")) & (bk < F.col("__qt_win")))
-        return joined.where(keep).drop("__qt_s", "__qt_thr", "__qt_win")
-    per: dict = {}
-    for r in hist_df.collect():
-        per.setdefault(r["__s"], {})[r["__b"]] = r["count"]
-    thr_ppm: dict = {}
-    for s, h in per.items():
-        n_s = sum(h.values())
-        target = n_s * keep_ppm // 1_000_000
-        cum = 0
-        thr, within = bins, 0
-        for bn in sorted(h, reverse=True):
-            if cum + h[bn] >= target:
-                thr = bn
-                within = (target - cum) * 1_000_000 // h[bn]
-                break
-            cum += h[bn]
-        thr_ppm[s] = (thr, within)
-    thr_col: Column = F.lit(bins)
-    win_col: Column = F.lit(0)
-    for s, (t, wppm) in sorted(thr_ppm.items(),
-                               key=lambda kv: (kv[0] is None,
-                                               str(kv[0]))):
-        m = strat.isNull() if s is None else strat.eqNullSafe(F.lit(s))
-        thr_col = F.when(m, F.lit(int(t))).otherwise(thr_col)
-        win_col = F.when(m, F.lit(int(wppm))).otherwise(win_col)
-    keep = (b > thr_col) | ((b == thr_col) & (bk < win_col))
-    return docs.where(keep)
+    # single path (r11 — the r9 many-strata shape, now unconditional):
+    # per-stratum thresholds derive from windows over the BOUNDED
+    # strata×bins histogram and broadcast-join back — nothing
+    # strata-proportional ever reaches the driver (the r10 small-strata
+    # branch collected the histogram; same exact integer arithmetic,
+    # identical membership, one fewer eager action) and the plan stays
+    # O(1) in the stratum count.
+    taken = {"__qt_s", "__qt_thr", "__qt_win"} & set(docs.columns)
+    if taken:
+        raise ValueError(
+            f"quality_threshold: input column(s) {sorted(taken)} "
+            f"collide with the threshold-join internals; rename "
+            f"first")
+    from pyspark.sql import Window
+    wtot = Window.partitionBy("__s")
+    wge = (Window.partitionBy("__s").orderBy(F.col("__b").desc())
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow))
+    target = F.expr(f"(__n * {int(keep_ppm)}) div 1000000")
+    scored = (hist_df
+              .withColumn("__n", F.sum("count").over(wtot))
+              .withColumn("__ge", F.sum("count").over(wge))
+              .withColumn("__tgt", target))
+    first_cover = (Window.partitionBy("__s")
+                   .orderBy(F.col("__b").desc()))
+    thr_df = F.broadcast(
+        scored.where(F.col("__ge") >= F.col("__tgt"))
+        .withColumn("__rn", F.row_number().over(first_cover))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__s").alias("__qt_s"),
+            F.col("__b").cast("int").alias("__qt_thr"),
+            F.expr("((__tgt - (__ge - count)) * 1000000) "
+                   "div count").cast("long").alias("__qt_win")))
+    joined = docs.join(thr_df, strat.eqNullSafe(F.col("__qt_s")),
+                       "inner")
+    keep = (b > F.col("__qt_thr")) | (
+        (b == F.col("__qt_thr")) & (bk < F.col("__qt_win")))
+    return joined.where(keep).drop("__qt_s", "__qt_thr", "__qt_win")
 
 
 def cluster_aware_split(docs: DataFrame, pairs: DataFrame,

@@ -2010,13 +2010,28 @@ def ann_tune(spark, table: str, target_recall: float, k: int = 5,
     (fail-visible, never silently under-recalled).
 
     Tie/selection order is total and engine-replayable: meets-target
-    first, then cost, then higher recall, then smaller nprobe, then
-    smaller shortlist. Scale shape: the measurement is
-    ann_recall_estimate's (bounded sample, one truth scan, serving
-    probes); pricing joins ONE aggregated count row (broadcast); the
-    selection sorts |grid| bounded rows. → (nprobe, shortlist, k,
-    n_queries, truth_rows, hits, recall, cost, target_recall,
-    meets_target)."""
+    first, then MEASURED cost, then higher recall, then the analytic
+    cost, then smaller nprobe, then smaller shortlist. Scale shape:
+    the measurement is ann_recall_estimate's (bounded sample, one
+    truth scan, serving probes); pricing joins ONE aggregated count
+    row plus a C-row cell histogram (both broadcast); the selection
+    sorts |grid| bounded rows. → (nprobe, shortlist, k, n_queries,
+    truth_rows, hits, recall, cost, measured_cost, target_recall,
+    meets_target).
+
+    MEASURED pricing (r11): the analytic proxy ``nprobe·⌈N/C⌉``
+    assumes uniform cells, but a skewed live-cell distribution (the
+    very case :func:`_salted_cell_join` hardens the serving path
+    against) makes per-probe cost non-uniform — so each setting is
+    ALSO priced with the actual candidate rows its probes scan:
+    route the same md5 query sample through the same centroid
+    argsort the serving path uses (rotated for OPQ), sum the probed
+    cells' real sizes from a bounded C-row histogram, and average
+    per query. ``measured_cost = avg candidates/query + shortlist``
+    ranks the grid; the analytic ``cost`` column stays for
+    reference and as the final tie-break. On a uniform index the
+    two agree (pytest-pinned); on a skewed one only the measured
+    column tells the truth."""
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(
             f"ann_tune: target_recall={target_recall} must be in "
@@ -2039,19 +2054,87 @@ def ann_tune(spark, table: str, target_recall: float, k: int = 5,
     cost = (F.col("nprobe").cast("long") * per_probe
             + F.col("shortlist").cast("long"))
     meets = F.round(F.col("recall"), 6) >= F.lit(float(target_recall))
+    meas = _measured_candidates(spark, table, props, nprobes,
+                                sample_ppm, emb, salt)
     priced = (rows.crossJoin(n)
               .withColumn("cost", cost.cast("long"))
               .withColumn("target_recall",
                           F.lit(float(target_recall)))
               .withColumn("meets_target", meets)
-              .drop("__n"))
+              .drop("__n")
+              .join(F.broadcast(meas), "nprobe", "left")
+              .withColumn("measured_cost",
+                          F.round(F.col("__mc")
+                                  + F.col("shortlist").cast("double"),
+                                  6))
+              .drop("__mc"))
     return (priced.orderBy(
         F.col("meets_target").desc(),
-        F.when(F.col("meets_target"), F.col("cost"))
+        F.when(F.col("meets_target"), F.col("measured_cost"))
         .asc_nulls_last(),
         F.col("recall").desc(), F.col("cost").asc(),
         F.col("nprobe").asc(), F.col("shortlist").asc())
-        .limit(1))
+        .limit(1)
+        .select("nprobe", "shortlist", "k", "n_queries", "truth_rows",
+                "hits", "recall", "cost", "measured_cost",
+                "target_recall", "meets_target"))
+
+
+def _measured_candidates(spark, table: str, props: dict,
+                         nprobes: tuple, sample_ppm: int,
+                         emb: DataFrame | None, salt: str) -> DataFrame:
+    """Skew-aware per-setting candidate counts for :func:`ann_tune`:
+    (nprobe, __mc = avg candidate rows scanned per query). Routes the
+    SAME md5 query sample through the SAME centroid-literal argsort
+    the serving probes use (rotated first for an OPQ index), joins
+    the bounded C-row cell histogram, and averages per query — every
+    frame here is bounded by the sample or by C, and the one corpus
+    touch is the histogram's map-side-combined count."""
+    is_pq = "georiva.pq_m" in props
+    corpus = (emb if is_pq else spark.table(table)) \
+        .select("vec_id", "embedding")
+    h = F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col("vec_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % 1_000_000
+    queries = corpus.where(bucket < sample_ppm) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    if props.get("georiva.pq_opq") == "1":
+        rot = _load_rotation(spark, table, props)
+        queries = queries.withColumn("embedding", _rotate_expr(rot))
+    crows = spark.table(f"{table}_centroids").collect()
+    cents = [list(map(float, r.embedding))
+             for r in sorted(crows, key=lambda r: r.cell)]
+
+    def l2(cvec):
+        return F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(v) for v in cvec]),
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[F.struct(l2(cents[i]).alias("d"),
+                               F.lit(i).alias("c"))
+                      for i in range(len(cents))])
+    maxnp = max(int(np_) for np_ in nprobes)
+    cells = F.transform(F.slice(F.array_sort(dists), 1, maxnp),
+                        lambda s: s["c"])
+    fan = queries.select("q_id",
+                         F.posexplode(cells).alias("__pos", "cell"))
+    sizes = (spark.table(table).groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("__sz")))
+    np_df = spark.createDataFrame([(int(np_),) for np_ in nprobes],
+                                  "nprobe int")
+    perq = (fan.join(F.broadcast(sizes), "cell", "left")
+            .crossJoin(F.broadcast(np_df))
+            .where(F.col("__pos") < F.col("nprobe"))
+            .groupBy("q_id", "nprobe")
+            .agg(F.sum(F.coalesce(F.col("__sz"), F.lit(0)))
+                 .alias("__cand")))
+    return (perq.groupBy("nprobe")
+            .agg(F.round(F.avg(F.col("__cand").cast("double")), 6)
+                 .alias("__mc")))
 
 
 def semdedup(emb: DataFrame, n_clusters: int = 8,

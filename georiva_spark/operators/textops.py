@@ -572,7 +572,8 @@ def bpe_token_vocab(docs: DataFrame, merges: list[tuple[str, str]],
 def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
                      context_len: int = 2048, num_shards: int = 64,
                      text_col: str = "text",
-                     vocab: list[str] | None = None) -> DataFrame:
+                     vocab: list[str] | None = None,
+                     strict_vocab: bool = False) -> DataFrame:
     """Fixed-context TOKEN-ID training rows — the loader handoff a
     Megatron/GPT-style trainer mmaps: BPE-tokenize every document
     (:func:`bpe_encode_word`, pinned merges), map tokens to dense ids
@@ -586,6 +587,12 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
     boundaries as offsets. → (shard int, bin_id long, doc_ids
     array<long>, doc_offsets array<long>, n_docs int, n_tokens int,
     token_ids array<int> — always length ``context_len``).
+
+    ``strict_vocab`` (the delta-export setting, r11): a token the
+    pinned ``vocab`` does not contain RAISES by name at execution —
+    the alternative is a silent NULL id written into training shards.
+    Off by default because a self-derived vocab is total by
+    construction.
 
     Scale shape: tokenization + id mapping are in-row (the merge
     chain is literal replaces, the vocab a constant-folded literal
@@ -608,8 +615,19 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
             tokens(F.coalesce(F.col(text_col), F.lit(""))),
             lambda w: bpe_encode_word(w, merges))),
         lambda t: t != F.lit(""))
-    ids = F.transform(F.slice(bpe, 1, context_len),
-                      lambda t: F.element_at(vmap, t).cast("int"))
+
+    def to_id(t):
+        i = F.element_at(vmap, t)
+        if strict_vocab:
+            i = F.when(i.isNull(), F.raise_error(F.concat(
+                F.lit("token_shard_bins: token '"), t,
+                F.lit("' is not in the pinned vocab — the corpus "
+                      "drifted past the stamped tokenizer; rebuild "
+                      "with export_token_shards (full) or retrain "
+                      "the merges")))).otherwise(i)
+        return i.cast("int")
+
+    ids = F.transform(F.slice(bpe, 1, context_len), to_id)
     shard = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
                    F.lit(num_shards)).cast("int")
     tok = docs.select("doc_id", shard.alias("shard"),
@@ -634,6 +652,30 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
         F.concat(flat, F.array_repeat(
             F.lit(pad_id).cast("int"),
             F.lit(context_len) - F.size(flat))).alias("token_ids"))
+
+
+def unknown_vocab_tokens(docs: DataFrame,
+                         merges: list[tuple[str, str]],
+                         vocab: list[str],
+                         text_col: str = "text") -> DataFrame:
+    """BPE tokens of ``docs`` that a PINNED vocab does not cover —
+    → (token, n_docs). The pre-flight check of the incremental
+    token-shard export: finding drift BEFORE any shard file is
+    appended beats a mid-write task failure. One in-row scan over
+    the delta (distinct words → encode → probe the constant-folded
+    vocab map), bounded output (≤ |alphabet|+|merges| novel
+    tokens)."""
+    vmap = F.map_from_arrays(
+        F.lit(vocab), F.lit(list(range(len(vocab)))))
+    bpe = F.array_distinct(F.filter(
+        F.flatten(F.transform(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda w: bpe_encode_word(w, merges))),
+        lambda t: (t != F.lit(""))
+        & F.element_at(vmap, t).isNull()))
+    return (docs.select(F.explode(bpe).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
 def canonicalize_url(url):

@@ -774,13 +774,15 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=0.3, sample_ppm=600_000, portable=True)
 
 
-def _sql_minhash_recall(threshold: float = 0.3,
-                        sample_ppm: int = 600_000,
-                        num_hashes: int = 64, bands: int = 16) -> str:
-    """Replay minhash_recall_estimate: md5 sample → exact Jaccard
-    truth (string 3-shingles — same set semantics as the hashed
-    shingle sets) → portable minhash banding + est-Jaccard → pair-set
-    reconciliation with NULL-safe ratios."""
+def _minhash_recall_ctes(threshold: float = 0.3,
+                         sample_ppm: int = 600_000,
+                         num_hashes: int = 64, bands: int = 16) -> str:
+    """The CTE chain (smp..flat, no leading WITH) replaying
+    minhash_recall_estimate: md5 sample → exact Jaccard truth
+    (string 3-shingles — same set semantics as the hashed shingle
+    sets) → portable minhash banding + est-Jaccard → pair-set
+    reconciliation. Shared by the minhash_recall oracle and the
+    minhash_tune measured leg (r11)."""
     a, b = dedup.minhash_coeffs(num_hashes)
     r = num_hashes // bands
     mins = ", ".join(
@@ -793,8 +795,7 @@ def _sql_minhash_recall(threshold: float = 0.3,
     est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
            f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
     jac = "CAST(inter AS DOUBLE) / (sa2.sz + sb2.sz - inter)"
-    return f"""
-WITH smp AS (SELECT doc_id, text FROM documents
+    return f"""smp AS (SELECT doc_id, text FROM documents
              WHERE CAST('0x' || substring(md5('mh-recall:' ||
                    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
                    % 1000000 < {sample_ppm}),
@@ -827,7 +828,18 @@ got AS (SELECT doc_a, doc_b FROM cand WHERE {est} >= {threshold}),
 u AS (SELECT doc_a, doc_b, 1 AS t, 0 AS g FROM truth
       UNION ALL SELECT doc_a, doc_b, 0, 1 FROM got),
 flat AS (SELECT doc_a, doc_b, MAX(t) AS t, MAX(g) AS g
-         FROM u GROUP BY doc_a, doc_b)
+         FROM u GROUP BY doc_a, doc_b)"""
+
+
+def _sql_minhash_recall(threshold: float = 0.3,
+                        sample_ppm: int = 600_000,
+                        num_hashes: int = 64, bands: int = 16) -> str:
+    """Full minhash_recall_estimate replay: the shared CTE chain plus
+    the one-row reconciliation SELECT with NULL-safe ratios."""
+    ctes = _minhash_recall_ctes(threshold, sample_ppm,
+                                num_hashes, bands)
+    return f"""
+WITH {ctes}
 SELECT {float(threshold)} AS threshold,
        CAST({num_hashes} AS INTEGER) AS num_hashes,
        CAST({bands} AS INTEGER) AS bands,
@@ -1340,23 +1352,73 @@ def q_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=5, nprobes=(1, 2), sample_ppm=30_000)
 
 
-def _sql_ann_tune(target: float = 0.9, n_cents: int = 8) -> str:
+def _sql_ann_measured_cost(nprobes: tuple, sample_ppm: int = 30_000,
+                           n_cents: int = 8, d: int = 64) -> str:
+    """Nested-WITH subquery replaying ann_tune's measured (skew-aware)
+    pricing: the pinned centroids, the cell assignment (= the real
+    cell sizes), the md5 query sample, the per-query nprobe routing,
+    and the per-setting average of actual candidate rows scanned.
+    → (nprobe, mc)."""
+    vals = ", ".join(f"({int(np_)})" for np_ in nprobes)
+    maxnp = max(int(np_) for np_ in nprobes)
+    return f"""(
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cid AS (SELECT CAST(t.i AS BIGINT) AS c,
+               CAST(t.i * (nn.n // {n_cents}) + (nn.n // {n_cents}) // 2
+                    AS BIGINT) AS vid
+        FROM range({n_cents}) t(i), nn),
+cent AS (SELECT c, embedding AS ce FROM cid JOIN embeddings ON vec_id = vid),
+dist AS (SELECT e.vec_id, cent.c,
+  (SELECT SUM((CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE))
+            * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.ce[i] AS DOUBLE)))
+   FROM generate_series(1, {d}) AS t(i)) AS d2
+  FROM embeddings e, cent),
+assign AS (SELECT vec_id, c AS cell FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, c) = 1),
+csz AS (SELECT cell, COUNT(*) AS sz FROM assign GROUP BY cell),
+qs AS (SELECT vec_id AS q_id FROM embeddings
+       WHERE CAST('0x' || substring(md5('recall:' ||
+             CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 < {sample_ppm}),
+pr AS (SELECT vec_id AS q_id, c AS cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, c) AS pos
+       FROM dist WHERE vec_id IN (SELECT q_id FROM qs)
+       QUALIFY pos <= {maxnp}),
+nps(np) AS (VALUES {vals}),
+perq AS (SELECT pr.q_id, nps.np,
+                SUM(COALESCE(csz.sz, 0)) AS cand
+         FROM pr LEFT JOIN csz ON csz.cell = pr.cell
+         JOIN nps ON pr.pos <= nps.np
+         GROUP BY pr.q_id, nps.np)
+SELECT np AS nprobe, ROUND(AVG(CAST(cand AS DOUBLE)), 6) AS mc
+FROM perq GROUP BY np)"""
+
+
+def _sql_ann_tune(target: float = 0.9, n_cents: int = 8,
+                  nprobes: tuple = (1, 2)) -> str:
     return f"""
 WITH rows AS ({_sql_ann_recall()}),
 nn2 AS (SELECT COUNT(*) AS c FROM embeddings),
+mcs AS {_sql_ann_measured_cost(nprobes, n_cents=n_cents)},
 priced AS (
   SELECT rows.*,
-         CAST(nprobe * ((nn2.c + {n_cents} - 1) // {n_cents})
+         CAST(rows.nprobe * ((nn2.c + {n_cents} - 1) // {n_cents})
               + shortlist AS BIGINT) AS cost,
+         ROUND(mcs.mc + CAST(shortlist AS DOUBLE), 6)
+           AS measured_cost,
          CAST({target!r} AS DOUBLE) AS target_recall,
          (ROUND(recall, 6) >= CAST({target!r} AS DOUBLE))
            AS meets_target
-  FROM rows, nn2)
+  FROM rows CROSS JOIN nn2
+  LEFT JOIN mcs ON mcs.nprobe = rows.nprobe)
 SELECT nprobe, shortlist, k, n_queries, truth_rows, hits, recall,
-       cost, target_recall, meets_target
+       cost, measured_cost, target_recall, meets_target
 FROM priced
 ORDER BY meets_target DESC,
-         CASE WHEN meets_target THEN cost END ASC NULLS LAST,
+         CASE WHEN meets_target THEN measured_cost END
+           ASC NULLS LAST,
          recall DESC, cost ASC, nprobe ASC, shortlist ASC
 LIMIT 1
 """
@@ -1366,23 +1428,65 @@ SQL_ANN_TUNE = _sql_ann_tune()
 
 
 def q_minhash_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash banding auto-sizer (r10): the S-curve closed form
-    P(s) = 1 − (1 − s^r)^b priced over every (num_hashes, bands)
-    candidate (bands dividing num_hashes), threshold 0.3, target
-    recall 0.9 — the full priced grid with chosen=true on the
-    min-cost setting meeting target. Pure config arithmetic (no
-    corpus); the oracle replays grid, S-curve, pricing, and the
-    total selection order."""
+    """MinHash banding auto-sizer (r10; measured leg r11): the
+    S-curve closed form P(s) = 1 − (1 − s^r)^b priced over every
+    (num_hashes, bands) candidate (bands dividing num_hashes),
+    threshold 0.3, target recall 0.9 — the full priced grid with
+    chosen=true on the min-cost setting meeting target, and the
+    chosen row carrying the END-TO-END measured recall/precision
+    from minhash_recall_estimate at that setting on a 60% md5
+    sample. The oracle replays grid, S-curve, pricing, the total
+    selection order, AND the full measurement (sample, exact
+    Jaccard truth, portable banding, reconciliation)."""
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_tune(spark, threshold=0.3, target_recall=0.9,
-                              num_hashes_grid=(16, 32, 64, 128))
+                              num_hashes_grid=(16, 32, 64, 128),
+                              docs=docs, sample_ppm=600_000,
+                              portable=True)
+
+
+def _minhash_tune_chosen(threshold: float, target: float,
+                         grid: tuple) -> tuple[int, int]:
+    """The (num_hashes, bands) minhash_tune selects — replicated in
+    Python to parameterize the oracle's measurement CTEs. The
+    selection runs on round-6 S-curve values over a FIXED grid, so
+    Python/Java/DuckDB pow agree (the r10 oracle already proves the
+    6-dp values and the chosen flag match across engines)."""
+    from georiva_spark.operators.dedup import minhash_tune_grid
+    rows = [(n, b, round(1.0 - (1.0 - threshold ** r) ** b, 6), n + b)
+            for n, b, r in minhash_tune_grid(grid)]
+    meeting = [x for x in rows if x[2] >= target]
+    if meeting:
+        meeting.sort(key=lambda x: (x[3], -x[2], x[0], x[1]))
+        return meeting[0][0], meeting[0][1]
+    rows.sort(key=lambda x: (-x[2], x[0], x[1]))
+    return rows[0][0], rows[0][1]
 
 
 def _sql_minhash_tune(threshold: float = 0.3, target: float = 0.9,
-                      grid: tuple = (16, 32, 64, 128)) -> str:
+                      grid: tuple = (16, 32, 64, 128),
+                      measured_ppm: int | None = None) -> str:
     from georiva_spark.operators.dedup import minhash_tune_grid
     vals = ", ".join(f"({n}, {b}, {r})"
                      for n, b, r in minhash_tune_grid(grid))
     t, h, tg = float(threshold), float(threshold) / 2.0, float(target)
+    meas_ctes, meas_cols, meas_tail = "", "", ""
+    if measured_ppm is not None:
+        nh, nb = _minhash_tune_chosen(threshold, target, grid)
+        meas_ctes = ",\n" + _minhash_recall_ctes(
+            threshold, measured_ppm, nh, nb) + """,
+meas AS (SELECT CASE WHEN COALESCE(SUM(t), 0) > 0
+                     THEN ROUND(CAST(SUM(t * g) AS DOUBLE) / SUM(t), 6)
+                     END AS m_rec,
+                CASE WHEN COALESCE(SUM(g), 0) > 0
+                     THEN ROUND(CAST(SUM(t * g) AS DOUBLE) / SUM(g), 6)
+                     END AS m_prec
+         FROM flat)"""
+        meas_cols = (",\n       CASE WHEN chosen THEN m.m_rec END "
+                     "AS measured_recall,\n"
+                     "       CASE WHEN chosen THEN m.m_prec END "
+                     "AS measured_precision")
+        meas_tail = " CROSS JOIN meas m"
     return f"""
 WITH grid(num_hashes, bands, rows_per_band) AS (VALUES {vals}),
 priced AS (
@@ -1401,17 +1505,19 @@ priced AS (
   FROM grid),
 flagged AS (
   SELECT *, (recall_at_threshold >= target_recall) AS meets_target
-  FROM priced)
-SELECT *, (row_number() OVER (
-    ORDER BY meets_target DESC,
-             CASE WHEN meets_target THEN cost END ASC NULLS LAST,
-             recall_at_threshold DESC,
-             num_hashes ASC, bands ASC) = 1) AS chosen
-FROM flagged
+  FROM priced),
+sel AS (
+  SELECT *, (row_number() OVER (
+      ORDER BY meets_target DESC,
+               CASE WHEN meets_target THEN cost END ASC NULLS LAST,
+               recall_at_threshold DESC,
+               num_hashes ASC, bands ASC) = 1) AS chosen
+  FROM flagged){meas_ctes}
+SELECT s.*{meas_cols}
+FROM sel s{meas_tail}
 """
 
 
-SQL_MINHASH_TUNE = _sql_minhash_tune()
 
 
 def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,19 +1756,24 @@ def _sql_ann_tune_pq(target: float = 0.2, n_cents: int = 8,
     return f"""
 WITH rows AS ({branches}),
 nn2 AS (SELECT COUNT(*) AS c FROM embeddings),
+mcs AS {_sql_ann_measured_cost((2,), n_cents=n_cents)},
 priced AS (
   SELECT rows.*,
-         CAST(nprobe * ((nn2.c + {n_cents} - 1) // {n_cents})
+         CAST(rows.nprobe * ((nn2.c + {n_cents} - 1) // {n_cents})
               + shortlist AS BIGINT) AS cost,
+         ROUND(mcs.mc + CAST(shortlist AS DOUBLE), 6)
+           AS measured_cost,
          CAST({target!r} AS DOUBLE) AS target_recall,
          (ROUND(recall, 6) >= CAST({target!r} AS DOUBLE))
            AS meets_target
-  FROM rows, nn2)
+  FROM rows CROSS JOIN nn2
+  LEFT JOIN mcs ON mcs.nprobe = rows.nprobe)
 SELECT nprobe, shortlist, k, n_queries, truth_rows, hits, recall,
-       cost, target_recall, meets_target
+       cost, measured_cost, target_recall, meets_target
 FROM priced
 ORDER BY meets_target DESC,
-         CASE WHEN meets_target THEN cost END ASC NULLS LAST,
+         CASE WHEN meets_target THEN measured_cost END
+           ASC NULLS LAST,
          recall DESC, cost ASC, nprobe ASC, shortlist ASC
 LIMIT 1
 """
@@ -3989,6 +4100,8 @@ FROM cand WHERE {est} >= {threshold}
 SQL_MINHASH_DEDUP = _sql_minhash(threshold=0.3)
 
 SQL_MINHASH_RECALL = _sql_minhash_recall()
+# measured leg needs the shingle helpers above, so it binds here
+SQL_MINHASH_TUNE = _sql_minhash_tune(measured_ppm=600_000)
 
 
 def _sql_fuzzy_decon(threshold: float = 0.5, num_hashes: int = 64,

@@ -111,7 +111,15 @@ def export_token_shards(docs: DataFrame, path: str,
     names the directories. Returns the extended MANIFEST
     (shard, n_bins, n_docs, n_tokens, context_len, pad_id) — the
     loader's bounded sizing table, derived from the same bin
-    definition (and oracle-checked as the ``token_shards`` query)."""
+    definition (and oracle-checked as the ``token_shards`` query).
+
+    The layout is APPENDABLE (r11): the vocab, merge table, and
+    per-shard manifest are stamped as ``_georiva_*`` parquet sidecars
+    under ``path`` (underscore-prefixed — invisible to the
+    ``shard=*`` data listing), so :func:`export_token_shards_delta`
+    can later append new crawl docs as NEW bins under the SAME pinned
+    tokenizer without touching (or re-tokenizing) a single existing
+    shard file."""
     from georiva_spark.operators.textops import (bpe_token_vocab,
                                                  token_shard_bins)
 
@@ -123,14 +131,196 @@ def export_token_shards(docs: DataFrame, path: str,
      .sortWithinPartitions("shard", "bin_id")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
     pad_id = len(vocab)
-    return (bins.groupBy("shard")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
-                 F.sum("n_docs").cast("long").alias("n_docs"),
-                 F.sum("n_tokens").cast("long").alias("n_tokens"))
-            .withColumn("context_len",
-                        F.lit(context_len).cast("int"))
-            .withColumn("pad_id", F.lit(pad_id).cast("int"))
-            .orderBy("shard"))
+    manifest = (bins.groupBy("shard")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                     F.sum("n_docs").cast("long").alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("n_tokens"))
+                .withColumn("context_len",
+                            F.lit(context_len).cast("int"))
+                .withColumn("pad_id", F.lit(pad_id).cast("int"))
+                .orderBy("shard"))
+    _stamp_token_sidecars(docs.sparkSession, path, manifest, vocab,
+                          merges, num_shards)
+    return manifest
+
+
+def _stamp_token_sidecars(spark: SparkSession, path: str,
+                          manifest: DataFrame, vocab: list[str],
+                          merges: list[tuple[str, str]],
+                          num_shards: int) -> None:
+    """Write the pinned-tokenizer sidecars of a token-shard export:
+    ``_georiva_vocab`` (id, token — the dense-id contract),
+    ``_georiva_merges`` (rank, a, b — the BPE merge table, in
+    order), ``_georiva_manifest`` (the per-shard manifest plus
+    num_shards). All bounded model-state (|vocab| ≤ |alphabet| +
+    |merges|; num_shards rows), all derivable from the data files —
+    a torn manifest recovers by re-aggregating the bins."""
+    (spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "id int, token string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_georiva_vocab")))
+    (spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_georiva_merges")))
+    (manifest.withColumn("num_shards",
+                         F.lit(int(num_shards)).cast("int"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_georiva_manifest")))
+
+
+def _read_token_sidecars(spark: SparkSession, path: str):
+    """Load the pinned tokenizer + layout of an existing token-shard
+    export → (manifest_df, vocab, merges, context_len, num_shards).
+    Missing sidecars fail by name (a pre-r11 or foreign layout must
+    be rebuilt, not silently re-tokenized)."""
+    try:
+        manifest = spark.read.parquet(
+            os.path.join(path, "_georiva_manifest"))
+        vocab_df = spark.read.parquet(
+            os.path.join(path, "_georiva_vocab"))
+        merges_df = spark.read.parquet(
+            os.path.join(path, "_georiva_merges"))
+    except Exception as e:
+        raise ValueError(
+            f"export_token_shards_delta: {path!r} has no stamped "
+            f"_georiva_* sidecars — only a layout written by "
+            f"export_token_shards (r11+) can take deltas; rebuild "
+            f"full first ({e})") from None
+    vocab = [r.token for r in
+             sorted(vocab_df.collect(), key=lambda r: r.id)]
+    merges = [(r.a, r.b) for r in
+              sorted(merges_df.collect(), key=lambda r: r.rank)]
+    # materialize the manifest OFF its files (bounded: num_shards
+    # rows) — the delta path later OVERWRITES _georiva_manifest while
+    # deriving the new manifest from the old one, and a lazy frame
+    # still reading the doomed files would hit FILE_NOT_EXIST
+    rows = manifest.collect()
+    head = rows[0]
+    local = spark.createDataFrame(
+        [(r.shard, r.n_bins, r.n_docs, r.n_tokens, r.context_len,
+          r.pad_id) for r in rows],
+        "shard int, n_bins long, n_docs long, n_tokens long, "
+        "context_len int, pad_id int")
+    return (local, vocab, merges,
+            int(head["context_len"]), int(head["num_shards"]))
+
+
+def export_token_shards_delta(new_docs: DataFrame, path: str,
+                              merges: list[tuple[str, str]],
+                              text_col: str = "text",
+                              check_duplicates: bool = True
+                              ) -> DataFrame:
+    """INCREMENTAL token-shard export (r11 — the verdict's item 3):
+    append a new crawl batch to an existing :func:`export_token_shards`
+    layout WITHOUT rewriting it. A weekly corpus refresh re-exporting
+    every shard re-tokenizes and rewrites the full history (76 s per
+    2M docs at smoke scale — unbounded at 100 TB); the delta writes
+    only the new docs' bins.
+
+    Contract:
+
+    - The tokenizer is PINNED from the stamped sidecars: the caller's
+      ``merges`` must equal the stamped table exactly (a drifted
+      tokenizer FAILS BY NAME — silently re-tokenizing history would
+      train on inconsistent ids), the vocab loads from the sidecar
+      (never re-derived), and a delta token outside it raises by name
+      (``strict_vocab``) instead of writing NULL ids.
+    - Existing shard files are NEVER touched: delta docs hash into
+      their md5 shards as always, their bins take ``bin_id``
+      continuing after the shard's stamped ``n_bins``, and the write
+      is mode=append — one NEW file per shard per delta, old files
+      byte-identical, so the permutation already consumed by a loader
+      is stable and the layout remains restartable.
+    - ``check_duplicates`` (default on): a delta doc_id already
+      present in the layout fails by name (it would duplicate
+      training examples); the check scans only the pruned ``doc_ids``
+      column of the existing bins against the bounded delta id set.
+    - Packing is GENERATION-LOCAL: the delta packs greedily within
+      the delta (the same rule the full export applies corpus-wide),
+      so bin COMPOSITION differs from a from-scratch rebuild of the
+      grown corpus — but the content contract is identical and
+      pytest-pinned: every doc appears exactly once, each doc's token
+      ids match the full rebuild bit-for-bit, and per-shard token
+      totals agree.
+
+    → the UPDATED full manifest (same schema as the full export),
+    also re-stamped to the sidecar."""
+    from georiva_spark.operators.textops import token_shard_bins
+
+    spark = new_docs.sparkSession
+    old_manifest, vocab, pinned, context_len, num_shards = \
+        _read_token_sidecars(spark, path)
+    if [tuple(m) for m in merges] != pinned:
+        raise ValueError(
+            "export_token_shards_delta: the supplied merge table "
+            "differs from the one stamped on the layout — appending "
+            "under a changed tokenizer would mix incompatible token "
+            "ids; rebuild with export_token_shards (full) instead")
+    if check_duplicates:
+        existing = (spark.read.option("basePath", path)
+                    .parquet(f"{path}/shard=*")
+                    .select(F.explode("doc_ids").alias("doc_id")))
+        dup = (new_docs.select("doc_id")
+               .join(existing, "doc_id", "left_semi").count())
+        if dup:
+            raise ValueError(
+                f"export_token_shards_delta: {dup} delta doc_id(s) "
+                f"already exist in the layout — appending would "
+                f"duplicate training examples; dedup the delta "
+                f"first (or pass check_duplicates=False knowingly)")
+    # pre-flight: vocab drift fails BY NAME before any file is
+    # appended (strict_vocab below is defense-in-depth at execution)
+    from georiva_spark.operators.textops import unknown_vocab_tokens
+    unk = unknown_vocab_tokens(new_docs, merges, vocab,
+                               text_col=text_col).limit(5).collect()
+    if unk:
+        ex = ", ".join(f"{r.token!r}({r.n_docs} docs)" for r in unk)
+        raise ValueError(
+            f"export_token_shards_delta: delta tokens outside the "
+            f"pinned vocab (e.g. {ex}) — the corpus drifted past the "
+            f"stamped tokenizer; rebuild full or retrain the merges")
+    bins = token_shard_bins(new_docs, merges,
+                            context_len=context_len,
+                            num_shards=num_shards, text_col=text_col,
+                            vocab=vocab, strict_vocab=True)
+    base = F.broadcast(old_manifest.select(
+        "shard", F.col("n_bins").alias("__base")))
+    bins = (bins.join(base, "shard", "left")
+            .withColumn("bin_id",
+                        F.col("bin_id")
+                        + F.coalesce(F.col("__base"), F.lit(0)))
+            .drop("__base"))
+    (bins.repartition(num_shards, F.col("shard"))
+     .sortWithinPartitions("shard", "bin_id")
+     .write.mode("append").partitionBy("shard").parquet(path))
+    pad_id = len(vocab)
+    delta_manifest = (bins.groupBy("shard")
+                      .agg(F.count(F.lit(1)).cast("long")
+                           .alias("n_bins"),
+                           F.sum("n_docs").cast("long")
+                           .alias("n_docs"),
+                           F.sum("n_tokens").cast("long")
+                           .alias("n_tokens")))
+    manifest = (old_manifest
+                .select("shard", "n_bins", "n_docs", "n_tokens")
+                .unionByName(delta_manifest)
+                .groupBy("shard")
+                .agg(F.sum("n_bins").cast("long").alias("n_bins"),
+                     F.sum("n_docs").cast("long").alias("n_docs"),
+                     F.sum("n_tokens").cast("long")
+                     .alias("n_tokens"))
+                .withColumn("context_len",
+                            F.lit(context_len).cast("int"))
+                .withColumn("pad_id", F.lit(pad_id).cast("int"))
+                .orderBy("shard"))
+    # re-stamp: bounded rows; recoverable from the bins if torn
+    (manifest.withColumn("num_shards",
+                         F.lit(int(num_shards)).cast("int"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_georiva_manifest")))
+    return manifest
 
 
 def read_token_shards(spark: SparkSession, path: str,

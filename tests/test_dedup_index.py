@@ -1256,6 +1256,73 @@ def test_ann_tune_picks_cheapest_setting_meeting_target(spark,
             spark.sql(f"DROP TABLE IF EXISTS t_tnpq{s}")
 
 
+def test_ann_tune_measured_cost_skew_aware(spark, tmp_path):
+    """r11 measured pricing: the analytic proxy nprobe·⌈N/C⌉ assumes
+    uniform cells. On a UNIFORM index the measured candidate average
+    equals the proxy exactly; on a SKEWED one it diverges upward
+    (queries route into hot cells — Σsz²/N > N/C by Cauchy-Schwarz
+    whenever sizes are unequal), and in both cases the measured value
+    equals the actual per-query candidate work recomputed from the
+    index's own cell histogram (with a full-corpus query sample,
+    every row routes to its own cell, so avg = Σ sz²/N and the full
+    probe is exactly N)."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    eye = np.eye(8) * 10.0
+
+    def mk(cluster_sizes, tag):
+        rows, vid = [], 0
+        for j, sz in enumerate(cluster_sizes):
+            for _ in range(sz):
+                v = eye[j] + 0.1 * rng.normal(size=8)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    for tag, cs in (("u", [75, 75, 75, 75]),
+                    ("s", [150, 100, 30, 20])):
+        t = f"t_mc{tag}"
+        try:
+            similarity.ivf_index_write(mk(cs, tag), t,
+                                       str(tmp_path / tag),
+                                       n_centroids=4, train_iters=2,
+                                       seed_ids=[10, 80, 160, 230]
+                                       if tag == "u" else None)
+            props = {r.key: r.value for r in
+                     spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+            mc = {r.nprobe: r["__mc"]
+                  for r in similarity._measured_candidates(
+                      spark, t, props, (1, 4), 1_000_000, None,
+                      "recall").collect()}
+            sizes = [r["count"] for r in spark.table(t)
+                     .groupBy("cell").count().collect()]
+            n = sum(sizes)
+            proxy = (n + 3) // 4
+            # the identity: measured == real candidate work
+            assert mc[4] == float(n)
+            assert mc[1] == round(sum(s * s for s in sizes) / n, 6)
+            if tag == "u":
+                # uniform cells realized -> proxy agreement, and the
+                # chosen row's measured_cost matches the analytic cost
+                assert sizes == [75] * 4
+                assert mc[1] == float(proxy) == 75.0
+                row = similarity.ann_tune(
+                    spark, t, target_recall=0.01, k=5, nprobes=(1,),
+                    sample_ppm=1_000_000).collect()[0]
+                assert row.measured_cost == float(row.cost) == 75.0
+            else:
+                # skew realized -> the proxy underprices the probes
+                assert len(set(sizes)) > 1
+                assert mc[1] > float(proxy)
+        finally:
+            for s in ("", "_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS t_mc{tag}{s}")
+
+
 def test_minhash_tune_closed_form_and_end_to_end(spark):
     """r10 banding auto-sizer: the S-curve values match an
     independent Python computation, the chosen row is the min-cost
@@ -1308,6 +1375,23 @@ def test_minhash_tune_closed_form_and_end_to_end(spark):
         portable=True).collect()[0]
     assert measured.true_pairs >= 2
     assert measured.recall >= 0.9
+    # measured leg (r11): docs= attaches the SAME end-to-end
+    # measurement to the chosen row; the planted pairs sit far above
+    # the threshold and the fillers far below threshold/2, so the
+    # measured precision clears the analytic floor priced from the
+    # S-curve FP proxy (1 - fp_at_half_threshold) and the measured
+    # recall clears the closed-form catch-rate floor; non-chosen rows
+    # carry NULLs
+    tuned = dedup.minhash_tune(
+        spark, threshold=0.3, target_recall=0.9,
+        num_hashes_grid=(16, 32, 64), docs=docs,
+        sample_ppm=1_000_000, portable=True).collect()
+    tc = [r for r in tuned if r.chosen][0]
+    assert tc.measured_recall >= tc.recall_at_threshold
+    assert tc.measured_precision >= 1.0 - tc.fp_at_half_threshold
+    assert all(r.measured_recall is None and
+               r.measured_precision is None
+               for r in tuned if not r.chosen)
 
 
 def test_ann_recall_estimate_pq_refine_recovers_adc_loss(spark,

@@ -1215,6 +1215,109 @@ def test_export_token_shards_loader_contract(spark, tmp_path):
                             context_len=0, num_shards=2)
 
 
+def test_export_token_shards_delta_appends_without_rewrite(
+        spark, tmp_path):
+    """r11 incremental export: a delta batch appends NEW bins under
+    the SAME pinned tokenizer — every pre-existing shard file is
+    byte-identical afterwards (the loader's consumed permutation is
+    stable), delta bin_ids continue each shard's sequence, the
+    re-stamped manifest matches a re-aggregation of the data files,
+    and the CONTENT contract vs a from-scratch rebuild of the grown
+    corpus holds: same doc set, bit-identical per-doc token ids,
+    equal per-shard token totals (bin COMPOSITION may differ — the
+    delta packs generation-locally, documented). Guards fail by
+    name: drifted merges, duplicate delta doc_ids, and a delta token
+    outside the pinned vocab."""
+    import glob
+    import hashlib
+
+    from georiva_spark.sources.tables import (export_token_shards,
+                                              export_token_shards_delta,
+                                              read_token_shards)
+
+    merges = [("a", "b"), ("ab", "c"), ("d", "e")]
+    base = {1: "abc abd de xyz", 2: "abc abc abc abc", 3: None,
+            5: "de de de de abc", 6: "x y z de"}
+    delta = {10: "abc de xyz abd", 11: "de abc x y",
+             12: "abc abc de de de"}
+    ctx, n_shards = 16, 2
+    mk = lambda d: spark.createDataFrame(          # noqa: E731
+        list(d.items()), "doc_id long, text string")
+    out = str(tmp_path / "tokdelta")
+    export_token_shards(mk(base), out, merges, context_len=ctx,
+                        num_shards=n_shards)
+
+    def file_hashes():
+        return {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in glob.glob(f"{out}/shard=*/part-*")
+                if not f.endswith(".crc")}
+
+    def doc_ids_by_doc(path):
+        span = {}
+        for r in read_token_shards(spark, path).collect():
+            offs = list(r.doc_offsets) + [r.n_tokens]
+            for j, d in enumerate(r.doc_ids):
+                span[d] = r.token_ids[offs[j]:offs[j + 1]]
+        return span
+
+    before = file_hashes()
+    manifest = {r.shard: r for r in export_token_shards_delta(
+        mk(delta), out, merges).collect()}
+    after = file_hashes()
+    # old files untouched, new files appended
+    assert all(after[f] == h for f, h in before.items())
+    assert len(after) > len(before)
+    # bin ids are contiguous per shard across generations; loader
+    # order intact
+    rows = read_token_shards(spark, out).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append(r.bin_id)
+    for s, bids in per.items():
+        assert bids == list(range(len(bids)))
+        assert manifest[s].n_bins == len(bids)
+    # content equivalence vs a from-scratch rebuild of the grown
+    # corpus: same docs, bit-identical per-doc ids, equal totals
+    full = str(tmp_path / "tokfull")
+    fullman = {r.shard: r for r in export_token_shards(
+        mk({**base, **delta}), full, merges, context_len=ctx,
+        num_shards=n_shards).collect()}
+    assert doc_ids_by_doc(out) == doc_ids_by_doc(full)
+    assert {s: (m.n_docs, m.n_tokens) for s, m in manifest.items()} \
+        == {s: (m.n_docs, m.n_tokens) for s, m in fullman.items()}
+    # pad_id / context pinned from the sidecar
+    assert all(m.pad_id == fullman[s].pad_id
+               and m.context_len == ctx
+               for s, m in manifest.items())
+    # re-stamped manifest == re-aggregation of the data files
+    from georiva_spark.sources.tables import _read_token_sidecars
+    stamped, vocab, pinned, c2, ns2 = _read_token_sidecars(spark, out)
+    assert (c2, ns2) == (ctx, n_shards) and pinned == merges
+    agg = {r.shard: r for r in spark.read.option("basePath", out)
+           .parquet(f"{out}/shard=*")
+           .groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("n_bins"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens")).collect()}
+    for r in stamped.collect():
+        a = agg[r.shard]
+        assert (r.n_bins, r.n_docs, r.n_tokens) \
+            == (a.n_bins, a.n_docs, a.n_tokens)
+    # guards fail by name
+    with pytest.raises(ValueError, match="differs from the one "
+                                         "stamped"):
+        export_token_shards_delta(mk({20: "abc"}), out,
+                                  merges[:-1])
+    with pytest.raises(ValueError, match="already exist"):
+        export_token_shards_delta(mk({10: "abc"}), out, merges)
+    with pytest.raises(Exception, match="pinned vocab"):
+        export_token_shards_delta(mk({30: "abc qqq"}), out,
+                                  merges).collect()
+    with pytest.raises(ValueError, match="no stamped"):
+        export_token_shards_delta(mk({31: "abc"}),
+                                  str(tmp_path / "virgin"), merges)
+
+
 def test_token_budget_sample_prefix_covers_budget(spark):
     """Per stratum: kept docs are a prefix of the md5 order, the total
     covers the budget when the stratum has enough tokens (crossing doc

@@ -212,13 +212,20 @@ def test_fasttext_score_partial_agg_no_python(spark):
 
 
 def test_temperature_mix_is_scan_predicate(spark):
-    """After the bounded count agg (driver-side), the sampling itself
-    is a single filter over the scan — no joins, no exchanges, no
-    Python."""
+    """r11: counts, isqrt weights, and thresholds all derive IN the
+    plan from a bounded #strata-row agg that broadcast-joins back —
+    the corpus side stays a scan (its only join is the broadcast hash
+    join; no CASE-chain thresholds, no driver collect at composition
+    time), every shuffle keys on the bounded stratum frame (never
+    doc_id), and nothing drops to Python."""
     plan = _plan(QUERIES["temperature_mix"](spark, SF))
     phys = plan.split("== Physical Plan ==")[-1]
-    assert "Exchange" not in phys
-    assert "Join" not in phys
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+    for ln in phys.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert ("__sb_s" in ln or "lang#" in ln) \
+                and "doc_id" not in ln, ln
     assert "BatchEvalPython" not in phys
 
 
@@ -658,12 +665,21 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
     pre = phys.split("Exchange hashpartitioning")[1]
     assert "HashAggregate" in pre        # partial agg below the exchange
     assert "Sort" not in phys and "Expand" in phys
-    # the quality cut's returned frame is a PURE SCAN PREDICATE — the
-    # bounded histogram ran at plan build, thresholds are literals, so
-    # a percentile cut costs zero exchanges and zero sorts at read time
+    # the quality cut (r11 — single in-plan path): thresholds derive
+    # from windows over the BOUNDED strata×bins histogram and
+    # broadcast-join back — the corpus side's only join is the
+    # broadcast hash join, every hash exchange and sort keys on the
+    # bounded histogram frame (__s/__b), never on doc_id, and no
+    # driver collect happens at composition time
     plan = _plan(QUERIES["quality_threshold"](spark, SF))
     phys = plan.split("== Physical Plan ==")[-1]
-    assert "Exchange" not in phys and "Sort" not in phys
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+    for ln in phys.splitlines():
+        if "Exchange hashpartitioning" in ln or "Sort " in ln:
+            assert ("__s#" in ln or "__b#" in ln or "lang#" in ln
+                    or "_groupingexpression#" in ln), ln
+            assert "doc_id" not in ln, ln
 
 
 def test_ivf_filtered_probe_pushes_predicate_to_scan(spark):
