@@ -70,6 +70,10 @@ HEADLINE = [
     # ANN ladder walk; MinHash S-curve closed form)
     "token_shards", "ann_tune", "ann_tune_pq", "minhash_tune",
     "token_pipeline",
+    # r11: the corpus-refresh chain ON the derivation engine — three
+    # crawl-shard arrivals drive clean units + chained datacard/token
+    # rollups end-to-end (T2/T3 exercised in-query)
+    "corpus_products",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Corpus products on the derivation engine (r11 — the r10 verdict's
+item 2): the crawl→clean→{datacard, token-shards} chain gets the
+raster side's T2–T5 semantics — a new crawl shard triggers exactly
+its downstream units (T2 + the declared DAG), unchanged shards skip
+on input_hash (T3), a rollup triggered before any clean data parks
+and resurrects (T4), and a re-crawled shard invalidates transitively
+(T5) with the recomputed outputs matching a from-scratch build."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from georiva_spark.plans.declarations import build_chain_graph
+from georiva_spark.plans.engine import DerivationEngine, Trigger
+from georiva_spark.plans.recipe import CatalogContext, RecipeRegistry
+from georiva_spark.plans.recipes.corpus import (
+    CorpusCleanRecipe, CorpusDatacardRecipe, CorpusTokenShardsRecipe,
+    corpus_product_definitions,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+MERGES = [("a", "b"), ("ab", "c")]
+SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def _texts():
+    """Two crawl shards: passing docs carry a stopword and >=3 words;
+    shard-0 has an exact-dup pair (keeper = min doc_id) and a
+    too-short reject."""
+    return {
+        "shard-0": [
+            (1, "the abc abd quick fox", "en", "web"),
+            (2, "the abc abd quick fox", "en", "web"),   # exact dup
+            (3, "of abc abc words here", "de", "web"),
+            (4, "tiny", "en", "web"),                    # gate reject
+        ],
+        "shard-1": [
+            (10, "and abc de xyz words", "en", "books"),
+            (11, "to abc abc abc words", "en", "web"),
+        ],
+        "shard-0b": [                                    # the re-crawl
+            (1, "the abc abd quick fox", "en", "web"),
+            (5, "in abc fresh crawl words", "fr", "web"),
+        ],
+    }
+
+
+def _harness(spark, tmp_path, definitions=None):
+    texts = _texts()
+    items = [
+        {"item_id": 1, "collection": "crawl-shards",
+         "variable": "shard-0", "time": T0, "tier": "staging",
+         "checksum": "crawl-0-v1"},
+        {"item_id": 2, "collection": "crawl-shards",
+         "variable": "shard-1", "time": T0, "tier": "staging",
+         "checksum": "crawl-1-v1"},
+    ]
+    out_dir = str(tmp_path / "out")
+    state = {"recrawled": False}
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            key = it["variable"]
+            if key == "shard-0" and state["recrawled"]:
+                key = "shard-0b"
+            return spark.createDataFrame(texts[key], SCHEMA)
+        import os
+        return spark.read.parquet(
+            os.path.join(out_dir, f"unit={it['unit_hash']}"))
+
+    ctx = CatalogContext(spark, items, grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe(
+        MERGES, config={"context_len": 8, "num_shards": 2}))
+    defs = (corpus_product_definitions(context_len=8, num_shards=2)
+            if definitions is None else definitions)
+    eng = DerivationEngine(spark, reg, ctx, output_dir=out_dir,
+                           definitions=defs)
+    return eng, items, state
+
+
+def _card(eng, spark, out_dir=None):
+    it = next(i for i in eng.catalog.items
+              if i["collection"] == "corpus-datacard")
+    return {(r.lang, r.source): (r.n_docs, r.n_tokens, r.n_chars)
+            for r in eng.catalog._grid_loader(it).collect()}
+
+
+def test_corpus_chain_t2_t3_routing_and_idempotency(spark, tmp_path):
+    eng, items, _ = _harness(spark, tmp_path)
+    # T2: shard-0 arrival runs ITS clean unit and chains both rollups
+    eng.dispatch_for_trigger(Trigger(kind="staging_item",
+                                     item=items[0]))
+    by_origin = {}
+    for r in eng.runs.values():
+        by_origin.setdefault(r.origin, []).append(r)
+    assert len(by_origin[None]) == 1          # one clean unit, not two
+    assert {r.status for r in eng.runs.values()} == {"completed"}
+    assert sorted(o for o in by_origin if o) == [
+        "chain:corpus-datacard", "chain:corpus-token-shards"]
+    # clean semantics: dup collapsed (keeper doc 1), reject dropped
+    card = _card(eng, spark)
+    assert card == {("en", "web"): (1, 5, 21), ("de", "web"): (1, 5, 21)}
+    # shard-1 arrival: clean-1 runs, rollups RECOMPUTE (inputs grew)
+    eng.dispatch_for_trigger(Trigger(kind="staging_item",
+                                     item=items[1]))
+    card = _card(eng, spark)
+    assert card[("en", "books")] == (1, 5, 20)
+    assert card[("en", "web")] == (2, 10, 41)
+    # T3: an unchanged shard re-arrival skips its unit and (because
+    # the skip never emits derivation.completed) re-runs no rollup
+    n_runs = len(eng.runs)
+    out = eng.dispatch_for_trigger(Trigger(kind="staging_item",
+                                           item=items[1]))
+    assert [r.status for r in out] == ["skipped"]
+    assert len(eng.runs) == n_runs
+    # declared DAG shape: clean feeds exactly the two rollups
+    g = build_chain_graph(corpus_product_definitions())
+    assert set(g.nodes) == {"crawl-shards", "corpus-clean",
+                            "corpus-datacard", "corpus-token-shards"}
+
+
+def test_corpus_rollup_t4_parks_and_resurrects(spark, tmp_path):
+    # no declarations -> no auto-chaining; drive the rollup by hand
+    eng, items, _ = _harness(spark, tmp_path, definitions=[])
+    card_recipe = eng.registry.get("corpus_datacard")
+    rec = eng.run_unit(card_recipe, {"scope": "corpus"})
+    assert rec.status == "not_ready"          # T4: parked, by name
+    assert "missing inputs" in rec.reason
+    eng.dispatch_for_trigger(Trigger(kind="staging_item",
+                                     item=items[0]))
+    res = eng.sweep_not_ready()               # resurrection sweep
+    assert [r.status for r in res] == ["completed"]
+    assert _card(eng, spark)[("en", "web")] == (1, 5, 21)
+
+
+def test_corpus_recrawl_t5_invalidates_transitively(spark, tmp_path):
+    eng, items, state = _harness(spark, tmp_path)
+    for it in items:
+        eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+    # re-crawl shard-0: content + checksum change, NO event — the
+    # stale sweep must find the clean unit via the recorded input
+    # hash and the chain must carry the recompute to both rollups
+    state["recrawled"] = True
+    items[0]["checksum"] = "crawl-0-v2"
+    clean0 = next(i for i in eng.catalog.items
+                  if i["collection"] == "corpus-clean"
+                  and i["variable"] == "shard-0")
+    affected = eng.invalidate_downstream([items[0]["item_id"]])
+    assert clean0["item_id"] in affected      # lineage closure walks
+    swept = eng.sweep_stale()
+    assert any(r.status == "completed" for r in swept)
+    # recomputed datacard == a from-scratch build of the grown corpus
+    texts = _texts()
+    fresh = (spark.createDataFrame(
+        texts["shard-0b"] + texts["shard-1"], SCHEMA))
+    from georiva_spark.operators.textops import gopher_rules
+    g = gopher_rules(fresh, min_words=3, max_words=1000,
+                     min_mean_word_len=1.0, max_mean_word_len=10.0,
+                     max_symbol_ratio=0.1, max_bullet_ratio=0.9,
+                     min_stopword_hits=1)
+    surv = fresh.join(g.where(F.col("gopher_pass")).select("doc_id"),
+                      "doc_id", "left_semi")
+    want = {(r.lang, r.source): (r.n_docs,)
+            for r in surv.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs")).collect()}
+    got = {k: (v[0],) for k, v in _card(eng, spark).items()}
+    assert got == want
+    assert ("de", "web") not in got           # doc 3 left with v2
+    assert got[("fr", "web")] == (1,)         # doc 5 arrived
+    # a second sweep finds nothing stale (fixpoint)
+    assert eng.sweep_stale() == []
+
+
+def test_corpus_products_enable_gating(spark):
+    """products.py structural invariant holds over the corpus DAG:
+    a rollup cannot be enabled before corpus-clean."""
+    from georiva_spark.plans.products import (
+        ProductActionError, ProductRow, enable_product,
+    )
+    defs = corpus_product_definitions()
+    rows = {d.key: ProductRow(d.key) for d in defs}
+    with pytest.raises(ProductActionError):
+        enable_product(defs, rows, "corpus-datacard")
+    enable_product(defs, rows, "corpus-clean")
+    enable_product(defs, rows, "corpus-datacard")
+    assert rows["corpus-datacard"].is_enabled
