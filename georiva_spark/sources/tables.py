@@ -130,18 +130,31 @@ def export_token_shards(docs: DataFrame, path: str,
     (bins.repartition(num_shards, F.col("shard"))
      .sortWithinPartitions("shard", "bin_id")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
-    pad_id = len(vocab)
-    manifest = (bins.groupBy("shard")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
-                     F.sum("n_docs").cast("long").alias("n_docs"),
-                     F.sum("n_tokens").cast("long").alias("n_tokens"))
-                .withColumn("context_len",
-                            F.lit(context_len).cast("int"))
-                .withColumn("pad_id", F.lit(pad_id).cast("int"))
-                .orderBy("shard"))
+    # the manifest aggregates the WRITTEN files, not the bins plan — a
+    # re-derivation would tokenize the corpus a second time, while the
+    # read-back is a column-pruned scan of two small int columns (and
+    # stamps exactly what is on disk)
+    manifest = _manifest_from_layout(docs.sparkSession, path,
+                                     context_len, len(vocab))
     _stamp_token_sidecars(docs.sparkSession, path, manifest, vocab,
                           merges, num_shards)
     return manifest
+
+
+def _manifest_from_layout(spark: SparkSession, path: str,
+                          context_len: int, pad_id: int) -> DataFrame:
+    """Per-shard manifest re-aggregated from the layout's data files
+    (shard, n_bins, n_docs, n_tokens, context_len, pad_id) — the
+    ground truth a torn manifest sidecar recovers from."""
+    return (spark.read.option("basePath", path)
+            .parquet(f"{path}/shard=*")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"))
+            .withColumn("context_len", F.lit(context_len).cast("int"))
+            .withColumn("pad_id", F.lit(pad_id).cast("int"))
+            .orderBy("shard"))
 
 
 def _stamp_token_sidecars(spark: SparkSession, path: str,
@@ -295,27 +308,11 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
     (bins.repartition(num_shards, F.col("shard"))
      .sortWithinPartitions("shard", "bin_id")
      .write.mode("append").partitionBy("shard").parquet(path))
-    pad_id = len(vocab)
-    delta_manifest = (bins.groupBy("shard")
-                      .agg(F.count(F.lit(1)).cast("long")
-                           .alias("n_bins"),
-                           F.sum("n_docs").cast("long")
-                           .alias("n_docs"),
-                           F.sum("n_tokens").cast("long")
-                           .alias("n_tokens")))
-    manifest = (old_manifest
-                .select("shard", "n_bins", "n_docs", "n_tokens")
-                .unionByName(delta_manifest)
-                .groupBy("shard")
-                .agg(F.sum("n_bins").cast("long").alias("n_bins"),
-                     F.sum("n_docs").cast("long").alias("n_docs"),
-                     F.sum("n_tokens").cast("long")
-                     .alias("n_tokens"))
-                .withColumn("context_len",
-                            F.lit(context_len).cast("int"))
-                .withColumn("pad_id", F.lit(pad_id).cast("int"))
-                .orderBy("shard"))
-    # re-stamp: bounded rows; recoverable from the bins if torn
+    # the updated manifest aggregates the grown layout's files — no
+    # second tokenization pass, and the stamp is exactly what is on
+    # disk (old + appended generations together)
+    manifest = _manifest_from_layout(spark, path, context_len,
+                                     len(vocab))
     (manifest.withColumn("num_shards",
                          F.lit(int(num_shards)).cast("int"))
      .coalesce(1).write.mode("overwrite")

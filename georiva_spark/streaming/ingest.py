@@ -86,3 +86,81 @@ def run_sweep_now(engine: DerivationEngine) -> dict[str, int]:
     runnable from any scheduler: reclaim stale RUNNING, resurrect
     not_ready, recompute stale-input units."""
     return engine.sweep()
+
+
+CORPUS_SCHEMA = ("doc_id long, text string, lang string, "
+                 "source string, shard string")
+
+
+def start_corpus_ingest(spark: SparkSession, landing_dir: str,
+                        corpus_dir: str, checkpoint_dir: str,
+                        engine: DerivationEngine,
+                        schema: str = CORPUS_SCHEMA,
+                        max_files_per_trigger: int = 64,
+                        available_now: bool = False) -> StreamingQuery:
+    """T1 for the CORPUS product chain (r11): crawl-shard files land
+    in a directory; each micro-batch (a) overwrites exactly the
+    arrived shards' partitions of the corpus table (dynamic partition
+    overwrite — a crawl shard is immutable-once-delivered, so a
+    foreachBatch REPLAY rewrites identical bytes instead of
+    duplicating rows), (b) registers/updates one staging item per
+    arrived shard with a CONTENT checksum (order-independent
+    bit_xor of row hashes — a re-delivered identical shard keeps its
+    checksum), and (c) dispatches each shard's staging_item trigger
+    through the engine, which runs its clean unit and chains the
+    declared corpus products (datacard, token shards).
+
+    End-to-end replay idempotency: a replayed batch re-lands the same
+    partitions, recomputes the same checksums, and the engine's
+    input-hash check (T3) SKIPS every unit — no duplicate rollups,
+    no re-tokenization. The caller's engine must hold a grid_loader
+    that reads crawl shards from ``corpus_dir`` (partition-pruned by
+    shard) and derived items from the engine's output_dir."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        # the conf must be set on the MICRO-BATCH's cloned session —
+        # foreachBatch writes run there, not on the outer session
+        # (the same per-session trap as the r7 relation-cache lesson)
+        bsp = batch.sparkSession
+        old = bsp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        bsp.conf.set("spark.sql.sources.partitionOverwriteMode",
+                     "dynamic")
+        try:
+            (batch.write.mode("overwrite").partitionBy("shard")
+             .parquet(corpus_dir))
+        finally:
+            bsp.conf.set("spark.sql.sources.partitionOverwriteMode",
+                         old)
+        digests = (batch.groupBy("shard")
+                   .agg(F.bit_xor(F.xxhash64("doc_id", "text"))
+                        .alias("digest"),
+                        F.count(F.lit(1)).alias("n"))
+                   .collect())
+        for d in sorted(digests, key=lambda r: r.shard):
+            checksum = f"crawl-{d.shard}-{d.digest}-{d.n}"
+            item = next((it for it in engine.catalog.items
+                         if it["collection"] == "crawl-shards"
+                         and it["variable"] == d.shard), None)
+            if item is None:
+                item = {"item_id": hash(("crawl", d.shard))
+                        & 0x7FFFFFFF,
+                        "collection": "crawl-shards",
+                        "variable": d.shard, "time": None,
+                        "tier": "staging", "checksum": checksum}
+                engine.catalog.items.append(item)
+            else:
+                item["checksum"] = checksum
+            engine.dispatch_for_trigger(
+                Trigger("staging_item", item),
+                origin=f"corpus-stream-batch-{batch_id}")
+
+    writer = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(landing_dir)
+              .writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()

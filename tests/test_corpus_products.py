@@ -175,6 +175,96 @@ def test_corpus_recrawl_t5_invalidates_transitively(spark, tmp_path):
     assert eng.sweep_stale() == []
 
 
+def test_corpus_stream_ingest_chains_and_replays_idempotently(
+        spark, tmp_path):
+    """T1 over the corpus chain (r11): crawl-shard files land, each
+    micro-batch overwrites exactly its shards' corpus partitions
+    (dynamic overwrite), registers content-checksummed staging items,
+    and dispatches the engine — the chain refreshes datacard + token
+    manifest per batch. Re-landing an identical shard replays the
+    whole path and every unit SKIPS on input_hash: no duplicate rows,
+    no recompute."""
+    import os
+
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = str(tmp_path / "land")
+    corp = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    os.makedirs(land)
+    texts = _texts()
+
+    def land_file(name, rows, shard):
+        df = spark.createDataFrame(
+            [(d, t, lg, s, shard) for d, t, lg, s in rows],
+            SCHEMA + ", shard string")
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(land, f"{name}.parquet"))
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    ctx = CatalogContext(spark, [], grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe(
+        MERGES, config={"context_len": 8, "num_shards": 2}))
+    eng = DerivationEngine(
+        spark, reg, ctx, output_dir=out,
+        definitions=corpus_product_definitions(8, 2))
+
+    def run_stream():
+        q = start_corpus_ingest(
+            spark, land, corp, str(tmp_path / "ck"), eng,
+            max_files_per_trigger=1, available_now=True)
+        q.awaitTermination()
+
+    land_file("f0", texts["shard-0"], "s0")
+    land_file("f1", texts["shard-1"], "s1")
+    run_stream()
+    # two batches (one file each), chain complete, rollup correct
+    origins = {r.origin for r in eng.runs.values()}
+    assert {"corpus-stream-batch-0", "corpus-stream-batch-1"} & origins
+    card = _card(eng, spark)
+    assert card[("en", "web")] == (2, 10, 41)
+    assert card[("en", "books")] == (1, 5, 20)
+    n_units = len(eng.runs)
+    stamps = {r.unit_hash: r.updated_at for r in eng.runs.values()}
+    # replay: the SAME shard content lands again as a new file — the
+    # partition rewrite is byte-equivalent, the checksum unchanged,
+    # and the engine skips everything (no rollup recompute)
+    land_file("f2", texts["shard-1"], "s1")
+    run_stream()
+    assert len(eng.runs) == n_units
+    clean1 = next(r for r in eng.runs.values()
+                  if r.recipe_id == "corpus_clean"
+                  and '"s1"' in r.unit_key)
+    assert clean1.status == "skipped"
+    for r in eng.runs.values():
+        if r.recipe_id != "corpus_clean":
+            assert r.updated_at == stamps[r.unit_hash]   # untouched
+    assert _card(eng, spark) == card
+    # no duplicate rows in the corpus table
+    n_rows = spark.read.parquet(corp).count()
+    assert n_rows == len(texts["shard-0"]) + len(texts["shard-1"])
+    # a CHANGED re-crawl of the same shard (new content, new checksum)
+    # recomputes its clean unit and the chain
+    land_file("f3", texts["shard-0b"], "s0")
+    run_stream()
+    card2 = _card(eng, spark)
+    assert ("fr", "web") in card2 and ("de", "web") not in card2
+
+
 def test_corpus_products_enable_gating(spark):
     """products.py structural invariant holds over the corpus DAG:
     a rollup cannot be enabled before corpus-clean."""
