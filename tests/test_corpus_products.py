@@ -265,6 +265,44 @@ def test_corpus_stream_ingest_chains_and_replays_idempotently(
     assert ("fr", "web") in card2 and ("de", "web") not in card2
 
 
+def test_corpus_chain_ledger_mode_distributed_stale_scan(
+        spark, tmp_path):
+    """The corpus chain in LEDGER mode (the 100-TB residency story):
+    runs/lineage live in the parquet event tables, and the T5 stale
+    sweep finds a re-crawled shard's clean unit through the
+    DISTRIBUTED stale_units_df planner (lineage ⋈ catalog checksums,
+    hash recomputed in Spark) — then re-runs it and chains the rollup
+    recomputes, exactly as the in-memory mode does."""
+    eng, items, state = _harness(spark, tmp_path)
+    eng.attach_ledger(str(tmp_path / "ledger"))
+    for it in items:
+        eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+    card0 = _card(eng, spark)
+    assert card0[("en", "web")] == (2, 10, 41)
+    state["recrawled"] = True
+    items[0]["checksum"] = "crawl-0-v2"
+    # the distributed planner must name exactly the clean-0 unit
+    stale = eng.stale_units_df().collect()
+    assert len(stale) == 1
+    assert '"shard-0"' in stale[0].unit_key
+    assert stale[0].recipe_type == "corpus_clean"
+    swept = eng.sweep_stale()
+    assert any(r.status == "completed" for r in swept)
+    got = _card(eng, spark)
+    assert ("fr", "web") in got and ("de", "web") not in got
+    assert eng.stale_units_df().count() == 0     # fixpoint
+    # the ledger tables carry the corpus lineage: the datacard item
+    # derives from every clean item
+    lin = eng.lineage_df()
+    clean_ids = {i["item_id"] for i in eng.catalog.items
+                 if i["collection"] == "corpus-clean"}
+    card_id = next(i["item_id"] for i in eng.catalog.items
+                   if i["collection"] == "corpus-datacard")
+    srcs = {r.source_item_id for r in
+            lin.where(F.col("derived_item_id") == card_id).collect()}
+    assert srcs == clean_ids
+
+
 def test_corpus_products_enable_gating(spark):
     """products.py structural invariant holds over the corpus DAG:
     a rollup cannot be enabled before corpus-clean."""

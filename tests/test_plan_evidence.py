@@ -682,6 +682,51 @@ def test_shuffle_shards_and_token_budget_one_exchange(spark):
             assert "doc_id" not in ln, ln
 
 
+def test_ann_tune_measured_pricing_is_bounded(spark, tmp_path):
+    """r11 measured (skew-aware) tune pricing: the per-setting
+    candidate-count frame touches the corpus exactly once — the
+    C-row cell histogram's map-side-combined agg — and everything
+    downstream (query fan × nprobes, the per-query sums) is bounded
+    by the sample: the histogram joins back as a BROADCAST, no
+    sort-merge join, no cartesian, nothing drops to Python."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=8)])
+         for i in range(200)],
+        "vec_id long, embedding array<double>")
+    t = "t_mcplan"
+    try:
+        similarity.ivf_index_write(emb, t, str(tmp_path / "i"),
+                                   n_centroids=4, train_iters=1)
+        props = {r.key: r.value for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+        mc = similarity._measured_candidates(spark, t, props, (1, 2),
+                                             80_000, None, "recall")
+        phys = (mc._jdf.queryExecution().toString()
+                .split("== Physical Plan ==")[-1])
+        assert "BroadcastHashJoin" in phys           # histogram join
+        assert "BroadcastNestedLoopJoin" in phys \
+            or "CartesianProduct" not in phys        # tiny nprobe frame
+        assert "SortMergeJoin" not in phys
+        assert "BatchEvalPython" not in phys
+        assert "ArrowEvalPython" not in phys
+        # corpus-side exchanges only for the bounded histogram (cell
+        # keys) and the bounded per-query agg (q_id, nprobe) — never
+        # an embedding-carrying corpus shuffle
+        for ln in phys.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert ("cell#" in ln or "q_id#" in ln
+                        or "nprobe#" in ln), ln
+                assert "embedding" not in ln, ln
+    finally:
+        for s in ("", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS t_mcplan{s}")
+
+
 def test_ivf_filtered_probe_pushes_predicate_to_scan(spark):
     """Filtered ANN (r8): the metadata predicate reaches the index
     scan as a PushedFilter alongside the cell PartitionFilters —
