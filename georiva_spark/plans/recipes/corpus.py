@@ -52,10 +52,18 @@ GATE = dict(min_words=30, max_words=1000, min_mean_word_len=1.0,
 def corpus_product_definitions(context_len: int = 128,
                                num_shards: int = 8
                                ) -> list[DerivedProductDefinition]:
-    """The declared corpus chain: clean → {datacard, token-shards}.
-    The DAG edges are data-flow (corpus-clean is output of the first
-    and input of the other two), so ``downstream_keys`` routes a
-    completed clean shard to exactly the two rollup products."""
+    """The declared corpus chain, incremental by construction:
+
+        crawl-shards → corpus-clean (per shard)
+                     → {corpus-shard-stats, corpus-shard-tokens}
+                       (per-shard PARTIALS, O(arrived shard))
+                     → {corpus-datacard, corpus-token-shards}
+                       (bounded MERGES, O(#shards))
+
+    The DAG edges are data-flow, so ``downstream_keys`` routes a
+    completed clean shard to exactly its two partials and a completed
+    partial to exactly its merge — a crawl event never recomputes
+    over the corpus."""
     return [
         DerivedProductDefinition(
             key="corpus-clean", recipe_type="corpus_clean",
@@ -66,21 +74,38 @@ def corpus_product_definitions(context_len: int = 128,
             inputs=(InputRef("shard", "crawl-shards", "staging"),),
             outputs=(OutputRef("clean", "corpus-clean"),)),
         DerivedProductDefinition(
+            key="corpus-shard-stats",
+            recipe_type="corpus_shard_stats",
+            label="Per-shard datacard partial",
+            description="bounded (lang, source) partial for one "
+                        "clean shard",
+            inputs=(InputRef("clean", "corpus-clean", "published"),),
+            outputs=(OutputRef("stats", "corpus-shard-stats"),)),
+        DerivedProductDefinition(
+            key="corpus-shard-tokens",
+            recipe_type="corpus_shard_tokens",
+            label="Per-shard token-manifest partial",
+            description="generation-local BPE bin manifest for one "
+                        "clean shard",
+            config_schema=(
+                ConfigField("context_len", "int", context_len),
+                ConfigField("num_shards", "int", num_shards)),
+            inputs=(InputRef("clean", "corpus-clean", "published"),),
+            outputs=(OutputRef("tokens", "corpus-shard-tokens"),)),
+        DerivedProductDefinition(
             key="corpus-datacard", recipe_type="corpus_datacard",
             label="Corpus datacard",
-            description="per-(lang, source) docs/tokens/chars rollup",
-            inputs=(InputRef("clean", "corpus-clean", "published"),),
+            description="merge of the per-shard stats partials",
+            inputs=(InputRef("stats", "corpus-shard-stats",
+                             "published"),),
             outputs=(OutputRef("card", "corpus-datacard"),)),
         DerivedProductDefinition(
             key="corpus-token-shards",
             recipe_type="corpus_token_shards",
             label="Token training-shard manifest",
-            description="BPE token-id bins manifest over the clean "
-                        "corpus",
-            config_schema=(
-                ConfigField("context_len", "int", context_len),
-                ConfigField("num_shards", "int", num_shards)),
-            inputs=(InputRef("clean", "corpus-clean", "published"),),
+            description="merge of the per-shard token partials",
+            inputs=(InputRef("tokens", "corpus-shard-tokens",
+                             "published"),),
             outputs=(OutputRef("shards", "corpus-token-shards"),)),
     ]
 
@@ -159,19 +184,126 @@ class CorpusCleanRecipe:
                           variable=unit["shard"], time=None), clean
 
 
-def _load_clean_union(resolved: list[ResolvedInput]) -> DataFrame:
+def _load_union(resolved: list[ResolvedInput]) -> DataFrame:
     frames = [r.load() for r in resolved if r.load is not None]
     return functools.reduce(lambda a, b: a.unionByName(b), frames)
 
 
-class _CorpusRollupBase:
-    """Shared plumbing of the corpus-wide products: ONE unit whose
-    inputs are every published clean shard (the input hash is over
-    the bounded clean-item checksums, so ANY changed shard makes the
-    rollup stale — T5 — while an unchanged corpus skips — T3).
-    Chained on derivation.completed into the clean collection."""
+class _PerShardRollupBase:
+    """Shared plumbing of the PER-SHARD partial products — the 100-TB
+    shape: a crawl-shard event must cost O(arrived shard), never
+    O(corpus), so each clean shard gets its own bounded partial
+    (stats rows / token-manifest rows) and only those bounded frames
+    merge downstream. Unit = one clean shard; chained on that shard's
+    derivation.completed; stale exactly when ITS clean item's hash
+    changes (T5 walks clean → partial → merge)."""
 
     source = "corpus-clean"
+
+    def enumerate_units(self, ctx: CatalogContext
+                        ) -> list[ProductionUnit]:
+        return [{"shard": it["variable"]}
+                for it in ctx.find(collection=self.source,
+                                   tier="published")]
+
+    def candidate_units(self, trigger,
+                        ctx: CatalogContext) -> list[ProductionUnit]:
+        it = trigger.item
+        if (trigger.kind == "derivation.completed" and it is not None
+                and it.get("collection") == self.source):
+            return [{"shard": it["variable"]}]
+        return []
+
+    def resolve_inputs(self, unit: ProductionUnit,
+                       ctx: CatalogContext) -> list[ResolvedInput]:
+        items = [it for it in ctx.find(collection=self.source,
+                                       tier="published")
+                 if it["variable"] == unit["shard"]]
+        if not items:
+            return [ResolvedInput(role="clean", tier="published",
+                                  item_id=None, checksum="",
+                                  required=True)]
+        it = items[0]
+        return [ResolvedInput(role="clean", tier="published",
+                              item_id=it["item_id"],
+                              checksum=it["checksum"],
+                              load=ctx.loader_for(it))]
+
+
+class CorpusShardStatsRecipe(_PerShardRollupBase):
+    """Per-shard datacard PARTIAL: (lang, source) → docs / whitespace
+    tokens / chars for ONE clean shard — bounded output (strata of
+    one shard), one map-side-combined agg over only the arrived
+    data."""
+
+    recipe_id = "corpus_shard_stats"
+    version = "1"
+
+    def __init__(self, target: str = "corpus-shard-stats"):
+        self.target = target
+
+    def transform(self, spark: SparkSession, unit: ProductionUnit,
+                  resolved: list[ResolvedInput]
+                  ) -> tuple[OutputItem, DataFrame]:
+        clean = resolved[0].load()
+        card = (clean.groupBy("lang", "source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum(_ntokens()).cast("long").alias("n_tokens"),
+                     F.sum(F.coalesce(F.length("text"), F.lit(0)))
+                     .cast("long").alias("n_chars")))
+        return OutputItem(collection=self.target,
+                          variable=unit["shard"], time=None), card
+
+
+class CorpusShardTokensRecipe(_PerShardRollupBase):
+    """Per-shard token-manifest PARTIAL: the token_shard_bins chain
+    (pinned BPE merges, md5 token-shard route, GENERATION-LOCAL
+    greedy pack — the same packing contract as
+    export_token_shards_delta: a crawl shard packs within itself, so
+    its manifest is computable from only the arrived data and never
+    changes when other crawl shards arrive) aggregated per md5
+    token-shard → bounded (shard, n_bins, n_docs, n_tokens) rows."""
+
+    recipe_id = "corpus_shard_tokens"
+    version = "1"
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 target: str = "corpus-shard-tokens",
+                 config: dict | None = None):
+        self.merges = [tuple(m) for m in merges]
+        self.target = target
+        defn = next(d for d in corpus_product_definitions()
+                    if d.key == "corpus-shard-tokens")
+        self.config = defn.validate_config(config or {})
+
+    def transform(self, spark: SparkSession, unit: ProductionUnit,
+                  resolved: list[ResolvedInput]
+                  ) -> tuple[OutputItem, DataFrame]:
+        from georiva_spark.operators.textops import token_shard_bins
+        clean = resolved[0].load()
+        bins = token_shard_bins(
+            clean, self.merges,
+            context_len=self.config["context_len"],
+            num_shards=self.config["num_shards"])
+        manifest = (bins.groupBy("shard")
+                    .agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_bins"),
+                         F.sum("n_docs").cast("long").alias("n_docs"),
+                         F.sum("n_tokens").cast("long")
+                         .alias("n_tokens")))
+        return OutputItem(collection=self.target,
+                          variable=unit["shard"], time=None), manifest
+
+
+class _MergeRollupBase:
+    """Shared plumbing of the corpus-wide MERGE products: ONE unit
+    whose inputs are every per-shard partial (the input hash is over
+    the bounded partial-item checksums, so ANY changed shard makes
+    the merge stale — T5 — while an unchanged corpus skips — T3).
+    The merge aggregates BOUNDED frames (#shards × strata rows), so
+    the corpus-wide refresh costs O(#shards), never O(corpus)."""
+
+    source: str
 
     def enumerate_units(self, ctx: CatalogContext
                         ) -> list[ProductionUnit]:
@@ -191,23 +323,25 @@ class _CorpusRollupBase:
                                 tier="published"),
                        key=lambda it: str(it["variable"]))
         if not items:
-            return [ResolvedInput(role="clean", tier="published",
+            return [ResolvedInput(role="partial", tier="published",
                                   item_id=None, checksum="",
                                   required=True)]
-        return [ResolvedInput(role="clean", tier="published",
+        return [ResolvedInput(role="partial", tier="published",
                               item_id=it["item_id"],
                               checksum=it["checksum"],
                               load=ctx.loader_for(it))
                 for it in items]
 
 
-class CorpusDatacardRecipe(_CorpusRollupBase):
-    """Corpus datacard rollup: per (lang, source) docs / whitespace
-    tokens / chars over the UNION of clean shards — one
-    map-side-combined agg, the corpus_stats accounting convention."""
+class CorpusDatacardRecipe(_MergeRollupBase):
+    """Corpus datacard MERGE: sum the per-shard partials by
+    (lang, source) — sums decompose, so the merged card is
+    bit-identical to a from-scratch corpus datacard (oracle-proven)
+    while each refresh touches only bounded partial frames."""
 
     recipe_id = "corpus_datacard"
     version = "1"
+    source = "corpus-shard-stats"
 
     def __init__(self, target: str = "corpus-datacard"):
         self.target = target
@@ -215,45 +349,35 @@ class CorpusDatacardRecipe(_CorpusRollupBase):
     def transform(self, spark: SparkSession, unit: ProductionUnit,
                   resolved: list[ResolvedInput]
                   ) -> tuple[OutputItem, DataFrame]:
-        clean = _load_clean_union(resolved)
-        card = (clean.groupBy("lang", "source")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                     F.sum(_ntokens()).cast("long").alias("n_tokens"),
-                     F.sum(F.coalesce(F.length("text"), F.lit(0)))
-                     .cast("long").alias("n_chars")))
+        parts = _load_union(resolved)
+        card = (parts.groupBy("lang", "source")
+                .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("n_tokens"),
+                     F.sum("n_chars").cast("long").alias("n_chars")))
         return OutputItem(collection=self.target, variable="datacard",
                           time=None), card
 
 
-class CorpusTokenShardsRecipe(_CorpusRollupBase):
-    """Token training-shard MANIFEST over the clean corpus: the
-    token_shard_bins chain (pinned BPE merges, greedy pack, padded
-    fixed-context bins) aggregated per shard — the loader's sizing
-    table, recomputed exactly when any clean shard changes."""
+class CorpusTokenShardsRecipe(_MergeRollupBase):
+    """Token training-shard manifest MERGE: sum the per-crawl-shard
+    partials by md5 token-shard. n_docs/n_tokens equal any packing;
+    n_bins is the GENERATION-LOCAL pack count (the delta-export
+    contract — crawl shards pack within themselves), which is what a
+    loader consuming an incrementally-grown layout actually sees."""
 
     recipe_id = "corpus_token_shards"
     version = "1"
+    source = "corpus-shard-tokens"
 
-    def __init__(self, merges: list[tuple[str, str]],
-                 target: str = "corpus-token-shards",
-                 config: dict | None = None):
-        self.merges = [tuple(m) for m in merges]
+    def __init__(self, target: str = "corpus-token-shards"):
         self.target = target
-        defn = corpus_product_definitions()[2]
-        self.config = defn.validate_config(config or {})
 
     def transform(self, spark: SparkSession, unit: ProductionUnit,
                   resolved: list[ResolvedInput]
                   ) -> tuple[OutputItem, DataFrame]:
-        from georiva_spark.operators.textops import token_shard_bins
-        clean = _load_clean_union(resolved)
-        bins = token_shard_bins(
-            clean, self.merges,
-            context_len=self.config["context_len"],
-            num_shards=self.config["num_shards"])
-        manifest = (bins.groupBy("shard")
-                    .agg(F.count(F.lit(1)).cast("long")
-                         .alias("n_bins"),
+        parts = _load_union(resolved)
+        manifest = (parts.groupBy("shard")
+                    .agg(F.sum("n_bins").cast("long").alias("n_bins"),
                          F.sum("n_docs").cast("long").alias("n_docs"),
                          F.sum("n_tokens").cast("long")
                          .alias("n_tokens")))

@@ -5201,14 +5201,18 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_token_shards(context_len: int = 128,
                       num_shards: int = 8,
                       source: str = "documents",
-                      prelude: str = "") -> str:
+                      prelude: str = "",
+                      gen_expr: str = "0") -> str:
     """Replay token_shard_bins end-to-end in DuckDB: distinct-word
     BPE vocabulary with dense lexicographic ids, per-doc encode +
     clamp, the md5 shard route, the recursive greedy pack (the
     SQL_PACK_SEQUENCES shape over BPE counts), bin assembly in
     (bin_offset, doc_id) order, and pad_id=|vocab| padding.
     ``source``/``prelude`` let a composed pipeline run the identical
-    chain over a derived corpus CTE (the token_pipeline oracle)."""
+    chain over a derived corpus CTE (the token_pipeline oracle);
+    ``gen_expr`` (r11) partitions the greedy pack by a GENERATION key
+    (e.g. the crawl shard) — the generation-local packing contract of
+    export_token_shards_delta and the corpus-products chain."""
     chain_w = _bpe_chain_sql("w")
     return f"""
 WITH RECURSIVE{prelude}
@@ -5243,24 +5247,26 @@ t AS (SELECT doc_id,
              CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
                   1, 15) AS BIGINT) % {num_shards} AS INTEGER)
                AS shard,
+             CAST({gen_expr} AS BIGINT) AS g,
              CAST(len(ids) AS BIGINT) AS n_tok, ids
       FROM ids),
-o AS (SELECT *, row_number() OVER (PARTITION BY shard
+o AS (SELECT *, row_number() OVER (PARTITION BY g, shard
                                    ORDER BY doc_id) AS rn
       FROM t),
 rec AS (
-  SELECT shard, rn, doc_id, n_tok,
+  SELECT g, shard, rn, doc_id, n_tok,
          0::BIGINT AS bin_id, 0::BIGINT AS bin_offset
   FROM o WHERE rn = 1
   UNION ALL
-  SELECT n.shard, n.rn, n.doc_id, n.n_tok,
+  SELECT n.g, n.shard, n.rn, n.doc_id, n.n_tok,
          CASE WHEN r.bin_offset + r.n_tok + n.n_tok <= {context_len}
               THEN r.bin_id ELSE r.bin_id + 1 END,
          CASE WHEN r.bin_offset + r.n_tok + n.n_tok <= {context_len}
               THEN r.bin_offset + r.n_tok ELSE 0::BIGINT END
-  FROM rec r JOIN o n ON n.shard = r.shard AND n.rn = r.rn + 1
+  FROM rec r JOIN o n ON n.g = r.g AND n.shard = r.shard
+                     AND n.rn = r.rn + 1
 ),
-binrows AS (SELECT r.shard, r.bin_id,
+binrows AS (SELECT r.g, r.shard, r.bin_id,
                    list(r.doc_id ORDER BY r.bin_offset, r.doc_id)
                      AS doc_ids,
                    list(r.bin_offset ORDER BY r.bin_offset, r.doc_id)
@@ -5270,7 +5276,7 @@ binrows AS (SELECT r.shard, r.bin_id,
                      AS flat,
                    CAST(COUNT(*) AS INTEGER) AS n_docs
             FROM rec r JOIN t t2 USING (doc_id)
-            GROUP BY r.shard, r.bin_id)
+            GROUP BY r.g, r.shard, r.bin_id)
 SELECT shard, bin_id, n_docs,
        CAST(len(flat) AS INTEGER) AS n_tokens,
        md5(array_to_string(list_transform(
@@ -5369,11 +5375,16 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup) and chains the corpus-wide datacard +
     token-shard-manifest products through the declared DAG (T2);
     re-dispatching the last shard skips on input_hash (T3, exercised
-    in-query). Returns the FINAL engine-produced outputs — read back
-    from the unit partitions the engine wrote, not recomputed — so
-    the oracle's FROM-SCRATCH datacard + manifest over the full
-    corpus proves the incremental chain converged to the from-scratch
-    answer."""
+    in-query). The chain is INCREMENTAL by construction (r11): each
+    arrival computes per-shard PARTIALS (stats + generation-local
+    token manifest, O(arrived shard)) and the corpus-wide products
+    MERGE the bounded partials (O(#shards)) — a crawl event never
+    recomputes over the corpus. Returns the FINAL engine-produced
+    outputs — read back from the unit partitions the engine wrote,
+    not recomputed — so the oracle's FROM-SCRATCH datacard + manifest
+    over the full corpus (generation-local pack replayed via
+    gen_expr) proves the incremental chain converged to the
+    from-scratch answer."""
     import os
     import shutil
     import tempfile
@@ -5383,6 +5394,7 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             RecipeRegistry)
     from georiva_spark.plans.recipes.corpus import (
         CorpusCleanRecipe, CorpusDatacardRecipe,
+        CorpusShardStatsRecipe, CorpusShardTokensRecipe,
         CorpusTokenShardsRecipe, corpus_product_definitions,
     )
 
@@ -5408,9 +5420,11 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = CatalogContext(spark, list(items), grid_loader=loader)
     reg = RecipeRegistry()
     reg.register(CorpusCleanRecipe())
-    reg.register(CorpusDatacardRecipe())
-    reg.register(CorpusTokenShardsRecipe(
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusShardTokensRecipe(
         BPE_MERGES, config={"context_len": 128, "num_shards": 8}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe())
     eng = DerivationEngine(
         spark, reg, ctx, output_dir=base,
         definitions=corpus_product_definitions(128, 8))
@@ -5487,7 +5501,8 @@ def _sql_corpus_products() -> str:
     what the incremental engine build must converge to."""
     pre = _corpus_survivors_prelude()
     tok = _sql_token_shards(context_len=128, num_shards=8,
-                            source="survivors", prelude=pre)
+                            source="survivors", prelude=pre,
+                            gen_expr="doc_id % 3")
     return f"""
 WITH bins AS ({tok}),
 card AS (

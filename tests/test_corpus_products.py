@@ -15,7 +15,8 @@ from georiva_spark.plans.declarations import build_chain_graph
 from georiva_spark.plans.engine import DerivationEngine, Trigger
 from georiva_spark.plans.recipe import CatalogContext, RecipeRegistry
 from georiva_spark.plans.recipes.corpus import (
-    CorpusCleanRecipe, CorpusDatacardRecipe, CorpusTokenShardsRecipe,
+    CorpusCleanRecipe, CorpusDatacardRecipe, CorpusShardStatsRecipe,
+    CorpusShardTokensRecipe, CorpusTokenShardsRecipe,
     corpus_product_definitions,
 )
 
@@ -72,9 +73,11 @@ def _harness(spark, tmp_path, definitions=None):
     ctx = CatalogContext(spark, items, grid_loader=loader)
     reg = RecipeRegistry()
     reg.register(CorpusCleanRecipe(config={"min_words": 3}))
-    reg.register(CorpusDatacardRecipe())
-    reg.register(CorpusTokenShardsRecipe(
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusShardTokensRecipe(
         MERGES, config={"context_len": 8, "num_shards": 2}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe())
     defs = (corpus_product_definitions(context_len=8, num_shards=2)
             if definitions is None else definitions)
     eng = DerivationEngine(spark, reg, ctx, output_dir=out_dir,
@@ -100,7 +103,8 @@ def test_corpus_chain_t2_t3_routing_and_idempotency(spark, tmp_path):
     assert len(by_origin[None]) == 1          # one clean unit, not two
     assert {r.status for r in eng.runs.values()} == {"completed"}
     assert sorted(o for o in by_origin if o) == [
-        "chain:corpus-datacard", "chain:corpus-token-shards"]
+        "chain:corpus-datacard", "chain:corpus-shard-stats",
+        "chain:corpus-shard-tokens", "chain:corpus-token-shards"]
     # clean semantics: dup collapsed (keeper doc 1), reject dropped
     card = _card(eng, spark)
     assert card == {("en", "web"): (1, 5, 21), ("de", "web"): (1, 5, 21)}
@@ -120,7 +124,15 @@ def test_corpus_chain_t2_t3_routing_and_idempotency(spark, tmp_path):
     # declared DAG shape: clean feeds exactly the two rollups
     g = build_chain_graph(corpus_product_definitions())
     assert set(g.nodes) == {"crawl-shards", "corpus-clean",
+                            "corpus-shard-stats", "corpus-shard-tokens",
                             "corpus-datacard", "corpus-token-shards"}
+    # incremental by construction: the per-shard token partial equals
+    # what arrived, and the merge is a bounded-frame sum
+    tok = next(i for i in eng.catalog.items
+               if i["collection"] == "corpus-token-shards")
+    man = {r.shard: (r.n_bins, r.n_docs, r.n_tokens)
+           for r in eng.catalog._grid_loader(tok).collect()}
+    assert sum(v[1] for v in man.values()) == 4   # clean docs total
 
 
 def test_corpus_rollup_t4_parks_and_resurrects(spark, tmp_path):
@@ -130,8 +142,12 @@ def test_corpus_rollup_t4_parks_and_resurrects(spark, tmp_path):
     rec = eng.run_unit(card_recipe, {"scope": "corpus"})
     assert rec.status == "not_ready"          # T4: parked, by name
     assert "missing inputs" in rec.reason
+    # upstream appears (no auto-chain: definitions empty — drive the
+    # partial by hand), then the resurrection sweep completes the merge
     eng.dispatch_for_trigger(Trigger(kind="staging_item",
                                      item=items[0]))
+    eng.run_unit(eng.registry.get("corpus_shard_stats"),
+                 {"shard": "shard-0"})
     res = eng.sweep_not_ready()               # resurrection sweep
     assert [r.status for r in res] == ["completed"]
     assert _card(eng, spark)[("en", "web")] == (1, 5, 21)
@@ -216,9 +232,11 @@ def test_corpus_stream_ingest_chains_and_replays_idempotently(
     ctx = CatalogContext(spark, [], grid_loader=loader)
     reg = RecipeRegistry()
     reg.register(CorpusCleanRecipe(config={"min_words": 3}))
-    reg.register(CorpusDatacardRecipe())
-    reg.register(CorpusTokenShardsRecipe(
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusShardTokensRecipe(
         MERGES, config={"context_len": 8, "num_shards": 2}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe())
     eng = DerivationEngine(
         spark, reg, ctx, output_dir=out,
         definitions=corpus_product_definitions(8, 2))
@@ -292,15 +310,22 @@ def test_corpus_chain_ledger_mode_distributed_stale_scan(
     assert ("fr", "web") in got and ("de", "web") not in got
     assert eng.stale_units_df().count() == 0     # fixpoint
     # the ledger tables carry the corpus lineage: the datacard item
-    # derives from every clean item
+    # derives from every per-shard stats partial, each of which
+    # derives from its clean shard (the T5 walk is multi-hop)
     lin = eng.lineage_df()
-    clean_ids = {i["item_id"] for i in eng.catalog.items
-                 if i["collection"] == "corpus-clean"}
+    stat_ids = {i["item_id"] for i in eng.catalog.items
+                if i["collection"] == "corpus-shard-stats"}
     card_id = next(i["item_id"] for i in eng.catalog.items
                    if i["collection"] == "corpus-datacard")
     srcs = {r.source_item_id for r in
             lin.where(F.col("derived_item_id") == card_id).collect()}
-    assert srcs == clean_ids
+    assert srcs == stat_ids
+    clean0_id = next(i["item_id"] for i in eng.catalog.items
+                     if i["collection"] == "corpus-clean"
+                     and i["variable"] == "shard-0")
+    hop = {r.derived_item_id for r in
+           lin.where(F.col("source_item_id") == clean0_id).collect()}
+    assert hop & stat_ids                     # clean → partial edge
 
 
 def test_corpus_products_enable_gating(spark):
@@ -314,5 +339,8 @@ def test_corpus_products_enable_gating(spark):
     with pytest.raises(ProductActionError):
         enable_product(defs, rows, "corpus-datacard")
     enable_product(defs, rows, "corpus-clean")
+    with pytest.raises(ProductActionError):      # partial still off
+        enable_product(defs, rows, "corpus-datacard")
+    enable_product(defs, rows, "corpus-shard-stats")
     enable_product(defs, rows, "corpus-datacard")
     assert rows["corpus-datacard"].is_enabled

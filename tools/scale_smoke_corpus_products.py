@@ -71,6 +71,7 @@ def smoke_streamed_products(spark, n: int, base: str) -> None:
                                             RecipeRegistry)
     from georiva_spark.plans.recipes.corpus import (
         CorpusCleanRecipe, CorpusDatacardRecipe,
+        CorpusShardStatsRecipe, CorpusShardTokensRecipe,
         CorpusTokenShardsRecipe, corpus_product_definitions,
     )
     from georiva_spark.streaming.ingest import start_corpus_ingest
@@ -108,9 +109,11 @@ def smoke_streamed_products(spark, n: int, base: str) -> None:
     ctx = CatalogContext(spark, [], grid_loader=loader)
     reg = RecipeRegistry()
     reg.register(CorpusCleanRecipe(config={"min_words": 5}))
-    reg.register(CorpusDatacardRecipe())
-    reg.register(CorpusTokenShardsRecipe(
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusShardTokensRecipe(
         MERGES, config={"context_len": 512, "num_shards": 64}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe())
     eng = DerivationEngine(
         spark, reg, ctx, output_dir=out,
         definitions=corpus_product_definitions(512, 64))
