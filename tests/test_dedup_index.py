@@ -1323,6 +1323,47 @@ def test_ann_tune_measured_cost_skew_aware(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS t_mc{tag}{s}")
 
 
+def test_measured_candidates_routes_opq_queries_in_rotated_space(
+        spark, tmp_path):
+    """The measured-pricing helper must route queries the way the
+    SERVING path does — for an OPQ index that means rotating them
+    first. With a full-corpus sample every vector routes to its own
+    cell (assignment used the same rotated space), so the measured
+    average equals Σ sz²/N from the index's own histogram and the
+    full probe equals N exactly; an unrotated routing would scatter
+    queries across wrong cells and break both identities."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(21)
+    n, d = 240, 8
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=d)]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    t = "t_mcopq"
+    try:
+        similarity.ivf_pq_index_write(emb, t, str(tmp_path / "i"),
+                                      n_centroids=4, m=4, nbits=4,
+                                      train_iters=2, codebook_iters=1,
+                                      opq=True)
+        props = {r.key: r.value for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+        assert props.get("georiva.pq_opq") == "1"
+        mc = {r.nprobe: r["__mc"]
+              for r in similarity._measured_candidates(
+                  spark, t, props, (1, 4), 1_000_000, emb,
+                  "recall").collect()}
+        sizes = [r["count"] for r in spark.table(t)
+                 .groupBy("cell").count().collect()]
+        assert mc[4] == float(sum(sizes))
+        assert mc[1] == round(sum(s * s for s in sizes) / sum(sizes),
+                              6)
+    finally:
+        for s in ("", "_centroids", "_codebook", "_rotation"):
+            spark.sql(f"DROP TABLE IF EXISTS t_mcopq{s}")
+
+
 def test_minhash_tune_closed_form_and_end_to_end(spark):
     """r10 banding auto-sizer: the S-curve values match an
     independent Python computation, the chosen row is the min-cost
