@@ -257,6 +257,11 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
       pytest-pinned: every doc appears exactly once, each doc's token
       ids match the full rebuild bit-for-bit, and per-shard token
       totals agree.
+    - CRASH RECOVERY: the bin_id base and duplicate check read the
+      LAYOUT, never the manifest sidecar — a crash between a
+      completed append and the manifest re-stamp leaves the sidecar
+      stale, and the next delta both avoids reusing that
+      generation's bin ids AND heals the stamp (pytest-pinned).
 
     → the UPDATED full manifest (same schema as the full export),
     also re-stamped to the sidecar."""
@@ -298,8 +303,16 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
                             context_len=context_len,
                             num_shards=num_shards, text_col=text_col,
                             vocab=vocab, strict_vocab=True)
-    base = F.broadcast(old_manifest.select(
-        "shard", F.col("n_bins").alias("__base")))
+    # the bin_id base comes from the LAYOUT (max bin per shard), not
+    # the stamped manifest: a crash between a completed append and
+    # the manifest re-stamp leaves the sidecar stale, and a base read
+    # from it would REUSE the just-appended generation's bin ids —
+    # the layout itself can't lie (one pruned scan of the bin_id
+    # column; the duplicate check above already paid the listing)
+    base = F.broadcast(
+        spark.read.option("basePath", path).parquet(f"{path}/shard=*")
+        .groupBy("shard")
+        .agg((F.max("bin_id") + 1).alias("__base")))
     bins = (bins.join(base, "shard", "left")
             .withColumn("bin_id",
                         F.col("bin_id")

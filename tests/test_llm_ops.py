@@ -1303,6 +1303,29 @@ def test_export_token_shards_delta_appends_without_rewrite(
         a = agg[r.shard]
         assert (r.n_bins, r.n_docs, r.n_tokens) \
             == (a.n_bins, a.n_docs, a.n_tokens)
+    # torn-stamp recovery: a crash between append and manifest
+    # re-stamp leaves the sidecar stale — the NEXT delta must take
+    # its bin_id base from the LAYOUT, not the sidecar, or it would
+    # reuse the previous generation's bin ids
+    import os
+    import shutil
+    man_dir = f"{out}/_georiva_manifest"
+    shutil.rmtree(man_dir + ".bak", ignore_errors=True)
+    shutil.copytree(man_dir, man_dir + ".bak")
+    export_token_shards_delta(mk({40: "abc de xyz abd"}), out,
+                              merges)
+    shutil.rmtree(man_dir)                  # simulate the torn stamp
+    os.rename(man_dir + ".bak", man_dir)    # sidecar is now stale
+    export_token_shards_delta(mk({41: "de de abc x y z"}), out,
+                              merges)
+    rows2 = read_token_shards(spark, out).collect()
+    per2 = {}
+    for r in rows2:
+        per2.setdefault(r.shard, []).append(r.bin_id)
+    for s, bids in per2.items():
+        assert bids == list(range(len(bids))), (s, bids)  # no reuse
+    assert {d for r in rows2 for d in r.doc_ids} \
+        == set(base) | set(delta) | {40, 41}
     # guards fail by name
     with pytest.raises(ValueError, match="differs from the one "
                                          "stamped"):
