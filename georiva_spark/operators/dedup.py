@@ -1504,8 +1504,9 @@ def minhash_tune(spark, threshold: float, target_recall: float,
         raise ValueError(
             f"minhash_tune: target_recall={target_recall} must be "
             f"in (0, 1]")
-    grid = spark.createDataFrame(
-        minhash_tune_grid(num_hashes_grid),
+    from georiva_spark.functions.frames import local_frame
+    grid = local_frame(
+        spark, minhash_tune_grid(num_hashes_grid),
         "num_hashes int, bands int, rows_per_band int")
 
     def s_curve(s: float):

@@ -132,7 +132,9 @@ def source_mix(df: DataFrame, weights_ppm: dict[str, int], budget_ppm: int,
                   if f.name == strata_col).dataType
     wschema = StructType([StructField("__sb_ws", s_type, True),
                           StructField("__sb_w", LongType(), False)])
-    w_df = df.sparkSession.createDataFrame(
+    from georiva_spark.functions.frames import local_frame
+    w_df = local_frame(
+        df.sparkSession,
         [(s, int(w)) for s, w in weights_ppm.items()], wschema)
     weighted = _counts_with_total(df, strata_col).join(
         F.broadcast(w_df),
@@ -220,7 +222,9 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
                   if f.name == strata_col).dataType
     schema = StructType([StructField("__sb_s", s_type, True),
                          StructField("__sb_thr", LongType(), False)])
-    thr_df = F.broadcast(df.sparkSession.createDataFrame(
+    from georiva_spark.functions.frames import local_frame
+    thr_df = F.broadcast(local_frame(
+        df.sparkSession,
         [(s, int(r * _BUCKETS)) for s, r in rates.items()], schema))
     return (df.join(thr_df, strat.eqNullSafe(F.col("__sb_s")), "left")
             .where(b < F.coalesce(F.col("__sb_thr"),

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from georiva_spark.functions.frames import local_frame
+
 import itertools
 
 from georiva_spark.functions.vectors import cosine_similarity, dot
@@ -374,8 +376,8 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
     assigned = emb.withColumn("cell", _argmin_cell(cents))
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
-    cdf = emb.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+    cdf = local_frame(
+        emb.sparkSession, [(i, c) for i, c in enumerate(cents)],
         "cell int, embedding array<double>")
     (cdf.write.mode("overwrite").format("parquet")
      .option("path", f"{path}_centroids")
@@ -479,8 +481,8 @@ def ivf_index_compact(spark, table: str, path: str,
         (staged.write.mode("overwrite").format("parquet")
          .partitionBy("cell").option("path", path)
          .saveAsTable(f"{table}_compact"))
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
+        cdf = local_frame(
+            spark, [(i, c) for i, c in enumerate(cents)],
             "cell int, embedding array<double>")
         (cdf.write.mode("overwrite").format("parquet")
          .option("path", f"{path}_centroids")
@@ -582,14 +584,14 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path)
      .saveAsTable(f"{table}_compact"))
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+    cdf = local_frame(
+        spark, [(i, c) for i, c in enumerate(cents)],
         "cell int, embedding array<double>")
     (cdf.write.mode("overwrite").format("parquet")
      .option("path", f"{path}_centroids")
      .saveAsTable(f"{table}_centroids_compact"))
-    cbdf = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(cb)],
+    cbdf = local_frame(
+        spark, [(j, c) for j, c in enumerate(cb)],
         "code int, embedding array<double>")
     (cbdf.write.mode("overwrite").format("parquet")
      .option("path", f"{path}_codebook")
@@ -601,8 +603,8 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     stamps["georiva.quantizer_version"] = ver
     sidecars = ["_centroids", "_codebook"]
     if opq:
-        rdf = spark.createDataFrame(
-            [(i, r) for i, r in enumerate(rot)],
+        rdf = local_frame(
+            spark, [(i, r) for i, r in enumerate(rot)],
             "i int, row array<double>")
         (rdf.write.mode("overwrite").format("parquet")
          .option("path", f"{path}_rotation")
@@ -1420,22 +1422,22 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
     spark = emb.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+    cdf = local_frame(
+        spark, [(i, c) for i, c in enumerate(cents)],
         "cell int, embedding array<double>")
     (cdf.write.mode("overwrite").format("parquet")
      .option("path", f"{path}_centroids")
      .saveAsTable(f"{table}_centroids"))
-    cbdf = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(cb)],
+    cbdf = local_frame(
+        spark, [(j, c) for j, c in enumerate(cb)],
         "code int, embedding array<double>")
     (cbdf.write.mode("overwrite").format("parquet")
      .option("path", f"{path}_codebook")
      .saveAsTable(f"{table}_codebook"))
     sidecars = ["_centroids", "_codebook"]
     if rot is not None:
-        rdf = spark.createDataFrame(
-            [(i, r) for i, r in enumerate(rot)],
+        rdf = local_frame(
+            spark, [(i, r) for i, r in enumerate(rot)],
             "i int, row array<double>")
         (rdf.write.mode("overwrite").format("parquet")
          .option("path", f"{path}_rotation")
@@ -2124,8 +2126,8 @@ def _measured_candidates(spark, table: str, props: dict,
                          F.posexplode(cells).alias("__pos", "cell"))
     sizes = (spark.table(table).groupBy("cell")
              .agg(F.count(F.lit(1)).alias("__sz")))
-    np_df = spark.createDataFrame([(int(np_),) for np_ in nprobes],
-                                  "nprobe int")
+    np_df = local_frame(spark, [(int(np_),) for np_ in nprobes],
+                        "nprobe int")
     perq = (fan.join(F.broadcast(sizes), "cell", "left")
             .crossJoin(F.broadcast(np_df))
             .where(F.col("__pos") < F.col("nprobe"))
@@ -2506,8 +2508,8 @@ def covariance_long(emb: DataFrame, d: int,
     cov = exx - mu[:, None] * mu[None, :]
     data = [(i, j, round(float(cov[i, j]), decimals) + 0.0)
             for i in range(d) for j in range(i, d)]
-    return emb.sparkSession.createDataFrame(
-        data, "i int, j int, cov double")
+    return local_frame(emb.sparkSession,
+                       data, "i int, j int, cov double")
 
 
 def pca_project(emb: DataFrame, d: int, q: int = 4) -> DataFrame:

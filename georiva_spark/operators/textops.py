@@ -1026,8 +1026,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     if n_words <= max_driver_words:
         rows = [(r.cnt, r.sym) for r in state.collect()]
         state.unpersist()
-        return spark.createDataFrame(
-            _bpe_train_driver(rows, n_merges),
+        from georiva_spark.functions.frames import local_frame
+        return local_frame(
+            spark, _bpe_train_driver(rows, n_merges),
             "rank int, left string, right string, pair_count long")
     # checkpoint partition count scales with the VOCABULARY size, not
     # the cluster: the per-round tables are one row per distinct word
@@ -1122,8 +1123,10 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     finally:
         for d in pinned:
             d.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long")
+    from georiva_spark.functions.frames import local_frame
+    return local_frame(
+        spark, merges,
+        "rank int, left string, right string, pair_count long")
 
 
 def duplicate_spans(docs: DataFrame, n: int = 5, min_docs: int = 2,
@@ -1241,7 +1244,9 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
                               + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
 
-    qdf = docs.sparkSession.createDataFrame(
+    from georiva_spark.functions.frames import local_frame
+    qdf = local_frame(
+        docs.sparkSession,
         [(qid, t) for qid, ts in queries for t in ts],
         "query_id int, term string")
     contrib = (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)

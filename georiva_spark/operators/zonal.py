@@ -24,6 +24,7 @@ from typing import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+from georiva_spark.functions.frames import local_frame
 
 from georiva_spark.functions.geo import ParsedGeometry, parse_geojson, points_in_geometry
 
@@ -90,9 +91,9 @@ def pixel_boundary_mask(grid: DataFrame, boundaries: DataFrame,
     if not bbox_rows:
         return spark.createDataFrame(
             [], "boundary_id long, level int, name string, y long, x long")
-    bbox_df = spark.createDataFrame(
-        bbox_rows, "boundary_id long, level int, name string, "
-                   "w double, s double, e double, n double")
+    bbox_df = local_frame(
+        spark, bbox_rows, "boundary_id long, level int, name string, "
+                          "w double, s double, e double, n double")
     bc = spark.sparkContext.broadcast(parsed)
 
     @F.pandas_udf(T.BooleanType())
@@ -191,7 +192,8 @@ def zonal_stats(grid: DataFrame, boundaries: DataFrame,
                    .agg(*_stat_aggs()))
     # Right-join back so empty boundaries appear with all-null stats.
     if not isinstance(boundaries, DataFrame):
-        boundaries = grid.sparkSession.createDataFrame(
+        boundaries = local_frame(
+            grid.sparkSession,
             [(r[0], r[1], r[2]) for r in boundaries],
             "boundary_id long, level int, name string")
     all_b = boundaries.select("boundary_id", "level", "name")
@@ -229,8 +231,8 @@ def area_timeseries(grid: DataFrame, geometry: str,
     # cheap bbox subset first (P4-before-P6 ordering, service.py:112-116),
     # then the cached per-pixel mask broadcast-semi-joined onto the series
     sub = grid.where(F.col("lat").between(s, n) & F.col("lon").between(w, e))
-    boundaries = grid.sparkSession.createDataFrame(
-        [(1, 0, "area", geometry)],
+    boundaries = local_frame(
+        grid.sparkSession, [(1, 0, "area", geometry)],
         "boundary_id long, level int, name string, geometry string")
     mask = pixel_boundary_mask(sub, boundaries).select("y", "x")
     masked = sub.join(F.broadcast(mask), on=["y", "x"], how="left_semi")

@@ -490,7 +490,9 @@ class DerivationEngine:
         that resolve each item once (all shipped recipes)."""
         from pyspark.sql import functions as F
         if items_df is None:
-            items_df = self.spark.createDataFrame(
+            from georiva_spark.functions.frames import local_frame
+            items_df = local_frame(
+                self.spark,
                 [(it["item_id"], it["checksum"])
                  for it in self.catalog.items],
                 "item_id long, checksum string")
@@ -679,7 +681,9 @@ class DerivationEngine:
                  r.status, r.input_hash, r.origin, r.reason,
                  r.produced_item_id, r.updated_at)
                 for r in self.runs.values()]
-        return self.spark.createDataFrame(
+        from georiva_spark.functions.frames import local_frame
+        return local_frame(
+            self.spark,
             rows, "recipe_type string, recipe_version string, unit_key string,"
                   " unit_hash string, status string, input_hash string,"
                   " origin string, reason string, produced_item_id long,"
@@ -700,7 +704,9 @@ class DerivationEngine:
         rows = [(e.derived_item_id, e.source_item_id, e.source_tier,
                  e.recipe_id, e.recipe_version, e.input_hash)
                 for e in self.lineage]
-        return self.spark.createDataFrame(
+        from georiva_spark.functions.frames import local_frame
+        return local_frame(
+            self.spark,
             rows, "derived_item_id long, source_item_id long,"
                   " source_tier string, recipe_id string,"
                   " recipe_version string, input_hash string")

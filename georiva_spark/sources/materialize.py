@@ -51,8 +51,9 @@ def materialize(grid: DataFrame, *,
     overwritten idempotently; items/collections upserted by key).
     """
     if boundary_geojson is not None:
-        boundaries = grid.sparkSession.createDataFrame(
-            [(1, 0, "mask", boundary_geojson)],
+        from georiva_spark.functions.frames import local_frame
+        boundaries = local_frame(
+            grid.sparkSession, [(1, 0, "mask", boundary_geojson)],
             "boundary_id long, level int, name string, geometry string")
         mask = pixel_boundary_mask(grid, boundaries).select("y", "x")
         grid = grid.join(F.broadcast(mask), on=["y", "x"], how="left_semi")

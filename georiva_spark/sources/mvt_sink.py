@@ -486,8 +486,9 @@ def export_tiles(stats: DataFrame, boundaries: Sequence[tuple], zoom: int,
              for bid, _lvl, _nm, gj in boundaries
              for tx_, ty_ in covering_tiles(gj, zoom,
                                             buffer_px / extent)]
-    cover_df = spark.createDataFrame(
-        cover, "boundary_id int, x int, y int")
+    from georiva_spark.functions.frames import local_frame
+    cover_df = local_frame(
+        spark, cover, "boundary_id int, x int, y int")
     tagged = (stats.join(F.broadcast(cover_df), "boundary_id")
               .withColumn("z", F.lit(zoom)))
     b_bc = spark.sparkContext.broadcast(bmap)

@@ -168,13 +168,15 @@ def _stamp_token_sidecars(spark: SparkSession, path: str,
     num_shards). All bounded model-state (|vocab| ≤ |alphabet| +
     |merges|; num_shards rows), all derivable from the data files —
     a torn manifest recovers by re-aggregating the bins."""
-    (spark.createDataFrame(
-        [(i, t) for i, t in enumerate(vocab)], "id int, token string")
+    from georiva_spark.functions.frames import local_frame
+    (local_frame(spark,
+                 [(i, t) for i, t in enumerate(vocab)],
+                 "id int, token string")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "_georiva_vocab")))
-    (spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank int, a string, b string")
+    (local_frame(spark,
+                 [(i, a, b) for i, (a, b) in enumerate(merges)],
+                 "rank int, a string, b string")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, "_georiva_merges")))
     (manifest.withColumn("num_shards",
@@ -211,7 +213,9 @@ def _read_token_sidecars(spark: SparkSession, path: str):
     # still reading the doomed files would hit FILE_NOT_EXIST
     rows = manifest.collect()
     head = rows[0]
-    local = spark.createDataFrame(
+    from georiva_spark.functions.frames import local_frame
+    local = local_frame(
+        spark,
         [(r.shard, r.n_bins, r.n_docs, r.n_tokens, r.context_len,
           r.pad_id) for r in rows],
         "shard int, n_bins long, n_docs long, n_tokens long, "

@@ -41,7 +41,8 @@ def grid_from_arrays(spark: SparkSession, arrays, times: Sequence[dt.datetime],
                 rows.append((org, catalog, collection, variable, ts, None,
                              y, x, lat, lon0 + res * (x + 0.5),
                              None if math.isnan(v) else float(v)))
-    return spark.createDataFrame(rows, GRID_SCHEMA)
+    from georiva_spark.functions.frames import local_frame
+    return local_frame(spark, rows, GRID_SCHEMA)
 
 
 def month_starts(start: dt.datetime, n: int) -> list[dt.datetime]:
