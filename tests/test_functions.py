@@ -222,3 +222,32 @@ def test_reproject_geometry_utm_and_ps():
                                        src_crs="EPSG:3413"))
     assert abs(rt["coordinates"][0][1][0] + 40.0) < 1e-8
     assert abs(rt["coordinates"][0][1][1] - 72.0) < 1e-8
+
+
+def test_local_frame_matches_classic_createdataframe(spark):
+    """r11 Arrow-backed local frames: identical rows, schema, and
+    null semantics to the classic list path — across string/integral
+    keys with NULLs, double arrays, timestamps, and nullable doubles
+    (the shapes the engine builds: sampler weights, centroids, grid
+    fixtures) — plus the empty-input edge."""
+    import datetime as dt
+
+    from georiva_spark.functions.frames import local_frame
+
+    cases = [
+        ([("en", 5), (None, 7)], "s string, w long"),
+        ([(3, 5), (None, 7)], "s bigint, w long"),
+        ([(0, [1.0, 2.0]), (1, [3.5, None])],
+         "cell int, embedding array<double>"),
+        ([(1, dt.datetime(2020, 1, 2, 3, 4, 5), 1.5),
+          (2, None, None)],
+         "id long, ts timestamp, v double"),
+        ([], "a int, b string"),
+    ]
+    for rows, schema in cases:
+        got = local_frame(spark, rows, schema)
+        want = spark.createDataFrame(rows, schema)
+        assert got.schema == want.schema, schema
+        key = lambda t: tuple(map(repr, t))          # noqa: E731
+        assert sorted(map(tuple, got.collect()), key=key) \
+            == sorted(map(tuple, want.collect()), key=key), schema
