@@ -272,7 +272,9 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
     from georiva_spark.operators.textops import token_shard_bins
 
     spark = new_docs.sparkSession
-    old_manifest, vocab, pinned, context_len, num_shards = \
+    # the stamped manifest itself is advisory (see CRASH RECOVERY);
+    # only the pinned tokenizer + layout config are trusted from it
+    _, vocab, pinned, context_len, num_shards = \
         _read_token_sidecars(spark, path)
     if [tuple(m) for m in merges] != pinned:
         raise ValueError(
