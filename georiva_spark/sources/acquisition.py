@@ -466,7 +466,8 @@ class Loader:
         return self.spark.read.schema(FETCH_RUN_SCHEMA).parquet(path)
 
     def _append(self, rows, schema, table):
-        df = self.spark.createDataFrame(rows, schema)
+        from georiva_spark.functions.frames import local_frame
+        df = local_frame(self.spark, rows, schema)
         df.coalesce(1).write.mode("append").parquet(
             os.path.join(self.ledger_dir, table)
         )
@@ -487,9 +488,11 @@ class Loader:
         """
         if not requests:
             return [], set()
-        cand = self.spark.createDataFrame(
-            [(self.storage_path(r),) for r in requests], ["storage_path"]
-        )
+        from georiva_spark.functions.frames import local_frame
+        cand = local_frame(
+            self.spark,
+            [(self.storage_path(r),) for r in requests],
+            "storage_path string")
         ledger = self.fetched_files().where(
             (F.col("collection") == self.collection) & (F.col("status") == "complete")
         )

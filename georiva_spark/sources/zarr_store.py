@@ -565,7 +565,9 @@ class ZarrStorePlugin:
             srcs.append(spark.read.format("binaryFile").load(paths)
                         .select("path", "content"))
         if missing:
-            srcs.append(spark.createDataFrame(
+            from georiva_spark.functions.frames import local_frame
+            srcs.append(local_frame(
+                spark,
                 [(p, b"") for p in missing], "path string, content binary"))
         src = srcs[0]
         for s in srcs[1:]:
