@@ -227,7 +227,8 @@ def _read_token_sidecars(spark: SparkSession, path: str):
 def export_token_shards_delta(new_docs: DataFrame, path: str,
                               merges: list[tuple[str, str]],
                               text_col: str = "text",
-                              check_duplicates: bool = True
+                              check_duplicates: bool = True,
+                              generation: str | None = None
                               ) -> DataFrame:
     """INCREMENTAL token-shard export (r11 — the verdict's item 3):
     append a new crawl batch to an existing :func:`export_token_shards`
@@ -266,9 +267,27 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
       completed append and the manifest re-stamp leaves the sidecar
       stale, and the next delta both avoids reusing that
       generation's bin ids AND heals the stamp (pytest-pinned).
+    - ``generation`` (r11, the EXACTLY-ONCE mode — what a derivation
+      unit or a streaming micro-batch should pass, e.g. the crawl
+      shard name or the unit hash): the append becomes idempotent
+      and crash-safe. Bins stage under ``_staging_{generation}``,
+      move into the shard dirs as ``gen-{generation}-*`` files via
+      atomic renames, and a content-digest marker commits the
+      generation under ``_georiva_gens/``. A REPLAY with identical
+      content is a no-op returning the current manifest (and healing
+      a torn stamp); a replay with DIFFERENT content fails by name
+      (a re-crawled generation needs a rebuild, not a silent swap);
+      a crash at ANY point resumes correctly because the dup check
+      and bin-id base exclude the generation's own files, staging
+      rewrites deterministically, and re-moves replace identical
+      bytes. Without ``generation`` the legacy single-shot append
+      runs (fail-by-name on duplicate docs, no replay tolerance).
 
     → the UPDATED full manifest (same schema as the full export),
     also re-stamped to the sidecar."""
+    import json
+    import re
+
     from georiva_spark.operators.textops import token_shard_bins
 
     spark = new_docs.sparkSession
@@ -282,10 +301,63 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
             "differs from the one stamped on the layout — appending "
             "under a changed tokenizer would mix incompatible token "
             "ids; rebuild with export_token_shards (full) instead")
-    if check_duplicates:
-        existing = (spark.read.option("basePath", path)
-                    .parquet(f"{path}/shard=*")
-                    .select(F.explode("doc_ids").alias("doc_id")))
+    digest = None
+    if generation is not None:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", generation):
+            raise ValueError(
+                f"export_token_shards_delta: generation="
+                f"{generation!r} must match [A-Za-z0-9._-]{{1,128}} "
+                f"(it names files)")
+        row = new_docs.agg(
+            F.bit_xor(F.xxhash64("doc_id", F.col(text_col)))
+            .alias("d"), F.count(F.lit(1)).alias("n")).head()
+        digest = f"{row['d']}-{row['n']}"
+        marker = os.path.join(path, "_georiva_gens",
+                              f"{generation}.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = json.load(f)
+            if prev.get("digest") != digest:
+                raise ValueError(
+                    f"export_token_shards_delta: generation "
+                    f"{generation!r} is already materialized with "
+                    f"DIFFERENT content (digest {prev.get('digest')} "
+                    f"vs {digest}) — a re-crawled generation needs a "
+                    f"full rebuild, never a silent swap")
+            # replay no-op: the generation is committed; heal a
+            # possibly-torn manifest stamp and return
+            manifest = _manifest_from_layout(spark, path, context_len,
+                                             len(vocab))
+            (manifest.withColumn(
+                "num_shards", F.lit(int(num_shards)).cast("int"))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(path, "_georiva_manifest")))
+            return manifest
+
+    def _foreign_files() -> list[str]:
+        """Layout data files excluding THIS generation's (a prior
+        crashed attempt may have moved some in already)."""
+        out = []
+        own = f"gen-{generation}-" if generation is not None else None
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("shard="):
+                continue
+            for fn in sorted(os.listdir(os.path.join(path, d))):
+                if not fn.endswith(".parquet"):
+                    continue
+                if own is not None and fn.startswith(own):
+                    continue
+                out.append(os.path.join(path, d, fn))
+        return out
+
+    foreign = _foreign_files()
+
+    def _read_foreign():
+        return spark.read.option("basePath", path).parquet(*foreign)
+
+    if check_duplicates and foreign:
+        existing = _read_foreign().select(
+            F.explode("doc_ids").alias("doc_id"))
         dup = (new_docs.select("doc_id")
                .join(existing, "doc_id", "left_semi").count())
         if dup:
@@ -314,19 +386,52 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
     # the manifest re-stamp leaves the sidecar stale, and a base read
     # from it would REUSE the just-appended generation's bin ids —
     # the layout itself can't lie (one pruned scan of the bin_id
-    # column; the duplicate check above already paid the listing)
-    base = F.broadcast(
-        spark.read.option("basePath", path).parquet(f"{path}/shard=*")
-        .groupBy("shard")
-        .agg((F.max("bin_id") + 1).alias("__base")))
-    bins = (bins.join(base, "shard", "left")
-            .withColumn("bin_id",
-                        F.col("bin_id")
-                        + F.coalesce(F.col("__base"), F.lit(0)))
-            .drop("__base"))
-    (bins.repartition(num_shards, F.col("shard"))
-     .sortWithinPartitions("shard", "bin_id")
-     .write.mode("append").partitionBy("shard").parquet(path))
+    # column; the duplicate check above already paid the listing).
+    # In generation mode the scan also EXCLUDES this generation's own
+    # files, so a crashed attempt's partial moves don't shift the
+    # base and the restaged content is bit-identical.
+    if foreign:
+        base = F.broadcast(
+            _read_foreign().groupBy("shard")
+            .agg((F.max("bin_id") + 1).alias("__base")))
+        bins = (bins.join(base, "shard", "left")
+                .withColumn("bin_id",
+                            F.col("bin_id")
+                            + F.coalesce(F.col("__base"), F.lit(0)))
+                .drop("__base"))
+    writer = (bins.repartition(num_shards, F.col("shard"))
+              .sortWithinPartitions("shard", "bin_id")
+              .write.partitionBy("shard"))
+    if generation is None:
+        writer.mode("append").parquet(path)
+    else:
+        # exactly-once: stage (overwrite — restartable), move each
+        # staged file to a DETERMINISTIC per-generation name (replace
+        # semantics: a re-move lands identical bytes), then commit
+        # the content-digest marker atomically
+        import shutil
+        import uuid
+        stage = os.path.join(path, f"_staging_{generation}")
+        writer.mode("overwrite").parquet(stage)
+        for d in sorted(os.listdir(stage)):
+            if not d.startswith("shard="):
+                continue
+            os.makedirs(os.path.join(path, d), exist_ok=True)
+            parts = sorted(f for f in os.listdir(
+                os.path.join(stage, d)) if f.endswith(".parquet"))
+            for i, fn in enumerate(parts):
+                os.replace(
+                    os.path.join(stage, d, fn),
+                    os.path.join(path, d,
+                                 f"gen-{generation}-{i:04d}.parquet"))
+        marker = os.path.join(path, "_georiva_gens",
+                              f"{generation}.json")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"digest": digest}, f)
+        os.replace(tmp, marker)
+        shutil.rmtree(stage, ignore_errors=True)
     # the updated manifest aggregates the grown layout's files — no
     # second tokenization pass, and the stamp is exactly what is on
     # disk (old + appended generations together)

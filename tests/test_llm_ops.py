@@ -1326,6 +1326,49 @@ def test_export_token_shards_delta_appends_without_rewrite(
         assert bids == list(range(len(bids))), (s, bids)  # no reuse
     assert {d for r in rows2 for d in r.doc_ids} \
         == set(base) | set(delta) | {40, 41}
+    # generation mode (exactly-once): a tagged delta commits via
+    # stage → deterministic-name moves → atomic content-digest
+    # marker; replays are no-ops, changed content fails by name, and
+    # every crash window resumes to byte-identical state
+    gdocs = {50: "abc de xyz abd abc", 51: "de abc x y de abc"}
+    man_g = {r.shard: r for r in export_token_shards_delta(
+        mk(gdocs), out, merges, generation="g1").collect()}
+    gen_files = sorted(f for d in os.listdir(out) if d.startswith("shard=")
+                       for f in os.listdir(os.path.join(out, d))
+                       if f.startswith("gen-g1-"))
+    assert gen_files                          # per-generation names
+    snap_g = file_hashes()
+    # replay (identical content): no-op — nothing changes on disk
+    man_r = {r.shard: r for r in export_token_shards_delta(
+        mk(gdocs), out, merges, generation="g1").collect()}
+    assert file_hashes() == snap_g
+    assert {s: (m.n_bins, m.n_docs, m.n_tokens)
+            for s, m in man_r.items()} \
+        == {s: (m.n_bins, m.n_docs, m.n_tokens)
+            for s, m in man_g.items()}
+    # changed content under the same generation: fails by name
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        export_token_shards_delta(mk({52: "abc de de"}), out,
+                                  merges, generation="g1")
+    # crash window: marker lost after the moves (and one moved file
+    # gone too) — the replay re-stages, restores the missing file
+    # byte-identically, and re-commits the marker
+    os.remove(os.path.join(out, "_georiva_gens", "g1.json"))
+    lost_dir = next(d for d in sorted(os.listdir(out))
+                    if d.startswith("shard=") and any(
+                        f.startswith("gen-g1-") for f in
+                        os.listdir(os.path.join(out, d))))
+    lost = next(f for f in os.listdir(os.path.join(out, lost_dir))
+                if f.startswith("gen-g1-"))
+    os.remove(os.path.join(out, lost_dir, lost))
+    export_token_shards_delta(mk(gdocs), out, merges,
+                              generation="g1")
+    assert file_hashes() == snap_g            # byte-identical resume
+    assert os.path.exists(os.path.join(out, "_georiva_gens",
+                                       "g1.json"))
+    with pytest.raises(ValueError, match="generation="):
+        export_token_shards_delta(mk({60: "abc"}), out, merges,
+                                  generation="bad/name")
     # guards fail by name
     with pytest.raises(ValueError, match="differs from the one "
                                          "stamped"):
