@@ -93,7 +93,8 @@ def export_token_shards(docs: DataFrame, path: str,
                         merges: list[tuple[str, str]],
                         context_len: int = 2048,
                         num_shards: int = 64,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        extra_alphabet: str = "") -> DataFrame:
     """Materialize a corpus as TOKEN-ID TRAINING SHARDS — the final
     loader handoff (r10, the r9 verdict's top item): where
     :func:`export_shards` ships text rows, this ships what a
@@ -119,11 +120,17 @@ def export_token_shards(docs: DataFrame, path: str,
     ``shard=*`` data listing), so :func:`export_token_shards_delta`
     can later append new crawl docs as NEW bins under the SAME pinned
     tokenizer without touching (or re-tokenizing) a single existing
-    shard file."""
+    shard file. ``extra_alphabet`` unions extra single characters
+    into the pinned vocab — the byte-fallback analog: a layout meant
+    to take deltas should pin the tokenizer's FULL alphabet up front,
+    not just the characters the bootstrap corpus happened to contain
+    (otherwise the first delta with a new character fails by name)."""
     from georiva_spark.operators.textops import (bpe_token_vocab,
                                                  token_shard_bins)
 
     vocab = bpe_token_vocab(docs, merges, text_col=text_col)
+    if extra_alphabet:
+        vocab = sorted(set(vocab) | set(extra_alphabet))
     bins = token_shard_bins(docs, merges, context_len=context_len,
                             num_shards=num_shards, text_col=text_col,
                             vocab=vocab)
@@ -224,6 +231,32 @@ def _read_token_sidecars(spark: SparkSession, path: str):
             int(head["context_len"]), int(head["num_shards"]))
 
 
+def generation_digest(docs: DataFrame, text_col: str = "text") -> str:
+    """Content digest of a delta generation: order-independent
+    bit_xor of per-doc hashes + count — ONE bounded-output scan. The
+    exactly-once marker compares this across replays."""
+    row = docs.agg(
+        F.bit_xor(F.xxhash64("doc_id", F.col(text_col))).alias("d"),
+        F.count(F.lit(1)).alias("n")).head()
+    return f"{row['d']}-{row['n']}"
+
+
+def commit_generation_marker(path: str, generation: str,
+                             digest: str) -> None:
+    """Atomically commit a generation's content-digest marker under
+    ``_georiva_gens/`` — the exactly-once token of the delta export
+    (also written by a bootstrap full export so a replayed first
+    batch is a no-op instead of a duplicate-doc failure)."""
+    import json
+    import uuid
+    marker = os.path.join(path, "_georiva_gens", f"{generation}.json")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"digest": digest}, f)
+    os.replace(tmp, marker)
+
+
 def export_token_shards_delta(new_docs: DataFrame, path: str,
                               merges: list[tuple[str, str]],
                               text_col: str = "text",
@@ -308,10 +341,7 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
                 f"export_token_shards_delta: generation="
                 f"{generation!r} must match [A-Za-z0-9._-]{{1,128}} "
                 f"(it names files)")
-        row = new_docs.agg(
-            F.bit_xor(F.xxhash64("doc_id", F.col(text_col)))
-            .alias("d"), F.count(F.lit(1)).alias("n")).head()
-        digest = f"{row['d']}-{row['n']}"
+        digest = generation_digest(new_docs, text_col)
         marker = os.path.join(path, "_georiva_gens",
                               f"{generation}.json")
         if os.path.exists(marker):
@@ -410,7 +440,6 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
         # semantics: a re-move lands identical bytes), then commit
         # the content-digest marker atomically
         import shutil
-        import uuid
         stage = os.path.join(path, f"_staging_{generation}")
         writer.mode("overwrite").parquet(stage)
         for d in sorted(os.listdir(stage)):
@@ -424,13 +453,7 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
                     os.path.join(stage, d, fn),
                     os.path.join(path, d,
                                  f"gen-{generation}-{i:04d}.parquet"))
-        marker = os.path.join(path, "_georiva_gens",
-                              f"{generation}.json")
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        tmp = marker + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"digest": digest}, f)
-        os.replace(tmp, marker)
+        commit_generation_marker(path, generation, digest)
         shutil.rmtree(stage, ignore_errors=True)
     # the updated manifest aggregates the grown layout's files — no
     # second tokenization pass, and the stamp is exactly what is on

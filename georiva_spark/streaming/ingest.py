@@ -97,7 +97,12 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                         engine: DerivationEngine,
                         schema: str = CORPUS_SCHEMA,
                         max_files_per_trigger: int = 64,
-                        available_now: bool = False) -> StreamingQuery:
+                        available_now: bool = False,
+                        token_layout: str | None = None,
+                        merges: list[tuple[str, str]] | None = None,
+                        context_len: int = 2048,
+                        num_shards: int = 64,
+                        token_alphabet: str = "") -> StreamingQuery:
     """T1 for the CORPUS product chain (r11): crawl-shard files land
     in a directory; each micro-batch (a) overwrites exactly the
     arrived shards' partitions of the corpus table (dynamic partition
@@ -115,7 +120,62 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
     input-hash check (T3) SKIPS every unit — no duplicate rollups,
     no re-tokenization. The caller's engine must hold a grid_loader
     that reads crawl shards from ``corpus_dir`` (partition-pruned by
-    shard) and derived items from the engine's output_dir."""
+    shard) and derived items from the engine's output_dir.
+
+    ``token_layout`` (+ ``merges``, r11): ALSO grow the physical
+    trainer layout per arrived shard — after the engine chain runs,
+    each shard's CLEAN docs (the engine-produced corpus-clean item)
+    append to the token-shard layout via the exactly-once delta
+    (generation = ``{shard}-{content checksum}``): a replayed batch
+    is a no-op, a re-crawled shard fails by name (an immutable
+    training layout can't silently swap a generation — rebuild), and
+    the first arrival bootstraps the layout with a full export (the
+    vocab pins then — pass ``token_alphabet`` with the tokenizer's
+    full character set so it does not depend on which characters the
+    first crawl happened to contain; later shards with characters
+    outside it still fail by name rather than silently corrupting
+    ids)."""
+
+    if token_layout is not None and merges is None:
+        raise ValueError(
+            "start_corpus_ingest: token_layout needs the pinned "
+            "merges table")
+
+    def _grow_layout(shard: str) -> None:
+        import hashlib
+        import os
+
+        from georiva_spark.sources.tables import (
+            commit_generation_marker, export_token_shards,
+            export_token_shards_delta, generation_digest)
+        item = next((it for it in engine.catalog.items
+                     if it["collection"] == "corpus-clean"
+                     and it["variable"] == shard), None)
+        if item is None:
+            return                    # clean unit parked or failed
+        loader = engine.catalog.loader_for(item)
+        if loader is None:
+            return
+        clean = loader()
+        digest = generation_digest(clean)
+        # generation name = sanitized (shard, content) key — a replay
+        # reuses it (no-op), a re-crawl makes a NEW one (whose docs
+        # then fail the duplicate guard by name: immutable layout)
+        gen = hashlib.md5(
+            f"{shard}:{digest}".encode()).hexdigest()[:16]
+        if not os.path.isdir(os.path.join(token_layout,
+                                          "_georiva_manifest")):
+            # bootstrap: the first generation full-exports (vocab
+            # pins here) and commits its marker so a replayed first
+            # batch is a no-op, not a duplicate-doc failure
+            export_token_shards(clean, token_layout, merges,
+                                context_len=context_len,
+                                num_shards=num_shards,
+                                extra_alphabet=token_alphabet)
+            commit_generation_marker(token_layout, gen, digest)
+            return
+        export_token_shards_delta(clean, token_layout, merges,
+                                  generation=gen)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         # the conf must be set on the MICRO-BATCH's cloned session —
@@ -153,6 +213,8 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
             engine.dispatch_for_trigger(
                 Trigger("staging_item", item),
                 origin=f"corpus-stream-batch-{batch_id}")
+            if token_layout is not None:
+                _grow_layout(d.shard)
 
     writer = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)

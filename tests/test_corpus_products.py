@@ -283,6 +283,90 @@ def test_corpus_stream_ingest_chains_and_replays_idempotently(
     assert ("fr", "web") in card2 and ("de", "web") not in card2
 
 
+def test_corpus_stream_grows_token_layout_exactly_once(
+        spark, tmp_path):
+    """token_layout= on the corpus stream: each arrived shard's CLEAN
+    docs append to the physical trainer layout via the exactly-once
+    generation delta — the first shard bootstraps (vocab pins, marker
+    committed), a replayed identical shard leaves every layout file
+    byte-identical, and a re-crawled shard FAILS BY NAME (an immutable
+    training layout never silently swaps a generation)."""
+    import hashlib
+    import os
+
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = str(tmp_path / "land")
+    corp = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    lay = str(tmp_path / "layout")
+    os.makedirs(land)
+    texts = _texts()
+
+    def land_file(name, rows, shard):
+        df = spark.createDataFrame(
+            [(d, t, lg, s, shard) for d, t, lg, s in rows],
+            SCHEMA + ", shard string")
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(land, f"{name}.parquet"))
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    ctx = CatalogContext(spark, [], grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+    eng = DerivationEngine(spark, reg, ctx, output_dir=out,
+                           definitions=[])
+
+    def run_stream():
+        q = start_corpus_ingest(
+            spark, land, corp, str(tmp_path / "ck"), eng,
+            max_files_per_trigger=1, available_now=True,
+            token_layout=lay, merges=MERGES, context_len=8,
+            num_shards=2,
+            token_alphabet="abcdefghijklmnopqrstuvwxyz")
+        q.awaitTermination()
+
+    land_file("f0", texts["shard-0"], "s0")
+    run_stream()                                  # bootstrap
+    from georiva_spark.sources.tables import read_token_shards
+    docs0 = {d for r in read_token_shards(spark, lay).collect()
+             for d in r.doc_ids}
+    assert docs0 == {1, 3}                        # clean s0 keepers
+    land_file("f1", texts["shard-1"], "s1")
+    run_stream()                                  # delta generation
+    rows = read_token_shards(spark, lay).collect()
+    assert {d for r in rows for d in r.doc_ids} == {1, 3, 10, 11}
+
+    def hashes():
+        # loader-visible DATA files only: the replay no-op re-stamps
+        # the advisory manifest sidecar (same content, fresh name)
+        return {f: hashlib.md5(open(os.path.join(lay, d, f), "rb")
+                               .read()).hexdigest()
+                for d in os.listdir(lay) if d.startswith("shard=")
+                for f in os.listdir(os.path.join(lay, d))
+                if f.endswith(".parquet")}
+
+    snap = hashes()
+    land_file("f2", texts["shard-1"], "s1")       # identical replay
+    run_stream()
+    assert hashes() == snap                       # byte-identical
+    # re-crawled shard: the layout is immutable — fail by name
+    land_file("f3", texts["shard-0b"], "s0")
+    with pytest.raises(Exception, match="already exist"):
+        run_stream()
+
+
 def test_corpus_chain_ledger_mode_distributed_stale_scan(
         spark, tmp_path):
     """The corpus chain in LEDGER mode (the 100-TB residency story):
