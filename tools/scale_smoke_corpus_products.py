@@ -118,10 +118,14 @@ def smoke_streamed_products(spark, n: int, base: str) -> None:
         spark, reg, ctx, output_dir=out,
         definitions=corpus_product_definitions(512, 64))
 
+    lay = os.path.join(base, "layout")
+
     def run_stream():
-        q = start_corpus_ingest(spark, land, corp, ck, eng,
-                                max_files_per_trigger=64,
-                                available_now=True)
+        q = start_corpus_ingest(
+            spark, land, corp, ck, eng, max_files_per_trigger=64,
+            available_now=True, token_layout=lay, merges=MERGES,
+            context_len=512, num_shards=64,
+            token_alphabet="abcdefghijklmnopqrstuvwxyz0123456789w ")
         q.awaitTermination()
 
     t0 = time.perf_counter()
@@ -137,10 +141,22 @@ def smoke_streamed_products(spark, n: int, base: str) -> None:
     man = loader(next(i for i in eng.catalog.items
                       if i["collection"] == "corpus-token-shards"))
     tot = man.agg(F.sum("n_docs"), F.sum("n_tokens")).head()
+    def lay_snap():
+        out_ = {}
+        for d in os.listdir(lay):
+            if d.startswith("shard="):
+                for f in os.listdir(os.path.join(lay, d)):
+                    st = os.stat(os.path.join(lay, d, f))
+                    out_[f"{d}/{f}"] = (st.st_size, st.st_mtime_ns)
+        return out_
+
+    snap = lay_snap()
     print(f"corpus-products stream, 2 micro-batches of {half/1e6:.1f}M"
-          f" docs: batch0 {b0:.1f}s, batch1 {b1:.1f}s -> datacard "
-          f"{len(card)} strata, token manifest {man.count()} shards, "
-          f"{tot[0]/1e6:.2f}M docs / {tot[1]/1e6:.0f}M tokens")
+          f" docs: batch0 {b0:.1f}s, batch1 {b1:.1f}s (incl. the "
+          f"physical token-layout growth) -> datacard {len(card)} "
+          f"strata, token manifest {man.count()} shards, "
+          f"{tot[0]/1e6:.2f}M docs / {tot[1]/1e6:.0f}M tokens; "
+          f"layout files: {len(snap)}")
     # replay: identical shard content re-lands; every unit must skip
     land_file("f2", s1)
     n_units = len(eng.runs)
@@ -151,8 +167,10 @@ def smoke_streamed_products(spark, n: int, base: str) -> None:
                   if r.recipe_id == "corpus_clean"
                   and '"s1"' in r.unit_key)
     assert clean1.status == "skipped" and len(eng.runs) == n_units
+    assert lay_snap() == snap        # layout data files byte-untouched
     print(f"replay of an identical 1M-doc shard: {rp:.1f}s, "
-          f"all units skipped on input_hash (no recompute)")
+          f"all units skipped on input_hash, layout generation "
+          f"no-op ({len(snap)} data files untouched)")
 
 
 def smoke_delta_export(spark, n: int, base: str) -> None:
