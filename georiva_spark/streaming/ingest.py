@@ -134,7 +134,12 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
     full character set so it does not depend on which characters the
     first crawl happened to contain; later shards with characters
     outside it still fail by name rather than silently corrupting
-    ids)."""
+    ids). Known recovery window: a crash BETWEEN the bootstrap
+    export and its marker commit makes the replay fail by name at
+    the duplicate guard — the layout then holds exactly that one
+    uncommitted generation, so the recovery is to wipe it and
+    replay (every later generation commits through the staged
+    exactly-once protocol and has no such window)."""
 
     if token_layout is not None and merges is None:
         raise ValueError(
