@@ -24,11 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the driver's rotating correctness window has not recorded yet
-# (r10 additions + the r11 corpus chain) — surfaced first so the next
-# window reaches them.
+# (the r12 addition) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "token_shards", "ann_tune", "ann_tune_pq",
-    "minhash_tune", "token_pipeline", "corpus_products",
+    "minhash_retract",
 ]
 
 

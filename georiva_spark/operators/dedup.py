@@ -1126,25 +1126,52 @@ def line_dedup(docs: DataFrame, *, delim: str = "\n", max_line_df: int = 1,
                     F.coalesce(F.col("kept_text"), F.lit(""))
                      .alias("kept_text")))
 
+#: separator between the shard name and the content digest inside an
+#: index-row generation tag — unprintable so it can never occur in a
+#: shard name, making shard extraction from a gen unambiguous
+GEN_SEP = "\x1f"
+
+
+def index_gen(shard: str, digest: str) -> str:
+    """Generation tag for index rows appended from one delivery of
+    one crawl shard: ``shard + GEN_SEP + digest``. Deterministic of
+    (shard, content), so a replayed delivery re-mints the SAME tag
+    (idempotent guard) while a re-crawl mints a NEW one (whose
+    predecessor :func:`minhash_index_retract` can tombstone by
+    shard without any catalog state)."""
+    if not shard:
+        raise ValueError("index_gen: shard must be non-empty")
+    if GEN_SEP in shard:
+        raise ValueError("index_gen: shard contains the GEN_SEP "
+                         "sentinel byte")
+    return f"{shard}{GEN_SEP}{digest}"
+
+
 def minhash_index_write(docs: DataFrame, table: str, path: str,
                         n_buckets: int = 64, num_hashes: int = 64,
                         bands: int = 16, n: int = 3,
                         text_col: str = "text",
-                        portable: bool = False) -> None:
+                        portable: bool = False, gen: str = "") -> None:
     """Materialize a persistent MinHash-LSH index for INCREMENTAL
     dedup: new shards probe the index without ever recomputing or
     re-shuffling the existing corpus — the index grows with the
     corpus, the probe cost grows with the delta. Two bucketed tables
     (sources/bucketing.py layout, shuffle paid once here):
 
-    - ``{table}_bands``  (band, bucket, doc_id), bucketed by
+    - ``{table}_bands``  (band, bucket, doc_id, gen), bucketed by
       (band, bucket) — the candidate-generation side;
-    - ``{table}_sigs``   (doc_id, signature), bucketed by doc_id —
-      the verification side.
+    - ``{table}_sigs``   (doc_id, signature, gen), bucketed by
+      doc_id — the verification side.
 
     At probe time Spark shuffles only the (tiny) delta into the
     index's bucket layout; the index side scans shuffle-free
-    (plan-asserted in tests/test_dedup_index.py)."""
+    (plan-asserted in tests/test_dedup_index.py).
+
+    ``gen`` (r12) stamps every row with a generation tag (see
+    :func:`index_gen`) so a re-crawled shard's dead signatures can be
+    RETRACTED (:func:`minhash_index_retract`) — T5 staleness reaching
+    the index, the r11 verdict's top item. The default ''
+    (unversioned base) is never retractable."""
     from georiva_spark.sources.bucketing import write_bucketed
 
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
@@ -1152,10 +1179,12 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
     bucket_arr = _band_buckets(num_hashes, bands)
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
-    write_bucketed(banded.select("band", "bucket", "doc_id"),
+    write_bucketed(banded.select("band", "bucket", "doc_id",
+                                 F.lit(gen).alias("gen")),
                    f"{table}_bands", ["band", "bucket"], n_buckets,
                    f"{path}/bands")
-    write_bucketed(sig, f"{table}_sigs", "doc_id", n_buckets,
+    write_bucketed(sig.withColumn("gen", F.lit(gen)),
+                   f"{table}_sigs", "doc_id", n_buckets,
                    f"{path}/sigs", sort=False)
     # stamp the signature parameters on the index so a probe with
     # mismatched params fails loudly instead of silently generating
@@ -1187,25 +1216,42 @@ def minhash_index_params(spark, table: str) -> dict[str, int]:
             f"(missing property {e})") from None
 
 
-def minhash_index_append(docs: DataFrame, table: str) -> None:
+def minhash_index_append(docs: DataFrame, table: str,
+                         gen: str = "") -> None:
     """Append a delta shard to a :func:`minhash_index_write` index —
     the growth half of the incremental dedup loop: signatures computed
     for the DELTA only, appended into the SAME bucket layout (Spark
     appends to bucketed tables when the bucketBy spec matches), so
     future probes stay shuffle-free on the index side. Parameters come
-    from the stamp the write left on the table."""
-    p = minhash_index_params(docs.sparkSession, table)
+    from the stamp the write left on the table. ``gen`` tags the
+    appended rows' generation (:func:`index_gen`) so
+    :func:`minhash_index_retract` can later tombstone them (T5);
+    appending a tagged generation into a pre-r12 unversioned layout
+    fails by name (rebuild the index to make it retractable)."""
+    spark = docs.sparkSession
+    p = minhash_index_params(spark, table)
+    if "gen" not in spark.table(f"{table}_bands").columns:
+        if gen:
+            raise ValueError(
+                f"minhash_index_append: {table!r} is an unversioned "
+                f"(pre-r12) layout without a gen column — it cannot "
+                f"take generation-tagged appends; rebuild it with "
+                f"minhash_index_write to make shards retractable")
+        gen_cols = []
+    else:
+        gen_cols = [F.lit(gen).alias("gen")]
     sig = minhash_signatures(docs, num_hashes=p["num_hashes"], n=p["n"],
                              text_col=p["text_col"],
                              portable=p["portable"])
     bucket_arr = _band_buckets(p["num_hashes"], p["bands"])
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
-    (banded.select("band", "bucket", "doc_id")
+    (banded.select("band", "bucket", "doc_id", *gen_cols)
      .write.mode("append").format("parquet")
      .bucketBy(p["n_buckets"], "band", "bucket")
      .sortBy("band", "bucket").saveAsTable(f"{table}_bands"))
-    (sig.write.mode("append").format("parquet")
+    (sig.select("doc_id", "signature", *gen_cols)
+     .write.mode("append").format("parquet")
      .bucketBy(p["n_buckets"], "doc_id").saveAsTable(f"{table}_sigs"))
     # a reader that scanned either table BEFORE this append holds a
     # cached file listing that silently misses the new files (the
@@ -1214,6 +1260,81 @@ def minhash_index_append(docs: DataFrame, table: str) -> None:
     spark = docs.sparkSession
     spark.catalog.refreshTable(f"{table}_bands")
     spark.catalog.refreshTable(f"{table}_sigs")
+
+
+def minhash_index_retract(spark, table: str, shard: str,
+                          keep_gen: str = "") -> None:
+    """Retract a re-crawled shard's DEAD signatures from a persistent
+    MinHash index (r12 — T5 staleness reaching the index, the r11
+    verdict's top item): tombstone every generation of ``shard``
+    except ``keep_gen`` (pass the NEW delivery's :func:`index_gen`,
+    or '' to retract the shard entirely). Reference analog:
+    ``processing/invocation.py:210-247`` — staleness is transitive to
+    *everything* derived, including index rows.
+
+    Mechanics: appends one rule row (shard, keep_gen, seq) to the
+    managed ``{table}_dead`` table; the LATEST rule per shard wins
+    (append-only — no overwrite window for concurrent probes to read
+    an empty rule set). Probes anti-join the broadcast-tiny rule
+    table (O(#retracted shards) rows), so retraction is O(1) at
+    event time; :func:`minhash_index_compact` later removes the dead
+    rows physically and clears the rules. Single-writer: retracts
+    and compactions are the stream's to sequence (the same contract
+    as appends)."""
+    if not shard:
+        raise ValueError(
+            "minhash_index_retract: shard must be non-empty — "
+            "retracting the unversioned '' base would tombstone the "
+            "whole index")
+    dead_t = f"{table}_dead"
+    seq = 0
+    if spark.catalog.tableExists(dead_t):
+        seq = (spark.table(dead_t).agg(F.max("seq")).head()[0] or 0) + 1
+    from georiva_spark.functions.frames import local_frame
+    (local_frame(spark, [(shard, keep_gen, seq)],
+                 "shard string, keep_gen string, seq long")
+     .write.mode("append").format("parquet").saveAsTable(dead_t))
+    spark.catalog.refreshTable(dead_t)
+
+
+def _dead_rules(spark, table: str) -> DataFrame | None:
+    """Latest tombstone rule per shard from ``{table}_dead`` (None if
+    the index has never retracted anything)."""
+    dead_t = f"{table}_dead"
+    if not spark.catalog.tableExists(dead_t):
+        return None
+    from pyspark.sql import Window
+    w = Window.partitionBy("shard").orderBy(F.col("seq").desc())
+    return (spark.table(dead_t)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("shard").alias("__dead_shard"),
+                    F.col("keep_gen").alias("__keep_gen")))
+
+
+def _live_rows(df: DataFrame, dead: DataFrame | None) -> DataFrame:
+    """Filter an index-table scan down to LIVE rows: drop rows whose
+    gen belongs to a tombstoned shard and is not that shard's
+    keep_gen. The rule table is broadcast (bounded by #retracted
+    shards), so the anti-join never shuffles the index; unversioned
+    layouts (no gen column) pass through untouched."""
+    if dead is None or "gen" not in df.columns:
+        return df
+    shard_of = F.substring_index(F.col("gen"), GEN_SEP, 1)
+    cond = ((shard_of == F.col("__dead_shard"))
+            & (F.col("gen") != F.col("__keep_gen")))
+    return df.join(F.broadcast(dead), cond, "left_anti")
+
+
+def minhash_index_has_gen(spark, table: str, gen: str) -> bool:
+    """True if ``gen`` was already appended to the index — the replay
+    guard of a generation-tagged growth loop (a gen is deterministic
+    of (shard, content), so presence implies the append completed;
+    appends write bands first and sigs LAST, so the sigs table is the
+    commit witness, the same ordering contract streaming/_loop.py
+    relies on)."""
+    return (spark.table(f"{table}_sigs")
+            .where(F.col("gen") == gen).limit(1).count() > 0)
 
 
 def minhash_index_compact(spark, table: str, path: str) -> None:
@@ -1232,16 +1353,24 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
     a probeable, param-stamped table under some name, and a crash is
     recovered by renaming the surviving ``_compact``/``_old`` table
     back (see atomic_swap_table). Old data directories are the
-    caller's to retire."""
+    caller's to retire.
+
+    Tombstoned generations (:func:`minhash_index_retract`) are
+    REMOVED PHYSICALLY here — the compacted layout holds only live
+    rows — and the rule table clears AFTER both swaps: a crash
+    between swap and clear leaves rules that match nothing
+    (idempotently re-appliable), never a window where dead rows are
+    live again."""
     from georiva_spark.sources.bucketing import (atomic_swap_table,
                                                  write_bucketed)
 
     p = minhash_index_params(spark, table)
-    write_bucketed(spark.table(f"{table}_bands"),
+    dead = _dead_rules(spark, table)
+    write_bucketed(_live_rows(spark.table(f"{table}_bands"), dead),
                    f"{table}_bands_compact", ["band", "bucket"],
                    p["n_buckets"], f"{path}/bands",
                    one_file_per_bucket=True)
-    write_bucketed(spark.table(f"{table}_sigs"),
+    write_bucketed(_live_rows(spark.table(f"{table}_sigs"), dead),
                    f"{table}_sigs_compact", "doc_id",
                    p["n_buckets"], f"{path}/sigs", sort=False,
                    one_file_per_bucket=True)
@@ -1256,6 +1385,10 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
         f"'georiva.portable'='{int(p['portable'])}')")
     for suffix in ("bands", "sigs"):
         atomic_swap_table(spark, f"{table}_{suffix}")
+    if dead is not None:
+        # managed table: DROP removes the rule data too. Applied-then-
+        # cleared is the safe order (see docstring).
+        spark.sql(f"DROP TABLE IF EXISTS {table}_dead")
 
 
 def minhash_index_probe(new_docs: DataFrame, table: str,
@@ -1309,14 +1442,18 @@ def minhash_index_probe(new_docs: DataFrame, table: str,
     banded_new = sig_new.select(
         F.col("doc_id").alias("doc_new"),
         F.posexplode(bucket_arr).alias("band", "bucket"))
-    idx = spark.table(f"{table}_bands")
+    # retracted generations (re-crawled shards, T5) are filtered out
+    # of BOTH index sides via the broadcast-tiny tombstone rules — a
+    # probe never matches content that no longer exists
+    dead = _dead_rules(spark, table)
+    idx = _live_rows(spark.table(f"{table}_bands"), dead)
     cand = (banded_new.join(idx, ["band", "bucket"])
             .where(F.col("doc_new") != F.col("doc_id"))
             .select("doc_new", F.col("doc_id").alias("doc_old"))
             .dropDuplicates(["doc_new", "doc_old"]))
     a = sig_new.select(F.col("doc_id").alias("doc_new"),
                        F.col("signature").alias("sig_a"))
-    b = spark.table(f"{table}_sigs").select(
+    b = _live_rows(spark.table(f"{table}_sigs"), dead).select(
         F.col("doc_id").alias("doc_old"),
         F.col("signature").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",

@@ -71,7 +71,12 @@ def _dedup_checksums(resolved) -> list[str]:
     """Checksums of resolved inputs, deduped by item_id — the same item
     resolved in two roles counts once, keeping the driver input hash
     identical to the lineage-derived distributed recompute
-    (stale_units_df)."""
+    (stale_units_df). The dedupe key is the natural key by
+    construction: streamed items mint item_id =
+    recipe.stable_item_id(collection, variable, time) (md5-derived,
+    60-bit — restart-stable and collision-safe at crawl scale, r12),
+    and engine-derived items take a monotonic counter (unique by
+    construction)."""
     seen: set[int] = set()
     out: list[str] = []
     for r in resolved:
@@ -196,6 +201,8 @@ class DerivationEngine:
 
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from georiva_spark.sources.commit import atomic_replace
         os.makedirs(dirpath, exist_ok=True)
         cols = {f.name: [r[i] for r in rows]
                 for i, f in enumerate(schema)}
@@ -204,7 +211,7 @@ class DerivationEngine:
             dirpath, f"part-{seq:012d}-{uuid.uuid4().hex}.parquet")
         tmp = final + ".tmp"
         pq.write_table(tbl, tmp)
-        os.replace(tmp, final)
+        atomic_replace(tmp, final, who="engine._write_event_file")
 
     @staticmethod
     def _runs_pa_schema():
@@ -617,11 +624,10 @@ class DerivationEngine:
                 prev = _json.load(f)
             hi_seq = max(hi_seq, int(prev.get("max_seq", 0)))
             hi_item = max(hi_item, int(prev.get("max_item_id", 0)))
-        import json as _json
-        tmp_meta = meta_p + ".tmp"
-        with open(tmp_meta, "w") as f:
-            _json.dump({"max_seq": hi_seq, "max_item_id": hi_item}, f)
-        os.replace(tmp_meta, meta_p)
+        from georiva_spark.sources.commit import atomic_write_json
+        atomic_write_json(meta_p,
+                          {"max_seq": hi_seq, "max_item_id": hi_item},
+                          who="engine.compact_ledger")
         for sub, keep in (("runs", "latest_per_unit"),
                           ("lineage", "latest_batch")):
             d = os.path.join(self.ledger_dir, sub)
@@ -647,13 +653,16 @@ class DerivationEngine:
                  .write.mode("overwrite").parquet(tmp))
             import shutil
             import uuid
+
+            from georiva_spark.sources.commit import atomic_replace
             moved = []
             for f in os.listdir(tmp):
                 if f.endswith(".parquet"):
                     dst = os.path.join(
                         d, f"compact-{self._seq:012d}-"
                            f"{uuid.uuid4().hex}.parquet")
-                    os.replace(os.path.join(tmp, f), dst)
+                    atomic_replace(os.path.join(tmp, f), dst,
+                                   who="engine.compact_ledger")
                     moved.append(dst)
             shutil.rmtree(tmp, ignore_errors=True)
             for f in files:

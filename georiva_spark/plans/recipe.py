@@ -38,6 +38,31 @@ def input_hash(checksums: Iterable[str], recipe_version: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
+def stable_item_id(*key_parts: Any) -> int:
+    """Deterministic 60-bit item id from an item's NATURAL KEY
+    (collection, variable, time, ...) — the ``_code_ref`` md5 policy
+    applied to catalog identity (r12, the r11 verdict's item 2).
+
+    Two properties Python's builtin ``hash()`` lacks, both load-
+    bearing for the engine's ledger:
+
+    - STABLE across driver restarts: ``hash()`` is PYTHONHASHSEED-
+      salted, so a restarted stream would re-register the same shard
+      under a fresh id while the persisted lineage still references
+      the old one — stale sweeps and T3 skips would silently miss it.
+    - WIDE: 60 bits birthday-bound at ~2^30 items (vs ~50k at the old
+      31 bits). The engine dedupes resolved inputs by item_id
+      (engine._dedup_checksums), so with ids minted here that dedupe
+      IS keyed on the natural key — a collision would silently drop
+      one input's checksum from input_hash (a skipped recompute that
+      should have run).
+
+    None encodes distinctly from the string "None" (parts are joined
+    with an unprintable separator and None → empty)."""
+    key = "\x1f".join("" if p is None else str(p) for p in key_parts)
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
 @dataclass
 class ResolvedInput:
     """One resolved source item feeding a unit (recipe.py:46-59)."""

@@ -24,6 +24,21 @@ from georiva_spark.sources.tables import load_table
 GRID_CTE = f"WITH grid AS ({EVENTS_GRID_SQL})"
 
 
+
+def _fixture_tmp(spark: SparkSession, name: str) -> str:
+    """App-id-suffixed in-query fixture dir (r12): index/layout
+    fixtures are OVERWRITTEN per evaluation, so two concurrent
+    evaluations (the driver correctness probe + a local bench run —
+    separate Spark apps, a CLAUDE.md-blessed combination) must not
+    delete files the other is mid-reading. Content-keyed single-file
+    fixtures (grib/nc/tiff/warc) stay shared — their writers land
+    identical bytes via atomic replace."""
+    import os
+    import tempfile
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"georiva_spark_{name}_{spark.sparkContext.applicationId}")
+
 def _dec(c, scale: int = 2):
     return c.cast(f"decimal(18,{scale})")
 
@@ -618,7 +633,7 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from georiva_spark.sources.tables import export_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_shards")
+    d = _fixture_tmp(spark, "shards")
     return export_shards(docs, d, n_shards=8)
 
 
@@ -1179,7 +1194,7 @@ def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    d = _fixture_tmp(spark, "ivfidx")
     similarity.ivf_index_write(emb, "t_ivfidx", os.path.join(d, "idx"),
                                n_centroids=8)
     q = (emb.where(F.col("vec_id") == 0)
@@ -1199,7 +1214,7 @@ def q_ivf_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    d = _fixture_tmp(spark, "ivfidx")
     similarity.ivf_index_write(emb, "t_ivfidxb", os.path.join(d, "idxb"),
                                n_centroids=8)
     queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
@@ -1222,7 +1237,7 @@ def q_ivf_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    d = _fixture_tmp(spark, "ivfidx")
     similarity.ivf_index_write(emb, "t_ivfidxf", os.path.join(d, "idxf"),
                                n_centroids=8)
     queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
@@ -1245,7 +1260,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    d = _fixture_tmp(spark, "ivfidx")
     similarity.ivf_index_write(emb, "t_ivfrc", os.path.join(d, "idxrc"),
                                n_centroids=8)
     return similarity.ann_recall_estimate(
@@ -1345,7 +1360,7 @@ def q_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivftn")
+    d = _fixture_tmp(spark, "ivftn")
     similarity.ivf_index_write(emb, "t_ivftn",
                                os.path.join(d, "idxtn"), n_centroids=8)
     return similarity.ann_tune(spark, "t_ivftn", target_recall=0.9,
@@ -1534,7 +1549,7 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    d = _fixture_tmp(spark, "ivfpq")
     similarity.ivf_pq_index_write(emb, "t_ivfrcpq",
                                   os.path.join(d, "idxrcpq"),
                                   n_centroids=8, m=8, nbits=4)
@@ -1624,7 +1639,7 @@ def q_ann_recall_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    d = _fixture_tmp(spark, "ivfpq")
     similarity.ivf_pq_index_write(emb, "t_ivfrcrf",
                                   os.path.join(d, "idxrcrf"),
                                   n_centroids=8, m=8, nbits=4)
@@ -1739,7 +1754,7 @@ def q_ann_tune_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivftnpq")
+    d = _fixture_tmp(spark, "ivftnpq")
     similarity.ivf_pq_index_write(emb, "t_ivftnpq",
                                   os.path.join(d, "idxtnpq"),
                                   n_centroids=8, m=8, nbits=4)
@@ -1929,7 +1944,7 @@ def q_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    d = _fixture_tmp(spark, "ivfpq")
     similarity.ivf_pq_index_write(emb, "t_ivfpq", os.path.join(d, "idx"),
                                   n_centroids=8, m=8, nbits=4)
     q = (emb.where(F.col("vec_id") == 0)
@@ -1948,7 +1963,7 @@ def q_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    d = _fixture_tmp(spark, "ivfpq")
     similarity.ivf_pq_index_write(emb, "t_ivfpqr",
                                   os.path.join(d, "idxr"),
                                   n_centroids=8, m=8, nbits=4)
@@ -2027,7 +2042,7 @@ def q_ivf_pq_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    d = _fixture_tmp(spark, "ivfpq")
     similarity.ivf_pq_index_write(emb, "t_ivfpqb",
                                   os.path.join(d, "idxb"),
                                   n_centroids=8, m=8, nbits=4)
@@ -2107,7 +2122,7 @@ def q_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    d = _fixture_tmp(spark, "ivfpq")
     similarity.ivf_pq_index_write(emb, "t_ivfpqt",
                                   os.path.join(d, "idxt"),
                                   n_centroids=8, m=8, nbits=4,
@@ -2238,7 +2253,7 @@ def q_ivf_pq_refine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfpq")
+    d = _fixture_tmp(spark, "ivfpq")
     similarity.ivf_pq_index_write(emb, "t_ivfpqrb",
                                   os.path.join(d, "idxrb"),
                                   n_centroids=8, m=8, nbits=4)
@@ -5185,7 +5200,7 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from georiva_spark.sources.tables import export_token_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_tokshards")
+    d = _fixture_tmp(spark, "tokshards")
     export_token_shards(docs, d, BPE_MERGES, context_len=128,
                         num_shards=8)
     bins = textops.token_shard_bins(docs, BPE_MERGES, context_len=128,
@@ -5399,8 +5414,12 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = os.path.join(tempfile.gettempdir(),
-                        "georiva_spark_corpchain")
+    # app-id-suffixed fixture dir (r12): two concurrent evaluations
+    # (driver correctness probe + a local bench run — different Spark
+    # apps) must not rmtree each other's engine output mid-query
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"georiva_spark_corpchain_{spark.sparkContext.applicationId}")
     shutil.rmtree(base, ignore_errors=True)
     items = [{"item_id": k + 1, "collection": "crawl-shards",
               "variable": f"shard-{k}", "time": None,
@@ -5608,7 +5627,7 @@ def q_ivf_index_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_ivfidx")
+    d = _fixture_tmp(spark, "ivfidx")
     similarity.ivf_index_write(emb, "t_ivfidxt", os.path.join(d, "idxt"),
                                n_centroids=8, train_iters=2)
     queries = (emb.where(F.col("vec_id").isin([0, 1, 2]))
@@ -6039,7 +6058,7 @@ def q_image_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "media_id long, kind string, content binary, mime string"
     originals = emb.mapInPandas(gen({0}), schema=schema)
     delta = emb.mapInPandas(gen({1, 2}), schema=schema)
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_imgidx")
+    d = _fixture_tmp(spark, "imgidx")
     dedup.hamming_index_write(mm.image_dhash(originals), "t_imgidx",
                               os.path.join(d, "idx"),
                               id_col="media_id", code_col="dhash",
@@ -6116,7 +6135,7 @@ def q_image_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "media_id long, kind string, content binary, mime string"
     originals = emb.mapInPandas(gen({0}), schema=schema)
     delta = emb.mapInPandas(gen({1, 2}), schema=schema)
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_imgidx")
+    d = _fixture_tmp(spark, "imgidx")
     dedup.hamming_index_write(mm.image_dhash(originals), "t_imgidxl",
                               os.path.join(d, "idxl"),
                               id_col="media_id", code_col="dhash",
@@ -6211,11 +6230,15 @@ def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               write_jsonl_corpus)
 
     docs = load_table(spark, sf_dir, "documents")
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_jsonl",
-                     "docs")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"georiva_spark_jsonl_{spark.sparkContext.applicationId}",
+        "docs")
     # always rewrite (mode=overwrite is atomic-per-run): a row-count
     # keyed isdir cache would silently reuse a stale tempdir from a
-    # DIFFERENT same-sized corpus, or a partially-written failed run
+    # DIFFERENT same-sized corpus, or a partially-written failed run;
+    # app-id suffix (r12) keeps concurrent evaluations from
+    # overwriting each other's shards mid-read
     write_jsonl_corpus(docs, d)
     back = read_jsonl_corpus(spark, d)
     return back.select("doc_id", "text", "lang", "source", "n_chars")
@@ -6346,7 +6369,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (ld.where(F.col("n_kept") > 0)
               .select("doc_id", F.col("kept_text").alias("text")))
 
-    idx_path = os.path.join(tempfile.gettempdir(), "georiva_spark_cpidx")
+    idx_path = _fixture_tmp(spark, "cpidx")
     dedup.minhash_index_write(corpus.where(F.col("doc_id") % 2 == 0),
                               "t_corpusmh", os.path.join(idx_path, "idx"),
                               n_buckets=8, portable=True)
@@ -6453,6 +6476,95 @@ FROM cand WHERE {est} >= {threshold}
 
 
 SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
+
+
+def q_minhash_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 staleness reaching the persistent MinHash index (r12 — the
+    r11 verdict's top item), proven relationally: plant cross-doc
+    near-dups (docs with doc_id%10==1 carry the previous doc's text),
+    build the index from the doc_id%4==0 quarter, append the
+    doc_id%4==2 quarter as crawl shard 'crawl-b' under a generation
+    tag, then RETRACT that shard (the re-crawl invalidation path:
+    minhash_index_retract tombstones its generations) and probe with
+    the odd half → (doc_new, doc_old, est_jaccard ≥ 0.5).
+
+    The oracle replays the signature/banding arithmetic (portable md5
+    hashes) against ONLY the live quarter — so a hash match proves
+    the retracted shard's signatures are invisible to probes exactly
+    as if they were never indexed, while the untouched base remains
+    matched (planted pairs whose source doc lands in the dead quarter
+    vanish; those landing in the live quarter survive). Plan shape:
+    the tombstone filter is a broadcast anti-join of the bounded rule
+    table (plan-asserted in tests/test_plan_evidence.py) — retraction
+    never rewrites or reshuffles the index at event time; compaction
+    purges physically (pytest-pinned)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.col("text").alias("src_text"))
+    planted = (docs.join(prev, "doc_id", "left")
+               .select("doc_id",
+                       F.when((F.col("doc_id") % 10 == 1)
+                              & F.col("src_text").isNotNull(),
+                              F.col("src_text"))
+                       .otherwise(F.col("text")).alias("text")))
+    d = _fixture_tmp(spark, "mhret")
+    dedup.minhash_index_write(planted.where(F.col("doc_id") % 4 == 0),
+                              "t_mhretq", os.path.join(d, "idx"),
+                              n_buckets=8, portable=True)
+    dedup.minhash_index_append(planted.where(F.col("doc_id") % 4 == 2),
+                               "t_mhretq",
+                               gen=dedup.index_gen("crawl-b", "v1"))
+    # the shard is re-crawled away: every generation of it dies
+    dedup.minhash_index_retract(spark, "t_mhretq", "crawl-b")
+    return dedup.minhash_index_probe(
+        planted.where(F.col("doc_id") % 2 == 1), "t_mhretq",
+        threshold=0.5)
+
+
+def _sql_minhash_retract(threshold: float = 0.5, num_hashes: int = 64,
+                         bands: int = 16) -> str:
+    """Replay q_minhash_retract: the _sql_minhash signature/banding
+    arithmetic over the planted corpus, with the index side restricted
+    to the LIVE quarter (doc_id%4==0) — the relational definition of
+    'the retracted shard was never there'."""
+    a, b = dedup.minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = [f"list_min(list_transform(s, v -> "
+            f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+            f" % 18446744073709551616))" for j in range(num_hashes)]
+    est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
+           f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
+    return f"""
+WITH planted AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 1 AND p.text IS NOT NULL
+              THEN p.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM toks),
+sigu AS (SELECT doc_id, [{', '.join(mins)}] AS u FROM sh),
+sig AS (SELECT doc_id,
+               list_transform(u, m -> CAST(CASE
+                 WHEN m >= 9223372036854775808
+                 THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS sig
+        FROM sigu),
+banded AS (SELECT doc_id, sig, bb.band AS band,
+                  sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+           FROM sig CROSS JOIN
+                (SELECT unnest(range(0, {bands})) AS band) bb),
+cand AS (SELECT DISTINCT l.doc_id AS doc_new, r.doc_id AS doc_old,
+                l.sig AS sa, r.sig AS sb
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.key = r.key
+          AND l.doc_id % 2 = 1 AND r.doc_id % 4 = 0)
+SELECT doc_new, doc_old, {est} AS est_jaccard
+FROM cand WHERE {est} >= {threshold}
+"""
+
+
+SQL_MINHASH_RETRACT = _sql_minhash_retract()
 
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6728,7 +6840,7 @@ def q_audio_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "media_id long, kind string, content binary, mime string"
     originals = emb.mapInPandas(gen({0}), schema=schema)
     delta = emb.mapInPandas(gen({1, 2}), schema=schema)
-    d = os.path.join(tempfile.gettempdir(), "georiva_spark_audidx")
+    d = _fixture_tmp(spark, "audidx")
     dedup.hamming_index_write(mm.audio_fingerprint(originals),
                               "t_audidx", os.path.join(d, "idx"),
                               id_col="media_id", code_col="fp",
@@ -6923,6 +7035,7 @@ EXT_QUERIES = {
     "ingest_warc": q_ingest_warc,
     "warc_pipeline": q_warc_pipeline,
     "corpus_pipeline": q_corpus_pipeline,
+    "minhash_retract": q_minhash_retract,
     "ingest_jsonl": q_ingest_jsonl,
     "ivf_index": q_ivf_index,
     "ivf_probe_batch": q_ivf_probe_batch,
@@ -7062,6 +7175,7 @@ EXT_ORACLES = {
     "ingest_warc": SQL_INGEST_WARC,
     "warc_pipeline": SQL_WARC_PIPELINE,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
+    "minhash_retract": SQL_MINHASH_RETRACT,
     "ingest_jsonl": SQL_INGEST_JSONL,
     "ivf_index": SQL_KNN_IVF,
     "ivf_probe_batch": SQL_IVF_PROBE_BATCH,

@@ -32,6 +32,10 @@ def upsert_by_key(updates: DataFrame, path: str, keys: Sequence[str],
     e.g. ["collection"]) scopes the rewrite to touched partitions —
     without it the whole table rewrites, acceptable only for small dims.
     Partition values must be non-null slugs (no hive escaping needed)."""
+    # the upsert lifecycle commits via directory renames — enforce the
+    # rename-atomic contract up front, even on the first write
+    from georiva_spark.sources.commit import require_rename_fs
+    require_rename_fs(path, who="upsert_by_key")
     if partition_by:
         _upsert_partitioned(updates, path, list(keys), list(partition_by))
         return

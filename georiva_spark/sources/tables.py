@@ -246,15 +246,14 @@ def commit_generation_marker(path: str, generation: str,
     """Atomically commit a generation's content-digest marker under
     ``_georiva_gens/`` — the exactly-once token of the delta export
     (also written by a bootstrap full export so a replayed first
-    batch is a no-op instead of a duplicate-doc failure)."""
-    import json
-    import uuid
+    batch is a no-op instead of a duplicate-doc failure). Goes
+    through :mod:`georiva_spark.sources.commit`: the marker is a
+    commit token, so the target filesystem must satisfy the
+    rename-atomic contract (fails by name on object stores)."""
+    from georiva_spark.sources.commit import atomic_write_json
     marker = os.path.join(path, "_georiva_gens", f"{generation}.json")
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    tmp = marker + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump({"digest": digest}, f)
-    os.replace(tmp, marker)
+    atomic_write_json(marker, {"digest": digest},
+                      who="commit_generation_marker")
 
 
 def export_token_shards_delta(new_docs: DataFrame, path: str,
@@ -354,8 +353,15 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
                     f"DIFFERENT content (digest {prev.get('digest')} "
                     f"vs {digest}) — a re-crawled generation needs a "
                     f"full rebuild, never a silent swap")
-            # replay no-op: the generation is committed; heal a
-            # possibly-torn manifest stamp and return
+            # replay no-op: the generation is committed; drop any
+            # staging dir a crash between marker-commit and cleanup
+            # left behind (stale staging would otherwise accumulate
+            # forever — the replay path is the only one that ever
+            # sees it again), heal a possibly-torn manifest stamp,
+            # and return
+            import shutil
+            shutil.rmtree(os.path.join(path, f"_staging_{generation}"),
+                          ignore_errors=True)
             manifest = _manifest_from_layout(spark, path, context_len,
                                              len(vocab))
             (manifest.withColumn(
@@ -438,8 +444,15 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
         # exactly-once: stage (overwrite — restartable), move each
         # staged file to a DETERMINISTIC per-generation name (replace
         # semantics: a re-move lands identical bytes), then commit
-        # the content-digest marker atomically
+        # the content-digest marker atomically. The staged moves and
+        # the marker are rename-commits — require_rename_fs fails by
+        # name BEFORE any file moves if the layout lives on a
+        # filesystem that fakes rename (SCALE.md §Commit protocol).
         import shutil
+
+        from georiva_spark.sources.commit import (atomic_replace,
+                                                  require_rename_fs)
+        require_rename_fs(path, who="export_token_shards_delta")
         stage = os.path.join(path, f"_staging_{generation}")
         writer.mode("overwrite").parquet(stage)
         for d in sorted(os.listdir(stage)):
@@ -449,10 +462,11 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
             parts = sorted(f for f in os.listdir(
                 os.path.join(stage, d)) if f.endswith(".parquet"))
             for i, fn in enumerate(parts):
-                os.replace(
+                atomic_replace(
                     os.path.join(stage, d, fn),
                     os.path.join(path, d,
-                                 f"gen-{generation}-{i:04d}.parquet"))
+                                 f"gen-{generation}-{i:04d}.parquet"),
+                    who="export_token_shards_delta")
         commit_generation_marker(path, generation, digest)
         shutil.rmtree(stage, ignore_errors=True)
     # the updated manifest aggregates the grown layout's files — no

@@ -1,5 +1,7 @@
 from georiva_spark.streaming.ingest import (
     grid_file_stream, start_grid_ingest, run_sweep_now,
+    start_corpus_ingest, start_corpus_deliveries,
+    write_delivery_manifest,
 )
 from georiva_spark.streaming.windows import windowed_stats
 from georiva_spark.streaming.dedupe import dedup_stream
@@ -17,6 +19,8 @@ from georiva_spark.streaming.mediadup import (
 )
 
 __all__ = ["grid_file_stream", "start_grid_ingest", "run_sweep_now",
+           "start_corpus_ingest", "start_corpus_deliveries",
+           "write_delivery_manifest",
            "windowed_stats", "dedup_stream", "start_neardup_stream",
            "read_neardup_pairs", "start_ann_stream",
            "read_ann_neighbors", "start_corpus_stream",

@@ -15,12 +15,14 @@ sweeps (resurrection, stale recompute, reclaim).
 from __future__ import annotations
 
 import datetime as dt
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from georiva_spark.plans.engine import DerivationEngine, Trigger
+from georiva_spark.plans.recipe import stable_item_id
 from georiva_spark.schemas import GRID_SCHEMA
 
 
@@ -63,7 +65,11 @@ def start_grid_ingest(spark: SparkSession, landing_dir: str, grid_dir: str,
             keys = (batch.groupBy("collection", "variable", "time")
                     .count().collect())
             for i, k in enumerate(keys):
-                item = {"item_id": hash((k.collection, k.variable, k.time)) & 0x7FFFFFFF,
+                # md5-derived id of the natural key (stable across
+                # driver restarts; PYTHONHASHSEED-salted hash() would
+                # re-register the same slice under a fresh id, r12)
+                item = {"item_id": stable_item_id(
+                            "grid", k.collection, k.variable, k.time),
                         "collection": k.collection, "variable": k.variable,
                         "time": k.time, "tier": "staging",
                         "checksum": f"stream-{batch_id}-{i}"}
@@ -102,7 +108,12 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                         merges: list[tuple[str, str]] | None = None,
                         context_len: int = 2048,
                         num_shards: int = 64,
-                        token_alphabet: str = "") -> StreamingQuery:
+                        token_alphabet: str = "",
+                        recrawl: str = "reject",
+                        neardup_table: str | None = None,
+                        neardup_out_dir: str | None = None,
+                        neardup_threshold: float = 0.5,
+                        _deliveries: bool = False) -> StreamingQuery:
     """T1 for the CORPUS product chain (r11): crawl-shard files land
     in a directory; each micro-batch (a) overwrites exactly the
     arrived shards' partitions of the corpus table (dynamic partition
@@ -139,12 +150,64 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
     the duplicate guard — the layout then holds exactly that one
     uncommitted generation, so the recovery is to wipe it and
     replay (every later generation commits through the staged
-    exactly-once protocol and has no such window)."""
+    exactly-once protocol and has no such window).
+
+    ATOMIC-DELIVERY CONTRACT (r12, the high ADVICE item): the dynamic
+    partition overwrite assumes ALL files of one crawl-shard delivery
+    land in ONE micro-batch — a delivery straddling two batches
+    (maxFilesPerTrigger smaller than the delivery, or files landing
+    across trigger intervals) would otherwise have the later batch
+    silently truncate the shard partition to its own rows. The stream
+    cannot distinguish a straddled delivery from an intentional
+    re-crawl (both present as "this shard's committed content just
+    changed"), so ``recrawl`` makes the policy explicit:
+
+    - ``"reject"`` (default): a shard arriving with content that
+      differs from its committed checksum FAILS THE BATCH BY NAME —
+      nothing is overwritten, the checkpoint retries after the
+      operator intervenes. Safe under any delivery layout.
+    - ``"recompute"``: the caller asserts deliveries ARE batch-atomic
+      (e.g. one delivery per trigger, maxFilesPerTrigger sized above
+      the largest delivery — or use :func:`start_corpus_deliveries`,
+      where a manifest makes atomicity structural); a changed shard
+      is then an intentional re-crawl: partition overwritten, engine
+      closure recomputed (T5), near-dup generations retracted.
+
+    ``neardup_table`` (+ ``neardup_out_dir``, r12): ALSO maintain a
+    persistent MinHash index over the stream — per arrived shard,
+    probe the index for near-duplicate pairs (written to
+    ``{neardup_out_dir}/shard={shard}``, deterministic overwrite),
+    then append the shard's signatures under the generation tag
+    ``index_gen(shard, content-digest)``. A replayed delivery skips
+    the append (the gen is already in the sigs table); a RE-CRAWLED
+    shard (``recrawl="recompute"``) first RETRACTS its previous
+    generations (``minhash_index_retract`` tombstones; compaction
+    purges) so probes never match content that no longer exists — T5
+    staleness reaching the index, the r11 verdict's top item. The
+    index must exist (``minhash_index_write``, a gen-stamped r12
+    layout) before the stream starts."""
 
     if token_layout is not None and merges is None:
         raise ValueError(
             "start_corpus_ingest: token_layout needs the pinned "
             "merges table")
+    if recrawl not in ("reject", "recompute"):
+        raise ValueError(
+            f"start_corpus_ingest: recrawl={recrawl!r} must be "
+            f"'reject' or 'recompute'")
+    if (neardup_table is None) != (neardup_out_dir is None):
+        raise ValueError(
+            "start_corpus_ingest: neardup_table and neardup_out_dir "
+            "must be passed together")
+    if neardup_table is not None:
+        from georiva_spark.operators.dedup import minhash_index_params
+        minhash_index_params(spark, neardup_table)  # fail fast on launch
+        if "gen" not in spark.table(f"{neardup_table}_bands").columns:
+            raise ValueError(
+                f"start_corpus_ingest: {neardup_table!r} is an "
+                f"unversioned (pre-r12) index — re-crawled shards "
+                f"could never be retracted; rebuild it with "
+                f"minhash_index_write")
 
     def _grow_layout(shard: str) -> None:
         import hashlib
@@ -157,10 +220,27 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                      if it["collection"] == "corpus-clean"
                      and it["variable"] == shard), None)
         if item is None:
-            return                    # clean unit parked or failed
+            # fail-by-name, not silent skip (r12, ADVICE item 3): a
+            # parked/failed clean unit means this shard's docs would
+            # never reach the token layout — the micro-batch would
+            # still commit to the checkpoint and nothing would ever
+            # re-invoke the growth. Raising fails the batch so the
+            # checkpoint retries; the generation-marker protocol
+            # makes the retry safe (replays are no-ops).
+            raise RuntimeError(
+                f"start_corpus_ingest: shard {shard!r} has no "
+                f"corpus-clean item (its clean unit parked or "
+                f"failed) — refusing to commit a batch whose docs "
+                f"would silently never reach the token layout; fix "
+                f"the unit (run_sweep_now resurrects parked units) "
+                f"and let the checkpoint retry")
         loader = engine.catalog.loader_for(item)
         if loader is None:
-            return
+            raise RuntimeError(
+                f"start_corpus_ingest: no grid loader for the "
+                f"corpus-clean item of shard {shard!r} — the engine "
+                f"catalog must load derived items to grow the token "
+                f"layout")
         clean = loader()
         digest = generation_digest(clean)
         # generation name = sanitized (shard, content) key — a replay
@@ -182,7 +262,50 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
         export_token_shards_delta(clean, token_layout, merges,
                                   generation=gen)
 
-    def process(batch: DataFrame, batch_id: int) -> None:
+    def commit_shards(batch: DataFrame, batch_id: int,
+                      declared_shard: str | None = None) -> None:
+        """The per-delivery commit path shared by the direct stream
+        and the manifest stream (start_corpus_deliveries): guard →
+        partition overwrite → item register + engine dispatch →
+        near-dup leg → layout growth. ``declared_shard`` (manifest
+        mode) asserts the frame carries exactly that shard."""
+        digests = (batch.groupBy("shard")
+                   .agg(F.bit_xor(F.xxhash64("doc_id", "text"))
+                        .alias("digest"),
+                        F.count(F.lit(1)).alias("n"))
+                   .collect())
+        if not digests:
+            return
+        if declared_shard is not None and (
+                [r.shard for r in digests] != [declared_shard]):
+            raise ValueError(
+                f"corpus delivery declares shard "
+                f"{declared_shard!r} but its files carry "
+                f"{sorted(r.shard for r in digests)} — a manifest "
+                f"must list exactly one shard's files")
+        # guard BEFORE any write: a shard whose committed checksum
+        # differs is a straddled delivery or a re-crawl — under
+        # "reject" nothing may be overwritten
+        recrawled: set[str] = set()
+        for d in digests:
+            checksum = f"crawl-{d.shard}-{d.digest}-{d.n}"
+            item = next((it for it in engine.catalog.items
+                         if it["collection"] == "crawl-shards"
+                         and it["variable"] == d.shard), None)
+            if item is not None and item["checksum"] != checksum:
+                if recrawl == "reject":
+                    raise ValueError(
+                        f"start_corpus_ingest: shard {d.shard!r} "
+                        f"already exists with different content "
+                        f"(committed {item['checksum']}, arrived "
+                        f"{checksum}) — either one delivery's files "
+                        f"straddled two micro-batches (the dynamic "
+                        f"partition overwrite would silently "
+                        f"truncate the shard) or this is a re-crawl; "
+                        f"redeliver atomically and opt in with "
+                        f"recrawl='recompute', or use the "
+                        f"manifest-committed start_corpus_deliveries")
+                recrawled.add(d.shard)
         # the conf must be set on the MICRO-BATCH's cloned session —
         # foreachBatch writes run there, not on the outer session
         # (the same per-session trap as the r7 relation-cache lesson)
@@ -196,19 +319,13 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
         finally:
             bsp.conf.set("spark.sql.sources.partitionOverwriteMode",
                          old)
-        digests = (batch.groupBy("shard")
-                   .agg(F.bit_xor(F.xxhash64("doc_id", "text"))
-                        .alias("digest"),
-                        F.count(F.lit(1)).alias("n"))
-                   .collect())
         for d in sorted(digests, key=lambda r: r.shard):
             checksum = f"crawl-{d.shard}-{d.digest}-{d.n}"
             item = next((it for it in engine.catalog.items
                          if it["collection"] == "crawl-shards"
                          and it["variable"] == d.shard), None)
             if item is None:
-                item = {"item_id": hash(("crawl", d.shard))
-                        & 0x7FFFFFFF,
+                item = {"item_id": stable_item_id("crawl", d.shard),
                         "collection": "crawl-shards",
                         "variable": d.shard, "time": None,
                         "tier": "staging", "checksum": checksum}
@@ -218,16 +335,140 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
             engine.dispatch_for_trigger(
                 Trigger("staging_item", item),
                 origin=f"corpus-stream-batch-{batch_id}")
+            if neardup_table is not None:
+                _neardup_shard(
+                    batch.where(F.col("shard") == d.shard)
+                         .select("doc_id", "text"),
+                    d.shard, f"{d.digest}-{d.n}",
+                    was_recrawled=d.shard in recrawled)
             if token_layout is not None:
                 _grow_layout(d.shard)
 
-    writer = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger)
-              .parquet(landing_dir)
-              .writeStream.foreachBatch(process)
+    def _neardup_shard(docs: DataFrame, shard: str, digest: str,
+                       was_recrawled: bool) -> None:
+        from georiva_spark.operators.dedup import (
+            index_gen, minhash_index_append, minhash_index_has_gen,
+            minhash_index_params, minhash_index_probe,
+            minhash_index_retract)
+        gen = index_gen(shard, digest)
+        # the guard reads on the SERVING session (refreshed after
+        # every append below — the streaming/_loop.py contract);
+        # appends write bands first, sigs last, so gen-in-sigs
+        # implies the prior append completed
+        applied = minhash_index_has_gen(spark, neardup_table, gen)
+        if was_recrawled and not applied:
+            # T5 → the index: tombstone every earlier generation of
+            # this shard, keeping (only) the generation this delivery
+            # is about to append. Retract precedes append, so
+            # "applied" implies the retraction already ran.
+            minhash_index_retract(spark, neardup_table, shard,
+                                  keep_gen=gen)
+            spark.catalog.refreshTable(f"{neardup_table}_dead")
+        p = minhash_index_params(spark, neardup_table)
+        ids = docs.select("doc_id")
+        pairs = minhash_index_probe(
+            docs, neardup_table, threshold=neardup_threshold,
+            num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"])
+        # a replay whose first attempt already appended would pair
+        # this shard's docs against themselves — anti-join own ids
+        (pairs.join(ids.withColumnRenamed("doc_id", "doc_old"),
+                    "doc_old", "left_anti")
+         .write.mode("overwrite")
+         .parquet(f"{neardup_out_dir}/shard={shard}"))
+        if not applied:
+            minhash_index_append(docs, neardup_table, gen=gen)
+            for t in (f"{neardup_table}_bands",
+                      f"{neardup_table}_sigs"):
+                spark.catalog.refreshTable(t)
+
+    if _deliveries:
+        # manifest mode (start_corpus_deliveries): the streamed
+        # objects are DELIVERY MANIFESTS, each naming one shard's
+        # complete file list — one manifest is one file, so a
+        # delivery can never straddle micro-batches no matter how
+        # maxFilesPerTrigger slices the landing listing
+        def process(batch: DataFrame, batch_id: int) -> None:
+            rows = sorted(batch.select("shard", "paths").collect(),
+                          key=lambda r: (r.shard, tuple(r.paths)))
+            shards = [r.shard for r in rows]
+            if len(set(shards)) != len(shards):
+                dup = sorted({s for s in shards
+                              if shards.count(s) > 1})
+                raise ValueError(
+                    f"start_corpus_deliveries: two manifests for "
+                    f"shard(s) {dup} arrived in one micro-batch — "
+                    f"their commit order is undefined; deliver "
+                    f"re-crawls in separate trigger intervals")
+            bsp = batch.sparkSession
+            for r in rows:
+                data = bsp.read.schema(schema).parquet(*r.paths)
+                commit_shards(data, batch_id, declared_shard=r.shard)
+
+        src = (spark.readStream
+               .schema("shard string, paths array<string>")
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .json(landing_dir))
+    else:
+        def process(batch: DataFrame, batch_id: int) -> None:
+            commit_shards(batch, batch_id)
+
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", max_files_per_trigger)
+               .parquet(landing_dir))
+
+    writer = (src.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime="5 seconds")
     return writer.start()
+
+
+def write_delivery_manifest(landing_dir: str, shard: str,
+                            paths: list[str]) -> str:
+    """Commit one crawl-shard delivery for
+    :func:`start_corpus_deliveries`: an atomically-written JSON
+    manifest naming the shard and its COMPLETE file list. The file
+    name is content-keyed (md5 of shard + paths), so an identical
+    redelivery lands on the same name (the file stream has already
+    processed it — a structural no-op) while a re-crawl (different
+    files) is a NEW manifest. The crawler writes data files first,
+    the manifest LAST — the stream only ever sees complete
+    deliveries, which is what makes the atomic-delivery contract
+    structural instead of assumed."""
+    import hashlib
+
+    from georiva_spark.sources.commit import atomic_write_json
+
+    key = hashlib.md5(
+        "\x1f".join([shard, *sorted(paths)]).encode()).hexdigest()[:16]
+    p = os.path.join(landing_dir, f"delivery-{key}.json")
+    atomic_write_json(p, {"shard": shard, "paths": sorted(paths)},
+                      who="write_delivery_manifest")
+    return p
+
+
+def start_corpus_deliveries(spark: SparkSession, landing_dir: str,
+                            corpus_dir: str, checkpoint_dir: str,
+                            engine: DerivationEngine,
+                            recrawl: str = "recompute",
+                            **kwargs) -> StreamingQuery:
+    """MANIFEST-COMMITTED corpus ingestion (r12 — the structural fix
+    for the straddled-delivery hazard): the landing directory
+    receives :func:`write_delivery_manifest` JSON files, each the
+    atomic commit token of one complete shard delivery. The stream
+    processes manifests (never loose data files), reads each
+    manifest's listed parquet files as ONE unit, and runs the same
+    per-shard commit path as :func:`start_corpus_ingest` — so a
+    delivery can never straddle micro-batches, and a re-crawl is
+    unambiguous (a new manifest for an existing shard), which is why
+    ``recrawl`` defaults to ``"recompute"`` here: the engine
+    recomputes the shard's closure (T5) and the near-dup index
+    retracts the dead generations. All other keyword arguments match
+    :func:`start_corpus_ingest` (schema describes the DATA files;
+    the manifest schema is fixed)."""
+    return start_corpus_ingest(spark, landing_dir, corpus_dir,
+                               checkpoint_dir, engine,
+                               recrawl=recrawl, _deliveries=True,
+                               **kwargs)

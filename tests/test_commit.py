@@ -1,0 +1,132 @@
+"""Commit-protocol contract (r12 — the r11 verdict's items 2+3 and
+ADVICE items 2-4): every atomic-rename/marker assumption funnels
+through sources/commit.py and fails BY NAME on filesystems that fake
+rename; item identity is md5-derived (restart-stable, 60-bit); the
+exactly-once delta export cleans up stale staging dirs on replay."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from georiva_spark.sources import commit
+
+
+# ---- require_rename_fs: the POSIX-vs-object-store gate ---------------------
+
+def test_local_and_hdfs_paths_pass():
+    assert commit.require_rename_fs("/tmp/x") == "/tmp/x"
+    assert commit.require_rename_fs("rel/path") == "rel/path"
+    assert commit.require_rename_fs("file:///tmp/x") == "/tmp/x"
+    assert commit.require_rename_fs("hdfs://nn/x") == "hdfs://nn/x"
+
+
+@pytest.mark.parametrize("path", [
+    "s3://bucket/key", "s3a://bucket/key", "gs://bucket/key",
+    "abfss://fs@acct/x", "wasb://c@a/x",
+])
+def test_object_store_paths_fail_by_name(path):
+    with pytest.raises(ValueError, match="object store"):
+        commit.require_rename_fs(path, who="unit-test")
+
+
+def test_unknown_scheme_fails_closed():
+    with pytest.raises(ValueError, match="rename-atomic"):
+        commit.require_rename_fs("ftp://host/x")
+
+
+def test_windows_drive_letter_is_not_a_scheme():
+    # c://... is pathological, but a single letter must never be
+    # treated as a URI scheme
+    assert commit.path_scheme("C://x") == ""
+    assert commit.path_scheme("/a/b://c") == ""
+    assert commit.path_scheme("s3a://b") == "s3a"
+
+
+def test_atomic_write_json_round_trip_and_no_tmp_residue(tmp_path):
+    p = str(tmp_path / "m" / "marker.json")
+    commit.atomic_write_json(p, {"digest": "d-1"})
+    with open(p) as f:
+        assert json.load(f) == {"digest": "d-1"}
+    # overwrite is atomic replace, tmp siblings cleaned up
+    commit.atomic_write_json(p, {"digest": "d-2"})
+    with open(p) as f:
+        assert json.load(f) == {"digest": "d-2"}
+    assert [f for f in os.listdir(tmp_path / "m")
+            if f.endswith(".tmp")] == []
+
+
+def test_generation_marker_refuses_object_store():
+    from georiva_spark.sources.tables import commit_generation_marker
+    with pytest.raises(ValueError, match="object store"):
+        commit_generation_marker("s3a://bucket/layout", "g1", "d")
+
+
+def test_upsert_refuses_object_store(spark):
+    from georiva_spark.functions.frames import local_frame
+    from georiva_spark.sources.catalog_store import upsert_by_key
+    df = local_frame(spark, [(1, "a")], "k long, v string")
+    # the flat path guards only once a merge is needed; the
+    # first-write path writes through Spark's FS layer (which would
+    # itself need an object-store connector). Exercise the merge
+    # guard with a pre-existing local table semantics: the
+    # partitioned path guards before reading.
+    with pytest.raises(ValueError, match="object store"):
+        upsert_by_key(df, "s3a://bucket/items", ["k"],
+                      partition_by=["k"])
+
+
+# ---- stable_item_id: md5 identity (the _code_ref policy) -------------------
+
+def test_stable_item_id_is_hashseed_independent():
+    code = ("from georiva_spark.plans.recipe import stable_item_id;"
+            "print(stable_item_id('crawl', 's1'),"
+            " stable_item_id('grid', 'c', 'v', None))")
+    outs = set()
+    for seed in ("1", "2", "random"):
+        env = dict(os.environ, PYTHONHASHSEED=seed,
+                   PYTHONPATH="/root/repo")
+        outs.add(subprocess.run(
+            [sys.executable, "-c", code], env=env, check=True,
+            capture_output=True, text=True).stdout.strip())
+    assert len(outs) == 1
+
+
+def test_stable_item_id_width_and_distinctness():
+    from georiva_spark.plans.recipe import stable_item_id
+    a = stable_item_id("crawl", "s1")
+    assert 0 < a < 2 ** 60
+    assert a == stable_item_id("crawl", "s1")
+    assert a != stable_item_id("crawl", "s2")
+    # None is not the string "None", and part boundaries matter
+    assert stable_item_id("g", "c", None) != stable_item_id("g", "c",
+                                                            "None")
+    assert stable_item_id("ab", "c") != stable_item_id("a", "bc")
+
+
+# ---- stale staging cleanup on the delta-export replay path -----------------
+
+def test_delta_replay_removes_stale_staging_dir(spark, tmp_path):
+    from georiva_spark.functions.frames import local_frame
+    from georiva_spark.sources.tables import (export_token_shards,
+                                              export_token_shards_delta)
+    merges = [("a", "b")]
+    base = local_frame(spark, [(1, "ab a b")],
+                       "doc_id long, text string")
+    layout = str(tmp_path / "layout")
+    export_token_shards(base, layout, merges, context_len=8,
+                        num_shards=2, extra_alphabet="ab ")
+    delta = local_frame(spark, [(2, "b a ab")],
+                        "doc_id long, text string")
+    export_token_shards_delta(delta, layout, merges, generation="g1")
+    # simulate a crash between marker-commit and staging cleanup
+    stale = os.path.join(layout, "_staging_g1")
+    os.makedirs(os.path.join(stale, "shard=0"), exist_ok=True)
+    with open(os.path.join(stale, "shard=0", "x.parquet"), "wb") as f:
+        f.write(b"junk")
+    man = export_token_shards_delta(delta, layout, merges,
+                                    generation="g1")   # replay no-op
+    assert not os.path.exists(stale)
+    assert man.agg({"n_docs": "sum"}).head()[0] == 2

@@ -241,10 +241,10 @@ def test_corpus_stream_ingest_chains_and_replays_idempotently(
         spark, reg, ctx, output_dir=out,
         definitions=corpus_product_definitions(8, 2))
 
-    def run_stream():
+    def run_stream(**kw):
         q = start_corpus_ingest(
             spark, land, corp, str(tmp_path / "ck"), eng,
-            max_files_per_trigger=1, available_now=True)
+            max_files_per_trigger=1, available_now=True, **kw)
         q.awaitTermination()
 
     land_file("f0", texts["shard-0"], "s0")
@@ -275,10 +275,17 @@ def test_corpus_stream_ingest_chains_and_replays_idempotently(
     # no duplicate rows in the corpus table
     n_rows = spark.read.parquet(corp).count()
     assert n_rows == len(texts["shard-0"]) + len(texts["shard-1"])
-    # a CHANGED re-crawl of the same shard (new content, new checksum)
-    # recomputes its clean unit and the chain
+    # a CHANGED re-crawl of the same shard under the default policy
+    # FAILS BY NAME (r12 — indistinguishable from a straddled
+    # delivery), and nothing is overwritten
     land_file("f3", texts["shard-0b"], "s0")
-    run_stream()
+    with pytest.raises(Exception, match="already exists with "
+                                        "different content"):
+        run_stream()
+    assert spark.read.parquet(corp).count() == n_rows   # untouched
+    # with the explicit atomic-redelivery opt-in it recomputes the
+    # clean unit and the chain (T5)
+    run_stream(recrawl="recompute")
     card2 = _card(eng, spark)
     assert ("fr", "web") in card2 and ("de", "web") not in card2
 
@@ -328,13 +335,13 @@ def test_corpus_stream_grows_token_layout_exactly_once(
     eng = DerivationEngine(spark, reg, ctx, output_dir=out,
                            definitions=[])
 
-    def run_stream():
+    def run_stream(**kw):
         q = start_corpus_ingest(
             spark, land, corp, str(tmp_path / "ck"), eng,
             max_files_per_trigger=1, available_now=True,
             token_layout=lay, merges=MERGES, context_len=8,
             num_shards=2,
-            token_alphabet="abcdefghijklmnopqrstuvwxyz")
+            token_alphabet="abcdefghijklmnopqrstuvwxyz", **kw)
         q.awaitTermination()
 
     land_file("f0", texts["shard-0"], "s0")
@@ -361,10 +368,11 @@ def test_corpus_stream_grows_token_layout_exactly_once(
     land_file("f2", texts["shard-1"], "s1")       # identical replay
     run_stream()
     assert hashes() == snap                       # byte-identical
-    # re-crawled shard: the layout is immutable — fail by name
+    # re-crawled shard: even with the atomic-redelivery opt-in, the
+    # layout is immutable — fail by name at the duplicate guard
     land_file("f3", texts["shard-0b"], "s0")
     with pytest.raises(Exception, match="already exist"):
-        run_stream()
+        run_stream(recrawl="recompute")
 
 
 def test_corpus_chain_ledger_mode_distributed_stale_scan(
@@ -428,3 +436,264 @@ def test_corpus_products_enable_gating(spark):
     enable_product(defs, rows, "corpus-shard-stats")
     enable_product(defs, rows, "corpus-datacard")
     assert rows["corpus-datacard"].is_enabled
+
+
+# ---- r12: atomic-delivery contract, near-dup retraction, manifests --------
+
+SEED_TEXT = ("the quick brown fox jumps over the lazy dog and runs "
+             "far away into the deep green forest tonight")
+NOVEL_A = ("a completely fresh crawl document about bucketed band "
+           "joins and the distinct code pre collapse at corpus scale")
+NOVEL_C = ("yet another unrelated page describing zonal statistics "
+           "over rotated pole grids in the reference engine")
+
+
+def _mk_engine(spark, corp, out):
+    import os
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    ctx = CatalogContext(spark, [], grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+    return DerivationEngine(spark, reg, ctx, output_dir=out,
+                            definitions=[])
+
+
+def _land(spark, tmp_path, land, name, rows, shard):
+    import os
+    df = spark.createDataFrame(
+        [(d, t, "en", "web", shard) for d, t in rows],
+        SCHEMA + ", shard string")
+    tmp = str(tmp_path / f"stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part),
+               os.path.join(land, f"{name}.parquet"))
+
+
+def test_corpus_stream_rejects_straddled_delivery(spark, tmp_path):
+    """The high r11 ADVICE item: one shard's files split across two
+    micro-batches would silently truncate the shard partition under
+    dynamic overwrite — the default policy now fails the batch BY
+    NAME before anything is overwritten."""
+    import os
+
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = str(tmp_path / "land")
+    corp = str(tmp_path / "corpus")
+    os.makedirs(land)
+    eng = _mk_engine(spark, corp, str(tmp_path / "out"))
+    # ONE delivery of shard sA split over two files; with
+    # maxFilesPerTrigger=1 the second file lands in a second batch
+    _land(spark, tmp_path, land, "f0", [(1, SEED_TEXT)], "sA")
+    _land(spark, tmp_path, land, "f1", [(2, NOVEL_A)], "sA")
+    q = start_corpus_ingest(spark, land, corp, str(tmp_path / "ck"),
+                            eng, max_files_per_trigger=1,
+                            available_now=True)
+    with pytest.raises(Exception,
+                       match="already exists with different content"):
+        q.awaitTermination()
+    # the committed half survives untouched — nothing truncated
+    assert spark.read.parquet(corp).count() == 1
+
+
+def test_corpus_stream_recrawl_retracts_neardup_index(spark, tmp_path):
+    """T5 reaching the persistent MinHash index (r12, the r11
+    verdict's top item): a re-crawled shard's dead signatures are
+    tombstoned at invalidation — probes no longer match the dead
+    content — the replay guard still holds, and compaction purges
+    the dead rows physically."""
+    import os
+
+    from georiva_spark.operators import dedup
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = str(tmp_path / "land")
+    corp = str(tmp_path / "corpus")
+    nd_out = str(tmp_path / "nd")
+    os.makedirs(land)
+    eng = _mk_engine(spark, corp, str(tmp_path / "out"))
+    # yesterday's corpus is the index
+    seed = spark.createDataFrame(
+        [(1, SEED_TEXT, "en", "web", 1)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    dedup.minhash_index_write(seed, "t_crmh", str(tmp_path / "idx"),
+                              n_buckets=4)
+    try:
+        def run(**kw):
+            q = start_corpus_ingest(
+                spark, land, corp, str(tmp_path / "ck"), eng,
+                max_files_per_trigger=1, available_now=True,
+                neardup_table="t_crmh", neardup_out_dir=nd_out, **kw)
+            q.awaitTermination()
+
+        def pairs(shard):
+            p = f"{nd_out}/shard={shard}"
+            return {(r.doc_new, r.doc_old)
+                    for r in spark.read.parquet(p).collect()}
+
+        # shard sA near-dups the seed; shard sB near-dups sA's doc —
+        # caught against the GROWN index
+        _land(spark, tmp_path, land, "f0",
+              [(10, SEED_TEXT.replace("tonight", "yesterday"))], "sA")
+        run()
+        assert pairs("sA") == {(10, 1)}
+        _land(spark, tmp_path, land, "f1",
+              [(20, SEED_TEXT.replace("quick", "rapid"))], "sB")
+        run()
+        assert (20, 10) in pairs("sB")
+        # re-crawl sA with unrelated content: old signatures retract
+        _land(spark, tmp_path, land, "f2", [(11, NOVEL_A)], "sA")
+        run(recrawl="recompute")
+        assert pairs("sA") == set()          # novel content, no match
+        # a later shard near-dupping sA's DEAD content finds nothing;
+        # near-dupping sA's LIVE content still matches
+        _land(spark, tmp_path, land, "f3",
+              [(30, SEED_TEXT.replace("tonight", "someday")),
+               (31, NOVEL_A.replace("fresh", "new"))], "sC")
+        run()
+        got = pairs("sC")
+        assert not any(do == 10 for _, do in got)   # dead: retracted
+        assert (31, 11) in got                      # live generation
+        assert (30, 1) in got                       # seed untouched
+        # replay guard still holds: identical re-landing changes
+        # nothing (no duplicate index rows, same pair output)
+        nb = spark.table("t_crmh_bands").count()
+        ns = spark.table("t_crmh_sigs").count()
+        _land(spark, tmp_path, land, "f4",
+              [(30, SEED_TEXT.replace("tonight", "someday")),
+               (31, NOVEL_A.replace("fresh", "new"))], "sC")
+        run()
+        assert spark.table("t_crmh_bands").count() == nb
+        assert spark.table("t_crmh_sigs").count() == ns
+        assert pairs("sC") == got
+        # the dead rows are still physical until compaction purges
+        # them (and clears the tombstone rules)
+        dead_gen_rows = (spark.table("t_crmh_sigs")
+                         .where(F.col("doc_id") == 10).count())
+        assert dead_gen_rows == 1
+        dedup.minhash_index_compact(spark, "t_crmh",
+                                    str(tmp_path / "cmp"))
+        assert (spark.table("t_crmh_sigs")
+                .where(F.col("doc_id") == 10).count()) == 0
+        assert not spark.catalog.tableExists("t_crmh_dead")
+        # probes unchanged after the physical purge
+        probe = spark.createDataFrame(
+            [(99, SEED_TEXT.replace("tonight", "someday"))],
+            "doc_id long, text string")
+        post = {(r.doc_new, r.doc_old) for r in
+                dedup.minhash_index_probe(probe, "t_crmh",
+                                          threshold=0.5).collect()}
+        assert not any(do == 10 for _, do in post)
+        assert any(do == 1 for _, do in post)
+    finally:
+        for t in ("t_crmh_bands", "t_crmh_sigs", "t_crmh_dead",
+                  "t_crmh_bands_compact", "t_crmh_sigs_compact",
+                  "t_crmh_bands_old", "t_crmh_sigs_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_deliveries_manifest_mode_survives_file_splits(
+        spark, tmp_path):
+    """start_corpus_deliveries (r12): the manifest IS the atomic
+    delivery token — a multi-file delivery commits as one unit even
+    at maxFilesPerTrigger=1, an identical redelivery is a structural
+    no-op (content-keyed manifest name), and a re-crawl is an
+    unambiguous new manifest that recomputes the shard (T5)."""
+    import os
+
+    from georiva_spark.streaming.ingest import (
+        start_corpus_deliveries, write_delivery_manifest)
+
+    land = str(tmp_path / "land")
+    data = str(tmp_path / "data")
+    corp = str(tmp_path / "corpus")
+    os.makedirs(land)
+    eng = _mk_engine(spark, corp, str(tmp_path / "out"))
+
+    def write_files(prefix, row_groups, shard):
+        paths = []
+        for i, rows in enumerate(row_groups):
+            d = os.path.join(data, f"{prefix}_{i}")
+            (spark.createDataFrame(
+                [(di, t, "en", "web", shard) for di, t in rows],
+                SCHEMA + ", shard string")
+             .coalesce(1).write.mode("overwrite").parquet(d))
+            paths.append(d)
+        return paths
+
+    def run():
+        q = start_corpus_deliveries(
+            spark, land, corp, str(tmp_path / "ck"), eng,
+            max_files_per_trigger=1, available_now=True)
+        q.awaitTermination()
+
+    # one delivery, TWO data files — the exact shape that straddles
+    # the direct stream
+    paths = write_files("d1", [[(1, SEED_TEXT)], [(2, NOVEL_A)]], "sA")
+    write_delivery_manifest(land, "sA", paths)
+    run()
+    got = spark.read.parquet(corp)
+    assert {r.doc_id for r in got.collect()} == {1, 2}
+    item = next(it for it in eng.catalog.items
+                if it["collection"] == "crawl-shards")
+    checksum1 = item["checksum"]
+    # identical redelivery: content-keyed name → the SAME file, which
+    # the stream has already consumed — a structural no-op
+    p1 = write_delivery_manifest(land, "sA", paths)
+    p2 = write_delivery_manifest(land, "sA", list(reversed(paths)))
+    assert p1 == p2
+    run()
+    assert item["checksum"] == checksum1
+    assert spark.read.parquet(corp).count() == 2
+    # re-crawl: new files, new manifest — recomputes without opt-in
+    paths2 = write_files("d2", [[(3, NOVEL_C)]], "sA")
+    write_delivery_manifest(land, "sA", paths2)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corp).collect()} \
+        == {3}
+    assert item["checksum"] != checksum1
+    # a manifest whose files carry a different shard fails by name
+    paths3 = write_files("d3", [[(9, NOVEL_A)]], "sZ")
+    write_delivery_manifest(land, "sY", paths3)
+    q = start_corpus_deliveries(
+        spark, land, corp, str(tmp_path / "ck"), eng,
+        max_files_per_trigger=1, available_now=True)
+    with pytest.raises(Exception, match="must list exactly one"):
+        q.awaitTermination()
+
+
+def test_grow_layout_missing_clean_item_fails_by_name(spark, tmp_path):
+    """ADVICE item 3: a parked/failed clean unit must FAIL the batch
+    (checkpoint retries) instead of silently skipping the shard's
+    token-layout growth."""
+    import os
+
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = str(tmp_path / "land")
+    corp = str(tmp_path / "corpus")
+    os.makedirs(land)
+    # registry WITHOUT the clean recipe: dispatch produces no
+    # corpus-clean item, so layout growth has nothing to read
+    ctx = CatalogContext(spark, [], grid_loader=lambda it: None)
+    eng = DerivationEngine(spark, RecipeRegistry(), ctx,
+                           output_dir=str(tmp_path / "out"),
+                           definitions=[])
+    _land(spark, tmp_path, land, "f0", [(1, SEED_TEXT)], "sA")
+    q = start_corpus_ingest(
+        spark, land, corp, str(tmp_path / "ck"), eng,
+        max_files_per_trigger=1, available_now=True,
+        token_layout=str(tmp_path / "layout"), merges=MERGES,
+        token_alphabet="abcdefghijklmnopqrstuvwxyz")
+    with pytest.raises(Exception, match="no[ ]corpus-clean item"):
+        q.awaitTermination()

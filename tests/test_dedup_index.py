@@ -1773,3 +1773,103 @@ def test_hamming_recall_estimate_proves_pigeonhole_guarantee(spark):
     assert out.recall == 1.0 and out.precision == 1.0
     with pytest.raises(ValueError, match="sample_ppm"):
         hamming_recall_estimate(codes, sample_ppm=2_000_000)
+
+
+def test_minhash_index_retract_tombstones_then_compact_purges(
+        spark, tmp_path):
+    """r12 — T5 reaching the index: retract tombstones a shard's dead
+    generations (probes stop matching immediately, O(1) rule rows);
+    compaction removes the rows physically and clears the rules."""
+    t = "t_mhretr"
+    base = _docs(spark, [(1, BASE)])
+    novel = ("an entirely new crawl page describing salted cell "
+             "joins and fan out spread for streamed ann serving")
+    try:
+        dedup.minhash_index_write(base, t, str(tmp_path / "ix"),
+                                  n_buckets=4)
+        g1 = dedup.index_gen("sA", "v1")
+        dedup.minhash_index_append(_docs(spark, [(10, novel)]), t,
+                                   gen=g1)
+        assert dedup.minhash_index_has_gen(spark, t, g1)
+        probe = _docs(spark, [(99, novel.replace("salted", "seeded")),
+                              (98, BASE.replace("tonight", "someday"))])
+        got = {(r.doc_new, r.doc_old) for r in
+               dedup.minhash_index_probe(probe, t,
+                                         threshold=0.5).collect()}
+        assert (99, 10) in got and (98, 1) in got
+        # re-crawl sA: tombstone everything but the incoming g2
+        g2 = dedup.index_gen("sA", "v2")
+        dedup.minhash_index_retract(spark, t, "sA", keep_gen=g2)
+        got = {(r.doc_new, r.doc_old) for r in
+               dedup.minhash_index_probe(probe, t,
+                                         threshold=0.5).collect()}
+        assert not any(do == 10 for _, do in got)   # dead generation
+        assert (98, 1) in got                       # '' base unscathed
+        # the replacement generation is live (it IS the keep_gen)
+        other = ("fresh recrawled body text with wholly different "
+                 "tokens about reduced gaussian grib grids")
+        dedup.minhash_index_append(_docs(spark, [(11, other)]), t,
+                                   gen=g2)
+        got = {(r.doc_new, r.doc_old) for r in dedup.minhash_index_probe(
+            _docs(spark, [(97, other.replace("fresh", "newly"))]), t,
+            threshold=0.5).collect()}
+        assert (97, 11) in got
+        # physical purge at compaction + rule table cleared
+        assert spark.table(f"{t}_sigs").where("doc_id = 10").count() == 1
+        dedup.minhash_index_compact(spark, t, str(tmp_path / "cmp"))
+        assert spark.table(f"{t}_sigs").where("doc_id = 10").count() == 0
+        assert spark.table(f"{t}_bands").where("doc_id = 10").count() == 0
+        assert not spark.catalog.tableExists(f"{t}_dead")
+        got = {(r.doc_new, r.doc_old) for r in
+               dedup.minhash_index_probe(probe, t,
+                                         threshold=0.5).collect()}
+        assert not any(do == 10 for _, do in got)
+        assert (98, 1) in got
+    finally:
+        for s in ("bands", "sigs", "dead", "bands_compact",
+                  "sigs_compact", "bands_old", "sigs_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
+
+
+def test_minhash_retract_validation_and_unversioned_guards(
+        spark, tmp_path):
+    """index_gen rejects empty/sentinel shards; retracting the ''
+    base is refused; a pre-r12 unversioned layout refuses tagged
+    appends by name (rebuild to make it retractable)."""
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup.index_gen("", "v1")
+    with pytest.raises(ValueError, match="GEN_SEP"):
+        dedup.index_gen("a\x1fb", "v1")
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup.minhash_index_retract(spark, "t_any", "")
+    # hand-build an old (gen-less) layout: bucketed tables + stamp
+    from georiva_spark.sources.bucketing import write_bucketed
+    t = "t_mhold"
+    base = _docs(spark, [(1, BASE)])
+    try:
+        sig = dedup.minhash_signatures(base)
+        banded = sig.select(
+            "doc_id",
+            F.posexplode(dedup._band_buckets(64, 16))
+            .alias("band", "bucket"))
+        write_bucketed(banded.select("band", "bucket", "doc_id"),
+                       f"{t}_bands", ["band", "bucket"], 4,
+                       str(tmp_path / "ob"))
+        write_bucketed(sig, f"{t}_sigs", "doc_id", 4,
+                       str(tmp_path / "os"), sort=False)
+        spark.sql(
+            f"ALTER TABLE {t}_bands SET TBLPROPERTIES ("
+            f"'georiva.num_hashes'='64', 'georiva.bands'='16', "
+            f"'georiva.n'='3', 'georiva.n_buckets'='4')")
+        with pytest.raises(ValueError, match="unversioned"):
+            dedup.minhash_index_append(base, t,
+                                       gen=dedup.index_gen("s", "v"))
+        # untagged appends and probes still work on the old layout
+        dedup.minhash_index_append(_docs(spark, [(2, BASE)]), t)
+        got = {(r.doc_new, r.doc_old) for r in
+               dedup.minhash_index_probe(_docs(spark, [(9, BASE)]), t,
+                                         threshold=0.5).collect()}
+        assert {(9, 1), (9, 2)} <= got
+    finally:
+        for s in ("bands", "sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")

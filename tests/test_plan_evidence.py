@@ -900,6 +900,31 @@ def test_python_boundary_audit_current():
         f"{documented - arrow_files}. Update SCALE.md §Python boundary "
         f"AND this test together.")
 
+    # r12 (the r11 verdict's item 4): spark.createDataFrame(list) is
+    # Python-RDD-backed — ~7 s per evaluation even for a 36-row frame
+    # (the r11 finding) — so every bounded frame must go through
+    # functions/frames.local_frame (Arrow). The only allowed sites
+    # are the enumerated empty-frame short-circuits and local_frame's
+    # own implementation; a new site anywhere else fails here, the
+    # same tripwire pattern that keeps F.udf extinct.
+    cdf_re = re.compile(r"\.createDataFrame\(")
+    allowed = {
+        "operators/zonal.py": 1,        # empty zonal-stats short-circuit
+        "sources/zarr_store.py": 1,     # empty-manifest short-circuit
+        "sources/acquisition.py": 2,    # empty fetch ledgers
+        "functions/frames.py": 4,       # local_frame itself (+docstring)
+    }
+    found: dict[str, int] = {}
+    for py in pkg.rglob("*.py"):
+        k = len(cdf_re.findall(py.read_text()))
+        if k:
+            found[str(py.relative_to(pkg))] = k
+    assert found == allowed, (
+        f"spark.createDataFrame drift: {found} != allowed {allowed}. "
+        f"Use functions/frames.local_frame (Arrow-backed, ~25x) for "
+        f"any bounded frame that lands in a query plan; extend the "
+        f"allowlist ONLY for empty-frame short-circuits.")
+
 
 def test_corpus_pipeline_composition_keeps_plan_shapes(spark):
     """The end-to-end crawl→strip→gopher→line-dedup→minhash-probe
@@ -985,3 +1010,41 @@ def test_ivf_index_trained_quantizer_balances_clustered_cells(spark):
         for t in ("t_ivfs", "t_ivft"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")
+
+
+def test_minhash_retraction_antijoin_is_broadcast(spark, tmp_path):
+    """r12 tombstone scale story: the probe's dead-generation filter
+    must be a BROADCAST anti-join of the bounded rule table (equi on
+    the shard prefix, residual on keep_gen) — never a shuffle of the
+    index, never a nested loop. One rule row per retracted shard."""
+    from georiva_spark.functions.frames import local_frame
+    from georiva_spark.operators import dedup
+    t = "t_planret"
+    try:
+        base = local_frame(
+            spark, [(1, "the quick brown fox jumps over the lazy dog "
+                        "tonight and runs far away")],
+            "doc_id long, text string")
+        dedup.minhash_index_write(base, t, str(tmp_path / "ix"),
+                                  n_buckets=4)
+        dedup.minhash_index_append(
+            local_frame(spark, [(10, "novel text about salted joins "
+                                     "and cells in streamed stores")],
+                        "doc_id long, text string"),
+            t, gen=dedup.index_gen("sA", "v1"))
+        dedup.minhash_index_retract(spark, t, "sA",
+                                    keep_gen=dedup.index_gen("sA", "v2"))
+        probe = local_frame(
+            spark, [(99, "novel text about salted joins and cells in "
+                         "streamed systems")],
+            "doc_id long, text string")
+        plan = (dedup.minhash_index_probe(probe, t, threshold=0.3)
+                ._jdf.queryExecution().executedPlan().toString())
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, "expected tombstone anti-joins in the probe plan"
+        assert all("BroadcastHashJoin" in ln for ln in anti), anti
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        for s in ("bands", "sigs", "dead"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")

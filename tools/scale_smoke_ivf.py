@@ -114,7 +114,111 @@ def main(n=500_000, d=64, blobs=16):
         spark.sql(f"DROP TABLE IF EXISTS {t}_centroids")
     spark.sql("DROP TABLE IF EXISTS t_smk_pq_codebook")
     shutil.rmtree(root, ignore_errors=True)
+    skewed_tune_stage(spark, n=n, d=d, blobs=blobs)
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 500_000)
+
+
+def skewed_tune_stage(spark, n=500_000, d=64, blobs=16,
+                      sample_ppm=200):
+    """r12 (the r11 verdict's item 6): ann_tune's MEASURED pricing on
+    a realistically skewed index, at scale. One hot blob holds 80% of
+    the corpus and the quantizer splits it across TWO cells (two seed
+    centroids inside it), so a hot query's true top-k straddles the
+    cell boundary: nprobe=1 caps recall, nprobe=2 restores it, and
+    shortlist fights 4-bit ADC noise independently. The analytic
+    proxy nprobe·⌈N/C⌉ prices the second probe at a uniform cell
+    (N/C rows); the real second cell is the hot twin — the measured
+    column prices it honestly. The stage prints the full grid under
+    both rankings and the product-target window (if any) where they
+    SELECT DIFFERENT settings — the decision the proxy gets wrong."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(blobs, d)) * 6.0
+    # blob 0 = 80% of ids; blobs 1..15 share the rest
+    def gen(it):
+        import pandas as pd
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            tail = (ids % 10) >= 8
+            blob = np.where(tail, 1 + ((ids // 10) % (blobs - 1)), 0)
+            v = centers[blob] + np.random.default_rng(
+                int(ids[0]) + 1).normal(scale=0.4, size=(len(ids), d))
+            yield pd.DataFrame({"vec_id": ids,
+                                "embedding": list(v.astype(np.float64))})
+
+    emb = spark.range(n).mapInPandas(
+        gen, "vec_id long, embedding array<double>")
+    root = tempfile.mkdtemp(prefix="ivf_skew_")
+    # seeds: TWO inside the hot blob (ids 0 and 10 — both blob 0, far
+    # apart in noise), one per tail blob (id 8+10(b-1) lands in blob b)
+    seeds = [0, 10] + [8 + 10 * (b - 1) for b in range(1, blobs - 1)]
+    t = "t_smk_skew"
+    t0 = time.time()
+    similarity.ivf_pq_index_write(emb, t, os.path.join(root, "skew"),
+                                  n_centroids=blobs, m=8, nbits=4,
+                                  seed_ids=seeds)
+    wt = time.time() - t0
+    sizes = sorted(r["count"] for r in
+                   spark.table(t).groupBy("cell").count().collect())
+    print(f"skewed-pq write {wt:.1f}s  cells={len(sizes)}  "
+          f"sizes min/max={sizes[0]}/{sizes[-1]}  "
+          f"max/mean={sizes[-1]/(n/len(sizes)):.2f}")
+
+    nprobes, shortlists = (1, 2), (100, 10_000)
+    t0 = time.time()
+    grid = similarity.ann_recall_estimate(
+        spark, t, k=10, nprobes=nprobes, shortlist=shortlists,
+        emb=emb, sample_ppm=sample_ppm).collect()
+    props = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+    mc = {r["nprobe"]: r["__mc"] for r in
+          similarity._measured_candidates(
+              spark, t, props, nprobes, sample_ppm, emb,
+              "recall").collect()}
+    el = time.time() - t0
+    per_probe = (n + blobs - 1) // blobs
+    rows = sorted(((r.nprobe, r.shortlist, r.recall,
+                    r.nprobe * per_probe + r.shortlist,
+                    mc[r.nprobe] + r.shortlist) for r in grid))
+    print(f"grid ({grid[0].n_queries} queries, {el:.1f}s) — "
+          f"proxy prices every probe at ceil(N/C)={per_probe}:")
+    for np_, sl, rec, cp, cm in rows:
+        print(f"  nprobe={np_} shortlist={sl:>6}: recall={rec:.3f}  "
+              f"proxy_cost={cp:>7}  measured_cost={cm:>9.0f}")
+    print(f"  measured mc(1)={mc[1]:.0f} vs proxy {per_probe} "
+          f"({mc[1]/per_probe:.1f}x under-priced by the proxy); "
+          f"mc(2)-mc(1)={mc[2]-mc[1]:.0f} vs proxy +{per_probe}")
+    assert mc[1] > 2 * per_probe      # the hot cell, size-biased
+
+    # the selection flip: product targets where the two rankings
+    # choose DIFFERENT settings
+    flips = []
+    recs = sorted({round(r[2], 6) for r in rows})
+    for tgt in recs:
+        ok = [r for r in rows if round(r[2], 6) >= tgt]
+        pick_p = min(ok, key=lambda r: (r[3], -r[2], r[0], r[1]))
+        pick_m = min(ok, key=lambda r: (r[4], -r[2], r[0], r[1]))
+        if (pick_p[0], pick_p[1]) != (pick_m[0], pick_m[1]):
+            flips.append((tgt, pick_p, pick_m))
+    for tgt, pp, pm in flips[:3]:
+        print(f"  FLIP at target {tgt:.3f}: proxy picks "
+              f"(nprobe={pp[0]}, shortlist={pp[1]}) cost={pp[3]}, "
+              f"measured picks (nprobe={pm[0]}, shortlist={pm[1]}) "
+              f"cost={pm[4]:.0f}")
+        choice = similarity.ann_tune(
+            spark, t, target_recall=tgt, k=10, nprobes=nprobes,
+            shortlist=shortlists, emb=emb,
+            sample_ppm=sample_ppm).head()
+        assert (choice.nprobe, choice.shortlist) == (pm[0], pm[1]), \
+            (choice, pm)
+    if not flips:
+        print("  no flip at any realized target (grid too coarse)")
+    for s in ("", "_centroids", "_codebook"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+    shutil.rmtree(root, ignore_errors=True)
+    return bool(flips)
