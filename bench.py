@@ -74,6 +74,9 @@ HEADLINE = [
     # crawl-shard arrivals drive clean units + chained datacard/token
     # rollups end-to-end (T2/T3 exercised in-query)
     "corpus_products",
+    # r12: generation-versioned MinHash index with T5 retraction —
+    # write + tagged append + tombstone + live-filtered probe
+    "minhash_retract",
 ]
 
 

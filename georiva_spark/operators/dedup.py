@@ -1286,6 +1286,12 @@ def minhash_index_retract(spark, table: str, shard: str,
             "minhash_index_retract: shard must be non-empty — "
             "retracting the unversioned '' base would tombstone the "
             "whole index")
+    if "gen" not in spark.table(f"{table}_bands").columns:
+        raise ValueError(
+            f"minhash_index_retract: {table!r} is an unversioned "
+            f"(pre-r12) layout without a gen column — its rows carry "
+            f"no generation to retract; rebuild it with "
+            f"minhash_index_write")
     dead_t = f"{table}_dead"
     seq = 0
     if spark.catalog.tableExists(dead_t):

@@ -130,3 +130,38 @@ def test_delta_replay_removes_stale_staging_dir(spark, tmp_path):
                                     generation="g1")   # replay no-op
     assert not os.path.exists(stale)
     assert man.agg({"n_docs": "sum"}).head()[0] == 2
+
+
+# ---- concurrent evaluations: app-id-suffixed fixture dirs ------------------
+
+def test_concurrent_corpus_products_evaluations():
+    """r12 (the r11 verdict's item 5): the driver correctness probe
+    and a local bench run are separate Spark apps that may evaluate
+    the same in-query-engine query at once — with the old shared
+    fixture dir one rmtree'd the other mid-flight. Two real JVMs now
+    run q_corpus_products concurrently and both must succeed (each
+    writes under its own application-id-suffixed dir)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[8]')\n"
+        "         .config('spark.sql.shuffle.partitions', '8')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "from georiva_spark.queries import QUERIES\n"
+        "df = QUERIES['corpus_products'](spark,"
+        " '/root/testdata/sf0.001')\n"
+        "print('ROWS', df.count())\n")
+    procs = [subprocess.Popen([sys.executable, "-c", code],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE)
+             for _ in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        outs.append((p.returncode, out, err[-2000:]))
+    for rc, out, err in outs:
+        assert rc == 0, (rc, err)
+        assert b"ROWS" in out, (out, err)

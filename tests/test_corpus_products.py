@@ -697,3 +697,61 @@ def test_grow_layout_missing_clean_item_fails_by_name(spark, tmp_path):
         token_alphabet="abcdefghijklmnopqrstuvwxyz")
     with pytest.raises(Exception, match="no[ ]corpus-clean item"):
         q.awaitTermination()
+
+
+def test_ledger_restart_stable_ids_keep_t3_and_t5(spark, tmp_path):
+    """r12 stable item ids (the r11 verdict's item 2 / ADVICE item 2):
+    a RESTARTED driver re-registers the same crawl shard under the
+    SAME md5-derived item id, so (a) an unchanged shard still SKIPS
+    on input_hash against the persisted ledger (T3 across restarts)
+    and (b) a re-crawled shard is still REACHABLE by the distributed
+    stale scan (T5) — the persisted lineage references the id the
+    fresh registration re-mints. PYTHONHASHSEED-salted hash() ids
+    broke (b) silently: lineage pointed at the dead id."""
+    import os
+
+    from georiva_spark.plans.recipe import stable_item_id
+
+    texts = _texts()
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+
+    def mk_engine(items, version):
+        def loader(it):
+            if it["collection"] == "crawl-shards":
+                key = "shard-0" if version == 1 else "shard-0b"
+                return spark.createDataFrame(texts[key], SCHEMA)
+            return spark.read.parquet(
+                os.path.join(out, f"unit={it['unit_hash']}"))
+        ctx = CatalogContext(spark, items, grid_loader=loader)
+        reg = RecipeRegistry()
+        reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+        return DerivationEngine(spark, reg, ctx, output_dir=out,
+                                definitions=[], ledger_dir=ledger)
+
+    def mint(checksum):
+        return {"item_id": stable_item_id("crawl", "shard-0"),
+                "collection": "crawl-shards", "variable": "shard-0",
+                "time": None, "tier": "staging", "checksum": checksum}
+
+    it1 = mint("crawl-0-v1")
+    eng1 = mk_engine([it1], version=1)
+    rec = eng1.dispatch_for_trigger(Trigger("staging_item", it1))
+    assert [r.status for r in rec] == ["completed"]
+
+    # ---- driver restart: fresh engine on the same ledger, fresh
+    # catalog rebuilt by the stream re-registering the shard --------
+    it2 = mint("crawl-0-v1")              # same content re-delivered
+    assert it2["item_id"] == it1["item_id"]   # the stable-id property
+    eng2 = mk_engine([it2], version=1)
+    rec = eng2.dispatch_for_trigger(Trigger("staging_item", it2))
+    assert [r.status for r in rec] == ["skipped"]      # T3 held
+
+    # ---- re-crawl after restart: T5 still reaches the unit --------
+    it3 = mint("crawl-0-v2")
+    eng3 = mk_engine([it3], version=2)
+    stale = eng3.stale_units_df().collect()
+    assert len(stale) == 1 and '"shard-0"' in stale[0].unit_key
+    swept = eng3.sweep_stale()
+    assert any(r.status == "completed" for r in swept)
+    assert eng3.stale_units_df().count() == 0

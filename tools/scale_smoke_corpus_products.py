@@ -247,9 +247,172 @@ def main() -> None:
         smoke_streamed_products(spark, n, base)
         smoke_delta_export(spark, n, base)
         smoke_10k_strata_samplers(spark, n)
+        smoke_streamed_recrawl(spark, n, base)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
     main()
+
+
+def smoke_streamed_recrawl(spark, n: int, base: str) -> None:
+    """r12 (the r11 verdict's item 7): a RE-CRAWLED shard end-to-end
+    through the streamed path — the engine recomputes exactly the
+    shard's closure (T5), the persistent near-dup MinHash index
+    RETRACTS the dead signatures (probes stop matching content that
+    no longer exists), the replay guard still holds, and the
+    datacard converges to a from-scratch build of the corpus as it
+    now stands. Shards are n//8 docs; the near-dup leg runs the real
+    signature kernel per batch."""
+    from georiva_spark.functions.frames import local_frame
+    from georiva_spark.operators import dedup
+    from georiva_spark.plans.engine import DerivationEngine
+    from georiva_spark.plans.recipe import (CatalogContext,
+                                            RecipeRegistry)
+    from georiva_spark.plans.recipes.corpus import (
+        CorpusCleanRecipe, CorpusDatacardRecipe,
+        CorpusShardStatsRecipe, corpus_product_definitions,
+    )
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    q = n // 8
+    land = os.path.join(base, "rc_land")
+    corp = os.path.join(base, "rc_corpus")
+    out = os.path.join(base, "rc_out")
+    ck = os.path.join(base, "rc_ck")
+    nd = os.path.join(base, "rc_nd")
+    os.makedirs(land)
+
+    def land_file(name, df):
+        tmp = os.path.join(base, f"rc_stage_{name}")
+        df.coalesce(8).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(land, f"{name}-{i}.parquet"))
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    ctx = CatalogContext(spark, [], grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 5}))
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusDatacardRecipe())
+    # only the datacard branch of the DAG (token partials covered by
+    # the products smoke above)
+    defs = [d for d in corpus_product_definitions()
+            if d.key in ("corpus-clean", "corpus-shard-stats",
+                         "corpus-datacard")]
+    eng = DerivationEngine(spark, reg, ctx, output_dir=out,
+                           definitions=defs)
+    # bootstrap the gen-stamped index (yesterday's corpus: 1 sentinel)
+    dedup.minhash_index_write(
+        local_frame(spark, [(10 ** 12, "bootstrap sentinel row")],
+                    "doc_id long, text string"),
+        "t_rc_idx", os.path.join(base, "rc_idx"), n_buckets=32)
+
+    def run(**kw):
+        t0 = time.perf_counter()
+        qy = start_corpus_ingest(
+            spark, land, corp, ck, eng, max_files_per_trigger=64,
+            available_now=True, neardup_table="t_rc_idx",
+            neardup_out_dir=nd, neardup_threshold=0.5, **kw)
+        qy.awaitTermination()
+        return time.perf_counter() - t0
+
+    def pairs(shard):
+        return spark.read.parquet(f"{nd}/shard={shard}")
+
+    sA = corpus(spark, q).withColumn("shard", F.lit("sA"))
+    land_file("a1", sA)
+    tA = run()
+    sB = corpus(spark, q, id_offset=q).withColumn("shard", F.lit("sB"))
+    land_file("b1", sB)
+    tB = run()
+    print(f"recrawl smoke: shards of {q/1e3:.0f}k docs; ingest+probe+"
+          f"index-append sA {tA:.1f}s, sB {tB:.1f}s "
+          f"(pairs sB: {pairs('sB').count()})")
+    # RE-CRAWL sA with wholly new content
+    sA2 = corpus(spark, q, id_offset=4 * q) \
+        .withColumn("shard", F.lit("sA"))
+    land_file("a2", sA2)
+    tR = run(recrawl="recompute")
+    # sC duplicates the DEAD sA content (fresh doc_ids) plus a 10%
+    # positive control duplicating the LIVE re-crawled content
+    dead_dups = corpus(spark, q).select(
+        (F.col("doc_id") + 8 * q).alias("doc_id"), "text", "lang",
+        "source")
+    live_dups = corpus(spark, q // 10, id_offset=4 * q).select(
+        (F.col("doc_id") + 10 * q).alias("doc_id"), "text", "lang",
+        "source")
+    sC = dead_dups.unionByName(live_dups) \
+        .withColumn("shard", F.lit("sC"))
+    land_file("c1", sC)
+    tC = run()
+    pc = pairs("sC")
+    dead_hits = pc.where(F.col("doc_new") < 9 * q).count()
+    live_hits = pc.where(F.col("doc_new") >= 10 * q).count()
+    assert dead_hits == 0, dead_hits   # retracted: dead content gone
+    assert live_hits > 0               # live generation still probes
+    print(f"re-crawl sA {tR:.1f}s (engine closure recompute + index "
+          f"retraction); probe of {q/1e3:.0f}k dead-content dups: "
+          f"0 pairs (retracted), {live_hits} pairs vs the live "
+          f"re-crawled generation ({tC:.1f}s)")
+    # replay guard: identical sC re-lands, nothing appends twice
+    nb = spark.table("t_rc_idx_bands").count()
+    land_file("c2", sC)
+    tRep = run()
+    assert spark.table("t_rc_idx_bands").count() == nb
+    # datacard converges to a from-scratch build of the CURRENT corpus
+    from georiva_spark.operators.textops import gopher_rules
+    cur = spark.read.parquet(corp)
+    g = gopher_rules(cur.drop("shard"), min_words=5, max_words=1000,
+                     min_mean_word_len=1.0, max_mean_word_len=10.0,
+                     max_symbol_ratio=0.1, max_bullet_ratio=0.9,
+                     min_stopword_hits=1)
+    surv = cur.join(g.where(F.col("gopher_pass")).select("doc_id"),
+                    "doc_id", "left_semi")
+    keep = (surv.groupBy("shard",
+                         F.md5(F.coalesce(F.col("text"), F.lit("")))
+                         .alias("__h"))
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    fresh = {(r.lang, r.source): r.n for r in
+             surv.join(keep, "doc_id", "left_semi")
+             .groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    card_item = next(i for i in eng.catalog.items
+                     if i["collection"] == "corpus-datacard")
+    card = {(r.lang, r.source): r.n_docs
+            for r in loader(card_item).collect()}
+    assert card == fresh, (card, fresh)
+    print(f"replay {tRep:.1f}s (guard held, no double-append); "
+          f"datacard over {len(card)} strata == from-scratch build "
+          f"of the post-recrawl corpus")
+    # compaction purges the retracted rows physically
+    t0 = time.perf_counter()
+    dedup.minhash_index_compact(spark, "t_rc_idx",
+                                os.path.join(base, "rc_idx_c"))
+    tCp = time.perf_counter() - t0
+    assert not spark.catalog.tableExists("t_rc_idx_dead")
+    land_file("c3", sC.withColumn(
+        "doc_id", F.col("doc_id") + 20 * q).withColumn(
+        "shard", F.lit("sD")))
+    run()
+    pd_ = pairs("sD")
+    assert pd_.where(F.col("doc_old") < q).count() == 0
+    print(f"compaction {tCp:.1f}s: dead rows physically gone, rules "
+          f"cleared, post-compact probes unchanged")
+    # the token layout's answer to a re-crawl stays fail-by-name
+    # (documented rebuild path) — proven at test scale in
+    # tests/test_corpus_products.py::
+    # test_corpus_stream_grows_token_layout_exactly_once
+    for t in ("t_rc_idx_bands", "t_rc_idx_sigs", "t_rc_idx_dead",
+              "t_rc_idx_bands_compact", "t_rc_idx_sigs_compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

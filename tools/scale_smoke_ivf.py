@@ -117,8 +117,6 @@ def main(n=500_000, d=64, blobs=16):
     skewed_tune_stage(spark, n=n, d=d, blobs=blobs)
 
 
-if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500_000)
 
 
 def skewed_tune_stage(spark, n=500_000, d=64, blobs=16,
@@ -159,9 +157,13 @@ def skewed_tune_stage(spark, n=500_000, d=64, blobs=16,
     seeds = [0, 10] + [8 + 10 * (b - 1) for b in range(1, blobs - 1)]
     t = "t_smk_skew"
     t0 = time.time()
+    # train_iters>0 is what makes seed_ids take effect (pinned-cents
+    # ignores them): two Lloyd rounds from the seeds keep the two hot
+    # seeds splitting the hot blob into twin ~40%-cells
     similarity.ivf_pq_index_write(emb, t, os.path.join(root, "skew"),
                                   n_centroids=blobs, m=8, nbits=4,
-                                  seed_ids=seeds)
+                                  seed_ids=seeds, train_iters=2,
+                                  train_sample_ppm=100_000)
     wt = time.time() - t0
     sizes = sorted(r["count"] for r in
                    spark.table(t).groupBy("cell").count().collect())
@@ -169,7 +171,13 @@ def skewed_tune_stage(spark, n=500_000, d=64, blobs=16,
           f"sizes min/max={sizes[0]}/{sizes[-1]}  "
           f"max/mean={sizes[-1]/(n/len(sizes)):.2f}")
 
-    nprobes, shortlists = (1, 2), (100, 10_000)
+    # the flip-capable grid shape: the shortlist GAP (50k) sits
+    # between the proxy's price for the second probe (⌈N/C⌉≈31k) and
+    # its real price (the hot twin cell, ~110k at n=500k) — so among
+    # settings meeting a mid-window recall target, the proxy prefers
+    # buying the extra probe while the measured column prefers the
+    # bigger re-rank, and they SELECT DIFFERENT settings
+    nprobes, shortlists = (1, 2), (10_000, 60_000)
     t0 = time.time()
     grid = similarity.ann_recall_estimate(
         spark, t, k=10, nprobes=nprobes, shortlist=shortlists,
@@ -222,3 +230,7 @@ def skewed_tune_stage(spark, n=500_000, d=64, blobs=16,
         spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
     shutil.rmtree(root, ignore_errors=True)
     return bool(flips)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500_000)
