@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries the driver's rotating correctness window has not recorded yet
 # (the r12 addition) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "minhash_retract",
+    "minhash_retract", "ann_retract", "image_retract",
 ]
 
 

@@ -74,9 +74,10 @@ HEADLINE = [
     # crawl-shard arrivals drive clean units + chained datacard/token
     # rollups end-to-end (T2/T3 exercised in-query)
     "corpus_products",
-    # r12: generation-versioned MinHash index with T5 retraction —
-    # write + tagged append + tombstone + live-filtered probe
-    "minhash_retract",
+    # r12: generation-versioned index triad with T5 retraction —
+    # write + tagged append + tombstone + live-filtered probe per
+    # family (text bands / embedding cells / perceptual memberships)
+    "minhash_retract", "ann_retract", "image_retract",
 ]
 
 

@@ -6,6 +6,13 @@ text. Exact dedup groups on a 128-bit content hash; MinHash-LSH explodes
 per-band bucket keys (b rows per doc, b≈8-16) and self-joins only inside
 buckets; SimHash buckets on rotated prefixes. Candidate verification is the
 only O(pair) step and runs on the tiny candidate set.
+
+The two persistent index families here (MinHash text, Hamming media)
+and the IVF/PQ embedding family in operators/similarity.py share one
+retraction mechanism (r12, operators/_tombstones.py): rows appended
+from a crawl delivery carry a generation tag, a re-crawled shard
+tombstones via ONE rule row, probes live-filter through a broadcast
+anti-join, and compaction purges physically.
 """
 
 from __future__ import annotations
@@ -641,7 +648,7 @@ def hamming_index_write(codes: DataFrame, table: str, path: str,
                         code_col: str = "code",
                         max_hamming: int = 3, bits: int = 64,
                         word_bits: int = 56,
-                        n_buckets: int = 64) -> None:
+                        n_buckets: int = 64, gen: str = "") -> None:
     """Persistent Hamming near-dup index — the PERCEPTUAL member of
     the index triad (MinHash for text, IVF for embeddings): probe
     yesterday's media corpus with today's shard without recomputing
@@ -658,7 +665,16 @@ def hamming_index_write(codes: DataFrame, table: str, path: str,
     Band keys come from :func:`_hamming_band_exprs` — the SAME
     definition the in-memory miner uses, so index and probe cannot
     drift. Banding parameters are stamped as TBLPROPERTIES and read
-    back at probe/append time (no caller params to mismatch)."""
+    back at probe/append time (no caller params to mismatch).
+
+    ``gen`` (r12) tags the MEMBERSHIP rows' generation (see
+    :func:`index_gen`) so a re-crawled media shard's dead members can
+    be RETRACTED (:func:`hamming_index_retract`). Band rows stay
+    generation-free BY DESIGN: they are distinct CODES shared across
+    shards (the pre-collapse), so retraction works at the membership
+    layer — a dead member vanishes from probe pairs and lookup
+    counts immediately, and compaction drops band rows whose code has
+    no live member left."""
     from georiva_spark.sources.bucketing import write_bucketed
 
     _, is_arr = _code_ref(codes, code_col)
@@ -675,7 +691,8 @@ def hamming_index_write(codes: DataFrame, table: str, path: str,
                       _code_ref(dc, "code")[0].alias("ref")))
     write_bucketed(banded, f"{table}_bands", ["band", "key"],
                    n_buckets, f"{path}/bands", sort=False)
-    write_bucketed(base.select(ref2.alias("ref"), "id"),
+    write_bucketed(base.select(ref2.alias("ref"), "id",
+                               F.lit(gen).alias("gen")),
                    f"{table}_ids", "ref", n_buckets, f"{path}/ids",
                    sort=False)
     codes.sparkSession.sql(
@@ -756,7 +773,11 @@ def hamming_index_probe(new_codes: DataFrame, table: str,
             .dropDuplicates(["__ra", "__rb"]))
     da = delta.select(_code_ref(delta, "code")[0].alias("__ra"),
                       F.col("id").alias("id_new"))
-    ib = spark.table(f"{table}_ids").select(
+    # retracted generations (re-crawled media shards, T5) vanish at
+    # the MEMBERSHIP expansion — a band-matched code whose only
+    # members are dead yields no pair rows
+    ib = _live_rows(spark.table(f"{table}_ids"),
+                    _dead_rules(spark, table)).select(
         F.col("ref").alias("__rb"), F.col("id").alias("id_old"))
     return (cand.join(da, "__ra").join(ib, "__rb")
             .where(F.col("id_new") != F.col("id_old"))
@@ -825,7 +846,8 @@ def hamming_index_lookup(new_codes: DataFrame, table: str,
             .select("__ra", "__rb", ham.alias("hamming"))
             .where(F.col("hamming") <= p["max_hamming"])
             .dropDuplicates(["__ra", "__rb"]))
-    ids_tbl = spark.table(f"{table}_ids")
+    ids_tbl = _live_rows(spark.table(f"{table}_ids"),
+                         _dead_rules(spark, table))
     if exclude_ids is not None:
         ex = exclude_ids.select(
             F.col(exclude_ids.columns[0]).alias("id"))
@@ -847,7 +869,8 @@ def hamming_index_lookup(new_codes: DataFrame, table: str,
 
 def hamming_index_append(new_codes: DataFrame, table: str,
                          id_col: str = "media_id",
-                         code_col: str = "code") -> None:
+                         code_col: str = "code",
+                         gen: str = "") -> None:
     """Append a delta shard into a :func:`hamming_index_write` index:
     band rows append only for codes the index has NOT seen (anti-join
     on the collision-free ref — the pre-collapse survives growth: a
@@ -860,9 +883,26 @@ def hamming_index_append(new_codes: DataFrame, table: str,
     The existing-membership scan is pruned to the delta's refs first
     (broadcast semi join — the delta is micro-batch-sized), mirroring
     the cost of the band-side seen-refs scan. Parameters come from the
-    stamp; listings refresh so an open serving session sees growth."""
+    stamp; listings refresh so an open serving session sees growth.
+
+    ``gen`` (r12) tags the appended membership rows (see
+    :func:`hamming_index_retract`); the duplicate-membership
+    anti-join considers LIVE rows only, so a re-crawled shard's new
+    delivery re-admits an id whose only prior membership is
+    tombstoned (the dead row stays until compaction purges it).
+    Tagged appends into an unversioned pre-r12 layout fail by name."""
     spark = new_codes.sparkSession
     p = hamming_index_params(spark, table)
+    if "gen" not in spark.table(f"{table}_ids").columns:
+        if gen:
+            raise ValueError(
+                f"hamming_index_append: {table!r} is an unversioned "
+                f"(pre-r12) layout without a gen column — it cannot "
+                f"take generation-tagged appends; rebuild it with "
+                f"hamming_index_write to make shards retractable")
+        gen_cols = []
+    else:
+        gen_cols = [F.lit(gen).alias("gen")]
     ref, is_arr = _code_ref(new_codes, code_col)
     if bool(p["arr"]) != is_arr:
         raise ValueError(
@@ -893,30 +933,71 @@ def hamming_index_append(new_codes: DataFrame, table: str,
      .bucketBy(p["n_buckets"], "band", "key")
      .saveAsTable(f"{table}_bands"))
     delta_ids = base.select(_code_ref(base, "code")[0].alias("ref"), "id")
-    existing = (spark.table(f"{table}_ids")
+    # LIVE rows only: a dead (tombstoned) membership must not block
+    # re-admission of the same (ref, id) under the new generation
+    existing = (_live_rows(spark.table(f"{table}_ids"),
+                           _dead_rules(spark, table))
                 .join(delta_ids.select("ref").distinct(), "ref",
                       "left_semi"))
     (delta_ids.join(existing, ["ref", "id"], "left_anti")
+     .select("ref", "id", *gen_cols)
      .write.mode("append").format("parquet")
      .bucketBy(p["n_buckets"], "ref").saveAsTable(f"{table}_ids"))
     spark.catalog.refreshTable(f"{table}_bands")
     spark.catalog.refreshTable(f"{table}_ids")
 
 
+def hamming_index_retract(spark, table: str, shard: str,
+                          keep_gen: str = "") -> None:
+    """Retract a re-crawled media shard's DEAD memberships from a
+    persistent Hamming index (r12 — the T5 tombstone machinery shared
+    with the MinHash and IVF families, operators/_tombstones.py):
+    tombstone every generation of ``shard`` except ``keep_gen``.
+    Probes and lookups stop matching the dead members immediately
+    (broadcast anti-join of the bounded rule table at the membership
+    expansion); :func:`hamming_index_compact` purges them physically,
+    drops band rows whose code has no live member left, and clears
+    the rules."""
+    if not shard:
+        raise ValueError(
+            "hamming_index_retract: shard must be non-empty — "
+            "retracting the unversioned '' base would tombstone the "
+            "whole index")
+    if "gen" not in spark.table(f"{table}_ids").columns:
+        raise ValueError(
+            f"hamming_index_retract: {table!r} is an unversioned "
+            f"(pre-r12) layout without a gen column — its membership "
+            f"rows carry no generation to retract; rebuild it with "
+            f"hamming_index_write")
+    _retract(spark, table, shard, keep_gen,
+             who="hamming_index_retract")
+
+
 def hamming_index_compact(spark, table: str, path: str) -> None:
     """Compact an appended-to Hamming index back to one file per
     bucket — stamps land on the staged tables BEFORE the crash-atomic
     swap (atomic_swap_table's contract), same policy as the MinHash
-    and IVF compactions."""
+    and IVF compactions. Tombstoned memberships
+    (:func:`hamming_index_retract`) are removed PHYSICALLY, band rows
+    whose code has no live member left are dropped (a retracted-only
+    code stops generating candidates at all), and the rule table
+    clears AFTER both swaps."""
+    from georiva_spark.operators._tombstones import clear_rules
     from georiva_spark.sources.bucketing import (atomic_swap_table,
                                                  write_bucketed)
 
     p = hamming_index_params(spark, table)
-    write_bucketed(spark.table(f"{table}_bands"),
+    dead = _dead_rules(spark, table)
+    live_ids = _live_rows(spark.table(f"{table}_ids"), dead)
+    bands_tbl = spark.table(f"{table}_bands")
+    if dead is not None:
+        bands_tbl = bands_tbl.join(
+            live_ids.select("ref").distinct(), "ref", "left_semi")
+    write_bucketed(bands_tbl,
                    f"{table}_bands_compact", ["band", "key"],
                    p["n_buckets"], f"{path}/bands", sort=False,
                    one_file_per_bucket=True)
-    write_bucketed(spark.table(f"{table}_ids"),
+    write_bucketed(live_ids,
                    f"{table}_ids_compact", "ref",
                    p["n_buckets"], f"{path}/ids", sort=False,
                    one_file_per_bucket=True)
@@ -929,6 +1010,8 @@ def hamming_index_compact(spark, table: str, path: str) -> None:
         f"'georiva.arr'='{p['arr']}')")
     for suffix in ("bands", "ids"):
         atomic_swap_table(spark, f"{table}_{suffix}")
+    if dead is not None:
+        clear_rules(spark, table)   # applied-then-cleared (safe order)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
@@ -1126,25 +1209,12 @@ def line_dedup(docs: DataFrame, *, delim: str = "\n", max_line_df: int = 1,
                     F.coalesce(F.col("kept_text"), F.lit(""))
                      .alias("kept_text")))
 
-#: separator between the shard name and the content digest inside an
-#: index-row generation tag — unprintable so it can never occur in a
-#: shard name, making shard extraction from a gen unambiguous
-GEN_SEP = "\x1f"
-
-
-def index_gen(shard: str, digest: str) -> str:
-    """Generation tag for index rows appended from one delivery of
-    one crawl shard: ``shard + GEN_SEP + digest``. Deterministic of
-    (shard, content), so a replayed delivery re-mints the SAME tag
-    (idempotent guard) while a re-crawl mints a NEW one (whose
-    predecessor :func:`minhash_index_retract` can tombstone by
-    shard without any catalog state)."""
-    if not shard:
-        raise ValueError("index_gen: shard must be non-empty")
-    if GEN_SEP in shard:
-        raise ValueError("index_gen: shard contains the GEN_SEP "
-                         "sentinel byte")
-    return f"{shard}{GEN_SEP}{digest}"
+# generation tombstones (r12): shared with the Hamming and IVF
+# families — operators/_tombstones.py is the one implementation
+from georiva_spark.operators._tombstones import (  # noqa: E402
+    GEN_SEP, dead_rules as _dead_rules_impl, live_rows as _live_rows,
+    make_gen as index_gen, retract as _retract,
+)
 
 
 def minhash_index_write(docs: DataFrame, table: str, path: str,
@@ -1272,15 +1342,16 @@ def minhash_index_retract(spark, table: str, shard: str,
     ``processing/invocation.py:210-247`` — staleness is transitive to
     *everything* derived, including index rows.
 
-    Mechanics: appends one rule row (shard, keep_gen, seq) to the
-    managed ``{table}_dead`` table; the LATEST rule per shard wins
-    (append-only — no overwrite window for concurrent probes to read
-    an empty rule set). Probes anti-join the broadcast-tiny rule
-    table (O(#retracted shards) rows), so retraction is O(1) at
-    event time; :func:`minhash_index_compact` later removes the dead
-    rows physically and clears the rules. Single-writer: retracts
-    and compactions are the stream's to sequence (the same contract
-    as appends)."""
+    Mechanics (shared, operators/_tombstones.py): appends one rule
+    row (shard, keep_gen, seq) to the managed ``{table}_dead`` table;
+    the LATEST rule per shard wins (append-only — no overwrite window
+    for concurrent probes to read an empty rule set). Probes
+    anti-join the broadcast-tiny rule table (O(#retracted shards)
+    rows), so retraction is O(1) at event time;
+    :func:`minhash_index_compact` later removes the dead rows
+    physically and clears the rules. Single-writer: retracts and
+    compactions are the stream's to sequence (the same contract as
+    appends)."""
     if not shard:
         raise ValueError(
             "minhash_index_retract: shard must be non-empty — "
@@ -1292,44 +1363,12 @@ def minhash_index_retract(spark, table: str, shard: str,
             f"(pre-r12) layout without a gen column — its rows carry "
             f"no generation to retract; rebuild it with "
             f"minhash_index_write")
-    dead_t = f"{table}_dead"
-    seq = 0
-    if spark.catalog.tableExists(dead_t):
-        seq = (spark.table(dead_t).agg(F.max("seq")).head()[0] or 0) + 1
-    from georiva_spark.functions.frames import local_frame
-    (local_frame(spark, [(shard, keep_gen, seq)],
-                 "shard string, keep_gen string, seq long")
-     .write.mode("append").format("parquet").saveAsTable(dead_t))
-    spark.catalog.refreshTable(dead_t)
+    _retract(spark, table, shard, keep_gen,
+             who="minhash_index_retract")
 
 
 def _dead_rules(spark, table: str) -> DataFrame | None:
-    """Latest tombstone rule per shard from ``{table}_dead`` (None if
-    the index has never retracted anything)."""
-    dead_t = f"{table}_dead"
-    if not spark.catalog.tableExists(dead_t):
-        return None
-    from pyspark.sql import Window
-    w = Window.partitionBy("shard").orderBy(F.col("seq").desc())
-    return (spark.table(dead_t)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(F.col("shard").alias("__dead_shard"),
-                    F.col("keep_gen").alias("__keep_gen")))
-
-
-def _live_rows(df: DataFrame, dead: DataFrame | None) -> DataFrame:
-    """Filter an index-table scan down to LIVE rows: drop rows whose
-    gen belongs to a tombstoned shard and is not that shard's
-    keep_gen. The rule table is broadcast (bounded by #retracted
-    shards), so the anti-join never shuffles the index; unversioned
-    layouts (no gen column) pass through untouched."""
-    if dead is None or "gen" not in df.columns:
-        return df
-    shard_of = F.substring_index(F.col("gen"), GEN_SEP, 1)
-    cond = ((shard_of == F.col("__dead_shard"))
-            & (F.col("gen") != F.col("__keep_gen")))
-    return df.join(F.broadcast(dead), cond, "left_anti")
+    return _dead_rules_impl(spark, table)
 
 
 def minhash_index_has_gen(spark, table: str, gen: str) -> bool:

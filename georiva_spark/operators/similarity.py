@@ -11,6 +11,7 @@ from georiva_spark.functions.frames import local_frame
 import itertools
 
 from georiva_spark.functions.vectors import cosine_similarity, dot
+from georiva_spark.operators._tombstones import clear_rules
 from georiva_spark.operators.textops import portable_hash64
 
 # centering offset for the portable (md5-derived, 60-bit unsigned) plane
@@ -318,10 +319,62 @@ def _argmin_cell(cents: list[list[float]]):
         for i in range(len(cents))]))["c"]
 
 
+def _gen_cols(spark, table: str, gen: str, who: str) -> list:
+    """The generation-tag column for an index append — empty for an
+    unversioned pre-r12 layout (which refuses TAGGED appends by name:
+    it could never retract them)."""
+    if "gen" not in spark.table(table).columns:
+        if gen:
+            raise ValueError(
+                f"{who}: {table!r} is an unversioned (pre-r12) "
+                f"layout without a gen column — it cannot take "
+                f"generation-tagged appends; rebuild the index to "
+                f"make shards retractable")
+        return []
+    return [F.lit(gen).alias("gen")]
+
+
+def _live_table(spark, table: str) -> DataFrame:
+    """The index table with tombstoned generations filtered out (the
+    shared T5 machinery, operators/_tombstones.py): a broadcast
+    anti-join of the bounded ``{table}_dead`` rule table — partition
+    pruning on ``cell`` is unaffected (the filter sits above the
+    scan), and unversioned layouts pass through untouched."""
+    from georiva_spark.operators._tombstones import (dead_rules,
+                                                     live_rows)
+    return live_rows(spark.table(table), dead_rules(spark, table))
+
+
+def ivf_index_retract(spark, table: str, shard: str,
+                      keep_gen: str = "") -> None:
+    """Retract a re-crawled embedding shard's DEAD vectors from a
+    persistent IVF index — float or PQ layout (r12; the tombstone
+    machinery shared with the MinHash/Hamming families): tombstone
+    every generation of ``shard`` except ``keep_gen``. Probes stop
+    returning the dead vectors immediately (O(1) rule row, zero index
+    rewrite); :func:`ivf_index_compact` / :func:`ivf_pq_index_compact`
+    purge them physically and clear the rules. Recall calibration and
+    tuning (:func:`ann_recall_estimate`, :func:`ann_tune`) also see
+    only live rows — dead vectors neither serve as queries nor count
+    as truth."""
+    from georiva_spark.operators._tombstones import retract
+    if not shard:
+        raise ValueError(
+            "ivf_index_retract: shard must be non-empty — retracting "
+            "the unversioned '' base would tombstone the whole index")
+    if "gen" not in spark.table(table).columns:
+        raise ValueError(
+            f"ivf_index_retract: {table!r} is an unversioned "
+            f"(pre-r12) layout without a gen column — its rows carry "
+            f"no generation to retract; rebuild the index")
+    retract(spark, table, shard, keep_gen, who="ivf_index_retract")
+
+
 def ivf_index_write(emb: DataFrame, table: str, path: str,
                     n_centroids: int = 8, train_iters: int = 0,
                     seed_ids: list[int] | None = None,
-                    train_sample_ppm: int | None = None) -> None:
+                    train_sample_ppm: int | None = None,
+                    gen: str = "") -> None:
     """Materialize a PERSISTENT IVF ANN index — the storage layout
     knn_ivf_pinned's docstring promises: the quantizer cell
     assignment (in-row argmin over literal centroids, zero shuffle on
@@ -366,14 +419,23 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
     requirement); COVERAGE.md carries the same note.
 
     The quantizer parameters are stamped as TBLPROPERTIES so probes
-    and appends can validate what they are joining against."""
+    and appends can validate what they are joining against.
+
+    ``gen`` (r12) tags every row's generation (``index_gen(shard,
+    digest)`` from operators/dedup.py — the tombstone machinery is
+    shared across the index triad) so a re-crawled embedding shard
+    can be RETRACTED (:func:`ivf_index_retract`): probes stop
+    matching the dead vectors immediately, compaction purges them
+    physically. The default '' (unversioned base) is never
+    retractable."""
     if train_iters > 0:
         cents = kmeans_centroids(emb, k=n_centroids, iters=train_iters,
                                  seed_ids=seed_ids,
                                  sample_ppm=train_sample_ppm)
     else:
         cents = _pinned_cents(emb, n_centroids)
-    assigned = emb.withColumn("cell", _argmin_cell(cents))
+    assigned = (emb.withColumn("cell", _argmin_cell(cents))
+                .withColumn("gen", F.lit(gen)))
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
     cdf = local_frame(
@@ -393,22 +455,28 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
         f"'georiva.quantizer_version'='1')")
 
 
-def ivf_index_append(emb: DataFrame, table: str) -> None:
+def ivf_index_append(emb: DataFrame, table: str,
+                     gen: str = "") -> None:
     """Append a delta shard to a :func:`ivf_index_write` index — the
     growth half of the ANN layout (mirror of minhash_index_append):
     new vectors are assigned with the INDEX'S OWN centroids (read from
     the bounded sidecar, inlined as literals — zero shuffle) and
     appended into the same cell partitions, so probes keep pruning to
-    nprobe/C over the grown corpus without ever re-assigning it."""
+    nprobe/C over the grown corpus without ever re-assigning it.
+    ``gen`` tags the appended rows' generation for
+    :func:`ivf_index_retract` (T5); tagged appends into an
+    unversioned pre-r12 layout fail by name."""
     spark = emb.sparkSession
     _check_quantizer_sync(spark, table, ("_centroids",))
+    gen_cols = _gen_cols(spark, table, gen, "ivf_index_append")
     rows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(rows, key=lambda r: r.cell)]
     if not cents:
         raise ValueError(f"{table!r} has no centroid sidecar — not an "
                          f"ivf_index_write index")
-    assigned = emb.withColumn("cell", _argmin_cell(cents))
+    assigned = emb.withColumn("cell", _argmin_cell(cents)) \
+                  .select(*emb.columns, *gen_cols, "cell")
     (assigned.write.mode("append").format("parquet")
      .partitionBy("cell").saveAsTable(table))
     # a reader that scanned the table BEFORE this append (the probe in
@@ -425,7 +493,9 @@ def ivf_index_compact(spark, table: str, path: str,
     :func:`ivf_index_append` adds files to the touched cell
     partitions; after many deltas a probe opens one file per append
     per probed cell. Re-materialize one file per cell (repartition on
-    the partition column, pure layout rewrite — no re-assignment),
+    the partition column, pure layout rewrite — no re-assignment;
+    tombstoned generations are removed PHYSICALLY and the rule table
+    clears after the swap — :func:`ivf_index_retract`),
     then swap the catalog entry via
     :func:`~georiva_spark.sources.bucketing.atomic_swap_table`
     (rename-out / rename-in / drop-old): each statement is atomic, the
@@ -470,7 +540,7 @@ def ivf_index_compact(spark, table: str, path: str,
             raise ValueError(
                 f"{table!r} has no n_centroids stamp — not a managed "
                 f"IVF index")
-        corpus = spark.table(table).drop("cell")
+        corpus = _live_table(spark, table).drop("cell")
         cents = kmeans_centroids(corpus, k=k, iters=retrain_iters,
                                  sample_ppm=train_sample_ppm)
         staged = corpus.withColumn("cell", _argmin_cell(cents))
@@ -499,8 +569,9 @@ def ivf_index_compact(spark, table: str, path: str,
         # leave new assignments probed with old centroids — silent
         atomic_swap_table(spark, f"{table}_centroids")
         atomic_swap_table(spark, table)
+        clear_rules(spark, table)   # tombstones applied, then cleared
         return
-    cur = spark.table(table)
+    cur = _live_table(spark, table)
     (cur.repartition("cell")
      .write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path)
@@ -513,6 +584,7 @@ def ivf_index_compact(spark, table: str, path: str,
         spark.sql(f"ALTER TABLE {table}_compact "
                   f"SET TBLPROPERTIES ({kv})")
     atomic_swap_table(spark, table)
+    clear_rules(spark, table)       # tombstones applied, then cleared
 
 
 def ivf_pq_index_compact(spark, table: str, path: str,
@@ -537,7 +609,11 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     version-skewed and fails by name at the next probe/append.
     ``train_sample_ppm`` gates both retraining stages to a
     deterministic md5-bucket subsample (see
-    :func:`ivf_index_compact`)."""
+    :func:`ivf_index_compact`). With pending tombstones
+    (:func:`ivf_index_retract`) the retrain path restricts ``emb`` to
+    the LIVE vec_ids first — dead vectors neither train the quantizer
+    nor re-enter the re-encoded index — and carries each surviving
+    row's generation tag."""
     from georiva_spark.sources.bucketing import atomic_swap_table
 
     if retrain_iters <= 0:
@@ -559,6 +635,14 @@ def ivf_pq_index_compact(spark, table: str, path: str,
         raise ValueError(
             "ivf_pq_index_compact: retrain_iters>0 needs the float "
             "corpus (emb=) — the PQ table stores sub-codes only")
+    # T5: restrict the retrain corpus to LIVE index rows (the caller's
+    # grown corpus still contains re-crawled shards' dead vectors) and
+    # keep each row's generation for the re-encoded table
+    gen_map = None
+    live = _live_table(spark, table)
+    if "gen" in live.columns:
+        gen_map = live.select("vec_id", "gen")
+        emb = emb.join(gen_map.select("vec_id"), "vec_id", "left_semi")
     opq = props.get("georiva.pq_opq") == "1"
     rot = None
     if opq:
@@ -581,6 +665,9 @@ def ivf_pq_index_compact(spark, table: str, path: str,
               for r in sorted(cbrows, key=lambda r: r.code)]
     ver = str(int(props.get("georiva.quantizer_version", "1")) + 1)
     assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
+    if gen_map is not None:
+        assigned = (assigned.join(gen_map, "vec_id")
+                    .select("vec_id", "pq_code", "gen", "cell"))
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path)
      .saveAsTable(f"{table}_compact"))
@@ -618,6 +705,7 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     for sc in sidecars:
         atomic_swap_table(spark, f"{table}{sc}")
     atomic_swap_table(spark, table)
+    clear_rules(spark, table)       # tombstones applied, then cleared
 
 
 def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
@@ -652,7 +740,8 @@ def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
 
     qlit = F.array(*[F.lit(float(v)) for v in q])
     cos = cosine_similarity(F.col("embedding"), qlit)
-    scan = spark.table(table).where(F.col("cell").isin(probe_cells))
+    scan = _live_table(spark, table).where(
+        F.col("cell").isin(probe_cells))
     if candidate_filter is not None:
         scan = scan.where(candidate_filter)
     if exclude_vec_id is not None:
@@ -755,7 +844,8 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
     live_cells = sorted({r.cell for r in
                          probed.select("cell").distinct().collect()})
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
-    scan = spark.table(table).where(F.col("cell").isin(live_cells))
+    scan = _live_table(spark, table).where(
+        F.col("cell").isin(live_cells))
     if candidate_filter is not None:
         scan = scan.where(candidate_filter)
     if n_queries <= max_broadcast_queries:
@@ -1274,7 +1364,8 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
                        residual: bool = False,
                        train_sample_ppm: int | None = None,
                        opq: bool = False,
-                       opq_np_iters: int = 0) -> None:
+                       opq_np_iters: int = 0,
+                       gen: str = "") -> None:
     """PQ-COMPRESSED persistent IVF index — the memory-bound variant
     of :func:`ivf_index_write`: instead of storing raw
     ``array<double>`` embeddings (at 100 TB the float index is as
@@ -1418,7 +1509,8 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
         raise ValueError(
             f"ivf_pq_index_write: dim={dim} not divisible by m={m}")
 
-    assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
+    assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual) \
+        .withColumn("gen", F.lit(gen))
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
     spark = emb.sparkSession
@@ -1458,7 +1550,8 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
                   f"'georiva.quantizer_version'='1')")
 
 
-def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
+def ivf_pq_index_append(emb: DataFrame, table: str,
+                        gen: str = "") -> None:
     """Append a delta shard to a :func:`ivf_pq_index_write` index —
     the growth half of the compressed ANN layout: new vectors are
     assigned with the INDEX'S OWN centroids and encoded with the
@@ -1468,8 +1561,10 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
     (a residual index encodes the delta's residuals too), so a
     probe's unpacking stays consistent across appends. Readers'
     cached listings are refreshed (the probe-then-grow loop's
-    per-session cache hazard)."""
+    per-session cache hazard). ``gen`` tags the appended rows for
+    :func:`ivf_index_retract` (T5)."""
     spark = emb.sparkSession
+    gen_cols = _gen_cols(spark, table, gen, "ivf_pq_index_append")
     props = {r.key: r.value for r in
              spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
     try:
@@ -1498,7 +1593,8 @@ def ivf_pq_index_append(emb: DataFrame, table: str) -> None:
         rot = _load_rotation(spark, table, props)
         emb = emb.select("vec_id", _rotate_expr(rot).alias("embedding"))
 
-    assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual)
+    assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual) \
+        .select("vec_id", "pq_code", *gen_cols, "cell")
     (assigned.write.mode("append").format("parquet")
      .partitionBy("cell").saveAsTable(table))
     spark.catalog.refreshTable(table)
@@ -1589,7 +1685,8 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
     else:
         adc = adc_for(q)
 
-    scan = spark.table(table).where(F.col("cell").isin(probe_cells))
+    scan = _live_table(spark, table).where(
+        F.col("cell").isin(probe_cells))
     if candidate_ids is not None:
         ids = candidate_ids.select(
             F.col(candidate_ids.columns[0]).alias("vec_id"))
@@ -1756,7 +1853,8 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
                   .bitwiseAND(F.lit(ncw - 1)).cast("int"))
         term = F.element_at(F.col("qd"), F.lit(s * ncw) + code_s + 1)
         adc = term if adc is None else adc + term
-    scan = spark.table(table).where(F.col("cell").isin(live_cells))
+    scan = _live_table(spark, table).where(
+        F.col("cell").isin(live_cells))
     if candidate_ids is not None:
         ids = candidate_ids.select(
             F.col(candidate_ids.columns[0]).alias("vec_id"))
@@ -1934,7 +2032,7 @@ def ann_recall_estimate(spark, table: str, k: int = 5,
         raise ValueError(
             "ann_recall_estimate: shortlist applies to PQ refine "
             "probes; a float index probes exactly at stage 1")
-    corpus = (emb if is_pq else spark.table(table)) \
+    corpus = (emb if is_pq else _live_table(spark, table)) \
         .select("vec_id", "embedding")
     h = F.md5(F.concat_ws(":", F.lit(salt),
                           F.col("vec_id").cast("string")))
@@ -2050,7 +2148,7 @@ def ann_tune(spark, table: str, target_recall: float, k: int = 5,
         spark, table, k=k, nprobes=nprobes, sample_ppm=sample_ppm,
         emb=emb, shortlist=shortlist, salt=salt,
         max_broadcast_queries=max_broadcast_queries)
-    n = F.broadcast(spark.table(table)
+    n = F.broadcast(_live_table(spark, table)
                     .agg(F.count(F.lit(1)).alias("__n")))
     per_probe = F.expr(f"(__n + {n_cents} - 1) div {n_cents}")
     cost = (F.col("nprobe").cast("long") * per_probe
@@ -2093,7 +2191,7 @@ def _measured_candidates(spark, table: str, props: dict,
     frame here is bounded by the sample or by C, and the one corpus
     touch is the histogram's map-side-combined count."""
     is_pq = "georiva.pq_m" in props
-    corpus = (emb if is_pq else spark.table(table)) \
+    corpus = (emb if is_pq else _live_table(spark, table)) \
         .select("vec_id", "embedding")
     h = F.md5(F.concat_ws(":", F.lit(salt),
                           F.col("vec_id").cast("string")))
@@ -2124,7 +2222,7 @@ def _measured_candidates(spark, table: str, props: dict,
                         lambda s: s["c"])
     fan = queries.select("q_id",
                          F.posexplode(cells).alias("__pos", "cell"))
-    sizes = (spark.table(table).groupBy("cell")
+    sizes = (_live_table(spark, table).groupBy("cell")
              .agg(F.count(F.lit(1)).alias("__sz")))
     np_df = local_frame(spark, [(int(np_),) for np_ in nprobes],
                         "nprobe int")

@@ -25,6 +25,22 @@ GRID_CTE = f"WITH grid AS ({EVENTS_GRID_SQL})"
 
 
 
+def _fixture_table(spark: SparkSession, base: str) -> str:
+    """App-id-suffixed in-query fixture TABLE name (r12): the
+    retraction queries materialize a managed `{table}_dead` rule
+    table whose warehouse location is shared across Spark apps —
+    a fixed name would collide between the driver gate and a
+    concurrent bench run (and a prior app's leftover location makes
+    managed CREATE fail by name). Suffixing the table name scopes the
+    location per app, the same isolation _fixture_tmp gives data
+    paths. The caller still clears leftover rules at query start so
+    best-of-N re-evaluations within one app stay independent."""
+    import re
+    app = re.sub(r"[^0-9a-zA-Z]", "",
+                 spark.sparkContext.applicationId)[-12:]
+    return f"{base}_{app}"
+
+
 def _fixture_tmp(spark: SparkSession, name: str) -> str:
     """App-id-suffixed in-query fixture dir (r12): index/layout
     fixtures are OVERWRITTEN per evaluation, so two concurrent
@@ -6509,17 +6525,20 @@ def q_minhash_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                               & F.col("src_text").isNotNull(),
                               F.col("src_text"))
                        .otherwise(F.col("text")).alias("text")))
+    from georiva_spark.operators._tombstones import clear_rules
     d = _fixture_tmp(spark, "mhret")
+    t = _fixture_table(spark, "t_mhretq")
+    clear_rules(spark, t)      # best-of-N re-evaluations start clean
     dedup.minhash_index_write(planted.where(F.col("doc_id") % 4 == 0),
-                              "t_mhretq", os.path.join(d, "idx"),
+                              t, os.path.join(d, "idx"),
                               n_buckets=8, portable=True)
     dedup.minhash_index_append(planted.where(F.col("doc_id") % 4 == 2),
-                               "t_mhretq",
+                               t,
                                gen=dedup.index_gen("crawl-b", "v1"))
     # the shard is re-crawled away: every generation of it dies
-    dedup.minhash_index_retract(spark, "t_mhretq", "crawl-b")
+    dedup.minhash_index_retract(spark, t, "crawl-b")
     return dedup.minhash_index_probe(
-        planted.where(F.col("doc_id") % 2 == 1), "t_mhretq",
+        planted.where(F.col("doc_id") % 2 == 1), t,
         threshold=0.5)
 
 
@@ -6565,6 +6584,119 @@ FROM cand WHERE {est} >= {threshold}
 
 
 SQL_MINHASH_RETRACT = _sql_minhash_retract()
+
+
+def q_ann_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 retraction on the EMBEDDING index family (r12 — the same
+    tombstone machinery as minhash_retract, shared via
+    operators/_tombstones.py): write the float IVF index from the
+    full embeddings table, append a crawl shard of twin vectors
+    (vec_id+10000, copies of vectors 0-2) under a generation tag,
+    verify IN-QUERY that a probe ranks the appended twin (cosine≈1 —
+    the shard is live), then RETRACT the shard and return the probe.
+    The oracle is the UNMODIFIED knn_ivf SQL over the original
+    table — a hash match proves the retracted shard is invisible to
+    probes exactly as if it was never appended: same cells, same
+    candidates, same top-k, zero index rewrite at event time."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    from georiva_spark.operators._tombstones import clear_rules
+    d = _fixture_tmp(spark, "annret")
+    t = _fixture_table(spark, "t_annret")
+    clear_rules(spark, t)      # best-of-N re-evaluations start clean
+    similarity.ivf_index_write(emb, t,
+                               os.path.join(d, "idx"), n_centroids=8)
+    twins = (emb.where(F.col("vec_id") < 3)
+             .select((F.col("vec_id") + 10000).alias("vec_id"),
+                     "embedding"))
+    similarity.ivf_index_append(twins, t,
+                                gen=dedup.index_gen("crawl-e", "v1"))
+    q = (emb.where(F.col("vec_id") == 0)
+         .select("embedding").head().embedding)
+    pre = {r.vec_id for r in similarity.ivf_index_probe(
+        spark, t, q, k=5, nprobe=2,
+        exclude_vec_id=0).collect()}
+    assert 10000 in pre, pre          # the live shard ranks (twin of 0)
+    similarity.ivf_index_retract(spark, t, "crawl-e")
+    return similarity.ivf_index_probe(spark, t, q, k=5,
+                                      nprobe=2, exclude_vec_id=0)
+
+
+SQL_ANN_RETRACT = SQL_KNN_IVF
+
+
+def q_image_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 retraction on the PERCEPTUAL index family (r12): the
+    image_index_probe corpus, plus a crawl shard of exact copies
+    (media_id+300000) appended under a generation tag — the copies
+    share the originals' dHashes, so only MEMBERSHIP rows append (the
+    band pre-collapse); the in-query assert sees the live shard in
+    probe pairs, then the shard RETRACTS and the probe returns — the
+    oracle is the UNMODIFIED image_index_probe SQL, proving the dead
+    memberships vanish while the shared band rows (still owned by the
+    live originals) keep matching."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(variants):
+        def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for vec_id, embedding in zip(pdf["vec_id"],
+                                             pdf["embedding"]):
+                    a = np.asarray(embedding, dtype=np.float32)
+                    if 0 in variants:
+                        rows.append((int(vec_id), "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 1 in variants:
+                        rows.append((int(vec_id) + 100000, "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 2 in variants:
+                        sw = a.copy()
+                        sw[0], sw[1] = a[1], a[0]
+                        rows.append((int(vec_id) + 200000, "image",
+                                     mm.encode_raw_image(sw.reshape(8, 8)),
+                                     "image/raw"))
+                    if 3 in variants:
+                        rows.append((int(vec_id) + 300000, "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                                  "content", "mime"])
+        return g
+
+    schema = "media_id long, kind string, content binary, mime string"
+    originals = emb.mapInPandas(gen({0}), schema=schema)
+    shard = emb.mapInPandas(gen({3}), schema=schema)
+    delta = emb.mapInPandas(gen({1, 2}), schema=schema)
+    from georiva_spark.operators._tombstones import clear_rules
+    d = _fixture_tmp(spark, "imgret")
+    t = _fixture_table(spark, "t_imgret")
+    clear_rules(spark, t)      # best-of-N re-evaluations start clean
+    dedup.hamming_index_write(mm.image_dhash(originals), t,
+                              os.path.join(d, "idx"),
+                              id_col="media_id", code_col="dhash",
+                              max_hamming=3, bits=56, n_buckets=8)
+    dedup.hamming_index_append(mm.image_dhash(shard), t,
+                               id_col="media_id", code_col="dhash",
+                               gen=dedup.index_gen("crawl-m", "v1"))
+    probe = mm.image_dhash(delta)
+    pre = dedup.hamming_index_probe(probe, t,
+                                    id_col="media_id",
+                                    code_col="dhash")
+    assert pre.where(F.col("id_old") >= 300000).limit(1).count() > 0
+    dedup.hamming_index_retract(spark, t, "crawl-m")
+    return dedup.hamming_index_probe(probe, t,
+                                     id_col="media_id",
+                                     code_col="dhash")
+
+
+SQL_IMAGE_RETRACT = SQL_IMAGE_INDEX_PROBE
 
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7036,6 +7168,8 @@ EXT_QUERIES = {
     "warc_pipeline": q_warc_pipeline,
     "corpus_pipeline": q_corpus_pipeline,
     "minhash_retract": q_minhash_retract,
+    "ann_retract": q_ann_retract,
+    "image_retract": q_image_retract,
     "ingest_jsonl": q_ingest_jsonl,
     "ivf_index": q_ivf_index,
     "ivf_probe_batch": q_ivf_probe_batch,
@@ -7176,6 +7310,8 @@ EXT_ORACLES = {
     "warc_pipeline": SQL_WARC_PIPELINE,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "minhash_retract": SQL_MINHASH_RETRACT,
+    "ann_retract": SQL_ANN_RETRACT,
+    "image_retract": SQL_IMAGE_RETRACT,
     "ingest_jsonl": SQL_INGEST_JSONL,
     "ivf_index": SQL_KNN_IVF,
     "ivf_probe_batch": SQL_IVF_PROBE_BATCH,

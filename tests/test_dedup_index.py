@@ -1873,3 +1873,191 @@ def test_minhash_retract_validation_and_unversioned_guards(
     finally:
         for s in ("bands", "sigs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
+
+
+def test_hamming_index_retract_membership_and_compact(spark, tmp_path):
+    """r12 — T5 reaching the Hamming media index: retraction works at
+    the MEMBERSHIP layer (band rows are distinct codes shared across
+    shards); probes and lookups stop matching a re-crawled shard's
+    dead members immediately, a new delivery re-admits the same
+    (code, id) under its new generation, and compaction purges dead
+    memberships AND band rows whose code has no live member left."""
+    t = "t_hret"
+    base = spark.createDataFrame([(1, 0b1111)],
+                                 "media_id long, code long")
+    try:
+        dedup.hamming_index_write(base, t, str(tmp_path / "h"),
+                                  max_hamming=2, bits=64, n_buckets=4)
+        g1 = dedup.index_gen("mA", "v1")
+        shard = spark.createDataFrame([(100, 0b10110000)],
+                                      "media_id long, code long")
+        dedup.hamming_index_append(shard, t, gen=g1)
+        probe = spark.createDataFrame(
+            [(900, 0b10110001), (902, 0b1110)],
+            "media_id long, code long")
+
+        def pairs():
+            return {(r.id_new, r.id_old) for r in
+                    dedup.hamming_index_probe(probe, t).collect()}
+
+        assert pairs() == {(900, 100), (902, 1)}
+        # re-crawl mA: the old membership dies
+        g2 = dedup.index_gen("mA", "v2")
+        dedup.hamming_index_retract(spark, t, "mA", keep_gen=g2)
+        assert pairs() == {(902, 1)}
+        look = {r.id_new for r in
+                dedup.hamming_index_lookup(probe, t).collect()}
+        assert look == {902}
+        # the new delivery re-admits the same (code, id) under g2 —
+        # the duplicate-membership anti-join considers LIVE rows only
+        dedup.hamming_index_append(shard, t, gen=g2)
+        assert pairs() == {(900, 100), (902, 1)}
+        # retract the shard entirely, then compact: memberships AND
+        # the now-member-less band rows purge physically
+        dedup.hamming_index_retract(spark, t, "mA")
+        assert pairs() == {(902, 1)}
+        n_band_rows = spark.table(f"{t}_bands").count()
+        dedup.hamming_index_compact(spark, t, str(tmp_path / "h2"))
+        assert not spark.catalog.tableExists(f"{t}_dead")
+        assert spark.table(f"{t}_ids").where("id = 100").count() == 0
+        assert spark.table(f"{t}_bands").count() < n_band_rows
+        assert pairs() == {(902, 1)}
+        with pytest.raises(ValueError, match="non-empty"):
+            dedup.hamming_index_retract(spark, t, "")
+    finally:
+        for s in ("bands", "ids", "dead", "bands_compact",
+                  "ids_compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
+
+
+def test_ivf_index_retract_float_and_pq(spark, tmp_path):
+    """r12 — T5 reaching the embedding indexes: a re-crawled shard's
+    vectors are tombstoned out of probe results immediately (float
+    and PQ layouts), compaction purges them physically, and a PQ
+    RETRAIN compaction restricts the caller's corpus to live rows
+    (dead vectors neither train nor re-enter) while carrying each
+    survivor's generation."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 8)) * 6.0
+
+    def mk(ids, blobs, jitter=0.05):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in
+                  centers[b] + jitter * rng.normal(size=8)])
+             for i, b in zip(ids, blobs)],
+            "vec_id long, embedding array<double>")
+
+    base = mk(range(8), [i % 4 for i in range(8)])
+    g1 = dedup.index_gen("sE", "v1")
+    q = [float(v) for v in centers[0]]
+    for kind in ("float", "pq"):
+        t = f"t_ivfret_{kind}"
+        try:
+            if kind == "float":
+                similarity.ivf_index_write(
+                    base, t, str(tmp_path / kind), n_centroids=4)
+            else:
+                similarity.ivf_pq_index_write(
+                    base, t, str(tmp_path / kind), n_centroids=4,
+                    m=4, nbits=3)
+            delta = mk([100, 101], [0, 0])
+            if kind == "float":
+                similarity.ivf_index_append(delta, t, gen=g1)
+                probe = lambda: {r.vec_id for r in           # noqa: E731
+                                 similarity.ivf_index_probe(
+                                     spark, t, q, k=4,
+                                     nprobe=2).collect()}
+            else:
+                similarity.ivf_pq_index_append(delta, t, gen=g1)
+                probe = lambda: {r.vec_id for r in           # noqa: E731
+                                 similarity.ivf_pq_index_probe(
+                                     spark, t, q, k=4,
+                                     nprobe=2).collect()}
+            assert {100, 101} <= probe()
+            similarity.ivf_index_retract(spark, t, "sE")
+            got = probe()
+            assert not ({100, 101} & got)
+            assert {0, 4} <= got            # the blob-0 base vectors
+            n = spark.table(t).count()
+            assert n == 10                  # dead rows still physical
+            if kind == "float":
+                similarity.ivf_index_compact(
+                    spark, t, str(tmp_path / f"{kind}_c"))
+            else:
+                # RETRAIN compaction: the caller's corpus still holds
+                # the dead vectors — the live-filter must drop them
+                full = base.unionByName(delta)
+                similarity.ivf_pq_index_compact(
+                    spark, t, str(tmp_path / f"{kind}_c"),
+                    emb=full, retrain_iters=1)
+            assert spark.table(t).count() == 8
+            assert not spark.catalog.tableExists(f"{t}_dead")
+            assert "gen" in spark.table(t).columns
+            got2 = probe()
+            assert not ({100, 101} & got2) and {0, 4} <= got2
+        finally:
+            for s in ("", "_centroids", "_codebook", "_dead",
+                      "_compact", "_centroids_compact",
+                      "_codebook_compact", "_old"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+def test_tombstone_rules_survive_driver_restart(spark, tmp_path):
+    """r12: Spark's in-memory catalog forgets the rule table across
+    driver restarts while the warehouse keeps its files — the next
+    session must ADOPT them (ignoring them would silently resurrect
+    dead rows; re-creating a managed table over the location crashes
+    with LOCATION_ALREADY_EXISTS, the exact bench failure this
+    pins). clear_rules removes the adopted location too."""
+    import os
+    import shutil
+
+    from georiva_spark.operators import _tombstones as tb
+    t = "t_mhadopt"
+    base = _docs(spark, [(1, BASE)])
+    novel = ("entirely novel content about manifest pointer commits "
+             "and adopted tombstone rule tables")
+    try:
+        dedup.minhash_index_write(base, t, str(tmp_path / "ix"),
+                                  n_buckets=4)
+        dedup.minhash_index_append(_docs(spark, [(10, novel)]), t,
+                                   gen=dedup.index_gen("sA", "v1"))
+        dedup.minhash_index_retract(spark, t, "sA")
+        probe = _docs(spark, [(99, novel.replace("novel", "fresh"))])
+
+        def hits():
+            return {r.doc_old for r in dedup.minhash_index_probe(
+                probe, t, threshold=0.4).collect()}
+
+        assert 10 not in hits()
+        # ---- simulate a driver restart: catalog entry gone, files
+        # still on disk (managed DROP deletes, so park + restore)
+        loc = tb._dead_location(spark, t)
+        assert loc and os.path.isdir(loc)
+        shutil.copytree(loc, loc + "_bak")
+        spark.sql(f"DROP TABLE {t}_dead")
+        assert not os.path.exists(loc)
+        shutil.move(loc + "_bak", loc)
+        assert not spark.catalog.tableExists(f"{t}_dead")
+        # a fresh retract must ADOPT + append, not crash on the
+        # existing location (the bench failure shape)
+        dedup.minhash_index_retract(spark, t, "sA")
+        assert 10 not in hits()
+        # and a pure reader adopts too (drop the entry again)
+        shutil.copytree(loc, loc + "_bak")
+        spark.sql(f"DROP TABLE {t}_dead")
+        shutil.move(loc + "_bak", loc)
+        assert 10 not in hits()               # dead_rules adopted
+        assert spark.catalog.tableExists(f"{t}_dead")
+        # clear_rules removes the (now external) adopted location
+        tb.clear_rules(spark, t)
+        assert not spark.catalog.tableExists(f"{t}_dead")
+        assert not os.path.exists(loc)
+    finally:
+        for s in ("bands", "sigs", "dead"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
+        if 'loc' in dir() and loc:
+            shutil.rmtree(loc + "_bak", ignore_errors=True)
