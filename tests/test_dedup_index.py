@@ -2061,3 +2061,72 @@ def test_tombstone_rules_survive_driver_restart(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
         if 'loc' in dir() and loc:
             shutil.rmtree(loc + "_bak", ignore_errors=True)
+
+
+def test_tombstone_protocol_model_equivalence(spark, tmp_path):
+    """r12 model-based sequence test: a seeded random sequence of the
+    ingest protocol's index ops (deliver / re-deliver identical /
+    re-crawl / retract-entirely / compact) against a persistent
+    MinHash index must keep the probe-visible doc set EQUAL to a
+    trivial dict model {shard: version} after every step — the
+    end-to-end statement of the tombstone semantics (latest rule
+    wins, keep_gen survives, replay guard, physical purge)."""
+    import random
+
+    t = "t_mhmodel"
+    text = ("the shared near duplicate body text that every live "
+            "document carries verbatim tonight")
+
+    def docs_for(shard_i, version):
+        ids = [shard_i * 10000 + version * 100 + j for j in range(2)]
+        return _docs(spark, [(i, text) for i in ids]), set(ids)
+
+    probe = _docs(spark, [(999999, text)])
+    model: dict[int, int] = {}          # shard index -> live version
+
+    def expected():
+        return {s * 10000 + v * 100 + j
+                for s, v in model.items() for j in range(2)}
+
+    def live():
+        return {r.doc_old for r in dedup.minhash_index_probe(
+            probe, t, threshold=0.9).collect()}
+
+    try:
+        dedup.minhash_index_write(
+            _docs(spark, [(1, "unrelated seed content about zonal "
+                              "statistics and lambert grids")]),
+            t, str(tmp_path / "ix"), n_buckets=4)
+        rng = random.Random(7)
+        for step in range(14):
+            op = rng.choice(["deliver", "redeliver", "recrawl",
+                             "retract", "compact"])
+            s = rng.randrange(3)
+            if op == "deliver" and s not in model:
+                df, _ = docs_for(s, 1)
+                dedup.minhash_index_append(
+                    df, t, gen=dedup.index_gen(f"s{s}", "v1"))
+                model[s] = 1
+            elif op == "redeliver" and s in model:
+                g = dedup.index_gen(f"s{s}", f"v{model[s]}")
+                # replay guard: gen present -> the protocol skips
+                assert dedup.minhash_index_has_gen(spark, t, g)
+            elif op == "recrawl" and s in model:
+                v2 = model[s] + 1
+                g2 = dedup.index_gen(f"s{s}", f"v{v2}")
+                dedup.minhash_index_retract(spark, t, f"s{s}",
+                                            keep_gen=g2)
+                df, _ = docs_for(s, v2)
+                dedup.minhash_index_append(df, t, gen=g2)
+                model[s] = v2
+            elif op == "retract" and s in model:
+                dedup.minhash_index_retract(spark, t, f"s{s}")
+                del model[s]
+            elif op == "compact":
+                dedup.minhash_index_compact(
+                    spark, t, str(tmp_path / f"c{step}"))
+            assert live() == expected(), (step, op, s, model)
+    finally:
+        for x in ("bands", "sigs", "dead", "bands_compact",
+                  "sigs_compact", "bands_old", "sigs_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
