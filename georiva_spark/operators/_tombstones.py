@@ -82,6 +82,32 @@ def _ensure_registered(spark, table: str) -> bool:
     return False
 
 
+def batch_delivery_gen(shard_col: str, id_col: str,
+                       content_col: str):
+    """A ready-made ``gen_fn`` for the probe-then-grow stream
+    launchers (neardup/annstream/mediadup): the caller lands one
+    crawl-shard delivery per micro-batch with a constant
+    ``shard_col``; the gen is :func:`make_gen`(shard,
+    order-independent content digest) — deterministic across
+    replays, new on a re-crawl, so a later
+    ``*_index_retract(shard)`` can tombstone exactly the dead
+    delivery. A batch carrying more than one shard fails by name
+    (the same atomic-delivery contract as start_corpus_ingest)."""
+    def fn(work: DataFrame) -> str:
+        row = work.agg(
+            F.count_distinct(F.col(shard_col)).alias("k"),
+            F.first(shard_col).alias("shard"),
+            F.bit_xor(F.xxhash64(id_col, content_col)).alias("d"),
+            F.count(F.lit(1)).alias("n")).head()
+        if row["k"] != 1:
+            raise ValueError(
+                f"batch_delivery_gen: micro-batch carries "
+                f"{row['k']} distinct {shard_col!r} values — one "
+                f"delivery per batch (the atomic-delivery contract)")
+        return make_gen(str(row["shard"]), f"{row['d']}-{row['n']}")
+    return fn
+
+
 def retract(spark, table: str, shard: str, keep_gen: str = "",
             who: str = "index_retract") -> None:
     """Tombstone every generation of ``shard`` except ``keep_gen``

@@ -43,7 +43,7 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
                      compact_dir: str | None = None,
                      retrain_iters: int = 0,
                      train_sample_ppm: int | None = None,
-                     retrain_emb=None):
+                     retrain_emb=None, gen_fn=None):
     """Start the probe-then-grow ANN stream: ``emb_stream`` must carry
     (vec_id, embedding) with corpus-unique vec_ids; per-batch neighbor
     sets land in ``{out_dir}/batch_id=N`` as (q_id, vec_id, cell,
@@ -127,7 +127,11 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
         outputs=[(out_dir, neighbors)],
         guard_table=table,
         guard_keys=lambda w: w.select("vec_id"),
-        append=lambda w: append(w.select("vec_id", "embedding"), table),
+        # gen_fn (r12, e.g. _tombstones.batch_delivery_gen) tags each
+        # batch's appended rows so a re-crawled delivery can later be
+        # retracted via ivf_index_retract
+        append=lambda w: append(w.select("vec_id", "embedding"), table,
+                                gen=(gen_fn(w) if gen_fn else "")),
         # compaction swaps the sidecars too (retrain swaps centroids,
         # PQ compaction the codebook) — refresh them alongside main
         refresh_tables=((table, f"{table}_centroids", f"{table}_codebook")

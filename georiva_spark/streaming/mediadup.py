@@ -39,7 +39,8 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
                           code_col: str = "code", grow: bool = True,
                           output: str = "pairs",
                           compact_every: int | None = None,
-                          compact_dir: str | None = None):
+                          compact_dir: str | None = None,
+                          gen_fn=None):
     """Start the probe-then-grow perceptual stream: ``codes_stream``
     must carry (id_col, code_col) with corpus-unique ids.
     ``grow=False`` probes without appending (audit mode). Returns the
@@ -90,7 +91,13 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
         outputs=[(out_dir, pairs if output == "pairs" else lookup)],
         guard_table=f"{table}_ids",
         guard_keys=lambda w: w.select(F.col(id_col).alias("id")),
-        append=lambda w: hamming_index_append(w, table, id_col=id_col,
+        # gen_fn (r12, e.g. _tombstones.batch_delivery_gen) tags each
+        # batch's appended memberships so a re-crawled delivery can
+        # later be retracted via hamming_index_retract
+        append=lambda w: hamming_index_append(w, table,
+                                              gen=(gen_fn(w)
+                                                   if gen_fn else ""),
+                                              id_col=id_col,
                                               code_col=code_col),
         refresh_tables=(f"{table}_bands", f"{table}_ids"),
         grow=grow,

@@ -38,7 +38,8 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
                          out_dir: str, checkpoint_dir: str,
                          threshold: float = 0.5, grow: bool = True,
                          compact_every: int | None = None,
-                         compact_dir: str | None = None):
+                         compact_dir: str | None = None,
+                         gen_fn=None):
     """Start the probe-then-grow stream: ``docs_stream`` must carry
     (doc_id, text) with corpus-unique doc_ids; pairs land in
     ``{out_dir}/batch_id=N`` as (doc_new, doc_old, est_jaccard).
@@ -47,7 +48,12 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
     the index compacts in place via
     :func:`~georiva_spark.operators.dedup.minhash_index_compact` —
     fresh staging dirs under ``compact_dir``; retired ones are the
-    operator's to delete. Returns the StreamingQuery."""
+    operator's to delete. ``gen_fn`` (r12, e.g.
+    :func:`~georiva_spark.operators._tombstones.batch_delivery_gen`)
+    tags each batch's appended rows with a generation so a re-crawled
+    delivery can later be retracted
+    (:func:`~georiva_spark.operators.dedup.minhash_index_retract`).
+    Returns the StreamingQuery."""
     spark = docs_stream.sparkSession
     params = minhash_index_params(spark, table)   # fail fast on launch
     compact = _family_compact(
@@ -71,7 +77,8 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
         outputs=[(out_dir, pairs)],
         guard_table=f"{table}_sigs",
         guard_keys=lambda w: w.select("doc_id"),
-        append=lambda w: minhash_index_append(w, table),
+        append=lambda w: minhash_index_append(
+            w, table, gen=(gen_fn(w) if gen_fn else "")),
         refresh_tables=(f"{table}_bands", f"{table}_sigs"),
         grow=grow,
         compact_every_n_appends=(None if compact is None

@@ -2130,3 +2130,79 @@ def test_tombstone_protocol_model_equivalence(spark, tmp_path):
         for x in ("bands", "sigs", "dead", "bands_compact",
                   "sigs_compact", "bands_old", "sigs_old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
+
+
+def test_streaming_gen_tagged_appends_enable_retraction(spark,
+                                                        tmp_path):
+    """r12: the probe-then-grow launchers take ``gen_fn`` (one crawl
+    delivery per micro-batch, batch_delivery_gen derives the tag), so
+    a streamed delivery can later be retracted operator-initiated —
+    exercised through the mediadup stream: two shard deliveries land
+    as two batches, their memberships carry distinct gens, retracting
+    one shard removes exactly its matches, replays stay idempotent,
+    and a mixed-shard batch fails by name."""
+    from georiva_spark.operators._tombstones import batch_delivery_gen
+    from georiva_spark.streaming import start_mediadup_stream
+
+    t = "t_mdgen"
+    idx = spark.createDataFrame([(1, 0b1111)],
+                                "media_id long, code long")
+    dedup.hamming_index_write(idx, t, str(tmp_path / "h"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    landing = tmp_path / "mg_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "mg_out"), str(tmp_path / "mg_ckpt")
+    schema = "media_id long, code long, shard string"
+    novel_a, novel_b = 0x5A5A5A5A00, 0x3C3C3C3C00
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_mediadup_stream(
+            src, t, out, ckpt,
+            gen_fn=batch_delivery_gen("shard", "media_id", "code"))
+        q.awaitTermination(180)
+
+    try:
+        drop("a", [(100, novel_a, "sA")])
+        drop("b", [(200, novel_b, "sB")])
+        cycle()
+        gens = {r.gen for r in spark.table(f"{t}_ids")
+                .where("id >= 100").select("gen").distinct().collect()}
+        assert len(gens) == 2               # one gen per delivery
+        assert all(g.startswith(("sA\x1f", "sB\x1f")) for g in gens)
+
+        def probe(code):
+            return {r.id_old for r in dedup.hamming_index_probe(
+                spark.createDataFrame([(900, code)],
+                                      "media_id long, code long"),
+                t).collect()}
+
+        assert probe(novel_a ^ 1) == {100}
+        assert probe(novel_b ^ 1) == {200}
+        # operator-initiated T5: shard sA was re-crawled away
+        dedup.hamming_index_retract(spark, t, "sA")
+        assert probe(novel_a ^ 1) == set()
+        assert probe(novel_b ^ 1) == {200}
+        # replay stays idempotent (gens deterministic of content)
+        n = spark.table(f"{t}_ids").count()
+        cycle()
+        assert spark.table(f"{t}_ids").count() == n
+        # a mixed-shard batch violates the atomic-delivery contract
+        drop("c", [(300, novel_a ^ 2, "sC"), (301, novel_b ^ 2, "sD")])
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_mediadup_stream(
+            src, t, out, str(tmp_path / "mg_ckpt2"),
+            gen_fn=batch_delivery_gen("shard", "media_id", "code"))
+        with pytest.raises(Exception, match="distinct 'shard'"):
+            q.awaitTermination(180)
+    finally:
+        for s in ("bands", "ids", "dead"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")

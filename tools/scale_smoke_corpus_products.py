@@ -252,8 +252,6 @@ def main() -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def smoke_streamed_recrawl(spark, n: int, base: str) -> None:
@@ -416,3 +414,7 @@ def smoke_streamed_recrawl(spark, n: int, base: str) -> None:
     for t in ("t_rc_idx_bands", "t_rc_idx_sigs", "t_rc_idx_dead",
               "t_rc_idx_bands_compact", "t_rc_idx_sigs_compact"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+if __name__ == "__main__":
+    main()
