@@ -244,9 +244,18 @@ def main() -> None:
     spark = get_spark("scale-smoke-corpus-products")
     base = tempfile.mkdtemp(prefix="corpus_products_smoke_")
     try:
+        # clearCache between stages: stage 1's streamed micro-batches
+        # leave persisted work/signature frames in the block manager
+        # (persist_bounded slots of cloned foreachBatch sessions),
+        # and the residue can push a later stage's broadcast build
+        # over the 16g driver heap (observed: stage-2 full export
+        # broadcast OOM only when run after stage 1)
         smoke_streamed_products(spark, n, base)
+        spark.catalog.clearCache()
         smoke_delta_export(spark, n, base)
+        spark.catalog.clearCache()
         smoke_10k_strata_samplers(spark, n)
+        spark.catalog.clearCache()
         smoke_streamed_recrawl(spark, n, base)
     finally:
         shutil.rmtree(base, ignore_errors=True)
