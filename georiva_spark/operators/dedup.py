@@ -1431,9 +1431,15 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
     for suffix in ("bands", "sigs"):
         atomic_swap_table(spark, f"{table}_{suffix}")
     if dead is not None:
-        # managed table: DROP removes the rule data too. Applied-then-
-        # cleared is the safe order (see docstring).
-        spark.sql(f"DROP TABLE IF EXISTS {table}_dead")
+        # clear_rules, NOT a raw DROP (r13, ADVICE): an ADOPTED
+        # (post-restart, external) rule table keeps its files under a
+        # bare DROP, and the next probe's _ensure_registered would
+        # re-adopt the stale rules — permanently tombstoning any later
+        # live generation that isn't the stale keep_gen. clear_rules
+        # removes the location too (applied-then-cleared safe order,
+        # matching hamming_index_compact / ivf_index_compact).
+        from georiva_spark.operators._tombstones import clear_rules
+        clear_rules(spark, table)
 
 
 def minhash_index_probe(new_docs: DataFrame, table: str,

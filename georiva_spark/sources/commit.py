@@ -50,11 +50,21 @@ _OBJECT_STORE_SCHEMES = frozenset({
 
 def path_scheme(path: str) -> str:
     """URI scheme of ``path`` ('' for plain local paths — a Windows
-    drive letter is not a scheme)."""
-    head, sep, _ = str(path).partition("://")
-    if not sep or "/" in head or len(head) <= 1:
-        return ""
-    return head.lower()
+    drive letter is not a scheme). Recognizes BOTH URI spellings
+    Hadoop emits: ``scheme://authority/path`` and the single-slash
+    ``scheme:/path`` form (what ``spark.sql.warehouse.dir`` and
+    Hadoop ``Path.toString`` typically carry, r13 — the r12 form
+    parsed as scheme '' and was returned unstripped, so os.replace
+    ran on a literal ``file:/...`` string)."""
+    p = str(path)
+    head, sep, _ = p.partition("://")
+    if sep and "/" not in head and len(head) > 1:
+        return head.lower()
+    head, sep, rest = p.partition(":/")
+    if (sep and len(head) > 1 and head.isalnum()
+            and not head[0].isdigit()):
+        return head.lower()
+    return ""
 
 
 def require_rename_fs(path: str, who: str = "commit") -> str:
@@ -77,15 +87,21 @@ def require_rename_fs(path: str, who: str = "commit") -> str:
             f"{sorted(RENAME_ATOMIC_SCHEMES - {''})} — refusing to "
             f"commit non-atomically. See SCALE.md §Commit protocol.")
     if scheme == "file":
-        return path[len("file://"):]
+        # both URI spellings reduce to the local absolute path:
+        # file:///x and file:/x -> /x (mirrors Hadoop's Path handling)
+        rest = str(path)[len("file:"):]
+        if rest.startswith("/"):
+            return "/" + rest.lstrip("/")
+        return rest
     return path
 
 
 def atomic_replace(src: str, dst: str, who: str = "commit") -> None:
     """Atomically install ``src`` at ``dst`` (POSIX rename semantics:
-    replaces an existing ``dst`` in one step)."""
-    require_rename_fs(dst, who)
-    os.replace(src, dst)
+    replaces an existing ``dst`` in one step). Both paths may carry
+    either ``file:`` URI spelling — stripped to local form here."""
+    os.replace(require_rename_fs(src, who),
+               require_rename_fs(dst, who))
 
 
 def atomic_write_bytes(path: str, data: bytes, who: str = "commit") -> None:

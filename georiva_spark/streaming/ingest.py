@@ -285,27 +285,28 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                 f"must list exactly one shard's files")
         # guard BEFORE any write: a shard whose committed checksum
         # differs is a straddled delivery or a re-crawl — under
-        # "reject" nothing may be overwritten
-        recrawled: set[str] = set()
+        # "reject" nothing may be overwritten. (The near-dup leg's
+        # retraction decision does NOT come from this check — the
+        # checksum updates before that leg runs, so it reads the
+        # re-crawl off the index itself; see _neardup_shard, r13.)
         for d in digests:
             checksum = f"crawl-{d.shard}-{d.digest}-{d.n}"
             item = next((it for it in engine.catalog.items
                          if it["collection"] == "crawl-shards"
                          and it["variable"] == d.shard), None)
-            if item is not None and item["checksum"] != checksum:
-                if recrawl == "reject":
-                    raise ValueError(
-                        f"start_corpus_ingest: shard {d.shard!r} "
-                        f"already exists with different content "
-                        f"(committed {item['checksum']}, arrived "
-                        f"{checksum}) — either one delivery's files "
-                        f"straddled two micro-batches (the dynamic "
-                        f"partition overwrite would silently "
-                        f"truncate the shard) or this is a re-crawl; "
-                        f"redeliver atomically and opt in with "
-                        f"recrawl='recompute', or use the "
-                        f"manifest-committed start_corpus_deliveries")
-                recrawled.add(d.shard)
+            if item is not None and item["checksum"] != checksum \
+                    and recrawl == "reject":
+                raise ValueError(
+                    f"start_corpus_ingest: shard {d.shard!r} "
+                    f"already exists with different content "
+                    f"(committed {item['checksum']}, arrived "
+                    f"{checksum}) — either one delivery's files "
+                    f"straddled two micro-batches (the dynamic "
+                    f"partition overwrite would silently "
+                    f"truncate the shard) or this is a re-crawl; "
+                    f"redeliver atomically and opt in with "
+                    f"recrawl='recompute', or use the "
+                    f"manifest-committed start_corpus_deliveries")
         # the conf must be set on the MICRO-BATCH's cloned session —
         # foreachBatch writes run there, not on the outer session
         # (the same per-session trap as the r7 relation-cache lesson)
@@ -339,13 +340,15 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                 _neardup_shard(
                     batch.where(F.col("shard") == d.shard)
                          .select("doc_id", "text"),
-                    d.shard, f"{d.digest}-{d.n}",
-                    was_recrawled=d.shard in recrawled)
+                    d.shard, f"{d.digest}-{d.n}")
             if token_layout is not None:
                 _grow_layout(d.shard)
 
-    def _neardup_shard(docs: DataFrame, shard: str, digest: str,
-                       was_recrawled: bool) -> None:
+    def _neardup_shard(docs: DataFrame, shard: str,
+                       digest: str) -> None:
+        from georiva_spark.operators._tombstones import (GEN_SEP,
+                                                         dead_rules,
+                                                         live_rows)
         from georiva_spark.operators.dedup import (
             index_gen, minhash_index_append, minhash_index_has_gen,
             minhash_index_params, minhash_index_probe,
@@ -356,14 +359,32 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
         # appends write bands first, sigs last, so gen-in-sigs
         # implies the prior append completed
         applied = minhash_index_has_gen(spark, neardup_table, gen)
-        if was_recrawled and not applied:
-            # T5 → the index: tombstone every earlier generation of
-            # this shard, keeping (only) the generation this delivery
-            # is about to append. Retract precedes append, so
-            # "applied" implies the retraction already ran.
-            minhash_index_retract(spark, neardup_table, shard,
-                                  keep_gen=gen)
-            spark.catalog.refreshTable(f"{neardup_table}_dead")
+        if not applied:
+            # Re-crawl detection from the INDEX ITSELF (r13, ADVICE):
+            # the catalog item checksum updates and dispatches BEFORE
+            # this leg runs, so deciding from it is replay-unsafe — a
+            # crash between that update and the retract (or a restart
+            # with a fresh engine whose catalog lacks the old
+            # checksum) would replay as "not recrawled" and append
+            # the new generation with the dead ones still
+            # probe-visible forever. Instead: any LIVE gen carrying
+            # this shard's prefix other than the one about to append
+            # IS a dead generation (an already-tombstoned gen is
+            # filtered by live_rows, so an already-applied retract
+            # does not re-fire).
+            sigs = live_rows(
+                spark.table(f"{neardup_table}_sigs"),
+                dead_rules(spark, neardup_table))
+            stale = (sigs.where(
+                (F.substring_index("gen", GEN_SEP, 1) == shard)
+                & (F.col("gen") != gen)).limit(1).count() > 0)
+            if stale:
+                # T5 → the index: tombstone every earlier generation
+                # of this shard, keeping (only) the generation this
+                # delivery is about to append.
+                minhash_index_retract(spark, neardup_table, shard,
+                                      keep_gen=gen)
+                spark.catalog.refreshTable(f"{neardup_table}_dead")
         p = minhash_index_params(spark, neardup_table)
         ids = docs.select("doc_id")
         pairs = minhash_index_probe(

@@ -23,6 +23,25 @@ def test_local_and_hdfs_paths_pass():
     assert commit.require_rename_fs("hdfs://nn/x") == "hdfs://nn/x"
 
 
+def test_single_slash_uri_form(tmp_path):
+    """r13 (ADVICE): Spark/Hadoop paths typically carry the
+    single-slash URI form ('file:/x', what spark.sql.warehouse.dir
+    holds) — it must parse as scheme 'file' and strip to a local
+    path, and the object-store gate must catch 's3a:/b/k' too."""
+    assert commit.path_scheme("file:/tmp/x") == "file"
+    assert commit.require_rename_fs("file:/tmp/x") == "/tmp/x"
+    with pytest.raises(ValueError, match="object store"):
+        commit.require_rename_fs("s3a:/bucket/key")
+    # a write through the single-slash form must actually land
+    p = f"file:{tmp_path}/m/tok.json"
+    commit.atomic_write_json(p, {"ok": 1})
+    with open(os.path.join(tmp_path, "m", "tok.json")) as f:
+        assert json.load(f) == {"ok": 1}
+    commit.atomic_replace(f"file:{tmp_path}/m/tok.json",
+                          f"file://{tmp_path}/m/tok2.json")
+    assert os.path.exists(os.path.join(tmp_path, "m", "tok2.json"))
+
+
 @pytest.mark.parametrize("path", [
     "s3://bucket/key", "s3a://bucket/key", "gs://bucket/key",
     "abfss://fs@acct/x", "wasb://c@a/x",

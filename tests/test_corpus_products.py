@@ -602,6 +602,71 @@ def test_corpus_stream_recrawl_retracts_neardup_index(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_neardup_retraction_replay_safe_without_catalog(spark,
+                                                        tmp_path):
+    """r13 (ADVICE): the re-crawl retraction decision comes from the
+    INDEX itself, not the catalog item checksum — commit_shards
+    updates and dispatches the checksum BEFORE the near-dup leg runs,
+    so a crash in that window (or a restart with a fresh engine whose
+    catalog lacks the old checksum) used to replay with
+    was_recrawled=False and append the new generation while the dead
+    one stayed probe-visible forever (the exact T5 failure r12
+    targeted). Worst case simulated here: the index holds shard sA's
+    old generation, the engine catalog knows NOTHING about sA, and
+    the re-crawled delivery lands — the old generation must still
+    retract."""
+    import os
+
+    from georiva_spark.operators import dedup
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = str(tmp_path / "land")
+    corp = str(tmp_path / "corpus")
+    nd_out = str(tmp_path / "nd")
+    os.makedirs(land)
+    # fresh engine: its catalog has NO crawl-shards item for sA, so
+    # the checksum-based detection would call this a first delivery
+    eng = _mk_engine(spark, corp, str(tmp_path / "out"))
+    seed = spark.createDataFrame(
+        [(1, SEED_TEXT, "en", "web", 1)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    dedup.minhash_index_write(seed, "t_crmh2", str(tmp_path / "idx"),
+                              n_buckets=4)
+    try:
+        # a PRIOR engine lifetime appended sA's original delivery
+        old = spark.createDataFrame(
+            [(10, SEED_TEXT.replace("tonight", "yesterday"))],
+            "doc_id long, text string")
+        dedup.minhash_index_append(
+            old, "t_crmh2", gen=dedup.index_gen("sA", "old-1"))
+        # the re-crawled sA arrives (novel content); default policy —
+        # the catalog sees a brand-new shard, so nothing rejects
+        _land(spark, tmp_path, land, "f0", [(11, NOVEL_A)], "sA")
+        q = start_corpus_ingest(
+            spark, land, corp, str(tmp_path / "ck"), eng,
+            max_files_per_trigger=1, available_now=True,
+            neardup_table="t_crmh2", neardup_out_dir=nd_out)
+        q.awaitTermination()
+        # the dead generation must be tombstoned: a probe against the
+        # OLD content finds nothing, the seed and the new gen still
+        # match
+        probe = spark.createDataFrame(
+            [(99, SEED_TEXT.replace("tonight", "someday")),
+             (98, NOVEL_A.replace("fresh", "new"))],
+            "doc_id long, text string")
+        got = {(r.doc_new, r.doc_old) for r in
+               dedup.minhash_index_probe(probe, "t_crmh2",
+                                         threshold=0.5).collect()}
+        assert not any(do == 10 for _, do in got)    # dead: retracted
+        assert (98, 11) in got                       # new generation
+        assert (99, 1) in got                        # seed untouched
+        assert spark.catalog.tableExists("t_crmh2_dead")
+    finally:
+        for t in ("t_crmh2_bands", "t_crmh2_sigs", "t_crmh2_dead"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_corpus_deliveries_manifest_mode_survives_file_splits(
         spark, tmp_path):
     """start_corpus_deliveries (r12): the manifest IS the atomic

@@ -2063,6 +2063,53 @@ def test_tombstone_rules_survive_driver_restart(spark, tmp_path):
             shutil.rmtree(loc + "_bak", ignore_errors=True)
 
 
+def test_minhash_compact_after_adoption_clears_location(spark,
+                                                        tmp_path):
+    """r13 (ADVICE): minhash_index_compact must clear an ADOPTED
+    (post-driver-restart, external) rule table through clear_rules —
+    the previous raw DROP left the adopted location's files on disk,
+    so the next probe re-adopted the STALE rules and permanently
+    tombstoned any later live generation of the shard that isn't the
+    stale keep_gen."""
+    import os
+    import shutil
+
+    from georiva_spark.operators import _tombstones as tb
+    t = "t_mhcadopt"
+    novel = ("a wholly novel passage describing adopted rule tables "
+             "that a compaction must clear by location")
+    try:
+        dedup.minhash_index_write(_docs(spark, [(1, BASE)]), t,
+                                  str(tmp_path / "ix"), n_buckets=4)
+        g1 = dedup.index_gen("sA", "v1")
+        dedup.minhash_index_append(_docs(spark, [(10, novel)]), t,
+                                   gen=g1)
+        dedup.minhash_index_retract(spark, t, "sA")
+        # restart: catalog forgets, files survive -> next reader adopts
+        loc = tb._dead_location(spark, t)
+        shutil.copytree(loc, loc + "_bak")
+        spark.sql(f"DROP TABLE {t}_dead")
+        shutil.move(loc + "_bak", loc)
+        probe = _docs(spark, [(99, novel.replace("novel", "fresh"))])
+        assert {r.doc_old for r in dedup.minhash_index_probe(
+            probe, t, threshold=0.4).collect()} == set()  # adopted
+        dedup.minhash_index_compact(spark, t, str(tmp_path / "c"))
+        # the adopted external location is GONE, not just the entry —
+        # a re-adoption of stale rules here would tombstone the next
+        # live generation of sA forever
+        assert not spark.catalog.tableExists(f"{t}_dead")
+        assert not os.path.exists(loc)
+        g2 = dedup.index_gen("sA", "v2")
+        dedup.minhash_index_append(_docs(spark, [(11, novel)]), t,
+                                   gen=g2)
+        assert {r.doc_old for r in dedup.minhash_index_probe(
+            probe, t, threshold=0.4).collect()} == {11}
+    finally:
+        for x in ("bands", "sigs", "dead", "bands_compact",
+                  "sigs_compact", "bands_old", "sigs_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
+
+
 def test_tombstone_protocol_model_equivalence(spark, tmp_path):
     """r12 model-based sequence test: a seeded random sequence of the
     ingest protocol's index ops (deliver / re-deliver identical /
