@@ -24,9 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the driver's rotating correctness window has not recorded yet
-# (the r12 addition) — surfaced first so the next window reaches them.
+# (the r13 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
-    "minhash_retract", "ann_retract", "image_retract",
+    "minhash_retract_docs", "ann_retract_docs", "image_retract_docs",
+    "token_takedown",
 ]
 
 

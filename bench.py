@@ -78,6 +78,11 @@ HEADLINE = [
     # write + tagged append + tombstone + live-filtered probe per
     # family (text bands / embedding cells / perceptual memberships)
     "minhash_retract", "ann_retract", "image_retract",
+    # r13: doc-grained takedown across the same triad (second bounded
+    # rule table, broadcast anti-join composition) + the takedown
+    # reaching the trainer token-shard layout (surgical file rewrite)
+    "minhash_retract_docs", "ann_retract_docs", "image_retract_docs",
+    "token_takedown",
 ]
 
 
@@ -110,6 +115,28 @@ def _check_registry_drift() -> None:
                   f"{os.path.basename(files[-1])}", file=sys.stderr)
 
 
+def _calibrate(spark) -> float:
+    """Machine-speed anchor (r13 — the r12 verdict's item 7):
+    cross-round bench comparison is dominated by environment drift
+    (the r12 calibration point: the SAME commit ran 1.5-1.7× slower
+    hours apart). This fixed pure-JVM query — a seeded range agg,
+    zero IO, zero Python — measures the machine, not the code;
+    best-of-3 lands in the JSON as ``calib_s`` so rounds can be
+    normalized before diffing (SCALE.md §Bench methodology)."""
+    from pyspark.sql import functions as F
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(0, 200_000_000, 1, 32)
+         .select(((F.col("id") * 2654435761) % 1000003).alias("h"))
+         .groupBy((F.col("h") % 64).alias("b"))
+         .agg(F.count("h").alias("n"), F.sum("h").alias("s"))
+         .agg(F.count("*"), F.sum("s"), F.bit_xor("n")).collect())
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
+
+
 def main() -> None:
     _check_registry_drift()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,6 +152,9 @@ def main() -> None:
     def _warm(s: pandas.Series) -> pandas.Series:
         return s
     spark.range(32).select(_warm("id")).count()
+    calib_s = _calibrate(spark)
+    print(f"# calib: {calib_s}s (pure-JVM machine anchor, best of 3)",
+          file=sys.stderr)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     from pyspark.sql import functions as F
 
@@ -163,6 +193,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calib_s": calib_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

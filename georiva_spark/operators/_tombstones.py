@@ -140,8 +140,14 @@ def _require_adoptable(spark, table: str, suffix: str,
     if not stamp_table or not spark.catalog.tableExists(stamp_table):
         return
     prop = _RULE_KINDS[suffix][1]
-    props = {r.key: r.value for r in
-             spark.sql(f"SHOW TBLPROPERTIES {stamp_table}").collect()}
+    try:
+        props = {r.key: r.value for r in
+                 spark.sql(f"SHOW TBLPROPERTIES {stamp_table}")
+                 .collect()}
+    except Exception:
+        # temp-view controls carry no properties (and cannot have
+        # been stamped by a retract) — nothing to witness
+        return
     if props.get(prop):
         raise ValueError(
             f"index {table!r} is stamped {prop}={props[prop]} but its "

@@ -773,11 +773,14 @@ def hamming_index_probe(new_codes: DataFrame, table: str,
             .dropDuplicates(["__ra", "__rb"]))
     da = delta.select(_code_ref(delta, "code")[0].alias("__ra"),
                       F.col("id").alias("id_new"))
-    # retracted generations (re-crawled media shards, T5) vanish at
-    # the MEMBERSHIP expansion — a band-matched code whose only
-    # members are dead yields no pair rows
-    ib = _live_rows(spark.table(f"{table}_ids"),
-                    _dead_rules(spark, table)).select(
+    # retracted generations (re-crawled media shards, T5) and
+    # taken-down ids (r13) vanish at the MEMBERSHIP expansion — a
+    # band-matched code whose only members are dead yields no pair
+    # rows
+    ib = _live_doc_rows(
+        _live_rows(spark.table(f"{table}_ids"),
+                   _dead_rules(spark, table)),
+        _dead_docs(spark, table), "id").select(
         F.col("ref").alias("__rb"), F.col("id").alias("id_old"))
     return (cand.join(da, "__ra").join(ib, "__rb")
             .where(F.col("id_new") != F.col("id_old"))
@@ -846,8 +849,10 @@ def hamming_index_lookup(new_codes: DataFrame, table: str,
             .select("__ra", "__rb", ham.alias("hamming"))
             .where(F.col("hamming") <= p["max_hamming"])
             .dropDuplicates(["__ra", "__rb"]))
-    ids_tbl = _live_rows(spark.table(f"{table}_ids"),
-                         _dead_rules(spark, table))
+    ids_tbl = _live_doc_rows(
+        _live_rows(spark.table(f"{table}_ids"),
+                   _dead_rules(spark, table)),
+        _dead_docs(spark, table), "id")
     if exclude_ids is not None:
         ex = exclude_ids.select(
             F.col(exclude_ids.columns[0]).alias("id"))
@@ -935,8 +940,10 @@ def hamming_index_append(new_codes: DataFrame, table: str,
     delta_ids = base.select(_code_ref(base, "code")[0].alias("ref"), "id")
     # LIVE rows only: a dead (tombstoned) membership must not block
     # re-admission of the same (ref, id) under the new generation
-    existing = (_live_rows(spark.table(f"{table}_ids"),
-                           _dead_rules(spark, table))
+    existing = (_live_doc_rows(
+                    _live_rows(spark.table(f"{table}_ids"),
+                               _dead_rules(spark, table)),
+                    _dead_docs(spark, table), "id")
                 .join(delta_ids.select("ref").distinct(), "ref",
                       "left_semi"))
     (delta_ids.join(existing, ["ref", "id"], "left_anti")
@@ -970,7 +977,21 @@ def hamming_index_retract(spark, table: str, shard: str,
             f"rows carry no generation to retract; rebuild it with "
             f"hamming_index_write")
     _retract(spark, table, shard, keep_gen,
-             who="hamming_index_retract")
+             who="hamming_index_retract",
+             stamp_table=f"{table}_bands")
+
+
+def hamming_index_retract_docs(spark, table: str, ids) -> None:
+    """TAKEDOWN (r13 — doc-grained T5) for the perceptual index:
+    tombstone SPECIFIC media ids at the MEMBERSHIP layer (band rows
+    are distinct codes shared across items, so they stay — a code
+    whose only members are taken down simply yields no pair rows, and
+    :func:`hamming_index_compact` drops it physically). ``ids`` is
+    the bounded id list of the request; works on any layout including
+    unversioned pre-r12 indexes."""
+    _retract_docs(spark, table, ids,
+                  who="hamming_index_retract_docs",
+                  stamp_table=f"{table}_bands")
 
 
 def hamming_index_compact(spark, table: str, path: str) -> None:
@@ -987,10 +1008,13 @@ def hamming_index_compact(spark, table: str, path: str) -> None:
                                                  write_bucketed)
 
     p = hamming_index_params(spark, table)
+    _validate_single_writer(spark, table)
     dead = _dead_rules(spark, table)
-    live_ids = _live_rows(spark.table(f"{table}_ids"), dead)
+    ddocs = _dead_docs(spark, table)
+    live_ids = _live_doc_rows(
+        _live_rows(spark.table(f"{table}_ids"), dead), ddocs, "id")
     bands_tbl = spark.table(f"{table}_bands")
-    if dead is not None:
+    if dead is not None or ddocs is not None:
         bands_tbl = bands_tbl.join(
             live_ids.select("ref").distinct(), "ref", "left_semi")
     write_bucketed(bands_tbl,
@@ -1010,8 +1034,9 @@ def hamming_index_compact(spark, table: str, path: str) -> None:
         f"'georiva.arr'='{p['arr']}')")
     for suffix in ("bands", "ids"):
         atomic_swap_table(spark, f"{table}_{suffix}")
-    if dead is not None:
-        clear_rules(spark, table)   # applied-then-cleared (safe order)
+    if dead is not None or ddocs is not None:
+        # applied-then-cleared (safe order)
+        clear_rules(spark, table, stamp_table=f"{table}_bands")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
@@ -1209,11 +1234,15 @@ def line_dedup(docs: DataFrame, *, delim: str = "\n", max_line_df: int = 1,
                     F.coalesce(F.col("kept_text"), F.lit(""))
                      .alias("kept_text")))
 
-# generation tombstones (r12): shared with the Hamming and IVF
-# families — operators/_tombstones.py is the one implementation
+# generation + doc tombstones (r12, doc-grained r13): shared with the
+# Hamming and IVF families — operators/_tombstones.py is the one
+# implementation
 from georiva_spark.operators._tombstones import (  # noqa: E402
-    GEN_SEP, dead_rules as _dead_rules_impl, live_rows as _live_rows,
-    make_gen as index_gen, retract as _retract,
+    GEN_SEP, dead_doc_rules as _dead_docs_impl,
+    dead_rules as _dead_rules_impl, live_doc_rows as _live_doc_rows,
+    live_rows as _live_rows, make_gen as index_gen,
+    retract as _retract, retract_docs as _retract_docs,
+    validate_single_writer as _validate_single_writer,
 )
 
 
@@ -1364,11 +1393,35 @@ def minhash_index_retract(spark, table: str, shard: str,
             f"no generation to retract; rebuild it with "
             f"minhash_index_write")
     _retract(spark, table, shard, keep_gen,
-             who="minhash_index_retract")
+             who="minhash_index_retract",
+             stamp_table=f"{table}_bands")
+
+
+def minhash_index_retract_docs(spark, table: str, doc_ids) -> None:
+    """TAKEDOWN (r13 — doc-grained T5): tombstone SPECIFIC doc_ids
+    out of a persistent MinHash index, for the retraction requests a
+    shard rule cannot express (legal takedown / right-to-be-forgotten
+    names documents, not crawl shards — the only r12 path was
+    re-crawling the whole shard without them). ``doc_ids`` is the
+    bounded id list of the request. Probes stop matching the docs
+    immediately (a second broadcast anti-join, operators/
+    _tombstones.py); :func:`minhash_index_compact` purges their
+    band + signature rows physically and clears the rules. Works on
+    any layout including unversioned pre-r12 indexes (the filter
+    keys on doc_id, not the gen)."""
+    _retract_docs(spark, table, doc_ids,
+                  who="minhash_index_retract_docs",
+                  stamp_table=f"{table}_bands")
 
 
 def _dead_rules(spark, table: str) -> DataFrame | None:
-    return _dead_rules_impl(spark, table)
+    return _dead_rules_impl(spark, table,
+                            stamp_table=f"{table}_bands")
+
+
+def _dead_docs(spark, table: str) -> DataFrame | None:
+    return _dead_docs_impl(spark, table,
+                           stamp_table=f"{table}_bands")
 
 
 def minhash_index_has_gen(spark, table: str, gen: str) -> bool:
@@ -1410,12 +1463,18 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
                                                  write_bucketed)
 
     p = minhash_index_params(spark, table)
+    _validate_single_writer(spark, table)
     dead = _dead_rules(spark, table)
-    write_bucketed(_live_rows(spark.table(f"{table}_bands"), dead),
+    ddocs = _dead_docs(spark, table)
+
+    def live(df):
+        return _live_doc_rows(_live_rows(df, dead), ddocs, "doc_id")
+
+    write_bucketed(live(spark.table(f"{table}_bands")),
                    f"{table}_bands_compact", ["band", "bucket"],
                    p["n_buckets"], f"{path}/bands",
                    one_file_per_bucket=True)
-    write_bucketed(_live_rows(spark.table(f"{table}_sigs"), dead),
+    write_bucketed(live(spark.table(f"{table}_sigs")),
                    f"{table}_sigs_compact", "doc_id",
                    p["n_buckets"], f"{path}/sigs", sort=False,
                    one_file_per_bucket=True)
@@ -1430,7 +1489,7 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
         f"'georiva.portable'='{int(p['portable'])}')")
     for suffix in ("bands", "sigs"):
         atomic_swap_table(spark, f"{table}_{suffix}")
-    if dead is not None:
+    if dead is not None or ddocs is not None:
         # clear_rules, NOT a raw DROP (r13, ADVICE): an ADOPTED
         # (post-restart, external) rule table keeps its files under a
         # bare DROP, and the next probe's _ensure_registered would
@@ -1439,7 +1498,7 @@ def minhash_index_compact(spark, table: str, path: str) -> None:
         # removes the location too (applied-then-cleared safe order,
         # matching hamming_index_compact / ivf_index_compact).
         from georiva_spark.operators._tombstones import clear_rules
-        clear_rules(spark, table)
+        clear_rules(spark, table, stamp_table=f"{table}_bands")
 
 
 def minhash_index_probe(new_docs: DataFrame, table: str,
@@ -1493,18 +1552,24 @@ def minhash_index_probe(new_docs: DataFrame, table: str,
     banded_new = sig_new.select(
         F.col("doc_id").alias("doc_new"),
         F.posexplode(bucket_arr).alias("band", "bucket"))
-    # retracted generations (re-crawled shards, T5) are filtered out
-    # of BOTH index sides via the broadcast-tiny tombstone rules — a
-    # probe never matches content that no longer exists
+    # retracted generations (re-crawled shards, T5) and taken-down
+    # doc_ids (r13) are filtered out of BOTH index sides via the
+    # broadcast-tiny tombstone rules — a probe never matches content
+    # that no longer exists
     dead = _dead_rules(spark, table)
-    idx = _live_rows(spark.table(f"{table}_bands"), dead)
+    ddocs = _dead_docs(spark, table)
+    idx = _live_doc_rows(
+        _live_rows(spark.table(f"{table}_bands"), dead),
+        ddocs, "doc_id")
     cand = (banded_new.join(idx, ["band", "bucket"])
             .where(F.col("doc_new") != F.col("doc_id"))
             .select("doc_new", F.col("doc_id").alias("doc_old"))
             .dropDuplicates(["doc_new", "doc_old"]))
     a = sig_new.select(F.col("doc_id").alias("doc_new"),
                        F.col("signature").alias("sig_a"))
-    b = _live_rows(spark.table(f"{table}_sigs"), dead).select(
+    b = _live_doc_rows(
+        _live_rows(spark.table(f"{table}_sigs"), dead),
+        ddocs, "doc_id").select(
         F.col("doc_id").alias("doc_old"),
         F.col("signature").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",

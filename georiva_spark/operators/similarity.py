@@ -335,14 +335,20 @@ def _gen_cols(spark, table: str, gen: str, who: str) -> list:
 
 
 def _live_table(spark, table: str) -> DataFrame:
-    """The index table with tombstoned generations filtered out (the
-    shared T5 machinery, operators/_tombstones.py): a broadcast
-    anti-join of the bounded ``{table}_dead`` rule table — partition
-    pruning on ``cell`` is unaffected (the filter sits above the
+    """The index table with tombstoned generations (r12) AND
+    taken-down vec_ids (r13) filtered out — the shared T5 machinery,
+    operators/_tombstones.py: broadcast anti-joins of the bounded
+    ``{table}_dead`` / ``{table}_dead_docs`` rule tables. Partition
+    pruning on ``cell`` is unaffected (the filters sit above the
     scan), and unversioned layouts pass through untouched."""
-    from georiva_spark.operators._tombstones import (dead_rules,
+    from georiva_spark.operators._tombstones import (dead_doc_rules,
+                                                     dead_rules,
+                                                     live_doc_rows,
                                                      live_rows)
-    return live_rows(spark.table(table), dead_rules(spark, table))
+    return live_doc_rows(
+        live_rows(spark.table(table),
+                  dead_rules(spark, table, stamp_table=table)),
+        dead_doc_rules(spark, table, stamp_table=table), "vec_id")
 
 
 def ivf_index_retract(spark, table: str, shard: str,
@@ -367,7 +373,23 @@ def ivf_index_retract(spark, table: str, shard: str,
             f"ivf_index_retract: {table!r} is an unversioned "
             f"(pre-r12) layout without a gen column — its rows carry "
             f"no generation to retract; rebuild the index")
-    retract(spark, table, shard, keep_gen, who="ivf_index_retract")
+    retract(spark, table, shard, keep_gen, who="ivf_index_retract",
+            stamp_table=table)
+
+
+def ivf_index_retract_docs(spark, table: str, vec_ids) -> None:
+    """TAKEDOWN (r13 — doc-grained T5) for the embedding indexes,
+    float or PQ layout: tombstone SPECIFIC vec_ids. ``vec_ids`` is
+    the bounded id list of the request (legal takedown /
+    right-to-be-forgotten names items, not crawl shards). Probes,
+    recall calibration, and tuning stop seeing the vectors
+    immediately (a second broadcast anti-join in ``_live_table``);
+    the compactions purge them physically and clear the rules. Works
+    on any layout including unversioned pre-r12 indexes (the filter
+    keys on vec_id, not the gen)."""
+    from georiva_spark.operators._tombstones import retract_docs
+    retract_docs(spark, table, vec_ids, who="ivf_index_retract_docs",
+                 stamp_table=table)
 
 
 def ivf_index_write(emb: DataFrame, table: str, path: str,
@@ -526,6 +548,9 @@ def ivf_index_compact(spark, table: str, path: str,
     never be corpus-sized."""
     from georiva_spark.sources.bucketing import atomic_swap_table
 
+    from georiva_spark.operators._tombstones import \
+        validate_single_writer
+    validate_single_writer(spark, table)
     stamps = {r.key: r.value for r in
               spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
               if r.key.startswith("georiva.")}
@@ -569,7 +594,8 @@ def ivf_index_compact(spark, table: str, path: str,
         # leave new assignments probed with old centroids — silent
         atomic_swap_table(spark, f"{table}_centroids")
         atomic_swap_table(spark, table)
-        clear_rules(spark, table)   # tombstones applied, then cleared
+        # tombstones applied, then cleared
+        clear_rules(spark, table, stamp_table=table)
         return
     cur = _live_table(spark, table)
     (cur.repartition("cell")
@@ -584,7 +610,8 @@ def ivf_index_compact(spark, table: str, path: str,
         spark.sql(f"ALTER TABLE {table}_compact "
                   f"SET TBLPROPERTIES ({kv})")
     atomic_swap_table(spark, table)
-    clear_rules(spark, table)       # tombstones applied, then cleared
+    # tombstones applied, then cleared
+    clear_rules(spark, table, stamp_table=table)
 
 
 def ivf_pq_index_compact(spark, table: str, path: str,
@@ -619,6 +646,9 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     if retrain_iters <= 0:
         ivf_index_compact(spark, table, path)
         return
+    from georiva_spark.operators._tombstones import \
+        validate_single_writer
+    validate_single_writer(spark, table)
     props = {r.key: r.value for r in
              spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
     try:
@@ -636,13 +666,14 @@ def ivf_pq_index_compact(spark, table: str, path: str,
             "ivf_pq_index_compact: retrain_iters>0 needs the float "
             "corpus (emb=) — the PQ table stores sub-codes only")
     # T5: restrict the retrain corpus to LIVE index rows (the caller's
-    # grown corpus still contains re-crawled shards' dead vectors) and
-    # keep each row's generation for the re-encoded table
+    # grown corpus still contains re-crawled shards' dead vectors and
+    # r13 taken-down vec_ids) and keep each row's generation for the
+    # re-encoded table (gen-less layouts still honor doc takedowns)
     gen_map = None
     live = _live_table(spark, table)
     if "gen" in live.columns:
         gen_map = live.select("vec_id", "gen")
-        emb = emb.join(gen_map.select("vec_id"), "vec_id", "left_semi")
+    emb = emb.join(live.select("vec_id"), "vec_id", "left_semi")
     opq = props.get("georiva.pq_opq") == "1"
     rot = None
     if opq:
@@ -705,7 +736,8 @@ def ivf_pq_index_compact(spark, table: str, path: str,
     for sc in sidecars:
         atomic_swap_table(spark, f"{table}{sc}")
     atomic_swap_table(spark, table)
-    clear_rules(spark, table)       # tombstones applied, then cleared
+    # tombstones applied, then cleared
+    clear_rules(spark, table, stamp_table=table)
 
 
 def ivf_index_probe(spark, table: str, query_vec, k: int = 5,

@@ -182,10 +182,9 @@ class DerivationEngine:
         # preserves the high-water marks across compactions so a
         # restarted engine never re-issues a live item id
         meta_p = os.path.join(path, "_compact_meta.json")
-        if os.path.exists(meta_p):
-            import json as _json
-            with open(meta_p) as f:
-                meta = _json.load(f)
+        from georiva_spark.sources.commit import read_token_json
+        meta = read_token_json(meta_p, who="engine.attach_ledger")
+        if meta is not None:
             self._seq = max(self._seq, int(meta.get("max_seq", 0)) + 1)
             self._next_item_id = max(self._next_item_id,
                                      int(meta.get("max_item_id", 0)) + 1)
@@ -202,7 +201,7 @@ class DerivationEngine:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from georiva_spark.sources.commit import atomic_replace
+        from georiva_spark.sources.commit import install_file
         os.makedirs(dirpath, exist_ok=True)
         cols = {f.name: [r[i] for r in rows]
                 for i, f in enumerate(schema)}
@@ -211,7 +210,10 @@ class DerivationEngine:
             dirpath, f"part-{seq:012d}-{uuid.uuid4().hex}.parquet")
         tmp = final + ".tmp"
         pq.write_table(tbl, tmp)
-        atomic_replace(tmp, final, who="engine._write_event_file")
+        # unique final name -> install through the commit backend seam
+        # (r13): rename filesystems os.replace; object stores commit
+        # via a registered PointerBackend
+        install_file(tmp, final, who="engine._write_event_file")
 
     @staticmethod
     def _runs_pa_schema():
@@ -618,10 +620,9 @@ class DerivationEngine:
             if row.i is not None:
                 hi_item = max(hi_item, row.i)
         meta_p = os.path.join(self.ledger_dir, "_compact_meta.json")
-        if os.path.exists(meta_p):
-            import json as _json
-            with open(meta_p) as f:
-                prev = _json.load(f)
+        from georiva_spark.sources.commit import read_token_json
+        prev = read_token_json(meta_p, who="engine.compact_ledger")
+        if prev is not None:
             hi_seq = max(hi_seq, int(prev.get("max_seq", 0)))
             hi_item = max(hi_item, int(prev.get("max_item_id", 0)))
         from georiva_spark.sources.commit import atomic_write_json
@@ -654,15 +655,15 @@ class DerivationEngine:
             import shutil
             import uuid
 
-            from georiva_spark.sources.commit import atomic_replace
+            from georiva_spark.sources.commit import install_file
             moved = []
             for f in os.listdir(tmp):
                 if f.endswith(".parquet"):
                     dst = os.path.join(
                         d, f"compact-{self._seq:012d}-"
                            f"{uuid.uuid4().hex}.parquet")
-                    atomic_replace(os.path.join(tmp, f), dst,
-                                   who="engine.compact_ledger")
+                    install_file(os.path.join(tmp, f), dst,
+                                 who="engine.compact_ledger")
                     moved.append(dst)
             shutil.rmtree(tmp, ignore_errors=True)
             for f in files:

@@ -41,6 +41,63 @@ def _fixture_table(spark: SparkSession, base: str) -> str:
     return f"{base}_{app}"
 
 
+def _sweep_stale_fixtures(spark: SparkSession, base: str,
+                          tmp_name: str, max_age_h: float = 3.0
+                          ) -> None:
+    """Sweep PRIOR apps' leftover retraction-query fixtures (r13, the
+    r12 ADVICE leak): app-id-suffixed index tables, their `_dead`
+    rule locations, and tmp dirs accumulate without bound across
+    driver-gate and bench runs — each app exits without cleaning up
+    because its QUERY returns a lazy DataFrame still referencing the
+    fixture tables. A CONCURRENT app's fixtures must survive (the r12
+    isolation), so only artifacts older than ``max_age_h`` go (an
+    evaluation lasts minutes; the driver gate and bench are
+    CLAUDE.md-blessed to overlap within one round, never across
+    rounds)."""
+    import os
+    import re
+    import shutil
+    import tempfile
+    import time
+
+    cutoff = time.time() - max_age_h * 3600
+    app = re.sub(r"[^0-9a-zA-Z]", "",
+                 spark.sparkContext.applicationId)[-12:]
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = "/" + wh[len("file:"):].lstrip("/")
+    if wh and "://" not in wh and os.path.isdir(wh):
+        pat = re.compile(
+            rf"^{re.escape(base.lower())}_(?!{re.escape(app.lower())})"
+            rf"[0-9a-z]+(_bands|_sigs|_ids|_dead|_dead_docs|"
+            rf"_centroids|_codebook|_rotation)?$")
+        for d in os.listdir(wh):
+            full = os.path.join(wh, d)
+            try:
+                if (pat.match(d) and os.path.isdir(full)
+                        and os.path.getmtime(full) < cutoff):
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    tdir = tempfile.gettempdir()
+    # _fixture_tmp suffixes the RAW applicationId (dashes intact) —
+    # compare against that, not the sanitized table-name form, or a
+    # >3h app would sweep its OWN live fixture dir
+    raw_app = spark.sparkContext.applicationId
+    tpat = re.compile(
+        rf"^georiva_spark_{re.escape(tmp_name)}_"
+        rf"(?!{re.escape(raw_app)}$)")
+    for d in os.listdir(tdir):
+        full = os.path.join(tdir, d)
+        try:
+            if (tpat.match(d) and os.path.isdir(full)
+                    and os.path.getmtime(full) < cutoff):
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _fixture_tmp(spark: SparkSession, name: str) -> str:
     """App-id-suffixed in-query fixture dir (r12): index/layout
     fixtures are OVERWRITTEN per evaluation, so two concurrent
@@ -5325,6 +5382,106 @@ FROM binrows, vs
 SQL_TOKEN_SHARDS = _sql_token_shards()
 
 
+def q_token_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown reaching the TRAINER layout (r13 — the last T5 gap:
+    indexes retract via tombstones, the corpus chain recomputes via
+    re-crawl, but exported token bins were immutable): export the
+    corpus to a token-shard layout, then REMOVE the docs a takedown
+    request names (ids ≡ 3 or 7 mod 20) via
+    export_token_shards_takedown — affected files rewritten in place
+    (atomic replace through the commit backend), untouched files
+    byte-identical (pytest-pinned), empty bins dropped, manifest
+    re-stamped. Returns one PER-DOC row read back from the mutated
+    layout (doc_id, n_tokens, token-id stream hash) — the
+    takedown-invariant granularity: bin composition legitimately
+    differs from a from-scratch rebuild (docs are removed from their
+    bins, not repacked), but every surviving doc's token ids must be
+    BIT-IDENTICAL to a pipeline that never saw the taken-down docs'
+    ids... while the VOCAB must still be the full-corpus one pinned
+    at export time (ids never shift under a takedown). The oracle
+    replays exactly that: full-corpus vocab, per-doc encode + clamp,
+    minus the taken-down ids."""
+    import os
+
+    from georiva_spark.sources.tables import (
+        export_token_shards, export_token_shards_takedown)
+
+    docs = load_table(spark, sf_dir, "documents")
+    _sweep_stale_fixtures(spark, "__none__", "toktd")
+    d = _fixture_tmp(spark, "toktd")
+    export_token_shards(docs, d, BPE_MERGES, context_len=128,
+                        num_shards=8)
+    takedown = [r.doc_id for r in
+                docs.where((F.col("doc_id") % 20).isin(3, 7))
+                .select("doc_id").collect()]
+    export_token_shards_takedown(spark, d, takedown)
+    bins = (spark.read.option("basePath", d)
+            .parquet(f"{d}/shard=*"))
+    n = F.size("doc_ids")
+    per_doc = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.struct(
+            F.get("doc_ids", i).alias("doc_id"),
+            F.slice(
+                F.col("token_ids"),
+                (F.get("doc_offsets", i) + 1).cast("int"),
+                (F.coalesce(F.get("doc_offsets", i + F.lit(1)),
+                            F.col("n_tokens").cast("long"))
+                 - F.get("doc_offsets", i)).cast("int"))
+            .alias("ids")))
+    return (bins.select(F.explode(per_doc).alias("d"))
+            .select(F.col("d.doc_id").alias("doc_id"),
+                    F.size("d.ids").cast("int").alias("n_tokens"),
+                    F.md5(F.array_join(
+                        F.transform(F.col("d.ids"),
+                                    lambda x: x.cast("string")),
+                        ",")).alias("ids_hash")))
+
+
+def _sql_token_takedown(context_len: int = 128) -> str:
+    """Replay q_token_takedown: the _sql_token_shards per-doc chain
+    (full-corpus vocab — ids pinned at export time — encode, clamp)
+    with the taken-down ids (doc_id % 20 in (3, 7)) filtered OUT —
+    the relational definition of 'these documents' tokens left the
+    trainer layout'."""
+    chain_w = _bpe_chain_sql("w")
+    return f"""
+WITH words AS (SELECT DISTINCT t.w AS w
+          FROM documents,
+               unnest(string_split(COALESCE(text, ''), ' ')) AS t(w)
+          WHERE t.w <> ''),
+vtok AS (SELECT DISTINCT t2.tok AS tok
+         FROM words,
+              unnest(string_split(trim({chain_w}), ' ')) AS t2(tok)
+         WHERE t2.tok <> ''),
+vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1
+                          AS INTEGER) AS id FROM vtok),
+b AS (SELECT doc_id,
+             list_filter(flatten(list_transform(
+                 string_split(COALESCE(text, ''), ' '),
+                 w -> string_split(trim({chain_w}), ' '))),
+                 t -> t <> '') AS bpe
+      FROM documents WHERE doc_id % 20 NOT IN (3, 7)),
+cl AS (SELECT doc_id, list_slice(bpe, 1, {context_len}) AS toks
+       FROM b),
+tokrows AS (SELECT doc_id, t.i AS i, toks[t.i] AS tok
+            FROM cl, generate_series(1, {context_len}) AS t(i)
+            WHERE t.i <= len(toks)),
+idlists AS (SELECT tr.doc_id, list(v.id ORDER BY tr.i) AS l
+            FROM tokrows tr JOIN vocab v ON v.tok = tr.tok
+            GROUP BY tr.doc_id),
+ids AS (SELECT cl.doc_id, COALESCE(idlists.l, []) AS ids
+        FROM cl LEFT JOIN idlists USING (doc_id))
+SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_tokens,
+       md5(array_to_string(list_transform(
+           ids, v -> CAST(v AS VARCHAR)), ',')) AS ids_hash
+FROM ids
+"""
+
+
+SQL_TOKEN_TAKEDOWN = _sql_token_takedown()
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED corpus→loader chain (r10 — the missing last leg
     of training_pipeline's story): Gopher quality gate → exact-dedup
@@ -6526,9 +6683,11 @@ def q_minhash_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("src_text"))
                        .otherwise(F.col("text")).alias("text")))
     from georiva_spark.operators._tombstones import clear_rules
+    _sweep_stale_fixtures(spark, "t_mhretq", "mhret")
     d = _fixture_tmp(spark, "mhret")
     t = _fixture_table(spark, "t_mhretq")
-    clear_rules(spark, t)      # best-of-N re-evaluations start clean
+    # best-of-N re-evaluations start clean
+    clear_rules(spark, t, stamp_table=f"{t}_bands")
     dedup.minhash_index_write(planted.where(F.col("doc_id") % 4 == 0),
                               t, os.path.join(d, "idx"),
                               n_buckets=8, portable=True)
@@ -6603,9 +6762,11 @@ def q_ann_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding")
     from georiva_spark.operators._tombstones import clear_rules
+    _sweep_stale_fixtures(spark, "t_annret", "annret")
     d = _fixture_tmp(spark, "annret")
     t = _fixture_table(spark, "t_annret")
-    clear_rules(spark, t)      # best-of-N re-evaluations start clean
+    # best-of-N re-evaluations start clean
+    clear_rules(spark, t, stamp_table=t)
     similarity.ivf_index_write(emb, t,
                                os.path.join(d, "idx"), n_centroids=8)
     twins = (emb.where(F.col("vec_id") < 3)
@@ -6675,9 +6836,11 @@ def q_image_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = emb.mapInPandas(gen({3}), schema=schema)
     delta = emb.mapInPandas(gen({1, 2}), schema=schema)
     from georiva_spark.operators._tombstones import clear_rules
+    _sweep_stale_fixtures(spark, "t_imgret", "imgret")
     d = _fixture_tmp(spark, "imgret")
     t = _fixture_table(spark, "t_imgret")
-    clear_rules(spark, t)      # best-of-N re-evaluations start clean
+    # best-of-N re-evaluations start clean
+    clear_rules(spark, t, stamp_table=f"{t}_bands")
     dedup.hamming_index_write(mm.image_dhash(originals), t,
                               os.path.join(d, "idx"),
                               id_col="media_id", code_col="dhash",
@@ -6697,6 +6860,223 @@ def q_image_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_IMAGE_RETRACT = SQL_IMAGE_INDEX_PROBE
+
+
+def q_minhash_retract_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Doc-grained T5 — TAKEDOWN reaching the persistent MinHash
+    index (r13, the r12 verdict's item 2): same planted corpus and
+    index lifecycle as minhash_retract (write the doc_id%4==0
+    quarter, append the doc_id%4==2 quarter as crawl shard 'crawl-b'),
+    but instead of retracting a SHARD, retract the SPECIFIC doc_ids a
+    takedown request names — here ids ≡ 0 or 2 (mod 20), which hits
+    BOTH the unversioned base and the gen-tagged shard (doc rules key
+    on doc_id, not the gen, so they work on any layout). Probe with
+    the odd half.
+
+    The oracle replays the signature/banding arithmetic against the
+    index MINUS the taken-down ids — a hash match proves the docs are
+    invisible to probes exactly as if they were never indexed, while
+    every other doc (including the rest of their own shard) keeps
+    matching: retraction at a granularity no shard rule can express.
+    Same plan shape as the shard rules: a second broadcast anti-join
+    of the bounded id list (plan-asserted), zero index rewrite at
+    event time, physical purge at compaction (pytest-pinned)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.col("text").alias("src_text"))
+    planted = (docs.join(prev, "doc_id", "left")
+               .select("doc_id",
+                       F.when((F.col("doc_id") % 10 == 1)
+                              & F.col("src_text").isNotNull(),
+                              F.col("src_text"))
+                       .otherwise(F.col("text")).alias("text")))
+    from georiva_spark.operators._tombstones import clear_rules
+    _sweep_stale_fixtures(spark, "t_mhretdq", "mhretd")
+    d = _fixture_tmp(spark, "mhretd")
+    t = _fixture_table(spark, "t_mhretdq")
+    clear_rules(spark, t, stamp_table=f"{t}_bands")
+    dedup.minhash_index_write(planted.where(F.col("doc_id") % 4 == 0),
+                              t, os.path.join(d, "idx"),
+                              n_buckets=8, portable=True)
+    dedup.minhash_index_append(planted.where(F.col("doc_id") % 4 == 2),
+                               t,
+                               gen=dedup.index_gen("crawl-b", "v1"))
+    # the takedown request: a BOUNDED id list (ids ≡ 0 or 2 mod 20 —
+    # a few percent of one corpus, the size class of a legal request)
+    takedown = [r.doc_id for r in
+                planted.where((F.col("doc_id") % 20).isin(0, 2))
+                .select("doc_id").collect()]
+    dedup.minhash_index_retract_docs(spark, t, takedown)
+    return dedup.minhash_index_probe(
+        planted.where(F.col("doc_id") % 2 == 1), t,
+        threshold=0.5)
+
+
+def _sql_minhash_retract_docs(threshold: float = 0.5,
+                              num_hashes: int = 64,
+                              bands: int = 16) -> str:
+    """Replay q_minhash_retract_docs: the _sql_minhash arithmetic
+    with the index side = both even quarters MINUS the taken-down ids
+    (doc_id % 20 in (0, 2)) — the relational definition of 'these
+    documents were never there'."""
+    a, b = dedup.minhash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = [f"list_min(list_transform(s, v -> "
+            f"(CAST(v AS HUGEINT) * {int(a[j])} + {int(b[j])})"
+            f" % 18446744073709551616))" for j in range(num_hashes)]
+    est = (f"CAST(len(list_filter(range(0, {num_hashes}), "
+           f"i -> sa[i+1] = sb[i+1])) AS DOUBLE) / {float(num_hashes)}")
+    return f"""
+WITH planted AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 1 AND p.text IS NOT NULL
+              THEN p.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s FROM toks),
+sigu AS (SELECT doc_id, [{', '.join(mins)}] AS u FROM sh),
+sig AS (SELECT doc_id,
+               list_transform(u, m -> CAST(CASE
+                 WHEN m >= 9223372036854775808
+                 THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS sig
+        FROM sigu),
+banded AS (SELECT doc_id, sig, bb.band AS band,
+                  sig[bb.band*{r}+1 : bb.band*{r}+{r}] AS key
+           FROM sig CROSS JOIN
+                (SELECT unnest(range(0, {bands})) AS band) bb),
+cand AS (SELECT DISTINCT l.doc_id AS doc_new, r.doc_id AS doc_old,
+                l.sig AS sa, r.sig AS sb
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.key = r.key
+          AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+          AND r.doc_id % 20 NOT IN (0, 2))
+SELECT doc_new, doc_old, {est} AS est_jaccard
+FROM cand WHERE {est} >= {threshold}
+"""
+
+
+SQL_MINHASH_RETRACT_DOCS = _sql_minhash_retract_docs()
+
+
+def q_ann_retract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grained T5 on the EMBEDDING index (r13): same lifecycle as
+    ann_retract — write the float IVF index, append twin vectors
+    (vec_id+10000, copies of vectors 0-2) under a generation tag,
+    verify IN-QUERY that a probe ranks an appended twin — but retract
+    the three SPECIFIC vec_ids (ivf_index_retract_docs) instead of
+    the shard. The oracle is the UNMODIFIED knn_ivf SQL over the
+    original table: a hash match proves the taken-down vectors are
+    invisible exactly as if never appended — same cells, same
+    candidates, same top-k, zero index rewrite at event time."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    from georiva_spark.operators._tombstones import clear_rules
+    _sweep_stale_fixtures(spark, "t_annretd", "annretd")
+    d = _fixture_tmp(spark, "annretd")
+    t = _fixture_table(spark, "t_annretd")
+    clear_rules(spark, t, stamp_table=t)
+    similarity.ivf_index_write(emb, t,
+                               os.path.join(d, "idx"), n_centroids=8)
+    twins = (emb.where(F.col("vec_id") < 3)
+             .select((F.col("vec_id") + 10000).alias("vec_id"),
+                     "embedding"))
+    similarity.ivf_index_append(twins, t,
+                                gen=dedup.index_gen("crawl-e", "v1"))
+    q = (emb.where(F.col("vec_id") == 0)
+         .select("embedding").head().embedding)
+    pre = {r.vec_id for r in similarity.ivf_index_probe(
+        spark, t, q, k=5, nprobe=2,
+        exclude_vec_id=0).collect()}
+    assert 10000 in pre, pre          # the live twin ranks (twin of 0)
+    similarity.ivf_index_retract_docs(spark, t, [10000, 10001, 10002])
+    return similarity.ivf_index_probe(spark, t, q, k=5,
+                                      nprobe=2, exclude_vec_id=0)
+
+
+SQL_ANN_RETRACT_DOCS = SQL_KNN_IVF
+
+
+def q_image_retract_docs(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Doc-grained T5 on the PERCEPTUAL index (r13): the
+    image_retract corpus — exact copies (media_id+300000) appended
+    under a generation tag share the originals' dHashes, so only
+    MEMBERSHIP rows append — but the retraction names the copy
+    media_ids themselves (hamming_index_retract_docs) instead of the
+    shard. The oracle is the UNMODIFIED image_index_probe SQL,
+    proving the taken-down memberships vanish while the shared band
+    rows (still owned by the live originals) keep matching — the
+    membership-layer takedown."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gen(variants):
+        def g(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for vec_id, embedding in zip(pdf["vec_id"],
+                                             pdf["embedding"]):
+                    a = np.asarray(embedding, dtype=np.float32)
+                    if 0 in variants:
+                        rows.append((int(vec_id), "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 1 in variants:
+                        rows.append((int(vec_id) + 100000, "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                    if 2 in variants:
+                        sw = a.copy()
+                        sw[0], sw[1] = a[1], a[0]
+                        rows.append((int(vec_id) + 200000, "image",
+                                     mm.encode_raw_image(sw.reshape(8, 8)),
+                                     "image/raw"))
+                    if 3 in variants:
+                        rows.append((int(vec_id) + 300000, "image",
+                                     mm.encode_raw_image(a.reshape(8, 8)),
+                                     "image/raw"))
+                yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                                  "content", "mime"])
+        return g
+
+    schema = "media_id long, kind string, content binary, mime string"
+    originals = emb.mapInPandas(gen({0}), schema=schema)
+    shard = emb.mapInPandas(gen({3}), schema=schema)
+    delta = emb.mapInPandas(gen({1, 2}), schema=schema)
+    from georiva_spark.operators._tombstones import clear_rules
+    _sweep_stale_fixtures(spark, "t_imgretd", "imgretd")
+    d = _fixture_tmp(spark, "imgretd")
+    t = _fixture_table(spark, "t_imgretd")
+    clear_rules(spark, t, stamp_table=f"{t}_bands")
+    dedup.hamming_index_write(mm.image_dhash(originals), t,
+                              os.path.join(d, "idx"),
+                              id_col="media_id", code_col="dhash",
+                              max_hamming=3, bits=56, n_buckets=8)
+    dedup.hamming_index_append(mm.image_dhash(shard), t,
+                               id_col="media_id", code_col="dhash",
+                               gen=dedup.index_gen("crawl-m", "v1"))
+    probe = mm.image_dhash(delta)
+    pre = dedup.hamming_index_probe(probe, t,
+                                    id_col="media_id",
+                                    code_col="dhash")
+    assert pre.where(F.col("id_old") >= 300000).limit(1).count() > 0
+    # the takedown names the copy ids themselves — bounded by the
+    # request (one shard's id list), not the corpus
+    takedown = [300000 + r.vec_id
+                for r in emb.select("vec_id").collect()]
+    dedup.hamming_index_retract_docs(spark, t, takedown)
+    return dedup.hamming_index_probe(probe, t,
+                                     id_col="media_id",
+                                     code_col="dhash")
+
+
+SQL_IMAGE_RETRACT_DOCS = SQL_IMAGE_INDEX_PROBE
 
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7170,6 +7550,9 @@ EXT_QUERIES = {
     "minhash_retract": q_minhash_retract,
     "ann_retract": q_ann_retract,
     "image_retract": q_image_retract,
+    "minhash_retract_docs": q_minhash_retract_docs,
+    "ann_retract_docs": q_ann_retract_docs,
+    "image_retract_docs": q_image_retract_docs,
     "ingest_jsonl": q_ingest_jsonl,
     "ivf_index": q_ivf_index,
     "ivf_probe_batch": q_ivf_probe_batch,
@@ -7199,6 +7582,7 @@ EXT_QUERIES = {
     "minhash_recall": q_minhash_recall,
     "shard_export": q_shard_export,
     "token_shards": q_token_shards,
+    "token_takedown": q_token_takedown,
     "token_pipeline": q_token_pipeline,
     "corpus_products": q_corpus_products,
     "ann_tune": q_ann_tune,
@@ -7312,6 +7696,9 @@ EXT_ORACLES = {
     "minhash_retract": SQL_MINHASH_RETRACT,
     "ann_retract": SQL_ANN_RETRACT,
     "image_retract": SQL_IMAGE_RETRACT,
+    "minhash_retract_docs": SQL_MINHASH_RETRACT_DOCS,
+    "ann_retract_docs": SQL_ANN_RETRACT_DOCS,
+    "image_retract_docs": SQL_IMAGE_RETRACT_DOCS,
     "ingest_jsonl": SQL_INGEST_JSONL,
     "ivf_index": SQL_KNN_IVF,
     "ivf_probe_batch": SQL_IVF_PROBE_BATCH,
@@ -7341,6 +7728,7 @@ EXT_ORACLES = {
     "minhash_recall": SQL_MINHASH_RECALL,
     "shard_export": SQL_SHARD_EXPORT,
     "token_shards": SQL_TOKEN_SHARDS,
+    "token_takedown": SQL_TOKEN_TAKEDOWN,
     "token_pipeline": SQL_TOKEN_PIPELINE,
     "corpus_products": SQL_CORPUS_PRODUCTS,
     "ann_tune": SQL_ANN_TUNE,

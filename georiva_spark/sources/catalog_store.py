@@ -32,8 +32,11 @@ def upsert_by_key(updates: DataFrame, path: str, keys: Sequence[str],
     e.g. ["collection"]) scopes the rewrite to touched partitions —
     without it the whole table rewrites, acceptable only for small dims.
     Partition values must be non-null slugs (no hive escaping needed)."""
-    # the upsert lifecycle commits via directory renames — enforce the
-    # rename-atomic contract up front, even on the first write
+    # the upsert lifecycle commits via DIRECTORY renames, which no
+    # pointer backend can express (r13: the commit seam covers tokens
+    # and single-file installs) — this site legitimately requires a
+    # rename filesystem; the object-store analog is a real table
+    # format's MERGE (the docstring's Delta/Iceberg note)
     from georiva_spark.sources.commit import require_rename_fs
     require_rename_fs(path, who="upsert_by_key")
     if partition_by:

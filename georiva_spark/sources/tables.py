@@ -247,9 +247,11 @@ def commit_generation_marker(path: str, generation: str,
     ``_georiva_gens/`` — the exactly-once token of the delta export
     (also written by a bootstrap full export so a replayed first
     batch is a no-op instead of a duplicate-doc failure). Goes
-    through :mod:`georiva_spark.sources.commit`: the marker is a
-    commit token, so the target filesystem must satisfy the
-    rename-atomic contract (fails by name on object stores)."""
+    through the :mod:`georiva_spark.sources.commit` backend seam: on
+    rename-atomic filesystems the token renames in; on an object
+    store a registered :class:`~georiva_spark.sources.commit.
+    PointerBackend` commits it via the manifest-pointer protocol;
+    an unrouted object-store path fails by name (r13)."""
     from georiva_spark.sources.commit import atomic_write_json
     marker = os.path.join(path, "_georiva_gens", f"{generation}.json")
     atomic_write_json(marker, {"digest": digest},
@@ -343,9 +345,13 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
         digest = generation_digest(new_docs, text_col)
         marker = os.path.join(path, "_georiva_gens",
                               f"{generation}.json")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                prev = json.load(f)
+        # the replay-guard read goes through the commit backend (r13):
+        # a rename filesystem reads the marker file, a pointer backend
+        # resolves the digest pointer — and a crash window's
+        # half-state reads as ABSENT on both
+        from georiva_spark.sources.commit import read_token_json
+        prev = read_token_json(marker, who="export_token_shards_delta")
+        if prev is not None:
             if prev.get("digest") != digest:
                 raise ValueError(
                     f"export_token_shards_delta: generation "
@@ -441,18 +447,19 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
     if generation is None:
         writer.mode("append").parquet(path)
     else:
-        # exactly-once: stage (overwrite — restartable), move each
-        # staged file to a DETERMINISTIC per-generation name (replace
-        # semantics: a re-move lands identical bytes), then commit
-        # the content-digest marker atomically. The staged moves and
-        # the marker are rename-commits — require_rename_fs fails by
-        # name BEFORE any file moves if the layout lives on a
-        # filesystem that fakes rename (SCALE.md §Commit protocol).
+        # exactly-once: stage (overwrite — restartable), install each
+        # staged file at a DETERMINISTIC per-generation name (a
+        # re-install lands identical bytes), then commit the
+        # content-digest marker. Both go through the commit backend
+        # seam (r13): rename filesystems os.replace, object stores
+        # commit via a registered PointerBackend, and an UNROUTED
+        # object-store layout fails by name BEFORE any file moves
+        # (SCALE.md §Commit protocol).
         import shutil
 
-        from georiva_spark.sources.commit import (atomic_replace,
-                                                  require_rename_fs)
-        require_rename_fs(path, who="export_token_shards_delta")
+        from georiva_spark.sources.commit import (backend_for,
+                                                  install_file)
+        backend_for(path, who="export_token_shards_delta")
         stage = os.path.join(path, f"_staging_{generation}")
         writer.mode("overwrite").parquet(stage)
         for d in sorted(os.listdir(stage)):
@@ -462,7 +469,7 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
             parts = sorted(f for f in os.listdir(
                 os.path.join(stage, d)) if f.endswith(".parquet"))
             for i, fn in enumerate(parts):
-                atomic_replace(
+                install_file(
                     os.path.join(stage, d, fn),
                     os.path.join(path, d,
                                  f"gen-{generation}-{i:04d}.parquet"),
@@ -474,6 +481,127 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
     # disk (old + appended generations together)
     manifest = _manifest_from_layout(spark, path, context_len,
                                      len(vocab))
+    (manifest.withColumn("num_shards",
+                         F.lit(int(num_shards)).cast("int"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_georiva_manifest")))
+    return manifest
+
+
+def export_token_shards_takedown(spark: SparkSession, path: str,
+                                 doc_ids) -> DataFrame:
+    """TAKEDOWN reaching the trainer layout (r13 — the last T5 gap):
+    remove SPECIFIC doc_ids from an :func:`export_token_shards`
+    layout in place. Indexes retract via tombstones
+    (operators/_tombstones.py) and the corpus chain recomputes via
+    re-crawl, but exported token shards were immutable — a legal
+    takedown's tokens stayed in the training bins forever. This is
+    the sanctioned mutation: surgical, bounded, restartable.
+
+    Mechanics: one pruned scan finds the AFFECTED FILES (bins whose
+    ``doc_ids`` overlap the bounded takedown list — a doc packs into
+    exactly one bin, so affected files are bounded by the request,
+    never corpus-proportional); each affected file is rewritten
+    WITHOUT the taken-down docs' token segments (pure-JVM HOFs:
+    per-bin slice/flatten/re-pad — surviving docs' token ids are
+    BIT-IDENTICAL, offsets re-based, bins left empty are dropped) and
+    atomically REPLACED via the commit backend's ``replace_file``
+    (os.replace locally, whole-object PUT on an object store — a
+    loader mid-read sees the old file or the new in full). Untouched
+    files stay byte-identical. The manifest re-stamps from the layout
+    afterward (the delta export's healing rule: the layout can't lie).
+
+    Restartable WITHOUT markers: a crash mid-run leaves some files
+    rewritten and some not — the rerun's affected-scan finds exactly
+    the remainder; a takedown of already-absent ids is a structural
+    no-op (zero affected files, manifest re-stamp only). Loader
+    contract change is inherent and documented: affected bins shrink
+    (re-padded) or vanish — the point of a takedown — so epochs
+    consumed from a prior permutation should be considered re-drawn
+    for the affected shards. → the updated manifest."""
+    import uuid as _uuid
+
+    from georiva_spark.sources.commit import backend_for, replace_file
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        raise ValueError(
+            "export_token_shards_takedown: the takedown id list is "
+            "empty")
+    _, vocab, _merges, context_len, num_shards = \
+        _read_token_sidecars(spark, path)
+    pad_id = len(vocab)
+    backend_for(path, who="export_token_shards_takedown")
+    dead = F.array(*[F.lit(i).cast("long") for i in ids])
+    affected = sorted(
+        r.f for r in
+        (spark.read.option("basePath", path)
+         .parquet(f"{path}/shard=*")
+         .where(F.arrays_overlap("doc_ids", dead))
+         .select(F.col("_metadata.file_path").alias("f"))
+         .distinct().collect()))
+
+    n = F.size("doc_ids")
+
+    def off(i):
+        return F.get("doc_offsets", i)
+
+    def end(i):
+        return F.coalesce(F.get("doc_offsets", i + F.lit(1)),
+                          F.col("n_tokens").cast("long"))
+
+    docs_arr = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.struct(F.get("doc_ids", i).alias("doc_id"),
+                           off(i).alias("off"),
+                           (end(i) - off(i)).alias("len")))
+    kept = F.filter(docs_arr,
+                    lambda d: ~F.array_contains(dead, d["doc_id"]))
+    k = F.size(kept)
+    flat = F.flatten(F.transform(
+        kept, lambda d: F.slice(F.col("token_ids"),
+                                (d["off"] + 1).cast("int"),
+                                d["len"].cast("int"))))
+    lens = F.transform(kept, lambda d: d["len"])
+    offsets = F.when(
+        k == 0, F.expr("CAST(array() AS ARRAY<BIGINT>)")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda j: F.aggregate(
+                F.slice(lens, F.lit(1), (j - 1).cast("int")),
+                F.lit(0).cast("long"), lambda a, x: a + x)))
+    for fpath in affected:
+        df = spark.read.parquet(fpath)
+        # temp aliases, then rename: aliasing an output column with an
+        # INPUT column's name inside one select lets Spark's lateral
+        # column alias resolution rebind sibling expressions' refs to
+        # the NEW value (observed on 4.1: token_ids came out unsliced)
+        out = (df.select(
+            "bin_id",
+            F.transform(kept, lambda d: d["doc_id"]).alias("__di"),
+            offsets.alias("__do"),
+            k.cast("int").alias("__nd"),
+            F.size(flat).cast("int").alias("__nt"),
+            F.concat(flat, F.array_repeat(
+                F.lit(pad_id).cast("int"),
+                F.lit(context_len) - F.size(flat))).alias("__ti"))
+            .where(F.col("__nd") > 0)
+            .select(F.col("bin_id"),
+                    F.col("__di").alias("doc_ids"),
+                    F.col("__do").alias("doc_offsets"),
+                    F.col("__nd").alias("n_docs"),
+                    F.col("__nt").alias("n_tokens"),
+                    F.col("__ti").alias("token_ids")))
+        stage = os.path.join(path,
+                             f"_takedown_stage_{_uuid.uuid4().hex[:8]}")
+        (out.coalesce(1).sortWithinPartitions("bin_id")
+         .write.mode("overwrite").parquet(stage))
+        import shutil
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        replace_file(os.path.join(stage, part), fpath,
+                     who="export_token_shards_takedown")
+        shutil.rmtree(stage, ignore_errors=True)
+    manifest = _manifest_from_layout(spark, path, context_len, pad_id)
     (manifest.withColumn("num_shards",
                          F.lit(int(num_shards)).cast("int"))
      .coalesce(1).write.mode("overwrite")

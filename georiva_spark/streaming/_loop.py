@@ -27,27 +27,42 @@ Contract per micro-batch:
    single-column frame named for ``guard_table``'s key column) has NO
    row already in ``guard_table`` — each family's append writes its
    guard table LAST, so presence implies the prior append completed
-   (at-least-once foreachBatch made idempotent);
+   (at-least-once foreachBatch made idempotent). With ``split_col``
+   (r13), the batch is sliced per distinct value FIRST and the
+   guard + append run PER SLICE: file arrivals straddling shard
+   boundaries (maxFilesPerTrigger slicing two deliveries into one
+   micro-batch) then append one generation per shard instead of
+   failing the whole batch at batch_delivery_gen's one-shard
+   contract, and a crash between two shards' appends replays safely
+   (the completed shard guard-skips, the other appends);
 4. after an append, every table in ``refresh_tables`` refreshes on
    the SERVING session: foreachBatch hands the batch to a CLONED
    session and Spark's table relation cache is per-session state — an
    append refreshes its own session only, and without this step the
    serving session's next applied-guard or probe scans a pre-append
    file listing (double-append / stale-index hazard);
-5. every ``compact_every_n_appends`` SUCCESSFUL appends (replays a
-   guard skipped don't count), ``compact(n_appends)`` runs and the
-   serving tables refresh again — without this a long-running stream
-   appends small files forever and probes pay one file-open per
-   append per bucket/cell (each family's compact is crash-atomic:
-   stamp-then-swap, so a crash mid-compact leaves a probeable
-   table). The append counter is in-process maintenance cadence, not
-   replay state — a restarted stream counts from zero, which at most
-   delays the next compaction by one interval.
+5. every ``compact_every_n_appends`` MAINTENANCE batches,
+   ``compact(n)`` runs and the serving tables refresh again — without
+   this a long-running stream appends small files forever and probes
+   pay one file-open per append per bucket/cell (each family's
+   compact is crash-atomic: stamp-then-swap, so a crash mid-compact
+   leaves a probeable table). A batch counts toward the cadence when
+   it APPENDED (replays a guard skipped don't), or — r13 — when the
+   index has PENDING TOMBSTONE RULES (``rules_table``): a
+   retract-heavy stream (operator takedowns / re-crawl retractions
+   between batches) otherwise accumulates dead rows that every probe
+   reads from disk and filters post-scan, with nothing ever
+   triggering the physical purge. The counter is in-process
+   maintenance cadence, not replay state — a restarted stream counts
+   from zero, which at most delays the next compaction by one
+   interval.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from georiva_spark.operators._tombstones import has_rules as _has_rules
 
 
 def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
@@ -55,13 +70,19 @@ def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
                    append, refresh_tables, prepare=None,
                    grow: bool = True,
                    compact_every_n_appends: int | None = None,
-                   compact=None):
+                   compact=None, rules_table: str | None = None,
+                   split_col: str | None = None):
     """Start the stream; returns the StreamingQuery. See module doc
     for the per-batch contract. ``spark`` must be the SERVING session
     (the one outer readers and the guard use), not the per-batch
     cloned one. ``compact`` is a no-arg-result callable
-    ``compact(n_appends) -> None`` (each family closes over its own
-    crash-atomic compact + a fresh staging path)."""
+    ``compact(n) -> None`` (each family closes over its own
+    crash-atomic compact + a fresh staging path). ``rules_table``
+    (r13) is the family's index base name for
+    :func:`~georiva_spark.operators._tombstones.has_rules` — pending
+    tombstone rules count a batch toward the compaction cadence even
+    when its append was guard-skipped, so retract-heavy streams still
+    purge."""
     if (compact_every_n_appends is None) != (compact is None):
         raise ValueError(
             "run_probe_grow: compact_every_n_appends and compact must "
@@ -95,20 +116,45 @@ def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
                 (fn(work).write.mode("overwrite")
                  .parquet(f"{base}/batch_id={batch_id}"))
             if grow:
-                keys = guard_keys(work)
-                applied = (spark.table(guard_table)
-                           .join(keys, keys.columns[0], "left_semi")
-                           .limit(1).count() > 0)
-                if not applied:
-                    append(work)
+                slices = [work]
+                if split_col is not None:
+                    # bounded: a micro-batch carries a handful of
+                    # shards (maxFilesPerTrigger files at most);
+                    # deterministic order so replays re-run the same
+                    # sequence
+                    from pyspark.sql import functions as F
+                    vals = sorted(r[0] for r in work
+                                  .select(split_col).distinct()
+                                  .collect())
+                    slices = [work.where(F.col(split_col) == v)
+                              for v in vals]
+                appended = False
+                for sl in slices:
+                    keys = guard_keys(sl)
+                    applied = (spark.table(guard_table)
+                               .join(keys, keys.columns[0],
+                                     "left_semi")
+                               .limit(1).count() > 0)
+                    if not applied:
+                        append(sl)
+                        appended = True
+                if appended:
                     for t in refresh_tables:
                         spark.catalog.refreshTable(t)
-                    n_appends[0] += 1
-                    if (compact is not None and n_appends[0]
-                            % compact_every_n_appends == 0):
-                        compact(n_appends[0])
-                        for t in refresh_tables:
-                            spark.catalog.refreshTable(t)
+                if compact is not None:
+                    # r13: a guard-skipped batch still advances the
+                    # cadence when tombstone rules are PENDING —
+                    # otherwise a retract-heavy stream never triggers
+                    # the physical purge and every probe keeps
+                    # reading dead rows off disk (filtered post-scan)
+                    pending = (not appended and rules_table is not None
+                               and _has_rules(spark, rules_table))
+                    if appended or pending:
+                        n_appends[0] += 1
+                        if n_appends[0] % compact_every_n_appends == 0:
+                            compact(n_appends[0])
+                            for t in refresh_tables:
+                                spark.catalog.refreshTable(t)
         finally:
             work.unpersist()
 

@@ -43,7 +43,8 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
                      compact_dir: str | None = None,
                      retrain_iters: int = 0,
                      train_sample_ppm: int | None = None,
-                     retrain_emb=None, gen_fn=None):
+                     retrain_emb=None, gen_fn=None,
+                     shard_col: str | None = None):
     """Start the probe-then-grow ANN stream: ``emb_stream`` must carry
     (vec_id, embedding) with corpus-unique vec_ids; per-batch neighbor
     sets land in ``{out_dir}/batch_id=N`` as (q_id, vec_id, cell,
@@ -93,6 +94,8 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
             "sub-code table doesn't carry; pass retrain_emb= (a "
             "callable returning the grown float corpus, or a table "
             "name) to wire the in-stream maintenance pass")
+    # shard_col (r13): multi-shard micro-batches — guard + gen-tagged
+    # append run per shard slice (see start_neardup_stream)
     if is_pq and retrain_iters > 0:
         def _floats() -> DataFrame:
             return (retrain_emb() if callable(retrain_emb)
@@ -139,7 +142,8 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
         grow=grow,
         compact_every_n_appends=(None if compact is None
                                  else compact_every),
-        compact=compact)
+        compact=compact, rules_table=table,
+        split_col=shard_col)
 
 
 def read_ann_neighbors(spark, out_dir: str) -> DataFrame:

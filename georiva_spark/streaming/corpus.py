@@ -128,7 +128,7 @@ def start_corpus_stream(spark, warc_dir: str, table: str, out_dir: str,
         grow=grow,
         compact_every_n_appends=(None if compact is None
                                  else compact_every),
-        compact=compact)
+        compact=compact, rules_table=table)
 
 
 def read_corpus_stream(spark, out_dir: str) -> tuple[DataFrame, DataFrame]:

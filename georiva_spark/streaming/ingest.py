@@ -113,6 +113,8 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                         neardup_table: str | None = None,
                         neardup_out_dir: str | None = None,
                         neardup_threshold: float = 0.5,
+                        neardup_compact_every: int | None = None,
+                        neardup_compact_dir: str | None = None,
                         _deliveries: bool = False) -> StreamingQuery:
     """T1 for the CORPUS product chain (r11): crawl-shard files land
     in a directory; each micro-batch (a) overwrites exactly the
@@ -185,7 +187,12 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
     purges) so probes never match content that no longer exists — T5
     staleness reaching the index, the r11 verdict's top item. The
     index must exist (``minhash_index_write``, a gen-stamped r12
-    layout) before the stream starts."""
+    layout) before the stream starts. ``neardup_compact_every``
+    (+ ``neardup_compact_dir``, r13): every N shard commits that
+    APPENDED or carried PENDING tombstone rules, the index compacts
+    crash-atomically (small-files tax + physical purge of
+    retracted/taken-down rows — a retract-heavy re-crawl run
+    otherwise defers the purge forever)."""
 
     if token_layout is not None and merges is None:
         raise ValueError(
@@ -199,6 +206,14 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
         raise ValueError(
             "start_corpus_ingest: neardup_table and neardup_out_dir "
             "must be passed together")
+    if (neardup_compact_every is None) != (neardup_compact_dir is None):
+        raise ValueError(
+            "start_corpus_ingest: neardup_compact_every and "
+            "neardup_compact_dir must be passed together")
+    if neardup_compact_every is not None and neardup_table is None:
+        raise ValueError(
+            "start_corpus_ingest: neardup_compact_every without "
+            "neardup_table compacts nothing")
     if neardup_table is not None:
         from georiva_spark.operators.dedup import minhash_index_params
         minhash_index_params(spark, neardup_table)  # fail fast on launch
@@ -401,6 +416,34 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
             for t in (f"{neardup_table}_bands",
                       f"{neardup_table}_sigs"):
                 spark.catalog.refreshTable(t)
+        _neardup_maintain(appended=not applied)
+
+    nd_count = [0]
+
+    def _neardup_maintain(appended: bool) -> None:
+        """Compaction cadence for the near-dup leg (r13 — the corpus
+        stream's index otherwise grows one file set per shard forever
+        and a retract-heavy re-crawl run never purges): a shard
+        commit counts when it APPENDED or when tombstone rules are
+        PENDING (the streaming/_loop.py r13 rule); every
+        ``neardup_compact_every`` counted commits the index compacts
+        crash-atomically into a fresh staging dir."""
+        if neardup_compact_every is None:
+            return
+        from georiva_spark.operators._tombstones import has_rules
+        from georiva_spark.operators.dedup import minhash_index_compact
+        if not appended and not has_rules(spark, neardup_table):
+            return
+        nd_count[0] += 1
+        if nd_count[0] % neardup_compact_every:
+            return
+        import uuid
+        minhash_index_compact(
+            spark, neardup_table,
+            f"{neardup_compact_dir}/c{nd_count[0]}_"
+            f"{uuid.uuid4().hex[:8]}")
+        for t in (f"{neardup_table}_bands", f"{neardup_table}_sigs"):
+            spark.catalog.refreshTable(t)
 
     if _deliveries:
         # manifest mode (start_corpus_deliveries): the streamed

@@ -40,7 +40,8 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
                           output: str = "pairs",
                           compact_every: int | None = None,
                           compact_dir: str | None = None,
-                          gen_fn=None):
+                          gen_fn=None,
+                          shard_col: str | None = None):
     """Start the probe-then-grow perceptual stream: ``codes_stream``
     must carry (id_col, code_col) with corpus-unique ids.
     ``grow=False`` probes without appending (audit mode). Returns the
@@ -64,7 +65,9 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
 
     With ``compact_every=N`` (requires ``compact_dir``), every N
     appends the index compacts back to one file per band bucket
-    (fresh staging dirs under ``compact_dir``)."""
+    (fresh staging dirs under ``compact_dir``). ``shard_col`` (r13):
+    opt into MULTI-SHARD micro-batches — guard + gen-tagged append
+    run per shard slice (see start_neardup_stream)."""
     spark = codes_stream.sparkSession
     hamming_index_params(spark, table)              # fail fast
     if output not in ("pairs", "lookup"):
@@ -103,7 +106,8 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
         grow=grow,
         compact_every_n_appends=(None if compact is None
                                  else compact_every),
-        compact=compact)
+        compact=compact, rules_table=table,
+        split_col=shard_col)
 
 
 def read_mediadup_pairs(spark, out_dir: str) -> DataFrame:

@@ -39,7 +39,8 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
                          threshold: float = 0.5, grow: bool = True,
                          compact_every: int | None = None,
                          compact_dir: str | None = None,
-                         gen_fn=None):
+                         gen_fn=None,
+                         shard_col: str | None = None):
     """Start the probe-then-grow stream: ``docs_stream`` must carry
     (doc_id, text) with corpus-unique doc_ids; pairs land in
     ``{out_dir}/batch_id=N`` as (doc_new, doc_old, est_jaccard).
@@ -53,7 +54,12 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
     tags each batch's appended rows with a generation so a re-crawled
     delivery can later be retracted
     (:func:`~georiva_spark.operators.dedup.minhash_index_retract`).
-    Returns the StreamingQuery."""
+    ``shard_col`` (r13): opt into MULTI-SHARD micro-batches — the
+    batch is sliced per distinct shard and the guard + gen-tagged
+    append run per slice, so file arrivals straddling shard
+    boundaries (maxFilesPerTrigger slicing) append one generation per
+    shard instead of failing batch_delivery_gen's one-shard contract;
+    the replay guard holds per shard. Returns the StreamingQuery."""
     spark = docs_stream.sparkSession
     params = minhash_index_params(spark, table)   # fail fast on launch
     compact = _family_compact(
@@ -83,7 +89,8 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
         grow=grow,
         compact_every_n_appends=(None if compact is None
                                  else compact_every),
-        compact=compact)
+        compact=compact, rules_table=table,
+        split_col=shard_col)
 
 
 def read_neardup_pairs(spark, out_dir: str) -> DataFrame:

@@ -97,6 +97,233 @@ def test_upsert_refuses_object_store(spark):
                       partition_by=["k"])
 
 
+# ---- the commit backend seam (r13) -----------------------------------------
+
+
+def test_pointer_backend_token_protocol():
+    """Manifest-pointer commits: blob first (immutable, digest-named,
+    put-if-absent), pointer PUT is the commit; a crash between the
+    two reads as UNCOMMITTED; replays are idempotent; a lost
+    last-writer-wins race fails by name."""
+    store = commit.MemoryObjectStore()
+    b = commit.PointerBackend(store)
+    p = "/layout/_georiva_gens/g1.json"
+    assert b.read_token(p) is None
+    b.write_token(p, b'{"digest": "d-1"}')
+    assert b.read_token(p) == b'{"digest": "d-1"}'
+    # replay: same bytes -> same blob digest, pointer re-put, no error
+    b.write_token(p, b'{"digest": "d-1"}')
+    assert b.read_token(p) == b'{"digest": "d-1"}'
+    # crash window: blob landed, pointer never did -> uncommitted
+    p2 = "/layout/_georiva_gens/g2.json"
+    d = commit.PointerBackend._digest(b"half")
+    store.put_if_absent(f"{p2}{commit.BLOB_SUFFIX}{d}", b"half")
+    assert b.read_token(p2) is None
+    b.write_token(p2, b"half")              # the replay completes it
+    assert b.read_token(p2) == b"half"
+    # last-writer-wins detection: another writer's pointer wins the
+    # race between our PUT and our read-back
+    class RacedStore(commit.MemoryObjectStore):
+        def put(self, key, data):
+            super().put(key, data)
+            if key == "/layout/tok":        # the rival overwrites
+                super().put(key, b"feedbeef" * 4)
+    rb = commit.PointerBackend(RacedStore())
+    with pytest.raises(ValueError, match="single-writer"):
+        rb.write_token("/layout/tok", b"mine")
+    # a pointer whose blob vanished is tampering, not "uncommitted"
+    gone = commit.PointerBackend._digest(b'{"digest": "d-1"}')
+    store.delete(p + commit.BLOB_SUFFIX + gone)
+    with pytest.raises(ValueError, match="blob is missing"):
+        b.read_token(p)
+
+
+def test_pointer_backend_install_file(tmp_path):
+    """install_file put-if-absents the final data name: a replay with
+    identical bytes is a no-op, different content at the same name
+    fails by name (immutable layout), and the staged source is
+    consumed either way."""
+    store = commit.MemoryObjectStore()
+    b = commit.PointerBackend(store)
+    src = tmp_path / "staged.parquet"
+    src.write_bytes(b"DATA-1")
+    b.install_file(str(src), "/layout/shard=0/gen-g1-0000.parquet")
+    assert store.get("/layout/shard=0/gen-g1-0000.parquet") == b"DATA-1"
+    assert not src.exists()                  # staged file consumed
+    src.write_bytes(b"DATA-1")               # replay: identical bytes
+    b.install_file(str(src), "/layout/shard=0/gen-g1-0000.parquet")
+    assert not src.exists()
+    src.write_bytes(b"DATA-2")               # a silent swap attempt
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        b.install_file(str(src),
+                       "/layout/shard=0/gen-g1-0000.parquet")
+
+
+def test_backend_routing_prefix_and_scheme(tmp_path):
+    """backend_for routes: registered path prefix wins, registered
+    scheme unlocks object-store paths (the escape hatch the
+    fail-by-name error names), unregistering restores the refusal."""
+    pb = commit.PointerBackend(commit.MemoryObjectStore())
+    assert isinstance(commit.backend_for("/tmp/x"),
+                      commit.RenameBackend)
+    try:
+        commit.register_backend(str(tmp_path), pb)
+        assert commit.backend_for(str(tmp_path / "m.json")) is pb
+        assert isinstance(commit.backend_for("/elsewhere/x"),
+                          commit.RenameBackend)
+        # scheme registration turns the s3a refusal into a commit
+        with pytest.raises(ValueError, match="register_backend"):
+            commit.backend_for("s3a://bucket/k")
+        commit.register_backend("s3a", pb)
+        assert commit.backend_for("s3a://bucket/k") is pb
+        commit.atomic_write_json("s3a://bucket/lay/_gens/g.json",
+                                 {"digest": "d"})
+        assert commit.read_token_json(
+            "s3a://bucket/lay/_gens/g.json") == {"digest": "d"}
+    finally:
+        commit.register_backend(str(tmp_path), None)
+        commit.register_backend("s3a", None)
+    with pytest.raises(ValueError, match="object store"):
+        commit.backend_for("s3a://bucket/k")
+
+
+def test_s3_object_store_against_moto():
+    """r13: the real S3 adapter (boto3 conditional writes) behind the
+    pointer backend, exercised against moto's S3 mock — PutObject
+    If-None-Match as put_if_absent, 412 on conflict, the full
+    generation-marker chain through register_backend('s3a', …): the
+    exact escape hatch the fail-by-name error names."""
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="lake")
+        store = commit.S3ObjectStore(client=client)
+        # conditional create: first wins, second sees the conflict
+        assert store.put_if_absent("s3a://lake/a/blob", b"one")
+        assert not store.put_if_absent("s3a://lake/a/blob", b"two")
+        assert store.get("s3a://lake/a/blob") == b"one"
+        assert store.get("s3a://lake/a/missing") is None
+        store.delete("s3a://lake/a/blob")
+        assert store.get("s3a://lake/a/blob") is None
+        # the full escape hatch: markers commit on s3a:// instead of
+        # failing by name
+        backend = commit.PointerBackend(store)
+        try:
+            commit.register_backend("s3a", backend)
+            from georiva_spark.sources.tables import \
+                commit_generation_marker
+            commit_generation_marker("s3a://lake/layout", "g1", "d-9")
+            assert commit.read_token_json(
+                "s3a://lake/layout/_georiva_gens/g1.json"
+            ) == {"digest": "d-9"}
+            # replay: same digest, idempotent
+            commit_generation_marker("s3a://lake/layout", "g1", "d-9")
+            # crash window on S3: blob landed, pointer lost
+            p = "s3a://lake/layout/_georiva_gens/g2.json"
+            d = commit.PointerBackend._digest(b"{}")
+            store.put_if_absent(p + commit.BLOB_SUFFIX + d, b"{}")
+            assert commit.read_token(p) is None
+        finally:
+            commit.register_backend("s3a", None)
+    with pytest.raises(ValueError, match="object store"):
+        commit.backend_for("s3a://lake/layout/x")
+
+
+@pytest.fixture(params=["rename", "pointer"])
+def layout_backend(request, tmp_path):
+    """The SAME exactly-once layout protocol runs against both commit
+    backends: 'rename' is the POSIX default; 'pointer' registers a
+    PointerBackend over the no-rename DirObjectStore shim for the
+    layout prefix (data files are real files so Spark sees them, but
+    every marker/install goes through the pointer protocol — zero
+    os.replace)."""
+    layout = str(tmp_path / f"layout_{request.param}")
+    if request.param == "pointer":
+        commit.register_backend(
+            layout, commit.PointerBackend(commit.DirObjectStore()))
+    yield layout, request.param
+    commit.register_backend(layout, None)
+
+
+def test_delta_exactly_once_on_both_backends(spark, layout_backend,
+                                             tmp_path):
+    """r13 (the r12 verdict's top item): the token-shard delta's
+    failure-injection suite — replay no-op, changed-content refusal,
+    marker crash window, stale staging cleanup — runs green against
+    BOTH commit backends; on the pointer backend the marker is a
+    digest pointer + blob, never a renamed file."""
+    import shutil
+
+    from georiva_spark.functions.frames import local_frame
+    from georiva_spark.sources.tables import (export_token_shards,
+                                              export_token_shards_delta)
+    layout, kind = layout_backend
+    merges = [("a", "b")]
+    base = local_frame(spark, [(1, "ab a b")],
+                       "doc_id long, text string")
+    export_token_shards(base, layout, merges, context_len=8,
+                        num_shards=2, extra_alphabet="ab ")
+    delta = local_frame(spark, [(2, "b a ab")],
+                        "doc_id long, text string")
+    man = export_token_shards_delta(delta, layout, merges,
+                                    generation="g1")
+    assert man.agg({"n_docs": "sum"}).head()[0] == 2
+    marker = os.path.join(layout, "_georiva_gens", "g1.json")
+    if kind == "pointer":
+        # the marker is a POINTER (digest), its bytes live in the blob
+        with open(marker) as f:
+            ptr = f.read()
+        assert json.loads(
+            open(f"{marker}{commit.BLOB_SUFFIX}{ptr}").read()
+        )["digest"]
+    # 1. replay no-op (identical content): manifest unchanged, and a
+    #    stale staging dir from a crash after marker-commit is removed
+    stale = os.path.join(layout, "_staging_g1")
+    os.makedirs(os.path.join(stale, "shard=0"), exist_ok=True)
+    with open(os.path.join(stale, "shard=0", "x.parquet"), "wb") as f:
+        f.write(b"junk")
+    man = export_token_shards_delta(delta, layout, merges,
+                                    generation="g1")
+    assert not os.path.exists(stale)
+    assert man.agg({"n_docs": "sum"}).head()[0] == 2
+    # 2. changed content under a committed generation fails by name
+    changed = local_frame(spark, [(3, "a b ab b")],
+                          "doc_id long, text string")
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        export_token_shards_delta(changed, layout, merges,
+                                  generation="g1")
+    # 3. marker crash window: simulate a crash BETWEEN the staged
+    #    installs and the marker commit for g2 — the marker reads as
+    #    uncommitted, and the retry completes exactly-once
+    delta2 = local_frame(spark, [(3, "a b ab b")],
+                         "doc_id long, text string")
+    from georiva_spark.sources import tables as tables_mod
+    real_commit = tables_mod.commit_generation_marker
+
+    def crash_before_marker(path, generation, digest):
+        raise RuntimeError("injected crash before marker")
+
+    tables_mod.commit_generation_marker = crash_before_marker
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            export_token_shards_delta(delta2, layout, merges,
+                                      generation="g2")
+    finally:
+        tables_mod.commit_generation_marker = real_commit
+    assert commit.read_token(
+        os.path.join(layout, "_georiva_gens", "g2.json")) is None
+    man = export_token_shards_delta(delta2, layout, merges,
+                                    generation="g2")   # the retry
+    assert man.agg({"n_docs": "sum"}).head()[0] == 3
+    # doc 3 appears EXACTLY once across the layout despite the crash
+    n3 = (spark.read.option("basePath", layout)
+          .parquet(f"{layout}/shard=*")
+          .selectExpr("explode(doc_ids) AS d").where("d = 3").count())
+    assert n3 == 1
+    shutil.rmtree(layout, ignore_errors=True)
+
+
 # ---- stable_item_id: md5 identity (the _code_ref policy) -------------------
 
 def test_stable_item_id_is_hashseed_independent():
@@ -149,6 +376,54 @@ def test_delta_replay_removes_stale_staging_dir(spark, tmp_path):
                                     generation="g1")   # replay no-op
     assert not os.path.exists(stale)
     assert man.agg({"n_docs": "sum"}).head()[0] == 2
+
+
+# ---- stale fixture sweep (r13: the r12 ADVICE leak) -------------------------
+
+
+def test_sweep_stale_fixtures_spares_live_apps(spark, tmp_path):
+    """Retraction-query fixtures from PRIOR apps (dead: older than the
+    age gate) are swept at query start; the CURRENT app's fixtures and
+    any RECENT other-app fixtures (a concurrent evaluation) survive."""
+    import tempfile
+    import time
+
+    from georiva_spark.queries_ext import _sweep_stale_fixtures
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = "/" + wh[len("file:"):].lstrip("/")
+    raw_app = spark.sparkContext.applicationId
+    import re as _re
+    app = _re.sub(r"[^0-9a-zA-Z]", "", raw_app)[-12:]
+    old = time.time() - 4 * 3600
+    mk = []
+
+    def bless(p, stale):
+        os.makedirs(p, exist_ok=True)
+        if stale:
+            os.utime(p, (old, old))
+        mk.append(p)
+
+    # warehouse: stale other-app (goes), fresh other-app (stays),
+    # current-app stale-looking (stays — never sweep ourselves)
+    bless(os.path.join(wh, "t_swtest_deadapp00001_bands"), True)
+    bless(os.path.join(wh, "t_swtest_otherapp0002_dead"), False)
+    bless(os.path.join(wh, f"t_swtest_{app.lower()}_bands"), True)
+    # tmp: stale other-app (goes), current-app (stays)
+    td = tempfile.gettempdir()
+    bless(os.path.join(td, "georiva_spark_swt_app-dead-1"), True)
+    bless(os.path.join(td, f"georiva_spark_swt_{raw_app}"), True)
+    try:
+        _sweep_stale_fixtures(spark, "t_swtest", "swt")
+        assert not os.path.exists(mk[0])      # stale other-app: gone
+        assert os.path.exists(mk[1])          # fresh other-app: kept
+        assert os.path.exists(mk[2])          # current app: kept
+        assert not os.path.exists(mk[3])      # stale tmp: gone
+        assert os.path.exists(mk[4])          # current tmp: kept
+    finally:
+        import shutil
+        for p in mk:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 # ---- concurrent evaluations: app-id-suffixed fixture dirs ------------------

@@ -602,6 +602,75 @@ def test_corpus_stream_recrawl_retracts_neardup_index(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_corpus_stream_neardup_auto_compacts(spark, tmp_path):
+    """r13: the corpus stream's near-dup leg takes a compaction
+    cadence (neardup_compact_every) counting shard commits that
+    appended OR carried pending tombstone rules — a re-crawl-heavy
+    run purges its dead generations in-stream instead of deferring
+    the physical delete forever."""
+    import os
+
+    from georiva_spark.operators import dedup
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = str(tmp_path / "land")
+    corp = str(tmp_path / "corpus")
+    nd_out = str(tmp_path / "nd")
+    os.makedirs(land)
+    eng = _mk_engine(spark, corp, str(tmp_path / "out"))
+    seed = spark.createDataFrame(
+        [(1, SEED_TEXT, "en", "web", 1)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    dedup.minhash_index_write(seed, "t_crmh3", str(tmp_path / "idx"),
+                              n_buckets=4)
+    try:
+        def run(**kw):
+            q = start_corpus_ingest(
+                spark, land, corp, str(tmp_path / "ck"), eng,
+                max_files_per_trigger=1, available_now=True,
+                neardup_table="t_crmh3", neardup_out_dir=nd_out,
+                neardup_compact_every=1,
+                neardup_compact_dir=str(tmp_path / "cmp"), **kw)
+            q.awaitTermination()
+
+        _land(spark, tmp_path, land, "f0",
+              [(10, SEED_TEXT.replace("tonight", "yesterday"))], "sA")
+        run()
+        # re-crawl sA: retract + append + IN-STREAM compaction — the
+        # dead generation purges physically and the rules clear
+        _land(spark, tmp_path, land, "f1", [(11, NOVEL_A)], "sA")
+        run(recrawl="recompute")
+        assert not spark.catalog.tableExists("t_crmh3_dead")
+        assert spark.table("t_crmh3_sigs").where(
+            "doc_id = 10").count() == 0
+        probe = spark.createDataFrame(
+            [(99, SEED_TEXT.replace("tonight", "someday")),
+             (98, NOVEL_A.replace("fresh", "new"))],
+            "doc_id long, text string")
+        got = {(r.doc_new, r.doc_old) for r in
+               dedup.minhash_index_probe(probe, "t_crmh3",
+                                         threshold=0.5).collect()}
+        assert not any(do == 10 for _, do in got)
+        assert (98, 11) in got and (99, 1) in got
+        # param validation fails by name
+        with pytest.raises(ValueError, match="compact_dir"):
+            start_corpus_ingest(
+                spark, land, corp, str(tmp_path / "ck2"), eng,
+                neardup_table="t_crmh3", neardup_out_dir=nd_out,
+                neardup_compact_every=2)
+        with pytest.raises(ValueError, match="compacts nothing"):
+            start_corpus_ingest(
+                spark, land, corp, str(tmp_path / "ck3"), eng,
+                neardup_compact_every=2,
+                neardup_compact_dir=str(tmp_path / "cmp"))
+    finally:
+        for t in ("t_crmh3_bands", "t_crmh3_sigs", "t_crmh3_dead",
+                  "t_crmh3_bands_compact", "t_crmh3_sigs_compact",
+                  "t_crmh3_bands_old", "t_crmh3_sigs_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_neardup_retraction_replay_safe_without_catalog(spark,
                                                         tmp_path):
     """r13 (ADVICE): the re-crawl retraction decision comes from the

@@ -2110,6 +2110,236 @@ def test_minhash_compact_after_adoption_clears_location(spark,
             spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
 
 
+def test_minhash_retract_docs_takedown(spark, tmp_path):
+    """r13 — doc-grained T5 (takedown / right-to-be-forgotten):
+    retracting SPECIFIC doc_ids hides them from probes immediately
+    (second broadcast anti-join), compaction purges their band +
+    signature rows physically and clears the rules, and a LATER
+    append may re-admit the id (new content is a new ingestion
+    decision)."""
+    import os
+
+    from georiva_spark.operators import _tombstones as tb
+    t = "t_mhdocs"
+    novel = ("an entirely distinct passage naming doc level takedown "
+             "rules and their bounded broadcast anti join")
+    try:
+        dedup.minhash_index_write(
+            _docs(spark, [(1, BASE), (2, novel)]), t,
+            str(tmp_path / "ix"), n_buckets=4)
+        dedup.minhash_index_append(
+            _docs(spark, [(3, novel)]), t,
+            gen=dedup.index_gen("sA", "v1"))
+        probe = _docs(spark, [(99, novel.replace("entirely", "fully"))])
+
+        def hits():
+            return {r.doc_old for r in dedup.minhash_index_probe(
+                probe, t, threshold=0.4).collect()}
+
+        assert hits() == {2, 3}
+        # takedown doc 2 (base, unversioned gen) AND doc 3 (tagged) —
+        # doc rules work on any layout, gen or not
+        dedup.minhash_index_retract_docs(spark, t, [2, 3])
+        assert hits() == set()
+        # the stamp is set (the r13 fail-by-name adoption tripwire)
+        props = {r.key: r.value for r in spark.sql(
+            f"SHOW TBLPROPERTIES {t}_bands").collect()}
+        assert props.get("georiva.has_doc_tombstones")
+        # physical rows remain until compaction purges them
+        assert spark.table(f"{t}_sigs").where(
+            "doc_id in (2, 3)").count() == 2
+        dedup.minhash_index_compact(spark, t, str(tmp_path / "c"))
+        assert spark.table(f"{t}_sigs").where(
+            "doc_id in (2, 3)").count() == 0
+        assert spark.table(f"{t}_bands").where(
+            "doc_id in (2, 3)").count() == 0
+        assert not spark.catalog.tableExists(f"{t}_dead_docs")
+        loc = tb._dead_location(spark, t, "_dead_docs")
+        assert loc and not os.path.exists(loc)
+        props = {r.key: r.value for r in spark.sql(
+            f"SHOW TBLPROPERTIES {t}_bands").collect()}
+        assert not props.get("georiva.has_doc_tombstones")
+        assert hits() == set()          # purge is probe-neutral
+        assert 1 not in hits()
+        # post-purge re-append re-admits (documented semantics)
+        dedup.minhash_index_append(_docs(spark, [(3, novel)]), t,
+                                   gen=dedup.index_gen("sA", "v2"))
+        assert hits() == {3}
+        # empty takedown fails by name
+        with pytest.raises(ValueError, match="empty"):
+            dedup.minhash_index_retract_docs(spark, t, [])
+    finally:
+        for x in ("bands", "sigs", "dead", "dead_docs",
+                  "bands_compact", "sigs_compact", "bands_old",
+                  "sigs_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
+
+
+def test_hamming_and_ivf_retract_docs_takedown(spark, tmp_path):
+    """r13 — the takedown reaches the perceptual and embedding
+    families through the same rule machinery: Hamming retracts at the
+    membership layer (shared band rows stay until compaction drops
+    member-less codes), IVF filters vec_ids out of probes and purges
+    at compaction; shard rules and doc rules COMPOSE."""
+    from georiva_spark.operators import similarity
+
+    # ---- Hamming
+    t = "t_hdocs"
+    try:
+        base = spark.createDataFrame(
+            [(1, 0b1111), (2, 0b1111), (3, 0b10110000)],
+            "media_id long, code long")
+        dedup.hamming_index_write(base, t, str(tmp_path / "h"),
+                                  max_hamming=2, bits=64, n_buckets=4)
+        probe = spark.createDataFrame(
+            [(900, 0b1110), (901, 0b10110001)],
+            "media_id long, code long")
+
+        def pairs():
+            return {(r.id_new, r.id_old) for r in
+                    dedup.hamming_index_probe(probe, t).collect()}
+
+        assert pairs() == {(900, 1), (900, 2), (901, 3)}
+        dedup.hamming_index_retract_docs(spark, t, [2, 3])
+        assert pairs() == {(900, 1)}            # 1 shares 2's code
+        look = {r.id_new: r.n_matched_items for r in
+                dedup.hamming_index_lookup(probe, t).collect()}
+        assert look == {900: 1}                 # counts exclude dead
+        n_bands = spark.table(f"{t}_bands").count()
+        dedup.hamming_index_compact(spark, t, str(tmp_path / "h2"))
+        assert pairs() == {(900, 1)}
+        # 3's code lost its only member -> its band rows dropped
+        assert spark.table(f"{t}_bands").count() < n_bands
+        assert spark.table(f"{t}_ids").where(
+            "id in (2, 3)").count() == 0
+        assert not spark.catalog.tableExists(f"{t}_dead_docs")
+    finally:
+        for x in ("bands", "ids", "dead", "dead_docs",
+                  "bands_compact", "ids_compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
+
+    # ---- IVF float: doc rules compose with shard rules
+    import numpy as np
+    t = "t_ivfdocs"
+    try:
+        rng = np.random.default_rng(3)
+        centers = rng.normal(size=(4, 8)) * 6.0
+        emb = spark.createDataFrame(
+            [(i, [float(v) for v in
+                  centers[i % 4] + 0.05 * rng.normal(size=8)])
+             for i in range(8)],
+            "vec_id long, embedding array<double>")
+        similarity.ivf_index_write(emb, t, str(tmp_path / "v"),
+                                   n_centroids=4)
+        twins = spark.createDataFrame(
+            [(100, [float(v) for v in centers[0]]),
+             (101, [float(v) for v in centers[0]])],
+            "vec_id long, embedding array<double>")
+        similarity.ivf_index_append(twins, t,
+                                    gen=dedup.index_gen("sE", "v1"))
+        q = [float(v) for v in centers[0]]
+
+        def got():
+            return {r.vec_id for r in similarity.ivf_index_probe(
+                spark, t, q, k=4, nprobe=2).collect()}
+
+        assert {100, 101} <= got()
+        similarity.ivf_index_retract_docs(spark, t, [100, 0])
+        g = got()
+        assert 100 not in g and 0 not in g and 101 in g
+        # compose: now retract the whole shard too
+        similarity.ivf_index_retract(spark, t, "sE")
+        g = got()
+        assert not ({100, 101, 0} & g) and 4 in g
+        similarity.ivf_index_compact(spark, t, str(tmp_path / "vc"))
+        assert spark.table(t).where(
+            "vec_id in (0, 100, 101)").count() == 0
+        assert not spark.catalog.tableExists(f"{t}_dead")
+        assert not spark.catalog.tableExists(f"{t}_dead_docs")
+        g = got()
+        assert not ({100, 101, 0} & g) and 4 in g
+    finally:
+        for s in ("", "_centroids", "_dead", "_dead_docs",
+                  "_compact", "_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+def test_single_writer_violation_fails_at_compaction(spark, tmp_path):
+    """r13: the single-writer rule-table contract is OBSERVABLE — two
+    concurrent retracters minting the same seq make 'latest rule per
+    shard' ambiguous, and compaction must fail by name instead of
+    physically deleting rows chosen by an ambiguous rule."""
+    from georiva_spark.functions.frames import local_frame
+    t = "t_mhsw"
+    try:
+        dedup.minhash_index_write(_docs(spark, [(1, BASE)]), t,
+                                  str(tmp_path / "ix"), n_buckets=4)
+        dedup.minhash_index_append(_docs(spark, [(2, BASE)]), t,
+                                   gen=dedup.index_gen("sA", "v1"))
+        dedup.minhash_index_retract(spark, t, "sA")
+        # a concurrent retracter read the same max(seq) and appended
+        # the same seq with a DIFFERENT keep_gen
+        cur = spark.table(f"{t}_dead").agg(F.max("seq")).head()[0]
+        (local_frame(spark,
+                     [("sA", dedup.index_gen("sA", "v1"), int(cur))],
+                     "shard string, keep_gen string, seq long")
+         .write.mode("append").format("parquet")
+         .saveAsTable(f"{t}_dead"))
+        spark.catalog.refreshTable(f"{t}_dead")
+        with pytest.raises(ValueError, match="single-writer"):
+            dedup.minhash_index_compact(spark, t, str(tmp_path / "c"))
+    finally:
+        for x in ("bands", "sigs", "dead", "bands_compact",
+                  "sigs_compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
+
+
+def test_tombstone_stamp_fails_by_name_when_unadoptable(
+        spark, tmp_path, monkeypatch):
+    """r13 (the r12 verdict's 'What's wrong' #1): on a warehouse where
+    rule-file adoption is impossible (non-file: scheme, in-memory
+    catalog), a restarted driver must FAIL BY NAME at the next probe
+    instead of silently resurrecting dead rows — the
+    georiva.has_tombstones stamp on the index table is the witness."""
+    from georiva_spark.operators import _tombstones as tb
+    t = "t_mhstamp"
+    novel = ("one more unique body about warehouse schemes and "
+             "adoption tripwires for the stamp test")
+    try:
+        dedup.minhash_index_write(_docs(spark, [(1, BASE)]), t,
+                                  str(tmp_path / "ix"), n_buckets=4)
+        dedup.minhash_index_append(_docs(spark, [(10, novel)]), t,
+                                   gen=dedup.index_gen("sA", "v1"))
+        dedup.minhash_index_retract(spark, t, "sA")
+        probe = _docs(spark, [(99, novel.replace("unique", "rare"))])
+        assert {r.doc_old for r in dedup.minhash_index_probe(
+            probe, t, threshold=0.4).collect()} == set()
+        # restart onto an HDFS-style warehouse: catalog forgot the
+        # rule table AND the location helper cannot reach its files
+        spark.sql(f"DROP TABLE {t}_dead")
+        monkeypatch.setattr(tb, "_dead_location",
+                            lambda *a, **k: None)
+        with pytest.raises(ValueError,
+                           match="georiva.has_tombstones"):
+            dedup.minhash_index_probe(probe, t, threshold=0.4)
+        # same tripwire for doc rules (clear the shard stamp first so
+        # the doc stamp is the one that fires)
+        monkeypatch.undo()
+        spark.sql(f"ALTER TABLE {t}_bands UNSET TBLPROPERTIES "
+                  f"IF EXISTS ('georiva.has_tombstones')")
+        dedup.minhash_index_retract_docs(spark, t, [10])
+        spark.sql(f"DROP TABLE {t}_dead_docs")
+        monkeypatch.setattr(tb, "_dead_location",
+                            lambda *a, **k: None)
+        with pytest.raises(ValueError,
+                           match="georiva.has_doc_tombstones"):
+            dedup.minhash_index_probe(probe, t, threshold=0.4)
+    finally:
+        monkeypatch.undo()
+        for x in ("bands", "sigs", "dead", "dead_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
+
+
 def test_tombstone_protocol_model_equivalence(spark, tmp_path):
     """r12 model-based sequence test: a seeded random sequence of the
     ingest protocol's index ops (deliver / re-deliver identical /
@@ -2177,6 +2407,119 @@ def test_tombstone_protocol_model_equivalence(spark, tmp_path):
         for x in ("bands", "sigs", "dead", "bands_compact",
                   "sigs_compact", "bands_old", "sigs_old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}_{x}")
+
+
+def test_retract_only_stream_still_compacts(spark, tmp_path):
+    """r13 (the r12 verdict's item 3): the loop's compaction cadence
+    counts a batch with PENDING TOMBSTONE RULES even when its append
+    was guard-skipped — a retract-heavy stream (operator retraction
+    between batches, deliveries all replays) otherwise accumulates
+    dead rows that every probe reads from disk with nothing ever
+    triggering the physical purge."""
+    from georiva_spark.operators._tombstones import batch_delivery_gen
+    from georiva_spark.streaming import start_mediadup_stream
+
+    t = "t_mdro"
+    idx = spark.createDataFrame([(1, 0b1111)],
+                                "media_id long, code long")
+    dedup.hamming_index_write(idx, t, str(tmp_path / "h"),
+                              max_hamming=2, bits=64, n_buckets=4)
+    landing = tmp_path / "ro_landing"
+    landing.mkdir()
+    schema = "media_id long, code long, shard string"
+
+    def drop(name, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(landing / name)))
+
+    def cycle():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(str(landing) + "/*"))
+        q = start_mediadup_stream(
+            src, t, str(tmp_path / "ro_out"), str(tmp_path / "ro_ck"),
+            gen_fn=batch_delivery_gen("shard", "media_id", "code"),
+            compact_every=1, compact_dir=str(tmp_path / "ro_cmp"))
+        q.awaitTermination(180)
+
+    try:
+        drop("a", [(100, 0x5A5A5A00, "sA")])
+        cycle()                                  # append + compact(1)
+        # operator-initiated retraction between batches
+        dedup.hamming_index_retract(spark, t, "sA")
+        assert spark.catalog.tableExists(f"{t}_dead")
+        assert spark.table(f"{t}_ids").where("id = 100").count() == 1
+        # an identical redelivery: the gen is deterministic of content
+        # so the append is guard-skipped — but rules are pending, so
+        # the batch must still count toward the cadence and compact
+        drop("b", [(100, 0x5A5A5A00, "sA")])
+        cycle()
+        assert not spark.catalog.tableExists(f"{t}_dead")
+        assert spark.table(f"{t}_ids").where("id = 100").count() == 0
+    finally:
+        for s in ("bands", "ids", "dead"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
+
+
+def test_multi_shard_batch_appends_one_gen_per_shard(spark, tmp_path):
+    """r13 (the r12 verdict's item 6): with ``shard_col`` the
+    gen-tagged launchers slice a micro-batch per shard and run the
+    guard + append PER SLICE — file arrivals straddling shard
+    boundaries append one generation per shard instead of failing
+    batch_delivery_gen's one-shard contract, and the replay guard
+    holds per shard."""
+    from georiva_spark.operators._tombstones import batch_delivery_gen
+    from georiva_spark.streaming.neardup import start_neardup_stream
+
+    t = "t_mhms"
+    novel_c = ("completely fresh prose describing salted probe joins "
+               "across bucketed index shards in detail")
+    novel_d = ("a different unrelated body of text about rotation "
+               "sidecars and quantizer version stamps")
+    try:
+        dedup.minhash_index_write(
+            _docs(spark, [(1, BASE)]), t, str(tmp_path / "ix"),
+            n_buckets=4)
+        landing = tmp_path / "ms_landing"
+        landing.mkdir()
+        schema = "doc_id long, text string, shard string"
+        # ONE file carrying TWO shards — one micro-batch
+        (spark.createDataFrame(
+            [(100, novel_c, "sC"), (200, novel_d, "sD")], schema)
+         .coalesce(1).write.mode("append")
+         .parquet(str(landing / "a")))
+
+        def cycle(ck):
+            src = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(str(landing) + "/*"))
+            q = start_neardup_stream(
+                src, t, str(tmp_path / "ms_out"),
+                str(tmp_path / ck),
+                gen_fn=batch_delivery_gen("shard", "doc_id", "text"),
+                shard_col="shard")
+            q.awaitTermination(180)
+
+        cycle("ms_ck")
+        gens = {r.gen for r in spark.table(f"{t}_sigs")
+                .where("doc_id >= 100").select("gen").distinct()
+                .collect()}
+        assert len(gens) == 2
+        assert {g.split("\x1f")[0] for g in gens} == {"sC", "sD"}
+        # replay from a fresh checkpoint: both shards guard-skip
+        n = spark.table(f"{t}_sigs").count()
+        cycle("ms_ck2")
+        assert spark.table(f"{t}_sigs").count() == n
+        # per-shard retraction now works on the straddled delivery
+        dedup.minhash_index_retract(spark, t, "sC")
+        probe = _docs(spark, [(900, novel_c.replace("fresh", "new")),
+                              (901, novel_d.replace("body", "mass"))])
+        got = {r.doc_old for r in dedup.minhash_index_probe(
+            probe, t, threshold=0.4).collect()}
+        assert got == {200}
+    finally:
+        for s in ("bands", "sigs", "dead"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
 
 
 def test_streaming_gen_tagged_appends_enable_retraction(spark,

@@ -1384,6 +1384,132 @@ def test_export_token_shards_delta_appends_without_rewrite(
                                   str(tmp_path / "virgin"), merges)
 
 
+def test_export_token_shards_takedown(spark, tmp_path):
+    """r13 — takedown reaching the TRAINER layout (the last T5 gap):
+    removing specific doc_ids rewrites ONLY the affected files
+    (surviving docs' token ids bit-identical, offsets re-based,
+    empty bins dropped, rows still exactly context_len), leaves
+    every untouched file byte-identical, re-stamps the manifest from
+    the layout, and is a structural no-op on rerun (already-absent
+    ids -> zero affected files)."""
+    import glob
+    import hashlib
+    import os
+
+    from georiva_spark.sources.tables import (
+        export_token_shards, export_token_shards_delta,
+        export_token_shards_takedown, read_token_shards)
+
+    merges = [("a", "b")]
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "a b c"), (3, "c c c c c c c c"),
+         (4, "b b"), (5, "ab c")],
+        "doc_id long, text string")
+    out = str(tmp_path / "lay")
+    export_token_shards(docs, out, merges, context_len=8,
+                        num_shards=2, extra_alphabet="abc ")
+    delta = spark.createDataFrame([(6, "c ab a")],
+                                  "doc_id long, text string")
+    export_token_shards_delta(delta, out, merges, generation="g1")
+
+    def files():
+        return sorted(f for f in glob.glob(f"{out}/shard=*/*.parquet"))
+
+    def md5s():
+        return {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in files()}
+
+    def doc_map():
+        m = {}
+        for r in read_token_shards(spark, out).collect():
+            for j, d in enumerate(r.doc_ids):
+                st = r.doc_offsets[j]
+                en = (r.doc_offsets[j + 1] if j + 1 < len(r.doc_ids)
+                      else r.n_tokens)
+                m[d] = list(r.token_ids[st:en])
+        return m
+
+    before_docs, before_md5 = doc_map(), md5s()
+    assert set(before_docs) == {1, 2, 3, 4, 5, 6}
+    affected_files = {
+        r.f for r in
+        (spark.read.option("basePath", out).parquet(f"{out}/shard=*")
+         .where("arrays_overlap(doc_ids, array(2L, 3L))")
+         .select(F.col("_metadata.file_path").alias("f")).collect())}
+    assert affected_files
+    man = {r.shard: r for r in export_token_shards_takedown(
+        spark, out, [2, 3]).collect()}
+    after_docs, after_md5 = doc_map(), md5s()
+    assert set(after_docs) == {1, 4, 5, 6}
+    for d in (1, 4, 5, 6):                       # bit-identical ids
+        assert after_docs[d] == before_docs[d], d
+    for f, h in after_md5.items():               # untouched files
+        if f"file:{f}" not in affected_files \
+                and f"file://{f}" not in affected_files \
+                and f not in affected_files:
+            assert before_md5.get(f) == h, f
+    # bin invariants: fixed context, contiguous re-based offsets
+    rows = read_token_shards(spark, out).collect()
+    for r in rows:
+        assert r.n_docs >= 1                     # empty bins dropped
+        assert len(r.token_ids) == 8
+        assert r.doc_offsets[0] == 0
+        for j in range(1, len(r.doc_ids)):
+            got = r.doc_offsets[j] - r.doc_offsets[j - 1]
+            assert got == len(after_docs[r.doc_ids[j - 1]])
+    # manifest re-stamped == file re-aggregation
+    agg = (spark.read.option("basePath", out).parquet(f"{out}/shard=*")
+           .groupBy("shard")
+           .agg(F.count("*").alias("n_bins"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens")).collect())
+    for r in agg:
+        assert (man[r.shard].n_bins, man[r.shard].n_docs,
+                man[r.shard].n_tokens) == (r.n_bins, r.n_docs,
+                                           r.n_tokens)
+    stamped = {r.shard: r for r in spark.read.parquet(
+        os.path.join(out, "_georiva_manifest")).collect()}
+    assert {s: (m.n_bins, m.n_docs, m.n_tokens)
+            for s, m in stamped.items()} \
+        == {s: (m.n_bins, m.n_docs, m.n_tokens)
+            for s, m in man.items()}
+    # rerun: the ids are already absent — zero rewrites, bytes stable
+    export_token_shards_takedown(spark, out, [2, 3])
+    assert md5s() == after_md5
+    with pytest.raises(ValueError, match="empty"):
+        export_token_shards_takedown(spark, out, [])
+    # no stale staging dirs
+    assert not [d for d in os.listdir(out)
+                if d.startswith("_takedown_stage_")]
+
+
+def test_token_takedown_through_pointer_backend(spark, tmp_path):
+    """r13: the takedown's file replacement routes through the commit
+    backend — on a pointer-registered (no-rename) layout the rewrite
+    is an unconditional whole-object put, and the result matches the
+    rename-backend semantics."""
+    from georiva_spark.sources import commit
+    from georiva_spark.sources.tables import (
+        export_token_shards, export_token_shards_takedown,
+        read_token_shards)
+
+    out = str(tmp_path / "ptr_lay")
+    commit.register_backend(
+        out, commit.PointerBackend(commit.DirObjectStore()))
+    try:
+        docs = spark.createDataFrame(
+            [(1, "ab ab"), (2, "a b"), (3, "b a")],
+            "doc_id long, text string")
+        export_token_shards(docs, out, [("a", "b")], context_len=8,
+                            num_shards=1, extra_alphabet="ab ")
+        export_token_shards_takedown(spark, out, [2])
+        got = {d for r in read_token_shards(spark, out).collect()
+               for d in r.doc_ids}
+        assert got == {1, 3}
+    finally:
+        commit.register_backend(out, None)
+
+
 def test_token_budget_sample_prefix_covers_budget(spark):
     """Per stratum: kept docs are a prefix of the md5 order, the total
     covers the budget when the stratum has enough tokens (crossing doc

@@ -1045,6 +1045,17 @@ def test_minhash_retraction_antijoin_is_broadcast(spark, tmp_path):
         assert all("BroadcastHashJoin" in ln for ln in anti), anti
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+        # r13: the doc-grained takedown rule (second rule table) must
+        # keep the exact same shape — broadcast hash anti-joins only,
+        # composed with the shard rules
+        dedup.minhash_index_retract_docs(spark, t, [10])
+        plan = (dedup.minhash_index_probe(probe, t, threshold=0.3)
+                ._jdf.queryExecution().executedPlan().toString())
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert len(anti) >= 2, "expected shard AND doc anti-joins"
+        assert all("BroadcastHashJoin" in ln for ln in anti), anti
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
     finally:
-        for s in ("bands", "sigs", "dead"):
+        for s in ("bands", "sigs", "dead", "dead_docs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
