@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r13 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
     "minhash_retract_docs", "ann_retract_docs", "image_retract_docs",
-    "token_takedown",
+    "token_takedown", "takedown_e2e",
 ]
 
 

@@ -83,6 +83,9 @@ HEADLINE = [
     # reaching the trainer token-shard layout (surgical file rewrite)
     "minhash_retract_docs", "ann_retract_docs", "image_retract_docs",
     "token_takedown",
+    # r13: the one-call takedown orchestrator's corpus leg — prune
+    # partitions + intent/audit tokens + engine closure recompute
+    "takedown_e2e",
 ]
 
 

@@ -1,0 +1,308 @@
+"""One-call takedown orchestration (r13): apply a legal takedown /
+right-to-be-forgotten request — a bounded list of item ids — to EVERY
+surface that serves or derives from the corpus, in one call:
+
+- the three persistent index families (MinHash text, IVF/PQ
+  embeddings, Hamming perceptual) via their doc-grained tombstone
+  rules (operators/_tombstones.retract_docs — O(1) rule rows, probes
+  stop matching immediately, compactions purge physically);
+- exported trainer token-shard layouts via the sanctioned surgical
+  rewrite (sources/tables.export_token_shards_takedown — bounded
+  affected files, surviving docs bit-identical);
+- the LANDED corpus itself plus everything the derivation engine
+  built from it (:func:`corpus_takedown` — prune the affected shard
+  partitions, recompute their content checksums, and dispatch the
+  engine closure so datacards / token manifests recompute from the
+  pruned corpus — T5 staleness at document grain).
+
+The r13 family functions each answer one surface; a real request has
+to reach ALL of them, and a half-applied request (indexes cleaned,
+corpus still serving the docs to the next rebuild) is the worst
+outcome — the docs look gone until a recompute resurrects them. The
+orchestrator makes the fan-out one idempotent call with one audit
+record.
+
+IDEMPOTENCY: every leg converges on re-run — tombstone rules
+accumulate harmlessly (the anti-join is a set filter), the token
+rewrite's affected-scan finds exactly the not-yet-rewritten
+remainder, and the corpus leg records its affected-shard set in an
+INTENT token (committed through sources/commit.py BEFORE any
+mutation) so a crash between the partition prune and the engine
+dispatch re-dispatches on the next run even though the pruned
+partitions no longer contain the ids. Re-running a fully-applied
+request is a structural no-op (engine units skip on input_hash, T3).
+
+ID SPACE: one request list is applied to every surface — doc_id for
+text indexes / token layouts / the corpus, vec_id for embedding
+indexes, media id for perceptual indexes. Pipelines built on this
+repo share one id space across those tables (the corpus chain's
+doc_id IS the embedding's vec_id); deployments with per-modality id
+spaces call the family functions directly with each mapped list.
+
+Reference parity: the reference deletes at item granularity and
+invalidates transitively through the lineage graph
+(processing/invocation.py:210-247, api/views.py delete paths); it has
+no trainer-layout or ANN-index analog to reach, so this orchestrator
+is a superset required by the index/export layers this repo adds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from georiva_spark.plans.engine import DerivationEngine, Trigger
+from georiva_spark.sources.commit import (atomic_write_json,
+                                          backend_for, read_token_json)
+
+__all__ = ["corpus_takedown", "request_digest", "takedown"]
+
+
+def request_digest(ids) -> str:
+    """Deterministic digest of a takedown request's id set — the
+    audit/intent token key. Order- and duplicate-insensitive, so a
+    redelivered request maps to the same token (replay no-op)."""
+    ids = sorted({int(i) for i in ids})
+    return hashlib.md5(
+        ",".join(str(i) for i in ids).encode()).hexdigest()[:16]
+
+
+def _intent_path(corpus_dir: str, digest: str) -> str:
+    # underscore-prefixed sidecar: Spark's parquet listing ignores it
+    return posixpath.join(corpus_dir, f"_georiva_takedown_{digest}.json")
+
+
+def _affected_scan(corpus: DataFrame, ids) -> DataFrame:
+    """Shards still containing any takedown id. The bounded id list
+    lands as an In predicate PUSHED to the parquet scan (row-group
+    stats prune — at 100 TB the scan touches only row groups whose
+    doc_id range overlaps the request) and only (doc_id, shard) ship
+    (plan-asserted in test_plan_evidence)."""
+    return (corpus.where(F.col("doc_id").isin(ids))
+            .select("shard").distinct())
+
+
+def _prune_frame(corpus: DataFrame, affected, ids) -> DataFrame:
+    """The survivors of the affected shards — the dynamic-overwrite
+    input. The shard predicate is a PARTITION filter (unaffected
+    partitions never scan, plan-asserted); the overwrite rewrites
+    exactly the affected partitions."""
+    return corpus.where(F.col("shard").isin(list(affected))
+                        & ~F.col("doc_id").isin(ids))
+
+
+def corpus_takedown(spark: SparkSession, corpus_dir: str,
+                    engine: DerivationEngine, ids, *,
+                    collection: str = "crawl-shards",
+                    origin: str | None = None) -> list[dict]:
+    """Remove ``ids`` from the landed corpus and recompute everything
+    the derivation engine built from the affected shards.
+
+    Mechanics, in commit order:
+
+    1. AFFECTED SCAN — one pruned read of the corpus (filter on the
+       bounded id list pushes to parquet row-group stats; only
+       ``doc_id``/``shard`` columns ship) finds the shards still
+       containing the ids. Bounded output: at most one row per shard.
+    2. INTENT TOKEN — the affected-shard set commits as a sidecar
+       token in the corpus dir through sources/commit.py BEFORE any
+       mutation. This is the crash-recovery hinge: after the
+       partitions are pruned the ids are gone from the data, so a
+       rerun's scan alone could never rediscover which shards still
+       need their engine dispatch — the intent token can. Reruns
+       union the token's shards into the dispatch set.
+    3. PARTITION PRUNE — one dynamic partition overwrite of exactly
+       the affected shards, minus the ids (a shard the takedown would
+       EMPTY fails by name first: dynamic overwrite cannot express an
+       empty partition, and deleting a whole shard is a different
+       operation — re-crawl or shard removal — that must be explicit).
+    4. RECOMMIT + DISPATCH — per affected shard, recompute the
+       content checksum from the pruned partition with the SAME
+       formula the ingest stream commits (bit_xor of row hashes, so a
+       later identical re-delivery T3-skips), update the engine's
+       staging item, and dispatch its trigger: the clean unit and the
+       product chain recompute from the pruned shard, partials merge,
+       datacard/manifest converge to a corpus that never had the docs
+       (the takedown_e2e oracle proves exactly this).
+    5. The intent token re-commits with ``completed: true`` — it
+       stays as the corpus-side audit record.
+
+    Note the dedup consequence (correct, oracle-pinned): if a
+    taken-down doc was the exact-dedup KEEPER of its content, a
+    surviving duplicate RESURFACES in the clean output — the content
+    itself was never taken down, only the named items.
+
+    Returns one dict per affected shard: shard, new checksum, pruned
+    row count, units the dispatch ran."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        raise ValueError("corpus_takedown: the takedown id list is "
+                         "empty")
+    backend_for(corpus_dir, who="corpus_takedown")
+    digest = request_digest(ids)
+    token_path = _intent_path(corpus_dir, digest)
+    prior = read_token_json(token_path, who="corpus_takedown") or {}
+
+    corpus = spark.read.parquet(corpus_dir)
+    dead = F.col("doc_id").isin(ids)
+    affected = sorted(r.shard for r in
+                      _affected_scan(corpus, ids).collect())
+    # crash recovery: shards a prior run pruned but may not have
+    # dispatched (their partitions no longer contain the ids, so the
+    # scan above cannot see them)
+    dispatch = sorted(set(affected) | set(prior.get("shards", [])))
+    if not dispatch:
+        return []
+    if affected:
+        emptied = [
+            r.shard for r in corpus
+            .where(F.col("shard").isin(affected))
+            .groupBy("shard")
+            .agg(F.sum((~dead).cast("long")).alias("kept"))
+            .where(F.col("kept") == 0).collect()]
+        if emptied:
+            raise ValueError(
+                f"corpus_takedown: the request would EMPTY shard(s) "
+                f"{emptied} — dynamic partition overwrite cannot "
+                f"express an empty partition, and removing a whole "
+                f"shard is a different operation (re-crawl or shard "
+                f"removal); split the request")
+        atomic_write_json(token_path,
+                          {"digest": digest, "n_ids": len(ids),
+                           "shards": dispatch, "completed": False},
+                          who="corpus_takedown")
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (_prune_frame(corpus, affected, ids)
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(corpus_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           old)
+
+    pruned = spark.read.parquet(corpus_dir)
+    digests = {r.shard: r for r in pruned
+               .where(F.col("shard").isin(dispatch))
+               .groupBy("shard")
+               .agg(F.bit_xor(F.xxhash64("doc_id", "text"))
+                    .alias("digest"),
+                    F.count(F.lit(1)).alias("n"))
+               .collect()}
+    results = []
+    for shard in dispatch:
+        d = digests.get(shard)
+        if d is None:
+            raise ValueError(
+                f"corpus_takedown: intent token names shard "
+                f"{shard!r} but the corpus at {corpus_dir!r} has no "
+                f"such partition — the layout changed underneath a "
+                f"crashed takedown; resolve manually")
+        checksum = f"crawl-{shard}-{d.digest}-{d.n}"
+        item = next((it for it in engine.catalog.items
+                     if it["collection"] == collection
+                     and it["variable"] == shard), None)
+        if item is None:
+            raise ValueError(
+                f"corpus_takedown: shard {shard!r} has no "
+                f"{collection!r} staging item in the engine catalog "
+                f"— this engine never ingested it; takedown must run "
+                f"against the engine that owns the corpus")
+        item["checksum"] = checksum
+        runs = engine.dispatch_for_trigger(
+            Trigger(kind="staging_item", item=item),
+            origin=origin or f"takedown-{digest}")
+        results.append({"shard": shard, "checksum": checksum,
+                        "n_docs": int(d.n),
+                        "units_run": sum(1 for r in runs
+                                         if r.status == "completed")})
+    atomic_write_json(token_path,
+                      {"digest": digest, "n_ids": len(ids),
+                       "shards": dispatch, "completed": True},
+                      who="corpus_takedown")
+    return results
+
+
+def takedown(spark: SparkSession, ids, *,
+             minhash_indexes=(), ivf_indexes=(), hamming_indexes=(),
+             token_layouts=(), corpus: tuple | None = None,
+             audit_dir: str | None = None) -> dict:
+    """Apply one takedown request to every named surface and return
+    (optionally commit) the audit record. See the module docstring
+    for semantics; each leg delegates to its family function:
+
+    - ``minhash_indexes`` / ``ivf_indexes`` / ``hamming_indexes``:
+      index base names → ``*_index_retract_docs`` (tombstone rules;
+      the next compaction purges — streams that use the
+      probe-then-grow launchers count the pending rules toward their
+      compaction cadence automatically).
+    - ``token_layouts``: exported token-shard roots →
+      :func:`~georiva_spark.sources.tables.export_token_shards_takedown`
+      (ids absent from a layout are a structural no-op there).
+    - ``corpus``: ``(corpus_dir, engine)`` → :func:`corpus_takedown`.
+    - ``audit_dir``: when set, the full outcome commits as
+      ``takedown-{digest}.json`` through sources/commit.py, LAST —
+      its presence implies every leg completed (the streaming
+      launcher's replay guard; same commit-witness ordering contract
+      as streaming/_loop.py). The token is keyed by the id-set
+      digest, so a replayed identical request rewrites identical
+      content.
+
+    Legs run indexes-first (cheapest, stops serving matches
+    immediately), then the corpus closure, then the trainer layouts —
+    but every leg is idempotent, so a crash anywhere is repaired by
+    re-running the same request."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        raise ValueError("takedown: the takedown id list is empty")
+    minhash_indexes = tuple(minhash_indexes)
+    ivf_indexes = tuple(ivf_indexes)
+    hamming_indexes = tuple(hamming_indexes)
+    token_layouts = tuple(token_layouts)
+    surfaces = (len(minhash_indexes) + len(ivf_indexes)
+                + len(hamming_indexes) + len(token_layouts)
+                + (1 if corpus is not None else 0))
+    if surfaces == 0:
+        raise ValueError(
+            "takedown: no surfaces named — pass at least one of "
+            "minhash_indexes/ivf_indexes/hamming_indexes/"
+            "token_layouts/corpus")
+    digest = request_digest(ids)
+    audit: dict = {"digest": digest, "n_ids": len(ids),
+                   "indexes": {}, "token_layouts": {}, "corpus": []}
+
+    from georiva_spark.operators.dedup import (
+        hamming_index_retract_docs, minhash_index_retract_docs)
+    from georiva_spark.operators.similarity import ivf_index_retract_docs
+    for t in minhash_indexes:
+        minhash_index_retract_docs(spark, t, ids)
+        audit["indexes"][t] = "minhash"
+    for t in ivf_indexes:
+        ivf_index_retract_docs(spark, t, ids)
+        audit["indexes"][t] = "ivf"
+    for t in hamming_indexes:
+        hamming_index_retract_docs(spark, t, ids)
+        audit["indexes"][t] = "hamming"
+
+    if corpus is not None:
+        corpus_dir, engine = corpus
+        audit["corpus"] = corpus_takedown(spark, corpus_dir, engine,
+                                          ids)
+
+    from georiva_spark.sources.tables import export_token_shards_takedown
+    for p in token_layouts:
+        manifest = export_token_shards_takedown(spark, p, ids)
+        audit["token_layouts"][p] = {
+            "bins": int(manifest.agg(
+                F.sum("n_bins").cast("long")).head()[0] or 0)}
+
+    if audit_dir is not None:
+        atomic_write_json(
+            posixpath.join(audit_dir, f"takedown-{digest}.json"),
+            audit, who="takedown")
+    return audit

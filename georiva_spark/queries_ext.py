@@ -5647,18 +5647,20 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return card.unionByName(man).orderBy("section", "k1", "k2")
 
 
-def _corpus_survivors_prelude() -> str:
+def _corpus_survivors_prelude(source_sql: str = "documents") -> str:
     """The corpus-clean semantics as CTEs: gopher gate at the
     token_pipeline thresholds, then the SHARD-LOCAL exact-dedup
     keeper (min doc_id per md5(text) within doc_id%3 — the recipe
     dedups within its crawl shard, after the gate). Survivors carry
     lang/source for the datacard branch; trailing comma so callers
-    splice it into a WITH RECURSIVE chain."""
-    return """
+    splice it into a WITH RECURSIVE chain. ``source_sql`` swaps the
+    corpus relation (r13: the takedown oracle replays the chain over
+    documents MINUS the taken-down ids)."""
+    return f"""
 gw AS (SELECT doc_id, text,
               list_filter(string_split_regex(text, '\\s+'),
                           t -> t <> '') AS words
-       FROM documents),
+       FROM {source_sql}),
 gm AS (SELECT doc_id, text,
               len(words) AS nw,
               CAST(list_sum(list_transform(words, t -> length(t)))
@@ -5676,7 +5678,7 @@ gm AS (SELECT doc_id, text,
                   AS stop
        FROM gw),
 gated AS (SELECT gm.doc_id, gm.text, d.lang, d.source
-          FROM gm JOIN documents d USING (doc_id)
+          FROM gm JOIN {source_sql} d USING (doc_id)
           WHERE gm.nw BETWEEN 30 AND 1000
             AND gm.mwl BETWEEN 1.0 AND 10.0
             AND gm.symr <= 0.1 AND gm.bulr <= 0.9 AND gm.stop >= 1),
@@ -5723,6 +5725,144 @@ ORDER BY section, k1, k2
 
 
 SQL_CORPUS_PRODUCTS = _sql_corpus_products()
+
+
+def q_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call takedown reaching the LANDED corpus and the whole
+    derivation chain (r13, plans/takedown.py): the documents table
+    lands PHYSICALLY as three shard partitions, the engine builds the
+    full corpus chain (clean → datacard + token-shard manifest), and
+    then a takedown request — the bounded id list doc_id % 97 == 11 —
+    goes through the one-call orchestrator: affected partitions prune
+    (dynamic overwrite, intent token committed first through
+    sources/commit.py), shard checksums recommit with the ingest
+    stream's formula, and the engine closure recomputes from the
+    pruned shards. A second identical call is asserted in-query to be
+    a structural no-op (every unit T3-skips on the recommitted
+    checksums). Returns the engine-WRITTEN final products.
+
+    The oracle recomputes datacard + manifest FROM SCRATCH over
+    ``documents`` MINUS the taken-down ids — a hash match proves the
+    post-takedown incremental chain converged to a corpus that never
+    contained the docs (doc-grained T5 for derived products; if a
+    taken-down doc was its content's dedup keeper, the surviving
+    twin provably resurfaces — the oracle's from-scratch keeper
+    choice is the proof)."""
+    import os
+    import shutil
+
+    from georiva_spark.plans.engine import DerivationEngine, Trigger
+    from georiva_spark.plans.recipe import (CatalogContext,
+                                            RecipeRegistry)
+    from georiva_spark.plans.recipes.corpus import (
+        CorpusCleanRecipe, CorpusDatacardRecipe,
+        CorpusShardStatsRecipe, CorpusShardTokensRecipe,
+        CorpusTokenShardsRecipe, corpus_product_definitions,
+    )
+    from georiva_spark.plans.takedown import takedown
+
+    docs = load_table(spark, sf_dir, "documents")
+    _sweep_stale_fixtures(spark, "t_tde2eq", "tdcorp")
+    base = _fixture_tmp(spark, "tdcorp")
+    shutil.rmtree(base, ignore_errors=True)
+    corp = os.path.join(base, "corp")
+    out = os.path.join(base, "out")
+    (docs.withColumn("shard",
+                     F.concat(F.lit("shard-"),
+                              (F.col("doc_id") % 3).cast("string")))
+     .write.partitionBy("shard").parquet(corp))
+    items = [{"item_id": k + 1, "collection": "crawl-shards",
+              "variable": f"shard-{k}", "time": None,
+              "tier": "staging", "checksum": f"crawl-{k}-v1"}
+             for k in range(3)]
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    ctx = CatalogContext(spark, list(items), grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe())
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusShardTokensRecipe(
+        BPE_MERGES, config={"context_len": 128, "num_shards": 8}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe())
+    eng = DerivationEngine(
+        spark, reg, ctx, output_dir=out,
+        definitions=corpus_product_definitions(128, 8))
+    for it in items:
+        eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+
+    ids = [r.doc_id for r in
+           docs.where(F.col("doc_id") % 97 == 11)
+           .select("doc_id").collect()]
+    audit = takedown(spark, ids, corpus=(corp, eng))
+    assert audit["corpus"], "the request touched no shard"
+    # idempotent re-run: same request is a structural no-op (T3)
+    again = takedown(spark, ids, corpus=(corp, eng))
+    assert all(c["units_run"] == 0 for c in again["corpus"])
+
+    def derived(collection):
+        it = next(i for i in eng.catalog.items
+                  if i["collection"] == collection)
+        return loader(it)
+
+    nl = F.lit(None).cast("long")
+    card = derived("corpus-datacard").select(
+        F.lit("datacard").alias("section"),
+        F.col("lang").alias("k1"), F.col("source").alias("k2"),
+        F.col("n_docs"), F.col("n_tokens"), F.col("n_chars"),
+        nl.alias("n_bins"))
+    man = derived("corpus-token-shards").select(
+        F.lit("tokens").alias("section"),
+        F.col("shard").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_docs"), F.col("n_tokens"), nl.alias("n_chars"),
+        F.col("n_bins"))
+    return card.unionByName(man).orderBy("section", "k1", "k2")
+
+
+def _sql_takedown_e2e() -> str:
+    """From-scratch replay over documents MINUS the takedown ids —
+    what the post-takedown incremental chain must converge to."""
+    pre = _corpus_survivors_prelude(
+        "(SELECT * FROM documents WHERE doc_id % 97 <> 11)")
+    tok = _sql_token_shards(context_len=128, num_shards=8,
+                            source="survivors", prelude=pre,
+                            gen_expr="doc_id % 3")
+    return f"""
+WITH bins AS ({tok}),
+card AS (
+  WITH RECURSIVE{pre}
+  dc AS (SELECT lang, source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                              THEN 0
+                              ELSE len(string_split_regex(trim(text),
+                                                          '\\s+'))
+                         END) AS BIGINT) AS n_tokens,
+                CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                  AS n_chars
+         FROM survivors GROUP BY lang, source)
+  SELECT * FROM dc)
+SELECT 'datacard' AS section, lang AS k1, source AS k2,
+       n_docs, n_tokens, n_chars, CAST(NULL AS BIGINT) AS n_bins
+FROM card
+UNION ALL
+SELECT 'tokens', CAST(shard AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM bins GROUP BY shard
+ORDER BY section, k1, k2
+"""
+
+
+SQL_TAKEDOWN_E2E = _sql_takedown_e2e()
 
 
 
@@ -7585,6 +7725,7 @@ EXT_QUERIES = {
     "token_takedown": q_token_takedown,
     "token_pipeline": q_token_pipeline,
     "corpus_products": q_corpus_products,
+    "takedown_e2e": q_takedown_e2e,
     "ann_tune": q_ann_tune,
     "ann_tune_pq": q_ann_tune_pq,
     "minhash_tune": q_minhash_tune,
@@ -7731,6 +7872,7 @@ EXT_ORACLES = {
     "token_takedown": SQL_TOKEN_TAKEDOWN,
     "token_pipeline": SQL_TOKEN_PIPELINE,
     "corpus_products": SQL_CORPUS_PRODUCTS,
+    "takedown_e2e": SQL_TAKEDOWN_E2E,
     "ann_tune": SQL_ANN_TUNE,
     "ann_tune_pq": SQL_ANN_TUNE_PQ,
     "minhash_tune": SQL_MINHASH_TUNE,

@@ -1059,3 +1059,34 @@ def test_minhash_retraction_antijoin_is_broadcast(spark, tmp_path):
     finally:
         for s in ("bands", "sigs", "dead", "dead_docs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}_{s}")
+
+
+def test_corpus_takedown_scan_pushdown_and_partition_prune(spark,
+                                                           tmp_path):
+    """r13 takedown scale story: the affected scan's bounded id list
+    must reach the parquet scan as a pushed In predicate reading only
+    (doc_id, shard) — at 100 TB the request prunes to overlapping
+    row groups, never a full-column corpus read — and the prune
+    frame's shard predicate must be a PARTITION filter so unaffected
+    partitions never scan."""
+    from georiva_spark.plans.takedown import _affected_scan, _prune_frame
+    corp = str(tmp_path / "corp")
+    (spark.range(100)
+     .selectExpr("id as doc_id", "concat('t', id) as text",
+                 "concat('s', id % 4) as shard")
+     .write.partitionBy("shard").parquet(corp))
+    corpus = spark.read.parquet(corp)
+
+    plan = _plan(_affected_scan(corpus, [7, 13]))
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln][0]
+    assert "PushedFilters:" in scan
+    assert "In(doc_id, [" in scan.split("PushedFilters:", 1)[1]
+    read = scan.split("ReadSchema:", 1)[1]
+    assert "doc_id" in read and "text" not in read
+
+    plan = _plan(_prune_frame(corpus, ["s1", "s3"], [7, 13]))
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln][0]
+    part = scan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "shard" in part and "s1" in part and "s3" in part

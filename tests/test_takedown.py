@@ -1,0 +1,338 @@
+"""One-call takedown orchestration (r13): one bounded id list reaches
+every surface — the three index families, the exported trainer
+layout, and the landed corpus plus its derivation-engine products —
+idempotently, with an audit token as the commit witness. The corpus
+leg's crash window (pruned partitions but no engine dispatch) is
+recovered through the intent token; emptying a whole shard fails by
+name; the streaming launcher replays via the audit-token guard."""
+
+import glob
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from georiva_spark.operators import dedup, similarity
+from georiva_spark.plans import takedown as td
+from georiva_spark.plans.engine import DerivationEngine, Trigger
+from georiva_spark.plans.recipe import CatalogContext, RecipeRegistry
+from georiva_spark.plans.recipes.corpus import (
+    CorpusCleanRecipe, CorpusDatacardRecipe, CorpusShardStatsRecipe,
+    CorpusShardTokensRecipe, CorpusTokenShardsRecipe,
+    corpus_product_definitions,
+)
+from georiva_spark.sources import commit
+from georiva_spark.sources.tables import (export_token_shards,
+                                          read_token_shards)
+
+MERGES = [("a", "b"), ("ab", "c")]
+SCHEMA = "doc_id long, text string, lang string, source string"
+
+ROWS = {
+    "s0": [
+        (1, "the abc abd quick fox", "en", "web"),
+        (2, "the abc abd quick fox", "en", "web"),   # exact dup of 1
+        (3, "of abc abc words here", "de", "web"),
+    ],
+    "s1": [
+        (10, "and abc de xyz words", "en", "books"),
+        (11, "to abc abc abc words", "en", "web"),
+        (12, "in abc abd other words", "fr", "web"),
+    ],
+}
+
+
+def _land_corpus(spark, path):
+    rows = [(*r, s) for s, rs in ROWS.items() for r in rs]
+    (spark.createDataFrame(rows, SCHEMA + ", shard string")
+     .repartition(2).write.partitionBy("shard").parquet(path))
+
+
+def _mk_engine(spark, corp, out):
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    items = [{"item_id": k + 1, "collection": "crawl-shards",
+              "variable": s, "time": None, "tier": "staging",
+              "checksum": f"crawl-{s}-v1"}
+             for k, s in enumerate(sorted(ROWS))]
+    ctx = CatalogContext(spark, items, grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusShardTokensRecipe(
+        MERGES, config={"context_len": 8, "num_shards": 2}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe())
+    eng = DerivationEngine(
+        spark, reg, ctx, output_dir=out,
+        definitions=corpus_product_definitions(context_len=8,
+                                               num_shards=2))
+    for it in items:
+        eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+    return eng
+
+
+def _card(spark, eng):
+    it = next(i for i in eng.catalog.items
+              if i["collection"] == "corpus-datacard")
+    return {(r.lang, r.source): (r.n_docs, r.n_tokens)
+            for r in eng.catalog._grid_loader(it).collect()}
+
+
+def _drop(spark, table, suffixes):
+    for s in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_{s}")
+
+
+IDX_SUFFIXES = ("bands", "sigs", "ids", "dead", "dead_docs",
+                "bands_compact", "sigs_compact", "ids_compact")
+
+
+def test_takedown_reaches_every_surface(spark, tmp_path):
+    """One call: docs 2 (a dedup KEEPER's twin... doc 1 is keeper) —
+    take down ids {1, 11}: minhash/hamming/ivf stop matching, the
+    token layout drops their segments bit-preserving the rest, the
+    corpus partitions prune, the engine datacard converges to a
+    corpus that never had them — and the exact-dup twin doc 2
+    RESURFACES as the new keeper (content was never taken down, only
+    the named item)."""
+    corp = str(tmp_path / "corp")
+    out = str(tmp_path / "out")
+    lay = str(tmp_path / "lay")
+    audit_dir = str(tmp_path / "audit")
+    _land_corpus(spark, corp)
+    eng = _mk_engine(spark, corp, out)
+    card0 = _card(spark, eng)
+    assert card0[("en", "web")] == (2, 10)       # keeper 1 + doc 11
+
+    docs = spark.createDataFrame(
+        [(*r, ) for rs in ROWS.values() for r in rs], SCHEMA)
+    export_token_shards(docs, lay, MERGES, context_len=8,
+                        num_shards=2,
+                        extra_alphabet="abcdefghijklmnopqrstuvwxyz ")
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0)] * 4 + [float(i % 3 != 0)] * 4)
+         for i in (1, 2, 3, 10, 11, 12)],
+        "vec_id long, embedding array<double>")
+    codes = spark.createDataFrame(
+        [(i, (0b1111 if i < 10 else 0b10110000)) for i in
+         (1, 2, 3, 10, 11, 12)], "media_id long, code long")
+    mh, hm, iv = "t_tdo_mh", "t_tdo_hm", "t_tdo_iv"
+    try:
+        dedup.minhash_index_write(
+            docs.select("doc_id", "text"), mh, str(tmp_path / "mi"),
+            n_buckets=4)
+        dedup.hamming_index_write(codes, hm, str(tmp_path / "hi"),
+                                  max_hamming=2, n_buckets=4)
+        similarity.ivf_index_write(emb, iv, str(tmp_path / "vi"),
+                                   n_centroids=2, train_iters=1)
+
+        ids = [1, 11]
+        audit = td.takedown(
+            spark, ids, minhash_indexes=[mh], hamming_indexes=[hm],
+            ivf_indexes=[iv], token_layouts=[lay],
+            corpus=(corp, eng), audit_dir=audit_dir)
+
+        # indexes: probes exclude the ids, keep the rest
+        mh_probe = spark.createDataFrame(
+            [(900, "to abc abc abc words")], "doc_id long, text string")
+        mh_hits = {r.doc_old for r in dedup.minhash_index_probe(
+            mh_probe, mh, threshold=0.9).collect()}
+        assert 11 not in mh_hits
+        hm_probe = spark.createDataFrame(
+            [(900, 0b1110)], "media_id long, code long")
+        hm_hits = {r.id_old for r in dedup.hamming_index_probe(
+            hm_probe, hm).collect()}
+        assert hm_hits == {2, 3}                  # 1 gone, twins live
+        iv_hits = {r.vec_id for r in similarity.ivf_index_probe(
+            spark, iv, [1.0] * 4 + [0.0] * 4, k=6, nprobe=2).collect()}
+        assert not iv_hits & {1, 11} and 3 in iv_hits
+
+        # token layout: ids' segments gone, survivors bit-identical
+        doc_ids = set()
+        for r in read_token_shards(spark, lay).collect():
+            doc_ids.update(r.doc_ids)
+        assert not doc_ids & {1, 11} and {2, 3, 10, 12} <= doc_ids
+
+        # corpus pruned; datacard == a corpus that never had 1, 11 —
+        # and the dup twin doc 2 RESURFACES as the new keeper
+        left = {r.doc_id for r in
+                spark.read.parquet(corp).collect()}
+        assert left == {2, 3, 10, 12}
+        card = _card(spark, eng)
+        assert card[("en", "web")] == (1, 5)      # doc 2, the twin
+        assert ("en", "books") in card            # shard-1 unaffected
+        assert card[("fr", "web")] == (1, 5)
+
+        # audit: committed LAST, full fan-out recorded
+        tok = commit.read_token_json(
+            f"{audit_dir}/takedown-{td.request_digest(ids)}.json")
+        assert tok == audit
+        assert set(audit["indexes"]) == {mh, hm, iv}
+        assert [c["shard"] for c in audit["corpus"]] == ["s0", "s1"]
+        assert audit["token_layouts"][lay]["bins"] >= 1
+
+        # idempotent re-run: corpus untouched (same checksums, units
+        # skip), audit rewrites identical content
+        files0 = {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                  for f in glob.glob(f"{corp}/shard=*/*.parquet")}
+        audit2 = td.takedown(
+            spark, ids, minhash_indexes=[mh], hamming_indexes=[hm],
+            ivf_indexes=[iv], token_layouts=[lay],
+            corpus=(corp, eng), audit_dir=audit_dir)
+        files1 = {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                  for f in glob.glob(f"{corp}/shard=*/*.parquet")}
+        assert files0 == files1
+        assert all(c["units_run"] == 0 for c in audit2["corpus"])
+        assert _card(spark, eng) == card
+    finally:
+        for t in (mh, hm, iv):
+            _drop(spark, t, IDX_SUFFIXES)
+
+
+def test_corpus_takedown_crash_window_recovers_via_intent(spark,
+                                                          tmp_path):
+    """Crash between the partition prune and the engine dispatch: the
+    ids are gone from the data, so a rerun's scan alone cannot find
+    the shard — the intent token can, and the rerun re-dispatches it
+    (stale datacard heals)."""
+    corp = str(tmp_path / "corp")
+    out = str(tmp_path / "out")
+    _land_corpus(spark, corp)
+    eng = _mk_engine(spark, corp, out)
+    card0 = _card(spark, eng)
+
+    real = eng.dispatch_for_trigger
+
+    def boom(trigger, origin=None):
+        raise RuntimeError("injected crash before dispatch")
+
+    eng.dispatch_for_trigger = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        td.corpus_takedown(spark, corp, eng, [12])
+    eng.dispatch_for_trigger = real
+    # partitions pruned, products stale, intent token uncompleted
+    assert spark.read.parquet(corp).where("doc_id = 12").count() == 0
+    assert _card(spark, eng) == card0             # stale: still has fr
+    tok = commit.read_token_json(
+        td._intent_path(corp, td.request_digest([12])))
+    assert tok["shards"] == ["s1"] and tok["completed"] is False
+
+    res = td.corpus_takedown(spark, corp, eng, [12])
+    assert [r["shard"] for r in res] == ["s1"]
+    card = _card(spark, eng)
+    assert ("fr", "web") not in card
+    assert card[("en", "books")] == card0[("en", "books")]
+    tok = commit.read_token_json(
+        td._intent_path(corp, td.request_digest([12])))
+    assert tok["completed"] is True
+
+
+def test_corpus_takedown_emptying_a_shard_fails_by_name(spark,
+                                                        tmp_path):
+    corp = str(tmp_path / "corp")
+    _land_corpus(spark, corp)
+    eng = _mk_engine(spark, corp, str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="EMPTY shard"):
+        td.corpus_takedown(spark, corp, eng, [10, 11, 12])
+    # nothing mutated
+    assert spark.read.parquet(corp).count() == 6
+
+
+def test_takedown_validation_fails_by_name(spark, tmp_path):
+    with pytest.raises(ValueError, match="id list is empty"):
+        td.takedown(spark, [], minhash_indexes=["x"])
+    with pytest.raises(ValueError, match="no surfaces"):
+        td.takedown(spark, [1])
+    with pytest.raises(ValueError, match="no .* staging item|never "
+                                         "ingested"):
+        corp = str(tmp_path / "corp")
+        _land_corpus(spark, corp)
+        e = _mk_engine(spark, corp, str(tmp_path / "out"))
+        e.catalog.items = [i for i in e.catalog.items
+                           if i["variable"] != "s1"]
+        td.corpus_takedown(spark, corp, e, [12])
+
+
+def test_takedown_stream_applies_and_replay_guard_holds(spark,
+                                                        tmp_path):
+    """Two request files stream through; a REDELIVERED request (same
+    ids, new file) is guard-skipped: the rule table gains no new
+    rows and the audit token is the witness. The audit leg also runs
+    on a POINTER backend (no-rename object-store shim)."""
+    from georiva_spark.streaming.takedown import start_takedown_stream
+    req = tmp_path / "req"
+    req.mkdir()
+    audit_dir = str(tmp_path / "audit")
+    commit.register_backend(
+        audit_dir, commit.PointerBackend(commit.DirObjectStore()))
+    t = "t_tds_mh"
+    docs = spark.createDataFrame(
+        [(i, f"the abc abd quick fox variant {i}") for i in
+         range(1, 7)], "doc_id long, text string")
+    try:
+        dedup.minhash_index_write(docs, t, str(tmp_path / "ix"),
+                                  n_buckets=4)
+        (req / "r1.json").write_text(json.dumps(
+            {"request_id": "r1", "ids": [1, 2]}))
+        (req / "r2.json").write_text(json.dumps(
+            {"request_id": "r2", "ids": [5]}))
+        q = start_takedown_stream(
+            spark, str(req), str(tmp_path / "ck"), audit_dir,
+            minhash_indexes=[t], available_now=True)
+        q.awaitTermination(120)
+        rules = spark.table(f"{t}_dead_docs")
+        assert {r.id for r in rules.collect()} == {1, 2, 5}
+        n0 = rules.count()
+        for ids in ([1, 2], [5]):
+            assert commit.read_token_json(
+                f"{audit_dir}/takedown-{td.request_digest(ids)}"
+                f".json")["n_ids"] == len(ids)
+        # redeliver r1 under a new name: guard skips, no new rules
+        (req / "r1_again.json").write_text(json.dumps(
+            {"request_id": "r1b", "ids": [2, 1]}))
+        q = start_takedown_stream(
+            spark, str(req), str(tmp_path / "ck"), audit_dir,
+            minhash_indexes=[t], available_now=True)
+        q.awaitTermination(120)
+        spark.catalog.refreshTable(f"{t}_dead_docs")
+        assert spark.table(f"{t}_dead_docs").count() == n0
+    finally:
+        commit.register_backend(audit_dir, None)
+        _drop(spark, t, IDX_SUFFIXES)
+
+
+def test_takedown_stream_rejects_empty_request_by_name(spark,
+                                                       tmp_path):
+    from georiva_spark.streaming.takedown import start_takedown_stream
+    req = tmp_path / "req"
+    req.mkdir()
+    (req / "bad.json").write_text(json.dumps(
+        {"request_id": "bad", "ids": []}))
+    t = "t_tds_bad"
+    docs = spark.createDataFrame([(1, "the abc abd quick fox")],
+                                 "doc_id long, text string")
+    try:
+        dedup.minhash_index_write(docs, t, str(tmp_path / "ix"),
+                                  n_buckets=2)
+        q = start_takedown_stream(
+            spark, str(req), str(tmp_path / "ck"),
+            str(tmp_path / "audit"), minhash_indexes=[t],
+            available_now=True)
+        with pytest.raises(Exception, match="empty id list"):
+            q.awaitTermination(120)
+            raise AssertionError("stream did not fail")
+    finally:
+        _drop(spark, t, IDX_SUFFIXES)
+
+    with pytest.raises(ValueError, match="no surfaces"):
+        start_takedown_stream(spark, str(req), str(tmp_path / "ck2"),
+                              str(tmp_path / "audit2"))
