@@ -27,7 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r13 additions) — surfaced first so the next window reaches them.
 _SURFACE_FIRST = [
     "minhash_retract_docs", "ann_retract_docs", "image_retract_docs",
-    "token_takedown", "takedown_e2e",
+    "token_takedown", "takedown_e2e", "takedown_hold",
+    "takedown_report",
 ]
 
 

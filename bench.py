@@ -84,8 +84,10 @@ HEADLINE = [
     "minhash_retract_docs", "ann_retract_docs", "image_retract_docs",
     "token_takedown",
     # r13: the one-call takedown orchestrator's corpus leg — prune
-    # partitions + intent/audit tokens + engine closure recompute
-    "takedown_e2e",
+    # partitions + intent/audit tokens + engine closure recompute —
+    # the standing hold surviving a re-crawl redelivery, and the
+    # dry-run blast-radius report (live-row counts across surfaces)
+    "takedown_e2e", "takedown_hold", "takedown_report",
 ]
 
 

@@ -59,7 +59,9 @@ from georiva_spark.plans.engine import DerivationEngine, Trigger
 from georiva_spark.sources.commit import (atomic_write_json,
                                           backend_for, read_token_json)
 
-__all__ = ["corpus_takedown", "request_digest", "takedown"]
+__all__ = ["clear_hold", "corpus_takedown", "hold_filter",
+           "request_digest", "standing_hold", "takedown",
+           "takedown_report"]
 
 
 def request_digest(ids) -> str:
@@ -228,9 +230,232 @@ def corpus_takedown(spark: SparkSession, corpus_dir: str,
     return results
 
 
+def takedown_report(spark: SparkSession, ids, *,
+                    minhash_indexes=(), ivf_indexes=(),
+                    hamming_indexes=(), token_layouts=(),
+                    corpus_dirs=(), hold_table: str | None = None
+                    ) -> DataFrame:
+    """DRY-RUN blast radius of a takedown request — what WOULD be
+    removed, surface by surface, without mutating anything. The
+    report a legal/compliance reviewer reads before approving the
+    apply (the reference's delete views render the same
+    check-then-confirm shape for catalog items; this spans the
+    index/layout/corpus surfaces the repo adds).
+
+    One row per (surface, target[, shard]):
+
+    - ``corpus``: per corpus dir per shard still containing any id —
+      rows that a takedown would prune (the same pushed-In affected
+      scan :func:`corpus_takedown` runs, aggregated per shard).
+    - ``minhash`` / ``ivf`` / ``hamming``: LIVE index rows matching
+      the ids (already-tombstoned rows excluded — the report counts
+      what this request would newly remove; Hamming counts
+      memberships, the layer its retraction works at).
+    - ``token_layout``: docs and tokens the ids hold in the trainer
+      bins, plus ``n_files`` — the bounded file-rewrite cost the
+      apply would pay (the honest cost unit, SCALE.md r13).
+    - ``hold``: how many of the ids are ALREADY held (the remainder
+      is what a ``hold_table=`` apply would newly register).
+
+    Everything is one bounded aggregation per surface with the id
+    list pushed to the scans; the result is a small DataFrame (rows
+    bounded by surfaces × shards), safe to collect."""
+    from georiva_spark.operators._tombstones import (dead_doc_rules,
+                                                     dead_rules,
+                                                     live_doc_rows,
+                                                     live_rows)
+
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        raise ValueError("takedown_report: the takedown id list is "
+                         "empty")
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    parts = []
+
+    def row_agg(df, surface, target, id_col, shard_col=None):
+        g = df.where(F.col(id_col).isin(ids))
+        if shard_col is not None:
+            return (g.groupBy(F.col(shard_col).alias("shard"))
+                    .agg(F.count(F.lit(1)).alias("n_rows"))
+                    .select(F.lit(surface).alias("surface"),
+                            F.lit(target).alias("target"), "shard",
+                            "n_rows", nl.alias("n_tokens"),
+                            nl.alias("n_files")))
+        return (g.agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(F.lit(surface).alias("surface"),
+                        F.lit(target).alias("target"),
+                        ns.alias("shard"), "n_rows",
+                        nl.alias("n_tokens"), nl.alias("n_files")))
+
+    for d in corpus_dirs:
+        parts.append(row_agg(spark.read.parquet(d), "corpus", d,
+                             "doc_id", shard_col="shard"))
+    for t in minhash_indexes:
+        live = live_doc_rows(
+            live_rows(spark.table(f"{t}_sigs"),
+                      dead_rules(spark, t,
+                                 stamp_table=f"{t}_bands")),
+            dead_doc_rules(spark, t, stamp_table=f"{t}_bands"),
+            "doc_id")
+        parts.append(row_agg(live, "minhash", t, "doc_id"))
+    for t in ivf_indexes:
+        from georiva_spark.operators.similarity import _live_table
+        parts.append(row_agg(_live_table(spark, t), "ivf", t,
+                             "vec_id"))
+    for t in hamming_indexes:
+        live = live_doc_rows(
+            live_rows(spark.table(f"{t}_ids"),
+                      dead_rules(spark, t,
+                                 stamp_table=f"{t}_bands")),
+            dead_doc_rules(spark, t, stamp_table=f"{t}_bands"),
+            "id")
+        parts.append(row_agg(live, "hamming", t, "id"))
+    for p in token_layouts:
+        dead = F.array(*[F.lit(i).cast("long") for i in ids])
+        bins = (spark.read.option("basePath", p)
+                .parquet(f"{p}/shard=*")
+                .withColumn("__f", F.col("_metadata.file_path"))
+                .where(F.arrays_overlap("doc_ids", dead)))
+        n = F.size("doc_ids")
+        seg = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(1)),
+                lambda i: F.struct(
+                    F.get("doc_ids", i).alias("doc_id"),
+                    (F.coalesce(F.get("doc_offsets", i + F.lit(1)),
+                                F.col("n_tokens").cast("long"))
+                     - F.get("doc_offsets", i)).alias("len"))),
+            lambda d: F.array_contains(dead, d["doc_id"]))
+        parts.append(
+            bins.agg(
+                F.coalesce(F.sum(F.size(seg)), F.lit(0))
+                .cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.aggregate(seg, F.lit(0).cast("long"),
+                                      lambda a, d: a + d["len"])),
+                    F.lit(0)).cast("long").alias("n_tokens"),
+                F.countDistinct("__f").alias("n_files"))
+            .select(F.lit("token_layout").alias("surface"),
+                    F.lit(p).alias("target"), ns.alias("shard"),
+                    "n_rows", "n_tokens",
+                    F.col("n_files").cast("long")))
+    if hold_table is not None:
+        if not _ensure_hold_registered(spark, hold_table):
+            raise ValueError(
+                f"takedown_report: hold table {hold_table!r} does "
+                f"not exist — create it with standing_hold()")
+        parts.append(row_agg(
+            spark.table(hold_table).select("id").distinct(),
+            "hold", hold_table, "id"))
+    if not parts:
+        raise ValueError(
+            "takedown_report: no surfaces named — pass at least one "
+            "of minhash_indexes/ivf_indexes/hamming_indexes/"
+            "token_layouts/corpus_dirs/hold_table")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("surface", "target", "shard")
+
+
+# --------------------------------------------------------------------------
+# Standing legal holds (r13): takedown removes WHAT IS THERE; a hold
+# keeps it out. After a compaction purges the tombstone rules, a
+# LATER delivery carrying a taken-down id would re-admit it (new
+# content is a new ingestion decision — correct for re-crawls, wrong
+# for a legal hold). The hold table is the upstream blocklist every
+# admission path filters against: `start_corpus_ingest(hold_table=)`
+# drops held ids BEFORE landing (the shard checksum then commits over
+# ADMITTED content, so redelivery determinism survives), and the
+# probe-then-grow launchers take the same param (filtered after
+# `prepare`, before probe AND append). Managed like the tombstone
+# rule tables: the warehouse location is ADOPTED across driver
+# restarts (ignoring the files would silently re-admit held content —
+# the same resurrect hazard _tombstones._ensure_registered closes).
+
+
+HOLD_SCHEMA = "id BIGINT, seq BIGINT"
+
+
+def _hold_location(spark: SparkSession, hold_table: str) -> str | None:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = "/" + wh[len("file:"):].lstrip("/")
+    elif "://" in wh:
+        return None
+    import os
+    return os.path.join(wh, hold_table.lower()) if wh else None
+
+
+def _ensure_hold_registered(spark: SparkSession,
+                            hold_table: str) -> bool:
+    import os
+    if spark.catalog.tableExists(hold_table):
+        return True
+    loc = _hold_location(spark, hold_table)
+    if loc and os.path.isdir(loc):
+        spark.sql(f"CREATE TABLE {hold_table} ({HOLD_SCHEMA}) "
+                  f"USING parquet LOCATION '{loc}'")
+        return True
+    return False
+
+
+def standing_hold(spark: SparkSession, hold_table: str, ids) -> None:
+    """Register ``ids`` on the standing hold list ``hold_table``
+    (created on first use; prior incarnations' files adopted).
+    Idempotent: duplicate ids across requests are harmless — the
+    admission filter is a set anti-join."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        raise ValueError("standing_hold: the hold id list is empty")
+    seq = 0
+    if _ensure_hold_registered(spark, hold_table):
+        seq = (spark.table(hold_table)
+               .agg(F.max("seq")).head()[0] or 0) + 1
+    from georiva_spark.functions.frames import local_frame
+    (local_frame(spark, [(i, seq) for i in ids], HOLD_SCHEMA)
+     .write.mode("append").format("parquet").saveAsTable(hold_table))
+    spark.catalog.refreshTable(hold_table)
+
+
+def hold_filter(df: DataFrame, hold_table: str,
+                id_col: str) -> DataFrame:
+    """Drop held ids from ``df`` — the admission filter. A broadcast
+    anti-join of the bounded hold list (same shape and cost as the
+    tombstone live-filters: O(1) per probed row, plan-neutral when
+    the list is empty). The hold table must EXIST (create it with
+    :func:`standing_hold`): an absent table here is indistinguishable
+    from a lost warehouse, and silently admitting everything is the
+    wrong quiet answer — fail by name instead."""
+    spark = df.sparkSession
+    if not _ensure_hold_registered(spark, hold_table):
+        raise ValueError(
+            f"hold_filter: hold table {hold_table!r} does not exist "
+            f"and no prior warehouse location is adoptable — create "
+            f"it with standing_hold(); an admission path must never "
+            f"silently run unfiltered")
+    holds = F.broadcast(spark.table(hold_table)
+                        .select(F.col("id").alias("__held_id"))
+                        .distinct())
+    return (df.join(holds, F.col(id_col) == F.col("__held_id"),
+                    "left_anti"))
+
+
+def clear_hold(spark: SparkSession, hold_table: str) -> None:
+    """Release every standing hold: drop the table AND its warehouse
+    location (leaving files would re-adopt the stale list)."""
+    import shutil
+    loc = _hold_location(spark, hold_table)
+    spark.sql(f"DROP TABLE IF EXISTS {hold_table}")
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def takedown(spark: SparkSession, ids, *,
              minhash_indexes=(), ivf_indexes=(), hamming_indexes=(),
              token_layouts=(), corpus: tuple | None = None,
+             hold_table: str | None = None,
              audit_dir: str | None = None) -> dict:
     """Apply one takedown request to every named surface and return
     (optionally commit) the audit record. See the module docstring
@@ -245,6 +470,13 @@ def takedown(spark: SparkSession, ids, *,
       :func:`~georiva_spark.sources.tables.export_token_shards_takedown`
       (ids absent from a layout are a structural no-op there).
     - ``corpus``: ``(corpus_dir, engine)`` → :func:`corpus_takedown`.
+    - ``hold_table``: when set, the ids register as STANDING HOLDS
+      FIRST (before any cleaning leg — the door closes before the
+      room is swept, so a concurrent ingest cannot re-admit
+      mid-takedown); every admission path configured with the same
+      table (``start_corpus_ingest(hold_table=)``, the
+      probe-then-grow launchers) keeps them out permanently, where a
+      bare takedown only removes what is there today.
     - ``audit_dir``: when set, the full outcome commits as
       ``takedown-{digest}.json`` through sources/commit.py, LAST —
       its presence implies every leg completed (the streaming
@@ -266,15 +498,20 @@ def takedown(spark: SparkSession, ids, *,
     token_layouts = tuple(token_layouts)
     surfaces = (len(minhash_indexes) + len(ivf_indexes)
                 + len(hamming_indexes) + len(token_layouts)
-                + (1 if corpus is not None else 0))
+                + (1 if corpus is not None else 0)
+                + (1 if hold_table is not None else 0))
     if surfaces == 0:
         raise ValueError(
             "takedown: no surfaces named — pass at least one of "
             "minhash_indexes/ivf_indexes/hamming_indexes/"
-            "token_layouts/corpus")
+            "token_layouts/corpus/hold_table")
     digest = request_digest(ids)
     audit: dict = {"digest": digest, "n_ids": len(ids),
-                   "indexes": {}, "token_layouts": {}, "corpus": []}
+                   "indexes": {}, "token_layouts": {}, "corpus": [],
+                   "hold": None}
+    if hold_table is not None:
+        standing_hold(spark, hold_table, ids)
+        audit["hold"] = hold_table
 
     from georiva_spark.operators.dedup import (
         hamming_index_retract_docs, minhash_index_retract_docs)

@@ -5727,27 +5727,12 @@ ORDER BY section, k1, k2
 SQL_CORPUS_PRODUCTS = _sql_corpus_products()
 
 
-def q_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-call takedown reaching the LANDED corpus and the whole
-    derivation chain (r13, plans/takedown.py): the documents table
-    lands PHYSICALLY as three shard partitions, the engine builds the
-    full corpus chain (clean → datacard + token-shard manifest), and
-    then a takedown request — the bounded id list doc_id % 97 == 11 —
-    goes through the one-call orchestrator: affected partitions prune
-    (dynamic overwrite, intent token committed first through
-    sources/commit.py), shard checksums recommit with the ingest
-    stream's formula, and the engine closure recomputes from the
-    pruned shards. A second identical call is asserted in-query to be
-    a structural no-op (every unit T3-skips on the recommitted
-    checksums). Returns the engine-WRITTEN final products.
-
-    The oracle recomputes datacard + manifest FROM SCRATCH over
-    ``documents`` MINUS the taken-down ids — a hash match proves the
-    post-takedown incremental chain converged to a corpus that never
-    contained the docs (doc-grained T5 for derived products; if a
-    taken-down doc was its content's dedup keeper, the surviving
-    twin provably resurfaces — the oracle's from-scratch keeper
-    choice is the proof)."""
+def _takedown_corpus_harness(spark: SparkSession, docs: DataFrame,
+                             tmp_name: str):
+    """Shared fixture for the takedown queries: documents landed
+    PHYSICALLY as three shard partitions (shard = doc_id % 3) with
+    the full corpus chain built on the derivation engine →
+    (corpus_dir, out_dir, engine, derived-loader)."""
     import os
     import shutil
 
@@ -5759,11 +5744,9 @@ def q_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         CorpusShardStatsRecipe, CorpusShardTokensRecipe,
         CorpusTokenShardsRecipe, corpus_product_definitions,
     )
-    from georiva_spark.plans.takedown import takedown
 
-    docs = load_table(spark, sf_dir, "documents")
-    _sweep_stale_fixtures(spark, "t_tde2eq", "tdcorp")
-    base = _fixture_tmp(spark, "tdcorp")
+    _sweep_stale_fixtures(spark, "t_tde2eq", tmp_name)
+    base = _fixture_tmp(spark, tmp_name)
     shutil.rmtree(base, ignore_errors=True)
     corp = os.path.join(base, "corp")
     out = os.path.join(base, "out")
@@ -5797,16 +5780,13 @@ def q_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         definitions=corpus_product_definitions(128, 8))
     for it in items:
         eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+    return corp, out, eng, loader
 
-    ids = [r.doc_id for r in
-           docs.where(F.col("doc_id") % 97 == 11)
-           .select("doc_id").collect()]
-    audit = takedown(spark, ids, corpus=(corp, eng))
-    assert audit["corpus"], "the request touched no shard"
-    # idempotent re-run: same request is a structural no-op (T3)
-    again = takedown(spark, ids, corpus=(corp, eng))
-    assert all(c["units_run"] == 0 for c in again["corpus"])
 
+def _takedown_sections(eng, loader) -> DataFrame:
+    """The engine-written datacard + token-shard manifest as the two
+    comparable result sections (shared by takedown_e2e and
+    takedown_hold)."""
     def derived(collection):
         it = next(i for i in eng.catalog.items
                   if i["collection"] == collection)
@@ -5825,6 +5805,123 @@ def q_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs"), F.col("n_tokens"), nl.alias("n_chars"),
         F.col("n_bins"))
     return card.unionByName(man).orderBy("section", "k1", "k2")
+
+
+def q_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call takedown reaching the LANDED corpus and the whole
+    derivation chain (r13, plans/takedown.py): the documents table
+    lands PHYSICALLY as three shard partitions, the engine builds the
+    full corpus chain (clean → datacard + token-shard manifest), and
+    then a takedown request — the bounded id list doc_id % 97 == 11 —
+    goes through the one-call orchestrator: affected partitions prune
+    (dynamic overwrite, intent token committed first through
+    sources/commit.py), shard checksums recommit with the ingest
+    stream's formula, and the engine closure recomputes from the
+    pruned shards. A second identical call is asserted in-query to be
+    a structural no-op (every unit T3-skips on the recommitted
+    checksums). Returns the engine-WRITTEN final products.
+
+    The oracle recomputes datacard + manifest FROM SCRATCH over
+    ``documents`` MINUS the taken-down ids — a hash match proves the
+    post-takedown incremental chain converged to a corpus that never
+    contained the docs (doc-grained T5 for derived products; if a
+    taken-down doc was its content's dedup keeper, the surviving
+    twin provably resurfaces — the oracle's from-scratch keeper
+    choice is the proof)."""
+    from georiva_spark.plans.takedown import takedown
+
+    docs = load_table(spark, sf_dir, "documents")
+    corp, out, eng, loader = _takedown_corpus_harness(spark, docs,
+                                                      "tdcorp")
+
+    ids = [r.doc_id for r in
+           docs.where(F.col("doc_id") % 97 == 11)
+           .select("doc_id").collect()]
+    audit = takedown(spark, ids, corpus=(corp, eng))
+    assert audit["corpus"], "the request touched no shard"
+    # idempotent re-run: same request is a structural no-op (T3)
+    again = takedown(spark, ids, corpus=(corp, eng))
+    assert all(c["units_run"] == 0 for c in again["corpus"])
+    return _takedown_sections(eng, loader)
+
+
+def q_takedown_hold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDING HOLD surviving a re-crawl (r13): takedown removes
+    what is there; the hold keeps it out when the next crawl carries
+    it again. The documents corpus lands as three shards with the
+    full chain; a takedown of ids doc_id % 89 == 7 registers them on
+    a standing hold list; then shard-1 is RE-DELIVERED with its FULL
+    ORIGINAL content (held docs included) PLUS fresh crawl docs
+    (doc_id + 9999999 — offset ≡ 0 mod 3 so the oracle's shard-local
+    dedup grouping stays aligned — text extended, doc_id % 40 == 1).
+    The admission filter (plans/takedown.hold_filter — the exact
+    filter start_corpus_ingest(hold_table=) applies per micro-batch)
+    drops the held ids; the shard re-lands, its checksum recommits
+    with the ingest formula over ADMITTED content, and the engine
+    closure recomputes.
+
+    The oracle replays the chain over (documents MINUS held ids)
+    UNION the fresh docs — a hash match proves the hold held through
+    the re-crawl while genuinely new content flowed: the admission
+    semantics a takedown without a hold cannot give (a bare takedown
+    would have re-admitted the ids with the redelivery)."""
+    import os
+
+    from georiva_spark.plans.engine import Trigger
+    from georiva_spark.plans.takedown import (clear_hold, hold_filter,
+                                              takedown)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corp, out, eng, loader = _takedown_corpus_harness(spark, docs,
+                                                      "tdhold")
+    ht = _fixture_table(spark, "t_holdq")
+    clear_hold(spark, ht)
+
+    ids = [r.doc_id for r in
+           docs.where(F.col("doc_id") % 89 == 7)
+           .select("doc_id").collect()]
+    audit = takedown(spark, ids, corpus=(corp, eng), hold_table=ht)
+    assert audit["hold"] == ht
+
+    # RE-CRAWL shard-1: full original content (held docs included)
+    # plus fresh docs — exactly what a crawler re-delivers
+    sh1 = docs.where(F.col("doc_id") % 3 == 1)
+    fresh = sh1.where(F.col("doc_id") % 40 == 1).select(
+        (F.col("doc_id") + 9999999).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" fresh recrawl appendix words")).alias("text"),
+        *[F.col(c) for c in sh1.columns
+          if c not in ("doc_id", "text")])
+    redelivered = (sh1.unionByName(fresh)
+                   .withColumn("shard", F.lit("shard-1")))
+    admitted = hold_filter(redelivered, ht, "doc_id")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic")
+    try:
+        (admitted.write.mode("overwrite").partitionBy("shard")
+         .parquet(corp))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       old)
+    # the ingest stream's commit: checksum over ADMITTED content,
+    # item update, engine dispatch (commit_shards' exact formula)
+    d = (spark.read.parquet(corp)
+         .where(F.col("shard") == "shard-1")
+         .agg(F.bit_xor(F.xxhash64("doc_id", "text")).alias("digest"),
+              F.count(F.lit(1)).alias("n")).head())
+    item = next(it for it in eng.catalog.items
+                if it["collection"] == "crawl-shards"
+                and it["variable"] == "shard-1")
+    item["checksum"] = f"crawl-shard-1-{d.digest}-{d.n}"
+    eng.dispatch_for_trigger(Trigger(kind="staging_item", item=item),
+                             origin="recrawl-under-hold")
+    # the hold held: no held id in the landed corpus, fresh docs in
+    held_left = (spark.read.parquet(corp)
+                 .where(F.col("doc_id").isin(ids)).count())
+    assert held_left == 0, held_left
+    clear_hold(spark, ht)
+    return _takedown_sections(eng, loader)
 
 
 def _sql_takedown_e2e() -> str:
@@ -5863,6 +5960,162 @@ ORDER BY section, k1, k2
 
 
 SQL_TAKEDOWN_E2E = _sql_takedown_e2e()
+
+
+def _sql_takedown_hold() -> str:
+    """Replay q_takedown_hold: the corpus chain over (documents MINUS
+    the held ids) UNION the fresh re-crawl docs — the state the
+    admission filter must converge the engine to."""
+    src = ("(SELECT doc_id, text, lang, source FROM documents "
+           "WHERE doc_id % 89 <> 7 "
+           "UNION ALL "
+           "SELECT doc_id + 9999999, "
+           "text || ' fresh recrawl appendix words', lang, source "
+           "FROM documents WHERE doc_id % 3 = 1 AND doc_id % 40 = 1)")
+    pre = _corpus_survivors_prelude(src)
+    tok = _sql_token_shards(context_len=128, num_shards=8,
+                            source="survivors", prelude=pre,
+                            gen_expr="doc_id % 3")
+    return f"""
+WITH bins AS ({tok}),
+card AS (
+  WITH RECURSIVE{pre}
+  dc AS (SELECT lang, source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                              THEN 0
+                              ELSE len(string_split_regex(trim(text),
+                                                          '\\s+'))
+                         END) AS BIGINT) AS n_tokens,
+                CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                  AS n_chars
+         FROM survivors GROUP BY lang, source)
+  SELECT * FROM dc)
+SELECT 'datacard' AS section, lang AS k1, source AS k2,
+       n_docs, n_tokens, n_chars, CAST(NULL AS BIGINT) AS n_bins
+FROM card
+UNION ALL
+SELECT 'tokens', CAST(shard AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM bins GROUP BY shard
+ORDER BY section, k1, k2
+"""
+
+
+SQL_TAKEDOWN_HOLD = _sql_takedown_hold()
+
+
+def q_takedown_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRY-RUN takedown blast radius (r13,
+    plans/takedown.takedown_report): before applying a request, the
+    reviewer reads what WOULD be removed, surface by surface, with
+    nothing mutated. Fixture: documents landed as three shard
+    partitions, a MinHash index over the full corpus, a token-shard
+    trainer layout (pinned BPE merges, context 128), and a standing
+    hold list pre-holding the odd half of the request; a third of the
+    request is ALSO pre-tombstoned in the index (an earlier partial
+    takedown) — the report must count only the LIVE rows this request
+    would newly remove. Request: doc_id % 61 == 9.
+
+    The oracle reproduces every count relationally: per-shard corpus
+    rows, live index rows (request minus the pre-tombstoned third),
+    layout doc segments + their CLAMPED BPE token lengths (the
+    identical pinned-merge chain), and the already-held overlap —
+    proving the report's numbers are exactly the set sizes the apply
+    would act on. Env-dependent columns (target paths, file counts)
+    are pytest-pinned instead and projected out here."""
+    import os
+    import shutil
+
+    from georiva_spark.plans.takedown import (clear_hold,
+                                              standing_hold,
+                                              takedown_report)
+    from georiva_spark.sources.tables import export_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    _sweep_stale_fixtures(spark, "t_tdrepq", "tdrep")
+    base = _fixture_tmp(spark, "tdrep")
+    shutil.rmtree(base, ignore_errors=True)
+    corp = os.path.join(base, "corp")
+    lay = os.path.join(base, "lay")
+    (docs.withColumn("shard",
+                     F.concat(F.lit("shard-"),
+                              (F.col("doc_id") % 3).cast("string")))
+     .write.partitionBy("shard").parquet(corp))
+    export_token_shards(docs.select("doc_id", "text"), lay,
+                        BPE_MERGES, context_len=128, num_shards=8)
+    t = _fixture_table(spark, "t_tdrepq")
+    ht = _fixture_table(spark, "t_tdrehq")
+    from georiva_spark.operators._tombstones import clear_rules
+    clear_rules(spark, t, stamp_table=f"{t}_bands")
+    clear_hold(spark, ht)
+    dedup.minhash_index_write(docs.select("doc_id", "text"), t,
+                              os.path.join(base, "idx"), n_buckets=8)
+    ids = [r.doc_id for r in
+           docs.where(F.col("doc_id") % 61 == 9)
+           .select("doc_id").collect()]
+    pre_dead = [i for i in ids if i % 3 == 0]
+    pre_held = [i for i in ids if i % 2 == 1]
+    if pre_dead:
+        dedup.minhash_index_retract_docs(spark, t, pre_dead)
+    standing_hold(spark, ht, pre_held)
+    rep = takedown_report(spark, ids, corpus_dirs=[corp],
+                          minhash_indexes=[t], token_layouts=[lay],
+                          hold_table=ht)
+    # materialize to a LOCAL frame before releasing the hold fixture:
+    # a cached plan referencing the hold table would be invalidated
+    # by its DROP (Spark uncaches dependents), re-reading dead files
+    rows = (rep.select("surface", "shard",
+                       F.col("n_rows").cast("long").alias("n_rows"),
+                       F.col("n_tokens").cast("long")
+                       .alias("n_tokens"))
+            .orderBy("surface", "shard").collect())
+    clear_hold(spark, ht)
+    from georiva_spark.functions.frames import local_frame
+    return local_frame(
+        spark, [tuple(r) for r in rows],
+        "surface string, shard string, n_rows long, n_tokens long")
+
+
+def _sql_takedown_report() -> str:
+    """Replay every takedown_report count as set sizes over
+    documents: the request is doc_id % 61 == 9, the pre-tombstoned
+    third is % 3 == 0, the pre-held half is odd, and the layout
+    token count is the pinned-merge BPE length clamped at 128."""
+    chain = _bpe_chain_sql("w")
+    return f"""
+WITH req AS (SELECT doc_id FROM documents WHERE doc_id % 61 = 9),
+b AS (SELECT d.doc_id,
+             list_filter(flatten(list_transform(
+                 string_split(COALESCE(d.text, ''), ' '),
+                 w -> string_split(trim({chain}), ' '))),
+                 t -> t <> '') AS bpe
+      FROM documents d JOIN req USING (doc_id)),
+lens AS (SELECT doc_id, least(len(bpe), 128) AS n_tok FROM b)
+SELECT 'corpus' AS surface,
+       'shard-' || CAST(doc_id % 3 AS VARCHAR) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS n_tokens
+FROM req GROUP BY doc_id % 3
+UNION ALL
+SELECT 'hold', CAST(NULL AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM req WHERE doc_id % 2 = 1
+UNION ALL
+SELECT 'minhash', CAST(NULL AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM req WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT 'token_layout', CAST(NULL AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_tok) AS BIGINT)
+FROM lens
+ORDER BY surface, shard
+"""
+
+
+SQL_TAKEDOWN_REPORT = _sql_takedown_report()
 
 
 
@@ -7726,6 +7979,8 @@ EXT_QUERIES = {
     "token_pipeline": q_token_pipeline,
     "corpus_products": q_corpus_products,
     "takedown_e2e": q_takedown_e2e,
+    "takedown_hold": q_takedown_hold,
+    "takedown_report": q_takedown_report,
     "ann_tune": q_ann_tune,
     "ann_tune_pq": q_ann_tune_pq,
     "minhash_tune": q_minhash_tune,
@@ -7873,6 +8128,8 @@ EXT_ORACLES = {
     "token_pipeline": SQL_TOKEN_PIPELINE,
     "corpus_products": SQL_CORPUS_PRODUCTS,
     "takedown_e2e": SQL_TAKEDOWN_E2E,
+    "takedown_hold": SQL_TAKEDOWN_HOLD,
+    "takedown_report": SQL_TAKEDOWN_REPORT,
     "ann_tune": SQL_ANN_TUNE,
     "ann_tune_pq": SQL_ANN_TUNE_PQ,
     "minhash_tune": SQL_MINHASH_TUNE,

@@ -569,38 +569,78 @@ def export_token_shards_takedown(spark: SparkSession, path: str,
             lambda j: F.aggregate(
                 F.slice(lens, F.lit(1), (j - 1).cast("int")),
                 F.lit(0).cast("long"), lambda a, x: a + x)))
-    for fpath in affected:
-        df = spark.read.parquet(fpath)
-        # temp aliases, then rename: aliasing an output column with an
-        # INPUT column's name inside one select lets Spark's lateral
-        # column alias resolution rebind sibling expressions' refs to
-        # the NEW value (observed on 4.1: token_ids came out unsliced)
-        out = (df.select(
-            "bin_id",
-            F.transform(kept, lambda d: d["doc_id"]).alias("__di"),
-            offsets.alias("__do"),
-            k.cast("int").alias("__nd"),
-            F.size(flat).cast("int").alias("__nt"),
-            F.concat(flat, F.array_repeat(
-                F.lit(pad_id).cast("int"),
-                F.lit(context_len) - F.size(flat))).alias("__ti"))
-            .where(F.col("__nd") > 0)
-            .select(F.col("bin_id"),
-                    F.col("__di").alias("doc_ids"),
-                    F.col("__do").alias("doc_offsets"),
-                    F.col("__nd").alias("n_docs"),
-                    F.col("__nt").alias("n_tokens"),
-                    F.col("__ti").alias("token_ids")))
-        stage = os.path.join(path,
-                             f"_takedown_stage_{_uuid.uuid4().hex[:8]}")
-        (out.coalesce(1).sortWithinPartitions("bin_id")
-         .write.mode("overwrite").parquet(stage))
-        import shutil
-        part = next(f for f in sorted(os.listdir(stage))
-                    if f.endswith(".parquet"))
-        replace_file(os.path.join(stage, part), fpath,
-                     who="export_token_shards_takedown")
-        shutil.rmtree(stage, ignore_errors=True)
+    import hashlib as _hashlib
+    import shutil
+
+    # ONE distributed job rewrites every affected file (the r13 smoke
+    # lesson: a driver loop of one Spark job per file serialized a
+    # 64-file takedown into ~5 minutes — ids spread across crawl
+    # generations touch MANY files, and per-file jobs turn a bounded
+    # rewrite into files × job-latency). Each source file's rows hash
+    # to one task (repartition on the file key), sort by bin inside
+    # it, and land under one staged key dir; the installs are then
+    # driver-side constant-cost renames through the commit backend.
+    if not affected:
+        # structural no-op (ids absent from the layout): manifest
+        # re-stamp only
+        manifest = _manifest_from_layout(spark, path, context_len,
+                                         pad_id)
+        (manifest.withColumn("num_shards",
+                             F.lit(int(num_shards)).cast("int"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(path, "_georiva_manifest")))
+        return manifest
+    keymap = {_hashlib.md5(f.encode()).hexdigest()[:16]: f
+              for f in affected}
+    df = (spark.read.parquet(*affected)
+          .withColumn("__key", F.substring(
+              F.md5(F.col("_metadata.file_path")), 1, 16)))
+    # temp aliases, then rename: aliasing an output column with an
+    # INPUT column's name inside one select lets Spark's lateral
+    # column alias resolution rebind sibling expressions' refs to
+    # the NEW value (observed on 4.1: token_ids came out unsliced)
+    out = (df.select(
+        "__key", "bin_id",
+        F.transform(kept, lambda d: d["doc_id"]).alias("__di"),
+        offsets.alias("__do"),
+        k.cast("int").alias("__nd"),
+        F.size(flat).cast("int").alias("__nt"),
+        F.concat(flat, F.array_repeat(
+            F.lit(pad_id).cast("int"),
+            F.lit(context_len) - F.size(flat))).alias("__ti"))
+        .where(F.col("__nd") > 0)
+        .select(F.col("__key"), F.col("bin_id"),
+                F.col("__di").alias("doc_ids"),
+                F.col("__do").alias("doc_offsets"),
+                F.col("__nd").alias("n_docs"),
+                F.col("__nt").alias("n_tokens"),
+                F.col("__ti").alias("token_ids")))
+    stage = os.path.join(path,
+                         f"_takedown_stage_{_uuid.uuid4().hex[:8]}")
+    (out.repartition(len(affected), "__key")
+     .sortWithinPartitions("__key", "bin_id")
+     .write.partitionBy("__key").mode("overwrite").parquet(stage))
+    empty_schema = spark.read.parquet(affected[0]).schema
+    for key, fpath in sorted(keymap.items(), key=lambda kv: kv[1]):
+        kdir = os.path.join(stage, f"__key={key}")
+        parts = (sorted(f for f in os.listdir(kdir)
+                        if f.endswith(".parquet"))
+                 if os.path.isdir(kdir) else [])
+        if parts:
+            replace_file(os.path.join(kdir, parts[0]), fpath,
+                         who="export_token_shards_takedown")
+        else:
+            # every bin in this file emptied: the file itself becomes
+            # the empty layout member (loader reads zero rows)
+            from georiva_spark.functions.frames import local_frame
+            edir = os.path.join(stage, f"__empty_{key}")
+            (local_frame(spark, [], empty_schema).coalesce(1)
+             .write.mode("overwrite").parquet(edir))
+            part = next(f for f in sorted(os.listdir(edir))
+                        if f.endswith(".parquet"))
+            replace_file(os.path.join(edir, part), fpath,
+                         who="export_token_shards_takedown")
+    shutil.rmtree(stage, ignore_errors=True)
     manifest = _manifest_from_layout(spark, path, context_len, pad_id)
     (manifest.withColumn("num_shards",
                          F.lit(int(num_shards)).cast("int"))

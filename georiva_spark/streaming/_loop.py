@@ -71,7 +71,9 @@ def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
                    grow: bool = True,
                    compact_every_n_appends: int | None = None,
                    compact=None, rules_table: str | None = None,
-                   split_col: str | None = None):
+                   split_col: str | None = None,
+                   hold_table: str | None = None,
+                   hold_id_col: str | None = None):
     """Start the stream; returns the StreamingQuery. See module doc
     for the per-batch contract. ``spark`` must be the SERVING session
     (the one outer readers and the guard use), not the per-batch
@@ -82,7 +84,17 @@ def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
     :func:`~georiva_spark.operators._tombstones.has_rules` — pending
     tombstone rules count a batch toward the compaction cadence even
     when its append was guard-skipped, so retract-heavy streams still
-    purge."""
+    purge. ``hold_table`` (+ ``hold_id_col``, r13): every batch is
+    filtered through the STANDING HOLD list
+    (:func:`~georiva_spark.plans.takedown.hold_filter`, a broadcast
+    anti-join) after ``prepare`` and before probe AND append — a
+    takedown's hold must keep held ids out of the outputs and the
+    index forever, not just until the next delivery carries them
+    again."""
+    if (hold_table is None) != (hold_id_col is None):
+        raise ValueError(
+            "run_probe_grow: hold_table and hold_id_col must be "
+            "passed together")
     if (compact_every_n_appends is None) != (compact is None):
         raise ValueError(
             "run_probe_grow: compact_every_n_appends and compact must "
@@ -110,6 +122,9 @@ def run_probe_grow(stream_df: DataFrame, checkpoint_dir: str, *,
         if batch.rdd.getNumPartitions() < par:
             batch = batch.repartition(par)
         work = (prepare(batch) if prepare is not None else batch)
+        if hold_table is not None:
+            from georiva_spark.plans.takedown import hold_filter
+            work = hold_filter(work, hold_table, hold_id_col)
         work = work.persist()
         try:
             for base, fn in outputs:

@@ -44,7 +44,8 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
                      retrain_iters: int = 0,
                      train_sample_ppm: int | None = None,
                      retrain_emb=None, gen_fn=None,
-                     shard_col: str | None = None):
+                     shard_col: str | None = None,
+                     hold_table: str | None = None):
     """Start the probe-then-grow ANN stream: ``emb_stream`` must carry
     (vec_id, embedding) with corpus-unique vec_ids; per-batch neighbor
     sets land in ``{out_dir}/batch_id=N`` as (q_id, vec_id, cell,
@@ -143,6 +144,8 @@ def start_ann_stream(emb_stream: DataFrame, table: str, out_dir: str,
         compact_every_n_appends=(None if compact is None
                                  else compact_every),
         compact=compact, rules_table=table,
+        hold_table=hold_table,
+        hold_id_col=None if hold_table is None else "vec_id",
         split_col=shard_col)
 
 

@@ -115,6 +115,7 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                         neardup_threshold: float = 0.5,
                         neardup_compact_every: int | None = None,
                         neardup_compact_dir: str | None = None,
+                        hold_table: str | None = None,
                         _deliveries: bool = False) -> StreamingQuery:
     """T1 for the CORPUS product chain (r11): crawl-shard files land
     in a directory; each micro-batch (a) overwrites exactly the
@@ -192,7 +193,20 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
     APPENDED or carried PENDING tombstone rules, the index compacts
     crash-atomically (small-files tax + physical purge of
     retracted/taken-down rows — a retract-heavy re-crawl run
-    otherwise defers the purge forever)."""
+    otherwise defers the purge forever).
+
+    ``hold_table`` (r13): ADMISSION filter against the standing hold
+    list (plans/takedown.standing_hold — the permanent blocklist a
+    takedown registers so a later crawl cannot re-admit the ids).
+    Held doc_ids drop BEFORE anything else: the shard checksum
+    commits over ADMITTED content, so an identical redelivery still
+    T3-skips and the landed partitions never contain held docs.
+    Consequence under ``recrawl="reject"``: registering a NEW hold
+    and then redelivering a shard that contains it fails by name
+    (the admitted content genuinely changed) — opt into
+    ``recrawl="recompute"`` to apply the hold to already-landed
+    shards via redelivery, or use plans/takedown.corpus_takedown
+    directly. The hold table must exist at launch (fail fast)."""
 
     if token_layout is not None and merges is None:
         raise ValueError(
@@ -214,6 +228,14 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
         raise ValueError(
             "start_corpus_ingest: neardup_compact_every without "
             "neardup_table compacts nothing")
+    if hold_table is not None:
+        from georiva_spark.plans.takedown import _ensure_hold_registered
+        if not _ensure_hold_registered(spark, hold_table):
+            raise ValueError(
+                f"start_corpus_ingest: hold table {hold_table!r} "
+                f"does not exist — create it with "
+                f"plans/takedown.standing_hold before launching; an "
+                f"admission path must never silently run unfiltered")
     if neardup_table is not None:
         from georiva_spark.operators.dedup import minhash_index_params
         minhash_index_params(spark, neardup_table)  # fail fast on launch
@@ -284,6 +306,12 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
         partition overwrite → item register + engine dispatch →
         near-dup leg → layout growth. ``declared_shard`` (manifest
         mode) asserts the frame carries exactly that shard."""
+        if hold_table is not None:
+            # admission: held ids drop before the checksum, the land,
+            # and every downstream leg — the hold is the upstream
+            # blocklist a takedown registers (plans/takedown.py)
+            from georiva_spark.plans.takedown import hold_filter
+            batch = hold_filter(batch, hold_table, "doc_id")
         digests = (batch.groupBy("shard")
                    .agg(F.bit_xor(F.xxhash64("doc_id", "text"))
                         .alias("digest"),

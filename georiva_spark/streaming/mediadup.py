@@ -41,7 +41,8 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
                           compact_every: int | None = None,
                           compact_dir: str | None = None,
                           gen_fn=None,
-                          shard_col: str | None = None):
+                          shard_col: str | None = None,
+                          hold_table: str | None = None):
     """Start the probe-then-grow perceptual stream: ``codes_stream``
     must carry (id_col, code_col) with corpus-unique ids.
     ``grow=False`` probes without appending (audit mode). Returns the
@@ -107,7 +108,8 @@ def start_mediadup_stream(codes_stream: DataFrame, table: str,
         compact_every_n_appends=(None if compact is None
                                  else compact_every),
         compact=compact, rules_table=table,
-        split_col=shard_col)
+        split_col=shard_col, hold_table=hold_table,
+        hold_id_col=None if hold_table is None else id_col)
 
 
 def read_mediadup_pairs(spark, out_dir: str) -> DataFrame:

@@ -40,7 +40,8 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
                          compact_every: int | None = None,
                          compact_dir: str | None = None,
                          gen_fn=None,
-                         shard_col: str | None = None):
+                         shard_col: str | None = None,
+                         hold_table: str | None = None):
     """Start the probe-then-grow stream: ``docs_stream`` must carry
     (doc_id, text) with corpus-unique doc_ids; pairs land in
     ``{out_dir}/batch_id=N`` as (doc_new, doc_old, est_jaccard).
@@ -59,7 +60,10 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
     append run per slice, so file arrivals straddling shard
     boundaries (maxFilesPerTrigger slicing) append one generation per
     shard instead of failing batch_delivery_gen's one-shard contract;
-    the replay guard holds per shard. Returns the StreamingQuery."""
+    the replay guard holds per shard. ``hold_table`` (r13): filter
+    every batch through the standing hold list (a takedown's
+    permanent blocklist — held doc_ids neither probe nor append; see
+    plans/takedown.standing_hold). Returns the StreamingQuery."""
     spark = docs_stream.sparkSession
     params = minhash_index_params(spark, table)   # fail fast on launch
     compact = _family_compact(
@@ -90,7 +94,8 @@ def start_neardup_stream(docs_stream: DataFrame, table: str,
         compact_every_n_appends=(None if compact is None
                                  else compact_every),
         compact=compact, rules_table=table,
-        split_col=shard_col)
+        split_col=shard_col, hold_table=hold_table,
+        hold_id_col=None if hold_table is None else "doc_id")
 
 
 def read_neardup_pairs(spark, out_dir: str) -> DataFrame:

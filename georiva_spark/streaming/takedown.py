@@ -46,6 +46,7 @@ def start_takedown_stream(spark: SparkSession, request_dir: str,
                           minhash_indexes=(), ivf_indexes=(),
                           hamming_indexes=(), token_layouts=(),
                           corpus: tuple | None = None,
+                          hold_table: str | None = None,
                           max_files_per_trigger: int = 16,
                           available_now: bool = False
                           ) -> StreamingQuery:
@@ -65,11 +66,11 @@ def start_takedown_stream(spark: SparkSession, request_dir: str,
     token_layouts = tuple(token_layouts)
     if (len(minhash_indexes) + len(ivf_indexes) + len(hamming_indexes)
             + len(token_layouts) + (1 if corpus is not None else 0)
-            == 0):
+            + (1 if hold_table is not None else 0) == 0):
         raise ValueError(
             "start_takedown_stream: no surfaces named — pass at "
             "least one of minhash_indexes/ivf_indexes/"
-            "hamming_indexes/token_layouts/corpus")
+            "hamming_indexes/token_layouts/corpus/hold_table")
 
     stream = (spark.readStream.schema(REQUEST_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -96,7 +97,8 @@ def start_takedown_stream(spark: SparkSession, request_dir: str,
                      ivf_indexes=ivf_indexes,
                      hamming_indexes=hamming_indexes,
                      token_layouts=token_layouts,
-                     corpus=corpus, audit_dir=audit_dir)
+                     corpus=corpus, hold_table=hold_table,
+                     audit_dir=audit_dir)
 
     writer = stream.writeStream.foreachBatch(process) \
         .option("checkpointLocation", checkpoint_dir)

@@ -336,3 +336,222 @@ def test_takedown_stream_rejects_empty_request_by_name(spark,
     with pytest.raises(ValueError, match="no surfaces"):
         start_takedown_stream(spark, str(req), str(tmp_path / "ck2"),
                               str(tmp_path / "audit2"))
+
+
+# ---- standing legal holds (r13): takedown removes what is there; a
+# hold keeps it out of every ADMISSION path afterward -----------------
+
+
+def test_standing_hold_lifecycle(spark, tmp_path):
+    """Create/append/filter/adopt/clear — and the fail-by-name rule:
+    an admission path configured with a hold table that does not
+    exist must never silently run unfiltered."""
+    import shutil
+
+    ht = "t_hold_lc"
+    docs = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                 "doc_id long, text string")
+    try:
+        with pytest.raises(ValueError, match="never silently run"):
+            td.hold_filter(docs, ht, "doc_id")
+        td.standing_hold(spark, ht, [2])
+        assert {r.doc_id for r in
+                td.hold_filter(docs, ht, "doc_id").collect()} == {1, 3}
+        td.standing_hold(spark, ht, [3, 2])     # accumulate, dup ok
+        assert {r.doc_id for r in
+                td.hold_filter(docs, ht, "doc_id").collect()} == {1}
+        # restart adoption: catalog forgets, files persist — the
+        # filter must re-register the location, never admit held ids
+        loc = td._hold_location(spark, ht)
+        saved = str(tmp_path / "held_files")
+        shutil.copytree(loc, saved)
+        spark.sql(f"DROP TABLE {ht}")
+        shutil.copytree(saved, loc)
+        assert {r.doc_id for r in
+                td.hold_filter(docs, ht, "doc_id").collect()} == {1}
+        td.clear_hold(spark, ht)
+        assert not spark.catalog.tableExists(ht)
+        import os
+        assert not os.path.exists(loc)
+        with pytest.raises(ValueError, match="never silently run"):
+            td.hold_filter(docs, ht, "doc_id")
+    finally:
+        td.clear_hold(spark, ht)
+
+
+def test_corpus_ingest_hold_admission(spark, tmp_path):
+    """start_corpus_ingest(hold_table=): held doc_ids drop BEFORE the
+    land and the checksum, so the partition never contains them and
+    an identical redelivery still T3-skips (the hold does not trip
+    the recrawl=reject guard). Launching against a missing hold
+    table fails by name."""
+    from georiva_spark.plans.recipe import CatalogContext, RecipeRegistry
+    from georiva_spark.plans.recipes.corpus import CorpusCleanRecipe
+    from georiva_spark.streaming.ingest import start_corpus_ingest
+
+    land = tmp_path / "land"
+    land.mkdir()
+    corp = str(tmp_path / "corp")
+    out = str(tmp_path / "out")
+    ht = "t_hold_ing"
+    rows = [(1, "the abc abd quick fox"),
+            (2, "of abc abc words here"),
+            (3, "and abc de xyz words")]
+
+    def land_file(name):
+        df = spark.createDataFrame(
+            [(d, t, "en", "web", "s0") for d, t in rows],
+            SCHEMA + ", shard string")
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp)
+                    if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(str(land), f"{name}.parquet"))
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    from georiva_spark.plans.engine import DerivationEngine
+    ctx = CatalogContext(spark, [], grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+    eng = DerivationEngine(spark, reg, ctx, output_dir=out,
+                           definitions=[])
+    try:
+        with pytest.raises(ValueError, match="does not exist"):
+            start_corpus_ingest(spark, str(land), corp,
+                                str(tmp_path / "ck0"), eng,
+                                available_now=True,
+                                hold_table="t_hold_missing")
+        td.standing_hold(spark, ht, [2])
+        land_file("f0")
+        q = start_corpus_ingest(spark, str(land), corp,
+                                str(tmp_path / "ck"), eng,
+                                available_now=True, hold_table=ht)
+        q.awaitTermination(120)
+        assert {r.doc_id for r in
+                spark.read.parquet(corp).collect()} == {1, 3}
+        item = next(it for it in eng.catalog.items
+                    if it["collection"] == "crawl-shards")
+        # identical redelivery: admitted content unchanged -> the
+        # committed checksum matches, no reject, clean unit skips
+        n_runs = len(eng.runs)
+        land_file("f1")
+        q = start_corpus_ingest(spark, str(land), corp,
+                                str(tmp_path / "ck"), eng,
+                                available_now=True, hold_table=ht)
+        q.awaitTermination(120)
+        assert item["checksum"] == next(
+            it for it in eng.catalog.items
+            if it["collection"] == "crawl-shards")["checksum"]
+        assert {r.doc_id for r in
+                spark.read.parquet(corp).collect()} == {1, 3}
+        skips = [r for r in eng.runs.values() if r.status == "skipped"]
+        assert len(eng.runs) == n_runs and skips
+    finally:
+        td.clear_hold(spark, ht)
+
+
+def test_neardup_stream_hold_filters_probe_and_append(spark,
+                                                      tmp_path):
+    """The probe-then-grow launchers take hold_table=: held doc_ids
+    neither produce pairs nor enter the index — the blocklist a
+    takedown registers reaches the streaming admission paths."""
+    from georiva_spark.streaming import (read_neardup_pairs,
+                                         start_neardup_stream)
+
+    base_text = ("the quick brown fox jumps over the lazy dog and "
+                 "runs far away into the deep green forest tonight")
+    landing = tmp_path / "land"
+    landing.mkdir()
+    t, ht = "t_hold_nd", "t_hold_ndh"
+    schema = "doc_id long, text string"
+    try:
+        dedup.minhash_index_write(
+            spark.createDataFrame([(1, base_text)], schema), t,
+            str(tmp_path / "ix"), n_buckets=4)
+        td.standing_hold(spark, ht, [5])
+        (spark.createDataFrame(
+            [(5, base_text), (6, base_text.replace("quick", "rapid"))],
+            schema).coalesce(1).write.mode("append")
+         .parquet(str(landing / "b0")))
+        src = (spark.readStream.schema(schema)
+               .parquet(str(landing) + "/*"))
+        q = start_neardup_stream(src, t, str(tmp_path / "out"),
+                                 str(tmp_path / "ck"), threshold=0.5,
+                                 hold_table=ht)
+        q.awaitTermination(120)
+        sigs = {r.doc_id for r in spark.table(f"{t}_sigs").collect()}
+        assert 6 in sigs and 5 not in sigs
+        pairs = {(r.doc_new, r.doc_old) for r in read_neardup_pairs(
+            spark, str(tmp_path / "out")).collect()}
+        assert (6, 1) in pairs
+        assert not any(dn == 5 for dn, _ in pairs)
+    finally:
+        td.clear_hold(spark, ht)
+        _drop(spark, t, IDX_SUFFIXES)
+
+
+def test_takedown_report_counts_live_rows_and_files(spark, tmp_path):
+    """Dry-run blast radius: counts LIVE rows only (pre-tombstoned
+    rows excluded), layout n_files = bounded rewrite cost, hold
+    overlap reported, nothing mutated."""
+    t, hm, iv, ht = ("t_rep_mh", "t_rep_hm", "t_rep_iv", "t_rep_ht")
+    lay = str(tmp_path / "lay")
+    docs = spark.createDataFrame(
+        [(i, f"the abc abd quick fox variant {i}") for i in
+         range(1, 9)], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(1, 9)],
+        "vec_id long, embedding array<double>")
+    codes = spark.createDataFrame(
+        [(i, 15 + i) for i in range(1, 9)],
+        "media_id long, code long")
+    try:
+        dedup.minhash_index_write(docs, t, str(tmp_path / "mi"),
+                                  n_buckets=2)
+        dedup.hamming_index_write(codes, hm, str(tmp_path / "hi"),
+                                  max_hamming=1, n_buckets=2)
+        similarity.ivf_index_write(emb, iv, str(tmp_path / "vi"),
+                                   n_centroids=2, train_iters=1)
+        export_token_shards(docs, lay, MERGES, context_len=8,
+                            num_shards=2,
+                            extra_alphabet="abcdefghijklmnopqrstuvwxyz"
+                                           "0123456789 ")
+        dedup.minhash_index_retract_docs(spark, t, [2])   # pre-dead
+        td.standing_hold(spark, ht, [3, 99])
+        before = spark.read.parquet(f"{lay}/shard=*").count()
+
+        rep = {(r.surface, r.shard): r for r in td.takedown_report(
+            spark, [1, 2, 3], minhash_indexes=[t],
+            hamming_indexes=[hm], ivf_indexes=[iv],
+            token_layouts=[lay], hold_table=ht).collect()}
+        assert rep[("minhash", None)].n_rows == 2     # 2 is dead
+        assert rep[("hamming", None)].n_rows == 3
+        assert rep[("ivf", None)].n_rows == 3
+        assert rep[("hold", None)].n_rows == 1        # only 3 held
+        lr = rep[("token_layout", None)]
+        assert lr.n_rows == 3 and lr.n_tokens > 0
+        assert 1 <= lr.n_files <= 2
+        # dry run: nothing changed anywhere
+        assert spark.read.parquet(f"{lay}/shard=*").count() == before
+        assert spark.table(f"{t}_sigs").count() == 8
+        with pytest.raises(ValueError, match="id list is empty"):
+            td.takedown_report(spark, [], minhash_indexes=[t])
+        with pytest.raises(ValueError, match="no surfaces"):
+            td.takedown_report(spark, [1])
+        with pytest.raises(ValueError, match="does not exist"):
+            td.takedown_report(spark, [1], hold_table="t_rep_missing")
+    finally:
+        td.clear_hold(spark, ht)
+        for x in (t, hm, iv):
+            _drop(spark, x, IDX_SUFFIXES)
+        for s in ("centroids", "codebook", "rotation"):
+            spark.sql(f"DROP TABLE IF EXISTS {iv}_{s}")
+        spark.sql(f"DROP TABLE IF EXISTS {iv}")
