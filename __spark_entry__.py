@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SURFACE_FIRST = [
     "minhash_retract_docs", "ann_retract_docs", "image_retract_docs",
     "token_takedown", "takedown_e2e", "takedown_hold",
-    "takedown_report",
+    "takedown_report", "token_retire", "corpus_expire",
 ]
 
 

@@ -88,6 +88,9 @@ HEADLINE = [
     # the standing hold surviving a re-crawl redelivery, and the
     # dry-run blast-radius report (live-row counts across surfaces)
     "takedown_e2e", "takedown_hold", "takedown_report",
+    # r13: retention — delta-generation retirement from the trainer
+    # layout and crawl-shard expiry through the derivation engine
+    "token_retire", "corpus_expire",
 ]
 
 

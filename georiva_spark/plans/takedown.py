@@ -59,9 +59,9 @@ from georiva_spark.plans.engine import DerivationEngine, Trigger
 from georiva_spark.sources.commit import (atomic_write_json,
                                           backend_for, read_token_json)
 
-__all__ = ["clear_hold", "corpus_takedown", "hold_filter",
-           "request_digest", "standing_hold", "takedown",
-           "takedown_report"]
+__all__ = ["clear_hold", "corpus_takedown", "expire_shards",
+           "hold_filter", "request_digest", "standing_hold",
+           "takedown", "takedown_report"]
 
 
 def request_digest(ids) -> str:
@@ -228,6 +228,152 @@ def corpus_takedown(spark: SparkSession, corpus_dir: str,
                        "shards": dispatch, "completed": True},
                       who="corpus_takedown")
     return results
+
+
+def expire_shards(spark: SparkSession, corpus_dir: str,
+                  engine: DerivationEngine, shards, *,
+                  collection: str = "crawl-shards",
+                  minhash_indexes=(), ivf_indexes=(),
+                  hamming_indexes=(), token_layouts=(),
+                  audit_dir: str | None = None) -> dict:
+    """RETENTION at crawl-shard grain — the expiry complement of the
+    doc-grained takedown: crawl pipelines rotate, and an aged-out /
+    license-expired crawl shard must leave EVERY surface wholesale.
+    Where :func:`corpus_takedown` prunes named docs out of a shard,
+    expiry removes the shard itself:
+
+    - indexes: the SHARD tombstone rule (``*_index_retract`` — one
+      rule row retires every generation of the shard; probes stop
+      matching immediately, compaction purges);
+    - token layouts: every committed generation named
+      ``{shard}-{digest}`` retires via
+      :func:`~georiva_spark.sources.tables.export_token_shards_retire`
+      (generation discovery walks the ``_georiva_gens/`` markers with
+      an unambiguous ``^shard-(-?\\d+)-(\\d+)$`` tail match — the
+      ingest stream's generation naming);
+    - the landed corpus: the shard partition disappears ATOMICALLY
+      (dir rename to an underscore-invisible tomb, then delete — a
+      reader sees the partition or its absence, never half its
+      files; rename-capable filesystems only, object-store corpora
+      fail by name per the commit doctrine);
+    - the derivation engine: the shard's staging item AND its
+      transitive derived closure (``invalidate_downstream``) leave
+      the catalog, then ``run_all`` rebuilds the corpus-wide merges
+      from the REMAINING partials (remaining clean units skip on
+      input_hash — expiry costs O(#shards) enumeration plus the
+      bounded merges, never a corpus recompute).
+
+    Same crash contract as the takedown: an INTENT token commits
+    first (per expiry request, listing the shards), every leg is
+    idempotent, and the audit re-commits ``completed: true`` last.
+    Expiring a shard the engine never ingested fails by name. NO
+    standing hold is registered — retention is time-based; the same
+    content may legitimately return as a future crawl."""
+    import os
+    import re
+    import shutil
+    import uuid
+
+    shards = sorted({str(s) for s in shards})
+    if not shards:
+        raise ValueError("expire_shards: the shard list is empty")
+    backend_for(corpus_dir, who="expire_shards")
+    digest = hashlib.md5(",".join(shards).encode()).hexdigest()[:16]
+    token_path = posixpath.join(corpus_dir,
+                                f"_georiva_expire_{digest}.json")
+    prior = read_token_json(token_path, who="expire_shards") or {}
+    audit: dict = {"digest": digest, "shards": shards,
+                   "indexes": {}, "token_layouts": {}, "corpus": []}
+
+    items = {}
+    for s in shards:
+        item = next((it for it in engine.catalog.items
+                     if it["collection"] == collection
+                     and it["variable"] == s), None)
+        if item is None and not prior:
+            raise ValueError(
+                f"expire_shards: shard {s!r} has no {collection!r} "
+                f"staging item in the engine catalog — this engine "
+                f"never ingested it")
+        items[s] = item
+    atomic_write_json(token_path,
+                      {"digest": digest, "shards": shards,
+                       "completed": False},
+                      who="expire_shards")
+
+    from georiva_spark.operators.dedup import (hamming_index_retract,
+                                               minhash_index_retract)
+    from georiva_spark.operators.similarity import ivf_index_retract
+    for t in tuple(minhash_indexes):
+        for s in shards:
+            minhash_index_retract(spark, t, s)
+        audit["indexes"][t] = "minhash"
+    for t in tuple(ivf_indexes):
+        for s in shards:
+            ivf_index_retract(spark, t, s)
+        audit["indexes"][t] = "ivf"
+    for t in tuple(hamming_indexes):
+        for s in shards:
+            hamming_index_retract(spark, t, s)
+        audit["indexes"][t] = "hamming"
+
+    from georiva_spark.sources.tables import export_token_shards_retire
+    for p in tuple(token_layouts):
+        gens_dir = os.path.join(p, "_georiva_gens")
+        retired = []
+        if os.path.isdir(gens_dir):
+            for s in shards:
+                pat = re.compile(
+                    rf"^{re.escape(s)}-(-?\d+)-(\d+)\.json$")
+                for f in sorted(os.listdir(gens_dir)):
+                    if pat.match(f):
+                        gen = f[:-len(".json")]
+                        export_token_shards_retire(spark, p, gen)
+                        retired.append(gen)
+        audit["token_layouts"][p] = {"generations": retired}
+
+    # the corpus partitions + engine closure
+    drop_ids = []
+    for s in shards:
+        item = items[s]
+        pdir = os.path.join(corpus_dir, f"shard={s}")
+        if os.path.isdir(pdir):
+            tomb = os.path.join(corpus_dir,
+                                f"_expired_{uuid.uuid4().hex[:8]}")
+            os.rename(pdir, tomb)
+            shutil.rmtree(tomb, ignore_errors=True)
+        if item is not None:
+            affected = engine.invalidate_downstream([item["item_id"]])
+            drop_ids += [item["item_id"], *affected]
+            audit["corpus"].append(
+                {"shard": s, "derived_dropped": len(affected)})
+    if drop_ids:
+        gone = set(drop_ids)
+        engine.catalog.items[:] = [
+            i for i in engine.catalog.items
+            if i["item_id"] not in gone]
+    # rebuild also on a rerun after a crash BETWEEN the catalog drop
+    # and the rebuild (the intent token is the witness): the merges
+    # would otherwise stay stale forever — run_all skips everything
+    # already consistent (T3), so a healthy rerun costs enumeration
+    if drop_ids or (prior and not prior.get("completed", False)):
+        runs = engine.run_all(origin=f"expire-{digest}")
+        audit["rebuild_units"] = sum(1 for r in runs
+                                     if r.status == "completed")
+    # sweep any tomb a crashed prior expiry left behind
+    for d in os.listdir(corpus_dir):
+        if d.startswith("_expired_"):
+            shutil.rmtree(os.path.join(corpus_dir, d),
+                          ignore_errors=True)
+    atomic_write_json(token_path,
+                      {"digest": digest, "shards": shards,
+                       "completed": True},
+                      who="expire_shards")
+    if audit_dir is not None:
+        atomic_write_json(
+            posixpath.join(audit_dir, f"expire-{digest}.json"),
+            audit, who="expire_shards")
+    return audit
 
 
 def takedown_report(spark: SparkSession, ids, *,

@@ -6118,6 +6118,177 @@ ORDER BY surface, shard
 SQL_TAKEDOWN_REPORT = _sql_takedown_report()
 
 
+def q_token_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION reaching the trainer layout (r13,
+    sources/tables.export_token_shards_retire): export the even half
+    of documents as the base layout, append a delta GENERATION
+    (derived from the base docs — new ids, same vocabulary), assert
+    in-query that the layout serves it, then RETIRE the generation:
+    its files delete through the commit backend (retirement token
+    first, per-file atomic removes, manifest re-stamp), everything
+    else byte-identical.
+
+    The oracle is the UNMODIFIED per-doc token SQL over the even half
+    alone — a hash match proves retirement ≡ the delta was never
+    appended (the same never-there relational claim the index
+    retractions make, now for the training layout's retention
+    path)."""
+    import os
+
+    from georiva_spark.sources.tables import (
+        export_token_shards, export_token_shards_delta,
+        export_token_shards_retire)
+
+    docs = load_table(spark, sf_dir, "documents")
+    _sweep_stale_fixtures(spark, "__none__", "tokret")
+    d = _fixture_tmp(spark, "tokret")
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    export_token_shards(base.select("doc_id", "text"), d, BPE_MERGES,
+                        context_len=128, num_shards=8)
+    delta = (base.where(F.col("doc_id") % 40 == 0)
+             .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                     "text"))
+    export_token_shards_delta(delta, d, BPE_MERGES,
+                              generation="crawl-x")
+    bins = spark.read.option("basePath", d).parquet(f"{d}/shard=*")
+    n_delta = bins.where(
+        F.exists("doc_ids", lambda i: i >= 10000000)).count()
+    assert n_delta > 0, "delta generation did not land"
+    export_token_shards_retire(spark, d, "crawl-x")
+
+    bins = spark.read.option("basePath", d).parquet(f"{d}/shard=*")
+    n = F.size("doc_ids")
+    per_doc = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.struct(
+            F.get("doc_ids", i).alias("doc_id"),
+            F.slice(
+                F.col("token_ids"),
+                (F.get("doc_offsets", i) + 1).cast("int"),
+                (F.coalesce(F.get("doc_offsets", i + F.lit(1)),
+                            F.col("n_tokens").cast("long"))
+                 - F.get("doc_offsets", i)).cast("int"))
+            .alias("ids")))
+    return (bins.select(F.explode(per_doc).alias("dd"))
+            .select(F.col("dd.doc_id").alias("doc_id"),
+                    F.size("dd.ids").cast("int").alias("n_tokens"),
+                    F.md5(F.array_join(
+                        F.transform(F.col("dd.ids"),
+                                    lambda x: x.cast("string")),
+                        ",")).alias("ids_hash")))
+
+
+def _sql_token_retire(context_len: int = 128) -> str:
+    """The UNMODIFIED per-doc token chain over the even half of
+    documents — what the layout must serve after the delta
+    generation retires."""
+    chain_w = _bpe_chain_sql("w")
+    src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    return f"""
+WITH words AS (SELECT DISTINCT t.w AS w
+          FROM {src} s,
+               unnest(string_split(COALESCE(s.text, ''), ' '))
+                 AS t(w)
+          WHERE t.w <> ''),
+vtok AS (SELECT DISTINCT t2.tok AS tok
+         FROM words,
+              unnest(string_split(trim({chain_w}), ' ')) AS t2(tok)
+         WHERE t2.tok <> ''),
+vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1
+                          AS INTEGER) AS id FROM vtok),
+b AS (SELECT s.doc_id,
+             list_filter(flatten(list_transform(
+                 string_split(COALESCE(s.text, ''), ' '),
+                 w -> string_split(trim({chain_w}), ' '))),
+                 t -> t <> '') AS bpe
+      FROM {src} s),
+cl AS (SELECT doc_id, list_slice(bpe, 1, {context_len}) AS toks
+       FROM b),
+tokrows AS (SELECT doc_id, t.i AS i, toks[t.i] AS tok
+            FROM cl, generate_series(1, {context_len}) AS t(i)
+            WHERE t.i <= len(toks)),
+idlists AS (SELECT tr.doc_id, list(v.id ORDER BY tr.i) AS l
+            FROM tokrows tr JOIN vocab v ON v.tok = tr.tok
+            GROUP BY tr.doc_id)
+SELECT cl.doc_id,
+       CAST(len(COALESCE(idlists.l, [])) AS INTEGER) AS n_tokens,
+       md5(array_to_string(list_transform(
+           COALESCE(idlists.l, []), v -> CAST(v AS VARCHAR)), ','))
+         AS ids_hash
+FROM cl LEFT JOIN idlists USING (doc_id)
+"""
+
+
+SQL_TOKEN_RETIRE = _sql_token_retire()
+
+
+def q_corpus_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard expiry reaching the corpus and its derivation chain
+    (r13, plans/takedown.expire_shards — RETENTION at crawl grain):
+    the three-shard harness builds the full chain, then shard-2
+    expires — its partition disappears atomically (rename-tomb, then
+    delete), its staging item and transitive derived closure leave
+    the catalog, and ``run_all`` rebuilds the corpus-wide merges from
+    the two REMAINING partials (remaining clean units T3-skip — the
+    in-query audit pins the rebuild cost). A second identical call is
+    asserted to be a structural no-op.
+
+    The oracle recomputes the datacard + token manifest FROM SCRATCH
+    over documents minus the expired third — a hash match proves the
+    post-expiry incremental chain converged to a corpus that never
+    contained the shard."""
+    from georiva_spark.plans.takedown import expire_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    corp, out, eng, loader = _takedown_corpus_harness(spark, docs,
+                                                      "tdexp")
+    audit = expire_shards(spark, corp, eng, ["shard-2"])
+    assert audit["corpus"] and audit["rebuild_units"] >= 2
+    again = expire_shards(spark, corp, eng, ["shard-2"])
+    assert again["corpus"] == []
+    return _takedown_sections(eng, loader)
+
+
+def _sql_corpus_expire() -> str:
+    """From-scratch replay over documents MINUS the expired shard —
+    what the post-expiry incremental chain must converge to."""
+    pre = _corpus_survivors_prelude(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 2)")
+    tok = _sql_token_shards(context_len=128, num_shards=8,
+                            source="survivors", prelude=pre,
+                            gen_expr="doc_id % 3")
+    return f"""
+WITH bins AS ({tok}),
+card AS (
+  WITH RECURSIVE{pre}
+  dc AS (SELECT lang, source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                              THEN 0
+                              ELSE len(string_split_regex(trim(text),
+                                                          '\\s+'))
+                         END) AS BIGINT) AS n_tokens,
+                CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                  AS n_chars
+         FROM survivors GROUP BY lang, source)
+  SELECT * FROM dc)
+SELECT 'datacard' AS section, lang AS k1, source AS k2,
+       n_docs, n_tokens, n_chars, CAST(NULL AS BIGINT) AS n_bins
+FROM card
+UNION ALL
+SELECT 'tokens', CAST(shard AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM bins GROUP BY shard
+ORDER BY section, k1, k2
+"""
+
+
+SQL_CORPUS_EXPIRE = _sql_corpus_expire()
+
+
 
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means TRAINING over the embeddings table
@@ -7981,6 +8152,8 @@ EXT_QUERIES = {
     "takedown_e2e": q_takedown_e2e,
     "takedown_hold": q_takedown_hold,
     "takedown_report": q_takedown_report,
+    "token_retire": q_token_retire,
+    "corpus_expire": q_corpus_expire,
     "ann_tune": q_ann_tune,
     "ann_tune_pq": q_ann_tune_pq,
     "minhash_tune": q_minhash_tune,
@@ -8130,6 +8303,8 @@ EXT_ORACLES = {
     "takedown_e2e": SQL_TAKEDOWN_E2E,
     "takedown_hold": SQL_TAKEDOWN_HOLD,
     "takedown_report": SQL_TAKEDOWN_REPORT,
+    "token_retire": SQL_TOKEN_RETIRE,
+    "corpus_expire": SQL_CORPUS_EXPIRE,
     "ann_tune": SQL_ANN_TUNE,
     "ann_tune_pq": SQL_ANN_TUNE_PQ,
     "minhash_tune": SQL_MINHASH_TUNE,

@@ -180,6 +180,19 @@ def install_file(src: str, dst: str, who: str = "commit") -> None:
     backend_for(dst, who).install_file(src, dst)
 
 
+def remove_file(path: str, who: str = "commit") -> None:
+    """REMOVE a committed data file — the retirement primitive (r13:
+    dropping an expired crawl generation's files from a token-shard
+    layout). Per-file atomic on every backend (unlink / object
+    DELETE: a reader sees the file or its absence, never a prefix);
+    an already-absent file is a no-op so crashed retirements rerun
+    idempotently. NEVER the commit for a multi-file operation on its
+    own — the caller must have committed a retirement token FIRST so
+    a crash between deletes leaves a recoverable intent, not a
+    mystery half-layout."""
+    backend_for(path, who).remove_file(path)
+
+
 def replace_file(src: str, dst: str, who: str = "commit") -> None:
     """REPLACE the file at ``dst`` with the staged local ``src`` —
     the sanctioned-mutation primitive (r13, the token-shard takedown:
@@ -219,6 +232,19 @@ class RenameBackend:
     def install_file(self, src: str, dst: str) -> None:
         os.replace(require_rename_fs(src, "RenameBackend.install_file"),
                    require_rename_fs(dst, "RenameBackend.install_file"))
+
+    def remove_file(self, path: str) -> None:
+        path = require_rename_fs(path, "RenameBackend.remove_file")
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass                      # crashed retirement rerun
+        crc = os.path.join(os.path.dirname(path),
+                           f".{os.path.basename(path)}.crc")
+        try:
+            os.remove(crc)
+        except FileNotFoundError:
+            pass
 
     def replace_file(self, src: str, dst: str) -> None:
         src = require_rename_fs(src, "RenameBackend.replace_file")
@@ -491,6 +517,10 @@ class PointerBackend:
         with open(src, "rb") as f:
             self.store.put(dst, f.read())
         os.remove(src)
+
+    def remove_file(self, path: str) -> None:
+        # object DELETE is atomic and idempotent on real stores
+        self.store.delete(path)
 
 
 #: registered backends: exact scheme ('s3a') or path prefix

@@ -649,6 +649,72 @@ def export_token_shards_takedown(spark: SparkSession, path: str,
     return manifest
 
 
+def export_token_shards_retire(spark: SparkSession, path: str,
+                               generation: str) -> DataFrame:
+    """RETIRE one committed delta generation from a token-shard
+    layout — the RETENTION complement of the takedown (r13): crawl
+    pipelines rotate, and an expired crawl's generation must leave
+    the training layout wholesale (age-out / licensing windows /
+    shard expiry), not doc-by-doc. Where the takedown surgically
+    rewrites bins, retirement DELETES the generation's own files —
+    bounded by that generation, untouched files byte-identical.
+
+    Commit order (crash-safe without extra markers):
+
+    1. the generation's ``_georiva_gens/`` marker re-commits with
+       ``retired: true`` FIRST (atomic through the backend seam) —
+       from this token on the generation is logically gone, a rerun
+       knows to finish the deletes, and a REPLAYED delivery of the
+       same content still no-ops on the digest (retired means "was
+       committed, then removed" — a redelivery must not resurrect
+       it; re-ingesting the content is a NEW generation decision);
+    2. the generation's ``gen-{generation}-*`` files delete through
+       ``commit.remove_file`` — per-file atomic (a loader sees each
+       file or its absence, never a prefix), idempotent on rerun;
+    3. the manifest re-stamps from the layout (the healing rule).
+
+    Retiring an UNKNOWN generation fails by name (an operator typo
+    must not read as success); retiring an already-retired one is a
+    structural no-op. The base (bootstrap) export has no generation
+    name and cannot be retired — expiring it is a rebuild. → the
+    updated manifest."""
+    import glob as _glob
+    import re
+
+    from georiva_spark.sources.commit import (atomic_write_json,
+                                              read_token_json,
+                                              remove_file)
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", generation):
+        raise ValueError(
+            f"export_token_shards_retire: generation={generation!r} "
+            f"must match [A-Za-z0-9._-]{{1,128}}")
+    _, vocab, _merges, context_len, num_shards = \
+        _read_token_sidecars(spark, path)
+    marker = os.path.join(path, "_georiva_gens", f"{generation}.json")
+    prev = read_token_json(marker, who="export_token_shards_retire")
+    if prev is None:
+        raise ValueError(
+            f"export_token_shards_retire: generation {generation!r} "
+            f"was never committed at {path!r} — retiring an unknown "
+            f"generation must not read as success")
+    if not prev.get("retired"):
+        atomic_write_json(marker,
+                          {"digest": prev.get("digest"),
+                           "retired": True},
+                          who="export_token_shards_retire")
+    for f in sorted(_glob.glob(
+            os.path.join(path, "shard=*", f"gen-{generation}-*"))):
+        if f.endswith(".parquet"):
+            remove_file(f, who="export_token_shards_retire")
+    manifest = _manifest_from_layout(spark, path, context_len,
+                                     len(vocab))
+    (manifest.withColumn("num_shards",
+                         F.lit(int(num_shards)).cast("int"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_georiva_manifest")))
+    return manifest
+
+
 def read_token_shards(spark: SparkSession, path: str,
                       shard: int | None = None) -> DataFrame:
     """Read a :func:`export_token_shards` layout back in LOADER ORDER

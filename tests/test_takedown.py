@@ -555,3 +555,145 @@ def test_takedown_report_counts_live_rows_and_files(spark, tmp_path):
         for s in ("centroids", "codebook", "rotation"):
             spark.sql(f"DROP TABLE IF EXISTS {iv}_{s}")
         spark.sql(f"DROP TABLE IF EXISTS {iv}")
+
+
+# ---- retention (r13): generation retirement + shard expiry ----------
+
+
+def test_token_shards_retire_generation(spark, tmp_path):
+    """Retiring a committed delta generation deletes exactly its own
+    files (others byte-identical), heals the manifest, is idempotent,
+    refuses unknown generations by name — and a REPLAYED delivery of
+    the retired content stays a no-op (retired means removed, never
+    resurrected)."""
+    from georiva_spark.sources.tables import (
+        export_token_shards_delta, export_token_shards_retire)
+
+    out = str(tmp_path / "lay")
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "a b c"), (3, "c c c")],
+        "doc_id long, text string")
+    export_token_shards(docs, out, MERGES, context_len=8,
+                        num_shards=2, extra_alphabet="abc ")
+    d1 = spark.createDataFrame([(6, "c ab a")],
+                               "doc_id long, text string")
+    d2 = spark.createDataFrame([(7, "b c ab")],
+                               "doc_id long, text string")
+    export_token_shards_delta(d1, out, MERGES, generation="g1")
+    export_token_shards_delta(d2, out, MERGES, generation="g2")
+
+    def md5s():
+        return {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in glob.glob(f"{out}/shard=*/*.parquet")}
+
+    before = md5s()
+    g1_files = {f for f in before if "/gen-g1-" in f}
+    assert g1_files
+    man = export_token_shards_retire(spark, out, "g1")
+    after = md5s()
+    assert set(after) == set(before) - g1_files
+    assert all(after[f] == before[f] for f in after)
+    ids = {d for r in read_token_shards(spark, out).collect()
+           for d in r.doc_ids}
+    assert ids == {1, 2, 3, 7}
+    total = sum(r.n_docs for r in man.collect())
+    assert total == 4
+    # replayed delivery of the retired content: digest matches the
+    # (retired) marker -> structural no-op, files stay gone
+    export_token_shards_delta(d1, out, MERGES, generation="g1")
+    assert set(md5s()) == set(after)
+    # idempotent re-retire; unknown generation fails by name
+    export_token_shards_retire(spark, out, "g1")
+    with pytest.raises(ValueError, match="never committed"):
+        export_token_shards_retire(spark, out, "nope")
+    # re-crawl of the retired generation with DIFFERENT content still
+    # fails by name (a retired name is not a free slot)
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        export_token_shards_delta(
+            spark.createDataFrame([(8, "a a")],
+                                  "doc_id long, text string"),
+            out, MERGES, generation="g1")
+
+
+def test_expire_shards_end_to_end(spark, tmp_path):
+    """Shard expiry reaches every surface wholesale: the partition
+    disappears atomically, the engine rebuilds merges from the
+    remaining partials, the index stops matching the shard's
+    generations, the layout's generations retire — and a rerun after
+    a crash between catalog drop and rebuild heals via the intent
+    token."""
+    from georiva_spark.sources.commit import (atomic_write_json,
+                                              read_token_json)
+    from georiva_spark.sources.tables import export_token_shards_delta
+
+    corp = str(tmp_path / "corp")
+    out = str(tmp_path / "out")
+    lay = str(tmp_path / "lay")
+    _land_corpus(spark, corp)
+    eng = _mk_engine(spark, corp, out)
+    card0 = _card(spark, eng)
+    assert ("en", "books") in card0          # s1 content present
+
+    docs = spark.createDataFrame(
+        [(*r, ) for rs in ROWS.values() for r in rs], SCHEMA)
+    export_token_shards(
+        docs.where(F.col("doc_id") < 10).select("doc_id", "text"),
+        lay, MERGES, context_len=8, num_shards=2,
+        extra_alphabet="abcdefghijklmnopqrstuvwxyz ")
+    export_token_shards_delta(
+        docs.where(F.col("doc_id") >= 10).select("doc_id", "text"),
+        lay, MERGES, generation="s1-123-3")
+    t = "t_exp_mh"
+    try:
+        dedup.minhash_index_write(
+            docs.where(F.col("doc_id") < 10)
+            .select("doc_id", "text"), t, str(tmp_path / "mi"),
+            n_buckets=4)
+        dedup.minhash_index_append(
+            docs.where(F.col("doc_id") >= 10)
+            .select("doc_id", "text"), t,
+            gen=dedup.index_gen("s1", "v1"))
+        probe = spark.createDataFrame(
+            [(900, "to abc abc abc words")],
+            "doc_id long, text string")
+        assert {r.doc_old for r in dedup.minhash_index_probe(
+            probe, t, threshold=0.9).collect()} == {11}
+
+        audit = td.expire_shards(
+            spark, corp, eng, ["s1"], minhash_indexes=[t],
+            token_layouts=[lay])
+        assert not os.path.isdir(os.path.join(corp, "shard=s1"))
+        assert not glob.glob(f"{corp}/_expired_*")
+        card = _card(spark, eng)
+        assert ("en", "books") not in card
+        assert card[("de", "web")] == card0[("de", "web")]
+        assert ("fr", "web") not in card        # doc 12 was in s1
+        assert {r.doc_old for r in dedup.minhash_index_probe(
+            probe, t, threshold=0.9).collect()} == set()
+        ids = {d for r in read_token_shards(spark, lay).collect()
+               for d in r.doc_ids}
+        assert ids == {1, 2, 3}
+        assert audit["token_layouts"][lay]["generations"] == \
+            ["s1-123-3"]
+        tok = read_token_json(
+            os.path.join(corp,
+                         f"_georiva_expire_{audit['digest']}.json"))
+        assert tok["completed"] is True
+
+        # crash-window rerun: intent uncompleted, items already gone
+        atomic_write_json(
+            os.path.join(corp,
+                         f"_georiva_expire_{audit['digest']}.json"),
+            {"digest": audit["digest"], "shards": ["s1"],
+             "completed": False}, who="test")
+        again = td.expire_shards(spark, corp, eng, ["s1"],
+                                 minhash_indexes=[t],
+                                 token_layouts=[lay])
+        assert "rebuild_units" in again
+        assert _card(spark, eng) == card
+        with pytest.raises(ValueError, match="never ingested"):
+            td.expire_shards(spark, corp, eng, ["s9"])
+        with pytest.raises(ValueError, match="shard list is empty"):
+            td.expire_shards(spark, corp, eng, [])
+    finally:
+        _drop(spark, t, IDX_SUFFIXES)
