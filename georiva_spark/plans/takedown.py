@@ -60,8 +60,8 @@ from georiva_spark.sources.commit import (atomic_write_json,
                                           backend_for, read_token_json)
 
 __all__ = ["clear_hold", "corpus_takedown", "expire_shards",
-           "hold_filter", "request_digest", "standing_hold",
-           "takedown", "takedown_report"]
+           "hold_filter", "read_audit_trail", "request_digest",
+           "standing_hold", "takedown", "takedown_report"]
 
 
 def request_digest(ids) -> str:
@@ -376,10 +376,48 @@ def expire_shards(spark: SparkSession, corpus_dir: str,
     return audit
 
 
+def read_audit_trail(spark: SparkSession, audit_dir: str) -> DataFrame:
+    """The applied-compliance ledger: every takedown / expiry audit
+    token committed under ``audit_dir``, one row per request —
+    (kind, digest, n_ids, n_surfaces, corpus_entries). Tokens read
+    through the commit backend (a pointer-backed audit dir resolves
+    each pointer; a half-committed token reads as absent and is
+    skipped — it will re-commit when its request completes).
+    Discovery lists the directory (local / shim stores; a real
+    object-store deployment lists via its own inventory and feeds
+    paths here)."""
+    import os
+    rows = []
+    names = sorted(os.listdir(audit_dir)) if os.path.isdir(audit_dir) \
+        else []
+    for f in names:
+        for kind in ("takedown", "expire"):
+            if f.startswith(f"{kind}-") and f.endswith(".json") \
+                    and "__georiva_blob__" not in f:
+                doc = read_token_json(posixpath.join(audit_dir, f),
+                                      who="read_audit_trail")
+                if doc is None:
+                    continue
+                rows.append((kind, doc.get("digest"),
+                             int(doc.get("n_ids", 0))
+                             or len(doc.get("shards", [])),
+                             len(doc.get("indexes", {}))
+                             + len(doc.get("token_layouts", {}))
+                             + (1 if doc.get("corpus") else 0)
+                             + (1 if doc.get("hold") else 0),
+                             len(doc.get("corpus", []))))
+    from georiva_spark.functions.frames import local_frame
+    return local_frame(
+        spark, rows,
+        "kind string, digest string, n_ids long, n_surfaces long, "
+        "corpus_entries long").orderBy("kind", "digest")
+
+
 def takedown_report(spark: SparkSession, ids, *,
                     minhash_indexes=(), ivf_indexes=(),
                     hamming_indexes=(), token_layouts=(),
-                    corpus_dirs=(), hold_table: str | None = None
+                    corpus_dirs=(), hold_table: str | None = None,
+                    engine: DerivationEngine | None = None
                     ) -> DataFrame:
     """DRY-RUN blast radius of a takedown request — what WOULD be
     removed, surface by surface, without mutating anything. The
@@ -402,6 +440,10 @@ def takedown_report(spark: SparkSession, ids, *,
       apply would pay (the honest cost unit, SCALE.md r13).
     - ``hold``: how many of the ids are ALREADY held (the remainder
       is what a ``hold_table=`` apply would newly register).
+    - ``derived`` (with ``engine=``): how many engine products sit
+      transitively downstream of the affected shards — the recompute
+      blast radius (``invalidate_downstream`` over the lineage
+      graph) an apply's corpus leg would trigger.
 
     Everything is one bounded aggregation per surface with the id
     list pushed to the scans; the result is a small DataFrame (rows
@@ -434,9 +476,29 @@ def takedown_report(spark: SparkSession, ids, *,
                         ns.alias("shard"), "n_rows",
                         nl.alias("n_tokens"), nl.alias("n_files")))
 
+    affected_shards: set = set()
     for d in corpus_dirs:
-        parts.append(row_agg(spark.read.parquet(d), "corpus", d,
-                             "doc_id", shard_col="shard"))
+        corpus = spark.read.parquet(d)
+        parts.append(row_agg(corpus, "corpus", d, "doc_id",
+                             shard_col="shard"))
+        if engine is not None:
+            affected_shards |= {
+                r.shard for r in
+                _affected_scan(corpus, ids).collect()}
+    if engine is not None:
+        # the DERIVED blast radius: every engine product transitively
+        # downstream of the affected shards would recompute on apply
+        item_ids = [it["item_id"] for it in engine.catalog.items
+                    if it["collection"] == "crawl-shards"
+                    and it["variable"] in affected_shards]
+        closure = (engine.invalidate_downstream(item_ids)
+                   if item_ids else [])
+        from georiva_spark.functions.frames import local_frame
+        parts.append(local_frame(
+            spark, [("derived", "engine", None, len(closure),
+                     None, None)],
+            "surface string, target string, shard string, "
+            "n_rows long, n_tokens long, n_files long"))
     for t in minhash_indexes:
         live = live_doc_rows(
             live_rows(spark.table(f"{t}_sigs"),

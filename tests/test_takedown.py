@@ -697,3 +697,31 @@ def test_expire_shards_end_to_end(spark, tmp_path):
             td.expire_shards(spark, corp, eng, [])
     finally:
         _drop(spark, t, IDX_SUFFIXES)
+
+
+def test_report_derived_surface_and_audit_trail(spark, tmp_path):
+    """takedown_report(engine=) adds the DERIVED recompute blast
+    radius (lineage closure of the affected shards); read_audit_trail
+    lists applied takedown/expiry audit tokens through the commit
+    backend."""
+    corp = str(tmp_path / "corp")
+    out = str(tmp_path / "out")
+    audit_dir = str(tmp_path / "audit")
+    _land_corpus(spark, corp)
+    eng = _mk_engine(spark, corp, out)
+
+    rep = {r.surface: r for r in td.takedown_report(
+        spark, [11], corpus_dirs=[corp], engine=eng).collect()
+        if r.surface == "derived"}
+    # s1's closure: its clean item, two partials, two merges = 5
+    assert rep["derived"].n_rows >= 3
+
+    td.takedown(spark, [11], corpus=(corp, eng),
+                audit_dir=audit_dir)
+    td.expire_shards(spark, corp, eng, ["s0"], audit_dir=audit_dir)
+    trail = {(r.kind, r.n_ids) for r in
+             td.read_audit_trail(spark, audit_dir).collect()}
+    assert ("takedown", 1) in trail
+    assert ("expire", 1) in trail
+    assert td.read_audit_trail(spark,
+                               str(tmp_path / "none")).count() == 0
