@@ -725,3 +725,49 @@ def test_report_derived_surface_and_audit_trail(spark, tmp_path):
     assert ("expire", 1) in trail
     assert td.read_audit_trail(spark,
                                str(tmp_path / "none")).count() == 0
+
+
+def test_expire_shards_ledger_mode(spark, tmp_path):
+    """Expiry on a LEDGER-backed engine: invalidate_downstream walks
+    the lineage TABLE (per-round semi-join), the catalog drop + run_all
+    rebuild behave identically, and the rebuilt merges converge."""
+    corp = str(tmp_path / "corp")
+    out = str(tmp_path / "out")
+    _land_corpus(spark, corp)
+
+    def loader(it):
+        if it["collection"] == "crawl-shards":
+            return (spark.read.parquet(corp)
+                    .where(F.col("shard") == it["variable"])
+                    .drop("shard"))
+        return spark.read.parquet(
+            os.path.join(out, f"unit={it['unit_hash']}"))
+
+    items = [{"item_id": k + 1, "collection": "crawl-shards",
+              "variable": s, "time": None, "tier": "staging",
+              "checksum": f"crawl-{s}-v1"}
+             for k, s in enumerate(sorted(ROWS))]
+    ctx = CatalogContext(spark, items, grid_loader=loader)
+    reg = RecipeRegistry()
+    reg.register(CorpusCleanRecipe(config={"min_words": 3}))
+    reg.register(CorpusShardStatsRecipe())
+    reg.register(CorpusShardTokensRecipe(
+        MERGES, config={"context_len": 8, "num_shards": 2}))
+    reg.register(CorpusDatacardRecipe())
+    reg.register(CorpusTokenShardsRecipe())
+    eng = DerivationEngine(
+        spark, reg, ctx, output_dir=out,
+        definitions=corpus_product_definitions(context_len=8,
+                                               num_shards=2),
+        ledger_dir=str(tmp_path / "ledger"))
+    for it in items:
+        eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+    card0 = _card(spark, eng)
+    assert ("en", "books") in card0
+
+    audit = td.expire_shards(spark, corp, eng, ["s1"])
+    assert audit["corpus"][0]["derived_dropped"] >= 3
+    card = _card(spark, eng)
+    assert ("en", "books") not in card
+    assert card[("de", "web")] == card0[("de", "web")]
+    assert not os.path.isdir(os.path.join(corp, "shard=s1"))
