@@ -179,6 +179,20 @@ def main(n: int = 2_000_000) -> None:
         assert all(c["units_run"] == 0 for c in again["corpus"])
         print(f"idempotent rerun (scan finds nothing, T3 skips, "
               f"zero affected files): {rerun_s:.1f}s")
+
+        # r13 retention leg: EXPIRE one whole shard (250k docs) —
+        # partition gone atomically, engine rebuilds merges from the
+        # 7 remaining partials, datacard converges
+        from georiva_spark.plans.takedown import expire_shards
+        t0 = time.time()
+        exp = expire_shards(spark, corp, eng, ["shard-7"])
+        exp_s = time.time() - t0
+        assert not os.path.isdir(os.path.join(corp, "shard=shard-7"))
+        total = spark.read.parquet(corp).count()
+        assert total == n - len(ids) - (n // N_SHARDS), total
+        print(f"EXPIRE shard-7 (250k docs, engine rebuild "
+              f"{exp.get('rebuild_units', 0)} units): {exp_s:.1f}s "
+              f"({exp_s / build_s:.2f}x of the full chain build)")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
