@@ -1090,3 +1090,24 @@ def test_corpus_takedown_scan_pushdown_and_partition_prune(spark,
             if "FileScan parquet" in ln][0]
     part = scan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "shard" in part and "s1" in part and "s3" in part
+
+
+def test_hold_filter_is_broadcast_antijoin(spark, tmp_path):
+    """r13 standing-hold scale story: the admission filter must be a
+    BROADCAST anti-join of the bounded hold list over the incoming
+    batch — never a shuffle of the stream side, never a nested
+    loop (the same shape as the tombstone live-filters)."""
+    from georiva_spark.plans import takedown as td
+    ht = "t_plan_hold"
+    try:
+        td.standing_hold(spark, ht, [3, 5])
+        docs = spark.range(100).selectExpr("id as doc_id",
+                                           "concat('t', id) as text")
+        plan = (td.hold_filter(docs, ht, "doc_id")
+                ._jdf.queryExecution().executedPlan().toString())
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and all("BroadcastHashJoin" in ln for ln in anti)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        td.clear_hold(spark, ht)
