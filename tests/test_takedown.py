@@ -771,3 +771,43 @@ def test_expire_shards_ledger_mode(spark, tmp_path):
     assert ("en", "books") not in card
     assert card[("de", "web")] == card0[("de", "web")]
     assert not os.path.isdir(os.path.join(corp, "shard=s1"))
+
+
+def test_retire_generation_through_pointer_backend(spark, tmp_path):
+    """The retirement path end-to-end on a no-rename object-store
+    shim: the retired marker commits via the pointer protocol and the
+    generation's files leave via object DELETE — the remove_file leg
+    of the backend seam."""
+    from georiva_spark.sources.tables import (
+        export_token_shards_delta, export_token_shards_retire)
+
+    out = str(tmp_path / "lay")
+    commit.register_backend(
+        out, commit.PointerBackend(commit.DirObjectStore()))
+    try:
+        docs = spark.createDataFrame(
+            [(1, "ab ab"), (2, "a b c")], "doc_id long, text string")
+        export_token_shards(docs, out, MERGES, context_len=8,
+                            num_shards=2, extra_alphabet="abc ")
+        export_token_shards_delta(
+            spark.createDataFrame([(6, "c ab a")],
+                                  "doc_id long, text string"),
+            out, MERGES, generation="g1")
+        assert glob.glob(f"{out}/shard=*/gen-g1-*")
+        export_token_shards_retire(spark, out, "g1")
+        assert not glob.glob(f"{out}/shard=*/gen-g1-*.parquet")
+        ids = {d for r in read_token_shards(spark, out).collect()
+               for d in r.doc_ids}
+        assert ids == {1, 2}
+        # the retired marker resolved through the pointer protocol
+        tok = commit.read_token_json(
+            os.path.join(out, "_georiva_gens", "g1.json"))
+        assert tok["retired"] is True
+        # replay of the retired delivery: still a no-op
+        export_token_shards_delta(
+            spark.createDataFrame([(6, "c ab a")],
+                                  "doc_id long, text string"),
+            out, MERGES, generation="g1")
+        assert not glob.glob(f"{out}/shard=*/gen-g1-*.parquet")
+    finally:
+        commit.register_backend(out, None)
