@@ -1,0 +1,119 @@
+"""Driver-fast construction of large literal expression trees (r13).
+
+Building a Column through nested ``pyspark.sql.functions`` calls costs
+one py4j round trip per operator/literal.  The ANN family's in-row
+argmin / ADC-table expressions embed thousands of codebook literals, so
+a single ``ivf_pq_trained`` evaluation was measured at **115,677
+py4j ``send_command`` calls — 23.7 s of a 33 s run** spent with the
+driver single-threadedly chatting to the JVM while every executor sat
+idle (tools/profile_query.py, r13 round).  That cost is pure driver
+fixed overhead: it is identical at sf0.1 and at 100 TB, and on a real
+cluster it is paid while 1000 executors wait (guide §5 "the driver
+should do almost no data work", §7.3 planning stalls).
+
+The fix: render the SAME expression as ONE SQL string and hand it to
+``F.expr`` — one py4j call, parsed inside the JVM (Spark's ANTLR
+parser handles ~100 KB strings in milliseconds).  Catalyst sees an
+IDENTICAL tree — the helpers here mirror the DataFrame-API
+constructions operator for operator, literal for literal, in the same
+order — so results are bit-identical (proven by the dtype-strict
+oracle gate over every ANN query after the rewrite).
+
+Exactness of double literals: ``repr(float)`` is the shortest
+round-trip decimal and Java's ``Double.parseDouble`` (what Spark's
+lexer uses for a ``D``-suffixed literal) recovers the identical IEEE
+double, so a literal built here equals the ``F.lit(v)`` it replaces
+bit for bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, functions as F
+
+
+def dlit(v: float) -> str:
+    """Exact SQL double literal for ``v`` (finite only)."""
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(f"dlit: non-finite literal {v!r}")
+    return f"{v!r}D"
+
+
+def darr(vals) -> str:
+    """``array(…)`` of exact double literals."""
+    return "array(" + ", ".join(dlit(v) for v in vals) + ")"
+
+
+def sq_diff_lambda(cast_a: bool) -> str:
+    """``(a, b) -> (a - b)²`` with the call site's exact cast shape."""
+    a = "CAST(a AS DOUBLE)" if cast_a else "a"
+    return f"(a, b) -> ({a} - b) * ({a} - b)"
+
+
+def fold_sum(inner: str) -> str:
+    """``aggregate(inner, 0.0D, (acc, x) -> acc + x)`` — the left-fold
+    sum every l2/dot site uses (same evaluation order as the HOF
+    chain it replaces)."""
+    return f"aggregate({inner}, 0.0D, (acc, x) -> acc + x)"
+
+
+def l2_sql(vec_sql: str, lits, cast_a: bool = True) -> str:
+    """``Σ (vec[i] − lit[i])²`` — the literal-vector L2² idiom."""
+    return fold_sum(
+        f"zip_with({vec_sql}, {darr(lits)}, {sq_diff_lambda(cast_a)})")
+
+
+def dot_sql(vec_sql: str, lits, cast_a: bool = True) -> str:
+    """``Σ vec[i]·lit[i]`` — the literal-vector dot idiom."""
+    a = "CAST(a AS DOUBLE)" if cast_a else "a"
+    return fold_sum(
+        f"zip_with({vec_sql}, {darr(lits)}, (a, b) -> {a} * b)")
+
+
+def argmin_sql(dist_sqls: list[str]) -> str:
+    """Lexicographic in-row argmin: ``array_min`` over (d, c) structs,
+    lower index wins ties — the `_argmin_cell` shape."""
+    entries = ", ".join(f"named_struct('d', {d}, 'c', {i})"
+                        for i, d in enumerate(dist_sqls))
+    return f"array_min(array({entries})).c"
+
+
+def argmin_col(dist_sqls: list[str]) -> Column:
+    return F.expr(argmin_sql(dist_sqls))
+
+
+def dist_structs_sql(vec_sql: str, cents: list[list[float]],
+                     cast_a: bool = True) -> str:
+    """``array(named_struct('d', ‖v−cᵢ‖², 'c', i), …)`` — the routing
+    distance array every probe's argsort runs over."""
+    entries = ", ".join(
+        f"named_struct('d', {l2_sql(vec_sql, c, cast_a)}, 'c', {i})"
+        for i, c in enumerate(cents))
+    return f"array({entries})"
+
+
+def route_cells_sql(vec_sql: str, cents: list[list[float]],
+                    nprobe: int, cast_a: bool = True) -> str:
+    """The full in-row nprobe routing: argsort the literal centroid
+    distances, keep the first ``nprobe`` cells."""
+    return (f"transform(slice(array_sort("
+            f"{dist_structs_sql(vec_sql, cents, cast_a)}), 1, "
+            f"{nprobe}), s -> s.c)")
+
+
+def cell_lookup_sql(cents: list[list[float]],
+                    cell_sql: str = "cell") -> str:
+    """``cent[cell]`` from an array-of-arrays literal — the
+    `_cent_lookup` shape."""
+    outer = "array(" + ", ".join(darr(c) for c in cents) + ")"
+    return f"element_at({outer}, {cell_sql} + 1)"
+
+
+def rotate_sql(R: list[list[float]], col: str = "embedding") -> str:
+    """``x' = R·x`` as an array of literal-fold dots — the
+    `_rotate_expr` shape (d² multiply-adds, one parsed string instead
+    of d² py4j literal calls)."""
+    return ("array(" + ", ".join(dot_sql(col, row) for row in R)
+            + ")")

@@ -79,13 +79,15 @@ def random_projection(vec: Column, in_dim: int, out_dim: int,
     within (1±ε) w.h.p. per JL, and the matrix is hash-derived so no
     model state ships at all. Pure sequential-fold HOFs — JVM-side,
     zero shuffle, and the fold order matches a SQL engine's ordered
-    SUM for bit-comparable replay."""
+    SUM for bit-comparable replay. The out_dim·in_dim sign literals
+    render as ONE parsed SQL string (fastexpr, r13) instead of
+    per-literal py4j calls."""
     import math
+
+    from georiva_spark.functions import fastexpr
     signs = projection_signs(in_dim, out_dim, seed)
     scale = 1.0 / math.sqrt(float(out_dim))
-    return F.array(*[
-        F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(s) for s in signs[j]]),
-                       lambda x, s: x.cast("double") * s),
-            F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale)
-        for j in range(out_dim)])
+    vec_sql = vec._jc.toString()
+    return F.expr("array(" + ", ".join(
+        f"({fastexpr.dot_sql(vec_sql, signs[j])}) * {fastexpr.dlit(scale)}"
+        for j in range(out_dim)) + ")")

@@ -10,6 +10,7 @@ from georiva_spark.functions.frames import local_frame
 
 import itertools
 
+from georiva_spark.functions import fastexpr
 from georiva_spark.functions.vectors import cosine_similarity, dot
 from georiva_spark.operators._tombstones import clear_rules
 from georiva_spark.operators.textops import portable_hash64
@@ -247,19 +248,9 @@ def knn_ivf_pinned(emb: DataFrame, query_vec_id: int, k: int = 5,
             "ids or use the trained-quantizer path (knn_ivf)")
     cents = [cmap[c] for c in cids]
 
-    def l2(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    # in-row argmin via lexicographic array_min over (dist, cell) structs
-    cell = F.array_min(F.array(*[
-        F.struct(l2(cents[i]).alias("d"), F.lit(i).alias("c"))
-        for i in range(n_centroids)]))["c"]
-    assigned = emb.withColumn("cell", cell)
+    # in-row argmin via lexicographic array_min over (dist, cell)
+    # structs — one parsed SQL string (fastexpr, r13)
+    assigned = emb.withColumn("cell", _argmin_cell(cents))
 
     qv = cmap.get(query_vec_id)
     if qv is None:
@@ -305,18 +296,13 @@ def _pinned_cents(emb: DataFrame, n_centroids: int) -> list[list[float]]:
 
 def _argmin_cell(cents: list[list[float]]):
     """In-row argmin over literal centroids (zero shuffle) — lexico
-    array_min over (dist, cell) structs, lower cell wins ties."""
-    def l2(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    return F.array_min(F.array(*[
-        F.struct(l2(cents[i]).alias("d"), F.lit(i).alias("c"))
-        for i in range(len(cents))]))["c"]
+    array_min over (dist, cell) structs, lower cell wins ties.
+    Rendered as ONE parsed SQL string (functions.fastexpr, r13): the
+    per-literal py4j construction of this tree was measured at
+    ~0.6 s per call of driver stall; the parsed form is ~2 ms and
+    Catalyst sees the identical expression."""
+    return fastexpr.argmin_col(
+        [fastexpr.l2_sql("embedding", c) for c in cents])
 
 
 def _gen_cols(spark, table: str, gen: str, who: str) -> list:
@@ -770,7 +756,7 @@ def ivf_index_probe(spark, table: str, query_vec, k: int = 5,
                    for cell, c in cents.items())
     probe_cells = [cell for _, cell in order[:nprobe]]
 
-    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qlit = F.expr(fastexpr.darr(q))
     cos = cosine_similarity(F.col("embedding"), qlit)
     scan = _live_table(spark, table).where(
         F.col("cell").isin(probe_cells))
@@ -847,19 +833,7 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
     if not cents:
         raise ValueError(f"{table!r} has no centroid sidecar")
 
-    def l2(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    dists = F.array(*[F.struct(l2(cents[i]).alias("d"),
-                               F.lit(i).alias("c"))
-                      for i in range(len(cents))])
-    cells = F.transform(F.slice(F.array_sort(dists), 1, nprobe),
-                        lambda s: s["c"])
+    cells = F.expr(fastexpr.route_cells_sql("embedding", cents, nprobe))
     probed = persist_bounded(
         queries.select("q_id", F.col("embedding").alias("qe"),
                        F.explode(cells).alias("cell")),
@@ -974,9 +948,7 @@ def _cent_lookup(cents: list[list[float]]):
     array-of-arrays literal (bounded C·d doubles — model state shipped
     in the plan) indexed by the row's cell. The residual-encoding
     primitive: ``x − cent[cell]`` without any join or shuffle."""
-    return F.element_at(
-        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents]),
-        F.col("cell") + 1)
+    return F.expr(fastexpr.cell_lookup_sql(cents))
 
 
 def _pq_pack_expr(vec: str, cb: list[list[float]], m: int, nbits: int,
@@ -985,27 +957,16 @@ def _pq_pack_expr(vec: str, cb: list[list[float]], m: int, nbits: int,
     argmin over codeword literals (zero shuffle, whole-stage codegen,
     lower code wins ties), sub-codes packed little-end-first —
     ``Σ_s code_s << (s·nbits)``. Shared by write and append so the
-    encodings cannot drift."""
+    encodings cannot drift. One parsed SQL string (fastexpr, r13):
+    the m·2^nbits sub-L2 tree cost ~7 s of py4j chatter per call."""
     ncw = 1 << nbits
-
-    def sub_l2(s: int, j: int):
-        seg = F.slice(F.col(vec), s * sub + 1, sub)
-        lits = F.array(*[F.lit(float(v))
-                         for v in cb[j][s * sub:(s + 1) * sub]])
-        return F.aggregate(
-            F.zip_with(seg, lits,
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    codes = [F.array_min(F.array(*[
-        F.struct(sub_l2(s, j).alias("d"), F.lit(j).alias("c"))
-        for j in range(ncw)]))["c"] for s in range(m)]
-    packed = None
-    for s in range(m):
-        term = F.shiftleft(codes[s].cast("long"), s * nbits)
-        packed = term if packed is None else packed + term
-    return packed
+    codes = [fastexpr.argmin_sql([
+        fastexpr.l2_sql(f"slice({vec}, {s * sub + 1}, {sub})",
+                        cb[j][s * sub:(s + 1) * sub])
+        for j in range(ncw)]) for s in range(m)]
+    return F.expr(" + ".join(
+        f"shiftleft(CAST({c} AS BIGINT), {s * nbits})"
+        for s, c in enumerate(codes)))
 
 
 def _pq_encode_frame(emb: DataFrame, cents: list[list[float]],
@@ -1162,26 +1123,22 @@ def pq_train_codebooks(emb: DataFrame, m: int, nbits: int, iters: int,
     cb = [[[rnd(v) for v in r.vec[s * sub:(s + 1) * sub]]
            for r in seeds] for s in range(m)]     # cb[s][j][local dim]
 
-    def seg_argmin(s: int):
-        seg = F.slice(F.col("vec"), s * sub + 1, sub)
-
-        def d2(j: int):
-            lits = F.array(*[F.lit(v) for v in cb[s][j]])
-            return F.aggregate(
-                F.zip_with(seg, lits, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-
-        return F.array_min(F.array(*[
-            F.struct(d2(j).alias("d"), F.lit(j).alias("c"))
-            for j in range(ncw)]))["c"]
+    def seg_argmin(s: int) -> str:
+        # one parsed SQL string per subspace (fastexpr, r13): the two
+        # Lloyd rounds' per-literal construction was ~9 s of py4j
+        # chatter per call; `vec` is already double, so no cast
+        return fastexpr.argmin_sql([
+            fastexpr.l2_sql(f"slice(vec, {s * sub + 1}, {sub})",
+                            cb[s][j], cast_a=False)
+            for j in range(ncw)])
 
     for _ in range(iters):
-        rows = (corpus.select(F.explode(F.array(*[
-                    F.struct(F.lit(s).alias("s"),
-                             seg_argmin(s).alias("code"),
-                             F.slice(F.col("vec"), s * sub + 1, sub)
-                             .alias("seg"))
-                    for s in range(m)])).alias("t"))
+        rows = (corpus.select(F.explode(F.expr(
+                    "array(" + ", ".join(
+                        f"named_struct('s', {s}, "
+                        f"'code', {seg_argmin(s)}, "
+                        f"'seg', slice(vec, {s * sub + 1}, {sub}))"
+                        for s in range(m)) + ")")).alias("t"))
                 .select("t.s", "t.code",
                         F.posexplode("t.seg").alias("dim", "v"))
                 .groupBy("s", "code", "dim")
@@ -1364,14 +1321,10 @@ def _rotate_expr(R: list[list[float]], col: str = "embedding"):
     """In-row orthogonal rotation ``x' = R·x`` as a literal-fold HOF
     array (d² multiply-adds inside whole-stage codegen — the
     random_projection pattern): the d×d rotation is bounded model
-    state shipped in the plan, the corpus never shuffles."""
-    def rowdot(row):
-        return F.aggregate(
-            F.zip_with(F.col(col),
-                       F.array(*[F.lit(float(x)) for x in row]),
-                       lambda a, b: a.cast("double") * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-    return F.array(*[rowdot(r) for r in R])
+    state shipped in the plan, the corpus never shuffles. One parsed
+    SQL string (fastexpr, r13): the d² per-literal py4j construction
+    was whole seconds per call at d=64."""
+    return F.expr(fastexpr.rotate_sql(R, col=col))
 
 
 def _load_rotation(spark, table: str,
@@ -1695,27 +1648,24 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
     dim = len(cb[0])
     sub = dim // m
 
-    def adc_for(qv: "np.ndarray"):
+    def adc_for(qv: "np.ndarray") -> str:
+        # one parsed SQL string (fastexpr, r13) — the m·2^nbits ADC
+        # literal table cost seconds of py4j chatter per probe
         qd = [[float(((qv[s * sub:(s + 1) * sub]
                        - cb[j][s * sub:(s + 1) * sub]) ** 2).sum())
                for j in range(ncw)] for s in range(m)]
-        expr = None
-        for s in range(m):
-            code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
-                      .bitwiseAND(F.lit(ncw - 1)).cast("int"))
-            term = F.element_at(F.array(*[F.lit(v) for v in qd[s]]),
-                                code_s + 1)
-            expr = term if expr is None else expr + term
-        return expr
+        return " + ".join(
+            f"element_at({fastexpr.darr(qd[s])}, "
+            f"CAST((shiftrightunsigned(pq_code, {s * nbits}) & "
+            f"{ncw - 1}) AS INT) + 1)"
+            for s in range(m))
 
     if residual:
-        adc = None
-        for cell in probe_cells:
-            branch = adc_for(q - cents[cell])
-            adc = (F.when(F.col("cell") == cell, branch) if adc is None
-                   else adc.when(F.col("cell") == cell, branch))
+        adc = F.expr("CASE " + " ".join(
+            f"WHEN cell = {cell} THEN ({adc_for(q - cents[cell])})"
+            for cell in probe_cells) + " END")
     else:
-        adc = adc_for(q)
+        adc = F.expr(adc_for(q))
 
     scan = _live_table(spark, table).where(
         F.col("cell").isin(probe_cells))
@@ -1759,7 +1709,7 @@ def ivf_pq_index_refine(spark, table: str, emb: DataFrame, query_vec,
                                nprobe=nprobe,
                                exclude_vec_id=exclude_vec_id)
     ids = [r.vec_id for r in short.select("vec_id").collect()]
-    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    qlit = F.expr(fastexpr.darr(query_vec))
     cos = cosine_similarity(F.col("embedding"), qlit)
     return (emb.where(F.col("vec_id").isin(ids))
             .select("vec_id", F.round(cos, 4).alias("cosine"),
@@ -1830,29 +1780,11 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     dim = len(cb[0])
     sub = dim // m
 
-    def l2(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    cells = F.expr(fastexpr.route_cells_sql("embedding", cents, nprobe))
 
-    dists = F.array(*[F.struct(l2(cents[i]).alias("d"),
-                               F.lit(i).alias("c"))
-                      for i in range(len(cents))])
-    cells = F.transform(F.slice(F.array_sort(dists), 1, nprobe),
-                        lambda s: s["c"])
-
-    def qd(vec: str, s: int, j: int):  # ADC entry: ||q_seg − cw_seg||²
-        seg = F.slice(F.col(vec), s * sub + 1, sub)
-        lits = F.array(*[F.lit(float(v))
-                         for v in cb[j][s * sub:(s + 1) * sub]])
-        return F.aggregate(
-            F.zip_with(seg, lits,
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    def qd(vec: str, s: int, j: int) -> str:  # ADC: ||q_seg − cw_seg||²
+        return fastexpr.l2_sql(f"slice({vec}, {s * sub + 1}, {sub})",
+                               cb[j][s * sub:(s + 1) * sub])
 
     # a residual index builds each fan-out row's ADC table from the
     # query's residual against the row's PROBED cell (q − cent[cell],
@@ -1868,8 +1800,9 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
         vec_col = "_rq"
     else:
         vec_col = "qe"
-    adc_flat = F.array(*[qd(vec_col, s, j) for s in range(m)
-                         for j in range(ncw)])
+    adc_flat = F.expr("array(" + ", ".join(
+        qd(vec_col, s, j) for s in range(m)
+        for j in range(ncw)) + ")")
     probed = persist_bounded(
         fan.select("q_id", adc_flat.alias("qd"), "cell"),
         "ivf_pq_index_probe_batch.probed", StorageLevel.MEMORY_AND_DISK)
@@ -2237,21 +2170,8 @@ def _measured_candidates(spark, table: str, props: dict,
     crows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(crows, key=lambda r: r.cell)]
-
-    def l2(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    dists = F.array(*[F.struct(l2(cents[i]).alias("d"),
-                               F.lit(i).alias("c"))
-                      for i in range(len(cents))])
     maxnp = max(int(np_) for np_ in nprobes)
-    cells = F.transform(F.slice(F.array_sort(dists), 1, maxnp),
-                        lambda s: s["c"])
+    cells = F.expr(fastexpr.route_cells_sql("embedding", cents, maxnp))
     fan = queries.select("q_id",
                          F.posexplode(cells).alias("__pos", "cell"))
     sizes = (_live_table(spark, table).groupBy("cell")
@@ -2319,17 +2239,7 @@ def semdedup(emb: DataFrame, n_clusters: int = 8,
                 "corpus; re-index ids or use train_iters>0")
         cents = [cmap[c] for c in cids]
 
-    def l2(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    cell = F.array_min(F.array(*[
-        F.struct(l2(cents[i]).alias("d"), F.lit(i).alias("c"))
-        for i in range(n_clusters)]))["c"]
+    cell = _argmin_cell(cents)
     # null embeddings can't be clustered or compared — drop them here
     # rather than letting one null row kill the per-cluster kernel
     assigned = (emb.where(F.col("embedding").isNotNull())
@@ -2397,31 +2307,14 @@ def knn_ivf_pq(emb: DataFrame, query_vec_id: int, k: int = 5,
     dim = len(cb[0])
     sub = dim // m
 
-    def l2_full(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(v) for v in cvec]),
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    cell = _argmin_cell(cents)
 
-    cell = F.array_min(F.array(*[
-        F.struct(l2_full(cents[i]).alias("d"), F.lit(i).alias("c"))
-        for i in range(n_centroids)]))["c"]
-
-    # --- PQ encode: per-subspace in-row argmin over codeword literals -
-    def sub_l2(s: int, j: int):
-        seg = F.slice(F.col("embedding"), s * sub + 1, sub)
-        lits = F.array(*[F.lit(v) for v in cb[j][s * sub:(s + 1) * sub]])
-        return F.aggregate(
-            F.zip_with(seg, lits,
-                       lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    codes = [F.array_min(F.array(*[
-        F.struct(sub_l2(s, j).alias("d"), F.lit(j).alias("c"))
-        for j in range(ncw)]))["c"] for s in range(m)]
+    # --- PQ encode: per-subspace in-row argmin over codeword literals
+    # (one parsed SQL string per subspace — fastexpr, r13)
+    codes = [fastexpr.argmin_sql([
+        fastexpr.l2_sql(f"slice(embedding, {s * sub + 1}, {sub})",
+                        cb[j][s * sub:(s + 1) * sub])
+        for j in range(ncw)]) for s in range(m)]
 
     # --- query-side: probe cells + ADC lookup table (driver numpy) ----
     if query_vec_id not in vecs:
@@ -2434,11 +2327,9 @@ def knn_ivf_pq(emb: DataFrame, query_vec_id: int, k: int = 5,
                    - np.asarray(cb[j][s * sub:(s + 1) * sub])) ** 2).sum())
            for j in range(ncw)] for s in range(m)]
 
-    adc = None
-    for s in range(m):
-        term = F.element_at(F.array(*[F.lit(v) for v in qd[s]]),
-                            codes[s] + 1)
-        adc = term if adc is None else adc + term
+    adc = F.expr(" + ".join(
+        f"element_at({fastexpr.darr(qd[s])}, ({codes[s]}) + 1)"
+        for s in range(m)))
 
     return (emb.withColumn("cell", cell)
             .where(F.col("cell").isin(probe_cells))
@@ -2663,14 +2554,9 @@ def pca_project(emb: DataFrame, d: int, q: int = 4) -> DataFrame:
         if comps[ci][amax] < 0:
             comps[ci] = -comps[ci]
 
-    def proj(cvec):
-        return F.aggregate(
-            F.zip_with(F.col("embedding"),
-                       F.array(*[F.lit(float(x)) for x in cvec]),
-                       lambda a, b: a.cast("double") * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    arr = F.array(*[proj(comps[ci]) for ci in range(q)])
+    arr = F.expr("array(" + ", ".join(
+        fastexpr.dot_sql("embedding", comps[ci])
+        for ci in range(q)) + ")")
     return (emb.where(F.col("embedding").isNotNull())
             .withColumn("_p", arr)
             .select("vec_id", F.posexplode("_p").alias("dim", "val"))
