@@ -163,13 +163,14 @@ def _band_buckets(num_hashes: int, bands: int,
     """The LSH band→bucket key array shared by the pair miner and the
     persistent index (write/append/probe MUST derive identical keys —
     one definition, so code drift cannot silently break an existing
-    index)."""
+    index). One parsed SQL string (fastexpr policy, r13) — the
+    per-element py4j construction was ~0.2 s per call."""
     rows_per_band = num_hashes // bands
-    return F.array(*[
-        F.xxhash64(F.lit(b), *[F.element_at(sig_col,
-                                            b * rows_per_band + i + 1)
-                               for i in range(rows_per_band)])
-        for b in range(bands)])
+    return F.expr("array(" + ", ".join(
+        "xxhash64(" + str(b) + ", " + ", ".join(
+            f"element_at({sig_col}, {b * rows_per_band + i + 1})"
+            for i in range(rows_per_band)) + ")"
+        for b in range(bands)) + ")")
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
@@ -1271,10 +1272,20 @@ def minhash_index_write(docs: DataFrame, table: str, path: str,
     RETRACTED (:func:`minhash_index_retract`) — T5 staleness reaching
     the index, the r11 verdict's top item. The default ''
     (unversioned base) is never retractable."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
     from georiva_spark.sources.bucketing import write_bucketed
 
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
-                             text_col=text_col, portable=portable)
+    # compute the signature sketch ONCE for both table writes (r13
+    # optimization): without the persist the pandas-UDF lineage runs
+    # twice — at 100 TB that is a second full corpus scan + tokenize +
+    # hash pass; the cached sketch is 64 longs/doc, ~3 orders smaller
+    # than the corpus text (the minhash_lsh_pairs persist policy)
+    sig = persist_bounded(
+        minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                           text_col=text_col, portable=portable),
+        "minhash_index_write.sig", StorageLevel.MEMORY_AND_DISK)
     bucket_arr = _band_buckets(num_hashes, bands)
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
@@ -1339,9 +1350,17 @@ def minhash_index_append(docs: DataFrame, table: str,
         gen_cols = []
     else:
         gen_cols = [F.lit(gen).alias("gen")]
-    sig = minhash_signatures(docs, num_hashes=p["num_hashes"], n=p["n"],
-                             text_col=p["text_col"],
-                             portable=p["portable"])
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
+    # one signature evaluation for both appends (the index-write
+    # persist policy; the delta is micro-batch-bounded)
+    sig = persist_bounded(
+        minhash_signatures(docs, num_hashes=p["num_hashes"], n=p["n"],
+                           text_col=p["text_col"],
+                           portable=p["portable"]),
+        "minhash_index_append.sig", StorageLevel.MEMORY_AND_DISK)
     bucket_arr = _band_buckets(p["num_hashes"], p["bands"])
     banded = sig.select(
         "doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))

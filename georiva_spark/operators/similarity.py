@@ -842,13 +842,11 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
     # index with fewer cells than nprobe fans out fewer rows per query,
     # so a fan-out gate would let batches larger than
     # max_broadcast_queries slip onto the broadcast path (the tiny-C
-    # hazard). The count also materializes the persisted fan-out so
-    # routing executes exactly once before live_cells reads it.
-    n_queries = probed.select("q_id").distinct().count()
-    # bounded by C: the probed-cell union is model-state scale, read
-    # from the PERSISTED fan-out (routing computed once)
-    live_cells = sorted({r.cell for r in
-                         probed.select("cell").distinct().collect()})
+    # hazard). ONE agg job (r13) returns both the gate count and the
+    # probed-cell union (bounded by C — model-state scale) and
+    # materializes the persisted fan-out so routing executes exactly
+    # once before the static filter reads it.
+    n_queries, live_cells = _fanout_gate(probed)
     cos = cosine_similarity(F.col("embedding"), F.col("qe"))
     scan = _live_table(spark, table).where(
         F.col("cell").isin(live_cells))
@@ -873,6 +871,18 @@ def ivf_index_probe_batch(spark, table: str, queries: DataFrame,
             .select("q_id", "vec_id",
                     F.col("cell").cast("long").alias("cell"),
                     F.round("_c", 4).alias("cosine")))
+
+
+def _fanout_gate(probed: DataFrame) -> tuple[int, list]:
+    """ONE job over the persisted query fan-out → (distinct q_id
+    count, sorted probed-cell union). Replaces the two separate
+    distinct jobs both batch probes ran (r13): the agg is bounded —
+    the count is one long, the cell set ≤ C — and the single action
+    still materializes the persist so routing executes exactly once."""
+    row = probed.agg(
+        F.count_distinct("q_id").alias("nq"),
+        F.collect_set("cell").alias("cells")).collect()[0]
+    return int(row.nq), sorted(row.cells)
 
 
 def _spread_fanout(spark, fan: DataFrame) -> DataFrame:
@@ -988,7 +998,8 @@ def _pq_encode_frame(emb: DataFrame, cents: list[list[float]],
 
 
 def _check_quantizer_sync(spark, table: str,
-                          sidecars: tuple[str, ...]) -> None:
+                          sidecars: tuple[str, ...],
+                          props: dict | None = None) -> None:
     """Fail by name when the main index table and a quantizer sidecar
     carry DIFFERENT ``georiva.quantizer_version`` stamps — the crash
     window of a RETRAINING compaction (sidecars swap before the main
@@ -999,13 +1010,16 @@ def _check_quantizer_sync(spark, table: str,
     ``*_index_compact(retrain_iters=…)`` (it re-stages from the
     surviving main table / corpus) or finish the pending
     :func:`~georiva_spark.sources.bucketing.atomic_swap_table`.
-    Unversioned tables (pre-r8 indexes) are exempt."""
+    Unversioned tables (pre-r8 indexes) are exempt. ``props``: the
+    main table's already-fetched TBLPROPERTIES — callers that just
+    read them skip a second catalog round trip (r13)."""
     def ver(t: str):
-        props = {r.key: r.value for r in
-                 spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
-        return props.get("georiva.quantizer_version")
+        p = {r.key: r.value for r in
+             spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+        return p.get("georiva.quantizer_version")
 
-    main = ver(table)
+    main = (props.get("georiva.quantizer_version")
+            if props is not None else ver(table))
     if main is None:
         return
     for sc in sidecars:
@@ -1102,6 +1116,21 @@ def pq_train_codebooks(emb: DataFrame, m: int, nbits: int, iters: int,
             "vec_id",
             F.transform(F.col("embedding"),
                         lambda a: a.cast("double")).alias("vec"))
+    # persist the (bounded, sample_ppm-gated) training frame for the
+    # seed pick + every Lloyd round (r13, guide §5): without it each
+    # round re-scans the corpus and re-derives residuals — iters+1
+    # full passes at 100 TB. Consumed entirely within this call, so a
+    # plain persist/unpersist pair is safe.
+    corpus = corpus.persist()
+    try:
+        return _pq_train_rounds(corpus, m, nbits, iters, decimals)
+    finally:
+        corpus.unpersist()
+
+
+def _pq_train_rounds(corpus: DataFrame, m: int, nbits: int,
+                     iters: int, decimals: int) -> list[list[float]]:
+    ncw = 1 << nbits
     seeds = (corpus.select(
                  "vec_id", "vec",
                  F.md5(F.col("vec_id").cast("string").cast("binary"))
@@ -1563,7 +1592,8 @@ def ivf_pq_index_append(emb: DataFrame, table: str,
     opq = props.get("georiva.pq_opq") == "1"
     _check_quantizer_sync(spark, table,
                           ("_centroids", "_codebook")
-                          + (("_rotation",) if opq else ()))
+                          + (("_rotation",) if opq else ()),
+                          props=props)
     crows = spark.table(f"{table}_centroids").collect()
     cents = [list(map(float, r.embedding))
              for r in sorted(crows, key=lambda r: r.cell)]
@@ -1630,7 +1660,8 @@ def ivf_pq_index_probe(spark, table: str, query_vec, k: int = 5,
 
     _check_quantizer_sync(spark, table,
                           ("_centroids", "_codebook")
-                          + (("_rotation",) if opq else ()))
+                          + (("_rotation",) if opq else ()),
+                          props=props)
     cents = {int(r.cell): np.asarray(r.embedding, dtype=np.float64)
              for r in spark.table(f"{table}_centroids").collect()}
     q = np.asarray(list(query_vec), dtype=np.float64)
@@ -1763,7 +1794,8 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     ncw = 1 << nbits
     _check_quantizer_sync(spark, table,
                           ("_centroids", "_codebook")
-                          + (("_rotation",) if opq else ()))
+                          + (("_rotation",) if opq else ()),
+                          props=props)
     if opq:
         # the index lives in rotated space — rotate every query
         # in-row against the stamped rotation before routing/ADC
@@ -1808,10 +1840,9 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
         "ivf_pq_index_probe_batch.probed", StorageLevel.MEMORY_AND_DISK)
     # distinct-q_id gate, not fan-out rows: with fewer cells than
     # nprobe each query fans out fewer rows and a row-count gate
-    # over-admits (the ivf_index_probe_batch comment)
-    n_queries = probed.select("q_id").distinct().count()
-    live_cells = sorted({r.cell for r in
-                         probed.select("cell").distinct().collect()})
+    # over-admits (the ivf_index_probe_batch comment); one agg job
+    # returns gate count + probed-cell union together (r13)
+    n_queries, live_cells = _fanout_gate(probed)
     adc = None
     for s in range(m):
         code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
@@ -2377,7 +2408,21 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
     size instead of a full corpus scan — assignment downstream still
     covers every row."""
     full = emb.where(F.col("embedding").isNotNull())
-    corpus = _train_sample(full, sample_ppm, "kmeans_centroids")
+    # persist the (bounded) training frame for the seed pick + every
+    # Lloyd round (r13, guide §5) — otherwise each round is a fresh
+    # corpus scan through the sample predicate; consumed entirely
+    # within this call
+    corpus = _train_sample(full, sample_ppm,
+                           "kmeans_centroids").persist()
+    try:
+        return _kmeans_rounds(corpus, full, k, iters, seed_ids)
+    finally:
+        corpus.unpersist()
+
+
+def _kmeans_rounds(corpus: DataFrame, full: DataFrame, k: int,
+                   iters: int, seed_ids: list[int] | None
+                   ) -> list[list[float]]:
     if seed_ids is not None:
         # explicit pinned seeds (callers that know the data layout,
         # e.g. one per planted blob); seed order = cluster id
