@@ -266,9 +266,12 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     edges = (pairs.select(F.col(a_col).cast(cast_to).alias("u"),
                           F.col(b_col).cast(cast_to).alias("v"))
              .where(F.col("u") != F.col("v")))
+    # lazy checkpoint (r13): the convergence checksum right below is
+    # the materializing action, so the eager checkpoint's extra job
+    # per round is folded into the checksum job (2 actions/round → 1)
     edges = (edges.select(F.greatest("u", "v").alias("u"),
                           F.least("u", "v").alias("v")).distinct()
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
 
     def _checksum(e: DataFrame) -> tuple[int, int]:
         row = e.agg(
@@ -296,7 +299,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
               .select(F.col("v").alias("u"), F.col("m").alias("v"))
               .where(F.col("u") != F.col("v"))
               .union(smin.select("u", F.col("m").alias("v")))
-              .distinct().localCheckpoint())
+              .distinct().localCheckpoint(eager=False))
         cur = _checksum(e2)
         edges = e2
         if cur == prev:
