@@ -563,7 +563,7 @@ def bpe_token_vocab(docs: DataFrame, merges: list[tuple[str, str]],
         F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
         .where(F.col("w") != "").distinct())
     vtoks = (words.select(F.explode(
-        bpe_encode_word(F.col("w"), merges)).alias("token"))
+        F.expr(_bpe_word_sql("w", merges))).alias("token"))
         .where(F.col("token") != "").distinct())
     # bounded collect: |vocab| <= |alphabet| + |merges| (see above)
     return sorted(r.token for r in vtoks.collect())
@@ -610,11 +610,7 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
     pad_id = len(vocab)
     vmap = F.map_from_arrays(
         F.lit(vocab), F.lit(list(range(len(vocab)))))
-    bpe = F.filter(
-        F.flatten(F.transform(
-            tokens(F.coalesce(F.col(text_col), F.lit(""))),
-            lambda w: bpe_encode_word(w, merges))),
-        lambda t: t != F.lit(""))
+    bpe = F.expr(_bpe_tokens_sql(merges, text_col))
 
     def to_id(t):
         i = F.element_at(vmap, t)
@@ -668,9 +664,8 @@ def unknown_vocab_tokens(docs: DataFrame,
     vmap = F.map_from_arrays(
         F.lit(vocab), F.lit(list(range(len(vocab)))))
     bpe = F.array_distinct(F.filter(
-        F.flatten(F.transform(
-            tokens(F.coalesce(F.col(text_col), F.lit(""))),
-            lambda w: bpe_encode_word(w, merges))),
+        F.expr(f"flatten(transform(split(coalesce(`{text_col}`, ''),"
+               f" ' '), w -> {_bpe_word_sql('w', merges)}))"),
         lambda t: (t != F.lit(""))
         & F.element_at(vmap, t).isNull()))
     return (docs.select(F.explode(bpe).alias("token"))
@@ -729,6 +724,39 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
                  F.max("n_chars").alias("max_chars")))
 
 
+def _sql_str(s: str) -> str:
+    """Exact SQL string literal: backslash-escape the parser's escape
+    characters so the parsed value equals ``s`` byte for byte."""
+    out = (s.replace("\\", "\\\\").replace("'", "\\'")
+           .replace("\n", "\\n").replace("\r", "\\r")
+           .replace("\t", "\\t"))
+    return f"'{out}'"
+
+
+def _bpe_word_sql(w_sql: str, merges: list[tuple[str, str]]) -> str:
+    """:func:`bpe_encode_word` rendered as ONE SQL string (fastexpr
+    policy): the merge chain is |merges|×2 nested ``replace`` calls,
+    which cost one py4j round trip EACH through the Column API —
+    ~86 ms of driver chatter per constructed chain, paid per recipe
+    unit while executors idle. The parsed tree is operator-for-
+    operator identical to the Column construction."""
+    s = f"concat(' ', array_join(split({w_sql}, ''), ' '), ' ')"
+    for a, b in merges:
+        pat, rep = _sql_str(f" {a} {b} "), _sql_str(f" {a}{b} ")
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    return f"split(trim({s}), ' ')"
+
+
+def _bpe_tokens_sql(merges: list[tuple[str, str]],
+                    text_col: str = "text") -> str:
+    """The shared whole-document BPE chain (tokenize → encode each
+    word → flatten → drop empties) as one SQL string."""
+    toks = f"split(coalesce(`{text_col}`, ''), ' ')"
+    word = _bpe_word_sql("w", merges)
+    return (f"filter(flatten(transform({toks}, w -> {word})), "
+            f"t -> t != '')")
+
+
 def bpe_encode_word(w, merges: list[tuple[str, str]]):
     """One word → its BPE token array under a pinned merge table —
     the shared encode core of :func:`bpe_apply` (counting) and
@@ -766,8 +794,8 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
     oracle-checkable core.
     """
     toks = tokens(F.col(text_col))
-    bpe = F.flatten(F.transform(
-        toks, lambda w: bpe_encode_word(w, merges)))
+    bpe = F.expr(f"flatten(transform(split(`{text_col}`, ' '), "
+                 f"w -> {_bpe_word_sql('w', merges)}))")
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -798,41 +826,53 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
     # split on ANY whitespace run — gopher_rules explicitly targets
     # multi-line documents (the bullet rule), where single-space
     # tokenization would merge words across newlines and the
-    # single-space-join length identity would count '\n' as word chars
-    toks = F.filter(F.split(F.col(text_col), r"\s+"),
-                    lambda t: t != F.lit(""))
-    nw = F.size(toks)
-    mean_wl = (F.aggregate(toks, F.lit(0),
-                           lambda acc, t: acc + F.length(t))
-               .cast("double") / F.greatest(nw, F.lit(1)))
+    # single-space-join length identity would count '\n' as word chars.
+    # The whole battery renders as SQL strings (fastexpr policy): the
+    # Column-API construction cost ~70 py4j round trips (~0.28 s of
+    # driver chatter) per call, paid once per recipe UNIT in the
+    # corpus engine chains while executors idle.
+    from georiva_spark.functions.fastexpr import dlit
+    ws_re = _sql_str(r"\s+")
+    dots_re = _sql_str(r"\.\.\.")
+    nl_re = _sql_str("\n")
+    t = f"`{text_col}`"
+    toks = f"filter(split({t}, {ws_re}), t -> t != '')"
+    nw = f"size({toks})"
+    mean_wl = (f"(CAST(aggregate({toks}, 0, "
+               f"(acc, t) -> acc + length(t)) AS DOUBLE) / "
+               f"greatest({nw}, 1))")
     # symbol-to-word ratio per the paper: '#' and '...' occurrences
-    nsym = (F.regexp_count(F.col(text_col), F.lit("#"))
-            + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
-    symr = (nsym / F.greatest(nw, F.lit(1))).cast("double")
-    lines = F.split(F.col(text_col), "\n", -1)
-    nbullet = F.size(F.filter(
-        lines, lambda ln: ln.startswith("- ") | ln.startswith("* ")
-        | ln.startswith("• ")))
-    bulr = (nbullet / F.greatest(F.size(lines), F.lit(1))).cast("double")
-    nstop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    nsym = (f"(regexp_count({t}, '#') + "
+            f"regexp_count({t}, {dots_re}))")
+    symr = f"CAST(({nsym} / greatest({nw}, 1)) AS DOUBLE)"
+    lines = f"split({t}, {nl_re}, -1)"
+    nbullet = (f"size(filter({lines}, ln -> "
+               f"startswith(ln, '- ') OR startswith(ln, '* ') "
+               f"OR startswith(ln, {_sql_str('• ')})))")
+    bulr = f"CAST(({nbullet} / greatest(size({lines}), 1)) AS DOUBLE)"
+    stoplist = ", ".join(_sql_str(s) for s in STOPWORDS)
+    nstop = f"size(filter({toks}, t -> t IN ({stoplist})))"
 
-    r_words = (nw >= min_words) & (nw <= max_words)
-    r_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-    r_sym = symr <= max_symbol_ratio
-    r_bul = bulr <= max_bullet_ratio
-    r_stop = nstop >= min_stopword_hits
-    passed = F.coalesce(r_words & r_wl & r_sym & r_bul & r_stop,
-                        F.lit(False))
-    return docs.select(
-        "doc_id", nw.alias("n_words"), mean_wl.alias("mean_word_len"),
-        symr.alias("symbol_ratio"), bulr.alias("bullet_ratio"),
-        nstop.alias("stopword_hits"),
-        F.coalesce(r_words, F.lit(False)).alias("rule_word_count"),
-        F.coalesce(r_wl, F.lit(False)).alias("rule_word_len"),
-        F.coalesce(r_sym, F.lit(False)).alias("rule_symbols"),
-        F.coalesce(r_bul, F.lit(False)).alias("rule_bullets"),
-        F.coalesce(r_stop, F.lit(False)).alias("rule_stopwords"),
-        passed.alias("gopher_pass"))
+    r_words = f"(({nw} >= {int(min_words)}) AND ({nw} <= {int(max_words)}))"
+    r_wl = (f"(({mean_wl} >= {dlit(min_mean_word_len)}) AND "
+            f"({mean_wl} <= {dlit(max_mean_word_len)}))")
+    r_sym = f"({symr} <= {dlit(max_symbol_ratio)})"
+    r_bul = f"({bulr} <= {dlit(max_bullet_ratio)})"
+    r_stop = f"({nstop} >= {int(min_stopword_hits)})"
+    passed = (f"coalesce(({r_words} AND {r_wl} AND {r_sym} AND "
+              f"{r_bul} AND {r_stop}), false)")
+    return docs.selectExpr(
+        "doc_id", f"{nw} AS n_words",
+        f"{mean_wl} AS mean_word_len",
+        f"{symr} AS symbol_ratio",
+        f"{bulr} AS bullet_ratio",
+        f"{nstop} AS stopword_hits",
+        f"coalesce({r_words}, false) AS rule_word_count",
+        f"coalesce({r_wl}, false) AS rule_word_len",
+        f"coalesce({r_sym}, false) AS rule_symbols",
+        f"coalesce({r_bul}, false) AS rule_bullets",
+        f"coalesce({r_stop}, false) AS rule_stopwords",
+        f"{passed} AS gopher_pass")
 
 
 def c4_rules(docs: DataFrame, *, min_words_per_line: int = 5,

@@ -5599,12 +5599,25 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
               "tier": "staging", "checksum": f"crawl-{k}-v1"}
              for k in range(3)]
 
+    # per-collection schema cache: every unit output of one collection
+    # shares its writer schema, so inferring it once saves the
+    # footer-read job spark.read.parquet pays per call (~85 ms × the
+    # dozens of loader calls the engine chain makes per query); the
+    # listing itself stays per-call, so redispatch after a rewrite
+    # still sees fresh files
+    _uschema: dict = {}
+
     def loader(it):
         if it["collection"] == "crawl-shards":
             k = int(it["variable"].split("-")[1])
             return docs.where(F.col("doc_id") % 3 == k)
-        return spark.read.parquet(
-            os.path.join(base, f"unit={it['unit_hash']}"))
+        path = os.path.join(base, f"unit={it['unit_hash']}")
+        sch = _uschema.get(it["collection"])
+        if sch is None:
+            out = spark.read.parquet(path)
+            _uschema[it["collection"]] = out.schema
+            return out
+        return spark.read.schema(sch).parquet(path)
 
     # the context gets its OWN list: the engine appends derived items
     # to catalog.items, and sharing the staging list would grow the
@@ -5759,13 +5772,30 @@ def _takedown_corpus_harness(spark: SparkSession, docs: DataFrame,
               "tier": "staging", "checksum": f"crawl-{k}-v1"}
              for k in range(3)]
 
+    # schema cache (same contract as the corpus-chain harness loader):
+    # schemas are stable per collection — and for the corpus across the
+    # takedown's partition prune — so inference runs once per kind
+    # while the file LISTING stays per-call (the prune/redispatch must
+    # see fresh files, so the DataFrames themselves are never reused)
+    _uschema: dict = {}
+
     def loader(it):
         if it["collection"] == "crawl-shards":
-            return (spark.read.parquet(corp)
-                    .where(F.col("shard") == it["variable"])
+            sch = _uschema.get("crawl-shards")
+            if sch is None:
+                src = spark.read.parquet(corp)
+                _uschema["crawl-shards"] = src.schema
+            else:
+                src = spark.read.schema(sch).parquet(corp)
+            return (src.where(F.col("shard") == it["variable"])
                     .drop("shard"))
-        return spark.read.parquet(
-            os.path.join(out, f"unit={it['unit_hash']}"))
+        path = os.path.join(out, f"unit={it['unit_hash']}")
+        sch = _uschema.get(it["collection"])
+        if sch is None:
+            df = spark.read.parquet(path)
+            _uschema[it["collection"]] = df.schema
+            return df
+        return spark.read.schema(sch).parquet(path)
 
     ctx = CatalogContext(spark, list(items), grid_loader=loader)
     reg = RecipeRegistry()
