@@ -679,13 +679,24 @@ def hamming_index_write(codes: DataFrame, table: str, path: str,
     layer — a dead member vanishes from probe pairs and lookup
     counts immediately, and compaction drops band rows whose code has
     no live member left."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
     from georiva_spark.sources.bucketing import write_bucketed
 
     _, is_arr = _code_ref(codes, code_col)
-    base = (codes.select(F.col(id_col).alias("id"),
-                         F.col(code_col).alias("code"))
-            .where(F.col("code").isNotNull())
-            .dropDuplicates(["id", "code"]))
+    # compute the perceptual codes ONCE for both table writes (r13
+    # optimization, the minhash_index_write persist policy): without
+    # the persist the Arrow decode lineage (image_dhash /
+    # audio_fingerprint over raw media bytes) runs twice — at 100 TB
+    # that is a second full media scan + decode per index build; the
+    # cached frame is (id, code), orders smaller than the media bytes
+    base = persist_bounded(
+        codes.select(F.col(id_col).alias("id"),
+                     F.col(code_col).alias("code"))
+        .where(F.col("code").isNotNull())
+        .dropDuplicates(["id", "code"]),
+        "hamming_index_write.base", StorageLevel.MEMORY_AND_DISK)
     bands, _ = _hamming_band_exprs(is_arr, "code", max_hamming, bits,
                                    word_bits, caller="hamming_index")
     ref2, _ = _code_ref(base, "code")
@@ -900,6 +911,10 @@ def hamming_index_append(new_codes: DataFrame, table: str,
     delivery re-admits an id whose only prior membership is
     tombstoned (the dead row stays until compaction purges it).
     Tagged appends into an unversioned pre-r12 layout fail by name."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.operators._retention import persist_bounded
+
     spark = new_codes.sparkSession
     p = hamming_index_params(spark, table)
     if "gen" not in spark.table(f"{table}_ids").columns:
@@ -918,10 +933,16 @@ def hamming_index_append(new_codes: DataFrame, table: str,
             f"hamming_index_append: index {table!r} stores "
             f"{'array' if p['arr'] else 'long'} codes but the delta "
             f"carries {'array' if is_arr else 'long'} codes")
-    base = (new_codes.select(F.col(id_col).alias("id"),
-                             F.col(code_col).alias("code"))
-            .where(F.col("code").isNotNull())
-            .dropDuplicates(["id", "code"]))
+    # the delta decode lineage feeds THREE consumers (band anti-join,
+    # membership-ref semi join, membership anti-join write) — persist
+    # once so the Arrow media decode runs once per append (r13, the
+    # hamming_index_write persist policy)
+    base = persist_bounded(
+        new_codes.select(F.col(id_col).alias("id"),
+                         F.col(code_col).alias("code"))
+        .where(F.col("code").isNotNull())
+        .dropDuplicates(["id", "code"]),
+        "hamming_index_append.base", StorageLevel.MEMORY_AND_DISK)
     bands, _ = _hamming_band_exprs(
         is_arr, "code", p["max_hamming"], p["bits"], p["word_bits"],
         caller="hamming_index")
