@@ -650,6 +650,37 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
             F.lit(context_len) - F.size(flat))).alias("token_ids"))
 
 
+def token_shard_pointer(docs: DataFrame,
+                        merges: list[tuple[str, str]],
+                        context_len: int = 2048,
+                        num_shards: int = 64,
+                        text_col: str = "text") -> DataFrame:
+    """The pack-pointer table of the token-shard layout WITHOUT the
+    token-id assembly — (doc_id, shard, bin_id, bin_offset, n_tok)
+    under exactly :func:`token_shard_bins`'s shard route, clamp and
+    greedy pack (n_tok = the clamped BPE token count, the same
+    ``size(slice(bpe, 1, context_len))`` the bins path uses).
+
+    r13 optimization: a manifest of COUNTS (bins / docs / tokens per
+    shard) is fully determined by this pointer table — deriving it
+    through :func:`token_shard_bins` additionally derives a vocab
+    (an eager distinct-words scan + collect per call) and shuffles
+    the materialized token-id arrays, none of which the counts need.
+    One in-row scan plus the longs-only pack shuffle instead."""
+    if context_len < 1:
+        raise ValueError(
+            f"token_shard_pointer: context_len={context_len} must be "
+            f">= 1")
+    bpe = F.expr(_bpe_tokens_sql(merges, text_col))
+    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
+                   F.lit(num_shards)).cast("int")
+    narrow = docs.select(
+        "doc_id", shard.alias("shard"),
+        F.size(F.slice(bpe, 1, context_len)).cast("long")
+        .alias("n_tok"))
+    return pack_pointer_table(narrow, context_len)
+
+
 def unknown_vocab_tokens(docs: DataFrame,
                          merges: list[tuple[str, str]],
                          vocab: list[str],

@@ -279,13 +279,27 @@ class CorpusShardTokensRecipe(_PerShardRollupBase):
     def transform(self, spark: SparkSession, unit: ProductionUnit,
                   resolved: list[ResolvedInput]
                   ) -> tuple[OutputItem, DataFrame]:
-        from georiva_spark.operators.textops import token_shard_bins
+        from georiva_spark.operators.textops import token_shard_pointer
         clean = resolved[0].load()
-        bins = token_shard_bins(
+        # counts only — the pack-pointer table fully determines them
+        # (r13 optimization: the token_shard_bins path additionally
+        # derived a per-unit vocab — an EXTRA eager distinct-words
+        # scan + collect per crawl shard — and shuffled materialized
+        # token-id arrays; per-bin n_docs/n_tokens are the size/sum
+        # of the pointer rows, so the manifest never needs either).
+        # Null-doc_id rows pack (they consume bin space in the bins
+        # path too) but never aggregate — the bins path drops them at
+        # its doc_id join, so the counts stay bit-identical.
+        pointer = token_shard_pointer(
             clean, self.merges,
             context_len=self.config["context_len"],
             num_shards=self.config["num_shards"])
-        manifest = (bins.groupBy("shard")
+        per_bin = (pointer.where(F.col("doc_id").isNotNull())
+                   .groupBy("shard", "bin_id")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                        F.sum("n_tok").cast("long")
+                        .alias("n_tokens")))
+        manifest = (per_bin.groupBy("shard")
                     .agg(F.count(F.lit(1)).cast("long")
                          .alias("n_bins"),
                          F.sum("n_docs").cast("long").alias("n_docs"),
