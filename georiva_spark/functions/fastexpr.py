@@ -46,6 +46,25 @@ def darr(vals) -> str:
     return "array(" + ", ".join(dlit(v) for v in vals) + ")"
 
 
+def larr(vals) -> str:
+    """``array(…)`` of BIGINT literals — the bounded-id-list shape
+    (takedown / retraction requests). One parsed string instead of
+    2 py4j round trips per element (a 2 000-id list cost ~5 s of
+    driver chatter through the Column API)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def in_longs(col: str, vals) -> str:
+    """``  `col` IN (…L, …)`` over a non-empty bounded id list — same
+    In predicate (and parquet pushdown) the Column ``isin`` builds,
+    constructed in one parse."""
+    vals = list(vals)
+    if not vals:
+        raise ValueError("in_longs: empty id list")
+    return (f"`{col}` IN ("
+            + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def sq_diff_lambda(cast_a: bool) -> str:
     """``(a, b) -> (a - b)²`` with the call site's exact cast shape."""
     a = "CAST(a AS DOUBLE)" if cast_a else "a"

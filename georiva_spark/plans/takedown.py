@@ -55,6 +55,7 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from georiva_spark.functions.fastexpr import in_longs, larr
 from georiva_spark.plans.engine import DerivationEngine, Trigger
 from georiva_spark.sources.commit import (atomic_write_json,
                                           backend_for, read_token_json)
@@ -84,7 +85,7 @@ def _affected_scan(corpus: DataFrame, ids) -> DataFrame:
     stats prune — at 100 TB the scan touches only row groups whose
     doc_id range overlaps the request) and only (doc_id, shard) ship
     (plan-asserted in test_plan_evidence)."""
-    return (corpus.where(F.col("doc_id").isin(ids))
+    return (corpus.where(F.expr(in_longs("doc_id", ids)))
             .select("shard").distinct())
 
 
@@ -94,7 +95,7 @@ def _prune_frame(corpus: DataFrame, affected, ids) -> DataFrame:
     partitions never scan, plan-asserted); the overwrite rewrites
     exactly the affected partitions."""
     return corpus.where(F.col("shard").isin(list(affected))
-                        & ~F.col("doc_id").isin(ids))
+                        & ~F.expr(in_longs("doc_id", ids)))
 
 
 def corpus_takedown(spark: SparkSession, corpus_dir: str,
@@ -150,7 +151,7 @@ def corpus_takedown(spark: SparkSession, corpus_dir: str,
     prior = read_token_json(token_path, who="corpus_takedown") or {}
 
     corpus = spark.read.parquet(corpus_dir)
-    dead = F.col("doc_id").isin(ids)
+    dead = F.expr(in_longs("doc_id", ids))
     affected = sorted(r.shard for r in
                       _affected_scan(corpus, ids).collect())
     # crash recovery: shards a prior run pruned but may not have
@@ -462,7 +463,7 @@ def takedown_report(spark: SparkSession, ids, *,
     parts = []
 
     def row_agg(df, surface, target, id_col, shard_col=None):
-        g = df.where(F.col(id_col).isin(ids))
+        g = df.where(F.expr(in_longs(id_col, ids)))
         if shard_col is not None:
             return (g.groupBy(F.col(shard_col).alias("shard"))
                     .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -519,8 +520,8 @@ def takedown_report(spark: SparkSession, ids, *,
             dead_doc_rules(spark, t, stamp_table=f"{t}_bands"),
             "id")
         parts.append(row_agg(live, "hamming", t, "id"))
+    dead = F.expr(larr(ids))
     for p in token_layouts:
-        dead = F.array(*[F.lit(i).cast("long") for i in ids])
         bins = (spark.read.option("basePath", p)
                 .parquet(f"{p}/shard=*")
                 .withColumn("__f", F.col("_metadata.file_path"))

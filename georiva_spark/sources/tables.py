@@ -531,7 +531,8 @@ def export_token_shards_takedown(spark: SparkSession, path: str,
         _read_token_sidecars(spark, path)
     pad_id = len(vocab)
     backend_for(path, who="export_token_shards_takedown")
-    dead = F.array(*[F.lit(i).cast("long") for i in ids])
+    from georiva_spark.functions.fastexpr import larr
+    dead = F.expr(larr(ids))
     affected = sorted(
         r.f for r in
         (spark.read.option("basePath", path)
