@@ -889,3 +889,44 @@ def test_ledger_restart_stable_ids_keep_t3_and_t5(spark, tmp_path):
     swept = eng3.sweep_stale()
     assert any(r.status == "completed" for r in swept)
     assert eng3.stale_units_df().count() == 0
+
+
+def test_token_manifest_pointer_agg_matches_bins_rollup(spark):
+    """r13 optimization guard: CorpusShardTokensRecipe aggregates the
+    pack-pointer table instead of the full token-id bin assembly —
+    the manifest it emits must stay bit-identical to the
+    token_shard_bins rollup it replaced, including empty-text,
+    NULL-text and clamped (>context_len tokens) docs."""
+    from georiva_spark.functions.frames import local_frame
+    from georiva_spark.operators.textops import (token_shard_bins,
+                                                 token_shard_pointer)
+
+    rows = [
+        (1, "the abc abd quick fox", "en", "web"),
+        (2, "", "en", "web"),                      # empty text
+        (3, None, "en", "web"),                    # NULL text
+        (4, "ab " * 40, "en", "web"),              # clamps at ctx=8
+        (5, "of abc abc words here", "de", "web"),
+        (6, "and abc de xyz words", "en", "books"),
+    ]
+    docs = local_frame(spark, rows, SCHEMA)
+    ctx_len, nsh = 8, 4
+    bins = token_shard_bins(docs, MERGES, context_len=ctx_len,
+                            num_shards=nsh)
+    old = (bins.groupBy("shard")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens")))
+    pointer = token_shard_pointer(docs, MERGES, context_len=ctx_len,
+                                  num_shards=nsh)
+    per_bin = (pointer.where(F.col("doc_id").isNotNull())
+               .groupBy("shard", "bin_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_tok").cast("long").alias("n_tokens")))
+    new = (per_bin.groupBy("shard")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens")))
+    assert old.schema == new.schema
+    assert sorted(map(tuple, old.collect())) == \
+        sorted(map(tuple, new.collect()))
