@@ -196,14 +196,27 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows, best of {done})",
               file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "calib_s": calib_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
+    # also land the line in a file (r14 — the r13 PERF comparison was
+    # blanked because the captured stdout stream truncated mid-JSON):
+    # stdout stays the contract; the file is recovery insurance only
+    try:
+        out_p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_out.json")
+        with open(out_p + ".tmp", "w") as f:
+            f.write(line + "\n")
+        os.replace(out_p + ".tmp", out_p)
+    except OSError as e:
+        print(f"# bench WARNING: could not write bench_out.json ({e})",
+              file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
