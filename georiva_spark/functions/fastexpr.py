@@ -32,6 +32,47 @@ import math
 
 from pyspark.sql import Column, functions as F
 
+#: sessions already checked for parser-conf compatibility (by id —
+#: a dead session's id reuse would only re-run the cheap check)
+_parser_checked: set[int] = set()
+
+
+def check_parser_conf(spark=None) -> None:
+    """Fail BY NAME if ``spark.sql.parser.escapedStringLiterals`` is
+    enabled: every SQL string this module (and textops' parsed
+    renderings) builds assumes the default parser, where ``'\\n'`` /
+    ``'\\s+'`` escape — under the legacy conf they parse as raw
+    backslash sequences and the expressions silently compute wrong
+    values instead of failing. Memoized per session."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+    if id(spark) in _parser_checked:
+        return
+    v = str(spark.conf.get(
+        "spark.sql.parser.escapedStringLiterals", "false"))
+    if v.lower() == "true":
+        raise ValueError(
+            "fastexpr: spark.sql.parser.escapedStringLiterals=true — "
+            "the parsed-SQL renderings assume the default parser's "
+            "string escapes; disable the legacy conf for this "
+            "session")
+    _parser_checked.add(id(spark))
+
+
+def ident(name: str) -> str:
+    """Backtick-quoted SQL identifier with embedded backticks doubled
+    (and control characters rejected) — every interpolated column
+    name in a parsed rendering must come through here, or a hostile
+    name injects arbitrary SQL into the plan."""
+    if any(ord(c) < 32 for c in name):
+        raise ValueError(
+            f"fastexpr.ident: control character in identifier "
+            f"{name!r}")
+    return "`" + name.replace("`", "``") + "`"
+
 
 def dlit(v: float) -> str:
     """Exact SQL double literal for ``v`` (finite only)."""
@@ -50,18 +91,26 @@ def larr(vals) -> str:
     """``array(…)`` of BIGINT literals — the bounded-id-list shape
     (takedown / retraction requests). One parsed string instead of
     2 py4j round trips per element (a 2 000-id list cost ~5 s of
-    driver chatter through the Column API)."""
+    driver chatter through the Column API). An empty list renders a
+    TYPED empty array (a bare ``array()`` breaks ``arrays_overlap``
+    against array<bigint>)."""
+    vals = list(vals)
+    if not vals:
+        return "CAST(array() AS ARRAY<BIGINT>)"
     return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
 
 
 def in_longs(col: str, vals) -> str:
-    """``  `col` IN (…L, …)`` over a non-empty bounded id list — same
-    In predicate (and parquet pushdown) the Column ``isin`` builds,
-    constructed in one parse."""
+    """``  `col` IN (…L, …)`` over a bounded id list — same In
+    predicate (and parquet pushdown) the Column ``isin`` builds,
+    constructed in one parse. An empty list renders ``false``, the
+    value ``isin([])`` evaluates to — callers keep short-circuiting
+    empties for plan economy, but the helper is no longer a
+    footgun."""
     vals = list(vals)
     if not vals:
-        raise ValueError("in_longs: empty id list")
-    return (f"`{col}` IN ("
+        return "false"
+    return (f"{ident(col)} IN ("
             + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 

@@ -87,7 +87,39 @@ def random_projection(vec: Column, in_dim: int, out_dim: int,
     from georiva_spark.functions import fastexpr
     signs = projection_signs(in_dim, out_dim, seed)
     scale = 1.0 / math.sqrt(float(out_dim))
-    vec_sql = vec._jc.toString()
-    return F.expr("array(" + ", ".join(
-        f"({fastexpr.dot_sql(vec_sql, signs[j])}) * {fastexpr.dlit(scale)}"
-        for j in range(out_dim)) + ")")
+    vec_sql = _column_sql(vec)
+    if vec_sql is not None:
+        return F.expr("array(" + ", ".join(
+            f"({fastexpr.dot_sql(vec_sql, signs[j])})"
+            f" * {fastexpr.dlit(scale)}"
+            for j in range(out_dim)) + ")")
+    # compound / dataframe-bound / Connect Columns: the parsed-string
+    # fast path only speaks plain attribute names — keep the original
+    # Column-API construction (identical tree, slower to build) so
+    # the signature's "any Column" contract still holds (r14, the
+    # r13 advisor's item)
+    cols = []
+    for j in range(out_dim):
+        dot = F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cols.append(dot * F.lit(scale))
+    return F.array(*cols)
+
+
+def _column_sql(vec: Column) -> str | None:
+    """SQL rendering of ``vec`` when it is a PLAIN attribute reference
+    (the only shape whose ``toString`` round-trips through the parser
+    unchanged) — None otherwise. A dataframe-bound column prints
+    ``name#14``, an aliased/compound Column prints an expression tree,
+    and Spark Connect has no ``_jc``; all of those must take the
+    Column-API path."""
+    try:
+        s = vec._jc.toString()
+    except Exception:  # noqa: BLE001 — Connect / foreign Column
+        return None
+    if s.isidentifier():
+        return f"`{s}`"
+    return None

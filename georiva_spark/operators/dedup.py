@@ -165,10 +165,12 @@ def _band_buckets(num_hashes: int, bands: int,
     one definition, so code drift cannot silently break an existing
     index). One parsed SQL string (fastexpr policy, r13) — the
     per-element py4j construction was ~0.2 s per call."""
+    from georiva_spark.functions.fastexpr import ident
     rows_per_band = num_hashes // bands
+    sc = ident(sig_col)
     return F.expr("array(" + ", ".join(
         "xxhash64(" + str(b) + ", " + ", ".join(
-            f"element_at({sig_col}, {b * rows_per_band + i + 1})"
+            f"element_at({sc}, {b * rows_per_band + i + 1})"
             for i in range(rows_per_band)) + ")"
         for b in range(bands)) + ")")
 

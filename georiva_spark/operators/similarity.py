@@ -881,8 +881,13 @@ def _fanout_gate(probed: DataFrame) -> tuple[int, list]:
     still materializes the persist so routing executes exactly once."""
     row = probed.agg(
         F.count_distinct("q_id").alias("nq"),
+        # a NULL q_id forms its own group under distinct() but is
+        # excluded by count_distinct — count it back in so a batch
+        # carrying null q_ids cannot under-count the broadcast gate
+        # (r14, the r13 advisor's item)
+        F.max(F.col("q_id").isNull().cast("int")).alias("hasnull"),
         F.collect_set("cell").alias("cells")).collect()[0]
-    return int(row.nq), sorted(row.cells)
+    return int(row.nq) + int(row.hasnull or 0), sorted(row.cells)
 
 
 def _spread_fanout(spark, fan: DataFrame) -> DataFrame:
@@ -1749,6 +1754,71 @@ def ivf_pq_index_refine(spark, table: str, emb: DataFrame, query_vec,
             .limit(k).drop("_c"))
 
 
+def _pq_adc_flat(vec_col: str, m: int, ncw: int, sub: int, cb):
+    """The flat m·2^nbits ADC lookup table of one query (fan-out)
+    row: ||q_seg − cw_seg||² against the codebook literals — ONE
+    parsed string (fastexpr). Shared by the batch probe and the
+    recall harness's routed fan-out."""
+    def qd(s: int, j: int) -> str:
+        return fastexpr.l2_sql(
+            f"slice({vec_col}, {s * sub + 1}, {sub})",
+            cb[j][s * sub:(s + 1) * sub])
+
+    return F.expr("array(" + ", ".join(
+        qd(s, j) for s in range(m) for j in range(ncw)) + ")")
+
+
+def _pq_adc_score(m: int, nbits: int, ncw: int):
+    """Per-candidate ADC-L2² from the riding `qd` table + the packed
+    `pq_code` — m element_at picks, no floats shipped."""
+    adc = None
+    for s in range(m):
+        code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
+                  .bitwiseAND(F.lit(ncw - 1)).cast("int"))
+        term = F.element_at(F.col("qd"), F.lit(s * ncw) + code_s + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def _pq_params(spark, table: str, props: dict, queries: DataFrame):
+    """Shared head of the PQ probe family: validate the stamp + sync,
+    load the centroid/codebook sidecars, and rotate the queries into
+    index space for an OPQ index. ONE definition (the batch probe and
+    the recall harness's shared routing both call it — drift here
+    would silently route probes and calibration differently).
+    → (m, nbits, residual, ncw, cents, cb, sub, queries)."""
+    import numpy as np
+
+    try:
+        m = int(props["georiva.pq_m"])
+        nbits = int(props["georiva.pq_nbits"])
+    except KeyError as e:
+        raise ValueError(
+            f"{table!r} is not a stamped ivf_pq index "
+            f"(missing property {e})") from None
+    opq = props.get("georiva.pq_opq") == "1"
+    _check_quantizer_sync(spark, table,
+                          ("_centroids", "_codebook")
+                          + (("_rotation",) if opq else ()),
+                          props=props)
+    if opq:
+        # the index lives in rotated space — rotate every query
+        # in-row against the stamped rotation before routing/ADC
+        rot = _load_rotation(spark, table, props)
+        queries = queries.withColumn("embedding", _rotate_expr(rot))
+    crows = spark.table(f"{table}_centroids").collect()
+    cents = [list(map(float, r.embedding))
+             for r in sorted(crows, key=lambda r: r.cell)]
+    if not cents:
+        raise ValueError(f"{table!r} has no centroid sidecar")
+    cbrows = spark.table(f"{table}_codebook").collect()
+    cb = [np.asarray(r.embedding, dtype=np.float64)
+          for r in sorted(cbrows, key=lambda r: r.code)]
+    dim = len(cb[0])
+    return (m, nbits, bool(int(props.get("georiva.pq_residual", "0"))),
+            1 << nbits, cents, cb, dim // m, queries)
+
+
 def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
                              k: int = 5, nprobe: int = 2,
                              exclude_self: bool = False,
@@ -1775,48 +1845,15 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     corpus-internal q_id spaces; ``candidate_ids`` (optional
     single-column frame) SEMI-joins the scan for filtered batch ANN —
     see :func:`ivf_pq_index_probe`."""
-    import numpy as np
-
     from georiva_spark.operators._retention import persist_bounded
     from pyspark import StorageLevel
 
     props = {r.key: r.value for r in
              spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
-    try:
-        m = int(props["georiva.pq_m"])
-        nbits = int(props["georiva.pq_nbits"])
-    except KeyError as e:
-        raise ValueError(
-            f"{table!r} is not a stamped ivf_pq index "
-            f"(missing property {e})") from None
-    residual = bool(int(props.get("georiva.pq_residual", "0")))
-    opq = props.get("georiva.pq_opq") == "1"
-    ncw = 1 << nbits
-    _check_quantizer_sync(spark, table,
-                          ("_centroids", "_codebook")
-                          + (("_rotation",) if opq else ()),
-                          props=props)
-    if opq:
-        # the index lives in rotated space — rotate every query
-        # in-row against the stamped rotation before routing/ADC
-        rot = _load_rotation(spark, table, props)
-        queries = queries.withColumn("embedding", _rotate_expr(rot))
-    crows = spark.table(f"{table}_centroids").collect()
-    cents = [list(map(float, r.embedding))
-             for r in sorted(crows, key=lambda r: r.cell)]
-    if not cents:
-        raise ValueError(f"{table!r} has no centroid sidecar")
-    cbrows = spark.table(f"{table}_codebook").collect()
-    cb = [np.asarray(r.embedding, dtype=np.float64)
-          for r in sorted(cbrows, key=lambda r: r.code)]
-    dim = len(cb[0])
-    sub = dim // m
+    m, nbits, residual, ncw, cents, cb, sub, queries = _pq_params(
+        spark, table, props, queries)
 
     cells = F.expr(fastexpr.route_cells_sql("embedding", cents, nprobe))
-
-    def qd(vec: str, s: int, j: int) -> str:  # ADC: ||q_seg − cw_seg||²
-        return fastexpr.l2_sql(f"slice({vec}, {s * sub + 1}, {sub})",
-                               cb[j][s * sub:(s + 1) * sub])
 
     # a residual index builds each fan-out row's ADC table from the
     # query's residual against the row's PROBED cell (q − cent[cell],
@@ -1832,9 +1869,7 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
         vec_col = "_rq"
     else:
         vec_col = "qe"
-    adc_flat = F.expr("array(" + ", ".join(
-        qd(vec_col, s, j) for s in range(m)
-        for j in range(ncw)) + ")")
+    adc_flat = _pq_adc_flat(vec_col, m, ncw, sub, cb)
     probed = persist_bounded(
         fan.select("q_id", adc_flat.alias("qd"), "cell"),
         "ivf_pq_index_probe_batch.probed", StorageLevel.MEMORY_AND_DISK)
@@ -1843,12 +1878,7 @@ def ivf_pq_index_probe_batch(spark, table: str, queries: DataFrame,
     # over-admits (the ivf_index_probe_batch comment); one agg job
     # returns gate count + probed-cell union together (r13)
     n_queries, live_cells = _fanout_gate(probed)
-    adc = None
-    for s in range(m):
-        code_s = (F.shiftrightunsigned(F.col("pq_code"), s * nbits)
-                  .bitwiseAND(F.lit(ncw - 1)).cast("int"))
-        term = F.element_at(F.col("qd"), F.lit(s * ncw) + code_s + 1)
-        adc = term if adc is None else adc + term
+    adc = _pq_adc_score(m, nbits, ncw)
     scan = _live_table(spark, table).where(
         F.col("cell").isin(live_cells))
     if candidate_ids is not None:
