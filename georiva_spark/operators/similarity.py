@@ -2003,6 +2003,133 @@ def _exact_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .where(F.col("_r") <= k).select("q_id", "vec_id"))
 
 
+def _grid_probe_settings(spark, table: str, props: dict,
+                         queries: DataFrame, k: int, nprobes: tuple,
+                         shortlists: tuple, emb: DataFrame | None,
+                         max_broadcast_queries: int) -> list:
+    """The recall harness's probes for the FULL (nprobe × shortlist)
+    grid off ONE routed fan-out and ONE index scan (r14, guide §1.2 —
+    the r13 verdict's item 4): ``route_cells_sql`` argsorts the full
+    centroid distance array and slices, so the nprobe-n fan is a
+    PREFIX of the max(nprobes) fan, and a shortlist is a prefix of
+    the stage-1 ADC ranking — every grid setting is a filter + window
+    over SHARED scored candidates. Top-k sets are identical to the
+    serving batch probes' (same routing argsort, same scores, same
+    (score, vec_id) tie-break, same exclude_self-always-on harness
+    contract, same broadcast gate), which the per-setting serving
+    calls this replaces re-derived per setting with their own scan.
+    → [(nprobe, shortlist_or_None, got_df(q_id, vec_id)), ...]."""
+    from pyspark import StorageLevel
+
+    from georiva_spark.functions.vectors import cosine_similarity
+    from georiva_spark.operators._retention import persist_bounded
+
+    is_pq = "georiva.pq_m" in props
+    max_np = max(int(n) for n in nprobes)
+    queries_orig = queries
+    if is_pq:
+        m, nbits, residual, ncw, cents, cb, sub, queries = _pq_params(
+            spark, table, props, queries)
+    else:
+        _check_quantizer_sync(spark, table, ("_centroids",))
+        crows = spark.table(f"{table}_centroids").collect()
+        cents = [list(map(float, r.embedding))
+                 for r in sorted(crows, key=lambda r: r.cell)]
+        if not cents:
+            raise ValueError(f"{table!r} has no centroid sidecar")
+    cells = F.expr(fastexpr.route_cells_sql("embedding", cents,
+                                            max_np))
+    fan = queries.select("q_id", F.col("embedding").alias("qe"),
+                         F.posexplode(cells).alias("__pos", "cell"))
+    if is_pq:
+        if residual:
+            fan = fan.withColumn(
+                "_rq", F.zip_with(F.col("qe"), _cent_lookup(cents),
+                                  lambda a, b: a.cast("double") - b))
+            vec_col = "_rq"
+        else:
+            vec_col = "qe"
+        adc_flat = _pq_adc_flat(vec_col, m, ncw, sub, cb)
+        probed = persist_bounded(
+            fan.select("q_id", "__pos", adc_flat.alias("qd"), "cell"),
+            "ann_recall_estimate.probed", StorageLevel.MEMORY_AND_DISK)
+    else:
+        probed = persist_bounded(
+            fan.select("q_id", "qe", "__pos", "cell"),
+            "ann_recall_estimate.probed", StorageLevel.MEMORY_AND_DISK)
+    n_queries, live_cells = _fanout_gate(probed)
+    scan = _live_table(spark, table).where(
+        F.col("cell").isin(live_cells))
+    small = n_queries <= max_broadcast_queries
+    if small:
+        cand = scan.join(F.broadcast(probed), "cell")
+    else:
+        cand = _salted_cell_join(spark, scan,
+                                 _spread_fanout(spark, probed),
+                                 len(live_cells))
+    # the harness always probes exclude_self (q_ids ARE corpus ids)
+    cand = cand.where(F.col("vec_id") != F.col("q_id"))
+    if is_pq:
+        score, order = _pq_adc_score(m, nbits, ncw), \
+            [F.asc("_s"), F.asc("vec_id")]
+    else:
+        score, order = cosine_similarity(F.col("embedding"),
+                                         F.col("qe")), \
+            [F.desc("_s"), F.asc("vec_id")]
+    cand = persist_bounded(
+        cand.select("q_id", "__pos", "vec_id", score.alias("_s")),
+        "ann_recall_estimate.cand", StorageLevel.MEMORY_AND_DISK)
+    w1 = Window.partitionBy("q_id").orderBy(*order)
+    if shortlists == (None,):
+        # float probe / raw ADC: per setting, top-k over the shared
+        # scored candidates routed at that nprobe (fan prefix)
+        return [(np_, None,
+                 cand.where(F.col("__pos") < int(np_))
+                 .withColumn("_r", F.row_number().over(w1))
+                 .where(F.col("_r") <= k).select("q_id", "vec_id"))
+                for np_ in nprobes]
+    # PQ refine grid: stage-1 ADC rank per nprobe at max(shortlist)
+    # (a shortlist is a rank prefix), then ONE exact-cosine join over
+    # the union of shortlisted pairs — the ORIGINAL (unrotated)
+    # query embeddings re-rank against the float corpus, exactly the
+    # serving refine's stage-2 contract
+    max_sl = max(int(s) for s in shortlists)
+    ranked = None
+    for np_ in nprobes:
+        r1 = (cand.where(F.col("__pos") < int(np_))
+              .withColumn("_r1", F.row_number().over(w1))
+              .where(F.col("_r1") <= max_sl)
+              .select(F.lit(int(np_)).alias("__np"), "q_id",
+                      "vec_id", "_r1"))
+        ranked = r1 if ranked is None else ranked.unionByName(r1)
+    ranked = persist_bounded(ranked, "ann_recall_estimate.ranked",
+                             StorageLevel.MEMORY_AND_DISK)
+    pairs = ranked.select("q_id", "vec_id").distinct()
+    qe = queries_orig.select(F.col("q_id").alias("__qid"),
+                             F.col("embedding").alias("qe"))
+    if small:
+        pairs, qe = F.broadcast(pairs), F.broadcast(qe)
+    cos = cosine_similarity(F.col("embedding"), F.col("qe"))
+    rescored = persist_bounded(
+        emb.join(pairs, "vec_id")
+        .join(qe, F.col("q_id") == F.col("__qid"))
+        .select("q_id", "vec_id", cos.alias("_c")),
+        "ann_recall_estimate.rescored", StorageLevel.MEMORY_AND_DISK)
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("_c"),
+                                            F.asc("vec_id"))
+    out = []
+    for np_ in nprobes:
+        for sl in shortlists:
+            sel = (ranked.where((F.col("__np") == int(np_))
+                                & (F.col("_r1") <= int(sl)))
+                   .select("q_id", "vec_id"))
+            got = (rescored.join(sel, ["q_id", "vec_id"], "left_semi")
+                   .withColumn("_r", F.row_number().over(w2))
+                   .where(F.col("_r") <= k).select("q_id", "vec_id"))
+            out.append((np_, sl, got))
+    return out
+
+
 def ann_recall_estimate(spark, table: str, k: int = 5,
                         nprobes: tuple = (1, 2),
                         sample_ppm: int = 30_000,
@@ -2075,23 +2202,15 @@ def ann_recall_estimate(spark, table: str, k: int = 5,
     shortlists = ((shortlist,) if isinstance(shortlist, int)
                   else tuple(shortlist) if shortlist is not None
                   else (None,))
+    # the whole (nprobe × shortlist) grid probes off ONE routed
+    # fan-out + ONE index scan (r14 — see _grid_probe_settings);
+    # per-setting results are filter+window slices of the shared
+    # scored candidates, identical to the serving batch probes'
+    settings = _grid_probe_settings(
+        spark, table, props, queries, k, nprobes, shortlists, emb,
+        max_broadcast_queries)
     out = None
-    for np_, sl in [(n, s) for n in nprobes for s in shortlists]:
-        if is_pq and sl is not None:
-            got = ivf_pq_index_refine_batch(
-                spark, table, emb, queries, k=k, nprobe=np_,
-                shortlist=sl, exclude_self=True,
-                max_broadcast_queries=max_broadcast_queries)
-        elif is_pq:
-            got = ivf_pq_index_probe_batch(
-                spark, table, queries, k=k, nprobe=np_,
-                exclude_self=True,
-                max_broadcast_queries=max_broadcast_queries)
-        else:
-            got = ivf_index_probe_batch(
-                spark, table, queries, k=k, nprobe=np_,
-                exclude_self=True,
-                max_broadcast_queries=max_broadcast_queries)
+    for np_, sl, got in settings:
         # one bounded union-shuffle per setting: hits = pairs in both
         u = (truth.select("q_id", "vec_id", F.lit(1).alias("__t"),
                           F.lit(0).alias("__g"))
