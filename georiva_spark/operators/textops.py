@@ -558,7 +558,14 @@ def bpe_token_vocab(docs: DataFrame, merges: list[tuple[str, str]],
     concatenation some merge rule produces, so |vocab| ≤ |alphabet| +
     |merges| regardless of corpus size — the driver collect here is
     bounded by the tokenizer, the same class as reading a centroid
-    sidecar."""
+    sidecar.
+
+    A caller that ALSO needs the per-doc token arrays (the export
+    path) should tokenize once with :func:`bpe_tokens_frame` and
+    derive the vocab from the cached arrays via
+    :func:`bpe_vocab_from_tokens` instead — same set (the token set
+    over all word occurrences equals the set over distinct words),
+    one corpus scan instead of two (r14)."""
     words = (docs.select(F.explode(tokens(
         F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
         .where(F.col("w") != "").distinct())
@@ -569,11 +576,47 @@ def bpe_token_vocab(docs: DataFrame, merges: list[tuple[str, str]],
     return sorted(r.token for r in vtoks.collect())
 
 
+def bpe_tokens_frame(docs: DataFrame, merges: list[tuple[str, str]],
+                     num_shards: int,
+                     text_col: str = "text") -> DataFrame:
+    """ONE persisted corpus tokenize pass → (doc_id, shard int,
+    __toks array<string> — the UNCLAMPED whole-document BPE token
+    strings under :func:`token_shard_bins`'s md5 shard route).
+    Shared by the vocab derivation (:func:`bpe_vocab_from_tokens`)
+    and the bin assembly (``token_shard_bins(_tok=...)``) — r14,
+    guide §1.2/§5: the export paid the |merges|×2-replace BPE chain
+    over the corpus twice (distinct-words vocab pass + bins pass).
+    Unclamped on purpose: the vocab must see tokens past
+    ``context_len`` exactly as the distinct-words pass does."""
+    from georiva_spark.operators._retention import persist_bounded
+    bpe = F.expr(_bpe_tokens_sql(merges, text_col))
+    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
+                   F.lit(num_shards)).cast("int")
+    return persist_bounded(
+        docs.select("doc_id", shard.alias("shard"),
+                    bpe.alias("__toks")),
+        "token_shard_bins.tok")
+
+
+def bpe_vocab_from_tokens(tok: DataFrame) -> list[str]:
+    """:func:`bpe_token_vocab` off a :func:`bpe_tokens_frame` cache:
+    sorted distinct tokens of the cached arrays. Identical set — the
+    distinct-words pass encodes each distinct word once, the arrays
+    hold every occurrence; distinct collapses them to the same
+    model-sized vocabulary (|vocab| ≤ |alphabet| + |merges|), and the
+    per-partition partial agg means the distinct shuffle moves at
+    most |vocab| rows per map task."""
+    vtoks = (tok.select(F.explode("__toks").alias("token"))
+             .where(F.col("token") != "").distinct())
+    return sorted(r.token for r in vtoks.collect())
+
+
 def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
                      context_len: int = 2048, num_shards: int = 64,
                      text_col: str = "text",
                      vocab: list[str] | None = None,
-                     strict_vocab: bool = False) -> DataFrame:
+                     strict_vocab: bool = False,
+                     _tok: DataFrame | None = None) -> DataFrame:
     """Fixed-context TOKEN-ID training rows — the loader handoff a
     Megatron/GPT-style trainer mmaps: BPE-tokenize every document
     (:func:`bpe_encode_word`, pinned merges), map tokens to dense ids
@@ -605,12 +648,18 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
         raise ValueError(
             f"token_shard_bins: context_len={context_len} must be "
             f">= 1")
+    if _tok is None and vocab is None:
+        # self-derived vocab: ONE tokenize pass serves the vocab AND
+        # the bins (r14, guide §1.2/§5) — without the shared cache
+        # this path scanned+BPE'd the corpus once for the
+        # distinct-words vocab and again for the assembly
+        _tok = bpe_tokens_frame(docs, merges, num_shards,
+                                text_col=text_col)
     if vocab is None:
-        vocab = bpe_token_vocab(docs, merges, text_col=text_col)
+        vocab = bpe_vocab_from_tokens(_tok)
     pad_id = len(vocab)
     vmap = F.map_from_arrays(
         F.lit(vocab), F.lit(list(range(len(vocab)))))
-    bpe = F.expr(_bpe_tokens_sql(merges, text_col))
 
     def to_id(t):
         i = F.element_at(vmap, t)
@@ -623,11 +672,32 @@ def token_shard_bins(docs: DataFrame, merges: list[tuple[str, str]],
                       "the merges")))).otherwise(i)
         return i.cast("int")
 
-    ids = F.transform(F.slice(bpe, 1, context_len), to_id)
-    shard = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
-                   F.lit(num_shards)).cast("int")
-    tok = docs.select("doc_id", shard.alias("shard"),
-                      ids.alias("__ids"))
+    if _tok is not None:
+        # ids from the cached token arrays: the clamp+map probe is
+        # in-row JVM work over cached data — no BPE chain, no scan
+        tok = _tok.select(
+            "doc_id", "shard",
+            F.transform(F.slice(F.col("__toks"), 1, context_len),
+                        to_id).alias("__ids"))
+    else:
+        # pinned-vocab single consumer chain (the delta export): the
+        # tokenized frame still feeds TWO consumers — the
+        # pack-pointer branch (sizes only) and the bin-assembly join
+        # (the ids) — and without a persist each evaluates the full
+        # BPE merge chain over the corpus independently (r14, guide
+        # §1.2 step 1 / §5). The cached frame is (doc_id, shard, int
+        # ids) — token-count × 4 bytes, far narrower than re-running
+        # |merges|×2 string replaces per word occurrence.
+        from georiva_spark.operators._retention import persist_bounded
+        bpe = F.expr(_bpe_tokens_sql(merges, text_col))
+        ids = F.transform(F.slice(bpe, 1, context_len), to_id)
+        shard = F.pmod(
+            portable_hash64(F.col("doc_id").cast("string")),
+            F.lit(num_shards)).cast("int")
+        tok = persist_bounded(
+            docs.select("doc_id", shard.alias("shard"),
+                        ids.alias("__ids")),
+            "token_shard_bins.tok")
     pointer = pack_pointer_table(
         tok.select("doc_id", "shard",
                    F.size("__ids").cast("long").alias("n_tok")),
@@ -684,22 +754,35 @@ def token_shard_pointer(docs: DataFrame,
 def unknown_vocab_tokens(docs: DataFrame,
                          merges: list[tuple[str, str]],
                          vocab: list[str],
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         _tok: DataFrame | None = None) -> DataFrame:
     """BPE tokens of ``docs`` that a PINNED vocab does not cover —
     → (token, n_docs). The pre-flight check of the incremental
     token-shard export: finding drift BEFORE any shard file is
     appended beats a mid-write task failure. One in-row scan over
     the delta (distinct words → encode → probe the constant-folded
     vocab map), bounded output (≤ |alphabet|+|merges| novel
-    tokens)."""
+    tokens). ``_tok`` (a :func:`bpe_tokens_frame` cache) answers
+    the probe off the cached arrays instead — the delta export
+    shares one tokenize pass between this pre-flight and the bin
+    assembly (r14; ``__toks`` holds the same non-empty flatten the
+    inline chain builds, so the distinct unknown-token set is
+    identical)."""
     vmap = F.map_from_arrays(
         F.lit(vocab), F.lit(list(range(len(vocab)))))
-    bpe = F.array_distinct(F.filter(
-        F.expr(f"flatten(transform(split(coalesce(`{text_col}`, ''),"
-               f" ' '), w -> {_bpe_word_sql('w', merges)}))"),
-        lambda t: (t != F.lit(""))
-        & F.element_at(vmap, t).isNull()))
-    return (docs.select(F.explode(bpe).alias("token"))
+    unk = lambda t: ((t != F.lit(""))                     # noqa: E731
+                     & F.element_at(vmap, t).isNull())
+    if _tok is not None:
+        src, bpe = _tok, F.array_distinct(
+            F.filter(F.col("__toks"), unk))
+    else:
+        from georiva_spark.functions.fastexpr import ident
+        src, bpe = docs, F.array_distinct(F.filter(
+            F.expr(f"flatten(transform(split(coalesce("
+                   f"{ident(text_col)}, ''), ' '), "
+                   f"w -> {_bpe_word_sql('w', merges)}))"),
+            unk))
+    return (src.select(F.explode(bpe).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
@@ -757,7 +840,12 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
 
 def _sql_str(s: str) -> str:
     """Exact SQL string literal: backslash-escape the parser's escape
-    characters so the parsed value equals ``s`` byte for byte."""
+    characters so the parsed value equals ``s`` byte for byte.
+    Assumes (and asserts, memoized per session) the DEFAULT parser —
+    under the legacy escapedStringLiterals conf these escapes would
+    parse as raw backslashes and silently compute wrong values."""
+    from georiva_spark.functions.fastexpr import check_parser_conf
+    check_parser_conf()
     out = (s.replace("\\", "\\\\").replace("'", "\\'")
            .replace("\n", "\\n").replace("\r", "\\r")
            .replace("\t", "\\t"))
@@ -782,7 +870,8 @@ def _bpe_tokens_sql(merges: list[tuple[str, str]],
                     text_col: str = "text") -> str:
     """The shared whole-document BPE chain (tokenize → encode each
     word → flatten → drop empties) as one SQL string."""
-    toks = f"split(coalesce(`{text_col}`, ''), ' ')"
+    from georiva_spark.functions.fastexpr import ident
+    toks = f"split(coalesce({ident(text_col)}, ''), ' ')"
     word = _bpe_word_sql("w", merges)
     return (f"filter(flatten(transform({toks}, w -> {word})), "
             f"t -> t != '')")
@@ -824,8 +913,9 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
     to a broadcast trie in a pandas_udf; the pinned-merges path is the
     oracle-checkable core.
     """
+    from georiva_spark.functions.fastexpr import ident
     toks = tokens(F.col(text_col))
-    bpe = F.expr(f"flatten(transform(split(`{text_col}`, ' '), "
+    bpe = F.expr(f"flatten(transform(split({ident(text_col)}, ' '), "
                  f"w -> {_bpe_word_sql('w', merges)}))")
     return docs.select(
         "doc_id",
@@ -862,11 +952,11 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50,
     # Column-API construction cost ~70 py4j round trips (~0.28 s of
     # driver chatter) per call, paid once per recipe UNIT in the
     # corpus engine chains while executors idle.
-    from georiva_spark.functions.fastexpr import dlit
+    from georiva_spark.functions.fastexpr import dlit, ident
     ws_re = _sql_str(r"\s+")
     dots_re = _sql_str(r"\.\.\.")
     nl_re = _sql_str("\n")
-    t = f"`{text_col}`"
+    t = ident(text_col)
     toks = f"filter(split({t}, {ws_re}), t -> t != '')"
     nw = f"size({toks})"
     mean_wl = (f"(CAST(aggregate({toks}, 0, "
@@ -1378,12 +1468,20 @@ def train_linear_classifier(docs: DataFrame, label: Column,
     from georiva_spark.operators._retention import persist_bounded
     feats = persist_bounded(feats, "train_linear_classifier.feats",
                             StorageLevel.MEMORY_AND_DISK)
-    ydf = base.select("doc_id", label.cast("double").alias("y"))
-    n_docs = base.count()
+    # the label frame joins into EVERY epoch's residual — uncached it
+    # re-scans the corpus once per iteration (r14, guide §1.2/§5: the
+    # feats persist policy applied to the other per-epoch input); the
+    # cached frame is (doc_id, y) — two scalars per doc. n_docs off
+    # the cached frame both saves the extra corpus count scan and
+    # materializes the cache before the epoch loop.
+    ydf = persist_bounded(
+        base.select("doc_id", label.cast("double").alias("y")),
+        "train_linear_classifier.ydf", StorageLevel.MEMORY_AND_DISK)
+    n_docs = ydf.count()
 
     def scores(w):
-        wj = F.element_at(F.array(*[F.lit(v) for v in w]),
-                          F.col("j") + 1)
+        from georiva_spark.functions import fastexpr
+        wj = F.element_at(F.expr(fastexpr.darr(w)), F.col("j") + 1)
         return (feats.select("doc_id", (F.col("x") * wj).alias("wx"))
                 .groupBy("doc_id").agg(F.sum("wx").alias("s")))
 

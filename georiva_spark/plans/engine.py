@@ -295,22 +295,47 @@ class DerivationEngine:
     # ---- T2: event→unit routing ------------------------------------------
     def dispatch_for_trigger(self, trigger: Trigger,
                              origin: str | None = None) -> list[RunRecord]:
+        return self.dispatch_for_triggers([trigger], origin=origin)
+
+    def dispatch_for_triggers(self, triggers: list,
+                              origin: str | None = None
+                              ) -> list[RunRecord]:
+        """Batch T2 routing (r14, guide §2.6): a caller holding SEVERAL
+        independent trigger events (a micro-batch of staging shards, a
+        takedown's recompute closure) dispatches them as ONE level per
+        recipe instead of a serial per-trigger loop — the per-trigger
+        loop ran each chain depth-first, so a corpus-wide MERGE product
+        re-ran (and re-wrote) once per trigger; batched, each level's
+        duplicate merge candidates collapse to one run over ALL the
+        level's partials, which is exactly the state the serial loop's
+        LAST run produced. Final outputs, items and lineage are
+        identical; the intermediate merge re-writes (dead the moment
+        the next trigger superseded them) are simply never written."""
         out = []
         for recipe in self.registry.all():
-            for unit in recipe.candidate_units(trigger, self.catalog):
-                out.append(self.run_unit(recipe, unit, origin=origin))
+            cands = [(recipe, unit, origin)
+                     for trigger in triggers
+                     for unit in recipe.candidate_units(trigger,
+                                                        self.catalog)]
+            recs, seeds = self._run_level(cands)
+            out.extend(recs)
+            self._chain_from(seeds)
         return out
 
     def run_all(self, origin: str | None = None) -> list[RunRecord]:
         out = []
         for recipe in self.registry.all():
-            for unit in recipe.enumerate_units(self.catalog):
-                out.append(self.run_unit(recipe, unit, origin=origin))
+            cands = [(recipe, unit, origin)
+                     for unit in recipe.enumerate_units(self.catalog)]
+            recs, seeds = self._run_level(cands)
+            out.extend(recs)
+            self._chain_from(seeds)
         return out
 
     # ---- the 6-step unit loop (engine.py:287-423) ------------------------
     def run_unit(self, recipe: Recipe, unit: dict,
-                 origin: str | None = None) -> RunRecord:
+                 origin: str | None = None,
+                 _defer: list | None = None) -> RunRecord:
         uh = unit_hash({"recipe": recipe.recipe_id, **unit})
         rec = RunRecord(recipe_id=recipe.recipe_id,
                         recipe_version=recipe.version,
@@ -355,8 +380,27 @@ class DerivationEngine:
             return self._mark(rec, "failed", reason=f"transform: {e}")
 
         item_id = self._register_item(out_item, uh, ih, prev)
+        if _defer is not None:
+            # batched dispatch (r14, guide §2.6): the caller runs this
+            # unit's write job concurrently with its level siblings and
+            # then finalizes (lineage → completed → chain) in this same
+            # phase-1 order — identical per-unit commit markers and
+            # ledger rows, the serial write wall collapsed.
+            _defer.append((rec, uh, out_df, out_item, item_id,
+                           resolved, ih, recipe))
+            return rec
         self._write_output(uh, out_df)
-        # lineage (engine.py:194-221): dedup edges per (derived, source)
+        rec = self._finalize_completed(rec, recipe, resolved, ih,
+                                       item_id)
+        self._chain_from([(out_item, item_id)])
+        return rec
+
+    def _finalize_completed(self, rec: RunRecord, recipe: Recipe,
+                            resolved, ih: str,
+                            item_id: int) -> RunRecord:
+        """Post-write bookkeeping of a successful unit: lineage edges
+        (deduped per (derived, source)), then the completed ledger
+        event."""
         seen = set()
         new_edges = []
         for r in resolved:
@@ -378,44 +422,148 @@ class DerivationEngine:
         self._append_lineage(new_edges)
         rec.input_hash = ih
         rec.produced_item_id = item_id
-        rec = self._mark(rec, "completed")
-        self._chain_completed(out_item, item_id)
-        return rec
+        return self._mark(rec, "completed")
+
+    # ---- batched dispatch (r14 optimization, guide §2.6) -----------------
+    #: concurrent unit-write jobs per level. The driver submits the
+    #: independent ready units' write jobs from a small thread pool so
+    #: the next job's tasks back-fill executors freed by the current
+    #: job's tail (guide §2.6 "overlap independent jobs") — 2-4 in
+    #: flight is enough to hide the per-job submit+commit latency
+    #: without executor contention; parameterised for deployments.
+    unit_write_slots = int(os.environ.get(
+        "GEORIVA_ENGINE_WRITE_SLOTS", "4"))
+
+    def _run_level(self, cands: list) -> tuple[list, list]:
+        """Run one level of independent (recipe, unit, origin)
+        candidates: phase 1 (resolve → hash-skip → transform →
+        register) strictly serial in candidate order — item ids, seqs
+        and catalog mutations stay deterministic — then every deferred
+        unit WRITE concurrently, then finalization (lineage →
+        completed event) back in phase-1 order. A duplicate unit_hash
+        inside one level (two completions chaining the same merge) is
+        postponed until after the level commits, where it skips on
+        input_hash exactly as it would have serially. Returns
+        (records, chain seeds)."""
+        out: list[RunRecord] = []
+        deferred: list = []
+        postponed: list = []
+        pending: set[str] = set()
+        for recipe, unit, origin in cands:
+            uh = unit_hash({"recipe": recipe.recipe_id, **unit})
+            if uh in pending:
+                postponed.append((recipe, unit, origin))
+                continue
+            n_before = len(deferred)
+            rec = self.run_unit(recipe, unit, origin=origin,
+                                _defer=deferred)
+            out.append(rec)
+            if len(deferred) > n_before:
+                pending.add(uh)
+        self._execute_writes(deferred)
+        seeds = []
+        for (rec, uh, out_df, out_item, item_id, resolved, ih,
+             recipe) in deferred:
+            self._finalize_completed(rec, recipe, resolved, ih,
+                                     item_id)
+            seeds.append((out_item, item_id))
+        for recipe, unit, origin in postponed:
+            # the level is committed: an identical re-candidate now
+            # skips on input_hash (the serial engine's second-chain
+            # behaviour); a genuinely different one runs serially.
+            out.append(self.run_unit(recipe, unit, origin=origin))
+        return out, seeds
+
+    def _execute_writes(self, deferred: list) -> None:
+        """The level's unit-write Spark jobs, `unit_write_slots` in
+        flight (guide §2.6). Job submission releases the GIL in py4j
+        socket waits, so plain driver threads overlap the jobs; all
+        ledger/catalog mutation stays on the caller's thread. The
+        first failure re-raises after every in-flight write settles —
+        crash-equivalent to a serial failure (completed siblings keep
+        their output, their `completed` event simply never lands, and
+        the reclaim sweep re-runs them idempotently)."""
+        writes = [(uh, out_df) for (_, uh, out_df, *_rest) in deferred]
+        if not writes:
+            return
+        if len(writes) == 1 or self.unit_write_slots <= 1:
+            for uh, out_df in writes:
+                self._write_output(uh, out_df)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(self.unit_write_slots,
+                                len(writes))) as pool:
+            futs = [pool.submit(self._write_output, uh, out_df)
+                    for uh, out_df in writes]
+            err = None
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:  # noqa: BLE001
+                    err = err or e
+            if err is not None:
+                raise err
+
+    def _chain_from(self, seeds: list) -> None:
+        """derivation.completed → downstream dispatch, level by level
+        (BFS): each level's candidates across ALL seeds run as one
+        `_run_level` batch, so independent downstream products (e.g.
+        the datacard and token-manifest partials of one clean shard)
+        write concurrently. Level order equals the serial recursion's
+        input sets — a unit triggered at level n sees exactly the
+        items levels < n completed — so outputs and input hashes are
+        identical to the depth-first engine's. Depth-capped per level
+        (the serial cap counted recursion hops the same way)."""
+        if not self.definitions:
+            return
+        base = self._chain_depth
+        level = seeds
+        try:
+            while level and self._chain_depth < self.max_chain_depth:
+                cands = []
+                for out_item, item_id in level:
+                    cands.extend(
+                        self._chain_candidates(out_item, item_id))
+                if not cands:
+                    return
+                self._chain_depth += 1
+                _, level = self._run_level(cands)
+        finally:
+            self._chain_depth = base
 
     # ---- derivation chaining (declarations DAG) --------------------------
-    def _chain_completed(self, out_item: OutputItem, item_id: int) -> None:
-        """derivation.completed → downstream dispatch: consult the
+    def _chain_candidates(self, out_item: OutputItem,
+                          item_id: int) -> list:
+        """derivation.completed → downstream candidates: consult the
         declared DAG for products whose inputs include the completed
         collection, then route the event through each product's
-        candidate_units. Depth-capped so a cyclic declaration can't
-        recurse forever; idempotency hash-skip absorbs repeats."""
-        if not self.definitions or self._chain_depth >= self.max_chain_depth:
-            return
+        candidate_units → (recipe, unit, origin) triples for
+        `_chain_from`'s next level. Depth-capping and the idempotency
+        hash-skip that absorbs repeats live in the level runner."""
         from georiva_spark.plans.declarations import downstream_keys
         keys = downstream_keys(self.definitions, out_item.collection)
         if not keys:
-            return
+            return []
         by_key = {d.key: d for d in self.definitions}
         item = next((it for it in self.catalog.items
                      if it["item_id"] == item_id), None)
         trigger = Trigger(kind="derivation.completed", item=item)
-        self._chain_depth += 1
-        try:
-            for k in keys:
-                d = by_key[k]
-                try:
-                    rcp = self.registry.get(d.recipe_type)
-                except KeyError:
-                    continue
-                # strictly event-routed: the recipe decides which of its
-                # units the completed item feeds (a recipe that wants
-                # chaining handles kind="derivation.completed"). No
-                # enumerate fallback — that would spuriously build every
-                # unit of the product on unrelated completions.
-                for unit in rcp.candidate_units(trigger, self.catalog):
-                    self.run_unit(rcp, unit, origin=f"chain:{d.key}")
-        finally:
-            self._chain_depth -= 1
+        cands = []
+        for k in keys:
+            d = by_key[k]
+            try:
+                rcp = self.registry.get(d.recipe_type)
+            except KeyError:
+                continue
+            # strictly event-routed: the recipe decides which of its
+            # units the completed item feeds (a recipe that wants
+            # chaining handles kind="derivation.completed"). No
+            # enumerate fallback — that would spuriously build every
+            # unit of the product on unrelated completions.
+            for unit in rcp.candidate_units(trigger, self.catalog):
+                cands.append((rcp, unit, f"chain:{d.key}"))
+        return cands
 
     # ---- T4: resurrection sweep ------------------------------------------
     def sweep_not_ready(self) -> list[RunRecord]:

@@ -5561,7 +5561,10 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards (doc_id % 3), each arrival event runs exactly its clean
     unit (gopher gate at the token_pipeline thresholds + shard-local
     exact dedup) and chains the corpus-wide datacard +
-    token-shard-manifest products through the declared DAG (T2);
+    token-shard-manifest products through the declared DAG (T2) —
+    dispatched as ONE batched level per stage (r14, guide §2.6), so
+    the independent unit writes overlap and each merge runs once over
+    the level's partials instead of once per arrival;
     re-dispatching the last shard skips on input_hash (T3, exercised
     in-query). The chain is INCREMENTAL by construction (r11): each
     arrival computes per-shard PARTIALS (stats + generation-local
@@ -5633,8 +5636,11 @@ def q_corpus_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = DerivationEngine(
         spark, reg, ctx, output_dir=base,
         definitions=corpus_product_definitions(128, 8))
-    for it in items:
-        eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+    # batched arrival dispatch (r14, guide §2.6): the crawl shards are
+    # independent staging items — one level of clean writes, one level
+    # of per-shard partials, ONE corpus-wide merge pass
+    eng.dispatch_for_triggers(
+        [Trigger(kind="staging_item", item=it) for it in items])
     # T3 in-query: the unchanged last shard skips; nothing recomputes
     again = eng.dispatch_for_trigger(Trigger(kind="staging_item",
                                              item=items[-1]))
@@ -5808,8 +5814,9 @@ def _takedown_corpus_harness(spark: SparkSession, docs: DataFrame,
     eng = DerivationEngine(
         spark, reg, ctx, output_dir=out,
         definitions=corpus_product_definitions(128, 8))
-    for it in items:
-        eng.dispatch_for_trigger(Trigger(kind="staging_item", item=it))
+    # batched arrival dispatch (r14, guide §2.6 — see q_corpus_products)
+    eng.dispatch_for_triggers(
+        [Trigger(kind="staging_item", item=it) for it in items])
     return corp, out, eng, loader
 
 

@@ -125,15 +125,21 @@ def export_token_shards(docs: DataFrame, path: str,
     to take deltas should pin the tokenizer's FULL alphabet up front,
     not just the characters the bootstrap corpus happened to contain
     (otherwise the first delta with a new character fails by name)."""
-    from georiva_spark.operators.textops import (bpe_token_vocab,
+    from georiva_spark.operators.textops import (bpe_tokens_frame,
+                                                 bpe_vocab_from_tokens,
                                                  token_shard_bins)
 
-    vocab = bpe_token_vocab(docs, merges, text_col=text_col)
+    # ONE tokenize pass (r14, guide §1.2/§5): the cached per-doc
+    # token arrays answer both the vocab derivation (previously its
+    # own distinct-words corpus scan) and the bin assembly
+    tok = bpe_tokens_frame(docs, merges, num_shards,
+                           text_col=text_col)
+    vocab = bpe_vocab_from_tokens(tok)
     if extra_alphabet:
         vocab = sorted(set(vocab) | set(extra_alphabet))
     bins = token_shard_bins(docs, merges, context_len=context_len,
                             num_shards=num_shards, text_col=text_col,
-                            vocab=vocab)
+                            vocab=vocab, _tok=tok)
     (bins.repartition(num_shards, F.col("shard"))
      .sortWithinPartitions("shard", "bin_id")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
@@ -409,10 +415,17 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
                 f"duplicate training examples; dedup the delta "
                 f"first (or pass check_duplicates=False knowingly)")
     # pre-flight: vocab drift fails BY NAME before any file is
-    # appended (strict_vocab below is defense-in-depth at execution)
-    from georiva_spark.operators.textops import unknown_vocab_tokens
+    # appended (strict_vocab below is defense-in-depth at execution).
+    # ONE tokenize pass over the delta (r14, guide §1.2/§5): the
+    # cached token arrays answer the pre-flight probe AND the bin
+    # assembly below
+    from georiva_spark.operators.textops import (bpe_tokens_frame,
+                                                 unknown_vocab_tokens)
+    tok = bpe_tokens_frame(new_docs, merges, num_shards,
+                           text_col=text_col)
     unk = unknown_vocab_tokens(new_docs, merges, vocab,
-                               text_col=text_col).limit(5).collect()
+                               text_col=text_col,
+                               _tok=tok).limit(5).collect()
     if unk:
         ex = ", ".join(f"{r.token!r}({r.n_docs} docs)" for r in unk)
         raise ValueError(
@@ -422,7 +435,7 @@ def export_token_shards_delta(new_docs: DataFrame, path: str,
     bins = token_shard_bins(new_docs, merges,
                             context_len=context_len,
                             num_shards=num_shards, text_col=text_col,
-                            vocab=vocab, strict_vocab=True)
+                            vocab=vocab, strict_vocab=True, _tok=tok)
     # the bin_id base comes from the LAYOUT (max bin per shard), not
     # the stamped manifest: a crash between a completed append and
     # the manifest re-stamp leaves the sidecar stale, and a base read

@@ -64,6 +64,7 @@ def start_grid_ingest(spark: SparkSession, landing_dir: str, grid_dir: str,
         if engine is not None:
             keys = (batch.groupBy("collection", "variable", "time")
                     .count().collect())
+            triggers = []
             for i, k in enumerate(keys):
                 # md5-derived id of the natural key (stable across
                 # driver restarts; PYTHONHASHSEED-salted hash() would
@@ -74,8 +75,13 @@ def start_grid_ingest(spark: SparkSession, landing_dir: str, grid_dir: str,
                         "time": k.time, "tier": "staging",
                         "checksum": f"stream-{batch_id}-{i}"}
                 engine.catalog.items.append(item)
-                engine.dispatch_for_trigger(Trigger("staging_item", item),
-                                            origin=f"stream-batch-{batch_id}")
+                triggers.append(Trigger("staging_item", item))
+            # one batched dispatch per micro-batch (r14, guide §2.6):
+            # the slices are independent staging items, so their unit
+            # writes overlap instead of queueing one job at a time
+            if triggers:
+                engine.dispatch_for_triggers(
+                    triggers, origin=f"stream-batch-{batch_id}")
 
     writer = (grid_file_stream(spark, landing_dir)
               .writeStream.foreachBatch(process)
@@ -363,7 +369,9 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
         finally:
             bsp.conf.set("spark.sql.sources.partitionOverwriteMode",
                          old)
-        for d in sorted(digests, key=lambda r: r.shard):
+        ordered = sorted(digests, key=lambda r: r.shard)
+        triggers = []
+        for d in ordered:
             checksum = f"crawl-{d.shard}-{d.digest}-{d.n}"
             item = next((it for it in engine.catalog.items
                          if it["collection"] == "crawl-shards"
@@ -376,9 +384,18 @@ def start_corpus_ingest(spark: SparkSession, landing_dir: str,
                 engine.catalog.items.append(item)
             else:
                 item["checksum"] = checksum
-            engine.dispatch_for_trigger(
-                Trigger("staging_item", item),
-                origin=f"corpus-stream-batch-{batch_id}")
+            triggers.append(Trigger("staging_item", item))
+        # one batched engine dispatch for the micro-batch's shards
+        # (r14, guide §2.6): the crawl shards are independent staging
+        # items — their clean/partial writes overlap, and the chained
+        # corpus-wide merges run ONCE over all of them instead of once
+        # per shard. The index/layout growth below is a separate
+        # surface with no engine dependency, so hoisting it after the
+        # dispatch loop reorders nothing it observes.
+        if triggers:
+            engine.dispatch_for_triggers(
+                triggers, origin=f"corpus-stream-batch-{batch_id}")
+        for d in ordered:
             if neardup_table is not None:
                 _neardup_shard(
                     batch.where(F.col("shard") == d.shard)

@@ -3,6 +3,7 @@ stream, custom applyInPandasWithState on a stream."""
 
 import datetime as dt
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -64,7 +65,21 @@ def test_custom_stateful_sessions(spark, tmp_path):
          .outputMode("append").option(
              "checkpointLocation", str(tmp_path / "ckpt2"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # the processing-time timeout keeps session state registered, and
+    # this query does NOT self-terminate under availableNow within the
+    # timeout — a blind awaitTermination(120) burned the full 120 s
+    # (the slowest test in the suite, r14). Poll for the expected
+    # in-batch-closed session instead, then stop the query.
+    got: set = set()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        got = {(r.user_id, r.n_events, r.total_value)
+               for r in spark.sql("SELECT * FROM sess2").collect()}
+        if (1, 2, 3.0) in got:
+            break
+    q.stop()
     rows = spark.sql("SELECT * FROM sess2").collect()
     # the first user-1 session closed by the in-batch gap; open sessions
     # stay in state awaiting timeout
