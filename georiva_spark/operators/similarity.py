@@ -444,6 +444,14 @@ def ivf_index_write(emb: DataFrame, table: str, path: str,
         cents = _pinned_cents(emb, n_centroids)
     assigned = (emb.withColumn("cell", _argmin_cell(cents))
                 .withColumn("gen", F.lit(gen)))
+    # drop-first (r14): a bounded persist from a previous probe of the
+    # SAME table (e.g. the recall grid's scored candidates) holds a
+    # cached plan over its partitioned scan; overwriting the live
+    # table re-optimizes those entries mid-drop and dies by name
+    # (PruneFileSourcePartitions -> requireTableExists on the repeat
+    # evaluation). DROP TABLE uncaches dependents first; the overwrite
+    # write below then recreates table + data exactly as before.
+    emb.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
     cdf = local_frame(
@@ -1530,6 +1538,9 @@ def ivf_pq_index_write(emb: DataFrame, table: str, path: str,
 
     assigned = _pq_encode_frame(emb, cents, cb, m, nbits, residual) \
         .withColumn("gen", F.lit(gen))
+    # drop-first: uncache dependent plans before the overwrite (see
+    # ivf_index_write — the recall grid's persisted candidates)
+    emb.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     (assigned.write.mode("overwrite").format("parquet")
      .partitionBy("cell").option("path", path).saveAsTable(table))
     spark = emb.sparkSession
