@@ -687,31 +687,58 @@ def hamming_index_write(codes: DataFrame, table: str, path: str,
     from georiva_spark.sources.bucketing import write_bucketed
 
     _, is_arr = _code_ref(codes, code_col)
-    # compute the perceptual codes ONCE for both table writes (r13
-    # optimization, the minhash_index_write persist policy): without
-    # the persist the Arrow decode lineage (image_dhash /
-    # audio_fingerprint over raw media bytes) runs twice — at 100 TB
-    # that is a second full media scan + decode per index build; the
-    # cached frame is (id, code), orders smaller than the media bytes
-    base = persist_bounded(
-        codes.select(F.col(id_col).alias("id"),
-                     F.col(code_col).alias("code"))
-        .where(F.col("code").isNotNull())
-        .dropDuplicates(["id", "code"]),
-        "hamming_index_write.base", StorageLevel.MEMORY_AND_DISK)
+    # the perceptual codes must be computed ONCE for both table writes
+    # (the minhash_index_write policy): without sharing, the Arrow
+    # decode lineage (image_dhash / audio_fingerprint over raw media
+    # bytes) runs twice — at 100 TB that is a second full media scan +
+    # decode per index build
+    base = (codes.select(F.col(id_col).alias("id"),
+                         F.col(code_col).alias("code"))
+            .where(F.col("code").isNotNull())
+            .dropDuplicates(["id", "code"]))
     bands, _ = _hamming_band_exprs(is_arr, "code", max_hamming, bits,
                                    word_bits, caller="hamming_index")
-    ref2, _ = _code_ref(base, "code")
-    dc = base.select("code").distinct()
-    banded = (dc.select("code", F.explode(F.array(*bands)).alias("bk"))
-              .select("bk.band", "bk.key", "code",
-                      _code_ref(dc, "code")[0].alias("ref")))
-    write_bucketed(banded, f"{table}_bands", ["band", "key"],
-                   n_buckets, f"{path}/bands", sort=False)
-    write_bucketed(base.select(ref2.alias("ref"), "id",
-                               F.lit(gen).alias("gen")),
-                   f"{table}_ids", "ref", n_buckets, f"{path}/ids",
-                   sort=False)
+    if is_arr:
+        # array codes: ref is the md5 surrogate, so the code is NOT
+        # recoverable from the membership table — share the decode
+        # via a persist (r13 policy; the fingerprint decode dominates
+        # the cache materialization on real media)
+        base = persist_bounded(base, "hamming_index_write.base",
+                               StorageLevel.MEMORY_AND_DISK)
+        ref2, _ = _code_ref(base, "code")
+        dc = base.select("code").distinct()
+        banded = (dc.select("code",
+                            F.explode(F.array(*bands)).alias("bk"))
+                  .select("bk.band", "bk.key", "code",
+                          _code_ref(dc, "code")[0].alias("ref")))
+        write_bucketed(banded, f"{table}_bands", ["band", "key"],
+                       n_buckets, f"{path}/bands", sort=False)
+        write_bucketed(base.select(ref2.alias("ref"), "id",
+                                   F.lit(gen).alias("gen")),
+                       f"{table}_ids", "ref", n_buckets, f"{path}/ids",
+                       sort=False)
+    else:
+        # long codes: ref IS the code, so the just-written membership
+        # table doubles as the single materialization of the decode
+        # lineage (r14, guide §1.2/§5) — the persist this replaces
+        # taxed cheap-decode media with a block-manager cache write
+        # (image_index_probe/lookup 0.68× in the r13 driver bench);
+        # deriving the band rows from the bucketed _ids scan keeps one
+        # decode pass AND makes the distinct bucket-aligned
+        # (shuffle-free). Crash between the writes leaves no stamped
+        # _bands, so probes fail by name exactly as before.
+        write_bucketed(base.select(F.col("code").alias("ref"), "id",
+                                   F.lit(gen).alias("gen")),
+                       f"{table}_ids", "ref", n_buckets, f"{path}/ids",
+                       sort=False)
+        dc = (codes.sparkSession.table(f"{table}_ids")
+              .select(F.col("ref").alias("code")).distinct())
+        banded = (dc.select("code",
+                            F.explode(F.array(*bands)).alias("bk"))
+                  .select("bk.band", "bk.key", "code",
+                          F.col("code").alias("ref")))
+        write_bucketed(banded, f"{table}_bands", ["band", "key"],
+                       n_buckets, f"{path}/bands", sort=False)
     codes.sparkSession.sql(
         f"ALTER TABLE {table}_bands SET TBLPROPERTIES ("
         f"'georiva.max_hamming'='{max_hamming}', "
