@@ -2134,7 +2134,13 @@ def _grid_probe_settings(spark, table: str, props: dict,
             sel = (ranked.where((F.col("__np") == int(np_))
                                 & (F.col("_r1") <= int(sl)))
                    .select("q_id", "vec_id"))
-            got = (rescored.join(sel, ["q_id", "vec_id"], "left_semi")
+            # sel is model-sized (≤ sample queries × shortlist rows);
+            # without the hint the per-setting semi joins over the two
+            # cached frames planned as SortMergeJoins (4 in the
+            # ann_tune_pq after-plan) — broadcast keeps the shared
+            # rescored frame unshuffled per setting (guide §3.1)
+            got = (rescored.join(F.broadcast(sel),
+                                 ["q_id", "vec_id"], "left_semi")
                    .withColumn("_r", F.row_number().over(w2))
                    .where(F.col("_r") <= k).select("q_id", "vec_id"))
             out.append((np_, sl, got))
