@@ -1191,6 +1191,60 @@ def test_ann_recall_estimate_monotone_and_exact_at_full_probe(
             spark.sql(f"DROP TABLE IF EXISTS t_rcx{s}")
 
 
+def test_index_rewrite_with_live_grid_cache_is_safe(spark, tmp_path):
+    """r14 regression (the bench's repeat-evaluation crash): the
+    recall grid persists scored candidates whose CACHED plans contain
+    the index table's partitioned scan; a later ivf_index_write /
+    ivf_pq_index_write overwrite of the SAME table then died mid-drop
+    with TABLE_OR_VIEW_NOT_FOUND (PruneFileSourcePartitions →
+    requireTableExists while the overwrite re-touched the dependent
+    cache entries). The writers now DROP-and-uncache first; rebuilding
+    with a live estimate in between must succeed and reproduce the
+    identical recall grid (which also proves the post-drop overwrite
+    clears the previous build's files)."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    n, d = 200, 8
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=d)]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    t, tpq = "t_rblx", "t_rblxpq"
+    try:
+        def grid(rep):
+            similarity.ivf_index_write(emb, t, str(tmp_path / f"i{rep}"),
+                                       n_centroids=4, train_iters=1)
+            return sorted(
+                (r.nprobe, r.hits, r.recall) for r in
+                similarity.ann_recall_estimate(
+                    spark, t, k=3, nprobes=(1, 2),
+                    sample_ppm=120_000).collect())
+
+        def grid_pq(rep):
+            similarity.ivf_pq_index_write(
+                emb, tpq, str(tmp_path / f"p{rep}"), n_centroids=4,
+                m=4, nbits=4, train_iters=1)
+            return sorted(
+                (r.nprobe, r.shortlist, r.hits, r.recall) for r in
+                similarity.ann_recall_estimate(
+                    spark, tpq, k=3, nprobes=(1, 2), emb=emb,
+                    shortlist=(5, 10), sample_ppm=120_000).collect())
+
+        first = grid(0)
+        # the estimate's cand/ranked persists are still live here —
+        # the rebuild is the crash repro
+        assert grid(1) == first
+        first_pq = grid_pq(0)
+        assert grid_pq(1) == first_pq
+    finally:
+        for s in ("", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+        for s in ("", "_centroids", "_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS {tpq}{s}")
+
+
 def test_ann_tune_picks_cheapest_setting_meeting_target(spark,
                                                         tmp_path):
     """r10 auto-sizer: on a random (hard) corpus the recall ladder is

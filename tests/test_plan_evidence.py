@@ -1111,3 +1111,37 @@ def test_hold_filter_is_broadcast_antijoin(spark, tmp_path):
         assert "CartesianProduct" not in plan
     finally:
         td.clear_hold(spark, ht)
+
+
+def test_refine_grid_semi_joins_broadcast_selection(spark, tmp_path):
+    """r14 grid restructure: the per-setting shortlist selections join
+    the SHARED rescored candidates as left-semi joins; the selection
+    is model-sized (sample queries × shortlist rows) and must
+    broadcast — without the hint the two cached frames planned as
+    SortMergeJoins, re-shuffling the shared frame once per grid
+    setting (4 SMJ in the pre-fix ann_tune_pq plan)."""
+    import numpy as np
+
+    from georiva_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    n, d = 200, 8
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=d)]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    t = "t_plan_grid"
+    try:
+        similarity.ivf_pq_index_write(emb, t, str(tmp_path / "g"),
+                                      n_centroids=4, m=4, nbits=4,
+                                      train_iters=1)
+        est = similarity.ann_recall_estimate(
+            spark, t, k=3, nprobes=(1, 2), emb=emb,
+            shortlist=(5, 10), sample_ppm=120_000)
+        plan = est._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        semis = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semis and all("BroadcastHashJoin" in ln for ln in semis)
+        assert "CartesianProduct" not in plan
+    finally:
+        for s in ("", "_centroids", "_codebook"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
